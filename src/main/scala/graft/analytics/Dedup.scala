@@ -1,0 +1,129 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (SURVEY.md §7 step 5;
+  * north-star extension beyond the reference's `remove_duplicates…`
+  * main.py:87-95 value-level dedup).
+  *
+  * All operators are shuffle-lean by construction:
+  *  - exact dedup: one hash-groupBy on a 32-char fingerprint (not the text);
+  *  - MinHash/LSH: candidate generation joins on (band, bucket) — the classic
+  *    shingle→minhash→band trick keeps the self-join linear-ish instead of
+  *    the O(n²) all-pairs cross join;
+  *  - n-gram Jaccard: computed only on candidate pairs that share a shingle
+  *    (inverted-index join), never on the full cross product.
+  *
+  * Hashing is md5-based so the DuckDB oracle can reproduce every step
+  * bit-for-bit (both engines emit lowercase-hex md5; min/sort on hex strings
+  * is plain binary collation in both).
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint: every doc tagged with its group's
+    * canonical (minimum) id. Carries a 32-byte hash through the shuffle, not
+    * the document text. */
+  def exactDupTags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = docs.select(col(idCol), md5(col(textCol)).as("fp"))
+    val canon = fp.groupBy($"fp").agg(min(col(idCol)).as("canonical_id"))
+    fp.join(canon, "fp")
+      .select(col(idCol), $"fp",
+              $"canonical_id",
+              when(col(idCol) === $"canonical_id", 0).otherwise(1).as("is_dup"))
+  }
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles per document: (id, sh). Documents shorter
+    * than n tokens produce no shingles (same guard in the oracle SQL). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      .filter(size($"t") >= n)
+      .select($"doc",
+        explode(array_distinct(
+          transform(sequence(lit(1), size($"t") - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at($"t", i + o)): _*))
+        )).as("sh"))
+  }
+
+  /** n-gram Jaccard similarity over candidate pairs sharing >= 1 shingle
+    * (inverted-index self-join; no cross product). */
+  def ngramJaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val counts = sh.groupBy($"doc").agg(count(lit(1)).as("n"))
+    val a = sh.select($"doc".as("doc_a"), $"sh")
+    val b = sh.select($"doc".as("doc_b"), $"sh")
+    val inter = a.join(b, Seq("sh")).filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(counts.select($"doc".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(counts.select($"doc".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        $"inter_n".cast("double") / ($"n_a" + $"n_b" - $"inter_n"))
+      .filter($"jaccard" >= minJaccard)
+      .select($"doc_a", $"doc_b", $"inter_n", $"n_a", $"n_b", $"jaccard")
+  }
+
+  /** MinHash signatures: for seed k in [0, numHashes), sig_k =
+    * min(md5(k || '|' || shingle)). Deterministic and oracle-reproducible. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 8): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.withColumn("k", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy($"doc", $"k")
+      .agg(min(md5(concat($"k".cast("string"), lit("|"), $"sh"))).as("sig"))
+  }
+
+  /** LSH banding: band id = k / bandSize; bucket = md5 of the band's sigs in
+    * seed order. Docs sharing any (band, bucket) are near-dup candidates. */
+  def minhashBands(sigs: DataFrame, bandSize: Int = 2): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs
+      .withColumn("band", ($"k" / bandSize).cast("int"))
+      .groupBy($"doc", $"band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct($"k", $"sig"))),
+                  s => s.getField("sig")), ",")).as("bucket"))
+  }
+
+  /** Distinct candidate pairs from LSH buckets. */
+  def minhashCandidates(bands: DataFrame): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val a = bands.select($"band", $"bucket", $"doc".as("doc_a"))
+    val b = bands.select($"band", $"bucket", $"doc".as("doc_b"))
+    a.join(b, Seq("band", "bucket")).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+  }
+
+  /** 16-bit SimHash from md5 nibbles: bit i (1-based) is set iff the
+    * token-occurrence-weighted sum of (+1 if nibble i's high bit set else -1)
+    * is positive. Integer arithmetic end-to-end → exact in both engines. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bits = 16
+    docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("i", explode(sequence(lit(1), lit(bits))))
+      .withColumn("contrib",
+        when(md5($"tok").substr($"i", lit(1))
+               .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1))
+      .groupBy($"doc", $"i")
+      .agg(sum($"contrib").as("s"))
+      .groupBy($"doc")
+      .agg(sum(when($"s" > 0,
+                    pow(lit(2.0), $"i" - 1).cast("long"))
+               .otherwise(0L)).as("simhash"))
+  }
+}

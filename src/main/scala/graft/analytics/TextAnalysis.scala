@@ -1,0 +1,86 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * language-ID heuristic, token counting, document fingerprinting.
+  * (Extension surface per SURVEY.md §7 step 5; the reference's text handling
+  * is limited to cleaning, main.py:57-95.)
+  *
+  * Every metric is integer/exact arithmetic or a single double division of
+  * two integers, so the DuckDB oracle reproduces values bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single other non-space. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def nBpeTokens(text: Column): Column =
+    regexp_count(lower(text), lit(bpeishPattern))
+
+  /** Punctuation count / ratio. */
+  def nPunct(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Stopword hits for a word set (word-boundary matches). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val esStop = Seq("el", "la", "de", "que", "y", "en")
+  private val frStop = Seq("le", "la", "les", "et", "est", "que")
+
+  /** Quality metrics per document: token counts, avg token length, punct
+    * ratio, stopword ratio, plus a categorical quality flag. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      nTokens(t).as("n_tokens"),
+      nBpeTokens(t).as("n_bpe_tokens"),
+      nPunct(t).as("n_punct"),
+      (nPunct(t).cast("double") / length(t)).as("punct_ratio"),
+      (stopwordHits(t, enStop).cast("double") / nTokens(t)).as("stopword_ratio"),
+      when(nTokens(t) >= 10 && nPunct(t).cast("double") / length(t) < lit(0.2),
+           "ok").otherwise("low").as("quality"))
+  }
+
+  /** Language-ID heuristic: stopword-set scoring with deterministic argmax
+    * (ties broken by fixed language order en > de > es > fr > und). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = col(textCol)
+    val en = stopwordHits(t, enStop)
+    val de = stopwordHits(t, deStop)
+    val es = stopwordHits(t, esStop)
+    val fr = stopwordHits(t, frStop)
+    val m  = greatest(en, de, es, fr)
+    docs.select(
+      col(idCol),
+      en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+      when(m === 0, "und")
+        .when(en === m, "en").when(de === m, "de")
+        .when(es === m, "es").otherwise("fr").as("lang_guess"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased text,
+    * plus a 16-way shard bucket derived from the first hex nibble. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    docs.select(
+      col(idCol),
+      md5(norm).as("fp"),
+      substring(md5(norm), 1, 1).as("shard"))
+  }
+}

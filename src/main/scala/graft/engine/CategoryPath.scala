@@ -1,0 +1,70 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** J1/J2 — category dimension lookup + hierarchical path materialization
+  * (reference `build_category_path` main.py:1487-1507; maps built
+  * main.py:1477-1485).
+  *
+  * The reference walks a parent-pointer hash map per row on the driver. At
+  * scale the right shape is: materialize `id -> path` ONCE on the (small)
+  * dimension via an iterative self-join to fixpoint, then broadcast-join the
+  * result to the fact table. The per-iteration join is dimension×dimension
+  * (tiny, broadcast); the single fact-side join is broadcast too, so path
+  * resolution adds NO shuffle to the fact table at any scale.
+  */
+object CategoryPath {
+
+  /** Resolve materialized paths over a parent-pointer forest.
+    *
+    * @param edges   (id: string, parentId: string nullable, name: string)
+    * @param maxDepth cycle guard — mirrors the reference's `visited` set
+    *                 (main.py:1495); hierarchies deeper than this are cut.
+    * @return (id, category_path) with path = "Root///...///Self"
+    */
+  def resolvePaths(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // state: (id, cur = next ancestor to visit, segs = path so far root-first,
+    //         seen = visited ids for cycle guard)
+    var state = edges
+      .select($"id", $"parentId".as("cur"), array($"name").as("segs"),
+              array($"id").as("seen"))
+    val dim = edges.select($"id".as("e_id"), $"parentId".as("e_parent"),
+                           $"name".as("e_name"))
+
+    var iter    = 0
+    var anyOpen = true
+    while (anyOpen && iter < maxDepth) {
+      val joined = state
+        .join(broadcast(dim),
+              state("cur") === dim("e_id") && !array_contains($"seen", $"cur"),
+              "left")
+      state = joined.select(
+        $"id",
+        when($"e_id".isNotNull, $"e_parent").otherwise(lit(null)).as("cur"),
+        when($"e_id".isNotNull, concat(array($"e_name"), $"segs"))
+          .otherwise($"segs").as("segs"),
+        when($"e_id".isNotNull, concat($"seen", array($"e_id")))
+          .otherwise($"seen").as("seen"))
+        .localCheckpoint(eager = true) // dimension is small; truncate lineage
+      anyOpen = state.filter($"cur".isNotNull).limit(1).count() > 0
+      iter += 1
+    }
+    state.select($"id", array_join($"segs", "///").as("category_path"))
+  }
+
+  /** J1: attach `category_path` (+`categoryId`) to a fact table via broadcast
+    * join, defaulting to `'Undefined'` like the reference (main.py:182-184).
+    */
+  def attach(facts: DataFrame, factKey: String, paths: DataFrame): DataFrame = {
+    val spark = facts.sparkSession
+    import spark.implicits._
+    facts
+      .join(broadcast(paths), facts(factKey) === paths("id"), "left")
+      .drop("id")
+      .withColumn("category_path", coalesce($"category_path", lit("Undefined")))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** P1-P4 — column pruning (reference main.py:1544-1565).
+  *
+  * P3 is data-DEPENDENT (drop a column iff every value is blank or
+  * 'Undefined'), so it cannot be a Catalyst rewrite; it is the documented
+  * 2-job pattern: one single-pass aggregate over all columns (partial aggs
+  * map-side, one row out), then a driver-side `drop`. Cost at scale: one
+  * full scan producing 1 row — no shuffle of the data itself.
+  */
+object Prune {
+
+  /** Per-column "has a real value" indicator (P3/A9, main.py:1554-1560):
+    * 1 if any value is non-blank and != 'Undefined'. */
+  def hasValueAgg(df: DataFrame): Seq[Column] =
+    df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val present = f.dataType match {
+        case StringType => c.isNotNull && trim(c) =!= "" && c =!= "Undefined"
+        case _          => c.isNotNull
+      }
+      max(when(present, 1).otherwise(0)).as(f.name)
+    }
+
+  /** P3 + P4 + P1/P2: drop all-empty columns (data-driven), numeric-named
+    * columns, and statically excluded columns — except `important` ones
+    * (main.py:1549-1552).
+    */
+  def prune(df: DataFrame,
+            exclude: Seq[String] = Nil,
+            important: Set[String] = Set.empty,
+            dropNumericNames: Boolean = true): DataFrame = {
+    val flags = df.agg(hasValueAgg(df).head, hasValueAgg(df).tail: _*)
+      .collect().head
+    val emptyCols = df.schema.fieldNames.zipWithIndex.collect {
+      case (n, i) if flags.getInt(i) == 0 => n
+    }.toSet
+    val numericNamed =
+      if (dropNumericNames)
+        df.schema.fieldNames.filter(_.matches("""\d+(\.\d+)?""")).toSet
+      else Set.empty[String]
+    val toDrop =
+      (emptyCols ++ numericNamed ++ exclude.toSet) -- important
+    df.drop(toDrop.toSeq: _*)
+  }
+
+  /** T1: reference emits columns in sorted order (main.py:1562-1565). */
+  def sortedColumns(df: DataFrame): DataFrame =
+    df.select(df.columns.sorted.map(col).toSeq: _*)
+}
