@@ -35,8 +35,12 @@ object Dedup {
               when(col(idCol) === $"canonical_id", 0).otherwise(1).as("is_dup"))
   }
 
-  /** Lowercased whitespace tokens. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Lowercased whitespace tokens. Whitespace is normalized to single
+    * spaces BEFORE splitting so both engines (Java regex vs RE2) agree on
+    * leading/trailing-whitespace edge cases, and empties are dropped. */
+  def tokens(text: Column): Column =
+    filter(split(regexp_replace(trim(lower(text)), "\\s+", " "), " "),
+           t => t =!= "")
 
   /** Distinct word n-gram shingles per document: (id, sh). Documents shorter
     * than n tokens produce no shingles (same guard in the oracle SQL). */
@@ -54,13 +58,27 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity over candidate pairs sharing >= 1 shingle
-    * (inverted-index self-join; no cross product). */
-  def ngramJaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    * (inverted-index self-join; no cross product).
+    *
+    * `maxDocFreq` caps the document frequency of shingles admitted to the
+    * self-join: a stopword shingle shared by 10^6 docs would make the join
+    * quadratic on that key. Dropping hot shingles only shrinks the observed
+    * intersection (CCNet-style common-shingle filtering); `n_a`/`n_b` stay
+    * exact, so `jaccard` is a lower bound — and the oracle applies the
+    * identical cap, so results stay bit-for-bit comparable.
+    */
+  def ngramJaccardPairs(sh: DataFrame, minJaccard: Double,
+                        maxDocFreq: Int = 1000): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val counts = sh.groupBy($"doc").agg(count(lit(1)).as("n"))
-    val a = sh.select($"doc".as("doc_a"), $"sh")
-    val b = sh.select($"doc".as("doc_b"), $"sh")
+    // the HOT set (df > cap) is tiny by construction — broadcast anti-join
+    // it away; broadcasting the rare set would ship ~the whole vocabulary
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+    val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val a = cold.select($"doc".as("doc_a"), $"sh")
+    val b = cold.select($"doc".as("doc_b"), $"sh")
     val inter = a.join(b, Seq("sh")).filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter_n"))
     inter
@@ -88,19 +106,27 @@ object Dedup {
     val spark = sigs.sparkSession
     import spark.implicits._
     sigs
-      .withColumn("band", ($"k" / bandSize).cast("int"))
+      // floor() explicitly: Spark's double->int cast truncates but DuckDB's
+      // ROUNDS, so `CAST(k/2 AS INT)` would disagree between engines.
+      .withColumn("band", floor($"k" / bandSize).cast("int"))
       .groupBy($"doc", $"band")
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct($"k", $"sig"))),
                   s => s.getField("sig")), ",")).as("bucket"))
   }
 
-  /** Distinct candidate pairs from LSH buckets. */
-  def minhashCandidates(bands: DataFrame): DataFrame = {
+  /** Distinct candidate pairs from LSH buckets. `maxBucket` drops giant
+    * buckets before the self-join — a degenerate bucket of B docs yields
+    * B^2/2 pairs, so one hot bucket (boilerplate/empty docs) can dominate
+    * the whole job. The oracle applies the identical cap. */
+  def minhashCandidates(bands: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
-    val a = bands.select($"band", $"bucket", $"doc".as("doc_a"))
-    val b = bands.select($"band", $"bucket", $"doc".as("doc_b"))
+    val big = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bn"))
+      .filter($"bn" > maxBucket).select($"band", $"bucket")
+    val capped = bands.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+    val a = capped.select($"band", $"bucket", $"doc".as("doc_a"))
+    val b = capped.select($"band", $"bucket", $"doc".as("doc_b"))
     a.join(b, Seq("band", "bucket")).filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
   }

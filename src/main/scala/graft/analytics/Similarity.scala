@@ -64,13 +64,16 @@ object Similarity {
     val cents = v.filter($"vid" % centroidStride === 0)
       .select($"vid".as("cid"), $"v".as("cv"))
 
-    // invert: each corpus vector -> its nearest centroid id
-    val assignW = Window.partitionBy($"vid").orderBy($"csim".desc, $"cid")
+    // invert: each corpus vector -> its nearest centroid id.
+    // Argmax via max_by (partial-aggregable, map-side combine) instead of a
+    // row_number window: the window would SHUFFLE n×|centroids| rows; here
+    // the shuffle carries one partial max per vector. Tie-break = highest
+    // csim then LOWEST cid, encoded as max of (csim, -cid).
     val assigned = v.join(broadcast(cents), lit(true))
       .withColumn("csim", round(cosine($"v", $"cv"), 6))
-      .withColumn("crn", row_number().over(assignW))
-      .filter($"crn" === 1)
-      .select($"vid", $"v", $"cid")
+      .groupBy($"vid")
+      .agg(max_by($"cid", struct($"csim", -$"cid")).as("cid"),
+           first($"v").as("v"))
 
     // queries probe their nprobe nearest centroids
     val q = v.filter(queryPred).select($"vid".as("qid"), $"v".as("qv"))

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count (0 for empty/whitespace-only text — a bare
+    * `split` would report 1 because `split("") == [""]`). */
   def nTokens(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(trim(text) === "" || text.isNull, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish token count: letter runs, digit runs, single other non-space. */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"

@@ -76,7 +76,9 @@ object CleanFns {
     val r2 = regexp_replace(r1, po, "<p>")
     val r3 = regexp_replace(r2, pc, "</p>")
     val t  = trim(r3)
-    when(c.isNull || trim(c) === "", lit(""))
+    // emptiness is judged on the CLEANED text (reference checks the parsed
+    // result, main.py:62): '<div></div>' cleans to '' — not '<p></p>'.
+    when(c.isNull || t === "", lit(""))
       .otherwise(when(t.startsWith("<p>"), t).otherwise(concat(lit("<p>"), t, lit("</p>"))))
   }
 
@@ -115,8 +117,9 @@ object CleanFns {
   /** F13 md5 user id (main.py:1767-1768): `md5(s)[:8].upper()`. */
   def shortMd5(c: Column): Column = upper(substring(md5(c), 1, 8))
 
-  /** F14 numeric-string predicate (main.py:191): `s.replace('.','',1).isdigit()`. */
-  def isNumericString(c: Column): Column = c.rlike("^\\d+(\\.\\d+)?$")
+  /** F14 numeric-string predicate (main.py:191): `s.replace('.','',1).isdigit()`
+    * — accepts '.5' and '5.' (one optional dot, at least one digit). */
+  def isNumericString(c: Column): Column = c.rlike("^(\\d+\\.?\\d*|\\.\\d+)$")
 
   /** P8 availability defaulting (main.py:322-323). */
   def defaultAvailable(c: Column): Column = coalesce(c, lit("1"))

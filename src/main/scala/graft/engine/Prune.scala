@@ -34,10 +34,12 @@ object Prune {
             exclude: Seq[String] = Nil,
             important: Set[String] = Set.empty,
             dropNumericNames: Boolean = true): DataFrame = {
-    val flags = df.agg(hasValueAgg(df).head, hasValueAgg(df).tail: _*)
-      .collect().head
+    val aggs = hasValueAgg(df)
+    val flags = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // on an empty input the max() aggregates are null → every column counts
+    // as empty (matches the reference: no rows means nothing to keep)
     val emptyCols = df.schema.fieldNames.zipWithIndex.collect {
-      case (n, i) if flags.getInt(i) == 0 => n
+      case (n, i) if flags.isNullAt(i) || flags.getInt(i) == 0 => n
     }.toSet
     val numericNamed =
       if (dropNumericNames)

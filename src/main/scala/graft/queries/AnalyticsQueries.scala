@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators registered as driver-verifiable
+  * queries over the `documents` / `embeddings` testdata tables: exact and
+  * near deduplication, similarity search, text analysis, multimodal
+  * plumbing. (Extension surface per SURVEY.md §7 step 5; the reference's
+  * own text handling stops at value-level dedup, main.py:87-95.)
+  *
+  * Every operator is deterministic by construction (md5 hashing, integer
+  * arithmetic, round(,6) before ranking, explicit tie-breaks) so the DuckDB
+  * oracles reproduce results bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  /** Shared DuckDB CTE: normalized tokens + distinct 3-gram shingles.
+    * Mirrors Dedup.tokens / Dedup.shingles exactly. */
+  private val shCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT DISTINCT doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM (SELECT doc_id AS doc, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3)
+      |)""".stripMargin
+
+  /** Hot-shingle cap (df > 1000 dropped) — non-binding at test scale, load-
+    * bearing at corpus scale; the Spark side applies the identical cap. */
+  private val shCapped =
+    shCte + """,
+      | sh AS (SELECT doc, sh FROM sh0 WHERE sh NOT IN (
+      |   SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000))""".stripMargin
+
+  /** Shared DuckDB CTE: embeddings as double vectors + cosine helper shape. */
+  private val vCte =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  val all: Seq[Q] = Seq(
+
+    // ----- exact dedup: hash-groupBy on md5 fingerprint -----
+    Q("q17_exact_dedup",
+      "exact dedup via md5 fingerprint; canonical = min doc_id per group",
+      Some("""SELECT doc_id, md5(text) AS fp,
+             |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             |       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 0 ELSE 1 END AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.exactDupTags(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- n-gram Jaccard near-dup pairs (inverted-index join) -----
+    Q("q18_ngram_jaccard",
+      "3-gram shingle Jaccard >= 0.5 candidate pairs, hot-shingle capped",
+      Some(shCapped + """,
+             | counts AS (SELECT doc, count(*) AS n FROM sh0 GROUP BY doc),
+             | inter AS (
+             |   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter_n
+             |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+             |   GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, inter_n, ca.n AS n_a, cb.n AS n_b,
+             |       CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) AS jaccard
+             |FROM inter
+             |JOIN counts ca ON ca.doc = doc_a
+             |JOIN counts cb ON cb.doc = doc_b
+             |WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text")
+        Dedup.ngramJaccardPairs(sh, minJaccard = 0.5, maxDocFreq = 1000)
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // ----- MinHash + LSH banding candidates -----
+    Q("q19_minhash_lsh",
+      "MinHash(8 seeds) + LSH banding(2/band) near-dup candidate pairs",
+      Some(shCte + """,
+             | sigs AS (
+             |   SELECT doc, k, min(md5(k || '|' || sh)) AS sig
+             |   FROM sh0, (SELECT unnest(range(0, 8)) AS k) ks
+             |   GROUP BY doc, k),
+             | bands AS (
+             |   SELECT doc, CAST(floor(k / 2) AS INT) AS band,
+             |          md5(string_agg(sig, ',' ORDER BY k)) AS bucket
+             |   FROM sigs GROUP BY doc, band),
+             | keep AS (
+             |   SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 1000)
+             |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             |FROM (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) a
+             |JOIN (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) b
+             |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) => {
+        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text")
+        val sigs = Dedup.minhashSignatures(sh, numHashes = 8)
+        val bands = Dedup.minhashBands(sigs, bandSize = 2)
+        Dedup.minhashCandidates(bands, maxBucket = 1000)
+          .orderBy("doc_a", "doc_b")
+      }),
+
+    // ----- SimHash fingerprints -----
+    Q("q20_simhash",
+      "16-bit SimHash from md5 nibbles, token-occurrence weighted",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+             |  FROM documents
+             |), bits AS (
+             |  SELECT doc_id, i,
+             |         sum(CASE WHEN substr(md5(tok), i, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+             |  FROM toks, (SELECT unnest(range(1, 17)) AS i) ii
+             |  GROUP BY doc_id, i)
+             |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(2 ** (i-1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id")),
+
+    // ----- text quality scoring -----
+    Q("q21_text_quality",
+      "per-doc quality metrics: counts, ratios, categorical flag",
+      Some("""SELECT doc_id,
+             |       length(text) AS n_chars,
+             |       len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS n_tokens,
+             |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+             |       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             |       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+             |       CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+             |         / len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS stopword_ratio,
+             |       CASE WHEN len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) >= 10
+             |                 AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) < 0.2
+             |            THEN 'ok' ELSE 'low' END AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.quality(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- language-ID heuristic -----
+    Q("q22_lang_id",
+      "stopword-set language scoring with deterministic argmax",
+      Some("""SELECT doc_id,
+             |       len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+             |       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_hits,
+             |       len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS es_hits,
+             |       len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que)\b')) AS fr_hits,
+             |       CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+             |            WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+             |            WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+             |            WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+             |            ELSE 'fr' END AS lang_guess
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.langId(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- document fingerprint + shard -----
+    Q("q23_fingerprint",
+      "md5 fingerprint of normalized text + 16-way shard nibble",
+      Some("""SELECT doc_id,
+             |       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             |       substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 1) AS shard
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- brute-force cosine top-k -----
+    Q("q24_knn_brute",
+      "brute-force cosine top-5 neighbors for query vectors (vec_id % 100 = 0)",
+      Some(vCte + """,
+             | q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id % 100 = 0),
+             | scored AS (
+             |   SELECT qid, vec_id AS neighbor_id, """.stripMargin +
+             cosSql("qv", "vv") + """ AS cos_sim
+             |   FROM q, v WHERE qid <> vec_id)
+             |SELECT qid, rn, neighbor_id, cos_sim FROM (
+             |  SELECT qid, neighbor_id, cos_sim,
+             |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rn
+             |  FROM scored)
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      (s, dir) =>
+        Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5)
+          .orderBy("qid", "rn")),
+
+    // ----- IVF approximate top-k -----
+    Q("q25_knn_ivf",
+      "IVF top-5: stride-50 centroids, map-side argmax assignment, nprobe=2",
+      Some(vCte + """,
+             | c AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id % 50 = 0),
+             | ac AS (SELECT v.vec_id, v.vv, c.cid, """.stripMargin +
+             cosSql("vv", "cv") + """ AS csim FROM v, c),
+             | assigned AS (
+             |   SELECT vec_id, vv, cid FROM (
+             |     SELECT vec_id, vv, cid,
+             |            row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+             |     FROM ac) WHERE crn = 1),
+             | q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id % 100 = 0),
+             | qc AS (SELECT q.qid, q.qv, c.cid, """.stripMargin +
+             cosSql("qv", "cv") + """ AS csim FROM q, c),
+             | probes AS (
+             |   SELECT qid, qv, cid FROM (
+             |     SELECT qid, qv, cid,
+             |            row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cid) AS crn
+             |     FROM qc) WHERE crn <= 2),
+             | scored AS (
+             |   SELECT qid, a.vec_id AS neighbor_id, """.stripMargin +
+             cosSql("qv", "a.vv") + """ AS cos_sim
+             |   FROM probes p JOIN assigned a ON p.cid = a.cid WHERE qid <> a.vec_id)
+             |SELECT qid, rn, neighbor_id, cos_sim FROM (
+             |  SELECT qid, neighbor_id, cos_sim,
+             |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rn
+             |  FROM scored)
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      (s, dir) =>
+        Similarity.ivfTopK(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5,
+            centroidStride = 50, nprobe = 2)
+          .orderBy("qid", "rn")),
+
+    // ----- multimodal plumbing: binary column + partition-wise decode -----
+    Q("q26_multimodal_meta",
+      "binary-payload metadata extraction via mapPartitions (decoder stubbed; " +
+        "stub arithmetic is deterministic so even this path gets an oracle)",
+      Some("""SELECT doc_id, 'image/stub' AS media_type,
+             |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |       CAST((strlen(text) % 64) * 10 + 32 AS INT) AS width,
+             |       CAST((strlen(text) % 48) * 10 + 32 AS INT) AS height,
+             |       CAST((strlen(text) % 24) + 1 AS INT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.extractMeta(
+            Multimodal.asBlobs(Tables(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
+          .orderBy("doc_id"))
+  )
+}

@@ -15,8 +15,22 @@ final case class Q(
     run: (SparkSession, String) => DataFrame)
 
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  /** Load a testdata table. The driver writes `events.ts` as
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as a LONG of
+    * nanoseconds, converted here to a microsecond timestamp (integer DIV —
+    * double division would lose precision above 2^53 ns). DuckDB oracles
+    * read the nanos natively, and both agree at `date_trunc` granularity.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 }
 
 object Catalog {

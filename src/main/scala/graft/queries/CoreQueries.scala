@@ -39,7 +39,7 @@ object CoreQueries {
     Q("q02_category_path",
       "J1/J2 parent-pointer graph -> materialized ///-path, broadcast-joined to facts",
       Some("""WITH RECURSIVE edges AS (
-             |  SELECT 'R' || r_regionkey AS id, NULL AS parent, r_name AS name FROM region
+             |  SELECT 'R' || r_regionkey AS id, CAST(NULL AS VARCHAR) AS parent, r_name AS name FROM region
              |  UNION ALL
              |  SELECT 'N' || n_nationkey, 'R' || n_regionkey, n_name FROM nation
              |), walk AS (
