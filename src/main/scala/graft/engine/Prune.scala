@@ -18,7 +18,9 @@ object Prune {
     * 1 if any value is non-blank and != 'Undefined'. */
   def hasValueAgg(df: DataFrame): Seq[Column] =
     df.schema.fields.toSeq.map { f =>
-      val c = col(f.name)
+      // backtick-quote: col("4.5") would parse the dot as a struct-field
+      // path (numeric-NAMED columns are exactly the P4 case)
+      val c = col("`" + f.name + "`")
       val present = f.dataType match {
         case StringType => c.isNotNull && trim(c) =!= "" && c =!= "Undefined"
         case _          => c.isNotNull

@@ -1,0 +1,161 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+
+  test("exact dedup tags duplicate content with min-id canonical") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDupTags(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("canonical_id")).toSeq === Seq(1L, 1L, 3L))
+    assert(out.map(_.getAs[Int]("is_dup")).toSeq === Seq(0, 1, 0))
+  }
+
+  test("shingles: distinct 3-grams; short docs produce none") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text").orderBy("sh").collect()
+    assert(sh.map(_.getString(1)).toSeq === Seq("a b c", "b c d"))
+  }
+
+  test("tokens normalize whitespace and drop empties") {
+    import spark.implicits._
+    val out = Seq(("  a\t b  ")).toDF("t")
+      .select(Dedup.tokens(col("t")).as("toks")).collect()
+      .head.getSeq[String](0)
+    assert(out === Seq("a", "b"))
+  }
+
+  test("identical docs share every LSH bucket; disjoint docs share none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words appear in this unrelated sentence"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(
+        Dedup.minhashBands(Dedup.minhashSignatures(
+          Dedup.shingles(docs, "doc_id", "text")))).collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("ngram Jaccard: identical docs score 1.0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(sh, minJaccard = 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("hot-shingle cap drops pairs only connected by hot shingles") {
+    import spark.implicits._
+    // every doc shares 'x x x'; cap=1 removes it from the index
+    val docs = (1L to 4L).map(i => (i, s"x x x unique$i token$i third$i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(sh, minJaccard = 0.0, maxDocFreq = 1)
+    assert(pairs.count() === 0)
+  }
+
+  test("simhash: identical text -> identical hash, 16-bit range") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+                   (3L, "delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc").collect().map(_.getLong(1))
+    assert(out(0) === out(1))
+    assert(out.forall(h => h >= 0L && h < 65536L))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))).as("ab"),
+      Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("c"))).as("ac"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k finds the nearest vector, excludes self") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2).orderBy("rn").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+  }
+
+  test("IVF top-k with every vector a centroid matches brute force") {
+    import spark.implicits._
+    val emb = (0L to 9L).map(i =>
+        (i, Array((math.cos(i * 0.5)).toFloat, (math.sin(i * 0.5)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 4, k = 3).select("rn", "neighbor_id").collect().toSeq
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 4, k = 3, centroidStride = 1, nprobe = 10)
+      .select("rn", "neighbor_id").collect().toSeq
+    assert(ivf === bf)
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("nTokens: 0 for empty/whitespace, counts words otherwise") {
+    import spark.implicits._
+    val out = Seq("", "   ", "one", "one two  three").toDF("t")
+      .select(TextAnalysis.nTokens(col("t")).as("n")).collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(0, 0, 1, 3))
+  }
+
+  test("langId picks dominant stopword set; und when none hit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("lang_guess"))
+    assert(out.toSeq === Seq("en", "de", "und"))
+  }
+
+  test("quality flags short or punct-heavy docs low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "this is a perfectly ordinary sentence with more than ten words in it"),
+      (2L, "short doc"),
+      (3L, "a lot of punctuation here my friend and some words to pass ten: ..,,..!!??;;;;..,,!!..")).toDF("doc_id", "text")
+    val out = TextAnalysis.quality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("quality"))
+    assert(out.toSeq === Seq("ok", "low", "low"))
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+
+  test("binary plumbing: payload bytes flow through mapPartitions decode") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "payload")
+    val out = Multimodal.extractMeta(
+        Multimodal.asBlobs(docs, "doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.n_bytes).toSeq === Seq(4L, 0L))
+    assert(out.head.media_type === "image/stub")
+    assert(out.head.width === (4 % 64) * 10 + 32)
+  }
+}

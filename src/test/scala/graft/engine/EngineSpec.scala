@@ -1,0 +1,118 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class MultiValueSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  test("A1 collectDistinctSorted dedups and sorts") {
+    import spark.implicits._
+    val df = Seq((1, "b"), (1, "a"), (1, "b"), (2, "z")).toDF("id", "v")
+    val out = df.groupBy("id")
+      .agg(MultiValue.collectDistinctSorted($"v").as("vs"))
+      .orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a///b", "z"))
+  }
+
+  test("A1 collectFirstOccurrence preserves arrival order (reference main.py:87-95)") {
+    import spark.implicits._
+    val df = Seq((1, "z", 0), (1, "a", 1), (1, "z", 2), (1, "m", 3)).toDF("id", "v", "pos")
+    val out = df.groupBy("id", "v").agg(min($"pos").as("p"))
+      .groupBy("id")
+      .agg(MultiValue.collectFirstOccurrence($"v", $"p").as("vs"))
+      .collect()
+    assert(out.head.getString(1) === "z///a///m")
+  }
+
+  test("A4/A5 stock flag and price resolution") {
+    import spark.implicits._
+    val stock = Seq(("o1", 0.0), ("o1", 5.0), ("o2", 0.0)).toDF("id", "qty")
+    val flags = stock.groupBy("id")
+      .agg(MultiValue.availableFlag(sum($"qty")).as("f"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(flags === Seq("1", "0"))
+
+    val prices = Seq(("p1", "Цена", 1000.0), ("p1", "ЦенаСкидка", 800.0),
+                     ("p2", "Цена", 500.0), ("p2", "ЦенаСкидка", 0.0))
+      .toDF("id", "name", "value")
+    val resolved = prices.groupBy("id")
+      .agg(MultiValue.basePrice($"name", $"value", "Цена").as("b"),
+           MultiValue.discountPrice($"name", $"value", "ЦенаСкидка").as("d"))
+      .select($"id", MultiValue.resolvedPrice($"b", $"d").as("price"),
+              MultiValue.resolvedOldPrice($"b", $"d").as("oldprice"))
+      .orderBy("id").collect()
+    assert(resolved(0).getDouble(1) === 800.0 && resolved(0).getDouble(2) === 1000.0)
+    assert(resolved(1).getDouble(1) === 500.0 && resolved(1).isNullAt(2))
+  }
+}
+
+class PruneSpec extends SparkTestBase {
+
+  test("P3 never drops a column containing a real value; drops empty/Undefined-only") {
+    import spark.implicits._
+    val df = Seq(("x", "", "Undefined", "keep"), ("y", " ", "Undefined", ""))
+      .toDF("full", "blank", "undef", "mixed")
+    val out = Prune.prune(df)
+    assert(out.columns.toSet === Set("full", "mixed"))
+  }
+
+  test("P4 drops numeric-named columns, P2 important override wins") {
+    import spark.implicits._
+    val df = Seq(("a", "b", "c")).toDF("name", "123", "4.5")
+    assert(Prune.prune(df).columns.toSeq === Seq("name"))
+    assert(Prune.prune(df, important = Set("123")).columns.toSet === Set("name", "123"))
+  }
+
+  test("P1 static exclusion") {
+    import spark.implicits._
+    val df = Seq(("a", "b")).toDF("keep", "param")
+    assert(Prune.prune(df, exclude = Seq("param")).columns.toSeq === Seq("keep"))
+  }
+
+  test("P3 on an empty DataFrame drops all columns without NPE") {
+    import spark.implicits._
+    val df = Seq(("a", "b")).toDF("c1", "c2").filter(lit(false))
+    assert(Prune.prune(df).columns.isEmpty)
+  }
+
+  test("T1 sorted output columns") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("b", "a", "c")
+    assert(Prune.sortedColumns(df).columns.toSeq === Seq("a", "b", "c"))
+  }
+}
+
+class CategoryPathSpec extends SparkTestBase {
+
+  test("J2 materializes root///...///leaf paths") {
+    import spark.implicits._
+    val edges = Seq(
+      ("1", null, "Lighting"),
+      ("2", "1", "Chandeliers"),
+      ("3", "2", "Crystal")).toDF("id", "parentId", "name")
+    val paths = CategoryPath.resolvePaths(edges)
+      .orderBy("id").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(paths("1") === "Lighting")
+    assert(paths("2") === "Lighting///Chandeliers")
+    assert(paths("3") === "Lighting///Chandeliers///Crystal")
+  }
+
+  test("J2 cycle guard terminates and keeps partial path (reference visited set main.py:1495)") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", "A"), ("b", "a", "B")).toDF("id", "parentId", "name")
+    val paths = CategoryPath.resolvePaths(edges)
+      .orderBy("id").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(paths("a") === "B///A")
+    assert(paths("b") === "A///B")
+  }
+
+  test("J1 attach defaults missing keys to Undefined (main.py:182-184)") {
+    import spark.implicits._
+    val paths = Seq(("1", "Root")).toDF("id", "category_path")
+    val facts = Seq(("f1", "1"), ("f2", "999")).toDF("fact", "cat")
+    val out = CategoryPath.attach(facts, "cat", paths)
+      .orderBy("fact").collect().map(_.getString(2)).toSeq
+    assert(out === Seq("Root", "Undefined"))
+  }
+}
