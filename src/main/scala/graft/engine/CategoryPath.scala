@@ -26,6 +26,16 @@ object CategoryPath {
   def resolvePaths(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    resolveSegs(edges, maxDepth)
+      .select($"id", array_join($"segs", "///").as("category_path"))
+  }
+
+  /** Like [[resolvePaths]] but returns the raw root-first segment array, for
+    * callers that post-filter segments (the reference's YML walk skips
+    * 'Undefined'-named categories, main.py:1498-1501). */
+  def resolveSegs(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
 
     // state: (id, cur = next ancestor to visit, segs = path so far root-first,
     //         seen = visited ids for cycle guard)
@@ -53,7 +63,7 @@ object CategoryPath {
       anyOpen = state.filter($"cur".isNotNull).limit(1).count() > 0
       iter += 1
     }
-    state.select($"id", array_join($"segs", "///").as("category_path"))
+    state.select($"id", $"segs")
   }
 
   /** J1: attach `category_path` (+`categoryId`) to a fact table via broadcast

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.CategoryPath
+
+/** S1/S2 — the XML catalog source (reference `process_xml_data`
+  * main.py:1384-1583). Four dialects, auto-detected from document markers
+  * (main.py:1463-1473), each mapped to a native Spark 4 XML read with the
+  * dialect's element as `rowTag` — the reference's chunked XPath iteration
+  * (`split_offers` main.py:98-112) is subsumed by source partitioning.
+  *
+  * Validation (P7, main.py:1390-1424) and the control-char/BOM/entity scrub
+  * (F8, main.py:1426-1461) operate on the raw text before the distributed
+  * read; they mirror the reference's error messages.
+  */
+object XmlSource {
+
+  sealed abstract class Dialect(val rowTag: String)
+  case object Yml     extends Dialect("offer")
+  case object Product extends Dialect("product")
+  case object Russian extends Dialect("ЭлементСправочника")
+  case object Service extends Dialect("service")
+
+  val AttrPrefix = "_"
+  val ValueTag   = "_VALUE"
+
+  /** P7 input validation (main.py:1390-1424): reject HTML, error pages, and
+    * non-XML payloads with the reference's messages. */
+  def validate(raw: String): Unit = {
+    val dataLower = raw.trim.toLowerCase
+    if (dataLower.startsWith("<html") || dataLower.startsWith("<!doctype html"))
+      throw new IllegalArgumentException(
+        "Data contains HTML page instead of XML/YML file.")
+    val markers = Seq("<yml_catalog", "<catalog", "<offers", "<products",
+                      "<shop", "<корневой")
+    if ((dataLower.contains("error") || dataLower.contains("not found") ||
+         dataLower.contains("404")) &&
+        !raw.trim.startsWith("<?xml") && !markers.exists(dataLower.contains))
+      throw new IllegalArgumentException("Data contains error page.")
+    if (!stripBom(raw.trim).startsWith("<"))
+      throw new IllegalArgumentException(
+        "Received data is not an XML file. Make sure the URL leads to a " +
+          "valid XML or YML file.")
+    val structural = Seq("<yml_catalog", "<catalog", "<offers", "<offer",
+                         "<products", "<product", "<shop", "<categories",
+                         "<category", "<корневой", "<элементсправочника",
+                         "<service")
+    if (!structural.exists(dataLower.contains))
+      throw new IllegalArgumentException(
+        "XML file does not contain expected elements (yml_catalog, catalog, " +
+          "offers, products, shop, categories, Russian format, or service " +
+          "format). This may not be a valid XML catalog file.")
+  }
+
+  private def stripBom(s: String): String =
+    if (s.startsWith("﻿")) s.substring(1) else s
+
+  /** F8 scrub (main.py:1434-1437, 1446): control chars out, bare `&` fixed
+    * to `&amp;` (the reference's parse-repair retry, applied up front). */
+  def scrub(raw: String): String = {
+    val noCtl = stripBom(raw.trim)
+      .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    noCtl.replaceAll("&(?![a-zA-Z0-9#]+;)", "&amp;")
+  }
+
+  /** S1 dialect auto-detect (main.py:1463-1473) from a document sample:
+    * first matching marker wins, in the reference's priority order. */
+  def detect(sample: String): Dialect = {
+    val l = sample.toLowerCase
+    if (l.contains("<offer")) Yml
+    else if (l.contains("<product")) Product
+    else if (l.contains("<элементсправочника")) Russian
+    else if (l.contains("<service")) Service
+    else throw new IllegalArgumentException(
+      "Unsupported XML format, auto-detection failed.")
+  }
+
+  /** Detect from the head of a file (driver-side pre-scan — cheap, bounded). */
+  def detectFile(path: String, headBytes: Int = 1 << 20): Dialect = {
+    val in = new java.io.FileInputStream(path)
+    try {
+      val buf = new Array[Byte](headBytes)
+      val n = in.read(buf)
+      detect(new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  /** Distributed read of one dialect's row elements. */
+  def read(spark: SparkSession, path: String, dialect: Dialect): DataFrame =
+    spark.read
+      .format("xml")
+      .option("rowTag", dialect.rowTag)
+      .option("attributePrefix", AttrPrefix)
+      .option("valueTag", ValueTag)
+      .option("ignoreSurroundingSpaces", "true")
+      .load(path)
+
+  /** YML category dimension: `<category id parentId>name</category>` rows
+    * (reference builds two hash maps, main.py:1477-1485). */
+  def readCategories(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .format("xml")
+      .option("rowTag", "category")
+      .option("attributePrefix", AttrPrefix)
+      .option("valueTag", ValueTag)
+      .load(path)
+    val name =
+      if (df.columns.contains(ValueTag)) col(ValueTag).cast("string")
+      else lit(null).cast("string")
+    val parent =
+      if (df.columns.contains("_parentId")) col("_parentId").cast("string")
+      else lit(null).cast("string")
+    df.select(
+      col("_id").cast("string").as("id"),
+      parent.as("parentId"),
+      coalesce(nullif(trim(name), lit("")), lit("Undefined")).as("name"))
+  }
+
+  /** Materialized `id -> category_path` with the reference's walk semantics
+    * (main.py:1487-1507): 'Undefined'-named segments are skipped; an empty
+    * filtered path falls back to the category's own name. */
+  def categoryPaths(cats: DataFrame): DataFrame = {
+    val spark = cats.sparkSession
+    import spark.implicits._
+    val segs = CategoryPath.resolveSegs(cats)
+    segs
+      .join(cats.select($"id", $"name"), Seq("id"))
+      .select($"id",
+        when(size(filter($"segs", s => s =!= "Undefined")) === 0, $"name")
+          .otherwise(array_join(filter($"segs", s => s =!= "Undefined"), "///"))
+          .as("category_path"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import graft.SparkTestBase
+import graft.engine.Flatten
+
+/** End-to-end dialect tests over the FIXTURES.md XML fixtures: native XML
+  * read -> schema-driven flatten -> reference column model. */
+class XmlSourceSpec extends SparkTestBase {
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  private def rowMap(r: Row): Map[String, String] =
+    r.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> (if (r.isNullAt(i)) null else r.getString(i))
+    }.toMap
+
+  // ---------------- dialect detection ----------------
+
+  test("S1 detects all four dialects (offer wins over product, matching the " +
+       "reference's priority, main.py:1464-1469 — product files with nested " +
+       "offers need the explicit target_node override, main.py:2292)") {
+    assert(XmlSource.detectFile(fixture("yml_offer.xml")) === XmlSource.Yml)
+    assert(XmlSource.detectFile(fixture("product.xml")) === XmlSource.Yml)
+    assert(XmlSource.detect("<catalog><products><product id='1'/></products></catalog>")
+      === XmlSource.Product)
+    assert(XmlSource.detectFile(fixture("russian_1c.xml")) === XmlSource.Russian)
+    assert(XmlSource.detectFile(fixture("service.xml")) === XmlSource.Service)
+  }
+
+  test("P7 validation rejects HTML, error pages, non-XML") {
+    intercept[IllegalArgumentException](XmlSource.validate("<html><body>x</body></html>"))
+    intercept[IllegalArgumentException](XmlSource.validate("404 error not found"))
+    intercept[IllegalArgumentException](XmlSource.validate("just text"))
+    XmlSource.validate("<?xml version=\"1.0\"?><yml_catalog><offer/></yml_catalog>")
+  }
+
+  test("F8 scrub strips control chars and fixes bare ampersands") {
+    assert(XmlSource.scrub("<a>xy &amp; z & w</a>")
+      === "<a>xy &amp; z &amp; w</a>")
+  }
+
+  // ---------------- YML offer dialect ----------------
+
+  lazy val ymlFlat = {
+    val path = fixture("yml_offer.xml")
+    val offers = XmlSource.read(spark, path, XmlSource.Yml)
+    val paths = XmlSource.categoryPaths(XmlSource.readCategories(spark, path))
+    Flatten.flattenOffers(offers, XmlSource.Yml, Some(paths))
+      .orderBy("attr_id").collect().map(rowMap)
+  }
+
+  test("YML: attrs become attr_* columns") {
+    assert(ymlFlat(0)("attr_id") === "101")
+    assert(ymlFlat(0)("attr_available") === "true")
+  }
+
+  test("YML: category path resolves through the parent walk") {
+    assert(ymlFlat(0)("categoryId") === "3")
+    assert(ymlFlat(0)("category_path") === "Lighting///Chandeliers///Crystal")
+    assert(ymlFlat(1)("categoryId") === "Undefined")
+    assert(ymlFlat(1)("category_path") === "Undefined")
+  }
+
+  test("YML: pictures deduped, sorted, ///-joined; image tags not columns") {
+    assert(ymlFlat(0)("pictures") === "http://x/im1.jpg///http://x/im2.png")
+    assert(!ymlFlat(0).contains("picture"))
+    assert(ymlFlat(1)("pictures") === "")
+  }
+
+  test("YML: params pivot to raw-name columns with ', ' concat and ? strip") {
+    assert(ymlFlat(0)("Цвет") === "золото, белый")
+    assert(ymlFlat(0)("Размер") === "52 см")
+  }
+
+  test("YML: description cleaned (keep br, unwrap div/b)") {
+    assert(ymlFlat(0)("description") === "<p>Bold text<br>line</p>")
+  }
+
+  test("YML: stock sub-table flattens one level with attr columns") {
+    assert(ymlFlat(0)("quantity") === "7")
+    assert(ymlFlat(0)("quantity_unit") === "pcs")
+  }
+
+  test("YML: available defaults to '1' when no child tag") {
+    assert(ymlFlat(0)("available") === "1")
+    assert(ymlFlat(1)("available") === "1")
+  }
+
+  test("YML: plain scalars kept as strings") {
+    assert(ymlFlat(0)("price") === "12990")
+    assert(ymlFlat(0)("weight") === "4.5")
+    assert(ymlFlat(0)("name") === "Люстра «Пример» (хрусталь)")
+  }
+
+  // ---------------- product dialect ----------------
+
+  lazy val productFlat = {
+    val offers = XmlSource.read(spark, fixture("product.xml"), XmlSource.Product)
+    Flatten.flattenOffers(offers, XmlSource.Product)
+      .orderBy("attr_id").collect().map(rowMap)
+  }
+
+  test("product: P5 skips variant parents with nested offers") {
+    assert(productFlat.length === 1)
+    assert(productFlat(0)("attr_id") === "P2")
+  }
+
+  test("product: nested photos collected, fabric_/feature_ pivoted") {
+    assert(productFlat(0)("pictures") === "http://x/p2.jpg")
+    assert(productFlat(0)("fabric_Состав") === "хлопок")
+    assert(productFlat(0)("feature_Стиль") === "лофт")
+  }
+
+  test("product: description falls back to name; category Undefined") {
+    assert(productFlat(0)("description") === "<p>Sofa Uno</p>")
+    assert(productFlat(0)("category_path") === "Undefined")
+    assert(productFlat(0)("categoryId") === "Undefined")
+  }
+
+  // ---------------- russian 1C dialect ----------------
+
+  lazy val ruFlat = {
+    val df = XmlSource.read(spark, fixture("russian_1c.xml"), XmlSource.Russian)
+    Flatten.flattenRussian(df).collect().map(rowMap)
+  }
+
+  test("1C: aliases ID->id, Наименование->name (sanitized), Артикул->vendor+vendorCode") {
+    assert(ruFlat(0)("id") === "A-1")
+    assert(ruFlat(0)("ID") === "A-1")
+    assert(ruFlat(0)("name") === "Диван \"Тест\"")
+    assert(ruFlat(0)("vendor") === "SKU-1")
+    assert(ruFlat(0)("vendorCode") === "SKU-1")
+    assert(ruFlat(0)("Артикул") === "SKU-1")
+    assert(ruFlat(0)("param_Цвет") === "синий")
+    assert(ruFlat(0)("глубина") === "90")
+  }
+
+  test("1C: Остатки -> available/stock_total/stock_details") {
+    assert(ruFlat(0)("available") === "1")
+    assert(ruFlat(0)("stock_total") === "5.0")
+    assert(ruFlat(0)("stock_details") === "Main: 5")
+  }
+
+  test("1C: Цены -> price/oldprice resolution") {
+    assert(ruFlat(0)("price") === "800")
+    assert(ruFlat(0)("oldprice") === "1000")
+  }
+
+  test("1C: Материалы + ГруппыСайта -> материалы/ID_Материала/category") {
+    assert(ruFlat(0)("материалы") === "дуб")
+    assert(ruFlat(0)("ID_Материала") === "M1")
+    assert(ruFlat(0)("category_path") === "Мебель")
+    assert(ruFlat(0)("categoryId") === "Мебель")
+  }
+
+  test("1C: description cleaned") {
+    assert(ruFlat(0)("description") === "<p>Текст</p>")
+  }
+
+  // ---------------- service dialect ----------------
+
+  lazy val svcFlat = {
+    val df = XmlSource.read(spark, fixture("service.xml"), XmlSource.Service)
+    Flatten.flattenService(df).collect().map(rowMap)
+  }
+
+  test("service: unprefixed attrs, tag_attr columns, defaults") {
+    assert(svcFlat(0)("id") === "svc-1")
+    assert(svcFlat(0)("sid") === "77")
+    assert(svcFlat(0)("price") === "500")
+    assert(svcFlat(0)("price_currency") === "RUR")
+    assert(svcFlat(0)("name") === "Проверка")
+    assert(svcFlat(0)("category_path") === "Проверка")
+    assert(svcFlat(0)("categoryId") === "svc-1")
+    assert(svcFlat(0)("available") === "1")
+    assert(svcFlat(0)("service_type") === "verification_service")
+  }
+}
