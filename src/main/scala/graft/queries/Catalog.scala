@@ -35,7 +35,7 @@ object Tables {
 
 object Catalog {
   def all: Seq[Q] =
-    CoreQueries.all ++ AnalyticsQueries.all
+    CoreQueries.all ++ AnalyticsQueries.all ++ ConverterQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

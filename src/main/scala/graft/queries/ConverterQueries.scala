@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.Flatten
+import graft.sinks.{CsvSink, JsonSink, XmlSink}
+import graft.sources.{CsvSource, JsonSource, XmlSource}
+
+/** Converter-surface round-trips registered in the driver gate: each query
+  * writes testdata through a graft SINK, reads it back through the matching
+  * graft SOURCE (+ flatten for XML), and returns the reconstructed rows —
+  * so the full K1/S5, K3/S1, K5/S7 paths are hash-verified against plain
+  * DuckDB selects over the original parquet.
+  *
+  * Values are normalized to strings BEFORE writing (the reference's
+  * all-string model); doubles go through DECIMAL(18,2) so both engines
+  * print identical text.
+  */
+object ConverterQueries {
+
+  private def tmpFile(name: String): String = {
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_rt")
+    Files.createDirectories(dir)
+    dir.resolve(name).toString
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ----- K1 + S5: CSV sink/source round-trip -----
+    Q("q27_csv_roundtrip",
+      "write part via the ;/BOM CSV sink, sniff-read it back (K1+S5)",
+      Some("""SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name, p_brand,
+             |       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS p_retailprice
+             |FROM part ORDER BY CAST(p_partkey AS BIGINT)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables(s, dir, "part").orderBy("p_partkey").select(
+          $"p_partkey".cast("string").as("p_partkey"),
+          $"p_name", $"p_brand",
+          $"p_retailprice".cast(DecimalType(18, 2)).cast("string")
+            .as("p_retailprice"))
+        val path = tmpFile("part.csv")
+        CsvSink.writeSingleFile(CsvSink.exportColumns(src), path)
+        CsvSource.read(s, path)
+          .orderBy($"p_partkey".cast("long"))
+      }),
+
+    // ----- K3 + S1: YML sink -> XML source -> flatten round-trip -----
+    Q("q28_xml_roundtrip",
+      "write orders as a YML feed, read+flatten it back (K3+S1+J1)",
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) AS attr_id,
+             |       o_orderpriority AS name,
+             |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price,
+             |       o_orderstatus AS category_path
+             |FROM orders ORDER BY CAST(attr_id AS BIGINT)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables(s, dir, "orders").orderBy("o_orderkey").select(
+          $"o_orderkey".cast("string").as("id"),
+          $"o_orderpriority".as("name"),
+          $"o_totalprice".cast(DecimalType(18, 2)).cast("string").as("price"),
+          $"o_orderstatus".as("category_path"))
+        val path = tmpFile("orders_feed.xml")
+        XmlSink.writeYandexMarket(src, path, date = "2025-01-01 00:00")
+        val cats = XmlSource.categoryPaths(XmlSource.readCategories(s, path))
+        Flatten.flattenOffers(XmlSource.read(s, path, XmlSource.Yml),
+                              XmlSource.Yml, Some(cats))
+          // the XML reader re-infers price as double; renormalize to the
+          // written DECIMAL(18,2) text so both engines print "x.y0" alike
+          .select($"attr_id", $"name",
+                  $"price".cast(DecimalType(18, 2)).cast("string").as("price"),
+                  $"category_path")
+          .orderBy($"attr_id".cast("long"))
+      }),
+
+    // ----- K5 + S7: JSON envelope sink/source round-trip -----
+    Q("q29_json_roundtrip",
+      "write customer as a JSON {data,total,exported_at} envelope, read back (K5+S7)",
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+             |FROM customer ORDER BY CAST(c_custkey AS BIGINT)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables(s, dir, "customer").orderBy("c_custkey").select(
+          $"c_custkey".cast("string").as("c_custkey"),
+          $"c_name", $"c_mktsegment")
+        val path = tmpFile("customer.json")
+        JsonSink.writeEnvelope(src, path, exportedAt = "2025-01-01T00:00:00")
+        JsonSource.read(s, path)
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey".cast("long"))
+      })
+  )
+}

@@ -1,0 +1,97 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{CleanFns, Prune}
+
+/** K1 — the flagship CSV sink (reference main.py:1540-1582): union-of-keys
+  * header, sorted columns, data-driven pruning, `;` delimiter, utf-8-sig
+  * BOM, minimal quoting with quote doubling, newline scrub, per-field size
+  * `?`-strip and ROOM_TYPE/PURPOSE re-delimiting.
+  *
+  * Split into a pure `exportColumns` transform (oracle-checkable: pruning +
+  * sorting + scrubbing as Column expressions) and the physical write. The
+  * write has two modes: distributed part files (the 100 TB path — quoting
+  * and escaping are the Spark CSV writer's, identical per part), or a
+  * single reference-parity file with BOM, assembled by streaming partitions
+  * driver-side (test/converter scale only).
+  */
+object CsvSink {
+
+  /** Reference static exclusions (main.py:1544-1548). */
+  val Excluded: Seq[String] = Seq(
+    "param", "param_name", "param_unit", "delivery-options",
+    "delivery_options", "delivery_options_xml", "option_cost",
+    "option_days", "option_order-before", "images", "debug_images_found",
+    "offers")
+
+  /** Reference important overrides (main.py:1549-1552). */
+  val Important: Set[String] = Set(
+    "Размер", "delivery_options@cost", "delivery_options@days",
+    "delivery_options@order-before")
+
+  /** Per-field export scrub (main.py:1576-1580): size fields lose '?',
+    * ROOM_TYPE/PURPOSE re-delimit ', '->'///', newlines become spaces,
+    * values are stripped. Quote doubling is the writer's job. */
+  def scrubField(name: String, c: Column): Column = {
+    val sized =
+      if (name.toLowerCase.contains("размер") ||
+          name.toLowerCase.contains("size") || name == "Размер")
+        CleanFns.stripQuestion(c)
+      else c
+    val redelim =
+      if (name == "ROOM_TYPE" || name == "PURPOSE") CleanFns.redelimit(sized)
+      else sized
+    trim(CleanFns.scrubCell(redelim))
+  }
+
+  /** The pure export transform: prune (P1-P4) + sorted header (T1) +
+    * per-field scrubs, everything string-typed, nulls as empty cells. */
+  def exportColumns(df: DataFrame): DataFrame = {
+    val pruned = Prune.prune(df, exclude = Excluded, important = Important)
+    pruned.select(pruned.columns.sorted.toSeq.map { n =>
+      coalesce(scrubField(n, col("`" + n + "`").cast("string")), lit(""))
+        .as(n)
+    }: _*)
+  }
+
+  /** Distributed write: Spark CSV part files, `;`-delimited, quoted
+    * minimally with `""` doubling (writer default), headers per part. */
+  def writeParts(df: DataFrame, dir: String): Unit =
+    df.write
+      .option("header", "true")
+      .option("sep", ";")
+      .option("encoding", "UTF-8")
+      .option("escape", "\"") // double quotes, csv.QUOTE_MINIMAL style
+      .mode("overwrite")
+      .csv(dir)
+
+  /** Reference-parity single file: utf-8-sig BOM + header + rows, assembled
+    * by streaming partition iterators (no full materialization). */
+  def writeSingleFile(df: DataFrame, path: String): Unit = {
+    val cols = df.columns.toSeq
+    def quote(v: String): String =
+      if (v.contains(";") || v.contains("\"") || v.contains("\n") ||
+          v.contains("\r"))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
+    val out = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      out.write("﻿")
+      out.write(cols.map(quote).mkString(";")); out.write("\r\n")
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        out.write(cols.indices
+          .map(i => quote(if (r.isNullAt(i)) "" else r.get(i).toString))
+          .mkString(";"))
+        out.write("\r\n")
+      }
+    } finally out.close()
+  }
+}

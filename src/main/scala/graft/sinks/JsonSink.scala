@@ -1,0 +1,86 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.XmlSource.{AttrPrefix, ValueTag}
+
+/** K5/K6 — JSON sink (reference `process_csv_to_json` main.py:797-835) and
+  * the XML→JSON key conventions (`xml_to_dict` main.py:841-862).
+  *
+  * Rows serialize via `to_json(struct(*))` — distributed and codegen'd; the
+  * array brackets / `{data,total,exported_at}` envelope are driver-side
+  * framing. `exported_at` is injectable (F12 determinism).
+  */
+object JsonSink {
+
+  /** Rows as JSON object strings (F16). */
+  def jsonRows(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(c => col("`" + c + "`")).toSeq: _*))
+      .as("json"))
+
+  /** K5 `array` format: `[ {...}, {...} ]`. */
+  def writeArray(df: DataFrame, path: String): Unit =
+    writeFramed(df, path, "[\n  ", ",\n  ", "\n]")
+
+  /** K5 `object` format: `{"data": [...], "total": n, "exported_at": ts}`. */
+  def writeEnvelope(df: DataFrame, path: String, exportedAt: String): Unit = {
+    val n = df.count()
+    writeFramed(df, path, "{\n\"data\": [\n  ", ",\n  ",
+      s"\n],\n\"total\": $n,\n\"exported_at\": \"$exportedAt\"\n}")
+  }
+
+  private def writeFramed(df: DataFrame, path: String, head: String,
+                          sep: String, tail: String): Unit = {
+    val out = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      out.write(head)
+      val it = jsonRows(df).toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) out.write(sep)
+        out.write(it.next().getString(0))
+        first = false
+      }
+      out.write(tail)
+    } finally out.close()
+  }
+
+  // ------------------------------------------------------------------
+  // K6: XML -> JSON with @attr / #text key conventions
+  // ------------------------------------------------------------------
+
+  /** Recursively rename the XML reader's `_attr`/`_VALUE` fields to the
+    * reference's `@attr`/`#text` JSON spelling (main.py:846-848), emitting
+    * a struct expression mirror of the schema. */
+  def xmlJsonShape(dt: DataType, c: Column): Column = dt match {
+    case st: StructType =>
+      struct(st.fields.toSeq.map { f =>
+        val renamed =
+          if (f.name == ValueTag) "#text"
+          else if (f.name.startsWith(AttrPrefix)) "@" + f.name.stripPrefix(AttrPrefix)
+          else f.name
+        xmlJsonShape(f.dataType, c.getField(f.name)).as(renamed)
+      }: _*)
+    case ArrayType(et, _) => transform(c, x => xmlJsonShape(et, x))
+    case _                => c
+  }
+
+  /** K6 converter surface: one JSON string per row element, `@`/`#text`
+    * conventions applied at every depth. */
+  def xmlToJson(df: DataFrame): DataFrame = {
+    val shaped = df.schema.fields.toSeq.map { f =>
+      val renamed =
+        if (f.name == ValueTag) "#text"
+        else if (f.name.startsWith(AttrPrefix)) "@" + f.name.stripPrefix(AttrPrefix)
+        else f.name
+      xmlJsonShape(f.dataType, col("`" + f.name + "`")).as(renamed)
+    }
+    df.select(to_json(struct(shaped: _*)).as("json"))
+  }
+}

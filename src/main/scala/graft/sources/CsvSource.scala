@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S5 — CSV source with delimiter sniffing (reference `process_csv_to_xml`
+  * main.py:504-519 and `process_csv_to_excel` main.py:631-649).
+  *
+  * The sniff is a driver-side head-line probe (the reference counts `,` vs
+  * `;` on the first line, falling back to trying `;`/`,`/tab until a read
+  * yields more than one column); the read itself is the distributed Spark
+  * CSV source, all columns string-typed (the reference's data model).
+  */
+object CsvSource {
+
+  /** Reference sniff (main.py:513-516): `,` wins only if strictly more
+    * frequent than `;` on the first line. */
+  def sniffDelimiter(firstLine: String): String =
+    if (firstLine.count(_ == ',') > firstLine.count(_ == ';')) "," else ";"
+
+  def sniffFile(path: String): String = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try sniffDelimiter(src.getLines().nextOption().getOrElse(""))
+    finally src.close()
+  }
+
+  /** Distributed header'd read, all-string schema, BOM-tolerant. */
+  def read(spark: SparkSession, path: String,
+           delimiter: Option[String] = None): DataFrame = {
+    val sep = delimiter.getOrElse(sniffFile(path))
+    val df = spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("inferSchema", "false")
+      .csv(path)
+    // fallback chain (main.py:631-649): a 1-column parse means the
+    // delimiter was wrong — try the alternatives
+    if (df.columns.length > 1) df
+    else Seq(";", ",", "\t").filterNot(_ == sep).iterator
+      .map(s => spark.read.option("header", "true").option("sep", s)
+        .option("inferSchema", "false").csv(path))
+      .find(_.columns.length > 1)
+      .getOrElse(df)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S7 — JSON source with `json_normalize`-style flattening (reference
+  * `process_json_to_csv` main.py:756-794): nested objects become dotted
+  * column names; a top-level object containing a list takes the FIRST list
+  * value (in schema field order) as the row set (main.py:767-771).
+  */
+object JsonSource {
+
+  /** Recursive struct flatten to dotted column names (pandas
+    * `json_normalize` semantics; arrays are kept as-is like json_normalize
+    * leaves lists in cells). */
+  def flattenStructs(df: DataFrame): DataFrame = {
+    def walk(dt: DataType, c: Column, name: String): Seq[(String, Column)] =
+      dt match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f =>
+            walk(f.dataType, c.getField(f.name), s"$name.${f.name}"))
+        case _ => Seq(name -> c)
+      }
+    val cols = df.schema.fields.toSeq.flatMap {
+      case StructField(n, st: StructType, _, _) =>
+        st.fields.toSeq.flatMap(f =>
+          walk(f.dataType, col("`" + n + "`").getField(f.name), s"$n.${f.name}"))
+      case f => Seq(f.name -> col("`" + f.name + "`"))
+    }
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Read a JSON file: top-level array of objects (multiLine) or NDJSON;
+    * a single top-level object picks its first array-of-struct field as the
+    * row set. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("multiLine", "true").json(path)
+    val rows =
+      if (df.count() == 1) {
+        df.schema.fields.collectFirst {
+          case StructField(n, ArrayType(_: StructType, _), _, _) => n
+        } match {
+          case Some(listField) =>
+            df.select(explode(col("`" + listField + "`")).as("r")).select("r.*")
+          case None => df
+        }
+      } else df
+    flattenStructs(rows)
+  }
+}

@@ -1,0 +1,173 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.engine.Flatten
+import graft.sources.{CsvSource, JsonSource, XmlSource}
+
+class ConvertersSpec extends SparkTestBase {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft").resolve(name).toString
+
+  // ---------------- K1 CSV sink ----------------
+
+  test("K1 golden: BOM + sorted header + ; + quote doubling + newline scrub") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "plain", "a\"b", "line1\nline2"),
+      ("2", "", "semi;colon", "ok"))
+      .toDF("id", "zcol", "quoted", "multiline")
+    val path = tmp("out.csv")
+    CsvSink.writeSingleFile(CsvSink.exportColumns(df), path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+    val text = new String(bytes, StandardCharsets.UTF_8).stripPrefix("﻿")
+    val lines = text.split("\r\n").toSeq
+    assert(lines(0) === "id;multiline;quoted;zcol") // sorted header
+    assert(lines(1) === "1;line1 line2;\"a\"\"b\";plain") // scrub + doubling
+    assert(lines(2) === "2;ok;\"semi;colon\";") // delimiter quoting, empty cell
+  }
+
+  test("K1 export prunes Undefined-only and excluded columns, keeps important") {
+    import spark.implicits._
+    val df = Seq(("1", "Undefined", "x", "52?", "v"))
+      .toDF("id", "ghost", "param", "Размер", "keep")
+    val out = CsvSink.exportColumns(df)
+    assert(out.columns.toSeq === Seq("id", "keep", "Размер"))
+    assert(out.collect().head.getString(2) === "52") // important + ?-strip
+  }
+
+  // ---------------- S5 CSV source ----------------
+
+  test("S5 delimiter sniff: ',' only wins when strictly more frequent") {
+    assert(CsvSource.sniffDelimiter("a;b;c") === ";")
+    assert(CsvSource.sniffDelimiter("a,b,c") === ",")
+    assert(CsvSource.sniffDelimiter("a,b;c") === ";")
+  }
+
+  test("S5 round-trip: K1 file reads back with sniffed ';'") {
+    import spark.implicits._
+    val df = Seq(("1", "Name A", "10"), ("2", "Name B", "20"))
+      .toDF("id", "name", "price")
+    val path = tmp("rt.csv")
+    CsvSink.writeSingleFile(CsvSink.exportColumns(df), path)
+    val back = CsvSource.read(spark, path).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq === Seq("Name A", "Name B"))
+    assert(back.map(_.getString(2)).toSeq === Seq("10", "20"))
+  }
+
+  // ---------------- K3 yandex_market XML sink ----------------
+
+  test("K3 CSV->YML round-trip: dense category ids, pictures split, params") {
+    import spark.implicits._
+    val df = Seq(
+      ("7", "Lamp <1>", "100", "http://x/b.jpg///http://x/a.jpg",
+       "Root///Leaf", "gold & red", "1"),
+      ("8", "Sofa", "200", "", "Other", "", "0"))
+      .toDF("id", "name", "price", "pictures", "category_path", "param_Цвет",
+            "available")
+    val path = tmp("feed.xml")
+    XmlSink.writeYandexMarket(df, path, date = "2025-01-01 00:00")
+
+    // category dictionary: first occurrence order -> Root///Leaf=1, Other=2
+    val cats = XmlSource.readCategories(spark, path).orderBy("id").collect()
+    assert(cats.map(r => (r.getString(0), r.getString(2))).toSeq
+      === Seq(("1", "Root///Leaf"), ("2", "Other")))
+
+    val offers = Flatten.flattenOffers(
+      XmlSource.read(spark, path, XmlSource.Yml), XmlSource.Yml,
+      Some(XmlSource.categoryPaths(XmlSource.readCategories(spark, path))))
+      .orderBy("attr_id").collect()
+    val first = offers(0)
+    def get(n: String) = first.getAs[String](n)
+    assert(get("attr_id") === "7")
+    assert(get("attr_available") === "1")
+    assert(get("name") === "Lamp <1>") // escaped then unescaped
+    assert(get("categoryId") === "1")
+    assert(get("pictures") === "http://x/a.jpg///http://x/b.jpg") // per-item <picture>, re-sorted on read
+    assert(get("Цвет") === "gold & red")
+    assert(offers(1).getAs[String]("categoryId") === "2")
+  }
+
+  // ---------------- K4 simple XML sink ----------------
+
+  test("K4 simple: images + parameters groups, tag cleanup") {
+    import spark.implicits._
+    val df = Seq(("1", "Table top", "u1///u2", "red", "55"))
+      .toDF("id", "the name", "pictures", "param_color", "price")
+    val path = tmp("simple.xml")
+    XmlSink.writeSimple(df, path)
+    val products = XmlSource.read(spark, path, XmlSource.Product)
+    val row = products.collect().head
+    assert(row.getAs[Long]("_id") === 1L)
+    assert(row.getAs[String]("the_name") === "Table top")
+    val flat = Flatten.flattenOffers(products, XmlSource.Product).collect().head
+    assert(flat.getAs[String]("pictures") === "") // u1/u2 are not URL-shaped
+    val imgs = spark.read.format("xml").option("rowTag", "images")
+      .load(path).collect().head.getSeq[String](0)
+    assert(imgs === Seq("u1", "u2"))
+    val params = spark.read.format("xml").option("rowTag", "parameter")
+      .option("attributePrefix", "_").load(path).collect().head
+    assert(params.getAs[String]("_name") === "color")
+    assert(params.getAs[String]("_VALUE") === "red")
+  }
+
+  // ---------------- K5/K6 JSON ----------------
+
+  test("K5 array + envelope formats read back") {
+    import spark.implicits._
+    val df = Seq(("1", "a"), ("2", "b")).toDF("id", "v")
+    val arr = tmp("arr.json")
+    JsonSink.writeArray(df, arr)
+    val back = spark.read.option("multiLine", "true").json(arr)
+    assert(back.count() === 2)
+
+    val env = tmp("env.json")
+    JsonSink.writeEnvelope(df, env, exportedAt = "2025-01-01T00:00:00")
+    val envText = new String(Files.readAllBytes(Paths.get(env)), StandardCharsets.UTF_8)
+    assert(envText.contains("\"total\": 2"))
+    assert(envText.contains("\"exported_at\": \"2025-01-01T00:00:00\""))
+    val data = JsonSource.read(spark, env) // picks the first list value
+    assert(data.count() === 2)
+    assert(data.columns.toSet === Set("id", "v"))
+  }
+
+  test("K6 XML->JSON: @attr and #text key conventions at depth") {
+    val offers = XmlSource.read(spark,
+      getClass.getResource("/fixtures/yml_offer.xml").getPath, XmlSource.Yml)
+    val json = JsonSink.xmlToJson(offers).collect().map(_.getString(0))
+    // inferred types apply: @id is numeric, @available boolean
+    val doc = json.find(_.contains("\"@id\":101")).get
+    assert(doc.contains("\"@available\":true"))
+    assert(doc.contains("\"@name\":\"Цвет\""))
+    assert(doc.contains("\"#text\":\"золото\""))
+    assert(doc.contains("\"@unit\":\"pcs\""))
+  }
+
+  // ---------------- S7 JSON source ----------------
+
+  test("S7 json_normalize: nested objects flatten to dotted columns") {
+    val path = tmp("nested.json")
+    Files.writeString(Paths.get(path),
+      """[{"id": 1, "meta": {"a": {"b": "x"}, "c": "y"}},
+        | {"id": 2, "meta": {"a": {"b": "z"}, "c": "w"}}]""".stripMargin)
+    val df = JsonSource.read(spark, path).orderBy("id")
+    assert(df.columns.toSet === Set("id", "meta.a.b", "meta.c"))
+    assert(df.select(col("`meta.a.b`")).collect().map(_.getString(0)).toSeq
+      === Seq("x", "z"))
+  }
+
+  // ---------------- F15 filenames ----------------
+
+  test("F15 filename derivation") {
+    assert(Filenames.csvNameFor("http://www.shop.example.com/feed.xml")
+      === "shop_example_com.csv")
+    assert(Filenames.csvNameFor("my data.v2.xml") === "my_data_v2.csv")
+    assert(Filenames.xmlNameFor("data.csv", "yandex_market")
+      === "data_yandex_market.xml")
+  }
+}
