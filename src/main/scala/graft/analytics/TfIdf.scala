@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF + cosine category classification (reference README_RU.md:96-117
+  * and assets/TF-IDF Visualization/main.py — the documented classification
+  * capability; re-expressed as sparse inverted-index arithmetic).
+  *
+  * Everything is SPARSE: a document is (term, weight) rows, a class
+  * centroid is the summed weights of its labeled documents, and cosine is
+  * an equi-join on `term` + one aggregation — the 100 TB shape (never a
+  * dense vocabulary-width vector, never a cross join of documents).
+  *
+  * Determinism: weights are integer-scaled reciprocal-df
+  * (`w = (tf * scale) DIV df`) instead of log-idf, so every aggregate is
+  * exact int64 arithmetic and the DuckDB oracle reproduces results
+  * bit-for-bit (double sums would be addition-order-dependent; ln() differs
+  * across libm implementations in the last ulp). The final cosine is two
+  * exact integers through one IEEE division — cross-engine deterministic.
+  */
+object TfIdf {
+
+  /** Sparse (doc, term, w) weights: tf = term count in doc, df = docs
+    * containing term, w = (tf * scale) DIV df. */
+  def termWeights(docs: DataFrame, idCol: String, textCol: String,
+                  scale: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("w", expr(s"(tf * $scale) DIV df"))
+      .select($"doc", $"term", $"tf", $"df", $"w")
+  }
+
+  /** Class centroids: per-(label, term) summed weights of labeled docs. */
+  def classCentroids(weights: DataFrame, labels: DataFrame,
+                     docCol: String, labelCol: String): DataFrame = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    weights
+      .join(labels.select(col(docCol).as("doc"), col(labelCol).as("label")), "doc")
+      .groupBy($"label", $"term").agg(sum($"w").as("cw"))
+  }
+
+  /** Classify query docs: cosine(query sparse vector, class centroid) via a
+    * term-keyed join; top-1 label by (cos desc, label asc) — T6 argmax via
+    * partial-aggregable min_by, no window over the corpus. */
+  def classify(queryWeights: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = queryWeights.sparkSession
+    import spark.implicits._
+    val qNorm = queryWeights.groupBy($"doc").agg(sum($"w" * $"w").as("qn"))
+    val cNorm = centroids.groupBy($"label").agg(sum($"cw" * $"cw").as("cn"))
+    val dots = queryWeights.join(centroids, "term")
+      .groupBy($"doc", $"label").agg(sum($"w" * $"cw").as("dot"))
+    val scored = dots.join(qNorm, "doc").join(broadcast(cNorm), "label")
+      .withColumn("cos_sim",
+        round($"dot".cast("double") /
+          (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
+    scored.groupBy($"doc")
+      .agg(min_by(struct($"label", $"cos_sim"), struct(-$"cos_sim", $"label"))
+        .as("best"))
+      .select($"doc", $"best.label".as("predicted"), $"best.cos_sim".as("cos_sim"))
+  }
+}

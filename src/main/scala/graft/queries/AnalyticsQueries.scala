@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis, TfIdf}
 
 /** LLM-training-data pipeline operators registered as driver-verifiable
   * queries over the `documents` / `embeddings` testdata tables: exact and
@@ -226,6 +226,48 @@ object AnalyticsQueries {
             "vec_id", "embedding", col("vec_id") % 100 === 0, k = 5,
             centroidStride = 50, nprobe = 2)
           .orderBy("qid", "rn")),
+
+    // ----- TF-IDF + cosine category classification (README_RU.md:96-117) -----
+    Q("q30_tfidf_classify",
+      "sparse TF-IDF (reciprocal-df integer weights) + cosine argmax: " +
+        "classify held-out docs (doc_id % 10 = 0) against per-lang centroids",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS term
+             |  FROM documents
+             |), tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             | w AS (SELECT doc, term, CAST(tf * 1000 // df AS BIGINT) AS w
+             |       FROM tf JOIN dfreq USING (term)),
+             | cent AS (
+             |   SELECT d.lang AS label, term, CAST(sum(w) AS BIGINT) AS cw
+             |   FROM w JOIN documents d ON d.doc_id = w.doc
+             |   WHERE d.doc_id % 10 <> 0 GROUP BY 1, 2),
+             | qw AS (SELECT * FROM w WHERE doc % 10 = 0),
+             | qn AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS qn FROM qw GROUP BY doc),
+             | cn AS (SELECT label, CAST(sum(cw * cw) AS BIGINT) AS cn FROM cent GROUP BY label),
+             | dots AS (SELECT doc, label, CAST(sum(w * cw) AS BIGINT) AS dot
+             |          FROM qw JOIN cent USING (term) GROUP BY 1, 2),
+             | scored AS (
+             |   SELECT doc, label, round(CAST(dot AS DOUBLE) /
+             |          (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6) AS cos_sim
+             |   FROM dots JOIN qn USING (doc) JOIN cn USING (label)),
+             | best AS (
+             |   SELECT doc, label AS predicted, cos_sim,
+             |          row_number() OVER (PARTITION BY doc ORDER BY cos_sim DESC, label) AS rn
+             |   FROM scored)
+             |SELECT doc AS doc_id, predicted, cos_sim FROM best WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val weights = TfIdf.termWeights(docs, "doc_id", "text", scale = 1000)
+        val centroids = TfIdf.classCentroids(
+          weights.filter($"doc" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 =!= 0), "doc_id", "lang")
+        TfIdf.classify(weights.filter($"doc" % 10 === 0), centroids)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id")
+      }),
 
     // ----- multimodal plumbing: binary column + partition-wise decode -----
     Q("q26_multimodal_meta",

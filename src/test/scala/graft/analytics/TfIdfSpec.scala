@@ -1,0 +1,55 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TfIdfSpec extends SparkTestBase {
+
+  test("termWeights: tf counts, df across docs, integer reciprocal-df weight") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat cat dog"), (2L, "dog fish")).toDF("doc_id", "text")
+    val w = TfIdf.termWeights(docs, "doc_id", "text", scale = 1000)
+      .orderBy("doc", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(w.toSeq === Seq(
+      (1L, "cat", 2L, 1L, 2000L),  // tf=2, df=1 -> 2000
+      (1L, "dog", 1L, 2L, 500L),   // tf=1, df=2 -> 500
+      (2L, "dog", 1L, 2L, 500L),
+      (2L, "fish", 1L, 1L, 1000L)))
+  }
+
+  test("classify: separable corpus classifies held-out docs correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle executor partition", "tech"),
+      (2L, "executor partition codegen spark", "tech"),
+      (3L, "sonata violin orchestra tempo", "music"),
+      (4L, "tempo orchestra opera violin", "music"),
+      // held-out queries:
+      (10L, "spark partition pipeline", "tech"),
+      (11L, "violin opera concert", "music"))
+      .toDF("doc_id", "text", "label")
+    val weights = TfIdf.termWeights(docs, "doc_id", "text")
+    val cents = TfIdf.classCentroids(
+      weights.filter($"doc" < 10), docs.filter($"doc_id" < 10), "doc_id", "label")
+    val out = TfIdf.classify(weights.filter($"doc" >= 10), cents)
+      .orderBy("doc").collect()
+    assert(out.map(_.getAs[String]("predicted")).toSeq === Seq("tech", "music"))
+    // unseen query terms (df=1, high self-weight) deflate the cosine;
+    // correctness of the argmax is the contract, magnitude just positive
+    assert(out.forall(_.getAs[Double]("cos_sim") > 0.0))
+  }
+
+  test("classify tie-break is deterministic: cos desc then label asc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "a"), (2L, "alpha beta", "b"), // identical centroids
+      (10L, "alpha beta", "q"))
+      .toDF("doc_id", "text", "label")
+    val weights = TfIdf.termWeights(docs, "doc_id", "text")
+    val cents = TfIdf.classCentroids(
+      weights.filter($"doc" < 10), docs.filter($"doc_id" < 10), "doc_id", "label")
+    val out = TfIdf.classify(weights.filter($"doc" === 10), cents).collect()
+    assert(out.head.getAs[String]("predicted") === "a")
+  }
+}
