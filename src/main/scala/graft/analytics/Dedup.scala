@@ -71,12 +71,20 @@ object Dedup {
                         maxDocFreq: Int = 1000): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val counts = sh.groupBy($"doc").agg(count(lit(1)).as("n"))
+    // materialize shingles ONCE: the plan consumes this subtree five times
+    // (counts, df scan, anti-join, both self-join sides) and Spark does not
+    // reuse non-identical aliased subtrees — localCheckpoint persists the
+    // partitioned blocks and truncates lineage (blocks are released when
+    // the RDD is GC'd). Hash-partitioned by shingle first so the self-join
+    // needs no further exchange.
+    val shC = sh.repartition($"sh").localCheckpoint()
+    val counts = shC.groupBy($"doc").agg(count(lit(1)).as("n"))
+    val shP = shC
     // the HOT set (df > cap) is tiny by construction — broadcast anti-join
     // it away; broadcasting the rare set would ship ~the whole vocabulary
-    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" > maxDocFreq).select($"sh")
-    val cold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
     val a = cold.select($"doc".as("doc_a"), $"sh")
     val b = cold.select($"doc".as("doc_b"), $"sh")
     val inter = a.join(b, Seq("sh")).filter($"doc_a" < $"doc_b")
@@ -91,7 +99,8 @@ object Dedup {
   }
 
   /** MinHash signatures: for seed k in [0, numHashes), sig_k =
-    * min(md5(k || '|' || shingle)). Deterministic and oracle-reproducible. */
+    * min(md5(k || '|' || shingle)). Long format (doc, k, sig), kept for
+    * callers that want raw signatures. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 8): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
@@ -100,19 +109,27 @@ object Dedup {
       .agg(min(md5(concat($"k".cast("string"), lit("|"), $"sh"))).as("sig"))
   }
 
-  /** LSH banding: band id = k / bandSize; bucket = md5 of the band's sigs in
-    * seed order. Docs sharing any (band, bucket) are near-dup candidates. */
-  def minhashBands(sigs: DataFrame, bandSize: Int = 2): DataFrame = {
-    val spark = sigs.sparkSession
+  /** LSH banding straight from shingles: ONE groupBy(doc) computes all
+    * numHashes signature mins as parallel aggregates (map-side combine:
+    * the shuffle carries numHashes strings per doc, not |shingles| x
+    * numHashes exploded rows), then band buckets are a map-side explode of
+    * md5s over adjacent signature pairs. Identical math to
+    * [[minhashSignatures]] + per-band string_agg: bucket = md5 of the
+    * band's sigs in seed order. */
+  def minhashBands(sh: DataFrame, numHashes: Int = 8,
+                   bandSize: Int = 2): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    sigs
-      // floor() explicitly: Spark's double->int cast truncates but DuckDB's
-      // ROUNDS, so `CAST(k/2 AS INT)` would disagree between engines.
-      .withColumn("band", floor($"k" / bandSize).cast("int"))
-      .groupBy($"doc", $"band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct($"k", $"sig"))),
-                  s => s.getField("sig")), ",")).as("bucket"))
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val sigCols = (0 until numHashes).map(k =>
+      min(md5(concat(lit(s"$k|"), $"sh"))).as(s"sig$k"))
+    val sigs = sh.groupBy($"doc").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      val parts = (b * bandSize until (b + 1) * bandSize).map(k => col(s"sig$k"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("bucket"))
+    }
+    sigs.select($"doc", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
   }
 
   /** Distinct candidate pairs from LSH buckets. `maxBucket` drops giant
@@ -122,9 +139,12 @@ object Dedup {
   def minhashCandidates(bands: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
-    val big = bands.groupBy($"band", $"bucket").agg(count(lit(1)).as("bn"))
+    // bands feed three subtrees (bucket-size scan + both join sides):
+    // materialize once, pre-partitioned on the join key
+    val bandsC = bands.repartition($"band", $"bucket").localCheckpoint()
+    val big = bandsC.groupBy($"band", $"bucket").agg(count(lit(1)).as("bn"))
       .filter($"bn" > maxBucket).select($"band", $"bucket")
-    val capped = bands.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+    val capped = bandsC.join(broadcast(big), Seq("band", "bucket"), "left_anti")
     val a = capped.select($"band", $"bucket", $"doc".as("doc_a"))
     val b = capped.select($"band", $"bucket", $"doc".as("doc_b"))
     a.join(b, Seq("band", "bucket")).filter($"doc_a" < $"doc_b")

@@ -31,9 +31,12 @@ object TfIdf {
       .select(col(idCol).as("doc"), explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // weights feed centroids, query vectors, and both norms — materialize
+    // once instead of re-tokenizing the corpus per consumer
     tf.join(dfreq, "term")
       .withColumn("w", expr(s"(tf * $scale) DIV df"))
       .select($"doc", $"term", $"tf", $"df", $"w")
+      .localCheckpoint()
   }
 
   /** Class centroids: per-(label, term) summed weights of labeled docs. */

@@ -101,8 +101,7 @@ object AnalyticsQueries {
              |ORDER BY doc_a, doc_b""".stripMargin),
       (s, dir) => {
         val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text")
-        val sigs = Dedup.minhashSignatures(sh, numHashes = 8)
-        val bands = Dedup.minhashBands(sigs, bandSize = 2)
+        val bands = Dedup.minhashBands(sh, numHashes = 8, bandSize = 2)
         Dedup.minhashCandidates(bands, maxBucket = 1000)
           .orderBy("doc_a", "doc_b")
       }),

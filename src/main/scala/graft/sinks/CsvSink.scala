@@ -84,7 +84,9 @@ object CsvSink {
     try {
       out.write("﻿")
       out.write(cols.map(quote).mkString(";")); out.write("\r\n")
-      val it = df.toLocalIterator()
+      // coalesce: toLocalIterator schedules one fetch job per partition —
+      // a handful of wide result partitions beats 32 sequential tiny jobs
+      val it = df.coalesce(4).toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
         out.write(cols.indices

@@ -40,7 +40,7 @@ object JsonSink {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
       out.write(head)
-      val it = jsonRows(df).toLocalIterator()
+      val it = jsonRows(df).coalesce(4).toLocalIterator()
       var first = true
       while (it.hasNext) {
         if (!first) out.write(sep)

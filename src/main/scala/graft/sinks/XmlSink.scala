@@ -65,12 +65,18 @@ object XmlSink {
       if (cols.contains(n)) trim(col("`" + n + "`").cast("string"))
       else lit(null).cast("string")
 
-    val withId = df
-      .withColumn("__rowno",
-        row_number().over(Window.orderBy(monotonically_increasing_id()))
-          .cast("string"))
-    val idCol = coalesce(Seq(colOr("id")).filter(_ => cols.contains("id")) :+
-      col("__rowno"): _*)
+    // the 1-based row-number fallback for missing ids needs a GLOBAL window
+    // (single-partition sort) — only pay for it when no id column exists
+    val needRowno = !cols.contains("id")
+    val withId =
+      if (needRowno)
+        df.withColumn("__rowno",
+          row_number().over(Window.orderBy(monotonically_increasing_id()))
+            .cast("string"))
+      else df.withColumn("__rowno", lit(null).cast("string"))
+    val idCol =
+      if (cols.contains("id")) coalesce(colOr("id"), col("__rowno"))
+      else col("__rowno")
 
     val availAttr =
       if (cols.contains("available"))
@@ -117,7 +123,8 @@ object XmlSink {
       else withId
     joined.select(
       concat(
-        (Seq(lit(s"\n$ind<offer id=\""), escAttr(idCol), lit("\""), availAttr,
+        (Seq(lit(s"\n$ind<offer id=\""), escAttr(coalesce(idCol, lit(""))),
+             lit("\""), availAttr,
              lit(">")) ++ body :+ lit(s"\n$ind</offer>")): _*).as("xml"))
   }
 
@@ -143,7 +150,9 @@ object XmlSink {
         out.write(s"""\n      <category id="${r.getAs[String]("cat_id")}">$esc</category>""")
       }
       out.write("\n    </categories>\n    <offers>")
-      val it = offerElements(df, catDict).toLocalIterator()
+      // coalesce: one toLocalIterator fetch job per partition — fewer, wider
+      // result partitions for the serialized single-file drain
+      val it = offerElements(df, catDict).coalesce(4).toLocalIterator()
       while (it.hasNext) out.write(it.next().getString(0))
       out.write("\n    </offers>\n  </shop>\n</yml_catalog>")
     } finally out.close()
@@ -158,9 +167,12 @@ object XmlSink {
 
     def colOr(n: String): Column = trim(col("`" + n + "`").cast("string"))
 
-    val withId = df.withColumn("__rowno",
-      row_number().over(Window.orderBy(monotonically_increasing_id()))
-        .cast("string"))
+    val withId =
+      if (!cols.contains("id"))
+        df.withColumn("__rowno",
+          row_number().over(Window.orderBy(monotonically_increasing_id()))
+            .cast("string"))
+      else df.withColumn("__rowno", lit(null).cast("string"))
     val idCol =
       if (cols.contains("id")) coalesce(colOr("id"), col("__rowno"))
       else col("__rowno")
@@ -201,7 +213,8 @@ object XmlSink {
 
     withId.select(
       concat(
-        (Seq(lit(s"\n$ind<product id=\""), escAttr(idCol), lit("\">")) ++
+        (Seq(lit(s"\n$ind<product id=\""), escAttr(coalesce(idCol, lit(""))),
+             lit("\">")) ++
           others ++ params :+ lit(s"\n$ind</product>")): _*).as("xml"))
   }
 
@@ -212,7 +225,7 @@ object XmlSink {
     try {
       out.write("<?xml version='1.0' encoding='utf-8'?>\n")
       out.write("<catalog>\n  <products>")
-      val it = productElements(df).toLocalIterator()
+      val it = productElements(df).coalesce(4).toLocalIterator()
       while (it.hasNext) out.write(it.next().getString(0))
       out.write("\n  </products>\n</catalog>")
     } finally out.close()

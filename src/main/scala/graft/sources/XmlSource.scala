@@ -98,13 +98,20 @@ object XmlSource {
       .load(path)
 
   /** YML category dimension: `<category id parentId>name</category>` rows
-    * (reference builds two hash maps, main.py:1477-1485). */
+    * (reference builds two hash maps, main.py:1477-1485). The element shape
+    * is fixed, so the schema is supplied explicitly — skipping the
+    * inference pass halves the file scans. */
   def readCategories(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val catSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("_parentId", StringType),
+      StructField(ValueTag, StringType)))
     val df = spark.read
       .format("xml")
       .option("rowTag", "category")
       .option("attributePrefix", AttrPrefix)
       .option("valueTag", ValueTag)
+      .schema(catSchema)
       .load(path)
     val name =
       if (df.columns.contains(ValueTag)) col(ValueTag).cast("string")

@@ -37,10 +37,22 @@ class DedupSpec extends SparkTestBase {
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "completely different words appear in this unrelated sentence"))
       .toDF("doc_id", "text")
-    val cands = Dedup.minhashCandidates(
-        Dedup.minhashBands(Dedup.minhashSignatures(
-          Dedup.shingles(docs, "doc_id", "text")))).collect()
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val cands = Dedup.minhashCandidates(Dedup.minhashBands(sh)).collect()
     assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    // fast banding path agrees with the long-format signature definition
+    import org.apache.spark.sql.functions.{concat_ws, collect_list, md5, struct, array_sort, transform, floor, col}
+    val sigs = Dedup.minhashSignatures(sh)
+    val slowBands = sigs
+      .withColumn("band", floor(col("k") / 2).cast("int"))
+      .groupBy(col("doc"), col("band"))
+      .agg(md5(org.apache.spark.sql.functions.array_join(
+        transform(array_sort(collect_list(struct(col("k"), col("sig")))),
+                  s => s.getField("sig")), ",")).as("bucket"))
+    val fast = Dedup.minhashBands(sh).orderBy("doc", "band").collect().toSeq
+    val slow = slowBands.orderBy("doc", "band").collect().toSeq
+    assert(fast.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      === slow.map(r => (r.getLong(0), r.getInt(1), r.getString(2))))
   }
 
   test("ngram Jaccard: identical docs score 1.0") {
