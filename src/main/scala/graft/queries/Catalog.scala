@@ -35,7 +35,8 @@ object Tables {
 
 object Catalog {
   def all: Seq[Q] =
-    CoreQueries.all ++ AnalyticsQueries.all ++ ConverterQueries.all
+    CoreQueries.all ++ AnalyticsQueries.all ++ ConverterQueries.all ++
+      MiscQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

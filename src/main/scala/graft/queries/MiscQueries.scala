@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{CleanFns, MultiValue}
+
+/** Remaining small operators from SURVEY.md §2 registered as verified
+  * queries: A2 param concat, F6/F8 cell scrubs, F11 image predicate,
+  * F14 numeric predicate, T3/T4 row caps, U3 value-level dedup merge. */
+object MiscQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ----- A2: same-key param concat with ", " (main.py:263-266) -----
+    Q("q31_param_concat",
+      "A2 sorted ', '-joined value concat per group",
+      Some("""SELECT o_custkey,
+             |       string_agg(o_orderstatus, ', ' ORDER BY o_orderstatus) AS statuses
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(MultiValue.paramConcat($"o_orderstatus").as("statuses"))
+          .orderBy("o_custkey")
+      }),
+
+    // ----- F11: image-URL predicate (main.py:201-210) -----
+    Q("q32_image_predicate",
+      "F11 extension/img-path/http URL-shape predicate over synthetic urls",
+      Some("""SELECT p_partkey, url,
+             |       CASE WHEN lower(url) LIKE '%.jpg' OR lower(url) LIKE '%.jpeg'
+             |              OR lower(url) LIKE '%.png' OR lower(url) LIKE '%.gif'
+             |              OR lower(url) LIKE '%.bmp' OR lower(url) LIKE '%.webp'
+             |              OR lower(url) LIKE '%.svg' OR lower(url) LIKE '%img/%'
+             |              OR url LIKE 'http%' THEN 1 ELSE 0 END AS is_image
+             |FROM (
+             |  SELECT p_partkey,
+             |         CASE CAST(p_partkey % 4 AS INT)
+             |           WHEN 0 THEN 'http://cdn/' || replace(p_name, ' ', '_')
+             |           WHEN 1 THEN replace(p_name, ' ', '_') || '.JPG'
+             |           WHEN 2 THEN 'cdn/img/' || replace(p_name, ' ', '_')
+             |           ELSE replace(p_name, ' ', '_') || '.txt' END AS url
+             |  FROM part) t
+             |ORDER BY p_partkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val stem = regexp_replace($"p_name", " ", "_")
+        val url = when($"p_partkey" % 4 === 0, concat(lit("http://cdn/"), stem))
+          .when($"p_partkey" % 4 === 1, concat(stem, lit(".JPG")))
+          .when($"p_partkey" % 4 === 2, concat(lit("cdn/img/"), stem))
+          .otherwise(concat(stem, lit(".txt")))
+        Tables(s, dir, "part")
+          .select($"p_partkey", url.as("url"),
+                  when(CleanFns.isImageUrl($"url"), 1).otherwise(0).as("is_image"))
+          .orderBy("p_partkey")
+      }),
+
+    // ----- F6/F8: CSV cell scrub + control-char strip -----
+    Q("q33_scrub_cells",
+      "F6 newline->space scrub and F8 control-char strip",
+      Some("""SELECT c_custkey,
+             |       regexp_replace(c_name || chr(10) || 'x' || chr(13) || 'y', '[\n\r]', ' ', 'g') AS scrubbed,
+             |       regexp_replace(chr(1) || c_name || chr(127), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g') AS stripped
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "customer")
+          .select($"c_custkey",
+            CleanFns.scrubCell(concat($"c_name", lit("\nx\ry"))).as("scrubbed"),
+            CleanFns.stripControlChars(
+              concat(lit(""), $"c_name", lit(""))).as("stripped"))
+          .orderBy("c_custkey")
+      }),
+
+    // ----- F14: numeric-string predicate (main.py:191) -----
+    Q("q34_numeric_predicate",
+      "F14 isdigit-after-one-dot predicate over synthetic numeric strings",
+      Some("""SELECT p_partkey, s,
+             |       CASE WHEN regexp_matches(s, '^(\d+\.?\d*|\.\d+)$') THEN 1 ELSE 0 END AS is_numeric
+             |FROM (
+             |  SELECT p_partkey,
+             |         CASE CAST(p_partkey % 4 AS INT)
+             |           WHEN 0 THEN CAST(p_size AS VARCHAR)
+             |           WHEN 1 THEN CAST(p_size AS VARCHAR) || '.'
+             |           WHEN 2 THEN '.' || CAST(p_size AS VARCHAR)
+             |           ELSE CAST(p_size AS VARCHAR) || 'x' END AS s
+             |  FROM part) t
+             |ORDER BY p_partkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val sz = $"p_size".cast("string")
+        val v = when($"p_partkey" % 4 === 0, sz)
+          .when($"p_partkey" % 4 === 1, concat(sz, lit(".")))
+          .when($"p_partkey" % 4 === 2, concat(lit("."), sz))
+          .otherwise(concat(sz, lit("x")))
+        Tables(s, dir, "part")
+          .select($"p_partkey", v.as("s"),
+                  when(CleanFns.isNumericString($"s"), 1).otherwise(0).as("is_numeric"))
+          .orderBy("p_partkey")
+      }),
+
+    // ----- T3/T4: first-N caps (main.py:1100, 1133) -----
+    Q("q35_limit_cap",
+      "T3/T4 deterministic first-50 cap after explicit ordering",
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .orderBy("o_orderkey")
+          .limit(50)
+      }),
+
+    // ----- U3: value-level dedup merge (main.py:392-399) -----
+    Q("q36_value_dedup_merge",
+      "U3 merge of two ///-delimited cells with stable dedup (F3)",
+      Some("""SELECT p_partkey,
+             |       CASE WHEN p_brand = p_type THEN p_brand
+             |            ELSE p_brand || '///' || p_type END AS merged
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val a = concat($"p_brand", lit("///"), $"p_type")
+        val b = concat($"p_type", lit("///"), $"p_brand")
+        Tables(s, dir, "part")
+          .select($"p_partkey",
+            CleanFns.dedupDelimited(concat(a, lit("///"), b)).as("merged"))
+          .orderBy("p_partkey")
+      })
+  )
+}
