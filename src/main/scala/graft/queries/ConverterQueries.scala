@@ -76,6 +76,23 @@ object ConverterQueries {
           .orderBy($"attr_id".cast("long"))
       }),
 
+    // ----- K7 + S6: xlsx sink/source round-trip -----
+    Q("q37_xlsx_roundtrip",
+      "write supplier as minimal OOXML xlsx, unzip+parse it back (K7+S6)",
+      Some("""SELECT CAST(s_suppkey AS VARCHAR) AS s_suppkey, s_name,
+             |       CAST(s_nationkey AS VARCHAR) AS s_nationkey
+             |FROM supplier ORDER BY CAST(s_suppkey AS BIGINT)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables(s, dir, "supplier").orderBy("s_suppkey").select(
+          $"s_suppkey".cast("string").as("s_suppkey"),
+          $"s_name", $"s_nationkey".cast("string").as("s_nationkey"))
+        val path = tmpFile("supplier.xlsx")
+        graft.sinks.Excel.writeXlsx(src, path)
+        graft.sinks.Excel.readXlsx(s, path)
+          .orderBy($"s_suppkey".cast("long"))
+      }),
+
     // ----- K5 + S7: JSON envelope sink/source round-trip -----
     Q("q29_json_roundtrip",
       "write customer as a JSON {data,total,exported_at} envelope, read back (K5+S7)",
