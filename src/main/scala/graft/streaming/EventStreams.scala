@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension over the `events` stream shape
+  * (SURVEY.md §2.8: the reference is batch-only — its asyncio machinery is
+  * chunk concurrency, not streaming — so this is the engine's forward
+  * surface for continuous feeds: the same windowed aggregations as the
+  * batch queries q15/q16, plus streaming dedup and stateful sessions).
+  *
+  * All operators are plan-shape-only (readStream in, transformed stream
+  * out): callers bind sources/sinks. Watermarks bound state; at scale the
+  * shuffle keys are (window) / (window, user) / (user) — the same keyed
+  * partitioning Spark uses for the batch equivalents.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** q15's tumbling 1h aggregation as a stream: watermarked event time,
+    * partial aggregation before the (window) shuffle. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("total_value"),
+           approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("win.start").as("hour"), col("n_events"),
+              col("total_value"), col("approx_users"))
+
+  /** q16's sliding 2h/1h window as a stream. */
+  def slidingValue(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("n_events"),
+              col("total_value"))
+
+  /** Streaming exact dedup on event_id: state bounded by the watermark
+    * (late duplicates beyond it are dropped by definition). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization per user via flatMapGroupsWithState: a
+    * session closes after `gapMinutes` of silence (event-time timeout);
+    * emits one row per closed session. Custom keyed state — the case the
+    * built-in operators genuinely can't express. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, it: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closedSessions = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                  cur = Some(s.copy(
+                    session_end = new Timestamp(
+                      math.max(s.session_end.getTime, e.ts.getTime)),
+                    n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case Some(s) =>
+                  closedSessions ::= s
+                  cur = Some(Session(user, e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(Session(user, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+            }
+            closedSessions.reverseIterator
+          }
+      }
+  }
+}

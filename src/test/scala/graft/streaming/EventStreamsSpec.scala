@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2025-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, value: Double = 1.0) =
+    Event(id, ts(minute), user, "click", value, "{}")
+
+  private def runAll(name: String, df: org.apache.spark.sql.DataFrame,
+                     mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("hourlyCounts aggregates tumbling windows (complete mode snapshot)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 10), ev(2, 20), ev(3, 70), ev(4, 80, value = 2.0))
+    val out = runAll("hourly", EventStreams.hourlyCounts(in.toDF()), "complete")
+      .orderBy("hour").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_events") === 2)
+    assert(out(1).getAs[Double]("total_value") === 3.0)
+  }
+
+  test("dedupEvents drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 10), ev(1, 11), ev(2, 12), ev(2, 12), ev(3, 13))
+    val out = runAll("dedup", EventStreams.dedupEvents(in.toDF()))
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
+  test("sessionize closes a session after the gap and a watermark advance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // session 1: events at 0,10,20; then silence; event at 120 starts
+    // session 2 and (after watermark passes) closes session 1
+    in.addData(ev(1, 0), ev(2, 10), ev(3, 20, value = 3.0))
+    q.processAllAvailable()
+    in.addData(ev(4, 300)) // pushes watermark (300min - 120min wm) past s1
+    q.processAllAvailable()
+    in.addData(ev(5, 600)) // one more advance to flush timeouts
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions").orderBy("session_start").collect()
+    assert(out.length >= 1)
+    val s1 = out.head
+    assert(s1.getAs[Long]("n_events") === 3)
+    assert(s1.getAs[Double]("total_value") === 5.0)
+    assert(s1.getAs[Timestamp]("session_start") === ts(0))
+    assert(s1.getAs[Timestamp]("session_end") === ts(20))
+  }
+}
