@@ -21,14 +21,20 @@ object Similarity {
   /** Cast float embedding to double for stable, oracle-matching arithmetic. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Sequential-fold dot product — deterministic order, no reassociation. */
+  /** Sequential-fold dot product — deterministic order, no reassociation.
+    * (Composed HOF form, kept for reference/tests; the hot path uses the
+    * codegen'd expression below.) */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression: one fused whole-stage-codegen loop instead of three
+    * interpreted higher-order-function passes; bit-identical results. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). `corpus` is broadcast — the baseline for
