@@ -27,9 +27,21 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  /** STUB decoder: deterministic arithmetic on the byte payload standing in
-    * for a real image/audio decode. Replace the body with the real decoder;
-    * the signature and batch shape are the production contract. */
+  /** Real header decode for PNG/GIF/BMP/JPEG payloads — pure byte parsing,
+    * no imaging libraries (dimensions live in fixed header fields / SOF
+    * segments). Non-image payloads fall back to the deterministic stub
+    * arithmetic (the stand-in for audio/video decoders that would need
+    * native libs not present in this environment). */
+  private def decode(b: MediaBlob): MediaMeta = {
+    ImageHeaders.parse(b.data) match {
+      case Some((mediaType, w, h)) =>
+        MediaMeta(b.doc_id, mediaType, b.data.length.toLong, w, h, 1)
+      case None => decodeStub(b)
+    }
+  }
+
+  /** STUB decoder for non-image payloads: deterministic arithmetic standing
+    * in for decoders whose native libs aren't in this container. */
   private def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.data.length.toLong
     MediaMeta(
@@ -58,8 +70,60 @@ object Multimodal {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
-      // real decoder handle would be created HERE, once per partition
-      it.map(decodeStub)
+      // per-partition decoder scope: a native decoder handle would be
+      // created HERE once and reused across the iterator
+      it.map(decode)
     }
+  }
+}
+
+/** Image-container header parsers: dimensions from fixed header fields,
+  * pure JVM byte inspection. */
+object ImageHeaders {
+
+  private def be32(d: Array[Byte], o: Int): Int =
+    ((d(o) & 0xff) << 24) | ((d(o + 1) & 0xff) << 16) |
+      ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)
+  private def le32(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+  private def be16(d: Array[Byte], o: Int): Int =
+    ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+  private def le16(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+
+  /** (media_type, width, height) when the payload is a recognized image. */
+  def parse(d: Array[Byte]): Option[(String, Int, Int)] = {
+    if (d.length >= 24 &&
+        d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' && d(3) == 'G')
+      Some(("image/png", be32(d, 16), be32(d, 20)))
+    else if (d.length >= 10 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F')
+      Some(("image/gif", le16(d, 6), le16(d, 8)))
+    else if (d.length >= 26 && d(0) == 'B' && d(1) == 'M')
+      Some(("image/bmp", le32(d, 18), math.abs(le32(d, 22))))
+    else if (d.length >= 4 && d(0) == 0xff.toByte && d(1) == 0xd8.toByte)
+      parseJpeg(d).map { case (w, h) => ("image/jpeg", w, h) }
+    else None
+  }
+
+  /** Walk JPEG segments to the first SOFn frame header. */
+  private def parseJpeg(d: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 9 < d.length) {
+      if (d(i) != 0xff.toByte) return None
+      val marker = d(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else if (marker == 0x01 || marker == 0xff) i += 2
+      else {
+        val len = be16(d, i + 2)
+        val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof)
+          return Some((be16(d, i + 7), be16(d, i + 5))) // (width, height)
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
   }
 }

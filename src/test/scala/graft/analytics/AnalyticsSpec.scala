@@ -170,4 +170,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.head.media_type === "image/stub")
     assert(out.head.width === (4 % 64) * 10 + 32)
   }
+
+  test("real decode: PNG produced by ImageIO reports true dimensions") {
+    val img = new java.awt.image.BufferedImage(
+      37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    assert(ImageHeaders.parse(baos.toByteArray) === Some(("image/png", 37, 21)))
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    assert(ImageHeaders.parse(jb.toByteArray) === Some(("image/jpeg", 37, 21)))
+    val bb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bb)
+    assert(ImageHeaders.parse(bb.toByteArray) === Some(("image/bmp", 37, 21)))
+    val gb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", gb)
+    assert(ImageHeaders.parse(gb.toByteArray) === Some(("image/gif", 37, 21)))
+  }
+
+  test("real decode flows through the distributed mapPartitions path") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image/unknown", baos.toByteArray),
+      Multimodal.MediaBlob(2L, "image/unknown", "not an image".getBytes))
+      .toDS()
+    val out = Multimodal.extractMeta(blobs).orderBy("doc_id").collect()
+    assert(out(0).media_type === "image/png")
+    assert(out(0).width === 8 && out(0).height === 5)
+    assert(out(1).media_type === "image/unknown") // stub fallback
+  }
+
+  test("non-image bytes never misparse as images") {
+    assert(ImageHeaders.parse("plain text payload".getBytes) === None)
+    assert(ImageHeaders.parse(Array[Byte]()) === None)
+    assert(ImageHeaders.parse(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+  }
 }
