@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.Flatten
+import graft.sinks.{CsvSink, Excel, Filenames, JsonSink, XmlSink}
+import graft.sources.{CsvSource, HttpFetch, JsonSource, XmlSource}
+
+/** The reference's HTTP endpoints as composed library entry points — a user
+  * of the reference maps each route onto one function here:
+  *
+  *   POST /process_link          -> [[processLink]]        (main.py:2287-2318)
+  *   POST /process_file          -> [[processFile]]        (main.py:1776-1822)
+  *   POST /convert_csv_to_xml    -> [[processCsvToXml]]    (main.py:1824-1855)
+  *   POST /convert_csv_to_json   -> [[processCsvToJson]]   (main.py:797-835)
+  *   POST /convert_json_to_csv   -> [[processJsonToCsv]]   (main.py:756-794)
+  *   POST /convert_xml_to_json   -> [[processXmlToJson]]   (main.py:838-880)
+  *   POST /convert_excel_to_csv  -> [[processExcelToCsv]]  (main.py:717-753)
+  *   POST /convert_csv_to_excel  -> [[processCsvToExcel]]  (main.py:622-714)
+  *
+  * Each is: distributed read -> transform -> sink, with the flagship XML
+  * path being read(xml) -> flatten(dialect) -> category join -> prune ->
+  * sorted ;/BOM CSV (reference entry point 1, SURVEY.md §3).
+  */
+object Pipeline {
+
+  /** S1 steps 3-6 of entry point 1: validate, detect (or honor the
+    * explicit `targetNode` override), read, flatten. Returns the flat
+    * all-string offer table BEFORE export pruning. */
+  def processXmlData(spark: SparkSession, path: String,
+                     targetNode: String = "auto"): DataFrame = {
+    val head = {
+      val in = new java.io.FileInputStream(path)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    XmlSource.validate(head)
+    val dialect = targetNode match {
+      case "auto"                    => XmlSource.detect(head)
+      case "offer"                   => XmlSource.Yml
+      case "product"                 => XmlSource.Product
+      case "russian"                 => XmlSource.Russian
+      case "service"                 => XmlSource.Service
+      case other => throw new IllegalArgumentException(s"Unknown target node: $other")
+    }
+    val rows = XmlSource.read(spark, path, dialect)
+    dialect match {
+      case XmlSource.Yml =>
+        val cats = XmlSource.categoryPaths(XmlSource.readCategories(spark, path))
+        Flatten.flattenOffers(rows, XmlSource.Yml, Some(cats))
+      case XmlSource.Product => Flatten.flattenOffers(rows, XmlSource.Product)
+      case XmlSource.Russian => Flatten.flattenRussian(rows)
+      case XmlSource.Service => Flatten.flattenService(rows)
+    }
+  }
+
+  /** Entry point 1 tail: flatten -> prune -> sorted ; CSV with BOM
+    * (main.py:1540-1582). Returns the written path. */
+  def processXmlFileToCsv(spark: SparkSession, inPath: String, outDir: String,
+                          targetNode: String = "auto"): Path = {
+    val flat = processXmlData(spark, inPath, targetNode)
+    val out = Paths.get(outDir, Filenames.csvNameFor(Paths.get(inPath).getFileName.toString))
+    Files.createDirectories(out.getParent)
+    CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
+    out
+  }
+
+  /** Entry point: URL fetch -> XML pipeline (main.py:1586-1741 + 1384). */
+  def processLink(spark: SparkSession, url: String, outDir: String,
+                  targetNode: String = "auto"): Path = {
+    val tmp = HttpFetch.fetchToFile(url)
+    val flat = processXmlData(spark, tmp.toString, targetNode)
+    val out = Paths.get(outDir, Filenames.csvNameFor(url))
+    Files.createDirectories(out.getParent)
+    CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
+    out
+  }
+
+  /** POST /process_file dispatch by extension (main.py:1803-1812). */
+  def processFile(spark: SparkSession, path: String, outDir: String): Path = {
+    val name = Paths.get(path).getFileName.toString.toLowerCase
+    if (name.endsWith(".csv")) processCsvToXml(spark, path, outDir)
+    else if (name.endsWith(".xlsx") || name.endsWith(".xls"))
+      processExcelToCsv(spark, path, outDir)
+    else if (name.endsWith(".json")) processJsonToCsv(spark, path, outDir)
+    else processXmlFileToCsv(spark, path, outDir)
+  }
+
+  def processCsvToXml(spark: SparkSession, csvPath: String, outDir: String,
+                      xmlFormat: String = "yandex_market",
+                      date: String = ""): Path = {
+    val df = CsvSource.read(spark, csvPath)
+    val out = Paths.get(outDir, Filenames.xmlNameFor(
+      Paths.get(csvPath).getFileName.toString, xmlFormat))
+    Files.createDirectories(out.getParent)
+    xmlFormat match {
+      case "simple" => XmlSink.writeSimple(df, out.toString)
+      case _        => XmlSink.writeYandexMarket(df, out.toString, date)
+    }
+    out
+  }
+
+  def processCsvToJson(spark: SparkSession, csvPath: String, outDir: String,
+                       jsonFormat: String = "array",
+                       exportedAt: String = ""): Path = {
+    val df = CsvSource.read(spark, csvPath)
+    val base = Paths.get(csvPath).getFileName.toString.stripSuffix(".csv")
+    val out = Paths.get(outDir, s"$base.json")
+    Files.createDirectories(out.getParent)
+    if (jsonFormat == "object") JsonSink.writeEnvelope(df, out.toString, exportedAt)
+    else JsonSink.writeArray(df, out.toString)
+    out
+  }
+
+  def processJsonToCsv(spark: SparkSession, jsonPath: String, outDir: String): Path = {
+    val df = JsonSource.read(spark, jsonPath)
+    val base = Paths.get(jsonPath).getFileName.toString.stripSuffix(".json")
+    val out = Paths.get(outDir, s"$base.csv")
+    Files.createDirectories(out.getParent)
+    CsvSink.writeSingleFile(
+      df.select(df.columns.sorted.toSeq.map(c =>
+        org.apache.spark.sql.functions.col("`" + c + "`").cast("string").as(c)): _*),
+      out.toString)
+    out
+  }
+
+  def processXmlToJson(spark: SparkSession, xmlPath: String, outDir: String,
+                       rowTag: String): Path = {
+    val df = spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("attributePrefix", XmlSource.AttrPrefix)
+      .option("valueTag", XmlSource.ValueTag)
+      .load(xmlPath)
+    val json = JsonSink.xmlToJson(df)
+    val base = Paths.get(xmlPath).getFileName.toString.stripSuffix(".xml")
+    val out = Paths.get(outDir, s"$base.json")
+    Files.createDirectories(out.getParent)
+    val rows = json.coalesce(1).collect().map(_.getString(0))
+    Files.writeString(out, rows.mkString("[\n", ",\n", "\n]"), StandardCharsets.UTF_8)
+    out
+  }
+
+  def processExcelToCsv(spark: SparkSession, xlsxPath: String, outDir: String): Path = {
+    val df = Excel.readXlsx(spark, xlsxPath)
+    val base = Paths.get(xlsxPath).getFileName.toString
+      .stripSuffix(".xlsx").stripSuffix(".xls")
+    val out = Paths.get(outDir, s"$base.csv")
+    Files.createDirectories(out.getParent)
+    CsvSink.writeSingleFile(df, out.toString)
+    out
+  }
+
+  def processCsvToExcel(spark: SparkSession, csvPath: String, outDir: String): Path = {
+    val df = CsvSource.read(spark, csvPath)
+    val base = Paths.get(csvPath).getFileName.toString.stripSuffix(".csv")
+    val out = Paths.get(outDir, s"$base.xlsx")
+    Files.createDirectories(out.getParent)
+    Excel.writeXlsx(df, out.toString)
+    out
+  }
+}
