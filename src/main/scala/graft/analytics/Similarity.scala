@@ -56,6 +56,34 @@ object Similarity {
       .select($"qid", $"rn", $"vid".as("neighbor_id"), $"cos_sim")
   }
 
+  /** Embedding-cosine near-dup candidate pairs, IVF-bucketed: vectors are
+    * assigned to their nearest stride-selected centroid (map-side argmax),
+    * then only SAME-BUCKET pairs are scored — |corpus|²/nCentroids work
+    * instead of an all-pairs cross join. Bucket-boundary pairs are missed
+    * by construction (the standard ANN recall trade); raise nprobe-style
+    * multi-assignment if recall matters more than cost. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double,
+                         centroidStride: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val cents = v.filter($"vid" % centroidStride === 0)
+      .select($"vid".as("cid"), $"v".as("cv"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("csim", round(cosine($"v", $"cv"), 6))
+      .groupBy($"vid")
+      .agg(max_by($"cid", struct($"csim", -$"cid")).as("cid"),
+           first($"v").as("v"))
+      .localCheckpoint() // consumed by both self-join sides
+    val a = assigned.select($"cid", $"vid".as("vid_a"), $"v".as("va"))
+    val b = assigned.select($"cid", $"vid".as("vid_b"), $"v".as("vb"))
+    a.join(b, Seq("cid")).filter($"vid_a" < $"vid_b")
+      .withColumn("cos_sim", round(cosine($"va", $"vb"), 6))
+      .filter($"cos_sim" >= minCosine)
+      .select($"vid_a", $"vid_b", $"cos_sim")
+  }
+
   /** IVF-bucketed approximate top-k. Deterministic "training": every
     * `centroidStride`-th vector (by id) is a centroid. Assignment and probe
     * both broadcast only the centroid set. */

@@ -226,6 +226,28 @@ object AnalyticsQueries {
             centroidStride = 50, nprobe = 2)
           .orderBy("qid", "rn")),
 
+    // ----- embedding-cosine near-dup pairs (IVF-bucketed) -----
+    Q("q38_cosine_neardup",
+      "same-centroid-bucket embedding pairs with cosine >= 0.4",
+      Some(vCte + """,
+             | c AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id % 50 = 0),
+             | ac AS (SELECT v.vec_id, v.vv, c.cid, """.stripMargin +
+             cosSql("vv", "cv") + """ AS csim FROM v, c),
+             | assigned AS (
+             |   SELECT vec_id, vv, cid FROM (
+             |     SELECT vec_id, vv, cid,
+             |            row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+             |     FROM ac) WHERE crn = 1)
+             |SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, """.stripMargin +
+             cosSql("a.vv", "b.vv") + """ AS cos_sim
+             |FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             |WHERE """.stripMargin + cosSql("a.vv", "b.vv") + """ >= 0.4
+             |ORDER BY vid_a, vid_b""".stripMargin),
+      (s, dir) =>
+        Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", minCosine = 0.4, centroidStride = 50)
+          .orderBy("vid_a", "vid_b")),
+
     // ----- TF-IDF + cosine category classification (README_RU.md:96-117) -----
     Q("q30_tfidf_classify",
       "sparse TF-IDF (reciprocal-df integer weights) + cosine argmax: " +
