@@ -1,0 +1,87 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestBase
+
+/** ScalaCheck-generated inputs evaluated in BATCHED Spark jobs (one job per
+  * property over hundreds of generated rows — not one session-roundtrip per
+  * case). Properties from SURVEY.md §5: dedup idempotence, sanitize
+  * idempotence, prune monotonicity, cosine bounds/symmetry. */
+class PropertySpec extends SparkTestBase {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val tokenGen: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""), Gen.const("  "),
+              Gen.const("a b"), Gen.const("///"), Gen.const("x"))
+  private val delimitedGen: Gen[String] =
+    Gen.listOfN(6, tokenGen).map(_.mkString("///"))
+
+  test("F3 dedupDelimited is idempotent and emits no duplicate items") {
+    import spark.implicits._
+    val inputs = sample(delimitedGen, 300)
+    val df = inputs.toDF("s").select(
+      CleanFns.dedupDelimited(col("s")).as("once"))
+      .select(col("once"), CleanFns.dedupDelimited(col("once")).as("twice"),
+              array_distinct(split(col("once"), "///")).as("distinctItems"),
+              split(col("once"), "///").as("items"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1)) // idempotent
+      if (r.getString(0).nonEmpty)
+        assert(r.getSeq[String](2).length === r.getSeq[String](3).length) // no dups
+    }
+  }
+
+  test("F2 sanitizeName is idempotent") {
+    import spark.implicits._
+    val strGen = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('«', '»', '№', '°', '™', '©', '(', ')', ' ',
+                                  '\t', '?', '.', ',', '&', '<'))).map(_.mkString)
+    val inputs = sample(strGen, 300)
+    val rows = inputs.toDF("s").select(
+      CleanFns.sanitizeName(col("s")).as("once"))
+      .select(col("once"), CleanFns.sanitizeName(col("once")).as("twice"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("P3 prune keeps every column that has at least one real value") {
+    import spark.implicits._
+    val cellGen = Gen.oneOf(Gen.const(""), Gen.const(" "), Gen.const("Undefined"),
+                            Gen.alphaNumStr.map(_.take(5)))
+    val rowGen = Gen.listOfN(4, cellGen)
+    (0 until 10).foreach { seed =>
+      val rows = sample(rowGen, 8).map(l => (l(0), l(1), l(2), l(3)))
+      val df = rows.toDF("c1", "c2", "c3", "c4")
+      val kept = Prune.prune(df).columns.toSet
+      Seq("c1", "c2", "c3", "c4").foreach { c =>
+        val hasReal = rows.exists { t =>
+          val v = c match { case "c1" => t._1; case "c2" => t._2
+                            case "c3" => t._3; case _ => t._4 }
+          v.trim.nonEmpty && v != "Undefined"
+        }
+        if (hasReal) assert(kept.contains(c), s"dropped non-empty $c")
+        else assert(!kept.contains(c), s"kept empty $c")
+      }
+    }
+  }
+
+  test("cosine is symmetric and within [-1, 1] (+ulp) on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0)).map(_.toArray)
+    val pairs = sample(Gen.zip(vecGen, vecGen), 200)
+      .filter { case (a, b) => a.exists(_ != 0.0) && b.exists(_ != 0.0) }
+    val rows = pairs.toDF("a", "b").select(
+      graft.analytics.Similarity.cosine(col("a"), col("b")).as("ab"),
+      graft.analytics.Similarity.cosine(col("b"), col("a")).as("ba"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9)
+    }
+  }
+}
