@@ -64,6 +64,12 @@ for name in sorted(oracle):
     if sorted(s_cols) != sorted(d_cols):
         print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         n_fail += 1; continue
+    s_types = dict(zip(s_cols, [str(t) for t in spark_rel.types]))
+    d_types = dict(zip(d_cols, [str(t) for t in duck_rel.types]))
+    tmismatch = {c: (s_types[c], d_types[c]) for c in s_cols
+                 if s_types[c] != d_types[c]}
+    if tmismatch:
+        print(f"WARN {name}: dtype mismatch {tmismatch}")
     cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
     if len(cs) != len(cd):
         print(f"FAIL {name}: rows spark={len(cs)} duck={len(cd)}"); n_fail += 1; continue

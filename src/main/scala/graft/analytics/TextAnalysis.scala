@@ -45,10 +45,11 @@ object TextAnalysis {
     val t = col(textCol)
     docs.select(
       col(idCol),
-      length(t).as("n_chars"),
-      nTokens(t).as("n_tokens"),
-      nBpeTokens(t).as("n_bpe_tokens"),
-      nPunct(t).as("n_punct"),
+      // counts as long: the cross-engine contract types counts BIGINT
+      length(t).cast("long").as("n_chars"),
+      nTokens(t).cast("long").as("n_tokens"),
+      nBpeTokens(t).cast("long").as("n_bpe_tokens"),
+      nPunct(t).cast("long").as("n_punct"),
       (nPunct(t).cast("double") / length(t)).as("punct_ratio"),
       (stopwordHits(t, enStop).cast("double") / nTokens(t)).as("stopword_ratio"),
       when(nTokens(t) >= 10 && nPunct(t).cast("double") / length(t) < lit(0.2),
@@ -68,7 +69,8 @@ object TextAnalysis {
     val m  = greatest(en, de, es, fr)
     docs.select(
       col(idCol),
-      en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+      en.cast("long").as("en_hits"), de.cast("long").as("de_hits"),
+      es.cast("long").as("es_hits"), fr.cast("long").as("fr_hits"),
       when(m === 0, "und")
         .when(en === m, "en").when(de === m, "de")
         .when(es === m, "es").otherwise("fr").as("lang_guess"))
