@@ -23,16 +23,17 @@ object Dedup {
 
   /** Exact dedup via content fingerprint: every doc tagged with its group's
     * canonical (minimum) id. Carries a 32-byte hash through the shuffle, not
-    * the document text. */
+    * the document text; a window-min over the fingerprint partition needs
+    * ONE scan and ONE exchange (the groupBy+join-back form scanned the
+    * corpus twice — Spark does not reuse the aliased subtree). */
   def exactDupTags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = docs.select(col(idCol), md5(col(textCol)).as("fp"))
-    val canon = fp.groupBy($"fp").agg(min(col(idCol)).as("canonical_id"))
-    fp.join(canon, "fp")
-      .select(col(idCol), $"fp",
-              $"canonical_id",
-              when(col(idCol) === $"canonical_id", 0).otherwise(1).as("is_dup"))
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol), md5(col(textCol)).as("fp"))
+      .withColumn("canonical_id", min(col(idCol)).over(Window.partitionBy($"fp")))
+      .withColumn("is_dup",
+        when(col(idCol) === $"canonical_id", 0).otherwise(1))
   }
 
   /** Lowercased whitespace tokens. Whitespace is normalized to single
