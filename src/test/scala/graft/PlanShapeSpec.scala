@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkTestBase
+import graft.engine.{CategoryPath, Flatten}
+import graft.sources.XmlSource
+
+/** Plan-shape regression guards: the scale-critical structural properties
+  * (SCALE.md) asserted against the executed physical plans, so a future
+  * "correct but shuffling" rewrite fails loudly. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("flatten is one narrow projection + one broadcast join: no shuffle " +
+       "Exchange on the fact side") {
+    val path = fixture("yml_offer.xml")
+    val flat = Flatten.flattenOffers(
+      XmlSource.read(spark, path, XmlSource.Yml), XmlSource.Yml,
+      Some(XmlSource.categoryPaths(XmlSource.readCategories(spark, path))))
+    val plan = executedPlan(flat)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+           s"category join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge on the fact side:\n$plan")
+    // the only exchanges allowed are broadcast ones (category dim + path dim)
+    val shuffleExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length +
+      "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(shuffleExchanges === 0,
+           s"fact side must not shuffle, found $shuffleExchanges:\n$plan")
+  }
+
+  test("category attach is a broadcast hash join, never sort-merge") {
+    import spark.implicits._
+    val paths = Seq(("1", "Root")).toDF("id", "category_path")
+    val facts = Seq(("f1", "1")).toDF("fact", "cat")
+    val plan = executedPlan(CategoryPath.attach(facts, "cat", paths))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q01 multi-value agg: partial aggregation before its single hash exchange") {
+    val df = queries.Catalog.byName("q01_multivalue_dedup")
+      .run(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    // partial+final pattern: two HashAggregate/ObjectHashAggregate levels
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final aggregation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("IVF assignment has no Window over the n x centroids product") {
+    import org.apache.spark.sql.functions._
+    val df = analytics.Similarity.ivfTopK(
+      queries.Tables(spark, "/root/testdata/sf0.001", "embeddings"),
+      "vec_id", "embedding", col("vec_id") % 100 === 0, k = 3)
+    val plan = executedPlan(df)
+    // windows are allowed only on the QUERY side (partition by qid);
+    // corpus assignment must be the max_by aggregate
+    assert(plan.contains("max_by") || plan.contains("MaxBy") ||
+           "HashAggregate".r.findAllIn(plan).length >= 2,
+           s"assignment must aggregate, not window:\n$plan")
+    assert(!plan.toLowerCase.contains("window partitionby vid"),
+           s"no per-corpus-vector window:\n$plan")
+  }
+}

@@ -41,6 +41,19 @@ class ConvertersSpec extends SparkTestBase {
     assert(out.collect().head.getString(2) === "52") // important + ?-strip
   }
 
+  test("K1 distributed part-file mode: parallel parts read back losslessly") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toString, s"name $i", s"v;$i"))
+      .toDF("id", "name", "v")
+    val dir = tmp("parts")
+    CsvSink.writeParts(CsvSink.exportColumns(df), dir)
+    val back = spark.read.option("header", "true").option("sep", ";")
+      .option("escape", "\"").csv(dir)
+    assert(back.count() === 100)
+    assert(back.columns.toSeq === Seq("id", "name", "v"))
+    assert(back.filter($"id" === "7").collect().head.getString(2) === "v;7")
+  }
+
   // ---------------- S5 CSV source ----------------
 
   test("S5 delimiter sniff: ',' only wins when strictly more frequent") {
@@ -159,6 +172,15 @@ class ConvertersSpec extends SparkTestBase {
     assert(df.columns.toSet === Set("id", "meta.a.b", "meta.c"))
     assert(df.select(col("`meta.a.b`")).collect().map(_.getString(0)).toSeq
       === Seq("x", "z"))
+  }
+
+  test("S7 NDJSON (multi-row) path reads without the single-object unwrap") {
+    val path = tmp("rows.ndjson")
+    Files.writeString(Paths.get(path),
+      "{\"id\": 1, \"v\": \"a\"}\n{\"id\": 2, \"v\": \"b\"}\n")
+    val df = spark.read.json(path) // NDJSON
+    val flat = JsonSource.flattenStructs(df)
+    assert(flat.count() === 2 && flat.columns.toSet === Set("id", "v"))
   }
 
   // ---------------- F15 filenames ----------------
