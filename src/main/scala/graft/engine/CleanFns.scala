@@ -50,9 +50,15 @@ object CleanFns {
 
   /** F3 `remove_duplicates_from_delimited_string` (main.py:87-95): split on
     * `///`, trim items, drop empties, first-occurrence-stable dedup, rejoin.
-    * `array_distinct` keeps first occurrence, matching the reference loop.
-    */
+    * Routed through the native [[graft.functions.DedupDelimited]]
+    * expression (one codegen'd static call; the composed
+    * split/transform/filter/distinct/join chain is interpreted). */
   def dedupDelimited(c: Column, delimiter: String = Sep): Column =
+    graft.functions.DedupDelimited.dedupDelimited(c, delimiter)
+
+  /** The composed-expression form of F3, kept as the differential-test
+    * reference for the native expression. */
+  def dedupDelimitedComposed(c: Column, delimiter: String = Sep): Column =
     array_join(
       array_distinct(
         filter(transform(split(c, java.util.regex.Pattern.quote(delimiter)), x => trim(x)),

@@ -473,15 +473,17 @@ object Flatten {
         cols("available") = when(nonEmpty(stock),
           when(total > 0, "1").otherwise("0"))
         cols("stock_total") = when(nonEmpty(stock), total.cast("string"))
+        // array_distinct: the reference's final pass dedups every
+        // ///-valued cell (main.py:449-451), incl. repeated warehouse rows
         cols("stock_details") = when(nonEmpty(stock),
           array_join(
-            transform(
+            array_distinct(transform(
               filter(stock, r => {
                 val d = qty(r).cast("double")
                 (d > 0) || (d.isNull && qty(r) =!= "0")
               }),
               r => concat(coalesce(fld(r, "СкладНаименование"), lit("")),
-                          lit(": "), qty(r))),
+                          lit(": "), qty(r)))),
             "///"))
 
         // Цены: price/oldprice resolution (A5, main.py:367-376)

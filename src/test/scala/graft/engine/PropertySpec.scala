@@ -36,6 +36,19 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("F3 native expression == composed form on generated inputs") {
+    import spark.implicits._
+    val inputs = sample(delimitedGen, 400) ++ Seq("", " ", "///", "a///a", null)
+    val rows = inputs.toDF("s").select(
+      CleanFns.dedupDelimited(col("s")).as("native"),
+      CleanFns.dedupDelimitedComposed(col("s")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getString(0) === r.getString(1))
+    }
+  }
+
   test("F2 sanitizeName is idempotent") {
     import spark.implicits._
     val strGen = Gen.listOfN(12, Gen.oneOf(
