@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.engine.{CleanFns, MultiValue}
+import graft.operators.AsOfJoin
 
 /** Remaining small operators from SURVEY.md §2 registered as verified
   * queries: A2 param concat, F6/F8 cell scrubs, F11 image predicate,
@@ -111,6 +112,31 @@ object MiscQueries {
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
           .orderBy("o_orderkey")
           .limit(50)
+      }),
+
+    // ----- extension: as-of join (union+window form; oracle = native ASOF) -----
+    Q("q39_asof_join",
+      "each purchase enriched with the latest click value at-or-before it " +
+        "per user (one shuffle on the key, no range explosion)",
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(value) AS click_value
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             |       p.value, c.click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        val clicks = ev.filter($"event_type" === "click")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("click_value"))
+        AsOfJoin.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_value"))
+          .select($"event_id", $"user_id", $"ts", $"value", $"click_value")
+          .orderBy("event_id")
       }),
 
     // ----- U3: value-level dedup merge (main.py:392-399) -----

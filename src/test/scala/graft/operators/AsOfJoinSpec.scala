@@ -1,0 +1,25 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  private def ts(m: Int) = Timestamp.valueOf(f"2025-01-01 00:$m%02d:00")
+
+  test("attaches the latest right row at-or-before each left timestamp") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts(5), "p1"), (2L, 10L, ts(15), "p2"),
+                   (3L, 10L, ts(20), "p3"), (4L, 99L, ts(30), "p4"))
+      .toDF("id", "k", "ts", "payload")
+    val right = Seq((10L, ts(5), "r@5"), (10L, ts(12), "r@12"),
+                    (10L, ts(30), "r@30"))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv"))
+      .orderBy("id").collect()
+    assert(out.map(r => Option(r.getAs[String]("rv"))).toSeq ===
+      Seq(Some("r@5"),  // equal timestamp included (>=)
+          Some("r@12"), // latest at-or-before 15
+          Some("r@12"), // r@30 is in the future
+          None))        // key 99 has no right rows
+  }
+}
