@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{CleanFns, MultiValue}
 import graft.operators.AsOfJoin
@@ -137,6 +138,45 @@ object MiscQueries {
         AsOfJoin.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_value"))
           .select($"event_id", $"user_id", $"ts", $"value", $"click_value")
           .orderBy("event_id")
+      }),
+
+    // ----- extension: rollup aggregation (SURVEY §2.4 "free if we extend") -----
+    Q("q40_rollup",
+      "ROLLUP over (returnflag, linestatus): subtotals + grand total",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+               sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      }),
+
+    // ----- extension: running-total window frame -----
+    Q("q41_running_total",
+      "per-customer running order total in orderkey order (rows frame)",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |         AS running_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey",
+            sum($"o_totalprice".cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
       }),
 
     // ----- U3: value-level dedup merge (main.py:392-399) -----
