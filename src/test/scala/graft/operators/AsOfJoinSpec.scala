@@ -22,4 +22,27 @@ class AsOfJoinSpec extends SparkTestBase {
           Some("r@12"), // r@30 is in the future
           None))        // key 99 has no right rows
   }
+
+  test("differential: matches a brute-force per-row scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val leftRows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, ts(rnd.nextInt(60)), s"L$i"))
+    val rightRows = (1 to 80).map(i =>
+        (rnd.nextInt(6).toLong, ts(rnd.nextInt(60)), s"R$i"))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts)
+    val left = leftRows.toDF("id", "k", "ts", "payload")
+    val right = rightRows.toDF("k", "ts", "rv")
+
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv"))
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("rv"))).toMap
+
+    leftRows.foreach { case (id, k, t, _) =>
+      val expect = rightRows
+        .filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(out(id) === expect, s"row $id key $k ts $t")
+    }
+  }
 }

@@ -41,6 +41,20 @@ class XmlSourceSpec extends SparkTestBase {
       === "<a>xy &amp; z &amp; w</a>")
   }
 
+  test("F8 repair e2e: scrubbed malformed feed (bare &, BOM) parses") {
+    val malformed = "\ufeff<?xml version=\"1.0\"?><yml_catalog><shop><offers>" +
+      "<offer id=\"1\"><name>A & B</name><price>10</price></offer>" +
+      "</offers></shop></yml_catalog>"
+    val repaired = XmlSource.scrub(malformed)
+    val tmp = java.nio.file.Files.createTempFile("graft_repair", ".xml")
+    java.nio.file.Files.writeString(tmp, repaired)
+    val flat = Flatten.flattenOffers(
+      XmlSource.read(spark, tmp.toString, XmlSource.Yml), XmlSource.Yml)
+    val row = flat.collect().head
+    assert(row.getAs[String]("name") === "A & B")
+    assert(row.getAs[String]("price") === "10")
+  }
+
   // ---------------- YML offer dialect ----------------
 
   lazy val ymlFlat = {
