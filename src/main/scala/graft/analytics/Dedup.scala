@@ -78,9 +78,8 @@ object Dedup {
     // partitioned blocks and truncates lineage (blocks are released when
     // the RDD is GC'd). Hash-partitioned by shingle first so the self-join
     // needs no further exchange.
-    val shC = sh.repartition($"sh").localCheckpoint()
-    val counts = shC.groupBy($"doc").agg(count(lit(1)).as("n"))
-    val shP = shC
+    val shP = sh.repartition($"sh").localCheckpoint()
+    val counts = shP.groupBy($"doc").agg(count(lit(1)).as("n"))
     // the HOT set (df > cap) is tiny by construction — broadcast anti-join
     // it away; broadcasting the rare set would ship ~the whole vocabulary
     val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))

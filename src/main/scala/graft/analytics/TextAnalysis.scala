@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for empty/whitespace-only text — a bare
+  /** Whitespace token count: NULL for NULL text (matching SQL-engine
+    * semantics so oracles agree), 0 for empty/whitespace-only text (a bare
     * `split` would report 1 because `split("") == [""]`). */
   def nTokens(text: Column): Column =
-    when(trim(text) === "" || text.isNull, 0)
+    when(text.isNull, lit(null).cast("int"))
+      .when(trim(text) === "", 0)
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish token count: letter runs, digit runs, single other non-space. */

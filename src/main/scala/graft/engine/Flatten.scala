@@ -96,7 +96,10 @@ object Flatten {
     val base =
       if (dialect == XmlSource.Product && schema.fieldNames.contains("offer"))
         schema("offer").dataType match {
-          case _: ArrayType => df.filter(size(col("offer")) <= 0)
+          // isNull FIRST: size(null) is NULL (not <= 0), which would drop
+          // every product WITHOUT nested offers too
+          case _: ArrayType =>
+            df.filter(col("offer").isNull || size(col("offer")) <= 0)
           case _            => df.filter(col("offer").isNull)
         }
       else df
@@ -342,7 +345,7 @@ object Flatten {
       .select(explode(paramArr).as("p"))
       .select(trim(col("p").getField(nameF)).as("k"))
       .filter(col("k").isNotNull && col("k") =!= "" &&
-              !col("k").rlike("^(\\d+\\.?\\d*|\\.\\d+)$"))
+              !CleanFns.isNumericString(col("k")))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
 
     names.map { name =>

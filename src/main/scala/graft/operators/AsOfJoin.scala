@@ -52,10 +52,16 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
-      .select((leftCols ++ rightCols).map(col): _*)
+    // carry the whole payload as ONE struct that is non-null for every
+    // right ROW — last(payloadCol, ignoreNulls) alone would skip a right
+    // row whose payload value is legitimately NULL and resurrect a stale
+    // older value
+    val packed = unioned.withColumn("__rrow",
+      when(col("__side") === 0, struct(rightCols.map(col): _*)))
+    val carried = packed.withColumn("__rlast",
+      last(col("__rrow"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col(s"__rlast.$c").as(c))): _*)
   }
 }

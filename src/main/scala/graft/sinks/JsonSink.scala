@@ -25,29 +25,29 @@ object JsonSink {
 
   /** K5 `array` format: `[ {...}, {...} ]`. */
   def writeArray(df: DataFrame, path: String): Unit =
-    writeFramed(df, path, "[\n  ", ",\n  ", "\n]")
+    writeFramed(df, path, "[\n  ", ",\n  ", _ => "\n]")
 
-  /** K5 `object` format: `{"data": [...], "total": n, "exported_at": ts}`. */
-  def writeEnvelope(df: DataFrame, path: String, exportedAt: String): Unit = {
-    val n = df.count()
+  /** K5 `object` format: `{"data": [...], "total": n, "exported_at": ts}`.
+    * `total` is counted DURING the streaming drain (the framing comes after
+    * the rows), so the input is scanned once, not count()+drain twice. */
+  def writeEnvelope(df: DataFrame, path: String, exportedAt: String): Unit =
     writeFramed(df, path, "{\n\"data\": [\n  ", ",\n  ",
-      s"\n],\n\"total\": $n,\n\"exported_at\": \"$exportedAt\"\n}")
-  }
+      n => s"\n],\n\"total\": $n,\n\"exported_at\": \"$exportedAt\"\n}")
 
   private def writeFramed(df: DataFrame, path: String, head: String,
-                          sep: String, tail: String): Unit = {
+                          sep: String, tail: Long => String): Unit = {
     val out = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
       out.write(head)
       val it = jsonRows(df).coalesce(4).toLocalIterator()
-      var first = true
+      var n = 0L
       while (it.hasNext) {
-        if (!first) out.write(sep)
+        if (n > 0) out.write(sep)
         out.write(it.next().getString(0))
-        first = false
+        n += 1
       }
-      out.write(tail)
+      out.write(tail(n))
     } finally out.close()
   }
 

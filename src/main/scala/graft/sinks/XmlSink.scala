@@ -33,6 +33,12 @@ object XmlSink {
 
   private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
 
+  /** Attribute-value escaping for DRIVER-side strings (param names are
+    * plan-time constants derived from feed column names). */
+  private def escAttrStr(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
   /** Optional child element line at the given indent. */
   private def elem(tag: String, v: Column, indent: String,
                    attrs: Column = lit("")): Column =
@@ -43,8 +49,12 @@ object XmlSink {
   /** First-occurrence dense-id category dictionary (J3/A7/T7,
     * main.py:535-547): category_path -> 1-based id in row order. */
   def categoryDictionary(df: DataFrame): DataFrame = {
-    if (!df.columns.contains("category_path"))
-      return df.sparkSession.emptyDataFrame
+    if (!df.columns.contains("category_path")) {
+      // typed empty dictionary: downstream still selects/sorts these columns
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, String)].toDF("category_path", "cat_id")
+    }
     val w = Window.orderBy(col("first_seen"))
     df.select(col("category_path"), monotonically_increasing_id().as("__idx"))
       .filter(nonEmpty(col("category_path")))
@@ -110,7 +120,7 @@ object XmlSink {
       else lit("")
 
     val params = df.columns.filter(_.startsWith("param_")).sorted.toSeq.map { k =>
-      val nm = k.stripPrefix("param_")
+      val nm = escAttrStr(k.stripPrefix("param_"))
       when(nonEmpty(colOr(k)),
         concat(lit(s"""\n$ind2<param name="$nm">"""), escText(colOr(k)),
                lit("</param>"))).otherwise(lit(""))
@@ -182,7 +192,7 @@ object XmlSink {
       if (paramCols.isEmpty) Seq.empty[Column]
       else {
         val inner = paramCols.map { k =>
-          val nm = k.stripPrefix("param_")
+          val nm = escAttrStr(k.stripPrefix("param_"))
           when(nonEmpty(colOr(k)),
             concat(lit(s"""\n$ind3<parameter name="$nm">"""), escText(colOr(k)),
                    lit("</parameter>"))).otherwise(lit(""))

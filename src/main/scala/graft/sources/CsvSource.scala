@@ -23,21 +23,25 @@ object CsvSource {
     finally src.close()
   }
 
-  /** Distributed header'd read, all-string schema, BOM-tolerant. */
+  /** Distributed header'd read, all-string schema, BOM-tolerant.
+    * escape=`"` matches the RFC-4180 `""` doubling our sinks (and the
+    * reference's csv module) write — Spark's default escape is `\`, which
+    * would corrupt quoted cells on read-back. */
   def read(spark: SparkSession, path: String,
            delimiter: Option[String] = None): DataFrame = {
     val sep = delimiter.getOrElse(sniffFile(path))
-    val df = spark.read
+    def readWith(s: String): DataFrame = spark.read
       .option("header", "true")
-      .option("sep", sep)
+      .option("sep", s)
+      .option("escape", "\"")
       .option("inferSchema", "false")
       .csv(path)
+    val df = readWith(sep)
     // fallback chain (main.py:631-649): a 1-column parse means the
     // delimiter was wrong — try the alternatives
     if (df.columns.length > 1) df
     else Seq(";", ",", "\t").filterNot(_ == sep).iterator
-      .map(s => spark.read.option("header", "true").option("sep", s)
-        .option("inferSchema", "false").csv(path))
+      .map(readWith)
       .find(_.columns.length > 1)
       .getOrElse(df)
   }

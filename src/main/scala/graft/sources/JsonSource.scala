@@ -32,12 +32,25 @@ object JsonSource {
   }
 
   /** Read a JSON file: top-level array of objects (multiLine) or NDJSON;
-    * a single top-level object picks its first array-of-struct field as the
-    * row set. */
+    * a top-level OBJECT picks its first array-of-struct field as the row
+    * set (main.py:767-771). The array/object distinction comes from the
+    * file's first non-whitespace byte — a one-element top-level ARRAY also
+    * parses to one row, so row count alone cannot tell them apart. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val isObject = {
+      val in = new java.io.FileInputStream(path)
+      try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf)
+        val head = new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8)
+        head.dropWhile(c => c.isWhitespace || c == '﻿').headOption
+          .contains('{')
+      } finally in.close()
+    }
     val df = spark.read.option("multiLine", "true").json(path)
     val rows =
-      if (df.count() == 1) {
+      if (isObject && df.head(2).length == 1) {
         df.schema.fields.collectFirst {
           case StructField(n, ArrayType(_: StructType, _), _, _) => n
         } match {

@@ -31,6 +31,27 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("degenerate inputs yield null: unequal lengths and zero-norm " +
+       "vectors (the composed form THROWS under default ANSI mode)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0), Array(0.0, 0.0)))
+      .toDF("a", "b", "z")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("uneq"),
+      Similarity.cosine(col("a"), col("z")).as("zero"))
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+    // composed Divide raises DIVIDE_BY_ZERO under spark.sql.ansi.enabled
+    // (Spark 4 default) — the native expression degrades gracefully instead
+    val e = intercept[Exception] {
+      df.select((Similarity.dot(col("a"), col("z")) /
+        (Similarity.norm(col("a")) * Similarity.norm(col("z")))).as("boom"))
+        .collect()
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
+
   test("null input yields null") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))

@@ -23,6 +23,16 @@ class AsOfJoinSpec extends SparkTestBase {
           None))        // key 99 has no right rows
   }
 
+  test("a NULL payload on the latest right row is carried, not skipped") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts(6), "p")).toDF("id", "k", "ts", "payload")
+    val right = Seq((10L, ts(1), Some("a")), (10L, ts(5), Option.empty[String]))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv")).collect().head
+    // the row at ts=5 is the as-of match; its rv is legitimately NULL
+    assert(out.isNullAt(out.fieldIndex("rv")))
+  }
+
   test("differential: matches a brute-force per-row scan on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -192,4 +192,48 @@ class ConvertersSpec extends SparkTestBase {
     assert(Filenames.xmlNameFor("data.csv", "yandex_market")
       === "data_yandex_market.xml")
   }
+
+  // ---------------- code-review regression tests ----------------
+
+  test("K3 without a category_path column writes an empty categories block") {
+    import spark.implicits._
+    val df = Seq(("1", "Plain", "10")).toDF("id", "name", "price")
+    val path = tmp("nocat.xml")
+    XmlSink.writeYandexMarket(df, path, date = "2025-01-01 00:00")
+    val text = Files.readString(Paths.get(path))
+    assert(text.contains("<categories>"))
+    assert(!text.contains("<category id="))
+    val offers = XmlSource.read(spark, path, XmlSource.Yml)
+    assert(offers.count() === 1)
+  }
+
+  test("K3 escapes param names containing XML-special characters") {
+    import spark.implicits._
+    val df = Seq(("1", "x", "v")).toDF("id", "name", "param_Q&A<b>")
+    val path = tmp("escname.xml")
+    XmlSink.writeYandexMarket(df, path, date = "")
+    val text = Files.readString(Paths.get(path))
+    assert(text.contains("<param name=\"Q&amp;A&lt;b&gt;\">v</param>"))
+    assert(XmlSource.read(spark, path, XmlSource.Yml).count() === 1) // parses
+  }
+
+  test("S5 read applies RFC-4180 escape: quoted cells round-trip") {
+    import spark.implicits._
+    val df = Seq(("1", "Диван \"Тест\"", "a;b")).toDF("id", "name", "v")
+    val path = tmp("quotes.csv")
+    CsvSink.writeSingleFile(df, path)
+    val back = CsvSource.read(spark, path).collect().head
+    assert(back.getString(1) === "Диван \"Тест\"")
+    assert(back.getString(2) === "a;b")
+  }
+
+  test("S7 one-element top-level ARRAY is not unwrapped (object rule only)") {
+    val path = tmp("onearr.json")
+    Files.writeString(Paths.get(path),
+      """[{"id": 1, "items": [{"a": 1}, {"a": 2}]}]""")
+    val df = JsonSource.read(spark, path)
+    assert(df.count() === 1) // stays one record; items kept as a column
+    assert(df.columns.exists(_.startsWith("items")))
+  }
+
 }

@@ -121,6 +121,25 @@ class XmlSourceSpec extends SparkTestBase {
     assert(productFlat(0)("attr_id") === "P2")
   }
 
+  test("product: P5 keeps offer-less products when offer infers as ARRAY " +
+       "(size(null) is NULL, not <= 0)") {
+    val xml =
+      """<catalog><products>
+        |  <product id="V1">
+        |    <offer id="a"><size>S</size></offer>
+        |    <offer id="b"><size>M</size></offer>
+        |  </product>
+        |  <product id="KEEP"><name>Plain</name></product>
+        |</products></catalog>""".stripMargin
+    val tmp = java.nio.file.Files.createTempFile("graft_p5", ".xml")
+    java.nio.file.Files.writeString(tmp, xml)
+    val flat = Flatten.flattenOffers(
+      XmlSource.read(spark, tmp.toString, XmlSource.Product), XmlSource.Product)
+      .collect().map(rowMap)
+    assert(flat.length === 1)
+    assert(flat(0)("attr_id") === "KEEP")
+  }
+
   test("product: nested photos collected, fabric_/feature_ pivoted") {
     assert(productFlat(0)("pictures") === "http://x/p2.jpg")
     assert(productFlat(0)("fabric_Состав") === "хлопок")
