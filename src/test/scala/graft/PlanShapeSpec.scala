@@ -54,6 +54,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("bucketed tables co-locate their join: no shuffle exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    queries.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    queries.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+    val plan = executedPlan(joined)
+    assert(!plan.contains("Exchange hashpartitioning"),
+           s"bucketed join must not shuffle:\n$plan")
+  }
+
   test("IVF assignment has no Window over the n x centroids product") {
     import org.apache.spark.sql.functions._
     val df = analytics.Similarity.ivfTopK(
