@@ -32,8 +32,65 @@ object CategoryPath {
 
   /** Like [[resolvePaths]] but returns the raw root-first segment array, for
     * callers that post-filter segments (the reference's YML walk skips
-    * 'Undefined'-named categories, main.py:1498-1501). */
-  def resolveSegs(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    * 'Undefined'-named categories, main.py:1498-1501).
+    *
+    * Two physical strategies, same semantics:
+    *  - dimension fits in driver memory (the common case — any path set
+    *    that will be broadcast-joined to facts must fit in memory anyway):
+    *    collect the parent-pointer maps and walk on the driver, exactly the
+    *    reference's two-hash-map walk (main.py:1477-1507). One tiny collect
+    *    job instead of ~2 jobs per hierarchy level.
+    *  - larger hierarchies: iterative broadcast self-join to fixpoint
+    *    (bounded by maxDepth), never collecting the dimension.
+    */
+  def resolveSegs(edges: DataFrame, maxDepth: Int = 20,
+                  localWalkMaxRows: Long = 1000000L): DataFrame = {
+    // probe with limit+count: never scans more than the threshold + 1 rows
+    val small =
+      edges.limit((localWalkMaxRows + 1).toInt).count() <= localWalkMaxRows
+    if (small) resolveSegsLocal(edges, maxDepth)
+    else resolveSegsIterative(edges, maxDepth)
+  }
+
+  /** Driver-side walk over collected parent-pointer maps (small dimensions).
+    * Semantics identical to [[resolveSegsIterative]]: root-first segments,
+    * cycle guard via visited set, missing parents stop the walk. */
+  private def resolveSegsLocal(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges
+      .select(col("id").cast("string"), col("parentId").cast("string"),
+              col("name").cast("string"))
+      .collect()
+    val parentOf = new scala.collection.mutable.HashMap[String, String]()
+    val nameOf   = new scala.collection.mutable.HashMap[String, String]()
+    rows.foreach { r =>
+      val id = r.getString(0)
+      parentOf(id) = r.getString(1)
+      nameOf(id) = r.getString(2)
+    }
+    val out = rows.toSeq.map { r =>
+      val id   = r.getString(0)
+      val segs = scala.collection.mutable.ListBuffer(nameOf(id))
+      val seen = scala.collection.mutable.HashSet(id)
+      var cur  = parentOf(id)
+      var iter = 0
+      while (cur != null && !seen.contains(cur) && nameOf.contains(cur) &&
+             iter < maxDepth) {
+        nameOf(cur) +=: segs
+        seen += cur
+        cur = parentOf(cur)
+        iter += 1
+      }
+      (id, segs.toSeq)
+    }
+    out.toDF("id", "segs")
+  }
+
+  /** Iterative broadcast self-join to fixpoint — the no-collect path for
+    * hierarchies too large to hold on the driver. */
+  private[engine] def resolveSegsIterative(edges: DataFrame,
+                                           maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 

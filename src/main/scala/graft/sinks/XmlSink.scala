@@ -3,6 +3,8 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -138,33 +140,65 @@ object XmlSink {
              lit(">")) ++ body :+ lit(s"\n$ind</offer>")): _*).as("xml"))
   }
 
+  /** Drain element strings into an open byte stream: the per-row
+    * serialization runs DISTRIBUTED (text part files across all cores), the
+    * driver only concatenates part bytes. Each element carries a leading
+    * `\n`; the text writer instead appends a trailing newline per row, so
+    * stripping the lead char keeps the concatenated bytes identical to the
+    * old serialized toLocalIterator drain (and to the reference layout).
+    * Emits "\n" before and nothing after, i.e. the caller writes
+    * `<wrapper>` ... `    </wrapper>` around it; with zero rows the single
+    * "\n" still matches the old `\n    </wrapper>` framing. */
+  private def drainElements(elems: DataFrame, out: java.io.OutputStream): Unit = {
+    val tmp = Files.createTempDirectory("graft_xml_parts")
+    val dir = tmp.resolve("parts")
+    try {
+      elems.select(expr("substring(xml, 2)").as("value"))
+        .write.mode("overwrite").text(dir.toString)
+      out.write("\n".getBytes(StandardCharsets.UTF_8))
+      val listing = Files.list(dir)
+      val parts =
+        try listing.iterator().asScala.toSeq finally listing.close()
+      parts
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && !n.endsWith(".crc")
+        }
+        .sortBy(_.getFileName.toString)
+        .foreach(p => Files.copy(p, out))
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** K3 single-file yandex_market write (envelope main.py:524-547). `date`
     * is injectable for determinism (F12). */
   def writeYandexMarket(df: DataFrame, path: String,
                         date: String = ""): Unit = {
     val catDict = categoryDictionary(df)
     val cats = catDict.orderBy(col("cat_id").cast("int")).collect()
-    val out = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(
+      Paths.get(path), StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING))
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
     try {
-      out.write("<?xml version='1.0' encoding='utf-8'?>\n")
-      out.write(s"""<yml_catalog date="$date">\n  <shop>""")
-      out.write("\n    <name>Generated from CSV</name>")
-      out.write("\n    <company>MagicXML</company>")
-      out.write("\n    <url>https://magic-xml.replit.app</url>")
-      out.write("\n    <currencies>\n      <currency id=\"RUR\" rate=\"1\"/>\n    </currencies>")
-      out.write("\n    <categories>")
+      w("<?xml version='1.0' encoding='utf-8'?>\n")
+      w(s"""<yml_catalog date="$date">\n  <shop>""")
+      w("\n    <name>Generated from CSV</name>")
+      w("\n    <company>MagicXML</company>")
+      w("\n    <url>https://magic-xml.replit.app</url>")
+      w("\n    <currencies>\n      <currency id=\"RUR\" rate=\"1\"/>\n    </currencies>")
+      w("\n    <categories>")
       cats.foreach { r =>
         val p = r.getAs[String]("category_path")
         val esc = p.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-        out.write(s"""\n      <category id="${r.getAs[String]("cat_id")}">$esc</category>""")
+        w(s"""\n      <category id="${r.getAs[String]("cat_id")}">$esc</category>""")
       }
-      out.write("\n    </categories>\n    <offers>")
-      // coalesce: one toLocalIterator fetch job per partition — fewer, wider
-      // result partitions for the serialized single-file drain
-      val it = offerElements(df, catDict).coalesce(4).toLocalIterator()
-      while (it.hasNext) out.write(it.next().getString(0))
-      out.write("\n    </offers>\n  </shop>\n</yml_catalog>")
+      w("\n    </categories>\n    <offers>")
+      drainElements(offerElements(df, catDict), out)
+      w("    </offers>\n  </shop>\n</yml_catalog>")
     } finally out.close()
   }
 
@@ -230,14 +264,15 @@ object XmlSink {
 
   /** K4 single-file `simple` write (catalog/products envelope). */
   def writeSimple(df: DataFrame, path: String): Unit = {
-    val out = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(
+      Paths.get(path), StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING))
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
     try {
-      out.write("<?xml version='1.0' encoding='utf-8'?>\n")
-      out.write("<catalog>\n  <products>")
-      val it = productElements(df).coalesce(4).toLocalIterator()
-      while (it.hasNext) out.write(it.next().getString(0))
-      out.write("\n  </products>\n</catalog>")
+      w("<?xml version='1.0' encoding='utf-8'?>\n")
+      w("<catalog>\n  <products>")
+      drainElements(productElements(df), out)
+      w("  </products>\n</catalog>")
     } finally out.close()
   }
 }

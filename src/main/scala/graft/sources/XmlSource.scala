@@ -87,15 +87,56 @@ object XmlSource {
     } finally in.close()
   }
 
-  /** Distributed read of one dialect's row elements. */
-  def read(spark: SparkSession, path: String, dialect: Dialect): DataFrame =
+  /** Files at least this large go through the distributed element splitter
+    * ([[readSplit]]); the native multiLine XML read is NOT splittable, so a
+    * large single-file catalog would otherwise parse (twice — inference +
+    * read) on one core. */
+  val SplitThresholdBytes: Long = 8L << 20
+
+  /** Distributed read of one dialect's row elements. Large single files
+    * dispatch to the splittable element-splitter path. */
+  def read(spark: SparkSession, path: String, dialect: Dialect): DataFrame = {
+    val f = new java.io.File(path)
+    if (f.isFile && f.length >= SplitThresholdBytes)
+      readSplit(spark, path, dialect)
+    else
+      spark.read
+        .format("xml")
+        .option("rowTag", dialect.rowTag)
+        .option("attributePrefix", AttrPrefix)
+        .option("valueTag", ValueTag)
+        .option("ignoreSurroundingSpaces", "true")
+        .load(path)
+  }
+
+  /** S2 distributed element splitter (reference `split_offers`
+    * main.py:98-112, re-expressed as a DISTRIBUTED operator): split the file
+    * on `</rowTag>` boundaries via the splittable text source (custom
+    * `lineSep` — the record reader handles elements spanning split
+    * boundaries), cut each record down to its `<rowTag ...>` start,
+    * re-append the end tag, and hand the element strings to
+    * `DataFrameReader.xml(Dataset[String])` — so BOTH schema inference and
+    * parsing run parallel over file splits, vs the single-core multiLine
+    * scan. Limitations (same as the classic Hadoop XmlInputFormat): no
+    * self-closing row elements, and a literal `</rowTag>` inside CDATA
+    * would split early — neither occurs in the four dialects' feeds. */
+  def readSplit(spark: SparkSession, path: String, dialect: Dialect): DataFrame = {
+    import spark.implicits._
+    val endTag  = s"</${dialect.rowTag}>"
+    val openPat = java.util.regex.Pattern.quote(s"<${dialect.rowTag}")
+    val elems = spark.read.option("lineSep", endTag).text(path)
+      .select(regexp_extract(col("value"), "(?s)(" + openPat + "[\\s/>].*)$", 1)
+        .as("e"))
+      .filter(col("e") =!= "")
+      .select(concat(col("e"), lit(endTag)).as("value"))
+      .as[String]
     spark.read
-      .format("xml")
       .option("rowTag", dialect.rowTag)
       .option("attributePrefix", AttrPrefix)
       .option("valueTag", ValueTag)
       .option("ignoreSurroundingSpaces", "true")
-      .load(path)
+      .xml(elems)
+  }
 
   /** YML category dimension: `<category id parentId>name</category>` rows
     * (reference builds two hash maps, main.py:1477-1485). The element shape

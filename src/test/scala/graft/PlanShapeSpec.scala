@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import graft.SparkTestBase
 import graft.engine.{CategoryPath, Flatten}
@@ -59,6 +61,18 @@ class PlanShapeSpec extends SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // DROP TABLE forgets catalog entries but a crashed prior run can leave
+    // the physical warehouse dirs behind — saveAsTable then refuses the
+    // location. Scrub them so the test is self-healing.
+    for (t <- Seq("li_bucketed", "ord_bucketed")) {
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        val walk = java.nio.file.Files.walk(loc.toPath)
+        val all =
+          try walk.iterator().asScala.toSeq finally walk.close()
+        all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     queries.Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

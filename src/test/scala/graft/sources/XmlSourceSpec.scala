@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import graft.SparkTestBase
 import graft.engine.Flatten
 
@@ -209,5 +210,30 @@ class XmlSourceSpec extends SparkTestBase {
     assert(svcFlat(0)("categoryId") === "svc-1")
     assert(svcFlat(0)("available") === "1")
     assert(svcFlat(0)("service_type") === "verification_service")
+  }
+
+  // ---------------- S2 distributed element splitter ----------------
+
+  test("S2 readSplit matches the multiLine read on every dialect fixture " +
+       "(same rows, same schema)") {
+    val cases = Seq(
+      ("yml_offer.xml", XmlSource.Yml, "_id"),
+      ("russian_1c.xml", XmlSource.Russian, "ID"),
+      ("service.xml", XmlSource.Service, "_id"))
+    for ((f, d, key) <- cases) {
+      val plain = spark.read.format("xml")
+        .option("rowTag", d.rowTag)
+        .option("attributePrefix", XmlSource.AttrPrefix)
+        .option("valueTag", XmlSource.ValueTag)
+        .option("ignoreSurroundingSpaces", "true")
+        .load(fixture(f))
+      val split = XmlSource.readSplit(spark, fixture(f), d)
+      assert(split.schema.fieldNames.sorted.toSeq ===
+             plain.schema.fieldNames.sorted.toSeq, s"schema mismatch for $f")
+      val cols = plain.schema.fieldNames.sorted.map(c => col("`" + c + "`").cast("string"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.toSeq: _*).orderBy(col("`" + key + "`")).collect().toSeq
+      assert(canon(split) === canon(plain), s"row mismatch for $f")
+    }
   }
 }
