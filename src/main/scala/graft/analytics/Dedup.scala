@@ -151,6 +151,57 @@ object Dedup {
       .select($"doc_a", $"doc_b").distinct()
   }
 
+  /** Connected components over candidate duplicate pairs — the final stage
+    * of the near-dup pipeline: LSH/Jaccard emit PAIRS, but dedup decisions
+    * need CLUSTERS (a~b, b~c => {a,b,c} keep one). Iterative min-label
+    * propagation: every node starts labeled with itself; each round pushes
+    * the smaller label across every edge until fixpoint.
+    *
+    * Scale shape: per round, one join of edges against the label set (both
+    * keyed by node id) + one min-aggregate — linear in |E| per round, and
+    * rounds = cluster diameter, which for near-dup graphs is tiny (clusters
+    * are near-cliques: every member shares shingles with most others). The
+    * label set is localCheckpoint'd per round to truncate the iterative
+    * lineage. For general billion-edge graphs with long chains one would
+    * switch to alternating large-star/small-star (O(log n) rounds); dup
+    * graphs don't need it.
+    *
+    * @param pairs (doc_a, doc_b) candidate pairs, any orientation
+    * @return (node, component) for every node appearing in some pair;
+    *         component = min doc id reachable. Callers left-join docs and
+    *         coalesce to the doc's own id for singletons.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val und = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .localCheckpoint() // consumed every round; freeze once
+    var labels = und.select($"src".as("node")).distinct()
+      .withColumn("comp", $"node")
+      .localCheckpoint()
+    var iter    = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      // push each node's current label to its neighbors, keep the min of
+      // (own label, incoming labels)
+      val pushed = und
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"comp")
+      val next = labels.union(pushed)
+        .groupBy($"node").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter($"comp" =!= $"prev")
+        .limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash from md5 nibbles: bit i (1-based) is set iff the
     * token-occurrence-weighted sum of (+1 if nibble i's high bit set else -1)
     * is positive. Integer arithmetic end-to-end → exact in both engines. */

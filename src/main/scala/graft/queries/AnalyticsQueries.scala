@@ -35,6 +35,27 @@ object AnalyticsQueries {
       | sh AS (SELECT doc, sh FROM sh0 WHERE sh NOT IN (
       |   SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000))""".stripMargin
 
+  /** Shared DuckDB CTE chain: MinHash signatures -> LSH bands -> capped
+    * candidate pairs (`cand`). Mirrors Dedup.minhashBands /
+    * minhashCandidates exactly; appended after [[shCte]]. */
+  private val lshCte =
+    """,
+      | sigs AS (
+      |   SELECT doc, k, min(md5(k || '|' || sh)) AS sig
+      |   FROM sh0, (SELECT unnest(range(0, 8)) AS k) ks
+      |   GROUP BY doc, k),
+      | bands AS (
+      |   SELECT doc, CAST(floor(k / 2) AS INT) AS band,
+      |          md5(string_agg(sig, ',' ORDER BY k)) AS bucket
+      |   FROM sigs GROUP BY doc, band),
+      | keep AS (
+      |   SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 1000),
+      | cand AS (
+      |   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      |   FROM (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) a
+      |   JOIN (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) b
+      |     ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)""".stripMargin
+
   /** Shared DuckDB CTE: embeddings as double vectors + cosine helper shape. */
   private val vCte =
     """WITH v AS (
@@ -83,21 +104,8 @@ object AnalyticsQueries {
     // ----- MinHash + LSH banding candidates -----
     Q("q19_minhash_lsh",
       "MinHash(8 seeds) + LSH banding(2/band) near-dup candidate pairs",
-      Some(shCte + """,
-             | sigs AS (
-             |   SELECT doc, k, min(md5(k || '|' || sh)) AS sig
-             |   FROM sh0, (SELECT unnest(range(0, 8)) AS k) ks
-             |   GROUP BY doc, k),
-             | bands AS (
-             |   SELECT doc, CAST(floor(k / 2) AS INT) AS band,
-             |          md5(string_agg(sig, ',' ORDER BY k)) AS bucket
-             |   FROM sigs GROUP BY doc, band),
-             | keep AS (
-             |   SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 1000)
-             |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-             |FROM (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) a
-             |JOIN (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) b
-             |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+      Some(shCte + lshCte + """
+             |SELECT doc_a, doc_b FROM cand
              |ORDER BY doc_a, doc_b""".stripMargin),
       (s, dir) => {
         val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text")
@@ -304,6 +312,40 @@ object AnalyticsQueries {
         Multimodal.extractMeta(
             Multimodal.asBlobs(Tables(s, dir, "documents"), "doc_id", "text"))
           .toDF()
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- duplicate clusters: connected components over LSH candidates -----
+    Q("q42_dup_clusters",
+      "near-dup CLUSTERS: connected components (min-label propagation) over " +
+        "the LSH candidate pairs; component = min reachable doc_id",
+      Some("WITH RECURSIVE" + shCte.stripPrefix("WITH") + lshCte + """,
+             | edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+             |           UNION ALL SELECT doc_b, doc_a FROM cand),
+             | walk AS (
+             |   SELECT a AS node, b AS reach FROM edges
+             |   UNION
+             |   SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+             | comp AS (
+             |   SELECT node, least(node, min(reach)) AS component
+             |   FROM walk GROUP BY node)
+             |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             |       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 0 ELSE 1 END AS is_dup
+             |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs  = Tables(s, dir, "documents")
+        val sh    = Dedup.shingles(docs, "doc_id", "text")
+        val bands = Dedup.minhashBands(sh, numHashes = 8, bandSize = 2)
+        val cand  = Dedup.minhashCandidates(bands, maxBucket = 1000)
+        val comp  = Dedup.connectedComponents(cand)
+        docs.select($"doc_id")
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"comp", $"doc_id").as("component"),
+            when(coalesce($"comp", $"doc_id") === $"doc_id", 0)
+              .otherwise(1).as("is_dup"))
+          .orderBy("doc_id")
+      })
   )
 }

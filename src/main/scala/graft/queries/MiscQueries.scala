@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{CleanFns, MultiValue}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Remaining small operators from SURVEY.md §2 registered as verified
   * queries: A2 param concat, F6/F8 cell scrubs, F11 image predicate,
@@ -194,6 +194,57 @@ object MiscQueries {
           .select($"p_partkey",
             CleanFns.dedupDelimited(concat(a, lit("///"), b)).as("merged"))
           .orderBy("p_partkey")
+      }),
+
+    // ----- extension: bucketed interval (range) join -----
+    Q("q43_range_join",
+      "events inside [anchor, anchor+2h) windows via the BUCKETED range " +
+        "join (equi join on time bin, never a nested-loop product)",
+      Some("""WITH anchors AS (
+             |  SELECT event_id AS window_id, ts AS start_ts,
+             |         ts + INTERVAL 2 HOUR AS end_ts
+             |  FROM events WHERE event_type = 'purchase' AND user_id % 500 = 0)
+             |SELECT a.window_id,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM anchors a JOIN events e
+             |  ON e.ts >= a.start_ts AND e.ts < a.end_ts
+             |GROUP BY a.window_id ORDER BY a.window_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val anchors = ev
+          .filter($"event_type" === "purchase" && $"user_id" % 500 === 0)
+          .select($"event_id".as("window_id"), $"ts".as("start_ts"),
+                  ($"ts" + expr("INTERVAL 2 HOUR")).as("end_ts"))
+        RangeJoin.byBucket(ev.select($"ts", $"value"), "ts",
+                           anchors, "start_ts", "end_ts",
+                           binSeconds = 3600L)
+          .groupBy($"window_id")
+          .agg(count(lit(1)).as("n_events"),
+               sum($"value".cast(DecimalType(18, 2))).cast("double")
+                 .as("sum_value"))
+          .orderBy("window_id")
+      }),
+
+    // ----- extension: cube aggregation (SURVEY §2.4 "free if we extend") -----
+    Q("q44_cube",
+      "CUBE over (event_type, hour-of-day): every subtotal combination",
+      Some("""SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY CUBE (event_type, hod)
+             |ORDER BY event_type NULLS FIRST, hod NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .withColumn("hod", hour($"ts").cast("long"))
+          .cube($"event_type", $"hod")
+          .agg(count(lit(1)).as("n_events"),
+               sum($"value".cast(DecimalType(18, 2))).cast("double")
+                 .as("sum_value"))
+          .orderBy($"event_type".asc_nulls_first, $"hod".asc_nulls_first)
       })
   )
 }

@@ -75,6 +75,33 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() === 0)
   }
 
+  test("connected components: chains merge to one cluster, isolates keep " +
+       "their own label, cycles terminate") {
+    import spark.implicits._
+    // chain 1-2-3, cycle 10-11-12-10, pair 20-21 (21 listed first: orientation
+    // must not matter); node 30 appears only as a doc_b
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+                    (21L, 20L), (25L, 30L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                        10L -> 10L, 11L -> 10L, 12L -> 10L,
+                        20L -> 20L, 21L -> 20L, 25L -> 25L, 30L -> 25L))
+  }
+
+  test("connected components: long chain converges within diameter rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-...-9 labeled from the high end so labels must
+    // travel the full diameter
+    val pairs = (0L until 9L).map(i => (9L - i, 8L - i)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+    assert(comp.select(countDistinct(col("comp"))).head.getLong(0) === 1L)
+    assert(comp.agg(min(col("comp"))).head.getLong(0) === 0L)
+    assert(comp.count() === 10L)
+  }
+
   test("simhash: identical text -> identical hash, 16-bit range") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class RangeJoinSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("bucketed range join matches the naive range predicate exactly " +
+       "(boundaries, multi-bin spans, inverted intervals)") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, ts("2025-01-01 00:00:00")), // == start: included
+      (2L, ts("2025-01-01 00:59:59")),
+      (3L, ts("2025-01-01 01:00:00")), // == end of iv A: excluded there
+      (4L, ts("2025-01-01 03:30:00")), // inside the 3-bin interval
+      (5L, ts("2025-01-01 07:00:00"))  // matches nothing
+    ).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, ts("2025-01-01 00:00:00"), ts("2025-01-01 01:00:00")), // A
+      (11L, ts("2025-01-01 00:30:00"), ts("2025-01-01 03:45:00")), // spans 4 bins
+      (12L, ts("2025-01-01 05:00:00"), ts("2025-01-01 05:00:00")), // empty
+      (13L, ts("2025-01-01 06:00:00"), ts("2025-01-01 05:00:00"))  // inverted
+    ).toDF("iid", "start_ts", "end_ts")
+
+    val got = RangeJoin.byBucket(points, "ts", intervals, "start_ts", "end_ts")
+      .select($"pid", $"iid").orderBy($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = points.join(intervals,
+        $"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .select($"pid", $"iid").orderBy($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === naive)
+    assert(got === Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
+  }
+
+  test("each match appears exactly once even when interval and point share " +
+       "several bin-sized stretches") {
+    import spark.implicits._
+    val points = (0 until 50).map(i =>
+      (i.toLong, new Timestamp(1735689600000L + i * 600000L))) // every 10 min
+      .toDF("pid", "ts")
+    val intervals = Seq(
+      (1L, new Timestamp(1735689600000L), new Timestamp(1735689600000L + 8 * 3600000L)))
+      .toDF("iid", "start_ts", "end_ts")
+    val joined = RangeJoin.byBucket(points, "ts", intervals, "start_ts", "end_ts",
+                                    binSeconds = 1800L)
+    assert(joined.count() === joined.select("pid", "iid").distinct().count())
+    assert(joined.count() === 48L) // 8h window, 10-min cadence, end exclusive
+  }
+
+  test("plan is an equi join on the bin, not a nested-loop product") {
+    import spark.implicits._
+    val points = Seq((1L, ts("2025-01-01 00:00:00"))).toDF("pid", "ts")
+    val intervals = Seq((1L, ts("2025-01-01 00:00:00"), ts("2025-01-01 01:00:00")))
+      .toDF("iid", "start_ts", "end_ts")
+    val df = RangeJoin.byBucket(points, "ts", intervals, "start_ts", "end_ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+           s"range join must not plan a nested loop:\n$plan")
+  }
+}
