@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{CleanFns, MultiValue}
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin}
 
 /** Remaining small operators from SURVEY.md §2 registered as verified
   * queries: A2 param concat, F6/F8 cell scrubs, F11 image predicate,
@@ -245,6 +245,31 @@ object MiscQueries {
                sum($"value".cast(DecimalType(18, 2))).cast("double")
                  .as("sum_value"))
           .orderBy($"event_type".asc_nulls_first, $"hod".asc_nulls_first)
+      })
+    ,
+
+    // ----- extension: salted join over a skewed key -----
+    Q("q45_salted_join",
+      "lineitem joined to a 3-row flag dim through the SALTED join (hot " +
+        "keys span numSalts tasks); result identical to the plain join",
+      Some("""WITH dim AS (SELECT * FROM (VALUES ('A','accepted'),('N','new'),
+             |                                   ('R','returned')) AS t(l_returnflag, label))
+             |SELECT d.label, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem l JOIN dim d USING (l_returnflag)
+             |GROUP BY d.label ORDER BY d.label""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(("A", "accepted"), ("N", "new"), ("R", "returned"))
+          .toDF("l_returnflag", "label")
+        SaltedJoin.join(Tables(s, dir, "lineitem"), dim, "l_returnflag",
+                        numSalts = 32,
+                        saltSource = struct($"l_orderkey", $"l_linenumber"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_rows"),
+               sum($"l_quantity".cast(DecimalType(18, 2))).cast("double")
+                 .as("sum_qty"))
+          .orderBy("label")
       })
   )
 }

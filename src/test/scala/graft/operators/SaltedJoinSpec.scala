@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SaltedJoinSpec extends SparkTestBase {
+
+  test("salted join returns exactly the plain join's rows (inner and left)") {
+    import spark.implicits._
+    val facts = (1 to 500).map(i => (i.toLong, if (i % 10 == 0) "rare" else "hot"))
+      .toDF("fid", "k")
+    val dim = Seq(("hot", "H"), ("rare", "R"), ("unmatched", "U"))
+      .toDF("k", "label")
+    for (jt <- Seq("inner", "left")) {
+      val salted = SaltedJoin.join(facts, dim, "k", 8, $"fid", jt)
+        .select($"fid", $"k", $"label").orderBy($"fid").collect().toSeq
+      val plain = facts.join(dim, Seq("k"), jt)
+        .select($"fid", $"k", $"label").orderBy($"fid").collect().toSeq
+      assert(salted === plain, s"join type $jt")
+    }
+  }
+
+  test("the shuffle is keyed on (key, salt): a hot key spans many partitions") {
+    import spark.implicits._
+    val facts = (1 to 2000).map(i => (i.toLong, "hot")).toDF("fid", "k")
+    val dim = (("hot", "H") :: ("cold", "C") :: Nil).toDF("k", "label")
+    // force a shuffle join (a broadcast join would sidestep skew anyway —
+    // that IS the preferred plan when the dim fits; salting is for when it
+    // doesn't, simulated here with a merge hint)
+    val df = SaltedJoin.join(facts, dim.hint("merge"), "k", 8, $"fid")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt must be part of the join key:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"hint should force shuffle:\n$plan")
+    // every fact partition after the exchange holds ~2000/8 of the hot key,
+    // not all 2000 in one task (AQE would legitimately coalesce this tiny
+    // test shuffle back to one partition — turn that off for the assertion)
+    val conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val spread = SaltedJoin.join(facts, dim.hint("merge"), "k", 8, $"fid")
+        .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+      assert(spread.length > 1, "hot key must span more than one partition")
+    } finally spark.conf.set(conf, prev)
+  }
+}
