@@ -45,7 +45,8 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: (id, sh). Documents shorter
     * than n tokens produce no shingles (same guard in the oracle SQL). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(docs0: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -205,7 +206,8 @@ object Dedup {
   /** 16-bit SimHash from md5 nibbles: bit i (1-based) is set iff the
     * token-occurrence-weighted sum of (+1 if nibble i's high bit set else -1)
     * is positive. Integer arithmetic end-to-end → exact in both engines. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     val bits = 16

@@ -1,0 +1,20 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism guard for CPU-heavy map stages. A small input file (one
+  * parquet row group) plans as ONE scan partition, so everything fused
+  * above the first exchange — tokenization, shingling, hashing, vector
+  * math — runs on one core while the rest idle. At corpus scale inputs
+  * have thousands of splits and this helper is a NO-OP (no added shuffle);
+  * it only round-robins when the scan is pathologically under-split
+  * relative to the cluster's slots.
+  */
+object Par {
+
+  def ensure(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions plans the RDD but runs no job
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+}

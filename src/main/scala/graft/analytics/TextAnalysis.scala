@@ -41,7 +41,8 @@ object TextAnalysis {
 
   /** Quality metrics per document: token counts, avg token length, punct
     * ratio, stopword ratio, plus a categorical quality flag. */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def quality(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     val t = col(textCol)
@@ -60,7 +61,8 @@ object TextAnalysis {
 
   /** Language-ID heuristic: stopword-set scoring with deterministic argmax
     * (ties broken by fixed language order en > de > es > fr > und). */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     val t = col(textCol)

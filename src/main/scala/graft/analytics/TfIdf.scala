@@ -27,7 +27,7 @@ object TfIdf {
                   scale: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = docs
+    val tf = Par.ensure(docs)
       .select(col(idCol).as("doc"), explode(Dedup.tokens(col(textCol))).as("term"))
       .groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))

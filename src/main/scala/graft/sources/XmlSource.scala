@@ -142,18 +142,44 @@ object XmlSource {
     * (reference builds two hash maps, main.py:1477-1485). The element shape
     * is fixed, so the schema is supplied explicitly — skipping the
     * inference pass halves the file scans. */
-  def readCategories(spark: SparkSession, path: String): DataFrame = {
+  private val CatSchema = {
     import org.apache.spark.sql.types._
-    val catSchema = StructType(Seq(
+    StructType(Seq(
       StructField("_id", StringType), StructField("_parentId", StringType),
       StructField(ValueTag, StringType)))
-    val df = spark.read
-      .format("xml")
+  }
+
+  /** Split-extracted `<category>` read: one distributed pass instead of a
+    * whole-file single-core multiLine scan (the dictionary is tiny but the
+    * scan walks the entire feed). */
+  def readCategoriesSplit(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val elems = spark.read.option("lineSep", "</category>").text(path)
+      .select(regexp_extract(col("value"), "(?s)(<category[\\s/>].*)$", 1)
+        .as("e"))
+      .filter(col("e") =!= "")
+      .select(concat(col("e"), lit("</category>")).as("value"))
+      .as[String]
+    spark.read
       .option("rowTag", "category")
       .option("attributePrefix", AttrPrefix)
       .option("valueTag", ValueTag)
-      .schema(catSchema)
-      .load(path)
+      .schema(CatSchema)
+      .xml(elems)
+  }
+
+  def readCategories(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val df =
+      if (f.isFile && f.length >= SplitThresholdBytes)
+        readCategoriesSplit(spark, path)
+      else spark.read
+        .format("xml")
+        .option("rowTag", "category")
+        .option("attributePrefix", AttrPrefix)
+        .option("valueTag", ValueTag)
+        .schema(CatSchema)
+        .load(path)
     val name =
       if (df.columns.contains(ValueTag)) col(ValueTag).cast("string")
       else lit(null).cast("string")

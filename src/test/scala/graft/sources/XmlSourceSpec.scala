@@ -236,4 +236,23 @@ class XmlSourceSpec extends SparkTestBase {
       assert(canon(split) === canon(plain), s"row mismatch for $f")
     }
   }
+
+  test("S2 split category read matches the multiLine category read " +
+       "(categoryId tags in offers must not confuse the splitter)") {
+    val path = fixture("yml_offer.xml")
+    val plain = spark.read.format("xml")
+      .option("rowTag", "category")
+      .option("attributePrefix", XmlSource.AttrPrefix)
+      .option("valueTag", XmlSource.ValueTag)
+      .load(path)
+      .select(col("_id").cast("string"), col("_parentId").cast("string"),
+              col(XmlSource.ValueTag).cast("string"))
+      .orderBy("_id").collect().toSeq
+    val split = XmlSource.readCategoriesSplit(spark, path)
+      .select(col("_id").cast("string"), col("_parentId").cast("string"),
+              col(XmlSource.ValueTag).cast("string"))
+      .orderBy("_id").collect().toSeq
+    assert(split === plain)
+    assert(split.nonEmpty)
+  }
 }
