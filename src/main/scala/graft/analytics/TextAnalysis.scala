@@ -80,6 +80,43 @@ object TextAnalysis {
         .when(es === m, "es").otherwise("fr").as("lang_guess"))
   }
 
+  /** The composed corpus-cleaning decision — what a training-data pipeline
+    * actually ships: exact-dup removal + quality gate + language gate fused
+    * into ONE scan and ONE exchange. All flag expressions evaluate in the
+    * scan projection; the only shuffle is the dedup window keyed on the
+    * md5 fingerprint and carrying ~50 bytes/row (never the text). Verdict
+    * precedence mirrors pipeline practice: drop dups first (cheapest
+    * signal), then quality, then language.
+    */
+  def corpusFilter(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t  = col(textCol)
+    val en = stopwordHits(t, enStop)
+    val de = stopwordHits(t, deStop)
+    val es = stopwordHits(t, esStop)
+    val fr = stopwordHits(t, frStop)
+    val m  = greatest(en, de, es, fr)
+    val lang = when(m === 0, "und")
+      .when(en === m, "en").when(de === m, "de")
+      .when(es === m, "es").otherwise("fr")
+    val qualityOk =
+      nTokens(t) >= 10 && nPunct(t).cast("double") / length(t) < lit(0.2)
+    val flagged = docs.select(
+      col(idCol), md5(t).as("fp"),
+      qualityOk.as("q_ok"), lang.as("lang"))
+    val verdict =
+      when(col(idCol) =!= min(col(idCol)).over(Window.partitionBy($"fp")), "dup")
+        .when(!$"q_ok", "low_quality")
+        .when($"lang" =!= "en", "non_en")
+        .otherwise("keep")
+    flagged
+      .select(col(idCol), verdict.as("verdict"),
+              when(verdict === "keep", 1).otherwise(0).as("keep"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased text,
     * plus a 16-way shard bucket derived from the first hex nibble. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -346,6 +346,37 @@ object AnalyticsQueries {
             when(coalesce($"comp", $"doc_id") === $"doc_id", 0)
               .otherwise(1).as("is_dup"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- composed corpus filter: dedup + quality + language in one pass -----
+    Q("q46_corpus_filter",
+      "the shipped training-data decision: exact-dup, quality, and language " +
+        "gates fused into one scan + one 50-byte/row exchange",
+      Some("""WITH flags AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_dup,
+             |         len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS n_tokens,
+             |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+             |         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+             |         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_hits,
+             |         len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS es_hits,
+             |         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que)\b')) AS fr_hits,
+             |         CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+             |              WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+             |              WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+             |              WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+             |              ELSE 'fr' END AS lang_guess
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CASE WHEN is_dup = 1 THEN 'dup'
+             |            WHEN NOT (n_tokens >= 10 AND punct_ratio < 0.2) THEN 'low_quality'
+             |            WHEN lang_guess <> 'en' THEN 'non_en'
+             |            ELSE 'keep' END AS verdict,
+             |       CASE WHEN is_dup = 0 AND n_tokens >= 10 AND punct_ratio < 0.2
+             |                 AND lang_guess = 'en' THEN 1 ELSE 0 END AS keep
+             |FROM flags ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.corpusFilter(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"))
   )
 }

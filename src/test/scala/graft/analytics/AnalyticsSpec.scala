@@ -185,6 +185,28 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 }
 
+class CorpusFilterSpec extends SparkTestBase {
+
+  test("verdict precedence: dup beats low_quality beats non_en; keep only " +
+       "when every gate passes") {
+    import spark.implicits._
+    val good = "the cat sat on the mat and the dog is in the house today"
+    val docs = Seq(
+      (1L, good),                           // keep
+      (2L, good),                           // dup of 1 (also good -> dup wins)
+      (3L, "short text"),                   // low_quality (few tokens)
+      (4L, "der hund ist nicht hier und das haus ist gross und alt heute"),  // non_en
+      (5L, "a! b! c! d! e! f! g! h! i! j! k!")  // punct-heavy -> low_quality
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out === Seq(
+      (1L, "keep", 1), (2L, "dup", 0), (3L, "low_quality", 0),
+      (4L, "non_en", 0), (5L, "low_quality", 0)))
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
 
   test("binary plumbing: payload bytes flow through mapPartitions decode") {
