@@ -54,6 +54,20 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the event stream against a (batch)
+    * dimension — the streaming mirror of the batch category attach (J1).
+    * The static side is re-planned per micro-batch, so a broadcast-sized
+    * dimension costs one broadcast per batch and the STREAM side never
+    * shuffles; left join keeps unmatched events with the reference's
+    * 'Undefined' default. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String,
+             defaults: Map[String, String] = Map.empty): DataFrame = {
+    val joined = events.join(broadcast(dim), Seq(key), "left")
+    defaults.foldLeft(joined) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), lit(d)))
+    }
+  }
+
   /** Gap-based sessionization per user via flatMapGroupsWithState: a
     * session closes after `gapMinutes` of silence (event-time timeout);
     * emits one row per closed session. Custom keyed state — the case the

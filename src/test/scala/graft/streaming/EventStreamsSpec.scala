@@ -45,6 +45,21 @@ class EventStreamsSpec extends SparkTestBase {
       === Seq(1L, 2L, 3L))
   }
 
+  test("enrich joins the stream to a static dim per micro-batch, broadcast, " +
+       "with Undefined defaulting for unmatched keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 10, user = 1), ev(2, 11, user = 2), ev(3, 12, user = 99))
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "segment")
+    val out = runAll("enriched",
+      EventStreams.enrich(in.toDF(), dim, "user_id",
+                          Map("segment" -> "Undefined")))
+      .orderBy("event_id").collect()
+    assert(out.map(_.getAs[String]("segment")).toSeq
+      === Seq("alpha", "beta", "Undefined"))
+  }
+
   test("sessionize closes a session after the gap and a watermark advance") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
