@@ -44,8 +44,22 @@ object Dedup {
            t => t =!= "")
 
   /** Distinct word n-gram shingles per document: (id, sh). Documents shorter
-    * than n tokens produce no shingles (same guard in the oracle SQL). */
+    * than n tokens produce no shingles (same guard in the oracle SQL).
+    * Routed through the native [[graft.functions.WordNgrams]] expression —
+    * one codegen'd kernel call per document instead of interpreting a
+    * transform/sequence/element_at/concat_ws chain per token position. */
   def shingles(docs0: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("doc"),
+        explode(graft.functions.WordNgrams.wordNgrams(col(textCol), n)).as("sh"))
+  }
+
+  /** The composed-expression form of [[shingles]], kept as the differential-
+    * test reference for the native expression. */
+  def shinglesComposed(docs0: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._

@@ -49,6 +49,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("shingles: native WordNgrams expression == composed form on " +
+       "generated texts (rows, order, and per-doc shingle sets)") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("the", "cat", "sat", "on", "MAT", "a", "b", "..",
+                            "  ", "\t", "x\ny")
+    val textGen = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    val inputs = sample(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) } ++
+      Seq((9001L, ""), (9002L, "   "), (9003L, "one two"),
+          (9004L, "one two three"), (9005L, "a a a a a"))
+    for (n <- Seq(2, 3)) {
+      val df = inputs.toDF("doc_id", "text")
+      val nat = graft.analytics.Dedup.shingles(df, "doc_id", "text", n)
+        .orderBy("doc", "sh").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val comp = graft.analytics.Dedup.shinglesComposed(df, "doc_id", "text", n)
+        .orderBy("doc", "sh").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(nat === comp, s"n=$n")
+    }
+  }
+
   test("F2 sanitizeName is idempotent") {
     import spark.implicits._
     val strGen = Gen.listOfN(12, Gen.oneOf(
