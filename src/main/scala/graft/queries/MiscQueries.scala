@@ -270,6 +270,24 @@ object MiscQueries {
                sum($"l_quantity".cast(DecimalType(18, 2))).cast("double")
                  .as("sum_qty"))
           .orderBy("label")
+      }),
+
+    // ----- extension: distinct aggregation (exact; the HLL approx variant
+    // is spec-verified against this within tolerance, sketches differ
+    // across engines so it cannot hash-match an oracle) -----
+    Q("q47_distinct_users",
+      "exact per-group distinct-count aggregation",
+      Some("""SELECT event_type,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("n_users"),
+               count(lit(1)).as("n_events"))
+          .orderBy("event_type")
       })
   )
 }
