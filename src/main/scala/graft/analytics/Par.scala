@@ -13,6 +13,9 @@ import org.apache.spark.sql.DataFrame
 object Par {
 
   def ensure(df: DataFrame): DataFrame = {
+    // streaming plans have no .rdd and micro-batch sizing is the
+    // scheduler's concern — pass through untouched
+    if (df.isStreaming) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     // getNumPartitions plans the RDD but runs no job
     if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
