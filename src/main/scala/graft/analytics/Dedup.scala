@@ -217,6 +217,25 @@ object Dedup {
     labels
   }
 
+  /** Leakage-safe train/val/test assignment: the split is hashed from the
+    * duplicate-CLUSTER id, not the document id, so near-duplicates can
+    * never straddle a split boundary (the classic train/test contamination
+    * bug: doc in train, its near-copy in test). Deterministic md5 hashing —
+    * the same hex-prefix range split in any engine. Default cuts: md5 hex
+    * first char < 'c' -> train (12/16 = 75%), < 'e' -> val (12.5%), else
+    * test (12.5%). Pure map-side over the (doc, component) frame.
+    *
+    * @param tagged (idCol, componentCol) — e.g. [[connectedComponents]]
+    *               joined back to the corpus with singletons coalesced to
+    *               their own id
+    */
+  def leakageSafeSplit(tagged: DataFrame, idCol: String, componentCol: String,
+                       trainCut: String = "c", valCut: String = "e"): DataFrame = {
+    val h = md5(col(componentCol).cast("string"))
+    tagged.withColumn("split",
+      when(h < trainCut, "train").when(h < valCut, "val").otherwise("test"))
+  }
+
   /** 16-bit SimHash from md5 nibbles: bit i (1-based) is set iff the
     * token-occurrence-weighted sum of (+1 if nibble i's high bit set else -1)
     * is positive. Integer arithmetic end-to-end → exact in both engines. */

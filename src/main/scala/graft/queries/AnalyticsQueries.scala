@@ -377,6 +377,42 @@ object AnalyticsQueries {
              |FROM flags ORDER BY doc_id""".stripMargin),
       (s, dir) =>
         TextAnalysis.corpusFilter(Tables(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- leakage-safe split: hash the dup-cluster id, not the doc id -----
+    Q("q48_leakage_safe_split",
+      "train/val/test assignment hashed from the near-dup CLUSTER id so " +
+        "duplicates never straddle a split (no train/test contamination)",
+      Some("WITH RECURSIVE" + shCte.stripPrefix("WITH") + lshCte + """,
+             | edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+             |           UNION ALL SELECT doc_b, doc_a FROM cand),
+             | walk AS (
+             |   SELECT a AS node, b AS reach FROM edges
+             |   UNION
+             |   SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+             | comp AS (
+             |   SELECT node, least(node, min(reach)) AS component
+             |   FROM walk GROUP BY node),
+             | tagged AS (
+             |   SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+             |   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+             |SELECT doc_id, component,
+             |       CASE WHEN md5(CAST(component AS VARCHAR)) < 'c' THEN 'train'
+             |            WHEN md5(CAST(component AS VARCHAR)) < 'e' THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM tagged ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs  = Tables(s, dir, "documents")
+        val sh    = Dedup.shingles(docs, "doc_id", "text")
+        val bands = Dedup.minhashBands(sh, numHashes = 8, bandSize = 2)
+        val cand  = Dedup.minhashCandidates(bands, maxBucket = 1000)
+        val comp  = Dedup.connectedComponents(cand)
+        val tagged = docs.select($"doc_id")
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"comp", $"doc_id").as("component"))
+        Dedup.leakageSafeSplit(tagged, "doc_id", "component")
+          .orderBy("doc_id")
+      })
   )
 }

@@ -102,6 +102,24 @@ class DedupSpec extends SparkTestBase {
     assert(comp.count() === 10L)
   }
 
+  test("leakage-safe split: every member of a component gets the same " +
+       "split; all three splits appear over many singleton components") {
+    import spark.implicits._
+    val tagged = (1L to 300L).map(i => (i, if (i <= 10) 1L else i))
+      .toDF("doc_id", "component")
+    val out = Dedup.leakageSafeSplit(tagged, "doc_id", "component")
+    val clusterSplits = out.filter($"component" === 1L)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(clusterSplits.length === 1, "a cluster must not straddle splits")
+    val splits = out.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(splits === Set("train", "val", "test"))
+    // deterministic: same input -> same assignment
+    val again = Dedup.leakageSafeSplit(tagged, "doc_id", "component")
+      .orderBy("doc_id").collect().map(_.getString(2)).toSeq
+    assert(again === out.orderBy("doc_id").collect().map(_.getString(2)).toSeq)
+  }
+
   test("simhash: identical text -> identical hash, 16-bit range") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
