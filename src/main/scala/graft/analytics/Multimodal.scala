@@ -75,6 +75,54 @@ object Multimodal {
       it.map(decode)
     }
   }
+
+  /** A resized payload (decode -> scale -> re-encode in a real pipeline). */
+  final case class MediaResized(doc_id: Long, media_type: String,
+                                width: Int, height: Int, n_bytes_in: Long,
+                                n_bytes_out: Long)
+
+  /** Resize plumbing: partition-wise transform to a fixed target size. The
+    * scaler is a STUB (no imaging libs here) — real are the typed Dataset
+    * boundary, the per-partition transformer scope, and the deterministic
+    * output contract (`n_bytes_out` = stub arithmetic a real encoder would
+    * replace). */
+  def resize(blobs: Dataset[MediaBlob], width: Int, height: Int): Dataset[MediaResized] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition scaler scope (native resize context goes here)
+      it.map { b =>
+        val n = b.data.length.toLong
+        MediaResized(b.doc_id, b.media_type, width, height, n,
+                     math.min(n, width.toLong * height))
+      }
+    }
+  }
+
+  /** Frame sampling: k frame indices spread evenly over [0, n_frames), one
+    * output row per sampled frame (the explode shape a video pipeline
+    * feeds to per-frame feature extraction). Pure integer arithmetic over
+    * the decoded frame count — fully deterministic, so even this stubbed
+    * path is oracle-checkable. `frame_key` is the md5 lineage key a real
+    * pipeline would use to address extracted frame artifacts. */
+  def sampleFrames(meta: Dataset[MediaMeta], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = meta.sparkSession
+    import spark.implicits._
+    val kk = least(lit(k), $"n_frames")
+    meta.toDF()
+      .select($"doc_id", $"n_frames",
+              explode(sequence(lit(0), kk - 1)).as("sample_ord"))
+      .select($"doc_id", $"sample_ord",
+        // integer DIV keeps both engines exact (a double divide + cast
+        // would round differently: DuckDB CAST(x AS INT) rounds, Spark
+        // truncates)
+        expr(s"CAST((sample_ord * (n_frames - 1)) DIV ${math.max(k - 1, 1)} AS INT)")
+          .as("frame_idx"))
+      .withColumn("frame_key",
+        md5(concat($"doc_id".cast("string"), lit("|"),
+                   $"frame_idx".cast("string"))))
+  }
 }
 
 /** Image-container header parsers: dimensions from fixed header fields,

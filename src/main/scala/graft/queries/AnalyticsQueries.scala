@@ -413,6 +413,29 @@ object AnalyticsQueries {
           .select($"doc_id", coalesce($"comp", $"doc_id").as("component"))
         Dedup.leakageSafeSplit(tagged, "doc_id", "component")
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- multimodal frame sampling (explode shape over decoded frames) -----
+    Q("q49_frame_sample",
+      "k=4 evenly-spread frame indices per media payload with md5 lineage " +
+        "keys (per-frame explode a video pipeline feeds feature extraction)",
+      Some("""WITH meta AS (
+             |  SELECT doc_id, CAST((strlen(text) % 24) + 1 AS INT) AS n_frames
+             |  FROM documents),
+             | s AS (
+             |  SELECT doc_id, n_frames,
+             |         unnest(range(0, least(4, n_frames))) AS sample_ord
+             |  FROM meta)
+             |SELECT doc_id, CAST(sample_ord AS INT) AS sample_ord,
+             |       CAST((sample_ord * (n_frames - 1)) // 3 AS INT) AS frame_idx,
+             |       md5(CAST(doc_id AS VARCHAR) || '|' ||
+             |           CAST(CAST((sample_ord * (n_frames - 1)) // 3 AS INT) AS VARCHAR)) AS frame_key
+             |FROM s ORDER BY doc_id, sample_ord""".stripMargin),
+      (s, dir) =>
+        Multimodal.sampleFrames(
+            Multimodal.extractMeta(
+              Multimodal.asBlobs(Tables(s, dir, "documents"), "doc_id", "text")),
+            k = 4)
+          .orderBy("doc_id", "sample_ord"))
   )
 }

@@ -271,6 +271,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).media_type === "image/unknown") // stub fallback
   }
 
+  test("resize plumbing: typed partition-wise transform, deterministic " +
+       "output contract") {
+    import spark.implicits._
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, "x" * 100), (2L, "y" * 100000)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val out = Multimodal.resize(blobs, 224, 224).orderBy("doc_id").collect()
+    assert(out.map(_.width).toSeq === Seq(224, 224))
+    assert(out(0).n_bytes_out === 100L)            // smaller than target area
+    assert(out(1).n_bytes_out === 224L * 224L)     // capped at target area
+  }
+
+  test("sampleFrames: k evenly-spread distinct-ordinal rows, capped at " +
+       "n_frames, md5 lineage keys") {
+    import spark.implicits._
+    // n_frames = (len % 24) + 1: len 26 -> 3 frames; len 1 -> 2 frames;
+    // len 23 -> 24 frames
+    val blobs = Multimodal.asBlobs(
+      Seq((1L, "a" * 26), (2L, "b"), (3L, "c" * 23)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val meta = Multimodal.extractMeta(blobs)
+    val out = Multimodal.sampleFrames(meta, k = 4)
+      .orderBy("doc_id", "sample_ord").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(_.getInt(2)).toSeq === Seq(0, 0, 1))    // 3 frames, k=4
+    assert(byDoc(2L).map(_.getInt(2)).toSeq === Seq(0, 0))       // 2 frames
+    assert(byDoc(3L).map(_.getInt(2)).toSeq === Seq(0, 7, 15, 23)) // 24 frames
+    assert(out.forall(_.getString(3).length === 32))
+  }
+
   test("non-image bytes never misparse as images") {
     assert(ImageHeaders.parse("plain text payload".getBytes) === None)
     assert(ImageHeaders.parse(Array[Byte]()) === None)
