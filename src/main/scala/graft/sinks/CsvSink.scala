@@ -70,30 +70,35 @@ object CsvSink {
       .mode("overwrite")
       .csv(dir)
 
-  /** Reference-parity single file: utf-8-sig BOM + header + rows, assembled
-    * by streaming partition iterators (no full materialization). */
+  /** Reference-parity single file: utf-8-sig BOM + header + rows. Row
+    * serialization (quote-minimal with `""` doubling, `;` join) runs as
+    * codegen'd Column expressions in DISTRIBUTED text parts; the driver
+    * writes BOM + header and byte-concatenates the parts. */
   def writeSingleFile(df: DataFrame, path: String): Unit = {
     val cols = df.columns.toSeq
-    def quote(v: String): String =
+    def quoteStr(v: String): String =
       if (v.contains(";") || v.contains("\"") || v.contains("\n") ||
           v.contains("\r"))
         "\"" + v.replace("\"", "\"\"") + "\""
       else v
-    val out = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    def quoteCol(c: Column): Column = {
+      val s = coalesce(c.cast("string"), lit(""))
+      when(s.rlike("[;\"\n\r]"),
+           concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
+        .otherwise(s)
+    }
+    // concat_ws would silently SKIP null columns and misalign rows; every
+    // cell is coalesced to "" above, so the join is position-faithful
+    val line = concat_ws(";",
+      cols.map(n => quoteCol(col("`" + n + "`"))): _*).as("value")
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(
+      Paths.get(path), StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING))
     try {
-      out.write("﻿")
-      out.write(cols.map(quote).mkString(";")); out.write("\r\n")
-      // coalesce: toLocalIterator schedules one fetch job per partition —
-      // a handful of wide result partitions beats 32 sequential tiny jobs
-      val it = df.coalesce(4).toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        out.write(cols.indices
-          .map(i => quote(if (r.isNullAt(i)) "" else r.get(i).toString))
-          .mkString(";"))
-        out.write("\r\n")
-      }
+      out.write("﻿".getBytes(StandardCharsets.UTF_8))
+      out.write((cols.map(quoteStr).mkString(";") + "\r\n")
+        .getBytes(StandardCharsets.UTF_8))
+      PartFiles.drain(df.select(line), out, lineSep = "\r\n")
     } finally out.close()
   }
 }

@@ -1,0 +1,39 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+/** Shared single-file assembly: serialize rows DISTRIBUTED via the text
+  * writer, then byte-concatenate the part files on the driver in partition
+  * order. The driver copy is the only serial step — inherent to "one
+  * file"; the expensive per-row string building runs across all cores. */
+object PartFiles {
+
+  /** Write `lines` (single string column named `value`) as text parts under
+    * a temp dir, stream the part bytes into `out` in name order, delete the
+    * temp dir. `lineSep` is appended after EVERY row by the writer. */
+  def drain(lines: org.apache.spark.sql.DataFrame, out: java.io.OutputStream,
+            lineSep: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_parts")
+    val dir = tmp.resolve("parts")
+    try {
+      lines.write.mode("overwrite").option("lineSep", lineSep)
+        .text(dir.toString)
+      val listing = Files.list(dir)
+      val parts =
+        try listing.iterator().asScala.toSeq finally listing.close()
+      parts
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && !n.endsWith(".crc")
+        }
+        .sortBy(_.getFileName.toString)
+        .foreach(p => Files.copy(p, out))
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach((p: Path) => Files.deleteIfExists(p))
+    }
+  }
+}

@@ -3,8 +3,6 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -150,27 +148,9 @@ object XmlSink {
     * `<wrapper>` ... `    </wrapper>` around it; with zero rows the single
     * "\n" still matches the old `\n    </wrapper>` framing. */
   private def drainElements(elems: DataFrame, out: java.io.OutputStream): Unit = {
-    val tmp = Files.createTempDirectory("graft_xml_parts")
-    val dir = tmp.resolve("parts")
-    try {
-      elems.select(expr("substring(xml, 2)").as("value"))
-        .write.mode("overwrite").text(dir.toString)
-      out.write("\n".getBytes(StandardCharsets.UTF_8))
-      val listing = Files.list(dir)
-      val parts =
-        try listing.iterator().asScala.toSeq finally listing.close()
-      parts
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && !n.endsWith(".crc")
-        }
-        .sortBy(_.getFileName.toString)
-        .foreach(p => Files.copy(p, out))
-    } finally {
-      val walk = Files.walk(tmp)
-      val all = try walk.iterator().asScala.toSeq finally walk.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
+    out.write("\n".getBytes(StandardCharsets.UTF_8))
+    PartFiles.drain(elems.select(expr("substring(xml, 2)").as("value")),
+                    out, lineSep = "\n")
   }
 
   /** K3 single-file yandex_market write (envelope main.py:524-547). `date`
