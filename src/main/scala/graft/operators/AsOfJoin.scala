@@ -29,10 +29,20 @@ object AsOfJoin {
     * @param key       equi-join key column name (same name both sides)
     * @param ts        event-time column name (same name both sides)
     * @param rightCols right payload columns to carry (renamed as given)
-    * @return left rows + carried right payload (null when no prior row)
+    * @param direction "backward" (latest right.ts <= left.ts, the default)
+    *                  or "forward" (earliest right.ts >= left.ts) — the
+    *                  forward form is the same carry over a time-reversed
+    *                  window
+    * @param toleranceSeconds when set, matches farther than this from
+    *                  left.ts are nulled out (pandas merge_asof tolerance)
+    * @return left rows + carried right payload (null when no match)
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               direction: String = "backward",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+            s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     require(!rightCols.exists(leftCols.contains),
             "right payload columns must not collide with left columns")
@@ -48,20 +58,33 @@ object AsOfJoin {
         leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
 
     val unioned = taggedRight.unionByName(taggedLeft)
-    // right rows sort BEFORE left rows at equal ts => ts >= right.ts semantics
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1), so equal
+    // timestamps match in BOTH directions; forward is the identical carry
+    // over the time-reversed ordering
+    val tsOrder = if (direction == "backward") col(ts).asc else col(ts).desc
+    val w = Window.partitionBy(col(key)).orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // carry the whole payload as ONE struct that is non-null for every
-    // right ROW — last(payloadCol, ignoreNulls) alone would skip a right
-    // row whose payload value is legitimately NULL and resurrect a stale
-    // older value
+    // carry the whole payload (+ the matched right ts, for tolerance) as
+    // ONE struct that is non-null for every right ROW —
+    // last(payloadCol, ignoreNulls) alone would skip a right row whose
+    // payload value is legitimately NULL and resurrect a stale older value
     val packed = unioned.withColumn("__rrow",
-      when(col("__side") === 0, struct(rightCols.map(col): _*)))
+      when(col("__side") === 0,
+           struct((col(ts).as("__rts") +: rightCols.map(col)): _*)))
     val carried = packed.withColumn("__rlast",
       last(col("__rrow"), ignoreNulls = true).over(w))
+    val withinTol: Column = toleranceSeconds match {
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            unix_micros(col(ts)) - unix_micros(col("__rlast.__rts"))
+          else unix_micros(col("__rlast.__rts")) - unix_micros(col(ts))
+        gap <= tol * 1000000L
+      case None => lit(true)
+    }
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightCols.map(c => col(s"__rlast.$c").as(c))): _*)
+        rightCols.map(c => when(withinTol, col(s"__rlast.$c")).as(c))): _*)
   }
 }

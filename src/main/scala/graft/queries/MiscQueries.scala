@@ -288,6 +288,37 @@ object MiscQueries {
           .agg(countDistinct($"user_id").as("n_users"),
                count(lit(1)).as("n_events"))
           .orderBy("event_type")
+      }),
+
+    // ----- extension: FORWARD as-of join with tolerance -----
+    Q("q50_asof_forward_tol",
+      "next click value at-or-after each purchase per user, nulled when " +
+        "farther than 30 minutes (forward as-of + tolerance)",
+      Some("""WITH clicks AS (
+             |  SELECT user_id, ts, max(value) AS next_click_value
+             |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+             |       p.value,
+             |       CASE WHEN c.ts IS NOT NULL AND c.ts - p.ts <= INTERVAL 30 MINUTE
+             |            THEN c.next_click_value END AS next_click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts <= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        val clicks = ev.filter($"event_type" === "click")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("next_click_value"))
+        AsOfJoin.asofJoin(purchases, clicks, "user_id", "ts",
+                          Seq("next_click_value"),
+                          direction = "forward",
+                          toleranceSeconds = Some(30L * 60))
+          .select($"event_id", $"user_id", $"ts", $"value",
+                  $"next_click_value")
+          .orderBy("event_id")
       })
   )
 }

@@ -55,4 +55,40 @@ class AsOfJoinSpec extends SparkTestBase {
       assert(out(id) === expect, s"row $id key $k ts $t")
     }
   }
+
+  test("forward direction attaches the earliest right row at-or-after") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts(5), "p1"), (2L, 10L, ts(13), "p2"),
+                   (3L, 10L, ts(40), "p3"))
+      .toDF("id", "k", "ts", "payload")
+    val right = Seq((10L, ts(5), "r@5"), (10L, ts(12), "r@12"),
+                    (10L, ts(30), "r@30"))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv"),
+                                direction = "forward")
+      .orderBy("id").collect()
+    assert(out.map(r => Option(r.getAs[String]("rv"))).toSeq ===
+      Seq(Some("r@5"),  // equal timestamp included
+          Some("r@30"), // earliest at-or-after 13
+          None))        // nothing after 40
+  }
+
+  test("tolerance nulls matches farther than the window, both directions") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts(20), "p")).toDF("id", "k", "ts", "payload")
+    val right = Seq((10L, ts(5), "r@5"), (10L, ts(45), "r@45"))
+      .toDF("k", "ts", "rv")
+    def run(dir: String, tolSec: Long) =
+      AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv"),
+                        direction = dir, toleranceSeconds = Some(tolSec))
+        .collect().head
+    // backward match is r@5 (15 min away): kept at 20 min tol, nulled at 10
+    assert(run("backward", 20 * 60).getAs[String]("rv") === "r@5")
+    val b = run("backward", 10 * 60)
+    assert(b.isNullAt(b.fieldIndex("rv")))
+    // forward match is r@45 (25 min away): kept at 30 min tol, nulled at 20
+    assert(run("forward", 30 * 60).getAs[String]("rv") === "r@45")
+    val f = run("forward", 20 * 60)
+    assert(f.isNullAt(f.fieldIndex("rv")))
+  }
 }
