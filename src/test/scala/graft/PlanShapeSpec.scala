@@ -89,6 +89,20 @@ class PlanShapeSpec extends SparkTestBase {
            s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("corpusFilter is one scan + one exchange (flags fused into the " +
+       "projection, only the dedup window shuffles)") {
+    val df = analytics.TextAnalysis.corpusFilter(
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text")
+    // under AQE the plan string repeats as "Final Plan" + "Initial Plan" —
+    // count only the final section
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one keyed exchange:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected exactly one scan:\n$plan")
+  }
+
   test("IVF assignment has no Window over the n x centroids product") {
     import org.apache.spark.sql.functions._
     val df = analytics.Similarity.ivfTopK(
