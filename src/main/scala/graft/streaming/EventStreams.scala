@@ -68,6 +68,25 @@ object EventStreams {
     }
   }
 
+  /** Bridge a stream into the engine's batch sinks: each micro-batch is
+    * exported through the flagship CSV path (prune + sorted header + scrub
+    * via `CsvSink.exportColumns`, distributed `;`-delimited part files)
+    * into a per-batch directory. This is how a continuous feed reuses the
+    * reference's converter surface — exactly-once per directory because a
+    * batch either commits its parts or is retried whole (the directory is
+    * overwritten, keyed by batchId).
+    */
+  def csvBatchSink(stream: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty)
+        graft.sinks.CsvSink.writeParts(
+          graft.sinks.CsvSink.exportColumns(
+            batch.select(batch.columns.map(c =>
+              col("`" + c + "`").cast("string").as(c)).toSeq: _*)),
+          s"$outDir/batch_$batchId")
+    }
+
   /** Gap-based sessionization per user via flatMapGroupsWithState: a
     * session closes after `gapMinutes` of silence (event-time timeout);
     * emits one row per closed session. Custom keyed state — the case the

@@ -60,6 +60,25 @@ class EventStreamsSpec extends SparkTestBase {
       === Seq("alpha", "beta", "Undefined"))
   }
 
+  test("csvBatchSink exports each micro-batch through the flagship CSV " +
+       "path into a per-batch directory") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_csv")
+      .toString
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 10, user = 7, value = 2.5), ev(2, 11, user = 8))
+    val q = EventStreams.csvBatchSink(in.toDF(), dir).start()
+    q.processAllAvailable(); q.stop()
+    val batch0 = spark.read
+      .option("header", "true").option("sep", ";")
+      .csv(s"$dir/batch_0")
+    assert(batch0.count() === 2)
+    // flagship path applied: sorted header, string cells
+    assert(batch0.columns.toSeq === batch0.columns.sorted.toSeq)
+    assert(batch0.columns.contains("event_id"))
+  }
+
   test("sessionize closes a session after the gap and a watermark advance") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
