@@ -49,6 +49,65 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("YML round-trip property: write generated offers through the XML " +
+       "sink, read+flatten back — names/descriptions/prices/pictures " +
+       "survive escaping (XML-special chars, unicode, quotes)") {
+    import spark.implicits._
+    import graft.sinks.XmlSink
+    import graft.sources.XmlSource
+
+    val nasty = Gen.oneOf(
+      "plain name", "a & b", "x < y > z", "quote\"inside", "it's",
+      "кириллица Ünïcode", "tag<br>like", "&amp;already", "semi;colon",
+      "a  double  space")
+    val price = Gen.choose(1, 99999).map(n => s"$n.50")
+    val pics = Gen.choose(0, 3).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("http://h/a.jpg", "http://h/b&c.png",
+                               "http://h/d<e>.gif")).map(_.distinct.mkString("///")))
+    val offerGen = for {
+      nm <- nasty; pr <- price; pc <- pics; ds <- nasty
+    } yield (nm, pr, pc, ds)
+
+    val rows = sample(offerGen, 120).zipWithIndex.map { case ((nm, pr, pc, ds), i) =>
+      (s"id$i", nm, pr, pc, ds)
+    }
+    val src = rows.toDF("id", "name", "price", "pictures", "description")
+    val path = java.nio.file.Files.createTempDirectory("graft_prop")
+      .resolve("feed.xml").toString
+    XmlSink.writeYandexMarket(src, path, date = "2025-01-01 00:00")
+
+    // raw read (no flatten): sink escaping + reader unescaping must be a
+    // perfect inverse, modulo the sink's documented cell trim
+    val raw = XmlSource.read(spark, path, XmlSource.Yml)
+    val pictureIsArray = raw.columns.contains("picture") &&
+      raw.schema("picture").dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val back = raw.collect().map { r =>
+      def s(n: String): String =
+        if (raw.columns.contains(n) && !r.isNullAt(r.fieldIndex(n)))
+          Option(r.get(r.fieldIndex(n))).map(_.toString).orNull
+        else null
+      val pics: Seq[String] =
+        if (!raw.columns.contains("picture") ||
+            r.isNullAt(r.fieldIndex("picture"))) Seq.empty
+        else if (pictureIsArray) r.getSeq[Any](r.fieldIndex("picture"))
+          .filter(_ != null).map(_.toString).toSeq
+        else Seq(r.get(r.fieldIndex("picture")).toString)
+      s("_id") -> ((s("name"), s("price"), pics, s("description")))
+    }.toMap
+
+    rows.foreach { case (id, nm, pr, pc, ds) =>
+      val (bnm, bpr, bpc, bds) = back(id)
+      assert(bnm === nm.trim, s"name for $id")
+      // the reader type-infers price as a number ("12.50" -> 12.5):
+      // compare numerically, the escaping property lives in the text cols
+      assert(bpr.toDouble === pr.toDouble, s"price for $id")
+      val expectPics = pc.split("///").map(_.trim).filter(_.nonEmpty).toSeq
+      assert(bpc === expectPics, s"pictures for $id")
+      assert(bds === ds.trim, s"description for $id")
+    }
+  }
+
   test("shingles: native WordNgrams expression == composed form on " +
        "generated texts (rows, order, and per-doc shingle sets)") {
     import spark.implicits._
