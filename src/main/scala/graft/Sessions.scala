@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's required session configuration in one place — what a user
+  * of the library applies to their own cluster session, and what every
+  * local entry point (Verify/Bench/Smoke/PlanAudit) builds from.
+  *
+  * Required semantics:
+  *  - `caseSensitive=true`: dynamic XML schemas legitimately contain
+  *    case-colliding columns (the 1C dialect emits both `ID` and `id`);
+  *    the default resolver would reject them as ambiguous.
+  *  - `nanosAsLong=true`: TIMESTAMP(NANOS) parquet inputs arrive as LONG
+  *    nanoseconds ([[graft.queries.Tables]] converts to microsecond
+  *    timestamps); without it the read throws.
+  *  - UTC session time zone: timestamp results must not depend on the
+  *    submitting machine's locale.
+  *
+  * Tuning defaults (overridable on the returned builder):
+  *  - shuffle partitions sized to the core count given (a real cluster
+  *    sizes this to ~2-3x total cores / target partition size instead);
+  *  - AQE stays ON (Spark default) for runtime coalescing and skew splits.
+  */
+object Sessions {
+
+  /** Builder with the engine's required semantics applied; caller sets
+    * master/shuffle sizing or takes the locals below. */
+  def configured(builder: SparkSession.Builder): SparkSession.Builder =
+    builder
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.caseSensitive", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** A local[n] session for the driver harness and tests. */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = configured(SparkSession.builder())
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -8,10 +8,7 @@ import org.apache.spark.sql.SparkSession
 object SplitBench {
   def main(args: Array[String]): Unit = {
     val path = args.headOption.getOrElse("/tmp/big_feed.xml")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.caseSensitive", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Sessions.local(32, appName = "graft-splitbench")
     spark.sparkContext.setLogLevel("ERROR")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
