@@ -217,6 +217,25 @@ object Dedup {
     labels
   }
 
+  /** The full near-dup clustering pipeline over a corpus: shingles ->
+    * MinHash/LSH bands -> capped candidate pairs -> connected components,
+    * joined back so EVERY document carries its cluster id (singletons get
+    * their own id). The composition q42/q48 and any dedup decision build
+    * on. */
+  def dupClusters(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 8, bandSize: Int = 2,
+                  maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh    = shingles(docs, idCol, textCol)
+    val bands = minhashBands(sh, numHashes, bandSize)
+    val cand  = minhashCandidates(bands, maxBucket)
+    val comp  = connectedComponents(cand)
+    docs.select(col(idCol))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce($"comp", col(idCol)).as("component"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split is hashed from the
     * duplicate-CLUSTER id, not the document id, so near-duplicates can
     * never straddle a split boundary (the classic train/test contamination

@@ -334,17 +334,9 @@ object AnalyticsQueries {
              |ORDER BY d.doc_id""".stripMargin),
       (s, dir) => {
         import s.implicits._
-        val docs  = Tables(s, dir, "documents")
-        val sh    = Dedup.shingles(docs, "doc_id", "text")
-        val bands = Dedup.minhashBands(sh, numHashes = 8, bandSize = 2)
-        val cand  = Dedup.minhashCandidates(bands, maxBucket = 1000)
-        val comp  = Dedup.connectedComponents(cand)
-        docs.select($"doc_id")
-          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-          .select($"doc_id",
-            coalesce($"comp", $"doc_id").as("component"),
-            when(coalesce($"comp", $"doc_id") === $"doc_id", 0)
-              .otherwise(1).as("is_dup"))
+        Dedup.dupClusters(Tables(s, dir, "documents"), "doc_id", "text")
+          .select($"doc_id", $"component",
+            when($"component" === $"doc_id", 0).otherwise(1).as("is_dup"))
           .orderBy("doc_id")
       }),
 
@@ -401,19 +393,11 @@ object AnalyticsQueries {
              |            WHEN md5(CAST(component AS VARCHAR)) < 'e' THEN 'val'
              |            ELSE 'test' END AS split
              |FROM tagged ORDER BY doc_id""".stripMargin),
-      (s, dir) => {
-        import s.implicits._
-        val docs  = Tables(s, dir, "documents")
-        val sh    = Dedup.shingles(docs, "doc_id", "text")
-        val bands = Dedup.minhashBands(sh, numHashes = 8, bandSize = 2)
-        val cand  = Dedup.minhashCandidates(bands, maxBucket = 1000)
-        val comp  = Dedup.connectedComponents(cand)
-        val tagged = docs.select($"doc_id")
-          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-          .select($"doc_id", coalesce($"comp", $"doc_id").as("component"))
-        Dedup.leakageSafeSplit(tagged, "doc_id", "component")
-          .orderBy("doc_id")
-      }),
+      (s, dir) =>
+        Dedup.leakageSafeSplit(
+            Dedup.dupClusters(Tables(s, dir, "documents"), "doc_id", "text"),
+            "doc_id", "component")
+          .orderBy("doc_id")),
 
     // ----- multimodal frame sampling (explode shape over decoded frames) -----
     Q("q49_frame_sample",
