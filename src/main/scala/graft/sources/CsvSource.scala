@@ -26,14 +26,23 @@ object CsvSource {
   /** Distributed header'd read, all-string schema, BOM-tolerant.
     * escape=`"` matches the RFC-4180 `""` doubling our sinks (and the
     * reference's csv module) write — Spark's default escape is `\`, which
-    * would corrupt quoted cells on read-back. */
+    * would corrupt quoted cells on read-back.
+    *
+    * `multiLine=true` parses embedded newlines inside quoted cells (the
+    * reference's csv.DictReader does this by default) at the cost of
+    * splittability — one core per FILE. Default false: the scale path, and
+    * our own sinks scrub newlines to spaces on export (F6) so engine
+    * round-trips never need it. Enable it for foreign CSVs with multiline
+    * cells. */
   def read(spark: SparkSession, path: String,
-           delimiter: Option[String] = None): DataFrame = {
+           delimiter: Option[String] = None,
+           multiLine: Boolean = false): DataFrame = {
     val sep = delimiter.getOrElse(sniffFile(path))
     def readWith(s: String): DataFrame = spark.read
       .option("header", "true")
       .option("sep", s)
       .option("escape", "\"")
+      .option("multiLine", multiLine.toString)
       .option("inferSchema", "false")
       .csv(path)
     val df = readWith(sep)

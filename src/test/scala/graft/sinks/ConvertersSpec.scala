@@ -73,6 +73,18 @@ class ConvertersSpec extends SparkTestBase {
     assert(back.map(_.getString(2)).toSeq === Seq("10", "20"))
   }
 
+  test("S5 multiLine reads foreign CSVs with embedded newlines in quoted " +
+       "cells (csv.DictReader parity)") {
+    val path = tmp("foreign.csv")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "id;note\n1;\"line one\nline two\"\n2;plain\n")
+    val back = CsvSource.read(spark, path, multiLine = true)
+      .orderBy("id").collect()
+    assert(back.length === 2)
+    assert(back(0).getString(1) === "line one\nline two")
+    assert(back(1).getString(1) === "plain")
+  }
+
   // ---------------- K3 yandex_market XML sink ----------------
 
   test("K3 CSV->YML round-trip: dense category ids, pictures split, params") {
