@@ -52,6 +52,38 @@ class RangeJoinSpec extends SparkTestBase {
     assert(joined.count() === 48L) // 8h window, 10-min cadence, end exclusive
   }
 
+  test("generated differential: bucketed == naive on random points and " +
+       "intervals across bin sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = 1735689600000L
+    val points = (1 to 400).map(i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(86400) * 1000L)))
+      .toDF("pid", "ts")
+    val intervals = (1 to 40).map { i =>
+      val s = base + rnd.nextInt(86400) * 1000L
+      // mix zero-length, short, long, and inverted intervals
+      val e = s + (rnd.nextInt(5) match {
+        case 0 => 0L
+        case 1 => -3600000L
+        case 2 => rnd.nextInt(600) * 1000L
+        case _ => rnd.nextInt(8 * 3600) * 1000L
+      })
+      (i.toLong, new Timestamp(s), new Timestamp(e))
+    }.toDF("iid", "start_ts", "end_ts")
+    val naive = points.join(intervals,
+        $"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .select($"pid", $"iid").orderBy($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (bin <- Seq(60L, 1800L, 3600L, 7 * 3600L)) {
+      val got = RangeJoin.byBucket(points, "ts", intervals,
+                                   "start_ts", "end_ts", binSeconds = bin)
+        .select($"pid", $"iid").orderBy($"pid", $"iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === naive, s"binSeconds=$bin")
+    }
+  }
+
   test("plan is an equi join on the bin, not a nested-loop product") {
     import spark.implicits._
     val points = Seq((1L, ts("2025-01-01 00:00:00"))).toDF("pid", "ts")

@@ -20,6 +20,26 @@ class SaltedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("generated differential: salted == plain across salt counts on " +
+       "random skewed data with null keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val keys = Array("hot", "hot", "hot", "hot", "warm", "warm", "rare", null)
+    val facts = (1 to 500).map(i => (i.toLong, keys(rnd.nextInt(keys.length))))
+      .toDF("fid", "k")
+    val dim = Seq(("hot", "H"), ("warm", "W"), ("rare", "R"), ("unused", "U"))
+      .toDF("k", "label")
+    val plain = facts.join(dim, Seq("k"), "left")
+      .select($"fid", $"label").orderBy($"fid").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    for (n <- Seq(1, 3, 8, 64)) {
+      val salted = SaltedJoin.join(facts, dim, "k", n, $"fid", "left")
+        .select($"fid", $"label").orderBy($"fid").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+      assert(salted === plain, s"numSalts=$n")
+    }
+  }
+
   test("the shuffle is keyed on (key, salt): a hot key spans many partitions") {
     import spark.implicits._
     val facts = (1 to 2000).map(i => (i.toLong, "hot")).toDF("fid", "k")
