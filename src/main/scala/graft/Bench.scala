@@ -5,10 +5,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus, appName = "graft-bench")
-    // warm the session (codegen, parquet reader, shuffle machinery) so the
-    // first measured query isn't charged ~2-4s of JVM warmup
+    // warm the session (codegen, parquet reader, shuffle machinery, window
+    // exec, text writer) so the first measured query isn't charged ~2-4s
+    // of JVM/janino warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val w = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v"))))
+        .select(concat_ws(";", col("k"), col("rn").cast("string")).as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm")
+      w.write.mode("overwrite").text(tmp.resolve("t").toString)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

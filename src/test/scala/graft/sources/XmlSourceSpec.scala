@@ -218,6 +218,9 @@ class XmlSourceSpec extends SparkTestBase {
        "(same rows, same schema)") {
     val cases = Seq(
       ("yml_offer.xml", XmlSource.Yml, "_id"),
+      // product: nested <offer> children inside the row element must ride
+      // along inside the split record
+      ("product.xml", XmlSource.Product, "_id"),
       ("russian_1c.xml", XmlSource.Russian, "ID"),
       ("service.xml", XmlSource.Service, "_id"))
     for ((f, d, key) <- cases) {
