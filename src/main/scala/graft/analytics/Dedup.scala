@@ -168,8 +168,10 @@ object Dedup {
 
   /** Connected components over candidate duplicate pairs — the final stage
     * of the near-dup pipeline: LSH/Jaccard emit PAIRS, but dedup decisions
-    * need CLUSTERS (a~b, b~c => {a,b,c} keep one). Iterative min-label
-    * propagation: every node starts labeled with itself; each round pushes
+    * need CLUSTERS (a~b, b~c => {a,b,c} keep one). Two physical tiers, same
+    * semantics: driver union-find when the pair set fits in memory (the
+    * common case after LSH bucket capping), else iterative min-label
+    * propagation — every node starts labeled with itself; each round pushes
     * the smaller label across every edge until fixpoint.
     *
     * Scale shape: per round, one join of edges against the label set (both
@@ -186,7 +188,54 @@ object Dedup {
     *         component = min doc id reachable. Callers left-join docs and
     *         coalesce to the doc's own id for singletons.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localMaxPairs: Long = 1000000L): DataFrame = {
+    // candidate sets after LSH capping are usually driver-sized: a local
+    // union-find is one collect instead of ~4 jobs per diameter round.
+    // Probe with limit+count (never scans past the threshold); huge pair
+    // sets take the distributed propagation below.
+    val small =
+      pairs.limit((localMaxPairs + 1).toInt).count() <= localMaxPairs
+    if (small) connectedComponentsLocal(pairs)
+    else connectedComponentsIterative(pairs, maxIter)
+  }
+
+  /** Driver-side union-find over a collected pair set; same output contract
+    * as the iterative form (component = min reachable id). */
+  private def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val rows = pairs.select(col("doc_a"), col("doc_b")).collect()
+    val parent = new scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN id so every root is its component's minimum
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val out = parent.keys.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+    val dt = pairs.schema("doc_a").dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, math.max(1, out.size / 100000)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", dt),
+        org.apache.spark.sql.types.StructField("comp", dt))))
+  }
+
+  /** Distributed min-label propagation — the no-collect path. */
+  private[analytics] def connectedComponentsIterative(
+      pairs: DataFrame, maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val und = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))

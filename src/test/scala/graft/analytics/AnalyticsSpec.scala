@@ -102,6 +102,22 @@ class DedupSpec extends SparkTestBase {
     assert(comp.count() === 10L)
   }
 
+  test("connected components: local union-find == distributed propagation " +
+       "on a random graph (tier parity)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 200)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val localOut = Dedup.connectedComponents(pairs) // small -> local tier
+    val iterOut  = Dedup.connectedComponentsIterative(pairs, maxIter = 20)
+    assert(canon(localOut) === canon(iterOut))
+  }
+
   test("leakage-safe split: every member of a component gets the same " +
        "split; all three splits appear over many singleton components") {
     import spark.implicits._
