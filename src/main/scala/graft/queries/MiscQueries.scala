@@ -290,6 +290,30 @@ object MiscQueries {
           .orderBy("event_type")
       }),
 
+    // ----- extension: GROUPING SETS (the general rollup/cube form) -----
+    Q("q51_grouping_sets",
+      "explicit GROUPING SETS: by type, by user-bucket, and grand total " +
+        "in one pass",
+      Some("""SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+             |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .withColumn("user_bucket", ($"user_id" % 10).cast("long"))
+          .createOrReplaceTempView("events_gs")
+        s.sql("""SELECT event_type, user_bucket,
+                |       count(*) AS n_events,
+                |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                |FROM events_gs
+                |GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+                |ORDER BY event_type ASC NULLS FIRST,
+                |         user_bucket ASC NULLS FIRST""".stripMargin)
+      }),
+
     // ----- extension: FORWARD as-of join with tolerance -----
     Q("q50_asof_forward_tol",
       "next click value at-or-after each purchase per user, nulled when " +
