@@ -314,6 +314,48 @@ object MiscQueries {
                 |         user_bucket ASC NULLS FIRST""".stripMargin)
       }),
 
+    // ----- extension: exact percentiles (interpolated, both engines) -----
+    Q("q52_percentiles",
+      "exact interpolated median/p95 of value per event type (rounded to " +
+        "6 decimals so both engines' float formatting agrees)",
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 6) AS p50,
+             |       round(quantile_cont(value, 0.95), 6) AS p95
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+               round(expr("percentile(value, 0.95)"), 6).as("p95"))
+          .orderBy("event_type")
+      }),
+
+    // ----- extension: pivot (long -> wide, the reference's param pivot) -----
+    Q("q53_pivot",
+      "event counts pivoted to one column per type (the long->wide reshape " +
+        "behind the reference's param_* columns)",
+      Some("""SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+             |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+             |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+             |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "events")
+          .withColumn("user_bucket", ($"user_id" % 10).cast("long"))
+          .groupBy($"user_bucket")
+          // explicit value list: no extra distinct-discovery job, stable
+          // column order (the dynamic form would scan for types first)
+          .pivot("event_type",
+                 Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_bucket")
+      }),
+
     // ----- extension: FORWARD as-of join with tolerance -----
     Q("q50_asof_forward_tol",
       "next click value at-or-after each purchase per user, nulled when " +
