@@ -141,8 +141,20 @@ object Pipeline {
     val base = Paths.get(xmlPath).getFileName.toString.stripSuffix(".xml")
     val out = Paths.get(outDir, s"$base.json")
     Files.createDirectories(out.getParent)
-    val rows = json.coalesce(1).collect().map(_.getString(0))
-    Files.writeString(out, rows.mkString("[\n", ",\n", "\n]"), StandardCharsets.UTF_8)
+    // stream partition iterators: constant driver memory (collect() would
+    // materialize the whole converted dataset in one driver array)
+    val w = Files.newBufferedWriter(out, StandardCharsets.UTF_8)
+    try {
+      w.write("[\n")
+      val it = json.coalesce(4).toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) w.write(",\n")
+        w.write(it.next().getString(0))
+        first = false
+      }
+      w.write("\n]")
+    } finally w.close()
     out
   }
 

@@ -30,6 +30,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the reference's charset-fallback chain (S4) includes
+      // windows-1251/1252; Spark 4 rejects them as CSV/text encodings
+      // unless java charsets are allowed
+      .config("spark.sql.legacy.javaCharsets", "true")
 
   /** A local[n] session for the driver harness and tests. */
   def local(cores: Int, appName: String = "graft"): SparkSession = {

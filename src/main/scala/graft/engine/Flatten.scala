@@ -69,11 +69,14 @@ object Flatten {
       lit(""))
 
   /** First non-empty text among repeated instances (descendant first-wins
-    * fill, main.py:154-168). */
+    * fill, main.py:154-168). try_element_at: every instance can be empty
+    * for a row (e.g. attribute-only elements), and under Spark 4's default
+    * ANSI mode plain element_at on the empty filtered array would THROW
+    * instead of yielding a missing value. */
   private def firstText(arr: Column): Column =
-    element_at(
+    try_element_at(
       filter(transform(arr, x => trim(x.cast("string"))),
-             x => x.isNotNull && x =!= ""), 1)
+             x => x.isNotNull && x =!= ""), lit(1))
 
   private def fieldOf(st: StructType, name: String): Option[StructField] =
     st.fields.find(_.name == name)
@@ -471,8 +474,11 @@ object Flatten {
         // Остатки: stock sum + availability + details (main.py:348-365)
         val stock = rowsOf("Остатки")
         val qty   = (r: Column) => coalesce(fld(r, "КоличествоОстаток"), lit("0"))
+        // try_cast: a non-numeric quantity ('1,5', '5 шт') must degrade to
+        // null, not throw under default ANSI — the isNull branches below
+        // rely on null-on-bad-cast semantics
         val total = aggregate(stock, lit(0.0),
-          (acc, r) => acc + coalesce(qty(r).cast("double"), lit(0.0)))
+          (acc, r) => acc + coalesce(qty(r).try_cast("double"), lit(0.0)))
         cols("available") = when(nonEmpty(stock),
           when(total > 0, "1").otherwise("0"))
         cols("stock_total") = when(nonEmpty(stock), total.cast("string"))
@@ -482,7 +488,7 @@ object Flatten {
           array_join(
             array_distinct(transform(
               filter(stock, r => {
-                val d = qty(r).cast("double")
+                val d = qty(r).try_cast("double")
                 (d > 0) || (d.isNull && qty(r) =!= "0")
               }),
               r => concat(coalesce(fld(r, "СкладНаименование"), lit("")),
@@ -491,9 +497,12 @@ object Flatten {
 
         // Цены: price/oldprice resolution (A5, main.py:367-376)
         val prices = rowsOf("Цены")
+        // try_element_at: a ТЧ present without matching Цены rows filters
+        // to an empty array — plain element_at(-1) would throw under ANSI
         def lastVal(r: Column, pred: Column => Column): Column =
-          element_at(
-            transform(filter(r, x => pred(x)), x => fld(x, "Значение")), -1)
+          try_element_at(
+            transform(filter(r, x => pred(x)), x => fld(x, "Значение")),
+            lit(-1))
         val baseP = lastVal(prices, x =>
           fld(x, "Наименование") === "Цена" && fld(x, "Значение").isNotNull)
         val discP = lastVal(prices, x =>

@@ -191,7 +191,10 @@ object Excel {
       .select(col("rowno"),
         col("cell").getField("_r").cast("string").as("ref"),
         when(tCol === "inlineStr", inline)
-          .when(tCol === "s", element_at(sstMap, vCol))
+          // try_element_at: a shared-string index absent from the parsed
+          // dictionary (e.g. rich-text runs the flat reader missed) must
+          // yield null, not throw under default ANSI map-key semantics
+          .when(tCol === "s", try_element_at(sstMap, vCol))
           .otherwise(vCol).as("value"))
 
     // header: row 1 (tiny) -> column index -> name
@@ -199,13 +202,14 @@ object Excel {
       .select(col("ref"), col("value")).collect()
       .map(r => colIndex(r.getString(0)) -> Option(r.getString(1)).getOrElse(""))
       .sortBy(_._1)
-    val names = header.map(_._2)
-
-    // pivot the data rows by header position (bounded column count)
+    // pivot the data rows by the header cell's ACTUAL column index — not
+    // its position in the header array: xlsx omits empty cells, so a
+    // header with gaps (A1, C1, no B1) would otherwise silently misalign
+    // every data column after the gap
     val letterIdx = udfFreeColIndex(col("ref"))
-    val aggs = names.zipWithIndex.map { case (n, i) =>
-      max(when(letterIdx === i, col("value"))).as(n)
-    }
+    val aggs = header.map { case (idx, n) =>
+      max(when(letterIdx === idx, col("value"))).as(n)
+    }.toSeq
     exploded.filter(col("rowno") > 1)
       .groupBy(col("rowno"))
       .agg(aggs.head, aggs.tail: _*)

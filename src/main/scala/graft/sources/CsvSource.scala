@@ -17,11 +17,21 @@ object CsvSource {
   def sniffDelimiter(firstLine: String): String =
     if (firstLine.count(_ == ',') > firstLine.count(_ == ';')) "," else ";"
 
-  def sniffFile(path: String): String = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try sniffDelimiter(src.getLines().nextOption().getOrElse(""))
-    finally src.close()
+  /** Head probe through the S4 charset chain — a strict UTF-8 read would
+    * throw on windows-1251 headers (Cyrillic CSVs are the reference's home
+    * turf) before the delimiter fallback even ran. Returns (delimiter,
+    * charset) so the distributed read decodes with the same charset the
+    * sniff detected. */
+  def sniffFileWithCharset(path: String): (String, String) = {
+    val in = new java.io.FileInputStream(path)
+    val head =
+      try in.readNBytes(64 * 1024)
+      finally in.close()
+    val (text, charset) = CharsetFallback.decode(head)
+    (sniffDelimiter(text.linesIterator.nextOption().getOrElse("")), charset)
   }
+
+  def sniffFile(path: String): String = sniffFileWithCharset(path)._1
 
   /** Distributed header'd read, all-string schema, BOM-tolerant.
     * escape=`"` matches the RFC-4180 `""` doubling our sinks (and the
@@ -36,13 +46,17 @@ object CsvSource {
     * cells. */
   def read(spark: SparkSession, path: String,
            delimiter: Option[String] = None,
-           multiLine: Boolean = false): DataFrame = {
-    val sep = delimiter.getOrElse(sniffFile(path))
+           multiLine: Boolean = false,
+           charset: Option[String] = None): DataFrame = {
+    val (sniffSep, sniffCs) = sniffFileWithCharset(path)
+    val sep = delimiter.getOrElse(sniffSep)
+    val cs  = charset.getOrElse(sniffCs)
     def readWith(s: String): DataFrame = spark.read
       .option("header", "true")
       .option("sep", s)
       .option("escape", "\"")
       .option("multiLine", multiLine.toString)
+      .option("encoding", cs)
       .option("inferSchema", "false")
       .csv(path)
     val df = readWith(sep)

@@ -73,6 +73,16 @@ class ConvertersSpec extends SparkTestBase {
     assert(back.map(_.getString(2)).toSeq === Seq("10", "20"))
   }
 
+  test("S4+S5: windows-1251 CSV sniffs without throwing and decodes " +
+       "Cyrillic cells through the detected charset") {
+    val path = tmp("cp1251.csv")
+    val content = "id;имя\n1;Привет\n2;Мир\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      content.getBytes("windows-1251"))
+    val back = CsvSource.read(spark, path).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq === Seq("Привет", "Мир"))
+  }
+
   test("S5 multiLine reads foreign CSVs with embedded newlines in quoted " +
        "cells (csv.DictReader parity)") {
     val path = tmp("foreign.csv")

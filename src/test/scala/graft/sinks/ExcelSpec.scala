@@ -45,6 +45,33 @@ class ExcelSpec extends SparkTestBase {
     assert(back(1).getString(2) === "") // empty cell round-trips
   }
 
+  test("S6 foreign xlsx with a GAP in the header row: data stays under its " +
+       "own header, never shifted into the gap") {
+    // xlsx omits empty cells entirely: header A1='x', C1='y' (no B1), data
+    // A2='1', B2='stray', C2='2'. 'y' data must come from column C.
+    val path = tmp("gap.xlsx")
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c><c r="C1" t="inlineStr"><is><t>y</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>1</t></is></c><c r="B2" t="inlineStr"><is><t>stray</t></is></c><c r="C2" t="inlineStr"><is><t>2</t></is></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      zos.write(sheet.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    val back = Excel.readXlsx(spark, path).collect()
+    assert(back.length === 1)
+    val r = back.head
+    assert(r.getAs[String]("x") === "1")
+    assert(r.getAs[String]("y") === "2") // NOT 'stray' from column B
+  }
+
   test("colIndex handles one- and two-letter refs") {
     assert(Excel.colIndex("A1") === 0)
     assert(Excel.colIndex("Z9") === 25)

@@ -212,6 +212,43 @@ class XmlSourceSpec extends SparkTestBase {
     assert(svcFlat(0)("service_type") === "verification_service")
   }
 
+  test("1C: an element whose Цены rows lack 'Цена' (and whose Остатки " +
+       "quantity is non-numeric) flattens instead of throwing under ANSI") {
+    val xml =
+      """<Корневой>
+        |  <ЭлементСправочника>
+        |    <ID>B-1</ID>
+        |    <Наименование>Стол</Наименование>
+        |    <ТЧ ИмяТабличнойЧасти="Остатки">
+        |      <ЭлементТЧ><СкладНаименование>Main</СкладНаименование><КоличествоОстаток>5 шт</КоличествоОстаток></ЭлементТЧ>
+        |    </ТЧ>
+        |    <ТЧ ИмяТабличнойЧасти="Цены">
+        |      <ЭлементТЧ><Наименование>Оптовая</Наименование><Значение>700</Значение></ЭлементТЧ>
+        |    </ТЧ>
+        |  </ЭлементСправочника>
+        |  <ЭлементСправочника>
+        |    <ID>B-2</ID>
+        |    <Наименование>Стул</Наименование>
+        |    <ТЧ ИмяТабличнойЧасти="Цены">
+        |      <ЭлементТЧ><Наименование>Цена</Наименование><Значение>100</Значение></ЭлементТЧ>
+        |    </ТЧ>
+        |  </ЭлементСправочника>
+        |</Корневой>""".stripMargin
+    val path = java.nio.file.Files.createTempDirectory("graft_1c")
+      .resolve("no_price.xml")
+    java.nio.file.Files.writeString(path, xml)
+    val flat = Flatten.flattenRussian(
+        XmlSource.read(spark, path.toString, XmlSource.Russian))
+      .orderBy("id").collect().map(rowMap)
+    assert(flat.length === 2)
+    // B-1: no 'Цена' row -> null price (no ANSI throw); the non-numeric
+    // quantity contributes 0 to the total but its detail row is kept
+    assert(flat(0)("price") == null || flat(0)("price") == "")
+    assert(flat(0)("available") === "0")
+    assert(flat(0)("stock_details") === "Main: 5 шт")
+    assert(flat(1)("price") === "100")
+  }
+
   // ---------------- S2 distributed element splitter ----------------
 
   test("S2 readSplit matches the multiLine read on every dialect fixture " +
