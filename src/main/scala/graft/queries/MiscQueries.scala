@@ -290,6 +290,35 @@ object MiscQueries {
           .orderBy("event_type")
       }),
 
+    // ----- extension: batch gap sessionization (streaming-equivalent) -----
+    Q("q54_sessionize",
+      "30-minute-gap sessions per user from the events history (same " +
+        "semantics as the streaming sessionizer, window form)",
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             | sessions AS (
+             |  SELECT user_id, ts,
+             |         sum(new_session) OVER (PARTITION BY user_id
+             |                                ORDER BY ts, event_id) AS session_idx
+             |  FROM flagged)
+             |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+             |       CAST(max(ts) AS TIMESTAMP) AS session_end,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM sessions GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        graft.streaming.EventStreams.sessionizeBatch(
+            Tables(s, dir, "events"), gapMinutes = 30)
+          .orderBy("user_id", "session_idx")
+      }),
+
     // ----- extension: GROUPING SETS (the general rollup/cube form) -----
     Q("q51_grouping_sets",
       "explicit GROUPING SETS: by type, by user-bucket, and grand total " +

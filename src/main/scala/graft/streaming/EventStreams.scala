@@ -87,6 +87,35 @@ object EventStreams {
           s"$outDir/batch_$batchId")
     }
 
+  /** Batch gap-based sessionization — the same session semantics as the
+    * streaming [[sessionize]] (a session closes after `gapMinutes` of
+    * silence), expressed as windows so it is oracle-checkable and usable
+    * on historical data: flag rows whose gap from the previous event
+    * exceeds the threshold, running-sum the flags into session indexes,
+    * aggregate. Two window passes + one aggregation, all keyed on user —
+    * one shuffle at scale. Ties on ts break by event id in both engines. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30,
+                      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col(idCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val newSession =
+      when(lag(col("ts"), 1).over(byUser).isNull ||
+             unix_micros(col("ts")) -
+               unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs, 1)
+        .otherwise(0)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_idx",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding,
+                                                  Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"))
+  }
+
   /** Gap-based sessionization per user via flatMapGroupsWithState: a
     * session closes after `gapMinutes` of silence (event-time timeout);
     * emits one row per closed session. Custom keyed state — the case the

@@ -79,6 +79,33 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch0.columns.contains("event_id"))
   }
 
+  test("batch sessionization == streaming sessionization on the same " +
+       "events (gap semantics differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two users; gaps of exactly 30min (continue), 31min (split), repeats
+    val events = Seq(
+      ev(1, 0, user = 1), ev(2, 30, user = 1), ev(3, 61, user = 1),
+      ev(4, 200, user = 1),
+      ev(5, 10, user = 2), ev(6, 100, user = 2))
+    val batch = graft.streaming.EventStreams.sessionizeBatch(
+        events.toDF(), gapMinutes = 30)
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+                 r.getLong(4))).toSeq
+    val in = MemoryStream[Event]
+    in.addData(events: _*)
+    // advance the watermark far enough to close every session
+    in.addData(ev(99, 2000, user = 99))
+    val stream = runAll("sess_diff",
+      EventStreams.sessionize(in.toDS(), gapMinutes = 30).toDF())
+      .filter(col("user_id") =!= 99)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+                 r.getLong(3))).toSeq
+    assert(stream === batch)
+  }
+
   test("sessionize closes a session after the gap and a watermark advance") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
