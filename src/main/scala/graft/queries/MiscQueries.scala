@@ -290,6 +290,54 @@ object MiscQueries {
           .orderBy("event_type")
       }),
 
+    // ----- extension: latest-row-per-key (SCD-style upsert compaction) -----
+    Q("q55_latest_per_key",
+      "each user's most recent event (row_number=1 over ts desc, " +
+        "event_id tiebreak) — the compaction step of any upsert feed",
+      Some("""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+             |FROM (SELECT user_id, event_id, ts, event_type,
+             |             row_number() OVER (PARTITION BY user_id
+             |                                ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)
+        Tables(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .orderBy("user_id")
+      }),
+
+    // ----- extension: semi/anti joins (SURVEY §2.3 "free in Spark") -----
+    Q("q56_semi_anti",
+      "per-nation counts of customers WITH orders (semi) and WITHOUT " +
+        "orders (anti) in one result",
+      Some("""SELECT c_nationkey,
+             |       CAST(count(*) FILTER (WHERE has_order) AS BIGINT) AS with_orders,
+             |       CAST(count(*) FILTER (WHERE NOT has_order) AS BIGINT) AS without_orders
+             |FROM (SELECT c_custkey, c_nationkey,
+             |             EXISTS (SELECT 1 FROM orders o
+             |                     WHERE o.o_custkey = c.c_custkey) AS has_order
+             |      FROM customer c)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val customer = Tables(s, dir, "customer")
+        val orders = Tables(s, dir, "orders")
+          .select($"o_custkey".as("c_custkey"))
+        val withO = customer.join(orders, Seq("c_custkey"), "left_semi")
+          .groupBy($"c_nationkey").agg(count(lit(1)).as("with_orders"))
+        val withoutO = customer.join(orders, Seq("c_custkey"), "left_anti")
+          .groupBy($"c_nationkey").agg(count(lit(1)).as("without_orders"))
+        withO.join(withoutO, Seq("c_nationkey"), "full")
+          .na.fill(0L, Seq("with_orders", "without_orders"))
+          .orderBy("c_nationkey")
+      }),
+
     // ----- extension: batch gap sessionization (streaming-equivalent) -----
     Q("q54_sessionize",
       "30-minute-gap sessions per user from the events history (same " +
