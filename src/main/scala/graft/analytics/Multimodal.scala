@@ -111,8 +111,11 @@ object Multimodal {
     import spark.implicits._
     val kk = least(lit(k), $"n_frames")
     meta.toDF()
+      // when-guard: n_frames=0 must emit NO rows — a bare sequence(0, -1)
+      // would produce the DESCENDING array [0, -1]; explode drops the null
       .select($"doc_id", $"n_frames",
-              explode(sequence(lit(0), kk - 1)).as("sample_ord"))
+              explode(when(kk > 0, sequence(lit(0), kk - 1)))
+                .as("sample_ord"))
       .select($"doc_id", $"sample_ord",
         // integer DIV keeps both engines exact (a double divide + cast
         // would round differently: DuckDB CAST(x AS INT) rounds, Spark
@@ -145,9 +148,14 @@ object ImageHeaders {
     if (d.length >= 24 &&
         d(0) == 0x89.toByte && d(1) == 'P' && d(2) == 'N' && d(3) == 'G')
       Some(("image/png", be32(d, 16), be32(d, 20)))
-    else if (d.length >= 10 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F')
+    // 'GIF'/'BM' are ordinary text prefixes ("GIFs are...", "BMW...") —
+    // require the full GIF version signature / a known DIB header size so
+    // text payloads never misparse as images
+    else if (d.length >= 10 && d(0) == 'G' && d(1) == 'I' && d(2) == 'F' &&
+             d(3) == '8' && (d(4) == '7' || d(4) == '9') && d(5) == 'a')
       Some(("image/gif", le16(d, 6), le16(d, 8)))
-    else if (d.length >= 26 && d(0) == 'B' && d(1) == 'M')
+    else if (d.length >= 26 && d(0) == 'B' && d(1) == 'M' &&
+             Set(12, 40, 52, 56, 64, 108, 124).contains(le32(d, 14)))
       Some(("image/bmp", le32(d, 18), math.abs(le32(d, 22))))
     else if (d.length >= 4 && d(0) == 0xff.toByte && d(1) == 0xd8.toByte)
       parseJpeg(d).map { case (w, h) => ("image/jpeg", w, h) }

@@ -68,6 +68,10 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    // CONTRACT: ids must be numeric with at least one multiple of the
+    // stride — an empty centroid set would make every result empty (and
+    // non-numeric ids throw on % under ANSI). Callers with other id shapes
+    // pre-bucket with pmod(hash(id), n) === 0.
     val cents = v.filter($"vid" % centroidStride === 0)
       .select($"vid".as("cid"), $"v".as("cv"))
     val assigned = v.join(broadcast(cents), lit(true))

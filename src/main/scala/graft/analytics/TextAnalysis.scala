@@ -46,6 +46,11 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = col(textCol)
+    // nullif guards: empty/whitespace-only docs have length 0 / 0 tokens,
+    // and Spark's Divide THROWS on /0 under default ANSI mode — ratios
+    // degrade to null instead (real corpora are full of empty docs)
+    val len  = nullif(length(t), lit(0))
+    val ntok = nullif(nTokens(t), lit(0))
     docs.select(
       col(idCol),
       // counts as long: the cross-engine contract types counts BIGINT
@@ -53,9 +58,9 @@ object TextAnalysis {
       nTokens(t).cast("long").as("n_tokens"),
       nBpeTokens(t).cast("long").as("n_bpe_tokens"),
       nPunct(t).cast("long").as("n_punct"),
-      (nPunct(t).cast("double") / length(t)).as("punct_ratio"),
-      (stopwordHits(t, enStop).cast("double") / nTokens(t)).as("stopword_ratio"),
-      when(nTokens(t) >= 10 && nPunct(t).cast("double") / length(t) < lit(0.2),
+      (nPunct(t).cast("double") / len).as("punct_ratio"),
+      (stopwordHits(t, enStop).cast("double") / ntok).as("stopword_ratio"),
+      when(nTokens(t) >= 10 && nPunct(t).cast("double") / len < lit(0.2),
            "ok").otherwise("low").as("quality"))
   }
 
@@ -103,7 +108,8 @@ object TextAnalysis {
       .when(en === m, "en").when(de === m, "de")
       .when(es === m, "es").otherwise("fr")
     val qualityOk =
-      nTokens(t) >= 10 && nPunct(t).cast("double") / length(t) < lit(0.2)
+      nTokens(t) >= 10 &&
+        nPunct(t).cast("double") / nullif(length(t), lit(0)) < lit(0.2)
     val flagged = docs.select(
       col(idCol), md5(t).as("fp"),
       qualityOk.as("q_ok"), lang.as("lang"))

@@ -59,10 +59,14 @@ object TfIdf {
     val cNorm = centroids.groupBy($"label").agg(sum($"cw" * $"cw").as("cn"))
     val dots = queryWeights.join(centroids, "term")
       .groupBy($"doc", $"label").agg(sum($"w" * $"cw").as("dot"))
+    // nullif: a query doc whose terms all weigh 0 (tf*scale < df in a huge
+    // corpus) has qn=0, and Divide THROWS on /0 under default ANSI — the
+    // score degrades to null instead (argmax then picks among real scores)
     val scored = dots.join(qNorm, "doc").join(broadcast(cNorm), "label")
       .withColumn("cos_sim",
         round($"dot".cast("double") /
-          (sqrt($"qn".cast("double")) * sqrt($"cn".cast("double"))), 6))
+          nullif(sqrt($"qn".cast("double")) * sqrt($"cn".cast("double")),
+                 lit(0.0)), 6))
     scored.groupBy($"doc")
       .agg(min_by(struct($"label", $"cos_sim"), struct(-$"cos_sim", $"label"))
         .as("best"))

@@ -129,9 +129,12 @@ object CategoryPath {
   def attach(facts: DataFrame, factKey: String, paths: DataFrame): DataFrame = {
     val spark = facts.sparkSession
     import spark.implicits._
+    // drop the PATHS side's id by Column reference — drop("id") by name
+    // would also remove a fact column named id
+    val p = broadcast(paths)
     facts
-      .join(broadcast(paths), facts(factKey) === paths("id"), "left")
-      .drop("id")
+      .join(p, facts(factKey) === p("id"), "left")
+      .drop(p("id"))
       .withColumn("category_path", coalesce($"category_path", lit("Undefined")))
   }
 }

@@ -297,8 +297,33 @@ object Flatten {
           if (isAttr(f.name)) {
             if (attrIsImagey(f.name))
               attrCands += transform(c, x => txt(x.getField(f.name)))
-          } else if (f.name != ValueTag)
-            collect(f.name, f.dataType, element_at(c, 1).getField(f.name))
+          } else if (f.name != ValueTag) f.dataType match {
+            // image tags directly under a REPEATED ancestor: collect from
+            // every instance (the reference's walk visits all nodes) —
+            // element_at(c, 1) descent would drop instances 2..N
+            case cst: StructType
+                if ImageTags.contains(f.name) &&
+                  cst.fieldNames.contains(ValueTag) =>
+              tagCands += transform(c,
+                x => txt(x.getField(f.name).getField(ValueTag)))
+            case ArrayType(ist: StructType, _)
+                if ImageTags.contains(f.name) &&
+                  ist.fieldNames.contains(ValueTag) =>
+              tagCands += flatten(transform(c, x =>
+                transform(coalesce(x.getField(f.name), array()),
+                          y => txt(y.getField(ValueTag)))))
+            case ArrayType(_: StructType, _) if ImageTags.contains(f.name) =>
+              () // struct instances without _VALUE carry no text
+            case ArrayType(_, _) if ImageTags.contains(f.name) =>
+              tagCands += flatten(transform(c, x =>
+                transform(coalesce(x.getField(f.name), array()), y => txt(y))))
+            case _ if ImageTags.contains(f.name) =>
+              tagCands += transform(c, x => txt(x.getField(f.name)))
+            case _ =>
+              // deeper non-image subtrees: first-instance descent (matches
+              // the descendant first-wins fill semantics)
+              collect(f.name, f.dataType, element_at(c, 1).getField(f.name))
+          }
         }
       case _: ArrayType if ImageTags.contains(name) =>
         tagCands += transform(c, x => txt(x))

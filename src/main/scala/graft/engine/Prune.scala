@@ -52,7 +52,9 @@ object Prune {
     df.drop(toDrop.toSeq: _*)
   }
 
-  /** T1: reference emits columns in sorted order (main.py:1562-1565). */
+  /** T1: reference emits columns in sorted order (main.py:1562-1565).
+    * Backtick-quoted for the same reason as [[hasValueAgg]]: param-derived
+    * column names legitimately contain dots. */
   def sortedColumns(df: DataFrame): DataFrame =
-    df.select(df.columns.sorted.map(col).toSeq: _*)
+    df.select(df.columns.sorted.map(n => col("`" + n + "`")).toSeq: _*)
 }

@@ -249,6 +249,31 @@ class XmlSourceSpec extends SparkTestBase {
     assert(flat(1)("price") === "100")
   }
 
+  test("YML: pictures under EVERY instance of a repeated ancestor are " +
+       "collected, not just the first") {
+    val xml =
+      """<yml_catalog><shop>
+        |  <offers>
+        |    <offer id="V1">
+        |      <name>Combo</name>
+        |      <variants>
+        |        <variant><picture>http://x/a.jpg</picture></variant>
+        |        <variant><picture>http://x/b.jpg</picture></variant>
+        |      </variants>
+        |    </offer>
+        |  </offers>
+        |</shop></yml_catalog>""".stripMargin
+    val path = java.nio.file.Files.createTempDirectory("graft_pic")
+      .resolve("variants.xml")
+    java.nio.file.Files.writeString(path, xml)
+    val flat = Flatten.flattenOffers(
+        XmlSource.read(spark, path.toString, XmlSource.Yml),
+        XmlSource.Yml, None)
+      .collect().map(rowMap)
+    assert(flat.length === 1)
+    assert(flat(0)("pictures") === "http://x/a.jpg///http://x/b.jpg")
+  }
+
   // ---------------- S2 distributed element splitter ----------------
 
   test("S2 readSplit matches the multiLine read on every dialect fixture " +
