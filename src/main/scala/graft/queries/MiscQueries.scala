@@ -364,6 +364,10 @@ object MiscQueries {
         import s.implicits._
         graft.streaming.EventStreams.sessionizeBatch(
             Tables(s, dir, "events"), gapMinutes = 30)
+          // total_value is a float sum (addition-order-dependent) — the
+          // hash contract covers the exact columns only
+          .select($"user_id", $"session_idx", $"session_start",
+                  $"session_end", $"n_events")
           .orderBy("user_id", "session_idx")
       }),
 

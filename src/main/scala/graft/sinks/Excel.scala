@@ -97,7 +97,11 @@ object Excel {
       w("</cols>\n<sheetData>")
       def rowXml(rowNo: Int, values: Seq[String]): String = {
         val cells = values.zipWithIndex.map { case (v, i) =>
-          s"""<c r="${colLetters(i)}$rowNo" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+          // xml:space: Excel (and whitespace-trimming XML readers) would
+          // otherwise silently strip significant edge whitespace
+          val sp = if (v.nonEmpty && (v.head.isWhitespace || v.last.isWhitespace))
+            " xml:space=\"preserve\"" else ""
+          s"""<c r="${colLetters(i)}$rowNo" t="inlineStr"><is><t$sp>${esc(v)}</t></is></c>"""
         }
         s"""\n<row r="$rowNo">${cells.mkString}</row>"""
       }
@@ -152,9 +156,15 @@ object Excel {
       .option("rowTag", "row")
       .option("attributePrefix", "_")
       .option("valueTag", "_VALUE")
+      // keep cell text verbatim: surrounding whitespace in a cell value is
+      // data, not formatting
+      .option("ignoreSurroundingSpaces", "false")
       .load(sheet.toString)
 
     // cells: array<struct> with _r ref, _t type, is.t inline text, v value
+    if (!rows.columns.contains("c"))
+      throw new IllegalArgumentException(
+        "xlsx sheet has no cells (empty sheet1.xml)")
     val (cellsCol, cellType) = rows.schema("c").dataType match {
       case org.apache.spark.sql.types.ArrayType(
             st: org.apache.spark.sql.types.StructType, _) => (col("c"), st)
@@ -206,6 +216,9 @@ object Excel {
     // its position in the header array: xlsx omits empty cells, so a
     // header with gaps (A1, C1, no B1) would otherwise silently misalign
     // every data column after the gap
+    if (header.isEmpty)
+      throw new IllegalArgumentException(
+        "xlsx sheet has no header row (row 1 has no cells)")
     val letterIdx = udfFreeColIndex(col("ref"))
     val aggs = header.map { case (idx, n) =>
       max(when(letterIdx === idx, col("value"))).as(n)

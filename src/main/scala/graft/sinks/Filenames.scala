@@ -6,7 +6,9 @@ package graft.sinks
 object Filenames {
 
   def csvNameFor(source: String): String =
-    if (source.startsWith("http")) {
+    // scheme check, not a bare 'http' prefix: 'httpd_log.csv' is a file
+    // name, and 'http report.csv' would crash URI parsing on the space
+    if (source.startsWith("http://") || source.startsWith("https://")) {
       val host = Option(new java.net.URI(source).getHost).getOrElse("converted_data")
       host.stripPrefix("www.").replace(".", "_") + ".csv"
     } else {

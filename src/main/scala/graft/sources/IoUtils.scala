@@ -110,7 +110,8 @@ object HttpFetch {
     attempt(strategies(host).head.headers) match {
       case Some(body) => body
       case None =>
-        strategies(host).foreach { s =>
+        // the head strategy just failed — retry only the REMAINING ones
+        strategies(host).tail.foreach { s =>
           Thread.sleep(sleepMillis)
           attempt(s.headers) match {
             case Some(body) => return body

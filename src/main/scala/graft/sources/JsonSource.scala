@@ -37,18 +37,31 @@ object JsonSource {
     * file's first non-whitespace byte — a one-element top-level ARRAY also
     * parses to one row, so row count alone cannot tell them apart. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val isObject = {
+    val head = {
       val in = new java.io.FileInputStream(path)
       try {
-        val buf = new Array[Byte](4096)
+        val buf = new Array[Byte](64 * 1024)
         val n = in.read(buf)
-        val head = new String(buf, 0, math.max(n, 0),
+        new String(buf, 0, math.max(n, 0),
           java.nio.charset.StandardCharsets.UTF_8)
-        head.dropWhile(c => c.isWhitespace || c == '﻿').headOption
-          .contains('{')
       } finally in.close()
     }
-    val df = spark.read.option("multiLine", "true").json(path)
+    val isObject =
+      head.dropWhile(c => c.isWhitespace || c == '﻿').headOption.contains('{')
+    // NDJSON detection: if the first line is a COMPLETE standalone JSON
+    // value, the file is line-delimited and must be read with
+    // multiLine=false — the multiLine reader parses exactly one root value
+    // per file and would silently truncate an NDJSON feed to one record.
+    val firstLine = head.linesIterator.find(_.trim.nonEmpty).getOrElse("")
+    val ndjson =
+      try {
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine)
+        // a pretty-printed doc's first line ("{" / "[") fails the parse;
+        // a complete single-line doc parses but multiLine=false reads it
+        // identically, so treating it as NDJSON is safe
+        true
+      } catch { case _: Exception => false }
+    val df = spark.read.option("multiLine", (!ndjson).toString).json(path)
     val rows =
       if (isObject && df.head(2).length == 1) {
         df.schema.fields.collectFirst {

@@ -149,23 +149,64 @@ object XmlSource {
       StructField(ValueTag, StringType)))
   }
 
-  /** Split-extracted `<category>` read: one distributed pass instead of a
-    * whole-file single-core multiLine scan (the dictionary is tiny but the
-    * scan walks the entire feed). */
-  def readCategoriesSplit(spark: SparkSession, path: String): DataFrame = {
+  /** Bounded head scan for the category dictionary: YML feeds put
+    * `<categories>` in the head, so the driver streams the file only until
+    * `</categories>` (capped), then the collected block parses as element
+    * strings. A whole-file approach — multiLine scan OR lineSep split on
+    * `</category>` — would walk/materialize the entire feed for a
+    * dictionary-sized result (the split variant is worse: everything after
+    * the LAST category becomes one text record, multi-GB on a large feed).
+    */
+  def readCategoriesSplit(spark: SparkSession, path: String,
+                          maxHeadBytes: Long = 256L << 20): DataFrame = {
     import spark.implicits._
-    val elems = spark.read.option("lineSep", "</category>").text(path)
-      .select(regexp_extract(col("value"), "(?s)(<category[\\s/>].*)$", 1)
-        .as("e"))
-      .filter(col("e") =!= "")
-      .select(concat(col("e"), lit("</category>")).as("value"))
-      .as[String]
+    val endMark = "</categories>"
+    // accumulate BYTES and decode once: per-chunk decoding would corrupt
+    // multibyte (Cyrillic) names straddling a chunk boundary; the ASCII
+    // end marker is searched in the byte domain with a carry for the
+    // straddling case
+    val marker = endMark.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int = {
+      var i = 0
+      while (i <= hay.length - needle.length) {
+        var j = 0
+        while (j < needle.length && hay(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i += 1
+      }
+      -1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path))
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var carry = Array.empty[Byte]
+      var done = false
+      while (!done && out.size < maxHeadBytes) {
+        val n = in.read(buf)
+        if (n < 0) done = true
+        else {
+          out.write(buf, 0, n)
+          val window = carry ++ buf.take(n)
+          if (indexOfBytes(window, marker) >= 0) done = true
+          else carry = window.takeRight(marker.length - 1)
+        }
+      }
+    } finally in.close()
+    val head = new String(out.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val catRe =
+      java.util.regex.Pattern.compile("<category[\\s/>].*?</category>",
+        java.util.regex.Pattern.DOTALL)
+    val m = catRe.matcher(head)
+    val elems = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) elems += m.group()
     spark.read
       .option("rowTag", "category")
       .option("attributePrefix", AttrPrefix)
       .option("valueTag", ValueTag)
       .schema(CatSchema)
-      .xml(elems)
+      .xml(spark.createDataset(elems.toSeq))
   }
 
   def readCategories(spark: SparkSession, path: String): DataFrame = {

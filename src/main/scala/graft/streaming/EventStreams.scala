@@ -113,7 +113,8 @@ object EventStreams {
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts")).as("session_start"),
            max(col("ts")).as("session_end"),
-           count(lit(1)).as("n_events"))
+           count(lit(1)).as("n_events"),
+           sum(col("value")).as("total_value"))
   }
 
   /** Gap-based sessionization per user via flatMapGroupsWithState: a
@@ -142,15 +143,28 @@ object EventStreams {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                // an event within the gap of EITHER session edge merges;
+                // without the start-side bound, any late event would merge
+                // (negative gap always <= gapMs) no matter how old, and a
+                // mildly-late one would never extend session_start backward
+                case Some(s)
+                    if e.ts.getTime - s.session_end.getTime <= gapMs &&
+                       s.session_start.getTime - e.ts.getTime <= gapMs =>
                   cur = Some(s.copy(
+                    session_start = new Timestamp(
+                      math.min(s.session_start.getTime, e.ts.getTime)),
                     session_end = new Timestamp(
                       math.max(s.session_end.getTime, e.ts.getTime)),
                     n_events = s.n_events + 1,
                     total_value = s.total_value + e.value))
-                case Some(s) =>
+                case Some(s) if e.ts.getTime > s.session_end.getTime =>
                   closedSessions ::= s
                   cur = Some(Session(user, e.ts, e.ts, 1L, e.value))
+                case Some(s) =>
+                  // very-late event BEFORE the open session: it forms its
+                  // own earlier session, emitted immediately (anything
+                  // that could still join it is just as late)
+                  closedSessions ::= Session(user, e.ts, e.ts, 1L, e.value)
                 case None =>
                   cur = Some(Session(user, e.ts, e.ts, 1L, e.value))
               }

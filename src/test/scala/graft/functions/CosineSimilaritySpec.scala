@@ -52,6 +52,18 @@ class CosineSimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
+  test("a null ELEMENT yields null, matching the composed form (reading " +
+       "it as 0.0 would fabricate a finite similarity)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq[java.lang.Double](1.0, null, 2.0),
+                      Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .select(graft.functions.CosineSimilarity.cosineSim(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("sim"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
   test("null input yields null") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))

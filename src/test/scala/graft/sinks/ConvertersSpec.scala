@@ -205,6 +205,25 @@ class ConvertersSpec extends SparkTestBase {
     assert(flat.count() === 2 && flat.columns.toSet === Set("id", "v"))
   }
 
+  test("S7 JsonSource.read detects NDJSON and returns ALL rows (the " +
+       "multiLine reader would truncate to the first record)") {
+    val path = tmp("rows2.ndjson")
+    Files.writeString(Paths.get(path),
+      "{\"id\": 1, \"v\": \"a\"}\n{\"id\": 2, \"v\": \"b\"}\n{\"id\": 3, \"v\": \"c\"}\n")
+    val back = JsonSource.read(spark, path)
+    assert(back.count() === 3)
+    // pretty-printed single doc still reads via multiLine
+    val single = tmp("pretty.json")
+    Files.writeString(Paths.get(single), "{\n  \"id\": 9,\n  \"v\": \"z\"\n}\n")
+    assert(JsonSource.read(spark, single).count() === 1)
+  }
+
+  test("F15 'http' prefix is not enough: space-bearing and http-prefixed " +
+       "file names stay file names") {
+    assert(Filenames.csvNameFor("http report.csv") === "http_report.csv")
+    assert(Filenames.csvNameFor("httpd_access_log.csv") === "httpd_access_log.csv")
+  }
+
   // ---------------- F15 filenames ----------------
 
   test("F15 filename derivation") {

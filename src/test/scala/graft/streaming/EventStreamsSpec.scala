@@ -92,7 +92,7 @@ class EventStreamsSpec extends SparkTestBase {
         events.toDF(), gapMinutes = 30)
       .orderBy("user_id", "session_idx").collect()
       .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
-                 r.getLong(4))).toSeq
+                 r.getLong(4), r.getDouble(5))).toSeq
     val in = MemoryStream[Event]
     in.addData(events: _*)
     // advance the watermark far enough to close every session
@@ -102,8 +102,32 @@ class EventStreamsSpec extends SparkTestBase {
       .filter(col("user_id") =!= 99)
       .orderBy("user_id", "session_start").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
-                 r.getLong(3))).toSeq
+                 r.getLong(3), r.getDouble(4))).toSeq
     assert(stream === batch)
+  }
+
+  test("sessionize handles late events: mildly-late extends session_start " +
+       "backward, very-late forms its own immediate session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // batch 1: session [120, 125] for user 1 (watermark still far behind)
+    in.addData(ev(1, 120), ev(2, 125))
+    // batch 2: 110 is 10min before start -> merges, start moves to 110;
+    // 30 is 80min before start -> its own session, emitted closed
+    in.addData(ev(3, 110), ev(4, 30))
+    // advance watermark (2h) far enough to close the open session
+    in.addData(ev(99, 500, user = 99))
+    val out = runAll("sess_late",
+      EventStreams.sessionize(in.toDS(), gapMinutes = 30).toDF())
+      .filter(col("user_id") === 1)
+      .orderBy("session_start").collect()
+    assert(out.length === 2)
+    assert(out(0).getTimestamp(1) === ts(30))  // the very-late singleton
+    assert(out(0).getLong(3) === 1L)
+    assert(out(1).getTimestamp(1) === ts(110)) // start extended backward
+    assert(out(1).getTimestamp(2) === ts(125))
+    assert(out(1).getLong(3) === 3L)
   }
 
   test("sessionize closes a session after the gap and a watermark advance") {
