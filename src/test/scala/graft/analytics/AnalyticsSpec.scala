@@ -241,6 +241,44 @@ class CorpusFilterSpec extends SparkTestBase {
   }
 }
 
+class CorpusFilterDifferentialSpec extends SparkTestBase {
+
+  test("fused corpusFilter == composing exactDupTags + quality + langId " +
+       "on generated docs (incl. empty and whitespace-only)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val words = Array("the", "cat", "sat", "mat", "und", "der", "das", "el",
+                      "que", "a!", "..", "of", "and", "to", "in", "is")
+    val texts = (1 to 150).map { i =>
+      if (i % 17 == 0) ""
+      else if (i % 19 == 0) "   "
+      else (0 until rnd.nextInt(25)).map(_ => words(rnd.nextInt(words.length)))
+             .mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = TextAnalysis.corpusFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dup = Dedup.exactDupTags(docs, "doc_id", "text")
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .select($"doc_id", $"quality").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val l = TextAnalysis.langId(docs, "doc_id", "text")
+      .select($"doc_id", $"lang_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val composed = fused.map { case (id, _) =>
+      id -> (if (dup(id) == 1) "dup"
+             else if (q(id) == "low") "low_quality"
+             else if (l(id) != "en") "non_en"
+             else "keep")
+    }
+    assert(fused.map { case (id, v) => id -> v } === composed)
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
 
   test("binary plumbing: payload bytes flow through mapPartitions decode") {
