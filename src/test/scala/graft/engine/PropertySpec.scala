@@ -108,6 +108,44 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: randomly generated offer trees flatten without throwing " +
+       "(repeated tags, empty elements, attr-only nodes, nested params)") {
+    import graft.sources.XmlSource
+    import graft.engine.Flatten
+    val rnd = new scala.util.Random(21)
+    val tags = Array("name", "price", "size", "opts", "extra", "Размер",
+                     "weight", "picture", "param")
+    def elem(depth: Int): String = {
+      val tag = tags(rnd.nextInt(tags.length))
+      val attr = rnd.nextInt(4) match {
+        case 0 => " unit=\"kg\""
+        case 1 => " name=\"Цвет\""
+        case _ => ""
+      }
+      val body = rnd.nextInt(5) match {
+        case 0 => ""                      // empty element
+        case 1 => "v" + rnd.nextInt(100)  // scalar text
+        case _ if depth < 2 =>
+          (0 until rnd.nextInt(3)).map(_ => elem(depth + 1)).mkString
+        case _ => "leaf"
+      }
+      s"<$tag$attr>$body</$tag>"
+    }
+    val offers = (1 to 40).map { i =>
+      val kids = (0 until rnd.nextInt(6)).map(_ => elem(0)).mkString
+      s"""<offer id="$i">$kids</offer>"""
+    }.mkString
+    val xml = s"<yml_catalog><shop><offers>$offers</offers></shop></yml_catalog>"
+    val path = java.nio.file.Files.createTempDirectory("graft_fuzz")
+      .resolve("fuzz.xml")
+    java.nio.file.Files.writeString(path, xml)
+    // must parse + flatten + fully evaluate without throwing
+    val flat = Flatten.flattenOffers(
+      XmlSource.read(spark, path.toString, XmlSource.Yml), XmlSource.Yml, None)
+    assert(flat.count() === 40L)
+    flat.collect() // force every projected expression
+  }
+
   test("shingles: native WordNgrams expression == composed form on " +
        "generated texts (rows, order, and per-doc shingle sets)") {
     import spark.implicits._
