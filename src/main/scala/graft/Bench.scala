@@ -20,6 +20,12 @@ object Bench {
         .select(concat_ws(";", col("k"), col("rn").cast("string")).as("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_warm")
       w.write.mode("overwrite").text(tmp.resolve("t").toString)
+      // tiny XML round-trip: compiles the offer-element concat expression
+      // and the XML reader once, outside any measured query
+      val x = Seq(("1", "w", "T", "1.00")).toDF("id", "name", "category_path", "price")
+      val xp = tmp.resolve("w.xml").toString
+      graft.sinks.XmlSink.writeYandexMarket(x, xp, date = "2025-01-01 00:00")
+      spark.read.format("xml").option("rowTag", "offer").load(xp).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
