@@ -32,14 +32,7 @@ object Pipeline {
     * all-string offer table BEFORE export pruning. */
   def processXmlData(spark: SparkSession, path: String,
                      targetNode: String = "auto"): DataFrame = {
-    val head = {
-      val in = new java.io.FileInputStream(path)
-      try {
-        val buf = new Array[Byte](1 << 20)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), StandardCharsets.UTF_8)
-      } finally in.close()
-    }
+    val head = XmlSource.readHead(path)
     XmlSource.validate(head)
     val dialect = targetNode match {
       case "auto"                    => XmlSource.detect(head)
@@ -49,10 +42,13 @@ object Pipeline {
       case "service"                 => XmlSource.Service
       case other => throw new IllegalArgumentException(s"Unknown target node: $other")
     }
-    val rows = XmlSource.read(spark, path, dialect)
+    // F8 parse repair: control bytes, BOM, and bare ampersands are
+    // scrubbed into a temp copy (streaming; no-op when the feed is clean)
+    val src = XmlSource.scrubbedIfNeeded(path)
+    val rows = XmlSource.read(spark, src, dialect)
     dialect match {
       case XmlSource.Yml =>
-        val cats = XmlSource.categoryPaths(XmlSource.readCategories(spark, path))
+        val cats = XmlSource.categoryPaths(XmlSource.readCategories(spark, src))
         Flatten.flattenOffers(rows, XmlSource.Yml, Some(cats))
       case XmlSource.Product => Flatten.flattenOffers(rows, XmlSource.Product)
       case XmlSource.Russian => Flatten.flattenRussian(rows)
@@ -75,11 +71,13 @@ object Pipeline {
   def processLink(spark: SparkSession, url: String, outDir: String,
                   targetNode: String = "auto"): Path = {
     val tmp = HttpFetch.fetchToFile(url)
-    val flat = processXmlData(spark, tmp.toString, targetNode)
-    val out = Paths.get(outDir, Filenames.csvNameFor(url))
-    Files.createDirectories(out.getParent)
-    CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
-    out
+    try {
+      val flat = processXmlData(spark, tmp.toString, targetNode)
+      val out = Paths.get(outDir, Filenames.csvNameFor(url))
+      Files.createDirectories(out.getParent)
+      CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
+      out
+    } finally Files.deleteIfExists(tmp) // a feed-sized temp per call
   }
 
   /** POST /process_file dispatch by extension (main.py:1803-1812). */
@@ -100,8 +98,9 @@ object Pipeline {
       Paths.get(csvPath).getFileName.toString, xmlFormat))
     Files.createDirectories(out.getParent)
     xmlFormat match {
-      case "simple" => XmlSink.writeSimple(df, out.toString)
-      case _        => XmlSink.writeYandexMarket(df, out.toString, date)
+      case "simple"             => XmlSink.writeSimple(df, out.toString)
+      case "yandex_market" | "" => XmlSink.writeYandexMarket(df, out.toString, date)
+      case other => throw new IllegalArgumentException(s"Unknown XML format: $other")
     }
     out
   }
@@ -110,7 +109,7 @@ object Pipeline {
                        jsonFormat: String = "array",
                        exportedAt: String = ""): Path = {
     val df = CsvSource.read(spark, csvPath)
-    val base = Paths.get(csvPath).getFileName.toString.stripSuffix(".csv")
+    val base = Paths.get(csvPath).getFileName.toString.replaceAll("(?i)\\.csv$", "")
     val out = Paths.get(outDir, s"$base.json")
     Files.createDirectories(out.getParent)
     if (jsonFormat == "object") JsonSink.writeEnvelope(df, out.toString, exportedAt)
@@ -120,7 +119,7 @@ object Pipeline {
 
   def processJsonToCsv(spark: SparkSession, jsonPath: String, outDir: String): Path = {
     val df = JsonSource.read(spark, jsonPath)
-    val base = Paths.get(jsonPath).getFileName.toString.stripSuffix(".json")
+    val base = Paths.get(jsonPath).getFileName.toString.replaceAll("(?i)\\.json$", "")
     val out = Paths.get(outDir, s"$base.csv")
     Files.createDirectories(out.getParent)
     CsvSink.writeSingleFile(
@@ -138,7 +137,7 @@ object Pipeline {
       .option("valueTag", XmlSource.ValueTag)
       .load(xmlPath)
     val json = JsonSink.xmlToJson(df)
-    val base = Paths.get(xmlPath).getFileName.toString.stripSuffix(".xml")
+    val base = Paths.get(xmlPath).getFileName.toString.replaceAll("(?i)\\.xml$", "")
     val out = Paths.get(outDir, s"$base.json")
     Files.createDirectories(out.getParent)
     // stream partition iterators: constant driver memory (collect() would
@@ -146,7 +145,10 @@ object Pipeline {
     val w = Files.newBufferedWriter(out, StandardCharsets.UTF_8)
     try {
       w.write("[\n")
-      val it = json.coalesce(4).toLocalIterator()
+      // natural partitioning: toLocalIterator holds ONE partition's rows
+      // at a time, so many small partitions = bounded driver memory
+      // (coalescing first would concentrate ~dataset/n in each)
+      val it = json.toLocalIterator()
       var first = true
       while (it.hasNext) {
         if (!first) w.write(",\n")
@@ -161,7 +163,7 @@ object Pipeline {
   def processExcelToCsv(spark: SparkSession, xlsxPath: String, outDir: String): Path = {
     val df = Excel.readXlsx(spark, xlsxPath)
     val base = Paths.get(xlsxPath).getFileName.toString
-      .stripSuffix(".xlsx").stripSuffix(".xls")
+      .replaceAll("(?i)\\.xlsx?$", "").replaceAll("(?i)\\.xls$", "")
     val out = Paths.get(outDir, s"$base.csv")
     Files.createDirectories(out.getParent)
     CsvSink.writeSingleFile(df, out.toString)
@@ -170,7 +172,7 @@ object Pipeline {
 
   def processCsvToExcel(spark: SparkSession, csvPath: String, outDir: String): Path = {
     val df = CsvSource.read(spark, csvPath)
-    val base = Paths.get(csvPath).getFileName.toString.stripSuffix(".csv")
+    val base = Paths.get(csvPath).getFileName.toString.replaceAll("(?i)\\.csv$", "")
     val out = Paths.get(outDir, s"$base.xlsx")
     Files.createDirectories(out.getParent)
     Excel.writeXlsx(df, out.toString)

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -14,6 +15,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // scrub any stale dump from a prior run: a leftover parquet dir
+        // would make the driver compare old results and report a FALSE
+        // PASS for a now-broken query
+        val stale = java.nio.file.Paths.get(s"$outDir/$name")
+        if (java.nio.file.Files.exists(stale)) {
+          val walk = java.nio.file.Files.walk(stale)
+          val all =
+            try walk.iterator().asScala.toSeq finally walk.close()
+          all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -77,14 +77,89 @@ object XmlSource {
       "Unsupported XML format, auto-detection failed.")
   }
 
-  /** Detect from the head of a file (driver-side pre-scan — cheap, bounded). */
-  def detectFile(path: String, headBytes: Int = 1 << 20): Dialect = {
+  /** Bounded head read (driver-side, cheap). readNBytes: a single read()
+    * is not guaranteed to fill the buffer on every filesystem. */
+  def readHead(path: String, maxBytes: Int = 4 << 20): String = {
     val in = new java.io.FileInputStream(path)
     try {
-      val buf = new Array[Byte](headBytes)
-      val n = in.read(buf)
-      detect(new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8))
+      val buf = in.readNBytes(maxBytes)
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  /** Detect from the head of a file. 4MB default: a feed with a large
+    * `<categories>` prolog can push the first row element past 1MB. */
+  def detectFile(path: String, headBytes: Int = 4 << 20): Dialect =
+    detect(readHead(path, headBytes))
+
+  /** F8 at file level (the reference's parse-repair, main.py:1426-1461,
+    * applied up front): stream the file once; if any control byte, BOM, or
+    * bare `&` is found, write a scrubbed temp copy and return its path,
+    * else return the original. Byte-level streaming with a small carry for
+    * `&` entities straddling chunk boundaries — never holds the file in
+    * memory. */
+  def scrubbedIfNeeded(path: String): String = {
+    val entityTail = 12 // longest entity name we accept before ';'
+    def isCtl(b: Byte): Boolean =
+      (b >= 0x00 && b <= 0x08) || b == 0x0B || b == 0x0C ||
+        (b >= 0x0E && b <= 0x1F) || b == 0x7F
+    def isEntityChar(b: Byte): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == '#'
+    val tmp = java.nio.file.Files.createTempFile("graft_scrub", ".xml")
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path), 1 << 20)
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp), 1 << 20)
+    var changed = false
+    try {
+      // strip a UTF-8 BOM
+      in.mark(4)
+      val bom = in.readNBytes(3)
+      if (!(bom.length == 3 && bom(0) == 0xEF.toByte &&
+            bom(1) == 0xBB.toByte && bom(2) == 0xBF.toByte)) in.reset()
+      else changed = true
+      val amp = "&amp;".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      var pending = in.readNBytes(1 << 20)
+      while (pending.nonEmpty) {
+        val next = in.readNBytes(1 << 20)
+        // defer a trailing possible-entity region to the next chunk
+        val safeLen =
+          if (next.isEmpty) pending.length
+          else {
+            // cut at the FIRST '&' near the end: every later '&' could
+            // also have its entity straddling the boundary
+            var cut = pending.length
+            val floor = math.max(0, pending.length - entityTail)
+            var i = floor
+            while (i < pending.length && cut == pending.length) {
+              if (pending(i) == '&') cut = i
+              i += 1
+            }
+            cut
+          }
+        var i = 0
+        while (i < safeLen) {
+          val b = pending(i)
+          if (isCtl(b)) changed = true // dropped
+          else if (b == '&') {
+            // bare & unless a valid entity reference follows
+            var j = i + 1
+            while (j < pending.length && j <= i + entityTail &&
+                   isEntityChar(pending(j))) j += 1
+            if (j < pending.length && pending(j) == ';' && j > i + 1) {
+              out.write(b)
+            } else { out.write(amp); changed = true }
+          } else out.write(b.toInt)
+          i += 1
+        }
+        pending =
+          if (next.isEmpty) Array.empty[Byte]
+          else pending.drop(safeLen) ++ next
+      }
+    } finally { in.close(); out.close() }
+    if (changed) tmp.toString
+    else { java.nio.file.Files.deleteIfExists(tmp); path }
   }
 
   /** Files at least this large go through the distributed element splitter

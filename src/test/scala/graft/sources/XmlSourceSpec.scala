@@ -274,6 +274,28 @@ class XmlSourceSpec extends SparkTestBase {
     assert(flat(0)("pictures") === "http://x/a.jpg///http://x/b.jpg")
   }
 
+  test("F8 scrubbedIfNeeded: streaming file scrub fixes bare ampersands " +
+       "and control bytes, keeps entities, no-ops on clean feeds") {
+    val dirty = "<yml_catalog><shop><offers>" +
+      "<offer id=\"1\"><name>A & B  &amp; C &lt;ok&gt;</name></offer>" +
+      "</offers></shop></yml_catalog>"
+    val dir = java.nio.file.Files.createTempDirectory("graft_scrub_t")
+    val dp = dir.resolve("dirty.xml")
+    java.nio.file.Files.writeString(dp, dirty)
+    val scrubbed = XmlSource.scrubbedIfNeeded(dp.toString)
+    assert(scrubbed != dp.toString, "dirty feed must be rewritten")
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(scrubbed))
+    assert(text.contains("A &amp; B  &amp; C &lt;ok&gt;"))
+    // parses after scrub
+    val rows = XmlSource.read(spark, scrubbed, XmlSource.Yml).collect()
+    assert(rows.length === 1)
+    // clean feed: returned untouched
+    val cp = dir.resolve("clean.xml")
+    java.nio.file.Files.writeString(cp,
+      "<yml_catalog><shop><offers><offer id=\"1\"><name>ok</name></offer></offers></shop></yml_catalog>")
+    assert(XmlSource.scrubbedIfNeeded(cp.toString) === cp.toString)
+  }
+
   // ---------------- S2 distributed element splitter ----------------
 
   test("S2 readSplit matches the multiLine read on every dialect fixture " +
