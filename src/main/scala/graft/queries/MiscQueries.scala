@@ -290,6 +290,28 @@ object MiscQueries {
           .orderBy("event_type")
       }),
 
+    // ----- extension: RANGE window frame (time-based moving aggregate) -----
+    Q("q57_range_frame",
+      "per-user trailing 1-hour event count at each event (RANGE frame " +
+        "over event time — value-based, not row-count-based)",
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |       CAST(count(*) OVER (
+             |         PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS n_last_hour
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts"))
+          .rangeBetween(-3600L * 1000000L, Window.currentRow)
+        Tables(s, dir, "events")
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .select($"event_id", $"user_id", $"ts", $"n_last_hour")
+          .orderBy("event_id")
+      }),
+
     // ----- extension: latest-row-per-key (SCD-style upsert compaction) -----
     Q("q55_latest_per_key",
       "each user's most recent event (row_number=1 over ts desc, " +

@@ -108,6 +108,31 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("fuzz: CSV single-file round-trip survives quotes, semicolons, and " +
+       "unicode in cells (quote-minimal with doubling both ways)") {
+    import graft.sinks.CsvSink
+    import graft.sources.CsvSource
+    val cellGen = Gen.oneOf(
+      "plain", "semi;colon", "quo\"te", "\"wrapped\"", "tricky\"\";mix",
+      "кириллица", "tab\there", "  spaced  ", "a,comma", "")
+    val rows = sample(Gen.listOfN(3, cellGen).map(l => (l(0), l(1), l(2))), 150)
+      .zipWithIndex.map { case ((a, b, c), i) => (i.toString, a, b, c) }
+    import spark.implicits._
+    val df = rows.toDF("id", "a", "b", "c")
+    val path = java.nio.file.Files.createTempDirectory("graft_csvfuzz")
+      .resolve("fuzz.csv").toString
+    // bypass exportColumns: this property targets the WRITER's quoting, so
+    // cells must reach it verbatim
+    CsvSink.writeSingleFile(df, path)
+    val back = CsvSource.read(spark, path, delimiter = Some(";"))
+      .orderBy(col("id").cast("int")).collect()
+      .map(r => (r.getString(0),
+        Option(r.getString(1)).getOrElse(""),
+        Option(r.getString(2)).getOrElse(""),
+        Option(r.getString(3)).getOrElse(""))).toSeq
+    assert(back === rows)
+  }
+
   test("fuzz: randomly generated offer trees flatten without throwing " +
        "(repeated tags, empty elements, attr-only nodes, nested params)") {
     import graft.sources.XmlSource
