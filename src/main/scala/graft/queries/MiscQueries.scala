@@ -290,6 +290,36 @@ object MiscQueries {
           .orderBy("event_type")
       }),
 
+    // ----- extension: INTERSECT / EXCEPT set ops (SURVEY §2.6) -----
+    Q("q58_set_ops",
+      "customer keys buying in BOTH halves of the order history " +
+        "(INTERSECT) and only in the first half (EXCEPT)",
+      Some("""WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+             |            WHERE o_orderdate <  DATE '1995-01-01'),
+             |     h2 AS (SELECT DISTINCT o_custkey FROM orders
+             |            WHERE o_orderdate >= DATE '1995-01-01'),
+             |     both_h AS (SELECT o_custkey FROM h1 INTERSECT
+             |                SELECT o_custkey FROM h2),
+             |     only1 AS (SELECT o_custkey FROM h1 EXCEPT
+             |               SELECT o_custkey FROM h2)
+             |SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n FROM both_h
+             |UNION ALL
+             |SELECT 'h1_only', CAST(count(*) AS BIGINT) FROM only1
+             |ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables(s, dir, "orders")
+        val h1 = o.filter($"o_orderdate" < "1995-01-01")
+          .select($"o_custkey").distinct()
+        val h2 = o.filter($"o_orderdate" >= "1995-01-01")
+          .select($"o_custkey").distinct()
+        val both = h1.intersect(h2).agg(count(lit(1)).as("n"))
+          .withColumn("bucket", lit("both"))
+        val only1 = h1.except(h2).agg(count(lit(1)).as("n"))
+          .withColumn("bucket", lit("h1_only"))
+        both.unionByName(only1).select($"bucket", $"n").orderBy("bucket")
+      }),
+
     // ----- extension: RANGE window frame (time-based moving aggregate) -----
     Q("q57_range_frame",
       "per-user trailing 1-hour event count at each event (RANGE frame " +

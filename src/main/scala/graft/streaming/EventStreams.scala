@@ -68,6 +68,31 @@ object EventStreams {
     }
   }
 
+  /** Stream-STREAM interval join: attribute each purchase to a click by
+    * the same user within the preceding `windowMinutes`. Both sides are
+    * watermarked and the join condition bounds the time range in BOTH
+    * directions, so each side's buffered state is evicted once the
+    * watermark passes its window — the canonical bounded-state
+    * stream-stream join shape. Shuffle key is user_id on both sides. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       windowMinutes: Int = 30,
+                       watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") -
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .drop("c_user")
+  }
+
   /** Bridge a stream into the engine's batch sinks: each micro-batch is
     * exported through the flagship CSV path (prune + sorted header + scrub
     * via `CsvSink.exportColumns`, distributed `;`-delimited part files)

@@ -60,6 +60,28 @@ class EventStreamsSpec extends SparkTestBase {
       === Seq("alpha", "beta", "Undefined"))
   }
 
+  test("stream-stream click attribution joins purchases to clicks within " +
+       "the window, across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    // click at 10 and 100 for user 1; purchase at 25 (attributes to click
+    // 10, 15min prior) and at 140 (attributes to click 100, 40min prior —
+    // OUTSIDE the 30min window)
+    clicks.addData(ev(1, 10, user = 1))
+    purchases.addData(ev(50, 25, user = 1))
+    clicks.addData(ev(2, 100, user = 1))
+    purchases.addData(ev(51, 140, user = 1))
+    val out = runAll("attrib",
+      EventStreams.clickAttribution(clicks.toDF(), purchases.toDF(),
+                                    windowMinutes = 30))
+      .orderBy("purchase_id").collect()
+    assert(out.map(r => (r.getAs[Long]("purchase_id"),
+                         r.getAs[Long]("click_id"))).toSeq ===
+      Seq((50L, 1L))) // purchase 51 has no in-window click
+  }
+
   test("csvBatchSink exports each micro-batch through the flagship CSV " +
        "path into a per-batch directory") {
     import spark.implicits._
