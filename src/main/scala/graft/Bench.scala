@@ -27,7 +27,13 @@ object Bench {
       graft.sinks.XmlSink.writeYandexMarket(x, xp, date = "2025-01-01 00:00")
       spark.read.format("xml").option("rowTag", "offer").load(xp).count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only the named queries (local profiling; the
+    // driver passes no args and gets the full set)
+    val wanted = args.toSet
+    val picked =
+      if (wanted.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => wanted(n) }
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

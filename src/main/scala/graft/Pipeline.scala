@@ -29,9 +29,12 @@ object Pipeline {
 
   /** S1 steps 3-6 of entry point 1: validate, detect (or honor the
     * explicit `targetNode` override), read, flatten. Returns the flat
-    * all-string offer table BEFORE export pruning. */
-  def processXmlData(spark: SparkSession, path: String,
-                     targetNode: String = "auto"): DataFrame = {
+    * all-string offer table BEFORE export pruning, plus the scrubbed temp
+    * copy's path when F8 parse repair rewrote the feed — the DataFrame is
+    * LAZY, so the temp must outlive every action on it; callers delete it
+    * after their sink write completes. */
+  def processXmlDataTracked(spark: SparkSession, path: String,
+                            targetNode: String = "auto"): (DataFrame, Option[Path]) = {
     val head = XmlSource.readHead(path)
     XmlSource.validate(head)
     val dialect = targetNode match {
@@ -45,8 +48,9 @@ object Pipeline {
     // F8 parse repair: control bytes, BOM, and bare ampersands are
     // scrubbed into a temp copy (streaming; no-op when the feed is clean)
     val src = XmlSource.scrubbedIfNeeded(path)
+    val scrubTmp = if (src == path) None else Some(Paths.get(src))
     val rows = XmlSource.read(spark, src, dialect)
-    dialect match {
+    val flat = dialect match {
       case XmlSource.Yml =>
         val cats = XmlSource.categoryPaths(XmlSource.readCategories(spark, src))
         Flatten.flattenOffers(rows, XmlSource.Yml, Some(cats))
@@ -54,17 +58,27 @@ object Pipeline {
       case XmlSource.Russian => Flatten.flattenRussian(rows)
       case XmlSource.Service => Flatten.flattenService(rows)
     }
+    (flat, scrubTmp)
   }
+
+  /** [[processXmlDataTracked]] for callers that keep the DataFrame: any
+    * scrubbed temp copy survives until JVM exit (deleteOnExit backstop in
+    * XmlSource.scrubbedIfNeeded). */
+  def processXmlData(spark: SparkSession, path: String,
+                     targetNode: String = "auto"): DataFrame =
+    processXmlDataTracked(spark, path, targetNode)._1
 
   /** Entry point 1 tail: flatten -> prune -> sorted ; CSV with BOM
     * (main.py:1540-1582). Returns the written path. */
   def processXmlFileToCsv(spark: SparkSession, inPath: String, outDir: String,
                           targetNode: String = "auto"): Path = {
-    val flat = processXmlData(spark, inPath, targetNode)
-    val out = Paths.get(outDir, Filenames.csvNameFor(Paths.get(inPath).getFileName.toString))
-    Files.createDirectories(out.getParent)
-    CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
-    out
+    val (flat, scrubTmp) = processXmlDataTracked(spark, inPath, targetNode)
+    try {
+      val out = Paths.get(outDir, Filenames.csvNameFor(Paths.get(inPath).getFileName.toString))
+      Files.createDirectories(out.getParent)
+      CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
+      out
+    } finally scrubTmp.foreach(Files.deleteIfExists(_)) // feed-sized temp
   }
 
   /** Entry point: URL fetch -> XML pipeline (main.py:1586-1741 + 1384). */
@@ -72,11 +86,13 @@ object Pipeline {
                   targetNode: String = "auto"): Path = {
     val tmp = HttpFetch.fetchToFile(url)
     try {
-      val flat = processXmlData(spark, tmp.toString, targetNode)
-      val out = Paths.get(outDir, Filenames.csvNameFor(url))
-      Files.createDirectories(out.getParent)
-      CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
-      out
+      val (flat, scrubTmp) = processXmlDataTracked(spark, tmp.toString, targetNode)
+      try {
+        val out = Paths.get(outDir, Filenames.csvNameFor(url))
+        Files.createDirectories(out.getParent)
+        CsvSink.writeSingleFile(CsvSink.exportColumns(flat), out.toString)
+        out
+      } finally scrubTmp.foreach(Files.deleteIfExists(_))
     } finally Files.deleteIfExists(tmp) // a feed-sized temp per call
   }
 

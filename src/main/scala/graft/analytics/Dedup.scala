@@ -147,6 +147,37 @@ object Dedup {
       .select($"doc", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
   }
 
+  /** [[minhashBands]] computed straight from the corpus, entirely MAP-SIDE:
+    * each doc's shingle ARRAY (native [[graft.functions.WordNgrams]]) is
+    * folded with `array_min` per seed — no shingle explode, no groupBy(doc)
+    * shuffle. Identical output to `minhashBands(shingles(docs, ...))`:
+    * array_min on strings is the same binary-collation min as the `min`
+    * aggregate, and docs with < n tokens (empty shingle array) emit no
+    * bands in both forms. The ONLY shuffles left in the LSH pipeline are
+    * the candidate-stage ones. */
+  def minhashBandsFromDocs(docs0: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, numHashes: Int = 8,
+                           bandSize: Int = 2): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    val sigs = transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform($"shs",
+        s => md5(concat(k.cast("string"), lit("|"), s)))))
+    docs
+      .select(col(idCol).as("doc"),
+        graft.functions.WordNgrams.wordNgrams(col(textCol), n).as("shs"))
+      .filter(size($"shs") > 0)
+      .select($"doc", sigs.as("sigs"))
+      .select($"doc",
+        explode(transform(sequence(lit(0), lit(numHashes / bandSize - 1)),
+          b => struct(b.as("band"),
+            md5(array_join(slice($"sigs", b * bandSize + 1, lit(bandSize)), ","))
+              .as("bucket")))).as("bb"))
+      .select($"doc", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+  }
+
   /** Distinct candidate pairs from LSH buckets. `maxBucket` drops giant
     * buckets before the self-join — a degenerate bucket of B docs yields
     * B^2/2 pairs, so one hot bucket (boilerplate/empty docs) can dominate
@@ -193,11 +224,15 @@ object Dedup {
     // candidate sets after LSH capping are usually driver-sized: a local
     // union-find is one collect instead of ~4 jobs per diameter round.
     // Probe with limit+count (never scans past the threshold); huge pair
-    // sets take the distributed propagation below.
+    // sets take the distributed propagation below. The pair plan is often
+    // the whole shingle->MinHash->LSH pipeline — materialize it ONCE so the
+    // probe, the collect/propagation, and any caller join-back all read the
+    // checkpointed blocks instead of recomputing the pipeline.
+    val p = pairs.localCheckpoint()
     val small =
-      pairs.limit((localMaxPairs + 1).toInt).count() <= localMaxPairs
-    if (small) connectedComponentsLocal(pairs)
-    else connectedComponentsIterative(pairs, maxIter)
+      p.limit((localMaxPairs + 1).toInt).count() <= localMaxPairs
+    if (small) connectedComponentsLocal(p)
+    else connectedComponentsIterative(p, maxIter)
   }
 
   /** Driver-side union-find over a collected pair set; same output contract
@@ -276,8 +311,8 @@ object Dedup {
                   maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh    = shingles(docs, idCol, textCol)
-    val bands = minhashBands(sh, numHashes, bandSize)
+    val bands = minhashBandsFromDocs(docs, idCol, textCol,
+      n = 3, numHashes = numHashes, bandSize = bandSize)
     val cand  = minhashCandidates(bands, maxBucket)
     val comp  = connectedComponents(cand)
     docs.select(col(idCol))
@@ -306,24 +341,31 @@ object Dedup {
 
   /** 16-bit SimHash from md5 nibbles: bit i (1-based) is set iff the
     * token-occurrence-weighted sum of (+1 if nibble i's high bit set else -1)
-    * is positive. Integer arithmetic end-to-end → exact in both engines. */
+    * is positive. Integer arithmetic end-to-end → exact in both engines.
+    *
+    * Entirely MAP-SIDE: one md5 per token, folded into a 16-slot running
+    * sum with `aggregate`, zero shuffles. (The exploded form amplified the
+    * corpus to tokens x 16 rows through TWO shuffles and recomputed each
+    * token's md5 16 times — same math, ~20x the work.) Docs with zero
+    * tokens emit no row, matching the exploded form's semantics. */
   def simhash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
     val bits = 16
+    val hiNibble = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = aggregate(
+      transform($"toks", t => md5(t)),
+      array_repeat(lit(0L), bits),
+      (acc, h) => transform(sequence(lit(1), lit(bits)),
+        i => element_at(acc, i) +
+          when(h.substr(i, lit(1)).isin(hiNibble: _*), 1L).otherwise(-1L)))
     docs
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("i", explode(sequence(lit(1), lit(bits))))
-      .withColumn("contrib",
-        when(md5($"tok").substr($"i", lit(1))
-               .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1))
-      .groupBy($"doc", $"i")
-      .agg(sum($"contrib").as("s"))
-      .groupBy($"doc")
-      .agg(sum(when($"s" > 0,
-                    pow(lit(2.0), $"i" - 1).cast("long"))
-               .otherwise(0L)).as("simhash"))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc",
+        aggregate(sequence(lit(1), lit(bits)), lit(0L),
+          (acc, i) => acc + when(element_at(sums, i) > 0,
+            pow(lit(2.0), i - 1).cast("long")).otherwise(0L)).as("simhash"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval (range) join: match point rows whose timestamp falls inside
@@ -29,21 +29,30 @@ object RangeJoin {
     *                  empty/inverted intervals (end <= start) match nothing
     * @param binSeconds bucket width in seconds
     */
+  /** floor(um / w) in pure long arithmetic. `floor(col / w)` goes through
+    * DOUBLE division, which rounds above 2^53 µs and can put a point and
+    * its interval in different bins (a silently DROPPED match — the
+    * post-join filter only removes false positives). `div` truncates
+    * toward zero, so pre-epoch timestamps need the -1 adjustment. */
+  private def floorDivBin(um: Column, w: Long): Column = {
+    val q = call_function("div", um, lit(w))
+    when(um < 0 && (um % w) =!= 0, q - 1).otherwise(q)
+  }
+
   def byBucket(points: DataFrame, tsCol: String,
                intervals: DataFrame, startCol: String, endCol: String,
                binSeconds: Long = 3600L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     val w = binSeconds * 1000000L // bin width in microseconds
-    val p = points.withColumn("__bin",
-      floor(unix_micros(col(tsCol)) / w).cast("long"))
+    val p = points.withColumn("__bin", floorDivBin(unix_micros(col(tsCol)), w))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bin",
         explode(sequence(
-          floor(unix_micros(col(startCol)) / w).cast("long"),
+          floorDivBin(unix_micros(col(startCol)), w),
           // end is EXCLUSIVE: an interval ending exactly on a bin boundary
           // does not cover that bin
-          floor((unix_micros(col(endCol)) - 1) / w).cast("long"))))
+          floorDivBin(unix_micros(col(endCol)) - 1, w))))
     p.join(iv, Seq("__bin"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bin")

@@ -40,6 +40,10 @@ object SaltedJoin {
   def join(facts: DataFrame, dim: DataFrame, key: String, numSalts: Int,
            saltSource: Column, joinType: String = "inner"): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
+    // right/full/semi would be wrong, not slow: the dim side is amplified
+    // x numSalts, so unmatched dim rows would surface numSalts times
+    require(joinType == "inner" || joinType == "left",
+      s"SaltedJoin supports inner/left only, got: $joinType")
     val fs = facts.withColumn("__salt", pmod(hash(saltSource), lit(numSalts)))
     val ds = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))

@@ -108,8 +108,8 @@ object AnalyticsQueries {
              |SELECT doc_a, doc_b FROM cand
              |ORDER BY doc_a, doc_b""".stripMargin),
       (s, dir) => {
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text")
-        val bands = Dedup.minhashBands(sh, numHashes = 8, bandSize = 2)
+        val bands = Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3, numHashes = 8, bandSize = 2)
         Dedup.minhashCandidates(bands, maxBucket = 1000)
           .orderBy("doc_a", "doc_b")
       }),

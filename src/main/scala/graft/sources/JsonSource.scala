@@ -52,7 +52,10 @@ object JsonSource {
     // value, the file is line-delimited and must be read with
     // multiLine=false — the multiLine reader parses exactly one root value
     // per file and would silently truncate an NDJSON feed to one record.
+    // BOM must be stripped here too: Jackson rejects a BOM-prefixed line,
+    // which would misroute a BOM'd NDJSON feed to multiLine=true (one row)
     val firstLine = head.linesIterator.find(_.trim.nonEmpty).getOrElse("")
+      .dropWhile(c => c.isWhitespace || c == '﻿')
     val ndjson =
       try {
         new com.fasterxml.jackson.databind.ObjectMapper().readTree(firstLine)

@@ -158,8 +158,12 @@ object XmlSource {
           else pending.drop(safeLen) ++ next
       }
     } finally { in.close(); out.close() }
-    if (changed) tmp.toString
-    else { java.nio.file.Files.deleteIfExists(tmp); path }
+    if (changed) {
+      // backstop for callers that never reach their cleanup (JVM exit
+      // between read and sink); primary cleanup is Pipeline's finally
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    } else { java.nio.file.Files.deleteIfExists(tmp); path }
   }
 
   /** Files at least this large go through the distributed element splitter

@@ -3,6 +3,8 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestBase
 
 /** End-to-end entry-point tests: the reference's flagship URL/file -> CSV
@@ -22,6 +24,25 @@ class PipelineSpec extends SparkTestBase {
       Paths.get(getClass.getResource("/fixtures/yml_offer_expected.csv").getPath)),
       StandardCharsets.UTF_8)
     assert(text === expected)
+  }
+
+  test("a dirty feed's scrubbed temp copy is deleted once the CSV is " +
+       "written (no feed-sized /tmp leak per conversion)") {
+    val dirty = "<yml_catalog><shop><offers>" +
+      "<offer id=\"1\"><name>A & B</name><price>10</price></offer>" +
+      "</offers></shop></yml_catalog>"
+    val dir = Files.createTempDirectory("graft_scrub_leak")
+    val src = dir.resolve("dirty_feed.xml")
+    Files.writeString(src, dirty)
+    def scrubTemps() = {
+      val l = Files.list(Paths.get(System.getProperty("java.io.tmpdir")))
+      try l.iterator().asScala
+        .count(_.getFileName.toString.startsWith("graft_scrub")) finally l.close()
+    }
+    val before = scrubTemps()
+    val out = Pipeline.processXmlFileToCsv(spark, src.toString, outDir())
+    assert(Files.size(out) > 0)
+    assert(scrubTemps() === before, "scrubbed temp copy must be deleted")
   }
 
   test("processFile dispatches by extension (xml -> csv)") {

@@ -53,6 +53,15 @@ class DedupSpec extends SparkTestBase {
     val slow = slowBands.orderBy("doc", "band").collect().toSeq
     assert(fast.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
       === slow.map(r => (r.getLong(0), r.getInt(1), r.getString(2))))
+    // map-side array_min path == exploded groupBy path (incl. a short doc
+    // that yields no shingles and must vanish from both)
+    val docs2 = docs.union(Seq((4L, "too short")).toDF("doc_id", "text"))
+    val mapSide = Dedup.minhashBandsFromDocs(docs2, "doc_id", "text")
+      .orderBy("doc", "band").collect().toSeq
+    val exploded = Dedup.minhashBands(Dedup.shingles(docs2, "doc_id", "text"))
+      .orderBy("doc", "band").collect().toSeq
+    assert(mapSide.map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      === exploded.map(r => (r.getLong(0), r.getInt(1), r.getString(2))))
   }
 
   test("ngram Jaccard: identical docs score 1.0") {
@@ -145,6 +154,9 @@ class DedupSpec extends SparkTestBase {
       .orderBy("doc").collect().map(_.getLong(1))
     assert(out(0) === out(1))
     assert(out.forall(h => h >= 0L && h < 65536L))
+    // explode-semantics parity: zero-token docs emit NO row
+    val withEmpty = docs.union(Seq((4L, "   "), (5L, "")).toDF("doc_id", "text"))
+    assert(Dedup.simhash(withEmpty, "doc_id", "text").count() === 3L)
   }
 }
 

@@ -52,6 +52,30 @@ class RangeJoinSpec extends SparkTestBase {
     assert(joined.count() === 48L) // 8h window, 10-min cadence, end exclusive
   }
 
+  test("pre-epoch timestamps bin exactly (floor semantics, not div's " +
+       "truncation toward zero)") {
+    import spark.implicits._
+    // 1969: unix_micros is negative; truncating division would misalign a
+    // point at -0.5h with an interval [-1h, 0h) across the bin boundary
+    val points = Seq(
+      (1L, ts("1969-12-31 23:30:00")),
+      (2L, ts("1969-12-31 22:59:59")),
+      (3L, ts("1970-01-01 00:00:00"))).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, ts("1969-12-31 23:00:00"), ts("1970-01-01 00:00:00")),
+      (11L, ts("1969-12-31 22:00:00"), ts("1969-12-31 23:00:00")))
+      .toDF("iid", "start_ts", "end_ts")
+    val got = RangeJoin.byBucket(points, "ts", intervals, "start_ts", "end_ts")
+      .select($"pid", $"iid").orderBy($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = points.join(intervals,
+        $"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .select($"pid", $"iid").orderBy($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === naive)
+    assert(got === Seq((1L, 10L), (2L, 11L)))
+  }
+
   test("generated differential: bucketed == naive on random points and " +
        "intervals across bin sizes") {
     import spark.implicits._

@@ -20,6 +20,16 @@ class SaltedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("unsupported join types fail fast instead of returning amplified rows") {
+    import spark.implicits._
+    val facts = Seq((1L, "a")).toDF("fid", "k")
+    val dim = Seq(("a", "A"), ("b", "B")).toDF("k", "label")
+    for (jt <- Seq("right", "full", "left_semi", "left_anti"))
+      intercept[IllegalArgumentException] {
+        SaltedJoin.join(facts, dim, "k", 4, $"fid", jt)
+      }
+  }
+
   test("generated differential: salted == plain across salt counts on " +
        "random skewed data with null keys") {
     import spark.implicits._

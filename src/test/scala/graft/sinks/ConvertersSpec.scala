@@ -216,6 +216,12 @@ class ConvertersSpec extends SparkTestBase {
     val single = tmp("pretty.json")
     Files.writeString(Paths.get(single), "{\n  \"id\": 9,\n  \"v\": \"z\"\n}\n")
     assert(JsonSource.read(spark, single).count() === 1)
+    // a UTF-8 BOM must not defeat the NDJSON sniff (Jackson rejects a
+    // BOM-prefixed line; the multiLine fallback would read ONE row)
+    val bom = tmp("rows_bom.ndjson")
+    Files.writeString(Paths.get(bom),
+      "﻿{\"id\": 1, \"v\": \"a\"}\n{\"id\": 2, \"v\": \"b\"}\n{\"id\": 3, \"v\": \"c\"}\n")
+    assert(JsonSource.read(spark, bom).count() === 3)
   }
 
   test("F15 'http' prefix is not enough: space-bearing and http-prefixed " +
