@@ -87,14 +87,46 @@ object Dedup {
                         maxDocFreq: Int = 1000): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    // materialize shingles ONCE: the plan consumes this subtree five times
-    // (counts, df scan, anti-join, both self-join sides) and Spark does not
+    jaccardCore(sh,
+      shP => shP.groupBy($"doc").agg(count(lit(1)).as("n")),
+      minJaccard, maxDocFreq)
+  }
+
+  /** [[ngramJaccardPairs]] computed straight from the corpus: per-doc
+    * shingle counts are `size` of the shingle ARRAY — map-side, instead of
+    * shuffling the whole exploded shingle set BACK to doc just to count it.
+    * One fewer corpus-sized shuffle; identical output. */
+  def ngramJaccardPairsFromDocs(docs0: DataFrame, idCol: String,
+                                textCol: String, minJaccard: Double,
+                                n: Int = 3, maxDocFreq: Int = 1000): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val arr = docs.select(col(idCol).as("doc"),
+      graft.functions.WordNgrams.wordNgrams(col(textCol), n).as("shs"))
+      .filter(size($"shs") > 0)
+    val sh = arr.select($"doc", explode($"shs").as("sh"))
+    val counts = arr.select($"doc", size($"shs").cast("long").as("n"))
+    jaccardCore(sh, _ => counts, minJaccard, maxDocFreq)
+  }
+
+  /** Shared candidate-pair + Jaccard tail: inverted-index self-join over
+    * the (doc, sh) rows with the hot-shingle cap, scored against per-doc
+    * shingle counts (`countsOf` receives the CHECKPOINTED shingles so a
+    * count-by-aggregation reads the materialized blocks, while map-side
+    * callers can ignore it). */
+  private def jaccardCore(sh: DataFrame, countsOf: DataFrame => DataFrame,
+                          minJaccard: Double, maxDocFreq: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    // materialize shingles ONCE: the plan consumes this subtree up to four
+    // times (df scan, anti-join, both self-join sides) and Spark does not
     // reuse non-identical aliased subtrees — localCheckpoint persists the
     // partitioned blocks and truncates lineage (blocks are released when
     // the RDD is GC'd). Hash-partitioned by shingle first so the self-join
     // needs no further exchange.
     val shP = sh.repartition($"sh").localCheckpoint()
-    val counts = shP.groupBy($"doc").agg(count(lit(1)).as("n"))
+    val counts = countsOf(shP)
     // the HOT set (df > cap) is tiny by construction — broadcast anti-join
     // it away; broadcasting the rare set would ship ~the whole vocabulary
     val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))

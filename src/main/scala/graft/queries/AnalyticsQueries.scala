@@ -95,11 +95,10 @@ object AnalyticsQueries {
              |JOIN counts cb ON cb.doc = doc_b
              |WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin),
-      (s, dir) => {
-        val sh = Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text")
-        Dedup.ngramJaccardPairs(sh, minJaccard = 0.5, maxDocFreq = 1000)
-          .orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) =>
+        Dedup.ngramJaccardPairsFromDocs(Tables(s, dir, "documents"),
+            "doc_id", "text", minJaccard = 0.5, n = 3, maxDocFreq = 1000)
+          .orderBy("doc_a", "doc_b")),
 
     // ----- MinHash + LSH banding candidates -----
     Q("q19_minhash_lsh",

@@ -18,8 +18,19 @@ object PartFiles {
     val tmp = Files.createTempDirectory("graft_parts")
     val dir = tmp.resolve("parts")
     try {
-      lines.write.mode("overwrite").option("lineSep", lineSep)
-        .text(dir.toString)
+      // AQE's partition coalescing sees a few-MB shuffle and folds the
+      // whole write into ONE task — which serializes every row's string
+      // building onto one core (the sink's only CPU-heavy stage). Keep the
+      // planned partitioning for this write; part-file name order is
+      // partition order, so the concatenated bytes are unchanged.
+      val spark = lines.sparkSession
+      val conf = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "false")
+      try
+        lines.write.mode("overwrite").option("lineSep", lineSep)
+          .text(dir.toString)
+      finally prev.foreach(spark.conf.set(conf, _))
       val listing = Files.list(dir)
       val parts =
         try listing.iterator().asScala.toSeq finally listing.close()

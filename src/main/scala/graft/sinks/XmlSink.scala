@@ -23,13 +23,15 @@ import org.apache.spark.sql.functions._
 object XmlSink {
 
   /** XML text escaping (ET.tostring semantics: `& < >` in text, plus quotes
-    * for attribute values). */
+    * for attribute values). Literal `replace`, not regexp_replace — the
+    * escape runs 3-4x per field per row, and the regex engine costs ~an
+    * order of magnitude more than a memchr-style literal scan. */
   def escText(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    call_function("replace", call_function("replace", call_function("replace",
+      c, lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
 
   def escAttr(c: Column): Column =
-    regexp_replace(escText(c), "\"", "&quot;")
+    call_function("replace", escText(c), lit("\""), lit("&quot;"))
 
   private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
 

@@ -209,6 +209,12 @@ object XmlSource {
       .filter(col("e") =!= "")
       .select(concat(col("e"), lit(endTag)).as("value"))
       .as[String]
+      // schema inference + parse are TWO passes over the elements;
+      // materialize the split/extract work once (partitioned blocks,
+      // memory-and-disk) instead of re-scanning + re-regexing the file.
+      // Single-file feeds are upload-bounded (reference caps at 100 MB),
+      // so the block footprint is a non-issue even per-executor.
+      .localCheckpoint()
     spark.read
       .option("rowTag", dialect.rowTag)
       .option("attributePrefix", AttrPrefix)

@@ -74,6 +74,25 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.head.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("from-docs Jaccard (map-side counts) == exploded-shingle form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "a b c d e f"),
+      (4L, "p q r s t"), (5L, "x y")).toDF("doc_id", "text")
+    val viaDocs = Dedup.ngramJaccardPairsFromDocs(
+        docs, "doc_id", "text", minJaccard = 0.1)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5))).toSeq
+    val viaShingles = Dedup.ngramJaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text"), minJaccard = 0.1)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5))).toSeq
+    assert(viaDocs === viaShingles)
+    assert(viaDocs.nonEmpty)
+  }
+
   test("hot-shingle cap drops pairs only connected by hot shingles") {
     import spark.implicits._
     // every doc shares 'x x x'; cap=1 removes it from the index
