@@ -22,18 +22,27 @@ import org.apache.spark.sql.functions._
 object TfIdf {
 
   /** Sparse (doc, term, w) weights: tf = term count in doc, df = docs
-    * containing term, w = (tf * scale) DIV df. */
+    * containing term, w = (tf * scale) DIV df.
+    *
+    * Tokenization explodes a plain `split` and filters empty terms as a
+    * row predicate (whole-stage-codegen) instead of an array-lambda
+    * `filter` (interpreted per row). df comes from a count window over
+    * `term` on the tf rows — ONE shuffle keyed by term, where the
+    * groupBy(term)+re-join form shuffles the tf rows twice. */
   def termWeights(docs: DataFrame, idCol: String, textCol: String,
                   scale: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = Par.ensure(docs)
-      .select(col(idCol).as("doc"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("doc"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter($"term" =!= "")
       .groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     // weights feed centroids, query vectors, and both norms — materialize
     // once instead of re-tokenizing the corpus per consumer
-    tf.join(dfreq, "term")
+    tf.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"term")))
       .withColumn("w", expr(s"(tf * $scale) DIV df"))
       .select($"doc", $"term", $"tf", $"df", $"w")
       .localCheckpoint()

@@ -157,8 +157,23 @@ object XmlSink {
 
   /** K3 single-file yandex_market write (envelope main.py:524-547). `date`
     * is injectable for determinism (F12). */
-  def writeYandexMarket(df: DataFrame, path: String,
+  def writeYandexMarket(df0: DataFrame, path: String,
                         date: String = ""): Unit = {
+    // the category-dictionary pass and the offer-serialization pass both
+    // evaluate the input; persist so the (possibly sorted/joined) lineage
+    // computes once — recomputing a sort costs more than spilling the
+    // feed-sized rows, and the block is released before returning
+    val twoPass = df0.columns.contains("category_path")
+    val df =
+      if (twoPass)
+        df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df0
+    try writeYandexMarketImpl(df, path, date)
+    finally if (twoPass) df.unpersist(false)
+  }
+
+  private def writeYandexMarketImpl(df: DataFrame, path: String,
+                                    date: String): Unit = {
     val catDict = categoryDictionary(df)
     val cats = catDict.orderBy(col("cat_id").cast("int")).collect()
     val out = new java.io.BufferedOutputStream(Files.newOutputStream(
