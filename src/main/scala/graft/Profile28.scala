@@ -44,17 +44,22 @@ object Profile28 {
         .write.mode("overwrite").text("/tmp/p28_parts2"))
 
     t("write")(sinks.XmlSink.writeYandexMarket(src, path, date = "2025-01-01 00:00"))
+    t("write again")(sinks.XmlSink.writeYandexMarket(src, path, date = "2025-01-01 00:00"))
     val cats = t("readCategories")(sources.XmlSource.readCategories(spark, path).count())
     println(s"[p28] cats=$cats")
     val catPaths = sources.XmlSource.categoryPaths(
       sources.XmlSource.readCategories(spark, path))
-    val offersDf = sources.XmlSource.read(spark, path, sources.XmlSource.Yml)
-    t("offers infer+plan")(offersDf.schema)
+    val offersDf = t("read (ckpt+infer)")(
+      sources.XmlSource.read(spark, path, sources.XmlSource.Yml))
     t("offers parse")(offersDf.count())
     val flat = engine.Flatten.flattenOffers(
-      sources.XmlSource.read(spark, path, sources.XmlSource.Yml),
+      t("read 2 (ckpt+infer)")(
+        sources.XmlSource.read(spark, path, sources.XmlSource.Yml)),
       sources.XmlSource.Yml, Some(catPaths))
     t("flatten+count")(flat.count())
+    t("flatten+count again")(engine.Flatten.flattenOffers(
+      sources.XmlSource.read(spark, path, sources.XmlSource.Yml),
+      sources.XmlSource.Yml, Some(catPaths)).count())
     spark.stop()
   }
 }

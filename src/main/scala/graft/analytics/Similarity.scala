@@ -88,6 +88,74 @@ object Similarity {
       .select($"vid_a", $"vid_b", $"cos_sim")
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes for sign-bit LSH: component
+    * (k, i) is +1 when the low bit of md5("k|i")'s first byte is 0, else
+    * -1. A fixed, engine-independent rule — the planes are model constants
+    * that any SQL oracle can embed as literals. */
+  def hyperplaneSigns(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (k, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** Banded sign-bit signatures per vector: band b's signature packs one
+    * bit per hyperplane (`dot(v, plane) >= 0`). Entirely MAP-SIDE — the
+    * output rows carry only (vid, band, sig), never the vector. */
+  def hyperplaneBands(emb: DataFrame, idCol: String, vecCol: String,
+                      bands: Int, planesPerBand: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplaneSigns(bands * planesPerBand, dim)
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val bandCols = (0 until bands).map { b =>
+      val sig = (0 until planesPerBand).map { j =>
+        val p = planes(b * planesPerBand + j).toSeq
+        when(dot($"v", typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    v.select($"vid", explode(array(bandCols: _*)).as("bs"))
+      .select($"vid", $"bs.band".as("band"), $"bs.sig".as("sig"))
+  }
+
+  /** Embedding near-dup pairs via banded random-hyperplane LSH — the
+    * second scale path next to [[cosineNearDupPairs]]'s IVF bucketing.
+    * Candidates are pairs sharing any band's signature (standard LSH
+    * amplification: bands trade recall against candidate volume); only
+    * candidates get the exact cosine. `maxBucket` drops degenerate
+    * buckets before the self-join, mirroring
+    * [[Dedup.minhashCandidates]] — one hot bucket of B vectors yields
+    * B²/2 pairs. Recall is the textbook sign-LSH curve
+    * (p_plane = 1 - θ/π per plane); pairs in no shared bucket are missed
+    * by construction, and the oracle applies the identical banding. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double, bands: Int = 3,
+                      planesPerBand: Int = 6,
+                      maxBucket: Int = 1000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    // both self-join sides consume the signatures: materialize once,
+    // pre-partitioned on the join key
+    val bb = hyperplaneBands(emb, idCol, vecCol, bands, planesPerBand)
+      .repartition($"band", $"sig").localCheckpoint()
+    val big = bb.groupBy($"band", $"sig").agg(count(lit(1)).as("bn"))
+      .filter($"bn" > maxBucket).select($"band", $"sig")
+    val capped = bb.join(broadcast(big), Seq("band", "sig"), "left_anti")
+    val a = capped.select($"band", $"sig", $"vid".as("vid_a"))
+    val b = capped.select($"band", $"sig", $"vid".as("vid_b"))
+    val cand = a.join(b, Seq("band", "sig")).filter($"vid_a" < $"vid_b")
+      .select($"vid_a", $"vid_b").distinct()
+    cand
+      .join(v.select($"vid".as("vid_a"), $"v".as("va")), "vid_a")
+      .join(v.select($"vid".as("vid_b"), $"v".as("vb")), "vid_b")
+      .withColumn("cos_sim", round(cosine($"va", $"vb"), 6))
+      .filter($"cos_sim" >= minCosine)
+      .select($"vid_a", $"vid_b", $"cos_sim")
+  }
+
   /** IVF-bucketed approximate top-k. Deterministic "training": every
     * `centroidStride`-th vector (by id) is a centroid. Assignment and probe
     * both broadcast only the centroid set. */

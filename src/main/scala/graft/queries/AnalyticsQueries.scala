@@ -419,6 +419,53 @@ object AnalyticsQueries {
             Multimodal.extractMeta(
               Multimodal.asBlobs(Tables(s, dir, "documents"), "doc_id", "text")),
             k = 4)
-          .orderBy("doc_id", "sample_ord"))
+          .orderBy("doc_id", "sample_ord")),
+
+    // ----- embedding near-dup pairs via banded hyperplane LSH -----
+    Q("q59_lsh_neardup",
+      "sign-bit hyperplane LSH (3 bands x 6 planes): same-band-signature " +
+        "embedding pairs with exact cosine >= 0.4 (second scale path next " +
+        "to q38's IVF bucketing)",
+      Some(vCte + """,
+             | planes AS (SELECT * FROM (VALUES
+             |""".stripMargin + planeValuesSql(bands = 3, planesPerBand = 6) +
+             """) AS t(band, j, p)),
+             | sigs AS (
+             |   SELECT vec_id, band,
+             |          CAST(sum(CASE WHEN list_dot_product(vv, p) >= 0
+             |                        THEN 1 << j ELSE 0 END) AS BIGINT) AS sig
+             |   FROM v, planes GROUP BY vec_id, band),
+             | keep AS (
+             |   SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) <= 1000),
+             | cand AS (
+             |   SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+             |   FROM (SELECT s.* FROM sigs s JOIN keep USING (band, sig)) a
+             |   JOIN (SELECT s.* FROM sigs s JOIN keep USING (band, sig)) b
+             |     ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+             |SELECT vid_a, vid_b, """.stripMargin +
+             cosSql("a.vv", "b.vv") + """ AS cos_sim
+             |FROM cand JOIN v a ON a.vec_id = vid_a JOIN v b ON b.vec_id = vid_b
+             |WHERE """.stripMargin + cosSql("a.vv", "b.vv") + """ >= 0.4
+             |ORDER BY vid_a, vid_b""".stripMargin),
+      (s, dir) =>
+        Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", minCosine = 0.4,
+            bands = 3, planesPerBand = 6)
+          .orderBy("vid_a", "vid_b"))
   )
+
+  /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
+    * the same model constants [[Similarity.hyperplaneSigns]] computes, so
+    * the oracle buckets identically. Testdata embeddings are 64-dim. */
+  private def planeValuesSql(bands: Int, planesPerBand: Int,
+                             dim: Int = 64): String = {
+    val planes = Similarity.hyperplaneSigns(bands * planesPerBand, dim)
+    (0 until bands).flatMap { b =>
+      (0 until planesPerBand).map { j =>
+        val p = planes(b * planesPerBand + j)
+          .map(x => if (x > 0) "1" else "-1").mkString(",")
+        s"  ($b, $j, [$p]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+  }
 }

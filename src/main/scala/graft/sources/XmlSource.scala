@@ -203,11 +203,17 @@ object XmlSource {
     import spark.implicits._
     val endTag  = s"</${dialect.rowTag}>"
     val openPat = java.util.regex.Pattern.quote(s"<${dialect.rowTag}")
-    val elems = spark.read.option("lineSep", endTag).text(path)
-      .select(regexp_extract(col("value"), "(?s)(" + openPat + "[\\s/>].*)$", 1)
-        .as("e"))
-      .filter(col("e") =!= "")
-      .select(concat(col("e"), lit(endTag)).as("value"))
+    val elems = graft.analytics.Par.ensure(
+        spark.read.option("lineSep", endTag).text(path)
+          .select(regexp_extract(col("value"),
+              "(?s)(" + openPat + "[\\s/>].*)$", 1)
+            .as("e"))
+          .filter(col("e") =!= "")
+          // a single file yields totalBytes/openCost splits (a handful for
+          // a tens-of-MB feed) — spread the elements across all cores so
+          // BOTH downstream StAX passes parse at full width; the shuffled
+          // payload is just the element strings
+          .select(concat(col("e"), lit(endTag)).as("value")))
       .as[String]
       // schema inference + parse are TWO passes over the elements;
       // materialize the split/extract work once (partitioned blocks,

@@ -216,6 +216,37 @@ class SimilaritySpec extends SparkTestBase {
       .select("rn", "neighbor_id").collect().toSeq
     assert(ivf === bf)
   }
+
+  test("hyperplane signs are deterministic ±1") {
+    val a = Similarity.hyperplaneSigns(4, 8)
+    val b = Similarity.hyperplaneSigns(4, 8)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x == 1.0 || x == -1.0))
+    // not degenerate: both signs occur
+    assert(a.flatten.distinct.length == 2)
+  }
+
+  test("LSH near-dup pairs are a subset of true pairs and catch clones") {
+    import spark.implicits._
+    // 0/1 near-identical, 2/3 near-identical, rest scattered
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val emb = (Seq(
+      (0L, base), (1L, base.map(x => x * 1.01f)),
+      (2L, base.map(x => -x)), (3L, base.map(x => -x * 0.99f))) ++
+      (4L to 9L).map(i => (i,
+        Array.tabulate(16)(j => math.cos(i * 2.1 + j * 0.9).toFloat))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        minCosine = 0.9, bands = 3, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every reported pair really has cosine >= 0.9 (exact re-check filter)
+    assert(out.forall(_._3 >= 0.9))
+    // identical-direction clones share every band signature -> always found
+    // (cos(i*2.1+…) at i-spacing 3 ≈ 2π also yields true near-dups among
+    // the fillers — they may legitimately appear too)
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((2L, 3L)))
+  }
 }
 
 class TextAnalysisSpec extends SparkTestBase {
