@@ -2,6 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Shared wall-clock helper for the manual profiling mains. */
+private[graft] object ProfTimer {
+  def t[A](tag: String, name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[$tag] $name%-26s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+  }
+}
+
 /** Stage-by-stage wall-clock breakdown of the q28 XML round-trip (manual
   * profiling utility, not run by the driver). */
 object Profile28 {
@@ -15,10 +23,7 @@ object Profile28 {
     // warm up
     spark.read.parquet(s"$dir/orders.parquet").count()
 
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[p28] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
-    }
+    def t[A](name: String)(f: => A): A = ProfTimer.t("p28", name)(f)
 
     val src = queries.Tables(spark, dir, "orders").orderBy("o_orderkey").select(
       $"o_orderkey".cast("string").as("id"),

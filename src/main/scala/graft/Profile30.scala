@@ -11,10 +11,7 @@ object Profile30 {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet").count()
 
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[p30] $name%-26s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
-    }
+    def t[A](name: String)(f: => A): A = ProfTimer.t("p30", name)(f)
 
     val docs = queries.Tables(spark, dir, "documents")
     t("docs count")(docs.count())

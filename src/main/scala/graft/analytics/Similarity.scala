@@ -102,13 +102,19 @@ object Similarity {
   /** Banded sign-bit signatures per vector: band b's signature packs one
     * bit per hyperplane (`dot(v, plane) >= 0`). Entirely MAP-SIDE — the
     * output rows carry only (vid, band, sig), never the vector. */
-  def hyperplaneBands(emb: DataFrame, idCol: String, vecCol: String,
-                      bands: Int, planesPerBand: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** Vectors shaped for LSH: null and zero-length embeddings are dropped
+    * (a degenerate vector has no direction — and every empty vector would
+    * otherwise collapse into the same all-zero signature bucket). */
+  private def lshVectors(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+
+  /** Banded signatures over pre-shaped (vid, v) rows. */
+  private def bandsFromV(v: DataFrame, dim: Int, bands: Int,
+                         planesPerBand: Int): DataFrame = {
+    val spark = v.sparkSession
     import spark.implicits._
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplaneSigns(bands * planesPerBand, dim)
-    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val bandCols = (0 until bands).map { b =>
       val sig = (0 until planesPerBand).map { j =>
         val p = planes(b * planesPerBand + j).toSeq
@@ -118,6 +124,16 @@ object Similarity {
     }
     v.select($"vid", explode(array(bandCols: _*)).as("bs"))
       .select($"vid", $"bs.band".as("band"), $"bs.sig".as("sig"))
+  }
+
+  def hyperplaneBands(emb: DataFrame, idCol: String, vecCol: String,
+                      bands: Int, planesPerBand: Int): DataFrame = {
+    val v = lshVectors(emb, idCol, vecCol)
+    // dimensionality from the first non-degenerate vector (a model
+    // constant in a real pipeline; probed here so callers don't thread it)
+    val dim = v.select(size(col("v"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    bandsFromV(v, dim, bands, planesPerBand)
   }
 
   /** Embedding near-dup pairs via banded random-hyperplane LSH — the
@@ -136,10 +152,15 @@ object Similarity {
                       maxBucket: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    // the vectors feed the band computation AND both cosine join sides —
+    // materialize the scan once instead of re-evaluating the input
+    // lineage three times
+    val v = lshVectors(emb, idCol, vecCol).localCheckpoint()
+    val dim = v.select(size(col("v"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
     // both self-join sides consume the signatures: materialize once,
     // pre-partitioned on the join key
-    val bb = hyperplaneBands(emb, idCol, vecCol, bands, planesPerBand)
+    val bb = bandsFromV(v, dim, bands, planesPerBand)
       .repartition($"band", $"sig").localCheckpoint()
     val big = bb.groupBy($"band", $"sig").agg(count(lit(1)).as("bn"))
       .filter($"bn" > maxBucket).select($"band", $"sig")

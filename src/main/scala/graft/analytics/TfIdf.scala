@@ -26,9 +26,11 @@ object TfIdf {
     *
     * Tokenization explodes a plain `split` and filters empty terms as a
     * row predicate (whole-stage-codegen) instead of an array-lambda
-    * `filter` (interpreted per row). df comes from a count window over
-    * `term` on the tf rows — ONE shuffle keyed by term, where the
-    * groupBy(term)+re-join form shuffles the tf rows twice. */
+    * `filter` (interpreted per row). df stays a groupBy + join (NOT a
+    * count window over `term`): both aggregates get map-side partial
+    * aggregation, and the tiny dfreq side broadcasts under AQE — a window
+    * would buffer every tf row of a hot term (a stopword ≈ |corpus| rows)
+    * in one task's spill array with no partial aggregation. */
   def termWeights(docs: DataFrame, idCol: String, textCol: String,
                   scale: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
@@ -38,11 +40,10 @@ object TfIdf {
         explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     // weights feed centroids, query vectors, and both norms — materialize
     // once instead of re-tokenizing the corpus per consumer
-    tf.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"term")))
+    tf.join(dfreq, "term")
       .withColumn("w", expr(s"(tf * $scale) DIV df"))
       .select($"doc", $"term", $"tf", $"df", $"w")
       .localCheckpoint()

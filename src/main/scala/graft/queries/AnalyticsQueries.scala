@@ -430,11 +430,12 @@ object AnalyticsQueries {
              | planes AS (SELECT * FROM (VALUES
              |""".stripMargin + planeValuesSql(bands = 3, planesPerBand = 6) +
              """) AS t(band, j, p)),
+             | vr AS (SELECT * FROM v WHERE vv IS NOT NULL AND len(vv) > 0),
              | sigs AS (
              |   SELECT vec_id, band,
              |          CAST(sum(CASE WHEN list_dot_product(vv, p) >= 0
              |                        THEN 1 << j ELSE 0 END) AS BIGINT) AS sig
-             |   FROM v, planes GROUP BY vec_id, band),
+             |   FROM vr, planes GROUP BY vec_id, band),
              | keep AS (
              |   SELECT band, sig FROM sigs GROUP BY band, sig HAVING count(*) <= 1000),
              | cand AS (
@@ -444,7 +445,7 @@ object AnalyticsQueries {
              |     ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
              |SELECT vid_a, vid_b, """.stripMargin +
              cosSql("a.vv", "b.vv") + """ AS cos_sim
-             |FROM cand JOIN v a ON a.vec_id = vid_a JOIN v b ON b.vec_id = vid_b
+             |FROM cand JOIN vr a ON a.vec_id = vid_a JOIN vr b ON b.vec_id = vid_b
              |WHERE """.stripMargin + cosSql("a.vv", "b.vv") + """ >= 0.4
              |ORDER BY vid_a, vid_b""".stripMargin),
       (s, dir) =>

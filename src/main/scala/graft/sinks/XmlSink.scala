@@ -162,14 +162,17 @@ object XmlSink {
     // the category-dictionary pass and the offer-serialization pass both
     // evaluate the input; persist so the (possibly sorted/joined) lineage
     // computes once — recomputing a sort costs more than spilling the
-    // feed-sized rows, and the block is released before returning
-    val twoPass = df0.columns.contains("category_path")
+    // feed-sized rows, and the block is released before returning. Only
+    // persist (and later unpersist) when the CALLER hasn't — unpersisting
+    // an input the caller cached would silently destroy their cache.
+    val ourPersist = df0.columns.contains("category_path") &&
+      df0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val df =
-      if (twoPass)
+      if (ourPersist)
         df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df0
     try writeYandexMarketImpl(df, path, date)
-    finally if (twoPass) df.unpersist(false)
+    finally if (ourPersist) df.unpersist(false)
   }
 
   private def writeYandexMarketImpl(df: DataFrame, path: String,

@@ -203,17 +203,16 @@ object XmlSource {
     import spark.implicits._
     val endTag  = s"</${dialect.rowTag}>"
     val openPat = java.util.regex.Pattern.quote(s"<${dialect.rowTag}")
-    val elems = graft.analytics.Par.ensure(
-        spark.read.option("lineSep", endTag).text(path)
-          .select(regexp_extract(col("value"),
-              "(?s)(" + openPat + "[\\s/>].*)$", 1)
-            .as("e"))
-          .filter(col("e") =!= "")
-          // a single file yields totalBytes/openCost splits (a handful for
-          // a tens-of-MB feed) — spread the elements across all cores so
-          // BOTH downstream StAX passes parse at full width; the shuffled
-          // payload is just the element strings
-          .select(concat(col("e"), lit(endTag)).as("value")))
+    // NOT Par.ensure'd: a repartition here would scramble row order, and
+    // the single-file sinks emit rows in partition order — feed order must
+    // survive the round trip (reference parity). Parse width = the text
+    // source's split count (totalBytes/openCost), which grows with feed
+    // size — exactly when the width is needed.
+    val elems = spark.read.option("lineSep", endTag).text(path)
+      .select(regexp_extract(col("value"), "(?s)(" + openPat + "[\\s/>].*)$", 1)
+        .as("e"))
+      .filter(col("e") =!= "")
+      .select(concat(col("e"), lit(endTag)).as("value"))
       .as[String]
       // schema inference + parse are TWO passes over the elements;
       // materialize the split/extract work once (partitioned blocks,
