@@ -145,6 +145,47 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"inter_n", $"n_a", $"n_b", $"jaccard")
   }
 
+  /** Eval-set decontamination: training documents sharing >= `minShared`
+    * word n-gram shingles with any held-out (eval) document — the overlap
+    * check a training pipeline runs before shipping a corpus, so benchmark
+    * answers don't leak into training text (GPT-3-style n-gram
+    * decontamination). Same inverted-index + hot-shingle-cap shape as
+    * [[ngramJaccardPairsFromDocs]]: the join key is the shingle, the cap
+    * bounds the hottest key, and only (train x eval) rows survive — never
+    * a train x train self-join. At scale the eval side is tiny, so the
+    * post-cap join is effectively a semi-join probe of the training
+    * corpus's inverted index. */
+  def decontaminate(docs0: DataFrame, idCol: String, textCol: String,
+                    evalPred: Column, n: Int = 3, minShared: Int = 2,
+                    maxDocFreq: Int = 1000): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs
+      .select(col(idCol).as("doc"), evalPred.as("is_eval"),
+        explode(graft.functions.WordNgrams.wordNgrams(col(textCol), n)).as("sh"))
+    // eval sets are benchmark-sized: broadcast the distinct eval shingles
+    // and semi-join the corpus MAP-SIDE, so only rows whose shingle occurs
+    // in some eval doc ever shuffle. The document-frequency cap computed
+    // on the filtered rows equals the corpus-wide df for every surviving
+    // shingle (every (doc, sh) row with that shingle passes the semi-join)
+    // — and shingles outside the eval set can't produce pairs anyway, so
+    // the result is identical to capping the full corpus first.
+    val evalShingles = sh.filter($"is_eval").select($"sh").distinct()
+    val f = sh.join(broadcast(evalShingles), Seq("sh"), "left_semi")
+      // materialized once, pre-partitioned on the join key (cap scan +
+      // both join sides consume it)
+      .repartition($"sh").localCheckpoint()
+    val hot = f.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+    val cold = f.join(broadcast(hot), Seq("sh"), "left_anti")
+    val train = cold.filter(!$"is_eval").select($"sh", $"doc".as("train_doc"))
+    val eval  = cold.filter($"is_eval").select($"sh", $"doc".as("eval_doc"))
+    train.join(eval, Seq("sh"))
+      .groupBy($"train_doc", $"eval_doc").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+  }
+
   /** MinHash signatures: for seed k in [0, numHashes), sig_k =
     * min(md5(k || '|' || shingle)). Long format (doc, k, sig), kept for
     * callers that want raw signatures. */

@@ -123,6 +123,53 @@ object TextAnalysis {
               when(verdict === "keep", 1).otherwise(0).as("keep"))
   }
 
+  /** Within-document repetition (Gopher-style boilerplate signal): the
+    * fraction of a document's word n-grams that are repeats of an earlier
+    * n-gram in the same document. Entirely map-side — the shingle array
+    * never leaves its row, nothing shuffles. Documents shorter than n
+    * tokens (0 n-grams) get a null ratio; null text propagates null. */
+  def repetition(docs0: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val t = col(textCol)
+    val total = when(t.isNull, lit(null).cast("long"))
+      .otherwise(greatest(nTokens(t).cast("long") - (n - 1), lit(0L)))
+    val distinct =
+      size(graft.functions.WordNgrams.wordNgrams(t, n)).cast("long")
+    docs.select(
+      col(idCol),
+      total.as("n_ngrams"),
+      distinct.as("n_distinct"),
+      round(lit(1.0) - distinct.cast("double") /
+        nullif(total, lit(0L)).cast("double"), 6).as("rep_ratio"))
+  }
+
+  /** PII redaction patterns — RE2-compatible (shared with SQL oracles):
+    * email, then phone (emails are replaced first so their digit runs
+    * can't also match as phones). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9() \\-]{6,}[0-9]"
+
+  /** Redact emails/phone numbers to typed placeholder tokens — the scrub a
+    * training pipeline applies before text ships. Pure map-side
+    * `regexp_replace` chain (codegen'd, no UDF). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Pre-redaction PII hit counts (audit metric per document). */
+  def piiCounts(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(regexp_replace(t, EmailRe, "<EMAIL>"), lit(PhoneRe))
+        .cast("long").as("n_phones"),
+      redactPii(t).as("redacted"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased text,
     * plus a 16-way shard bucket derived from the first hex nibble. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

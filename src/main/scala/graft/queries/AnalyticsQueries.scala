@@ -452,7 +452,63 @@ object AnalyticsQueries {
         Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", minCosine = 0.4,
             bands = 3, planesPerBand = 6)
-          .orderBy("vid_a", "vid_b"))
+          .orderBy("vid_a", "vid_b")),
+
+    // ----- eval-set decontamination: train/eval n-gram overlap -----
+    Q("q60_decontaminate",
+      "training docs sharing >= 2 shingles with any eval doc (doc_id%10=0 " +
+        "eval split, hot-shingle capped) — pre-ship benchmark-leak check",
+      Some(shCapped + """
+             |SELECT t.doc AS train_doc, e.doc AS eval_doc,
+             |       count(*) AS n_shared
+             |FROM sh t JOIN sh e ON t.sh = e.sh
+             |WHERE t.doc % 10 <> 0 AND e.doc % 10 = 0
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY train_doc, eval_doc""".stripMargin),
+      (s, dir) =>
+        Dedup.decontaminate(Tables(s, dir, "documents"), "doc_id", "text",
+            evalPred = col("doc_id") % 10 === 0, n = 3, minShared = 2)
+          .orderBy("train_doc", "eval_doc")),
+
+    // ----- within-document n-gram repetition (boilerplate signal) -----
+    Q("q61_repetition",
+      "per-doc 3-gram repetition ratio (1 - distinct/total), map-side only",
+      Some(shCte + """,
+             | nd AS (SELECT doc, count(*) AS n_distinct FROM sh0 GROUP BY doc)
+             |SELECT doc_id,
+             |       CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_ngrams,
+             |       CAST(coalesce(nd.n_distinct, 0) AS BIGINT) AS n_distinct,
+             |       round(1 - CAST(coalesce(nd.n_distinct, 0) AS DOUBLE) /
+             |             nullif(greatest(len(t) - 2, 0), 0), 6) AS rep_ratio
+             |FROM toks LEFT JOIN nd ON nd.doc = doc_id
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.repetition(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- PII redaction + audit counts -----
+    Q("q62_pii_redact",
+      "email/phone redaction to typed placeholders with per-doc hit counts " +
+        "(docs augmented with synthetic deterministic contact strings so " +
+        "the patterns actually fire)",
+      Some(s"""WITH aug AS (
+             |  SELECT doc_id,
+             |         text || ' Contact: user' || CAST(doc_id AS VARCHAR) ||
+             |         '@example.com or +1 555 0100 x' || CAST(doc_id AS VARCHAR) AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+             |       CAST(len(regexp_extract_all(regexp_replace(t, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+             |       regexp_replace(regexp_replace(t, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'), '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+             |FROM aug ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val aug = Tables(s, dir, "documents").select($"doc_id",
+          concat($"text", lit(" Contact: user"), $"doc_id".cast("string"),
+                 lit("@example.com or +1 555 0100 x"),
+                 $"doc_id".cast("string")).as("t"))
+        TextAnalysis.piiCounts(aug, "doc_id", "t").orderBy("doc_id")
+      })
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -279,6 +279,50 @@ class TextAnalysisSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(_.getAs[String]("quality"))
     assert(out.toSeq === Seq("ok", "low", "low"))
   }
+
+  test("repetition: repeated phrase raises ratio; short doc gets null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),   // 7 trigrams, 3 distinct -> 4/7
+      (2L, "all distinct words here now"), // 3 trigrams, 3 distinct -> 0
+      (3L, "too short")).toDF("doc_id", "text") // 0 trigrams -> null
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 7L && out(0).getLong(2) === 3L)
+    assert(math.abs(out(0).getDouble(3) - math.rint((1.0 - 3.0/7) * 1e6) / 1e6) < 1e-9)
+    assert(out(1).getDouble(3) === 0.0)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(3))
+  }
+
+  test("redactPii replaces emails then phones; counts match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call +1 (415) 555-0100 now"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiCounts(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 1L)
+    assert(out(0).getAs[String]("redacted") ===
+      "mail <EMAIL> or call <PHONE> now")
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L)
+    assert(out(1).getAs[String]("redacted") === "no pii here")
+  }
+
+  test("decontaminate finds train docs overlapping eval, respects minShared") {
+    import spark.implicits._
+    val leakedPhrase = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (10L, s"eval question about $leakedPhrase indeed"),   // eval (%10==0)
+      (1L, s"training text containing $leakedPhrase verbatim"),
+      (2L, "completely unrelated training material with different words"),
+      (3L, "the quick brown only shares two trigrams maybe")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, "doc_id", "text",
+        evalPred = col("doc_id") % 10 === 0, n = 3, minShared = 2)
+      .orderBy("train_doc").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 10L && p._3 >= 6))
+    assert(!pairs.exists(_._1 == 2L))
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {
