@@ -103,6 +103,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(scans === 1, s"expected exactly one scan:\n$plan")
   }
 
+  test("catalog sweep: no CartesianProduct anywhere; BroadcastNestedLoopJoin " +
+       "only where a broadcast x tiny-side probe is the design") {
+    val dir = "/root/testdata/sf0.001"
+    // BNLJ is legitimate ONLY when one side is a deliberately broadcast
+    // dictionary-sized frame probed with a non-equi condition:
+    //   q24 brute-force knn: query x broadcast corpus (the baseline op)
+    //   q25 ivf:             vectors x broadcast centroid set
+    //   q38 ivf near-dup:    vectors x broadcast centroid set
+    val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup")
+    val offenders = queries.Catalog.all.flatMap { q =>
+      // plan-compile only (no execution): CartesianProduct can't appear
+      // adaptively if it isn't in the initial physical plan
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljAllowed(q.name)
+      if (cartesian) Some(s"${q.name}: CartesianProduct")
+      else if (bnlj) Some(s"${q.name}: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("IVF assignment has no Window over the n x centroids product") {
     import org.apache.spark.sql.functions._
     val df = analytics.Similarity.ivfTopK(
