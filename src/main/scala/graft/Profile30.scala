@@ -15,8 +15,12 @@ object Profile30 {
 
     val docs = queries.Tables(spark, dir, "documents")
     t("docs count")(docs.count())
+    // mirror TfIdf.termWeights' actual tokenization (codegen'd split +
+    // row filter), not the interpreted array-lambda form it replaced
     val tf = docs
-      .select($"doc_id".as("doc"), explode(analytics.Dedup.tokens($"text")).as("term"))
+      .select($"doc_id".as("doc"),
+        explode(split(trim(lower($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
       .groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
     t("tf count")(tf.count())
     val weights = t("termWeights (checkpoint)")(

@@ -99,9 +99,6 @@ object Similarity {
       if ((d(0) & 1) == 0) 1.0 else -1.0
     }
 
-  /** Banded sign-bit signatures per vector: band b's signature packs one
-    * bit per hyperplane (`dot(v, plane) >= 0`). Entirely MAP-SIDE — the
-    * output rows carry only (vid, band, sig), never the vector. */
   /** Vectors shaped for LSH: null and zero-length embeddings are dropped
     * (a degenerate vector has no direction — and every empty vector would
     * otherwise collapse into the same all-zero signature bucket). */
@@ -109,7 +106,12 @@ object Similarity {
     emb.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
 
-  /** Banded signatures over pre-shaped (vid, v) rows. */
+  /** Banded sign-bit signatures over pre-shaped (vid, v) rows: band b's
+    * signature packs one bit per hyperplane (`dot(v, plane) >= 0`, via the
+    * codegen'd [[graft.functions.DotProduct]] kernel — one fused loop per
+    * plane instead of an interpreted higher-order pass). Entirely
+    * MAP-SIDE — the output rows carry only (vid, band, sig), never the
+    * vector. */
   private def bandsFromV(v: DataFrame, dim: Int, bands: Int,
                          planesPerBand: Int): DataFrame = {
     val spark = v.sparkSession
@@ -118,22 +120,13 @@ object Similarity {
     val bandCols = (0 until bands).map { b =>
       val sig = (0 until planesPerBand).map { j =>
         val p = planes(b * planesPerBand + j).toSeq
-        when(dot($"v", typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+        when(graft.functions.DotProduct.dotProduct($"v", typedLit(p)) >= 0,
+             lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), sig.as("sig"))
     }
     v.select($"vid", explode(array(bandCols: _*)).as("bs"))
       .select($"vid", $"bs.band".as("band"), $"bs.sig".as("sig"))
-  }
-
-  def hyperplaneBands(emb: DataFrame, idCol: String, vecCol: String,
-                      bands: Int, planesPerBand: Int): DataFrame = {
-    val v = lshVectors(emb, idCol, vecCol)
-    // dimensionality from the first non-degenerate vector (a model
-    // constant in a real pipeline; probed here so callers don't thread it)
-    val dim = v.select(size(col("v"))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
-    bandsFromV(v, dim, bands, planesPerBand)
   }
 
   /** Embedding near-dup pairs via banded random-hyperplane LSH — the

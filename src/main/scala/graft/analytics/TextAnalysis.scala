@@ -15,11 +15,14 @@ object TextAnalysis {
 
   /** Whitespace token count: NULL for NULL text (matching SQL-engine
     * semantics so oracles agree), 0 for empty/whitespace-only text (a bare
-    * `split` would report 1 because `split("") == [""]`). */
+    * `split` would report 1 because `split("") == [""]`). Empty fragments
+    * are dropped explicitly: `trim` strips only ASCII spaces, so text
+    * ending in a tab/newline would otherwise leave a trailing "" in the
+    * split and overcount by one (the oracles all count the FILTERED list). */
   def nTokens(text: Column): Column =
     when(text.isNull, lit(null).cast("int"))
       .when(trim(text) === "", 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(filter(split(trim(text), "\\s+"), t => t =!= "")))
 
   /** BPE-ish token count: letter runs, digit runs, single other non-space. */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"

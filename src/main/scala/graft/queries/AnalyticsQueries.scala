@@ -476,8 +476,10 @@ object AnalyticsQueries {
       Some(shCte + """,
              | nd AS (SELECT doc, count(*) AS n_distinct FROM sh0 GROUP BY doc)
              |SELECT doc_id,
-             |       CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_ngrams,
-             |       CAST(coalesce(nd.n_distinct, 0) AS BIGINT) AS n_distinct,
+             |       CAST(CASE WHEN t IS NULL THEN NULL
+             |                 ELSE greatest(len(t) - 2, 0) END AS BIGINT) AS n_ngrams,
+             |       CAST(CASE WHEN t IS NULL THEN NULL
+             |                 ELSE coalesce(nd.n_distinct, 0) END AS BIGINT) AS n_distinct,
              |       round(1 - CAST(coalesce(nd.n_distinct, 0) AS DOUBLE) /
              |             nullif(greatest(len(t) - 2, 0), 0), 6) AS rep_ratio
              |FROM toks LEFT JOIN nd ON nd.doc = doc_id
