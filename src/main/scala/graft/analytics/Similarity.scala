@@ -79,11 +79,21 @@ object Similarity {
       .groupBy($"vid")
       .agg(max_by($"cid", struct($"csim", -$"cid")).as("cid"),
            first($"v").as("v"))
+      // the pair stage scores O(B²/2) pairs per bucket: precompute each
+      // vector's norm ONCE here instead of re-walking both arrays inside
+      // every pair's cosine (sqrt(Σx²) per side then one multiply — the
+      // identical IEEE doubles the fused kernel produces)
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct.dotProduct($"v", $"v")))
       .localCheckpoint() // consumed by both self-join sides
-    val a = assigned.select($"cid", $"vid".as("vid_a"), $"v".as("va"))
-    val b = assigned.select($"cid", $"vid".as("vid_b"), $"v".as("vb"))
+    val a = assigned.select($"cid", $"vid".as("vid_a"), $"v".as("va"),
+                            $"nrm".as("na"))
+    val b = assigned.select($"cid", $"vid".as("vid_b"), $"v".as("vb"),
+                            $"nrm".as("nb"))
     a.join(b, Seq("cid")).filter($"vid_a" < $"vid_b")
-      .withColumn("cos_sim", round(cosine($"va", $"vb"), 6))
+      .withColumn("cos_sim",
+        round(graft.functions.DotProduct.dotProduct($"va", $"vb") /
+          nullif($"na" * $"nb", lit(0.0)), 6))
       .filter($"cos_sim" >= minCosine)
       .select($"vid_a", $"vid_b", $"cos_sim")
   }
@@ -147,8 +157,13 @@ object Similarity {
     import spark.implicits._
     // the vectors feed the band computation AND both cosine join sides —
     // materialize the scan once instead of re-evaluating the input
-    // lineage three times
-    val v = lshVectors(emb, idCol, vecCol).localCheckpoint()
+    // lineage three times. The norm is precomputed per VECTOR so the
+    // O(pairs) scoring stage walks two arrays once (dot) instead of three
+    // times — identical IEEE doubles to the fused cosine kernel.
+    val v = lshVectors(emb, idCol, vecCol)
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProduct.dotProduct(col("v"), col("v"))))
+      .localCheckpoint()
     val dim = v.select(size(col("v"))).head(1).headOption
       .map(_.getInt(0)).getOrElse(0)
     // both self-join sides consume the signatures: materialize once,
@@ -163,9 +178,13 @@ object Similarity {
     val cand = a.join(b, Seq("band", "sig")).filter($"vid_a" < $"vid_b")
       .select($"vid_a", $"vid_b").distinct()
     cand
-      .join(v.select($"vid".as("vid_a"), $"v".as("va")), "vid_a")
-      .join(v.select($"vid".as("vid_b"), $"v".as("vb")), "vid_b")
-      .withColumn("cos_sim", round(cosine($"va", $"vb"), 6))
+      .join(v.select($"vid".as("vid_a"), $"v".as("va"), $"nrm".as("na")),
+            "vid_a")
+      .join(v.select($"vid".as("vid_b"), $"v".as("vb"), $"nrm".as("nb")),
+            "vid_b")
+      .withColumn("cos_sim",
+        round(graft.functions.DotProduct.dotProduct($"va", $"vb") /
+          nullif($"na" * $"nb", lit(0.0)), 6))
       .filter($"cos_sim" >= minCosine)
       .select($"vid_a", $"vid_b", $"cos_sim")
   }
