@@ -1,0 +1,83 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling/sharding operators for training-data pipelines:
+  * deterministic stratified downsampling and token-budget shard packing.
+  * Both are exact/deterministic (md5 thresholds, integer arithmetic) so
+  * DuckDB oracles reproduce them bit-for-bit.
+  */
+object Sampling {
+
+  /** Deterministic stratified sample: keep a row iff the first 8 hex chars
+    * of md5(id) — a uniform 32-bit integer in disguise — fall under the
+    * stratum's rate. Entirely MAP-SIDE (the rate table is a plan-time
+    * literal CASE); reproducible across engines and runs, unlike
+    * `df.sample` whose RNG is partitioning-dependent. Strata absent from
+    * `rates` keep everything (rate 1.0). */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 8)
+    val keep = rates.foldLeft(when(lit(false), lit(true))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(stratumCol) === stratum, keepUnderRate(bucket, rate))
+    }.otherwise(lit(true))
+    docs.filter(keep)
+  }
+
+  /** md5-hex sampling predicate: the first 8 nibbles are a uniform 32-bit
+    * integer in disguise; `bucket < hex(round(rate * 2^32))` keeps ~rate
+    * of rows (string compare == numeric compare for fixed-width lowercase
+    * hex). Shared with the SQL oracles via [[hexThreshold]]. */
+  def hexThreshold(rate: Double): String =
+    f"${math.round(rate * (1L << 32)).min((1L << 32) - 1).max(1L)}%08x"
+
+  private def keepUnderRate(bucket: Column, rate: Double): Column =
+    if (rate <= 0.0) lit(false)
+    else if (rate >= 1.0) lit(true)
+    else bucket < lit(hexThreshold(rate))
+
+  /** Token-budget shard packing: assign documents (in `idCol` order) to
+    * consecutive shards of ~`budgetTokens` tokens — how a corpus is cut
+    * into training shards of roughly equal token mass. A document's shard
+    * is its EXCLUSIVE token prefix DIV the budget.
+    *
+    * The prefix sum is the textbook DISTRIBUTED shape: range-partition by
+    * id, per-partition running totals, then a dictionary-sized
+    * per-partition offset table (one row per partition) broadcast back —
+    * the only global window runs over that tiny table, never the corpus.
+    * A naive `sum over (ORDER BY id)` window would funnel every row
+    * through ONE task. */
+  def tokenBudgetShards(docs: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = Par.ensure(docs).select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.nTokens(col(textCol)).cast("long").as("n_tokens"))
+    // checkpoint AFTER the range partition: the partition-totals scan and
+    // the final join must see the SAME pid assignment
+    val parts = n.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy($"pid").agg(sum($"n_tokens").as("pn"))
+      // one row per partition: a single-partition window here is fine
+      .withColumn("off",
+        coalesce(sum($"pn").over(
+          Window.orderBy($"pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val inPart = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offsets), "pid")
+      .withColumn("prefix",
+        sum($"n_tokens").over(inPart) - $"n_tokens" + $"off")
+      .select($"doc_id", $"n_tokens",
+              expr(s"prefix DIV $budgetTokens").as("shard"))
+  }
+}

@@ -510,7 +510,46 @@ object AnalyticsQueries {
                  lit("@example.com or +1 555 0100 x"),
                  $"doc_id".cast("string")).as("t"))
         TextAnalysis.piiCounts(aug, "doc_id", "t").orderBy("doc_id")
-      })
+      }),
+
+    // ----- deterministic stratified downsampling -----
+    Q("q63_stratified_sample",
+      "md5-threshold stratified sample by lang (en 50%, de 25%, rest kept) " +
+        "— reproducible across engines/partitionings, unlike RNG sampling",
+      Some(s"""SELECT doc_id, lang FROM documents
+             |WHERE CASE
+             |  WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.analytics.Sampling.hexThreshold(0.5)}'
+             |  WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.analytics.Sampling.hexThreshold(0.25)}'
+             |  ELSE TRUE END
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.stratifiedSample(
+            Tables(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.25))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")),
+
+    // ----- token-budget shard packing (distributed prefix sum) -----
+    Q("q64_token_shards",
+      "pack documents (in id order) into ~10k-token training shards via a " +
+        "two-level distributed prefix sum (per-partition totals + offsets)",
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             | c AS (
+             |  SELECT doc_id, n_tokens,
+             |         sum(n_tokens) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           - n_tokens AS prefix
+             |  FROM n)
+             |SELECT doc_id, n_tokens, CAST(prefix // 10000 AS BIGINT) AS shard
+             |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.tokenBudgetShards(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            budgetTokens = 10000L)
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
