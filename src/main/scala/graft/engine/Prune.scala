@@ -45,7 +45,12 @@ object Prune {
     }.toSet
     val numericNamed =
       if (dropNumericNames)
-        df.schema.fieldNames.filter(_.matches("""\d+(\.\d+)?""")).toSet
+        // same predicate as F14/CleanFns.isNumericString (reference
+        // main.py:1564: s.replace('.','',1).isdigit()) — accepts "5." and
+        // ".5"; the previous \d+(\.\d+)? form kept those, diverging from
+        // the param-key filter that uses the F14 form
+        df.schema.fieldNames
+          .filter(_.matches("""\d+\.?\d*|\.\d+""")).toSet
       else Set.empty[String]
     val toDrop =
       (emptyCols ++ numericNamed ++ exclude.toSet) -- important

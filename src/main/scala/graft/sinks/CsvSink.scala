@@ -67,6 +67,10 @@ object CsvSink {
       .option("sep", ";")
       .option("encoding", "UTF-8")
       .option("escape", "\"") // double quotes, csv.QUOTE_MINIMAL style
+      // QUOTE_MINIMAL parity: the writer's default renders an empty string
+      // as a quoted "" token, where the reference (and writeSingleFile)
+      // emit an empty cell
+      .option("emptyValue", "")
       .mode("overwrite")
       .csv(dir)
 

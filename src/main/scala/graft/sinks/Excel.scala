@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Excel {
 
+  /** XML-escape + strip control bytes (same class as the F8 scrub): a
+    * stray \x01 in a CSV cell would otherwise render sheet1.xml invalid
+    * and Excel rejects the whole workbook. */
   private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s.replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   private def colLetters(i: Int): String = { // 0-based -> A, B, ..., AA
     var n = i + 1; val sb = new StringBuilder
@@ -203,8 +207,12 @@ object Excel {
         when(tCol === "inlineStr", inline)
           // try_element_at: a shared-string index absent from the parsed
           // dictionary (e.g. rich-text runs the flat reader missed) must
-          // yield null, not throw under default ANSI map-key semantics
-          .when(tCol === "s", try_element_at(sstMap, vCol))
+          // yield null, not throw under default ANSI map-key semantics.
+          // The index is normalized "0.0" -> "0": when any NUMERIC cell
+          // makes inference type v as double, integer indexes render with
+          // a trailing .0 and would miss every dictionary key
+          .when(tCol === "s",
+            try_element_at(sstMap, regexp_replace(vCol, "\\.0+$", "")))
           .otherwise(vCol).as("value"))
 
     // header: row 1 (tiny) -> column index -> name
@@ -226,6 +234,10 @@ object Excel {
     exploded.filter(col("rowno") > 1)
       .groupBy(col("rowno"))
       .agg(aggs.head, aggs.tail: _*)
+      // sheet order must survive the round trip (pandas read_excel
+      // preserves it); without the sort, output order is hash-partition
+      // order. Sheets are upload-bounded, so the sort is dictionary-sized.
+      .orderBy(col("rowno"))
       .drop("rowno")
   }
 

@@ -22,12 +22,31 @@ object CsvSource {
     * turf) before the delimiter fallback even ran. Returns (delimiter,
     * charset) so the distributed read decodes with the same charset the
     * sniff detected. */
+  private val HeadBytes = 64 * 1024
+
+  /** A hard-truncated head can cut a UTF-8 multibyte char in half, making
+    * the strict UTF-8 probe "fail" and the whole file silently decode as
+    * windows-1251. Drop a trailing incomplete sequence before judging. */
+  private[sources] def dropTruncatedUtf8Tail(b: Array[Byte]): Array[Byte] = {
+    var i = b.length - 1
+    var cont = 0
+    while (i >= 0 && cont < 3 && (b(i) & 0xC0) == 0x80) { i -= 1; cont += 1 }
+    if (i < 0) return b
+    val lead = b(i) & 0xFF
+    val need =
+      if (lead >= 0xF0) 3 else if (lead >= 0xE0) 2
+      else if (lead >= 0xC0) 1 else 0
+    if (need > cont) b.take(i) else b
+  }
+
   def sniffFileWithCharset(path: String): (String, String) = {
     val in = new java.io.FileInputStream(path)
     val head =
-      try in.readNBytes(64 * 1024)
+      try in.readNBytes(HeadBytes)
       finally in.close()
-    val (text, charset) = CharsetFallback.decode(head)
+    val probe = if (head.length == HeadBytes) dropTruncatedUtf8Tail(head)
+                else head
+    val (text, charset) = CharsetFallback.decode(probe)
     (sniffDelimiter(text.linesIterator.nextOption().getOrElse("")), charset)
   }
 

@@ -31,6 +31,35 @@ object JsonSource {
     df.select(cols.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** First non-empty line of a file, streaming up to `maxBytes` total —
+    * never materializes more than the line itself. Returns "" when the
+    * budget runs out mid-line (caller treats that as not-NDJSON). */
+  private def readFirstNonEmptyLine(path: String, maxBytes: Int): String = {
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path), 1 << 16)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var scanned = 0L
+      var b = in.read()
+      while (b >= 0 && scanned < maxBytes) {
+        scanned += 1
+        if (b == '\n') {
+          val line = new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (line.trim.nonEmpty) return line
+          out.reset()
+        } else if (b != '\r') out.write(b)
+        b = in.read()
+      }
+      if (b < 0) {
+        // no trailing newline: the remainder IS the last (only) line
+        val line = new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (line.trim.nonEmpty) line else ""
+      } else "" // budget exhausted mid-line
+    } finally in.close()
+  }
+
   /** Read a JSON file: top-level array of objects (multiLine) or NDJSON;
     * a top-level OBJECT picks its first array-of-struct field as the row
     * set (main.py:767-771). The array/object distinction comes from the
@@ -53,8 +82,12 @@ object JsonSource {
     // multiLine=false — the multiLine reader parses exactly one root value
     // per file and would silently truncate an NDJSON feed to one record.
     // BOM must be stripped here too: Jackson rejects a BOM-prefixed line,
-    // which would misroute a BOM'd NDJSON feed to multiLine=true (one row)
-    val firstLine = head.linesIterator.find(_.trim.nonEmpty).getOrElse("")
+    // which would misroute a BOM'd NDJSON feed to multiLine=true (one row).
+    // The probe streams to the first newline rather than slicing the 64KB
+    // head: an NDJSON feed whose FIRST record exceeds the head would
+    // otherwise fail the parse and silently truncate to one row. Bounded
+    // at 32MB — beyond that the old multiLine fallback applies.
+    val firstLine = readFirstNonEmptyLine(path, maxBytes = 32 << 20)
       .dropWhile(c => c.isWhitespace || c == '﻿')
     val ndjson =
       try {

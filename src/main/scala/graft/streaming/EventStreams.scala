@@ -166,6 +166,11 @@ object EventStreams {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             var closedSessions = List.empty[Session]
             var cur = state.getOption
+            // very-late events BEFORE the open session chain into their
+            // own gap-merged session(s): a late BURST within the gap forms
+            // ONE session (same semantics as sessionizeBatch), not one
+            // single-event session each
+            var lateCur: Option[Session] = None
             sorted.foreach { e =>
               cur match {
                 // an event within the gap of EITHER session edge merges;
@@ -185,15 +190,28 @@ object EventStreams {
                 case Some(s) if e.ts.getTime > s.session_end.getTime =>
                   closedSessions ::= s
                   cur = Some(Session(user, e.ts, e.ts, 1L, e.value))
-                case Some(s) =>
-                  // very-late event BEFORE the open session: it forms its
-                  // own earlier session, emitted immediately (anything
-                  // that could still join it is just as late)
-                  closedSessions ::= Session(user, e.ts, e.ts, 1L, e.value)
+                case Some(_) =>
+                  lateCur match {
+                    case Some(ls)
+                        if e.ts.getTime - ls.session_end.getTime <= gapMs =>
+                      // sorted ascending, so only the end can move
+                      lateCur = Some(ls.copy(
+                        session_end = new Timestamp(
+                          math.max(ls.session_end.getTime, e.ts.getTime)),
+                        n_events = ls.n_events + 1,
+                        total_value = ls.total_value + e.value))
+                    case other =>
+                      other.foreach(closedSessions ::= _)
+                      lateCur = Some(Session(user, e.ts, e.ts, 1L, e.value))
+                  }
                 case None =>
                   cur = Some(Session(user, e.ts, e.ts, 1L, e.value))
               }
             }
+            // the late chain closes with the batch (anything that could
+            // still join it is just as late and arrives in a later batch
+            // as its own session — the documented cross-batch divergence)
+            lateCur.foreach(closedSessions ::= _)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.session_end.getTime + gapMs)

@@ -42,6 +42,31 @@ class CharsetFallbackSpec extends AnyFunSuite {
   }
 }
 
+class CsvSniffSpec extends AnyFunSuite {
+  test("a UTF-8 file larger than the sniff head with a multibyte char cut " +
+       "at the boundary still sniffs as UTF-8") {
+    // 64KB head: fill with "яя…" so byte 65535 lands mid-character (each
+    // 'я' is 2 UTF-8 bytes; an odd-length ASCII prefix shifts the grid)
+    val sb = new StringBuilder("id;яname\n")
+    while (sb.length < 70000) sb.append('я')
+    val tmp = java.nio.file.Files.createTempFile("graft_sniff", ".csv")
+    try {
+      java.nio.file.Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+      val (sep, cs) = CsvSource.sniffFileWithCharset(tmp.toString)
+      assert(cs === "UTF-8", "truncated multibyte tail must not fail the probe")
+      assert(sep === ";")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("dropTruncatedUtf8Tail keeps complete sequences, drops partial ones") {
+    val complete = "abя".getBytes(StandardCharsets.UTF_8)
+    assert(CsvSource.dropTruncatedUtf8Tail(complete).toSeq === complete.toSeq)
+    val partial = complete.dropRight(1) // lead byte of я without its tail
+    assert(CsvSource.dropTruncatedUtf8Tail(partial).toSeq ===
+      "ab".getBytes(StandardCharsets.UTF_8).toSeq)
+  }
+}
+
 class HttpFetchSpec extends AnyFunSuite {
 
   private def withServer(routes: Map[String, HttpExchange => Unit])(f: String => Unit): Unit = {

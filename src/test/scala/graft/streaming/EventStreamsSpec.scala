@@ -152,6 +152,30 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out(1).getLong(3) === 3L)
   }
 
+  test("sessionize merges a very-late BURST into one session, not one " +
+       "session per event (matches sessionizeBatch gap semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // batch 1: open session [200, 205] for user 1
+    in.addData(ev(1, 200), ev(2, 205))
+    // batch 2: three very-late events at 30, 40, 100 — 30/40 are within
+    // the 30min gap of each other (one session); 100 is 60min after 40
+    // (its own session); neither can join [200, 205]
+    in.addData(ev(3, 30), ev(4, 40), ev(5, 100))
+    // advance the watermark far enough to close the open session
+    in.addData(ev(99, 600, user = 99))
+    val out = runAll("sess_burst",
+      EventStreams.sessionize(in.toDS(), gapMinutes = 30).toDF())
+      .filter(col("user_id") === 1)
+      .orderBy("session_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getTimestamp(1) === ts(30) &&
+           out(0).getTimestamp(2) === ts(40) && out(0).getLong(3) === 2L)
+    assert(out(1).getTimestamp(1) === ts(100) && out(1).getLong(3) === 1L)
+    assert(out(2).getTimestamp(1) === ts(200) && out(2).getLong(3) === 2L)
+  }
+
   test("sessionize closes a session after the gap and a watermark advance") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
