@@ -42,8 +42,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total counts SUCCESSES only — summing the -1.0 failure sentinels
+    // would make a broken round read as a speedup; failures are listed so
+    // a smaller total can never masquerade as an improvement
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -128,8 +128,12 @@ object Pipeline {
     val base = Paths.get(csvPath).getFileName.toString.replaceAll("(?i)\\.csv$", "")
     val out = Paths.get(outDir, s"$base.json")
     Files.createDirectories(out.getParent)
-    if (jsonFormat == "object") JsonSink.writeEnvelope(df, out.toString, exportedAt)
-    else JsonSink.writeArray(df, out.toString)
+    jsonFormat match {
+      case "object"       => JsonSink.writeEnvelope(df, out.toString, exportedAt)
+      case "array" | ""   => JsonSink.writeArray(df, out.toString)
+      case other => throw new IllegalArgumentException(
+        s"Unknown JSON format: $other") // fail fast like processCsvToXml
+    }
     out
   }
 

@@ -18,12 +18,18 @@ object Verify {
         // scrub any stale dump from a prior run: a leftover parquet dir
         // would make the driver compare old results and report a FALSE
         // PASS for a now-broken query
-        val stale = java.nio.file.Paths.get(s"$outDir/$name")
-        if (java.nio.file.Files.exists(stale)) {
-          val walk = java.nio.file.Files.walk(stale)
-          val all =
-            try walk.iterator().asScala.toSeq finally walk.close()
-          all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        // the scrub itself must not abort the loop: a still-flushing
+        // failed task can recreate files between walk and delete
+        try {
+          val stale = java.nio.file.Paths.get(s"$outDir/$name")
+          if (java.nio.file.Files.exists(stale)) {
+            val walk = java.nio.file.Files.walk(stale)
+            val all =
+              try walk.iterator().asScala.toSeq finally walk.close()
+            all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name stale-scrub failed: ${e2.getMessage}")
         }
       }
     }

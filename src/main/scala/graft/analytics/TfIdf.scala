@@ -77,8 +77,15 @@ object TfIdf {
         round($"dot".cast("double") /
           nullif(sqrt($"qn".cast("double")) * sqrt($"cn".cast("double")),
                  lit(0.0)), 6))
+    // null scores must sort LAST in the argmax: struct ordering is
+    // nulls-FIRST, so a bare -cos_sim key would prefer a degenerate
+    // (zero-norm) label over any real score. coalesce to +Inf pushes
+    // nulls behind every real score, matching the oracle's
+    // ORDER BY cos_sim DESC (DuckDB default null order: last).
     scored.groupBy($"doc")
-      .agg(min_by(struct($"label", $"cos_sim"), struct(-$"cos_sim", $"label"))
+      .agg(min_by(struct($"label", $"cos_sim"),
+             struct(coalesce(-$"cos_sim", lit(Double.PositiveInfinity)),
+                    $"label"))
         .as("best"))
       .select($"doc", $"best.label".as("predicted"), $"best.cos_sim".as("cos_sim"))
   }

@@ -47,7 +47,12 @@ object AsOfJoin {
     require(!rightCols.exists(leftCols.contains),
             "right payload columns must not collide with left columns")
 
-    val taggedRight = right.select(
+    // ASOF/equi semantics: NULL keys match NOTHING. Dropping null-key
+    // right rows suffices — null-key left rows then share a window
+    // partition with no right rows and carry a null payload (without the
+    // filter, the null-key partition would enrich left rows from null-key
+    // right rows, which SQL ASOF JOIN and the DuckDB oracle never do).
+    val taggedRight = right.filter(col(key).isNotNull).select(
       (Seq(col(key), col(ts), lit(0).as("__side")) ++
         rightCols.map(col) ++
         leftCols.filterNot(c => c == key || c == ts)

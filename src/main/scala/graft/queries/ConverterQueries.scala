@@ -21,11 +21,15 @@ import graft.sources.{CsvSource, JsonSource, XmlSource}
   */
 object ConverterQueries {
 
-  private def tmpFile(name: String): String = {
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_rt")
-    Files.createDirectories(dir)
-    dir.resolve(name).toString
+  // per-PROCESS unique dir: a fixed shared path would let two concurrent
+  // graft JVMs (verify + bench) read each other's half-written files
+  private lazy val rtDir: java.nio.file.Path = {
+    val d = Files.createTempDirectory("graft_rt")
+    d.toFile.deleteOnExit()
+    d
   }
+
+  private def tmpFile(name: String): String = rtDir.resolve(name).toString
 
   val all: Seq[Q] = Seq(
 

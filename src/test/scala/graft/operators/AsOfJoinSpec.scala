@@ -23,6 +23,22 @@ class AsOfJoinSpec extends SparkTestBase {
           None))        // key 99 has no right rows
   }
 
+  test("NULL join keys match nothing on either side (equi/ASOF semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option(10L), ts(10), "p1"),
+                   (2L, Option.empty[Long], ts(10), "p2"))
+      .toDF("id", "k", "ts", "payload")
+    val right = Seq((Option(10L), ts(5), "r@5"),
+                    (Option.empty[Long], ts(5), "r-null"))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", Seq("rv"))
+      .orderBy("id").collect()
+    assert(Option(out(0).getAs[String]("rv")) === Some("r@5"))
+    // the null-key left row must NOT be enriched from the null-key right
+    // row — SQL ASOF JOIN (and the DuckDB oracle) matches nothing on NULL
+    assert(out(1).isNullAt(out(1).fieldIndex("rv")))
+  }
+
   test("a NULL payload on the latest right row is carried, not skipped") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts(6), "p")).toDF("id", "k", "ts", "payload")
