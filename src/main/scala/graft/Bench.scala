@@ -26,6 +26,22 @@ object Bench {
       val xp = tmp.resolve("w.xml").toString
       graft.sinks.XmlSink.writeYandexMarket(x, xp, date = "2025-01-01 00:00")
       spark.read.format("xml").option("rowTag", "offer").load(xp).count()
+      // the SPLIT read path (lineSep text scan -> regex extract ->
+      // xml(Dataset[String]) inference) is a separate plan family from the
+      // native load above; q28-at-scale takes it, so warm it too
+      graft.sources.XmlSource.readSplit(spark, xp, graft.sources.XmlSource.Yml)
+        .count()
+      // native kernel expressions (cosine/dot) — first use pays janino
+      val vv = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      vv.select(
+        graft.functions.CosineSimilarity.cosineSim(
+          graft.analytics.Similarity.asDouble(col("a")),
+          graft.analytics.Similarity.asDouble(col("b"))).as("c"),
+        graft.functions.DotProduct.dotProduct(
+          graft.analytics.Similarity.asDouble(col("a")),
+          graft.analytics.Similarity.asDouble(col("b"))).as("d"),
+        graft.functions.WordNgrams.wordNgrams(lit("a b c d"), 3).as("g"))
+        .count()
     }
     // optional args: run only the named queries (local profiling; the
     // driver passes no args and gets the full set)
