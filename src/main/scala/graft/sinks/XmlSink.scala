@@ -23,15 +23,12 @@ import org.apache.spark.sql.functions._
 object XmlSink {
 
   /** XML text escaping (ET.tostring semantics: `& < >` in text, plus quotes
-    * for attribute values). Literal `replace`, not regexp_replace — the
-    * escape runs 3-4x per field per row, and the regex engine costs ~an
-    * order of magnitude more than a memchr-style literal scan. */
-  def escText(c: Column): Column =
-    call_function("replace", call_function("replace", call_function("replace",
-      c, lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    * for attribute values) via the single-pass codegen'd
+    * [[graft.functions.XmlEscape]] kernel — the chained-`replace` form
+    * walked and re-allocated every field 3-4 times per row. */
+  def escText(c: Column): Column = graft.functions.XmlEscape.escapeText(c)
 
-  def escAttr(c: Column): Column =
-    call_function("replace", escText(c), lit("\""), lit("&quot;"))
+  def escAttr(c: Column): Column = graft.functions.XmlEscape.escapeAttr(c)
 
   private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
 
