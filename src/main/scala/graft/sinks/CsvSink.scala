@@ -85,12 +85,10 @@ object CsvSink {
           v.contains("\r"))
         "\"" + v.replace("\"", "\"\"") + "\""
       else v
-    def quoteCol(c: Column): Column = {
-      val s = coalesce(c.cast("string"), lit(""))
-      when(s.rlike("[;\"\n\r]"),
-           concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")))
-        .otherwise(s)
-    }
+    // single-pass codegen'd QUOTE_MINIMAL kernel (the composed form ran a
+    // regex probe + a regex replace per cell)
+    def quoteCol(c: Column): Column =
+      graft.functions.CsvQuote.quoteCell(coalesce(c.cast("string"), lit("")))
     // concat_ws would silently SKIP null columns and misalign rows; every
     // cell is coalesced to "" above, so the join is position-faithful
     val line = concat_ws(";",
