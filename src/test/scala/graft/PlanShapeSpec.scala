@@ -89,6 +89,31 @@ class PlanShapeSpec extends SparkTestBase {
            s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("partitioned layout prunes partitions: a date filter reaches the " +
+       "scan as a PartitionFilter and unmatched partitions are not read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppart")
+    try {
+      queries.Tables(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite")
+        .parquet(dir.resolve("events").toString)
+      val firstDay = spark.read.parquet(dir.resolve("events").toString)
+        .select(min(col("day"))).head().getDate(0)
+      val q = spark.read.parquet(dir.resolve("events").toString)
+        .filter(col("day") === lit(firstDay))
+        .groupBy(col("event_type")).count()
+      val plan = executedPlan(q)
+      assert(plan.contains("PartitionFilters") &&
+             plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+             s"date filter must prune partitions at the scan:\n$plan")
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("corpusFilter is one scan + one exchange (flags fused into the " +
        "projection, only the dedup window shuffles)") {
     val df = analytics.TextAnalysis.corpusFilter(
