@@ -34,9 +34,15 @@ object Tables {
 }
 
 object Catalog {
-  def all: Seq[Q] =
-    CoreQueries.all ++ AnalyticsQueries.all ++ ConverterQueries.all ++
+  def all: Seq[Q] = {
+    val qs = CoreQueries.all ++ AnalyticsQueries.all ++ ConverterQueries.all ++
       MiscQueries.all
+    // a duplicate name would silently DROP a query from the driver gate
+    // (SparkEntry builds a Map keyed by name) — fail loudly instead
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -54,6 +54,28 @@ class ConvertersSpec extends SparkTestBase {
     assert(back.filter($"id" === "7").collect().head.getString(2) === "v;7")
   }
 
+  test("K1 parts mode and single-file mode encode cells equivalently " +
+       "(quotes, delimiters, empties round-trip to the same values)") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "plain", "x"),
+      ("2", "semi;colon", ""),
+      ("3", "with \"quotes\"", "both;\"mixed\""),
+      ("4", "", "юникод")).toDF("id", "name", "v")
+    val dir = tmp("parts_eq"); val single = tmp("single_eq") + ".csv"
+    CsvSink.writeParts(df, dir)
+    CsvSink.writeSingleFile(df, single)
+    def load(p: String) = CsvSource.read(spark, p)
+      .na.fill("") // the parts reader yields null for empty cells
+      .orderBy($"id".cast("int"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val fromParts = spark.read.option("header", "true").option("sep", ";")
+      .option("escape", "\"").csv(dir)
+      .na.fill("").orderBy($"id".cast("int"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(load(single) === fromParts)
+  }
+
   // ---------------- S5 CSV source ----------------
 
   test("S5 delimiter sniff: ',' only wins when strictly more frequent") {
