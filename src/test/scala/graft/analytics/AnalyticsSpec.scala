@@ -398,6 +398,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.head.width === (4 % 64) * 10 + 32)
   }
 
+  test("feature extraction counts CODE POINTS (supplementary plane = one), " +
+       "zeros for empty payloads") {
+    import spark.implicits._
+    // "a😀b": 😀 is U+1F600 (surrogate pair in UTF-16, 4 bytes in UTF-8)
+    val docs = Seq((1L, "a😀b"), (2L, "")).toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(
+        Multimodal.asBlobs(docs, "doc_id", "payload"))
+      .orderBy("doc_id").collect()
+    assert(out(0).n_cp === 3L)
+    assert(out(0).sum_cp === ('a'.toLong + 0x1F600L + 'b'.toLong))
+    assert(out(0).n_distinct_cp === 3L)
+    assert(out(0).wsum ===
+      (1L * 'a' + 2L * 0x1F600L + 3L * 'b') % 1000000007L)
+    assert(out(1) === Multimodal.MediaFeatures(2L, 0L, 0L, 0L, 0L))
+  }
+
   test("real decode: PNG produced by ImageIO reports true dimensions") {
     val img = new java.awt.image.BufferedImage(
       37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
