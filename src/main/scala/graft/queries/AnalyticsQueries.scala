@@ -577,7 +577,21 @@ object AnalyticsQueries {
         Multimodal.extractFeatures(
             Multimodal.asBlobs(Tables(s, dir, "documents"), "doc_id", "text"))
           .toDF()
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- corpus n-gram document-frequency table -----
+    Q("q66_shingle_df",
+      "top-100 3-gram shingles by document frequency — the corpus " +
+        "statistic the hot-shingle caps and contamination checks read",
+      Some(shCte + """
+             |SELECT sh, CAST(count(*) AS BIGINT) AS df
+             |FROM sh0 GROUP BY sh
+             |ORDER BY df DESC, sh LIMIT 100""".stripMargin),
+      (s, dir) =>
+        Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", n = 3)
+          .groupBy(col("sh")).agg(count(lit(1)).cast("long").as("df"))
+          .orderBy(col("df").desc, col("sh"))
+          .limit(100))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
