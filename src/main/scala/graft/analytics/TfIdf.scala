@@ -59,6 +59,36 @@ object TfIdf {
       .groupBy($"label", $"term").agg(sum($"w").as("cw"))
   }
 
+  /** Pairwise document TF-IDF cosine — the reference's similarity-MATRIX
+    * capability (assets/Visualization Cosine Similarity Matrix/main.py),
+    * re-expressed sparse: dots come from an inverted-index self-join on
+    * `term`, so work is Σ df(term)² over shared terms, never |docs|².
+    * `maxDocFreq` drops stopword-grade terms before the self-join (the
+    * q18-style hot-key cap); dropped terms only LOWER dots while norms
+    * stay exact, and the oracle applies the identical cap. */
+  def pairwiseCosine(weights: DataFrame, minCosine: Double,
+                     maxDocFreq: Int = 1000): DataFrame = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    val norms = weights.groupBy($"doc").agg(sum($"w" * $"w").as("nn"))
+    val hot = weights.groupBy($"term").agg(count(lit(1)).as("tdf"))
+      .filter($"tdf" > maxDocFreq).select($"term")
+    val cold = weights.join(broadcast(hot), Seq("term"), "left_anti")
+      .select($"term", $"doc", $"w")
+    val a = cold.select($"term", $"doc".as("doc_a"), $"w".as("wa"))
+    val b = cold.select($"term", $"doc".as("doc_b"), $"w".as("wb"))
+    a.join(b, Seq("term")).filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(sum($"wa" * $"wb").as("dot"))
+      .join(norms.select($"doc".as("doc_a"), $"nn".as("na")), "doc_a")
+      .join(norms.select($"doc".as("doc_b"), $"nn".as("nb")), "doc_b")
+      .withColumn("cos_sim",
+        round($"dot".cast("double") /
+          nullif(sqrt($"na".cast("double")) * sqrt($"nb".cast("double")),
+                 lit(0.0)), 6))
+      .filter($"cos_sim" >= minCosine)
+      .select($"doc_a", $"doc_b", $"cos_sim")
+  }
+
   /** Classify query docs: cosine(query sparse vector, class centroid) via a
     * term-keyed join; top-1 label by (cos desc, label asc) — T6 argmax via
     * partial-aggregable min_by, no window over the corpus. */

@@ -591,7 +591,41 @@ object AnalyticsQueries {
         Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", n = 3)
           .groupBy(col("sh")).agg(count(lit(1)).cast("long").as("df"))
           .orderBy(col("df").desc, col("sh"))
-          .limit(100))
+          .limit(100)),
+
+    // ----- pairwise TF-IDF cosine similarity matrix (reference assets) -----
+    Q("q67_tfidf_simmatrix",
+      "sparse pairwise document TF-IDF cosine >= 0.9 (the reference's " +
+        "similarity-matrix asset), inverted-index join with hot-term cap",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS term
+             |  FROM documents
+             |), tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             | w AS (SELECT doc, term, CAST(tf * 1000 // df AS BIGINT) AS w
+             |       FROM tf JOIN dfreq USING (term)),
+             | norms AS (SELECT doc, CAST(sum(w * w) AS BIGINT) AS nn FROM w GROUP BY doc),
+             | cold AS (SELECT * FROM w WHERE term NOT IN (
+             |   SELECT term FROM w GROUP BY term HAVING count(*) > 1000)),
+             | dots AS (
+             |   SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |          CAST(sum(a.w * b.w) AS BIGINT) AS dot
+             |   FROM cold a JOIN cold b ON a.term = b.term AND a.doc < b.doc
+             |   GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(CAST(dot AS DOUBLE) /
+             |             nullif(sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)), 0), 6) AS cos_sim
+             |FROM dots JOIN norms na ON na.doc = doc_a
+             |          JOIN norms nb ON nb.doc = doc_b
+             |WHERE round(CAST(dot AS DOUBLE) /
+             |            nullif(sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)), 0), 6) >= 0.9
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) =>
+        TfIdf.pairwiseCosine(
+            TfIdf.termWeights(Tables(s, dir, "documents"), "doc_id", "text",
+                              scale = 1000),
+            minCosine = 0.9)
+          .orderBy("doc_a", "doc_b"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
