@@ -31,8 +31,12 @@ object Bench {
       // native load above; q28-at-scale takes it, so warm it too
       graft.sources.XmlSource.readSplit(spark, xp, graft.sources.XmlSource.Yml)
         .count()
-      // native kernel expressions (cosine/dot) — first use pays janino
-      val vv = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      // native kernel expressions (cosine/dot/ngrams) — first use pays
+      // janino. collect() (not count()) so column pruning can't drop the
+      // expressions, and the ngram input is a COLUMN so constant folding
+      // can't evaluate it interpreted at plan time
+      val vv = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f), "a b c d"))
+        .toDF("a", "b", "t")
       vv.select(
         graft.functions.CosineSimilarity.cosineSim(
           graft.analytics.Similarity.asDouble(col("a")),
@@ -40,8 +44,8 @@ object Bench {
         graft.functions.DotProduct.dotProduct(
           graft.analytics.Similarity.asDouble(col("a")),
           graft.analytics.Similarity.asDouble(col("b"))).as("d"),
-        graft.functions.WordNgrams.wordNgrams(lit("a b c d"), 3).as("g"))
-        .count()
+        graft.functions.WordNgrams.wordNgrams(col("t"), 3).as("g"))
+        .collect()
     }
     // optional args: run only the named queries (local profiling; the
     // driver passes no args and gets the full set)

@@ -92,7 +92,10 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
-        val s = new String(b.data, java.nio.charset.StandardCharsets.UTF_8)
+        // null payload == empty payload (zeros row, like the oracle's
+        // LEFT JOIN + coalesce — not a task crash)
+        val s = if (b.data == null) ""
+                else new String(b.data, java.nio.charset.StandardCharsets.UTF_8)
         var i = 0; var n = 0L; var sum = 0L; var w = 0L
         val seen = new java.util.HashSet[Int]()
         while (i < s.length) {

@@ -71,9 +71,9 @@ object TfIdf {
     val spark = weights.sparkSession
     import spark.implicits._
     val norms = weights.groupBy($"doc").agg(sum($"w" * $"w").as("nn"))
-    val hot = weights.groupBy($"term").agg(count(lit(1)).as("tdf"))
-      .filter($"tdf" > maxDocFreq).select($"term")
-    val cold = weights.join(broadcast(hot), Seq("term"), "left_anti")
+    // [[termWeights]] output already carries df — the hot-term cut is a
+    // MAP-SIDE filter, not a recomputed groupBy + anti-join
+    val cold = weights.filter($"df" <= maxDocFreq)
       .select($"term", $"doc", $"w")
     val a = cold.select($"term", $"doc".as("doc_a"), $"w".as("wa"))
     val b = cold.select($"term", $"doc".as("doc_b"), $"w".as("wb"))

@@ -15,15 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * scan with a no-op fast path returning the input object. */
 object CsvQuoteUtil {
   def quote(s: UTF8String): UTF8String = {
-    val str = s.toString
+    // probe the UTF-8 BYTES (all trigger chars are ASCII and ASCII bytes
+    // never occur inside multibyte sequences) — the clean common case
+    // returns the input object with zero decoding/allocation
+    val n = s.numBytes()
     var needs = false
     var i = 0
-    while (i < str.length && !needs) {
-      val c = str.charAt(i)
-      needs = c == ';' || c == '"' || c == '\n' || c == '\r'
+    while (i < n && !needs) {
+      val b = s.getByte(i)
+      needs = b == ';' || b == '"' || b == '\n' || b == '\r'
       i += 1
     }
     if (!needs) return s
+    val str = s.toString
     val sb = new java.lang.StringBuilder(str.length + 8)
     sb.append('"')
     i = 0

@@ -17,15 +17,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * when nothing needs escaping, the common case for product feeds). */
 object XmlEscapeUtil {
   def escape(s: UTF8String, attr: Boolean): UTF8String = {
-    val str = s.toString
+    // probe the UTF-8 BYTES: all escape targets are ASCII, and ASCII byte
+    // values never occur inside a multibyte UTF-8 sequence — so the clean
+    // common case returns the input object with ZERO decoding/allocation
+    val n = s.numBytes()
     var needs = false
     var i = 0
-    while (i < str.length && !needs) {
-      val c = str.charAt(i)
-      needs = c == '&' || c == '<' || c == '>' || (attr && c == '"')
+    while (i < n && !needs) {
+      val b = s.getByte(i)
+      needs = b == '&' || b == '<' || b == '>' || (attr && b == '"')
       i += 1
     }
     if (!needs) return s
+    val str = s.toString
     val sb = new java.lang.StringBuilder(str.length + 16)
     i = 0
     while (i < str.length) {

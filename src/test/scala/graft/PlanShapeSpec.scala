@@ -98,15 +98,18 @@ class PlanShapeSpec extends SparkTestBase {
         .withColumn("day", to_date(col("ts")))
         .write.partitionBy("day").mode("overwrite")
         .parquet(dir.resolve("events").toString)
-      val firstDay = spark.read.parquet(dir.resolve("events").toString)
-        .select(min(col("day"))).head().getDate(0)
-      val q = spark.read.parquet(dir.resolve("events").toString)
-        .filter(col("day") === lit(firstDay))
+      val all = spark.read.parquet(dir.resolve("events").toString)
+      val firstDay = all.select(min(col("day"))).head().getDate(0)
+      val q = all.filter(col("day") === lit(firstDay))
         .groupBy(col("event_type")).count()
       val plan = executedPlan(q)
-      assert(plan.contains("PartitionFilters") &&
-             plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
-             s"date filter must prune partitions at the scan:\n$plan")
+      // the EQUALITY must appear inside PartitionFilters (an isnotnull-only
+      // residue would list `day` but prune nothing)
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*=[^\\]]*\\].*"),
+             s"day equality must prune partitions at the scan:\n$plan")
+      // and semantically: the pruned read returns exactly that day's rows
+      val expected = all.filter(col("day") === lit(firstDay)).count()
+      assert(q.agg(sum(col("count"))).head().getLong(0) === expected)
     } finally {
       val walk = java.nio.file.Files.walk(dir)
       val all = try walk.iterator().asScala.toSeq finally walk.close()
