@@ -27,6 +27,13 @@ class SamplingSpec extends SparkTestBase {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("hexThreshold renders fixed-width lowercase hex at extreme rates") {
+    for (r <- Seq(1e-12, 0.25, 0.5, 1.0 - 1e-12)) {
+      val h = Sampling.hexThreshold(r)
+      assert(h.length === 8 && h.matches("[0-9a-f]{8}"), s"rate $r -> $h")
+    }
+  }
+
   test("token shards: distributed prefix sum matches the naive global window") {
     import spark.implicits._
     val docs = (0L until 300L).map(i =>

@@ -52,4 +52,25 @@ class TfIdfSpec extends SparkTestBase {
     val out = TfIdf.classify(weights.filter($"doc" === 10), cents).collect()
     assert(out.head.getAs[String]("predicted") === "a")
   }
+
+  test("pairwiseCosine: identical docs score 1.0, disjoint docs are absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red fish blue fish"), (2L, "red fish blue fish"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val w = TfIdf.termWeights(docs, "doc_id", "text")
+    val out = TfIdf.pairwiseCosine(w, minCosine = 0.1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-9)
+  }
+
+  test("decontaminate with an empty eval set returns no pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, "doc_id", "text",
+      evalPred = lit(false), n = 3, minShared = 1)
+    assert(out.count() === 0L)
+  }
 }
