@@ -160,12 +160,17 @@ object Similarity {
     // lineage three times. The norm is precomputed per VECTOR so the
     // O(pairs) scoring stage walks two arrays once (dot) instead of three
     // times — identical IEEE doubles to the fused cosine kernel.
-    val v = lshVectors(emb, idCol, vecCol)
+    val v0 = lshVectors(emb, idCol, vecCol)
+    val dim = v0.select(size(col("v"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    // uniform dimension is the contract: a vector whose length differs from
+    // the corpus dim would null-dot against every hyperplane, so all its
+    // sig bits silently read 0 and every such vector collapses into one
+    // shared bucket. Drop them like null/empty vectors instead.
+    val v = v0.filter(size(col("v")) === dim)
       .withColumn("nrm",
         sqrt(graft.functions.DotProduct.dotProduct(col("v"), col("v"))))
       .localCheckpoint()
-    val dim = v.select(size(col("v"))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
     // both self-join sides consume the signatures: materialize once,
     // pre-partitioned on the join key
     val bb = bandsFromV(v, dim, bands, planesPerBand)

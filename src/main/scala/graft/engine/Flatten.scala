@@ -354,6 +354,25 @@ object Flatten {
         lit(""))
   }
 
+  /** Hard cap on the driver-side name-discovery collect: the distinct
+    * param/feature names become COLUMNS, so the set is vocabulary-bounded
+    * for any real feed — but an adversarial feed with per-row unique names
+    * would otherwise grow the collect (and the output schema) without
+    * bound and OOM the driver at scale. `limit(cap+1)` bounds what ever
+    * reaches the driver; crossing the cap fails loudly instead of
+    * truncating, because a silently-dropped column is a wrong answer. */
+  private[engine] val MaxDiscoveredNames = 10000
+
+  private def collectNamesCapped(names: DataFrame, what: String): Seq[String] = {
+    val got = names.limit(MaxDiscoveredNames + 1).collect().map(_.getString(0))
+    if (got.length > MaxDiscoveredNames)
+      throw new IllegalArgumentException(
+        s"$what name discovery exceeded $MaxDiscoveredNames distinct names; " +
+        "this feed's names are not vocabulary-bounded (each would become an " +
+        "output column) — clean the feed or pivot explicitly")
+    got.sorted.toSeq
+  }
+
   /** Dynamic param pivot (main.py:245-266): distinct trimmed param names
     * (numeric-named keys dropped) become columns; same-key values join
     * ", "; size-ish keys / digit-bearing '?' values get the F5 strip.
@@ -369,12 +388,12 @@ object Flatten {
     val nameF = AttrPrefix + "name"
     val hasValue = elemType.fieldNames.contains(ValueTag)
 
-    val names = df
+    val names = collectNamesCapped(df
       .select(explode(paramArr).as("p"))
       .select(trim(col("p").getField(nameF)).as("k"))
       .filter(col("k").isNotNull && col("k") =!= "" &&
               !CleanFns.isNumericString(col("k")))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+      .distinct(), "param")
 
     names.map { name =>
       val vals = transform(
@@ -411,11 +430,11 @@ object Flatten {
     val nameF = AttrPrefix + "name"
     val hasValue = elemType.fieldNames.contains(ValueTag)
 
-    val names = df
+    val names = collectNamesCapped(df
       .select(explode(feats).as("p"))
       .select(trim(col("p").getField(nameF)).as("k"))
       .filter(col("k").isNotNull && col("k") =!= "")
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+      .distinct(), "feature")
 
     names.map { name =>
       val vals = transform(

@@ -208,11 +208,15 @@ object Excel {
           // try_element_at: a shared-string index absent from the parsed
           // dictionary (e.g. rich-text runs the flat reader missed) must
           // yield null, not throw under default ANSI map-key semantics.
-          // The index is normalized "0.0" -> "0": when any NUMERIC cell
-          // makes inference type v as double, integer indexes render with
-          // a trailing .0 and would miss every dictionary key
+          // The index is normalized through a numeric cast ("0.0" -> "0"):
+          // when any NUMERIC cell makes inference type v as double, integer
+          // indexes render with a trailing .0 — or in scientific notation
+          // past ~1e7 — and would miss every dictionary key. Casting
+          // double->long->string is rendering-independent; a malformed
+          // index try_casts to null and falls through to a null value.
           .when(tCol === "s",
-            try_element_at(sstMap, regexp_replace(vCol, "\\.0+$", "")))
+            try_element_at(sstMap,
+              vCol.try_cast("double").cast("long").cast("string")))
           .otherwise(vCol).as("value"))
 
     // header: row 1 (tiny) -> column index -> name

@@ -210,8 +210,23 @@ object EventStreams {
             }
             // the late chain closes with the batch (anything that could
             // still join it is just as late and arrives in a later batch
-            // as its own session — the documented cross-batch divergence)
-            lateCur.foreach(closedSessions ::= _)
+            // as its own session — the documented cross-batch divergence is
+            // CROSS-batch only: within this batch, a later event may have
+            // merged into the open session and pulled session_start backward
+            // to within gapMs of the late chain's end, in which case
+            // sessionizeBatch would have produced one session — merge here
+            // so the divergence stays cross-batch
+            (lateCur, cur) match {
+              case (Some(ls), Some(s))
+                  if s.session_start.getTime - ls.session_end.getTime <= gapMs =>
+                cur = Some(s.copy(
+                  session_start = new Timestamp(
+                    math.min(s.session_start.getTime, ls.session_start.getTime)),
+                  n_events = s.n_events + ls.n_events,
+                  total_value = s.total_value + ls.total_value))
+              case (Some(ls), _) => closedSessions ::= ls
+              case _ => ()
+            }
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.session_end.getTime + gapMs)

@@ -247,6 +247,25 @@ class SimilaritySpec extends SparkTestBase {
     val pairs = out.map(p => (p._1, p._2)).toSet
     assert(pairs.contains((0L, 1L)) && pairs.contains((2L, 3L)))
   }
+
+  test("LSH near-dup drops vectors whose length differs from the corpus " +
+       "dim instead of collapsing them into the all-zero bucket") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val short = Array.tabulate(8)(i => math.cos(i * 0.4).toFloat)
+    // 0/1: clones at the corpus dim; 90/91: clones at a DIFFERENT dim —
+    // without the guard their null dots make every sig bit 0 and they
+    // pair up in the shared degenerate bucket
+    val emb = Seq(
+      (0L, base), (1L, base.map(x => x * 1.01f)),
+      (90L, short), (91L, short.map(x => x * 1.01f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        minCosine = 0.9, bands = 3, planesPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 >= 90L || p._2 >= 90L))
+  }
 }
 
 class TextAnalysisSpec extends SparkTestBase {

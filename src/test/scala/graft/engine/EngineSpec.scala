@@ -116,3 +116,32 @@ class CategoryPathSpec extends SparkTestBase {
     assert(out === Seq("Root", "Undefined"))
   }
 }
+
+class FlattenCapSpec extends SparkTestBase {
+
+  test("param-name discovery fails loudly past the driver-side cap " +
+       "instead of collecting an unbounded name set") {
+    val df = spark.range(1).select(
+      lit("1").as("id"),
+      transform(sequence(lit(0), lit(Flatten.MaxDiscoveredNames)),
+        i => struct(
+          concat(lit("p"), lpad(i.cast("string"), 6, "0")).as("_name"),
+          lit("v").as("_VALUE"))).as("param"))
+    val ex = intercept[IllegalArgumentException] {
+      Flatten.flattenOffers(df, graft.sources.XmlSource.Yml).columns
+    }
+    assert(ex.getMessage.contains("name discovery exceeded"))
+  }
+
+  test("param-name discovery at exactly the cap still pivots") {
+    val n = 50 // representative bounded feed; the cap itself is 10k
+    val df = spark.range(1).select(
+      lit("1").as("id"),
+      transform(sequence(lit(1), lit(n)),
+        i => struct(
+          concat(lit("p"), lpad(i.cast("string"), 6, "0")).as("_name"),
+          lit("v").as("_VALUE"))).as("param"))
+    val cols = Flatten.flattenOffers(df, graft.sources.XmlSource.Yml).columns
+    assert((1 to n).forall(i => cols.contains(f"p$i%06d")))
+  }
+}

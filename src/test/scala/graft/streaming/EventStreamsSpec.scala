@@ -176,6 +176,31 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out(2).getTimestamp(1) === ts(200) && out(2).getLong(3) === 2L)
   }
 
+  test("sessionize merges the late chain into the open session when a " +
+       "later same-batch event pulls session_start back within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // batch 1: open session [200, 205] for user 1
+    in.addData(ev(1, 200), ev(2, 205))
+    // batch 2: 160 is 40min before start -> goes to the late chain; 175
+    // then merges into the open session and pulls start back to 175 —
+    // leaving the [160] chain only 15min from the new start. Batch
+    // semantics (all four events at once) give ONE session [160, 205];
+    // the within-batch merge must match that.
+    in.addData(ev(3, 160), ev(4, 175))
+    // advance the watermark far enough to close the open session
+    in.addData(ev(99, 600, user = 99))
+    val out = runAll("sess_late_chain",
+      EventStreams.sessionize(in.toDS(), gapMinutes = 30).toDF())
+      .filter(col("user_id") === 1)
+      .orderBy("session_start").collect()
+    assert(out.length === 1)
+    assert(out(0).getTimestamp(1) === ts(160))
+    assert(out(0).getTimestamp(2) === ts(205))
+    assert(out(0).getLong(3) === 4L)
+  }
+
   test("sessionize closes a session after the gap and a watermark advance") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
