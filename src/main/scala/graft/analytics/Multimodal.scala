@@ -36,7 +36,16 @@ object Multimodal {
     ImageHeaders.parse(b.data) match {
       case Some((mediaType, w, h)) =>
         MediaMeta(b.doc_id, mediaType, b.data.length.toLong, w, h, 1)
-      case None => decodeStub(b)
+      case None =>
+        // full-decode fallback: formats the JDK reads but the header
+        // parser doesn't cover (e.g. TIFF, WBMP). Header parsing stays
+        // the fast path — it never materializes a raster.
+        decodeImage(b.data) match {
+          case Some(img) =>
+            MediaMeta(b.doc_id, "image/decoded", b.data.length.toLong,
+                      img.getWidth, img.getHeight, 1)
+          case None => decodeStub(b)
+        }
     }
   }
 
@@ -114,22 +123,195 @@ object Multimodal {
                                 width: Int, height: Int, n_bytes_in: Long,
                                 n_bytes_out: Long)
 
-  /** Resize plumbing: partition-wise transform to a fixed target size. The
-    * scaler is a STUB (no imaging libs here) — real are the typed Dataset
-    * boundary, the per-partition transformer scope, and the deterministic
-    * output contract (`n_bytes_out` = stub arithmetic a real encoder would
-    * replace). */
+  /** Real decode via `javax.imageio` (ships with the JDK): PNG/JPEG/BMP/GIF
+    * payloads become a [[java.awt.image.BufferedImage]]; anything the JDK
+    * readers don't recognize (and any truncated/corrupt image) is None.
+    * `setUseCache(false)` keeps the reader off executor-local temp files —
+    * payloads are already in memory. */
+  private[analytics] def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (data == null || data.length == 0) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
+    } catch { case _: java.io.IOException => None }
+
+  /** Deterministic nearest-neighbor scale: out(x, y) = in(x*wIn/wOut,
+    * y*hIn/hOut), integer floor — the one resampling rule every engine
+    * reproduces exactly (bilinear/area kernels differ per library, which
+    * would make the result un-oracle-able). */
+  private[analytics] def scaleNearest(img: java.awt.image.BufferedImage,
+                                      w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.getHeight / h
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / w, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** Partition-wise resize: REAL `javax.imageio` decode, deterministic
+    * nearest-neighbor scale, real PNG re-encode (`n_bytes_out` is the
+    * actual encoded length; `media_type` flips to image/png). Payloads the
+    * JDK readers can't decode (the audio/video stand-ins) keep the
+    * documented stub arithmetic so the pipeline shape stays total. */
   def resize(blobs: Dataset[MediaBlob], width: Int, height: Int): Dataset[MediaResized] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
-      // per-partition scaler scope (native resize context goes here)
+      // per-partition scaler scope: ImageIO reader/writer instances are
+      // looked up once per partition by the first call and reused
       it.map { b =>
-        val n = b.data.length.toLong
-        MediaResized(b.doc_id, b.media_type, width, height, n,
-                     math.min(n, width.toLong * height))
+        val n = if (b.data == null) 0L else b.data.length.toLong
+        decodeImage(b.data) match {
+          case Some(img) =>
+            val png = encode(scaleNearest(img, width, height), "png")
+            MediaResized(b.doc_id, "image/png", width, height, n, png.length.toLong)
+          case None =>
+            MediaResized(b.doc_id, b.media_type, width, height, n,
+                         math.min(n, width.toLong * height))
+        }
       }
     }
+  }
+
+  /** A format-converted payload (the reference's png<->jpg converters,
+    * main.py:886-911 — K9's one live capability). */
+  final case class MediaConverted(doc_id: Long, from_type: String,
+                                  to_type: String, width: Int, height: Int,
+                                  n_bytes_in: Long, n_bytes_out: Long,
+                                  data: Array[Byte])
+
+  /** Real image format conversion: decode any JDK-readable payload,
+    * re-encode to `format` ("png" / "jpg" / "bmp" / "gif"). JPEG has no
+    * alpha channel, so frames are first flattened to RGB (which
+    * [[scaleNearest]]'s identity-size path does — it also makes the
+    * conversion deterministic across source raster layouts). Undecodable
+    * payloads are dropped: a converter, unlike [[resize]]'s metadata
+    * contract, has nothing meaningful to emit for them. */
+  def convertImages(blobs: Dataset[MediaBlob], format: String): Dataset[MediaConverted] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val fmt = format.toLowerCase match {
+      case "jpg" | "jpeg" => "jpg"
+      case f @ ("png" | "bmp" | "gif") => f
+      case f => throw new IllegalArgumentException(s"unsupported image format: $f")
+    }
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeImage(b.data).map { img =>
+          val rgb = scaleNearest(img, img.getWidth, img.getHeight)
+          val out = encode(rgb, fmt)
+          MediaConverted(b.doc_id,
+            ImageHeaders.parse(b.data).map(_._1).getOrElse(b.media_type),
+            s"image/$fmt", img.getWidth, img.getHeight,
+            b.data.length.toLong, out.length.toLong, out)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic images: the oracle-checkable gate for the real
+  // decode path. A 24-bit BMP is byte-exactly constructible from a pixel
+  // formula, so a SQL oracle can recompute what a real ImageIO decode +
+  // nearest-neighbor resize must produce without ever touching an image.
+  // ---------------------------------------------------------------------
+
+  /** Pixel formula for synthetic images: channel values are exact integer
+    * functions of (doc_id, x, y), reproducible in any SQL engine. */
+  private[analytics] def synthRgb(docId: Long, x: Int, y: Int): Int = {
+    val r = ((docId * 7 + x * 5 + y * 3) % 256).toInt
+    val g = ((docId * 11 + x * 2 + y) % 256).toInt
+    val b = ((docId + x + y * 9) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Uncompressed 24-bit bottom-up BMP of [[synthRgb]] pixels. 54-byte
+    * header + rows padded to 4 bytes — the layout every BMP reader
+    * (including the JDK's) decodes bit-exactly. */
+  private[analytics] def syntheticBmp(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    var fy = h - 1 // bottom-up: first stored row is the image's last
+    while (fy >= 0) {
+      var x = 0
+      while (x < w) {
+        val rgb = synthRgb(docId, x, fy)
+        buf.put((rgb & 0xff).toByte)          // B
+          .put(((rgb >> 8) & 0xff).toByte)    // G
+          .put(((rgb >> 16) & 0xff).toByte)   // R
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fy -= 1
+    }
+    buf.array()
+  }
+
+  /** Synthetic image blobs for the decode gate: per-doc BMPs with
+    * formula-derived dimensions, generated partition-wise (no driver
+    * materialization — at 100 TB this is the `binaryFile` scan stand-in). */
+  def syntheticImageBlobs(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 4 + 2).toInt
+        val h = (id % 3 + 2).toInt
+        MediaBlob(id, "image/bmp", syntheticBmp(id, w, h))
+      }
+    }
+  }
+
+  /** The decode gate: REAL ImageIO decode of each payload, deterministic
+    * nearest-neighbor resize to (outW, outH), and an exact position-weighted
+    * raster checksum — sum over out pixels of (y*outW + x + 1) * rgb24.
+    * Every output column is an exact integer a SQL oracle recomputes from
+    * the pixel formula, so a checksum match proves the BMP writer, the JDK
+    * decoder, and the resample loop agree pixel-for-pixel. */
+  def decodeResizeChecksum(blobs: Dataset[MediaBlob],
+                           outW: Int, outH: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeImage(b.data).map { img =>
+          val scaled = scaleNearest(img, outW, outH)
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              sum += (y.toLong * outW + x + 1) * (scaled.getRGB(x, y) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          (b.doc_id, img.getWidth, img.getHeight, outW, outH,
+           b.data.length.toLong, sum)
+        }
+      }
+    }.toDF("doc_id", "in_w", "in_h", "out_w", "out_h", "n_bytes_in", "checksum")
   }
 
   /** Frame sampling: k frame indices spread evenly over [0, n_frames), one

@@ -625,7 +625,43 @@ object AnalyticsQueries {
             TfIdf.termWeights(Tables(s, dir, "documents"), "doc_id", "text",
                               scale = 1000),
             minCosine = 0.9)
-          .orderBy("doc_a", "doc_b"))
+          .orderBy("doc_a", "doc_b")),
+
+    // ----- REAL image decode gate: ImageIO + nearest-neighbor resize -----
+    Q("q68_image_resize",
+      "real javax.imageio decode of synthetic per-doc BMPs + deterministic " +
+        "nearest-neighbor resize to 8x8 + exact raster checksum; the oracle " +
+        "recomputes the resized raster from the pixel formula, so a match " +
+        "proves BMP layout, JDK decode, and resample agree pixel-for-pixel",
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 4 + 2 AS INT) AS in_w,
+             |         CAST(doc_id % 3 + 2 AS INT) AS in_h
+             |  FROM documents),
+             | px AS (
+             |  SELECT doc_id, in_w, in_h, x, y,
+             |         (x * in_w) // 8 AS sx, (y * in_h) // 8 AS sy
+             |  FROM dims,
+             |       (SELECT unnest(range(8)) AS x) xs,
+             |       (SELECT unnest(range(8)) AS y) ys),
+             | v AS (
+             |  SELECT doc_id, in_w, in_h, y * 8 + x + 1 AS pos,
+             |         ((doc_id * 7 + sx * 5 + sy * 3) % 256) * 65536 +
+             |         ((doc_id * 11 + sx * 2 + sy) % 256) * 256 +
+             |         ((doc_id + sx + sy * 9) % 256) AS rgb
+             |  FROM px)
+             |SELECT doc_id, in_w, in_h,
+             |       CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+             |       CAST(54 + in_h * (((in_w * 3 + 3) // 4) * 4) AS BIGINT) AS n_bytes_in,
+             |       CAST(sum(pos * rgb) AS BIGINT) AS checksum
+             |FROM v GROUP BY doc_id, in_w, in_h
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.decodeResizeChecksum(
+            Multimodal.syntheticImageBlobs(
+              Tables(s, dir, "documents"), "doc_id"),
+            outW = 8, outH = 8)
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -478,6 +478,77 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).n_bytes_out === 224L * 224L)     // capped at target area
   }
 
+  test("real resize: PNG payload is decoded, nearest-neighbor scaled, and " +
+       "re-encoded with the actual output byte length") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2) img.setRGB(x, y, (x * 50 + y * 7) << 8)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val blobs = Seq(Multimodal.MediaBlob(1L, "image/png", baos.toByteArray)).toDS()
+    val out = Multimodal.resize(blobs, 8, 8).collect().head
+    assert(out.media_type === "image/png")
+    assert(out.width === 8 && out.height === 8)
+    assert(out.n_bytes_in === baos.toByteArray.length.toLong)
+    // the real encoded length of the same scale in the same JVM
+    val expected = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(Multimodal.scaleNearest(img, 8, 8), "png", expected)
+    assert(out.n_bytes_out === expected.toByteArray.length.toLong)
+  }
+
+  test("syntheticBmp round-trips through the JDK decoder pixel-for-pixel") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val w = (id % 4 + 2).toInt; val h = (id % 3 + 2).toInt
+      val img = Multimodal.decodeImage(Multimodal.syntheticBmp(id, w, h)).get
+      assert(img.getWidth === w && img.getHeight === h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert((img.getRGB(x, y) & 0xffffff) === Multimodal.synthRgb(id, x, y),
+               s"pixel ($x,$y) of doc $id")
+    }
+  }
+
+  test("decodeResizeChecksum matches the formula the oracle recomputes") {
+    import spark.implicits._
+    val docs = Seq(3L, 10L, 47L).toDF("doc_id")
+    val out = Multimodal.decodeResizeChecksum(
+        Multimodal.syntheticImageBlobs(docs, "doc_id"), 8, 8)
+      .orderBy("doc_id").collect()
+    for (r <- out) {
+      val id = r.getLong(0)
+      val inW = (id % 4 + 2).toInt; val inH = (id % 3 + 2).toInt
+      assert(r.getInt(1) === inW && r.getInt(2) === inH)
+      assert(r.getLong(5) === 54L + inH * (((inW * 3 + 3) / 4) * 4))
+      val expected = (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val sx = x * inW / 8; val sy = y * inH / 8
+        (y.toLong * 8 + x + 1) * Multimodal.synthRgb(id, sx, sy)
+      }).sum
+      assert(r.getLong(6) === expected, s"checksum of doc $id")
+    }
+  }
+
+  test("convertImages png->jpg: real re-encode, dims preserved, JPEG " +
+       "magic bytes; undecodable payloads dropped") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 6; y <- 0 until 4) img.setRGB(x, y, x * 40 + (y * 60 << 16))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image/png", baos.toByteArray),
+      Multimodal.MediaBlob(2L, "text/plain", "not an image".getBytes)).toDS()
+    val out = Multimodal.convertImages(blobs, "jpg").collect()
+    assert(out.length === 1) // undecodable row dropped
+    assert(out.head.from_type === "image/png" && out.head.to_type === "image/jpg")
+    assert(out.head.width === 6 && out.head.height === 4)
+    assert(out.head.data(0) === 0xff.toByte && out.head.data(1) === 0xd8.toByte)
+    // and the converted payload itself decodes at the same dimensions
+    val back = Multimodal.decodeImage(out.head.data).get
+    assert(back.getWidth === 6 && back.getHeight === 4)
+    intercept[IllegalArgumentException] { Multimodal.convertImages(blobs, "webp") }
+  }
+
   test("sampleFrames: k evenly-spread distinct-ordinal rows, capped at " +
        "n_frames, md5 lineage keys") {
     import spark.implicits._
