@@ -112,6 +112,41 @@ object ConverterQueries {
         JsonSource.read(s, path)
           .select($"c_custkey", $"c_name", $"c_mktsegment")
           .orderBy($"c_custkey".cast("long"))
+      }),
+
+    // ----- K8: table-style report (title + header + first-50 rows) -----
+    Q("q69_table_report",
+      "write the first-50-rows table report (K8, main.py:1056-1118 data " +
+        "contract: title, header, rows[:50]) and read the artifact back",
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date
+             |  FROM orders ORDER BY o_orderkey LIMIT 50),
+             | body AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) + 1 AS BIGINT) AS line_no,
+             |         CAST(o_orderkey AS VARCHAR) || ' | ' ||
+             |         CAST(o_custkey AS VARCHAR) || ' | ' ||
+             |         o_orderstatus || ' | ' || o_orderpriority || ' | ' ||
+             |         o_date AS line
+             |  FROM src)
+             |SELECT line_no, line FROM (
+             |  SELECT CAST(0 AS BIGINT) AS line_no,
+             |         'Отчет: orders' AS line
+             |  UNION ALL
+             |  SELECT CAST(1 AS BIGINT),
+             |         'o_orderkey | o_custkey | o_orderstatus | o_orderpriority | o_date'
+             |  UNION ALL
+             |  SELECT line_no, line FROM body)
+             |ORDER BY line_no""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables(s, dir, "orders").select(
+          $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+          to_date($"o_orderdate").cast("string").as("o_date"))
+        val path = tmpFile("orders_report.txt")
+        graft.sinks.Reports.writeTableReport(
+          src, orderCol = "o_orderkey", title = "orders", path = path)
+        graft.sinks.Reports.readTableReport(s, path).orderBy("line_no")
       })
   )
 }

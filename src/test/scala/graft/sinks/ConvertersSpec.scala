@@ -305,4 +305,21 @@ class ConvertersSpec extends SparkTestBase {
     assert(df.columns.exists(_.startsWith("items")))
   }
 
+  test("K8 table report: golden artifact — title, header, capped ordered " +
+       "rows, null cells rendered empty") {
+    import spark.implicits._
+    val df = Seq((2L, "b", null: String), (1L, "a", "x"), (3L, "c", "y"))
+      .toDF("k", "v", "w")
+    val path = tmp("report.txt")
+    graft.sinks.Reports.writeTableReport(df, "k", "demo", path, maxRows = 2)
+    val content = Files.readString(Paths.get(path))
+    assert(content ===
+      "Отчет: demo\nk | v | w\n1 | a | x\n2 | b | \n")
+    val back = graft.sinks.Reports.readTableReport(spark, path)
+      .orderBy("line_no").collect()
+    assert(back.length === 4)
+    assert(back(0).getString(1) === "Отчет: demo")
+    assert(back(3).getString(1) === "2 | b | ")
+  }
+
 }
