@@ -21,6 +21,25 @@ object Similarity {
   /** Cast float embedding to double for stable, oracle-matching arithmetic. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
+  /** Deterministic, engine-independent centroid membership: a vector is a
+    * centroid iff the hex md5 of its id's STRING form sorts below the
+    * two-hex-digit threshold covering ~1/stride of the hash space
+    * (P = round(256/stride)/256). Works for any id type and any id-space
+    * shape — numeric, string, sparse, non-contiguous — unlike the earlier
+    * `id % stride == 0` rule, which silently returned an empty centroid
+    * set for id spaces without stride multiples and threw on non-numeric
+    * ids under ANSI. Hex md5 compares identically in every engine, so a
+    * SQL oracle applies the same rule verbatim
+    * (`md5(CAST(id AS VARCHAR)) < '05'` for stride 50). */
+  private[analytics] def isCentroid(id: Column, stride: Int): Column = {
+    require(stride >= 1, "centroidStride must be >= 1")
+    val bound = math.min(256, math.max(1, math.round(256.0 / stride).toInt))
+    // bound 256 (stride 1) must admit EVERY hash; "g" sorts above every
+    // hex digit, where the two-digit form "100" would not ("1a.." > "100")
+    val hex = if (bound >= 256) "g" else f"$bound%02x"
+    md5(id.cast("string")) < lit(hex)
+  }
+
   /** Sequential-fold dot product — deterministic order, no reassociation.
     * (Composed HOF form, kept for reference/tests; the hot path uses the
     * codegen'd expression below.) */
@@ -57,7 +76,7 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup candidate pairs, IVF-bucketed: vectors are
-    * assigned to their nearest stride-selected centroid (map-side argmax),
+    * assigned to their nearest hash-selected centroid (map-side argmax),
     * then only SAME-BUCKET pairs are scored — |corpus|²/nCentroids work
     * instead of an all-pairs cross join. Bucket-boundary pairs are missed
     * by construction (the standard ANN recall trade); raise nprobe-style
@@ -68,16 +87,15 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    // CONTRACT: ids must be numeric with at least one multiple of the
-    // stride — an empty centroid set would make every result empty (and
-    // non-numeric ids throw on % under ANSI). Callers with other id shapes
-    // pre-bucket with pmod(hash(id), n) === 0.
-    val cents = v.filter($"vid" % centroidStride === 0)
+    val cents = v.filter(isCentroid($"vid", centroidStride))
       .select($"vid".as("cid"), $"v".as("cv"))
     val assigned = v.join(broadcast(cents), lit(true))
       .withColumn("csim", round(cosine($"v", $"cv"), 6))
       .groupBy($"vid")
-      .agg(max_by($"cid", struct($"csim", -$"cid")).as("cid"),
+      // argmax tie-break = highest csim then LOWEST cid, encoded as min of
+      // (-csim, cid) — negating the SIMILARITY (always numeric) instead of
+      // the id keeps the rule valid for string/any-typed ids
+      .agg(min_by($"cid", struct((-$"csim").as("nc"), $"cid")).as("cid"),
            first($"v").as("v"))
       // the pair stage scores O(B²/2) pairs per bucket: precompute each
       // vector's norm ONCE here instead of re-walking both arrays inside
@@ -194,9 +212,9 @@ object Similarity {
       .select($"vid_a", $"vid_b", $"cos_sim")
   }
 
-  /** IVF-bucketed approximate top-k. Deterministic "training": every
-    * `centroidStride`-th vector (by id) is a centroid. Assignment and probe
-    * both broadcast only the centroid set. */
+  /** IVF-bucketed approximate top-k. Deterministic "training": a ~1/stride
+    * hash-selected sample of vectors are centroids (see [[isCentroid]]).
+    * Assignment and probe both broadcast only the centroid set. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
               centroidStride: Int = 50, nprobe: Int = 2): DataFrame = {
@@ -205,18 +223,19 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
 
     val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val cents = v.filter($"vid" % centroidStride === 0)
+    val cents = v.filter(isCentroid($"vid", centroidStride))
       .select($"vid".as("cid"), $"v".as("cv"))
 
     // invert: each corpus vector -> its nearest centroid id.
-    // Argmax via max_by (partial-aggregable, map-side combine) instead of a
+    // Argmax via min_by (partial-aggregable, map-side combine) instead of a
     // row_number window: the window would SHUFFLE n×|centroids| rows; here
-    // the shuffle carries one partial max per vector. Tie-break = highest
-    // csim then LOWEST cid, encoded as max of (csim, -cid).
+    // the shuffle carries one partial min per vector. Tie-break = highest
+    // csim then LOWEST cid, encoded as min of (-csim, cid) — negating the
+    // similarity, not the id, so string ids work too.
     val assigned = v.join(broadcast(cents), lit(true))
       .withColumn("csim", round(cosine($"v", $"cv"), 6))
       .groupBy($"vid")
-      .agg(max_by($"cid", struct($"csim", -$"cid")).as("cid"),
+      .agg(min_by($"cid", struct((-$"csim").as("nc"), $"cid")).as("cid"),
            first($"v").as("v"))
 
     // queries probe their nprobe nearest centroids

@@ -200,9 +200,11 @@ object AnalyticsQueries {
 
     // ----- IVF approximate top-k -----
     Q("q25_knn_ivf",
-      "IVF top-5: stride-50 centroids, map-side argmax assignment, nprobe=2",
+      "IVF top-5: hash-selected ~1/50 centroids (md5 rule, any id type), " +
+        "map-side argmax assignment, nprobe=2",
       Some(vCte + """,
-             | c AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id % 50 = 0),
+             | c AS (SELECT vec_id AS cid, vv AS cv FROM v
+             |        WHERE md5(CAST(vec_id AS VARCHAR)) < '05'),
              | ac AS (SELECT v.vec_id, v.vv, c.cid, """.stripMargin +
              cosSql("vv", "cv") + """ AS csim FROM v, c),
              | assigned AS (
@@ -235,9 +237,11 @@ object AnalyticsQueries {
 
     // ----- embedding-cosine near-dup pairs (IVF-bucketed) -----
     Q("q38_cosine_neardup",
-      "same-centroid-bucket embedding pairs with cosine >= 0.4",
+      "same-centroid-bucket (md5-selected centroids) embedding pairs with " +
+        "cosine >= 0.4",
       Some(vCte + """,
-             | c AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id % 50 = 0),
+             | c AS (SELECT vec_id AS cid, vv AS cv FROM v
+             |        WHERE md5(CAST(vec_id AS VARCHAR)) < '05'),
              | ac AS (SELECT v.vec_id, v.vv, c.cid, """.stripMargin +
              cosSql("vv", "cv") + """ AS csim FROM v, c),
              | assigned AS (

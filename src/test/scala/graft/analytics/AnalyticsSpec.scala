@@ -217,6 +217,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf === bf)
   }
 
+  test("IVF centroid rule works over STRING ids (hash membership, no " +
+       "numeric-id contract)") {
+    import spark.implicits._
+    val emb = (0L to 19L).map(i =>
+        (s"doc-$i",
+         Array((math.cos(i * 0.5)).toFloat, (math.sin(i * 0.5)).toFloat)))
+      .toDF("vec_id", "embedding")
+    // stride=1 -> every vector a centroid -> IVF with wide probe == brute
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === "doc-4", k = 3).select("rn", "neighbor_id")
+      .collect().toSeq
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") === "doc-4", k = 3, centroidStride = 1, nprobe = 20)
+      .select("rn", "neighbor_id").collect().toSeq
+    assert(ivf === bf)
+    // pair op over string ids: clones share every centroid similarity, so
+    // the tie-break assigns them the same bucket and the pair is found
+    val withClones = emb.unionByName(
+      Seq(("dup-a", Array(0.6f, 0.8f)), ("dup-b", Array(0.6f, 0.8f)))
+        .toDF("vec_id", "embedding"))
+    val pairs = Similarity.cosineNearDupPairs(withClones, "vec_id",
+        "embedding", minCosine = 0.99, centroidStride = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("dup-a", "dup-b")))
+  }
+
   test("hyperplane signs are deterministic ±1") {
     val a = Similarity.hyperplaneSigns(4, 8)
     val b = Similarity.hyperplaneSigns(4, 8)
