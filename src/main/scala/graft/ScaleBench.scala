@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness (evidence for SCALE.md; not run by the driver):
+  * materializes 1×/3×/10× copies of the documents and embeddings tables to
+  * parquet and times the dedup / LSH / prefix-sum operator families at each
+  * scale. Copies are content-DISJOINT by construction — every token gets a
+  * per-copy prefix and every embedding is circularly shifted — so the
+  * candidate-pair structure per copy matches the base corpus and a linear
+  * runtime curve means linear scaling (no cross-copy near-dup inflation
+  * quadratically distorting the workload).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleBench
+  */
+object ScaleBench {
+
+  private def scaleDocs(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    (0 until k).map { i =>
+      base.select(
+        ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+        // per-copy token prefix: term/shingle spaces are disjoint across
+        // copies, so per-copy dedup structure is identical to the base
+        regexp_replace($"text", "(\\S+)", s"c$i" + "_$1").as("text"),
+        $"lang")
+    }.reduce(_ unionByName _)
+  }
+
+  private def scaleEmb(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val dim = base.select(size($"embedding")).head().getInt(0)
+    (0 until k).map { i =>
+      // per-copy deterministic ±1 sign pattern: norm-preserving, and two
+      // different patterns decorrelate any pair of vectors — a circular
+      // shift would not (smooth embeddings autocorrelate under shifts,
+      // inflating cross-copy LSH pairs superlinearly)
+      val signs: Seq[Float] = (0 until dim).map { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"copy$i|$j".getBytes("UTF-8"))
+        if (i == 0 || (d(0) & 1) == 0) 1.0f else -1.0f
+      }
+      base.select(($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+                  zip_with($"embedding", typedLit(signs),
+                           (x, s) => x * s).as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName = "graft-scalebench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // warm codegen/shuffle machinery outside the measured section
+    analytics.Dedup.exactDupTags(docs0, "doc_id", "text").count()
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    println("[scalebench] scale  op                rows      sec")
+    for (k <- Seq(1, 3, 10)) {
+      val dPath = tmp.resolve(s"docs_x$k").toString
+      val ePath = tmp.resolve(s"emb_x$k").toString
+      scaleDocs(spark, docs0, k).write.mode("overwrite").parquet(dPath)
+      scaleEmb(spark, emb0, k).write.mode("overwrite").parquet(ePath)
+      val docs = spark.read.parquet(dPath)
+      val emb = spark.read.parquet(ePath)
+      val ops: Seq[(String, () => Long)] = Seq(
+        "q17_exact_dedup" -> (() =>
+          analytics.Dedup.exactDupTags(docs, "doc_id", "text").count()),
+        "q19_minhash_lsh" -> (() =>
+          analytics.Dedup.minhashCandidates(
+            analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text")).count()),
+        // signature bits scale with log2(n): a FIXED bit width saturates
+        // (buckets per band are constant, so chance candidates grow n²/2^b).
+        // 6 bits at n=2k keeps E[bucket] ≈ 31; hold that ratio as n grows.
+        "q59_lsh_neardup" -> (() =>
+          analytics.Similarity.lshNearDupPairs(
+            emb, "vec_id", "embedding", minCosine = 0.4,
+            bands = 3,
+            planesPerBand = 6 + (math.log(k.toDouble) / math.log(2)).round.toInt)
+            .count()),
+        "q64_token_shards" -> (() =>
+          analytics.Sampling.tokenBudgetShards(
+            docs, "doc_id", "text", budgetTokens = 10000L).count()))
+      ops.foreach { case (name, f) =>
+        val (sec, rows) = time(f())
+        println(f"[scalebench] x$k%-5d $name%-17s $rows%8d  $sec%6.2f")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -31,6 +31,37 @@ object ConverterQueries {
 
   private def tmpFile(name: String): String = rtDir.resolve(name).toString
 
+  /** Shared oracle for the K8 report gates (q69 text / q70 PDF): the same
+    * title + header + first-50-rows line set. */
+  private val reportOracle =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date
+      |  FROM orders ORDER BY o_orderkey LIMIT 50),
+      | body AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) + 1 AS BIGINT) AS line_no,
+      |         CAST(o_orderkey AS VARCHAR) || ' | ' ||
+      |         CAST(o_custkey AS VARCHAR) || ' | ' ||
+      |         o_orderstatus || ' | ' || o_orderpriority || ' | ' ||
+      |         o_date AS line
+      |  FROM src)
+      |SELECT line_no, line FROM (
+      |  SELECT CAST(0 AS BIGINT) AS line_no,
+      |         'Отчет: orders' AS line
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT),
+      |         'o_orderkey | o_custkey | o_orderstatus | o_orderpriority | o_date'
+      |  UNION ALL
+      |  SELECT line_no, line FROM body)
+      |ORDER BY line_no""".stripMargin
+
+  private def reportSource(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "orders").select(
+      $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
+      to_date($"o_orderdate").cast("string").as("o_date"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----- K1 + S5: CSV sink/source round-trip -----
@@ -118,35 +149,34 @@ object ConverterQueries {
     Q("q69_table_report",
       "write the first-50-rows table report (K8, main.py:1056-1118 data " +
         "contract: title, header, rows[:50]) and read the artifact back",
-      Some("""WITH src AS (
-             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
-             |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date
-             |  FROM orders ORDER BY o_orderkey LIMIT 50),
-             | body AS (
-             |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) + 1 AS BIGINT) AS line_no,
-             |         CAST(o_orderkey AS VARCHAR) || ' | ' ||
-             |         CAST(o_custkey AS VARCHAR) || ' | ' ||
-             |         o_orderstatus || ' | ' || o_orderpriority || ' | ' ||
-             |         o_date AS line
-             |  FROM src)
-             |SELECT line_no, line FROM (
-             |  SELECT CAST(0 AS BIGINT) AS line_no,
-             |         'Отчет: orders' AS line
-             |  UNION ALL
-             |  SELECT CAST(1 AS BIGINT),
-             |         'o_orderkey | o_custkey | o_orderstatus | o_orderpriority | o_date'
-             |  UNION ALL
-             |  SELECT line_no, line FROM body)
-             |ORDER BY line_no""".stripMargin),
+      Some(reportOracle),
       (s, dir) => {
-        import s.implicits._
-        val src = Tables(s, dir, "orders").select(
-          $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority",
-          to_date($"o_orderdate").cast("string").as("o_date"))
+        val src = reportSource(s, dir)
         val path = tmpFile("orders_report.txt")
         graft.sinks.Reports.writeTableReport(
           src, orderCol = "o_orderkey", title = "orders", path = path)
         graft.sinks.Reports.readTableReport(s, path).orderBy("line_no")
+      }),
+
+    // ----- K8 PDF artifact + S8 PDF text extraction round-trip -----
+    Q("q70_pdf_roundtrip",
+      "write the K8 report as a REAL multi-page PDF (minimal PDF 1.4 " +
+        "writer) and parse the text back distributed via binaryFile + " +
+        "partition-wise content-stream decode (S8)",
+      Some(reportOracle),
+      (s, dir) => {
+        val src = reportSource(s, dir)
+        val path = tmpFile("orders_report.pdf")
+        // 20 lines/page forces pagination: 52 report lines -> 3 pages
+        graft.sinks.PdfSink.writeTableReportPdf(
+          src, orderCol = "o_orderkey", title = "orders", path = path,
+          maxRows = 50, linesPerPage = 20)
+        graft.sources.PdfSource.readTextRows(s, path)
+          .select(
+            ((col("page") - 1) * 20 + col("line_no") - 1).cast("long")
+              .as("line_no"),
+            col("text").as("line"))
+          .orderBy("line_no")
       })
   )
 }

@@ -117,6 +117,36 @@ class CategoryPathSpec extends SparkTestBase {
   }
 }
 
+class CategoryPathStressSpec extends SparkTestBase {
+
+  test("J2 deep/cyclic hierarchies: local walk == iterative fixpoint, " +
+       "cycles terminate via the visited set, over-depth chains are cut " +
+       "at maxDepth (reference visited-set semantics, main.py:1495)") {
+    import spark.implicits._
+    // chain c0 -> c1 -> ... -> c29 (deeper than maxDepth=20), a 3-cycle
+    // x -> y -> z -> x, and an orphan whose parent id doesn't exist
+    val chain = (0 until 30).map(i =>
+      (s"c$i", if (i == 29) null else s"c${i + 1}", s"N$i"))
+    val cycle = Seq(("x", "y", "X"), ("y", "z", "Y"), ("z", "x", "Z"))
+    val orphan = Seq(("o", "missing", "O"))
+    val edges = (chain ++ cycle ++ orphan).toDF("id", "parentId", "name")
+
+    val loc = CategoryPath.resolveSegs(edges, maxDepth = 20)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val iter = CategoryPath.resolveSegsIterative(edges, maxDepth = 20)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(loc === iter) // both strategies, identical semantics
+
+    // cycle: walk from x visits y, z, then stops at the seen x
+    assert(loc("x") === Seq("Z", "Y", "X"))
+    assert(loc("y") === Seq("X", "Z", "Y"))
+    // over-depth: self + exactly maxDepth ancestors, root-first
+    assert(loc("c0") === (20 to 0 by -1).map(i => s"N$i"))
+    // missing parent stops the walk without error
+    assert(loc("o") === Seq("O"))
+  }
+}
+
 class FlattenCapSpec extends SparkTestBase {
 
   test("param-name discovery fails loudly past the driver-side cap " +

@@ -305,6 +305,43 @@ class ConvertersSpec extends SparkTestBase {
     assert(df.columns.exists(_.startsWith("items")))
   }
 
+  test("K8/S8 PDF round-trip: escapes, unicode, pagination, and the " +
+       "distributed binaryFile extraction path") {
+    import spark.implicits._
+    val lines = Seq(
+      "Отчет: demo",
+      "plain ascii",
+      "parens (and) \\backslash\\ inside",
+      "third page line")
+    val path = tmp("mini.pdf")
+    graft.sinks.PdfSink.writeTextPdf(lines, path, linesPerPage = 2)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(new String(bytes.take(8), "ISO-8859-1").startsWith("%PDF-1.4"))
+    // direct parse: 4 lines across 2 pages, byte-exact text
+    val direct = graft.sources.PdfSource.extractLines(bytes)
+    assert(direct.map(_._3) === lines)
+    assert(direct.map(t => (t._1, t._2)) === Seq((1,1),(1,2),(2,1),(2,2)))
+    // distributed parse through binaryFile + mapPartitions
+    val rows = graft.sources.PdfSource.readTextRows(spark, path)
+      .orderBy("page", "line_no").collect()
+    assert(rows.map(_.getString(3)).toSeq === lines)
+  }
+
+  test("S8 extracts FlateDecode content streams (inflate path)") {
+    // hand-build a one-page PDF whose content stream is deflated
+    val content = "BT\n/F1 10 Tf\n50 792 Td\n0 -14 Td\n(compressed line) Tj\nET\n"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new Array[Byte](4096)
+    val n = deflater.deflate(buf); deflater.end()
+    val comp = new String(buf.take(n), "ISO-8859-1")
+    val pdf = "%PDF-1.4\n" +
+      s"1 0 obj\n<< /Length $n /Filter /FlateDecode >>\nstream\n$comp\nendstream\nendobj\n" +
+      "%%EOF\n"
+    val out = graft.sources.PdfSource.extractLines(pdf.getBytes("ISO-8859-1"))
+    assert(out === Seq((1, 1, "compressed line")))
+  }
+
   test("K8 table report: golden artifact — title, header, capped ordered " +
        "rows, null cells rendered empty") {
     import spark.implicits._
