@@ -161,10 +161,16 @@ class PlanShapeSpec extends SparkTestBase {
       "vec_id", "embedding", col("vec_id") % 100 === 0, k = 3)
     val plan = executedPlan(df)
     // windows are allowed only on the QUERY side (partition by qid);
-    // corpus assignment must be the max_by aggregate
-    assert(plan.contains("max_by") || plan.contains("MaxBy") ||
-           "HashAggregate".r.findAllIn(plan).length >= 2,
+    // corpus assignment must be the min_by/max_by aggregate (struct-ordered
+    // min_by plans as SortAggregate — still an aggregate, not a window)
+    assert(plan.contains("min_by") || plan.contains("max_by") ||
+           plan.contains("MinBy") || plan.contains("MaxBy"),
            s"assignment must aggregate, not window:\n$plan")
+    // and the aggregation must stay PARTIAL (map-side combine): the
+    // exchange carries one partial extremum per vector, never the full
+    // n x centroids product
+    assert(plan.contains("partial_min_by") || plan.contains("partial_max_by"),
+           s"assignment aggregate lost its map-side partial:\n$plan")
     assert(!plan.toLowerCase.contains("window partitionby vid"),
            s"no per-corpus-vector window:\n$plan")
   }
