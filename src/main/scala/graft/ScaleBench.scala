@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * materializes 1×/3×/10× copies of the documents and embeddings tables to
   * parquet and times the dedup / LSH / prefix-sum operator families at each
   * scale. Copies are content-DISJOINT by construction — every token gets a
-  * per-copy prefix and every embedding is circularly shifted — so the
-  * candidate-pair structure per copy matches the base corpus and a linear
-  * runtime curve means linear scaling (no cross-copy near-dup inflation
-  * quadratically distorting the workload).
+  * per-copy prefix and every embedding a per-copy deterministic ±1 sign
+  * pattern — so the candidate-pair structure per copy matches the base
+  * corpus. (The clustered synthetic embeddings still produce genuine
+  * cross-copy cosine pairs under ANY norm-preserving transform; see
+  * SCALE.md for the measured curves and the log2(n) signature-bits law.)
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleBench
   */

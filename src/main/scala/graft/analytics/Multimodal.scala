@@ -133,7 +133,10 @@ object Multimodal {
     else try {
       javax.imageio.ImageIO.setUseCache(false)
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data)))
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO plugins throw
+      // CMMException / ArrayIndexOutOfBounds / IllegalArgument on corrupt
+      // payloads — all must take the undecodable path, not kill the job
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic nearest-neighbor scale: out(x, y) = in(x*wIn/wOut,
     * y*hIn/hOut), integer floor — the one resampling rule every engine

@@ -94,8 +94,13 @@ object Similarity {
       .groupBy($"vid")
       // argmax tie-break = highest csim then LOWEST cid, encoded as min of
       // (-csim, cid) — negating the SIMILARITY (always numeric) instead of
-      // the id keeps the rule valid for string/any-typed ids
-      .agg(min_by($"cid", struct((-$"csim").as("nc"), $"cid")).as("cid"),
+      // the id keeps the rule valid for string/any-typed ids. A NULL csim
+      // (degenerate zero-norm/corrupt centroid) must LOSE the argmin, but
+      // a null struct field sorts FIRST under min ordering — coalesce it
+      // to +inf so degenerate centroids never capture the corpus
+      .agg(min_by($"cid",
+             struct(coalesce(-$"csim", lit(Double.PositiveInfinity)).as("nc"),
+                    $"cid")).as("cid"),
            first($"v").as("v"))
       // the pair stage scores O(B²/2) pairs per bucket: precompute each
       // vector's norm ONCE here instead of re-walking both arrays inside
@@ -179,8 +184,13 @@ object Similarity {
     // O(pairs) scoring stage walks two arrays once (dot) instead of three
     // times — identical IEEE doubles to the fused cosine kernel.
     val v0 = lshVectors(emb, idCol, vecCol)
-    val dim = v0.select(size(col("v"))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(0)
+    // corpus dimension = the MAJORITY vector length (deterministic; ties
+    // break to the smaller dim). Sampling one arbitrary row would let a
+    // single corrupt off-dimension vector that happens to be scanned first
+    // silently define the dim and drop the entire real corpus.
+    val dim = v0.groupBy(size(col("v")).as("d")).count()
+      .orderBy(col("count").desc, col("d"))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     // uniform dimension is the contract: a vector whose length differs from
     // the corpus dim would null-dot against every hyperplane, so all its
     // sig bits silently read 0 and every such vector collapses into one
@@ -231,11 +241,14 @@ object Similarity {
     // row_number window: the window would SHUFFLE n×|centroids| rows; here
     // the shuffle carries one partial min per vector. Tie-break = highest
     // csim then LOWEST cid, encoded as min of (-csim, cid) — negating the
-    // similarity, not the id, so string ids work too.
+    // similarity, not the id, so string ids work too. NULL csim (degenerate
+    // centroid) coalesces to +inf so it loses instead of winning the min.
     val assigned = v.join(broadcast(cents), lit(true))
       .withColumn("csim", round(cosine($"v", $"cv"), 6))
       .groupBy($"vid")
-      .agg(min_by($"cid", struct((-$"csim").as("nc"), $"cid")).as("cid"),
+      .agg(min_by($"cid",
+             struct(coalesce(-$"csim", lit(Double.PositiveInfinity)).as("nc"),
+                    $"cid")).as("cid"),
            first($"v").as("v"))
 
     // queries probe their nprobe nearest centroids

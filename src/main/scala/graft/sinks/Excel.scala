@@ -216,7 +216,9 @@ object Excel {
           // index try_casts to null and falls through to a null value.
           .when(tCol === "s",
             try_element_at(sstMap,
-              vCol.try_cast("double").cast("long").cast("string")))
+              // both casts must be try_: "NaN"/"1e300" survive the double
+              // parse but overflow the long cast, which throws under ANSI
+              vCol.try_cast("double").try_cast("long").cast("string")))
           .otherwise(vCol).as("value"))
 
     // header: row 1 (tiny) -> column index -> name

@@ -22,9 +22,13 @@ object PdfSink {
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
       .replace("\r", " ").replace("\n", " ")
 
-  /** Write `lines` as a paginated text PDF. */
+  /** Write `lines` as a paginated text PDF. Text starts at y=778 with a
+    * 14pt leading on an 842pt page, so at most 55 lines stay inside the
+    * MediaBox — the default keeps every line visible in a real viewer. */
   def writeTextPdf(lines: Seq[String], path: String,
-                   linesPerPage: Int = 60): Unit = {
+                   linesPerPage: Int = 55): Unit = {
+    require(linesPerPage <= 55,
+      s"linesPerPage $linesPerPage would render below the MediaBox (max 55)")
     require(linesPerPage >= 1, "linesPerPage must be >= 1")
     val pages = if (lines.isEmpty) Seq(Seq.empty[String])
                 else lines.grouped(linesPerPage).toSeq
@@ -78,7 +82,7 @@ object PdfSink {
     * content (title, header, first-50 rows) through [[writeTextPdf]]. */
   def writeTableReportPdf(df: org.apache.spark.sql.DataFrame,
                           orderCol: String, title: String, path: String,
-                          maxRows: Int = 50, linesPerPage: Int = 60): Unit = {
+                          maxRows: Int = 50, linesPerPage: Int = 55): Unit = {
     val lines = Reports.tableReportLines(df, orderCol, title, maxRows)
       .orderBy("line_no").select("line").collect().map(_.getString(0)).toSeq
     writeTextPdf(lines, path, linesPerPage)

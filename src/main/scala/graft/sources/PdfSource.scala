@@ -58,10 +58,79 @@ object PdfSource {
     finally inf.end()
   }
 
+  private val LengthRe = java.util.regex.Pattern.compile("""/Length\s+(\d+)""")
+
+  /** A direct `/Length N` value, or None when absent or an indirect
+    * reference (`/Length N G R` — the number is an object id, not a
+    * length; a regex lookahead would backtrack into a wrong partial
+    * match, so the reference check is explicit). */
+  private def directLength(dict: String): Option[Int] = {
+    val m = LengthRe.matcher(dict)
+    if (!m.find()) None
+    else {
+      var j = m.end()
+      while (j < dict.length && Character.isWhitespace(dict.charAt(j))) j += 1
+      val gStart = j
+      while (j < dict.length && Character.isDigit(dict.charAt(j))) j += 1
+      val hasGen = j > gStart
+      while (j < dict.length && Character.isWhitespace(dict.charAt(j))) j += 1
+      val indirect = hasGen && j < dict.length && dict.charAt(j) == 'R'
+      if (indirect) None else scala.util.Try(m.group(1).toInt).toOption
+    }
+  }
+
+  /** Tj-shown strings from one decoded content stream, via a
+    * string-literal-aware scan: `BT`/`ET`/`endstream`-looking bytes INSIDE
+    * a `(...)` literal never terminate anything (a report cell containing
+    * "MARKET" has the bytes "ET" in it). Literals handle `\`-escapes and
+    * balanced nested parens per spec. Returns None when the stream has no
+    * `BT` text block at all. */
+  private def textLines(s: String): Option[Seq[String]] = {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var hasBT = false
+    var inText = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < n) { sb.append(ch).append(s.charAt(i + 1)); i += 2 }
+          else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        var j = i
+        while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+        if (inText && s.startsWith("Tj", j)) {
+          // UTF-8 bytes were written raw; decode them back
+          lines += new String(
+            unescape(sb.toString).getBytes(StandardCharsets.ISO_8859_1),
+            StandardCharsets.UTF_8)
+          i = j + 2
+        }
+      } else if (c == 'B' && s.startsWith("BT", i) &&
+                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
+        hasBT = true; inText = true; i += 2
+      } else if (c == 'E' && s.startsWith("ET", i) &&
+                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
+        inText = false; i += 2
+      } else i += 1
+    }
+    if (hasBT) Some(lines.toSeq) else None
+  }
+
   /** Extract text lines from raw PDF bytes as (page, line_no, text).
     * "Page" is the 1-based index of the text-bearing content stream —
     * exact for PDFs with one content stream per page (the common report
-    * layout and everything [[graft.sinks.PdfSink]] writes). */
+    * layout and everything [[graft.sinks.PdfSink]] writes). Stream bounds
+    * come from the dict's direct `/Length` when present (so payload bytes
+    * that happen to spell "endstream" can't truncate the stream); the
+    * keyword scan is the fallback for indirect-length PDFs. */
   def extractLines(data: Array[Byte]): Seq[(Int, Int, String)] = {
     // ISO-8859-1 maps bytes 1:1 to chars, so offsets in the string match
     // byte offsets and stream payloads survive the round-trip
@@ -76,48 +145,37 @@ object PdfSource {
       if (isStart) {
         val contentStart = if (raw.startsWith("stream\r\n", i)) afterKw + 2
                            else afterKw + 1
-        val end = raw.indexOf("endstream", contentStart)
+        // the dict immediately before the keyword declares filter + length
+        val dictStart = math.max(0, raw.lastIndexOf("<<", i))
+        val dict = raw.substring(dictStart, i)
+        val declared = directLength(dict)
+        val end = declared match {
+          case Some(len) if contentStart + len <= raw.length =>
+            contentStart + len
+          case _ => raw.indexOf("endstream", contentStart)
+        }
         if (end < 0) { i = afterKw }
         else {
-          // the dict immediately before the keyword declares the filter
-          val dictStart = math.max(0, raw.lastIndexOf("<<", i))
-          val dict = raw.substring(dictStart, i)
           var payload = raw.substring(contentStart, end)
-            .stripSuffix("\n").stripSuffix("\r")
+          if (declared.isEmpty)
+            payload = payload.stripSuffix("\n").stripSuffix("\r")
           if (dict.contains("/FlateDecode")) {
             val bytes = payload.getBytes(StandardCharsets.ISO_8859_1)
             payload = new String(inflate(bytes), StandardCharsets.ISO_8859_1)
           }
           streams += payload
-          i = end + "endstream".length
+          val es = raw.indexOf("endstream", end)
+          i = if (es < 0) raw.length else es + "endstream".length
         }
       } else i = afterKw
     }
-    val tj = java.util.regex.Pattern.compile(
-      """\(((?:[^()\\]|\\.)*)\)\s*Tj""")
     var page = 0
     streams.flatMap { s =>
-      if (!s.contains("BT")) Nil
-      else {
-        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-        var from = 0
-        while ({ val bt = s.indexOf("BT", from); bt >= 0 && {
-          val et = s.indexOf("ET", bt + 2)
-          val block = if (et < 0) s.substring(bt) else s.substring(bt, et)
-          val m = tj.matcher(block)
-          while (m.find()) {
-            // UTF-8 bytes were written raw; decode them back
-            lines += new String(
-              unescape(m.group(1)).getBytes(StandardCharsets.ISO_8859_1),
-              StandardCharsets.UTF_8)
-          }
-          from = if (et < 0) s.length else et + 2
-          true } }) ()
-        if (lines.isEmpty) Nil
-        else {
+      textLines(s) match {
+        case Some(lines) if lines.nonEmpty =>
           page += 1
           lines.zipWithIndex.map { case (t, ln) => (page, ln + 1, t) }
-        }
+        case _ => Nil
       }
     }.toSeq
   }

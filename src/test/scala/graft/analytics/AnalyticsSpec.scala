@@ -243,6 +243,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.contains(("dup-a", "dup-b")))
   }
 
+  test("a degenerate zero-norm CENTROID loses every assignment (null " +
+       "csim coalesces to +inf in the min_by ordering)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // an id inside the ~1/50 stride-50 hash window -> guaranteed centroid
+    val zeroId = (1000L to 20000L).find(i => md5hex(i.toString) < "05").get
+    val emb = ((0L to 19L).map(i =>
+        (i, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat))) :+
+      (zeroId, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    // without the coalesce, every vector min_by-assigns to the zero
+    // centroid (null sorts first), probes never reach it, and top-k is
+    // EMPTY; with it, results match brute force over the real vectors
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 4, k = 3, centroidStride = 1, nprobe = 30)
+      .select("rn", "neighbor_id").collect().toSeq
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 4, k = 3).select("rn", "neighbor_id")
+      .collect().toSeq
+    assert(ivf.nonEmpty && ivf === bf)
+  }
+
   test("hyperplane signs are deterministic ±1") {
     val a = Similarity.hyperplaneSigns(4, 8)
     val b = Similarity.hyperplaneSigns(4, 8)
@@ -279,11 +303,12 @@ class SimilaritySpec extends SparkTestBase {
     import spark.implicits._
     val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
     val short = Array.tabulate(8)(i => math.cos(i * 0.4).toFloat)
-    // 0/1: clones at the corpus dim; 90/91: clones at a DIFFERENT dim —
-    // without the guard their null dots make every sig bit 0 and they
-    // pair up in the shared degenerate bucket
+    // 0/1/2: the MAJORITY dim (with clones 0/1); 90/91: clones at a
+    // DIFFERENT dim — without the guard their null dots make every sig
+    // bit 0 and they pair up in the shared degenerate bucket
     val emb = Seq(
       (0L, base), (1L, base.map(x => x * 1.01f)),
+      (2L, base.map(x => -x)),
       (90L, short), (91L, short.map(x => x * 1.01f)))
       .toDF("vec_id", "embedding")
     val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
