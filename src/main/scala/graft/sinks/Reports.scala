@@ -23,9 +23,12 @@ object Reports {
   /** The report contents as (line_no, line) rows: 0 = title, 1 = header,
     * 2.. = the first `maxRows` rows of `df` ordered by `orderCol`, cells
     * joined " | " with nulls rendered '' (the reference's
-    * `row.get(header, '')`). The `limit` runs BEFORE the only global
-    * window, so the window sorts `maxRows` rows, never the corpus — the
-    * same tiny-cap shape as T3/T4. */
+    * `row.get(header, '')`). Ties on `orderCol` break on the rendered
+    * line itself, so both the cap cut and the numbering are deterministic
+    * for ANY input — a bare orderBy(orderCol) would pick and order tied
+    * rows arbitrarily. The `limit` runs BEFORE the only global window, so
+    * the window sorts `maxRows` rows, never the corpus — the same
+    * tiny-cap shape as T3/T4. */
   def tableReportLines(df: DataFrame, orderCol: String, title: String,
                        maxRows: Int = 50): DataFrame = {
     val spark = df.sparkSession
@@ -33,11 +36,13 @@ object Reports {
     val cols = df.columns.toSeq
     val cells = cols.map(n =>
       coalesce(col("`" + n + "`").cast("string"), lit("")))
-    val limited = df.orderBy(col(orderCol)).limit(maxRows)
+    val rendered = df.select(col("`" + orderCol + "`").as("_ord"),
+                             concat_ws(" | ", cells: _*).as("line"))
+    val limited = rendered.orderBy($"_ord", $"line").limit(maxRows)
     val body = limited.select(
-      (row_number().over(Window.orderBy(col(orderCol))) + 1).cast("long")
+      (row_number().over(Window.orderBy($"_ord", $"line")) + 1).cast("long")
         .as("line_no"),
-      concat_ws(" | ", cells: _*).as("line"))
+      $"line")
     Seq((0L, s"Отчет: $title"), (1L, cols.mkString(" | ")))
       .toDF("line_no", "line")
       .unionByName(body)

@@ -327,6 +327,32 @@ class ConvertersSpec extends SparkTestBase {
     assert(rows.map(_.getString(3)).toSeq === lines)
   }
 
+  test("S8 regression: cell text containing 'ET' / 'BT' / 'endstream' " +
+       "bytes survives the round-trip (literal-aware scan)") {
+    val lines = Seq(
+      "MARKET SEGMENT",        // contains the bytes "ET"
+      "endstream inside text", // contains the stream terminator keyword
+      "BT operator lookalike",
+      "after (all) of them")
+    val path = tmp("nasty.pdf")
+    graft.sinks.PdfSink.writeTextPdf(lines, path)
+    val out = graft.sources.PdfSource
+      .extractLines(Files.readAllBytes(Paths.get(path)))
+    assert(out.map(_._3) === lines)
+  }
+
+  test("K8 report is deterministic under orderCol ties (cap cut and " +
+       "numbering tie-break on the rendered line)") {
+    import spark.implicits._
+    // every row shares the same key; only the line content distinguishes
+    val df = Seq((1L, "c"), (1L, "a"), (1L, "b"), (1L, "d"))
+      .toDF("k", "v")
+    val out = graft.sinks.Reports
+      .tableReportLines(df, "k", "ties", maxRows = 3)
+      .orderBy("line_no").collect().map(_.getString(1)).toSeq
+    assert(out === Seq("Отчет: ties", "k | v", "1 | a", "1 | b", "1 | c"))
+  }
+
   test("S8 extracts FlateDecode content streams (inflate path)") {
     // hand-build a one-page PDF whose content stream is deflated
     val content = "BT\n/F1 10 Tf\n50 792 Td\n0 -14 Td\n(compressed line) Tj\nET\n"
