@@ -286,6 +286,105 @@ object Multimodal {
     }
   }
 
+  /** Uncompressed PCM WAV of deterministic bytes: 44-byte canonical
+    * header + payload byte j = (docId + j) % 256. Rate/channels/length
+    * are exact integer functions of docId so a SQL oracle recomputes
+    * everything [[audioMeta]] must report. */
+  private[analytics] def syntheticWav(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val ch = 1 + (docId % 2).toInt
+    val nSamples = 100 + (docId % 50).toInt
+    val dataSize = nSamples * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(ch.toShort)
+      .putInt(rate).putInt(rate * ch * 2).putShort((ch * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var j = 0
+    while (j < dataSize) { buf.put(((docId + j) % 256).toByte); j += 1 }
+    buf.array()
+  }
+
+  /** Synthetic audio blobs for the WAV gate (partition-wise generation,
+    * mirroring [[syntheticImageBlobs]]). */
+  def syntheticWavBlobs(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map(id => MediaBlob(id, "audio/wav", syntheticWav(id)))
+    }
+  }
+
+  /** REAL audio metadata via [[WavHeaders]]: sample rate, channels, bit
+    * depth, sample count, and exact integer duration. Non-WAV payloads
+    * are dropped (compressed codecs need libraries this environment
+    * doesn't ship — the documented remaining stub). */
+  def audioMeta(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        WavHeaders.parse(b.data).map { m =>
+          (b.doc_id, "audio/wav", b.data.length.toLong, m.sampleRate,
+           m.channels, m.bitsPerSample, m.nSamples,
+           m.nSamples * 1000L / m.sampleRate)
+        }
+      }
+    }.toDF("doc_id", "media_type", "n_bytes", "sample_rate", "channels",
+           "bits_per_sample", "n_samples", "duration_ms")
+  }
+
+  /** Minimal deterministic MP4 skeleton: `ftyp` + `moov(mvhd v0)` with
+    * formula-derived timescale/duration — enough container structure for
+    * any ISO-BMFF metadata parser. */
+  private[analytics] def syntheticMp4(docId: Long): Array[Byte] = {
+    val timescale = 1000 * ((docId % 3).toInt + 1)
+    val duration = 500 + (docId % 100).toInt
+    val buf = java.nio.ByteBuffer.allocate(16 + 116) // big-endian default
+    buf.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    buf.putInt(116).put("moov".getBytes)
+    buf.putInt(108).put("mvhd".getBytes)
+    buf.putInt(0)                 // version 0 + flags
+      .putInt(0).putInt(0)        // creation, modification
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000)         // rate 1.0
+      .putShort(0x0100.toShort)   // volume 1.0
+      .putShort(0).putInt(0).putInt(0) // reserved
+    for (m <- Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+      buf.putInt(m)               // unity matrix
+    for (_ <- 0 until 6) buf.putInt(0) // pre_defined
+    buf.putInt(2)                 // next_track_id
+    buf.array()
+  }
+
+  /** Synthetic video blobs for the MP4 gate. */
+  def syntheticMp4Blobs(docs: DataFrame, idCol: String): Dataset[MediaBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map(id => MediaBlob(id, "video/mp4", syntheticMp4(id)))
+    }
+  }
+
+  /** REAL video container metadata via [[Mp4Headers]]: timescale,
+    * duration units, exact integer duration. Non-BMFF payloads dropped
+    * (frame decode needs codecs — the documented remaining stub). */
+  def videoMeta(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        Mp4Headers.parse(b.data).map { m =>
+          (b.doc_id, "video/mp4", b.data.length.toLong,
+           m.timescale, m.durationUnits, m.durationMs)
+        }
+      }
+    }.toDF("doc_id", "media_type", "n_bytes", "timescale",
+           "duration_units", "duration_ms")
+  }
+
   /** The decode gate: REAL ImageIO decode of each payload, deterministic
     * nearest-neighbor resize to (outW, outH), and an exact position-weighted
     * raster checksum — sum over out pixels of (y*outW + x + 1) * rgb24.
@@ -343,6 +442,101 @@ object Multimodal {
       .withColumn("frame_key",
         md5(concat($"doc_id".cast("string"), lit("|"),
                    $"frame_idx".cast("string"))))
+  }
+}
+
+/** WAV (RIFF/WAVE) header parser — REAL audio metadata from pure byte
+  * inspection, the audio analogue of [[ImageHeaders]]: walk the RIFF chunk
+  * list to `fmt ` (PCM layout) and `data`, derive sample count from the
+  * data size. Compressed codecs (mp3/aac/ogg) remain out of scope — they
+  * need real codec libraries this environment doesn't ship. */
+object WavHeaders {
+
+  final case class WavMeta(sampleRate: Int, channels: Int,
+                           bitsPerSample: Int, nSamples: Long)
+
+  private def le32(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+  private def le16(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+
+  def parse(d: Array[Byte]): Option[WavMeta] = {
+    if (d == null || d.length < 44 ||
+        d(0) != 'R' || d(1) != 'I' || d(2) != 'F' || d(3) != 'F' ||
+        d(8) != 'W' || d(9) != 'A' || d(10) != 'V' || d(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataSize = -1L
+    while (i + 8 <= d.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(d, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 24 <= d.length) {
+        val audioFormat = le16(d, i + 8)
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((le16(d, i + 10), le32(d, i + 12), le16(d, i + 22)))
+      } else if (id == "data") {
+        dataSize = math.min(size, (d.length - i - 8).toLong)
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size % 2).toInt
+    }
+    fmt.collect {
+      case (ch, rate, bits)
+          if dataSize >= 0 && ch > 0 && bits > 0 && rate > 0 =>
+        WavMeta(rate, ch, bits, dataSize / (ch.toLong * (bits / 8)))
+    }
+  }
+}
+
+/** MP4/ISO-BMFF box parser — REAL video metadata from pure byte
+  * inspection: walk top-level boxes to `moov`, then its `mvhd` child, and
+  * read timescale + duration (version 0 and 1 layouts). Frame decode
+  * stays out of scope (needs real codecs); the container metadata a
+  * training pipeline partitions on — duration — is exact. */
+object Mp4Headers {
+
+  final case class Mp4Meta(timescale: Long, durationUnits: Long) {
+    def durationMs: Long =
+      if (timescale == 0) 0L else durationUnits * 1000L / timescale
+  }
+
+  private def be32(d: Array[Byte], o: Int): Long =
+    ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+      ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+  private def be64(d: Array[Byte], o: Int): Long =
+    (be32(d, o) << 32) | be32(d, o + 4)
+
+  private def findBox(d: Array[Byte], from: Int, until: Int,
+                      name: String): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= until) {
+      val size = be32(d, i)
+      val id = new String(d, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (size < 8) return None // size-0 "rest of file" / 64-bit unsupported
+      val end = math.min(until.toLong, i + size).toInt
+      if (id == name) return Some((i + 8, end))
+      i = end
+    }
+    None
+  }
+
+  def parse(d: Array[Byte]): Option[Mp4Meta] = {
+    if (d == null || d.length < 16) return None
+    // an ISO-BMFF file leads with a well-formed box, normally ftyp
+    val lead = new String(d, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (!Set("ftyp", "moov", "styp", "free").contains(lead)) return None
+    for {
+      (ms, me) <- findBox(d, 0, d.length, "moov")
+      (hs, he) <- findBox(d, ms, me, "mvhd")
+      if he - hs >= 20
+    } yield {
+      val version = d(hs) & 0xff
+      if (version == 1 && he - hs >= 32)
+        Mp4Meta(be32(d, hs + 20), be64(d, hs + 24))
+      else
+        Mp4Meta(be32(d, hs + 12), be32(d, hs + 16))
+    }
   }
 }
 

@@ -665,6 +665,41 @@ object AnalyticsQueries {
             Multimodal.syntheticImageBlobs(
               Tables(s, dir, "documents"), "doc_id"),
             outW = 8, outH = 8)
+          .orderBy("doc_id")),
+
+    // ----- REAL audio metadata: RIFF/WAVE header parse -----
+    Q("q71_audio_meta",
+      "real WAV (RIFF) header parse of synthetic per-doc PCM audio: " +
+        "sample rate, channels, bit depth, sample count, exact duration — " +
+        "the oracle recomputes all of it from the generative formula",
+      Some("""SELECT doc_id,
+             |       'audio/wav' AS media_type,
+             |       CAST(44 + (100 + doc_id % 50) * (1 + doc_id % 2) * 2 AS BIGINT) AS n_bytes,
+             |       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             |       CAST(1 + doc_id % 2 AS INT) AS channels,
+             |       CAST(16 AS INT) AS bits_per_sample,
+             |       CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+             |       CAST((100 + doc_id % 50) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.audioMeta(
+            Multimodal.syntheticWavBlobs(Tables(s, dir, "documents"), "doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- REAL video container metadata: MP4 moov/mvhd parse -----
+    Q("q72_video_meta",
+      "real ISO-BMFF box walk of synthetic per-doc MP4 skeletons: " +
+        "timescale, duration units, exact integer duration from mvhd",
+      Some("""SELECT doc_id,
+             |       'video/mp4' AS media_type,
+             |       CAST(132 AS BIGINT) AS n_bytes,
+             |       CAST(1000 * (doc_id % 3 + 1) AS BIGINT) AS timescale,
+             |       CAST(500 + doc_id % 100 AS BIGINT) AS duration_units,
+             |       CAST((500 + doc_id % 100) * 1000 // (1000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.videoMeta(
+            Multimodal.syntheticMp4Blobs(Tables(s, dir, "documents"), "doc_id"))
           .orderBy("doc_id"))
   )
 

@@ -600,6 +600,79 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Multimodal.convertImages(blobs, "webp") }
   }
 
+  test("WavHeaders parses the canonical PCM layout, skips odd-sized " +
+       "chunks with their pad byte, and rejects non-PCM/garbage") {
+    val wav = Multimodal.syntheticWav(7L) // rate 20000, 2ch, 107 samples
+    val m = WavHeaders.parse(wav).get
+    assert(m === WavHeaders.WavMeta(20000, 2, 16, 107L))
+    // a LIST chunk with an ODD size before fmt/data: the word-aligned
+    // walk must skip its pad byte to stay on chunk boundaries
+    val extra = java.nio.ByteBuffer
+      .allocate(wav.length + 8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 12)
+    extra.put("LIST".getBytes).putInt(3).put("abc".getBytes).put(0.toByte)
+    extra.put(wav, 12, wav.length - 12)
+    assert(WavHeaders.parse(extra.array()).contains(
+      WavHeaders.WavMeta(20000, 2, 16, 107L)))
+    assert(WavHeaders.parse("RIFFxxxxWAVE".getBytes) === None) // no chunks
+    assert(WavHeaders.parse("not audio at all".getBytes) === None)
+    // non-PCM format code rejected
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float
+    assert(WavHeaders.parse(nonPcm) === None)
+  }
+
+  test("audioMeta flows through the distributed path and drops non-WAV") {
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "audio/wav", Multimodal.syntheticWav(1L)),
+      Multimodal.MediaBlob(2L, "audio/wav", "not a wav".getBytes)).toDS()
+    val out = Multimodal.audioMeta(blobs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Int]("sample_rate") === 12000)
+    assert(out.head.getAs[Int]("channels") === 2)
+    assert(out.head.getAs[Long]("n_samples") === 101L)
+    assert(out.head.getAs[Long]("duration_ms") === 101L * 1000 / 12000)
+  }
+
+  test("Mp4Headers walks boxes to mvhd (v0 and v1), skips leading boxes, " +
+       "rejects garbage") {
+    val mp4 = Multimodal.syntheticMp4(5L) // timescale 3000, duration 505
+    assert(Mp4Headers.parse(mp4).contains(Mp4Headers.Mp4Meta(3000L, 505L)))
+    assert(Mp4Headers.parse(mp4).get.durationMs === 505L * 1000 / 3000)
+    // a free box between ftyp and moov must be skipped
+    val withFree = java.nio.ByteBuffer.allocate(mp4.length + 12)
+    withFree.put(mp4, 0, 16)
+    withFree.putInt(12).put("free".getBytes).putInt(0)
+    withFree.put(mp4, 16, mp4.length - 16)
+    assert(Mp4Headers.parse(withFree.array())
+      .contains(Mp4Headers.Mp4Meta(3000L, 505L)))
+    // mvhd version 1: timescale BE32 at +20, duration BE64 at +24
+    val v1 = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 40)
+    v1.put(mp4, 0, 16)
+    v1.putInt(56).put("moov".getBytes)
+    v1.putInt(48).put("mvhd".getBytes)
+    v1.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1
+    v1.putLong(0L).putLong(0L)                 // creation, modification
+    v1.putInt(90000).putLong(123456789L)
+    assert(Mp4Headers.parse(v1.array())
+      .contains(Mp4Headers.Mp4Meta(90000L, 123456789L)))
+    assert(Mp4Headers.parse("definitely not a video".getBytes) === None)
+    assert(Mp4Headers.parse(Multimodal.syntheticWav(1L)) === None)
+  }
+
+  test("videoMeta flows through the distributed path and drops non-MP4") {
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "video/mp4", Multimodal.syntheticMp4(1L)),
+      Multimodal.MediaBlob(2L, "video/mp4", "junk".getBytes)).toDS()
+    val out = Multimodal.videoMeta(blobs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("timescale") === 2000L)
+    assert(out.head.getAs[Long]("duration_units") === 501L)
+    assert(out.head.getAs[Long]("duration_ms") === 501L * 1000 / 2000)
+  }
+
   test("sampleFrames: k evenly-spread distinct-ordinal rows, capped at " +
        "n_frames, md5 lineage keys") {
     import spark.implicits._
