@@ -700,7 +700,29 @@ object AnalyticsQueries {
       (s, dir) =>
         Multimodal.videoMeta(
             Multimodal.syntheticMp4Blobs(Tables(s, dir, "documents"), "doc_id"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- Unicode NFC normalization (native codegen kernel) -----
+    Q("q73_nfc_normalize",
+      "NFC text normalization via the native codegen kernel (the C4/CCNet " +
+        "pre-tokenization step; a decomposed e+combining-acute prefix is " +
+        "injected so the normalization is actually exercised)",
+      Some("""SELECT doc_id,
+             |       nfc_normalize('Cafe' || chr(769) || ' | ' || text) AS norm_text,
+             |       CAST(length('Cafe' || chr(769) || ' | ' || text) AS BIGINT) AS n_before,
+             |       CAST(length(nfc_normalize('Cafe' || chr(769) || ' | ' || text)) AS BIGINT) AS n_after
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.NfcNormalize.nfc
+        val raw = concat(lit("Cafe\u0301 | "), $"text")
+        Tables(s, dir, "documents").select(
+          $"doc_id",
+          nfc(raw).as("norm_text"),
+          length(raw).cast("long").as("n_before"),
+          length(nfc(raw)).cast("long").as("n_after"))
+          .orderBy("doc_id")
+      })
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
