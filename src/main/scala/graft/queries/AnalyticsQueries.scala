@@ -722,7 +722,38 @@ object AnalyticsQueries {
           length(raw).cast("long").as("n_before"),
           length(nfc(raw)).cast("long").as("n_after"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- int8 embedding quantization (map-side, exact integer norms) -----
+    Q("q74_embedding_quantize",
+      "symmetric per-vector int8 quantization (scale = max|v|/127, " +
+        "floor(x+0.5) rounding — identical IEEE ops in any engine): " +
+        "scale + exact integer L1/L2² of the quantized vector",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+             |  FROM embeddings),
+             | s AS (
+             |  SELECT vec_id, vv,
+             |         list_max(list_transform(vv, x -> abs(x))) / 127 AS scale
+             |  FROM v),
+             | q AS (
+             |  SELECT vec_id, scale,
+             |         list_transform(vv, x ->
+             |           CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS BIGINT)) AS qq
+             |  FROM s WHERE scale IS NOT NULL AND scale > 0)
+             |SELECT vec_id,
+             |       round(scale, 6) AS qscale,
+             |       CAST(list_aggregate(list_transform(qq, x -> abs(x)), 'sum') AS BIGINT) AS q_l1,
+             |       CAST(list_aggregate(list_transform(qq, x -> x * x), 'sum') AS BIGINT) AS q_l2sq
+             |FROM q
+             |UNION ALL
+             |SELECT vec_id, 0.0 AS qscale, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |FROM s WHERE scale IS NULL OR scale <= 0
+             |ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Quantize.int8Summary(
+            Tables(s, dir, "embeddings"), "vec_id", "embedding")
+          .orderBy("vec_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

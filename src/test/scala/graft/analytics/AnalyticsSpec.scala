@@ -267,6 +267,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.nonEmpty && ivf === bf)
   }
 
+  test("int8 quantization: max element hits ±127, zero vector degrades " +
+       "to zeros, dequantized cosine stays close to the original") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-2.0f, 1.0f, 0.5f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val qv = graft.analytics.Quantize
+      .int8Vectors(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(qv(0).getSeq[Byte](2) === Seq[Byte](127, -63, 32, 0))
+    assert(qv(1).getSeq[Byte](2) === Seq[Byte](0, 0, 0, 0))
+    assert(qv(2).getSeq[Byte](2) === Seq[Byte](-127, 64, 32, -16))
+    val sum = graft.analytics.Quantize
+      .int8Summary(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(sum(0).getLong(2) === 127L + 63 + 32)       // q_l1
+    assert(sum(0).getLong(3) === 127L*127 + 63*63 + 32*32) // q_l2sq
+    assert(sum(1).getDouble(1) === 0.0 && sum(1).getLong(2) === 0L)
+    // dequantized direction stays close: cos(orig, dequant) > 0.999
+    val v = Seq(1.0, -0.5, 0.25, 0.0)
+    val deq = qv(0).getSeq[Byte](2).map(_ * qv(0).getDouble(1))
+    val cos = v.zip(deq).map(p => p._1 * p._2).sum /
+      (math.sqrt(v.map(x => x * x).sum) * math.sqrt(deq.map(x => x * x).sum))
+    assert(cos > 0.999)
+  }
+
   test("hyperplane signs are deterministic ±1") {
     val a = Similarity.hyperplaneSigns(4, 8)
     val b = Similarity.hyperplaneSigns(4, 8)

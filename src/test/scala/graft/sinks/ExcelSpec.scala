@@ -72,6 +72,46 @@ class ExcelSpec extends SparkTestBase {
     assert(r.getAs[String]("y") === "2") // NOT 'stray' from column B
   }
 
+  test("S6 shared-string indexes survive double rendering — trailing .0 " +
+       "AND scientific notation — via the numeric-cast normalization; " +
+       "malformed indexes fall through to null without throwing") {
+    val path = tmp("sst.xlsx")
+    // 13 shared strings so index 12 exists; a numeric cell in the data
+    // column makes Spark's XML inference type v as DOUBLE, so indexes
+    // arrive rendered "12.0" / "1.2E1" instead of "12"
+    val sst =
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="13" uniqueCount="13">
+        |""".stripMargin +
+      (0 to 12).map(i => s"<si><t>s$i</t></si>").mkString("\n") +
+      "\n</sst>"
+    val sheet =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>12.0</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>1.2E1</v></c></row>
+        |<row r="4"><c r="A4"><v>3.5</v></c></row>
+        |<row r="5"><c r="A5" t="s"><v>NaN</v></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+      zos.write(sst.getBytes("UTF-8")); zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      zos.write(sheet.getBytes("UTF-8")); zos.closeEntry()
+    } finally zos.close()
+    val back = Excel.readXlsx(spark, path).orderBy("h").collect()
+      .map(r => Option(r.getAs[String]("h")).orNull)
+    // 12.0 and 1.2E1 both resolve to shared string 12; 3.5 is a plain
+    // numeric cell; the NaN index yields null rather than an ANSI throw
+    assert(back.toSet === Set("s12", "3.5", null))
+    assert(back.count(_ == "s12") === 2)
+  }
+
   test("colIndex handles one- and two-letter refs") {
     assert(Excel.colIndex("A1") === 0)
     assert(Excel.colIndex("Z9") === 25)
