@@ -478,12 +478,19 @@ object WavHeaders {
       } else if (id == "data") {
         dataSize = math.min(size, (d.length - i - 8).toLong)
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size % 2).toInt
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance in
+      // LONG arithmetic: a crafted 32-bit size near 2^32 would overflow
+      // the int step into a zero/negative advance (infinite loop) or a
+      // negative offset (crash) — clamp past-the-end instead
+      val next = i.toLong + 8L + size + (size % 2)
+      if (next <= i) return None
+      i = math.min(next, d.length.toLong).toInt
     }
     fmt.collect {
+      // bits >= 8: integer bits/8 of a corrupt 1..7-bit depth would be 0
+      // and divide by zero — drop such payloads instead
       case (ch, rate, bits)
-          if dataSize >= 0 && ch > 0 && bits > 0 && rate > 0 =>
+          if dataSize >= 0 && ch > 0 && bits >= 8 && rate > 0 =>
         WavMeta(rate, ch, bits, dataSize / (ch.toLong * (bits / 8)))
     }
   }
@@ -521,22 +528,28 @@ object Mp4Headers {
     None
   }
 
+  // allowlisted lead-box ids, hoisted: parse() runs once per ROW on the
+  // distributed videoMeta path
+  private val LeadBoxes = Set("ftyp", "moov", "styp", "free")
+
   def parse(d: Array[Byte]): Option[Mp4Meta] = {
     if (d == null || d.length < 16) return None
     // an ISO-BMFF file leads with a well-formed box, normally ftyp
     val lead = new String(d, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (!Set("ftyp", "moov", "styp", "free").contains(lead)) return None
+    if (!LeadBoxes.contains(lead)) return None
     for {
       (ms, me) <- findBox(d, 0, d.length, "moov")
       (hs, he) <- findBox(d, ms, me, "mvhd")
       if he - hs >= 20
-    } yield {
-      val version = d(hs) & 0xff
-      if (version == 1 && he - hs >= 32)
-        Mp4Meta(be32(d, hs + 20), be64(d, hs + 24))
-      else
-        Mp4Meta(be32(d, hs + 12), be32(d, hs + 16))
-    }
+      version = d(hs) & 0xff
+      // a TRUNCATED v1 box must not fall through to the v0 layout — the
+      // bytes at +12/+16 are the middle of its 64-bit creation/
+      // modification fields, not timescale/duration
+      meta <- if (version == 1)
+                if (he - hs >= 32) Some(Mp4Meta(be32(d, hs + 20), be64(d, hs + 24)))
+                else None
+              else Some(Mp4Meta(be32(d, hs + 12), be32(d, hs + 16)))
+    } yield meta
   }
 }
 

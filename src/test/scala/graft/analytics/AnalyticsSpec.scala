@@ -270,10 +270,14 @@ class SimilaritySpec extends SparkTestBase {
   test("int8 quantization: max element hits ±127, zero vector degrades " +
        "to zeros, dequantized cosine stays close to the original") {
     import spark.implicits._
-    val emb = Seq(
-      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
-      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
-      (3L, Array(-2.0f, 1.0f, 0.5f, -0.25f)))
+    // boxed elements so a REAL null can appear in row 4: null and NaN
+    // elements read as 0 — Spark's null-skipping least/greatest would
+    // otherwise fabricate a +127 component
+    val emb = Seq[(Long, Seq[java.lang.Float])](
+      (1L, Seq[java.lang.Float](1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq[java.lang.Float](0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq[java.lang.Float](-2.0f, 1.0f, 0.5f, -0.25f)),
+      (4L, Seq[java.lang.Float](2.0f, null, Float.NaN, -1.0f)))
       .toDF("vec_id", "embedding")
     val qv = graft.analytics.Quantize
       .int8Vectors(emb, "vec_id", "embedding")
@@ -281,6 +285,8 @@ class SimilaritySpec extends SparkTestBase {
     assert(qv(0).getSeq[Byte](2) === Seq[Byte](127, -63, 32, 0))
     assert(qv(1).getSeq[Byte](2) === Seq[Byte](0, 0, 0, 0))
     assert(qv(2).getSeq[Byte](2) === Seq[Byte](-127, 64, 32, -16))
+    // scale from |2.0|; null/NaN dims quantize to 0, not +127
+    assert(qv(3).getSeq[Byte](2) === Seq[Byte](127, 0, 0, -63))
     val sum = graft.analytics.Quantize
       .int8Summary(emb, "vec_id", "embedding")
       .orderBy("vec_id").collect()
@@ -648,6 +654,31 @@ class MultimodalSpec extends SparkTestBase {
     // non-PCM format code rejected
     val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float
     assert(WavHeaders.parse(nonPcm) === None)
+  }
+
+  test("WavHeaders survives crafted chunk sizes: near-2^32 size (int " +
+       "overflow), sub-byte bit depth — both drop, never hang or throw") {
+    // chunk with size 0xFFFFFFF8: a naive int step would advance by 0
+    val huge = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    huge.put("JUNK".getBytes).putInt(0xFFFFFFF8)
+    assert(WavHeaders.parse(huge.array()) === None)
+    // PCM fmt declaring 4 bits/sample: bits/8 == 0 must not divide
+    val tiny = Multimodal.syntheticWav(0L).clone()
+    tiny(34) = 4; tiny(35) = 0 // bitsPerSample field
+    assert(WavHeaders.parse(tiny) === None)
+  }
+
+  test("Mp4Headers: truncated v1 mvhd drops instead of misreading the " +
+       "v0 layout out of its 64-bit timestamp fields") {
+    val v1short = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 24)
+    v1short.put(Multimodal.syntheticMp4(0L), 0, 16)
+    v1short.putInt(40).put("moov".getBytes)
+    v1short.putInt(32).put("mvhd".getBytes)
+    v1short.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1, truncated
+    v1short.putLong(7L).putLong(7L)                 // would misread as ts/dur
+    assert(Mp4Headers.parse(v1short.array()) === None)
   }
 
   test("audioMeta flows through the distributed path and drops non-WAV") {
