@@ -184,4 +184,99 @@ object TextAnalysis {
       md5(norm).as("fp"),
       substring(md5(norm), 1, 1).as("shard"))
   }
+
+  /** Per-document (doc, word) occurrence counts over [[Dedup.tokens]] — the
+    * shared base of the vocabulary/OOV/surprisal family. One explode plus
+    * one (doc, word)-keyed aggregation with map-side partials; the text
+    * column itself never shuffles (only tokens do). */
+  private def docWordCounts(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    docs.select(col(idCol).as("did"),
+        explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("did", "word").agg(count(lit(1)).as("n"))
+
+  /** Corpus vocabulary: the top-N words by corpus occurrence count, ties
+    * broken lexicographically — the vocabulary-construction step of a
+    * tokenizer/coverage pipeline. Scale shape: the word-keyed count
+    * aggregation is partial-aggregable (map-side combine), and the top-N
+    * is a bounded TakeOrdered — N rows reach the driver, never the corpus.
+    * The rank window runs over those N rows only (bounded by
+    * construction, so the single-partition WindowExec is fine). */
+  def vocabulary(docs0: DataFrame, idCol: String, textCol: String,
+                 topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val docs = Par.ensure(docs0)
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(topN)
+      .withColumn("vocab_rank",
+        row_number().over(Window.orderBy(col("c").desc, col("word")))
+          .cast("int"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the top-N corpus
+    * vocabulary — the tokenizer-coverage gate of a training pipeline
+    * (docs full of unknown tokens are dropped or routed to vocab
+    * expansion). The vocab side is bounded by N, so it broadcasts; the
+    * fact side pays one (doc, word) aggregation and one doc-keyed final
+    * aggregation. `oov_rate` is a single int/int division — bit-exact
+    * cross-engine. Docs with no tokens keep n_tokens=0 and a null rate. */
+  def oovRate(docs0: DataFrame, idCol: String, textCol: String,
+              topN: Int): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val vocab = vocabulary(docs0, idCol, textCol, topN).select(col("word"))
+      .withColumn("in_vocab", lit(1))
+    val perDoc = docWordCounts(docs, idCol, textCol)
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("did").agg(
+        sum(col("n")).as("nt"),
+        sum(when(col("in_vocab").isNotNull, col("n")).otherwise(lit(0L)))
+          .as("iv"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("nt"), lit(0L)).cast("long").as("n_tokens"),
+        (coalesce(col("nt"), lit(0L)) - coalesce(col("iv"), lit(0L)))
+          .cast("long").as("n_oov"),
+        ((coalesce(col("nt"), lit(0L)) - coalesce(col("iv"), lit(0L)))
+          .cast("double") /
+          nullif(coalesce(col("nt"), lit(0L)), lit(0L))).as("oov_rate"))
+  }
+
+  /** CCNet-style unigram-LM surprisal score: the per-document mean of
+    * −ln p(w), with p(w) the corpus MLE unigram probability c(w)/T. High
+    * scores mark rare-word-heavy documents — the perplexity-proxy quality
+    * filter of CCNet/C4-class pipelines (swap in a real LM when one is
+    * available; the plan shape is identical). Scale shape: per-(doc, word)
+    * counts partial-aggregate before their one shuffle; the corpus
+    * frequency table joins word-keyed (NOT assumed broadcastable — at
+    * web scale the vocabulary alone can exceed the broadcast budget, so
+    * this stays a shuffled equi-join that AQE may downgrade to broadcast
+    * when small); T is a one-row aggregate broadcast via crossJoin. The
+    * doc-word subtree feeds both join sides and is planned once via
+    * exchange reuse. `round(,6)` absorbs cross-engine summation-order
+    * ulps in the double sum (counts and the division itself are exact). */
+  def unigramSurprisal(docs0: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val dw = docWordCounts(docs, idCol, textCol)
+    val wf = dw.groupBy("word").agg(sum(col("n")).as("c"))
+    val tot = wf.agg(sum(col("c")).as("t"))
+    val scored = dw.join(wf, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .groupBy("did").agg(
+        sum(col("n")).as("nt"),
+        sum(col("n").cast("double") *
+          -log(col("c").cast("double") / col("t").cast("double"))).as("s"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("nt"), lit(0L)).cast("long").as("n_tokens"),
+        when(col("nt") > 0,
+          round(col("s") / col("nt").cast("double"), 6))
+          .as("avg_surprisal"))
+  }
 }

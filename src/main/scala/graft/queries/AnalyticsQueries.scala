@@ -56,6 +56,16 @@ object AnalyticsQueries {
       |   JOIN (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) b
       |     ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)""".stripMargin
 
+  /** Shared DuckDB CTE: per-(doc, word) token counts + corpus word
+    * frequencies. Mirrors TextAnalysis.docWordCounts / vocabulary exactly
+    * (same tokenizer as [[shCte]]'s `toks`). */
+  private val wCte =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+      |  FROM documents),
+      |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY doc_id, word),
+      |wf AS (SELECT word, CAST(sum(n) AS BIGINT) AS c FROM dw GROUP BY word)""".stripMargin
+
   /** Shared DuckDB CTE: embeddings as double vectors + cosine helper shape. */
   private val vCte =
     """WITH v AS (
@@ -753,7 +763,58 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Quantize.int8Summary(
             Tables(s, dir, "embeddings"), "vec_id", "embedding")
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // ----- corpus vocabulary (top-N words by frequency) -----
+    Q("q75_vocabulary",
+      "top-16 corpus vocabulary by word frequency (ties lexicographic) " +
+        "with dense rank — the tokenizer-vocabulary construction step",
+      Some(wCte + """
+             |SELECT word, c, CAST(row_number() OVER (ORDER BY c DESC, word) AS INT) AS vocab_rank
+             |FROM wf ORDER BY vocab_rank LIMIT 16""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.vocabulary(Tables(s, dir, "documents"),
+            "doc_id", "text", topN = 16)
+          .orderBy("vocab_rank")),
+
+    // ----- per-document OOV rate against the top-N vocabulary -----
+    Q("q76_oov_rate",
+      "per-doc out-of-vocabulary token rate against the top-16 corpus " +
+        "vocabulary — the tokenizer-coverage quality gate",
+      Some(wCte + """,
+             |vocab AS (SELECT word FROM wf ORDER BY c DESC, word LIMIT 16),
+             |sc AS (SELECT dw.doc_id, sum(dw.n) AS nt,
+             |              sum(CASE WHEN v.word IS NOT NULL THEN dw.n ELSE 0 END) AS iv
+             |       FROM dw LEFT JOIN vocab v USING (word) GROUP BY dw.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_tokens,
+             |       CAST(coalesce(sc.nt, 0) - coalesce(sc.iv, 0) AS BIGINT) AS n_oov,
+             |       CAST(coalesce(sc.nt, 0) - coalesce(sc.iv, 0) AS DOUBLE) / nullif(coalesce(sc.nt, 0), 0) AS oov_rate
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.oovRate(Tables(s, dir, "documents"),
+            "doc_id", "text", topN = 16)
+          .orderBy("doc_id")),
+
+    // ----- unigram-LM surprisal (CCNet-style perplexity proxy) -----
+    Q("q77_unigram_surprisal",
+      "per-doc mean unigram surprisal -ln c(w)/T over the corpus MLE LM " +
+        "— the CCNet/C4 perplexity-proxy quality score",
+      Some(wCte + """,
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM wf),
+             |sc AS (SELECT dw.doc_id, sum(dw.n) AS nt,
+             |              sum(CAST(dw.n AS DOUBLE) * -ln(CAST(wf.c AS DOUBLE) / tot.t)) AS s
+             |       FROM dw JOIN wf USING (word) CROSS JOIN tot GROUP BY dw.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(sc.nt, 0) AS BIGINT) AS n_tokens,
+             |       CASE WHEN sc.nt > 0 THEN round(sc.s / sc.nt, 6) END AS avg_surprisal
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.unigramSurprisal(Tables(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

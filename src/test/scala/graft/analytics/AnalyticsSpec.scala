@@ -427,6 +427,57 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 10L && p._3 >= 6))
     assert(!pairs.exists(_._1 == 2L))
   }
+
+  test("vocabulary: ranked by count desc then word; limit respected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana date")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "doc_id", "text", topN = 3)
+      .orderBy("vocab_rank").collect()
+    // apple=3, banana=3 (tie -> lexicographic), cherry=1/date=1 -> cherry
+    assert(out.map(r => (r.getAs[String]("word"), r.getLong(1))).toSeq ===
+      Seq(("apple", 3L), ("banana", 3L), ("cherry", 1L)))
+    assert(out.map(_.getAs[Int]("vocab_rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("oovRate: tokens outside the top-N vocab count as OOV; empty doc " +
+       "keeps zero tokens and a null rate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana zebra"), // vocab(2)=apple,banana -> 1 OOV of 4
+      (2L, "apple banana banana"),      // 0 OOV of 3
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", topN = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 1L &&
+      out(0).getDouble(3) === 0.25)
+    assert(out(1).getLong(1) === 3L && out(1).getLong(2) === 0L &&
+      out(1).getDouble(3) === 0.0)
+    assert(out(2).getLong(1) === 0L && out(2).getLong(2) === 0L &&
+      out(2).isNullAt(3))
+  }
+
+  test("unigramSurprisal: uniform corpus scores ln(V) per token; rare-word " +
+       "docs score higher than common-word docs; empty doc is null") {
+    import spark.implicits._
+    // doc1 = 4x the common word, doc2 = common + rare, doc3 empty.
+    // corpus: common c=5, rare c=1, T=6.
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rare"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val sCommon = -math.log(5.0 / 6)
+    val sRare   = -math.log(1.0 / 6)
+    assert(out(0).getLong(1) === 4L)
+    assert(math.abs(out(0).getDouble(2) - math.rint(sCommon * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) -
+      math.rint((sCommon + sRare) / 2 * 1e6) / 1e6) < 2e-6)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+    assert(out(1).getDouble(2) > out(0).getDouble(2))
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {
