@@ -139,7 +139,9 @@ class PlanShapeSpec extends SparkTestBase {
     //   q24 brute-force knn: query x broadcast corpus (the baseline op)
     //   q25 ivf:             vectors x broadcast centroid set
     //   q38 ivf near-dup:    vectors x broadcast centroid set
-    val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup")
+    //   q77 surprisal:       doc-word counts x broadcast ONE-ROW corpus total
+    val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup",
+      "q77_unigram_surprisal")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -173,5 +175,38 @@ class PlanShapeSpec extends SparkTestBase {
            s"assignment aggregate lost its map-side partial:\n$plan")
     assert(!plan.toLowerCase.contains("window partitionby vid"),
            s"no per-corpus-vector window:\n$plan")
+  }
+
+  test("oovRate joins the bounded vocab by broadcast, never sort-merge") {
+    val df = analytics.TextAnalysis.oovRate(
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", topN = 16)
+    val plan = executedPlan(df)
+    // the vocab side is bounded by topN -> must broadcast; the only
+    // sort-merge allowed is the final doc-keyed attach join
+    assert(plan.contains("BroadcastHashJoin"),
+           s"vocab join must broadcast:\n$plan")
+    // the token explode must partial-aggregate before its (did, word)
+    // exchange — the raw token stream never shuffles unaggregated
+    assert("partial".r.findAllIn(plan).length >= 1 &&
+           "HashAggregate".r.findAllIn(plan).length >= 2,
+           s"doc-word counts lost their map-side partial:\n$plan")
+  }
+
+  test("unigramSurprisal plans the doc-word subtree once (exchange reuse)" +
+       " and keeps the corpus total a broadcast") {
+    val df = analytics.TextAnalysis.unigramSurprisal(
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text")
+    val plan = executedPlan(df)
+    // dw feeds both the frequency table and the scoring join: the
+    // (did, word) exchange must be planned once and reused, not recomputed
+    // from a second scan+explode
+    assert(plan.contains("ReusedExchange"),
+           s"doc-word exchange must be reused across the wf/scoring branches:\n$plan")
+    // the one-row total joins via broadcast nested loop (tiny probe side),
+    // never a shuffled cross
+    assert(!plan.contains("CartesianProduct"),
+           s"corpus total must broadcast, not cartesian:\n$plan")
   }
 }
