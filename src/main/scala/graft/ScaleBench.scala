@@ -94,7 +94,14 @@ object ScaleBench {
             .count()),
         "q64_token_shards" -> (() =>
           analytics.Sampling.tokenBudgetShards(
-            docs, "doc_id", "text", budgetTokens = 10000L).count()))
+            docs, "doc_id", "text", budgetTokens = 10000L).count()),
+        // vocabulary grows ~linearly with copies (disjoint token spaces),
+        // so this exercises the non-broadcast word-keyed join path
+        "q77_surprisal" -> (() =>
+          analytics.TextAnalysis.unigramSurprisal(
+            docs, "doc_id", "text").count()),
+        "q78_pq_encode" -> (() =>
+          analytics.Pq.encode(emb, "vec_id", "embedding").count()))
       ops.foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"[scalebench] x$k%-5d $name%-17s $rows%8d  $sec%6.2f")

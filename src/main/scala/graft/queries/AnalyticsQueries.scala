@@ -66,6 +66,29 @@ object AnalyticsQueries {
       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY doc_id, word),
       |wf AS (SELECT word, CAST(sum(n) AS BIGINT) AS c FROM dw GROUP BY word)""".stripMargin
 
+  /** Shared DuckDB CTE chain for PQ: uniform-dim vectors, the 16-entry
+    * md5-ordered codebook, per-(vector, subspace) squared distances, and
+    * the argmin code selection. Mirrors [[graft.analytics.Pq]] exactly
+    * (8 subspaces × 8 dims over the 64-dim testdata embeddings;
+    * `list_distance²` vs the index-ordered fold agree to ulps, absorbed
+    * by the round-6 on every emitted/ranked value). */
+  private val pqCte =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      |  FROM embeddings WHERE len(embedding) = 64),
+      |cb AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, vv AS cv
+      |  FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      |dist AS (
+      |  SELECT v.vec_id, ss.s, cb.j,
+      |         pow(list_distance(v.vv[ss.s*8+1 : ss.s*8+8], cb.cv[ss.s*8+1 : ss.s*8+8]), 2) AS d2
+      |  FROM v, (SELECT unnest(range(0, 8)) AS s) ss, cb),
+      |sel AS (
+      |  SELECT vec_id, s, j, d2 FROM (
+      |    SELECT vec_id, s, j, d2,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+      |    FROM dist) WHERE rn = 1)""".stripMargin
+
   /** Shared DuckDB CTE: embeddings as double vectors + cosine helper shape. */
   private val vCte =
     """WITH v AS (
@@ -814,7 +837,45 @@ object AnalyticsQueries {
       (s, dir) =>
         TextAnalysis.unigramSurprisal(Tables(s, dir, "documents"),
             "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- product quantization: encode -----
+    Q("q78_pq_encode",
+      "PQ-encode the embedding corpus (8 subspaces x 16 deterministic " +
+        "md5-sampled codebook entries): per-vector code string + squared " +
+        "quantization error — one map-side projection, zero shuffles",
+      Some(pqCte + """
+             |SELECT vec_id,
+             |       string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes,
+             |       round(sum(d2), 6) AS qerr
+             |FROM sel GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Pq.encode(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", m = 8, k = 16)
+          .orderBy("vec_id")),
+
+    // ----- product quantization: ADC approximate top-k -----
+    Q("q79_pq_adc_topk",
+      "asymmetric-distance (ADC) top-5: exact query vectors against the " +
+        "PQ-coded corpus — the serving probe that never materializes a " +
+        "corpus vector",
+      Some(pqCte + """,
+             |q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id % 100 = 0),
+             |adc AS (
+             |  SELECT q.qid, e.vec_id AS neighbor_id,
+             |         round(sum(pow(list_distance(q.qv[e.s*8+1 : e.s*8+8], cb.cv[e.s*8+1 : e.s*8+8]), 2)), 6) AS adist
+             |  FROM q, sel e JOIN cb ON cb.j = e.j
+             |  WHERE e.vec_id <> q.qid
+             |  GROUP BY q.qid, e.vec_id)
+             |SELECT qid, rn, neighbor_id, adist FROM (
+             |  SELECT qid, neighbor_id, adist,
+             |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, neighbor_id) AS INT) AS rn
+             |  FROM adc) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Pq.adcTopK(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 100 === 0, kNN = 5,
+            m = 8, k = 16)
+          .orderBy("qid", "rn"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -353,6 +353,58 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class PqSpec extends SparkTestBase {
+
+  private def vec(seed: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim)(j => math.sin(seed * 2.3 + j * 0.7).toFloat)
+
+  test("encode: with every vector a codebook entry, qerr is 0 and codes " +
+       "are valid indices") {
+    import spark.implicits._
+    val emb = (0L until 16L).map(i => (i, vec(i, 8))).toDF("vec_id", "embedding")
+    val out = Pq.encode(emb, "vec_id", "embedding", m = 2, k = 16)
+      .orderBy("vec_id").collect()
+    assert(out.length === 16)
+    out.foreach { r =>
+      assert(r.getDouble(2) === 0.0, s"own codebook entry must encode exactly: $r")
+      val codes = r.getString(1).split(",").map(_.toInt)
+      assert(codes.length === 2 && codes.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("encode: a clone of another vector gets the same codes; a vector " +
+       "off the corpus dim is dropped") {
+    import spark.implicits._
+    val emb = ((0L until 16L).map(i => (i, vec(i, 8))) ++
+      Seq((20L, vec(3L, 8)),              // exact clone of vector 3
+          (21L, vec(5L, 4))))             // wrong dim -> dropped
+      .toDF("vec_id", "embedding")
+    val out = Pq.encode(emb, "vec_id", "embedding", m = 2, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(21L))
+    assert(out(20L) === out(3L))
+  }
+
+  test("adcTopK: with every vector a codebook entry, ADC ranking equals " +
+       "exact squared-euclidean brute force") {
+    import spark.implicits._
+    val vs = (0L until 16L).map(i => i -> vec(i, 8))
+    val emb = vs.toDF("vec_id", "embedding")
+    val out = Pq.adcTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 0, kNN = 3, m = 2, k = 16)
+      .orderBy("rn").collect()
+    val q = vs.head._2
+    val expect = vs.tail.map { case (id, v) =>
+      id -> v.zip(q).map { case (a, b) =>
+        (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+    }.sortBy { case (id, d) => (math.rint(d * 1e6) / 1e6, id) }.take(3)
+    assert(out.map(_.getLong(2)).toSeq === expect.map(_._1))
+    out.zip(expect).foreach { case (r, (_, d)) =>
+      assert(math.abs(r.getDouble(3) - math.rint(d * 1e6) / 1e6) < 1e-9)
+    }
+  }
+}
+
 class TextAnalysisSpec extends SparkTestBase {
 
   test("nTokens: 0 for empty/whitespace, counts words otherwise") {
