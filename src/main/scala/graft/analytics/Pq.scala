@@ -65,9 +65,12 @@ object Pq {
 
   /** Per-subspace best codebook entries for a vector column: an array of
     * m structs (j, d) — argmin over the k codebook slices, ties to the
-    * smallest j (strict `<` keeps the first minimum). Pure expression:
-    * the whole encode is one codegen-able projection. */
-  private def bestPerSubspace(v: Column, cb: Seq[Seq[Double]],
+    * smallest j (strict `<` keeps the first minimum). COMPOSED
+    * higher-order-function reference form: the hot path uses the native
+    * [[graft.functions.PqKernels]] codegen kernel (one fused primitive
+    * loop instead of m·k interpreted lambda passes); PqSpec asserts
+    * bit-parity between the two. */
+  private[analytics] def bestPerSubspace(v: Column, cb: Seq[Seq[Double]],
                               m: Int, sub: Int): Column = {
     val cbLit = typedLit(cb)
     transform(sequence(lit(0), lit(m - 1)), s => {
@@ -96,6 +99,22 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val cb = codebookRows(v, k)
     require(cb.size == k, s"corpus has fewer than $k vectors for the codebook")
+    val enc = graft.functions.PqKernels.pqEncode(col("v"), cb, m)
+    v.select(
+        col("vid").as("vec_id"),
+        concat_ws(",",
+          transform(enc.getField("codes"), c => c.cast("string"))).as("codes"),
+        round(enc.getField("qerr"), 6).as("qerr"))
+  }
+
+  /** Composed-HOF encode (reference implementation for the differential
+    * spec — same output contract as [[encode]]). */
+  private[analytics] def encodeComposed(emb: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int): DataFrame = {
+    val (v, dim) = vectors(Par.ensure(emb), idCol, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val cb = codebookRows(v, k)
+    require(cb.size == k, s"corpus has fewer than $k vectors for the codebook")
     val sub = dim / m
     val best = bestPerSubspace(col("v"), cb, m, sub)
     v.select(
@@ -120,29 +139,17 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val cb = codebookRows(v, k)
     require(cb.size == k, s"corpus has fewer than $k vectors for the codebook")
-    val sub = dim / m
-    val cbLit = typedLit(cb)
 
-    val best = bestPerSubspace(col("v"), cb, m, sub)
-    val codes = v.select(col("vid"),
-      transform(best, b => b.getField("j")).as("cs"))
+    val enc = graft.functions.PqKernels.pqEncode(col("v"), cb, m)
+    val codes = v.select(col("vid"), enc.getField("codes").as("cs"))
 
     val queries = v.filter(queryPred)
       .select(col("vid").as("qid"), col("v").as("qv"))
 
-    val adist = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, s) => {
-        val qSub = slice($"qv", s * sub + 1, lit(sub))
-        val cSub = slice(
-          element_at(cbLit, element_at($"cs", s.cast("int") + 1) + 1),
-          s * sub + 1, lit(sub))
-        acc + d2(qSub, cSub)
-      })
-
     val scored = codes.join(broadcast(queries), $"qid" =!= $"vid")
       .select($"qid", $"vid".as("neighbor_id"),
-        round(adist, 6).as("adist"))
+        round(graft.functions.PqKernels.adcDist($"qv", $"cs", cb, m), 6)
+          .as("adist"))
     val w = Window.partitionBy($"qid").orderBy($"adist", $"neighbor_id")
     scored
       .withColumn("rn", row_number().over(w).cast("int"))

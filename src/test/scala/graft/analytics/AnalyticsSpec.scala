@@ -385,6 +385,22 @@ class PqSpec extends SparkTestBase {
     assert(out(20L) === out(3L))
   }
 
+  test("native kernel encode == composed-HOF encode (codes exact, qerr " +
+       "bit-identical)") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i => (i, vec(i, 12))).toDF("vec_id", "embedding")
+    val a = Pq.encode(emb, "vec_id", "embedding", m = 3, k = 8)
+      .orderBy("vec_id").collect()
+    val b = Pq.encodeComposed(emb, "vec_id", "embedding", m = 3, k = 8)
+      .orderBy("vec_id").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(x.getString(1) === y.getString(1))
+      assert(x.getDouble(2) === y.getDouble(2))
+    }
+  }
+
   test("adcTopK: with every vector a codebook entry, ADC ranking equals " +
        "exact squared-euclidean brute force") {
     import spark.implicits._
