@@ -240,4 +240,49 @@ class PropertySpec extends SparkTestBase {
       assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9)
     }
   }
+
+  test("oovRate invariants on generated corpora: 0 <= n_oov <= n_tokens, " +
+       "rate consistent, rows preserved") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zed",
+      "rho", "tau")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val docs = sample(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = (docs ++ Seq((900L, ""), (901L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val out = graft.analytics.TextAnalysis.oovRate(df, "doc_id", "text", 4)
+      .collect()
+    assert(out.length === docs.length + 2)
+    out.foreach { r =>
+      val nt = r.getLong(1); val no = r.getLong(2)
+      assert(no >= 0 && no <= nt)
+      if (nt > 0)
+        assert(r.getDouble(3) === no.toDouble / nt)
+      else assert(r.isNullAt(3))
+    }
+  }
+
+  test("unigramSurprisal invariants: scores bounded by the rarest/commonest " +
+       "word surprisal; token counts match nTokens") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val docs = sample(docGen, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.analytics.TextAnalysis
+      .unigramSurprisal(df, "doc_id", "text").collect()
+    // corpus-level min/max possible per-token surprisal
+    val counts = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum.toDouble
+    val sMin = -math.log(counts.values.max / total)
+    val sMax = -math.log(counts.values.min / total)
+    out.foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= sMin - 1e-6 && s <= sMax + 1e-6,
+        s"avg surprisal $s outside [$sMin, $sMax]")
+    }
+  }
 }
