@@ -42,7 +42,7 @@ object Pq {
       .head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Uniform-dim corpus as (vid, v double[]). */
-  private def vectors(emb: DataFrame, idCol: String, vecCol: String)
+  private[analytics] def vectors(emb: DataFrame, idCol: String, vecCol: String)
       : (DataFrame, Int) = {
     val v0 = emb.select(col(idCol).as("vid"),
       Similarity.asDouble(col(vecCol)).as("v"))
@@ -52,7 +52,7 @@ object Pq {
 
   /** The k codebook vectors, as driver arrays in codebook order
     * (ascending `(md5(id), id)`). Bounded: k × dim doubles. */
-  private def codebookRows(v: DataFrame, k: Int): Seq[Seq[Double]] =
+  private[analytics] def codebookRows(v: DataFrame, k: Int): Seq[Seq[Double]] =
     v.orderBy(md5(col("vid").cast("string")), col("vid")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq

@@ -875,7 +875,45 @@ object AnalyticsQueries {
         graft.analytics.Pq.adcTopK(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", col("vec_id") % 100 === 0, kNN = 5,
             m = 8, k = 16)
-          .orderBy("qid", "rn"))
+          .orderBy("qid", "rn")),
+
+    // ----- deterministic k-means corpus clustering -----
+    Q("q80_kmeans_cluster",
+      "2-iteration Lloyd k-means (k=8, md5-sampled init, round-6 " +
+        "fixed-point model exchange) — the SemDeDup-style corpus " +
+        "organization step; assignment is the m=1 PQ argmin kernel",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+             |  FROM embeddings WHERE len(embedding) = 64),
+             |init AS (
+             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, vv AS cv
+             |  FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+             |a1 AS (
+             |  SELECT vec_id, vv, c FROM (
+             |    SELECT v.vec_id, v.vv, i.c,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY pow(list_distance(v.vv, i.cv), 2), i.c) AS rn
+             |    FROM v, init i) WHERE rn = 1),
+             |pos AS (SELECT unnest(range(1, 65)) AS p),
+             |m2 AS (
+             |  SELECT a1.c, pos.p, round(avg(a1.vv[pos.p]), 6) AS m
+             |  FROM a1, pos GROUP BY a1.c, pos.p),
+             |cent2 AS (
+             |  SELECT i.c, COALESCE(mm.mv, i.cv) AS cv
+             |  FROM init i LEFT JOIN
+             |    (SELECT c, list(m ORDER BY p) AS mv FROM m2 GROUP BY c) mm USING (c)),
+             |a2 AS (
+             |  SELECT vec_id, c, d2 FROM (
+             |    SELECT v.vec_id, i.c, pow(list_distance(v.vv, i.cv), 2) AS d2,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY pow(list_distance(v.vv, i.cv), 2), i.c) AS rn
+             |    FROM v, cent2 i) WHERE rn = 1)
+             |SELECT vec_id, CAST(c AS INT) AS cluster, round(d2, 6) AS dist2
+             |FROM a2 ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Cluster.kmeansAssign(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 2)
+          .orderBy("vec_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -401,6 +401,26 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("kmeansAssign: two well-separated blobs recover their generating " +
+       "groups; every vector lands with its nearest centroid") {
+    import spark.implicits._
+    // blob A near +1s, blob B near -1s (8 dims, tiny jitter)
+    def blob(sign: Double, i: Long): Array[Float] =
+      Array.tabulate(8)(j => (sign * (1.0 + 0.01 * math.sin(i * 3.1 + j))).toFloat)
+    val emb = ((0L until 10L).map(i => (i, blob(1.0, i))) ++
+               (10L until 20L).map(i => (i, blob(-1.0, i))))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.kmeansAssign(emb, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length === 20)
+    val aClusters = out.filter(_._1 < 10).map(_._2).toSet
+    val bClusters = out.filter(_._1 >= 10).map(_._2).toSet
+    assert(aClusters.size === 1 && bClusters.size === 1 &&
+      aClusters != bClusters, s"blobs must separate: ${out.toSeq}")
+    // converged centroids sit inside the blobs -> distances are tiny
+    assert(out.forall(_._3 < 0.1))
+  }
+
   test("adcTopK: with every vector a codebook entry, ADC ranking equals " +
        "exact squared-euclidean brute force") {
     import spark.implicits._
