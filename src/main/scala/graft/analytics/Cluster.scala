@@ -30,15 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
-  /** Assign every vector to a cluster after `iters` Lloyd iterations.
-    * Output: (vec_id, cluster, dist2) — final squared distance to the
-    * winning centroid, rounded to 6 decimals. Empty clusters keep their
-    * previous centroid (rule pinned for the oracle; at k ≪ n it never
-    * fires). */
-  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int = 8, iters: Int = 2): DataFrame = {
+  /** The shared Lloyd core: (vid, v, cluster, d2) after `iters`
+    * iterations. Empty clusters keep their previous centroid (rule
+    * pinned for the oracle; at k ≪ n it never fires). */
+  private def lloyd(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
-    val (v, dim) = Pq.vectors(Par.ensure(emb), idCol, vecCol)
+    val (v, _) = Pq.vectors(Par.ensure(emb), idCol, vecCol)
     var cents: Seq[Seq[Double]] = Pq.codebookRows(v, k)
     require(cents.size == k, s"corpus has fewer than $k vectors")
 
@@ -51,11 +49,10 @@ object Cluster {
 
     for (_ <- 1 until iters) {
       // element-wise mean per cluster: (cluster, pos)-keyed partial-agg
-      // shuffle; k×dim rows to the driver. Means round to 6 decimals —
-      // the fixed-point model both engines agree on bit-for-bit.
-      // round(,6) INSIDE the query: Spark's round and DuckDB's round are
-      // both half-away-from-zero, so the exchanged model is the engines'
-      // common fixed point (a driver-side math.rint would be half-EVEN)
+      // shuffle; k×dim rows to the driver. round(,6) INSIDE the query:
+      // Spark's round and DuckDB's round are both half-away-from-zero, so
+      // the exchanged model is the engines' common fixed point (a
+      // driver-side math.rint would be half-EVEN).
       val means = assigned(cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(round(avg(col("x")), 6).as("m"))
@@ -68,10 +65,50 @@ object Cluster {
         means.getOrElse(c, old)
       }
     }
+    assigned(cents)
+  }
 
-    assigned(cents).select(
+  /** Assign every vector to a cluster after `iters` Lloyd iterations.
+    * Output: (vec_id, cluster, dist2) — final squared distance to the
+    * winning centroid, rounded to 6 decimals. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 2): DataFrame =
+    lloyd(emb, idCol, vecCol, k, iters).select(
       col("vid").as("vec_id"),
       col("cluster").cast("int").as("cluster"),
       round(col("d2"), 6).as("dist2"))
+
+  /** SemDeDup: semantic near-duplicate pruning scoped to k-means
+    * clusters — the composition the SemDeDup pipeline ships (cluster the
+    * corpus, then drop all-but-one of every within-cluster near-dup
+    * group). A vector is dropped when a SMALLER-id vector in its cluster
+    * has cosine ≥ `minCosine` (deterministic keep-lowest-id rule).
+    *
+    * Scale shape: the pair stage is a cluster-keyed self-join — work is
+    * Σ n_c², bounded by running with k ∝ corpus size (exactly why
+    * SemDeDup clusters first instead of an all-pairs scan); `maxCluster`
+    * drops degenerate clusters from pairing (their members all keep —
+    * conservative), mirroring the LSH bucket caps. The assignment table
+    * is checkpointed once and feeds the cap probe, both join sides, and
+    * the final flag join. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               minCosine: Double, k: Int = 8, iters: Int = 2,
+               maxCluster: Int = 1000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val aa = lloyd(emb, idCol, vecCol, k, iters)
+      .select($"vid", $"v", $"cluster").localCheckpoint()
+    val big = aa.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      .filter($"n" > maxCluster).select($"cluster")
+    val sm = aa.join(broadcast(big), Seq("cluster"), "left_anti")
+    val a = sm.select($"cluster", $"vid".as("vid_a"), $"v".as("va"))
+    val b = sm.select($"cluster", $"vid".as("vid_b"), $"v".as("vb"))
+    val dups = a.join(b, Seq("cluster")).filter($"vid_a" < $"vid_b")
+      .filter(round(Similarity.cosine($"va", $"vb"), 6) >= minCosine)
+      .select($"vid_b".as("vid")).distinct()
+    aa.join(dups.withColumn("dup", lit(1)), Seq("vid"), "left")
+      .select($"vid".as("vec_id"),
+        $"cluster".cast("int").as("cluster"),
+        $"dup".isNull.as("keep"))
   }
 }

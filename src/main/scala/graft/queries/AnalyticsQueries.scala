@@ -89,6 +89,39 @@ object AnalyticsQueries {
       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
       |    FROM dist) WHERE rn = 1)""".stripMargin
 
+  /** Shared DuckDB CTE chain for k-means (2 Lloyd iterations, k=8):
+    * md5-ordered init, first assignment, round-6 per-dimension means,
+    * second-model centroids (empty clusters fall back to init), and the
+    * final assignment `a2(vec_id, vv, c, d2)`. Mirrors
+    * [[graft.analytics.Cluster]] exactly. */
+  private val kmCte =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      |  FROM embeddings WHERE len(embedding) = 64),
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, vv AS cv
+      |  FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+      |a1 AS (
+      |  SELECT vec_id, vv, c FROM (
+      |    SELECT v.vec_id, v.vv, i.c,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY pow(list_distance(v.vv, i.cv), 2), i.c) AS rn
+      |    FROM v, init i) WHERE rn = 1),
+      |pos AS (SELECT unnest(range(1, 65)) AS p),
+      |m2 AS (
+      |  SELECT a1.c, pos.p, round(avg(a1.vv[pos.p]), 6) AS m
+      |  FROM a1, pos GROUP BY a1.c, pos.p),
+      |cent2 AS (
+      |  SELECT i.c, COALESCE(mm.mv, i.cv) AS cv
+      |  FROM init i LEFT JOIN
+      |    (SELECT c, list(m ORDER BY p) AS mv FROM m2 GROUP BY c) mm USING (c)),
+      |a2 AS (
+      |  SELECT vec_id, vv, c, d2 FROM (
+      |    SELECT v.vec_id, v.vv, i.c, pow(list_distance(v.vv, i.cv), 2) AS d2,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY pow(list_distance(v.vv, i.cv), 2), i.c) AS rn
+      |    FROM v, cent2 i) WHERE rn = 1)""".stripMargin
+
   /** Shared DuckDB CTE: embeddings as double vectors + cosine helper shape. */
   private val vCte =
     """WITH v AS (
@@ -882,37 +915,33 @@ object AnalyticsQueries {
       "2-iteration Lloyd k-means (k=8, md5-sampled init, round-6 " +
         "fixed-point model exchange) — the SemDeDup-style corpus " +
         "organization step; assignment is the m=1 PQ argmin kernel",
-      Some("""WITH v AS (
-             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-             |  FROM embeddings WHERE len(embedding) = 64),
-             |init AS (
-             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, vv AS cv
-             |  FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
-             |a1 AS (
-             |  SELECT vec_id, vv, c FROM (
-             |    SELECT v.vec_id, v.vv, i.c,
-             |           row_number() OVER (PARTITION BY v.vec_id
-             |             ORDER BY pow(list_distance(v.vv, i.cv), 2), i.c) AS rn
-             |    FROM v, init i) WHERE rn = 1),
-             |pos AS (SELECT unnest(range(1, 65)) AS p),
-             |m2 AS (
-             |  SELECT a1.c, pos.p, round(avg(a1.vv[pos.p]), 6) AS m
-             |  FROM a1, pos GROUP BY a1.c, pos.p),
-             |cent2 AS (
-             |  SELECT i.c, COALESCE(mm.mv, i.cv) AS cv
-             |  FROM init i LEFT JOIN
-             |    (SELECT c, list(m ORDER BY p) AS mv FROM m2 GROUP BY c) mm USING (c)),
-             |a2 AS (
-             |  SELECT vec_id, c, d2 FROM (
-             |    SELECT v.vec_id, i.c, pow(list_distance(v.vv, i.cv), 2) AS d2,
-             |           row_number() OVER (PARTITION BY v.vec_id
-             |             ORDER BY pow(list_distance(v.vv, i.cv), 2), i.c) AS rn
-             |    FROM v, cent2 i) WHERE rn = 1)
+      Some(kmCte + """
              |SELECT vec_id, CAST(c AS INT) AS cluster, round(d2, 6) AS dist2
              |FROM a2 ORDER BY vec_id""".stripMargin),
       (s, dir) =>
         graft.analytics.Cluster.kmeansAssign(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", k = 8, iters = 2)
+          .orderBy("vec_id")),
+
+    // ----- SemDeDup: cluster-scoped semantic near-dup pruning -----
+    Q("q81_semdedup",
+      "SemDeDup composition: k-means clusters, then within-cluster " +
+        "cosine >= 0.45 near-dups dropped by the keep-lowest-id rule " +
+        "(cluster-keyed self-join, capped clusters)",
+      Some(kmCte + """,
+             |big AS (SELECT c FROM a2 GROUP BY c HAVING count(*) > 1000),
+             |sm AS (SELECT a2.* FROM a2 LEFT JOIN big USING (c) WHERE big.c IS NULL),
+             |dup AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM sm a JOIN sm b ON a.c = b.c AND a.vec_id < b.vec_id
+             |  WHERE round(list_dot_product(a.vv, b.vv) / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.45)
+             |SELECT a2.vec_id, CAST(a2.c AS INT) AS cluster,
+             |       CAST(dup.vec_id IS NULL AS BOOLEAN) AS keep
+             |FROM a2 LEFT JOIN dup ON dup.vec_id = a2.vec_id
+             |ORDER BY a2.vec_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Cluster.semDedup(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", minCosine = 0.45, k = 8, iters = 2)
           .orderBy("vec_id"))
   )
 

@@ -421,6 +421,30 @@ class PqSpec extends SparkTestBase {
     assert(out.forall(_._3 < 0.1))
   }
 
+  test("semDedup drops all-but-the-lowest-id of a near-dup group within " +
+       "a cluster and keeps everything else") {
+    import spark.implicits._
+    // wide 20% jitter: same-blob non-clone pairs sit well below the
+    // clone-only threshold (cosine ≈ 0.99x), exact clones at 1.0
+    def blob(sign: Double, i: Long): Array[Float] =
+      Array.tabulate(8)(j => (sign * (1.0 + 0.2 * math.sin(i * 3.1 + j))).toFloat)
+    val base = blob(1.0, 99L)
+    // 50/51/52: exact clones (cosine 1) inside blob A; blob B is its own
+    // cluster
+    val emb = ((0L until 8L).map(i => (i, blob(1.0, i))) ++
+               (10L until 18L).map(i => (i, blob(-1.0, i))) ++
+               Seq((50L, base), (51L, base), (52L, base)))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.semDedup(emb, "vec_id", "embedding",
+        minCosine = 0.99999, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size === 19)
+    assert(out(50L) === true && out(51L) === false && out(52L) === false,
+      s"clone group keeps only the lowest id: $out")
+    assert(out.filter(_._1 != 51L).filter(_._1 != 52L).values.forall(identity),
+      s"non-clones all keep: $out")
+  }
+
   test("adcTopK: with every vector a codebook entry, ADC ranking equals " +
        "exact squared-euclidean brute force") {
     import spark.implicits._
