@@ -73,6 +73,36 @@ object Dedup {
         )).as("sh"))
   }
 
+  /** Per-document duplicated-shingle coverage: for each doc, how many of
+    * its distinct n-gram shingles also occur in >= 1 OTHER document, and
+    * the fraction — the "how much of me is boilerplate" signal used to
+    * rank documents for substring-level dedup (the per-doc aggregate view
+    * of the corpus shingle-df table, q66). Docs with < n tokens have no
+    * shingles: counts 0, fraction null.
+    *
+    * Scale shape: the shingle set is materialized ONCE (checkpoint) and
+    * feeds both the df aggregate and the join back; both exchanges are
+    * shingle-keyed with map-side combine, then one doc-keyed partial agg.
+    * No caps needed — a hot shingle contributes one df row and one join
+    * row per containing doc, never a pair blow-up. */
+  def dupShingleCoverage(docs0: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
+    val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val cov = sh.join(df, Seq("sh"))
+      .groupBy($"doc")
+      .agg(count(lit(1)).as("ns"),
+           sum(when($"df" >= 2, 1L).otherwise(0L)).as("nd"))
+    docs.select(col(idCol).as("doc")).join(cov, Seq("doc"), "left")
+      .select($"doc".as("doc_id"),
+        coalesce($"ns", lit(0L)).cast("long").as("n_shingles"),
+        coalesce($"nd", lit(0L)).cast("long").as("n_dup"),
+        ($"nd".cast("double") / nullif($"ns", lit(0L))).as("dup_frac"))
+  }
+
   /** n-gram Jaccard similarity over candidate pairs sharing >= 1 shingle
     * (inverted-index self-join; no cross product).
     *

@@ -80,4 +80,37 @@ object Sampling {
       .select($"doc_id", $"n_tokens",
               expr(s"prefix DIV $budgetTokens").as("shard"))
   }
+
+  /** Temperature-weighted mixture downsampling: keep-rate for group g is
+    * (n_g / n_min)^(alpha-1) — the α-temperature reweighting used to
+    * rebalance multilingual/multi-domain corpora (target share ∝ n_g^α),
+    * expressed downsample-only so the smallest group keeps everything and
+    * no row is ever duplicated. Unlike [[stratifiedSample]] the rates are
+    * DATA-DRIVEN: a group-count aggregate (k rows) and a 1-row global min
+    * feed a broadcast rate table; the keep decision is the same
+    * md5-threshold predicate, deterministic across engines, runs, and
+    * partitionings. `round(,6)` pins the pow() result to the engines'
+    * common fixed point before the threshold is derived.
+    *
+    * Scale shape: one partial-agg shuffle over k groups + a broadcast
+    * join; the corpus itself never shuffles. */
+  def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val d = Par.ensure(docs)
+    val cnt = d.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val nmin = cnt.agg(min(col("n")).as("nmin"))
+    val rates = cnt.crossJoin(broadcast(nmin)).select(
+      col(groupCol),
+      round(pow(col("n").cast("double") / col("nmin").cast("double"),
+        lit(alpha - 1.0)), 6).as("rate"))
+    // first 8 md5 nibbles as a uniform 32-bit integer; keep iff it falls
+    // under rate * 2^32 (numeric form of the hexThreshold predicate —
+    // the threshold is a COLUMN here, not a plan-time literal)
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    d.join(broadcast(rates), Seq(groupCol))
+      .filter(bucket < round(col("rate") * lit(4294967296.0)))
+      .select(d.columns.map(col): _*)
+  }
 }

@@ -279,4 +279,45 @@ object TextAnalysis {
           round(col("s") / col("nt").cast("double"), 6))
           .as("avg_surprisal"))
   }
+
+  /** Gopher-style quality rule flags (the published repetition-free subset
+    * of the Gopher data-filter rules, Rae et al. 2021 appendix A1):
+    * word-count bounds [50, 100000], mean-word-length band [3, 10],
+    * alphabetic-word fraction >= 0.8, symbol-to-word ratio ("#"/"...")
+    * <= 0.1, and >= 2 stopword hits; `pass` is the conjunction with nulls
+    * (empty docs) failing closed. The line-level rules (bullet/ellipsis
+    * line fractions) need line structure the corpus contract doesn't
+    * carry, so they are deliberately out of scope here.
+    *
+    * Entirely MAP-SIDE: every metric reads one row, mean word length is
+    * non-space chars / tokens (no explode), and ratios are single double
+    * divisions of exact integers — bit-reproducible in the oracle. */
+  def gopherRules(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val t = col(textCol)
+    val toks = filter(split(regexp_replace(trim(lower(t)), "\\s+", " "), " "),
+      x => x =!= "")
+    val ntok = when(t.isNull, lit(null).cast("long"))
+      .otherwise(size(toks).cast("long"))
+    val ntokNz = nullif(ntok, lit(0L))
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / ntokNz
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]")))
+      .cast("double") / ntokNz
+    val symbolRatio = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\."))).cast("double") / ntokNz
+    val stopHits = when(t.isNull, lit(null).cast("long"))
+      .otherwise(stopwordHits(t, enStop).cast("long"))
+    val pass = coalesce(
+      ntok.between(50L, 100000L) && meanLen.between(3.0, 10.0) &&
+        alphaFrac >= 0.8 && symbolRatio <= 0.1 && stopHits >= 2L,
+      lit(false))
+    docs.select(
+      col(idCol),
+      ntok.as("n_tokens"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      symbolRatio.as("symbol_ratio"),
+      stopHits.as("stop_hits"),
+      pass.as("pass"))
+  }
 }

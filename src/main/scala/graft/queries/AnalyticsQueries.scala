@@ -942,7 +942,73 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Cluster.semDedup(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", minCosine = 0.45, k = 8, iters = 2)
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // ----- Gopher-style quality rule flags -----
+    Q("q82_gopher_rules",
+      "Gopher data-filter rule flags: word-count bounds, mean-word-length " +
+        "band, alphabetic-word fraction, symbol ratio, stopword floor, " +
+        "and the conjunction (all map-side)",
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |         CAST(len(t) AS BIGINT) AS n_tokens,
+             |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / nullif(len(t), 0) AS mean_word_len,
+             |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / nullif(len(t), 0) AS alpha_frac,
+             |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / nullif(len(t), 0) AS symbol_ratio,
+             |         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stop_hits
+             |  FROM d)
+             |SELECT doc_id, n_tokens, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
+             |       coalesce(n_tokens BETWEEN 50 AND 100000
+             |                AND mean_word_len BETWEEN 3.0 AND 10.0
+             |                AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+             |                AND stop_hits >= 2, false) AS pass
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.gopherRules(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- temperature-weighted mixture sampling -----
+    Q("q83_temperature_sample",
+      "alpha-temperature mixture downsampling over lang (alpha=0.7): " +
+        "keep-rate (n_g/n_min)^(alpha-1) per group, md5-threshold keep " +
+        "(data-driven rates, broadcast join, corpus never shuffles)",
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |mn AS (SELECT min(n) AS nmin FROM c),
+             |r AS (SELECT lang, round(pow(CAST(n AS DOUBLE) / nmin, 0.7 - 1.0), 6) AS rate FROM c, mn)
+             |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+             |FROM documents d JOIN r USING (lang)
+             |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      < round(r.rate * 4294967296.0)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.temperatureSample(
+            Tables(s, dir, "documents"), "doc_id", "lang", alpha = 0.7)
+          .orderBy("doc_id")),
+
+    // ----- per-doc duplicated-shingle coverage -----
+    Q("q84_dup_coverage",
+      "per-doc duplicated-shingle coverage: distinct 3-gram shingles, " +
+        "those shared with another doc, and the fraction (shingle-df " +
+        "aggregate joined back, doc-keyed partial agg)",
+      Some(shCte + """,
+             |df AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh),
+             |cov AS (
+             |  SELECT doc, count(*) AS ns,
+             |         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS nd
+             |  FROM sh0 JOIN df USING (sh) GROUP BY doc)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(cov.ns, 0) AS BIGINT) AS n_shingles,
+             |       CAST(coalesce(cov.nd, 0) AS BIGINT) AS n_dup,
+             |       CAST(cov.nd AS DOUBLE) / nullif(cov.ns, 0) AS dup_frac
+             |FROM documents d LEFT JOIN cov ON cov.doc = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.dupShingleCoverage(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

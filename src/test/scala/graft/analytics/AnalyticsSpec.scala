@@ -103,6 +103,24 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() === 0)
   }
 
+  test("dupShingleCoverage: shared trigram counts as dup for both docs; " +
+       "unique and short docs report 0/null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // "a b c" shared with doc 2, "b c d" unique
+      (2L, "a b c x"),
+      (3L, "q w"),          // no trigrams
+      (4L, "z y w v u")).toDF("doc_id", "text")
+    val out = Dedup.dupShingleCoverage(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out(0) === ((1L, 2L, 1L, Some(0.5))))
+    assert(out(1) === ((2L, 2L, 1L, Some(0.5))))
+    assert(out(2) === ((3L, 0L, 0L, None)))
+    assert(out(3) === ((4L, 3L, 0L, Some(0.0))))
+  }
+
   test("connected components: chains merge to one cluster, isolates keep " +
        "their own label, cycles terminate") {
     import spark.implicits._
@@ -508,6 +526,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(out(0).getDouble(3) - math.rint((1.0 - 3.0/7) * 1e6) / 1e6) < 1e-9)
     assert(out(1).getDouble(3) === 0.0)
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(3))
+  }
+
+  test("gopherRules: long clean prose passes, short/numeric/empty docs " +
+       "fail closed") {
+    import spark.implicits._
+    val prose = Seq.fill(5)(
+      "the quick brown fox and the lazy dog ran in the field").mkString(" ")
+    val nums = Seq.fill(60)("12345").mkString(" ")
+    val docs = Seq(
+      (1L, prose),      // 60 words, mean len 3.5, all alpha, stopwords
+      (2L, "short doc here"),
+      (3L, nums),       // word count ok but alpha_frac 0
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(6), s"prose must pass: ${out(0)}")
+    assert(out(0).getLong(1) === 60L)
+    assert(math.abs(out(0).getDouble(2) - 3.5) < 1e-12)
+    assert(!out(1).getBoolean(6), "3 words is under the floor")
+    assert(!out(2).getBoolean(6), "numeric tokens fail the alpha rule")
+    assert(out(2).getDouble(3) === 0.0)
+    assert(!out(3).getBoolean(6), "empty doc fails closed")
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(2))
   }
 
   test("redactPii replaces emails then phones; counts match") {

@@ -34,6 +34,26 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("temperature sample: alpha=1 keeps everything; alpha<1 keeps the " +
+       "smallest group whole and downsamples the big one near its rate") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+        (i, if (i < 300) "big" else "small")).toDF("doc_id", "lang")
+    val all = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 1.0)
+    assert(all.count() === 400L, "alpha=1 is the identity")
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("small") === 100L, "n_min group keeps everything")
+    // rate_big = (300/100)^(-0.5) = 0.577 -> expect ~173 of 300
+    assert(byLang("big") > 120 && byLang("big") < 230,
+      s"~58% of 300 expected, got ${byLang("big")}")
+    // deterministic: same input -> same id set
+    val again = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("token shards: distributed prefix sum matches the naive global window") {
     import spark.implicits._
     val docs = (0L until 300L).map(i =>
