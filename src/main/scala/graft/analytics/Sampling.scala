@@ -99,10 +99,13 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val d = Par.ensure(docs)
     val cnt = d.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-    val nmin = cnt.agg(min(col("n")).as("nmin"))
-    val rates = cnt.crossJoin(broadcast(nmin)).select(
+    // global min over the k-row count table: an unpartitioned window is
+    // fine HERE (k = #groups, dictionary-sized) and keeps the rate table
+    // a single subtree — no 1-row crossJoin, no nested-loop join
+    val nmin = min(col("n")).over(Window.partitionBy())
+    val rates = cnt.select(
       col(groupCol),
-      round(pow(col("n").cast("double") / col("nmin").cast("double"),
+      round(pow(col("n").cast("double") / nmin.cast("double"),
         lit(alpha - 1.0)), 6).as("rate"))
     // first 8 md5 nibbles as a uniform 32-bit integer; keep iff it falls
     // under rate * 2^32 (numeric form of the hexThreshold predicate —

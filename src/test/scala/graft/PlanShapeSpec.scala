@@ -210,4 +210,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
            s"corpus total must broadcast, not cartesian:\n$plan")
   }
+
+  test("temperatureSample: the corpus joins the rate table by broadcast " +
+       "and never shuffles itself") {
+    val df = analytics.Sampling.temperatureSample(
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "lang", alpha = 0.7)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+           s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+           s"the corpus side must not shuffle for the rate join:\n$plan")
+    // the corpus side must reach the join straight from its scan: the
+    // only hash exchanges in the plan belong to the k-row group-count
+    // subtree (keyed on the group column), never on the corpus key
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+           s"the corpus must not shuffle on doc_id:\n$plan")
+  }
+
+  test("dupShingleCoverage: shingle-df agg keeps its map-side partial; " +
+       "no cartesian/self-pair blow-up anywhere") {
+    val df = analytics.Dedup.dupShingleCoverage(
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+           s"coverage is join+agg only, never a pair product:\n$plan")
+    // both the df aggregate and the doc rollup must partial-aggregate
+    // before their exchanges (map-side combine on the hot shingle keys)
+    assert("partial".r.findAllIn(plan).length >= 2,
+           s"df and doc aggregates need map-side partials:\n$plan")
+  }
 }
