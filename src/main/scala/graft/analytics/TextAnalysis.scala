@@ -280,6 +280,45 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Per-document mean bigram surprisal −ln P(w2|w1) under the corpus MLE
+    * bigram model, P(w2|w1) = c(w1,w2) / Σ_w c(w1,w) — one model order up
+    * from [[unigramSurprisal]], the shape of the CCNet/KenLM perplexity
+    * filter (scoring the corpus under its own model, so every observed
+    * bigram has c >= 1 and no backoff is needed). Docs with < 2 tokens
+    * have no bigrams: count 0, score null.
+    *
+    * Scale shape: the per-(doc, bigram) counts shuffle once and the
+    * subtree feeds BOTH the model aggregation and the scoring join
+    * (exchange reuse, as in unigramSurprisal); the prefix-count table is
+    * an aggregate of the model table, never a second corpus pass.
+    * `round(,6)` absorbs cross-engine summation-order ulps. */
+  def bigramSurprisal(docs0: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val db = docs
+      .select(col(idCol).as("did"), Dedup.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("did"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+                    element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("did"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("did", "w1", "w2").agg(count(lit(1)).as("n"))
+    val bf = db.groupBy("w1", "w2").agg(sum(col("n")).as("c"))
+    val pf = bf.groupBy("w1").agg(sum(col("c")).as("p"))
+    val sc = db.join(bf, Seq("w1", "w2")).join(pf, Seq("w1"))
+      .groupBy("did").agg(
+        sum(col("n")).as("nb"),
+        sum(col("n").cast("double") *
+          -log(col("c").cast("double") / col("p").cast("double"))).as("s"))
+    docs.select(col(idCol))
+      .join(sc.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
+        when(col("nb") > 0, round(col("s") / col("nb").cast("double"), 6))
+          .as("avg_surprisal"))
+  }
+
   /** Gopher-style quality rule flags (the published repetition-free subset
     * of the Gopher data-filter rules, Rae et al. 2021 appendix A1):
     * word-count bounds [50, 100000], mean-word-length band [3, 10],

@@ -1008,6 +1008,35 @@ object AnalyticsQueries {
              |ORDER BY d.doc_id""".stripMargin),
       (s, dir) =>
         Dedup.dupShingleCoverage(Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ----- bigram-LM surprisal -----
+    Q("q85_bigram_surprisal",
+      "per-doc mean bigram surprisal -ln c(w1,w2)/c(w1,*) over the corpus " +
+        "MLE bigram model — the KenLM-shaped perplexity filter, one model " +
+        "order above q77",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |db AS (
+             |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, count(*) AS n
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+             |  GROUP BY doc_id, w1, w2),
+             |bf AS (SELECT w1, w2, sum(n) AS c FROM db GROUP BY w1, w2),
+             |pf AS (SELECT w1, sum(c) AS p FROM bf GROUP BY w1),
+             |sc AS (
+             |  SELECT db.doc_id, sum(db.n) AS nb,
+             |         sum(CAST(db.n AS DOUBLE) * -ln(CAST(bf.c AS DOUBLE) / pf.p)) AS s
+             |  FROM db JOIN bf USING (w1, w2) JOIN pf USING (w1)
+             |  GROUP BY db.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+             |       CASE WHEN sc.nb > 0 THEN round(sc.s / sc.nb, 6) END AS avg_surprisal
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.bigramSurprisal(Tables(s, dir, "documents"),
+            "doc_id", "text")
           .orderBy("doc_id"))
   )
 

@@ -211,6 +211,21 @@ class PlanShapeSpec extends SparkTestBase {
            s"corpus total must broadcast, not cartesian:\n$plan")
   }
 
+  test("bigramSurprisal plans the doc-bigram subtree once (exchange " +
+       "reuse): the corpus is tokenized exactly one time") {
+    val df = analytics.TextAnalysis.bigramSurprisal(
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text")
+    val plan = executedPlan(df)
+    // db feeds both the bigram model and the scoring join: the
+    // (did, w1, w2) exchange must be planned once and reused, not
+    // recomputed from a second scan + explode
+    assert(plan.contains("ReusedExchange"),
+           s"doc-bigram exchange must be reused across model/scoring:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+           s"no cartesian anywhere:\n$plan")
+  }
+
   test("temperatureSample: the corpus joins the rate table by broadcast " +
        "and never shuffles itself") {
     val df = analytics.Sampling.temperatureSample(

@@ -631,6 +631,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
+
+  test("bigramSurprisal: deterministic continuations score 0; rare " +
+       "continuations score -ln of their conditional; 1-token doc is null") {
+    import spark.implicits._
+    // corpus bigrams: (a,b) x2 from doc1, (b,a) x1 from doc1, (a,c) x1
+    // from doc2 -> prefix counts a=3, b=1
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a c"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc1: 2*-ln(2/3) + 1*-ln(1/1), over 3 bigrams
+    val exp1 = (2 * -math.log(2.0 / 3)) / 3
+    val exp2 = -math.log(1.0 / 3)
+    assert(out(0).getLong(1) === 3L)
+    assert(math.abs(out(0).getDouble(2) - math.rint(exp1 * 1e6) / 1e6) < 2e-6)
+    assert(out(1).getLong(1) === 1L)
+    assert(math.abs(out(1).getDouble(2) - math.rint(exp2 * 1e6) / 1e6) < 2e-6)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {
