@@ -416,6 +416,90 @@ object Multimodal {
     }.toDF("doc_id", "in_w", "in_h", "out_w", "out_h", "n_bytes_in", "checksum")
   }
 
+  /** 64-bit average perceptual hash (aHash) of an image payload: real
+    * decode, deterministic nearest-neighbor 8x8, integer grayscale
+    * (r+g+b)/3, bit p set iff gray(p)*64 > Σgray (the strict integer form
+    * of "above the mean" — no floating point anywhere, so a SQL oracle
+    * reproduces every bit). Returned as two 32-bit halves so oracles
+    * never touch the 2^63 sign bit. Map-side only: one decoder pass per
+    * partition, no shuffle. Payloads the JDK cannot decode are dropped
+    * (same contract as the resize/convert paths). */
+  def perceptualHash(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        decodeImage(b.data).map { img =>
+          val scaled = scaleNearest(img, 8, 8)
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = scaled.getRGB(x, y) & 0xffffff
+              val g = ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              gray(y * 8 + x) = g
+              sum += g
+              x += 1
+            }
+            y += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var p = 0
+          while (p < 64) {
+            if (gray(p) * 64 > sum) {
+              if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+            }
+            p += 1
+          }
+          (b.doc_id, hi, lo)
+        }
+      }
+    }.toDF("doc_id", "hash_hi", "hash_lo")
+  }
+
+  /** Perceptual near-duplicate pairs over [[perceptualHash]] output, the
+    * image-dedup counterpart of the SimHash/LSH text path. aHash is
+    * COARSE: identical-hash groups are the common case, so pairing raw
+    * docs would cost Σ|group|² — identical hashes collapse to their
+    * min-id canonical FIRST (the exact-dedup step), and only the distinct
+    * hashes enter the near-dup join. Candidates come from 4 x 16-bit
+    * hash bands (same-band-value bucket join, bucket size capped like the
+    * text LSH); exact hamming distance then filters candidates, so the
+    * result is banding-approximate by construction — and the oracle bands
+    * identically. Output: canonical pairs (doc_a < doc_b) with their
+    * distance. */
+  def phashNearDupPairs(ph: DataFrame, maxHamming: Int,
+                        maxBucket: Int = 1000): DataFrame = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    val ch = ph.groupBy($"hash_hi", $"hash_lo")
+      .agg(min($"doc_id").as("canon"))
+      .localCheckpoint()
+    val bands = ch.select($"canon", $"hash_hi", $"hash_lo",
+      posexplode(array(
+        expr("hash_lo % 65536"), expr("hash_lo DIV 65536"),
+        expr("hash_hi % 65536"), expr("hash_hi DIV 65536"))).as(Seq("bi", "bv")))
+    val keep = bands.groupBy($"bi", $"bv").agg(count(lit(1)).as("n"))
+      .filter($"n" <= maxBucket).select($"bi", $"bv")
+    val kb = bands.join(keep, Seq("bi", "bv"))
+    val cand = kb
+      .select($"bi", $"bv", $"canon".as("doc_a"),
+        $"hash_hi".as("hi_a"), $"hash_lo".as("lo_a"))
+      .join(kb.select($"bi", $"bv", $"canon".as("doc_b"),
+        $"hash_hi".as("hi_b"), $"hash_lo".as("lo_b")), Seq("bi", "bv"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"hi_a", $"lo_a", $"doc_b", $"hi_b", $"lo_b")
+      .distinct()
+    cand
+      .select($"doc_a", $"doc_b",
+        (bit_count($"hi_a".bitwiseXOR($"hi_b")) +
+         bit_count($"lo_a".bitwiseXOR($"lo_b"))).cast("int").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+  }
+
   /** Frame sampling: k frame indices spread evenly over [0, n_frames), one
     * output row per sampled frame (the explode shape a video pipeline
     * feeds to per-frame feature extraction). Pure integer arithmetic over

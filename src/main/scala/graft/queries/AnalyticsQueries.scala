@@ -132,6 +132,34 @@ object AnalyticsQueries {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** Shared DuckDB CTE chain recomputing the aHash of the synthetic BMPs
+    * from the generative pixel formula (same dims/rgb arithmetic as the
+    * q68 oracle): 8x8 nearest-neighbor sample, integer gray, strict
+    * above-mean bits packed into 32-bit halves `h(doc_id, hi, lo)`.
+    * Mirrors [[graft.analytics.Multimodal.perceptualHash]] bit-for-bit. */
+  private val phashCte =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS in_w, CAST(doc_id % 3 + 2 AS INT) AS in_h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, y * 8 + x AS pos, (x * in_w) // 8 AS sx, (y * in_h) // 8 AS sy
+      |  FROM dims, (SELECT unnest(range(8)) AS x) xs, (SELECT unnest(range(8)) AS y) ys),
+      |g AS (
+      |  SELECT doc_id, pos,
+      |         (((doc_id * 7 + sx * 5 + sy * 3) % 256) +
+      |          ((doc_id * 11 + sx * 2 + sy) % 256) +
+      |          ((doc_id + sx + sy * 9) % 256)) // 3 AS gray
+      |  FROM px),
+      |s AS (SELECT doc_id, sum(gray) AS tot FROM g GROUP BY doc_id),
+      |bits AS (
+      |  SELECT g.doc_id, g.pos, CASE WHEN g.gray * 64 > s.tot THEN 1 ELSE 0 END AS b
+      |  FROM g JOIN s USING (doc_id)),
+      |h AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN pos < 32 THEN b * power(2, pos) ELSE 0 END) AS BIGINT) AS lo,
+      |         CAST(sum(CASE WHEN pos >= 32 THEN b * power(2, pos - 32) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----- exact dedup: hash-groupBy on md5 fingerprint -----
@@ -1037,7 +1065,53 @@ object AnalyticsQueries {
       (s, dir) =>
         TextAnalysis.bigramSurprisal(Tables(s, dir, "documents"),
             "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- perceptual image hash (aHash) -----
+    Q("q86_image_phash",
+      "64-bit average perceptual hash of the synthetic per-doc BMPs: real " +
+        "ImageIO decode, 8x8 nearest-neighbor, integer gray mean bits — " +
+        "the oracle recomputes every bit from the pixel formula",
+      Some(phashCte + """
+             |SELECT doc_id, hi AS hash_hi, lo AS hash_lo
+             |FROM h ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.perceptualHash(
+            Multimodal.syntheticImageBlobs(
+              Tables(s, dir, "documents"), "doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- perceptual near-dup image pairs -----
+    Q("q87_image_neardup",
+      "perceptual near-dup image pairs: identical aHashes collapse to a " +
+        "min-id canonical, distinct hashes band 4x16-bit for candidates " +
+        "(capped buckets), exact hamming <= 4 filters — image dedup as a " +
+        "first-class op",
+      Some(phashCte + """,
+             |ch AS (SELECT hi, lo, min(doc_id) AS canon FROM h GROUP BY hi, lo),
+             |bands AS (
+             |  SELECT canon, hi, lo,
+             |         unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bv,
+             |         unnest([0, 1, 2, 3]) AS bi
+             |  FROM ch),
+             |keep AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING count(*) <= 1000),
+             |kb AS (SELECT b.* FROM bands b JOIN keep USING (bi, bv)),
+             |cand AS (
+             |  SELECT DISTINCT a.canon AS doc_a, a.hi AS hi_a, a.lo AS lo_a,
+             |                  b.canon AS doc_b, b.hi AS hi_b, b.lo AS lo_b
+             |  FROM kb a JOIN kb b ON a.bi = b.bi AND a.bv = b.bv AND a.canon < b.canon)
+             |SELECT doc_a, doc_b,
+             |       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 4
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) =>
+        Multimodal.phashNearDupPairs(
+            Multimodal.perceptualHash(
+              Multimodal.syntheticImageBlobs(
+                Tables(s, dir, "documents"), "doc_id")),
+            maxHamming = 4)
+          .orderBy("doc_a", "doc_b"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

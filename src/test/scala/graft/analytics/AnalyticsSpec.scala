@@ -776,6 +776,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).media_type === "image/unknown") // stub fallback
   }
 
+  test("perceptualHash: solid image hashes to 0 (no pixel above mean); " +
+       "identical payloads hash identically; half-bright image sets " +
+       "exactly the bright half's bits") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val solid = png((_, _) => 0x808080)
+    val half = png((_, y) => if (y < 4) 0xffffff else 0x000000)
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image/png", solid),
+      Multimodal.MediaBlob(2L, "image/png", solid),
+      Multimodal.MediaBlob(3L, "image/png", half)).toDS()
+    val out = Multimodal.perceptualHash(blobs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out(0)._2 === 0L && out(0)._3 === 0L,
+      "uniform image: no pixel strictly above the mean")
+    assert(out(1) === ((2L, out(0)._2, out(0)._3)), "clones hash identically")
+    // top 4 rows bright -> positions 0..31 set (lo = all ones), 32..63 unset
+    assert(out(2)._3 === 0xffffffffL && out(2)._2 === 0L,
+      s"half-bright pattern: ${out(2)}")
+  }
+
+  test("phashNearDupPairs: clones collapse to one canonical, a 1-bit " +
+       "flip pairs with it, a far hash does not") {
+    import spark.implicits._
+    val ph = Seq(
+      (1L, 0L, 255L),           // canonical of {1,2}
+      (2L, 0L, 255L),           // exact clone (same hash)
+      (3L, 0L, 254L),           // hamming 1 from canon 1
+      (4L, 0xffffL, 0xffff0000L) // far from everything
+    ).toDF("doc_id", "hash_hi", "hash_lo")
+    val out = Multimodal.phashNearDupPairs(ph, maxHamming = 4)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out === Seq((1L, 3L, 1)), s"got $out")
+  }
+
   test("resize plumbing: typed partition-wise transform, deterministic " +
        "output contract") {
     import spark.implicits._
