@@ -423,6 +423,33 @@ object Dedup {
       .select(col(idCol), coalesce($"comp", col(idCol)).as("component"))
   }
 
+  /** Near-dup clusters with the KEEP representative chosen by QUALITY
+    * (highest `qualityCol`, ties to smallest id) instead of smallest id —
+    * the curation rule real pipelines ship: when near-duplicates differ,
+    * keep the best copy, not the first-seen one. Null quality sorts as 0.
+    *
+    * Scale shape: clustering is [[dupClusters]] (capped LSH candidates +
+    * tiered components); canonical selection is a partial-aggregable
+    * `max(struct(quality, -id))` per component — no window over the
+    * corpus. */
+  def qualityCanonical(docs0: DataFrame, idCol: String, qualityCol: String,
+                       textCol: String, numHashes: Int = 8,
+                       bandSize: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val clusters = dupClusters(docs, idCol, textCol,
+      numHashes, bandSize, maxBucket)
+    val scored = clusters.join(
+      docs.select(col(idCol),
+        coalesce(col(qualityCol).cast("long"), lit(0L)).as("quality")),
+      Seq(idCol))
+    val canon = scored.groupBy(col("component"))
+      .agg(max(struct(col("quality"), (-col(idCol)).as("neg"))).as("m"))
+      .select(col("component"), (-col("m.neg")).cast("long").as("canon_id"))
+    scored.join(canon, Seq("component"))
+      .select(col(idCol).as("doc_id"), col("component"), col("quality"),
+        col("canon_id"), (col(idCol) === col("canon_id")).as("keep"))
+  }
+
   /** Leakage-safe train/val/test assignment: the split is hashed from the
     * duplicate-CLUSTER id, not the document id, so near-duplicates can
     * never straddle a split boundary (the classic train/test contamination

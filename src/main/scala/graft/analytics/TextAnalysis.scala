@@ -319,6 +319,28 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Perplexity-percentile gate: keep documents whose mean unigram
+    * surprisal sits at or below the corpus `p`-quantile — the CCNet
+    * "head/middle" selection, where the threshold is data-driven rather
+    * than fixed. The threshold is ONE row (exact interpolated percentile,
+    * round-6 like the scores) broadcast back over the scored corpus;
+    * docs with no tokens have a null score and fail closed.
+    *
+    * Scale note: `percentile` is an exact aggregate — it buffers the
+    * score column per partition, which is fine while scores fit executor
+    * memory (they are doc-count-sized, not corpus-sized); at extreme doc
+    * counts swap in `approx_percentile` at the same call site. */
+  def surprisalGate(docs0: DataFrame, idCol: String, textCol: String,
+                    p: Double = 0.75): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    val scores = unigramSurprisal(docs0, idCol, textCol)
+    val thr = scores.filter(col("avg_surprisal").isNotNull)
+      .agg(round(expr(s"percentile(avg_surprisal, $p)"), 6).as("thr"))
+    scores.crossJoin(broadcast(thr))
+      .select(col(idCol), col("avg_surprisal"),
+        coalesce(col("avg_surprisal") <= col("thr"), lit(false)).as("keep"))
+  }
+
   /** Gopher-style quality rule flags (the published repetition-free subset
     * of the Gopher data-filter rules, Rae et al. 2021 appendix A1):
     * word-count bounds [50, 100000], mean-word-length band [3, 10],

@@ -1111,7 +1111,64 @@ object AnalyticsQueries {
               Multimodal.syntheticImageBlobs(
                 Tables(s, dir, "documents"), "doc_id")),
             maxHamming = 4)
-          .orderBy("doc_a", "doc_b"))
+          .orderBy("doc_a", "doc_b")),
+
+    // ----- perplexity-percentile gate (CCNet head/middle selection) -----
+    Q("q88_surprisal_gate",
+      "keep docs at or below the corpus p75 of mean unigram surprisal — " +
+        "the CCNet-style data-driven perplexity gate; threshold is a " +
+        "1-row exact percentile broadcast over the scored corpus",
+      Some(wCte + """,
+             |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM wf),
+             |sc AS (SELECT dw.doc_id, sum(dw.n) AS nt,
+             |              sum(CAST(dw.n AS DOUBLE) * -ln(CAST(wf.c AS DOUBLE) / tot.t)) AS s
+             |       FROM dw JOIN wf USING (word) CROSS JOIN tot GROUP BY dw.doc_id),
+             |sv AS (SELECT d.doc_id,
+             |              CASE WHEN sc.nt > 0 THEN round(sc.s / sc.nt, 6) END AS avg_surprisal
+             |       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+             |thr AS (SELECT round(quantile_cont(avg_surprisal, 0.75), 6) AS thr
+             |        FROM sv WHERE avg_surprisal IS NOT NULL)
+             |SELECT sv.doc_id, sv.avg_surprisal,
+             |       coalesce(sv.avg_surprisal <= thr.thr, false) AS keep
+             |FROM sv, thr ORDER BY sv.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.surprisalGate(Tables(s, dir, "documents"),
+            "doc_id", "text", p = 0.75)
+          .orderBy("doc_id")),
+
+    // ----- quality-canonical dup clusters -----
+    Q("q89_quality_canonical",
+      "near-dup clusters keep their BEST member (max n_chars, ties to min " +
+        "id) instead of the min id — canonical selection by quality, " +
+        "partial-aggregable max(struct) per component",
+      Some("WITH RECURSIVE" + shCte.stripPrefix("WITH") + lshCte + """,
+             | edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+             |           UNION ALL SELECT doc_b, doc_a FROM cand),
+             | walk AS (
+             |   SELECT a AS node, b AS reach FROM edges
+             |   UNION
+             |   SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+             | comp AS (
+             |   SELECT node, least(node, min(reach)) AS component
+             |   FROM walk GROUP BY node),
+             | scored AS (
+             |   SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             |          CAST(coalesce(d.n_chars, 0) AS BIGINT) AS quality
+             |   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+             | canon AS (
+             |   SELECT component, doc_id AS canon_id FROM (
+             |     SELECT component, doc_id,
+             |            row_number() OVER (PARTITION BY component
+             |              ORDER BY quality DESC, doc_id) AS rn
+             |     FROM scored) WHERE rn = 1)
+             |SELECT s.doc_id, s.component, s.quality, c.canon_id,
+             |       s.doc_id = c.canon_id AS keep
+             |FROM scored s JOIN canon c USING (component)
+             |ORDER BY s.doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.qualityCanonical(Tables(s, dir, "documents"),
+            "doc_id", "n_chars", "text")
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

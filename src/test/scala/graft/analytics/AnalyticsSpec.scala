@@ -164,6 +164,29 @@ class DedupSpec extends SparkTestBase {
     assert(canon(localOut) === canon(iterOut))
   }
 
+  test("qualityCanonical keeps the highest-quality cluster member, " +
+       "ties to the smallest id; singletons keep themselves") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, txt, 10L),           // cluster {1,2,3}: 3 has max quality
+      (2L, txt, 10L),
+      (3L, txt, 99L),
+      (7L, "totally different words entirely here now", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.qualityCanonical(docs, "doc_id", "n_chars", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq((1L, 3L, false), (2L, 3L, false),
+      (3L, 3L, true), (7L, 7L, true)), s"got ${out.toSeq}")
+    // tie on quality -> smallest id wins
+    val tied = Seq((4L, txt, 10L), (5L, txt, 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val out2 = Dedup.qualityCanonical(tied, "doc_id", "n_chars", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out2.toSeq === Seq((4L, 4L), (5L, 4L)))
+  }
+
   test("leakage-safe split: every member of a component gets the same " +
        "split; all three splits appear over many singleton components") {
     import spark.implicits._
@@ -630,6 +653,24 @@ class TextAnalysisSpec extends SparkTestBase {
       math.rint((sCommon + sRare) / 2 * 1e6) / 1e6) < 2e-6)
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
     assert(out(1).getDouble(2) > out(0).getDouble(2))
+  }
+
+  test("surprisalGate keeps the low-surprisal head up to the percentile " +
+       "and fails empty docs closed") {
+    import spark.implicits._
+    // common-word docs score low (kept); the rare-word doc scores high
+    val docs = Seq(
+      (1L, "common common common"),
+      (2L, "common common common"),
+      (3L, "common common common"),
+      (4L, "rare1 rare2 rare3"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.surprisalGate(docs, "doc_id", "text", p = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && out(2L) && out(3L), s"head docs keep: $out")
+    assert(!out(4L), "the rare-word doc is above the median")
+    assert(!out(5L), "null score fails closed")
   }
 
   test("bigramSurprisal: deterministic continuations score 0; rare " +
