@@ -101,7 +101,21 @@ object ScaleBench {
           analytics.TextAnalysis.unigramSurprisal(
             docs, "doc_id", "text").count()),
         "q78_pq_encode" -> (() =>
-          analytics.Pq.encode(emb, "vec_id", "embedding").count()))
+          analytics.Pq.encode(emb, "vec_id", "embedding").count()),
+        // k grows with the corpus (the SemDeDup contract: hold n_c flat);
+        // 8 clusters at 2k vectors -> keep ~250/cluster as n scales
+        "q81_semdedup" -> (() =>
+          analytics.Cluster.semDedup(emb, "vec_id", "embedding",
+            minCosine = 0.45, k = 8 * k, iters = 2).count()),
+        "q84_dup_coverage" -> (() =>
+          analytics.Dedup.dupShingleCoverage(docs, "doc_id", "text").count()),
+        "q85_bigram_surprisal" -> (() =>
+          analytics.TextAnalysis.bigramSurprisal(docs, "doc_id", "text").count()),
+        "q87_phash_neardup" -> (() =>
+          analytics.Multimodal.phashNearDupPairs(
+            analytics.Multimodal.perceptualHash(
+              analytics.Multimodal.syntheticImageBlobs(docs, "doc_id")),
+            maxHamming = 4).count()))
       ops.foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"[scalebench] x$k%-5d $name%-17s $rows%8d  $sec%6.2f")
