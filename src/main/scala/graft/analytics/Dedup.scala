@@ -260,11 +260,20 @@ object Dedup {
     * the candidate-stage ones. */
   def minhashBandsFromDocs(docs0: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, numHashes: Int = 8,
-                           bandSize: Int = 2): DataFrame = {
+                           bandSize: Int = 2): DataFrame =
+    bandsFromSigs(minhashSigs(docs0, idCol, textCol, n, numHashes),
+      numHashes, bandSize)
+
+  /** MinHash signature table (doc, sigs[numHashes]) — entirely map-side:
+    * each doc's shingle ARRAY is folded with `array_min` per seed. Docs
+    * with < n tokens emit no row. The signature IS the sketch: banding
+    * (candidates) and positional agreement (Jaccard estimation) both
+    * derive from it without touching text again. */
+  def minhashSigs(docs0: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, numHashes: Int = 8): DataFrame = {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
-    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
     val sigs = transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform($"shs",
         s => md5(concat(k.cast("string"), lit("|"), s)))))
@@ -273,12 +282,54 @@ object Dedup {
         graft.functions.WordNgrams.wordNgrams(col(textCol), n).as("shs"))
       .filter(size($"shs") > 0)
       .select($"doc", sigs.as("sigs"))
+  }
+
+  /** LSH band buckets from a [[minhashSigs]] table (map-side projection;
+    * Catalyst collapses it into the signature scan). */
+  def bandsFromSigs(sigsDf: DataFrame, numHashes: Int,
+                    bandSize: Int): DataFrame = {
+    val spark = sigsDf.sparkSession
+    import spark.implicits._
+    require(numHashes % bandSize == 0, "bandSize must divide numHashes")
+    sigsDf
       .select($"doc",
         explode(transform(sequence(lit(0), lit(numHashes / bandSize - 1)),
           b => struct(b.as("band"),
             md5(array_join(slice($"sigs", b * bandSize + 1, lit(bandSize)), ","))
               .as("bucket")))).as("bb"))
       .select($"doc", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+  }
+
+  /** MinHash Jaccard ESTIMATE over the LSH candidate pairs — similarity
+    * from signature agreement alone (est = agreeing positions /
+    * numHashes, the unbiased sketch estimator: each min-hash position
+    * agrees with probability J). This is the sketch-only fast path of the
+    * dedup family: unlike [[ngramJaccardPairsFromDocs]] the text is never
+    * re-read after the one signature pass, so pair scoring costs
+    * numHashes string compares instead of a shingle-set intersection.
+    *
+    * Scale shape: the signature table is materialized ONCE (checkpoint)
+    * and feeds banding + both score-join sides; candidates are the same
+    * capped bucket join as q19. */
+  def minhashJaccardEstimate(docs0: DataFrame, idCol: String,
+                             textCol: String, minEstimate: Double,
+                             n: Int = 3, numHashes: Int = 8,
+                             bandSize: Int = 2,
+                             maxBucket: Int = 1000): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigsDf = minhashSigs(docs, idCol, textCol, n, numHashes)
+      .localCheckpoint()
+    val cand = minhashCandidates(
+      bandsFromSigs(sigsDf, numHashes, bandSize), maxBucket)
+    cand
+      .join(sigsDf.select($"doc".as("doc_a"), $"sigs".as("sa")), Seq("doc_a"))
+      .join(sigsDf.select($"doc".as("doc_b"), $"sigs".as("sb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est"))
+      .filter($"est" >= minEstimate)
   }
 
   /** Distinct candidate pairs from LSH buckets. `maxBucket` drops giant

@@ -1168,7 +1168,27 @@ object AnalyticsQueries {
       (s, dir) =>
         Dedup.qualityCanonical(Tables(s, dir, "documents"),
             "doc_id", "n_chars", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- MinHash Jaccard estimate (sketch-only scoring) -----
+    Q("q90_minhash_estimate",
+      "Jaccard ESTIMATED from MinHash signature agreement over the LSH " +
+        "candidates (est = agreeing positions / 8) — pair scoring without " +
+        "ever re-reading text; est >= 0.25 kept",
+      Some(shCte + lshCte + """,
+             |est AS (
+             |  SELECT c.doc_a, c.doc_b,
+             |         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est
+             |  FROM cand c
+             |  JOIN sigs sa ON sa.doc = c.doc_a
+             |  JOIN sigs sb ON sb.doc = c.doc_b AND sb.k = sa.k
+             |  GROUP BY c.doc_a, c.doc_b)
+             |SELECT doc_a, doc_b, est FROM est
+             |WHERE est >= 0.25 ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) =>
+        Dedup.minhashJaccardEstimate(Tables(s, dir, "documents"),
+            "doc_id", "text", minEstimate = 0.25)
+          .orderBy("doc_a", "doc_b"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -64,6 +64,19 @@ class DedupSpec extends SparkTestBase {
       === exploded.map(r => (r.getLong(0), r.getInt(1), r.getString(2))))
   }
 
+  test("minhashJaccardEstimate: clones estimate 1.0; disjoint docs never " +
+       "pair; the estimate never exceeds 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // clone of 1
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val out = Dedup.minhashJaccardEstimate(docs, "doc_id", "text",
+        minEstimate = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("ngram Jaccard: identical docs score 1.0") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
