@@ -55,6 +55,15 @@ object Sampling {
   def tokenBudgetShards(docs: DataFrame, idCol: String, textCol: String,
                         budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    tokenPrefixes(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"),
+              expr(s"prefix DIV $budgetTokens").as("shard"))
+  }
+
+  /** The distributed exclusive token prefix sum (doc_id, n_tokens,
+    * prefix) shared by [[tokenBudgetShards]] and [[packSequences]]. */
+  private def tokenPrefixes(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = Par.ensure(docs).select(
@@ -77,8 +86,34 @@ object Sampling {
     parts.join(broadcast(offsets), "pid")
       .withColumn("prefix",
         sum($"n_tokens").over(inPart) - $"n_tokens" + $"off")
-      .select($"doc_id", $"n_tokens",
-              expr(s"prefix DIV $budgetTokens").as("shard"))
+      .select($"doc_id", $"n_tokens", $"prefix")
+  }
+
+  /** Fixed-length training-sequence packing: concatenate the corpus in
+    * `idCol` order and cut it into sequences of exactly `seqLen` tokens —
+    * the step that turns a curated corpus into the model's input
+    * sequences. Each document emits one row PER SEQUENCE IT TOUCHES:
+    * (doc_id, seq_id, tok_start, n_toks), where tok_start indexes into
+    * the document and Σ n_toks over a seq_id is exactly seqLen (except
+    * the final partial sequence). Pure integer arithmetic over the same
+    * two-level distributed prefix sum as [[tokenBudgetShards]]; the span
+    * explode is map-side (a doc emits ceil(n/seqLen)+1 rows at most).
+    * Docs with no tokens emit nothing. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    tokenPrefixes(docs, idCol, textCol)
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_tokens", $"prefix",
+        explode(sequence(expr(s"prefix DIV $seqLen"),
+                         expr(s"(prefix + n_tokens - 1) DIV $seqLen")))
+          .as("seq_id"))
+      .select($"doc_id", $"seq_id",
+        greatest(lit(0L), $"seq_id" * seqLen - $"prefix").as("tok_start"),
+        (least(($"seq_id" + 1) * seqLen - $"prefix", $"n_tokens") -
+         greatest(lit(0L), $"seq_id" * seqLen - $"prefix")).as("n_toks"))
   }
 
   /** Temperature-weighted mixture downsampling: keep-rate for group g is

@@ -1188,7 +1188,37 @@ object AnalyticsQueries {
       (s, dir) =>
         Dedup.minhashJaccardEstimate(Tables(s, dir, "documents"),
             "doc_id", "text", minEstimate = 0.25)
-          .orderBy("doc_a", "doc_b"))
+          .orderBy("doc_a", "doc_b")),
+
+    // ----- fixed-length training-sequence packing -----
+    Q("q91_pack_sequences",
+      "cut the id-ordered corpus into exact 128-token training sequences: " +
+        "one row per (doc, sequence-it-touches) span, from the same " +
+        "two-level distributed prefix sum as q64",
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             | c AS (
+             |  SELECT doc_id, n_tokens,
+             |         sum(n_tokens) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           - n_tokens AS prefix
+             |  FROM n),
+             | spans AS (
+             |  SELECT doc_id, n_tokens, prefix,
+             |         unnest(range(CAST(prefix // 128 AS BIGINT),
+             |                      CAST((prefix + n_tokens - 1) // 128 + 1 AS BIGINT))) AS seq_id
+             |  FROM c WHERE n_tokens > 0)
+             |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+             |       CAST(greatest(0, seq_id * 128 - prefix) AS BIGINT) AS tok_start,
+             |       CAST(least((seq_id + 1) * 128 - prefix, n_tokens)
+             |            - greatest(0, seq_id * 128 - prefix) AS BIGINT) AS n_toks
+             |FROM spans ORDER BY doc_id, seq_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.packSequences(
+            Tables(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
+          .orderBy("doc_id", "seq_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -54,6 +54,33 @@ class SamplingSpec extends SparkTestBase {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("packSequences: spans cover every doc exactly once, every " +
+       "sequence holds exactly seqLen tokens except the last, and " +
+       "boundaries land mid-doc where the arithmetic says") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i =>
+        (i, Seq.fill((i % 13).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(8)
+    val out = Sampling.packSequences(docs, "doc_id", "text", seqLen = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = (0L until 100L).map(i => (i % 13) + 1).sum
+    // every doc's spans sum to its token count and tile it from 0
+    val byDoc = out.groupBy(_._1)
+    for (i <- 0L until 100L) {
+      val spans = byDoc(i).sortBy(_._2)
+      assert(spans.map(_._4).sum === (i % 13) + 1, s"doc $i span sum")
+      assert(spans.head._3 === 0L, s"doc $i starts at 0")
+      val tiled = spans.scanLeft(0L)(_ + _._4).init
+      assert(spans.map(_._3).toSeq === tiled.toSeq, s"doc $i spans tile")
+    }
+    // every sequence is exactly 10 tokens except the final one
+    val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.max
+    assert(bySeq.filter(_._1 != lastSeq).values.forall(_ == 10L),
+      s"full sequences carry exactly seqLen: $bySeq")
+    assert(bySeq(lastSeq) === totalTokens - 10L * lastSeq)
+  }
+
   test("token shards: distributed prefix sum matches the naive global window") {
     import spark.implicits._
     val docs = (0L until 300L).map(i =>
