@@ -858,6 +858,27 @@ class MultimodalSpec extends SparkTestBase {
       s"half-bright pattern: ${out(2)}")
   }
 
+  test("perceptualHash is container-format invariant: the same pixels " +
+       "as PNG and BMP hash identically") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      11, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 11)
+      img.setRGB(x, y, ((x * 37 + y * 91) % 256) * 0x010101)
+    def enc(fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image/png", enc("png")),
+      Multimodal.MediaBlob(2L, "image/bmp", enc("bmp"))).toDS()
+    val out = Multimodal.perceptualHash(blobs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out(0) === out(1),
+      s"the hash is a function of pixels, not the container: ${out.toSeq}")
+  }
+
   test("phashNearDupPairs: clones collapse to one canonical, a 1-bit " +
        "flip pairs with it, a far hash does not") {
     import spark.implicits._
