@@ -101,6 +101,24 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val flagged = corpusFlags(docs, textCol).select(
+      col(idCol), col("fp"), col("q_ok"), col("lang"))
+    val verdict =
+      when(col(idCol) =!= min(col(idCol)).over(Window.partitionBy($"fp")), "dup")
+        .when(!$"q_ok", "low_quality")
+        .when($"lang" =!= "en", "non_en")
+        .otherwise("keep")
+    flagged
+      .select(col(idCol), verdict.as("verdict"),
+              when(verdict === "keep", 1).otherwise(0).as("keep"))
+  }
+
+  /** The fused per-row gate flags behind [[corpusFilter]] — fingerprint,
+    * quality, language — as ADDED columns (`fp`, `q_ok`, `lang`) so the
+    * same expressions serve the batch verdict and the streaming ingest
+    * gate ([[graft.streaming.CorpusIngest]]). Pure map-side; safe on a
+    * streaming DataFrame. */
+  def corpusFlags(docs: DataFrame, textCol: String): DataFrame = {
     val t  = col(textCol)
     val en = stopwordHits(t, enStop)
     val de = stopwordHits(t, deStop)
@@ -113,17 +131,9 @@ object TextAnalysis {
     val qualityOk =
       nTokens(t) >= 10 &&
         nPunct(t).cast("double") / nullif(length(t), lit(0)) < lit(0.2)
-    val flagged = docs.select(
-      col(idCol), md5(t).as("fp"),
-      qualityOk.as("q_ok"), lang.as("lang"))
-    val verdict =
-      when(col(idCol) =!= min(col(idCol)).over(Window.partitionBy($"fp")), "dup")
-        .when(!$"q_ok", "low_quality")
-        .when($"lang" =!= "en", "non_en")
-        .otherwise("keep")
-    flagged
-      .select(col(idCol), verdict.as("verdict"),
-              when(verdict === "keep", 1).otherwise(0).as("keep"))
+    docs.withColumn("fp", md5(t))
+      .withColumn("q_ok", qualityOk)
+      .withColumn("lang", lang)
   }
 
   /** Within-document repetition (Gopher-style boilerplate signal): the

@@ -225,4 +225,43 @@ class EventStreamsSpec extends SparkTestBase {
     assert(s1.getAs[Timestamp]("session_start") === ts(0))
     assert(s1.getAs[Timestamp]("session_end") === ts(20))
   }
+
+  test("streaming ingestGate emits exactly the docs the batch corpusFilter " +
+       "keeps, minus eval collisions (differential on identical input)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the cat sat on the mat and the dog is in the house today"
+    val good2 = "a fine day for the park and the sun is out in the town now"
+    val evald = "the exam answer is in the key and the test is in the book"
+    val rows = Seq(
+      (1L, ts(10), good1),                 // keep
+      (2L, ts(11), good1),                 // dup of 1 -> dropped
+      (3L, ts(12), "short text"),          // low quality
+      (4L, ts(13), "der hund ist nicht hier und das haus ist gross heute ja"), // non-en
+      (5L, ts(14), good2),                 // keep
+      (6L, ts(15), evald))                 // eval collision -> dropped
+    val evalFps = Seq(evald).toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val in = MemoryStream[(Long, Timestamp, String)]
+    in.addData(rows: _*)
+    val stream = CorpusIngest.ingestGate(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", evalFps)
+    val q = stream.writeStream.format("memory").queryName("ingested")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ingested")
+      .select("text").collect().map(_.getString(0)).toSet
+    // batch reference on the same rows: corpusFilter keeps, minus eval fps
+    val batchDocs = rows.toDF("doc_id", "ts", "text")
+    val batchKept = graft.analytics.TextAnalysis
+      .corpusFilter(batchDocs, "doc_id", "text")
+      .filter(col("keep") === 1)
+      .join(batchDocs, Seq("doc_id"))
+      .join(evalFps.withColumn("hit", lit(1)),
+            md5(col("text")) === col("fp"), "left_anti")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(streamed === batchKept, s"stream=$streamed batch=$batchKept")
+    assert(streamed === Set(good1, good2))
+  }
 }
