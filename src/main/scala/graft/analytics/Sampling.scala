@@ -116,6 +116,28 @@ object Sampling {
          greatest(lit(0L), $"seq_id" * seqLen - $"prefix")).as("n_toks"))
   }
 
+  /** Exactly-k-per-stratum sample: rank each stratum's rows by
+    * md5(id) (a deterministic uniform shuffle) and keep rank <= k — the
+    * eval/holdout-set construction step, where "about k" (a rate) is not
+    * acceptable and EXACTLY min(k, n_g) rows per stratum are. Ties in the
+    * hash are broken by id, so the result is total-order deterministic.
+    *
+    * Scale shape: one shuffle keyed on the stratum; each stratum's rank
+    * window runs within its partition. Strata are assumed numerous and
+    * individually partition-sized (the usual case: lang, source, shard);
+    * ONE giant stratum would funnel through one task — for that shape use
+    * [[stratifiedSample]] with a rate instead. */
+  def exactKPerStratum(docs: DataFrame, idCol: String, stratumCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rank = row_number().over(
+      Window.partitionBy(col(stratumCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol)))
+    docs.withColumn("sample_rank", rank)
+      .filter(col("sample_rank") <= k)
+      .drop("sample_rank")
+  }
+
   /** Temperature-weighted mixture downsampling: keep-rate for group g is
     * (n_g / n_min)^(alpha-1) — the α-temperature reweighting used to
     * rebalance multilingual/multi-domain corpora (target share ∝ n_g^α),

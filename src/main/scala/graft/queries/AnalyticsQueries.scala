@@ -1218,7 +1218,21 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Sampling.packSequences(
             Tables(s, dir, "documents"), "doc_id", "text", seqLen = 128L)
-          .orderBy("doc_id", "seq_id"))
+          .orderBy("doc_id", "seq_id")),
+
+    // ----- exactly-k-per-stratum sample (eval-set construction) -----
+    Q("q92_exact_k_sample",
+      "exactly 20 docs per lang, ranked by md5(id) — the deterministic " +
+        "holdout-set construction where a probabilistic rate won't do",
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.exactKPerStratum(
+            Tables(s, dir, "documents"), "doc_id", "lang", k = 20)
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

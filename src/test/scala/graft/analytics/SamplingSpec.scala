@@ -54,6 +54,21 @@ class SamplingSpec extends SparkTestBase {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("exactKPerStratum keeps exactly min(k, n) rows per stratum, " +
+       "deterministically") {
+    import spark.implicits._
+    val docs = (0L until 90L).map(i =>
+        (i, if (i < 60) "big" else if (i < 85) "mid" else "tiny"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.exactKPerStratum(docs, "doc_id", "lang", k = 10)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("big" -> 10L, "mid" -> 10L, "tiny" -> 5L))
+    val again = Sampling.exactKPerStratum(docs, "doc_id", "lang", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("packSequences: spans cover every doc exactly once, every " +
        "sequence holds exactly seqLen tokens except the last, and " +
        "boundaries land mid-doc where the arithmetic says") {
