@@ -169,7 +169,11 @@ object Sampling {
     // the threshold is a COLUMN here, not a plan-time literal)
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    d.join(broadcast(rates), Seq(groupCol))
+    // null-safe join: a null group is a stratum like any other (groupBy
+    // counts it, so its rate exists) — a plain equi-join would silently
+    // DROP every null-group row instead of sampling it
+    val r = rates.withColumnRenamed(groupCol, "__g")
+    d.join(broadcast(r), col(groupCol) <=> col("__g"))
       .filter(bucket < round(col("rate") * lit(4294967296.0)))
       .select(d.columns.map(col): _*)
   }

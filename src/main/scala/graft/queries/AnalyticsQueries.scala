@@ -1008,7 +1008,7 @@ object AnalyticsQueries {
              |mn AS (SELECT min(n) AS nmin FROM c),
              |r AS (SELECT lang, round(pow(CAST(n AS DOUBLE) / nmin, 0.7 - 1.0), 6) AS rate FROM c, mn)
              |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-             |FROM documents d JOIN r USING (lang)
+             |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
              |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              |      < round(r.rate * 4294967296.0)
              |ORDER BY d.doc_id""".stripMargin),

@@ -54,6 +54,17 @@ class SamplingSpec extends SparkTestBase {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperature sample treats a NULL group as a stratum (rows are " +
+       "sampled at its computed rate, never silently dropped)") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+        (i, if (i < 300) Some("big") else None)).toDF("doc_id", "lang")
+    // null group (100 rows) is n_min -> keeps everything at alpha < 1
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 0.5)
+    val nullKept = out.filter(col("lang").isNull).count()
+    assert(nullKept === 100L, s"null stratum keeps all its rows: $nullKept")
+  }
+
   test("exactKPerStratum keeps exactly min(k, n) rows per stratum, " +
        "deterministically") {
     import spark.implicits._
