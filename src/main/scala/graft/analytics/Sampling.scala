@@ -173,8 +173,8 @@ object Sampling {
     // counts it, so its rate exists) — a plain equi-join would silently
     // DROP every null-group row instead of sampling it
     val r = rates.withColumnRenamed(groupCol, "__g")
-    d.join(broadcast(r), col(groupCol) <=> col("__g"))
-      .filter(bucket < round(col("rate") * lit(4294967296.0)))
-      .select(d.columns.map(col): _*)
+    d.join(broadcast(r), d(groupCol) <=> r("__g"))
+      .filter(bucket < round(r("rate") * lit(4294967296.0)))
+      .select(d.columns.map(d(_)): _*)
   }
 }
