@@ -489,13 +489,18 @@ object Dedup {
     val docs = Par.ensure(docs0)
     val clusters = dupClusters(docs, idCol, textCol,
       numHashes, bandSize, maxBucket)
+    // checkpoint: scored feeds the canon aggregate AND the output join
+    // (same reason semDedup freezes its assignment table)
     val scored = clusters.join(
       docs.select(col(idCol),
         coalesce(col(qualityCol).cast("long"), lit(0L)).as("quality")),
-      Seq(idCol))
+      Seq(idCol)).localCheckpoint()
+    // min over (-quality, id): highest quality, ties to smallest id.
+    // The QUALITY side is negated (always numeric), never the id — string
+    // ids work, matching the generic-id contract of the rest of the family
     val canon = scored.groupBy(col("component"))
-      .agg(max(struct(col("quality"), (-col(idCol)).as("neg"))).as("m"))
-      .select(col("component"), (-col("m.neg")).cast("long").as("canon_id"))
+      .agg(min(struct((-col("quality")).as("nq"), col(idCol).as("cid"))).as("m"))
+      .select(col("component"), col("m.cid").as("canon_id"))
     scored.join(canon, Seq("component"))
       .select(col(idCol).as("doc_id"), col("component"), col("quality"),
         col("canon_id"), (col(idCol) === col("canon_id")).as("keep"))

@@ -133,9 +133,10 @@ object Sampling {
     val rank = row_number().over(
       Window.partitionBy(col(stratumCol))
         .orderBy(md5(col(idCol).cast("string")), col(idCol)))
-    docs.withColumn("sample_rank", rank)
-      .filter(col("sample_rank") <= k)
-      .drop("sample_rank")
+    // internal staging name: callers' columns must survive untouched
+    docs.withColumn("__graft_sample_rank", rank)
+      .filter(col("__graft_sample_rank") <= k)
+      .drop("__graft_sample_rank")
   }
 
   /** Temperature-weighted mixture downsampling: keep-rate for group g is

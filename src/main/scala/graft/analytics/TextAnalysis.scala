@@ -102,11 +102,11 @@ object TextAnalysis {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val flagged = corpusFlags(docs, textCol).select(
-      col(idCol), col("fp"), col("q_ok"), col("lang"))
+      col(idCol), col("fp"), col("q_ok"), col("lang_guess"))
     val verdict =
       when(col(idCol) =!= min(col(idCol)).over(Window.partitionBy($"fp")), "dup")
         .when(!$"q_ok", "low_quality")
-        .when($"lang" =!= "en", "non_en")
+        .when($"lang_guess" =!= "en", "non_en")
         .otherwise("keep")
     flagged
       .select(col(idCol), verdict.as("verdict"),
@@ -114,10 +114,13 @@ object TextAnalysis {
   }
 
   /** The fused per-row gate flags behind [[corpusFilter]] — fingerprint,
-    * quality, language — as ADDED columns (`fp`, `q_ok`, `lang`) so the
-    * same expressions serve the batch verdict and the streaming ingest
-    * gate ([[graft.streaming.CorpusIngest]]). Pure map-side; safe on a
-    * streaming DataFrame. */
+    * quality, language guess — as ADDED columns `fp`, `q_ok`,
+    * `lang_guess`, so the same expressions serve the batch verdict and
+    * the streaming ingest gate ([[graft.streaming.CorpusIngest]]). The
+    * names are RESERVED: an input column of the same name is replaced
+    * (`lang_guess` rather than `lang` precisely so a source-metadata
+    * `lang` column — the documents table has one — survives untouched).
+    * Pure map-side; safe on a streaming DataFrame. */
   def corpusFlags(docs: DataFrame, textCol: String): DataFrame = {
     val t  = col(textCol)
     val en = stopwordHits(t, enStop)
@@ -133,7 +136,7 @@ object TextAnalysis {
         nPunct(t).cast("double") / nullif(length(t), lit(0)) < lit(0.2)
     docs.withColumn("fp", md5(t))
       .withColumn("q_ok", qualityOk)
-      .withColumn("lang", lang)
+      .withColumn("lang_guess", lang)
   }
 
   /** Within-document repetition (Gopher-style boilerplate signal): the
@@ -343,7 +346,9 @@ object TextAnalysis {
   def surprisalGate(docs0: DataFrame, idCol: String, textCol: String,
                     p: Double = 0.75): DataFrame = {
     require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
-    val scores = unigramSurprisal(docs0, idCol, textCol)
+    // checkpoint: scores feeds the threshold aggregate AND the output
+    // projection — without it the scoring join runs twice per action
+    val scores = unigramSurprisal(docs0, idCol, textCol).localCheckpoint()
     val thr = scores.filter(col("avg_surprisal").isNotNull)
       .agg(round(expr(s"percentile(avg_surprisal, $p)"), 6).as("thr"))
     scores.crossJoin(broadcast(thr))
@@ -366,8 +371,7 @@ object TextAnalysis {
   def gopherRules(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = Par.ensure(docs0)
     val t = col(textCol)
-    val toks = filter(split(regexp_replace(trim(lower(t)), "\\s+", " "), " "),
-      x => x =!= "")
+    val toks = Dedup.tokens(t)
     val ntok = when(t.isNull, lit(null).cast("long"))
       .otherwise(size(toks).cast("long"))
     val ntokNz = nullif(ntok, lit(0L))

@@ -34,8 +34,8 @@ object CorpusIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
     flagged
-      .filter(col("q_ok") && col("lang") === keepLang)
+      .filter(col("q_ok") && col("lang_guess") === keepLang)
       .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_anti")
-      .select(col(idCol), col(tsCol), col(textCol), col("lang"))
+      .select(col(idCol), col(tsCol), col(textCol), col("lang_guess"))
   }
 }

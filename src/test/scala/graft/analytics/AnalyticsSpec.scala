@@ -198,6 +198,14 @@ class DedupSpec extends SparkTestBase {
     val out2 = Dedup.qualityCanonical(tied, "doc_id", "n_chars", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(out2.toSeq === Seq((4L, 4L), (5L, 4L)))
+    // STRING ids work: only the quality side is negated, never the id
+    val sids = Seq(("a", txt, 10L), ("b", txt, 99L), ("c", txt, 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val out3 = Dedup.qualityCanonical(sids, "doc_id", "n_chars", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(3), r.getBoolean(4)))
+    assert(out3.toSeq === Seq(("a", "b", false), ("b", "b", true),
+      ("c", "b", false)), s"got ${out3.toSeq}")
   }
 
   test("leakage-safe split: every member of a component gets the same " +
