@@ -65,13 +65,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
+    // SPARK_GRAFT_BENCH_PASSES=N (default 1, the driver contract): run each
+    // query N times and report the LAST pass — the steady-state number with
+    // plan compilation and codegen warm, for SCALE.md evidence
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      // a failed query must read as a FAILURE (-1), not a fast success
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      dropAllBlocks()
+      val sec = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        // a failed query must read as a FAILURE (-1), not a fast success
+        val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        dropAllBlocks()
+        s
+      }.last
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
