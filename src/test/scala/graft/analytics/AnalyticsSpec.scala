@@ -116,6 +116,33 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() === 0)
   }
 
+  test("dupShingleCoverage == local brute force on random docs " +
+       "(differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val words = Vector("aa", "bb", "cc", "dd", "ee")
+    val raw = (0L until 120L).map { i =>
+      (i, Seq.fill(rnd.nextInt(9))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    val out = Dedup.dupShingleCoverage(raw.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // brute force: distinct 3-gram sets per doc, df over docs
+    val sets = raw.map { case (i, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      i -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val dfCount = sets.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for ((i, shs) <- sets) {
+      val nd = shs.count(s => dfCount(s) >= 2)
+      assert(out(i) === ((shs.size.toLong, nd.toLong)),
+        s"doc $i: got ${out(i)}, want (${shs.size}, $nd)")
+    }
+  }
+
   test("dupShingleCoverage: shared trigram counts as dup for both docs; " +
        "unique and short docs report 0/null") {
     import spark.implicits._
@@ -692,6 +719,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) && out(2L) && out(3L), s"head docs keep: $out")
     assert(!out(4L), "the rare-word doc is above the median")
     assert(!out(5L), "null score fails closed")
+  }
+
+  test("bigramSurprisal == local brute force on random docs " +
+       "(differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Vector("x", "y", "z", "w")
+    val raw = (0L until 80L).map { i =>
+      (i, Seq.fill(rnd.nextInt(7))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    val out = TextAnalysis.bigramSurprisal(raw.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // brute force: corpus bigram + prefix counts, then per-doc mean -ln P
+    val docBgs = raw.map { case (i, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      i -> toks.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    }.toMap
+    val bf = docBgs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val pf = bf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    for ((i, bgs) <- docBgs) {
+      if (bgs.isEmpty) assert(out(i) === ((0L, None)), s"doc $i empty")
+      else {
+        val s = bgs.map(bg => -math.log(bf(bg).toDouble / pf(bg._1))).sum
+        val want = math.rint(s / bgs.size * 1e6) / 1e6
+        assert(out(i)._1 === bgs.size.toLong, s"doc $i count")
+        assert(math.abs(out(i)._2.get - want) < 2e-6,
+          s"doc $i: got ${out(i)._2.get}, want $want")
+      }
+    }
   }
 
   test("bigramSurprisal: deterministic continuations score 0; rare " +
