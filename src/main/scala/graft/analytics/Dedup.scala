@@ -175,6 +175,37 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"inter_n", $"n_a", $"n_b", $"jaccard")
   }
 
+  /** Exact substring-duplication pairs: documents sharing at least
+    * `minShared` runs of `spanLen` CONSECUTIVE tokens — the
+    * exact-substring dedup signal (long verbatim overlaps mean copied
+    * text even when overall Jaccard is low, the failure mode
+    * whole-document similarity misses). A span is a spanLen-token
+    * shingle, so this is the inverted-index self-join with a longer
+    * n-gram and a shared-count threshold instead of a ratio; the
+    * hot-span df cap bounds the hottest key exactly as in
+    * [[ngramJaccardPairsFromDocs]] (boilerplate spans shared by
+    * thousands of docs are dropped, so the count is a lower bound — and
+    * the oracle applies the identical cap). Output:
+    * (doc_a, doc_b, n_shared_spans). */
+  def substringDupPairs(docs0: DataFrame, idCol: String, textCol: String,
+                        spanLen: Int = 5, minShared: Int = 1,
+                        maxDocFreq: Int = 1000): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shP = shingles(docs, idCol, textCol, n = spanLen)
+      .repartition($"sh").localCheckpoint()
+    val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+    val cold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
+    val a = cold.select($"doc".as("doc_a"), $"sh")
+    val b = cold.select($"doc".as("doc_b"), $"sh")
+    a.join(b, Seq("sh")).filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter($"n_shared_spans" >= minShared)
+  }
+
   /** Eval-set decontamination: training documents sharing >= `minShared`
     * word n-gram shingles with any held-out (eval) document — the overlap
     * check a training pipeline runs before shipping a corpus, so benchmark

@@ -1232,7 +1232,30 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Sampling.exactKPerStratum(
             Tables(s, dir, "documents"), "doc_id", "lang", k = 20)
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- exact substring-duplication pairs -----
+    Q("q93_substring_dups",
+      "doc pairs sharing runs of 5 consecutive tokens (exact-substring " +
+        "dedup signal: verbatim overlap even at low whole-doc Jaccard) — " +
+        "inverted-index self-join on 5-gram spans, hot-span cap",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sh0 AS (
+             |  SELECT DISTINCT doc_id AS doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS sh
+             |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5)),
+             |cap AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+             |cold AS (SELECT s.* FROM sh0 s LEFT JOIN cap USING (sh) WHERE cap.sh IS NULL)
+             |SELECT a.doc AS doc_a, b.doc AS doc_b,
+             |       CAST(count(*) AS BIGINT) AS n_shared_spans
+             |FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc < b.doc
+             |GROUP BY doc_a, doc_b HAVING count(*) >= 1
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) =>
+        Dedup.substringDupPairs(Tables(s, dir, "documents"),
+            "doc_id", "text", spanLen = 5, minShared = 1)
+          .orderBy("doc_a", "doc_b"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -116,6 +116,24 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() === 0)
   }
 
+  test("substringDupPairs: a copied 5-token run pairs its docs with the " +
+       "right span count; low-Jaccard docs still pair; hot spans capped") {
+    import spark.implicits._
+    val run = "p q r s t"
+    val docs = Seq(
+      (1L, s"$run u v w x y z aa bb cc dd"),     // shares the run with 2
+      (2L, s"one two three four $run five six"), // low Jaccard vs 1
+      (3L, "totally different words here now indeed friend")).toDF("doc_id", "text")
+    val out = Dedup.substringDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1L)), s"got ${out.toSeq}")
+    // cap: a span in every doc disappears at maxDocFreq=1
+    val all = (1L to 4L).map(i => (i, s"$run unique$i only$i mine$i her$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDupPairs(all, "doc_id", "text",
+      maxDocFreq = 1).count() === 0L)
+  }
+
   test("dupShingleCoverage == local brute force on random docs " +
        "(differential)") {
     import spark.implicits._
