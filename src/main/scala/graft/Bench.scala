@@ -68,7 +68,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_PASSES=N (default 1, the driver contract): run each
     // query N times and report the LAST pass — the steady-state number with
     // plan compilation and codegen warm, for SCALE.md evidence
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(v => v.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$v'")))
+      .getOrElse(1).max(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -89,7 +92,9 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "passes" makes the artifact self-describing: steady-state runs must
+    // never be compared against first-pass runs as if they were the same
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -145,23 +145,33 @@ object Dedup {
     * shingle counts (`countsOf` receives the CHECKPOINTED shingles so a
     * count-by-aggregation reads the materialized blocks, while map-side
     * callers can ignore it). */
+  /** The one physical shape behind every inverted-index pair operator
+    * ([[jaccardCore]], [[decontaminate]], [[substringDupPairs]]):
+    * materialize a (…, sh) table ONCE — hash-partitioned on the shingle
+    * so the downstream self-join needs no further exchange,
+    * localCheckpoint'd because the plan consumes the subtree up to four
+    * times (df scan, anti-join, both join sides) and Spark does not
+    * reuse non-identical aliased subtrees — then drop rows whose
+    * shingle's document frequency exceeds `maxDocFreq`. The HOT set is
+    * tiny by construction, so it broadcast-anti-joins away (broadcasting
+    * the rare set would ship ~the whole vocabulary). Returns
+    * (materialized, capped). */
+  private def cappedColdShingles(sh: DataFrame,
+                                 maxDocFreq: Int): (DataFrame, DataFrame) = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val shP = sh.repartition($"sh").localCheckpoint()
+    val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select($"sh")
+    (shP, shP.join(broadcast(hot), Seq("sh"), "left_anti"))
+  }
+
   private def jaccardCore(sh: DataFrame, countsOf: DataFrame => DataFrame,
                           minJaccard: Double, maxDocFreq: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    // materialize shingles ONCE: the plan consumes this subtree up to four
-    // times (df scan, anti-join, both self-join sides) and Spark does not
-    // reuse non-identical aliased subtrees — localCheckpoint persists the
-    // partitioned blocks and truncates lineage (blocks are released when
-    // the RDD is GC'd). Hash-partitioned by shingle first so the self-join
-    // needs no further exchange.
-    val shP = sh.repartition($"sh").localCheckpoint()
+    val (shP, cold) = cappedColdShingles(sh, maxDocFreq)
     val counts = countsOf(shP)
-    // the HOT set (df > cap) is tiny by construction — broadcast anti-join
-    // it away; broadcasting the rare set would ship ~the whole vocabulary
-    val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDocFreq).select($"sh")
-    val cold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
     val a = cold.select($"doc".as("doc_a"), $"sh")
     val b = cold.select($"doc".as("doc_b"), $"sh")
     val inter = a.join(b, Seq("sh")).filter($"doc_a" < $"doc_b")
@@ -193,11 +203,8 @@ object Dedup {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val shP = shingles(docs, idCol, textCol, n = spanLen)
-      .repartition($"sh").localCheckpoint()
-    val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDocFreq).select($"sh")
-    val cold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
+    val (_, cold) = cappedColdShingles(
+      shingles(docs, idCol, textCol, n = spanLen), maxDocFreq)
     val a = cold.select($"doc".as("doc_a"), $"sh")
     val b = cold.select($"doc".as("doc_b"), $"sh")
     a.join(b, Seq("sh")).filter($"doc_a" < $"doc_b")
@@ -233,13 +240,8 @@ object Dedup {
     // — and shingles outside the eval set can't produce pairs anyway, so
     // the result is identical to capping the full corpus first.
     val evalShingles = sh.filter($"is_eval").select($"sh").distinct()
-    val f = sh.join(broadcast(evalShingles), Seq("sh"), "left_semi")
-      // materialized once, pre-partitioned on the join key (cap scan +
-      // both join sides consume it)
-      .repartition($"sh").localCheckpoint()
-    val hot = f.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDocFreq).select($"sh")
-    val cold = f.join(broadcast(hot), Seq("sh"), "left_anti")
+    val (_, cold) = cappedColdShingles(
+      sh.join(broadcast(evalShingles), Seq("sh"), "left_semi"), maxDocFreq)
     val train = cold.filter(!$"is_eval").select($"sh", $"doc".as("train_doc"))
     val eval  = cold.filter($"is_eval").select($"sh", $"doc".as("eval_doc"))
     train.join(eval, Seq("sh"))
@@ -512,7 +514,8 @@ object Dedup {
     *
     * Scale shape: clustering is [[dupClusters]] (capped LSH candidates +
     * tiered components); canonical selection is a partial-aggregable
-    * `max(struct(quality, -id))` per component — no window over the
+    * `min(struct(-quality, id))` per component — the QUALITY side is
+    * negated, never the id, so string ids work — no window over the
     * corpus. */
   def qualityCanonical(docs0: DataFrame, idCol: String, qualityCol: String,
                        textCol: String, numHashes: Int = 8,
