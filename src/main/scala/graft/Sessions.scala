@@ -24,9 +24,12 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
 
   /** Builder with the engine's required semantics applied; caller sets
-    * master/shuffle sizing or takes the locals below. */
+    * master/shuffle sizing or takes the locals below. Also registers the
+    * native kernels as SQL functions ([[GraftExtensions]]) so
+    * `spark.sql("SELECT cosine_sim(…)")` works out of the box. */
   def configured(builder: SparkSession.Builder): SparkSession.Builder =
     builder
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
