@@ -226,6 +226,30 @@ class EventStreamsSpec extends SparkTestBase {
     assert(s1.getAs[Timestamp]("session_end") === ts(20))
   }
 
+  test("ingestGate drops a cross-batch duplicate while the watermark " +
+       "holds its state (the streaming dedup contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the cat sat on the mat and the dog is in the house today"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val stream = CorpusIngest.ingestGate(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", Seq.empty[String].toDF("text")
+        .select(md5(col("text")).as("fp")),
+      watermark = "2 hours")
+    val q = stream.writeStream.format("memory").queryName("xbatch")
+      .outputMode("append").start()
+    in.addData((1L, ts(10), good))
+    q.processAllAvailable()
+    // second batch, same text, still within the watermark -> deduped
+    in.addData((2L, ts(30), good))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("xbatch").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L),
+      s"the in-watermark cross-batch duplicate must be dropped: $ids")
+  }
+
   test("streaming ingestGate emits exactly the docs the batch corpusFilter " +
        "keeps, minus eval collisions (differential on identical input)") {
     import spark.implicits._
