@@ -332,6 +332,35 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Unicode-script character ratios + dominant script — the lang-id
+    * pre-filter that works where stopword scoring is blind (CJK,
+    * Cyrillic, mixed-script spam). Counts are per CHARACTER CLASS via
+    * explicit code-point ranges (`\x{…}` syntax, the form Java regex and
+    * RE2 read identically — named script classes differ between the
+    * engines); ratios are over non-space characters. Dominant script is
+    * the argmax with ties broken latin > cyrillic > cjk > other, "und"
+    * for empty docs. Entirely map-side. */
+  def scriptRatios(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val t = col(textCol)
+    val nonSpace = nullif(length(regexp_replace(t, "\\s", "")), lit(0))
+    def cnt(cls: String) = regexp_count(t, lit(cls))
+    val latin = cnt("[A-Za-z]")
+    val cyr   = cnt("[\\x{0400}-\\x{04FF}]")
+    val cjk   = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val m = greatest(latin, cyr, cjk)
+    val dominant = when(nonSpace.isNull || m === 0, "und")
+      .when(latin === m, "latin")
+      .when(cyr === m, "cyrillic")
+      .otherwise("cjk")
+    docs.select(
+      col(idCol),
+      (latin.cast("double") / nonSpace).as("latin_ratio"),
+      (cyr.cast("double") / nonSpace).as("cyrillic_ratio"),
+      (cjk.cast("double") / nonSpace).as("cjk_ratio"),
+      dominant.as("script"))
+  }
+
   /** Perplexity-percentile gate: keep documents whose mean unigram
     * surprisal sits at or below the corpus `p`-quantile — the CCNet
     * "head/middle" selection, where the threshold is data-driven rather

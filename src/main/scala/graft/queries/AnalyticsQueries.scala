@@ -1255,7 +1255,40 @@ object AnalyticsQueries {
       (s, dir) =>
         Dedup.substringDupPairs(Tables(s, dir, "documents"),
             "doc_id", "text", spanLen = 5, minShared = 1)
-          .orderBy("doc_a", "doc_b"))
+          .orderBy("doc_a", "doc_b")),
+
+    // ----- Unicode script ratios (lang-id pre-filter) -----
+    Q("q94_script_ratios",
+      "per-doc Unicode script character ratios (latin/cyrillic/CJK via " +
+        "portable code-point ranges) + dominant script — the lang-id " +
+        "pre-filter that works where stopword scoring is blind",
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             |         / nullif(length(regexp_replace(text, '\s', '', 'g')), 0) AS latin_ratio,
+             |       CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS DOUBLE)
+             |         / nullif(length(regexp_replace(text, '\s', '', 'g')), 0) AS cyrillic_ratio,
+             |       CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS DOUBLE)
+             |         / nullif(length(regexp_replace(text, '\s', '', 'g')), 0) AS cjk_ratio,
+             |       CASE WHEN nullif(length(regexp_replace(text, '\s', '', 'g')), 0) IS NULL
+             |              OR greatest(len(regexp_extract_all(text, '[A-Za-z]')),
+             |                          len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')),
+             |                          len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))) = 0
+             |            THEN 'und'
+             |            WHEN len(regexp_extract_all(text, '[A-Za-z]')) =
+             |                 greatest(len(regexp_extract_all(text, '[A-Za-z]')),
+             |                          len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')),
+             |                          len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')))
+             |            THEN 'latin'
+             |            WHEN len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) =
+             |                 greatest(len(regexp_extract_all(text, '[A-Za-z]')),
+             |                          len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')),
+             |                          len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')))
+             |            THEN 'cyrillic' ELSE 'cjk' END AS script
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.scriptRatios(Tables(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

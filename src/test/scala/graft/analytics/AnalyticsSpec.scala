@@ -721,6 +721,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("scriptRatios: cyrillic and CJK text classify by code-point " +
+       "range; mixed text ratios sum correctly; empty is und") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello plain latin words"),
+      (2L, "привет мир это тест"),
+      (3L, "你好世界测试文本"),
+      (4L, "abc привет"),   // 3 latin vs 6 cyrillic -> cyrillic
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptRatios(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("script")).toSeq
+      === Seq("latin", "cyrillic", "cjk", "cyrillic", "und"))
+    assert(out(2).getAs[Double]("cjk_ratio") === 1.0)
+    assert(math.abs(out(3).getAs[Double]("latin_ratio") - 3.0 / 9) < 1e-12)
+    assert(out(4).isNullAt(1))
+  }
+
   test("surprisalGate keeps the low-surprisal head up to the percentile " +
        "and fails empty docs closed") {
     import spark.implicits._
