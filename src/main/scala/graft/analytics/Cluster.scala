@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
-  /** The shared Lloyd core: (vid, v, cluster, d2) after `iters`
-    * iterations. Empty clusters keep their previous centroid (rule
+  /** The shared Lloyd core: the assignment table (vid, v, cluster, d2)
+    * after `iters` iterations, plus the trained model (k centroids in
+    * cluster order). Empty clusters keep their previous centroid (rule
     * pinned for the oracle; at k ≪ n it never fires). */
   private def lloyd(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int): DataFrame = {
+                    k: Int, iters: Int): (DataFrame, Seq[Seq[Double]]) = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val (v, _) = Pq.vectors(Par.ensure(emb), idCol, vecCol)
     var cents: Seq[Seq[Double]] = Pq.codebookRows(v, k)
@@ -65,7 +66,7 @@ object Cluster {
         means.getOrElse(c, old)
       }
     }
-    assigned(cents)
+    (assigned(cents), cents)
   }
 
   /** Assign every vector to a cluster after `iters` Lloyd iterations.
@@ -73,7 +74,7 @@ object Cluster {
     * winning centroid, rounded to 6 decimals. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int = 8, iters: Int = 2): DataFrame =
-    lloyd(emb, idCol, vecCol, k, iters).select(
+    lloyd(emb, idCol, vecCol, k, iters)._1.select(
       col("vid").as("vec_id"),
       col("cluster").cast("int").as("cluster"),
       round(col("d2"), 6).as("dist2"))
@@ -96,7 +97,7 @@ object Cluster {
                maxCluster: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val aa = lloyd(emb, idCol, vecCol, k, iters)
+    val aa = lloyd(emb, idCol, vecCol, k, iters)._1
       .select($"vid", $"v", $"cluster").localCheckpoint()
     val big = aa.groupBy($"cluster").agg(count(lit(1)).as("n"))
       .filter($"n" > maxCluster).select($"cluster")
@@ -110,5 +111,48 @@ object Cluster {
       .select($"vid".as("vec_id"),
         $"cluster".cast("int").as("cluster"),
         $"dup".isNull.as("keep"))
+  }
+
+  /** IVF top-k over the TRAINED k-means index — the production ANN
+    * structure ([[graft.analytics.Similarity.ivfTopK]] probes
+    * hash-derived centroids; this probes the learned model). Every
+    * corpus vector queries the index: its `nprobe` nearest centroids
+    * select the inverted lists to scan, exact distances rank the
+    * candidates. Tie rules pinned for the oracle: probe order
+    * (round-6 centroid distance, cluster id), result order (round-6
+    * distance, neighbor id); self excluded.
+    *
+    * Scale shape: the probe is MAP-SIDE over the broadcast k×dim model
+    * (array of (dist, cluster) structs, sorted and sliced in-row); the
+    * candidate join is keyed on cluster against the checkpointed
+    * assignment table; the rank window partitions by query — per-query
+    * candidates are Σ of nprobe inverted-list sizes, never the corpus. */
+  def kmeansIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 2, kTop: Int = 5,
+                    nprobe: Int = 2): DataFrame = {
+    require(kTop >= 1, "kTop must be >= 1")
+    require(nprobe >= 1 && nprobe <= k, "nprobe must be in [1, k]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, cents) = lloyd(emb, idCol, vecCol, k, iters)
+    val aa = assigned.select($"vid", $"v", $"cluster").localCheckpoint()
+    val probeArr = array(cents.zipWithIndex.map { case (cv, c) =>
+      struct(round(Pq.d2($"v", typedLit(cv)), 6).as("pd"),
+             lit(c).as("pc"))
+    }: _*)
+    val probes = aa
+      .select($"vid".as("qid"), $"v".as("qv"),
+        explode(slice(array_sort(probeArr), 1, nprobe)).as("p"))
+      .select($"qid", $"qv", $"p.pc".as("cluster"))
+    val cand = probes.join(aa, Seq("cluster"))
+      .filter($"vid" =!= $"qid")
+      .select($"qid", $"vid".as("nid"),
+        round(Pq.d2($"qv", $"v"), 6).as("nd"))
+    val rn = row_number().over(
+      Window.partitionBy($"qid").orderBy($"nd", $"nid"))
+    cand.withColumn("rn", rn).filter($"rn" <= kTop)
+      .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
+        $"nd".as("dist2"))
   }
 }

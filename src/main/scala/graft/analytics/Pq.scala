@@ -59,7 +59,7 @@ object Pq {
 
   /** Squared Euclidean distance between two slices, folded in index
     * order (no reassociation — cross-engine reproducible to ulps). */
-  private def d2(a: Column, b: Column): Column =
+  private[analytics] def d2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 

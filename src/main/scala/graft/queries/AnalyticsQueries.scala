@@ -1288,7 +1288,34 @@ object AnalyticsQueries {
       (s, dir) =>
         TextAnalysis.scriptRatios(Tables(s, dir, "documents"),
             "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- IVF top-k over the TRAINED k-means index -----
+    Q("q95_kmeans_ivf_topk",
+      "top-5 nearest neighbors through the trained k-means IVF index " +
+        "(nprobe=2 learned centroids select the inverted lists; exact " +
+        "distances rank candidates) — the production ANN structure, vs " +
+        "q25's hash-derived centroids",
+      Some(kmCte + """,
+             |probe AS (
+             |  SELECT vec_id AS qid, vv AS qv, c AS pc FROM (
+             |    SELECT v.vec_id, v.vv, i.c,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY round(pow(list_distance(v.vv, i.cv), 2), 6), i.c) AS rn
+             |    FROM v, cent2 i) WHERE rn <= 2),
+             |cand AS (
+             |  SELECT p.qid, a.vec_id AS nid,
+             |         round(pow(list_distance(p.qv, a.vv), 2), 6) AS nd
+             |  FROM probe p JOIN a2 a ON a.c = p.pc AND a.vec_id <> p.qid)
+             |SELECT qid AS query_id, nid AS neighbor_id, nd AS dist2 FROM (
+             |  SELECT qid, nid, nd,
+             |         row_number() OVER (PARTITION BY qid ORDER BY nd, nid) AS rn
+             |  FROM cand) WHERE rn <= 5
+             |ORDER BY query_id, dist2, neighbor_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Cluster.kmeansIvfTopK(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 2, kTop = 5, nprobe = 2)
+          .orderBy("query_id", "dist2", "neighbor_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

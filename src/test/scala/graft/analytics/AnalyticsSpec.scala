@@ -528,6 +528,36 @@ class PqSpec extends SparkTestBase {
     assert(out.forall(_._3 < 0.1))
   }
 
+  test("kmeansIvfTopK: with nprobe=k (scan everything) the trained index " +
+       "returns exact brute-force neighbors; with nprobe=1 results stay " +
+       "within the probed cluster") {
+    import spark.implicits._
+    def blob(sign: Double, i: Long): Array[Float] =
+      Array.tabulate(8)(j => (sign * (1.0 + 0.2 * math.sin(i * 3.1 + j))).toFloat)
+    val emb = ((0L until 10L).map(i => (i, blob(1.0, i))) ++
+               (20L until 30L).map(i => (i, blob(-1.0, i))))
+      .toDF("vec_id", "embedding")
+    val full = Cluster.kmeansIvfTopK(emb, "vec_id", "embedding",
+        k = 2, iters = 2, kTop = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // brute force: exact squared distance, same rounding/tie rules
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((q, qs) <- full) {
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(n => (math.rint(vecs(q).zip(vecs(n))
+          .map { case (a, b) => (a - b) * (a - b) }.sum * 1e6) / 1e6, n))
+        .sorted.take(3).map(_._2)
+      assert(qs.map(_._2).toSeq === want, s"query $q")
+    }
+    // nprobe=1: every neighbor shares the query's (well-separated) blob
+    val one = Cluster.kmeansIvfTopK(emb, "vec_id", "embedding",
+        k = 2, iters = 3, kTop = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.forall { case (q, n) => (q < 10L) == (n < 10L) },
+      s"nprobe=1 stays in-cluster: ${one.toSeq}")
+  }
+
   test("semDedup drops all-but-the-lowest-id of a near-dup group within " +
        "a cluster and keeps everything else") {
     import spark.implicits._
