@@ -337,13 +337,16 @@ object TextAnalysis {
     * Cyrillic, mixed-script spam). Counts are per CHARACTER CLASS via
     * explicit code-point ranges (`\x{…}` syntax, the form Java regex and
     * RE2 read identically — named script classes differ between the
-    * engines); ratios are over non-space characters. Dominant script is
-    * the argmax with ties broken latin > cyrillic > cjk > other, "und"
-    * for empty docs. Entirely map-side. */
+    * engines); ratios are over non-whitespace characters, where
+    * whitespace is the EXPLICIT class `[ \t\n\x0B\f\r]` — bare `\s`
+    * itself diverges (Java includes U+000B, RE2 does not). Dominant
+    * script is the argmax with ties broken latin > cyrillic > cjk,
+    * "und" for empty docs. Entirely map-side. */
   def scriptRatios(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = Par.ensure(docs0)
     val t = col(textCol)
-    val nonSpace = nullif(length(regexp_replace(t, "\\s", "")), lit(0))
+    val nonSpace =
+      nullif(length(regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]", "")), lit(0))
     def cnt(cls: String) = regexp_count(t, lit(cls))
     val latin = cnt("[A-Za-z]")
     val cyr   = cnt("[\\x{0400}-\\x{04FF}]")

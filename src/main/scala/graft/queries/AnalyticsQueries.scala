@@ -1264,12 +1264,12 @@ object AnalyticsQueries {
         "pre-filter that works where stopword scoring is blind",
       Some("""SELECT doc_id,
              |       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-             |         / nullif(length(regexp_replace(text, '\s', '', 'g')), 0) AS latin_ratio,
+             |         / nullif(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')), 0) AS latin_ratio,
              |       CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS DOUBLE)
-             |         / nullif(length(regexp_replace(text, '\s', '', 'g')), 0) AS cyrillic_ratio,
+             |         / nullif(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')), 0) AS cyrillic_ratio,
              |       CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS DOUBLE)
-             |         / nullif(length(regexp_replace(text, '\s', '', 'g')), 0) AS cjk_ratio,
-             |       CASE WHEN nullif(length(regexp_replace(text, '\s', '', 'g')), 0) IS NULL
+             |         / nullif(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')), 0) AS cjk_ratio,
+             |       CASE WHEN nullif(length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')), 0) IS NULL
              |              OR greatest(len(regexp_extract_all(text, '[A-Za-z]')),
              |                          len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')),
              |                          len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))) = 0

@@ -540,13 +540,17 @@ class PqSpec extends SparkTestBase {
     val full = Cluster.kmeansIvfTopK(emb, "vec_id", "embedding",
         k = 2, iters = 2, kTop = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    // brute force: exact squared distance, same rounding/tie rules
+    // brute force: exact squared distance, same rounding/tie rules —
+    // round HALF_UP like Spark's round() (math.rint is half-EVEN and
+    // would diverge exactly at .5 ulp boundaries)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
     for ((q, qs) <- full) {
       val want = vecs.keys.filter(_ != q).toSeq
-        .map(n => (math.rint(vecs(q).zip(vecs(n))
-          .map { case (a, b) => (a - b) * (a - b) }.sum * 1e6) / 1e6, n))
+        .map(n => (r6(vecs(q).zip(vecs(n))
+          .map { case (a, b) => (a - b) * (a - b) }.sum), n))
         .sorted.take(3).map(_._2)
       assert(qs.map(_._2).toSeq === want, s"query $q")
     }
@@ -767,6 +771,13 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2).getAs[Double]("cjk_ratio") === 1.0)
     assert(math.abs(out(3).getAs[Double]("latin_ratio") - 3.0 / 9) < 1e-12)
     assert(out(4).isNullAt(1))
+    // U+000B vertical tab counts as whitespace via the EXPLICIT class
+    // (bare \s would make Java and RE2 disagree on this character)
+    val vt = TextAnalysis.scriptRatios(
+        Seq((1L, "ab\u000Bcd")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(vt.getAs[Double]("latin_ratio") === 1.0,
+      s"VT must not count in the denominator: $vt")
   }
 
   test("surprisalGate keeps the low-surprisal head up to the percentile " +
