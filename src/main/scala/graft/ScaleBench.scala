@@ -115,7 +115,11 @@ object ScaleBench {
           analytics.Multimodal.phashNearDupPairs(
             analytics.Multimodal.perceptualHash(
               analytics.Multimodal.syntheticImageBlobs(docs, "doc_id")),
-            maxHamming = 4).count()))
+            maxHamming = 4).count()),
+        // k ∝ n holds inverted-list sizes flat (the IVF sizing rule)
+        "q95_kmeans_ivf" -> (() =>
+          analytics.Cluster.kmeansIvfTopK(emb, "vec_id", "embedding",
+            k = 8 * k, iters = 2, kTop = 5, nprobe = 2).count()))
       ops.foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"[scalebench] x$k%-5d $name%-17s $rows%8d  $sec%6.2f")

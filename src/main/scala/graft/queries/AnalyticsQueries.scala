@@ -1315,7 +1315,36 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Cluster.kmeansIvfTopK(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", k = 8, iters = 2, kTop = 5, nprobe = 2)
-          .orderBy("query_id", "dist2", "neighbor_id"))
+          .orderBy("query_id", "dist2", "neighbor_id")),
+
+    // ----- Jaccard distribution histogram (threshold tuning) -----
+    Q("q96_jaccard_histogram",
+      "candidate-pair count per 0.1-wide Jaccard bucket — the similarity " +
+        "distribution a pipeline reads to pick its dedup threshold " +
+        "(pairs from the q18 machinery at minJaccard=0)",
+      Some(shCapped + """,
+             | counts AS (SELECT doc, count(*) AS n FROM sh0 GROUP BY doc),
+             | inter AS (
+             |   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter_n
+             |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+             |   GROUP BY 1, 2),
+             | j AS (
+             |   SELECT least(CAST(floor(CAST(inter_n AS DOUBLE)
+             |            / (ca.n + cb.n - inter_n) * 10) AS INT), 9) AS bucket
+             |   FROM inter
+             |   JOIN counts ca ON ca.doc = doc_a
+             |   JOIN counts cb ON cb.doc = doc_b)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count => cnt, floor, least, lit}
+        Dedup.ngramJaccardPairsFromDocs(Tables(s, dir, "documents"),
+            "doc_id", "text", minJaccard = 0.0, n = 3, maxDocFreq = 1000)
+          .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
+            .as("bucket"))
+          .groupBy("bucket").agg(cnt(lit(1)).cast("long").as("n_pairs"))
+          .orderBy("bucket")
+      })
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
