@@ -137,14 +137,13 @@ object Cluster {
     import org.apache.spark.sql.expressions.Window
     val (assigned, cents) = lloyd(emb, idCol, vecCol, k, iters)
     val aa = assigned.select($"vid", $"v", $"cluster").localCheckpoint()
-    val probeArr = array(cents.zipWithIndex.map { case (cv, c) =>
-      struct(round(Pq.d2($"v", typedLit(cv)), 6).as("pd"),
-             lit(c).as("pc"))
-    }: _*)
+    // native probe kernel: one codegen'd loop over the broadcast model
+    // per row (the composed struct-array/sort form runs k interpreted
+    // HOF distance chains; differential-tested in PqSpec)
     val probes = aa
       .select($"vid".as("qid"), $"v".as("qv"),
-        explode(slice(array_sort(probeArr), 1, nprobe)).as("p"))
-      .select($"qid", $"qv", $"p.pc".as("cluster"))
+        explode(graft.functions.PqKernels.centroidProbe($"v", cents, nprobe))
+          .as("cluster"))
     val cand = probes.join(aa, Seq("cluster"))
       .filter($"vid" =!= $"qid")
       .select($"qid", $"vid".as("nid"),

@@ -44,6 +44,64 @@ object PqKernels {
     ColumnBridge.column(
       PqEncodeExpr(ColumnBridge.expression(v), cb.map(_.toArray).toArray, m))
 
+  /** The `nprobe` nearest centroid indices for a vector, ordered by
+    * (round-6 squared distance, centroid index) — the IVF probe as one
+    * kernel call instead of k interpreted HOF distance chains. */
+  def centroidProbe(v: Column, cb: Seq[Seq[Double]], nprobe: Int): Column =
+    ColumnBridge.column(
+      CentroidProbeExpr(ColumnBridge.expression(v),
+        cb.map(_.toArray).toArray, nprobe))
+
+  /** Spark's round(col, 6) semantics (BigDecimal HALF_UP) — shared by the
+    * probe kernel so its ordering key is bit-identical to a query-level
+    * round. */
+  def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Row-level probe loop (called from both eval and generated code):
+    * index-ordered distance folds, round-6 keys, selection of nprobe
+    * smallest with ties to the smaller centroid index. Returns null on a
+    * dim mismatch or null element. */
+  def probe(v: ArrayData, cb: Array[Array[Double]], nprobe: Int,
+            isFloat: Boolean): ArrayData = {
+    val dim = cb(0).length
+    if (v.numElements() != dim) return null
+    val k = cb.length
+    val dists = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = cb(j)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return null
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - c(i)
+        d += diff * diff
+        i += 1
+      }
+      dists(j) = round6(d)
+      j += 1
+    }
+    val out = new Array[Any](nprobe)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < nprobe) {
+      var bj = -1
+      var bd = Double.MaxValue
+      var q = 0
+      while (q < k) {
+        if (!used(q) && dists(q) < bd) { bd = dists(q); bj = q }
+        q += 1
+      }
+      used(bj) = true
+      out(p) = bj
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC distance from an exact query vector to a PQ-coded corpus row. */
   def adcDist(qv: Column, codes: Column, cb: Seq[Seq[Double]],
               m: Int): Column =
@@ -162,6 +220,58 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Double]], m: Int)
     })
 
   override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** array<int> of the nprobe nearest centroid indices, ordered by
+  * (round-6 d², index). The whole selection runs in
+  * [[PqKernels.probe]] — one static call from eval and generated code
+  * alike, so the loop JITs identically on both paths. */
+case class CentroidProbeExpr(child: Expression, cb: Array[Array[Double]],
+                             nprobe: Int) extends UnaryExpression {
+
+  require(nprobe >= 1 && nprobe <= cb.length, "nprobe must be in [1, k]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqKernels.isNumericArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>/array<float>, got " +
+        child.dataType.catalogString)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_probe"
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  // content equality on the model (see PqEncodeExpr)
+  override def equals(other: Any): Boolean = other match {
+    case CentroidProbeExpr(c, b, np) =>
+      c == child && np == nprobe && b.length == cb.length &&
+        b.indices.forall(i => java.util.Arrays.equals(b(i), cb(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(nprobe),
+      Int.box(cb.map(java.util.Arrays.hashCode).toSeq.hashCode()))
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.probe(a.asInstanceOf[ArrayData], cb, nprobe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("probeCb", cb, "double[][]")
+      s"""
+         |${ev.value} = graft.functions.PqKernels.probe(
+         |  $a, $cbRef, $nprobe, $isFloat);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): CentroidProbeExpr =
     copy(child = c)
 }
 

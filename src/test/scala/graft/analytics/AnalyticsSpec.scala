@@ -528,6 +528,32 @@ class PqSpec extends SparkTestBase {
     assert(out.forall(_._3 < 0.1))
   }
 
+  test("centroidProbe kernel == composed round-6 struct-sort probe on " +
+       "random vectors (differential)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, array_sort, col, lit,
+      round, slice, struct, transform, typedLit}
+    val rnd = new scala.util.Random(5)
+    val cents: Seq[Seq[Double]] =
+      Seq.fill(5)(Seq.fill(6)(rnd.nextDouble() * 2 - 1))
+    val emb = (0L until 200L)
+      .map(i => (i, Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val composedArr = array(cents.zipWithIndex.map { case (cv, c) =>
+      struct(round(Pq.d2(Similarity.asDouble(col("embedding")),
+        typedLit(cv)), 6).as("pd"), lit(c).as("pc"))
+    }: _*)
+    val both = emb.select(
+      graft.functions.PqKernels.centroidProbe(col("embedding"), cents, 3)
+        .as("kernel"),
+      transform(slice(array_sort(composedArr), 1, 3), p => p.getField("pc"))
+        .as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1), s"row $r")
+    }
+  }
+
   test("kmeansIvfTopK: with nprobe=k (scan everything) the trained index " +
        "returns exact brute-force neighbors; with nprobe=1 results stay " +
        "within the probed cluster") {
