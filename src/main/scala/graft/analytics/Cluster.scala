@@ -122,11 +122,12 @@ object Cluster {
     * (round-6 centroid distance, cluster id), result order (round-6
     * distance, neighbor id); self excluded.
     *
-    * Scale shape: the probe is MAP-SIDE over the broadcast k×dim model
-    * (array of (dist, cluster) structs, sorted and sliced in-row); the
-    * candidate join is keyed on cluster against the checkpointed
-    * assignment table; the rank window partitions by query — per-query
-    * candidates are Σ of nprobe inverted-list sizes, never the corpus. */
+    * Scale shape: the probe is MAP-SIDE over the broadcast k×dim model —
+    * one native [[graft.functions.CentroidProbeExpr]] kernel loop per
+    * row; the candidate join is keyed on cluster against the
+    * checkpointed assignment table; the rank window partitions by
+    * query — per-query candidates are Σ of nprobe inverted-list sizes,
+    * never the corpus. */
   def kmeansIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int = 8, iters: Int = 2, kTop: Int = 5,
                     nprobe: Int = 2): DataFrame = {

@@ -52,34 +52,44 @@ object PqKernels {
       CentroidProbeExpr(ColumnBridge.expression(v),
         cb.map(_.toArray).toArray, nprobe))
 
-  /** Spark's round(col, 6) semantics (BigDecimal HALF_UP) — shared by the
-    * probe kernel so its ordering key is bit-identical to a query-level
-    * round. */
+  /** Spark's round(col, 6) semantics: BigDecimal HALF_UP for finite
+    * values, NaN/Infinity passed through unchanged (RoundBase does the
+    * same) — shared by the probe kernel so its ordering key is
+    * bit-identical to a query-level round. */
   def round6(d: Double): Double =
-    java.math.BigDecimal.valueOf(d)
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Row-level probe loop (called from both eval and generated code):
-    * index-ordered distance folds, round-6 keys, selection of nprobe
-    * smallest with ties to the smaller centroid index. Returns null on a
-    * dim mismatch or null element. */
+    * the vector is extracted ONCE into a primitive array (dim accessor
+    * calls, not k×dim), then index-ordered distance folds, round-6 keys,
+    * and selection of nprobe smallest with ties to the smaller centroid
+    * index. NaN distances (corrupt elements) sort last with index
+    * tie-break — the same order `array_sort` gives NaN struct keys.
+    * Returns null on a dim mismatch or null element. */
   def probe(v: ArrayData, cb: Array[Array[Double]], nprobe: Int,
             isFloat: Boolean): ArrayData = {
     val dim = cb(0).length
     if (v.numElements() != dim) return null
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
     val k = cb.length
     val dists = new Array[Double](k)
     var j = 0
     while (j < k) {
       val c = cb(j)
       var d = 0.0
-      var i = 0
-      while (i < dim) {
-        if (v.isNullAt(i)) return null
-        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        val diff = x - c(i)
+      var t = 0
+      while (t < dim) {
+        val diff = x(t) - c(t)
         d += diff * diff
-        i += 1
+        t += 1
       }
       dists(j) = round6(d)
       j += 1
@@ -94,6 +104,12 @@ object PqKernels {
       while (q < k) {
         if (!used(q) && dists(q) < bd) { bd = dists(q); bj = q }
         q += 1
+      }
+      if (bj < 0) {
+        // every unused distance is NaN: take the smallest unused index
+        // (array_sort order — NaN keys last, struct tie-break on index)
+        var q2 = 0
+        while (bj < 0 && q2 < k) { if (!used(q2)) bj = q2; q2 += 1 }
       }
       used(bj) = true
       out(p) = bj

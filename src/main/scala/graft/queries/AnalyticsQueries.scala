@@ -1336,15 +1336,13 @@ object AnalyticsQueries {
              |   JOIN counts cb ON cb.doc = doc_b)
              |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
              |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin),
-      (s, dir) => {
-        import org.apache.spark.sql.functions.{col, count => cnt, floor, least, lit}
+      (s, dir) =>
         Dedup.ngramJaccardPairsFromDocs(Tables(s, dir, "documents"),
             "doc_id", "text", minJaccard = 0.0, n = 3, maxDocFreq = 1000)
           .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
             .as("bucket"))
-          .groupBy("bucket").agg(cnt(lit(1)).cast("long").as("n_pairs"))
-          .orderBy("bucket")
-      })
+          .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_pairs"))
+          .orderBy("bucket"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -536,8 +536,12 @@ class PqSpec extends SparkTestBase {
     val rnd = new scala.util.Random(5)
     val cents: Seq[Seq[Double]] =
       Seq.fill(5)(Seq.fill(6)(rnd.nextDouble() * 2 - 1))
-    val emb = (0L until 200L)
-      .map(i => (i, Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // rows 200/201: one corrupt (NaN) element, and all-NaN — the kernel's
+    // NaN order (last, index tie-break) must match array_sort's
+    val emb = ((0L until 200L)
+      .map(i => (i, Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))) :+
+      (200L, Array(Float.NaN, 0f, 0f, 0f, 0f, 0f)) :+
+      (201L, Array.fill(6)(Float.NaN)))
       .toDF("vec_id", "embedding")
     val composedArr = array(cents.zipWithIndex.map { case (cv, c) =>
       struct(round(Pq.d2(Similarity.asDouble(col("embedding")),
