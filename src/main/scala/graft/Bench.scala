@@ -65,15 +65,19 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
-    // SPARK_GRAFT_BENCH_PASSES=N (default 1, the driver contract): run each
-    // query N times and report the LAST pass — the steady-state number with
-    // plan compilation and codegen warm, for SCALE.md evidence
+    // SPARK_GRAFT_BENCH_PASSES=N (default 2): run each query N times and
+    // publish BOTH the first pass (cold plans — the round-over-round
+    // comparison number, matching how r3–r5 measured) and the last pass
+    // (steady state, plan compilation + codegen warm — the SCALE.md
+    // evidence number, robust to ambient host-load spikes that inflate a
+    // single cold pass). One artifact carries both so neither can be
+    // mistaken for the other.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .map(v => v.toIntOption.getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$v'")))
-      .getOrElse(1).max(1)
+      .getOrElse(2).max(1)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = (1 to passes).map { _ =>
+      val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
@@ -81,20 +85,28 @@ object Bench {
         val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         dropAllBlocks()
         s
-      }.last
-      name -> sec
+      }
+      // ANY failed pass poisons the query: a pass-1 crash that pass-2
+      // happens to survive (first-run codegen, OOM) must not be recorded
+      // as a clean success
+      val anyFail = times.exists(_ < 0)
+      name -> (if (anyFail) -1.0 else times.head,
+               if (anyFail) -1.0 else times.last)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // total counts SUCCESSES only — summing the -1.0 failure sentinels
+    def jmap(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
+        .mkString("{", ",", "}")
+    // totals count SUCCESSES only — summing the -1.0 failure sentinels
     // would make a broken round read as a speedup; failures are listed so
     // a smaller total can never masquerade as an improvement
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+    def jtotal(sel: ((Double, Double)) => Double): Double =
+      results.collect { case (_, v) if sel(v) >= 0 => sel(v) }.sum
+    val failed = results.collect { case (n, (v, _)) if v < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    // "passes" makes the artifact self-describing: steady-state runs must
-    // never be compared against first-pass runs as if they were the same
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "value"/"queries" stay the FIRST-pass numbers (comparable with prior
+    // rounds); "steady_value"/"queries_steady" are the warm numbers.
+    // "passes" makes the artifact self-describing.
+    println(s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

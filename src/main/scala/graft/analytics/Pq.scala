@@ -76,14 +76,19 @@ object Pq {
     transform(sequence(lit(0), lit(m - 1)), s => {
       val vSub = slice(v, s * sub + 1, lit(sub))
       val start = struct(lit(-1).cast("int").as("j"),
-        lit(Double.MaxValue).as("d"))
+        lit(Double.NaN).as("d"))
       aggregate(
         sequence(lit(0), lit(cb.size - 1)), start,
         (acc, j) => {
           val cSub = slice(element_at(cbLit, j.cast("int") + 1),
             s * sub + 1, lit(sub))
           val d = d2(vSub, cSub)
-          when(d < acc.getField("d"),
+          // NaN-last argmin, matching the native kernel: entry 0 always
+          // seeds, +Inf competes, NaN never displaces a real distance —
+          // an all-NaN subspace yields (0, NaN), never j = -1
+          when(acc.getField("j") === -1 ||
+               (!isnan(d) && (isnan(acc.getField("d")) ||
+                              d < acc.getField("d"))),
             struct(j.cast("int").as("j"), d.as("d"))).otherwise(acc)
         })
     })

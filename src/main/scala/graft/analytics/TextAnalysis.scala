@@ -407,7 +407,10 @@ object TextAnalysis {
     val ntok = when(t.isNull, lit(null).cast("long"))
       .otherwise(size(toks).cast("long"))
     val ntokNz = nullif(ntok, lit(0L))
-    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / ntokNz
+    // explicit whitespace class (not \s): Java's \s includes U+000B where
+    // RE2's does not — scriptRatios pins the same portable class
+    val meanLen = length(regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]+", ""))
+      .cast("double") / ntokNz
     val alphaFrac = size(filter(toks, w => w.rlike("[a-z]")))
       .cast("double") / ntokNz
     val symbolRatio = (regexp_count(t, lit("#")) +

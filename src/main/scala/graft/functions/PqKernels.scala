@@ -99,10 +99,14 @@ object PqKernels {
     var p = 0
     while (p < nprobe) {
       var bj = -1
-      var bd = Double.MaxValue
+      var bd = Double.NaN
       var q = 0
       while (q < k) {
-        if (!used(q) && dists(q) < bd) { bd = dists(q); bj = q }
+        // +Infinity competes normally (array_sort places Inf BEFORE NaN);
+        // only NaN defers to the index fallback below. `bj < 0` seeds the
+        // first non-NaN candidate so no finite sentinel can mask Inf.
+        if (!used(q) && !java.lang.Double.isNaN(dists(q)) &&
+            (bj < 0 || dists(q) < bd)) { bd = dists(q); bj = q }
         q += 1
       }
       if (bj < 0) {
@@ -174,7 +178,11 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Double]], m: Int)
     var qerr = 0.0
     var s = 0
     while (s < m) {
-      var bj = -1; var bd = Double.MaxValue
+      // argmin with NaN-last ordering (the oracle's row_number argmin):
+      // the first entry always seeds, +Infinity competes normally, a NaN
+      // distance never displaces a real one — an all-NaN subspace keeps
+      // entry 0 with a NaN error term instead of emitting code -1
+      var bj = -1; var bd = Double.NaN
       var j = 0
       while (j < cb.length) {
         val c = cb(j)
@@ -188,7 +196,8 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Double]], m: Int)
           d += diff * diff
           t += 1
         }
-        if (d < bd) { bd = d; bj = j }
+        if (bj < 0 || (!java.lang.Double.isNaN(d) &&
+            (java.lang.Double.isNaN(bd) || d < bd))) { bd = d; bj = j }
         j += 1
       }
       codes(s) = bj; qerr += bd
@@ -215,7 +224,7 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Double]], m: Int)
          |  int[] $codes = new int[$m];
          |  double $qerr = 0.0;
          |  for (int $s = 0; $s < $m && !${ev.isNull}; $s++) {
-         |    int $bj = -1; double $bd = Double.MAX_VALUE;
+         |    int $bj = -1; double $bd = Double.NaN;
          |    for (int $j = 0; $j < ${cb.length} && !${ev.isNull}; $j++) {
          |      double $d = 0.0;
          |      for (int $t = 0; $t < $sub; $t++) {
@@ -224,7 +233,8 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Double]], m: Int)
          |        double $diff = $getX - $cbRef[$j][$i];
          |        $d += $diff * $diff;
          |      }
-         |      if (!${ev.isNull} && $d < $bd) { $bd = $d; $bj = $j; }
+         |      if (!${ev.isNull} && ($bj < 0 || (!Double.isNaN($d) &&
+         |          (Double.isNaN($bd) || $d < $bd)))) { $bd = $d; $bj = $j; }
          |    }
          |    $codes[$s] = $bj; $qerr += $bd;
          |  }

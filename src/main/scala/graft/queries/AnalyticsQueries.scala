@@ -984,7 +984,7 @@ object AnalyticsQueries {
              |m AS (
              |  SELECT doc_id,
              |         CAST(len(t) AS BIGINT) AS n_tokens,
-             |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / nullif(len(t), 0) AS mean_word_len,
+             |         CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE) / nullif(len(t), 0) AS mean_word_len,
              |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / nullif(len(t), 0) AS alpha_frac,
              |         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / nullif(len(t), 0) AS symbol_ratio,
              |         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stop_hits

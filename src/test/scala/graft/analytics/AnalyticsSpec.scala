@@ -534,28 +534,44 @@ class PqSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.{array, array_sort, col, lit,
       round, slice, struct, transform, typedLit}
     val rnd = new scala.util.Random(5)
+    // centroid 1 carries a NaN element, so every row sees one NaN distance
+    // among finite ones — and the Inf row below sees a MIX of +Inf and NaN
     val cents: Seq[Seq[Double]] =
-      Seq.fill(5)(Seq.fill(6)(rnd.nextDouble() * 2 - 1))
+      Seq.fill(1)(Seq.fill(6)(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Seq(Double.NaN, 0.0, 0.0, 0.0, 0.0, 0.0)) ++
+      Seq.fill(3)(Seq.fill(6)(rnd.nextDouble() * 2 - 1))
     // rows 200/201: one corrupt (NaN) element, and all-NaN — the kernel's
-    // NaN order (last, index tie-break) must match array_sort's
+    // NaN order (last, index tie-break) must match array_sort's.
+    // row 202: an Inf element — distances are +Inf to real centroids and
+    // NaN to centroid 1; array_sort puts Inf BEFORE NaN, so the probe
+    // order must be the Inf centroids (0,2,3) in index order — a pure
+    // index fallback would wrongly emit (0,1,2)
     val emb = ((0L until 200L)
       .map(i => (i, Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))) :+
       (200L, Array(Float.NaN, 0f, 0f, 0f, 0f, 0f)) :+
-      (201L, Array.fill(6)(Float.NaN)))
+      (201L, Array.fill(6)(Float.NaN)) :+
+      (202L, Array(Float.PositiveInfinity, 0f, 0f, 0f, 0f, 0f)))
       .toDF("vec_id", "embedding")
     val composedArr = array(cents.zipWithIndex.map { case (cv, c) =>
       struct(round(Pq.d2(Similarity.asDouble(col("embedding")),
         typedLit(cv)), 6).as("pd"), lit(c).as("pc"))
     }: _*)
     val both = emb.select(
+      col("vec_id"),
       graft.functions.PqKernels.centroidProbe(col("embedding"), cents, 3)
         .as("kernel"),
       transform(slice(array_sort(composedArr), 1, 3), p => p.getField("pc"))
         .as("composed"))
       .collect()
     both.foreach { r =>
-      assert(r.getSeq[Int](0) === r.getSeq[Int](1), s"row $r")
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"row $r")
     }
+    // pin the absolute orders, not just kernel==composed: all-NaN row ->
+    // pure index fallback; Inf row -> Inf centroids BEFORE the NaN
+    // centroid 1 (the +Inf-competes rule)
+    val byId = both.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(byId(201L) === Seq(0, 1, 2))
+    assert(byId(202L) === Seq(0, 2, 3))
   }
 
   test("kmeansIvfTopK: with nprobe=k (scan everything) the trained index " +
