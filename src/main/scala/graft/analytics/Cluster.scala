@@ -113,38 +113,104 @@ object Cluster {
         $"dup".isNull.as("keep"))
   }
 
-  /** IVF top-k over the TRAINED k-means index — the production ANN
-    * structure ([[graft.analytics.Similarity.ivfTopK]] probes
-    * hash-derived centroids; this probes the learned model). Every
-    * corpus vector queries the index: its `nprobe` nearest centroids
-    * select the inverted lists to scan, exact distances rank the
-    * candidates. Tie rules pinned for the oracle: probe order
-    * (round-6 centroid distance, cluster id), result order (round-6
-    * distance, neighbor id); self excluded.
+  /** Train the IVF index ONCE: `iters` Lloyd iterations over the corpus,
+    * returned as a parquet-writable model table
+    * `(cluster INT, centroid ARRAY<DOUBLE>)` — the persisted artifact a
+    * production ANN deployment probes for weeks. At 100 TB training runs
+    * as a scheduled job; per-query-batch retraining (what the one-shot
+    * [[kmeansIvfTopK]] composition does, and what the reference's
+    * cosine-matrix service does per REQUEST — assets/Visualization Cosine
+    * Similarity Matrix/main.py:40-60) re-pays iters full-corpus scans on
+    * every call. `train` → parquet → [[ivfTopK]] amortizes them to zero. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            k: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    lloyd(emb, idCol, vecCol, k, iters)._2
+      .zipWithIndex.map { case (cv, c) => (c, cv) }
+      .toDF("cluster", "centroid")
+  }
+
+  /** The stored model back as the kernel's centroid rows: k×dim doubles,
+    * cluster-ordered — the bounded model-sized collect (never corpus
+    * data). Validates the contiguous-id contract a written-then-reread
+    * model must keep. */
+  private def modelCentroids(model: DataFrame): Seq[Seq[Double]] = {
+    val rows = model.select(
+        col("cluster").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq
+    require(rows.nonEmpty, "model has no centroids")
+    require(rows.map(_._1) == rows.indices.toSeq,
+      s"model clusters must be contiguous 0..k-1, got ${rows.map(_._1)}")
+    val cents = rows.map(_._2)
+    require(cents.forall(_.length == cents.head.length),
+      "model centroids must share one dimension")
+    cents
+  }
+
+  /** Map-side cluster assignment of `emb` against a trained model:
+    * (vid, v, cluster) — one native argmin kernel pass over the broadcast
+    * model, no shuffle. Wrong-dim vectors are dropped (the [[Pq.vectors]]
+    * guard). */
+  private def assignAgainst(emb: DataFrame, idCol: String, vecCol: String,
+                            cents: Seq[Seq[Double]]): DataFrame = {
+    val (v, _) = Pq.vectors(Par.ensure(emb), idCol, vecCol)
+    val enc = graft.functions.PqKernels.pqEncode(col("v"), cents, m = 1)
+    v.select(col("vid"), col("v"),
+      element_at(enc.getField("codes"), 1).as("cluster"))
+  }
+
+  /** IVF top-k PROBE over a trained model — the many-calls side of the
+    * train-once/probe-many split ([[graft.analytics.Similarity.ivfTopK]]
+    * probes hash-derived centroids; this probes the learned, persisted
+    * model). Each query vector's `nprobe` nearest centroids select the
+    * inverted lists to scan; exact distances rank the candidates. Tie
+    * rules pinned for the oracle: probe order (round-6 centroid
+    * distance, cluster id), result order (round-6 distance, neighbor
+    * id); a candidate whose id equals the query id is excluded (the
+    * self-match rule; id spaces are assumed shared or disjoint, never
+    * accidentally colliding).
+    *
+    * NO training happens here: the model is `modelCentroids`' bounded
+    * k×dim collect (parquet-read or straight from [[train]]), and the
+    * probe plan contains no Lloyd aggregation — two probe calls against
+    * one trained model share all the training work (asserted in PqSpec).
     *
     * Scale shape: the probe is MAP-SIDE over the broadcast k×dim model —
     * one native [[graft.functions.CentroidProbeExpr]] kernel loop per
     * row; the candidate join is keyed on cluster against the
     * checkpointed assignment table; the rank window partitions by
     * query — per-query candidates are Σ of nprobe inverted-list sizes,
-    * never the corpus. */
-  def kmeansIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 8, iters: Int = 2, kTop: Int = 5,
-                    nprobe: Int = 2): DataFrame = {
+    * never the corpus. Passing the SAME DataFrame reference as `corpus`
+    * and `queries` (the q95 every-vector-queries shape) reuses the one
+    * checkpointed assignment for both join sides. */
+  def ivfTopK(model: DataFrame, corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, kTop: Int = 5,
+              nprobe: Int = 2): DataFrame = {
     require(kTop >= 1, "kTop must be >= 1")
-    require(nprobe >= 1 && nprobe <= k, "nprobe must be in [1, k]")
-    val spark = emb.sparkSession
+    val cents = modelCentroids(model)
+    require(nprobe >= 1 && nprobe <= cents.size, "nprobe must be in [1, k]")
+    val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val (assigned, cents) = lloyd(emb, idCol, vecCol, k, iters)
-    val aa = assigned.select($"vid", $"v", $"cluster").localCheckpoint()
+    // the inverted lists: one assignment pass, checkpointed (it feeds
+    // the candidate join and — in self-query mode — the probe side too)
+    val aa = assignAgainst(corpus, idCol, vecCol, cents).localCheckpoint()
+    val qsrc =
+      if (queries eq corpus) aa.select($"vid".as("qid"), $"v".as("qv"))
+      else {
+        val (qv, _) = Pq.vectors(Par.ensure(queries), idCol, vecCol)
+        qv.select(col("vid").as("qid"), col("v").as("qv"))
+      }
     // native probe kernel: one codegen'd loop over the broadcast model
     // per row (the composed struct-array/sort form runs k interpreted
     // HOF distance chains; differential-tested in PqSpec)
-    val probes = aa
-      .select($"vid".as("qid"), $"v".as("qv"),
-        explode(graft.functions.PqKernels.centroidProbe($"v", cents, nprobe))
-          .as("cluster"))
+    val probes = qsrc.select($"qid", $"qv",
+      explode(graft.functions.PqKernels.centroidProbe($"qv", cents, nprobe))
+        .as("cluster"))
     val cand = probes.join(aa, Seq("cluster"))
       .filter($"vid" =!= $"qid")
       .select($"qid", $"vid".as("nid"),
@@ -154,5 +220,18 @@ object Cluster {
     cand.withColumn("rn", rn).filter($"rn" <= kTop)
       .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
         $"nd".as("dist2"))
+  }
+
+  /** One-shot composition of [[train]] + [[ivfTopK]] (the q95 gate
+    * shape: every corpus vector queries the index). Convenience for
+    * exploratory use — anything repeated should persist [[train]]'s
+    * model once and probe it with [[ivfTopK]] directly instead of
+    * re-paying `iters` full-corpus training scans per call. */
+  def kmeansIvfTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 2, kTop: Int = 5,
+                    nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, "nprobe must be in [1, k]")
+    ivfTopK(train(emb, idCol, vecCol, k, iters), emb, emb, idCol, vecCol,
+      kTop, nprobe)
   }
 }

@@ -608,6 +608,54 @@ class PqSpec extends SparkTestBase {
       s"nprobe=1 stays in-cluster: ${one.toSeq}")
   }
 
+  test("train/ivfTopK split: a parquet-persisted model probes without " +
+       "retraining — many probe calls share one training run, results " +
+       "match the one-shot composition, and the probe plan carries no " +
+       "Lloyd aggregation") {
+    import spark.implicits._
+    def blob(sign: Double, i: Long): Array[Float] =
+      Array.tabulate(8)(j => (sign * (1.0 + 0.2 * math.sin(i * 3.1 + j))).toFloat)
+    val emb = ((0L until 10L).map(i => (i, blob(1.0, i))) ++
+               (20L until 30L).map(i => (i, blob(-1.0, i))))
+      .toDF("vec_id", "embedding")
+    // train once, persist, read back — the model is a durable artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_model")
+    val modelPath = dir.resolve("model.parquet").toString
+    Cluster.train(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .write.mode("overwrite").parquet(modelPath)
+    val model = spark.read.parquet(modelPath)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "dist2", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // two probe calls against the stored model: identical output, equal
+    // to the one-shot train+probe composition (q95's shape)
+    val p1 = Cluster.ivfTopK(model, emb, emb, "vec_id", "embedding",
+      kTop = 3, nprobe = 2)
+    val p2 = Cluster.ivfTopK(model, emb, emb, "vec_id", "embedding",
+      kTop = 3, nprobe = 2)
+    val oneShot = Cluster.kmeansIvfTopK(emb, "vec_id", "embedding",
+      k = 2, iters = 2, kTop = 3, nprobe = 2)
+    assert(res(p1) === res(oneShot))
+    assert(res(p1) === res(p2))
+    // the probe PLAN must contain no training: Lloyd's update step is the
+    // only aggregation in this family (posexplode -> avg per (cluster,
+    // pos)); a probe that re-runs it would drag iters corpus scans into
+    // every call
+    val plan = p1.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"probe plan must not retrain (Lloyd posexplode/avg found):\n$plan")
+    // split corpus/queries mode: probing a 2-vector query set returns
+    // neighbors only for those queries, from the right blob
+    val queries = Seq((100L, blob(1.0, 3L)), (101L, blob(-1.0, 23L)))
+      .toDF("vec_id", "embedding")
+    val split = Cluster.ivfTopK(model, emb, queries, "vec_id", "embedding",
+      kTop = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(split.map(_._1).toSet === Set(100L, 101L))
+    assert(split.forall { case (q, n) => (q == 100L) == (n < 10L) },
+      s"split-mode neighbors come from the query's blob: ${split.toSeq}")
+  }
+
   test("semDedup drops all-but-the-lowest-id of a near-dup group within " +
        "a cluster and keeps everything else") {
     import spark.implicits._
