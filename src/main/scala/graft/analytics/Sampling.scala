@@ -122,21 +122,32 @@ object Sampling {
     * acceptable and EXACTLY min(k, n_g) rows per stratum are. Ties in the
     * hash are broken by id, so the result is total-order deterministic.
     *
-    * Scale shape: one shuffle keyed on the stratum; each stratum's rank
-    * window runs within its partition. Strata are assumed numerous and
-    * individually partition-sized (the usual case: lang, source, shard);
-    * ONE giant stratum would funnel through one task — for that shape use
-    * [[stratifiedSample]] with a rate instead. */
+    * Scale shape — two-level bounded top-k (the TakeOrdered-and-merge
+    * shape, per stratum): level 1 ranks within (stratum, input-partition)
+    * — every window partition is bounded by an input partition, so ONE
+    * GIANT STRATUM (even 90%+ of the corpus) spreads across all tasks
+    * instead of funneling through one; level 2 merges the survivors,
+    * at most k × numPartitions rows per stratum. Level-1 pruning is
+    * sound because a stratum's global top-k is a subset of the union of
+    * its per-partition top-k sets, for ANY partition assignment — the
+    * result does not depend on `spark_partition_id`, it only bounds the
+    * work. */
   def exactKPerStratum(docs: DataFrame, idCol: String, stratumCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val rank = row_number().over(
-      Window.partitionBy(col(stratumCol))
-        .orderBy(md5(col(idCol).cast("string")), col(idCol)))
-    // internal staging name: callers' columns must survive untouched
-    docs.withColumn("__graft_sample_rank", rank)
+    val key = md5(col(idCol).cast("string"))
+    // internal staging names: callers' columns must survive untouched
+    val local = row_number().over(
+      Window.partitionBy(col(stratumCol), col("__graft_pid"))
+        .orderBy(key, col(idCol)))
+    val global = row_number().over(
+      Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol)))
+    docs.withColumn("__graft_pid", spark_partition_id())
+      .withColumn("__graft_local_rank", local)
+      .filter(col("__graft_local_rank") <= k)
+      .withColumn("__graft_sample_rank", global)
       .filter(col("__graft_sample_rank") <= k)
-      .drop("__graft_sample_rank")
+      .drop("__graft_pid", "__graft_local_rank", "__graft_sample_rank")
   }
 
   /** Temperature-weighted mixture downsampling: keep-rate for group g is

@@ -80,6 +80,39 @@ class SamplingSpec extends SparkTestBase {
     assert(again === out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("exactKPerStratum: one stratum holding 90% of the corpus still " +
+       "samples exactly k, matches the single-window reference ranking, " +
+       "and never funnels the stratum through one task") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 9000 of 10000 rows share one stratum, spread over many partitions
+    val docs = (0L until 10000L).map(i =>
+        (i, if (i % 10 != 0) "giant" else s"s${i % 70}"))
+      .toDF("doc_id", "lang").repartition(16)
+    val out = Sampling.exactKPerStratum(docs, "doc_id", "lang", k = 7)
+    // reference: the naive single-window ranking (fine at test scale)
+    val want = docs.withColumn("rn", row_number().over(
+        Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+      .filter($"rn" <= 7).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet === want)
+    // plan shape: the window touching the FULL corpus must partition by
+    // (stratum, pid) — a window partitioned by the bare stratum may only
+    // run over the level-1 survivors (a filter on the local rank sits
+    // between it and the scan)
+    val plan = out.queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .toSeq
+    assert(windows.size === 2, s"two-level rank expected:\n$plan")
+    val bareStratum = windows.filterNot(_.contains("__graft_pid"))
+    assert(bareStratum.size === 1 &&
+      plan.indexOf(bareStratum.head) < plan.indexOf("__graft_pid"),
+      // optimizedPlan prints top-down: the merge window (bare stratum)
+      // must sit ABOVE the pid-bounded window, never directly on the scan
+      s"bare-stratum window must be the bounded merge level:\n$plan")
+  }
+
   test("packSequences: spans cover every doc exactly once, every " +
        "sequence holds exactly seqLen tokens except the last, and " +
        "boundaries land mid-doc where the arithmetic says") {
