@@ -388,6 +388,54 @@ object TextAnalysis {
         coalesce(col("avg_surprisal") <= col("thr"), lit(false)).as("keep"))
   }
 
+  /** [[surprisalGate]] scored under a CALLER-SUPPLIED language model
+    * instead of the corpus MLE: `model` is a `(word, logp)` table —
+    * ln-probabilities from a real LM (KenLM dump, tokenizer-vocab
+    * unigram table, domain LM) — and completes the CCNet story whose
+    * plan shape [[unigramSurprisal]] documents: score the corpus under
+    * an EXTERNAL model, gate at the corpus `p`-quantile. Every token
+    * contributes: in-model words score −logp, out-of-vocabulary words
+    * score −`oovLogp` (the model's floor/backoff mass), so the mean is
+    * over ALL tokens and OOV-heavy docs rank as the low-quality tail
+    * instead of being silently excused. Empty docs score null and fail
+    * closed.
+    *
+    * Scale shape: identical to [[unigramSurprisal]] except the model
+    * join — `broadcastModel=true` (default) pins a broadcast hint for
+    * vocabulary-sized models; set it false for web-scale models, where
+    * the word-keyed shuffled equi-join is the right plan (AQE may still
+    * downgrade it to broadcast when the model turns out small). */
+  def externalSurprisalGate(docs0: DataFrame, idCol: String,
+                            textCol: String, model: DataFrame,
+                            oovLogp: Double, p: Double = 0.75,
+                            broadcastModel: Boolean = true): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    val docs = Par.ensure(docs0)
+    val m0 = model.select(col("word"),
+      col("logp").cast("double").as("logp"))
+    val m = if (broadcastModel) broadcast(m0) else m0
+    val sc = docWordCounts(docs, idCol, textCol)
+      .join(m, Seq("word"), "left")
+      .groupBy("did").agg(
+        sum(col("n")).as("nt"),
+        sum(col("n").cast("double") *
+          -coalesce(col("logp"), lit(oovLogp))).as("s"))
+    // checkpoint: scores feed the threshold aggregate AND the output
+    // projection (same reuse rule as surprisalGate)
+    val scores = docs.select(col(idCol))
+      .join(sc.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("nt") > 0,
+          round(col("s") / col("nt").cast("double"), 6))
+          .as("avg_surprisal"))
+      .localCheckpoint()
+    val thr = scores.filter(col("avg_surprisal").isNotNull)
+      .agg(round(expr(s"percentile(avg_surprisal, $p)"), 6).as("thr"))
+    scores.crossJoin(broadcast(thr))
+      .select(col(idCol), col("avg_surprisal"),
+        coalesce(col("avg_surprisal") <= col("thr"), lit(false)).as("keep"))
+  }
+
   /** Gopher-style quality rule flags (the published repetition-free subset
     * of the Gopher data-filter rules, Rae et al. 2021 appendix A1):
     * word-count bounds [50, 100000], mean-word-length band [3, 10],

@@ -1342,7 +1342,40 @@ object AnalyticsQueries {
           .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
             .as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_pairs"))
-          .orderBy("bucket"))
+          .orderBy("bucket")),
+
+    // ----- perplexity gate under an EXTERNAL language model -----
+    Q("q97_external_surprisal",
+      "CCNet perplexity gate scored under a caller-supplied (word, logp) " +
+        "model table instead of the corpus MLE — in-model words score " +
+        "-logp, OOV words the model's floor mass; threshold at the " +
+        "corpus p75 of the external score",
+      Some(wCte + """,
+             |model(word, logp) AS (VALUES
+             |  ('the', -2.0), ('a', -2.5), ('of', -3.0), ('and', -3.2),
+             |  ('to', -3.4), ('in', -3.6), ('is', -3.8)),
+             |sc AS (SELECT dw.doc_id, sum(dw.n) AS nt,
+             |              sum(CAST(dw.n AS DOUBLE) * -coalesce(m.logp, -8.0)) AS s
+             |       FROM dw LEFT JOIN model m USING (word) GROUP BY dw.doc_id),
+             |sv AS (SELECT d.doc_id,
+             |              CASE WHEN sc.nt > 0 THEN round(sc.s / sc.nt, 6) END AS avg_surprisal
+             |       FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+             |thr AS (SELECT round(quantile_cont(avg_surprisal, 0.75), 6) AS thr
+             |        FROM sv WHERE avg_surprisal IS NOT NULL)
+             |SELECT sv.doc_id, sv.avg_surprisal,
+             |       coalesce(sv.avg_surprisal <= thr.thr, false) AS keep
+             |FROM sv, thr ORDER BY sv.doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        // the fixed external model: ln-probabilities for the 7 function
+        // words the stopword scorer pins, -8.0 as the OOV floor
+        val model = Seq(("the", -2.0), ("a", -2.5), ("of", -3.0),
+          ("and", -3.2), ("to", -3.4), ("in", -3.6), ("is", -3.8))
+          .toDF("word", "logp")
+        TextAnalysis.externalSurprisalGate(Tables(s, dir, "documents"),
+            "doc_id", "text", model, oovLogp = -8.0, p = 0.75)
+          .orderBy("doc_id")
+      })
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
