@@ -128,7 +128,7 @@ object Multimodal {
     * readers don't recognize (and any truncated/corrupt image) is None.
     * `setUseCache(false)` keeps the reader off executor-local temp files —
     * payloads are already in memory. */
-  private[analytics] def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private[graft] def decodeImage(data: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (data == null || data.length == 0) None
     else try {
       javax.imageio.ImageIO.setUseCache(false)

@@ -177,6 +177,40 @@ object ConverterQueries {
               .as("line_no"),
             col("text").as("line"))
           .orderBy("line_no")
+      }),
+
+    // ----- S8 column-structured table extraction from a grid PDF -----
+    Q("q98_pdf_table_cells",
+      "write nation as a POSITIONED table-grid PDF (absolute Tm per " +
+        "cell) and recover (page, table, row, col, cell) structure via " +
+        "x/y coordinate clustering — the pdfplumber-class S8 layout " +
+        "semantics; 10 rows/page forces 3 pages",
+      Some("""WITH src AS (
+             |  SELECT n_nationkey, n_name, n_regionkey,
+             |         row_number() OVER (ORDER BY n_nationkey) + 1 AS gr
+             |  FROM nation),
+             |cells AS (
+             |  SELECT CAST(1 AS BIGINT) AS gr, 1 AS col, 'n_nationkey' AS cell
+             |  UNION ALL SELECT 1, 2, 'n_name'
+             |  UNION ALL SELECT 1, 3, 'n_regionkey'
+             |  UNION ALL SELECT gr, 1, CAST(n_nationkey AS VARCHAR) FROM src
+             |  UNION ALL SELECT gr, 2, n_name FROM src
+             |  UNION ALL SELECT gr, 3, CAST(n_regionkey AS VARCHAR) FROM src)
+             |SELECT CAST((gr - 1) // 10 + 1 AS INT) AS page,
+             |       CAST(1 AS INT) AS "table",
+             |       CAST((gr - 1) % 10 + 1 AS INT) AS "row",
+             |       CAST(col AS INT) AS col, cell
+             |FROM cells ORDER BY page, "row", col""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables(s, dir, "nation")
+          .select($"n_nationkey", $"n_name", $"n_regionkey")
+        val path = tmpFile("nation_grid.pdf")
+        graft.sinks.PdfSink.writeTableGridPdf(src, orderCol = "n_nationkey",
+          path = path, maxRows = 50, rowsPerPage = 10)
+        graft.sources.PdfSource.readTableCells(s, path)
+          .select($"page", $"table", $"row", $"col", $"cell")
+          .orderBy("page", "row", "col")
       })
   )
 }

@@ -79,18 +79,27 @@ object PdfSource {
     }
   }
 
-  /** Tj-shown strings from one decoded content stream, via a
-    * string-literal-aware scan: `BT`/`ET`/`endstream`-looking bytes INSIDE
-    * a `(...)` literal never terminate anything (a report cell containing
-    * "MARKET" has the bytes "ET" in it). Literals handle `\`-escapes and
-    * balanced nested parens per spec. Returns None when the stream has no
-    * `BT` text block at all. */
-  private def textLines(s: String): Option[Seq[String]] = {
-    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** Tj-shown strings WITH their text-matrix positions from one decoded
+    * content stream, via a string-literal-aware scan: `BT`/`ET`/
+    * `endstream`-looking bytes INSIDE a `(...)` literal never terminate
+    * anything (a report cell containing "MARKET" has the bytes "ET" in
+    * it). Literals handle `\`-escapes and balanced nested parens per
+    * spec. Position tracking covers the operators our writers and
+    * report-class PDFs emit: numeric operands are buffered and consumed
+    * by `Tm` (absolute: e, f of the 6-tuple), `Td`/`TD` (relative
+    * translation); `BT` resets the matrix to the origin. Returns None
+    * when the stream has no `BT` text block at all. */
+  private def textShows(s: String): Option[Seq[(Double, Double, String)]] = {
+    val shows = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, String)]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Double]
     var hasBT = false
     var inText = false
+    var x = 0.0
+    var y = 0.0
     var i = 0
     val n = s.length
+    def isNumChar(c: Char): Boolean =
+      (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
     while (i < n) {
       val c = s.charAt(i)
       if (c == '(') {
@@ -108,34 +117,52 @@ object PdfSource {
         while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
         if (inText && s.startsWith("Tj", j)) {
           // UTF-8 bytes were written raw; decode them back
-          lines += new String(
+          shows += ((x, y, new String(
             unescape(sb.toString).getBytes(StandardCharsets.ISO_8859_1),
-            StandardCharsets.UTF_8)
+            StandardCharsets.UTF_8)))
           i = j + 2
         }
-      } else if (c == 'B' && s.startsWith("BT", i) &&
-                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
-        hasBT = true; inText = true; i += 2
-      } else if (c == 'E' && s.startsWith("ET", i) &&
-                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
-        inText = false; i += 2
-      } else i += 1
+        pending.clear()
+      } else if (isNumChar(c)) {
+        var j = i + 1
+        while (j < n && isNumChar(s.charAt(j))) j += 1
+        s.substring(i, j).toDoubleOption match {
+          case Some(v) => pending += v
+          case None    => pending.clear()
+        }
+        i = j
+      } else if (Character.isLetter(c)) {
+        var j = i + 1
+        while (j < n && (Character.isLetterOrDigit(s.charAt(j)) ||
+                         s.charAt(j) == '*')) j += 1
+        s.substring(i, j) match {
+          case "BT" => hasBT = true; inText = true; x = 0.0; y = 0.0
+          case "ET" => inText = false
+          case "Tm" if pending.size >= 6 =>
+            x = pending(pending.size - 2); y = pending.last
+          case "Td" | "TD" if pending.size >= 2 =>
+            x += pending(pending.size - 2); y += pending.last
+          case _ => () // Tf, Tz, gs, re, ... — operands just drop
+        }
+        pending.clear()
+        i = j
+      } else i += 1 // whitespace, '/', '[', '<' ... delimiters
     }
-    if (hasBT) Some(lines.toSeq) else None
+    if (hasBT) Some(shows.toSeq) else None
   }
 
-  /** Extract text lines from raw PDF bytes as (page, line_no, text).
-    * "Page" is the 1-based index of the text-bearing content stream —
-    * exact for PDFs with one content stream per page (the common report
-    * layout and everything [[graft.sinks.PdfSink]] writes). Stream bounds
-    * come from the dict's direct `/Length` when present (so payload bytes
-    * that happen to spell "endstream" can't truncate the stream); the
-    * keyword scan is the fallback for indirect-length PDFs. */
-  def extractLines(data: Array[Byte]): Seq[(Int, Int, String)] = {
-    // ISO-8859-1 maps bytes 1:1 to chars, so offsets in the string match
-    // byte offsets and stream payloads survive the round-trip
-    val raw = new String(data, StandardCharsets.ISO_8859_1)
-    val streams = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** [[textShows]] stripped to the show strings, in stream order — the
+    * line-oriented S8 view. */
+  private def textLines(s: String): Option[Seq[String]] =
+    textShows(s).map(_.map(_._3))
+
+  /** Every stream segment in document order as (dict, RAW payload) —
+    * no filter decoding. Stream bounds come from the dict's direct
+    * `/Length` when present (so payload bytes that happen to spell
+    * "endstream" can't truncate the stream); the keyword scan is the
+    * fallback for indirect-length PDFs. */
+  private def rawStreams(raw: String): Seq[(String, String)] = {
+    val streams = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     while ({ i = raw.indexOf("stream", i); i >= 0 }) {
       // "endstream" also contains "stream" — require a real stream start:
@@ -159,25 +186,86 @@ object PdfSource {
           var payload = raw.substring(contentStart, end)
           if (declared.isEmpty)
             payload = payload.stripSuffix("\n").stripSuffix("\r")
-          if (dict.contains("/FlateDecode")) {
-            val bytes = payload.getBytes(StandardCharsets.ISO_8859_1)
-            payload = new String(inflate(bytes), StandardCharsets.ISO_8859_1)
-          }
-          streams += payload
+          streams += ((dict, payload))
           val es = raw.indexOf("endstream", end)
           i = if (es < 0) raw.length else es + "endstream".length
         }
       } else i = afterKw
     }
+    streams.toSeq
+  }
+
+  private def isImageDict(dict: String): Boolean =
+    dict.replaceAll("\\s+", "").contains("/Subtype/Image")
+
+  /** Decoded CONTENT streams in document order: image XObject streams are
+    * excluded (their binary payloads could otherwise fake `BT`/`Tj`
+    * tokens and surface phantom text pages), FlateDecode payloads are
+    * inflated. */
+  private def contentStreams(raw: String): Seq[String] =
+    rawStreams(raw).collect {
+      case (dict, payload) if !isImageDict(dict) =>
+        if (dict.contains("/FlateDecode"))
+          new String(inflate(payload.getBytes(StandardCharsets.ISO_8859_1)),
+            StandardCharsets.ISO_8859_1)
+        else payload
+    }
+
+  private val WidthRe = java.util.regex.Pattern.compile("""/Width\s+(\d+)""")
+  private val HeightRe = java.util.regex.Pattern.compile("""/Height\s+(\d+)""")
+  private val FilterRe = java.util.regex.Pattern.compile("""/Filter\s*/(\w+)""")
+
+  /** Image XObjects from raw PDF bytes as (image_no, width, height,
+    * filter, payload) — payload bytes are RAW (a `DCTDecode` image is the
+    * embedded JPEG byte-for-byte, the lossless K9 pdf→image direction for
+    * JPEG pages; `FlateDecode` payloads inflate to top-down RGB rows). */
+  def extractImages(data: Array[Byte]): Seq[(Int, Int, Int, String, Array[Byte])] = {
+    val raw = new String(data, StandardCharsets.ISO_8859_1)
+    rawStreams(raw).filter { case (dict, _) => isImageDict(dict) }
+      .zipWithIndex.map { case ((dict, payload), i) =>
+        def grp(p: java.util.regex.Pattern): String = {
+          val m = p.matcher(dict)
+          if (m.find()) m.group(1) else ""
+        }
+        (i + 1, grp(WidthRe).toIntOption.getOrElse(-1),
+          grp(HeightRe).toIntOption.getOrElse(-1), grp(FilterRe),
+          payload.getBytes(StandardCharsets.ISO_8859_1))
+      }
+  }
+
+  /** Extract text lines from raw PDF bytes as (page, line_no, text).
+    * "Page" is the 1-based index of the text-bearing content stream —
+    * exact for PDFs with one content stream per page (the common report
+    * layout and everything [[graft.sinks.PdfSink]] writes). */
+  def extractLines(data: Array[Byte]): Seq[(Int, Int, String)] = {
+    // ISO-8859-1 maps bytes 1:1 to chars, so offsets in the string match
+    // byte offsets and stream payloads survive the round-trip
+    val raw = new String(data, StandardCharsets.ISO_8859_1)
     var page = 0
-    streams.flatMap { s =>
+    contentStreams(raw).flatMap { s =>
       textLines(s) match {
         case Some(lines) if lines.nonEmpty =>
           page += 1
           lines.zipWithIndex.map { case (t, ln) => (page, ln + 1, t) }
         case _ => Nil
       }
-    }.toSeq
+    }
+  }
+
+  /** Extract positioned text shows from raw PDF bytes as
+    * (page, x, y, text) — the spatial S8 view [[readTableCells]] clusters
+    * into table structure. Page numbering follows [[extractLines]]. */
+  def extractCells(data: Array[Byte]): Seq[(Int, Double, Double, String)] = {
+    val raw = new String(data, StandardCharsets.ISO_8859_1)
+    var page = 0
+    contentStreams(raw).flatMap { s =>
+      textShows(s) match {
+        case Some(shows) if shows.nonEmpty =>
+          page += 1
+          shows.map { case (x, y, t) => (page, x, y, t) }
+        case _ => Nil
+      }
+    }
   }
 
   /** S8 distributed read: every PDF under `path` (a file or directory)
@@ -194,5 +282,77 @@ object PdfSource {
         }
       }
       .toDF("file", "page", "line_no", "text")
+  }
+
+  /** S8 distributed TABLE read — the pdfplumber-class layout semantics
+    * (reference main.py:914-978 emits tables with column structure via
+    * y/x-coordinate clustering): every PDF under `path` parsed
+    * partition-wise into positioned shows, then clustered into
+    * `(file, page, table, row, col, cell)`:
+    *
+    *  - ROWS: distinct y positions per page, top-down; a new row starts
+    *    when the gap to the previous y exceeds `yTol`.
+    *  - TABLES: a y-gap exceeding `tableGap` (a blank band taller than a
+    *    few leadings) starts a new table on the page; rows renumber from
+    *    1 inside each table.
+    *  - COLS: distinct x positions per (page, table), left-to-right,
+    *    clustered with `xTol` — columns are PER TABLE, as pdfplumber
+    *    scopes them.
+    *  - CELL: shows landing in one (row, col) concatenate left-to-right.
+    *
+    * Scale shape: decode is partition-wise over `binaryFile` (no driver
+    * funnel); the clustering windows run over DISTINCT COORDINATE VALUES
+    * per page/table — bounded by the 842pt MediaBox (≤ 55 rows) and the
+    * page width, never by corpus size; the shows themselves only
+    * hash-join against those tiny cluster tables and partial-aggregate
+    * per cell. */
+  def readTableCells(spark: SparkSession, path: String,
+                     xTol: Double = 2.0, yTol: Double = 2.0,
+                     tableGap: Double = 40.0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(yTol > 0 && xTol > 0 && tableGap > yTol,
+      "tolerances must be positive with tableGap > yTol")
+    val shows = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, bytes) =>
+          extractCells(bytes).map { case (pg, x, y, t) => (p, pg, x, y, t) }
+        }
+      }
+      .toDF("file", "page", "x", "y", "text")
+    // row + table clustering over the distinct y values of a page
+    val wy = Window.partitionBy($"file", $"page").orderBy($"y".desc)
+    val cumY = wy.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowsC = shows.select($"file", $"page", $"y").distinct()
+      .withColumn("gap", lag($"y", 1).over(wy) - $"y")
+      .withColumn("tbl",
+        (sum(when($"gap" > tableGap, 1).otherwise(0)).over(cumY) + 1)
+          .cast("int"))
+      .withColumn("rid",
+        sum(when($"gap".isNull || $"gap" > yTol, 1).otherwise(0)).over(cumY))
+    val wt = Window.partitionBy($"file", $"page", $"tbl").orderBy($"rid")
+    val rowIdx = rowsC
+      .withColumn("row", dense_rank().over(wt).cast("int"))
+      .select($"file", $"page", $"y", $"tbl", $"row")
+    val withRows = shows.join(rowIdx, Seq("file", "page", "y"))
+    // column clustering over the distinct x values of a (page, table)
+    val wx = Window.partitionBy($"file", $"page", $"tbl").orderBy($"x")
+    val cumX = wx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val colIdx = withRows.select($"file", $"page", $"tbl", $"x").distinct()
+      .withColumn("gapx", $"x" - lag($"x", 1).over(wx))
+      .withColumn("col",
+        sum(when($"gapx".isNull || $"gapx" > xTol, 1).otherwise(0)).over(cumX)
+          .cast("int"))
+      .select($"file", $"page", $"tbl", $"x", $"col")
+    withRows.join(colIdx, Seq("file", "page", "tbl", "x"))
+      .groupBy($"file", $"page", $"tbl", $"row", $"col")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"x", $"text"))),
+          e => e.getField("text")),
+        " ").as("cell"))
+      .select($"file", $"page", $"tbl".as("table"), $"row", $"col", $"cell")
   }
 }

@@ -341,6 +341,107 @@ class ConvertersSpec extends SparkTestBase {
     assert(out.map(_._3) === lines)
   }
 
+  test("S8 grid PDF round-trip: positioned cells come back as (page, " +
+       "table, row, col) structure; a tall y-gap splits tables; shows " +
+       "sharing a clustered column land in one col") {
+    import spark.implicits._
+    // two tables on one page: rows at y 778/764 (table 1), then a 100pt
+    // blank band, rows at 650/636 (table 2); three columns at x 50/160/270
+    val rows1 = Seq(Seq("h1", "h2", "h3"), Seq("a", "b", "c"))
+    val rows2 = Seq(Seq("x", "y", "z"), Seq("1", "2", "3"))
+    val content = {
+      val sb = new StringBuilder("BT\n/F1 10 Tf\n")
+      def emit(rows: Seq[Seq[String]], yTop: Int): Unit =
+        rows.zipWithIndex.foreach { case (cells, r) =>
+          cells.zipWithIndex.foreach { case (cell, c) =>
+            // per-ROW sub-tolerance x jitter on table 2 (0.5pt/row):
+            // 50.5 vs 51.0 must cluster into ONE column (gap < xTol),
+            // while the 110pt column gaps still split
+            val x = 50 + c * 110 + (if (yTop < 700) 0.5 * (r + 1) else 0.0)
+            sb.append(s"1 0 0 1 $x ${yTop - r * 14} Tm\n($cell) Tj\n")
+          }
+        }
+      emit(rows1, 778); emit(rows2, 650)
+      sb.append("ET\n").toString
+    }
+    // write through the real sink machinery by splicing the content via
+    // writeGridPdf for page layout parity checks, then the hand-built
+    // two-table page for segmentation
+    val gridPath = tmp("grid.pdf")
+    graft.sinks.PdfSink.writeGridPdf(
+      Seq(Seq("n", "v"), Seq("1", "one"), Seq("2", "two")), gridPath,
+      rowsPerPage = 2)
+    val gcells = graft.sources.PdfSource.readTableCells(spark, gridPath)
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getString(5))).toSet
+    assert(gcells === Set(
+      (1, 1, 1, 1, "n"), (1, 1, 1, 2, "v"),
+      (1, 1, 2, 1, "1"), (1, 1, 2, 2, "one"),
+      // rowsPerPage=2 -> third grid row opens page 2, renumbered from 1
+      (2, 1, 1, 1, "2"), (2, 1, 1, 2, "two")))
+    // hand-built two-table page
+    val path = tmp("twotables.pdf")
+    val body = content.getBytes("ISO-8859-1")
+    val pdf = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = pdf.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 595 842] " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${body.length} >>\nstream\n")
+    pdf.write(body)
+    w("\nendstream\nendobj\ntrailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    Files.write(Paths.get(path), pdf.toByteArray)
+    val cells = graft.sources.PdfSource.readTableCells(spark, path)
+      .collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))
+      .toSet
+    assert(cells === Set(
+      (1, 1, 1, "h1"), (1, 1, 2, "h2"), (1, 1, 3, "h3"),
+      (1, 2, 1, "a"), (1, 2, 2, "b"), (1, 2, 3, "c"),
+      (2, 1, 1, "x"), (2, 1, 2, "y"), (2, 1, 3, "z"),
+      (2, 2, 1, "1"), (2, 2, 2, "2"), (2, 2, 3, "3")))
+  }
+
+  test("K9 image->PDF round-trip: JPEG embeds byte-for-byte as DCTDecode, " +
+       "PNG embeds as FlateDecode RGB with exact pixels, dims survive, " +
+       "and no phantom text pages appear") {
+    // 3x2 test image: distinct per-pixel colors
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, (x * 60 + 10) << 16 | (y * 90 + 20) << 8 | 0x33)
+    def enc(fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, b)
+      b.toByteArray
+    }
+    val jpeg = enc("jpg")
+    val png = enc("png")
+    val path = tmp("images.pdf")
+    graft.sinks.PdfSink.writeImagePdf(Seq(jpeg, png), path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val imgs = graft.sources.PdfSource.extractImages(bytes)
+    assert(imgs.map(i => (i._1, i._2, i._3, i._4)) ===
+      Seq((1, 3, 2, "DCTDecode"), (2, 3, 2, "FlateDecode")))
+    // JPEG passthrough: the embedded stream IS the original file
+    assert(imgs(0)._5.toSeq === jpeg.toSeq)
+    // PNG path: inflate -> exact top-down RGB rows
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(imgs(1)._5)
+    val rgb = new Array[Byte](3 * 2 * 3)
+    assert(inf.inflate(rgb) === rgb.length && inf.finished())
+    inf.end()
+    val want = for (y <- 0 until 2; x <- 0 until 3;
+                    b <- Seq((x * 60 + 10).toByte, (y * 90 + 20).toByte,
+                             0x33.toByte)) yield b
+    assert(rgb.toSeq === want.toSeq)
+    // image payloads must never surface as text pages
+    assert(graft.sources.PdfSource.extractLines(bytes).isEmpty)
+    assert(graft.sources.PdfSource.extractCells(bytes).isEmpty)
+  }
+
   test("K8 report is deterministic under orderCol ties (cap cut and " +
        "numbering tie-break on the rendered line)") {
     import spark.implicits._
