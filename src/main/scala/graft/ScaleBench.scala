@@ -119,8 +119,29 @@ object ScaleBench {
         // k ∝ n holds inverted-list sizes flat (the IVF sizing rule)
         "q95_kmeans_ivf" -> (() =>
           analytics.Cluster.kmeansIvfTopK(emb, "vec_id", "embedding",
-            k = 8 * k, iters = 2, kTop = 5, nprobe = 2).count()))
-      ops.foreach { case (name, f) =>
+            k = 8 * k, iters = 2, kTop = 5, nprobe = 2).count()),
+        // rides the q18 inverted-index machinery with 5-gram SPANS — the
+        // span df distribution is thinner than 3-gram shingles (fewer
+        // hot keys), so the curve must hold at least as flat
+        "q93_substring_dups" -> (() =>
+          analytics.Dedup.substringDupPairs(docs, "doc_id", "text",
+            spanLen = 5, minShared = 1).count()),
+        // q18 machinery at minJaccard=0 (every candidate pair survives
+        // to the bucket agg) — the worst-case pair volume of the family
+        "q96_jaccard_hist" -> (() =>
+          analytics.Dedup.ngramJaccardPairsFromDocs(docs, "doc_id", "text",
+              minJaccard = 0.0, n = 3, maxDocFreq = 1000)
+            .select(least(floor($"jaccard" * 10).cast("int"), lit(9))
+              .as("bucket"))
+            .groupBy("bucket").agg(count(lit(1)).as("n_pairs")).count()))
+      // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
+      val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val selected = opFilter match {
+        case Some(prefixes) => ops.filter { case (n, _) => prefixes.exists(n.startsWith) }
+        case None           => ops
+      }
+      selected.foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"[scalebench] x$k%-5d $name%-17s $rows%8d  $sec%6.2f")
         spark.sparkContext.getPersistentRDDs.values
