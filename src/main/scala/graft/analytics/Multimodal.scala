@@ -159,7 +159,7 @@ object Multimodal {
     out
   }
 
-  private def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+  private[graft] def encodeImage(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, baos)
     baos.toByteArray
@@ -180,7 +180,7 @@ object Multimodal {
         val n = if (b.data == null) 0L else b.data.length.toLong
         decodeImage(b.data) match {
           case Some(img) =>
-            val png = encode(scaleNearest(img, width, height), "png")
+            val png = encodeImage(scaleNearest(img, width, height), "png")
             MediaResized(b.doc_id, "image/png", width, height, n, png.length.toLong)
           case None =>
             MediaResized(b.doc_id, b.media_type, width, height, n,
@@ -216,7 +216,7 @@ object Multimodal {
       it.flatMap { b =>
         decodeImage(b.data).map { img =>
           val rgb = scaleNearest(img, img.getWidth, img.getHeight)
-          val out = encode(rgb, fmt)
+          val out = encodeImage(rgb, fmt)
           MediaConverted(b.doc_id,
             ImageHeaders.parse(b.data).map(_._1).getOrElse(b.media_type),
             s"image/$fmt", img.getWidth, img.getHeight,

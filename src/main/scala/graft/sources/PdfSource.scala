@@ -79,6 +79,16 @@ object PdfSource {
     }
   }
 
+  /** Parsed drawing operations of one decoded content stream: whether a
+    * `BT` text block exists at all, the Tj-shown strings with their
+    * text-matrix position and active font size, and image-XObject
+    * placements (`/Name ... Do`) with the transformation matrix active at
+    * `Do` time. */
+  private final case class StreamOps(
+      hasBT: Boolean,
+      shows: Seq[(Double, Double, Double, String)], // x, y, fontSize, text
+      images: Seq[(String, Array[Double])])         // name, cm 6-tuple
+
   /** Tj-shown strings WITH their text-matrix positions from one decoded
     * content stream, via a string-literal-aware scan: `BT`/`ET`/
     * `endstream`-looking bytes INSIDE a `(...)` literal never terminate
@@ -87,15 +97,22 @@ object PdfSource {
     * spec. Position tracking covers the operators our writers and
     * report-class PDFs emit: numeric operands are buffered and consumed
     * by `Tm` (absolute: e, f of the 6-tuple), `Td`/`TD` (relative
-    * translation); `BT` resets the matrix to the origin. Returns None
-    * when the stream has no `BT` text block at all. */
-  private def textShows(s: String): Option[Seq[(Double, Double, String)]] = {
-    val shows = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, String)]
+    * translation), `Tf` (font size — for the rasterizer), `cm` (current
+    * transformation, consumed by `Do`; `Q` restores identity, the
+    * one-level `q…Q` bracket every report/image writer emits); `BT`
+    * resets the text matrix to the origin. */
+  private def streamOps(s: String): StreamOps = {
+    val shows = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, String)]
+    val images = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Double])]
     val pending = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val identity = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     var hasBT = false
     var inText = false
     var x = 0.0
     var y = 0.0
+    var fs = 10.0
+    var cm = identity
+    var lastName: String = null
     var i = 0
     val n = s.length
     def isNumChar(c: Char): Boolean =
@@ -117,12 +134,20 @@ object PdfSource {
         while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
         if (inText && s.startsWith("Tj", j)) {
           // UTF-8 bytes were written raw; decode them back
-          shows += ((x, y, new String(
+          shows += ((x, y, fs, new String(
             unescape(sb.toString).getBytes(StandardCharsets.ISO_8859_1),
             StandardCharsets.UTF_8)))
           i = j + 2
         }
         pending.clear()
+      } else if (c == '/') {
+        // a name token: never an operator (a PDF named /Tj must not be
+        // mistaken for the show operator), remembered for `Do`
+        var j = i + 1
+        while (j < n && (Character.isLetterOrDigit(s.charAt(j)) ||
+                         s.charAt(j) == '_' || s.charAt(j) == '.')) j += 1
+        lastName = s.substring(i + 1, j)
+        i = j
       } else if (isNumChar(c)) {
         var j = i + 1
         while (j < n && isNumChar(s.charAt(j))) j += 1
@@ -142,13 +167,27 @@ object PdfSource {
             x = pending(pending.size - 2); y = pending.last
           case "Td" | "TD" if pending.size >= 2 =>
             x += pending(pending.size - 2); y += pending.last
-          case _ => () // Tf, Tz, gs, re, ... — operands just drop
+          case "Tf" if pending.nonEmpty => fs = pending.last
+          case "cm" if pending.size >= 6 =>
+            cm = pending.takeRight(6).toArray
+          case "Q" => cm = identity
+          case "Do" if lastName != null =>
+            images += ((lastName, cm))
+          case _ => () // Tz, gs, re, ... — operands just drop
         }
         pending.clear()
         i = j
-      } else i += 1 // whitespace, '/', '[', '<' ... delimiters
+      } else i += 1 // whitespace, '[', '<' ... delimiters
     }
-    if (hasBT) Some(shows.toSeq) else None
+    StreamOps(hasBT, shows.toSeq, images.toSeq)
+  }
+
+  /** Positioned text shows, or None when the stream has no `BT` block at
+    * all — the S8 text view of [[streamOps]]. */
+  private def textShows(s: String): Option[Seq[(Double, Double, String)]] = {
+    val ops = streamOps(s)
+    if (ops.hasBT) Some(ops.shows.map { case (x, y, _, t) => (x, y, t) })
+    else None
   }
 
   /** [[textShows]] stripped to the show strings, in stream order — the
@@ -231,6 +270,142 @@ object PdfSource {
           grp(HeightRe).toIntOption.getOrElse(-1), grp(FilterRe),
           payload.getBytes(StandardCharsets.ISO_8859_1))
       }
+  }
+
+  /** Decode one image XObject's payload to a raster: `DCTDecode` is the
+    * embedded JPEG (JDK decodes it), `FlateDecode` inflates to top-down
+    * 8-bit RGB rows (the layout [[graft.sinks.PdfSink.writeImagePdf]]
+    * emits). Anything else — or a payload shorter than w*h*3 — is None. */
+  private def xobjectImage(w: Int, h: Int, filter: String, payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = filter match {
+    case "DCTDecode" => graft.analytics.Multimodal.decodeImage(payload)
+    case "FlateDecode" =>
+      val rgb = inflate(payload)
+      if (w <= 0 || h <= 0 || rgb.length < w * h * 3) None
+      else {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            img.setRGB(xx, yy,
+              ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) |
+                (rgb(p + 2) & 0xff))
+            p += 3
+            xx += 1
+          }
+          yy += 1
+        }
+        Some(img)
+      }
+    case _ => None
+  }
+
+  /** K9 pdf→image rasterizer (reference main.py:1244-1381 renders pages
+    * through PyMuPDF/pdf2image at a caller dpi): pure-JVM Java2D render of
+    * the page classes this engine writes — positioned text (Helvetica ≈
+    * the logical SansSerif; `Tm`/`Td` positions and `Tf` sizes honored)
+    * and image XObjects placed by their `cm` box (axis-aligned, the
+    * `q a 0 0 d e f cm /ImN Do Q` bracket [[graft.sinks.PdfSink]] emits;
+    * rotation/skew terms are out of scope like the rest of the parser).
+    * XObject references resolve positionally — the k-th `Do` in document
+    * order draws the k-th image stream — exact for one-XObject-per-page
+    * writers, the same single-pass resource heuristic the page numbering
+    * already uses (no xref walk). A page is any content stream with a
+    * `BT` block or a placement; it renders at `dpi` onto the fixed
+    * 595×842pt MediaBox every writer declares. Returns (page, raster). */
+  def rasterize(data: Array[Byte], dpi: Int = 150)
+      : Seq[(Int, java.awt.image.BufferedImage)] = {
+    require(dpi >= 18 && dpi <= 600, s"dpi $dpi outside [18, 600]")
+    val raw = new String(data, StandardCharsets.ISO_8859_1)
+    val xobjs = extractImages(data)
+    var nextImg = 0
+    val scale = dpi / 72.0
+    val pw = math.round(595 * scale).toInt
+    val ph = math.round(842 * scale).toInt
+    var page = 0
+    contentStreams(raw).flatMap { s =>
+      val ops = streamOps(s)
+      if (!ops.hasBT && ops.images.isEmpty) None
+      else {
+        page += 1
+        val img = new java.awt.image.BufferedImage(
+          pw, ph, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_ANTIALIASING,
+            java.awt.RenderingHints.VALUE_ANTIALIAS_ON)
+          g.setRenderingHint(java.awt.RenderingHints.KEY_TEXT_ANTIALIASING,
+            java.awt.RenderingHints.VALUE_TEXT_ANTIALIAS_ON)
+          g.setColor(java.awt.Color.WHITE)
+          g.fillRect(0, 0, pw, ph)
+          g.scale(scale, scale) // user space = points, y still top-down
+          ops.images.foreach { case (_, cm) =>
+            if (nextImg < xobjs.length) {
+              val (_, w, h, filter, payload) = xobjs(nextImg)
+              nextImg += 1
+              xobjectImage(w, h, filter, payload).foreach { xi =>
+                // cm maps the unit square to [e,e+a]×[f,f+d] (y-up);
+                // image row 0 is the TOP edge, so in top-down user space
+                // the destination starts at 842-(f+d) and keeps row order
+                val a = cm(0); val d = cm(3); val e = cm(4); val f = cm(5)
+                g.drawImage(xi, new java.awt.geom.AffineTransform(
+                  a / xi.getWidth, 0.0, 0.0, d / xi.getHeight,
+                  e, 842.0 - f - d), null)
+              }
+            }
+          }
+          g.setColor(java.awt.Color.BLACK)
+          ops.shows.foreach { case (x, y, fs, text) =>
+            g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF,
+              java.awt.Font.PLAIN, 12).deriveFont(fs.toFloat))
+            // Td/Tm y is the text BASELINE, exactly drawString's y
+            g.drawString(text, x.toFloat, (842.0 - y).toFloat)
+          }
+        } finally g.dispose()
+        Some((page, img))
+      }
+    }
+  }
+
+  /** [[rasterize]] encoded for transport: (page, width, height, bytes) in
+    * `format` ("png" or "jpg") — the reference's single-page /
+    * page-per-entry output shape with the file/zip envelope left to the
+    * caller (a DataFrame row per page IS the distributed envelope). */
+  def pdfToImages(data: Array[Byte], format: String = "png",
+                  dpi: Int = 150): Seq[(Int, Int, Int, Array[Byte])] = {
+    val fmt = format.toLowerCase match {
+      case "jpg" | "jpeg" => "jpg"
+      case "png"          => "png"
+      case f => throw new IllegalArgumentException(
+        s"unsupported page-image format: $f")
+    }
+    rasterize(data, dpi).map { case (page, img) =>
+      (page, img.getWidth, img.getHeight,
+        graft.analytics.Multimodal.encodeImage(img, fmt))
+    }
+  }
+
+  /** K9 distributed pdf→image read: every PDF under `path` rasterized
+    * partition-wise into (file, page, width, height, image) rows — the
+    * same `binaryFile` → per-partition decode shape as [[readTextRows]];
+    * pages of one PDF stay in its partition, no driver funnel. */
+  def readPageImages(spark: SparkSession, path: String,
+                     format: String = "png", dpi: Int = 150): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, bytes) =>
+          pdfToImages(bytes, format, dpi).map { case (pg, w, h, b) =>
+            (p, pg, w, h, b)
+          }
+        }
+      }
+      .toDF("file", "page", "width", "height", "image")
   }
 
   /** Extract text lines from raw PDF bytes as (page, line_no, text).

@@ -442,6 +442,87 @@ class ConvertersSpec extends SparkTestBase {
     assert(graft.sources.PdfSource.extractCells(bytes).isEmpty)
   }
 
+  test("K9 pdf->image: text pages rasterize at the requested dpi with " +
+       "glyphs at the layout positions") {
+    val lines = (1 to 60).map(i => s"report line $i")
+    val path = tmp("rast.pdf")
+    PdfSink.writeTextPdf(lines, path, linesPerPage = 55)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    // dpi=72 -> 1pt = 1px: page raster is exactly the 595x842 MediaBox
+    val pages = graft.sources.PdfSource.rasterize(bytes, dpi = 72)
+    assert(pages.map(_._1) === Seq(1, 2))
+    assert(pages.forall { case (_, img) =>
+      img.getWidth == 595 && img.getHeight == 842 })
+    def darkIn(img: java.awt.image.BufferedImage,
+               x0: Int, x1: Int, y0: Int, y1: Int): Int =
+      (for (y <- y0 until y1; x <- x0 until x1
+            if (img.getRGB(x, y) & 0xff) < 128) yield 1).sum
+    val p1 = pages.head._2
+    // line 1 baseline at y=778 -> java y 64; glyphs render just above it
+    assert(darkIn(p1, 50, 300, 50, 66) > 20)
+    // below the 55th line (baseline y=778-54*14=22 -> java 820) stays blank
+    assert(darkIn(p1, 0, 595, 825, 842) === 0)
+    // page 2 carries only 5 lines: its lower half is blank, top has text
+    val p2 = pages(1)._2
+    assert(darkIn(p2, 50, 300, 50, 66) > 20)
+    assert(darkIn(p2, 0, 595, 200, 842) === 0)
+    // dpi scales the raster linearly
+    val hi = graft.sources.PdfSource.rasterize(bytes, dpi = 144)
+    assert(hi.head._2.getWidth === 1190 && hi.head._2.getHeight === 1684)
+  }
+
+  test("K9 pdf->image: image pages render the embedded XObject into the " +
+       "page raster (FlateDecode and DCTDecode paths)") {
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        30, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 30) img.setRGB(x, y, rgb)
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, b)
+      b.toByteArray
+    }
+    val path = tmp("rastimg.pdf")
+    // page 1: red PNG (FlateDecode raw RGB), page 2: blue JPEG (DCTDecode)
+    PdfSink.writeImagePdf(
+      Seq(enc(solid(0xff0000), "png"), enc(solid(0x0000ff), "jpg")), path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val pages = graft.sources.PdfSource.rasterize(bytes, dpi = 72)
+    assert(pages.map(_._1) === Seq(1, 2))
+    // no upscaling: dest box is 30x20 at (50, 772) -> java rows 50..70
+    val c1 = pages.head._2.getRGB(65, 60)
+    assert(((c1 >> 16) & 0xff) > 200 && (c1 & 0xff) < 60)
+    val c2 = pages(1)._2.getRGB(65, 60)
+    assert((c2 & 0xff) > 200 && ((c2 >> 16) & 0xff) < 60)
+    // outside the placement box the page is white
+    val off = pages.head._2.getRGB(300, 400)
+    assert((off & 0xffffff) === 0xffffff)
+  }
+
+  test("K9 distributed pdf->image: readPageImages emits one decodable " +
+       "PNG row per page across files") {
+    val dir = Files.createTempDirectory("graft_pdfpages")
+    PdfSink.writeTextPdf(Seq("only page"), dir.resolve("a.pdf").toString)
+    PdfSink.writeTextPdf((1 to 60).map(_.toString),
+      dir.resolve("b.pdf").toString, linesPerPage = 55)
+    val rows = graft.sources.PdfSource
+      .readPageImages(spark, dir.toString, format = "png", dpi = 72)
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getAs[Array[Byte]](4)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSeq === Seq(
+      ("a.pdf", 1, 595, 842),
+      ("b.pdf", 1, 595, 842), ("b.pdf", 2, 595, 842)))
+    // every payload is a real PNG whose header dims match the row's
+    rows.foreach { r =>
+      assert(graft.analytics.ImageHeaders.parse(r._5)
+        === Some(("image/png", r._3, r._4)))
+    }
+  }
+
   test("K8 report is deterministic under orderCol ties (cap cut and " +
        "numbering tie-break on the rendered line)") {
     import spark.implicits._
