@@ -1340,7 +1340,7 @@ object AnalyticsQueries {
         Dedup.ngramJaccardPairsFromDocs(Tables(s, dir, "documents"),
             "doc_id", "text", minJaccard = 0.0, n = 3, maxDocFreq = 1000)
           .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
-            .as("bucket"))
+            .cast("long").as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_pairs"))
           .orderBy("bucket")),
 

@@ -142,8 +142,10 @@ class PlanShapeSpec extends SparkTestBase {
     //   q77 surprisal:       doc-word counts x broadcast ONE-ROW corpus total
     //   q79 pq adc:          corpus codes x broadcast tiny query set
     //   q88 surprisal gate:  scored corpus x broadcast ONE-ROW percentile
+    //   q97 external gate:   same ONE-ROW percentile bracket as q88
     val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup",
-      "q77_unigram_surprisal", "q79_pq_adc_topk", "q88_surprisal_gate")
+      "q77_unigram_surprisal", "q79_pq_adc_topk", "q88_surprisal_gate",
+      "q97_external_surprisal")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
