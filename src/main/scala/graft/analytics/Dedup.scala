@@ -213,6 +213,56 @@ object Dedup {
       .filter($"n_shared_spans" >= minShared)
   }
 
+  /** C4/RefinedWeb-style LINE-level boilerplate removal: a line (newline-
+    * delimited, keyed by its trimmed content) is boilerplate when it
+    * occurs in at least `minDocFreq` DISTINCT documents, and every
+    * occurrence is removed (RefinedWeb's remove-all rule — C4's keep-one
+    * variant needs a global occurrence order no distributed engine should
+    * pay for). Blank/whitespace-only lines are structure, not content:
+    * never counted toward df, never removed. Returns
+    * (id, text, n_lines, n_removed) with `text` rebuilt from the
+    * surviving lines in original order.
+    *
+    * Scale shape: the exploded table carries (doc, pos, xxhash64(line)) —
+    * fixed-width rows, never line text; df is a distinct-count keyed by
+    * hash (a hot line contributes one row per containing doc — linear in
+    * occurrences, no pair blow-up); the join back is hash-keyed; the only
+    * exchange that moves document text is the final doc-keyed join
+    * against the per-doc drop-position list, which AQE downgrades to a
+    * broadcast when few docs are hit. Line identity by 64-bit hash: a
+    * collision can only remove one extra line, and at 10^11 lines the
+    * expected collision count is still < 1 per ~300 corpora. */
+  def removeBoilerplateLines(docs0: DataFrame, idCol: String,
+                             textCol: String,
+                             minDocFreq: Int = 3): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be >= 2")
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withLines = docs.select(col(idCol).as("doc"),
+      split(col(textCol), "\n").as("lines"))
+    // checkpoint: the hashed line table feeds the df aggregate AND the
+    // join back — without it the explode runs twice per action
+    val ln = withLines
+      .select($"doc", posexplode($"lines").as(Seq("pos", "line")))
+      .withColumn("lt", trim($"line"))
+      .filter($"lt" =!= "")
+      .select($"doc", $"pos", xxhash64($"lt").as("h"))
+      .localCheckpoint()
+    val boiler = ln.select($"doc", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDocFreq)
+    val drops = ln.join(boiler, Seq("h"))
+      .groupBy($"doc").agg(collect_list($"pos").as("drop_pos"))
+    withLines.join(drops, Seq("doc"), "left")
+      .select($"doc".as(idCol),
+        concat_ws("\n", filter($"lines", (_, i) =>
+          !array_contains(coalesce($"drop_pos", typedLit(Seq.empty[Int])), i)))
+          .as(textCol),
+        size($"lines").cast("long").as("n_lines"),
+        coalesce(size($"drop_pos"), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** Eval-set decontamination: training documents sharing >= `minShared`
     * word n-gram shingles with any held-out (eval) document — the overlap
     * check a training pipeline runs before shipping a corpus, so benchmark

@@ -336,6 +336,56 @@ object Multimodal {
            "bits_per_sample", "n_samples", "duration_ms")
   }
 
+  /** Sample-level PCM decode — REAL codec-level audio decode (PCM is the
+    * uncompressed codec; no external libraries needed): 16-bit LE frames
+    * read from the data chunk, reduced map-side to the features an audio
+    * quality gate partitions on — frame count, amplitude sum, sum of
+    * squares (the RMS numerator), peak |amplitude|, and the zero-crossing
+    * count of channel 0 (strict sign flips between consecutive frames;
+    * zeros break a run). Exact integer arithmetic end-to-end so a SQL
+    * oracle recomputes every value. One pass over the payload, nothing
+    * but the 8-column feature row leaves the partition. Non-PCM or
+    * non-16-bit payloads drop (compressed codecs need libraries this
+    * container doesn't ship — the documented remaining stub). */
+  def audioFeatures(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        WavHeaders.parse(b.data).filter(_.bitsPerSample == 16).map { m =>
+          val ch = m.channels
+          val nTotal = (m.nSamples * ch).toInt
+          var k = 0
+          var off = m.dataOffset
+          var sum = 0L
+          var sumSq = 0L
+          var peak = 0L
+          var zc = 0L
+          var prev0 = 0
+          var have0 = false
+          while (k < nTotal) {
+            val v = (b.data(off) & 0xff) | ((b.data(off + 1) & 0xff) << 8)
+            val s = if (v >= 0x8000) v - 0x10000 else v
+            sum += s
+            sumSq += s.toLong * s
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            if (k % ch == 0) { // channel-0 stream carries the crossings
+              if (have0 && ((prev0 < 0 && s > 0) || (prev0 > 0 && s < 0)))
+                zc += 1
+              prev0 = s
+              have0 = true
+            }
+            k += 1
+            off += 2
+          }
+          (b.doc_id, m.sampleRate, ch, m.nSamples, sum, sumSq, peak, zc)
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "n_frames", "sum_amp",
+           "sum_sq", "peak_abs", "zero_cross")
+  }
+
   /** Minimal deterministic MP4 skeleton: `ftyp` + `moov(mvhd v0)` with
     * formula-derived timescale/duration — enough container structure for
     * any ISO-BMFF metadata parser. */
@@ -537,7 +587,8 @@ object Multimodal {
 object WavHeaders {
 
   final case class WavMeta(sampleRate: Int, channels: Int,
-                           bitsPerSample: Int, nSamples: Long)
+                           bitsPerSample: Int, nSamples: Long,
+                           dataOffset: Int)
 
   private def le32(d: Array[Byte], o: Int): Int =
     (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
@@ -552,6 +603,7 @@ object WavHeaders {
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var dataSize = -1L
+    var dataOffset = -1
     while (i + 8 <= d.length && (fmt.isEmpty || dataSize < 0)) {
       val id = new String(d, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(d, i + 4).toLong & 0xffffffffL
@@ -561,6 +613,7 @@ object WavHeaders {
         fmt = Some((le16(d, i + 10), le32(d, i + 12), le16(d, i + 22)))
       } else if (id == "data") {
         dataSize = math.min(size, (d.length - i - 8).toLong)
+        dataOffset = i + 8
       }
       // chunks are word-aligned: odd sizes carry a pad byte. Advance in
       // LONG arithmetic: a crafted 32-bit size near 2^32 would overflow
@@ -575,7 +628,8 @@ object WavHeaders {
       // and divide by zero — drop such payloads instead
       case (ch, rate, bits)
           if dataSize >= 0 && ch > 0 && bits >= 8 && rate > 0 =>
-        WavMeta(rate, ch, bits, dataSize / (ch.toLong * (bits / 8)))
+        WavMeta(rate, ch, bits, dataSize / (ch.toLong * (bits / 8)),
+                dataOffset)
     }
   }
 }

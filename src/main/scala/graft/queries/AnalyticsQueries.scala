@@ -1375,7 +1375,96 @@ object AnalyticsQueries {
         TextAnalysis.externalSurprisalGate(Tables(s, dir, "documents"),
             "doc_id", "text", model, oovLogp = -8.0, p = 0.75)
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- line-level boilerplate removal (C4/RefinedWeb) -----
+    Q("q99_line_dedup",
+      "C4/RefinedWeb line-level boilerplate removal: reflow each doc " +
+        "into 5-word lines, remove every line occurring in >= 3 distinct " +
+        "documents, rebuild the text — the corpus-level cleanup between " +
+        "exact and near dedup",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |rl AS (
+             |  SELECT doc_id, i, array_to_string(t[i*5+1 : i*5+5], ' ') AS line
+             |  FROM (SELECT doc_id, t, unnest(range(CAST(ceil(len(t)/5.0) AS BIGINT))) AS i FROM toks)),
+             |boiler AS (
+             |  SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+             |                    FROM rl GROUP BY line) WHERE df >= 3),
+             |kept AS (
+             |  SELECT rl.doc_id, rl.i, rl.line
+             |  FROM rl LEFT JOIN boiler b USING (line) WHERE b.line IS NULL),
+             |nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+             |       FROM rl GROUP BY doc_id),
+             |ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+             |              CAST(count(*) AS BIGINT) AS n_kept
+             |       FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(ka.text, '') AS text,
+             |       coalesce(nl.n_lines, 0) AS n_lines,
+             |       coalesce(nl.n_lines, 0) - coalesce(ka.n_kept, 0) AS n_removed
+             |FROM documents d
+             |LEFT JOIN nl USING (doc_id)
+             |LEFT JOIN ka USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val t = Dedup.tokens(col("text"))
+        // reflow into 5-word lines: the corpus text is single-line, so
+        // the gate constructs the newline structure the operator keys on
+        // (both engines reflow identically; every doc has >= 1 token)
+        val reflowed = docs.select(col("doc_id"),
+          concat_ws("\n",
+            transform(sequence(lit(0),
+                ceil(size(t) / lit(5.0)).cast("int") - 1),
+              i => concat_ws(" ", slice(t, i * lit(5) + 1, lit(5))))).as("text"))
+        Dedup.removeBoilerplateLines(reflowed, "doc_id", "text",
+            minDocFreq = 3)
+          .orderBy("doc_id")
+      }),
+
+    // ----- sample-level PCM audio decode (real codec-level decode) -----
+    Q("q100_audio_features",
+      "16-bit PCM sample decode over the synthetic WAV corpus: amplitude " +
+        "sum / sum of squares (RMS numerator) / peak / channel-0 " +
+        "zero-crossings, one map-side pass per payload",
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             |         CAST(1 + doc_id % 2 AS INT) AS channels,
+             |         100 + doc_id % 50 AS n_frames
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, channels, k,
+             |         ((doc_id + 2*k) % 256) + 256 * ((doc_id + 2*k + 1) % 256) AS v
+             |  FROM (SELECT doc_id, channels,
+             |               unnest(range(n_frames * channels)) AS k
+             |        FROM p)),
+             |sv AS (SELECT doc_id, channels, k,
+             |              CAST(v - CASE WHEN v >= 32768 THEN 65536 ELSE 0 END AS BIGINT) AS smp
+             |       FROM s),
+             |agg AS (SELECT doc_id,
+             |               CAST(sum(smp) AS BIGINT) AS sum_amp,
+             |               CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+             |               CAST(max(abs(smp)) AS BIGINT) AS peak_abs
+             |        FROM sv GROUP BY doc_id),
+             |c0 AS (SELECT doc_id, smp,
+             |              lag(smp) OVER (PARTITION BY doc_id ORDER BY k) AS prv
+             |       FROM sv WHERE k % channels = 0),
+             |zc AS (SELECT doc_id,
+             |              CAST(count(*) FILTER (WHERE prv * smp < 0) AS BIGINT) AS zero_cross
+             |       FROM c0 GROUP BY doc_id)
+             |SELECT p.doc_id, p.sample_rate, p.channels,
+             |       CAST(p.n_frames AS BIGINT) AS n_frames,
+             |       agg.sum_amp, agg.sum_sq, agg.peak_abs, zc.zero_cross
+             |FROM p JOIN agg USING (doc_id) JOIN zc USING (doc_id)
+             |ORDER BY p.doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.audioFeatures(
+            Multimodal.syntheticWavBlobs(Tables(s, dir, "documents"),
+              "doc_id"))
+          .orderBy("doc_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -798,6 +798,67 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!pairs.exists(_._1 == 2L))
   }
 
+  test("externalSurprisalGate: in-model words score -logp, OOV words the " +
+       "floor; empty docs fail closed; broadcast and shuffled model paths " +
+       "agree") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the cat"),    // 2*2.0 + 8.0 / 3 = 4.0
+      (2L, "the the the"),    // 2.0
+      (3L, "zzz qqq"),        // all OOV -> 8.0
+      (4L, " ")).toDF("doc_id", "text") // no tokens -> null, keep=false
+    val model = Seq(("the", -2.0)).toDF("word", "logp")
+    val out = TextAnalysis.externalSurprisalGate(docs, "doc_id", "text",
+        model, oovLogp = -8.0, p = 0.5)
+      .orderBy("doc_id").collect()
+    val score = out.map(r =>
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(score.toSeq === Seq(Some(4.0), Some(2.0), Some(8.0), None))
+    // p50 over (4.0, 2.0, 8.0) = 4.0 -> docs 1,2 keep; OOV doc + empty fail
+    assert(out.map(_.getBoolean(2)).toSeq ===
+      Seq(true, true, false, false))
+    val shuffled = TextAnalysis.externalSurprisalGate(docs, "doc_id",
+        "text", model, oovLogp = -8.0, p = 0.5, broadcastModel = false)
+      .orderBy("doc_id").collect()
+    assert(shuffled.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("removeBoilerplateLines: lines in >= minDocFreq distinct docs go, " +
+       "keyed by trimmed content; blanks are structure; text rebuilds " +
+       "in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique opening\ncopyright footer\nbody one"),
+      (2L, "  copyright footer \n\nbody two\ncopyright footer"), // trim-keyed + in-doc repeat (one doc for df)
+      (3L, "body three\ncopyright footer"),
+      (4L, "nothing shared here\n\nat all")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocFreq = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      // every "copyright footer" occurrence removed (df=3 distinct docs),
+      // untrimmed original lines survive elsewhere untouched
+      (1L, "unique opening\nbody one", 3L, 1L),
+      (2L, "\nbody two", 4L, 2L),
+      (3L, "body three", 2L, 1L),
+      (4L, "nothing shared here\n\nat all", 3L, 0L)))
+  }
+
+  test("removeBoilerplateLines: below minDocFreq nothing is removed and " +
+       "text round-trips byte-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared line\nalpha"),
+      (2L, "shared line\nbeta")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq("shared line\nalpha", "shared line\nbeta"))
+    assert(out.map(_.getLong(3)).toSeq === Seq(0L, 0L))
+  }
+
   test("vocabulary: ranked by count desc then word; limit respected") {
     import spark.implicits._
     val docs = Seq(
@@ -1221,7 +1282,7 @@ class MultimodalSpec extends SparkTestBase {
        "chunks with their pad byte, and rejects non-PCM/garbage") {
     val wav = Multimodal.syntheticWav(7L) // rate 20000, 2ch, 107 samples
     val m = WavHeaders.parse(wav).get
-    assert(m === WavHeaders.WavMeta(20000, 2, 16, 107L))
+    assert(m === WavHeaders.WavMeta(20000, 2, 16, 107L, 44))
     // a LIST chunk with an ODD size before fmt/data: the word-aligned
     // walk must skip its pad byte to stay on chunk boundaries
     val extra = java.nio.ByteBuffer
@@ -1231,12 +1292,77 @@ class MultimodalSpec extends SparkTestBase {
     extra.put("LIST".getBytes).putInt(3).put("abc".getBytes).put(0.toByte)
     extra.put(wav, 12, wav.length - 12)
     assert(WavHeaders.parse(extra.array()).contains(
-      WavHeaders.WavMeta(20000, 2, 16, 107L)))
+      WavHeaders.WavMeta(20000, 2, 16, 107L, 56)))
     assert(WavHeaders.parse("RIFFxxxxWAVE".getBytes) === None) // no chunks
     assert(WavHeaders.parse("not audio at all".getBytes) === None)
     // non-PCM format code rejected
     val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float
     assert(WavHeaders.parse(nonPcm) === None)
+  }
+
+  test("audioFeatures decodes real 16-bit PCM samples: hand-computed " +
+       "features on a crafted WAV, channel-0 zero crossings, non-16-bit " +
+       "payloads dropped") {
+    import spark.implicits._
+    // 2ch x 4 frames; ch0: +100, -200, 0, +50  ch1: +1, +2, -3, -4
+    val ch0 = Seq(100, -200, 0, 50)
+    val ch1 = Seq(1, 2, -3, -4)
+    val buf = java.nio.ByteBuffer.allocate(44 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 16).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+    buf.put("data".getBytes).putInt(16)
+    ch0.zip(ch1).foreach { case (a, b1) =>
+      buf.putShort(a.toShort).putShort(b1.toShort) }
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "audio/wav", buf.array()),
+      Multimodal.MediaBlob(2L, "text/plain", "not audio".getBytes)).toDS()
+    val out = Multimodal.audioFeatures(blobs).collect()
+    assert(out.length === 1) // non-WAV dropped
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getInt(1) === 8000 && r.getInt(2) === 2)
+    assert(r.getLong(3) === 4L) // frames
+    assert(r.getLong(4) === (ch0.sum + ch1.sum).toLong)
+    assert(r.getLong(5) ===
+      (ch0.map(x => x.toLong * x) ++ ch1.map(x => x.toLong * x)).sum)
+    assert(r.getLong(6) === 200L)
+    // ch0 crossings: +100->-200 flips, -200->0 no (zero breaks the run),
+    // 0->+50 no — exactly 1; ch1's -3/-4 run must NOT count
+    assert(r.getLong(7) === 1L)
+    // and an 8-bit WAV (real WAV, wrong depth for the 16-bit decoder) drops
+    val w8 = buf.array().clone()
+    w8(34) = 8 // bitsPerSample field
+    assert(Multimodal.audioFeatures(
+      Seq(Multimodal.MediaBlob(3L, "audio/wav", w8)).toDS()).count() === 0L)
+  }
+
+  test("audioFeatures matches the synthetic-WAV oracle formula " +
+       "(differential over generated payloads)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 7L, 49L, 50L, 101L)
+    val blobs = ids.map(id =>
+      Multimodal.MediaBlob(id, "audio/wav", Multimodal.syntheticWav(id))).toDS()
+    val out = Multimodal.audioFeatures(blobs).orderBy("doc_id").collect()
+    assert(out.length === ids.length)
+    for (r <- out) {
+      val id = r.getLong(0)
+      val ch = 1 + (id % 2).toInt
+      val nf = 100 + (id % 50).toInt
+      // recompute from the byte formula, independently of the decoder
+      val samples = (0 until nf * ch).map { k =>
+        val v = ((id + 2 * k) % 256).toInt + 256 * ((id + 2 * k + 1) % 256).toInt
+        if (v >= 32768) v - 65536 else v
+      }
+      assert(r.getInt(1) === 8000 + (id % 4).toInt * 4000)
+      assert(r.getInt(2) === ch && r.getLong(3) === nf.toLong)
+      assert(r.getLong(4) === samples.map(_.toLong).sum)
+      assert(r.getLong(5) === samples.map(x => x.toLong * x).sum)
+      assert(r.getLong(6) === samples.map(x => math.abs(x.toLong)).max)
+      val c0 = samples.zipWithIndex.collect { case (s, k) if k % ch == 0 => s }
+      assert(r.getLong(7) ===
+        c0.zip(c0.tail).count { case (a, b) => a.toLong * b < 0 }.toLong)
+    }
   }
 
   test("WavHeaders survives crafted chunk sizes: near-2^32 size (int " +
