@@ -129,16 +129,11 @@ object ScaleBench {
         // per-copy token prefixes keep boilerplate-line sets disjoint per
         // copy, so removal structure (and the hash-keyed df table) scales
         // linearly with copies — the shape the line rule must hold
-        "q99_line_dedup" -> (() => {
-          val t = analytics.Dedup.tokens($"text")
-          val reflowed = docs.select($"doc_id",
-            concat_ws("\n", transform(sequence(lit(0),
-                ceil(size(t) / lit(5.0)).cast("int") - 1),
-              i => concat_ws(" ", slice(t, i * lit(5) + 1, lit(5)))))
-              .as("text"))
+        "q99_line_dedup" -> (() =>
           analytics.Dedup.removeBoilerplateLines(
-            reflowed, "doc_id", "text", minDocFreq = 3).count()
-        }),
+            docs.select($"doc_id",
+              analytics.Dedup.reflowLines($"text", 5).as("text")),
+            "doc_id", "text", minDocFreq = 3).count()),
         // q18 machinery at minJaccard=0 (every candidate pair survives
         // to the bucket agg) — the worst-case pair volume of the family
         "q96_jaccard_hist" -> (() =>

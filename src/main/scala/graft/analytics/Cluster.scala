@@ -153,11 +153,17 @@ object Cluster {
 
   /** Map-side cluster assignment of `emb` against a trained model:
     * (vid, v, cluster) — one native argmin kernel pass over the broadcast
-    * model, no shuffle. Wrong-dim vectors are dropped (the [[Pq.vectors]]
-    * guard). */
+    * model, no shuffle. Minority wrong-dim vectors are dropped (the
+    * [[Pq.vectors]] guard), but a MODEL whose dimension disagrees with
+    * the data's majority dimension fails loudly: that's a wrong model
+    * file, and silently nulling every row would surface as an empty
+    * result instead of the actual mistake. */
   private def assignAgainst(emb: DataFrame, idCol: String, vecCol: String,
                             cents: Seq[Seq[Double]]): DataFrame = {
-    val (v, _) = Pq.vectors(Par.ensure(emb), idCol, vecCol)
+    val (v, dim) = Pq.vectors(Par.ensure(emb), idCol, vecCol)
+    require(cents.head.length == dim,
+      s"model dimension ${cents.head.length} != data dimension $dim — " +
+        "wrong model for this corpus")
     val enc = graft.functions.PqKernels.pqEncode(col("v"), cents, m = 1)
     v.select(col("vid"), col("v"),
       element_at(enc.getField("codes"), 1).as("cluster"))
@@ -202,7 +208,9 @@ object Cluster {
     val qsrc =
       if (queries eq corpus) aa.select($"vid".as("qid"), $"v".as("qv"))
       else {
-        val (qv, _) = Pq.vectors(Par.ensure(queries), idCol, vecCol)
+        val (qv, qdim) = Pq.vectors(Par.ensure(queries), idCol, vecCol)
+        require(cents.head.length == qdim,
+          s"model dimension ${cents.head.length} != query dimension $qdim")
         qv.select(col("vid").as("qid"), col("v").as("qv"))
       }
     // native probe kernel: one codegen'd loop over the broadcast model

@@ -229,7 +229,10 @@ object Dedup {
     * occurrences, no pair blow-up); the join back is hash-keyed; the only
     * exchange that moves document text is the final doc-keyed join
     * against the per-doc drop-position list, which AQE downgrades to a
-    * broadcast when few docs are hit. Line identity by 64-bit hash: a
+    * broadcast when few docs are hit. The text rebuild is linear per
+    * doc: `array_except` hashes the drop list once (an `array_contains`
+    * scan per line would cost O(lines x drops) on a boilerplate-heavy
+    * 100k-line template page). Line identity by 64-bit hash: a
     * collision can only remove one extra line, and at 10^11 lines the
     * expected collision count is still < 1 per ~300 corpora. */
   def removeBoilerplateLines(docs0: DataFrame, idCol: String,
@@ -245,7 +248,10 @@ object Dedup {
     // join back — without it the explode runs twice per action
     val ln = withLines
       .select($"doc", posexplode($"lines").as(Seq("pos", "line")))
-      .withColumn("lt", trim($"line"))
+      // explicit whitespace set (plain trim() strips only spaces — a
+      // tab-only line would otherwise count as content); \n can't occur
+      // inside a split line
+      .withColumn("lt", trim($"line", " \t\f\r"))
       .filter($"lt" =!= "")
       .select($"doc", $"pos", xxhash64($"lt").as("h"))
       .localCheckpoint()
@@ -256,11 +262,28 @@ object Dedup {
       .groupBy($"doc").agg(collect_list($"pos").as("drop_pos"))
     withLines.join(drops, Seq("doc"), "left")
       .select($"doc".as(idCol),
-        concat_ws("\n", filter($"lines", (_, i) =>
-          !array_contains(coalesce($"drop_pos", typedLit(Seq.empty[Int])), i)))
-          .as(textCol),
+        concat_ws("\n", transform(
+          array_except(sequence(lit(0), size($"lines") - 1),
+            coalesce($"drop_pos", typedLit(Seq.empty[Int]))),
+          p => element_at($"lines", p + 1))).as(textCol),
         size($"lines").cast("long").as("n_lines"),
         coalesce(size($"drop_pos"), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /** Reflow `text` into newline-delimited lines of `wordsPerLine`
+    * whitespace tokens — the deterministic line constructor the q99 gate
+    * and ScaleBench share (a single-line corpus needs line structure
+    * before the line rule can bite; both engines reflow identically).
+    * Zero-token docs reflow to ONE empty line (`greatest(1, …)` — the
+    * oracle mirrors it), never a descending `sequence(0, -1)` phantom
+    * pair. */
+  def reflowLines(text: Column, wordsPerLine: Int): Column = {
+    require(wordsPerLine >= 1, "wordsPerLine must be >= 1")
+    val t = tokens(text)
+    val nLines = greatest(lit(1),
+      ceil(size(t) / lit(wordsPerLine.toDouble)).cast("int"))
+    concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+      i => concat_ws(" ", slice(t, i * wordsPerLine + 1, lit(wordsPerLine)))))
   }
 
   /** Eval-set decontamination: training documents sharing >= `minShared`

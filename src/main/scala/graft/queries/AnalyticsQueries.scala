@@ -1388,10 +1388,11 @@ object AnalyticsQueries {
              |  FROM documents),
              |rl AS (
              |  SELECT doc_id, i, array_to_string(t[i*5+1 : i*5+5], ' ') AS line
-             |  FROM (SELECT doc_id, t, unnest(range(CAST(ceil(len(t)/5.0) AS BIGINT))) AS i FROM toks)),
+             |  FROM (SELECT doc_id, t, unnest(range(greatest(1, CAST(ceil(len(t)/5.0) AS BIGINT)))) AS i FROM toks)),
              |boiler AS (
              |  SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
-             |                    FROM rl GROUP BY line) WHERE df >= 3),
+             |                    FROM rl WHERE line <> '' GROUP BY line)
+             |  WHERE df >= 3),
              |kept AS (
              |  SELECT rl.doc_id, rl.i, rl.line
              |  FROM rl LEFT JOIN boiler b USING (line) WHERE b.line IS NULL),
@@ -1409,16 +1410,11 @@ object AnalyticsQueries {
              |LEFT JOIN ka USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val t = Dedup.tokens(col("text"))
         // reflow into 5-word lines: the corpus text is single-line, so
         // the gate constructs the newline structure the operator keys on
-        // (both engines reflow identically; every doc has >= 1 token)
-        val reflowed = docs.select(col("doc_id"),
-          concat_ws("\n",
-            transform(sequence(lit(0),
-                ceil(size(t) / lit(5.0)).cast("int") - 1),
-              i => concat_ws(" ", slice(t, i * lit(5) + 1, lit(5))))).as("text"))
+        // (shared helper — ScaleBench's q99 op measures the same plan)
+        val reflowed = Tables(s, dir, "documents").select(col("doc_id"),
+          Dedup.reflowLines(col("text"), 5).as("text"))
         Dedup.removeBoilerplateLines(reflowed, "doc_id", "text",
             minDocFreq = 3)
           .orderBy("doc_id")

@@ -281,7 +281,11 @@ object PdfSource {
     case "DCTDecode" => graft.analytics.Multimodal.decodeImage(payload)
     case "FlateDecode" =>
       val rgb = inflate(payload)
-      if (w <= 0 || h <= 0 || rgb.length < w * h * 3) None
+      // LONG pixel arithmetic + an area cap: crafted /Width x /Height
+      // near 2^31 would overflow an Int product into a passing guard and
+      // then OOM the allocation (the WavHeaders crafted-size rule)
+      if (w <= 0 || h <= 0 || w.toLong * h > 64000000L ||
+          rgb.length < w.toLong * h * 3) None
       else {
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -845,6 +845,34 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, "nothing shared here\n\nat all", 3L, 0L)))
   }
 
+  test("removeBoilerplateLines: whitespace-only lines (tabs included) " +
+       "are structure — never counted toward df, never removed") {
+    import spark.implicits._
+    // a tab-only line in 3 docs would be 'boilerplate' if trim() missed it
+    val docs = Seq(
+      (1L, "alpha\n\t\nshared tail"),
+      (2L, "beta\n\t\nshared tail"),
+      (3L, "gamma\n\t\nshared tail")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+        minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    // "shared tail" (df=3) goes; the tab-only line stays in every doc
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq("alpha\n\t", "beta\n\t", "gamma\n\t"))
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("reflowLines groups tokens into k-word lines; zero-token text " +
+       "reflows to one empty line (no descending-sequence phantom)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, " "), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Dedup.reflowLines(col("text"), 3).as("r"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.toSeq === Seq("a b c\nd e f\ng", "", "x y"))
+  }
+
   test("removeBoilerplateLines: below minDocFreq nothing is removed and " +
        "text round-trips byte-identical") {
     import spark.implicits._

@@ -501,6 +501,35 @@ class ConvertersSpec extends SparkTestBase {
     assert((off & 0xffffff) === 0xffffff)
   }
 
+  test("K9 writeImagesPdf: DataFrame blob column to one-page-per-image " +
+       "PDF in order, capped, null-safe") {
+    import spark.implicits._
+    def enc(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    val df = Seq((2L, enc(0x00ff00)), (1L, enc(0xff0000)), (3L, enc(0x0000ff)))
+      .toDF("id", "blob")
+    val path = tmp("frames.pdf")
+    PdfSink.writeImagesPdf(df, "id", "blob", path, maxImages = 2)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    // cap cut after ordering: ids 1,2 embed; id 3 dropped
+    val imgs = graft.sources.PdfSource.extractImages(bytes)
+    assert(imgs.map(i => (i._1, i._2, i._3)) === Seq((1, 4, 3), (2, 4, 3)))
+    assert(graft.sources.PdfSource.rasterize(bytes, dpi = 72).map(_._1)
+      === Seq(1, 2))
+    // a null blob cell must fail loudly, not NPE-in-executor obscurely
+    val withNull = Seq((1L, enc(0xff0000)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    intercept[IllegalArgumentException] {
+      PdfSink.writeImagesPdf(withNull, "id", "blob", tmp("nulls.pdf"))
+    }
+  }
+
   test("K9 distributed pdf->image: readPageImages emits one decodable " +
        "PNG row per page across files") {
     val dir = Files.createTempDirectory("graft_pdfpages")
