@@ -121,6 +121,47 @@ object Similarity {
       .select($"vid_a", $"vid_b", $"cos_sim")
   }
 
+  /** Majority-vote label prediction from a neighbor table: `neighbors` is
+    * any top-k output shaped `(qid, neighbor_id, ...)` — the exact
+    * [[bruteForceTopK]] baseline or the trained-index
+    * [[Cluster.kmeansIvfTopK]] scale path both fit — and `labels` maps
+    * `(neighbor_id, label)`. The vote is fully deterministic: most votes
+    * wins, ties broken by the smallest label.
+    *
+    * Scale shape: the neighbor table is |Q|·k rows (tiny next to the
+    * corpus), the label join is keyed on the corpus id (broadcast when the
+    * label table is small, plain shuffle join otherwise — AQE decides),
+    * and the vote count is a partial-aggregable groupBy. No corpus-wide
+    * window, no driver collect. */
+  def voteFromNeighbors(neighbors: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = neighbors.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // accept both neighbor-table shapes: bruteForceTopK emits `qid`,
+    // Cluster.ivfTopK emits `query_id`
+    val nbrs =
+      if (neighbors.columns.contains("qid")) neighbors
+      else neighbors.withColumnRenamed("query_id", "qid")
+    val voted = nbrs.join(labels, "neighbor_id")
+      .groupBy($"qid", $"label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy($"qid").orderBy($"votes".desc, $"label")
+    voted.withColumn("vr", row_number().over(w)).filter($"vr" === 1)
+      .select($"qid", $"label".as("pred_label"), $"votes")
+  }
+
+  /** kNN classification baseline: exact cosine top-k neighbors (corpus
+    * broadcast) + [[voteFromNeighbors]]. Queries are the rows matching
+    * `queryPred`; every corpus row votes with `labelCol`. For corpora past
+    * executor memory, feed [[voteFromNeighbors]] from the trained IVF
+    * index instead of this exact baseline. */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val labels =
+      emb.select(col(idCol).as("neighbor_id"), col(labelCol).as("label"))
+    voteFromNeighbors(bruteForceTopK(emb, idCol, vecCol, queryPred, k), labels)
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-bit LSH: component
     * (k, i) is +1 when the low bit of md5("k|i")'s first byte is 0, else
     * -1. A fixed, engine-independent rule — the planes are model constants

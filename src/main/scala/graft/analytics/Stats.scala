@@ -1,0 +1,134 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed second-moment statistics over an embedding column
+  * (`Array[Float]`): covariance matrix + top-principal-component
+  * projection. The training-data uses: embedding whitening / drift checks
+  * (compare covariances across corpus snapshots) and 1-D PCA ordering for
+  * curriculum or diversity sampling.
+  *
+  * Scale shape (the part that must survive 100 TB): all moments come from
+  * ONE narrow pass over the corpus — each row generates its d(d+1)/2
+  * upper-triangle outer-product terms plus d marginal-sum sentinel terms
+  * inside the scan stage, and the only exchange carries the
+  * partial-aggregated d(d+1)/2 + d groups per partition (a few KB for
+  * d=64), never row data. No self-join of exploded values, no second scan
+  * for the means, no driver collect of anything unbounded — the d×d model
+  * collect in [[pcaProject]] is the bounded model-exchange pattern
+  * [[Cluster]] already uses.
+  */
+object Stats {
+
+  /** Per-row aggregation terms as one array of (i, j, v) structs:
+    * `(i, j, xi*xj)` for every upper-triangle pair i <= j, plus a
+    * `(i, -1, xi)` sentinel per dimension carrying the marginal sum — so
+    * means and cross-moments ride the SAME single aggregation (one scan,
+    * not two). HOF-composed; a native codegen kernel is the upgrade path
+    * if the per-row d²/2 interpreted `element_at` calls ever dominate a
+    * profile (PqKernels precedent). */
+  private def termArray(v: Column, dim: Int): Column = {
+    val idx = sequence(lit(0), lit(dim - 1))
+    val outer = flatten(transform(idx, i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at(v, i + 1) * element_at(v, j + 1)).as("v")))))
+    val marg = transform(idx, i =>
+      struct(i.cast("int").as("i"), lit(-1).cast("int").as("j"),
+        element_at(v, i + 1).as("v")))
+    concat(outer, marg)
+  }
+
+  /** The single-pass moment table: `(i, j, s, cnt)` — `s = Σ x_i·x_j` for
+    * j >= i, and the `j = -1` sentinel rows carry `s = Σ x_i` with
+    * `cnt = n`. d(d+1)/2 + d rows total. */
+  private def moments(v: DataFrame, dim: Int): DataFrame = {
+    import v.sparkSession.implicits._
+    v.select(explode(termArray($"v", dim)).as("t"))
+      .groupBy($"t.i".as("i"), $"t.j".as("j"))
+      .agg(sum($"t.v").as("s"), count(lit(1)).as("cnt"))
+  }
+
+  /** Population covariance matrix of the embedding column, upper triangle
+    * only: rows `(i, j, cov)` with `0 <= i <= j < dim`,
+    * `cov = E[x_i·x_j] − E[x_i]·E[x_j]` rounded to 6 decimals (the
+    * catalog's cross-engine float contract). Rows whose length differs
+    * from the majority dimension are dropped, like every other vector op
+    * here ([[Pq.vectors]]). */
+  def covarianceMatrix(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (v, dim) = Pq.vectors(emb, idCol, vecCol)
+    val sums = moments(v, dim)
+    // tiny post-agg reshape: marginals join back to the pair rows — both
+    // sides are d-scale, Spark broadcasts them on its own
+    val marg = sums.filter($"j" === -1)
+      .select($"i", $"s".as("si"), $"cnt".as("n"))
+    sums.filter($"j" >= 0)
+      .join(marg, "i")
+      .join(marg.select($"i".as("j"), $"si".as("sj")), "j")
+      .select($"i", $"j",
+        // + 0.0 canonicalizes IEEE negative zero (round can emit -0.0,
+        // and -0.0 vs 0.0 is a textual hash mismatch cross-engine)
+        (round($"s" / $"n" - ($"si" / $"n") * ($"sj" / $"n"), 6) +
+          lit(0.0)).as("cov"))
+  }
+
+  /** Deterministic top principal component: `iters` rounds of power
+    * iteration on the d×d covariance matrix, started from the uniform
+    * unit vector, sign pinned so the largest-|component| entry (smallest
+    * index on ties) is positive. Returns the unit eigenvector estimate. */
+  private[analytics] def topComponent(m: Array[Array[Double]],
+                                      iters: Int): Array[Double] = {
+    val d = m.length
+    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until iters) {
+      val next = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += m(i)(j) * w(j); j += 1 }
+        acc
+      }
+      val nrm = math.sqrt(next.map(x => x * x).sum)
+      // a zero matrix (or an iterate in its null space) has no direction
+      // to follow; keep the previous iterate instead of dividing by zero
+      if (nrm > 0) w = next.map(_ / nrm)
+    }
+    val pin = w.indices.maxBy(i => (math.abs(w(i)), -i))
+    if (w(pin) < 0) w.map(-_) else w
+  }
+
+  /** Projection of every embedding onto the corpus's top principal
+    * component: `(id, pc1)` with `pc1 = (x − mean)·w` rounded to 6. The
+    * model (mean + component) comes from one moments pass + the bounded
+    * d² collect; the projection itself is map-side with the fused dot
+    * kernel — nothing corpus-sized moves. */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 iters: Int = 30): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (v, dim) = Pq.vectors(emb, idCol, vecCol)
+    val rows = moments(v, dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getDouble(2), r.getLong(3)))
+    val n = rows.collectFirst { case (_, -1, _, cnt) => cnt }
+      .getOrElse(0L).toDouble
+    require(n > 0, "pcaProject: empty corpus (no vectors at the majority dim)")
+    val mean = Array.ofDim[Double](dim)
+    rows.foreach { case (i, j, s, _) => if (j == -1) mean(i) = s / n }
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { case (i, j, s, _) =>
+      if (j >= 0) {
+        val c = s / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    }
+    val w = topComponent(cov, iters)
+    val wLit = typedLit(w.toSeq)
+    val mLit = typedLit(mean.toSeq)
+    v.select($"vid".as(idCol),
+      round(graft.functions.DotProduct.dotProduct(
+          zip_with($"v", mLit, (x, m) => x - m), wLit), 6).as("pc1"))
+  }
+}

@@ -1460,7 +1460,57 @@ object AnalyticsQueries {
         Multimodal.audioFeatures(
             Multimodal.syntheticWavBlobs(Tables(s, dir, "documents"),
               "doc_id"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- kNN majority-vote classification -----
+    Q("q101_knn_classify",
+      "kNN label prediction: exact cosine top-5 neighbors per query vector " +
+        "(vec_id % 100 = 0), majority vote over neighbor labels, " +
+        "deterministic (votes desc, label asc) tie-break",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv, label
+             |  FROM embeddings
+             |), q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id % 100 = 0),
+             | scored AS (
+             |   SELECT qid, vec_id AS neighbor_id, label, """.stripMargin +
+             cosSql("qv", "vv") + """ AS cos_sim
+             |   FROM q, v WHERE qid <> vec_id),
+             | topk AS (
+             |   SELECT qid, label FROM (
+             |     SELECT qid, label,
+             |            row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+             |     FROM scored) WHERE rn <= 5),
+             | votes AS (SELECT qid, label, count(*) AS votes FROM topk GROUP BY qid, label)
+             |SELECT qid, pred_label, votes FROM (
+             |  SELECT qid, label AS pred_label, votes,
+             |         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+             |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin),
+      (s, dir) =>
+        Similarity.knnClassify(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", col("vec_id") % 100 === 0, k = 5)
+          .orderBy("qid")),
+
+    // ----- embedding covariance matrix -----
+    Q("q102_embedding_covariance",
+      "population covariance matrix of the embedding column, upper " +
+        "triangle (i <= j): one narrow moments pass, partial-aggregated " +
+        "to d(d+1)/2 + d groups — the whitening / drift-check statistic",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+             |  FROM embeddings
+             |), x AS (
+             |  SELECT vec_id, CAST(generate_subscripts(vv, 1) - 1 AS INT) AS i,
+             |         unnest(vv) AS xi
+             |  FROM v)
+             |SELECT a.i AS i, b.i AS j,
+             |       round(sum(a.xi * b.xi) / count(*)
+             |             - (sum(a.xi) / count(*)) * (sum(b.xi) / count(*)), 6) + 0.0 AS cov
+             |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.covarianceMatrix(
+            Tables(s, dir, "embeddings"), "vec_id", "embedding")
+          .orderBy("i", "j"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

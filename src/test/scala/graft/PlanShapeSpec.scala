@@ -143,9 +143,10 @@ class PlanShapeSpec extends SparkTestBase {
     //   q79 pq adc:          corpus codes x broadcast tiny query set
     //   q88 surprisal gate:  scored corpus x broadcast ONE-ROW percentile
     //   q97 external gate:   same ONE-ROW percentile bracket as q88
+    //   q101 knn classify:   rides the q24 query x broadcast corpus probe
     val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup",
       "q77_unigram_surprisal", "q79_pq_adc_topk", "q88_surprisal_gate",
-      "q97_external_surprisal")
+      "q97_external_surprisal", "q101_knn_classify")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan

@@ -311,6 +311,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
   }
 
+  test("kNN classify: majority vote wins; vote ties break to the smallest " +
+       "label; IVF-fed vote (query_id shape) matches the exact baseline") {
+    import spark.implicits._
+    // query 0 at angle 0; three near neighbors labeled 7,7,3 and one far
+    // vector labeled 1 -> k=3 vote is {7:2, 3:1} -> 7
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.99f, 0.1f), 7), (2L, Array(0.98f, 0.12f), 7),
+      (3L, Array(0.97f, 0.2f), 3), (4L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pred = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        col("vec_id") === 0, k = 3).collect()
+    assert(pred.length === 1)
+    assert(pred.head.getAs[Int]("pred_label") === 7)
+    assert(pred.head.getAs[Long]("votes") === 2L)
+    // k=2 -> labels {7, 7}? no: top-2 are ids 1,2 (both 7). Force a tie
+    // with k=4: {7:2, 3:1, 1:1} still 7; tie case below uses 2 vs 7 at 2-2
+    val emb2 = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.99f, 0.1f), 7), (2L, Array(0.98f, 0.12f), 7),
+      (3L, Array(0.97f, 0.2f), 2), (4L, Array(0.96f, 0.22f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val tied = Similarity.knnClassify(emb2, "vec_id", "embedding", "label",
+        col("vec_id") === 0, k = 4).collect()
+    assert(tied.head.getAs[Int]("pred_label") === 2) // 2-2 tie -> min label
+    // composition: the vote fed from the trained-IVF neighbor table
+    // (query_id/dist2 shape) agrees with the exact path when the index
+    // probes every cluster
+    val labels = emb.select($"vec_id".as("neighbor_id"), $"label")
+    val ivfNbrs = Cluster.ivfTopK(
+        Cluster.train(emb, "vec_id", "embedding", k = 2, iters = 2),
+        emb, emb.filter($"vec_id" === 0), "vec_id", "embedding",
+        kTop = 3, nprobe = 2)
+    val viaIvf = Similarity.voteFromNeighbors(ivfNbrs, labels).collect()
+    assert(viaIvf.head.getAs[Int]("pred_label") === 7)
+  }
+
   test("IVF top-k with every vector a centroid matches brute force") {
     import spark.implicits._
     val emb = (0L to 9L).map(i =>
@@ -1491,5 +1528,75 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageHeaders.parse("plain text payload".getBytes) === None)
     assert(ImageHeaders.parse(Array[Byte]()) === None)
     assert(ImageHeaders.parse(Array[Byte](0xff.toByte, 0xd8.toByte)) === None)
+  }
+}
+
+class StatsSpec extends SparkTestBase {
+
+  test("covariance matrix matches a direct computation; diagonal is the " +
+       "variance; mismatched-dim rows are dropped") {
+    import spark.implicits._
+    val data = Seq(
+      (0L, Array(1.0f, 2.0f, 0.0f)),
+      (1L, Array(2.0f, 4.0f, 1.0f)),
+      (2L, Array(3.0f, 6.0f, 0.0f)),
+      (3L, Array(4.0f, 8.0f, 1.0f)),
+      (4L, Array(9.9f))) // wrong dim -> dropped by the majority-dim rule
+      .toDF("vec_id", "embedding")
+    val out = Stats.covarianceMatrix(data, "vec_id", "embedding")
+      .orderBy("i", "j").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // direct population covariance over the 4 kept rows
+    val xs = Seq(
+      Seq(1.0, 2.0, 0.0), Seq(2.0, 4.0, 1.0),
+      Seq(3.0, 6.0, 0.0), Seq(4.0, 8.0, 1.0))
+    val n = xs.size.toDouble
+    val mean = (0 until 3).map(i => xs.map(_(i)).sum / n)
+    def cov(i: Int, j: Int) =
+      xs.map(x => x(i) * x(j)).sum / n - mean(i) * mean(j)
+    assert(out.size === 6) // upper triangle of 3x3
+    for (i <- 0 until 3; j <- i until 3)
+      assert(math.abs(out((i, j)) - cov(i, j)) < 1e-6,
+        s"cov($i,$j): ${out((i, j))} vs ${cov(i, j)}")
+    // col 1 = 2 * col 0 -> perfectly correlated: cov01^2 == var0 * var1
+    assert(math.abs(out((0, 1)) * out((0, 1)) - out((0, 0)) * out((1, 1))) < 1e-5)
+  }
+
+  test("power iteration recovers the dominant eigenvector; sign pinned; " +
+       "zero matrix keeps the start vector instead of dividing by zero") {
+    // diag(5, 1): dominant axis is e0
+    val m = Array(Array(5.0, 0.0), Array(0.0, 1.0))
+    val w = Stats.topComponent(m, iters = 50)
+    assert(math.abs(math.abs(w(0)) - 1.0) < 1e-9)
+    assert(w(0) > 0) // pinned positive
+    val z = Stats.topComponent(Array(Array(0.0, 0.0), Array(0.0, 0.0)), 10)
+    assert(z.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("pcaProject: projections onto the dominant axis of an elongated " +
+       "blob capture more variance than any original coordinate") {
+    import spark.implicits._
+    // points along the (1, 1) diagonal with small perpendicular jitter
+    val pts = (0 until 40).map { t =>
+      val a = (t - 20) * 1.0
+      val jit = (t % 5 - 2) * 0.05
+      (t.toLong, Array((a + jit).toFloat, (a - jit).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Stats.pcaProject(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    val n = out.length.toDouble
+    val mu = out.sum / n
+    val varPc = out.map(x => (x - mu) * (x - mu)).sum / n
+    val var0 = {
+      val xs = pts.map(_._2(0).toDouble)
+      val m0 = xs.sum / n
+      xs.map(x => (x - m0) * (x - m0)).sum / n
+    }
+    assert(varPc > var0, s"pc1 variance $varPc should exceed axis-0 $var0")
+    // deterministic: a second run produces the identical projections
+    val again = Stats.pcaProject(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(again.toSeq === out.toSeq)
   }
 }
