@@ -122,6 +122,38 @@ object AnalyticsQueries {
       |             ORDER BY pow(list_distance(v.vv, i.cv), 2), i.c) AS rn
       |    FROM v, cent2 i) WHERE rn = 1)""".stripMargin
 
+  /** How many BPE merges the gate queries train. */
+  private val bpeMerges = 20
+
+  /** The BPE training replay as DuckDB CTEs: v0 is the word-frequency
+    * table with space-padded symbol state, then per merge rank r —
+    * p{r} adjacent-pair counts, b{r} the argmax pair (count desc, pair
+    * asc), v{r+1} the vocab after replaying that merge as a literal
+    * string replace. MATERIALIZED pins each state so the chain is O(n),
+    * not a re-derivation per step. Mirrors [[graft.analytics.Bpe.train]]
+    * step for step. */
+  private def bpeChainSql(n: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+        |  FROM documents
+        |), words AS (SELECT unnest(t) AS w FROM toks),
+        | v0 AS MATERIALIZED (
+        |  SELECT w, count(*) AS f,
+        |         ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> ' AS s
+        |  FROM words GROUP BY w)""".stripMargin
+    val steps = (0 until n).map { i =>
+      s""",
+         | p$i AS (SELECT l[k] AS a, l[k+1] AS b, sum(f) AS c
+         |          FROM (SELECT l, f, unnest(range(1, len(l))) AS k
+         |                FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l, f FROM v$i))
+         |          GROUP BY 1, 2),
+         | b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         | v${i + 1} AS MATERIALIZED (SELECT w, f, replace(s, ' '||a||' '||b||' ', ' '||a||b||' ') AS s FROM v$i, b$i)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
   /** Shared DuckDB CTE: embeddings as double vectors + cosine helper shape. */
   private val vCte =
     """WITH v AS (
@@ -1510,7 +1542,40 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Stats.covarianceMatrix(
             Tables(s, dir, "embeddings"), "vec_id", "embedding")
-          .orderBy("i", "j"))
+          .orderBy("i", "j")),
+
+    // ----- BPE tokenizer training + token counting -----
+    Q("q103_bpe_train",
+      s"BPE tokenizer training, $bpeMerges merges: one corpus scan to the " +
+        "word-frequency table, then one vocab-sized pair-count shuffle + " +
+        "1-row model collect per merge; ties (count desc, pair asc)",
+      Some(bpeChainSql(bpeMerges) + ",\n merges AS (" +
+        (0 until bpeMerges).map(r =>
+          s"SELECT $r AS rank, a AS left_sym, b AS right_sym, c AS pair_count FROM b$r")
+          .mkString(" UNION ALL ") +
+        ")\nSELECT rank, left_sym, right_sym, pair_count FROM merges ORDER BY rank"),
+      (s, dir) =>
+        graft.analytics.Bpe.train(Tables(s, dir, "documents"), "text",
+          bpeMerges)._1.orderBy("rank")),
+
+    Q("q104_bpe_tokens",
+      "per-document token counts under the trained BPE vocab: corpus " +
+        "words join the final segmentation table by key — the text is " +
+        "never re-segmented per document",
+      Some(bpeChainSql(bpeMerges) + s""",
+             | wt AS (SELECT w, len(list_filter(string_split(s, ' '), x -> x <> '')) AS nt
+             |        FROM v$bpeMerges),
+             | dw AS (SELECT doc_id, unnest(t) AS w FROM toks)
+             |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_words,
+             |       CAST(sum(nt) AS BIGINT) AS n_tokens
+             |FROM dw JOIN wt USING (w) GROUP BY doc_id ORDER BY id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val vocab =
+          graft.analytics.Bpe.train(docs, "text", bpeMerges)._2
+        graft.analytics.Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+          .orderBy("id")
+      })
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -1600,3 +1600,72 @@ class StatsSpec extends SparkTestBase {
     assert(again.toSeq === out.toSeq)
   }
 }
+
+class BpeSpec extends SparkTestBase {
+
+  /** The classic Sennrich corpus: low×5 lower×2 newest×6 widest×3 —
+    * merge sequence hand-computed (and cross-checked against an
+    * independent single-threaded reference implementation). */
+  private def corpus = {
+    import spark.implicits._
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("train learns the classic merge sequence with deterministic " +
+       "tie-breaks (count desc, pair asc)") {
+    val (merges, vocab) = Bpe.train(corpus, "text", numMerges = 8)
+    val got = merges.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L), (5, "e", "w", 6L),
+      (6, "ew", "est</w>", 6L), (7, "n", "ewest</w>", 6L)))
+    val seg = vocab.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(seg("low") === (5L, 2))     // [low, </w>]
+    assert(seg("lower") === (2L, 4))   // [low, e, r, </w>]
+    assert(seg("newest") === (6L, 1))  // [newest</w>]
+    assert(seg("widest") === (3L, 4))  // [w, i, d, est</w>]
+  }
+
+  test("train stops early when the corpus runs out of pairs") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a a a")).toDF("doc_id", "text")
+    // word 'a' = [a, </w>]: merge 0 fuses it; then no pairs remain
+    val (merges, vocab) = Bpe.train(tiny, "text", numMerges = 10)
+    assert(merges.count() === 1)
+    assert(vocab.collect().head.getInt(2) === 1)
+  }
+
+  test("mergePair is greedy left-to-right non-overlapping; segment " +
+       "replays ranks in order and matches the trained vocab") {
+    assert(Bpe.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.mergePair(Seq("x", "a", "b", "a", "b"), "a", "b") ===
+      Seq("x", "ab", "ab"))
+    val (merges, vocab) = Bpe.train(corpus, "text", numMerges = 8)
+    val ranked = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    vocab.collect().foreach { r =>
+      assert(Bpe.segment(r.getString(0), ranked).size === r.getInt(2),
+        s"word ${r.getString(0)}")
+    }
+    // unseen word segments with the same model: "lowest" -> low est</w>
+    assert(Bpe.segment("lowest", ranked) === Seq("low", "est</w>"))
+  }
+
+  test("tokenCounts joins the vocab by key and sums per document") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower"), (2L, "newest newest widest"),
+                   (3L, "   ")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.train(corpus, "text", numMerges = 8)
+    val out = Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 6L),   // low(2) + lower(4)
+          (2L, 3L, 6L)))  // newest(1)*2 + widest(4); doc 3 has no tokens
+  }
+}
