@@ -162,6 +162,44 @@ object Similarity {
     voteFromNeighbors(bruteForceTopK(emb, idCol, vecCol, queryPred, k), labels)
   }
 
+  /** Nearest-centroid (Rocchio) classification: each label's centroid is
+    * the element-wise mean of its member vectors (rounded to 6 — the
+    * engines' common fixed point, the [[Cluster]] model-exchange rule);
+    * every vector is assigned to the centroid of highest cosine. Output:
+    * `(vid, pred_label, cos_sim)`.
+    *
+    * Scale shape: centroids are a (labels × dim)-keyed partial agg — the
+    * corpus explodes inside the scan stage and only label-dim groups move.
+    * Scoring is the q25 pattern (corpus × broadcast centroid set, one
+    * fused cosine kernel per pair) and the argmax is a partial-aggregable
+    * min_by, NOT a corpus-wide window. */
+  def centroidClassify(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (v0, dim) = Pq.vectors(emb, idCol, vecCol)
+    val labels = emb.select(col(idCol).as("vid"), col(labelCol).as("label"))
+    val v = v0.join(labels, "vid")
+    val cents = v
+      .select($"label", posexplode($"v").as(Seq("i", "mu0")))
+      .groupBy($"label", $"i")
+      .agg(round(sum($"mu0") / count(lit(1)), 6).as("mu"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"i", $"mu"))),
+        e => e.getField("mu")).as("cv"))
+      .select($"label".as("clabel"), $"cv")
+    v.join(broadcast(cents), lit(true))
+      .withColumn("cs", round(cosine($"v", $"cv"), 6))
+      .groupBy($"vid")
+      // argmax tie-break: highest cs, then smallest label; NULL/NaN cs
+      // must lose (same coalesce-to-+inf rule as cosineNearDupPairs)
+      .agg(min_by(struct($"clabel", $"cs"),
+        struct(coalesce(-$"cs", lit(Double.PositiveInfinity)).as("nc"),
+               $"clabel")).as("best"))
+      .select($"vid".as(idCol), $"best.clabel".as("pred_label"),
+        $"best.cs".as("cos_sim"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-bit LSH: component
     * (k, i) is +1 when the low bit of md5("k|i")'s first byte is 0, else
     * -1. A fixed, engine-independent rule — the planes are model constants

@@ -75,6 +75,32 @@ object Stats {
           lit(0.0)).as("cov"))
   }
 
+  /** Per-dimension z-score standardization (whitening without rotation):
+    * `(id, i, z)` with `z = (x_i − mean_i) / std_i` (population std),
+    * rounded to 6, and `z = 0` pinned for zero-variance dimensions.
+    * Two scans by construction — global stats, then the map-side rescale
+    * (the d-row stats table broadcast-joins the exploded corpus; no
+    * corpus-sized exchange anywhere). */
+  def standardize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (v, _) = Pq.vectors(emb, idCol, vecCol)
+    val x = v.select($"vid", posexplode($"v").as(Seq("i", "xi")))
+    // explicit sum/count algebra (not avg/stddev built-ins) so the oracle
+    // states the identical association; greatest(,0) guards the tiny
+    // negative E[x²]−E[x]² float residue from sqrt(NaN)
+    val m = x.groupBy($"i").agg(
+      (sum($"xi") / count(lit(1))).as("mu"),
+      sqrt(greatest(
+        sum($"xi" * $"xi") / count(lit(1)) -
+          pow(sum($"xi") / count(lit(1)), 2),
+        lit(0.0))).as("sd"))
+    x.join(broadcast(m), "i")
+      .select($"vid".as(idCol), $"i",
+        (round(when($"sd" > 0, ($"xi" - $"mu") / $"sd").otherwise(0.0), 6) +
+          lit(0.0)).as("z"))
+  }
+
   /** Deterministic top principal component: `iters` rounds of power
     * iteration on the d×d covariance matrix, started from the uniform
     * unit vector, sign pinned so the largest-|component| entry (smallest

@@ -1575,7 +1575,53 @@ object AnalyticsQueries {
           graft.analytics.Bpe.train(docs, "text", bpeMerges)._2
         graft.analytics.Bpe.tokenCounts(docs, "doc_id", "text", vocab)
           .orderBy("id")
-      })
+      }),
+
+    // ----- embedding standardization (z-scores) -----
+    Q("q105_standardize",
+      "per-dimension z-score standardization: global stats pass, then a " +
+        "map-side rescale through the broadcast d-row stats table; " +
+        "zero-variance dims pin z = 0",
+      Some(vCte + """,
+             | x AS (SELECT vec_id, CAST(generate_subscripts(vv, 1) - 1 AS INT) AS i,
+             |              unnest(vv) AS xi FROM v),
+             | m AS (SELECT i, sum(xi) / count(*) AS mu,
+             |              sqrt(greatest(sum(xi * xi) / count(*)
+             |                            - pow(sum(xi) / count(*), 2), 0)) AS sd
+             |       FROM x GROUP BY i)
+             |SELECT vec_id, i,
+             |       round(CASE WHEN sd > 0 THEN (xi - mu) / sd ELSE 0 END, 6) + 0.0 AS z
+             |FROM x JOIN m USING (i) ORDER BY vec_id, i""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.standardize(
+            Tables(s, dir, "embeddings"), "vec_id", "embedding")
+          .orderBy("vec_id", "i")),
+
+    // ----- nearest-centroid (Rocchio) classification -----
+    Q("q106_centroid_classify",
+      "nearest-centroid classification: per-label mean centroids " +
+        "(rounded model exchange), corpus x broadcast centroid cosine, " +
+        "partial-aggregable argmax (cs desc, label asc)",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv, label
+             |  FROM embeddings
+             |), x AS (
+             |  SELECT label, CAST(generate_subscripts(vv, 1) AS INT) AS i,
+             |         unnest(vv) AS xi FROM v),
+             | cm AS (SELECT label, i, round(sum(xi) / count(*), 6) AS mu
+             |        FROM x GROUP BY label, i),
+             | cent AS (SELECT label AS clabel, list(mu ORDER BY i) AS cv
+             |          FROM cm GROUP BY label),
+             | scored AS (SELECT vec_id, clabel, """.stripMargin +
+             cosSql("vv", "cv") + """ AS cs FROM v, cent)
+             |SELECT vec_id, pred_label, cos_sim FROM (
+             |  SELECT vec_id, clabel AS pred_label, cs AS cos_sim,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, clabel) AS rn
+             |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        Similarity.centroidClassify(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", "label")
+          .orderBy("vec_id"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -144,9 +144,10 @@ class PlanShapeSpec extends SparkTestBase {
     //   q88 surprisal gate:  scored corpus x broadcast ONE-ROW percentile
     //   q97 external gate:   same ONE-ROW percentile bracket as q88
     //   q101 knn classify:   rides the q24 query x broadcast corpus probe
+    //   q106 rocchio:        corpus x broadcast per-label centroid set
     val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup",
       "q77_unigram_surprisal", "q79_pq_adc_topk", "q88_surprisal_gate",
-      "q97_external_surprisal", "q101_knn_classify")
+      "q97_external_surprisal", "q101_knn_classify", "q106_centroid_classify")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan

@@ -348,6 +348,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaIvf.head.getAs[Int]("pred_label") === 7)
   }
 
+  test("centroid classify assigns by nearest label-mean; cosine ties " +
+       "break to the smallest label; NaN-cosine vectors never win") {
+    import spark.implicits._
+    // two tight clusters around e0 (label 3) and e1 (label 8)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.05f), 3), (1L, Array(1.0f, -0.05f), 3),
+      (2L, Array(0.05f, 1.0f), 8), (3L, Array(-0.05f, 1.0f), 8),
+      (4L, Array(0.9f, 0.1f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassify(emb, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Int]("pred_label")).toSeq === Seq(3, 3, 8, 8, 3))
+    assert(out.forall(_.getAs[Double]("cos_sim") > 0.9))
+    // symmetric two-label corpus: both centroids at 45 degrees from a
+    // probe on the diagonal -> exact cosine tie -> label asc wins
+    val sym = Seq(
+      (0L, Array(1.0f, 0.0f), 7), (1L, Array(0.0f, 1.0f), 2),
+      (2L, Array(1.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    // note: vec 2's own label doesn't bias the argmax; centroids are
+    // label means: c7 = mean(e0, diag), c2 = e1
+    val pick = Similarity.centroidClassify(sym, "vec_id", "embedding", "label")
+      .filter($"vec_id" === 1).collect().head
+    assert(pick.getAs[Int]("pred_label") === 2)
+  }
+
   test("IVF top-k with every vector a centroid matches brute force") {
     import spark.implicits._
     val emb = (0L to 9L).map(i =>
@@ -1571,6 +1597,30 @@ class StatsSpec extends SparkTestBase {
     assert(w(0) > 0) // pinned positive
     val z = Stats.topComponent(Array(Array(0.0, 0.0), Array(0.0, 0.0)), 10)
     assert(z.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("standardize: z-scores match the hand computation and a " +
+       "zero-variance dimension pins z = 0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 7.0f)), (1L, Array(2.0f, 7.0f)),
+      (2L, Array(3.0f, 7.0f)), (3L, Array(4.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Stats.standardize(df, "vec_id", "embedding")
+      .orderBy("vec_id", "i").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // dim 0: mean 2.5, pop std sqrt(1.25)
+    val sd = math.sqrt(1.25)
+    val exp = Seq(0L, 1L, 2L, 3L).flatMap { id =>
+      Seq((id, 0, BigDecimal((id + 1.0 - 2.5) / sd)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+          (id, 1, 0.0))
+    }
+    assert(out.length === 8)
+    out.zip(exp).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && math.abs(g._3 - e._3) < 1e-9,
+        s"$g vs $e")
+    }
   }
 
   test("pcaProject: projections onto the dominant axis of an elongated " +
