@@ -141,7 +141,24 @@ object ScaleBench {
               minJaccard = 0.0, n = 3, maxDocFreq = 1000)
             .select(least(floor($"jaccard" * 10).cast("int"), lit(9))
               .as("bucket"))
-            .groupBy("bucket").agg(count(lit(1)).as("n_pairs")).count()))
+            .groupBy("bucket").agg(count(lit(1)).as("n_pairs")).count()),
+        // fixed d(d+1)/2 output; per-row term generation is the only
+        // n-proportional work — the curve must be linear-or-better
+        "q102_covariance" -> (() =>
+          analytics.Stats.covarianceMatrix(emb, "vec_id", "embedding").count()),
+        // per-copy token prefixes make the word vocab grow ~linearly with
+        // copies — each merge iteration runs over that vocab, so this
+        // exercises the vocab-bound (not corpus-bound) training claim
+        "q103_bpe_train" -> (() =>
+          analytics.Bpe.train(docs, "text", numMerges = 20)._1.count()),
+        "q105_standardize" -> (() =>
+          analytics.Stats.standardize(emb, "vec_id", "embedding").count()),
+        // labels are synthesized (vec_id % 10): the label-dim agg and the
+        // 10-centroid broadcast probe both scale linearly in n
+        "q106_centroid" -> (() =>
+          analytics.Similarity.centroidClassify(
+            emb.withColumn("label", ($"vec_id" % 10).cast("int")),
+            "vec_id", "embedding", "label").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -119,4 +119,45 @@ object TfIdf {
         .as("best"))
       .select($"doc", $"best.label".as("predicted"), $"best.cos_sim".as("cos_sim"))
   }
+
+  /** Feature-hashing (hashing-trick) term-frequency vectors: each word
+    * maps to `bucket = first-8-hex-of-md5 mod dim` — a fixed,
+    * engine-independent rule (`conv(hex, 16, 10)` here ≡
+    * `('0x'||hex)::BIGINT` in the oracle) — and a document's vector is
+    * its per-bucket word counts. Sparse output `(id, bucket, tf)`; rows
+    * only for occupied buckets, docs with no tokens emit nothing.
+    *
+    * This is the text→fixed-dim bridge: the output feeds any embedding
+    * operator (cosine similarity, clustering, covariance) without a
+    * trained vocabulary, and the whole thing is one scan + one
+    * partial-aggregable groupBy — no vocab table, no joins. */
+  def hashingTf(docs: DataFrame, idCol: String, textCol: String,
+                dim: Int = 64): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"),
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .withColumn("bucket",
+        (conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int"))
+      .groupBy($"id", $"bucket")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** [[hashingTf]] densified to one `Array[Double]` row per document —
+    * the shape the vector operators take. Same hashing rule; empty
+    * buckets are 0. */
+  def hashingTfVectors(docs: DataFrame, idCol: String, textCol: String,
+                       dim: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    hashingTf(docs, idCol, textCol, dim)
+      .groupBy($"id")
+      .agg(map_from_entries(collect_list(struct($"bucket", $"tf"))).as("m"))
+      .select($"id",
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at($"m", i.cast("int")), lit(0L))
+            .cast("double")).as("vec"))
+  }
 }

@@ -1621,7 +1621,25 @@ object AnalyticsQueries {
       (s, dir) =>
         Similarity.centroidClassify(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", "label")
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    // ----- feature-hashing TF vectors -----
+    Q("q107_hashing_tf",
+      "hashing-trick term-frequency vectors (bucket = md5[0:8] mod 64): " +
+        "the vocabulary-free text-to-vector bridge — one scan, one " +
+        "partial-aggregable groupBy, no vocab table",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents
+             |), dw AS (SELECT doc_id, unnest(t) AS w FROM toks)
+             |SELECT doc_id AS id,
+             |       CAST(('0x' || substring(md5(w), 1, 8))::BIGINT % 64 AS INT) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS tf
+             |FROM dw GROUP BY 1, 2 ORDER BY id, bucket""".stripMargin),
+      (s, dir) =>
+        TfIdf.hashingTf(Tables(s, dir, "documents"), "doc_id", "text",
+            dim = 64)
+          .orderBy("id", "bucket"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
