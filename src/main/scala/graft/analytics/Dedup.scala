@@ -56,6 +56,48 @@ object Dedup {
         explode(graft.functions.WordNgrams.wordNgrams(col(textCol), n)).as("sh"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): per document, hash every POSITIONAL k-gram
+    * (ordered, duplicates kept — unlike [[shingles]]'s distinct set),
+    * then every window of `w` consecutive hashes contributes its MINIMUM;
+    * the distinct selected hashes are the document's fingerprints.
+    * Guarantee: any shared token run of length >= w + k - 1 between two
+    * documents shares at least one fingerprint, with ~2/(w+1) of k-grams
+    * retained — the sub-linear sketch for local (plagiarism-style)
+    * overlap, where [[simhash]]/MinHash sketch GLOBAL similarity.
+    *
+    * Entirely MAP-SIDE: tokenize -> k-gram hashes -> window minima ->
+    * per-doc dedup are all array ops per row — ZERO shuffles; the first
+    * exchange is whatever the downstream fingerprint join needs.
+    * Hash = first 8 md5 nibbles as int64 (the [[TfIdf.hashingTf]] rule),
+    * so DuckDB reproduces it exactly and all comparisons are integer.
+    * Documents with fewer than k tokens emit nothing; documents with
+    * fewer than w windows emit the global minimum (one fingerprint).
+    */
+  def winnowFingerprints(docs0: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = transform(
+      sequence(lit(0), size($"t") - k),
+      i => concat_ws(" ", slice($"t", i + 1, lit(k))))
+    docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      .filter(size($"t") >= k)
+      .withColumn("hs", transform(grams,
+        g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
+      // window i covers hs[i+1 .. i+w] (slice clamps at the end); when
+      // m < w there is exactly one window spanning the whole array
+      .withColumn("fps", array_distinct(transform(
+        sequence(lit(0), greatest(size($"hs") - w, lit(0))),
+        i => array_min(slice($"hs", i + 1, lit(w))))))
+      // per-row array_distinct already dedups, and ids are unique —
+      // no row-level distinct (that would be a gratuitous exchange)
+      .select($"doc", explode($"fps").as("fp"))
+  }
+
   /** The composed-expression form of [[shingles]], kept as the differential-
     * test reference for the native expression. */
   def shinglesComposed(docs0: DataFrame, idCol: String, textCol: String,

@@ -145,6 +145,75 @@ object TfIdf {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Multinomial Naive Bayes over [[hashingTf]] buckets — the
+    * fasttext-style linear text classifier every curation pipeline runs
+    * (lang-id, quality tiers, domain tags), trained and scored in one
+    * plan. Model: per-class prior `ln(n_c / N)` over document counts plus
+    * per-(class, bucket) likelihood `ln((cnt+1) / (tot_c + dim))`
+    * (add-one smoothing over the FULL class x bucket grid, so unseen
+    * buckets score the floor instead of dropping out). Prediction is the
+    * partial-aggregable argmax (score desc, class asc), matching
+    * [[Similarity.centroidClassify]]'s tie rule.
+    *
+    * Scale shape: one tokenization pass (checkpointed — it feeds the
+    * model aggregate AND the scoring join); the model is a
+    * (classes x dim)-row broadcast; scoring multiplies the pre-aggregated
+    * (id, bucket) counts by |classes| — a constant — then argmaxes with
+    * map-side partials. Documents with no tokens score prior-only, so
+    * every input row classifies. Log terms round to 6 before summing
+    * (the internalized-model rule) so both engines sum identical terms.
+    */
+  def hashedNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                       classCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = Par.ensure(docs)
+    val db = d.select(col(idCol).as("id"), col(classCol).as("cls"),
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .withColumn("bucket",
+        (conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int"))
+      .groupBy($"id", $"cls", $"bucket")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val classes = d.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTot = classes.agg(sum($"n_docs").as("n_tot"))
+    val priors = classes.crossJoin(broadcast(nTot))
+      .select($"cls",
+        round(log($"n_docs".cast("double") / $"n_tot".cast("double")), 6)
+          .as("prior"))
+    val counts = db.groupBy($"cls", $"bucket").agg(sum($"tf").as("cn"))
+    val ctot = counts.groupBy($"cls").agg(sum($"cn").as("ct"))
+    // full class x bucket grid: unseen buckets must score the smoothing
+    // floor, not vanish from the join
+    val grid = classes.select($"cls")
+      .crossJoin(spark.range(dim).select($"id".cast("int").as("bucket")))
+    val model = grid
+      .join(counts, Seq("cls", "bucket"), "left")
+      .join(ctot, Seq("cls"), "left")
+      .select($"cls".as("mcls"), $"bucket",
+        round(log((coalesce($"cn", lit(0L)) + 1).cast("double") /
+          (coalesce($"ct", lit(0L)) + dim).cast("double")), 6).as("logp"))
+    val ll = db.join(broadcast(model), db("bucket") === model("bucket"))
+      .groupBy($"id", $"mcls")
+      .agg(sum($"tf".cast("double") * $"logp").as("llsum"))
+      .select($"id".as("lid"), $"mcls", $"llsum")
+    val full = d.select(col(idCol).as("id")).crossJoin(broadcast(priors))
+    full.join(ll, full("id") === ll("lid") && full("cls") === ll("mcls"),
+        "left")
+      .select(full("id").as("id"), full("cls").as("cls"),
+        round($"prior" + coalesce($"llsum", lit(0.0)), 6).as("score"))
+      .groupBy($"id")
+      // argmax tie-break: highest score, then smallest class; null score
+      // cannot occur (prior is always defined) but loses defensively
+      .agg(min_by(struct($"cls", $"score"),
+        struct(coalesce(-$"score", lit(Double.PositiveInfinity)).as("ns"),
+          $"cls")).as("best"))
+      .select($"id", $"best.cls".as("pred_cls"), $"best.score".as("score"))
+  }
+
   /** [[hashingTf]] densified to one `Array[Double]` row per document —
     * the shape the vector operators take. Same hashing rule; empty
     * buckets are 0. */

@@ -1639,7 +1639,132 @@ object AnalyticsQueries {
       (s, dir) =>
         TfIdf.hashingTf(Tables(s, dir, "documents"), "doc_id", "text",
             dim = 64)
-          .orderBy("id", "bucket"))
+          .orderBy("id", "bucket")),
+
+    // ----- DSIR importance weights -----
+    Q("q108_dsir_weights",
+      "DSIR importance weights: log-likelihood ratio of the target " +
+        "(lang='en') hashed-unigram model over the raw-corpus model, " +
+        "add-one smoothed over 64 buckets; one tokenization pass feeds " +
+        "model and scoring; empty docs weigh null",
+      Some("""WITH w AS (
+             |  SELECT doc_id, (lang = 'en') AS tgt, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |db AS (SELECT doc_id, tgt,
+             |         CAST(('0x' || substring(md5(word), 1, 8))::BIGINT % 64 AS INT) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS tf
+             |       FROM w GROUP BY 1, 2, 3),
+             |model AS (SELECT bucket, sum(tf) AS raw_n,
+             |                 sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tgt_n
+             |          FROM db GROUP BY bucket),
+             |tot AS (SELECT sum(raw_n) AS raw_t, sum(tgt_n) AS tgt_t FROM model),
+             |lw AS (SELECT bucket,
+             |         round(ln(CAST(tgt_n + 1 AS DOUBLE) / CAST(tgt_t + 64 AS DOUBLE))
+             |             - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(raw_t + 64 AS DOUBLE)), 6) AS logw
+             |       FROM model, tot),
+             |sc AS (SELECT doc_id, round(sum(CAST(tf AS DOUBLE) * logw), 6) + 0.0 AS dsir_weight
+             |       FROM db JOIN lw USING (bucket) GROUP BY doc_id)
+             |SELECT doc_id AS id, dsir_weight
+             |FROM documents LEFT JOIN sc USING (doc_id) ORDER BY id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Selection.dsirWeights(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            col("lang") === "en")
+          .orderBy("id")),
+
+    // ----- corpus mixing toward target proportions -----
+    Q("q109_mix_corpus",
+      "target-mix rebalancing: per-source keep rates derived from target " +
+        "shares + observed counts (rate = min(1, budget*share/n)), " +
+        "applied as the deterministic md5-threshold filter; unlisted " +
+        "sources drop",
+      Some("""WITH n AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+             |sh(s, share) AS (VALUES
+             |  ('src0', CAST(0.30 AS DOUBLE)), ('src1', CAST(0.20 AS DOUBLE)),
+             |  ('src2', CAST(0.10 AS DOUBLE)), ('src3', CAST(0.05 AS DOUBLE)),
+             |  ('src4', CAST(0.02 AS DOUBLE))),
+             |r AS (SELECT n.s, least(CAST(1.0 AS DOUBLE),
+             |               200 * coalesce(sh.share, CAST(0.0 AS DOUBLE)) / n.n) AS rate
+             |      FROM n LEFT JOIN sh USING (s))
+             |SELECT d.doc_id AS doc_id, d.source AS source,
+             |       round(r.rate, 6) + 0.0 AS rate
+             |FROM documents d JOIN r ON d.source = r.s
+             |WHERE CASE WHEN r.rate >= 1 THEN TRUE WHEN r.rate <= 0 THEN FALSE
+             |  ELSE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |       < least(greatest(round(r.rate * 4294967296), 1), 4294967295) END
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Selection.mixCorpus(
+            Tables(s, dir, "documents"), "doc_id", "source",
+            Map("src0" -> 0.30, "src1" -> 0.20, "src2" -> 0.10,
+                "src3" -> 0.05, "src4" -> 0.02), budget = 200L)
+          .select("doc_id", "source", "rate")
+          .orderBy("doc_id")),
+
+    // ----- hashed multinomial Naive Bayes classifier -----
+    Q("q110_nb_classify",
+      "hashed Naive Bayes lang classifier: per-class prior + add-one " +
+        "smoothed bucket likelihoods over the FULL class x 64-bucket " +
+        "grid (broadcast model), argmax (score desc, class asc); " +
+        "empty docs score prior-only",
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |db AS (SELECT doc_id, lang AS dcls,
+             |         CAST(('0x' || substring(md5(word), 1, 8))::BIGINT % 64 AS INT) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS tf
+             |       FROM w GROUP BY 1, 2, 3),
+             |classes AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1),
+             |ntot AS (SELECT sum(n_docs) AS n_tot FROM classes),
+             |priors AS (SELECT cls, round(ln(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6) AS prior
+             |           FROM classes, ntot),
+             |counts AS (SELECT dcls AS cls, bucket, sum(tf) AS cn FROM db GROUP BY 1, 2),
+             |ctot AS (SELECT cls, sum(cn) AS ct FROM counts GROUP BY 1),
+             |grid AS (SELECT cls, CAST(b AS INT) AS bucket
+             |         FROM classes, (SELECT unnest(range(0, 64)) AS b)),
+             |model AS (SELECT g.cls, g.bucket,
+             |            round(ln(CAST(coalesce(c.cn, 0) + 1 AS DOUBLE)
+             |                     / CAST(coalesce(t.ct, 0) + 64 AS DOUBLE)), 6) AS logp
+             |          FROM grid g
+             |          LEFT JOIN counts c ON g.cls = c.cls AND g.bucket = c.bucket
+             |          LEFT JOIN ctot t ON g.cls = t.cls),
+             |ll AS (SELECT db.doc_id, m.cls, sum(CAST(tf AS DOUBLE) * logp) AS llsum
+             |       FROM db JOIN model m ON db.bucket = m.bucket GROUP BY 1, 2),
+             |sc AS (SELECT d.doc_id, p.cls,
+             |         round(p.prior + coalesce(ll.llsum, 0.0), 6) AS score
+             |       FROM documents d CROSS JOIN priors p
+             |       LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.cls = p.cls)
+             |SELECT doc_id AS id, pred_cls, score + 0.0 AS score FROM (
+             |  SELECT doc_id, cls AS pred_cls, score,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+             |  FROM sc) WHERE rn = 1 ORDER BY id""".stripMargin),
+      (s, dir) =>
+        TfIdf.hashedNaiveBayes(Tables(s, dir, "documents"),
+            "doc_id", "text", "lang")
+          .orderBy("id")),
+
+    // ----- winnowing fingerprints (MOSS) -----
+    Q("q111_winnow_fp",
+      "winnowing fingerprints (k=4, w=4): positional 4-gram hashes, " +
+        "min per 4-hash window, distinct per doc — the local-overlap " +
+        "sketch; map-side array math, zero shuffles before the sink sort",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |g AS (SELECT doc_id, list_transform(range(1, len(t) - 2),
+             |               i -> array_to_string(t[i:i+3], ' ')) AS grams
+             |      FROM toks WHERE len(t) >= 4),
+             |h AS (SELECT doc_id, list_transform(grams,
+             |               x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS hs FROM g),
+             |m AS (SELECT doc_id, list_distinct(list_transform(
+             |               range(0, greatest(len(hs) - 4, 0) + 1),
+             |               i -> list_min(hs[i+1:i+4]))) AS mins FROM h)
+             |SELECT doc, fp FROM (SELECT doc_id AS doc, unnest(mins) AS fp FROM m)
+             |ORDER BY doc, fp""".stripMargin),
+      (s, dir) =>
+        Dedup.winnowFingerprints(Tables(s, dir, "documents"),
+            "doc_id", "text", k = 4, w = 4)
+          .orderBy("doc", "fp"))
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

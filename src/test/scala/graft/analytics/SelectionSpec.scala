@@ -1,0 +1,97 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SelectionSpec extends SparkTestBase {
+
+  test("dsirWeights: target-like docs score higher, empty docs null, " +
+       "deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta", true),
+      (2L, "alpha alpha alpha alpha", true),
+      (3L, "gamma gamma delta delta", false),
+      (4L, "gamma delta gamma delta", false),
+      (5L, "alpha alpha gamma", false), // raw doc that LOOKS like target
+      (6L, "", false)
+    ).toDF("doc_id", "text", "is_en")
+    val w = Selection.dsirWeights(docs, "doc_id", "text", $"is_en")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(w(6L).isEmpty, "empty doc must weigh null")
+    // target vocabulary (alpha) dominates docs 1/2/5; raw-only vocabulary
+    // (gamma/delta) dominates 3/4 — the ratio model must rank them apart
+    assert(w(2L).get > w(3L).get && w(1L).get > w(4L).get,
+      s"target-like docs must outweigh raw-only docs: $w")
+    assert(w(5L).get > w(3L).get,
+      "a raw doc using target vocabulary still scores above raw-only text")
+    val again = Selection.dsirWeights(docs, "doc_id", "text", $"is_en")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again === w.keySet)
+  }
+
+  test("mixCorpus: oversubscribed stratum keeps all, unlisted drops, " +
+       "rates derive from counts") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i =>
+        (i, if (i < 20) "a" else if (i < 120) "b" else "c"))
+      .toDF("doc_id", "source")
+    // budget 100: a wants 100*0.5=50 > 20 -> rate 1 (all 20 kept);
+    // b wants 100*0.3=30 of 100 -> rate 0.3; c unlisted -> dropped
+    val out = Selection.mixCorpus(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.3), budget = 100L)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") === 20L, "rate clamps at 1: whole stratum kept")
+    assert(!bySrc.contains("c"), "unlisted stratum must drop")
+    assert(bySrc("b") > 10 && bySrc("b") < 50,
+      s"~30% of 100 expected, got ${bySrc.get("b")}")
+    val rates = out.select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("a") === 1.0 && rates("b") === 0.3)
+  }
+
+  test("hashedNaiveBayes: disjoint vocab separates classes; empty doc " +
+       "scores prior-only; every row classifies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana apple", "fruit"),
+      (2L, "banana apple apple", "fruit"),
+      (3L, "apple banana banana apple", "fruit"),
+      (4L, "iron copper iron zinc", "metal"),
+      (5L, "zinc iron copper copper", "metal"),
+      (6L, "", "fruit")
+    ).toDF("doc_id", "text", "lang")
+    val out = TfIdf.hashedNaiveBayes(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 6, "every input row must classify")
+    for (id <- Seq(1L, 2L, 3L)) assert(out(id) === "fruit", s"doc $id")
+    for (id <- Seq(4L, 5L)) assert(out(id) === "metal", s"doc $id")
+    // empty doc: prior-only -> the majority class (4 fruit vs 2 metal)
+    assert(out(6L) === "fruit")
+  }
+
+  test("winnowFingerprints: short docs, single-window docs, and the " +
+       "shared-run guarantee") {
+    import spark.implicits._
+    val run = "one two three four five six seven" // 7 tokens: w+k-1 with k=w=4
+    val docs = Seq(
+      (1L, "a b c"),                       // 3 tokens < k=4 -> nothing
+      (2L, "a b c d"),                     // 1 gram -> 1 window -> 1 fp
+      (3L, s"left filler $run"),
+      (4L, s"$run right trailing words here")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(1L), "doc shorter than k emits nothing")
+    assert(byDoc(2L).size === 1, "m < w emits exactly the global min")
+    // any shared token run of length >= w+k-1 shares >= 1 fingerprint
+    assert((byDoc(3L) & byDoc(4L)).nonEmpty,
+      s"docs sharing a ${4 + 4 - 1}-token run must share a fingerprint")
+    // selected fingerprints are a subset of each doc's own k-gram hashes
+    assert(byDoc(3L).size <= 9, "cannot select more fps than k-grams")
+  }
+}
