@@ -1,0 +1,95 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketches for corpus statistics: HyperLogLog and
+  * k-minimum-values distinct-count estimates per group — the
+  * capacity-planning numbers (distinct tokens/shingles per source or
+  * shard) that exact `count(distinct)` can't deliver at 100 TB without a
+  * full token-keyed shuffle. Both are deterministic BY CONSTRUCTION
+  * (md5-derived hashes, integer register/sketch state, one final IEEE
+  * division), so DuckDB oracles reproduce them bit-for-bit — unlike
+  * Spark's own `approx_count_distinct`, whose HLL++ hash is engine-
+  * private and un-oracle-able.
+  *
+  * Scale shapes: HLL state is 64 registers per group, KMV state is k
+  * longs per group, and BOTH aggregate with map-side partials (HLL via
+  * plain max/sum aggs, KMV via the bounded native
+  * [[graft.functions.KmvSketch]] aggregate) — no per-group sort, no
+  * unbounded collect, no funnel through one task for a hot group.
+  */
+object Sketches {
+
+  /** First 15 md5 nibbles as a uniform 60-bit non-negative int64 — the
+    * engine-portable hash (16 nibbles could overflow the signed cast). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val m = 64                    // registers (b = 6 index bits)
+  private val twoP55 = 36028797018963968L // 2^55: the integer register scale
+  // alpha_m * m^2 * 2^55, composed left-to-right exactly as the oracle SQL
+  // writes it so both engines build the identical double constant
+  private val hllNum = ((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0) *
+    36028797018963968.0
+
+  /** HyperLogLog distinct estimate of `value` per `keyCol` (m = 64
+    * registers). The register rank is the trailing-zero count of the
+    * hash's upper 54 bits (+1; 55 caps the all-zero case) — computed as
+    * `floor(log2(w & -w))`, exact in IEEE because `w & -w` is a power of
+    * two. Register sums use INTEGER `2^(55-r)` terms so no
+    * addition-order rounding can diverge between engines; the only
+    * floating math is the final division and (in the sparse regime) the
+    * standard linear-counting correction `m * ln(m / V)` when the raw
+    * estimate is under 2.5m and empty registers remain.
+    *
+    * Output: (key, n_registers, est_distinct). */
+  def hllDistinct(df: DataFrame, keyCol: String, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Par.ensure(df)
+      .select(col(keyCol).as("key"), h60(value).as("h"))
+      .select($"key", ($"h" % m).cast("int").as("bucket"),
+        expr(s"h DIV $m").as("w"))
+      .withColumn("rho", when($"w" === 0, lit(55)).otherwise(
+        (floor(log2($"w".bitwiseAND(-$"w"))) + 1).cast("int")))
+    val regs = base.groupBy($"key", $"bucket").agg(max($"rho").as("r"))
+    regs.groupBy($"key")
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - r)")).as("s"),
+        count(lit(1)).as("nb"))
+      .select($"key", $"nb",
+        ($"s" + (lit(m.toLong) - $"nb") * lit(twoP55)).as("total"))
+      .select($"key".as(keyCol), $"nb".cast("long").as("n_registers"),
+        round({
+          val raw = lit(hllNum) / $"total".cast("double")
+          val v = lit(m.toLong) - $"nb" // empty registers
+          when(raw <= lit(2.5 * m) && v > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+            .otherwise(raw)
+        }, 6).as("est_distinct"))
+  }
+
+  /** k-minimum-values distinct estimate of `value` per `keyCol`: keep the
+    * k smallest distinct 60-bit hashes (the bounded native
+    * [[graft.functions.KmvSketch]] aggregate), then
+    * `est = (k-1) / (h_k / 2^60)`; a group with fewer than k distinct
+    * values returns its EXACT count (the sketch holds the whole set).
+    *
+    * Output: (key, n_sketch, est_distinct). */
+  def kmvDistinct(df: DataFrame, keyCol: String, value: Column,
+                  k: Int = 16): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Par.ensure(df)
+      .select(col(keyCol).as("key"), h60(value).as("h"))
+      .groupBy($"key")
+      .agg(graft.functions.KmvSketch.kmvMinHashes($"h", k).as("mins"))
+      .select($"key".as(keyCol),
+        size($"mins").cast("long").as("n_sketch"),
+        round(when(size($"mins") < k, size($"mins").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at($"mins", k).cast("double") /
+              lit(1152921504606846976.0))), 6).as("est_distinct"))
+  }
+}

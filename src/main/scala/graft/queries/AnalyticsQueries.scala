@@ -1764,7 +1764,70 @@ object AnalyticsQueries {
       (s, dir) =>
         Dedup.winnowFingerprints(Tables(s, dir, "documents"),
             "doc_id", "text", k = 4, w = 4)
-          .orderBy("doc", "fp"))
+          .orderBy("doc", "fp")),
+
+    // ----- HyperLogLog distinct-token estimate per source -----
+    Q("q112_hll_distinct",
+      "HLL distinct-word estimate per source (m=64 registers, md5-60bit " +
+        "hash, integer register sums, linear-counting correction): " +
+        "64-long state per group, fully partial-aggregable — the " +
+        "capacity stat count(distinct) can't give without a full " +
+        "token shuffle",
+      Some("""WITH w AS (
+             |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |h AS (SELECT source, ('0x' || substring(md5(word), 1, 15))::BIGINT AS h FROM w),
+             |b AS (SELECT source, CAST(h % 64 AS INT) AS bucket, h // 64 AS wv FROM h),
+             |r AS (SELECT source, bucket,
+             |        max(CASE WHEN wv = 0 THEN 55
+             |                 ELSE CAST(floor(log2(wv & (-wv))) AS INT) + 1 END) AS r
+             |      FROM b GROUP BY source, bucket),
+             |ag AS (SELECT source, sum(1::BIGINT << (55 - r)) AS s, count(*) AS nb
+             |       FROM r GROUP BY source),
+             |e AS (SELECT source, nb,
+             |        ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096) * 36028797018963968
+             |          / CAST(s + (64 - nb) * 36028797018963968 AS DOUBLE) AS raw
+             |      FROM ag)
+             |SELECT source, CAST(nb AS BIGINT) AS n_registers,
+             |       round(CASE WHEN raw <= 160 AND nb < 64
+             |                  THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nb))
+             |                  ELSE raw END, 6) + 0.0 AS est_distinct
+             |FROM e ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.analytics.Sketches.hllDistinct(
+            docs.select(col("source"),
+              explode(Dedup.tokens(col("text"))).as("word")),
+            "source", col("word"))
+          .orderBy("source")
+      }),
+
+    // ----- k-minimum-values distinct estimate per source -----
+    Q("q113_kmv_distinct",
+      "KMV distinct-word estimate per source (k=16 smallest distinct " +
+        "md5-60bit hashes via the bounded native KmvSketch aggregate, " +
+        "est = (k-1)/(h_k/2^60)); groups under k distinct return the " +
+        "exact count — the oracle replays the sketch as a rank window",
+      Some("""WITH w AS (
+             |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |h AS (SELECT DISTINCT source, ('0x' || substring(md5(word), 1, 15))::BIGINT AS h FROM w),
+             |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+             |tk AS (SELECT source, count(CASE WHEN rn <= 16 THEN 1 END) AS ns,
+             |              max(CASE WHEN rn = 16 THEN h END) AS h16
+             |       FROM rk GROUP BY source)
+             |SELECT source, CAST(ns AS BIGINT) AS n_sketch,
+             |       round(CASE WHEN ns < 16 THEN CAST(ns AS DOUBLE)
+             |             ELSE 15 / (CAST(h16 AS DOUBLE) / 1152921504606846976) END, 6) + 0.0 AS est_distinct
+             |FROM tk ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.analytics.Sketches.kmvDistinct(
+            docs.select(col("source"),
+              explode(Dedup.tokens(col("text"))).as("word")),
+            "source", col("word"), k = 16)
+          .orderBy("source")
+      })
   )
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —

@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SketchesSpec extends SparkTestBase {
+
+  test("KmvSketch: bounded at k, dedups, exact below k, partition-" +
+       "invariant") {
+    import spark.implicits._
+    val vals = (1L to 100L).flatMap(v => Seq(v, v)) // every value twice
+    val df = vals.toDF("h").withColumn("g", lit("a"))
+    val mins = df.groupBy("g")
+      .agg(graft.functions.KmvSketch.kmvMinHashes($"h", 16).as("mins"))
+      .collect().head.getSeq[Long](1)
+    assert(mins === (1L to 16L), "k smallest DISTINCT values, ascending")
+    val small = Seq(5L, 3L, 5L, 9L).toDF("h").withColumn("g", lit("a"))
+      .groupBy("g")
+      .agg(graft.functions.KmvSketch.kmvMinHashes($"h", 16).as("mins"))
+      .collect().head.getSeq[Long](1)
+    assert(small === Seq(3L, 5L, 9L), "below k the sketch IS the set")
+    // merge path: many partitions must agree with one partition
+    for (p <- Seq(1, 7)) {
+      val m = df.repartition(p).groupBy("g")
+        .agg(graft.functions.KmvSketch.kmvMinHashes($"h", 16).as("mins"))
+        .collect().head.getSeq[Long](1)
+      assert(m === (1L to 16L), s"partitions=$p")
+    }
+  }
+
+  test("hllDistinct: dense groups estimate within HLL error, sparse " +
+       "groups hit linear counting, partition-invariant") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => ("big", s"tok$i")) ++
+      (1 to 30).map(i => ("small", s"word$i"))
+    val df = rows.toDF("src", "word")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllDistinct(d, "src", col("word"))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val est = run(df)
+    // m=64 -> relative error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(est("big") - 5000) / 5000 < 0.4,
+      s"big-group estimate off: ${est("big")}")
+    assert(math.abs(est("small") - 30) / 30 < 0.25,
+      s"linear-counting estimate off: ${est("small")}")
+    assert(run(df.repartition(13)) === est, "estimates must not depend " +
+      "on partitioning (integer register state)")
+  }
+
+  test("kmvDistinct: exact below k, sane estimate above, partition-" +
+       "invariant") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => ("big", s"tok$i")) ++
+      (1 to 9).map(i => ("small", s"word$i"))
+    val df = rows.toDF("src", "word")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvDistinct(d, "src", col("word"), k = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .map(t => t._1 -> (t._2, t._3)).toMap
+    val est = run(df)
+    assert(est("small") === ((9L, 9.0)), "below k: exact count")
+    assert(est("big")._1 === 16L)
+    // k=16 -> relative error ~1/sqrt(14) = 27%; allow wide
+    assert(math.abs(est("big")._2 - 2000) / 2000 < 0.8,
+      s"big-group estimate off: ${est("big")._2}")
+    assert(run(df.repartition(13)) === est, "partition-invariant")
+  }
+}
