@@ -66,16 +66,37 @@ object Dedup {
     * retained — the sub-linear sketch for local (plagiarism-style)
     * overlap, where [[simhash]]/MinHash sketch GLOBAL similarity.
     *
-    * Entirely MAP-SIDE: tokenize -> k-gram hashes -> window minima ->
-    * per-doc dedup are all array ops per row — ZERO shuffles; the first
-    * exchange is whatever the downstream fingerprint join needs.
-    * Hash = first 8 md5 nibbles as int64 (the [[TfIdf.hashingTf]] rule),
-    * so DuckDB reproduces it exactly and all comparisons are integer.
-    * Documents with fewer than k tokens emit nothing; documents with
-    * fewer than w windows emit the global minimum (one fingerprint).
+    * Entirely MAP-SIDE: one codegen'd kernel call per row (the native
+    * [[graft.functions.WinnowFp]] expression: tokens -> gram md5s ->
+    * monotone-deque sliding min -> first-occurrence distinct, O(m) per
+    * doc) — ZERO shuffles; the first exchange is whatever the downstream
+    * fingerprint join needs. Hash = first 8 md5 nibbles as int64 (the
+    * [[TfIdf.hashingTf]] rule), so DuckDB reproduces it exactly and all
+    * comparisons are integer. Documents with fewer than k tokens emit
+    * nothing; documents with fewer than w windows emit the global
+    * minimum (one fingerprint).
     */
   def winnowFingerprints(docs0: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("doc"),
+        graft.functions.WinnowFp.winnowFp(col(textCol), k, w).as("fps"))
+      .select($"doc", explode($"fps").as("fp"))
+  }
+
+  /** The composed-expression form of [[winnowFingerprints]], kept as the
+    * differential-test reference for the native kernel. NOT for real
+    * corpora: the per-window lambda re-evaluates the inlined hash-array
+    * subexpression (no loop-invariant hoisting in interpreted HOFs), so
+    * it is O(m²k) per document — 312 s at sf0.1 where the kernel takes
+    * under a second. */
+  private[analytics] def winnowFingerprintsComposed(
+      docs0: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
@@ -93,8 +114,6 @@ object Dedup {
       .withColumn("fps", array_distinct(transform(
         sequence(lit(0), greatest(size($"hs") - w, lit(0))),
         i => array_min(slice($"hs", i + 1, lit(w))))))
-      // per-row array_distinct already dedups, and ids are unique —
-      // no row-level distinct (that would be a gratuitous exchange)
       .select($"doc", explode($"fps").as("fp"))
   }
 
@@ -478,6 +497,65 @@ object Dedup {
         (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est"))
       .filter($"est" >= minEstimate)
+  }
+
+  /** Graded contamination score per TRAINING document: how many of its
+    * distinct n-gram shingles appear in ANY eval document, and the
+    * fraction — [[decontaminate]]'s binary verdict refined into the
+    * ranked signal used to triage "how leaked is this shard" before
+    * dropping. Same plan skeleton: the distinct eval shingle set is
+    * BROADCAST (eval suites are benchmark-sized, not corpus-sized) and
+    * probed map-side; one doc-keyed partial agg finishes. Train docs with
+    * no shingles score (0, 0, null).
+    */
+  def contaminationScore(docs0: DataFrame, idCol: String, textCol: String,
+                         evalPred: Column, n: Int = 3): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingles(docs, idCol, textCol, n)
+    val evalSh = shingles(docs.filter(evalPred), idCol, textCol, n)
+      .select($"sh").distinct()
+    val ag = sh.join(docs.select(col(idCol).as("doc"), evalPred.as("ev")),
+        Seq("doc"))
+      .filter(!$"ev")
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy($"doc")
+      .agg(count(lit(1)).as("ns"),
+        sum(coalesce($"hit", lit(0))).as("nc"))
+    docs.filter(!evalPred).select(col(idCol).as("doc"))
+      .join(ag, Seq("doc"), "left")
+      .select($"doc".as(idCol),
+        coalesce($"ns", lit(0L)).cast("long").as("n_shingles"),
+        coalesce($"nc", lit(0L)).cast("long").as("n_contam"),
+        (round($"nc".cast("double") / nullif($"ns", lit(0L)), 6) +
+          lit(0.0)).as("contam_frac"))
+  }
+
+  /** Cross-group near-duplicate matrix: MinHash-estimated near-dup pairs
+    * ([[minhashJaccardEstimate]]) rolled up by the UNORDERED pair of
+    * group labels (source, shard, snapshot...) — the "which sources copy
+    * from which" diagnostic that decides where dedup budget goes. The
+    * label join is id-keyed against the (id, group) projection — never
+    * the text — and the pair table is the small side after LSH capping.
+    */
+  def crossGroupNearDupMatrix(docs0: DataFrame, idCol: String,
+                              textCol: String, groupCol: String,
+                              minEstimate: Double, n: Int = 3,
+                              numHashes: Int = 8, bandSize: Int = 2,
+                              maxBucket: Int = 1000): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minhashJaccardEstimate(docs, idCol, textCol, minEstimate,
+      n, numHashes, bandSize, maxBucket)
+    val g = docs.select(col(idCol).as("gid"), col(groupCol).as("grp"))
+    pairs
+      .join(g.select($"gid".as("doc_a"), $"grp".as("ga")), Seq("doc_a"))
+      .join(g.select($"gid".as("doc_b"), $"grp".as("gb")), Seq("doc_b"))
+      .groupBy(least($"ga", $"gb").as("group_a"),
+        greatest($"ga", $"gb").as("group_b"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Distinct candidate pairs from LSH buckets. `maxBucket` drops giant

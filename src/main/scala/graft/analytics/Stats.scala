@@ -101,6 +101,34 @@ object Stats {
           lit(0.0)).as("z"))
   }
 
+  /** Exact quantile-bucket assignment WITHOUT a global sort: the q-1 cut
+    * points are ONE exact-percentile row (doc-count-sized buffer, the
+    * [[TextAnalysis.surprisalGate]] bracket) broadcast back, and the
+    * bucket is a map-side count of thresholds passed — where `ntile(q)
+    * OVER (ORDER BY score)` would funnel the whole corpus through one
+    * task. Thresholds round to 6 (the internalized-model rule); ties sit
+    * in the LOWER bucket (strict `>`), matching the oracle. Null scores
+    * bucket null.
+    *
+    * Output: (id, score, bucket in 1..q). */
+  def quantileBuckets(df: DataFrame, idCol: String, score: Column,
+                      q: Int = 10): DataFrame = {
+    require(q >= 2, "q must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scored = df.select(col(idCol), score.as("score")).localCheckpoint()
+    val ps = (1 until q).map(i => i / q.toDouble).mkString(", ")
+    val thr = scored.filter($"score".isNotNull)
+      .agg(expr(s"percentile(score, array($ps))").as("ts0"))
+      .select(transform($"ts0", t => round(t, 6)).as("ts"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), $"score",
+        when($"score".isNotNull,
+          (lit(1) + aggregate($"ts", lit(0),
+            (acc, t) => acc + when($"score" > t, 1).otherwise(0)))
+            .cast("int")).as("bucket"))
+  }
+
   /** Deterministic top principal component: `iters` rounds of power
     * iteration on the d×d covariance matrix, started from the uniform
     * unit vector, sign pinned so the largest-|component| entry (smallest

@@ -1827,6 +1827,77 @@ object AnalyticsQueries {
               explode(Dedup.tokens(col("text"))).as("word")),
             "source", col("word"), k = 16)
           .orderBy("source")
+      }),
+
+    // ----- graded contamination score -----
+    Q("q114_contam_score",
+      "per-training-doc contamination: distinct-shingle overlap count + " +
+        "fraction vs the broadcast eval shingle set (doc_id%10=0 eval " +
+        "split) — q60's binary verdict refined into the triage ranking",
+      Some(shCte + """,
+             | ev AS (SELECT DISTINCT sh FROM sh0 WHERE doc % 10 = 0),
+             | tr AS (SELECT doc, sh FROM sh0 WHERE doc % 10 <> 0),
+             | ag AS (SELECT tr.doc, count(*) AS ns,
+             |               sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS nc
+             |        FROM tr LEFT JOIN ev ON tr.sh = ev.sh GROUP BY tr.doc)
+             |SELECT d.doc_id, CAST(coalesce(ag.ns, 0) AS BIGINT) AS n_shingles,
+             |       CAST(coalesce(ag.nc, 0) AS BIGINT) AS n_contam,
+             |       round(CAST(ag.nc AS DOUBLE) / nullif(ag.ns, 0), 6) + 0.0 AS contam_frac
+             |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc
+             |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.contaminationScore(Tables(s, dir, "documents"),
+            "doc_id", "text", evalPred = col("doc_id") % 10 === 0, n = 3)
+          .orderBy("doc_id")),
+
+    // ----- cross-source near-dup matrix -----
+    Q("q115_source_dup_matrix",
+      "near-dup pair counts rolled up by unordered source pair (MinHash " +
+        "estimate >= 0.25 over LSH candidates) — the which-source-" +
+        "copies-which diagnostic; labels join id-keyed, never the text",
+      Some(shCte + lshCte + """,
+             |est AS (
+             |  SELECT c.doc_a, c.doc_b,
+             |         CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est
+             |  FROM cand c
+             |  JOIN sigs sa ON sa.doc = c.doc_a
+             |  JOIN sigs sb ON sb.doc = c.doc_b AND sb.k = sa.k
+             |  GROUP BY c.doc_a, c.doc_b),
+             |p AS (SELECT doc_a, doc_b FROM est WHERE est >= 0.25),
+             |m AS (SELECT least(da.source, db.source) AS group_a,
+             |             greatest(da.source, db.source) AS group_b
+             |      FROM p JOIN documents da ON p.doc_a = da.doc_id
+             |             JOIN documents db ON p.doc_b = db.doc_id)
+             |SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM m GROUP BY 1, 2 ORDER BY group_a, group_b""".stripMargin),
+      (s, dir) =>
+        Dedup.crossGroupNearDupMatrix(Tables(s, dir, "documents"),
+            "doc_id", "text", "source", minEstimate = 0.25)
+          .orderBy("group_a", "group_b")),
+
+    // ----- exact decile bucketing without a global sort -----
+    Q("q116_quantile_buckets",
+      "token-count decile per doc: q-1 exact percentile cut points as a " +
+        "ONE-ROW broadcast, bucket = map-side count of thresholds " +
+        "passed — the ntile() result without the single-task corpus sort",
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS score
+             |  FROM documents),
+             |thr AS (SELECT list_transform(
+             |          quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             |          t -> round(t, 6)) AS ts
+             |        FROM n WHERE score IS NOT NULL)
+             |SELECT n.doc_id, n.score,
+             |       CAST(1 + len(list_filter(thr.ts, t -> n.score > t)) AS INT) AS bucket
+             |FROM n, thr ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.analytics.Stats.quantileBuckets(
+            docs.select(col("doc_id"),
+              size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
+            "doc_id", col("n_tokens"), q = 10)
+          .orderBy("doc_id")
       })
   )
 

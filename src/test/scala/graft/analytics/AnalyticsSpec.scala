@@ -1623,6 +1623,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("quantileBuckets: uniform scores land q-balanced, ties sit low, " +
+       "null scores bucket null, no corpus-wide window in the plan") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "sc")
+      .union(Seq((101L, Option.empty[Long])).toDF("id", "sc"))
+    val out = Stats.quantileBuckets(df, "id", $"sc", q = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out(101L).isEmpty, "null score -> null bucket")
+    val counts = out.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    assert(counts.keySet === Set(1, 2, 3, 4))
+    assert(counts.values.forall(c => c >= 20 && c <= 30),
+      s"quartiles should balance: $counts")
+    assert(out(1L).contains(1) && out(100L).contains(4))
+    // monotone: a higher score never lands in a lower bucket
+    val seq = (1L to 100L).map(i => out(i).get)
+    assert(seq.zip(seq.tail).forall { case (a, b) => a <= b })
+    // plan guard: no window over the corpus (the whole point of the op)
+    val plan = Stats.quantileBuckets(df, "id", $"sc", q = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ntile-style window crept in:\n$plan")
+  }
+
   test("pcaProject: projections onto the dominant axis of an elongated " +
        "blob capture more variance than any original coordinate") {
     import spark.implicits._

@@ -73,6 +73,66 @@ class SelectionSpec extends SparkTestBase {
     assert(out(6L) === "fruit")
   }
 
+  test("contaminationScore: overlap counts and fractions are exact; " +
+       "eval docs are excluded; shingle-less train docs score 0/null") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over dogs"), // eval (id%2=0)
+      (1L, "the quick brown fox sat here today"),  // shares 2 shingles
+      (3L, "completely different words entirely here now"),
+      (5L, "ab")                                   // < 3 tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(docs, "doc_id", "text",
+        evalPred = $"doc_id" % 2 === 0, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+         if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(!out.contains(0L), "eval docs are not scored")
+    // doc 1 shingles: 5 total; "the quick brown" + "quick brown fox" hit
+    assert(out(1L)._1 === 5L && out(1L)._2 === 2L)
+    assert(out(1L)._3.contains(0.4))
+    assert(out(3L)._2 === 0L && out(3L)._3.contains(0.0))
+    assert(out(5L) === ((0L, 0L, None)), "no shingles -> 0/0/null")
+  }
+
+  test("crossGroupNearDupMatrix: duplicate docs across sources roll up " +
+       "to the unordered source pair") {
+    import spark.implicits._
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup, "sA"), (2L, dup, "sB"), (3L, dup, "sB"),
+      (4L, "totally unrelated content words here all different", "sC")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossGroupNearDupMatrix(docs, "doc_id", "text",
+        "source", minEstimate = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(("sA", "sB") -> 2L, ("sB", "sB") -> 1L),
+      s"got $out")
+  }
+
+  test("winnowFingerprints: native kernel matches the composed HOF " +
+       "reference on edge cases and longer texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (Seq(
+      (1L, ""), (2L, "   "), (3L, "one two three"), (4L, "a b c d"),
+      (5L, "a b c d e"), (6L, "x x x x x x x x"),
+      (7L, "Tabs\tand  MIXED   Case words here repeated words here")
+    ) ++ (8L to 20L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(60))(words(rnd.nextInt(6))).mkString(" "))
+    )).toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 4), (3, 5), (1, 1), (2, 7))) {
+      val native = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val composed = Dedup.winnowFingerprintsComposed(
+          docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native === composed, s"k=$k w=$w")
+    }
+  }
+
   test("winnowFingerprints: short docs, single-window docs, and the " +
        "shared-run guarantee") {
     import spark.implicits._
