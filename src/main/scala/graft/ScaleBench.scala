@@ -158,7 +158,46 @@ object ScaleBench {
         "q106_centroid" -> (() =>
           analytics.Similarity.centroidClassify(
             emb.withColumn("label", ($"vec_id" % 10).cast("int")),
-            "vec_id", "embedding", "label").count()))
+            "vec_id", "embedding", "label").count()),
+        // 64-bucket model + 1-row totals broadcast: only the corpus scan
+        // and one (id,bucket) exchange scale with n
+        "q108_dsir" -> (() =>
+          analytics.Selection.dsirWeights(docs, "doc_id", "text",
+            ($"doc_id" % 2) === 0).count()),
+        // model is classes x 64 rows regardless of n; scoring joins the
+        // pre-aggregated (id,bucket) counts against the broadcast grid
+        "q110_nb" -> (() =>
+          analytics.TfIdf.hashedNaiveBayes(
+            docs, "doc_id", "text", "lang").count()),
+        // one codegen kernel call/row, zero shuffles: must be scan-flat
+        "q111_winnow" -> (() =>
+          analytics.Dedup.winnowFingerprints(
+            docs, "doc_id", "text").count()),
+        // 64 integer registers per group; disjoint per-copy token spaces
+        // grow true cardinality ~linearly while state stays constant
+        "q112_hll" -> (() =>
+          analytics.Sketches.hllDistinct(
+            docs.select($"lang",
+              explode(analytics.Dedup.tokens($"text")).as("w")),
+            "lang", $"w").count()),
+        // bounded k-long sketch state per group (native aggregate)
+        "q113_kmv" -> (() =>
+          analytics.Sketches.kmvDistinct(
+            docs.select($"lang",
+              explode(analytics.Dedup.tokens($"text")).as("w")),
+            "lang", $"w").count()),
+        // eval shingle set stays broadcast-sized (10% of docs), probe is
+        // map-side — the decontaminate shape with a per-doc agg on top
+        "q114_contam" -> (() =>
+          analytics.Dedup.contaminationScore(docs, "doc_id", "text",
+            ($"doc_id" % 10) === 0).count()),
+        // threshold row is 9 doubles however large n gets; bucket assign
+        // is map-side — the no-ntile-window claim under load
+        "q116_qbuckets" -> (() =>
+          analytics.Stats.quantileBuckets(
+            docs.select($"doc_id",
+              size(analytics.Dedup.tokens($"text")).cast("long").as("sc")),
+            "doc_id", $"sc").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
