@@ -55,8 +55,44 @@ object Stats {
     * `cov = E[x_i·x_j] − E[x_i]·E[x_j]` rounded to 6 decimals (the
     * catalog's cross-engine float contract). Rows whose length differs
     * from the majority dimension are dropped, like every other vector op
-    * here ([[Pq.vectors]]). */
+    * here ([[Pq.vectors]]).
+    *
+    * One pass through the native [[graft.functions.CovMoments]]
+    * aggregate — a single primitive loop per vector instead of the
+    * composed form's d(d+1)/2 + d interpreted term structs per row; the
+    * exchange carries one moment buffer per partition either way. The
+    * final reshape explodes the SINGLE moment row back to (i, j, cov). */
   def covarianceMatrix(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (v, dim) = Pq.vectors(emb, idCol, vecCol)
+    val mom = v.agg(graft.functions.CovMoments.covMoments($"v").as("m"))
+    // upper-triangle row-major offset of (i, j): i rows of shrinking
+    // width before it, then (j - i) within row i
+    def sxx(i: Column, j: Column): Column =
+      element_at($"m",
+        (lit(3 + dim) + i * dim - (i * (i - 1)).divide(2) + (j - i))
+          .cast("int"))
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j")))))
+    mom.select(explode(pairs).as("p"), $"m")
+      .select($"p.i".as("i"), $"p.j".as("j"),
+        element_at($"m", 2).as("n"),
+        sxx($"p.i", $"p.j").as("s"),
+        element_at($"m", ($"p.i" + 3).cast("int")).as("si"),
+        element_at($"m", ($"p.j" + 3).cast("int")).as("sj"))
+      .select($"i", $"j",
+        // + 0.0 canonicalizes IEEE negative zero (round can emit -0.0,
+        // and -0.0 vs 0.0 is a textual hash mismatch cross-engine)
+        (round($"s" / $"n" - ($"si" / $"n") * ($"sj" / $"n"), 6) +
+          lit(0.0)).as("cov"))
+  }
+
+  /** The explode-into-term-structs form of [[covarianceMatrix]], kept as
+    * the differential-test reference for the native moments kernel. */
+  private[analytics] def covarianceMatrixComposed(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val (v, dim) = Pq.vectors(emb, idCol, vecCol)
@@ -69,8 +105,6 @@ object Stats {
       .join(marg, "i")
       .join(marg.select($"i".as("j"), $"si".as("sj")), "j")
       .select($"i", $"j",
-        // + 0.0 canonicalizes IEEE negative zero (round can emit -0.0,
-        // and -0.0 vs 0.0 is a textual hash mismatch cross-engine)
         (round($"s" / $"n" - ($"si" / $"n") * ($"sj" / $"n"), 6) +
           lit(0.0)).as("cov"))
   }

@@ -1623,6 +1623,27 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("covarianceMatrix: native moments kernel matches the composed " +
+       "explode form on random vectors across partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 200L).map(i =>
+        (i, Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat))) :+
+      (999L, Array(1.0f)) // wrong dim -> dropped by the majority rule
+    val df = data.toDF("vec_id", "embedding")
+    val composed = Stats.covarianceMatrixComposed(df, "vec_id", "embedding")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (p <- Seq(1, 7)) {
+      val native = Stats.covarianceMatrix(
+          df.repartition(p), "vec_id", "embedding")
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      assert(native.keySet === composed.keySet, s"partitions=$p")
+      native.foreach { case (k, v) =>
+        assert(math.abs(v - composed(k)) <= 1e-6, s"p=$p $k: $v vs ${composed(k)}")
+      }
+    }
+  }
+
   test("quantileBuckets: uniform scores land q-balanced, ties sit low, " +
        "null scores bucket null, no corpus-wide window in the plan") {
     import spark.implicits._
