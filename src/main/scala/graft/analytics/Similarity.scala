@@ -211,6 +211,33 @@ object Similarity {
       if ((d(0) & 1) == 0) 1.0 else -1.0
     }
 
+  /** Deterministic Johnson-Lindenstrauss projection: `y = S·x / sqrt(d')`
+    * with S the ±1 Rademacher matrix [[hyperplaneSigns]] already uses for
+    * sign-bit LSH (md5-derived, engine-independent model constants) — the
+    * Achlioptas (2003) database-friendly JL construction. This is the
+    * dimensionality-reduction front end you run before LSH banding or
+    * brute-force scoring at 100 TB: pairwise distances are preserved
+    * within (1±ε) w.h.p. while the per-vector footprint drops d/d'-fold.
+    *
+    * Entirely MAP-SIDE: d' native codegen'd dot products per row against
+    * plan-time literal planes — no model table, no join, no shuffle.
+    * Output: (id, j, yj) exploded for the oracle's VALUES-literal replay,
+    * rounded 6. */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int = 16): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (v, dim) = Pq.vectors(emb, idCol, vecCol)
+    val planes = hyperplaneSigns(outDim, dim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val ys = array((0 until outDim).map { j =>
+      round(graft.functions.DotProduct.dotProduct(
+        $"v", typedlit(planes(j).toSeq)) * scale, 6) + lit(0.0)
+    }: _*)
+    v.select($"vid".as(idCol), posexplode(ys).as(Seq("j", "yj")))
+  }
+
   /** Vectors shaped for LSH: null and zero-length embeddings are dropped
     * (a degenerate vector has no direction — and every empty vector would
     * otherwise collapse into the same all-zero signature bucket). */

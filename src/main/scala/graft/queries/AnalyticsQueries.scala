@@ -1898,8 +1898,34 @@ object AnalyticsQueries {
               size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")),
             "doc_id", col("n_tokens"), q = 10)
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- Johnson-Lindenstrauss random projection -----
+    Q("q117_random_projection",
+      "deterministic JL projection 64 -> 16 dims (Achlioptas ±1 planes, " +
+        "the shared md5 sign model): d' codegen'd dot products per row " +
+        "against plan-time literals — no model table, no shuffle; the " +
+        "dim-reduction front end for LSH/scoring at scale",
+      Some(vCte + ", planes(j, p) AS (VALUES\n" + jlPlanesSql(16) + """
+             |)
+             |SELECT vec_id, j, round(list_dot_product(vv, p) * 0.25, 6) + 0.0 AS yj
+             |FROM v CROSS JOIN planes ORDER BY vec_id, j""".stripMargin),
+      (s, dir) =>
+        Similarity.randomProject(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", outDim = 16)
+          .orderBy("vec_id", "j"))
   )
+
+  /** The 16 JL sign planes as DuckDB VALUES rows `(j, p)` — the same
+    * [[Similarity.hyperplaneSigns]] constants, so the oracle projects
+    * identically (scale 1/sqrt(16) = 0.25, exact in both engines). */
+  private def jlPlanesSql(outDim: Int, dim: Int = 64): String = {
+    val planes = Similarity.hyperplaneSigns(outDim, dim)
+    (0 until outDim).map { j =>
+      val p = planes(j).map(x => if (x > 0) "1" else "-1").mkString(",")
+      s"  ($j, [$p]::DOUBLE[])"
+    }.mkString(",\n")
+  }
 
   /** The hyperplane sign matrix as DuckDB VALUES rows `(band, j, plane)` —
     * the same model constants [[Similarity.hyperplaneSigns]] computes, so

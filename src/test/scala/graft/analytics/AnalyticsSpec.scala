@@ -288,6 +288,37 @@ class DedupSpec extends SparkTestBase {
 
 class SimilaritySpec extends SparkTestBase {
 
+  test("randomProject: deterministic, right shape, JL-preserves pairwise " +
+       "distances within loose bounds, and shuffle-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, "vec_id", "embedding", outDim = 16)
+    val rows = proj.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length === 40 * 16)
+    val y = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    // JL with d'=16: E[|y_a-y_b|^2] = |x_a-x_b|^2; spot-check the ratio
+    // stays within a generous (0.3, 3) band for a handful of pairs
+    val x = vecs.toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum
+    for ((a, b) <- Seq((0L, 1L), (2L, 3L), (10L, 30L), (5L, 25L))) {
+      val ratio = d2(y(a), y(b)) / d2(x(a), x(b))
+      assert(ratio > 0.3 && ratio < 3.0, s"pair ($a,$b) distorted: $ratio")
+    }
+    // deterministic across partitionings
+    val again = Similarity.randomProject(
+        df.repartition(7), "vec_id", "embedding", outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(again === rows.toSet)
+    // map-side: no exchange anywhere in the projection plan
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
