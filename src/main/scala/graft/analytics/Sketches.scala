@@ -33,40 +33,63 @@ object Sketches {
   private val hllNum = ((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0) *
     36028797018963968.0
 
-  /** HyperLogLog distinct estimate of `value` per `keyCol` (m = 64
-    * registers). The register rank is the trailing-zero count of the
-    * hash's upper 54 bits (+1; 55 caps the all-zero case) — computed as
-    * `floor(log2(w & -w))`, exact in IEEE because `w & -w` is a power of
-    * two. Register sums use INTEGER `2^(55-r)` terms so no
-    * addition-order rounding can diverge between engines; the only
-    * floating math is the final division and (in the sparse regime) the
-    * standard linear-counting correction `m * ln(m / V)` when the raw
-    * estimate is under 2.5m and empty registers remain.
-    *
-    * Output: (key, n_registers, est_distinct). */
-  def hllDistinct(df: DataFrame, keyCol: String, value: Column): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = Par.ensure(df)
-      .select(col(keyCol).as("key"), h60(value).as("h"))
-      .select($"key", ($"h" % m).cast("int").as("bucket"),
-        expr(s"h DIV $m").as("w"))
-      .withColumn("rho", when($"w" === 0, lit(55)).otherwise(
-        (floor(log2($"w".bitwiseAND(-$"w"))) + 1).cast("int")))
-    val regs = base.groupBy($"key", $"bucket").agg(max($"rho").as("r"))
-    regs.groupBy($"key")
+  /** Append the HLL columns for `value`: `bucket` (low 6 hash bits) and
+    * `rho` (trailing-zero rank of the upper 54 bits, +1; 55 caps the
+    * all-zero case — computed as `floor(log2(w & -w))`, exact in IEEE
+    * because `w & -w` is a power of two). Shared by the batch estimator
+    * and the STREAMING register aggregation
+    * ([[graft.streaming.EventStreams]]) — one expression builder, so the
+    * two paths cannot drift. */
+  def withHllCols(df: DataFrame, value: Column): DataFrame =
+    df.withColumn("h", h60(value))
+      .withColumn("bucket", (col("h") % m).cast("int"))
+      .withColumn("w", expr(s"h DIV $m"))
+      .withColumn("rho", when(col("w") === 0, lit(55)).otherwise(
+        (floor(log2(col("w").bitwiseAND(-col("w")))) + 1).cast("int")))
+      .drop("h", "w")
+
+  /** Fold a register table `(keyCols..., r)` — one row per non-empty
+    * register — into `(keyCols..., n_registers, est_distinct)`. Register
+    * sums use INTEGER `2^(55-r)` terms so no addition-order rounding can
+    * diverge between engines; the only floating math is the final
+    * division and (in the sparse regime) the standard linear-counting
+    * correction `m * ln(m / V)` when the raw estimate is under 2.5m and
+    * empty registers remain. Mergeable by construction: registers from
+    * any partial run (a stream's state store, per-shard sketches) max
+    * together before this fold. */
+  def estimateFromRegisters(regs: DataFrame,
+                            keyCols: Seq[String]): DataFrame = {
+    import regs.sparkSession.implicits._
+    regs.groupBy(keyCols.map(col): _*)
       .agg(sum(expr("shiftleft(cast(1 as bigint), 55 - r)")).as("s"),
         count(lit(1)).as("nb"))
-      .select($"key", $"nb",
-        ($"s" + (lit(m.toLong) - $"nb") * lit(twoP55)).as("total"))
-      .select($"key".as(keyCol), $"nb".cast("long").as("n_registers"),
+      .withColumn("total",
+        $"s" + (lit(m.toLong) - $"nb") * lit(twoP55))
+      .select(keyCols.map(col) :+
+        $"nb".cast("long").as("n_registers") :+
         round({
           val raw = lit(hllNum) / $"total".cast("double")
           val v = lit(m.toLong) - $"nb" // empty registers
           when(raw <= lit(2.5 * m) && v > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
             .otherwise(raw)
-        }, 6).as("est_distinct"))
+        }, 6).as("est_distinct"): _*)
+  }
+
+  /** HyperLogLog distinct estimate of `value` per `keyCol` (m = 64
+    * registers): [[withHllCols]] -> per-(key, bucket) max ->
+    * [[estimateFromRegisters]].
+    *
+    * Output: (key, n_registers, est_distinct). */
+  def hllDistinct(df: DataFrame, keyCol: String, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val regs = withHllCols(
+        Par.ensure(df).select(col(keyCol).as("key"), value.as("v0")),
+        $"v0")
+      .groupBy($"key", $"bucket").agg(max($"rho").as("r"))
+    estimateFromRegisters(regs, Seq("key"))
+      .withColumnRenamed("key", keyCol)
   }
 
   /** k-minimum-values distinct estimate of `value` per `keyCol`: keep the

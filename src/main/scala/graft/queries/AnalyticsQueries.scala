@@ -1913,7 +1913,44 @@ object AnalyticsQueries {
       (s, dir) =>
         Similarity.randomProject(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", outDim = 16)
-          .orderBy("vec_id", "j"))
+          .orderBy("vec_id", "j")),
+
+    // ----- hourly distinct-user HLL over the events stream shape -----
+    Q("q118_hourly_hll_users",
+      "distinct users per hour via the HLL register fold — the SAME " +
+        "register expressions stream as one watermarked agg " +
+        "(EventStreams.hllUserRegisters, differential spec) where " +
+        "count(distinct) cannot stream; linear-counting regime at this " +
+        "cardinality",
+      Some("""WITH h AS (
+             |  SELECT date_trunc('hour', ts) AS hour,
+             |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM events),
+             |b AS (SELECT hour, CAST(h % 64 AS INT) AS bucket, h // 64 AS wv FROM h),
+             |r AS (SELECT hour, bucket,
+             |        max(CASE WHEN wv = 0 THEN 55
+             |                 ELSE CAST(floor(log2(wv & (-wv))) AS INT) + 1 END) AS r
+             |      FROM b GROUP BY hour, bucket),
+             |ag AS (SELECT hour, sum(1::BIGINT << (55 - r)) AS s, count(*) AS nb
+             |       FROM r GROUP BY hour),
+             |e AS (SELECT hour, nb,
+             |        ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096) * 36028797018963968
+             |          / CAST(s + (64 - nb) * 36028797018963968 AS DOUBLE) AS raw
+             |      FROM ag)
+             |SELECT hour, CAST(nb AS BIGINT) AS n_registers,
+             |       round(CASE WHEN raw <= 160 AND nb < 64
+             |                  THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nb))
+             |                  ELSE raw END, 6) + 0.0 AS est_distinct
+             |FROM e ORDER BY hour""".stripMargin),
+      (s, dir) => {
+        val regs = graft.analytics.Sketches.withHllCols(
+            Tables(s, dir, "events"),
+            col("user_id").cast("string"))
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("bucket"))
+          .agg(max(col("rho")).as("r"))
+        graft.analytics.Sketches.estimateFromRegisters(regs, Seq("hour"))
+          .orderBy("hour")
+      })
   )
 
   /** The 16 JL sign planes as DuckDB VALUES rows `(j, p)` — the same

@@ -47,6 +47,26 @@ object EventStreams {
       .select(col("win.start").as("window_start"), col("n_events"),
               col("total_value"))
 
+  /** Streaming HLL register table for distinct users per tumbling hour:
+    * `(win, bucket, r)` — the MERGEABLE sketch state (<= 64 small-int
+    * rows per window), as ONE watermarked aggregation. This is how
+    * distinct-per-window streams at scale: `count(distinct)` cannot
+    * stream at all (unbounded state, and the estimate fold would be a
+    * second chained aggregation); the register stream keeps
+    * watermark-bounded state and downstream (foreachBatch / the batch
+    * reader) folds registers with
+    * [[graft.analytics.Sketches.estimateFromRegisters]]. Registers are
+    * built by the SAME expression builder as the batch estimator
+    * ([[graft.analytics.Sketches.withHllCols]]), so stream and batch
+    * cannot drift — the q118 differential spec pins it. */
+  def hllUserRegisters(events: DataFrame,
+                       watermark: String = "2 hours"): DataFrame =
+    graft.analytics.Sketches.withHllCols(
+        events.withWatermark("ts", watermark),
+        col("user_id").cast("string"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+
   /** Streaming exact dedup on event_id: state bounded by the watermark
     * (late duplicates beyond it are dropped by definition). */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
