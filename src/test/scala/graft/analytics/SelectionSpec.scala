@@ -120,6 +120,11 @@ class SelectionSpec extends SparkTestBase {
       (1L, ""), (2L, "   "), (3L, "one two three"), (4L, "a b c d"),
       (5L, "a b c d e"), (6L, "x x x x x x x x"),
       (7L, "Tabs\tand  MIXED   Case words here repeated words here")
+    ) ++ Seq(
+      (21L, "Съешь ЕЩЁ этих мягких французских булок да выпей же чаю"),
+      (22L, "数据 处理 引擎 数据 处理 引擎 数据 处理"),
+      (23L, "mixed ASCII и кириллица and 中文 tokens punctuation, too!"),
+      (24L, "ÅNGSTRÖM Straße İstanbul ﬁ ligature MIXED ümlaut")
     ) ++ (8L to 20L).map(i =>
       (i, Seq.fill(5 + rnd.nextInt(60))(words(rnd.nextInt(6))).mkString(" "))
     )).toDF("doc_id", "text")

@@ -29,6 +29,22 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("KmvSketch: randomized differential vs sorted-distinct-take-k " +
+       "across groups and partitionings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(3000)((s"g${rnd.nextInt(3)}",
+      rnd.nextLong() & Long.MaxValue))
+    val expected = rows.groupBy(_._1).view.mapValues(
+      _.map(_._2).distinct.sorted.take(16).toSeq).toMap
+    for (p <- Seq(2, 11)) {
+      val got = rows.toDF("g", "h").repartition(p).groupBy("g")
+        .agg(graft.functions.KmvSketch.kmvMinHashes($"h", 16).as("mins"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got === expected, s"partitions=$p")
+    }
+  }
+
   test("hllDistinct: dense groups estimate within HLL error, sparse " +
        "groups hit linear counting, partition-invariant") {
     import spark.implicits._
