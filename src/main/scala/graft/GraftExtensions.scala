@@ -22,8 +22,10 @@ import graft.functions._
   *
   * Registered: cosine_sim, dot_product, word_ngrams(text, n),
   * xml_escape_text, xml_escape_attr, csv_quote,
-  * dedup_delimited(text, delim), nfc_normalize. The PQ kernels are not
-  * SQL-registered — their codebook argument is a model, not a literal.
+  * dedup_delimited(text, delim), nfc_normalize, winnow_fp(text, k, w),
+  * and the native aggregates kmv_sketch(h, k) / cov_moments(vec). The PQ
+  * kernels are not SQL-registered — their codebook argument is a model,
+  * not a literal.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -98,5 +100,31 @@ object GraftExtensions {
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC normalization"),
       (args: Seq[Expression]) => {
         arity("nfc_normalize", 1)(args); NfcNormalize(args(0))
+      }),
+    ("winnow_fp",
+      info("winnow_fp",
+        "winnow_fp(text, k, w) - winnowing fingerprints (MOSS): distinct " +
+          "window-minima of positional k-gram hashes"),
+      (args: Seq[Expression]) => {
+        arity("winnow_fp", 3)(args)
+        WinnowFp(args(0), litInt("winnow_fp", args(1)),
+          litInt("winnow_fp", args(2)))
+      }),
+    ("kmv_sketch",
+      info("kmv_sketch",
+        "kmv_sketch(h, k) - aggregate: the k smallest distinct int64 " +
+          "values, ascending (KMV distinct-count sketch state)"),
+      (args: Seq[Expression]) => {
+        arity("kmv_sketch", 2)(args)
+        KmvSketch(args(0), litInt("kmv_sketch", args(1)))
+          .toAggregateExpression()
+      }),
+    ("cov_moments",
+      info("cov_moments",
+        "cov_moments(vec) - aggregate: [d, n, sums, upper-triangle cross " +
+          "products] covariance moments of a double-array column"),
+      (args: Seq[Expression]) => {
+        arity("cov_moments", 1)(args)
+        CovMoments(args(0)).toAggregateExpression()
       }))
 }

@@ -33,6 +33,37 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sql === wrapped)
   }
 
+  test("the scalar winnow_fp and the aggregates kmv_sketch/cov_moments " +
+       "equal their Column-wrapper forms through SQL") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z x y z x y"))
+      .toDF("id", "t")
+    docs.createOrReplaceTempView("ext_docs")
+    val sqlFp = spark.sql(
+      "SELECT id, winnow_fp(t, 3, 2) AS fp FROM ext_docs ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val wrapFp = docs.select($"id", WinnowFp.winnowFp($"t", 3, 2).as("fp"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(sqlFp.toSeq === wrapFp.toSeq)
+
+    val nums = Seq(("g", 5L), ("g", 3L), ("g", 5L), ("g", 9L))
+      .toDF("g", "h")
+    nums.createOrReplaceTempView("ext_nums")
+    val sqlKmv = spark.sql(
+      "SELECT kmv_sketch(h, 2) AS mins FROM ext_nums GROUP BY g")
+      .head().getSeq[Long](0)
+    assert(sqlKmv === Seq(3L, 5L))
+
+    val vecs = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0)))
+      .toDF("id", "v")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val m = spark.sql("SELECT cov_moments(v) AS m FROM ext_vecs")
+      .head().getSeq[Double](0)
+    // [d=2, n=2, sx=(4,6), sxx upper=(10,14,20)]
+    assert(m === Seq(2.0, 2.0, 4.0, 6.0, 10.0, 14.0, 20.0))
+  }
+
   test("word_ngrams rejects a non-literal n with a clear message") {
     val err = intercept[Exception] {
       spark.sql("SELECT word_ngrams('a b c', 1 + 1)").collect()
