@@ -1950,6 +1950,76 @@ object AnalyticsQueries {
           .agg(max(col("rho")).as("r"))
         graft.analytics.Sketches.estimateFromRegisters(regs, Seq("hour"))
           .orderBy("hour")
+      }),
+
+    // ----- end-to-end curation pipeline -----
+    Q("q119_curation_pipeline",
+      "the full curation decision per doc in ONE composed plan: q46 " +
+        "quality/lang/exact-dup verdict -> near-dup components over the " +
+        "keepers (q42 machinery) -> leakage-safe split (q48 rule); " +
+        "dropped docs carry null component/split",
+      Some("WITH RECURSIVE flags AS (" + """
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_dup,
+             |         len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS n_tokens,
+             |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
+             |         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+             |         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_hits,
+             |         len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS es_hits,
+             |         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que)\b')) AS fr_hits,
+             |         CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+             |              WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+             |              WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+             |              WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+             |              ELSE 'fr' END AS lang_guess
+             |  FROM documents),
+             |verdicts AS (
+             |  SELECT doc_id,
+             |         CASE WHEN is_dup = 1 THEN 'dup'
+             |              WHEN NOT (n_tokens >= 10 AND punct_ratio < 0.2) THEN 'low_quality'
+             |              WHEN lang_guess <> 'en' THEN 'non_en'
+             |              ELSE 'keep' END AS verdict,
+             |         CASE WHEN is_dup = 0 AND n_tokens >= 10 AND punct_ratio < 0.2
+             |                   AND lang_guess = 'en' THEN 1 ELSE 0 END AS keep
+             |  FROM flags),
+             |kept AS (
+             |  SELECT d.doc_id, d.text FROM documents d
+             |  JOIN verdicts USING (doc_id) WHERE keep = 1),""".stripMargin +
+        shCte.stripPrefix("WITH").replace("FROM documents", "FROM kept") +
+        lshCte + """,
+             | edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+             |           UNION ALL SELECT doc_b, doc_a FROM cand),
+             | walk AS (
+             |   SELECT a AS node, b AS reach FROM edges
+             |   UNION
+             |   SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+             | comp AS (
+             |   SELECT node, least(node, min(reach)) AS component
+             |   FROM walk GROUP BY node),
+             | tagged AS (
+             |   SELECT k.doc_id, coalesce(c.component, k.doc_id) AS component
+             |   FROM kept k LEFT JOIN comp c ON c.node = k.doc_id)
+             |SELECT v.doc_id, v.verdict, v.keep, t.component,
+             |       CASE WHEN t.component IS NULL THEN NULL
+             |            WHEN md5(CAST(t.component AS VARCHAR)) < 'c' THEN 'train'
+             |            WHEN md5(CAST(t.component AS VARCHAR)) < 'e' THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM verdicts v LEFT JOIN tagged t USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        // the verdict frame feeds the keep-filter AND the final join —
+        // checkpoint so the fp window runs once (the house reuse rule)
+        val cf = TextAnalysis.corpusFilter(docs, "doc_id", "text")
+          .localCheckpoint()
+        val kept = docs.join(
+          cf.filter(col("keep") === 1).select("doc_id"), "doc_id")
+        val split = Dedup.leakageSafeSplit(
+          Dedup.dupClusters(kept, "doc_id", "text"), "doc_id", "component")
+        cf.join(split, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("verdict"), col("keep"),
+            col("component"), col("split"))
+          .orderBy("doc_id")
       })
   )
 
