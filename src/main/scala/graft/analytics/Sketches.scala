@@ -92,6 +92,56 @@ object Sketches {
       .withColumnRenamed("key", keyCol)
   }
 
+  /** Count-Min sketch counters of `value` per `keyCol`: `depth` rows of
+    * `width` integer counters, bucket `d` = md5("d|value") — the bounded
+    * frequency table (depth x width longs per group) where an exact
+    * per-token count table is vocabulary-sized. Counters are plain sums:
+    * map-side partials, mergeable across shards/streams by addition.
+    * Output: (key, d, bucket, c). */
+  def cmCounters(df: DataFrame, keyCol: String, value: Column,
+                 depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Par.ensure(df)
+      .select(col(keyCol).as("key"), value.as("v0"))
+      .select($"key", $"v0",
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select($"key", $"d",
+        (conv(substring(md5(concat($"d".cast("string"), lit("|"), $"v0")),
+          1, 8), 16, 10).cast("long") % width).cast("int").as("bucket"))
+      .groupBy($"key", $"d", $"bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates from [[cmCounters]] for literal `probes`:
+    * `est = min over d of counter[d][bucket_d(probe)]` (missing counter
+    * rows read 0). The probe grid is (distinct keys x probes x depth) —
+    * dictionary-sized — and the counter side is depth x width per key,
+    * so the whole probe is broadcast-scale regardless of corpus size.
+    * Output: (key, word, est). */
+  def cmEstimate(counters: DataFrame, probes: Seq[String],
+                 depth: Int = 4, width: Int = 64): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = counters.sparkSession
+    import spark.implicits._
+    val probeRows = probes.flatMap { p =>
+      (0 until depth).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d|$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+          ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+        (p, d, (h % width).toInt)
+      }
+    }
+    val pdf = probeRows.toDF("word", "d", "bucket")
+    counters.select($"key").distinct()
+      .crossJoin(broadcast(pdf))
+      .join(counters, Seq("key", "d", "bucket"), "left")
+      .groupBy($"key", $"word")
+      .agg(min(coalesce($"c", lit(0L))).as("est"))
+  }
+
   /** k-minimum-values distinct estimate of `value` per `keyCol`: keep the
     * k smallest distinct 60-bit hashes (the bounded native
     * [[graft.functions.KmvSketch]] aggregate), then

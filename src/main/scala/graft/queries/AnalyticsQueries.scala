@@ -2020,6 +2020,41 @@ object AnalyticsQueries {
           .select(col("doc_id"), col("verdict"), col("keep"),
             col("component"), col("split"))
           .orderBy("doc_id")
+      }),
+
+    // ----- Count-Min frequency sketch -----
+    Q("q120_cm_sketch",
+      "Count-Min point-frequency estimates per source (4 x 64 integer " +
+        "counters, md5 buckets, min-over-depth probe of 8 literal " +
+        "words incl. one absent) — bounded frequency state where the " +
+        "exact table is vocabulary-sized; counters merge by addition",
+      Some("""WITH w AS (
+             |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |cnt AS (SELECT source, d,
+             |          CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || '|' || word), 1, 8))::BIGINT % 64 AS INT) AS bucket,
+             |          CAST(count(*) AS BIGINT) AS c
+             |        FROM w, (SELECT unnest(range(0, 4)) AS d) dd GROUP BY 1, 2, 3),
+             |probes(word) AS (VALUES ('the'), ('a'), ('of'), ('and'), ('to'), ('in'), ('is'), ('zzz_absent')),
+             |grid AS (SELECT s.source, p.word, d.d,
+             |                CAST(('0x' || substring(md5(CAST(d.d AS VARCHAR) || '|' || p.word), 1, 8))::BIGINT % 64 AS INT) AS bucket
+             |         FROM (SELECT DISTINCT source FROM cnt) s, probes p,
+             |              (SELECT unnest(range(0, 4)) AS d) d)
+             |SELECT g.source AS source, g.word AS word,
+             |       CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+             |FROM grid g LEFT JOIN cnt c
+             |  ON g.source = c.source AND g.d = c.d AND g.bucket = c.bucket
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val counters = graft.analytics.Sketches.cmCounters(
+          docs.select(col("source"),
+            explode(Dedup.tokens(col("text"))).as("word")),
+          "source", col("word"))
+        graft.analytics.Sketches.cmEstimate(counters,
+            Seq("the", "a", "of", "and", "to", "in", "is", "zzz_absent"))
+          .withColumnRenamed("key", "source")
+          .orderBy("source", "word")
       })
   )
 

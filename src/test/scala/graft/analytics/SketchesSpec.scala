@@ -64,6 +64,26 @@ class SketchesSpec extends SparkTestBase {
       "on partitioning (integer register state)")
   }
 
+  test("cmSketch: estimates never underestimate, track true counts for " +
+       "heavy hitters, read 0-ish for absent words, partition-invariant") {
+    import spark.implicits._
+    val rows = Seq.fill(300)(("g", "heavy")) ++
+      (1 to 100).map(i => ("g", s"rare$i"))
+    val df = rows.toDF("src", "word")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val counters = Sketches.cmCounters(d, "src", col("word"))
+      Sketches.cmEstimate(counters, Seq("heavy", "rare1", "nothere"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    }
+    val est = run(df)
+    assert(est("heavy") >= 300L, "CM never underestimates")
+    assert(est("heavy") <= 300L + 100L, s"heavy overshoot: ${est("heavy")}")
+    assert(est("rare1") >= 1L && est("rare1") <= 50L)
+    assert(est("nothere") <= 40L, s"absent word read: ${est("nothere")}")
+    assert(run(df.repartition(9)) === est,
+      "counters are integer sums: partition-invariant")
+  }
+
   test("kmvDistinct: exact below k, sane estimate above, partition-" +
        "invariant") {
     import spark.implicits._
