@@ -197,7 +197,28 @@ object ScaleBench {
           analytics.Stats.quantileBuckets(
             docs.select($"doc_id",
               size(analytics.Dedup.tokens($"text")).cast("long").as("sc")),
-            "doc_id", $"sc").count()))
+            "doc_id", $"sc").count()),
+        // the whole q119 curation decision end-to-end: verdict window +
+        // LSH components + split, all on machinery with measured curves
+        "q119_pipeline" -> (() => {
+          val cf = analytics.TextAnalysis
+            .corpusFilter(docs, "doc_id", "text").localCheckpoint()
+          val kept = docs.join(
+            cf.filter($"keep" === 1).select("doc_id"), "doc_id")
+          val split = analytics.Dedup.leakageSafeSplit(
+            analytics.Dedup.dupClusters(kept, "doc_id", "text"),
+            "doc_id", "component")
+          cf.join(split, Seq("doc_id"), "left").count()
+        }),
+        // depth x width integer counters per group — bounded state, so
+        // only the tokenization scan grows with n
+        "q120_cm" -> (() =>
+          analytics.Sketches.cmEstimate(
+            analytics.Sketches.cmCounters(
+              docs.select($"lang",
+                explode(analytics.Dedup.tokens($"text")).as("w")),
+              "lang", $"w"),
+            Seq("the", "a", "zzz_absent")).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -70,6 +70,29 @@ object Selection {
       .select($"id", $"dsir_weight")
   }
 
+  /** The DSIR SELECTION step: keep the top `topFrac` of the corpus by
+    * importance weight — threshold = the corpus `(1-topFrac)` exact
+    * percentile of [[dsirWeights]], ONE row broadcast back (the
+    * [[TextAnalysis.surprisalGate]] bracket), so selection is map-side
+    * over the scored corpus. Docs with null weight (no tokens) fail
+    * closed. Output: (id, dsir_weight, keep). */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, topFrac: Double = 0.25,
+                 dim: Int = 64): DataFrame = {
+    require(topFrac > 0.0 && topFrac < 1.0, "topFrac must be in (0, 1)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // checkpoint: weights feed the threshold aggregate AND the output
+    val w = dsirWeights(docs, idCol, textCol, isTarget, dim)
+      .localCheckpoint()
+    val thr = w.filter($"dsir_weight".isNotNull)
+      .agg(round(expr(s"percentile(dsir_weight, ${1.0 - topFrac})"), 6)
+        .as("thr"))
+    w.crossJoin(broadcast(thr))
+      .select($"id", $"dsir_weight",
+        coalesce($"dsir_weight" >= $"thr", lit(false)).as("keep"))
+  }
+
   /** Rebalance a corpus toward TARGET mix proportions: given per-stratum
     * target shares (summing to ~1) and a document budget, derive keep
     * rates `rate_s = min(1, budget * share_s / n_s)` from the observed

@@ -164,6 +164,30 @@ object AnalyticsQueries {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** Shared DuckDB CTE chain for the DSIR model: hashed-bucket counts,
+    * target/raw totals, rounded per-bucket log-weights, per-doc scores
+    * (`sc`). Mirrors [[graft.analytics.Selection.dsirWeights]] exactly;
+    * shared by q108 and the q121 selection gate. */
+  private val dsirCte =
+    """WITH w AS (
+      |  SELECT doc_id, (lang = 'en') AS tgt, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+      |  FROM documents),
+      |db AS (SELECT doc_id, tgt,
+      |         CAST(('0x' || substring(md5(word), 1, 8))::BIGINT % 64 AS INT) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS tf
+      |       FROM w GROUP BY 1, 2, 3),
+      |model AS (SELECT bucket, sum(tf) AS raw_n,
+      |                 sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tgt_n
+      |          FROM db GROUP BY bucket),
+      |tot AS (SELECT sum(raw_n) AS raw_t, sum(tgt_n) AS tgt_t FROM model),
+      |lw AS (SELECT bucket,
+      |         round(ln(CAST(tgt_n + 1 AS DOUBLE) / CAST(tgt_t + 64 AS DOUBLE))
+      |             - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(raw_t + 64 AS DOUBLE)), 6) AS logw
+      |       FROM model, tot),
+      |sc AS (SELECT doc_id, round(sum(CAST(tf AS DOUBLE) * logw), 6) + 0.0 AS dsir_weight
+      |       FROM db JOIN lw USING (bucket) GROUP BY doc_id)""".stripMargin
+
+
   /** Shared DuckDB CTE chain recomputing the aHash of the synthetic BMPs
     * from the generative pixel formula (same dims/rgb arithmetic as the
     * q68 oracle): 8x8 nearest-neighbor sample, integer gray, strict
@@ -1647,23 +1671,7 @@ object AnalyticsQueries {
         "(lang='en') hashed-unigram model over the raw-corpus model, " +
         "add-one smoothed over 64 buckets; one tokenization pass feeds " +
         "model and scoring; empty docs weigh null",
-      Some("""WITH w AS (
-             |  SELECT doc_id, (lang = 'en') AS tgt, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
-             |  FROM documents),
-             |db AS (SELECT doc_id, tgt,
-             |         CAST(('0x' || substring(md5(word), 1, 8))::BIGINT % 64 AS INT) AS bucket,
-             |         CAST(count(*) AS BIGINT) AS tf
-             |       FROM w GROUP BY 1, 2, 3),
-             |model AS (SELECT bucket, sum(tf) AS raw_n,
-             |                 sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tgt_n
-             |          FROM db GROUP BY bucket),
-             |tot AS (SELECT sum(raw_n) AS raw_t, sum(tgt_n) AS tgt_t FROM model),
-             |lw AS (SELECT bucket,
-             |         round(ln(CAST(tgt_n + 1 AS DOUBLE) / CAST(tgt_t + 64 AS DOUBLE))
-             |             - ln(CAST(raw_n + 1 AS DOUBLE) / CAST(raw_t + 64 AS DOUBLE)), 6) AS logw
-             |       FROM model, tot),
-             |sc AS (SELECT doc_id, round(sum(CAST(tf AS DOUBLE) * logw), 6) + 0.0 AS dsir_weight
-             |       FROM db JOIN lw USING (bucket) GROUP BY doc_id)
+      Some(dsirCte + """
              |SELECT doc_id AS id, dsir_weight
              |FROM documents LEFT JOIN sc USING (doc_id) ORDER BY id""".stripMargin),
       (s, dir) =>
@@ -2055,7 +2063,26 @@ object AnalyticsQueries {
             Seq("the", "a", "of", "and", "to", "in", "is", "zzz_absent"))
           .withColumnRenamed("key", "source")
           .orderBy("source", "word")
-      })
+      }),
+
+    // ----- DSIR selection gate -----
+    Q("q121_dsir_select",
+      "the DSIR selection step: keep the top 25% of docs by importance " +
+        "weight — the corpus p75 of q108's weights as a 1-row broadcast " +
+        "threshold, map-side keep flags; null weights fail closed",
+      Some(dsirCte + """,
+             |wts AS (SELECT doc_id, dsir_weight
+             |        FROM documents LEFT JOIN sc USING (doc_id)),
+             |thr AS (SELECT round(quantile_cont(dsir_weight, 0.75), 6) AS thr
+             |        FROM wts WHERE dsir_weight IS NOT NULL)
+             |SELECT doc_id AS id, dsir_weight,
+             |       coalesce(dsir_weight >= thr.thr, false) AS keep
+             |FROM wts, thr ORDER BY id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Selection.dsirSelect(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            col("lang") === "en", topFrac = 0.25)
+          .orderBy("id"))
   )
 
   /** The 16 JL sign planes as DuckDB VALUES rows `(j, p)` — the same
