@@ -274,6 +274,63 @@ object Dedup {
       .filter($"n_shared_spans" >= minShared)
   }
 
+  /** TOKEN-SPAN repeated-substring removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * within-corpus repeated-sequence rule): every run of `spanLen`
+    * consecutive tokens that occurs in at least `minDocFreq` DISTINCT
+    * documents is boilerplate, and every token COVERED by any such span
+    * is removed from every document. The token-level sibling of
+    * [[removeBoilerplateLines]]: catches templated sentences and
+    * verbatim copies that don't align on line boundaries.
+    *
+    * Output text is the NORMALIZED token stream re-joined with single
+    * spaces (the tokenizer contract: lowercased, whitespace-collapsed) —
+    * span identity must be tokenizer-exact, so the rebuilt text is too.
+    *
+    * Scale shape: the span table carries (doc, pos, 32-char md5) rows —
+    * never text; df is a distinct-count keyed by the hash (a hot span is
+    * LINEAR in its occurrences — one row per containing doc position, no
+    * pair term anywhere, so no cap is needed); covered positions come
+    * from one hash-keyed join back and one doc-keyed partial agg; the
+    * document rebuild is a map-side array_except per row. */
+  def removeRepeatedSpans(docs0: DataFrame, idCol: String, textCol: String,
+                          spanLen: Int = 5,
+                          minDocFreq: Int = 3): DataFrame = {
+    require(spanLen >= 1 && minDocFreq >= 2,
+      "spanLen must be >= 1 and minDocFreq >= 2")
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withToks = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      .localCheckpoint() // feeds the span table AND the rebuild join
+    // positional span hashes: ONE transform per row (hash inside the
+    // same lambda — no alias re-evaluation, the q111 lesson)
+    val sp = withToks.filter(size($"t") >= spanLen)
+      .select($"doc", posexplode(
+        transform(sequence(lit(0), size($"t") - spanLen),
+          i => md5(concat_ws(" ", slice($"t", i + 1, lit(spanLen))))))
+        .as(Seq("pos", "h")))
+      .localCheckpoint() // feeds the df aggregate AND the drop join
+    val boiler = sp.select($"doc", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDocFreq)
+    val drops = sp.join(boiler, Seq("h"))
+      .select($"doc",
+        explode(sequence($"pos", $"pos" + spanLen - 1)).as("ci"))
+      .groupBy($"doc").agg(collect_set($"ci").as("cover"))
+    withToks.join(drops, Seq("doc"), "left")
+      .select($"doc".as(idCol),
+        when(size($"t") > 0,
+          concat_ws(" ", transform(
+            array_except(sequence(lit(0), size($"t") - 1),
+              coalesce($"cover", typedLit(Seq.empty[Int]))),
+            i => element_at($"t", i + 1))))
+          .otherwise(lit("")).as(textCol),
+        size($"t").cast("long").as("n_tokens"),
+        coalesce(size($"cover"), lit(0)).cast("long").as("n_removed"))
+  }
+
   /** C4/RefinedWeb-style LINE-level boilerplate removal: a line (newline-
     * delimited, keyed by its trimmed content) is boilerplate when it
     * occurs in at least `minDocFreq` DISTINCT documents, and every

@@ -2082,7 +2082,39 @@ object AnalyticsQueries {
         graft.analytics.Selection.dsirSelect(
             Tables(s, dir, "documents"), "doc_id", "text",
             col("lang") === "en", topFrac = 0.25)
-          .orderBy("id"))
+          .orderBy("id")),
+
+    // ----- token-span repeated-substring removal -----
+    Q("q122_span_dedup",
+      "remove every token covered by a 5-token span occurring in >= 3 " +
+        "distinct docs (Lee et al. repeated-sequence rule, the " +
+        "token-level sibling of q99): (doc,pos,hash) span table, " +
+        "hash-keyed df, map-side rebuild; output is the normalized " +
+        "token stream",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sp AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+4], ' ')) AS h
+             |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+             |             FROM toks WHERE len(t) >= 5)),
+             |boiler AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp) dd
+             |           GROUP BY h HAVING count(*) >= 3),
+             |cov AS (SELECT doc_id, list_distinct(list(ci)) AS cover
+             |        FROM (SELECT sp.doc_id, unnest(range(sp.pos, sp.pos + 5)) AS ci
+             |              FROM sp JOIN boiler USING (h)) cc GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |       coalesce(CASE WHEN c.cover IS NULL THEN array_to_string(t.t, ' ')
+             |            ELSE array_to_string(list_transform(
+             |                   list_filter(range(0, len(t.t)),
+             |                               i -> NOT list_contains(c.cover, i)),
+             |                   i -> t.t[i + 1]), ' ') END, '') AS text,
+             |       CAST(len(t.t) AS BIGINT) AS n_tokens,
+             |       CAST(coalesce(len(c.cover), 0) AS BIGINT) AS n_removed
+             |FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Dedup.removeRepeatedSpans(Tables(s, dir, "documents"),
+            "doc_id", "text", spanLen = 5, minDocFreq = 3)
+          .orderBy("doc_id"))
   )
 
   /** The 16 JL sign planes as DuckDB VALUES rows `(j, p)` — the same

@@ -73,6 +73,35 @@ class SelectionSpec extends SparkTestBase {
     assert(out(6L) === "fruit")
   }
 
+  test("removeRepeatedSpans: covered tokens vanish everywhere, unique " +
+       "content survives, short/empty docs pass through") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for more"
+    val docs = Seq(
+      (1L, s"unique alpha words $boiler trailing bits"),
+      (2L, s"$boiler and other original content here"),
+      (3L, s"middle text $boiler"),
+      (4L, "totally original document nothing shared at all"),
+      (5L, "tiny doc"), (6L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        spanLen = 5, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (txt, _, removed) = out(id)
+      assert(!txt.contains("newsletter"),
+        s"doc $id kept boilerplate: '$txt'")
+      assert(removed >= 6L, s"doc $id removed only $removed")
+    }
+    assert(out(1L)._1.startsWith("unique alpha words"))
+    assert(out(2L)._1.endsWith("original content here"))
+    assert(out(4L) === (("totally original document nothing shared at all",
+      7L, 0L)))
+    assert(out(5L) === (("tiny doc", 2L, 0L)), "short doc untouched")
+    assert(out(6L) === (("", 0L, 0L)), "empty doc passes through")
+  }
+
   test("contaminationScore: overlap counts and fractions are exact; " +
        "eval docs are excluded; shingle-less train docs score 0/null") {
     import spark.implicits._
