@@ -218,7 +218,18 @@ object ScaleBench {
               docs.select($"lang",
                 explode(analytics.Dedup.tokens($"text")).as("w")),
               "lang", $"w"),
-            Seq("the", "a", "zzz_absent")).count()))
+            Seq("the", "a", "zzz_absent")).count()),
+        // q108 weights + a 1-row exact-percentile broadcast threshold:
+        // only the two corpus scans grow with n
+        "q121_dsir_select" -> (() =>
+          analytics.Selection.dsirSelect(docs, "doc_id", "text",
+            ($"doc_id" % 2) === 0, topFrac = 0.25).count()),
+        // per-copy token prefixes keep repeated-span sets disjoint per
+        // copy, so the (doc,pos,hash) span table and the hash-keyed df
+        // both scale linearly — no pair term anywhere in the plan
+        "q122_span_dedup" -> (() =>
+          analytics.Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+            spanLen = 5, minDocFreq = 3).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
