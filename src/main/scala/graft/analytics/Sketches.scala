@@ -142,6 +142,66 @@ object Sketches {
       .agg(min(coalesce($"c", lit(0L))).as("est"))
   }
 
+  /** Bloom-filter bit registers of `value` per `keyCol`: `mBits` bits
+    * packed into `mBits/64` longs, `kHashes` bit positions per value from
+    * md5("value|j") — the bounded membership table for at-scale
+    * decontamination and blocklist probes, where the exact value set is
+    * corpus-sized but the filter is a few KB per group. Registers build
+    * with a plain `bit_or` aggregate: map-side partials, and filters from
+    * any partial run (per-shard builds, a stream's state) merge by OR.
+    * No false negatives ever; false-positive rate is the standard
+    * (1 - e^(-kn/m))^k, deterministic by construction (md5 positions,
+    * integer bit state — no engine-private hashing).
+    * Output: (key, idx, bits) — one row per non-empty 64-bit word. */
+  def bloomRegisters(df: DataFrame, keyCol: String, value: Column,
+                     mBits: Int = 1024, kHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      "mBits must be a positive multiple of 64")
+    require(kHashes >= 1, "kHashes must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Par.ensure(df)
+      .select(col(keyCol).as("key"), value.cast("string").as("v0"))
+      .select($"key", explode(array((0 until kHashes).map(j =>
+        h60(concat($"v0", lit("|" + j))) % mBits): _*)).as("p"))
+      .groupBy($"key", expr("cast(p DIV 64 as int)").as("idx"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))")
+        .as("bits"))
+  }
+
+  /** Membership probes of literal `probes` against [[bloomRegisters]]
+    * output: member iff ALL `kHashes` bit positions are set. Probe
+    * positions are computed driver-side (same md5 construction), the grid
+    * is (distinct keys x probes x kHashes) — dictionary-sized — so the
+    * probe never rescans a corpus; `n_set_bits` (filter fill, the input
+    * to the fp-rate formula) rides the same pass.
+    * Output: (key, word, member, n_set_bits). */
+  def bloomContains(regs: DataFrame, probes: Seq[String],
+                    mBits: Int = 1024, kHashes: Int = 3): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = regs.sparkSession
+    import spark.implicits._
+    val probeRows = probes.flatMap { p =>
+      (0 until kHashes).map { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = md.take(8).map(b => f"$b%02x").mkString.take(15)
+        val pos = (java.lang.Long.parseLong(hex, 16) % mBits).toInt
+        (p, j, pos / 64, 1L << (pos % 64))
+      }
+    }
+    val pdf = probeRows.toDF("word", "j", "idx", "pbit")
+    val fill = regs.groupBy($"key")
+      .agg(sum(bit_count($"bits")).cast("long").as("n_set_bits"))
+    regs.select($"key").distinct()
+      .crossJoin(broadcast(pdf))
+      .join(regs, Seq("key", "idx"), "left")
+      .groupBy($"key", $"word")
+      .agg(min(coalesce($"bits", lit(0L)).bitwiseAND($"pbit") =!= 0)
+        .as("member"))
+      .join(fill, Seq("key"))
+  }
+
   /** k-minimum-values distinct estimate of `value` per `keyCol`: keep the
     * k smallest distinct 60-bit hashes (the bounded native
     * [[graft.functions.KmvSketch]] aggregate), then

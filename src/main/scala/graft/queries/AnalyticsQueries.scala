@@ -2114,7 +2114,45 @@ object AnalyticsQueries {
       (s, dir) =>
         Dedup.removeRepeatedSpans(Tables(s, dir, "documents"),
             "doc_id", "text", spanLen = 5, minDocFreq = 3)
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- Bloom-filter membership sketch -----
+    Q("q123_bloom_filter",
+      "per-source Bloom filter of the word set (1024 bits as 16 longs, " +
+        "3 md5 positions/word, bit_or registers — map-side partials, " +
+        "OR-mergeable across shards) probed for 3 literal words; " +
+        "n_set_bits is the fill feeding the fp-rate formula",
+      Some("""WITH w AS (
+             |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |pos AS (SELECT DISTINCT source, ('0x' || substring(md5(word || '|' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 1024 AS p
+             |        FROM w, (SELECT unnest(range(0, 3)) AS j) t),
+             |fill AS (SELECT source, CAST(count(*) AS BIGINT) AS n_set_bits
+             |         FROM pos GROUP BY source),
+             |probes(word) AS (VALUES ('the'), ('data'), ('zzz_absent_token')),
+             |pp AS (SELECT word, ('0x' || substring(md5(word || '|' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 1024 AS p
+             |       FROM probes, (SELECT unnest(range(0, 3)) AS j) t),
+             |grid AS (SELECT k.source, pp.word, pp.p
+             |         FROM (SELECT DISTINCT source FROM w) k CROSS JOIN pp)
+             |SELECT g.source, g.word, bool_and(ps.p IS NOT NULL) AS member,
+             |       f.n_set_bits
+             |FROM grid g
+             |LEFT JOIN pos ps ON ps.source = g.source AND ps.p = g.p
+             |JOIN fill f ON f.source = g.source
+             |GROUP BY g.source, g.word, f.n_set_bits
+             |ORDER BY g.source, g.word""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.analytics.Sketches.bloomContains(
+            graft.analytics.Sketches.bloomRegisters(
+              docs.select(col("source"),
+                explode(Dedup.tokens(col("text"))).as("word")),
+              "source", col("word"), mBits = 1024, kHashes = 3),
+            Seq("the", "data", "zzz_absent_token"),
+            mBits = 1024, kHashes = 3)
+          .withColumnRenamed("key", "source")
+          .orderBy("source", "word")
+      })
   )
 
   /** The 16 JL sign planes as DuckDB VALUES rows `(j, p)` — the same

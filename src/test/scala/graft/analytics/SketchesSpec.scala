@@ -102,4 +102,46 @@ class SketchesSpec extends SparkTestBase {
       s"big-group estimate off: ${est("big")._2}")
     assert(run(df.repartition(13)) === est, "partition-invariant")
   }
+
+  test("bloom filter: no false negatives, sparse-filter absent probe is " +
+       "false, registers merge by OR, partition-invariant") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => ("a", s"tok$i")) ++
+      (1 to 5).map(i => ("b", s"word$i"))
+    val df = words.toDF("src", "word")
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Sketches.bloomRegisters(d, "src", col("word"))
+    // every inserted word must probe true (no false negatives — the
+    // Bloom guarantee), in every group it was inserted into
+    val inserted = Sketches.bloomContains(regs(df),
+        words.map(_._2).distinct)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getBoolean(2)).toMap
+    for ((src, w) <- words)
+      assert(inserted((src, w)), s"false negative: $src/$w")
+    // group b holds 5 words -> <=15 of 1024 bits set: a fixed absent
+    // probe hitting all 3 bits is (15/1024)^3 — deterministically false
+    // for this corpus (and pinned by this test forever)
+    val probe = Sketches.bloomContains(regs(df),
+        Seq("tok1", "definitely_absent_probe"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getBoolean(2), r.getLong(3))).toMap
+    assert(probe(("a", "tok1"))._1 && !probe(("a", "definitely_absent_probe"))._1)
+    assert(!probe(("b", "tok1"))._1, "tok1 was never inserted into b")
+    assert(probe(("b", "tok1"))._2 <= 15L && probe(("b", "tok1"))._2 >= 1L,
+      "fill tracks insertions")
+    // partition invariance + OR-merge: registers built from two halves
+    // and bit_or'd equal the single-pass registers
+    val one = regs(df).collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(regs(df.repartition(7)).collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap === one,
+      "partition-invariant")
+    val half = $"word".rlike("[0-4]$")
+    val merged = regs(df.filter(half)).unionByName(regs(df.filter(!half)))
+      .groupBy($"key", $"idx")
+      .agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged === one, "two partial filters OR-merge to the full one")
+  }
 }
