@@ -189,4 +189,33 @@ object Sampling {
       .filter(bucket < round(r("rate") * lit(4294967296.0)))
       .select(d.columns.map(d(_)): _*)
   }
+
+  /** Weighted sample WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    * each row draws key = ln(u)/w — u the md5-uniform in (0,1] from the
+    * row's id, w its weight — and the k LARGEST keys win; inclusion
+    * probability is proportional to weight, one pass, no sequential
+    * draws. The quality-weighted selection step ("sample 1M docs
+    * proportional to score") where rate-based sampling can't hit an
+    * exact k and rank-by-score alone is a biased argmax.
+    *
+    * Deterministic across engines/runs/partitionings: u is integer-
+    * derived, the only float steps (one ln, one divide) are pinned by
+    * `round(,9)` before ranking and ties break by id. Rows with null or
+    * non-positive weight are excluded (zero inclusion probability).
+    *
+    * Scale shape: the key is MAP-SIDE; the global top-k is a bounded
+    * TakeOrdered (k per partition -> k at the driver merge) — no window,
+    * no global sort, no funnel. Output: input columns + `es_key`,
+    * exactly min(k, eligible-rows) rows. */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") + 1.0) / lit(1152921504606846976.0)
+    Par.ensure(docs)
+      .filter(weight.isNotNull && weight > 0)
+      .withColumn("es_key", round(log(u) / weight.cast("double"), 9))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
 }

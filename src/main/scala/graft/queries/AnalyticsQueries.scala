@@ -2152,6 +2152,31 @@ object AnalyticsQueries {
             mBits = 1024, kHashes = 3)
           .withColumnRenamed("key", "source")
           .orderBy("source", "word")
+      }),
+
+    // ----- weighted sampling without replacement -----
+    Q("q124_weighted_sample",
+      "Efraimidis-Spirakis A-ES weighted sample: k=100 docs with " +
+        "inclusion probability proportional to token count; key = " +
+        "ln(md5-uniform)/w pinned by round(,9), id tie-break — map-side " +
+        "keys + bounded TakeOrdered, no window, no global sort",
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS w
+             |  FROM documents),
+             |keyed AS (
+             |  SELECT doc_id, w,
+             |         round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+             |                  / 1152921504606846976.0) / w, 9) AS es_key
+             |  FROM t WHERE w > 0)
+             |SELECT doc_id, w, es_key FROM keyed
+             |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.analytics.Sampling.weightedSample(
+            docs.select(col("doc_id"),
+              size(Dedup.tokens(col("text"))).cast("long").as("w")),
+            "doc_id", col("w"), k = 100)
+          .orderBy(col("es_key").desc, col("doc_id"))
       })
   )
 

@@ -161,4 +161,39 @@ class SamplingSpec extends SparkTestBase {
     val shards = dist.map(_._3)
     assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 })
   }
+
+  test("weightedSample: exact k, matches the local A-ES computation, " +
+       "weight-proportional, excludes nonpositive weights, " +
+       "partition-invariant") {
+    import spark.implicits._
+    // ids 0..199 light (w=1), 200..399 heavy (w=50), plus ineligibles
+    val rows = (0L until 200L).map((_, 1L)) ++
+      (200L until 400L).map((_, 50L)) ++
+      Seq((400L, 0L), (401L, -3L))
+    val df = rows.toDF("doc_id", "w")
+    def esKey(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+      val u = (h.toDouble + 1.0) / 1152921504606846976.0
+      BigDecimal(math.log(u) / w.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, esKey(id, w)) }
+      .sortBy { case (id, _, key) => (-key, id) }.take(100)
+    for (p <- Seq(1, 9)) {
+      val got = Sampling.weightedSample(df.repartition(p), "doc_id",
+          $"w", k = 100)
+        .orderBy($"es_key".desc, $"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length === 100, s"partitions=$p")
+      assert(got.toSeq === expected.toSeq, s"partitions=$p")
+      assert(!got.exists(t => t._1 >= 400L), "nonpositive weights excluded")
+      // inclusion tracks weight: heavy rows (50x weight, half the pool)
+      // must dominate the sample decisively
+      assert(got.count(_._2 == 50L) > 80, s"heavy rows: ${got.count(_._2 == 50L)}")
+    }
+  }
 }
