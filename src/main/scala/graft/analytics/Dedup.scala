@@ -274,6 +274,31 @@ object Dedup {
       .filter($"n_shared_spans" >= minShared)
   }
 
+  /** Edit-distance verification of candidate pairs — the exact final
+    * stage of a dedup pipeline: sketch stages (MinHash/LSH/SimHash)
+    * nominate candidates, THIS confirms them with a real Levenshtein
+    * distance. `dist` is the exact distance when <= `maxDist`, else -1
+    * (the banded early-exit contract: cost is O(len * maxDist), not
+    * O(len^2), per pair).
+    *
+    * Scale shape: the corpus never self-joins — `pairs` is already
+    * candidate-sized (capped by the sketch stage), text attaches via two
+    * id-keyed joins, and the distance is one codegen'd kernel per pair.
+    * Distances are codepoint-level on both engines for ASCII text; the
+    * oracle engine (byte-level Levenshtein) diverges on multi-byte
+    * codepoints — documented, and immaterial for candidate verification
+    * (a threshold decision, not a metric export). */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val d = docs.select(col(idCol), col(textCol))
+    pairs.select("doc_a", "doc_b")
+      .join(d.toDF("doc_a", "__ta"), "doc_a")
+      .join(d.toDF("doc_b", "__tb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
+  }
+
   /** TOKEN-SPAN repeated-substring removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — the
     * within-corpus repeated-sequence rule): every run of `spanLen`

@@ -2177,6 +2177,31 @@ object AnalyticsQueries {
               size(Dedup.tokens(col("text"))).cast("long").as("w")),
             "doc_id", col("w"), k = 100)
           .orderBy(col("es_key").desc, col("doc_id"))
+      }),
+
+    // ----- edit-distance verification of candidate pairs -----
+    Q("q125_edit_verify",
+      "exact Levenshtein verification of the q19 MinHash/LSH candidate " +
+        "pairs (the final dedup-pipeline stage): dist when <= 100 else " +
+        "-1 (banded early-exit); corpus never self-joins — two id-keyed " +
+        "text joins over the candidate-sized pair table",
+      Some(shCte + lshCte + """
+             |SELECT c.doc_a, c.doc_b,
+             |       CAST(CASE WHEN levenshtein(a.text, b.text) <= 100
+             |                 THEN levenshtein(a.text, b.text)
+             |                 ELSE -1 END AS INT) AS dist
+             |FROM cand c
+             |JOIN documents a ON a.doc_id = c.doc_a
+             |JOIN documents b ON b.doc_id = c.doc_b
+             |ORDER BY c.doc_a, c.doc_b""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cand = Dedup.minhashCandidates(
+          Dedup.minhashBandsFromDocs(docs, "doc_id", "text",
+            n = 3, numHashes = 8, bandSize = 2), maxBucket = 1000)
+        Dedup.editDistanceVerify(cand, docs, "doc_id", "text",
+            maxDist = 100)
+          .orderBy("doc_a", "doc_b")
       })
   )
 

@@ -284,6 +284,25 @@ class DedupSpec extends SparkTestBase {
     val withEmpty = docs.union(Seq((4L, "   "), (5L, "")).toDF("doc_id", "text"))
     assert(Dedup.simhash(withEmpty, "doc_id", "text").count() === 3L)
   }
+
+  test("editDistanceVerify: exact distances under the threshold, -1 " +
+       "above it, only candidate pairs scored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // dist 2
+      (3L, "a completely different document with other words entirely"),
+      (4L, "the quick brown fox jumps over the lazy dog")   // dist 0 to 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editDistanceVerify(pairs, docs, "doc_id", "text",
+        maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.size === 3, "exactly the candidate pairs, nothing else")
+    assert(out((1L, 2L)) === 2, "jumps -> jumped is two edits")
+    assert(out((1L, 4L)) === 0, "identical docs")
+    assert(out((1L, 3L)) === -1, "over threshold reports -1, not a cost")
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
