@@ -229,7 +229,30 @@ object ScaleBench {
         // both scale linearly — no pair term anywhere in the plan
         "q122_span_dedup" -> (() =>
           analytics.Dedup.removeRepeatedSpans(docs, "doc_id", "text",
-            spanLen = 5, minDocFreq = 3).count()))
+            spanLen = 5, minDocFreq = 3).count()),
+        // filter state is 16 longs per group however large n gets; the
+        // register build is one bit_or partial agg over the token scan
+        "q123_bloom" -> (() =>
+          analytics.Sketches.bloomContains(
+            analytics.Sketches.bloomRegisters(
+              docs.select($"lang",
+                explode(analytics.Dedup.tokens($"text")).as("w")),
+              "lang", $"w"),
+            Seq("the", "data", "zzz_absent")).count()),
+        // map-side keys + bounded TakeOrdered: k rows per partition to
+        // the driver merge, no window, no global sort
+        "q124_weighted_sample" -> (() =>
+          analytics.Sampling.weightedSample(
+            docs.select($"doc_id",
+              size(analytics.Dedup.tokens($"text")).cast("long").as("w")),
+            "doc_id", $"w", k = 100).count()),
+        // cost rides the q19 candidate volume (pairs, not corpus): two
+        // id-keyed text joins + one banded kernel per candidate
+        "q125_edit_verify" -> (() =>
+          analytics.Dedup.editDistanceVerify(
+            analytics.Dedup.minhashCandidates(
+              analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text")),
+            docs, "doc_id", "text", maxDist = 100).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -274,6 +274,54 @@ object Dedup {
       .filter($"n_shared_spans" >= minShared)
   }
 
+  /** Incremental-ingest dedup: screen a NEW shard against a PERSISTED
+    * corpus index — an exact-fingerprint table ([[corpusFingerprints]])
+    * and an LSH band table ([[minhashBandsFromDocs]], parquet-written at
+    * corpus build time) — withOUT rescanning the corpus. The artifact
+    * contract is the point: at 100 TB nobody re-deduplicates the corpus
+    * per arriving shard; the index persists, each shard pays one scan of
+    * ITSELF plus joins keyed by fingerprint and (band, bucket).
+    *
+    * Hot-bucket guard: corpus buckets holding more than `maxBucket` docs
+    * are dropped from the probe (the [[minhashCandidates]] cap, applied
+    * to the corpus side) so one degenerate bucket cannot multiply a
+    * shard by the corpus.
+    *
+    * Output per new doc: (id, exact_dup, n_near_candidates, keep) —
+    * keep = no exact hit and no surviving near-candidate. */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
+                       corpusFps: DataFrame, corpusBands: DataFrame,
+                       n: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+                       maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val nd = Par.ensure(newDocs)
+    val withFp = nd.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+    val exact = withFp.join(
+        corpusFps.select($"fp").distinct().withColumn("__hit", lit(1)),
+        Seq("fp"), "left")
+      .select($"doc", $"__hit".isNotNull.as("exact_dup"))
+    val ob = corpusBands.select($"doc".as("old_doc"), $"band", $"bucket")
+    val okBuckets = ob.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("__n")).filter($"__n" <= maxBucket)
+      .select($"band", $"bucket")
+    val near = minhashBandsFromDocs(nd, idCol, textCol, n, numHashes, bandSize)
+      .join(okBuckets, Seq("band", "bucket"))
+      .join(ob, Seq("band", "bucket"))
+      .groupBy($"doc").agg(countDistinct($"old_doc").as("n_near_candidates"))
+    exact.join(near, Seq("doc"), "left")
+      .select($"doc".as(idCol), $"exact_dup",
+        coalesce($"n_near_candidates", lit(0L)).as("n_near_candidates"),
+        (!$"exact_dup" && coalesce($"n_near_candidates", lit(0L)) === 0)
+          .as("keep"))
+  }
+
+  /** The exact-fingerprint artifact for [[incrementalDedup]]: the
+    * corpus's distinct md5(text) set — parquet-written once at corpus
+    * build, appended per accepted shard. */
+  def corpusFingerprints(docs: DataFrame, textCol: String): DataFrame =
+    Par.ensure(docs).select(md5(col(textCol)).as("fp")).distinct()
+
   /** Edit-distance verification of candidate pairs — the exact final
     * stage of a dedup pipeline: sketch stages (MinHash/LSH/SimHash)
     * nominate candidates, THIS confirms them with a real Levenshtein

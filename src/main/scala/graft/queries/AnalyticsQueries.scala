@@ -2202,6 +2202,48 @@ object AnalyticsQueries {
         Dedup.editDistanceVerify(cand, docs, "doc_id", "text",
             maxDist = 100)
           .orderBy("doc_a", "doc_b")
+      }),
+
+    // ----- incremental-ingest dedup against persisted artifacts -----
+    Q("q126_incremental_dedup",
+      "screen a new shard (doc_id % 5 <> 0) against the persisted corpus " +
+        "index built from doc_id % 5 = 0 — exact md5 fingerprint " +
+        "anti-probe + LSH band-table probe with the hot-bucket cap; the " +
+        "corpus is never rescanned per shard",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |sh0 AS (SELECT DISTINCT doc_id AS doc, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+             |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3)),
+             |sigs AS (SELECT doc, k, min(md5(k || '|' || sh)) AS sig
+             |         FROM sh0, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY doc, k),
+             |bands AS (SELECT doc, CAST(floor(k / 2) AS INT) AS band,
+             |                 md5(string_agg(sig, ',' ORDER BY k)) AS bucket
+             |          FROM sigs GROUP BY doc, band),
+             |oldb AS (SELECT * FROM bands WHERE doc % 5 = 0),
+             |newb AS (SELECT * FROM bands WHERE doc % 5 <> 0),
+             |okb AS (SELECT band, bucket FROM oldb
+             |        GROUP BY band, bucket HAVING count(*) <= 1000),
+             |near AS (SELECT n.doc, count(DISTINCT o.doc) AS n_near
+             |         FROM newb n JOIN okb USING (band, bucket)
+             |         JOIN oldb o USING (band, bucket) GROUP BY n.doc),
+             |oldfp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 = 0),
+             |nd AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0)
+             |SELECT d.doc_id, (o.fp IS NOT NULL) AS exact_dup,
+             |       CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near_candidates,
+             |       (o.fp IS NULL AND coalesce(nr.n_near, 0) = 0) AS keep
+             |FROM nd d
+             |LEFT JOIN oldfp o USING (fp)
+             |LEFT JOIN near nr ON nr.doc = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val old = docs.filter(col("doc_id") % 5 === 0)
+        val fresh = docs.filter(col("doc_id") % 5 =!= 0)
+        Dedup.incrementalDedup(fresh, "doc_id", "text",
+            Dedup.corpusFingerprints(old, "text"),
+            Dedup.minhashBandsFromDocs(old, "doc_id", "text"))
+          .orderBy("doc_id")
       })
   )
 

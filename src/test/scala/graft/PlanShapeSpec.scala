@@ -150,11 +150,12 @@ class PlanShapeSpec extends SparkTestBase {
     //   q116 quantiles:      corpus x broadcast ONE-ROW threshold array
     //   q120 count-min:      distinct keys x broadcast literal probe grid
     //   q121 dsir select:    scored corpus x broadcast ONE-ROW percentile
+    //   q123 bloom:          distinct keys x broadcast literal probe grid
     val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup",
       "q77_unigram_surprisal", "q79_pq_adc_topk", "q88_surprisal_gate",
       "q97_external_surprisal", "q101_knn_classify", "q106_centroid_classify",
       "q108_dsir_weights", "q110_nb_classify", "q116_quantile_buckets",
-      "q120_cm_sketch", "q121_dsir_select")
+      "q120_cm_sketch", "q121_dsir_select", "q123_bloom_filter")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan

@@ -285,6 +285,37 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.simhash(withEmpty, "doc_id", "text").count() === 3L)
   }
 
+  test("incrementalDedup: exact hits via the fingerprint table, near " +
+       "hits via the band table, hot-bucket cap, novel docs keep") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((10L, base), (20L, s"$base with a trailing marker"),
+      (30L, "some totally separate corpus document about other things"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (101L, base),                                   // exact dup of 10
+      (102L, s"$base and one novel tail"),            // near-dup (shares bands)
+      (103L, "a wholly new document sharing no phrasing with anything"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.corpusFingerprints(corpus, "text")
+    val bands = Dedup.minhashBandsFromDocs(corpus, "doc_id", "text")
+    val out = Dedup.incrementalDedup(shard, "doc_id", "text", fps, bands)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(101L)._1, "exact copy must hit the fingerprint table")
+    assert(!out(101L)._3, "exact dup never keeps")
+    assert(!out(102L)._1 && out(102L)._2 >= 1L && !out(102L)._3,
+      s"near-dup must hit the band table: ${out(102L)}")
+    assert(out(103L) === ((false, 0L, true)), "novel doc keeps")
+    // hot-bucket cap: maxBucket = 0 drops every corpus bucket -> no
+    // near candidates survive, exact hits unaffected
+    val capped = Dedup.incrementalDedup(shard, "doc_id", "text", fps, bands,
+        maxBucket = 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(capped(101L)._1 && capped(102L)._2 === 0L && capped(102L)._3)
+  }
+
   test("editDistanceVerify: exact distances under the threshold, -1 " +
        "above it, only candidate pairs scored") {
     import spark.implicits._
