@@ -218,4 +218,74 @@ object Sampling {
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Sliding-window token chunking: cut each document into training
+    * sequences of `chunkSize` tokens starting every `stride` tokens
+    * (stride < chunkSize ⇒ overlapping context windows, the standard
+    * long-document treatment when truncation would discard the tail).
+    * Chunk starts are 0, stride, 2·stride, … while start < n_tokens, so
+    * the final chunk may be short; zero-token documents emit nothing.
+    *
+    * Entirely MAP-SIDE — tokenize, explode the start sequence, slice —
+    * no shuffle anywhere; chunk volume is Σ ceil(n_d / stride) rows.
+    * Output: (doc_id, chunk_id, tok_start, n_toks, chunk_text). */
+  def chunkTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                        chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(stride >= 1 && stride <= chunkSize,
+      "stride must be in [1, chunkSize]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Par.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        Dedup.tokens(col(textCol)).as("t"))
+      .withColumn("n", size($"t")).filter($"n" > 0)
+      .select($"doc_id", $"t", $"n",
+        explode(sequence(lit(0), $"n" - 1, lit(stride))).as("tok_start"))
+      .select($"doc_id",
+        ($"tok_start" / stride).cast("long").as("chunk_id"),
+        $"tok_start".cast("long").as("tok_start"),
+        least(lit(chunkSize), $"n" - $"tok_start").cast("long")
+          .as("n_toks"),
+        array_join(slice($"t", $"tok_start" + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Rebalance a corpus to a TARGET domain mixture (the DoReMi /
+    * dataset-mixture step): given target fractions per domain, keep the
+    * LARGEST corpus achievable under that mixture without upsampling —
+    * N* = min_d(n_d / target_d) — by downsampling each domain to
+    * rate_d = target_d · N* / n_d. At least one bottleneck domain keeps
+    * rate 1.0; domains absent from `targets` are dropped. Sampling is
+    * the deterministic md5-threshold predicate, rates pinned `round(,6)`
+    * for cross-engine reproducibility.
+    *
+    * Scale shape: one dictionary-sized count agg (k = #domains rows),
+    * the unpartitioned min-window runs over THAT table only, and the
+    * rate table broadcast-joins back — the corpus itself never shuffles.
+    * Output: input columns filtered to the sampled rows. */
+  def mixtureBalance(docs: DataFrame, idCol: String, domainCol: String,
+                     targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0.0), "target fractions must be > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = Par.ensure(docs)
+    val tgt = targets.toSeq.toDF("__g", "__target")
+    val cnt = d.groupBy(col(domainCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .join(tgt, Seq("__g"))
+    // N* over the k-row domain table: unpartitioned window is fine HERE
+    val nstar = min($"__n".cast("double") / $"__target")
+      .over(Window.partitionBy())
+    val rates = cnt.select($"__g",
+      round(least(lit(1.0), $"__target" * nstar / $"__n".cast("double")),
+        6).as("__rate"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val r = broadcast(rates)
+    d.join(r, d(domainCol) <=> r("__g"))
+      .filter(bucket < round(r("__rate") * lit(4294967296.0)))
+      .select(d.columns.map(d(_)): _*)
+  }
 }

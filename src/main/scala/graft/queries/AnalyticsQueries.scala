@@ -2244,7 +2244,51 @@ object AnalyticsQueries {
             Dedup.corpusFingerprints(old, "text"),
             Dedup.minhashBandsFromDocs(old, "doc_id", "text"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- sliding-window token chunking -----
+    Q("q127_chunk_windows",
+      "cut each document into 128-token training sequences starting " +
+        "every 64 tokens (overlapping context windows; short tail kept) " +
+        "— entirely map-side: tokenize, explode starts, slice",
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |s AS (SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 64)) AS tok_start
+             |      FROM d WHERE len(t) > 0)
+             |SELECT doc_id,
+             |       CAST(tok_start // 64 AS BIGINT) AS chunk_id,
+             |       CAST(tok_start AS BIGINT) AS tok_start,
+             |       CAST(least(128, n - tok_start) AS BIGINT) AS n_toks,
+             |       array_to_string(t[tok_start + 1 : tok_start + 128], ' ') AS chunk_text
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.chunkTokenWindows(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            chunkSize = 128, stride = 64)
+          .orderBy("doc_id", "chunk_id")),
+
+    // ----- target-mixture domain rebalancing -----
+    Q("q128_mixture_balance",
+      "rebalance the corpus to a target lang mixture (en .5, de .2, " +
+        "fr .2, es .1; zh dropped): largest achievable corpus without " +
+        "upsampling — N* = min(n_d/target_d), rate_d = target_d*N*/n_d, " +
+        "md5-threshold keep; corpus never shuffles",
+      Some("""WITH t(g, target) AS (VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE))),
+             |c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+             |j AS (SELECT c.g, c.n, t.target FROM c JOIN t USING (g)),
+             |ns AS (SELECT min(CAST(n AS DOUBLE) / target) AS nstar FROM j),
+             |r AS (SELECT g, round(least(1.0, target * nstar / CAST(n AS DOUBLE)), 6) AS rate FROM j, ns)
+             |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+             |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.g
+             |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |      < round(r.rate * 4294967296.0)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.mixtureBalance(
+            Tables(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+          .orderBy("doc_id"))
   )
 
   /** The 16 JL sign planes as DuckDB VALUES rows `(j, p)` — the same

@@ -196,4 +196,61 @@ class SamplingSpec extends SparkTestBase {
       assert(got.count(_._2 == 50L) > 80, s"heavy rows: ${got.count(_._2 == 50L)}")
     }
   }
+
+  test("chunkTokenWindows: full coverage with overlap, short tail kept, " +
+       "empty docs emit nothing, map-side (no exchange)") {
+    import spark.implicits._
+    val ws = (0 until 10).map(i => s"w$i").mkString(" ")   // 10 tokens
+    val df = Seq((1L, ws), (2L, "a b"), (3L, "   ")).toDF("doc_id", "text")
+    val out = Sampling.chunkTokenWindows(df, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4)))
+    // doc 1: starts 0,3,6,9 -> lengths 4,4,4,1
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0L, 0L, 4L, "w0 w1 w2 w3"), (1L, 1L, 3L, 4L, "w3 w4 w5 w6"),
+      (1L, 2L, 6L, 4L, "w6 w7 w8 w9"), (1L, 3L, 9L, 1L, "w9")))
+    // doc 2 shorter than one chunk: single short chunk
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 2L, "a b")))
+    // whitespace-only doc: nothing
+    assert(!out.exists(_._1 == 3L))
+    // every token position of doc 1 is covered by some chunk
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (0L until 10L).toSet)
+    // map-side: no shuffle exchange anywhere in the plan
+    val plan = Sampling.chunkTokenWindows(df, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("mixtureBalance: achieved mixture tracks targets, bottleneck " +
+       "domain keeps rate 1.0, absent domains dropped, deterministic") {
+    import spark.implicits._
+    // en 600, de 150, fr 80, zh 100; targets en .5 de .2 fr .2 es .1
+    // N* = min(600/.5=1200, 150/.2=750, 80/.2=400) = 400
+    // rates: en .5*400/600=.3333, de .2*400/150=.5333, fr 1.0
+    val rows = (0L until 600L).map((_, "en")) ++
+      (600L until 750L).map((_, "de")) ++
+      (750L until 830L).map((_, "fr")) ++
+      (830L until 930L).map((_, "zh"))
+    val df = rows.toDF("doc_id", "lang")
+    val targets = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1)
+    val got = Sampling.mixtureBalance(df, "doc_id", "lang", targets)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byLang.contains("zh"), "absent domain must be dropped")
+    assert(!byLang.contains("es"), "target with no corpus rows yields none")
+    // bottleneck fr keeps everything
+    assert(byLang("fr") === 80)
+    // md5 sampling is approximate: expected en 200, de 80 — allow 25%
+    assert(math.abs(byLang("en") - 200) < 50, s"en: ${byLang("en")}")
+    assert(math.abs(byLang("de") - 80) < 20, s"de: ${byLang("de")}")
+    // deterministic across partitionings
+    val again = Sampling.mixtureBalance(df.repartition(7), "doc_id", "lang",
+        targets)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
