@@ -252,7 +252,17 @@ object ScaleBench {
           analytics.Dedup.editDistanceVerify(
             analytics.Dedup.minhashCandidates(
               analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text")),
-            docs, "doc_id", "text", maxDist = 100).count()))
+            docs, "doc_id", "text", maxDist = 100).count()),
+        // shard pays one scan of itself + artifact-keyed joins (fp and
+        // (band,bucket)); the 80/20 split times index build AND probe
+        "q126_incremental" -> (() => {
+          val old = docs.filter($"doc_id" % 5 === 0)
+          val fresh = docs.filter($"doc_id" % 5 =!= 0)
+          analytics.Dedup.incrementalDedup(fresh, "doc_id", "text",
+            analytics.Dedup.corpusFingerprints(old, "text"),
+            analytics.Dedup.minhashBandsFromDocs(old, "doc_id", "text"))
+            .count()
+        }))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
