@@ -262,7 +262,22 @@ object ScaleBench {
             analytics.Dedup.corpusFingerprints(old, "text"),
             analytics.Dedup.minhashBandsFromDocs(old, "doc_id", "text"))
             .count()
-        }))
+        }),
+        // map-side: tokenize, explode starts, slice — zero shuffles,
+        // output volume = sigma ceil(n_d/stride)
+        "q127_chunk_windows" -> (() =>
+          analytics.Sampling.chunkTokenWindows(docs, "doc_id", "text",
+            chunkSize = 128, stride = 64).count()),
+        // one dictionary-sized count agg + broadcast rate join; the
+        // corpus itself never shuffles
+        "q128_mixture" -> (() =>
+          analytics.Sampling.mixtureBalance(docs, "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+            .count()),
+        // two-level distributed rank over md5 order: range exchange +
+        // per-input-partition windows + broadcast offset table
+        "q129_shuffle" -> (() =>
+          analytics.Sampling.shuffleShards(docs, "doc_id", 100L).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

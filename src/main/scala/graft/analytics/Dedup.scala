@@ -322,6 +322,15 @@ object Dedup {
   def corpusFingerprints(docs: DataFrame, textCol: String): DataFrame =
     Par.ensure(docs).select(md5(col(textCol)).as("fp")).distinct()
 
+  /** [[incrementalDedup]] against a persisted [[CorpusIndex]]: the probe
+    * reuses the index's OWN sketch parameters (shingle n, numHashes,
+    * bandSize travel with the artifact), so a mismatched probe cannot
+    * happen by construction. */
+  def screenShard(newDocs: DataFrame, idCol: String, textCol: String,
+                  index: CorpusIndex, maxBucket: Int = 1000): DataFrame =
+    incrementalDedup(newDocs, idCol, textCol, index.fingerprints,
+      index.bands, index.n, index.numHashes, index.bandSize, maxBucket)
+
   /** Edit-distance verification of candidate pairs — the exact final
     * stage of a dedup pipeline: sketch stages (MinHash/LSH/SimHash)
     * nominate candidates, THIS confirms them with a real Levenshtein

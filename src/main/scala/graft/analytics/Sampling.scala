@@ -251,6 +251,45 @@ object Sampling {
           .as("chunk_text"))
   }
 
+  /** Deterministic global corpus shuffle + sharding: order the corpus by
+    * md5(id) — a reproducible uniform permutation, unlike `orderBy(rand)`
+    * — and cut it into consecutive shards of `docsPerShard` documents.
+    * The step that fixes a training-data order: every engine/run/
+    * partitioning produces the SAME (doc → pos → shard) assignment
+    * (md5 ties break by id).
+    *
+    * Scale shape: the same two-level distributed rank as
+    * [[tokenBudgetShards]] — range-partition by the hash, rank within
+    * each partition (every window partition bounded by an input
+    * partition), add the dictionary-sized per-partition offset table
+    * back by broadcast. No global single-task sort anywhere.
+    * Output: (doc_id, pos, shard). */
+  def shuffleShards(docs: DataFrame, idCol: String,
+                    docsPerShard: Long): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = Par.ensure(docs).select(col(idCol).as("doc_id"),
+      md5(col(idCol).cast("string")).as("h"))
+    // checkpoint AFTER the range partition: the partition-totals scan and
+    // the final join must see the SAME pid assignment
+    val parts = n.repartitionByRange($"h", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy($"pid").agg(count(lit(1)).as("pn"))
+      // one row per partition: a single-partition window here is fine
+      .withColumn("off",
+        coalesce(sum($"pn").over(
+          Window.orderBy($"pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val inPart = Window.partitionBy($"pid").orderBy($"h", $"doc_id")
+    parts.join(broadcast(offsets), "pid")
+      .withColumn("pos", row_number().over(inPart).cast("long") - 1 + $"off")
+      .select($"doc_id", $"pos",
+        expr(s"pos DIV $docsPerShard").as("shard"))
+  }
+
   /** Rebalance a corpus to a TARGET domain mixture (the DoReMi /
     * dataset-mixture step): given target fractions per domain, keep the
     * LARGEST corpus achievable under that mixture without upsampling —

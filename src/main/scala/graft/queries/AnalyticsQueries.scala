@@ -2288,6 +2288,22 @@ object AnalyticsQueries {
         graft.analytics.Sampling.mixtureBalance(
             Tables(s, dir, "documents"), "doc_id", "lang",
             Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+          .orderBy("doc_id")),
+
+    // ----- deterministic corpus shuffle + sharding -----
+    Q("q129_shuffle_shards",
+      "deterministic global training-order shuffle: rank the corpus by " +
+        "md5(doc_id) (ties by id) and cut into 100-doc shards — " +
+        "two-level distributed rank, no global single-task sort",
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+             |  FROM documents)
+             |SELECT doc_id, pos, pos // 100 AS shard
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.shuffleShards(
+            Tables(s, dir, "documents"), "doc_id", docsPerShard = 100L)
           .orderBy("doc_id"))
   )
 

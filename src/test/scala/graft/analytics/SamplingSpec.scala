@@ -225,6 +225,35 @@ class SamplingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("shuffleShards: matches the single-window reference permutation, " +
+       "exact shard sizes, partition-invariant, uniform-ish order") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("doc_id")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = (0L until 500L).sortBy(id => (md5hex(id.toString), id))
+      .zipWithIndex.map { case (id, pos) =>
+        (id, pos.toLong, pos.toLong / 100L) }.sortBy(_._1)
+    for (p <- Seq(1, 7)) {
+      val got = Sampling.shuffleShards(df.repartition(p), "doc_id", 100L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === expected, s"partitions=$p")
+    }
+    // every shard holds exactly docsPerShard docs (500 divides evenly)
+    val sizes = Sampling.shuffleShards(df, "doc_id", 100L)
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(0L -> 100L, 1L -> 100L, 2L -> 100L,
+                         3L -> 100L, 4L -> 100L))
+    // the permutation actually shuffles: consecutive ids land in
+    // different shards most of the time
+    val shardOf = expected.map(t => t._1 -> t._3).toMap
+    val together = (0L until 499L).count(i => shardOf(i) == shardOf(i + 1))
+    assert(together < 250, s"consecutive ids co-sharded: $together")
+  }
+
   test("mixtureBalance: achieved mixture tracks targets, bottleneck " +
        "domain keeps rate 1.0, absent domains dropped, deterministic") {
     import spark.implicits._
