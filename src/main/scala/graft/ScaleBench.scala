@@ -277,7 +277,11 @@ object ScaleBench {
         // two-level distributed rank over md5 order: range exchange +
         // per-input-partition windows + broadcast offset table
         "q129_shuffle" -> (() =>
-          analytics.Sampling.shuffleShards(docs, "doc_id", 100L).count()))
+          analytics.Sampling.shuffleShards(docs, "doc_id", 100L).count()),
+        // one native moments pass + bounded d^2 collect; the projection
+        // itself is map-side — corpus growth only widens the scan
+        "q130_pca" -> (() =>
+          analytics.Stats.pcaProject(emb, "vec_id", "embedding").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -327,4 +327,46 @@ object Sampling {
       .filter(bucket < round(r("__rate") * lit(4294967296.0)))
       .select(d.columns.map(d(_)): _*)
   }
+
+  /** The UPSAMPLING counterpart of [[mixtureBalance]]: hit the target
+    * mixture by REPLICATING under-represented domains (training epochs)
+    * instead of shrinking over-represented ones. Sized so the most
+    * over-target domain keeps exactly one epoch — N* = max_d(n_d /
+    * target_d), rate_d = target_d · N* / n_d >= 1 — each document emits
+    * `floor(rate)` epoch rows plus one more iff its md5 bucket falls
+    * under the fractional remainder (deterministic per doc, rates pinned
+    * `round(,6)`). Domains absent from `targets` are dropped.
+    *
+    * Scale shape: the same dictionary-sized count agg + broadcast rate
+    * join as [[mixtureBalance]]; the epoch fan-out is a map-side
+    * `explode(sequence(...))`, so the corpus never shuffles — output
+    * volume is the upsampled corpus itself, which is the point.
+    * Output: (idCol, domainCol, epoch in 0..k-1). */
+  def mixtureEpochs(docs: DataFrame, idCol: String, domainCol: String,
+                    targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0.0), "target fractions must be > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = Par.ensure(docs)
+    val tgt = targets.toSeq.toDF("__g", "__target")
+    val cnt = d.groupBy(col(domainCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .join(tgt, Seq("__g"))
+    val nstar = max($"__n".cast("double") / $"__target")
+      .over(Window.partitionBy())
+    val rates = cnt.select($"__g",
+      round($"__target" * nstar / $"__n".cast("double"), 6).as("__rate"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val r = broadcast(rates)
+    d.join(r, d(domainCol) <=> r("__g"))
+      .withColumn("__k",
+        floor($"__rate").cast("long") +
+          when(bucket <
+            round(($"__rate" - floor($"__rate")) * lit(4294967296.0)), 1L)
+            .otherwise(0L))
+      .select(d(idCol), d(domainCol),
+        explode(sequence(lit(0L), $"__k" - 1)).as("epoch"))
+  }
 }

@@ -197,20 +197,19 @@ object Stats {
     val spark = emb.sparkSession
     import spark.implicits._
     val (v, dim) = Pq.vectors(emb, idCol, vecCol)
-    val rows = moments(v, dim)
-      .collect().map(r => (r.getInt(0), r.getInt(1),
-        r.getDouble(2), r.getLong(3)))
-    val n = rows.collectFirst { case (_, -1, _, cnt) => cnt }
-      .getOrElse(0L).toDouble
+    // single native moments pass; the collect is one buffer of
+    // 2 + d + d(d+1)/2 doubles (~17 KB at d=64), the bounded
+    // model-exchange pattern — NOT a corpus funnel
+    val m = v.agg(graft.functions.CovMoments.covMoments($"v").as("m"))
+      .head().getSeq[Double](0).toArray
+    val n = if (m.length > 1) m(1) else 0.0
     require(n > 0, "pcaProject: empty corpus (no vectors at the majority dim)")
-    val mean = Array.ofDim[Double](dim)
-    rows.foreach { case (i, j, s, _) => if (j == -1) mean(i) = s / n }
+    val mean = Array.tabulate(dim)(i => m(2 + i) / n)
     val cov = Array.ofDim[Double](dim, dim)
-    rows.foreach { case (i, j, s, _) =>
-      if (j >= 0) {
-        val c = s / n - mean(i) * mean(j)
-        cov(i)(j) = c; cov(j)(i) = c
-      }
+    for (i <- 0 until dim; j <- i until dim) {
+      val s = m(2 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+      val c = s / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
     }
     val w = topComponent(cov, iters)
     val wLit = typedLit(w.toSeq)

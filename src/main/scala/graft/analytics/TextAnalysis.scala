@@ -332,6 +332,80 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Stupid-Backoff bigram surprisal with a REAL train/score split — the
+    * backoff actually fires, unlike [[bigramSurprisal]]'s self-scored
+    * model where every observed bigram has c >= 1. The model (bigram
+    * counts c(w1,w2), prefix counts c(w1·), unigram counts c(w), total T)
+    * is trained on the md5-hashed `trainFrac` of documents (the
+    * [[Sampling]] threshold pattern — deterministic, partition-invariant)
+    * and EVERY document is scored under it:
+    * `S(w2|w1) = c(w1,w2)/c(w1·)` when the train model saw the bigram,
+    * else `alpha · c(w2)/T` (Brants et al. 2007's score, alpha = 0.4),
+    * with unseen words floored at c = 1. Output per doc: bigram count,
+    * the fraction of bigram occurrences that backed off (an OOV-ish
+    * novelty signal in its own right), and mean −ln S rounded to 6.
+    * Docs with < 2 tokens score null.
+    *
+    * Scale shape: two corpus scans (doc-bigram counts, train word
+    * counts), each partial-aggregated before its one shuffle; all model
+    * joins are word-keyed shuffled equi-joins (vocabulary NOT assumed
+    * broadcastable, as in [[unigramSurprisal]] — AQE downgrades to
+    * broadcast when small); T is a 1-row broadcast. Nothing corpus-sized
+    * ever sits in a window or on the driver. */
+  def stupidBackoffSurprisal(docs0: DataFrame, idCol: String,
+                             textCol: String, alpha: Double = 0.4,
+                             trainFrac: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      "trainFrac must be in (0, 1]")
+    val docs = Par.ensure(docs0)
+    val isTrain = substring(md5(col(idCol).cast("string")), 1, 8) <
+      lit(Sampling.hexThreshold(trainFrac))
+    // per-(doc, bigram) counts for ALL docs, train-tagged; this subtree
+    // feeds both the model aggregation and the scoring join
+    val db = docs
+      .select(col(idCol).as("did"), isTrain.as("tr"),
+        Dedup.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("did"), col("tr"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+                    element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("did"), col("tr"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+      .groupBy("did", "tr", "w1", "w2").agg(count(lit(1)).as("n"))
+    val bf = db.filter(col("tr")).groupBy("w1", "w2")
+      .agg(sum(col("n")).as("c12"))
+    val pf = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // unigram model: raw word counts over train docs (every token, not
+    // the bigram table's prefix-truncated counts)
+    val uf = docs.filter(isTrain)
+      .select(explode(Dedup.tokens(col(textCol))).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("cw"))
+    val tot = uf.agg(sum(col("cw")).as("t"))
+    val prob = when(col("c12").isNotNull,
+        col("c12").cast("double") / col("c1").cast("double"))
+      .otherwise(lit(alpha) *
+        coalesce(col("cw"), lit(1L)).cast("double") / col("t").cast("double"))
+    val sc = db.join(bf, Seq("w1", "w2"), "left")
+      .join(pf, Seq("w1"), "left")
+      .join(uf, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("did").agg(
+        sum(col("n")).as("nb"),
+        sum(when(col("c12").isNull, col("n")).otherwise(lit(0L))).as("nbk"),
+        sum(col("n").cast("double") * -log(prob)).as("s"))
+    docs.select(col(idCol))
+      .join(sc.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
+        when(col("nb") > 0,
+          round(col("nbk").cast("double") / col("nb").cast("double"), 6))
+          .as("backoff_rate"),
+        when(col("nb") > 0, round(col("s") / col("nb").cast("double"), 6))
+          .as("avg_surprisal"))
+  }
+
   /** Unicode-script character ratios + dominant script — the lang-id
     * pre-filter that works where stopword scoring is blind (CJK,
     * Cyrillic, mixed-script spam). Counts are per CHARACTER CLASS via

@@ -2304,8 +2304,130 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Sampling.shuffleShards(
             Tables(s, dir, "documents"), "doc_id", docsPerShard = 100L)
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- PCA top-component projection -----
+    Q("q130_pca_project",
+      "projection of every embedding onto the corpus's top principal " +
+        "component (curriculum / diversity ordering): one native moments " +
+        "pass + bounded d² model collect + 30 driver-side power-" +
+        "iteration rounds, then a map-side fused-dot projection",
+      Some(pcaOracleSql(30)),
+      (s, dir) =>
+        graft.analytics.Stats.pcaProject(
+            Tables(s, dir, "embeddings"), "vec_id", "embedding")
+          .orderBy("vec_id")),
+
+    // ----- Stupid-Backoff bigram LM with a train/score split -----
+    Q("q131_stupid_backoff",
+      "Stupid-Backoff bigram surprisal: model trained on the md5-hashed " +
+        "half of the corpus, every doc scored under it — unseen bigrams " +
+        "back off to alpha*c(w2)/T, so the backoff path actually fires; " +
+        "word-keyed model joins, nothing corpus-sized on the driver",
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.analytics.Sampling.hexThreshold(0.5)}' AS tr,
+             |         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |db AS (
+             |  SELECT doc_id, tr, t[i] AS w1, t[i+1] AS w2, count(*) AS n
+             |  FROM (SELECT doc_id, tr, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+             |  GROUP BY doc_id, tr, w1, w2),
+             |bf AS (SELECT w1, w2, sum(n) AS c12 FROM db WHERE tr GROUP BY w1, w2),
+             |pf AS (SELECT w1, sum(c12) AS c1 FROM bf GROUP BY w1),
+             |uf AS (SELECT w2, count(*) AS cw
+             |       FROM (SELECT unnest(t) AS w2 FROM toks WHERE tr)
+             |       GROUP BY w2),
+             |tot AS (SELECT sum(cw) AS t FROM uf),
+             |sc AS (
+             |  SELECT db.doc_id, sum(db.n) AS nb,
+             |         sum(CASE WHEN bf.c12 IS NULL THEN db.n ELSE 0 END) AS nbk,
+             |         sum(CAST(db.n AS DOUBLE) * -ln(
+             |           CASE WHEN bf.c12 IS NOT NULL
+             |                THEN CAST(bf.c12 AS DOUBLE) / pf.c1
+             |                ELSE 0.4 * CAST(coalesce(uf.cw, 1) AS DOUBLE) / tot.t
+             |           END)) AS s
+             |  FROM db LEFT JOIN bf USING (w1, w2)
+             |          LEFT JOIN pf USING (w1)
+             |          LEFT JOIN uf ON uf.w2 = db.w2, tot
+             |  GROUP BY db.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+             |       CASE WHEN sc.nb > 0 THEN round(CAST(sc.nbk AS DOUBLE) / sc.nb, 6) END AS backoff_rate,
+             |       CASE WHEN sc.nb > 0 THEN round(sc.s / sc.nb, 6) END AS avg_surprisal
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.stupidBackoffSurprisal(Tables(s, dir, "documents"),
+            "doc_id", "text", alpha = 0.4, trainFrac = 0.5)
+          .orderBy("doc_id")),
+
+    // ----- epoch-replicated target mixture (upsampling) -----
+    Q("q132_mixture_epochs",
+      "hit the target lang mixture by REPLICATION (training epochs): " +
+        "N* = max(n_d/target_d), rate_d >= 1, floor(rate) epochs per doc " +
+        "+ md5-fractional extra — map-side explode, corpus never shuffles",
+      Some("""WITH t(g, target) AS (VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE))),
+             |c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+             |j AS (SELECT c.g, c.n, t.target FROM c JOIN t USING (g)),
+             |ns AS (SELECT max(CAST(n AS DOUBLE) / target) AS nstar FROM j),
+             |r AS (SELECT g, round(target * nstar / CAST(n AS DOUBLE), 6) AS rate FROM j, ns),
+             |e AS (
+             |  SELECT d.doc_id, d.lang,
+             |         CAST(floor(r.rate) AS BIGINT) +
+             |         CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                   < round((r.rate - floor(r.rate)) * 4294967296.0)
+             |              THEN 1 ELSE 0 END AS k
+             |  FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.g)
+             |SELECT doc_id, lang, CAST(unnest(range(k)) AS BIGINT) AS epoch
+             |FROM e ORDER BY doc_id, epoch""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.mixtureEpochs(
+            Tables(s, dir, "documents"), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+          .orderBy("doc_id", "epoch"))
   )
+
+  /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one
+    * matrix-vector product over the full d×d covariance (both triangles)
+    * + a window-normalization — the same deterministic recurrence
+    * [[graft.analytics.Stats.topComponent]] runs driver-side, with the
+    * identical uniform start vector and largest-|component| sign pin. */
+  private def pcaOracleSql(iters: Int): String = {
+    val head =
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, CAST(generate_subscripts(vv, 1) - 1 AS INT) AS i,
+        |         unnest(vv) AS xi
+        |  FROM v),
+        |mu AS (SELECT i, sum(xi) / count(*) AS mu FROM x GROUP BY i),
+        |cov AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |         sum(a.xi * b.xi) / count(*)
+        |           - (sum(a.xi) / count(*)) * (sum(b.xi) / count(*)) AS c
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+        |  GROUP BY a.i, b.i),
+        |w0 AS (SELECT i, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM mu)) AS w
+        |       FROM mu)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         |u$k AS MATERIALIZED (SELECT c.i AS i, sum(c.c * w.w) AS u
+         |       FROM cov c JOIN w${k - 1} w ON c.j = w.i GROUP BY c.i),
+         |w$k AS MATERIALIZED (SELECT i, u / sqrt(sum(u * u) OVER ()) AS w FROM u$k)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |sgn AS (SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS s
+         |        FROM w$iters ORDER BY abs(w) DESC, i LIMIT 1),
+         |wf AS (SELECT i, w * (SELECT s FROM sgn) AS w FROM w$iters)
+         |SELECT x.vec_id AS vec_id,
+         |       round(sum((x.xi - mu.mu) * wf.w), 6) + 0.0 AS pc1
+         |FROM x JOIN mu USING (i) JOIN wf USING (i)
+         |GROUP BY x.vec_id ORDER BY vec_id""".stripMargin
+    head + steps + tail
+  }
 
   /** The 16 JL sign planes as DuckDB VALUES rows `(j, p)` — the same
     * [[Similarity.hyperplaneSigns]] constants, so the oracle projects

@@ -1212,6 +1212,66 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(out(1).getDouble(2) - math.rint(exp2 * 1e6) / 1e6) < 2e-6)
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
   }
+
+  test("stupidBackoffSurprisal == local brute force on random docs: " +
+       "md5 train split, seen bigrams score c12/c1, unseen back off to " +
+       "alpha*c(w2)/T with unseen-word floor c=1 (differential)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val rnd = new scala.util.Random(7)
+    // vocab big enough that the train half cannot cover every bigram —
+    // the backoff path must actually fire
+    val words = (0 until 24).map(i => s"w$i").toVector
+    val raw = (0L until 120L).map { i =>
+      (i, Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    val alpha = 0.4
+    val out = TextAnalysis.stupidBackoffSurprisal(
+        raw.toDF("doc_id", "text"), "doc_id", "text", alpha, trainFrac = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    val toks = raw.map { case (i, t) =>
+      i -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val train = raw.map(_._1).filter(i =>
+      md5hex(i.toString).substring(0, 8) < "80000000").toSet
+    assert(train.nonEmpty && train.size < raw.size)
+    val docBgs = toks.view.mapValues(t =>
+      t.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq).toMap
+    val bf = train.toSeq.flatMap(docBgs(_)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val pf = bf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val uf = train.toSeq.flatMap(toks(_)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val tt = uf.values.sum.toDouble
+    var sawBackoff = false
+    for ((i, bgs) <- docBgs) {
+      if (bgs.isEmpty) assert(out(i) === ((0L, None, None)), s"doc $i")
+      else {
+        val scores = bgs.map { bg =>
+          bf.get(bg) match {
+            case Some(c12) => -math.log(c12.toDouble / pf(bg._1))
+            case None =>
+              sawBackoff = true
+              -math.log(alpha * uf.getOrElse(bg._2, 1).toDouble / tt)
+          }
+        }
+        val nbk = bgs.count(!bf.contains(_))
+        val wantS = math.rint(scores.sum / bgs.size * 1e6) / 1e6
+        val wantB = math.rint(nbk.toDouble / bgs.size * 1e6) / 1e6
+        assert(out(i)._1 === bgs.size.toLong, s"doc $i count")
+        assert(math.abs(out(i)._2.get - wantB) < 2e-6, s"doc $i backoff")
+        assert(math.abs(out(i)._3.get - wantS) < 2e-6,
+          s"doc $i: got ${out(i)._3.get}, want $wantS")
+      }
+    }
+    assert(sawBackoff, "corpus must exercise the backoff path")
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {

@@ -282,4 +282,42 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("mixtureEpochs: integer rates replicate exactly, fractional rates " +
+       "split floor/floor+1 by md5, most-over-target domain keeps one " +
+       "epoch, absent domains dropped, deterministic") {
+    import spark.implicits._
+    // a 10 docs, b 2 docs, zh untargeted
+    val rows = (0L until 10L).map((_, "a")) ++
+      (100L until 102L).map((_, "b")) ++ Seq((200L, "zh"))
+    val df = rows.toDF("doc_id", "lang")
+    // targets .5/.5: N* = max(10/.5=20, 2/.5=4) = 20
+    // rate_a = .5*20/10 = 1.0, rate_b = .5*20/2 = 5.0 — both integral
+    val got = Sampling.mixtureEpochs(df, "doc_id", "lang",
+        Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!got.exists(_._2 == "zh"), "absent domain must be dropped")
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    for (i <- 0L until 10L) assert(byDoc(i) === Seq(0L), s"doc $i")
+    for (i <- 100L until 102L)
+      assert(byDoc(i) === (0L until 5L), s"doc $i")
+    // achieved mixture is exactly the target
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("a" -> 10, "b" -> 10))
+    // fractional: targets .6/.4 -> N* = max(10/.6=16.67, 2/.4=5) = 16.67
+    // rate_a = .6*16.67/10 = 1.0, rate_b = .4*16.67/2 = 3.333333
+    val frac = Sampling.mixtureEpochs(df, "doc_id", "lang",
+        Map("a" -> 0.6, "b" -> 0.4))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fDoc = frac.groupBy(_._1).view.mapValues(_.size).toMap
+    for (i <- 0L until 10L) assert(fDoc(i) === 1, s"doc $i")
+    for (i <- 100L until 102L)
+      assert(fDoc(i) === 3 || fDoc(i) === 4, s"doc $i: ${fDoc(i)}")
+    // deterministic across partitionings
+    val again = Sampling.mixtureEpochs(df.repartition(5), "doc_id", "lang",
+        Map("a" -> 0.6, "b" -> 0.4))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(frac.sortBy(t => (t._1, t._3)).toSeq ===
+      again.sortBy(t => (t._1, t._3)).toSeq)
+  }
 }
