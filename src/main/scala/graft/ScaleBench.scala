@@ -281,7 +281,19 @@ object ScaleBench {
         // one native moments pass + bounded d^2 collect; the projection
         // itself is map-side — corpus growth only widens the scan
         "q130_pca" -> (() =>
-          analytics.Stats.pcaProject(emb, "vec_id", "embedding").count()))
+          analytics.Stats.pcaProject(emb, "vec_id", "embedding").count()),
+        // two partial-aggregated corpus scans + word-keyed model joins;
+        // the per-copy token prefixes grow the vocab linearly, the exact
+        // stress a web corpus applies
+        "q131_stupid_backoff" -> (() =>
+          analytics.TextAnalysis.stupidBackoffSurprisal(
+            docs, "doc_id", "text").count()),
+        // dictionary count agg + broadcast rate join + map-side explode;
+        // output volume is the upsampled corpus, the only growing term
+        "q132_mixture_epochs" -> (() =>
+          analytics.Sampling.mixtureEpochs(docs, "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+            .count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
