@@ -290,6 +290,69 @@ object Sampling {
         expr(s"pos DIV $docsPerShard").as("shard"))
   }
 
+  /** Sentence-boundary chunking: split each document into sentences and
+    * greedily pack CONSECUTIVE sentences into chunks of ~`maxTokens`
+    * whitespace tokens — the long-document treatment when mid-sentence
+    * cuts (q127's fixed windows) would hurt training text. A sentence
+    * belongs to chunk `floor(exclusive-token-prefix / maxTokens)`, so
+    * chunks hold whole sentences, only the sentence that CROSSES a
+    * boundary overflows its chunk, and a single over-budget sentence
+    * skips chunk ids rather than being split.
+    *
+    * Sentence boundaries are `[.!?]` followed by whitespace — detected
+    * by marker substitution (`$1\u0001` + split), NOT lookbehind, so the
+    * regex is portable to RE2-based engines (DuckDB oracle); whitespace
+    * is the explicit `[ \t\n\x0B\f\r]` class (`\s` itself diverges
+    * between Java regex and RE2 on U+000B).
+    *
+    * Entirely MAP-SIDE: sentence split, HOF running sum (no window, no
+    * shuffle), chunk fan-out by exploding the doc's distinct chunk ids.
+    * Output: (doc_id, chunk_id, n_sentences, n_tokens, chunk_text). */
+  def chunkSentences(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = "[ \\t\\n\\x0B\\f\\r]+"
+    val sents = filter(
+      split(regexp_replace(col(textCol), "([.!?])" + ws, "$1\u0001"),
+        "\u0001"),
+      x => trim(x) =!= "")
+    val cnts = transform(col("ss"), x =>
+      size(filter(split(x, ws), w => w =!= "")).cast("long"))
+    // exclusive running token prefix per sentence, as a pure HOF fold
+    val prefixes = aggregate(col("cc"),
+      struct(expr("CAST(array() AS array<bigint>)").as("arr"),
+        lit(0L).as("s")),
+      (acc, x) => struct(
+        concat(acc.getField("arr"), array(acc.getField("s"))).as("arr"),
+        (acc.getField("s") + x).as("s")),
+      acc => acc.getField("arr"))
+    val chunkOf = (p: Column) =>
+      floor(p.cast("double") / lit(maxTokens.toDouble)).cast("long")
+    Par.ensure(docs)
+      .select(col(idCol).as("doc_id"), sents.as("ss"))
+      .filter(size($"ss") > 0)
+      .withColumn("cc", cnts)
+      .withColumn("pp", prefixes)
+      // (chunk, sentence) and (chunk, n_tokens) pairs
+      .withColumn("zs", zip_with($"ss", $"pp",
+        (s, p) => struct(chunkOf(p).as("c"), s.as("sent"))))
+      .withColumn("zn", zip_with($"cc", $"pp",
+        (n, p) => struct(chunkOf(p).as("c"), n.as("n"))))
+      .select($"doc_id", $"zs", $"zn",
+        explode(array_distinct(transform($"zs", z => z.getField("c"))))
+          .as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        size(filter($"zs", z => z.getField("c") === $"chunk_id"))
+          .cast("long").as("n_sentences"),
+        aggregate(filter($"zn", z => z.getField("c") === $"chunk_id"),
+          lit(0L), (a, z) => a + z.getField("n")).as("n_tokens"),
+        array_join(transform(
+          filter($"zs", z => z.getField("c") === $"chunk_id"),
+          z => z.getField("sent")), " ").as("chunk_text"))
+  }
+
   /** Rebalance a corpus to a TARGET domain mixture (the DoReMi /
     * dataset-mixture step): given target fractions per domain, keep the
     * LARGEST corpus achievable under that mixture without upsampling —

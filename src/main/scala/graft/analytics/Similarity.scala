@@ -162,6 +162,39 @@ object Similarity {
     voteFromNeighbors(bruteForceTopK(emb, idCol, vecCol, queryPred, k), labels)
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the k most
+    * similar corpus vectors with a DIFFERENT label — the negatives that
+    * sit closest to the decision boundary, which is what contrastive /
+    * triplet training wants (easy negatives teach nothing). Same-label
+    * rows and the query itself are excluded; a null label counts as
+    * different from every non-null label (null-safe inequality), so
+    * unlabeled corpus rows can still serve as negatives for labeled
+    * queries.
+    *
+    * Scale shape: the exact baseline (corpus broadcast, one fused cosine
+    * kernel per candidate, per-query bounded window over |Q|·|corpus|
+    * candidates). Past executor memory, mine within [[Cluster]]'s trained
+    * IVF buckets and feed the same (qid, neighbor) shape downstream.
+    * Output: (qid, rn, neighbor_id, neg_label, cos_sim). */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"),
+      col(labelCol).as("lbl"))
+    val q = v.filter(queryPred)
+      .select($"vid".as("qid"), $"v".as("qv"), $"lbl".as("qlbl"))
+    val scored = q.join(broadcast(v),
+        $"qid" =!= $"vid" && !($"qlbl" <=> $"lbl"))
+      .withColumn("cos_sim", round(cosine($"qv", $"v"), 6))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"vid")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"vid".as("neighbor_id"),
+        $"lbl".as("neg_label"), $"cos_sim")
+  }
+
   /** Nearest-centroid (Rocchio) classification: each label's centroid is
     * the element-wise mean of its member vectors (rounded to 6 — the
     * engines' common fixed point, the [[Cluster]] model-exchange rule);

@@ -2385,7 +2385,67 @@ object AnalyticsQueries {
         graft.analytics.Sampling.mixtureEpochs(
             Tables(s, dir, "documents"), "doc_id", "lang",
             Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
-          .orderBy("doc_id", "epoch"))
+          .orderBy("doc_id", "epoch")),
+
+    // ----- sentence-boundary chunking -----
+    Q("q133_sentence_chunks",
+      "greedy sentence-boundary chunking to a 16-token budget: whole " +
+        "sentences per chunk, marker-substitution boundary regex (RE2-" +
+        "portable, no lookbehind), HOF running sums — fully map-side; " +
+        "sentence ends synthesized onto the punctuation-free testdata " +
+        "by the same deterministic regex in both engines",
+      Some("""WITH s0 AS (
+             |  SELECT doc_id, string_split(regexp_replace(regexp_replace(text, '(scan|join|sort) ', '\1. ', 'g'), '([.!?])[ \t\n\x0B\f\r]+', '\1' || chr(1), 'g'), chr(1)) AS ss
+             |  FROM documents),
+             |s1 AS (
+             |  SELECT doc_id, i, s FROM (
+             |    SELECT doc_id, generate_subscripts(ss, 1) AS i, unnest(ss) AS s FROM s0)
+             |  WHERE trim(s) <> ''),
+             |s2 AS (
+             |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i2, s,
+             |         len(list_filter(string_split_regex(s, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n
+             |  FROM s1),
+             |s3 AS (
+             |  SELECT doc_id, i2, s, n,
+             |         coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY i2
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16 AS chunk_id
+             |  FROM s2)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |       CAST(count(*) AS BIGINT) AS n_sentences,
+             |       CAST(sum(n) AS BIGINT) AS n_tokens,
+             |       string_agg(s, ' ' ORDER BY i2) AS chunk_text
+             |FROM s3 GROUP BY doc_id, chunk_id
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.chunkSentences(
+            Tables(s, dir, "documents")
+              .withColumn("ptext",
+                regexp_replace(col("text"), "(scan|join|sort) ", "$1. ")),
+            "doc_id", "ptext", maxTokens = 16)
+          .orderBy("doc_id", "chunk_id")),
+
+    // ----- contrastive hard-negative mining -----
+    Q("q134_hard_negatives",
+      "contrastive hard-negative mining: top-5 most-similar DIFFERENT-" +
+        "label corpus vectors per query (vec_id % 100 = 0) — the " +
+        "boundary-hugging negatives triplet training wants; exact " +
+        "baseline, per-query bounded window, deterministic tie-break",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv, label
+             |  FROM embeddings
+             |), q AS (SELECT vec_id AS qid, vv AS qv, label AS ql FROM v WHERE vec_id % 100 = 0),
+             | scored AS (
+             |   SELECT qid, vec_id AS neighbor_id, label AS neg_label, """.stripMargin +
+             cosSql("qv", "vv") + """ AS cos_sim
+             |   FROM q, v WHERE qid <> vec_id AND ql IS DISTINCT FROM label)
+             |SELECT qid, CAST(rn AS INT) AS rn, neighbor_id, neg_label, cos_sim FROM (
+             |  SELECT qid, neighbor_id, neg_label, cos_sim,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) AS rn
+             |  FROM scored) WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      (s, dir) =>
+        Similarity.hardNegatives(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", col("vec_id") % 100 === 0, k = 5)
+          .orderBy("qid", "rn"))
   )
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one

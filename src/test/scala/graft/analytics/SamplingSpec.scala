@@ -283,6 +283,43 @@ class SamplingSpec extends SparkTestBase {
     assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("chunkSentences: whole sentences pack to the token budget, " +
+       "boundary-crossing sentence overflows its chunk, over-budget " +
+       "sentence skips chunk ids, empty docs emit nothing, " +
+       "partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One two three. Four five! Six seven eight nine? Ten."),
+      (2L, "a b c d e f g"),
+      (3L, "   "),
+      (4L, "one two three four five six seven. end.")).toDF("doc_id", "text")
+    // counts per sentence: doc1 = 3,2,4,1 -> prefixes 0,3,5,9 -> chunks
+    // (B=5) 0,0,1,1; doc2 one 7-token sentence; doc4 = 7,1 -> 0,7
+    val got = Sampling.chunkSentences(docs, "doc_id", "text", maxTokens = 5)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 2L, 5L, "One two three. Four five!"),
+      (1L, 1L, 2L, 5L, "Six seven eight nine? Ten."),
+      (2L, 0L, 1L, 7L, "a b c d e f g"),
+      (4L, 0L, 1L, 7L, "one two three four five six seven."),
+      (4L, 1L, 1L, 1L, "end.")))
+    // B=3: doc4 prefixes 0,7 -> chunks 0,2 — id 1 is skipped, never
+    // synthesized empty
+    val skip = Sampling.chunkSentences(
+        docs.filter($"doc_id" === 4L), "doc_id", "text", maxTokens = 3)
+      .orderBy("chunk_id").collect().map(r => (r.getLong(1), r.getString(4)))
+    assert(skip.toSeq === Seq(
+      (0L, "one two three four five six seven."), (2L, "end.")))
+    val again = Sampling.chunkSentences(docs.repartition(7), "doc_id",
+        "text", maxTokens = 5)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("mixtureEpochs: integer rates replicate exactly, fractional rates " +
        "split floor/floor+1 by md5, most-over-target domain keeps one " +
        "epoch, absent domains dropped, deterministic") {
