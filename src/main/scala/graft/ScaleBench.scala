@@ -293,6 +293,25 @@ object ScaleBench {
         "q132_mixture_epochs" -> (() =>
           analytics.Sampling.mixtureEpochs(docs, "doc_id", "lang",
             Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+            .count()),
+        // queries grow with copies (id shifts preserve % 100) but per-copy
+        // term spaces are disjoint, so candidates-per-query stay flat and
+        // total posting-join work is linear in n
+        "q135_bm25" -> (() =>
+          analytics.Retrieval.bm25TopK(docs, "doc_id", "text",
+            $"doc_id" % 100 === 0, k = 10).count()),
+        // BM25 branch + brute-force vector branch + bounded RRF merge;
+        // the vector branch is the documented small-corpus baseline (swap
+        // ivfTopK in at scale — the fusion is branch-agnostic)
+        "q136_hybrid" -> (() =>
+          analytics.Retrieval.hybridTopK(docs, "doc_id", "text",
+            emb, "vec_id", "embedding",
+            $"doc_id" % 100 === 0, $"vec_id" % 100 === 0,
+            k = 5, poolK = 20).count()),
+        // three long counters per row, one dictionary-sized agg — the
+        // flattest shape in the catalog; must be scan-flat
+        "q137_fertility" -> (() =>
+          analytics.TextAnalysis.fertility(docs, "doc_id", "text", "lang")
             .count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")

@@ -1,0 +1,147 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and rank fusion — the serving-side counterpart of the
+  * corpus-curation operators: BM25 scoring over an inverted posting list and
+  * reciprocal-rank fusion of heterogeneous rankings (the standard hybrid
+  * lexical + vector retrieval pattern for RAG-style pipelines).
+  *
+  * Scale shape: every corpus-sized table is keyed (posting lists by word,
+  * document lengths by doc id); only genuinely bounded tables — the
+  * query-term set, the 1-row corpus stats — are broadcast. Nothing
+  * corpus-sized crosses a broadcast or a driver collect.
+  *
+  * Reference anchor: the reference's TF-IDF cosine classifier
+  * (main.py:1482-1530) is its only ranking primitive; BM25 + RRF are the
+  * retrieval-layer extension a training-data pipeline needs for hard-negative
+  * mining and eval-set construction.
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval: for each query document (rows matching
+    * `queryPred`), the `k` highest-BM25 corpus documents sharing at least
+    * one term (excluding the query document itself).
+    *
+    * Scoring is textbook Robertson/Lucene BM25 with non-negative IDF:
+    * {{{
+    *   idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)
+    *   score(q, d) = sum over distinct t in q:
+    *                 idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+    * }}}
+    * with `N` = total corpus documents (empty ones included), `dl` the
+    * document token count, and `avgdl = totalTokens / N` (an exact
+    * long/long double division, bit-equal cross-engine). Query terms are
+    * DISTINCT (Lucene semantics — query-side tf is ignored).
+    *
+    * Plan shape for 100 TB: the `(doc, word, tf)` posting table aggregates
+    * with map-side partials and is joined word-keyed against the
+    * `(word, df)` table (NOT assumed broadcastable — vocabulary outgrows
+    * the broadcast budget at web scale; AQE may downgrade to broadcast when
+    * small). The query-term table is bounded by |queries| × query length
+    * and IS broadcast, making candidate generation a map-side semi-probe of
+    * the posting list. Corpus stats ride the allowlisted 1-row
+    * crossJoin(broadcast). The per-query top-k window is bounded by
+    * Σ df(t) over the query's terms — the classic posting-list cost, paid
+    * identically by any inverted-index engine. `round(,6)` before ranking
+    * absorbs cross-engine summation-order ulps; ties break on doc id.
+    */
+  def bm25TopK(docs0: DataFrame, idCol: String, textCol: String,
+               queryPred: Column, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val docs = Par.ensure(docs0)
+
+    // (did, word, tf) postings — the one corpus-sized aggregation; feeds
+    // dl, df, and the probe join via exchange reuse
+    val toks = docs.select(col(idCol).as("did"),
+        explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("did", "word").agg(count(lit(1)).as("tf"))
+
+    val dl = toks.groupBy("did").agg(sum(col("tf")).as("dl"))
+    val dfTab = toks.groupBy("word").agg(count(lit(1)).as("df"))
+    // N counts ALL docs (empty ones too); avgdl = totalTokens / N
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(sum(col("tf")).as("total_tokens")))
+
+    // bounded: |queries| x |query terms| — broadcastable by construction
+    val qterms = docs.filter(queryPred)
+      .select(col(idCol).as("qid"),
+        explode(array_distinct(Dedup.tokens(col(textCol)))).as("word"))
+
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val avgdl = col("total_tokens").cast("double") /
+      col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val term = idf * tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl").cast("double") / avgdl))
+
+    val scored = toks
+      .join(broadcast(qterms), Seq("word"))
+      .filter(col("did") =!= col("qid"))
+      .join(dfTab, Seq("word"))
+      .join(dl, Seq("did"))
+      .crossJoin(broadcast(stats))
+      .groupBy("qid", "did")
+      .agg(round(sum(term), 6).as("bm25"))
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25").desc, col("did"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("did"), col("bm25"))
+  }
+
+  /** Reciprocal-rank fusion: merge per-query rankings into one list scored
+    * by `sum over rankings r of 1 / (kConst + rank_r(d))` (Cormack et al.
+    * — the standard way to combine lexical and vector retrieval without
+    * score calibration). Each input must carry `(qid, did, rn)`; documents
+    * absent from a ranking simply contribute nothing. The fused score is a
+    * sum of at most `rankings.size` exactly-representable reciprocals —
+    * `round(,6)` keeps the ranking convention; ties break on doc id.
+    *
+    * Scale shape: inputs are already top-k-bounded per query, so the union
+    * + (qid, did) aggregation + per-query window all run over
+    * |queries| × k × rankings rows — tiny next to the corpus work that
+    * produced the rankings.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int, topK: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 1 && topK >= 1, "kConst and topK must be >= 1")
+    val shaped = rankings.map(_.select(col("qid"), col("did"), col("rn")))
+    val fused = shaped.reduce(_.unionByName(_))
+      .groupBy("qid", "did")
+      .agg(round(sum(lit(1.0) / (lit(kConst.toDouble) +
+        col("rn").cast("double"))), 6).as("rrf_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("did"))
+    fused.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("did"), col("rrf_score"))
+  }
+
+  /** Hybrid lexical + vector retrieval: BM25 over `docs` fused with
+    * embedding-cosine over `emb` (joined on `docs.idCol` = `emb.vecIdCol`)
+    * by reciprocal rank — each branch retrieves its own top-`poolK`, RRF
+    * keeps the consensus top-`k`. The canonical RAG retrieval stack, here
+    * as one operator so the branch plans stay independently optimal (the
+    * BM25 branch never touches vectors, the ANN branch never touches
+    * text). */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 emb: DataFrame, vecIdCol: String, vecCol: String,
+                 docQueryPred: Column, embQueryPred: Column,
+                 k: Int, poolK: Int,
+                 kConst: Int = 60): DataFrame = {
+    val lexical = bm25TopK(docs, idCol, textCol, docQueryPred, poolK)
+      .select(col("qid"), col("did"), col("rn"))
+    val vector = Similarity.bruteForceTopK(emb, vecIdCol, vecCol,
+        embQueryPred, poolK)
+      .select(col("qid"), col("neighbor_id").as("did"), col("rn"))
+    rrfFuse(Seq(lexical, vector), kConst, k)
+  }
+}

@@ -416,6 +416,37 @@ object TextAnalysis {
     * itself diverges (Java includes U+000B, RE2 does not). Dominant
     * script is the argmax with ties broken latin > cyrillic > cjk,
     * "und" for empty docs. Entirely map-side. */
+  /** Per-language tokenizer fertility: the corpus-level subword-per-word
+    * ratio (BPE-ish tokens / whitespace words) plus chars-per-subword —
+    * the standard measure of how expensively a tokenizer encodes each
+    * language (fertility ≫ 1 marks languages the vocab underserves; the
+    * basis for vocab-budget and sampling-temperature decisions). Scale
+    * shape: one map-side projection of three counters per document, one
+    * partial-aggregable groupBy(lang) — the text column never shuffles,
+    * only 3 longs per row do. All emitted ratios are single long/long
+    * double divisions of exactly-represented sums — bit-equal
+    * cross-engine, no rounding needed. */
+  def fertility(docs0: DataFrame, idCol: String, textCol: String,
+                langCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val t = col(textCol)
+    docs
+      .select(col(langCol).as("lang"), nTokens(t).cast("long").as("w"),
+        nBpeTokens(t).cast("long").as("bt"),
+        length(t).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("bt")).as("n_bpe_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") /
+          nullif(col("n_words"), lit(0L))).as("fertility"),
+        (col("n_chars").cast("double") /
+          nullif(col("n_bpe_tokens"), lit(0L))).as("chars_per_token"))
+  }
+
   def scriptRatios(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = Par.ensure(docs0)
     val t = col(textCol)

@@ -66,6 +66,29 @@ object AnalyticsQueries {
       |dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY doc_id, word),
       |wf AS (SELECT word, CAST(sum(n) AS BIGINT) AS c FROM dw GROUP BY word)""".stripMargin
 
+  /** BM25 CTE tail shared by q135/q136 (appended after [[wCte]]): doc
+    * lengths, document frequencies, the 1-row corpus stats (N over ALL
+    * documents, total token count), and the distinct query-term table.
+    * Mirrors [[graft.analytics.Retrieval.bm25TopK]] exactly. */
+  private val bm25Ctes =
+    """,
+      |dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS dl FROM dw GROUP BY doc_id),
+      |dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY word),
+      |st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS nd,
+      |              (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) FROM dw) AS tot),
+      |qt AS (SELECT DISTINCT doc_id AS qid, word FROM w WHERE doc_id % 100 = 0)"""
+      .stripMargin
+
+  /** The per-(query, doc) BM25 sum — operand order matches the Spark
+    * Column expression term-for-term so both engines evaluate the same
+    * IEEE sequence (ln may differ by an ulp; round(,6) absorbs it). */
+  private val bm25Sum =
+    """round(sum(ln((st.nd - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+      |           * CAST(dw.n AS DOUBLE) * 2.2
+      |           / (CAST(dw.n AS DOUBLE)
+      |              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (st.tot / st.nd)))), 6)"""
+      .stripMargin
+
   /** Shared DuckDB CTE chain for PQ: uniform-dim vectors, the 16-entry
     * md5-ordered codebook, per-(vector, subspace) squared distances, and
     * the argmin code selection. Mirrors [[graft.analytics.Pq]] exactly
@@ -2445,7 +2468,107 @@ object AnalyticsQueries {
       (s, dir) =>
         Similarity.hardNegatives(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", "label", col("vec_id") % 100 === 0, k = 5)
-          .orderBy("qid", "rn"))
+          .orderBy("qid", "rn")),
+
+    // ----- BM25 lexical retrieval -----
+    Q("q135_bm25_topk",
+      "BM25 top-10 retrieval for query docs (doc_id % 100 = 0): " +
+        "Robertson/Lucene idf ln((N-df+.5)/(df+.5)+1), k1=1.2 b=0.75, " +
+        "distinct query terms, self excluded — word-keyed posting join, " +
+        "broadcast query terms, 1-row stats crossJoin",
+      Some(wCte + bm25Ctes + """,
+             |sc AS (
+             |  SELECT qt.qid, dw.doc_id AS did, """.stripMargin +
+             bm25Sum + """ AS bm25
+             |  FROM qt
+             |  JOIN dw USING (word)
+             |  JOIN dfr USING (word)
+             |  JOIN dl ON dl.doc_id = dw.doc_id
+             |  CROSS JOIN st
+             |  WHERE dw.doc_id <> qt.qid
+             |  GROUP BY qt.qid, dw.doc_id)
+             |SELECT qid, rn, did, bm25 FROM (
+             |  SELECT qid, did, bm25,
+             |         CAST(row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, did) AS INT) AS rn
+             |  FROM sc)
+             |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Retrieval.bm25TopK(Tables(s, dir, "documents"),
+            "doc_id", "text", col("doc_id") % 100 === 0, k = 10)
+          .orderBy("qid", "rn")),
+
+    // ----- hybrid lexical + vector retrieval (RRF) -----
+    Q("q136_hybrid_rrf",
+      "hybrid retrieval: BM25 top-20 and cosine top-20 per query " +
+        "(doc_id = vec_id % 100 = 0) fused by reciprocal rank " +
+        "1/(60+rn), consensus top-5 — the RAG hybrid-search stack; " +
+        "branch plans stay independent (BM25 never touches vectors)",
+      Some(wCte + bm25Ctes + """,
+             |sc AS (
+             |  SELECT qt.qid, dw.doc_id AS did, """.stripMargin +
+             bm25Sum + """ AS bm25
+             |  FROM qt
+             |  JOIN dw USING (word)
+             |  JOIN dfr USING (word)
+             |  JOIN dl ON dl.doc_id = dw.doc_id
+             |  CROSS JOIN st
+             |  WHERE dw.doc_id <> qt.qid
+             |  GROUP BY qt.qid, dw.doc_id),
+             |lex AS (SELECT qid, did, rn FROM (
+             |  SELECT qid, did,
+             |         row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, did) AS rn
+             |  FROM sc) WHERE rn <= 20),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+             |      FROM embeddings),
+             |qv AS (SELECT vec_id AS qid, vv AS qvec FROM v WHERE vec_id % 100 = 0),
+             |vsc AS (SELECT qid, vec_id AS did, """.stripMargin +
+             cosSql("qvec", "vv") + """ AS cos_sim
+             |       FROM qv, v WHERE qid <> vec_id),
+             |vec AS (SELECT qid, did, rn FROM (
+             |  SELECT qid, did,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS rn
+             |  FROM vsc) WHERE rn <= 20),
+             |u AS (SELECT qid, did, rn FROM lex
+             |      UNION ALL SELECT qid, did, rn FROM vec),
+             |f AS (SELECT qid, did,
+             |             round(sum(1.0 / (60.0 + CAST(rn AS DOUBLE))), 6) AS rrf_score
+             |      FROM u GROUP BY qid, did)
+             |SELECT qid, rn, did, rrf_score FROM (
+             |  SELECT qid, did, rrf_score,
+             |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, did) AS INT) AS rn
+             |  FROM f)
+             |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Retrieval.hybridTopK(
+            Tables(s, dir, "documents"), "doc_id", "text",
+            Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            col("doc_id") % 100 === 0, col("vec_id") % 100 === 0,
+            k = 5, poolK = 20)
+          .orderBy("qid", "rn")),
+
+    // ----- tokenizer fertility -----
+    Q("q137_tokenizer_fertility",
+      "per-language tokenizer fertility: corpus subword/word ratio + " +
+        "chars-per-subword from the BPE-ish tokenizer — the vocab-budget " +
+        "metric; exact long/long divisions, map-side counters, the text " +
+        "never shuffles",
+      Some("""WITH c AS (
+             |  SELECT lang,
+             |         len(list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS w,
+             |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bt,
+             |         length(text) AS nc
+             |  FROM documents)
+             |SELECT lang,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(w) AS BIGINT) AS n_words,
+             |       CAST(sum(bt) AS BIGINT) AS n_bpe_tokens,
+             |       CAST(sum(bt) AS DOUBLE) / nullif(sum(w), 0) AS fertility,
+             |       CAST(sum(nc) AS DOUBLE) / nullif(sum(bt), 0) AS chars_per_token
+             |FROM c GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.fertility(Tables(s, dir, "documents"),
+            "doc_id", "text", "lang")
+          .orderBy("lang"))
   )
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One registered operator-query: the Spark implementation plus (when
   * SQL-expressible) the DuckDB oracle the driver hash-compares against.
@@ -16,19 +17,22 @@ final case class Q(
 
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
 
-  /** Load a testdata table. The driver writes `events.ts` as
-    * TIMESTAMP(NANOS), which Spark's parquet reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as a LONG of
-    * nanoseconds, converted here to a microsecond timestamp (integer DIV —
-    * double division would lose precision above 2^53 ns). DuckDB oracles
-    * read the nanos natively, and both agree at `date_trunc` granularity.
-    */
+  /** Load a testdata table, normalizing `events.ts` to a session-TZ
+    * (UTC) microsecond TIMESTAMP whichever physical form the driver wrote:
+    *  - TIMESTAMP(NANOS) + `nanosAsLong=true` → LONG nanoseconds,
+    *    converted with integer DIV (double division would lose precision
+    *    above 2^53 ns);
+    *  - timestamp[us] without UTC adjustment → TIMESTAMP_NTZ, cast to
+    *    TIMESTAMP (the UTC session TZ makes the wall clock the instant).
+    * DuckDB oracles read either form natively as a naive timestamp, and
+    * both engines agree at `date_trunc`/`epoch_us` granularity. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 }

@@ -211,6 +211,29 @@ object ConverterQueries {
         graft.sources.PdfSource.readTableCells(s, path)
           .select($"page", $"table", $"row", $"col", $"cell")
           .orderBy("page", "row", "col")
+      }),
+
+    // ----- ORC format round-trip -----
+    Q("q138_orc_roundtrip",
+      "write documents through the native ORC sink and read them back — " +
+        "the second splittable columnar interchange format (Hive-side " +
+        "pipelines); text fidelity proven by md5, schema by the typed " +
+        "columns. ORC scans push filters and prune columns like parquet " +
+        "(FormatsSpec asserts the pushdown)",
+      Some("""SELECT doc_id, lang, source,
+             |       CAST(n_chars AS BIGINT) AS n_chars,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val path = tmpFile("documents_orc")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .select($"doc_id", $"lang", $"source",
+            $"n_chars".cast("long").as("n_chars"),
+            md5($"text").as("text_md5"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -151,11 +151,17 @@ class PlanShapeSpec extends SparkTestBase {
     //   q120 count-min:      distinct keys x broadcast literal probe grid
     //   q121 dsir select:    scored corpus x broadcast ONE-ROW percentile
     //   q123 bloom:          distinct keys x broadcast literal probe grid
+    //   q131 stupid-backoff: bigram counts x broadcast ONE-ROW corpus total
+    //   q134 hard negatives: query x broadcast corpus, non-equi label guard
+    //   q135 bm25:           postings x broadcast ONE-ROW corpus stats
+    //   q136 hybrid rrf:     q135's stats bracket + q24's broadcast corpus
     val bnljAllowed = Set("q24_knn_brute", "q25_knn_ivf", "q38_cosine_neardup",
       "q77_unigram_surprisal", "q79_pq_adc_topk", "q88_surprisal_gate",
       "q97_external_surprisal", "q101_knn_classify", "q106_centroid_classify",
       "q108_dsir_weights", "q110_nb_classify", "q116_quantile_buckets",
-      "q120_cm_sketch", "q121_dsir_select", "q123_bloom_filter")
+      "q120_cm_sketch", "q121_dsir_select", "q123_bloom_filter",
+      "q131_stupid_backoff", "q134_hard_negatives",
+      "q135_bm25_topk", "q136_hybrid_rrf")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
