@@ -36,16 +36,17 @@ object Retrieval {
     * long/long double division, bit-equal cross-engine). Query terms are
     * DISTINCT (Lucene semantics — query-side tf is ignored).
     *
-    * Plan shape for 100 TB: the `(doc, word, tf)` posting table aggregates
-    * with map-side partials and is joined word-keyed against the
-    * `(word, df)` table (NOT assumed broadcastable — vocabulary outgrows
-    * the broadcast budget at web scale; AQE may downgrade to broadcast when
-    * small). The query-term table is bounded by |queries| × query length
-    * and IS broadcast, making candidate generation a map-side semi-probe of
-    * the posting list. Corpus stats ride the allowlisted 1-row
-    * crossJoin(broadcast). The per-query top-k window is bounded by
-    * Σ df(t) over the query's terms — the classic posting-list cost, paid
-    * identically by any inverted-index engine. `round(,6)` before ranking
+    * Plan shape for 100 TB: everything query-independent and bounded —
+    * per-term idf (from the vocabulary-sized df table) and the 1-row
+    * corpus stats — is folded into the query-term table BEFORE it meets
+    * the corpus, so the only broadcast is |queries| × query length rows
+    * and candidate generation is a map-side probe of the posting list.
+    * Document length rides a did-partitioned window over the postings
+    * (per-partition size = one document's distinct words). The candidate
+    * intermediate — Σ df(t) over query terms, the classic posting-list
+    * cost — is never shuffled raw: it partial-aggregates map-side into
+    * (qid, did) groups before its one exchange. The per-query top-k
+    * window is bounded by the same Σ df(t). `round(,6)` before ranking
     * absorbs cross-engine summation-order ulps; ties break on doc id.
     */
   def bm25TopK(docs0: DataFrame, idCol: String, textCol: String,
@@ -54,39 +55,40 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     val docs = Par.ensure(docs0)
 
-    // (did, word, tf) postings — the one corpus-sized aggregation; feeds
-    // dl, df, and the probe join via exchange reuse
+    // (did, word, tf) postings — the one corpus-sized aggregation — plus
+    // dl via a did-partitioned window (no join, partition = one doc)
     val toks = docs.select(col(idCol).as("did"),
         explode(Dedup.tokens(col(textCol))).as("word"))
       .groupBy("did", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("did"))))
 
-    val dl = toks.groupBy("did").agg(sum(col("tf")).as("dl"))
     val dfTab = toks.groupBy("word").agg(count(lit(1)).as("df"))
     // N counts ALL docs (empty ones too); avgdl = totalTokens / N
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(toks.agg(sum(col("tf")).as("total_tokens")))
 
-    // bounded: |queries| x |query terms| — broadcastable by construction
+    // bounded: |queries| x |query terms|, then enriched with idf + avgdl
+    // (df join is qterms-keyed — the vocab itself is never broadcast)
     val qterms = docs.filter(queryPred)
       .select(col(idCol).as("qid"),
         explode(array_distinct(Dedup.tokens(col(textCol)))).as("word"))
-
     val idf = log(
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val avgdl = col("total_tokens").cast("double") /
       col("n_docs").cast("double")
+    val qtermsIdf = qterms.join(dfTab, Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("word"), col("qid"), idf.as("idf"), avgdl.as("avgdl"))
+
     val tfD = col("tf").cast("double")
-    val term = idf * tfD * lit(k1 + 1.0) /
+    val term = col("idf") * tfD * lit(k1 + 1.0) /
       (tfD + lit(k1) * (lit(1.0) - lit(b) +
-        lit(b) * col("dl").cast("double") / avgdl))
+        lit(b) * col("dl").cast("double") / col("avgdl")))
 
     val scored = toks
-      .join(broadcast(qterms), Seq("word"))
+      .join(broadcast(qtermsIdf), Seq("word"))
       .filter(col("did") =!= col("qid"))
-      .join(dfTab, Seq("word"))
-      .join(dl, Seq("did"))
-      .crossJoin(broadcast(stats))
       .groupBy("qid", "did")
       .agg(round(sum(term), 6).as("bm25"))
 
