@@ -127,6 +127,66 @@ object Retrieval {
       .select(col("qid"), col("rn"), col("did"), col("rrf_score"))
   }
 
+  /** Ranking-quality metrics for a retrieval run — the eval side of the
+    * retrieval layer (retrieval QA before the rankings feed hard-negative
+    * mining or RAG eval sets). For each query in `ranking` (`(qid, rn,
+    * did)` rows, rn 1-based), judged against label agreement (a retrieved
+    * doc is relevant iff its label IS NOT DISTINCT FROM the query's):
+    *
+    *  - `n_rel`: relevant docs in the whole corpus (query itself
+    *    excluded — it is never a candidate);
+    *  - `hits`: relevant docs retrieved;
+    *  - `rr`: reciprocal rank of the first relevant result, 0 if none
+    *    (mean over queries = MRR);
+    *  - `recall_at_k`: hits / min(k, n_rel), null when n_rel = 0;
+    *  - `ndcg_at_k`: binary-gain DCG / ideal DCG with the standard
+    *    1/log2(i+1) discount, null when n_rel = 0.
+    *
+    * Scale shape: the ranking table is |queries| × k by construction, so
+    * every join here is bounded — doc labels attach id-keyed, the
+    * per-label corpus totals are a dictionary-sized broadcast, and the
+    * ideal-DCG sum is a ≤ k-element fold per query row. Only the label
+    * lookup touches corpus-sized data, keyed on its id. `rr` and
+    * `recall` are exact divisions; the log2 discounts are `round(,6)`
+    * pinned. */
+  def rankingMetrics(ranking: DataFrame, labels: DataFrame,
+                     idCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val lab = labels.select(col(idCol).as("_id"), col(labelCol).as("_lbl"))
+    val relTotals = lab.groupBy(col("_lbl").as("_rlbl"))
+      .agg(count(lit(1)).as("_cnt"))
+
+    val j = ranking.select(col("qid"), col("rn"), col("did"))
+      .join(lab.select(col("_id").as("did"), col("_lbl").as("_dlbl")),
+        Seq("did"))
+      .join(lab.select(col("_id").as("qid"), col("_lbl").as("_qlbl")),
+        Seq("qid"))
+      .withColumn("is_rel", (col("_dlbl") <=> col("_qlbl")).cast("int"))
+
+    val per = j.groupBy(col("qid"), col("_qlbl")).agg(
+      sum(col("is_rel")).cast("long").as("hits"),
+      min(when(col("is_rel") === 1, col("rn"))).as("first_rel"),
+      sum(when(col("is_rel") === 1,
+        lit(1.0) / log2(col("rn").cast("double") + lit(1.0)))
+        .otherwise(lit(0.0))).as("dcg"))
+
+    val m = least(lit(k.toLong), col("n_rel"))
+    val idcg = aggregate(sequence(lit(1L), m), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))
+    per
+      .join(broadcast(relTotals), col("_qlbl") <=> col("_rlbl"), "left")
+      .withColumn("n_rel", coalesce(col("_cnt"), lit(1L)) - lit(1L))
+      .select(
+        col("qid"), col("n_rel"), col("hits"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+          .as("rr"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast("double") / m.cast("double"), 6))
+          .as("recall_at_k"),
+        when(col("n_rel") > 0, round(col("dcg") / idcg, 6))
+          .as("ndcg_at_k"))
+  }
+
   /** Hybrid lexical + vector retrieval: BM25 over `docs` fused with
     * embedding-cosine over `emb` (joined on `docs.idCol` = `emb.vecIdCol`)
     * by reciprocal rank — each branch retrieves its own top-`poolK`, RRF

@@ -2568,7 +2568,63 @@ object AnalyticsQueries {
       (s, dir) =>
         TextAnalysis.fertility(Tables(s, dir, "documents"),
             "doc_id", "text", "lang")
-          .orderBy("lang"))
+          .orderBy("lang")),
+
+    // ----- retrieval-quality metrics -----
+    Q("q139_retrieval_metrics",
+      "MRR / recall@10 / nDCG@10 of the q135 BM25 run judged by label " +
+        "agreement (embeddings.label, vec_id = doc_id; relevant = same " +
+        "label, query excluded) — the retrieval-QA gate before rankings " +
+        "feed hard-negative mining; all joins bounded by |queries| x k",
+      Some(wCte + bm25Ctes + """,
+             |sc AS (
+             |  SELECT qt.qid, dw.doc_id AS did, """.stripMargin +
+             bm25Sum + """ AS bm25
+             |  FROM qt
+             |  JOIN dw USING (word)
+             |  JOIN dfr USING (word)
+             |  JOIN dl ON dl.doc_id = dw.doc_id
+             |  CROSS JOIN st
+             |  WHERE dw.doc_id <> qt.qid
+             |  GROUP BY qt.qid, dw.doc_id),
+             |r AS (SELECT qid, did, rn FROM (
+             |  SELECT qid, did,
+             |         row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, did) AS rn
+             |  FROM sc) WHERE rn <= 10),
+             |lab AS (SELECT vec_id AS id, label FROM embeddings),
+             |rt AS (SELECT label AS rlbl, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM lab GROUP BY label),
+             |j AS (SELECT r.qid, r.rn, ql.label AS qlbl,
+             |             CASE WHEN dl2.label IS NOT DISTINCT FROM ql.label
+             |                  THEN 1 ELSE 0 END AS is_rel
+             |      FROM r JOIN lab dl2 ON dl2.id = r.did
+             |             JOIN lab ql ON ql.id = r.qid),
+             |per AS (SELECT qid, qlbl,
+             |               CAST(sum(is_rel) AS BIGINT) AS hits,
+             |               min(CASE WHEN is_rel = 1 THEN rn END) AS first_rel,
+             |               sum(CASE WHEN is_rel = 1
+             |                        THEN 1.0 / log2(rn + 1.0) ELSE 0.0 END) AS dcg
+             |        FROM j GROUP BY qid, qlbl),
+             |fin AS (SELECT qid, coalesce(rt.cnt, 1) - 1 AS n_rel, hits,
+             |               first_rel, dcg
+             |        FROM per LEFT JOIN rt ON per.qlbl IS NOT DISTINCT FROM rt.rlbl)
+             |SELECT qid, CAST(n_rel AS BIGINT) AS n_rel, hits,
+             |       coalesce(1.0 / first_rel, 0.0) AS rr,
+             |       CASE WHEN n_rel > 0
+             |            THEN round(CAST(hits AS DOUBLE) / least(10, n_rel), 6)
+             |       END AS recall_at_k,
+             |       CASE WHEN n_rel > 0
+             |            THEN round(dcg / list_sum(list_transform(
+             |                   range(1, least(10, n_rel) + 1),
+             |                   i -> 1.0 / log2(i + 1.0))), 6)
+             |       END AS ndcg_at_k
+             |FROM fin ORDER BY qid""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Retrieval.rankingMetrics(
+            graft.analytics.Retrieval.bm25TopK(Tables(s, dir, "documents"),
+              "doc_id", "text", col("doc_id") % 100 === 0, k = 10),
+            Tables(s, dir, "embeddings"), "vec_id", "label", k = 10)
+          .orderBy("qid"))
   )
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one

@@ -68,6 +68,42 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.map(_.getLong(2)).toSeq === Seq(11L, 10L, 12L))
   }
 
+  test("rankingMetrics: hand-computed MRR / recall@k / nDCG@k, " +
+       "no-relevant query gets rr=0 and null recall/ndcg") {
+    import spark.implicits._
+    // corpus labels: query 0 -> label A (3 corpus docs share it: 1,2,3);
+    // query 100 -> label Z (no other doc has it)
+    val labels = Seq(
+      (0L, "A"), (1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (100L, "Z")
+    ).toDF("id", "label")
+    // query 0 retrieved: rel at rn 1 and 3, miss at rn 2;
+    // query 100 retrieved two docs, none relevant
+    val ranking = Seq(
+      (0L, 1, 1L), (0L, 2, 4L), (0L, 3, 2L),
+      (100L, 1, 5L), (100L, 2, 3L)
+    ).toDF("qid", "rn", "did")
+    val out = Retrieval.rankingMetrics(ranking, labels, "id", "label", k = 2)
+      .orderBy("qid").collect()
+
+    val q0 = out(0)
+    assert(q0.getLong(1) === 3L, "n_rel: docs 1,2,3 (self excluded)")
+    assert(q0.getLong(2) === 2L, "hits: rn 1 and rn 3")
+    assert(q0.getDouble(3) === 1.0, "first relevant at rank 1")
+    // m = min(k=2, n_rel=3) = 2; recall = 2/2
+    assert(q0.getDouble(4) === 1.0)
+    // dcg = 1/log2(2) + 1/log2(4) = 1 + 0.5; idcg = 1/log2(2) + 1/log2(3)
+    val expNdcg = BigDecimal(1.5 / (1.0 + 1.0 / (math.log(3.0) / math.log(2.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(q0.getDouble(5) - expNdcg) < 1e-9, s"${q0.getDouble(5)}")
+
+    val q100 = out(1)
+    assert(q100.getLong(1) === 0L && q100.getLong(2) === 0L)
+    assert(q100.getDouble(3) === 0.0, "no relevant -> rr 0")
+    assert(q100.isNullAt(4) && q100.isNullAt(5),
+      "n_rel = 0 -> null recall/ndcg")
+  }
+
   test("rrfFuse: exact tie broken by ascending did") {
     import spark.implicits._
     val a = Seq((0L, 20L, 1), (0L, 7L, 1)).toDF("qid", "did", "rn")
