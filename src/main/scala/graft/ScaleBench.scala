@@ -312,7 +312,14 @@ object ScaleBench {
         // flattest shape in the catalog; must be scan-flat
         "q137_fertility" -> (() =>
           analytics.TextAnalysis.fertility(docs, "doc_id", "text", "lang")
-            .count()))
+            .count()),
+        // 10 GD iterations over the id-partitioned checkpointed feature
+        // table: per-iter cost is 2 scans of feats + a 65-row collect;
+        // the curve must be linear in the feature-table build + iters x
+        // feats scans, with NO per-iteration corpus re-tokenization
+        "q141_logreg" -> (() =>
+          analytics.Selection.logregQuality(docs, "doc_id", "text",
+            $"lang" === "en").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

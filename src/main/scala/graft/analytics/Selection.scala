@@ -125,4 +125,85 @@ object Selection {
         rates.map { case (s, r) => s -> r })
       .withColumn("rate", round(rateCol, 6))
   }
+
+  /** fastText/DCLM-style quality classifier: full-batch logistic
+    * regression over hashed-unigram features, trained ON the corpus
+    * against a caller-supplied binary `label` (e.g. "looks like the
+    * curated slice") and then scoring every document — the modern
+    * learned data-selection filter (DCLM's fastText gate, GPT-3's
+    * LR-over-features quality filter; one model order up from
+    * [[dsirWeights]]'s likelihood ratio).
+    *
+    * Model: features are the [[TfIdf.hashingTf]] `md5[0:8] mod dim`
+    * buckets with doc-length-normalized tf (`tf / n_tokens`) plus a
+    * constant bias feature at index `dim`; `iters` full-batch gradient
+    * steps `w ← w − lr · round(Σ_i (σ(w·x_i) − y_i) x_i / n, 6)` from
+    * w = 0. Everything an oracle needs is pinned: fixed iteration count,
+    * zero init, and the ROUND-6 GRADIENT exchange — the same fixed-point
+    * trick as [[Cluster]]'s centroid exchange — so both engines step
+    * through bit-identical models even though their sum orders differ.
+    * Output: (id, y, score σ(w·x) rounded 6, keep = score ≥ 0.5).
+    * Docs with no tokens ride the bias feature alone.
+    *
+    * Scale shape — canonical distributed full-batch GD: the feature
+    * table is built ONCE (one tokenization, one (id, bucket) partial-agg
+    * exchange, doc length via an id-partitioned window), repartitioned by
+    * id and checkpointed; each iteration is one margin aggregation and
+    * one id-keyed join + bucket aggregation over that materialized table
+    * — both pre-partitioned on id, so iterations add NO new corpus
+    * exchanges — ending in a (dim+1)-row round-6 collect (the
+    * model-sized exchange, independent of corpus size). At 100 TB:
+    * iters × (2 scans of the persisted features + tiny collect).
+    */
+  def logregQuality(docs0: DataFrame, idCol: String, textCol: String,
+                    label: Column, dim: Int = 64, iters: Int = 10,
+                    lr: Double = 0.5): DataFrame = {
+    require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
+    require(lr > 0.0, "lr must be positive")
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val docs = Par.ensure(docs0)
+
+    val toks = docs.select(col(idCol).as("id"),
+        label.cast("int").as("y"),
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .withColumn("bucket",
+        (conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int"))
+      .groupBy($"id", $"y", $"bucket").agg(count(lit(1)).as("tf"))
+      .withColumn("nt", sum($"tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"id")))
+    val feats = toks
+      .select($"id", $"y", $"bucket",
+        ($"tf".cast("double") / $"nt".cast("double")).as("x"))
+      .unionByName(docs.select(col(idCol).as("id"),
+        label.cast("int").as("y"), lit(dim).cast("int").as("bucket"),
+        lit(1.0).as("x")))
+      .repartition($"id")
+      .localCheckpoint()
+    val n = docs.count().toDouble
+
+    var w = Array.fill(dim + 1)(0.0)
+    def margins(wv: Array[Double]): DataFrame = {
+      val wArr = array(wv.map(lit(_)): _*)
+      feats.groupBy($"id", $"y")
+        .agg(sum(element_at(wArr, $"bucket" + 1) * $"x").as("mg"))
+    }
+    for (_ <- 1 to iters) {
+      val g = margins(w)
+        .select($"id",
+          (lit(1.0) / (lit(1.0) + exp(-$"mg")) - $"y".cast("double"))
+            .as("r"))
+        .join(feats.select($"id", $"bucket", $"x"), Seq("id"))
+        .groupBy($"bucket")
+        .agg(round(sum($"r" * $"x") / lit(n), 6).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (wb, b) =>
+        wb - lr * g.getOrElse(b, 0.0)
+      }
+    }
+    margins(w).select($"id", $"y",
+        round(lit(1.0) / (lit(1.0) + exp(-$"mg")), 6).as("score"))
+      .withColumn("keep", $"score" >= 0.5)
+  }
 }

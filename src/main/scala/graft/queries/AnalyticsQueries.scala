@@ -2624,8 +2624,75 @@ object AnalyticsQueries {
             graft.analytics.Retrieval.bm25TopK(Tables(s, dir, "documents"),
               "doc_id", "text", col("doc_id") % 100 === 0, k = 10),
             Tables(s, dir, "embeddings"), "vec_id", "label", k = 10)
-          .orderBy("qid"))
+          .orderBy("qid")),
+
+    // ----- learned quality classifier (logistic regression) -----
+    Q("q141_logreg_quality",
+      "fastText/DCLM-style learned quality filter: full-batch logistic " +
+        "regression on hashed-unigram tf/len features + bias, 10 GD " +
+        "steps from w=0 with the round-6 gradient fixed-point (the " +
+        "kmeans centroid-exchange trick), scoring every doc against the " +
+        "lang='en' label — oracle is the SAME recurrence unrolled as " +
+        "MATERIALIZED CTE triples",
+      Some(logregOracleSql(iters = 10)),
+      (s, dir) =>
+        graft.analytics.Selection.logregQuality(Tables(s, dir, "documents"),
+            "doc_id", "text", col("lang") === "en", dim = 64, iters = 10)
+          .orderBy("id"))
   )
+
+  /** Unrolled full-batch logistic-regression GD in DuckDB: the hashed
+    * feature table (md5-bucket tf/len + bias at index `dim`), then
+    * `iters` CTE triples (margins, round-6 gradient, weight step) — the
+    * SAME recurrence [[graft.analytics.Selection.logregQuality]] runs,
+    * with the identical zero init, 0.5 learning rate, and round-6
+    * gradient fixed-point. MATERIALIZED on every step (the q130 lesson:
+    * DuckDB inlines single-reference CTEs and a deep inlined chain goes
+    * exponential). */
+  private def logregOracleSql(iters: Int, dim: Int = 64): String = {
+    val head =
+      s"""WITH tk AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |db AS (SELECT doc_id, y,
+         |         CAST(('0x' || substring(md5(word), 1, 8))::BIGINT % $dim AS INT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY doc_id, y, bucket),
+         |f AS MATERIALIZED (
+         |  SELECT doc_id, y, bucket,
+         |         CAST(tf AS DOUBLE) / CAST(sum(tf) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+         |  FROM db
+         |  UNION ALL
+         |  SELECT doc_id, CAST(lang = 'en' AS INT), $dim, 1.0 FROM documents),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |w0 AS (SELECT CAST(unnest(range(0, ${dim + 1})) AS INT) AS b, 0.0 AS wt)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         | m$i AS MATERIALIZED (
+         |   SELECT f.doc_id, f.y, sum(w${i - 1}.wt * f.x) AS mg
+         |   FROM f JOIN w${i - 1} ON w${i - 1}.b = f.bucket
+         |   GROUP BY f.doc_id, f.y),
+         | g$i AS MATERIALIZED (
+         |   SELECT f.bucket AS b,
+         |          round(sum((1.0 / (1.0 + exp(-m.mg)) - CAST(m.y AS DOUBLE)) * f.x) / nn.n, 6) AS g
+         |   FROM f JOIN m$i m ON m.doc_id = f.doc_id CROSS JOIN nn
+         |   GROUP BY f.bucket, nn.n),
+         | w$i AS MATERIALIZED (
+         |   SELECT w${i - 1}.b, w${i - 1}.wt - 0.5 * coalesce(g$i.g, 0.0) AS wt
+         |   FROM w${i - 1} LEFT JOIN g$i ON g$i.b = w${i - 1}.b)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         | mf AS (
+         |   SELECT f.doc_id, f.y, sum(w$iters.wt * f.x) AS mg
+         |   FROM f JOIN w$iters ON w$iters.b = f.bucket
+         |   GROUP BY f.doc_id, f.y)
+         |SELECT doc_id AS id, y,
+         |       round(1.0 / (1.0 + exp(-mg)), 6) AS score,
+         |       round(1.0 / (1.0 + exp(-mg)), 6) >= 0.5 AS keep
+         |FROM mf ORDER BY doc_id""".stripMargin
+    head + steps + tail
+  }
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one
     * matrix-vector product over the full d×d covariance (both triangles)

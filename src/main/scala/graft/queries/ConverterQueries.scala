@@ -234,6 +234,35 @@ object ConverterQueries {
             $"n_chars".cast("long").as("n_chars"),
             md5($"text").as("text_md5"))
           .orderBy("doc_id")
+      }),
+
+    // ----- gzipped JSON-Lines round-trip -----
+    Q("q140_jsonl_gz_roundtrip",
+      "write documents as gzip-compressed JSON-Lines (one object per " +
+        "line — the standard LLM corpus interchange format: The Pile / " +
+        "C4 / RedPajama all ship as jsonl.gz) and read them back with an " +
+        "explicit schema; text fidelity proven by md5 after the full " +
+        "JSON escape/unescape cycle. gzip is NOT splittable — one file " +
+        "= one read task — so corpora must ship as many part files " +
+        "(Spark parallelizes across files; the writer here emits one " +
+        "part per input partition)",
+      Some("""SELECT doc_id, lang, source,
+             |       CAST(n_chars AS BIGINT) AS n_chars,
+             |       md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val path = tmpFile("documents_jsonl_gz")
+        Tables(s, dir, "documents")
+          .write.mode("overwrite").option("compression", "gzip").json(path)
+        s.read
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+            "n_chars LONG")
+          .json(path)
+          .select($"doc_id", $"lang", $"source",
+            $"n_chars".cast("long").as("n_chars"),
+            md5($"text").as("text_md5"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -188,4 +188,36 @@ class SelectionSpec extends SparkTestBase {
     // selected fingerprints are a subset of each doc's own k-gram hashes
     assert(byDoc(3L).size <= 9, "cannot select more fps than k-grams")
   }
+
+  test("logregQuality: separable corpus learns the boundary, empty doc " +
+       "rides the bias, deterministic across partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // positives say 'good', negatives say 'spam' — linearly separable
+    // in hashed-unigram space
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", 1)
+      else (i, "spam junk garbage noise blob", 0)
+    } :+ (99L, "", 1)
+    val docs = rows.toDF("doc_id", "text", "y")
+    val out = Selection.logregQuality(docs, "doc_id", "text",
+        col("y") === 1, dim = 64, iters = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    val posScores = (0L until 40L by 2).map(out(_)._1)
+    val negScores = (1L until 40L by 2).map(out(_)._1)
+    assert(posScores.min > negScores.max,
+      s"separable data must separate: pos ${posScores.min} " +
+        s"vs neg ${negScores.max}")
+    assert(out(0L)._2 && !out(1L)._2, "keep tracks the 0.5 threshold")
+    // the all-identical-feature empty doc gets the bias-only score
+    assert(out.contains(99L), "token-free doc must still be scored")
+    // partition invariance: round-6 gradient fixed-point kills sum-order
+    // sensitivity
+    val again = Selection.logregQuality(docs.repartition(7), "doc_id",
+        "text", col("y") === 1, dim = 64, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((0L until 40L).forall(i => again(i) === out(i)._1),
+      "scores must be identical under a different partitioning")
+  }
 }
