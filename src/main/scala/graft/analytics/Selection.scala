@@ -127,44 +127,62 @@ object Selection {
   }
 
   /** fastText/DCLM-style quality classifier: full-batch logistic
-    * regression over hashed-unigram features, trained ON the corpus
-    * against a caller-supplied binary `label` (e.g. "looks like the
-    * curated slice") and then scoring every document — the modern
-    * learned data-selection filter (DCLM's fastText gate, GPT-3's
+    * regression over STANDARDIZED hashed-unigram features, trained ON
+    * the corpus against a caller-supplied binary `label` (e.g. "looks
+    * like the curated slice") and then scoring every document — the
+    * modern learned data-selection filter (DCLM's fastText gate, GPT-3's
     * LR-over-features quality filter; one model order up from
     * [[dsirWeights]]'s likelihood ratio).
     *
-    * Model: features are the [[TfIdf.hashingTf]] `md5[0:8] mod dim`
-    * buckets with doc-length-normalized tf (`tf / n_tokens`) plus a
-    * constant bias feature at index `dim`; `iters` full-batch gradient
-    * steps `w ← w − lr · round(Σ_i (σ(w·x_i) − y_i) x_i / n, 6)` from
-    * w = 0. Everything an oracle needs is pinned: fixed iteration count,
-    * zero init, and the ROUND-6 GRADIENT exchange — the same fixed-point
-    * trick as [[Cluster]]'s centroid exchange — so both engines step
-    * through bit-identical models even though their sum orders differ.
-    * Output: (id, y, score σ(w·x) rounded 6, keep = score ≥ 0.5).
-    * Docs with no tokens ride the bias feature alone.
+    * Raw features are the [[TfIdf.hashingTf]] `md5[0:8] mod dim` buckets
+    * with doc-length-normalized tf (`x = tf / n_tokens`); training runs
+    * on the z-scored coordinates `x' = (x − μ_b) / s_b` plus an
+    * intercept. Standardization is what makes full-batch GD actually
+    * converge here: raw tf/len coordinates are all positively correlated
+    * with the document-mass direction, whose Hessian eigenvalue dwarfs
+    * the discriminative ones — unscaled GD either crawls (small lr) or
+    * oscillates into saturation (large lr). Centering removes that
+    * shared direction and unit variance equalizes the rest, so lr ~ 0.5
+    * with a few dozen iterations separates.
     *
-    * Scale shape — canonical distributed full-batch GD: the feature
-    * table is built ONCE (one tokenization, one (id, bucket) partial-agg
-    * exchange, doc length via an id-partitioned window), repartitioned by
-    * id and checkpointed; each iteration is one margin aggregation and
-    * one id-keyed join + bucket aggregation over that materialized table
-    * — both pre-partitioned on id, so iterations add NO new corpus
-    * exchanges — ending in a (dim+1)-row round-6 collect (the
-    * model-sized exchange, independent of corpus size). At 100 TB:
-    * iters × (2 scans of the persisted features + tiny collect).
+    * THE SPARSE TRICK — standardizing never densifies: a doc missing
+    * bucket `b` has centered value `−μ_b/s_b`, but the margin
+    * decomposes as
+    * `w·x' = Σ_present (w_b/s_b)·x_b − Σ_all_b w_b μ_b/s_b + w_bias`,
+    * where the second term is one model-level scalar; gradients
+    * decompose the same way via the residual total Σ r. Feature rows
+    * stay (id, bucket, x) sparse, at 100 TB as at test scale.
+    *
+    * Everything an oracle needs is pinned: fixed iteration count, zero
+    * init, round-6 (μ, s) stats, and the ROUND-6 GRADIENT exchange —
+    * the [[Cluster]] centroid-exchange fixed-point — so both engines
+    * step through bit-identical models even though their sum orders
+    * differ (half-away-from-zero rounding on both sides).
+    *
+    * Scale shape — canonical distributed full-batch GD: the sparse
+    * feature table is built ONCE (one tokenization, one (id, bucket)
+    * partial-agg exchange, doc length via an id-partitioned window),
+    * repartitioned by id and checkpointed; each iteration is one margin
+    * aggregation, one residual total, and one id-keyed join + bucket
+    * aggregation over that materialized table, ending in a
+    * (dim+1)-row round-6 collect (the model-sized exchange, independent
+    * of corpus size).
+    *
+    * Output: (id, y, score σ(w·x') rounded 6, keep = score ≥ 0.5).
+    * Token-free docs score through the centered-absent terms + bias.
     */
-  def logregQuality(docs0: DataFrame, idCol: String, textCol: String,
-                    label: Column, dim: Int = 64, iters: Int = 10,
-                    lr: Double = 0.5): DataFrame = {
-    require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
-    require(lr > 0.0, "lr must be positive")
-    val spark = docs0.sparkSession
+  /** Sparse (id, y, bucket, x) features: md5-bucket tf/len token rows
+    * PLUS a constant bias row (bucket = dim, x = 1) for EVERY document —
+    * so each doc is present (token-free ones too) and the bias behaves
+    * as just another coordinate with pinned μ = 0, s = 1, letting one
+    * aggregation per GD step serve every gradient component (the bias
+    * bucket's raw moment IS the residual total Σr). */
+  private def logregFeatures(docs: DataFrame, idCol: String,
+                             textCol: String, label: Column,
+                             dim: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Par.ensure(docs0)
-
-    val toks = docs.select(col(idCol).as("id"),
+    docs.select(col(idCol).as("id"),
         label.cast("int").as("y"),
         explode(Dedup.tokens(col(textCol))).as("w"))
       .withColumn("bucket",
@@ -173,7 +191,6 @@ object Selection {
       .groupBy($"id", $"y", $"bucket").agg(count(lit(1)).as("tf"))
       .withColumn("nt", sum($"tf").over(
         org.apache.spark.sql.expressions.Window.partitionBy($"id")))
-    val feats = toks
       .select($"id", $"y", $"bucket",
         ($"tf".cast("double") / $"nt".cast("double")).as("x"))
       .unionByName(docs.select(col(idCol).as("id"),
@@ -181,29 +198,153 @@ object Selection {
         lit(1.0).as("x")))
       .repartition($"id")
       .localCheckpoint()
-    val n = docs.count().toDouble
+  }
 
+  /** Round-6-pinned per-bucket standardization stats over the DENSE
+    * semantics (absent buckets count as 0): μ_b = round(Σx/n, 6),
+    * s_b = round(sqrt(max(Σx²/n − μ_b², 0)), 6), with zero-variance
+    * buckets pinned to s = 1 (their centered value is 0 everywhere, so
+    * the coordinate is inert either way). */
+  /** Round-6-pinned per-bucket standardization stats over the DENSE
+    * semantics (absent buckets count as 0): μ_b = round(Σx/n, 6),
+    * s_b = round(sqrt(max(Σx²/n − μ_b², 0)), 6), with zero-variance
+    * buckets pinned to s = 1 (their centered value is 0 everywhere, so
+    * the coordinate is inert either way). The bias coordinate at index
+    * dim is pinned μ = 0, s = 1 — its rows are excluded here. */
+  private def logregStats(feats: DataFrame, n: Double,
+                          dim: Int): (Array[Double], Array[Double]) = {
+    val rows = feats.filter(col("bucket") < dim).groupBy(col("bucket"))
+      .agg(round(sum(col("x")) / lit(n), 6).as("mu"),
+        (sum(col("x") * col("x")) / lit(n)).as("exx"))
+      .select(col("bucket"), col("mu"),
+        round(sqrt(greatest(col("exx") - col("mu") * col("mu"),
+          lit(0.0))), 6).as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val mu = Array.tabulate(dim + 1)(b =>
+      if (b == dim) 0.0 else rows.get(b).map(_._1).getOrElse(0.0))
+    val s = Array.tabulate(dim + 1) { b =>
+      val sv = if (b == dim) 1.0 else rows.get(b).map(_._2).getOrElse(0.0)
+      if (sv == 0.0) 1.0 else sv
+    }
+    (mu, s)
+  }
+
+  /** Margins `(id, y, mg)` for every document under weights `w` and
+    * stats (μ, s), all dim+1 coordinates uniform: the sparse
+    * decomposition `Σ_present (w_b/s_b) x_b − Σ_b w_b μ_b/s_b`; the
+    * bias row (x = 1, μ = 0, s = 1) contributes exactly `w_bias`, and
+    * guarantees every doc has a group. */
+  private def logregMargins(feats: DataFrame, w: Seq[Double],
+                            mu: Array[Double], s: Array[Double],
+                            dim: Int): DataFrame = {
+    val wEff = array((0 to dim).map(b => lit(w(b) / s(b))): _*)
+    val c = (0 to dim).map(b => w(b) * mu(b) / s(b)).sum
+    feats.groupBy(col("id"), col("y"))
+      .agg(sum(element_at(wEff, col("bucket") + 1) * col("x")).as("sx"))
+      .select(col("id"), col("y"), (col("sx") - lit(c)).as("mg"))
+  }
+
+  private def half6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def logregFit(feats: DataFrame, n: Double, dim: Int,
+                        iters: Int, lr: Double): Array[Double] = {
+    require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
+    require(lr > 0.0, "lr must be positive")
+    val (mu, s) = logregStats(feats, n, dim)
     var w = Array.fill(dim + 1)(0.0)
-    def margins(wv: Array[Double]): DataFrame = {
-      val wArr = array(wv.map(lit(_)): _*)
-      feats.groupBy($"id", $"y")
-        .agg(sum(element_at(wArr, $"bucket" + 1) * $"x").as("mg"))
-    }
     for (_ <- 1 to iters) {
-      val g = margins(w)
-        .select($"id",
-          (lit(1.0) / (lit(1.0) + exp(-$"mg")) - $"y".cast("double"))
+      // ONE action per step: raw gradient moments Σ r·x_b per bucket —
+      // the bias bucket's moment IS the residual total Σr, so the
+      // standardized gradient (Σrx − μΣr)/(s·n) assembles driver-side
+      // from a single pass, round-6 pinned (HALF_UP = the engines'
+      // shared half-away-from-zero round)
+      val rx = logregMargins(feats, w.toSeq, mu, s, dim)
+        .select(col("id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("mg"))) - col("y").cast("double"))
             .as("r"))
-        .join(feats.select($"id", $"bucket", $"x"), Seq("id"))
-        .groupBy($"bucket")
-        .agg(round(sum($"r" * $"x") / lit(n), 6).as("g"))
+        .join(feats.select(col("id"), col("bucket"), col("x")), Seq("id"))
+        .groupBy(col("bucket")).agg(sum(col("r") * col("x")).as("v"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      w = w.zipWithIndex.map { case (wb, b) =>
-        wb - lr * g.getOrElse(b, 0.0)
-      }
+      val t = rx.getOrElse(dim, 0.0)
+      val g = Array.tabulate(dim + 1)(b =>
+        half6((rx.getOrElse(b, 0.0) - mu(b) * t) / (s(b) * n)))
+      w = w.zipWithIndex.map { case (wb, b) => wb - lr * g(b) }
     }
-    margins(w).select($"id", $"y",
-        round(lit(1.0) / (lit(1.0) + exp(-$"mg")), 6).as("score"))
-      .withColumn("keep", $"score" >= 0.5)
+    w ++ mu.take(dim) ++ s.take(dim) // packed; callers slice
+  }
+
+  /** Train the [[logregQuality]] model and return it as a persistable
+    * artifact: `(b, wt, mu, s)` rows for b in 0..dim (the bias row
+    * carries mu = 0, s = 1) — parquet-writable like [[CorpusIndex]];
+    * the standardization stats travel WITH the weights so a mismatched
+    * probe cannot happen. Train once, [[logregScore]] many: at 100 TB
+    * nobody retrains the quality filter per scoring batch. */
+  def logregTrain(docs0: DataFrame, idCol: String, textCol: String,
+                  label: Column, dim: Int = 64, iters: Int = 30,
+                  lr: Double = 0.5): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val docs = Par.ensure(docs0)
+    val feats = logregFeatures(docs, idCol, textCol, label, dim)
+    val packed = logregFit(feats, docs.count().toDouble, dim, iters, lr)
+    val (w, mu, s) = (packed.take(dim + 1), packed.slice(dim + 1, 2 * dim + 1),
+      packed.drop(2 * dim + 1))
+    (0 to dim).map(b => (b, w(b),
+        if (b == dim) 0.0 else mu(b), if (b == dim) 1.0 else s(b)))
+      .toDF("b", "wt", "mu", "s")
+  }
+
+  /** Score documents under a trained `(b, wt, mu, s)` model from
+    * [[logregTrain]] — the probe half of the split. The model is
+    * `dim + 1` rows however large the training corpus was, so it
+    * collects to literals and scoring is one sparse margin aggregation
+    * over the scored corpus (whose features are standardized by the
+    * TRAINING stats — the artifact's whole point). `label` is carried
+    * through for eval; pass any constant if unlabeled.
+    * Output: (id, y, score, keep). */
+  def logregScore(model: DataFrame, docs0: DataFrame, idCol: String,
+                  textCol: String, label: Column,
+                  dim: Int = 64): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val rows = model.select(col("b").cast("int"), col("wt").cast("double"),
+        col("mu").cast("double"), col("s").cast("double"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    require(rows.size == dim + 1,
+      s"model must have dim+1 = ${dim + 1} rows, got ${rows.size}")
+    val w = (0 to dim).map(rows(_)._1)
+    val mu = Array.tabulate(dim + 1)(b =>
+      if (b == dim) 0.0 else rows(b)._2)
+    val s = Array.tabulate(dim + 1) { b =>
+      val sv = if (b == dim) 1.0 else rows(b)._3
+      if (sv == 0.0) 1.0 else sv
+    }
+    val feats = logregFeatures(docs, idCol, textCol, label, dim)
+    logregMargins(feats, w, mu, s, dim)
+      .select(col("id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("mg"))), 6).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
+
+  /** Train-and-score in one call (the q141 gate shape), sharing one
+    * checkpointed feature table across both phases (composing the two
+    * public halves would tokenize the corpus twice). */
+  def logregQuality(docs0: DataFrame, idCol: String, textCol: String,
+                    label: Column, dim: Int = 64, iters: Int = 30,
+                    lr: Double = 0.5): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val feats = logregFeatures(docs, idCol, textCol, label, dim)
+    val n = docs.count().toDouble
+    val packed = logregFit(feats, n, dim, iters, lr)
+    val w = packed.take(dim + 1)
+    val mu = packed.slice(dim + 1, 2 * dim + 1) :+ 0.0
+    val s = packed.drop(2 * dim + 1) :+ 1.0
+    logregMargins(feats, w.toSeq, mu, s, dim)
+      .select(col("id"), col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("mg"))), 6).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
   }
 }

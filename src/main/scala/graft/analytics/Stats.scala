@@ -218,4 +218,33 @@ object Stats {
       round(graft.functions.DotProduct.dotProduct(
           zip_with($"v", mLit, (x, m) => x - m), wLit), 6).as("pc1"))
   }
+
+  /** Reliability-diagram calibration bins for a probabilistic classifier
+    * (e.g. [[Selection.logregQuality]] scores): equal-width bins over
+    * [0, 1] (score 1.0 folds into the top bin), per-bin count, mean
+    * predicted score, and observed positive fraction — the table behind
+    * expected-calibration-error and the keep-threshold choice. Scale
+    * shape: one map-side bin projection + one `bins`-row aggregation
+    * with partial combine; nothing but the scan grows with the corpus.
+    * Both emitted ratios are EXACT single divisions: scores arrive
+    * round-6, so they sum losslessly as integer micro-units (a
+    * `round(avg, 6)` here would sit on knife edges — sum-order ulps
+    * flip the 6th decimal when the mean lands on a .5 boundary). Null
+    * scores are dropped (they carry no calibration signal). */
+  def calibrationBins(scored: DataFrame, scoreCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    scored
+      .filter(col(scoreCol).isNotNull)
+      .select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+          .as("bin"),
+        round(col(scoreCol) * lit(1000000.0)).cast("long").as("sm"),
+        col(labelCol).cast("int").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sm")).cast("double") / count(lit(1)) / lit(1000000.0))
+          .as("mean_score"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("frac_pos"))
+  }
 }

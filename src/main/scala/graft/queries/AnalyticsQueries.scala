@@ -2634,22 +2634,38 @@ object AnalyticsQueries {
         "kmeans centroid-exchange trick), scoring every doc against the " +
         "lang='en' label — oracle is the SAME recurrence unrolled as " +
         "MATERIALIZED CTE triples",
-      Some(logregOracleSql(iters = 10)),
+      Some(logregScoreSql(iters = 30)),
       (s, dir) =>
         graft.analytics.Selection.logregQuality(Tables(s, dir, "documents"),
-            "doc_id", "text", col("lang") === "en", dim = 64, iters = 10)
-          .orderBy("id"))
+            "doc_id", "text", col("lang") === "en", dim = 64, iters = 30)
+          .orderBy("id")),
+
+    // ----- classifier calibration -----
+    Q("q142_calibration_bins",
+      "reliability-diagram bins of the q141 classifier: 10 equal-width " +
+        "score bins, per-bin count, mean predicted score, observed " +
+        "positive fraction — the ECE table behind the keep-threshold " +
+        "choice; one map-side bin projection + a bins-row partial agg",
+      Some(logregCalibrationSql(iters = 30, bins = 10)),
+      (s, dir) =>
+        graft.analytics.Stats.calibrationBins(
+            graft.analytics.Selection.logregQuality(
+              Tables(s, dir, "documents"),
+              "doc_id", "text", col("lang") === "en", dim = 64, iters = 30),
+            "score", "y", bins = 10)
+          .orderBy("bin"))
   )
 
-  /** Unrolled full-batch logistic-regression GD in DuckDB: the hashed
-    * feature table (md5-bucket tf/len + bias at index `dim`), then
-    * `iters` CTE triples (margins, round-6 gradient, weight step) — the
-    * SAME recurrence [[graft.analytics.Selection.logregQuality]] runs,
-    * with the identical zero init, 0.5 learning rate, and round-6
-    * gradient fixed-point. MATERIALIZED on every step (the q130 lesson:
-    * DuckDB inlines single-reference CTEs and a deep inlined chain goes
-    * exponential). */
-  private def logregOracleSql(iters: Int, dim: Int = 64): String = {
+  /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —
+    * the SAME recurrence [[graft.analytics.Selection.logregQuality]]
+    * runs: sparse tf/len features, round-6 (μ, s) stats with the
+    * zero-variance s=1 pin, margins via the sparse decomposition
+    * `Σ (w/s)x − Σ wμ/s + w_bias` (every doc, token-free included),
+    * round-6 gradients `(Σrx − μΣr)/(s·n)`, zero init, fixed `iters`.
+    * MATERIALIZED on every recurrence step (the q130 lesson: DuckDB
+    * inlines single-reference CTEs and a deep inlined chain goes
+    * exponential). Ends at CTE `m${iters+1}` = final margins. */
+  private def logregOracleSql(iters: Int, dim: Int = 64, lr: Double = 0.5): String = {
     val head =
       s"""WITH tk AS (
          |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
@@ -2665,34 +2681,73 @@ object AnalyticsQueries {
          |  UNION ALL
          |  SELECT doc_id, CAST(lang = 'en' AS INT), $dim, 1.0 FROM documents),
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |bs0 AS (SELECT bucket, round(sum(x) / nn.n, 6) AS mu,
+         |               sum(x * x) / nn.n AS exx
+         |        FROM f CROSS JOIN nn WHERE bucket < $dim
+         |        GROUP BY bucket, nn.n),
+         |bsx AS MATERIALIZED (
+         |  SELECT bucket, mu,
+         |         CASE WHEN round(sqrt(greatest(exx - mu * mu, 0.0)), 6) = 0.0
+         |              THEN 1.0
+         |              ELSE round(sqrt(greatest(exx - mu * mu, 0.0)), 6) END AS s
+         |  FROM bs0
+         |  UNION ALL
+         |  SELECT $dim, 0.0, 1.0),
          |w0 AS (SELECT CAST(unnest(range(0, ${dim + 1})) AS INT) AS b, 0.0 AS wt)""".stripMargin
-    val steps = (1 to iters).map { i =>
+    // margins CTE m$i under weights w${i-1} (shared by the iteration
+    // steps and, at i = iters+1, the final scoring margins); the bias
+    // row x=1, mu=0, s=1 makes every coordinate uniform and every doc
+    // present
+    def marginCtes(i: Int): String =
       s""",
+         | e$i AS (SELECT bsx.bucket, w${i - 1}.wt / bsx.s AS weff,
+         |               w${i - 1}.wt * bsx.mu / bsx.s AS ct
+         |        FROM w${i - 1} JOIN bsx ON bsx.bucket = w${i - 1}.b),
+         | c$i AS (SELECT coalesce(sum(ct), 0.0) AS c FROM e$i),
          | m$i AS MATERIALIZED (
-         |   SELECT f.doc_id, f.y, sum(w${i - 1}.wt * f.x) AS mg
-         |   FROM f JOIN w${i - 1} ON w${i - 1}.b = f.bucket
-         |   GROUP BY f.doc_id, f.y),
+         |   SELECT f.doc_id, f.y, sum(e$i.weff * f.x) - c$i.c AS mg
+         |   FROM f JOIN e$i ON e$i.bucket = f.bucket CROSS JOIN c$i
+         |   GROUP BY f.doc_id, f.y, c$i.c)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      marginCtes(i) +
+      s""",
+         | rx$i AS MATERIALIZED (
+         |   SELECT f.bucket,
+         |          sum((1.0 / (1.0 + exp(-m$i.mg)) - CAST(m$i.y AS DOUBLE)) * f.x) AS v
+         |   FROM f JOIN m$i ON m$i.doc_id = f.doc_id
+         |   GROUP BY f.bucket),
+         | t$i AS (SELECT coalesce((SELECT v FROM rx$i WHERE bucket = $dim), 0.0) AS t),
          | g$i AS MATERIALIZED (
-         |   SELECT f.bucket AS b,
-         |          round(sum((1.0 / (1.0 + exp(-m.mg)) - CAST(m.y AS DOUBLE)) * f.x) / nn.n, 6) AS g
-         |   FROM f JOIN m$i m ON m.doc_id = f.doc_id CROSS JOIN nn
-         |   GROUP BY f.bucket, nn.n),
+         |   SELECT bsx.bucket AS b,
+         |          round((coalesce(rx$i.v, 0.0) - bsx.mu * t$i.t) / (bsx.s * nn.n), 6) AS g
+         |   FROM bsx LEFT JOIN rx$i ON rx$i.bucket = bsx.bucket
+         |   CROSS JOIN t$i CROSS JOIN nn),
          | w$i AS MATERIALIZED (
-         |   SELECT w${i - 1}.b, w${i - 1}.wt - 0.5 * coalesce(g$i.g, 0.0) AS wt
+         |   SELECT w${i - 1}.b, w${i - 1}.wt - $lr * coalesce(g$i.g, 0.0) AS wt
          |   FROM w${i - 1} LEFT JOIN g$i ON g$i.b = w${i - 1}.b)""".stripMargin
     }.mkString
-    val tail =
-      s""",
-         | mf AS (
-         |   SELECT f.doc_id, f.y, sum(w$iters.wt * f.x) AS mg
-         |   FROM f JOIN w$iters ON w$iters.b = f.bucket
-         |   GROUP BY f.doc_id, f.y)
-         |SELECT doc_id AS id, y,
-         |       round(1.0 / (1.0 + exp(-mg)), 6) AS score,
-         |       round(1.0 / (1.0 + exp(-mg)), 6) >= 0.5 AS keep
-         |FROM mf ORDER BY doc_id""".stripMargin
-    head + steps + tail
+    head + steps + marginCtes(iters + 1)
   }
+
+  /** q141 tail over [[logregOracleSql]]'s final `m{iters+1}` margins. */
+  private def logregScoreSql(iters: Int): String =
+    logregOracleSql(iters) +
+      s"""
+        |SELECT doc_id AS id, y,
+        |       round(1.0 / (1.0 + exp(-mg)), 6) AS score,
+        |       round(1.0 / (1.0 + exp(-mg)), 6) >= 0.5 AS keep
+        |FROM m${iters + 1} ORDER BY doc_id""".stripMargin
+
+  /** q142 tail: reliability-diagram bins over the same trained scores. */
+  private def logregCalibrationSql(iters: Int, bins: Int): String =
+    logregOracleSql(iters) +
+      s""",
+         | s AS (SELECT round(1.0 / (1.0 + exp(-mg)), 6) AS score, y FROM m${iters + 1})
+         |SELECT CAST(least(floor(score * $bins), ${bins - 1}) AS INT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mean_score,
+         |       CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos
+         |FROM s GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one
     * matrix-vector product over the full d×d covariance (both triangles)

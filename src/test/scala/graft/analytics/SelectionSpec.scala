@@ -189,6 +189,41 @@ class SelectionSpec extends SparkTestBase {
     assert(byDoc(3L).size <= 9, "cannot select more fps than k-grams")
   }
 
+  test("logregTrain/logregScore split: the parquet-persisted model " +
+       "artifact reproduces logregQuality exactly and scores a shard " +
+       "it never trained on") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", 1)
+      else (i, "spam junk garbage noise blob", 0)
+    }
+    val docs = rows.toDF("doc_id", "text", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lrmodel")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("model").toString
+    Selection.logregTrain(docs, "doc_id", "text", col("y") === 1,
+      dim = 64, iters = 10).write.mode("overwrite").parquet(path)
+    val model = spark.read.parquet(path)
+    val viaArtifact = Selection.logregScore(model, docs, "doc_id", "text",
+        col("y") === 1, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val direct = Selection.logregQuality(docs, "doc_id", "text",
+        col("y") === 1, dim = 64, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaArtifact === direct,
+      "persisted model must reproduce train-and-score exactly")
+    // probe a shard the model never saw: new spam-like doc scores low,
+    // new prose-like doc scores high (TRAINING stats standardize it)
+    val fresh = Seq((1000L, "good clean prose text here", 1),
+      (1001L, "spam junk garbage noise blob", 0)).toDF("doc_id", "text", "y")
+    val probed = Selection.logregScore(model, fresh, "doc_id", "text",
+        col("y") === 1, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(probed(1000L) > probed(1001L),
+      s"unseen prose ${probed(1000L)} must outscore unseen spam ${probed(1001L)}")
+  }
+
   test("logregQuality: separable corpus learns the boundary, empty doc " +
        "rides the bias, deterministic across partitionings") {
     import spark.implicits._
