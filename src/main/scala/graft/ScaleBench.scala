@@ -319,7 +319,11 @@ object ScaleBench {
         // feats scans, with NO per-iteration corpus re-tokenization
         "q141_logreg" -> (() =>
           analytics.Selection.logregQuality(docs, "doc_id", "text",
-            $"lang" === "en").count()))
+            $"lang" === "en").count()),
+        // the q77 shape: one (group, word) agg + word-keyed corpus join;
+        // per-copy token prefixes grow the vocab linearly — linear-flat
+        "q143_vocab_drift" -> (() =>
+          analytics.TextAnalysis.vocabDrift(docs, "text", "lang").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

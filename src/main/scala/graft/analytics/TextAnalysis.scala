@@ -416,6 +416,40 @@ object TextAnalysis {
     * itself diverges (Java includes U+000B, RE2 does not). Dominant
     * script is the argmax with ties broken latin > cyrillic > cjk,
     * "und" for empty docs. Entirely map-side. */
+  /** Per-group vocabulary drift: KL(P_group || P_corpus) over the
+    * unigram distributions — the corpus-monitoring statistic that flags
+    * a source whose word mix diverges from the blend (new crawl snapshot
+    * gone weird, a source drifting into boilerplate). Restricted to
+    * words the group actually uses (p_g > 0), where the corpus
+    * probability is also > 0, so no smoothing is needed and the sum is
+    * a true KL. Also emits token and distinct-word counts per group.
+    *
+    * Scale shape: one (group, word) aggregation feeds the group totals,
+    * the corpus word table, and the scoring join via exchange reuse;
+    * the word-keyed corpus join is never assumed broadcastable; the
+    * 1-row corpus total rides the allowlisted crossJoin(broadcast).
+    * Output is group-cardinality-sized. round(,6) absorbs sum-order
+    * ulps in the KL sum (all ratios are exact-count divisions). */
+  def vocabDrift(docs0: DataFrame, textCol: String,
+                 groupCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val sw = docs.select(col(groupCol).as("grp"),
+        explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy("grp", "word").agg(count(lit(1)).as("c"))
+    val st = sw.groupBy("grp").agg(sum(col("c")).as("t"))
+    val cw = sw.groupBy("word").agg(sum(col("c")).as("cw"))
+    val ct = cw.agg(sum(col("cw")).cast("double").as("tt"))
+    val ps = col("c").cast("double") / col("t").cast("double")
+    val pc = col("cw").cast("double") / col("tt")
+    sw.join(st, Seq("grp")).join(cw, Seq("word"))
+      .crossJoin(broadcast(ct))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("n_distinct"),
+        round(sum(ps * log(ps / pc)), 6).as("kl_vs_corpus"))
+      .select(col("grp").as(groupCol), col("t").as("n_tokens"),
+        col("n_distinct"), col("kl_vs_corpus"))
+  }
+
   /** Per-language tokenizer fertility: the corpus-level subword-per-word
     * ratio (BPE-ish tokens / whitespace words) plus chars-per-subword —
     * the standard measure of how expensively a tokenizer encodes each

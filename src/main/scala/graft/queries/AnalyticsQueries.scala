@@ -2640,6 +2640,36 @@ object AnalyticsQueries {
             "doc_id", "text", col("lang") === "en", dim = 64, iters = 30)
           .orderBy("id")),
 
+    // ----- per-source vocabulary drift -----
+    Q("q143_vocab_drift",
+      "per-source unigram KL(source || corpus): the drift statistic " +
+        "that flags a source whose word mix diverges from the blend; " +
+        "restricted to the source's own support so no smoothing — " +
+        "exact-count ratios, round-6 sum; one (source, word) agg reused " +
+        "by totals + corpus table + scoring join",
+      Some("""WITH w AS (
+             |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+             |       FROM w GROUP BY source, word),
+             |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+             |       FROM sw GROUP BY source),
+             |cw AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw
+             |       FROM sw GROUP BY word),
+             |ct AS (SELECT CAST(sum(cw) AS DOUBLE) AS tt FROM cw)
+             |SELECT sw.source, st.t AS n_tokens,
+             |       CAST(count(*) AS BIGINT) AS n_distinct,
+             |       round(sum((CAST(sw.c AS DOUBLE) / CAST(st.t AS DOUBLE))
+             |         * ln((CAST(sw.c AS DOUBLE) / CAST(st.t AS DOUBLE))
+             |               / (CAST(cw.cw AS DOUBLE) / ct.tt))), 6) AS kl_vs_corpus
+             |FROM sw JOIN st USING (source) JOIN cw USING (word) CROSS JOIN ct
+             |GROUP BY sw.source, st.t
+             |ORDER BY sw.source""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.vocabDrift(Tables(s, dir, "documents"),
+            "text", "source")
+          .orderBy("source")),
+
     // ----- classifier calibration -----
     Q("q142_calibration_bins",
       "reliability-diagram bins of the q141 classifier: 10 equal-width " +

@@ -38,4 +38,46 @@ object CorpusIngest {
       .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_anti")
       .select(col(idCol), col(tsCol), col(textCol), col("lang_guess"))
   }
+
+  /** Score a document stream under a persisted
+    * [[graft.analytics.Selection.logregTrain]] `(b, wt, mu, s)` model
+    * artifact — model-artifact SERVING: the trained quality filter
+    * applied to continuously-arriving docs with zero streaming state
+    * (no watermark, no aggregation; a crashed query restarts clean).
+    *
+    * The batch scorer groups exploded feature rows; a stream cannot
+    * aggregate per-doc without state, so this scorer folds the SAME
+    * margin entirely within each row:
+    * `Σ_tokens weff(bucket(tok)) / len + w_bias − c` — algebraically
+    * identical to the batch margin (x_b = tf_b/len collapses into the
+    * per-token sum), associativity differing only in ulps that the
+    * round-6 score absorbs. Works on batch frames too (it is plain
+    * map-side column algebra), which is how the spec differentially
+    * pins it to [[graft.analytics.Selection.logregScore]].
+    * Output: (id, score, keep). */
+  def scoreStream(model: DataFrame, docs: DataFrame, idCol: String,
+                  textCol: String, dim: Int = 64): DataFrame = {
+    val rows = model.select(col("b").cast("int"), col("wt").cast("double"),
+        col("mu").cast("double"), col("s").cast("double"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    require(rows.size == dim + 1,
+      s"model must have dim+1 = ${dim + 1} rows, got ${rows.size}")
+    def sOf(b: Int) = { val sv = rows(b)._3; if (sv == 0.0) 1.0 else sv }
+    val weff = (0 to dim).map(b => rows(b)._1 / sOf(b))
+    val c = (0 to dim).map(b => rows(b)._1 * rows(b)._2 / sOf(b)).sum
+    val weffArr = array(weff.take(dim).map(lit(_)): _*)
+    val toks = graft.analytics.Dedup.tokens(col(textCol))
+    val sxTok = aggregate(
+      transform(toks, t => element_at(weffArr,
+        (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim)
+          .cast("int") + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val mg = when(size(toks) > 0, sxTok / size(toks).cast("double"))
+      .otherwise(lit(0.0)) + lit(weff(dim)) - lit(c)
+    docs.select(col(idCol).as("id"),
+        round(lit(1.0) / (lit(1.0) + exp(-mg)), 6).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
 }

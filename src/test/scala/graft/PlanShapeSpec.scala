@@ -161,7 +161,8 @@ class PlanShapeSpec extends SparkTestBase {
       "q108_dsir_weights", "q110_nb_classify", "q116_quantile_buckets",
       "q120_cm_sketch", "q121_dsir_select", "q123_bloom_filter",
       "q131_stupid_backoff", "q134_hard_negatives",
-      "q135_bm25_topk", "q136_hybrid_rrf", "q139_retrieval_metrics")
+      "q135_bm25_topk", "q136_hybrid_rrf", "q139_retrieval_metrics",
+      "q143_vocab_drift")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan

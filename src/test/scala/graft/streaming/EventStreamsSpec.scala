@@ -315,4 +315,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed === batchKept, s"stream=$streamed batch=$batchKept")
     assert(streamed === Set(good1, good2))
   }
+
+  test("scoreStream serves the persisted logreg artifact statelessly and " +
+       "matches the batch scorer on identical docs (differential)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", 1)
+      else (i, "spam junk garbage noise blob", 0)
+    }.toDF("doc_id", "text", "y")
+    val model = graft.analytics.Selection.logregTrain(
+      train, "doc_id", "text", col("y") === 1, dim = 64, iters = 10)
+    val fresh = Seq((100L, "good clean prose text here"),
+      (101L, "spam junk garbage noise blob"),
+      (102L, ""))
+    val in = MemoryStream[(Long, String)]
+    in.addData(fresh: _*)
+    val q = CorpusIngest.scoreStream(model,
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("scored")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("scored")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.analytics.Selection.logregScore(model,
+        fresh.toDF("doc_id", "text"), "doc_id", "text", lit(0), dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(streamed.keySet === batch.keySet)
+    for ((id, s) <- streamed)
+      assert(math.abs(s - batch(id)) <= 1e-6,
+        s"doc $id: stream $s vs batch ${batch(id)}")
+    assert(streamed(100L) > streamed(101L),
+      "the served model must still separate prose from spam")
+  }
 }
