@@ -231,6 +231,41 @@ object Stats {
     * `round(avg, 6)` here would sit on knife edges — sum-order ulps
     * flip the 6th decimal when the mean lands on a .5 boundary). Null
     * scores are dropped (they carry no calibration signal). */
+  /** Exact ROC-AUC of a probabilistic classifier via the Mann-Whitney
+    * midrank identity: `AUC = (S2 − nPos(nPos+1)) / (2·nPos·nNeg)` with
+    * `S2 = Σ over distinct scores of nPos_g · (2·cumBefore + cnt + 1)` —
+    * twice the positives' midrank sum, an INTEGER, so the whole statistic
+    * is long arithmetic until one final division: bit-exact cross-engine,
+    * no rounding anywhere. Ties contribute their midrank, the standard
+    * correction.
+    *
+    * Scale shape: one partial-aggregable groupBy(score), then a
+    * single-partition running-sum window over the DISTINCT-score table —
+    * bounded by construction at ≤ 10⁶+1 rows because scores arrive
+    * round-6 in [0, 1], so the one-task window is a non-issue at any
+    * corpus size. Null scores drop; a single-class input yields null.
+    * Output: one row (n_pos, n_neg, auc). */
+  def aucScore(scored: DataFrame, scoreCol: String,
+               labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("score"), col(labelCol).cast("int").as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("np"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = g.withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    o.agg(sum(col("np")).cast("long").as("n_pos"),
+        sum(col("cnt") - col("np")).cast("long").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cb") + col("cnt") + lit(1L)))
+          .cast("long").as("s2"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("double") /
+          nullif((lit(2L) * col("n_pos") * col("n_neg")).cast("double"),
+            lit(0.0))).as("auc"))
+  }
+
   def calibrationBins(scored: DataFrame, scoreCol: String,
                       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")

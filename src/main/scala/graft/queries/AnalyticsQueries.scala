@@ -2640,6 +2640,36 @@ object AnalyticsQueries {
             "doc_id", "text", col("lang") === "en", dim = 64, iters = 30)
           .orderBy("id")),
 
+    // ----- classifier ROC-AUC -----
+    Q("q144_classifier_auc",
+      "exact tie-aware ROC-AUC of the q141 classifier via the " +
+        "Mann-Whitney midrank identity — long arithmetic until one " +
+        "final division, bit-exact with NO rounding; the distinct-score " +
+        "window is bounded at 1e6+1 rows by round-6 scores",
+      Some(logregOracleSql(iters = 30) + """,
+             | sq AS (SELECT round(1.0 / (1.0 + exp(-mg)), 6) AS score, y FROM m31),
+             | gg AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             |               CAST(sum(y) AS BIGINT) AS np
+             |        FROM sq GROUP BY score),
+             | oo AS (SELECT score, cnt, np,
+             |               coalesce(sum(cnt) OVER (ORDER BY score
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |        FROM gg),
+             | tt AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |               CAST(sum(cnt - np) AS BIGINT) AS n_neg,
+             |               CAST(sum(np * (2 * cb + cnt + 1)) AS BIGINT) AS s2
+             |        FROM oo)
+             |SELECT n_pos, n_neg,
+             |       CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+             |         / nullif(CAST(2 * n_pos * n_neg AS DOUBLE), 0.0) AS auc
+             |FROM tt""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.aucScore(
+            graft.analytics.Selection.logregQuality(
+              Tables(s, dir, "documents"),
+              "doc_id", "text", col("lang") === "en", dim = 64, iters = 30),
+            "score", "y")),
+
     // ----- per-source vocabulary drift -----
     Q("q143_vocab_drift",
       "per-source unigram KL(source || corpus): the drift statistic " +

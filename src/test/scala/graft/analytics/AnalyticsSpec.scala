@@ -1868,6 +1868,27 @@ class StatsSpec extends SparkTestBase {
       .orderBy("vec_id").collect().map(_.getDouble(1))
     assert(again.toSeq === out.toSeq)
   }
+
+  test("aucScore: hand-computed midrank AUC with ties, perfect and " +
+       "reverse separations, single-class null") {
+    import spark.implicits._
+    // scores: 0.1(y0), 0.4(y0), 0.4(y1), 0.9(y1) — the tied pair takes
+    // midrank 2.5; rank-sum of positives = 2.5 + 4 = 6.5
+    // AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    val mixed = Seq((0.1, 0), (0.4, 0), (0.4, 1), (0.9, 1))
+      .toDF("score", "y")
+    val r = Stats.aucScore(mixed, "score", "y").head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === 0.875)
+    // perfect and reverse rankings
+    val perfect = Seq((0.1, 0), (0.2, 0), (0.8, 1)).toDF("score", "y")
+    assert(Stats.aucScore(perfect, "score", "y").head().getDouble(2) === 1.0)
+    val reverse = Seq((0.9, 0), (0.8, 0), (0.1, 1)).toDF("score", "y")
+    assert(Stats.aucScore(reverse, "score", "y").head().getDouble(2) === 0.0)
+    // all one class -> null auc (0 denominator)
+    val onecls = Seq((0.3, 1), (0.6, 1)).toDF("score", "y")
+    assert(Stats.aucScore(onecls, "score", "y").head().isNullAt(2))
+  }
 }
 
 class BpeSpec extends SparkTestBase {
