@@ -214,6 +214,28 @@ class PlanShapeSpec extends SparkTestBase {
            s"doc-word counts lost their map-side partial:\n$plan")
   }
 
+  test("bm25TopK: query terms probe the postings by broadcast and the " +
+       "candidate stream partial-aggregates before its one exchange") {
+    import org.apache.spark.sql.functions._
+    val df = analytics.Retrieval.bm25TopK(
+      queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", col("doc_id") % 100 === 0, k = 5)
+    val plan = executedPlan(df)
+    // the enriched query-term table is bounded by |queries| x terms ->
+    // its probe of the posting list must be a broadcast hash join
+    assert(plan.contains("BroadcastHashJoin"),
+           s"query-term probe must broadcast:\n$plan")
+    // the (qid, did) score aggregation must keep its map-side partial:
+    // the posting-join product never shuffles raw
+    assert("partial_sum".r.findAllIn(plan).nonEmpty ||
+           ("HashAggregate".r.findAllIn(plan).length >= 2 &&
+            "partial".r.findAllIn(plan).nonEmpty),
+           s"bm25 candidates lost their map-side partial:\n$plan")
+    // no corpus-sized sort-merge anywhere in the probe path: the only
+    // joins are the broadcast probe and the bounded df-enrich join
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("unigramSurprisal plans the doc-word subtree once (exchange reuse)" +
        " and keeps the corpus total a broadcast") {
     val df = analytics.TextAnalysis.unigramSurprisal(
