@@ -266,6 +266,42 @@ object Stats {
             lit(0.0))).as("auc"))
   }
 
+  /** Average precision (the PR-curve summary) with the standard
+    * tie-grouped step definition: thresholds sweep the distinct scores
+    * descending, and each group contributes
+    * `ΔTP_g · precision_at_cut_g`, so
+    * `AP = Σ_g np_g · (TP_g / N_g) / nPos` with TP/N the cumulative
+    * positives/rows at the group's cut — every ratio an exact division
+    * of longs; `round(,6)` only on the final sum (group order ulps).
+    * Complements [[aucScore]]: AUC ranks pairs, AP weights the head of
+    * the ranking — the number that matters when the kept fraction is
+    * small (data-selection gates keep the top few percent).
+    *
+    * Scale shape: identical to [[aucScore]] — one partial-aggregable
+    * groupBy(score) + a running-sum window over the distinct-score
+    * table, bounded at ≤ 10⁶+1 rows by round-6 scores. Null scores
+    * drop; no positives yields null. Output: one row
+    * (n_pos, n_neg, avg_precision). */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("score"), col(labelCol).cast("int").as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("np"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val o = g.withColumn("tp", sum(col("np")).over(w))
+      .withColumn("nc", sum(col("cnt")).over(w))
+    o.agg(sum(col("np")).cast("long").as("n_pos"),
+        sum(col("cnt") - col("np")).cast("long").as("n_neg"),
+        sum(col("np").cast("double") *
+          (col("tp").cast("double") / col("nc").cast("double"))).as("s"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("s") / nullif(col("n_pos").cast("double"), lit(0.0)), 6)
+          .as("avg_precision"))
+  }
+
   def calibrationBins(scored: DataFrame, scoreCol: String,
                       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")

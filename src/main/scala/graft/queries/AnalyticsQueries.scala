@@ -2670,6 +2670,39 @@ object AnalyticsQueries {
               "doc_id", "text", col("lang") === "en", dim = 64, iters = 30),
             "score", "y")),
 
+    // ----- classifier average precision -----
+    Q("q145_avg_precision",
+      "tie-grouped average precision of the q141 classifier (thresholds " +
+        "sweep distinct scores descending; AP = sum np_g*(TP_g/N_g) / " +
+        "nPos) — the PR summary that weights the ranking head, the " +
+        "number that matters when a selection gate keeps the top few " +
+        "percent; exact per-group ratios, round-6 final sum",
+      Some(logregOracleSql(iters = 30) + """,
+             | sq AS (SELECT round(1.0 / (1.0 + exp(-mg)), 6) AS score, y FROM m31),
+             | gg AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             |               CAST(sum(y) AS BIGINT) AS np
+             |        FROM sq GROUP BY score),
+             | oo AS (SELECT score, cnt, np,
+             |               sum(np) OVER (ORDER BY score DESC
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             |               sum(cnt) OVER (ORDER BY score DESC
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc
+             |        FROM gg),
+             | tt AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |               CAST(sum(cnt - np) AS BIGINT) AS n_neg,
+             |               sum(CAST(np AS DOUBLE)
+             |                 * (CAST(tp AS DOUBLE) / CAST(nc AS DOUBLE))) AS s
+             |        FROM oo)
+             |SELECT n_pos, n_neg,
+             |       round(s / nullif(CAST(n_pos AS DOUBLE), 0.0), 6) AS avg_precision
+             |FROM tt""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.averagePrecision(
+            graft.analytics.Selection.logregQuality(
+              Tables(s, dir, "documents"),
+              "doc_id", "text", col("lang") === "en", dim = 64, iters = 30),
+            "score", "y")),
+
     // ----- per-source vocabulary drift -----
     Q("q143_vocab_drift",
       "per-source unigram KL(source || corpus): the drift statistic " +

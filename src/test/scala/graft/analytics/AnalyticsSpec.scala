@@ -1889,6 +1889,24 @@ class StatsSpec extends SparkTestBase {
     val onecls = Seq((0.3, 1), (0.6, 1)).toDF("score", "y")
     assert(Stats.aucScore(onecls, "score", "y").head().isNullAt(2))
   }
+
+  test("averagePrecision: tie-grouped step AP hand-computed; perfect " +
+       "ranking hits 1.0; no positives -> null") {
+    import spark.implicits._
+    // desc groups: 0.9 (1 pos) -> 1*(1/1); 0.4 (1 pos + 1 neg, tied)
+    // -> 1*(2/3); 0.1 (1 neg) -> 0. AP = (1 + 2/3)/2 = 5/6
+    val mixed = Seq((0.9, 1), (0.4, 1), (0.4, 0), (0.1, 0))
+      .toDF("score", "y")
+    val r = Stats.averagePrecision(mixed, "score", "y").head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === BigDecimal(5.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.1, 0)).toDF("score", "y")
+    assert(Stats.averagePrecision(perfect, "score", "y")
+      .head().getDouble(2) === 1.0)
+    val nopos = Seq((0.3, 0), (0.6, 0)).toDF("score", "y")
+    assert(Stats.averagePrecision(nopos, "score", "y").head().isNullAt(2))
+  }
 }
 
 class BpeSpec extends SparkTestBase {
