@@ -1598,7 +1598,7 @@ object AnalyticsQueries {
         "1-row model collect per merge; ties (count desc, pair asc)",
       Some(bpeChainSql(bpeMerges) + ",\n merges AS (" +
         (0 until bpeMerges).map(r =>
-          s"SELECT $r AS rank, a AS left_sym, b AS right_sym, c AS pair_count FROM b$r")
+          s"SELECT $r AS rank, a AS left_sym, b AS right_sym, CAST(c AS BIGINT) AS pair_count FROM b$r")
           .mkString(" UNION ALL ") +
         ")\nSELECT rank, left_sym, right_sym, pair_count FROM merges ORDER BY rank"),
       (s, dir) =>
