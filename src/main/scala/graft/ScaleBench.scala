@@ -313,7 +313,7 @@ object ScaleBench {
         "q137_fertility" -> (() =>
           analytics.TextAnalysis.fertility(docs, "doc_id", "text", "lang")
             .count()),
-        // 10 GD iterations over the id-partitioned checkpointed feature
+        // 30 GD iterations over the id-partitioned checkpointed feature
         // table: per-iter cost is 2 scans of feats + a 65-row collect;
         // the curve must be linear in the feature-table build + iters x
         // feats scans, with NO per-iteration corpus re-tokenization

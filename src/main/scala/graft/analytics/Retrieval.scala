@@ -131,7 +131,11 @@ object Retrieval {
     * retrieval layer (retrieval QA before the rankings feed hard-negative
     * mining or RAG eval sets). For each query in `ranking` (`(qid, rn,
     * did)` rows, rn 1-based), judged against label agreement (a retrieved
-    * doc is relevant iff its label IS NOT DISTINCT FROM the query's):
+    * doc is relevant iff its label IS NOT DISTINCT FROM the query's).
+    * Labels-coverage contract: retrieved docs MISSING from `labels` are
+    * judged non-relevant (they stay in the ranking with is_rel = 0);
+    * queries missing from `labels` are excluded from the eval entirely
+    * (there is nothing to judge against). Metrics per query:
     *
     *  - `n_rel`: relevant docs in the whole corpus (query itself
     *    excluded — it is never a candidate);
@@ -156,12 +160,21 @@ object Retrieval {
     val relTotals = lab.groupBy(col("_lbl").as("_rlbl"))
       .agg(count(lit(1)).as("_cnt"))
 
+    // doc labels attach with a LEFT join: a retrieved doc absent from the
+    // labels table is judged NON-RELEVANT (is_rel = 0) instead of being
+    // silently dropped from the query's ranking — an inner join here
+    // would shrink hits/rr denominators invisibly and delete any query
+    // whose whole top-k is unlabeled. Queries, by contrast, need a label
+    // to be judged at all, so unlabeled queries stay excluded — that
+    // join is deliberately inner.
     val j = ranking.select(col("qid"), col("rn"), col("did"))
-      .join(lab.select(col("_id").as("did"), col("_lbl").as("_dlbl")),
-        Seq("did"))
+      .join(lab.select(col("_id").as("did"), col("_lbl").as("_dlbl"),
+        lit(1).as("_dhas")), Seq("did"), "left")
       .join(lab.select(col("_id").as("qid"), col("_lbl").as("_qlbl")),
         Seq("qid"))
-      .withColumn("is_rel", (col("_dlbl") <=> col("_qlbl")).cast("int"))
+      .withColumn("is_rel",
+        when(col("_dhas").isNull, lit(0))
+          .otherwise((col("_dlbl") <=> col("_qlbl")).cast("int")))
 
     val per = j.groupBy(col("qid"), col("_qlbl")).agg(
       sum(col("is_rel")).cast("long").as("hits"),

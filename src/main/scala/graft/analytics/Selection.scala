@@ -126,51 +126,6 @@ object Selection {
       .withColumn("rate", round(rateCol, 6))
   }
 
-  /** fastText/DCLM-style quality classifier: full-batch logistic
-    * regression over STANDARDIZED hashed-unigram features, trained ON
-    * the corpus against a caller-supplied binary `label` (e.g. "looks
-    * like the curated slice") and then scoring every document — the
-    * modern learned data-selection filter (DCLM's fastText gate, GPT-3's
-    * LR-over-features quality filter; one model order up from
-    * [[dsirWeights]]'s likelihood ratio).
-    *
-    * Raw features are the [[TfIdf.hashingTf]] `md5[0:8] mod dim` buckets
-    * with doc-length-normalized tf (`x = tf / n_tokens`); training runs
-    * on the z-scored coordinates `x' = (x − μ_b) / s_b` plus an
-    * intercept. Standardization is what makes full-batch GD actually
-    * converge here: raw tf/len coordinates are all positively correlated
-    * with the document-mass direction, whose Hessian eigenvalue dwarfs
-    * the discriminative ones — unscaled GD either crawls (small lr) or
-    * oscillates into saturation (large lr). Centering removes that
-    * shared direction and unit variance equalizes the rest, so lr ~ 0.5
-    * with a few dozen iterations separates.
-    *
-    * THE SPARSE TRICK — standardizing never densifies: a doc missing
-    * bucket `b` has centered value `−μ_b/s_b`, but the margin
-    * decomposes as
-    * `w·x' = Σ_present (w_b/s_b)·x_b − Σ_all_b w_b μ_b/s_b + w_bias`,
-    * where the second term is one model-level scalar; gradients
-    * decompose the same way via the residual total Σ r. Feature rows
-    * stay (id, bucket, x) sparse, at 100 TB as at test scale.
-    *
-    * Everything an oracle needs is pinned: fixed iteration count, zero
-    * init, round-6 (μ, s) stats, and the ROUND-6 GRADIENT exchange —
-    * the [[Cluster]] centroid-exchange fixed-point — so both engines
-    * step through bit-identical models even though their sum orders
-    * differ (half-away-from-zero rounding on both sides).
-    *
-    * Scale shape — canonical distributed full-batch GD: the sparse
-    * feature table is built ONCE (one tokenization, one (id, bucket)
-    * partial-agg exchange, doc length via an id-partitioned window),
-    * repartitioned by id and checkpointed; each iteration is one margin
-    * aggregation, one residual total, and one id-keyed join + bucket
-    * aggregation over that materialized table, ending in a
-    * (dim+1)-row round-6 collect (the model-sized exchange, independent
-    * of corpus size).
-    *
-    * Output: (id, y, score σ(w·x') rounded 6, keep = score ≥ 0.5).
-    * Token-free docs score through the centered-absent terms + bias.
-    */
   /** Sparse (id, y, bucket, x) features: md5-bucket tf/len token rows
     * PLUS a constant bias row (bucket = dim, x = 1) for EVERY document —
     * so each doc is present (token-free ones too) and the bias behaves
@@ -200,11 +155,6 @@ object Selection {
       .localCheckpoint()
   }
 
-  /** Round-6-pinned per-bucket standardization stats over the DENSE
-    * semantics (absent buckets count as 0): μ_b = round(Σx/n, 6),
-    * s_b = round(sqrt(max(Σx²/n − μ_b², 0)), 6), with zero-variance
-    * buckets pinned to s = 1 (their centered value is 0 everywhere, so
-    * the coordinate is inert either way). */
   /** Round-6-pinned per-bucket standardization stats over the DENSE
     * semantics (absent buckets count as 0): μ_b = round(Σx/n, 6),
     * s_b = round(sqrt(max(Σx²/n − μ_b², 0)), 6), with zero-variance
@@ -329,9 +279,53 @@ object Selection {
       .withColumn("keep", col("score") >= 0.5)
   }
 
-  /** Train-and-score in one call (the q141 gate shape), sharing one
-    * checkpointed feature table across both phases (composing the two
-    * public halves would tokenize the corpus twice). */
+  /** fastText/DCLM-style quality classifier: full-batch logistic
+    * regression over STANDARDIZED hashed-unigram features, trained ON
+    * the corpus against a caller-supplied binary `label` (e.g. "looks
+    * like the curated slice") and then scoring every document — the
+    * modern learned data-selection filter (DCLM's fastText gate, GPT-3's
+    * LR-over-features quality filter; one model order up from
+    * [[dsirWeights]]'s likelihood ratio). Train-and-score in one call
+    * (the q141 gate shape), sharing one checkpointed feature table
+    * across both phases (composing [[logregTrain]] + [[logregScore]]
+    * would tokenize the corpus twice).
+    *
+    * Raw features are the [[TfIdf.hashingTf]] `md5[0:8] mod dim` buckets
+    * with doc-length-normalized tf (`x = tf / n_tokens`); training runs
+    * on the z-scored coordinates `x' = (x − μ_b) / s_b` plus an
+    * intercept. Standardization is what makes full-batch GD actually
+    * converge here: raw tf/len coordinates are all positively correlated
+    * with the document-mass direction, whose Hessian eigenvalue dwarfs
+    * the discriminative ones — unscaled GD either crawls (small lr) or
+    * oscillates into saturation (large lr). Centering removes that
+    * shared direction and unit variance equalizes the rest, so lr ~ 0.5
+    * with a few dozen iterations separates.
+    *
+    * THE SPARSE TRICK — standardizing never densifies: a doc missing
+    * bucket `b` has centered value `−μ_b/s_b`, but the margin
+    * decomposes as
+    * `w·x' = Σ_present (w_b/s_b)·x_b − Σ_all_b w_b μ_b/s_b + w_bias`,
+    * where the second term is one model-level scalar; gradients
+    * decompose the same way via the residual total Σ r. Feature rows
+    * stay (id, bucket, x) sparse, at 100 TB as at test scale.
+    *
+    * Everything an oracle needs is pinned: fixed iteration count, zero
+    * init, round-6 (μ, s) stats, and the ROUND-6 GRADIENT exchange —
+    * the [[Cluster]] centroid-exchange fixed-point — so both engines
+    * step through bit-identical models even though their sum orders
+    * differ (half-away-from-zero rounding on both sides).
+    *
+    * Scale shape — canonical distributed full-batch GD: the sparse
+    * feature table is built ONCE (one tokenization, one (id, bucket)
+    * partial-agg exchange, doc length via an id-partitioned window),
+    * repartitioned by id and checkpointed; each iteration is one margin
+    * aggregation, one residual total, and one id-keyed join + bucket
+    * aggregation over that materialized table, ending in a
+    * (dim+1)-row round-6 collect (the model-sized exchange, independent
+    * of corpus size).
+    *
+    * Output: (id, y, score σ(w·x') rounded 6, keep = score ≥ 0.5).
+    * Token-free docs score through the centered-absent terms + bias. */
   def logregQuality(docs0: DataFrame, idCol: String, textCol: String,
                     label: Column, dim: Int = 64, iters: Int = 30,
                     lr: Double = 0.5): DataFrame = {

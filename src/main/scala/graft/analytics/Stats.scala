@@ -219,25 +219,14 @@ object Stats {
           zip_with($"v", mLit, (x, m) => x - m), wLit), 6).as("pc1"))
   }
 
-  /** Reliability-diagram calibration bins for a probabilistic classifier
-    * (e.g. [[Selection.logregQuality]] scores): equal-width bins over
-    * [0, 1] (score 1.0 folds into the top bin), per-bin count, mean
-    * predicted score, and observed positive fraction — the table behind
-    * expected-calibration-error and the keep-threshold choice. Scale
-    * shape: one map-side bin projection + one `bins`-row aggregation
-    * with partial combine; nothing but the scan grows with the corpus.
-    * Both emitted ratios are EXACT single divisions: scores arrive
-    * round-6, so they sum losslessly as integer micro-units (a
-    * `round(avg, 6)` here would sit on knife edges — sum-order ulps
-    * flip the 6th decimal when the mean lands on a .5 boundary). Null
-    * scores are dropped (they carry no calibration signal). */
   /** Exact ROC-AUC of a probabilistic classifier via the Mann-Whitney
     * midrank identity: `AUC = (S2 − nPos(nPos+1)) / (2·nPos·nNeg)` with
     * `S2 = Σ over distinct scores of nPos_g · (2·cumBefore + cnt + 1)` —
     * twice the positives' midrank sum, an INTEGER, so the whole statistic
-    * is long arithmetic until one final division: bit-exact cross-engine,
-    * no rounding anywhere. Ties contribute their midrank, the standard
-    * correction.
+    * is exact integer arithmetic (DECIMAL(38,0) accumulation — a long Σ
+    * would overflow once nPos·N passes ~4.6e18) until one final
+    * division: bit-exact cross-engine, no rounding anywhere. Ties
+    * contribute their midrank, the standard correction.
     *
     * Scale shape: one partial-aggregable groupBy(score), then a
     * single-partition running-sum window over the DISTINCT-score table —
@@ -255,14 +244,22 @@ object Stats {
     val w = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val o = g.withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // s2 and the rank-sum products accumulate as DECIMAL(38,0): each
+    // term is np·(2·cb+cnt+1) ≤ nPos·(2N+1), so a LONG Σ overflows once
+    // nPos·N passes ~4.6e18 (multi-billion-row scored corpora) — int128
+    // keeps the midrank identity exact at any corpus size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     o.agg(sum(col("np")).cast("long").as("n_pos"),
         sum(col("cnt") - col("np")).cast("long").as("n_neg"),
-        sum(col("np") * (lit(2L) * col("cb") + col("cnt") + lit(1L)))
-          .cast("long").as("s2"))
+        sum(col("np").cast(dec) *
+          (lit(2L) * col("cb") + col("cnt") + lit(1L)).cast(dec))
+          .as("s2"))
       .select(col("n_pos"), col("n_neg"),
-        ((col("s2") - col("n_pos") * (col("n_pos") + lit(1L)))
+        ((col("s2") - col("n_pos").cast(dec) *
+            (col("n_pos") + lit(1L)).cast(dec))
           .cast("double") /
-          nullif((lit(2L) * col("n_pos") * col("n_neg")).cast("double"),
+          nullif((lit(2L).cast(dec) * col("n_pos").cast(dec) *
+            col("n_neg").cast(dec)).cast("double"),
             lit(0.0))).as("auc"))
   }
 
@@ -302,6 +299,18 @@ object Stats {
           .as("avg_precision"))
   }
 
+  /** Reliability-diagram calibration bins for a probabilistic classifier
+    * (e.g. [[Selection.logregQuality]] scores): equal-width bins over
+    * [0, 1] (score 1.0 folds into the top bin), per-bin count, mean
+    * predicted score, and observed positive fraction — the table behind
+    * expected-calibration-error and the keep-threshold choice. Scale
+    * shape: one map-side bin projection + one `bins`-row aggregation
+    * with partial combine; nothing but the scan grows with the corpus.
+    * Both emitted ratios are EXACT single divisions: scores arrive
+    * round-6, so they sum losslessly as integer micro-units (a
+    * `round(avg, 6)` here would sit on knife edges — sum-order ulps
+    * flip the 6th decimal when the mean lands on a .5 boundary). Null
+    * scores are dropped (they carry no calibration signal). */
   def calibrationBins(scored: DataFrame, scoreCol: String,
                       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")

@@ -2574,8 +2574,10 @@ object AnalyticsQueries {
     Q("q139_retrieval_metrics",
       "MRR / recall@10 / nDCG@10 of the q135 BM25 run judged by label " +
         "agreement (embeddings.label, vec_id = doc_id; relevant = same " +
-        "label, query excluded) — the retrieval-QA gate before rankings " +
-        "feed hard-negative mining; all joins bounded by |queries| x k",
+        "label, query excluded; unlabeled retrieved docs judged " +
+        "non-relevant, unlabeled queries out of the eval) — the " +
+        "retrieval-QA gate before rankings feed hard-negative mining; " +
+        "all joins bounded by |queries| x k",
       Some(wCte + bm25Ctes + """,
              |sc AS (
              |  SELECT qt.qid, dw.doc_id AS did, """.stripMargin +
@@ -2595,10 +2597,11 @@ object AnalyticsQueries {
              |rt AS (SELECT label AS rlbl, CAST(count(*) AS BIGINT) AS cnt
              |       FROM lab GROUP BY label),
              |j AS (SELECT r.qid, r.rn, ql.label AS qlbl,
-             |             CASE WHEN dl2.label IS NOT DISTINCT FROM ql.label
+             |             CASE WHEN dl2.id IS NULL THEN 0
+             |                  WHEN dl2.label IS NOT DISTINCT FROM ql.label
              |                  THEN 1 ELSE 0 END AS is_rel
-             |      FROM r JOIN lab dl2 ON dl2.id = r.did
-             |             JOIN lab ql ON ql.id = r.qid),
+             |      FROM r JOIN lab ql ON ql.id = r.qid
+             |             LEFT JOIN lab dl2 ON dl2.id = r.did),
              |per AS (SELECT qid, qlbl,
              |               CAST(sum(is_rel) AS BIGINT) AS hits,
              |               min(CASE WHEN is_rel = 1 THEN rn END) AS first_rel,
@@ -2629,7 +2632,7 @@ object AnalyticsQueries {
     // ----- learned quality classifier (logistic regression) -----
     Q("q141_logreg_quality",
       "fastText/DCLM-style learned quality filter: full-batch logistic " +
-        "regression on hashed-unigram tf/len features + bias, 10 GD " +
+        "regression on hashed-unigram tf/len features + bias, 30 GD " +
         "steps from w=0 with the round-6 gradient fixed-point (the " +
         "kmeans centroid-exchange trick), scoring every doc against the " +
         "lang='en' label — oracle is the SAME recurrence unrolled as " +

@@ -125,6 +125,22 @@ object HttpFetch {
     }
   }
 
+  /** Completion-webhook POST (reference main.py:2303-2310: the
+    * `return_url` callback after /process_link finishes): JSON body,
+    * 10 s timeout, result status returned to the caller — who treats a
+    * failed callback as log-and-continue, exactly like the reference's
+    * swallowed `callback_error`. */
+  def postJson(url: String, body: String,
+               timeout: Duration = Duration.ofSeconds(10)): Int = {
+    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode()
+  }
+
   /** Fetch to a temp file for a distributed `XmlSource.read`. */
   def fetchToFile(url: String): Path = {
     val body = fetch(url)

@@ -447,6 +447,26 @@ object PdfSource {
     }
   }
 
+  /** Unified per-page summary under [[rasterize]]'s page numbering (any
+    * content stream with a `BT` block or an XObject placement is a
+    * page): (page, text lines, image placement count). This is the
+    * per-page envelope the JSON converter emits (reference
+    * main.py:1003-1035 walks pdf.pages collecting text + image counts);
+    * unlike [[extractLines]] it also counts image-only pages, so mixed
+    * text/image documents keep reference page numbers. */
+  def pageContents(data: Array[Byte]): Seq[(Int, Seq[String], Int)] = {
+    val raw = new String(data, StandardCharsets.ISO_8859_1)
+    var page = 0
+    contentStreams(raw).flatMap { s =>
+      val ops = streamOps(s)
+      if (!ops.hasBT && ops.images.isEmpty) None
+      else {
+        page += 1
+        Some((page, textLines(s).getOrElse(Nil), ops.images.length))
+      }
+    }
+  }
+
   /** S8 distributed read: every PDF under `path` (a file or directory)
     * parsed partition-wise into (file, page, line_no, text) rows. */
   def readTextRows(spark: SparkSession, path: String): DataFrame = {
