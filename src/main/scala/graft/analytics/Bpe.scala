@@ -9,15 +9,18 @@ import org.apache.spark.sql.functions._
   * marker).
   *
   * Scale shape: the corpus is scanned ONCE to build the word-frequency
-  * table; every training iteration afterwards runs over that vocab table
-  * (distinct words — orders of magnitude smaller than the corpus and
-  * independent of corpus growth once saturated). Each merge iteration is
-  * one partial-aggregable pair-count shuffle over the vocab plus a 1-row
-  * TakeOrdered to the driver (the bounded model exchange); the merge
-  * rewrite itself is a codegen'd string `replace` — no UDF anywhere.
-  * Token counting joins the corpus words against the final vocab by key
-  * (broadcast when the vocab is small, shuffle join otherwise — AQE
-  * decides); the text is never re-segmented per document.
+  * table; training afterwards runs over that vocab table only (distinct
+  * words — orders of magnitude smaller than the corpus and independent
+  * of corpus growth once saturated). Training is two-tier ([[train]]):
+  * when the vocab table fits the driver the merge loop runs local with
+  * incremental pair bookkeeping (the tier a realistic 32k–50k-merge
+  * vocabulary needs); otherwise each merge is one partial-aggregable
+  * pair-count shuffle over the vocab plus a 1-row TakeOrdered (bounded
+  * model exchange), the rewrite a codegen'd string `replace` — no UDF
+  * anywhere. Token counting joins the corpus words against the final
+  * vocab by key (broadcast when the vocab is small, shuffle join
+  * otherwise — AQE decides); the text is never re-segmented per
+  * document.
   *
   * Determinism: pair ties break lexicographically (count desc, left asc,
   * right asc); symbol state is a canonical space-padded string, so a SQL
@@ -58,10 +61,57 @@ object Bpe {
     *  - `vocab`: `(w, f, n_tokens)` — every corpus word with its token
     *    count under the final merge table (the segmentation join table
     *    [[tokenCounts]] uses).
-    * Training stops early if the corpus runs out of adjacent pairs. */
-  def train(docs: DataFrame, textCol: String,
-            numMerges: Int): (DataFrame, DataFrame) = {
+    * Training stops early if the corpus runs out of adjacent pairs.
+    *
+    * TWO-TIER TRAINING (the [[graft.engine.CategoryPath]] precedent):
+    * the word-frequency table is vocab-sized by construction — distinct
+    * words, not corpus tokens — so once it fits the driver
+    * (≤ `localVocabThreshold` rows) the merge loop runs DRIVER-LOCAL
+    * with incremental pair-count bookkeeping (the subword-nmt
+    * algorithm: only words containing the merged pair are touched, a
+    * tree-ordered pair index serves argmax in O(log P)). Only the
+    * corpus scan that builds the table and the downstream
+    * [[tokenCounts]] join stay distributed. This is what makes a REAL
+    * 32k–50k-merge tokenizer trainable: the distributed tier costs one
+    * driver-synchronized pair-count job PER MERGE — 50k sequential
+    * Spark rounds — where the local tier's whole loop is seconds of
+    * driver CPU on the same table. The distributed tier
+    * (`localVocabThreshold = 0`) remains for vocabularies too large to
+    * collect; both tiers step through bit-identical merges (tie order
+    * count desc, pair asc — spec-pinned parity). */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            localVocabThreshold: Int = 2000000): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (localVocabThreshold > 0) {
+      // single-scan tier probe: collect at most threshold+1 vocab rows;
+      // spilling past the cap falls through to the distributed tier
+      // without having materialized more than the cap on the driver
+      val probe = wordTable(docs, textCol).select($"w", $"f")
+        .limit(localVocabThreshold + 1).collect()
+      if (probe.length <= localVocabThreshold) {
+        val words = probe.map(r => (r.getString(0), r.getLong(1)))
+        val (merges, finalSyms) = localTrain(words, numMerges)
+        val mergeDf = spark.createDataFrame(merges)
+          .toDF("rank", "left_sym", "right_sym", "pair_count")
+        val vocabDf = spark.createDataFrame(
+            words.toIndexedSeq.zip(finalSyms.toIndexedSeq).map {
+              case ((w, f), syms) => (w, f, syms.length)
+            })
+          .toDF("w", "f", "n_tokens")
+        return (mergeDf, vocabDf)
+      }
+    }
+    trainDistributed(docs, textCol, numMerges)
+  }
+
+  /** The distributed merge loop — one vocab-sized pair-count shuffle +
+    * 1-row model collect per merge. Correct at any vocab size, but each
+    * merge is a driver-synchronized Spark round: use [[train]]'s default
+    * local tier unless the vocab genuinely cannot fit the driver. */
+  private[analytics] def trainDistributed(docs: DataFrame, textCol: String,
+      numMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // each iteration's state is materialized (localCheckpoint): the next
@@ -98,6 +148,79 @@ object Bpe {
     val vocabDf = vocab.select($"w", $"f",
       size(filter(split($"s", " "), x => x =!= "")).as("n_tokens"))
     (mergeDf, vocabDf)
+  }
+
+  /** Driver-local merge loop over a collected `(word, freq)` table —
+    * subword-nmt's incremental algorithm. State per word is its symbol
+    * array; a `(count, a, b)` tree set (count desc, pair asc — the
+    * distributed tier's exact tie order) serves argmax; each merge
+    * touches ONLY the words containing the winning pair, decrementing
+    * their old adjacent-pair counts and re-adding the rewritten ones.
+    * Overlapping occurrences count individually (matching the
+    * distributed `explode(adjacentPairs)`), while the rewrite is greedy
+    * left-to-right non-overlapping ([[mergePair]] = the `replace`
+    * algebra) — the classic Sennrich count/merge asymmetry, preserved
+    * for bit parity. Symbols come from Java's regex `split("")`, the
+    * same engine Spark's `split(w, "")` runs, so multibyte boundaries
+    * agree between tiers. */
+  private[analytics] def localTrain(words: Array[(String, Long)],
+      numMerges: Int): (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
+    val syms: Array[Array[String]] = words.map { case (w, _) =>
+      w.split("").filter(_.nonEmpty) :+ "</w>"
+    }
+    val freq = words.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val order = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+          else {
+            val c = x._2.compareTo(y._2)
+            if (c != 0) c else x._3.compareTo(y._3)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val next = old + delta
+      if (next == 0L) counts.remove(p)
+      else { counts(p) = next; order.add((next, p._1, p._2)) }
+    }
+    def wordPairs(s: Array[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    var i = 0
+    while (i < syms.length) {
+      wordPairs(syms(i)).foreach { p =>
+        bump(p, freq(i))
+        where.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    while (r < numMerges && !order.isEmpty) {
+      val (c, a, b) = order.first()
+      merges += ((r, a, b, c))
+      val affected = where.getOrElse((a, b),
+        scala.collection.mutable.HashSet.empty[Int]).toArray
+      affected.foreach { wi =>
+        val f = freq(wi)
+        wordPairs(syms(wi)).foreach { p =>
+          bump(p, -f)
+          where.get(p).foreach(_ -= wi)
+        }
+        syms(wi) = mergePair(syms(wi).toSeq, a, b).toArray
+        wordPairs(syms(wi)).foreach { p =>
+          bump(p, f)
+          where.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi
+        }
+      }
+      r += 1
+    }
+    (merges.result(), syms)
   }
 
   /** Greedy left-to-right merge of one pair — the driver-side reference

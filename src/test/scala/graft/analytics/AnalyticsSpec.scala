@@ -1976,4 +1976,29 @@ class BpeSpec extends SparkTestBase {
       Seq((1L, 2L, 6L),   // low(2) + lower(4)
           (2L, 3L, 6L)))  // newest(1)*2 + widest(4); doc 3 has no tokens
   }
+
+  test("tier parity: driver-local training == distributed training " +
+       "(merges AND final segmentations), Sennrich + messy corpora") {
+    import spark.implicits._
+    val messy = Seq(
+      (1L, "аа ааб ааб la-la la-la la-la!! … …"),
+      (2L, "ааб test, test, test… la-la"),
+      (3L, "aaa aa aaa aa aaa")).toDF("doc_id", "text")
+    for (df <- Seq(corpus, messy); n <- Seq(3, 8, 40)) {
+      val (lm, lv) = Bpe.train(df, "text", n) // local tier (default)
+      val (dm, dv) = Bpe.trainDistributed(df, "text", n)
+      assert(lm.orderBy("rank").collect().toSeq ===
+        dm.orderBy("rank").collect().toSeq, s"merges diverge at n=$n")
+      assert(lv.orderBy("w").collect().toSeq ===
+        dv.orderBy("w").collect().toSeq, s"vocab diverges at n=$n")
+    }
+  }
+
+  test("a threshold smaller than the vocab falls through to the " +
+       "distributed tier with identical results") {
+    val (lm, _) = Bpe.train(corpus, "text", 8)
+    val (dm, _) = Bpe.train(corpus, "text", 8, localVocabThreshold = 2)
+    assert(lm.orderBy("rank").collect().toSeq ===
+      dm.orderBy("rank").collect().toSeq)
+  }
 }
