@@ -2706,6 +2706,37 @@ object AnalyticsQueries {
               "doc_id", "text", col("lang") === "en", dim = 64, iters = 30),
             "score", "y")),
 
+    // ----- train-once artifact path: persist model, score a holdout -----
+    Q("q146_logreg_artifact_score",
+      "the PRODUCTION quality-filter path: logregTrain on the md5-low " +
+        "half of documents, model persisted to parquet and read back, " +
+        "logregScore on the unseen md5-high half under the persisted " +
+        "(b, wt, mu, s) artifact — train once, score many; the oracle " +
+        "replays the training CTEs once on the same half and scores the " +
+        "holdout's features with the trained weights",
+      Some(logregOracleSql(iters = 30,
+          trainWhere = "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'",
+          holdoutWhere =
+            Some("WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'")) +
+        s"""
+           |SELECT doc_id AS id, y,
+           |       round(1.0 / (1.0 + exp(-mg)), 6) AS score,
+           |       round(1.0 / (1.0 + exp(-mg)), 6) >= 0.5 AS keep
+           |FROM m31 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val half = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val modelDir = java.nio.file.Files
+          .createTempDirectory("graft_q146_model").toString
+        graft.analytics.Selection.logregTrain(docs.filter(half < "8"),
+            "doc_id", "text", col("lang") === "en", dim = 64, iters = 30)
+          .write.mode("overwrite").parquet(modelDir)
+        graft.analytics.Selection.logregScore(s.read.parquet(modelDir),
+            docs.filter(half >= "8"), "doc_id", "text",
+            col("lang") === "en", dim = 64)
+          .orderBy("id")
+      }),
+
     // ----- per-source vocabulary drift -----
     Q("q143_vocab_drift",
       "per-source unigram KL(source || corpus): the drift statistic " +
@@ -2761,22 +2792,31 @@ object AnalyticsQueries {
     * MATERIALIZED on every recurrence step (the q130 lesson: DuckDB
     * inlines single-reference CTEs and a deep inlined chain goes
     * exponential). Ends at CTE `m${iters+1}` = final margins. */
-  private def logregOracleSql(iters: Int, dim: Int = 64, lr: Double = 0.5): String = {
-    val head =
-      s"""WITH tk AS (
+  /** Unrolled full-batch logreg GD in DuckDB (the q141 family oracle).
+    * `trainWhere` restricts the TRAINING corpus (empty = all docs);
+    * `holdoutWhere`, when set, emits a second feature table `fh` over
+    * that complementary slice and points the final scoring margins
+    * `m{iters+1}` at it — the oracle side of the train-once →
+    * persist → score-the-holdout artifact path (q146). */
+  private def logregOracleSql(iters: Int, dim: Int = 64, lr: Double = 0.5,
+      trainWhere: String = "", holdoutWhere: Option[String] = None): String = {
+    def featCtes(suffix: String, where: String): String =
+      s"""tk$suffix AS (
          |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
-         |  FROM documents),
-         |db AS (SELECT doc_id, y,
+         |  FROM documents $where),
+         |db$suffix AS (SELECT doc_id, y,
          |         CAST(('0x' || substring(md5(word), 1, 8))::BIGINT % $dim AS INT) AS bucket,
          |         CAST(count(*) AS BIGINT) AS tf
-         |       FROM tk GROUP BY doc_id, y, bucket),
-         |f AS MATERIALIZED (
+         |       FROM tk$suffix GROUP BY doc_id, y, bucket),
+         |f$suffix AS MATERIALIZED (
          |  SELECT doc_id, y, bucket,
          |         CAST(tf AS DOUBLE) / CAST(sum(tf) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
-         |  FROM db
+         |  FROM db$suffix
          |  UNION ALL
-         |  SELECT doc_id, CAST(lang = 'en' AS INT), $dim, 1.0 FROM documents),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |  SELECT doc_id, CAST(lang = 'en' AS INT), $dim, 1.0 FROM documents $where)""".stripMargin
+    val head =
+      "WITH " + featCtes("", trainWhere) + s""",
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents $trainWhere),
          |bs0 AS (SELECT bucket, round(sum(x) / nn.n, 6) AS mu,
          |               sum(x * x) / nn.n AS exx
          |        FROM f CROSS JOIN nn WHERE bucket < $dim
@@ -2791,19 +2831,20 @@ object AnalyticsQueries {
          |  SELECT $dim, 0.0, 1.0),
          |w0 AS (SELECT CAST(unnest(range(0, ${dim + 1})) AS INT) AS b, 0.0 AS wt)""".stripMargin
     // margins CTE m$i under weights w${i-1} (shared by the iteration
-    // steps and, at i = iters+1, the final scoring margins); the bias
+    // steps and, at i = iters+1, the final scoring margins, which score
+    // table `ft` — the holdout features in the artifact path); the bias
     // row x=1, mu=0, s=1 makes every coordinate uniform and every doc
     // present
-    def marginCtes(i: Int): String =
+    def marginCtes(i: Int, ft: String = "f"): String =
       s""",
          | e$i AS (SELECT bsx.bucket, w${i - 1}.wt / bsx.s AS weff,
          |               w${i - 1}.wt * bsx.mu / bsx.s AS ct
          |        FROM w${i - 1} JOIN bsx ON bsx.bucket = w${i - 1}.b),
          | c$i AS (SELECT coalesce(sum(ct), 0.0) AS c FROM e$i),
          | m$i AS MATERIALIZED (
-         |   SELECT f.doc_id, f.y, sum(e$i.weff * f.x) - c$i.c AS mg
-         |   FROM f JOIN e$i ON e$i.bucket = f.bucket CROSS JOIN c$i
-         |   GROUP BY f.doc_id, f.y, c$i.c)""".stripMargin
+         |   SELECT $ft.doc_id, $ft.y, sum(e$i.weff * $ft.x) - c$i.c AS mg
+         |   FROM $ft JOIN e$i ON e$i.bucket = $ft.bucket CROSS JOIN c$i
+         |   GROUP BY $ft.doc_id, $ft.y, c$i.c)""".stripMargin
     val steps = (1 to iters).map { i =>
       marginCtes(i) +
       s""",
@@ -2822,7 +2863,11 @@ object AnalyticsQueries {
          |   SELECT w${i - 1}.b, w${i - 1}.wt - $lr * coalesce(g$i.g, 0.0) AS wt
          |   FROM w${i - 1} LEFT JOIN g$i ON g$i.b = w${i - 1}.b)""".stripMargin
     }.mkString
-    head + steps + marginCtes(iters + 1)
+    holdoutWhere match {
+      case None => head + steps + marginCtes(iters + 1)
+      case Some(wh) =>
+        head + steps + ",\n" + featCtes("h", wh) + marginCtes(iters + 1, "fh")
+    }
   }
 
   /** q141 tail over [[logregOracleSql]]'s final `m{iters+1}` margins. */
