@@ -320,6 +320,19 @@ object ScaleBench {
         "q141_logreg" -> (() =>
           analytics.Selection.logregQuality(docs, "doc_id", "text",
             $"lang" === "en").count()),
+        // q141's cost + the distinct-score running sum: the tail is
+        // data-DEPENDENT (bounded at 1e6+1 rows by round-6 scores, but
+        // how close it gets depends on score diversity) so it earns its
+        // own measured curve — must track q141's, the tail staying flat
+        "q144_auc" -> (() =>
+          analytics.Stats.aucScore(
+            analytics.Selection.logregQuality(docs, "doc_id", "text",
+              $"lang" === "en"), "score", "y").count()),
+        // same bounded distinct-score machinery, descending sweep
+        "q145_avg_prec" -> (() =>
+          analytics.Stats.averagePrecision(
+            analytics.Selection.logregQuality(docs, "doc_id", "text",
+              $"lang" === "en"), "score", "y").count()),
         // the q77 shape: one (group, word) agg + word-keyed corpus join;
         // per-copy token prefixes grow the vocab linearly — linear-flat
         "q143_vocab_drift" -> (() =>
