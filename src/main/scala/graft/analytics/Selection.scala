@@ -131,13 +131,20 @@ object Selection {
     * so each doc is present (token-free ones too) and the bias behaves
     * as just another coordinate with pinned μ = 0, s = 1, letting one
     * aggregation per GD step serve every gradient component (the bias
-    * bucket's raw moment IS the residual total Σr). */
+    * bucket's raw moment IS the residual total Σr).
+    *
+    * `materialize` id-repartitions and localCheckpoints the table — the
+    * right call for TRAINING, where 30 GD iterations each re-scan it
+    * (and each scans it twice: margins + the gradient join). The SCORE
+    * path consumes the features exactly once, so it passes false and
+    * streams tokenize → window → margin in one pass with no disk
+    * materialization barrier. */
   private def logregFeatures(docs: DataFrame, idCol: String,
                              textCol: String, label: Column,
-                             dim: Int): DataFrame = {
+                             dim: Int, materialize: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).as("id"),
+    val base = docs.select(col(idCol).as("id"),
         label.cast("int").as("y"),
         explode(Dedup.tokens(col(textCol))).as("w"))
       .withColumn("bucket",
@@ -151,8 +158,7 @@ object Selection {
       .unionByName(docs.select(col(idCol).as("id"),
         label.cast("int").as("y"), lit(dim).cast("int").as("bucket"),
         lit(1.0).as("x")))
-      .repartition($"id")
-      .localCheckpoint()
+    if (materialize) base.repartition($"id").localCheckpoint() else base
   }
 
   /** Round-6-pinned per-bucket standardization stats over the DENSE
@@ -272,7 +278,8 @@ object Selection {
       val sv = if (b == dim) 1.0 else rows(b)._3
       if (sv == 0.0) 1.0 else sv
     }
-    val feats = logregFeatures(docs, idCol, textCol, label, dim)
+    val feats = logregFeatures(docs, idCol, textCol, label, dim,
+      materialize = false) // consumed once: stream, don't checkpoint
     logregMargins(feats, w, mu, s, dim)
       .select(col("id"), col("y"),
         round(lit(1.0) / (lit(1.0) + exp(-col("mg"))), 6).as("score"))
