@@ -481,6 +481,36 @@ object Pipeline {
     }
   }
 
+  /** PNG -> JPG re-encode (main.py:2071-2089). The reference's helper
+    * `process_png_to_jpg` is ABSENT from its source — the endpoint would
+    * NameError — so semantics here mirror its jpg→png twin plus the
+    * RGBA→JPEG flattening every other reference image path applies
+    * (main.py:1302-1310): alpha composites onto a white background,
+    * then a JPEG encode (the JDK writer rejects ARGB rasters, so the
+    * flatten is load-bearing, not just cosmetic parity). */
+  def processPngToJpg(imagePath: String, outDir: String): Path = {
+    val bytes = Files.readAllBytes(Paths.get(imagePath))
+    val img = graft.analytics.Multimodal.decodeImage(bytes).getOrElse(
+      throw new IllegalArgumentException(s"Undecodable image: $imagePath"))
+    val rgb = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = rgb.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, img.getWidth, img.getHeight)
+      g.drawImage(img, 0, 0, null)
+    } finally g.dispose()
+    val base = {
+      val n = Paths.get(imagePath).getFileName.toString
+      val dot = n.lastIndexOf('.')
+      if (dot > 0) n.substring(0, dot) else n
+    }
+    val out = Paths.get(outDir, s"$base.jpg")
+    Files.createDirectories(out.getParent)
+    Files.write(out, graft.analytics.Multimodal.encodeImage(rgb, "jpg"))
+    out
+  }
+
   /** JPG -> PNG re-encode (main.py:886-911 + 2050-2068): decode via the
     * K9 raster codec, re-encode lossless PNG. */
   def processJpgToPng(imagePath: String, outDir: String): Path = {

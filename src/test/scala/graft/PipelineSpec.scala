@@ -249,6 +249,25 @@ class PipelineSpec extends SparkTestBase {
     } finally zf.close()
   }
 
+  test("png -> jpg re-encode flattens alpha onto white (the JDK JPEG " +
+       "writer rejects ARGB, so the flatten is load-bearing)") {
+    val dir = outDir()
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x00000000 else 0xff112233) // left half transparent
+    val src = Paths.get(dir, "logo.png")
+    Files.write(src, graft.analytics.Multimodal.encodeImage(img, "png"))
+    val jpg = Pipeline.processPngToJpg(src.toString, dir)
+    assert(jpg.getFileName.toString === "logo.jpg")
+    val back = graft.analytics.Multimodal.decodeImage(Files.readAllBytes(jpg)).get
+    assert(back.getWidth === 4 && back.getHeight === 4)
+    // transparent pixels composited onto white (allow JPEG quantization slack)
+    val p = back.getRGB(0, 0)
+    assert(((p >> 16) & 0xff) > 200 && ((p >> 8) & 0xff) > 200 && (p & 0xff) > 200,
+      f"expected near-white, got 0x$p%08x")
+  }
+
   test("jpg -> png re-encode keeps pixels decodable and sizes intact") {
     val dir = outDir()
     val img = new java.awt.image.BufferedImage(
