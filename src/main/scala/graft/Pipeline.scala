@@ -233,17 +233,41 @@ object Pipeline {
     * pdfplumber extraction shape (main.py:914-978: per-table DataFrames
     * with the table's first row as header, pandas-concat'd into a union
     * of columns, plus `pdf_page`/`table_number` provenance). Column
-    * order is first appearance across the document; row order columns
-    * (`_file/_page/_tbl/_row`) are internal to [[processPdfToCsv]].
-    * The extraction itself is [[PdfSource.readTableCells]]'s distributed
-    * x/y clustering; only the header dictionary (≤ one row of names per
-    * table, MediaBox-bounded) is collected to drive the pivot. */
-  private def pdfTablesWide(spark: SparkSession, pdfPath: String): DataFrame = {
+    * order is first appearance across the document. The extraction
+    * itself is [[PdfSource.readTableCells]]'s distributed x/y
+    * clustering; only the header dictionary (≤ one row of names per
+    * table, MediaBox-bounded) is collected to drive the pivot.
+    *
+    * Header-name edge rules (all deterministic, no silent data loss):
+    * a column with NO header cell in row 1 keeps its data under a
+    * positional `col_N` name; duplicate header names within one table
+    * get an occurrence suffix (`name`, `name_2`, ...) — a plain
+    * `first()` pivot would nondeterministically drop one of them; a
+    * header named `pdf_page`/`table_number` is overwritten by the
+    * provenance columns (the reference's pandas assignment does the
+    * same). Returns (wide, output column order, internal key column
+    * names) — the key names are chosen to never collide with
+    * header-derived names. */
+  private def pdfTablesWide(spark: SparkSession, pdfPath: String)
+      : (DataFrame, Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val cells = PdfSource.readTableCells(spark, pdfPath)
-    val hdr = cells.filter(col("row") === 1)
-      .select(col("file"), col("page"), col("table"), col("col"),
-        col("cell").as("colname"))
+    val named = cells.select("file", "page", "table", "col").distinct()
+      .join(cells.filter(col("row") === 1)
+        .select(col("file"), col("page"), col("table"), col("col"),
+          col("cell")),
+        Seq("file", "page", "table", "col"), "left")
+      .withColumn("colname",
+        coalesce(col("cell"), concat(lit("col_"), col("col"))))
+    val wOcc = Window
+      .partitionBy(col("file"), col("page"), col("table"), col("colname"))
+      .orderBy(col("col"))
+    val hdr = named.withColumn("occ", row_number().over(wOcc))
+      .withColumn("colname",
+        when(col("occ") > 1, concat(col("colname"), lit("_"), col("occ")))
+          .otherwise(col("colname")))
+      .select("file", "page", "table", "col", "colname")
     // pivot targets: header names in document-order of first appearance
     val colOrder = hdr
       .groupBy("colname")
@@ -251,14 +275,22 @@ object Pipeline {
       .orderBy("ord")
       .select("colname").collect().map(_.getString(0)).toSeq
     require(colOrder.nonEmpty, s"No tables found in PDF file: $pdfPath")
-    cells.filter(col("row") > 1)
+    // internal key columns must not collide with ANY header-derived name
+    // (a real header may legitimately start with '_')
+    val pfx = Iterator.iterate("_")(_ + "_").find(p =>
+      !Seq("file", "page", "tbl", "row")
+        .exists(k => colOrder.contains(p + k))).get
+    val keys = Seq("file", "page", "tbl", "row").map(pfx + _)
+    val wide = cells.filter(col("row") > 1)
       .join(hdr, Seq("file", "page", "table", "col"))
-      .groupBy(col("file").as("_file"), col("page").as("_page"),
-        col("table").as("_tbl"), col("row").as("_row"))
+      .groupBy(col("file").as(keys(0)), col("page").as(keys(1)),
+        col("table").as(keys(2)), col("row").as(keys(3)))
       .pivot("colname", colOrder)
       .agg(first(col("cell")))
-      .withColumn("pdf_page", col("_page"))
-      .withColumn("table_number", col("_tbl"))
+      .withColumn("pdf_page", col("`" + keys(1) + "`"))
+      .withColumn("table_number", col("`" + keys(2) + "`"))
+    (wide, colOrder.filterNot(Seq("pdf_page", "table_number").contains)
+      ++ Seq("pdf_page", "table_number"), keys)
   }
 
   /** PDF tables -> `;`/BOM CSV (main.py:914-978 + 2092-2111): header
@@ -266,13 +298,12 @@ object Pipeline {
     * row) order, `pdf_page`/`table_number` appended. */
   def processPdfToCsv(spark: SparkSession, pdfPath: String, outDir: String): Path = {
     import org.apache.spark.sql.functions.col
-    val wide = pdfTablesWide(spark, pdfPath)
-    val dataCols = wide.columns.filterNot(_.startsWith("_")).toSeq
+    val (wide, dataCols, keys) = pdfTablesWide(spark, pdfPath)
     val base = Paths.get(pdfPath).getFileName.toString.replaceAll("(?i)\\.pdf$", "")
     val out = Paths.get(outDir, s"${base}_tables.csv")
     Files.createDirectories(out.getParent)
     CsvSink.writeSingleFile(
-      wide.orderBy(col("_file"), col("_page"), col("_tbl"), col("_row"))
+      wide.orderBy(keys.map(k => col("`" + k + "`")): _*)
         .select(dataCols.map(c => col("`" + c + "`")): _*),
       out.toString)
     out
@@ -285,6 +316,14 @@ object Pipeline {
     val csv = processPdfToCsv(spark, pdfPath, outDir)
     try processCsvToExcel(spark, csv.toString, outDir)
     finally Files.deleteIfExists(csv)
+  }
+
+  /** Basename minus its last extension (any extension — the image/PDF
+    * converters accept several), matching the reference's
+    * `os.path.splitext` use. */
+  private def stripExt(name: String): String = {
+    val dot = name.lastIndexOf('.')
+    if (dot > 0) name.substring(0, dot) else name
   }
 
   private def jsonStr(s: String): String =
@@ -310,11 +349,20 @@ object Pipeline {
   def processPdfToJson(spark: SparkSession, pdfPath: String, outDir: String): Path = {
     val bytes = Files.readAllBytes(Paths.get(pdfPath))
     val pages = PdfSource.pageContents(bytes)
+    // readTableCells numbers pages on the TEXT-BEARING-stream scale
+    // (extractCells skips image-only pages); remap its k-th text page to
+    // the unified page number pageContents assigned, so a table after an
+    // image-only page lands in the right page object
+    val textPageNo = pages.collect { case (pg, lines, _) if lines.nonEmpty => pg }
+    def unified(textPage: Int): Int =
+      if (textPage >= 1 && textPage <= textPageNo.length) textPageNo(textPage - 1)
+      else textPage
     val cells = PdfSource.readTableCells(spark, pdfPath)
       .orderBy("page", "table", "row", "col")
       .select("page", "table", "row", "col", "cell")
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .map(r => (unified(r.getInt(0)), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
     // (page, table) -> header row + body rows, cols left-to-right
     val tables = cells.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
       case ((page, tbl), tc) =>
@@ -441,11 +489,7 @@ object Pipeline {
     * JPEG passthrough as DCTDecode, everything else as FlateDecode RGB. */
   def processImageToPdf(imagePath: String, outDir: String): Path = {
     val bytes = Files.readAllBytes(Paths.get(imagePath))
-    val base = {
-      val n = Paths.get(imagePath).getFileName.toString
-      val dot = n.lastIndexOf('.')
-      if (dot > 0) n.substring(0, dot) else n
-    }
+    val base = stripExt(Paths.get(imagePath).getFileName.toString)
     val out = Paths.get(outDir, s"$base.pdf")
     Files.createDirectories(out.getParent)
     graft.sinks.PdfSink.writeImagePdf(Seq(bytes), out.toString)
@@ -500,11 +544,7 @@ object Pipeline {
       g.fillRect(0, 0, img.getWidth, img.getHeight)
       g.drawImage(img, 0, 0, null)
     } finally g.dispose()
-    val base = {
-      val n = Paths.get(imagePath).getFileName.toString
-      val dot = n.lastIndexOf('.')
-      if (dot > 0) n.substring(0, dot) else n
-    }
+    val base = stripExt(Paths.get(imagePath).getFileName.toString)
     val out = Paths.get(outDir, s"$base.jpg")
     Files.createDirectories(out.getParent)
     Files.write(out, graft.analytics.Multimodal.encodeImage(rgb, "jpg"))
@@ -517,11 +557,7 @@ object Pipeline {
     val bytes = Files.readAllBytes(Paths.get(imagePath))
     val img = graft.analytics.Multimodal.decodeImage(bytes).getOrElse(
       throw new IllegalArgumentException(s"Undecodable image: $imagePath"))
-    val base = {
-      val n = Paths.get(imagePath).getFileName.toString
-      val dot = n.lastIndexOf('.')
-      if (dot > 0) n.substring(0, dot) else n
-    }
+    val base = stripExt(Paths.get(imagePath).getFileName.toString)
     val out = Paths.get(outDir, s"$base.png")
     Files.createDirectories(out.getParent)
     Files.write(out, graft.analytics.Multimodal.encodeImage(img, "png"))

@@ -84,11 +84,15 @@ object Bpe {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the ONE corpus scan, materialized — both the tier probe and
+    // whichever tier trains read the checkpointed vocab table, never the
+    // raw corpus again
+    val vocab = wordTable(docs, textCol).localCheckpoint()
     if (localVocabThreshold > 0) {
-      // single-scan tier probe: collect at most threshold+1 vocab rows;
+      // tier probe off the checkpoint: collect at most threshold+1 rows;
       // spilling past the cap falls through to the distributed tier
-      // without having materialized more than the cap on the driver
-      val probe = wordTable(docs, textCol).select($"w", $"f")
+      // without materializing more than the cap on the driver
+      val probe = vocab.select($"w", $"f")
         .limit(localVocabThreshold + 1).collect()
       if (probe.length <= localVocabThreshold) {
         val words = probe.map(r => (r.getString(0), r.getLong(1)))
@@ -103,21 +107,31 @@ object Bpe {
         return (mergeDf, vocabDf)
       }
     }
-    trainDistributed(docs, textCol, numMerges)
+    trainOnTable(vocab, numMerges)
   }
 
-  /** The distributed merge loop — one vocab-sized pair-count shuffle +
-    * 1-row model collect per merge. Correct at any vocab size, but each
-    * merge is a driver-synchronized Spark round: use [[train]]'s default
-    * local tier unless the vocab genuinely cannot fit the driver. */
+  /** The distributed merge loop from raw docs — spec surface for tier
+    * parity; [[train]] itself routes through [[trainOnTable]] so the
+    * fall-through never re-scans the corpus. */
   private[analytics] def trainDistributed(docs: DataFrame, textCol: String,
       numMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
+    trainOnTable(wordTable(docs, textCol).localCheckpoint(), numMerges)
+  }
+
+  /** The distributed merge loop over an already-materialized `(w, f, s)`
+    * vocab table — one vocab-sized pair-count shuffle + 1-row model
+    * collect per merge. Correct at any vocab size, but each merge is a
+    * driver-synchronized Spark round: use [[train]]'s default local tier
+    * unless the vocab genuinely cannot fit the driver. */
+  private def trainOnTable(vocab0: DataFrame,
+      numMerges: Int): (DataFrame, DataFrame) = {
+    val spark = vocab0.sparkSession
     import spark.implicits._
     // each iteration's state is materialized (localCheckpoint): the next
     // pair count must not recompute the whole merge chain from the raw
     // corpus — 20 merges would otherwise cost O(20²) corpus scans
-    var vocab = wordTable(docs, textCol).localCheckpoint()
+    var vocab = vocab0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -160,13 +174,36 @@ object Bpe {
     * distributed `explode(adjacentPairs)`), while the rewrite is greedy
     * left-to-right non-overlapping ([[mergePair]] = the `replace`
     * algebra) — the classic Sennrich count/merge asymmetry, preserved
-    * for bit parity. Symbols come from Java's regex `split("")`, the
-    * same engine Spark's `split(w, "")` runs, so multibyte boundaries
-    * agree between tiers. */
+    * for bit parity. Initial symbols are CODE POINTS: Java's
+    * `String.split("")` splits surrogate pairs into lone halves (whose
+    * UTF-8 encoding degrades to `?`), while Spark's `split(w, "")` and
+    * DuckDB keep supplementary characters whole — spec-pinned on a
+    * U+1F600 corpus. */
+  /** Tie order = UNSIGNED UTF-8 byte comparison, NOT Java's
+    * `String.compareTo`: Spark's `orderBy` on strings and DuckDB's
+    * `ORDER BY` both compare UTF-8 binary, and the two orders diverge
+    * between U+E000–U+FFFF (UTF-16 code units above the surrogate
+    * range, UTF-8 three bytes ≤ 0xEF) and supplementary chars (UTF-16
+    * surrogates 0xD800+, UTF-8 four bytes ≥ 0xF0). A code-unit
+    * comparator here would break tier parity on exactly those ties. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
   private[analytics] def localTrain(words: Array[(String, Long)],
       numMerges: Int): (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
     val syms: Array[Array[String]] = words.map { case (w, _) =>
-      w.split("").filter(_.nonEmpty) :+ "</w>"
+      w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))) :+ "</w>"
     }
     val freq = words.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -177,8 +214,8 @@ object Bpe {
         def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
           if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
           else {
-            val c = x._2.compareTo(y._2)
-            if (c != 0) c else x._3.compareTo(y._3)
+            val c = utf8Compare(x._2, y._2)
+            if (c != 0) c else utf8Compare(x._3, y._3)
           }
         }
       })

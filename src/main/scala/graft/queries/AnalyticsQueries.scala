@@ -2727,14 +2727,30 @@ object AnalyticsQueries {
         val docs = Tables(s, dir, "documents")
         val half = substring(md5(col("doc_id").cast("string")), 1, 1)
         val modelDir = java.nio.file.Files
-          .createTempDirectory("graft_q146_model").toString
-        graft.analytics.Selection.logregTrain(docs.filter(half < "8"),
-            "doc_id", "text", col("lang") === "en", dim = 64, iters = 30)
-          .write.mode("overwrite").parquet(modelDir)
-        graft.analytics.Selection.logregScore(s.read.parquet(modelDir),
-            docs.filter(half >= "8"), "doc_id", "text",
-            col("lang") === "en", dim = 64)
-          .orderBy("id")
+          .createTempDirectory("graft_q146_model")
+        try {
+          graft.analytics.Selection.logregTrain(docs.filter(half < "8"),
+              "doc_id", "text", col("lang") === "en", dim = 64, iters = 30)
+            .write.mode("overwrite").parquet(modelDir.toString)
+          graft.analytics.Selection.logregScore(
+              s.read.parquet(modelDir.toString),
+              docs.filter(half >= "8"), "doc_id", "text",
+              col("lang") === "en", dim = 64)
+            .orderBy("id")
+        } finally {
+          // logregScore COLLECTS the 65-row model eagerly, so the lazy
+          // scored plan no longer references the parquet — safe to
+          // delete now rather than leak one model dir per invocation
+          val walk = java.nio.file.Files.walk(modelDir)
+          val all =
+            try {
+              val buf = Seq.newBuilder[java.nio.file.Path]
+              val it = walk.iterator()
+              while (it.hasNext) buf += it.next()
+              buf.result()
+            } finally walk.close()
+          all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }),
 
     // ----- per-source vocabulary drift -----

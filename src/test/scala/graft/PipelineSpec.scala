@@ -189,6 +189,68 @@ class PipelineSpec extends SparkTestBase {
     assert(cells.exists(_.getAs[String]("cell") == "b-2"))
   }
 
+  test("pdf table header edges: duplicate names get occurrence " +
+       "suffixes, '_'-prefixed headers survive, headerless columns " +
+       "keep their data under col_N") {
+    val dir = outDir()
+    val dup = Paths.get(dir, "dup.pdf")
+    graft.sinks.PdfSink.writeGridPdf(
+      Seq(Seq("v", "v"), Seq("1", "2")), dup.toString)
+    val dupCsv = Pipeline.processPdfToCsv(spark, dup.toString, dir)
+    val dupLines = Files.readString(dupCsv).stripPrefix("﻿").split("\r\n")
+    assert(dupLines.head === "v;v_2;pdf_page;table_number")
+    assert(dupLines(1) === "1;2;1;1") // both columns' data kept
+
+    val und = Paths.get(dir, "und.pdf")
+    graft.sinks.PdfSink.writeGridPdf(
+      Seq(Seq("_id", "x"), Seq("7", "8")), und.toString)
+    val undCsv = Pipeline.processPdfToCsv(spark, und.toString, dir)
+    val undLines = Files.readString(undCsv).stripPrefix("﻿").split("\r\n")
+    assert(undLines.head === "_id;x;pdf_page;table_number")
+    assert(undLines(1) === "7;8;1;1")
+
+    val nohdr = Paths.get(dir, "nohdr.pdf")
+    graft.sinks.PdfSink.writeGridPdf(
+      Seq(Seq("a", "b"), Seq("1", "2", "3")), nohdr.toString)
+    val nhCsv = Pipeline.processPdfToCsv(spark, nohdr.toString, dir)
+    val nhLines = Files.readString(nhCsv).stripPrefix("﻿").split("\r\n")
+    assert(nhLines.head === "a;b;col_3;pdf_page;table_number")
+    assert(nhLines(1) === "1;2;3;1;1") // headerless column's data kept
+  }
+
+  test("pdf -> json on a mixed image+text document: the table lands on " +
+       "the unified page number, not the text-stream index") {
+    val dir = outDir()
+    // page 1 = image placement only (no BT); page 2 = a 2x2 text table.
+    // readTableCells numbers the text page 1 (text-stream scale) while
+    // the unified walk numbers it 2 — the JSON must say page 2.
+    val mixed =
+      "%PDF-1.4\n" +
+      "1 0 obj << >>\nstream\nq 10 0 0 10 50 700 cm /Im0 Do Q\nendstream\nendobj\n" +
+      "2 0 obj << >>\nstream\nBT\n/F1 10 Tf\n" +
+      "1 0 0 1 50 778 Tm (h1) Tj\n1 0 0 1 160 778 Tm (h2) Tj\n" +
+      "1 0 0 1 50 764 Tm (v1) Tj\n1 0 0 1 160 764 Tm (v2) Tj\n" +
+      "ET\nendstream\nendobj\n%%EOF"
+    val pdf = Paths.get(dir, "mixed.pdf")
+    Files.write(pdf, mixed.getBytes(StandardCharsets.ISO_8859_1))
+    val json = Pipeline.processPdfToJson(spark, pdf.toString, dir)
+    val df = spark.read.option("multiLine", "true").json(json.toString)
+    val row = df.collect().head
+    val info = row.getAs[org.apache.spark.sql.Row]("document_info")
+    assert(info.getAs[Long]("pages_count") === 2L)
+    val tables = row.getSeq[org.apache.spark.sql.Row](
+      df.schema.fieldIndex("tables"))
+    assert(tables.length === 1)
+    assert(tables.head.getAs[Long]("page") === 2L)
+    val pages = row.getSeq[org.apache.spark.sql.Row](
+      df.schema.fieldIndex("pages"))
+    assert(pages.head.getAs[Long]("images_count") === 1L)
+    assert(pages.head.getSeq[org.apache.spark.sql.Row](
+      pages.head.schema.fieldIndex("tables")).isEmpty)
+    assert(pages(1).getSeq[org.apache.spark.sql.Row](
+      pages(1).schema.fieldIndex("tables")).length === 1)
+  }
+
   test("pdf -> json carries pages, tables, text_content, and counts " +
        "(valid JSON by Spark's own reader)") {
     val dir = outDir()

@@ -1994,6 +1994,26 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("tie-breaks follow UTF-8 binary order in BOTH tiers — a " +
+       "UTF-16-code-unit comparator would invert U+FF5E vs " +
+       "supplementary-plane ties") {
+    import spark.implicits._
+    // words '～x' and '😀x', once each: merge 0 fuses (x, </w>) count 2;
+    // merge 1 ties at count 1 between (～, x</w>) and (😀, x</w>).
+    // UTF-8 bytes: ～ = EF BD 9E < F0 9F 98 80 = 😀 (～ wins, as Spark's
+    // orderBy and DuckDB collate); UTF-16 code units: 😀's surrogate
+    // 0xD83D < 0xFF5E (😀 would win) — the divergence under test.
+    val df = Seq((1L, "～x 😀x")).toDF("doc_id", "text")
+    def got(m: org.apache.spark.sql.DataFrame) =
+      m.orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val l = got(Bpe.train(df, "text", 2)._1)
+    val d = got(Bpe.trainDistributed(df, "text", 2)._1)
+    assert(l === d)
+    assert(l(1)._2 === "～", "UTF-8 order must pick U+FF5E first")
+  }
+
   test("a threshold smaller than the vocab falls through to the " +
        "distributed tier with identical results") {
     val (lm, _) = Bpe.train(corpus, "text", 8)
