@@ -288,6 +288,11 @@ object ScaleBench {
         "q131_stupid_backoff" -> (() =>
           analytics.TextAnalysis.stupidBackoffSurprisal(
             docs, "doc_id", "text").count()),
+        // the q131 shape + two extra aggregates OF the pair table
+        // (fan-outs, continuation counts) — must track q131's curve
+        "q147_kneser_ney" -> (() =>
+          analytics.TextAnalysis.kneserNeySurprisal(
+            docs, "doc_id", "text").count()),
         // dictionary count agg + broadcast rate join + map-side explode;
         // output volume is the upsampled corpus, the only growing term
         "q132_mixture_epochs" -> (() =>

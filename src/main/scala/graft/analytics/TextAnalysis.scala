@@ -406,6 +406,90 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal — the canonical
+    * count-based LM smoothing (Kneser & Ney 1995; the standard against
+    * which Stupid Backoff was benchmarked), with the same md5-half
+    * train/score split as [[stupidBackoffSurprisal]]:
+    *
+    * `P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+    *             + d · N1+(w1,·)/c(w1·) · Pcont(w2)`
+    *
+    * where `Pcont(w2) = N1+(·,w2) / N1+(··)` is the CONTINUATION
+    * probability — how many distinct contexts w2 completes, not how
+    * often it occurs (the insight that makes "francisco" cheap despite
+    * its frequency). Unseen prefixes fall back to `Pcont(w2)` alone;
+    * unseen continuations floor at `1/N1+(··)` (the [[
+    * stupidBackoffSurprisal]] unseen-word rule). Everything is exact
+    * integer-count ratios combined in a FIXED expression order, so the
+    * DuckDB oracle reproduces the doubles bit-for-bit; only the final
+    * per-doc mean is round(,6).
+    *
+    * Output per doc: bigram count, unseen rate (fraction of bigram
+    * occurrences the train model never saw — full or partial backoff),
+    * mean −ln P. Docs with < 2 tokens score null.
+    *
+    * Scale shape: identical to [[stupidBackoffSurprisal]] — the
+    * (doc, bigram) counts shuffle once and feed both the model
+    * aggregation and the scoring join; all model tables (pair counts,
+    * prefix totals + fan-outs, continuation counts) are aggregates of
+    * that one table, word-keyed joins back (vocabulary NOT assumed
+    * broadcastable); the distinct-bigram total is a 1-row broadcast. */
+  def kneserNeySurprisal(docs0: DataFrame, idCol: String,
+                         textCol: String, discount: Double = 0.75,
+                         trainFrac: Double = 0.5): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      "trainFrac must be in (0, 1]")
+    val docs = Par.ensure(docs0)
+    val isTrain = substring(md5(col(idCol).cast("string")), 1, 8) <
+      lit(Sampling.hexThreshold(trainFrac))
+    val db = docs
+      .select(col(idCol).as("did"), isTrain.as("tr"),
+        Dedup.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("did"), col("tr"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+                    element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("did"), col("tr"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+      .groupBy("did", "tr", "w1", "w2").agg(count(lit(1)).as("n"))
+    // train model: every table below is an aggregate of bf — the corpus
+    // is never re-scanned
+    val bf = db.filter(col("tr")).groupBy("w1", "w2")
+      .agg(sum(col("n")).as("c12"))
+    // per-prefix total AND fan-out from one pass over the pair table
+    val pf = bf.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cc = bf.groupBy("w2").agg(count(lit(1)).as("n1c"))
+    val nbi = bf.agg(count(lit(1)).as("nbi"))
+    val d = lit(discount)
+    val pcont = coalesce(col("n1c"), lit(1L)).cast("double") /
+      nullif(col("nbi").cast("double"), lit(0.0))
+    val prob = when(col("c1").isNotNull,
+        greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("c1").cast("double") +
+        d * col("n1p").cast("double") / col("c1").cast("double") * pcont)
+      .otherwise(pcont)
+    val sc = db.join(bf, Seq("w1", "w2"), "left")
+      .join(pf, Seq("w1"), "left")
+      .join(cc, Seq("w2"), "left")
+      .crossJoin(broadcast(nbi))
+      .groupBy("did").agg(
+        sum(col("n")).as("nb"),
+        sum(when(col("c12").isNull, col("n")).otherwise(lit(0L))).as("nun"),
+        sum(col("n").cast("double") * -log(prob)).as("s"))
+    docs.select(col(idCol))
+      .join(sc.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
+        when(col("nb") > 0,
+          round(col("nun").cast("double") / col("nb").cast("double"), 6))
+          .as("unseen_rate"),
+        when(col("nb") > 0, round(col("s") / col("nb").cast("double"), 6))
+          .as("avg_surprisal"))
+  }
+
   /** Unicode-script character ratios + dominant script — the lang-id
     * pre-filter that works where stopword scoring is blind (CJK,
     * Cyrillic, mixed-script spam). Counts are per CHARACTER CLASS via

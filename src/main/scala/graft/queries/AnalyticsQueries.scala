@@ -2385,6 +2385,52 @@ object AnalyticsQueries {
             "doc_id", "text", alpha = 0.4, trainFrac = 0.5)
           .orderBy("doc_id")),
 
+    // ----- interpolated Kneser-Ney bigram LM -----
+    Q("q147_kneser_ney",
+      "interpolated Kneser-Ney bigram surprisal (d=0.75, md5-half " +
+        "train/score split): absolute discounting + continuation " +
+        "probability N1+(.,w2)/N1+(..) — the canonical count-based LM " +
+        "smoothing; every model table is an aggregate of the one " +
+        "(doc,bigram) exchange, word-keyed joins back",
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.analytics.Sampling.hexThreshold(0.5)}' AS tr,
+             |         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |db AS (
+             |  SELECT doc_id, tr, t[i] AS w1, t[i+1] AS w2, count(*) AS n
+             |  FROM (SELECT doc_id, tr, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+             |  GROUP BY doc_id, tr, w1, w2),
+             |bf AS (SELECT w1, w2, sum(n) AS c12 FROM db WHERE tr GROUP BY w1, w2),
+             |pf AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM bf GROUP BY w1),
+             |cc AS (SELECT w2, count(*) AS n1c FROM bf GROUP BY w2),
+             |nbi AS (SELECT count(*) AS nbi FROM bf),
+             |sc AS (
+             |  SELECT db.doc_id, sum(db.n) AS nb,
+             |         sum(CASE WHEN bf.c12 IS NULL THEN db.n ELSE 0 END) AS nun,
+             |         sum(CAST(db.n AS DOUBLE) * -ln(
+             |           CASE WHEN pf.c1 IS NOT NULL
+             |                THEN greatest(CAST(coalesce(bf.c12, 0) AS DOUBLE) - 0.75, 0.0)
+             |                       / CAST(pf.c1 AS DOUBLE)
+             |                     + 0.75 * CAST(pf.n1p AS DOUBLE) / CAST(pf.c1 AS DOUBLE)
+             |                       * (CAST(coalesce(cc.n1c, 1) AS DOUBLE) / nullif(CAST(nbi.nbi AS DOUBLE), 0.0))
+             |                ELSE CAST(coalesce(cc.n1c, 1) AS DOUBLE) / nullif(CAST(nbi.nbi AS DOUBLE), 0.0)
+             |           END)) AS s
+             |  FROM db LEFT JOIN bf USING (w1, w2)
+             |          LEFT JOIN pf USING (w1)
+             |          LEFT JOIN cc ON cc.w2 = db.w2, nbi
+             |  GROUP BY db.doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+             |       CASE WHEN sc.nb > 0 THEN round(CAST(sc.nun AS DOUBLE) / sc.nb, 6) END AS unseen_rate,
+             |       CASE WHEN sc.nb > 0 THEN round(sc.s / sc.nb, 6) END AS avg_surprisal
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.kneserNeySurprisal(Tables(s, dir, "documents"),
+            "doc_id", "text", discount = 0.75, trainFrac = 0.5)
+          .orderBy("doc_id")),
+
     // ----- epoch-replicated target mixture (upsampling) -----
     Q("q132_mixture_epochs",
       "hit the target lang mixture by REPLICATION (training epochs): " +

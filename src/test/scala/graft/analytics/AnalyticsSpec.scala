@@ -1272,6 +1272,73 @@ class TextAnalysisSpec extends SparkTestBase {
     }
     assert(sawBackoff, "corpus must exercise the backoff path")
   }
+
+  test("kneserNeySurprisal == local brute force: absolute discount + " +
+       "continuation probability, unseen-prefix fallback to Pcont, " +
+       "unseen-continuation floor 1/N1+(..) (differential)") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 20).map(i => s"w$i").toVector
+    // a couple of SCORE-half docs (md5 >= '8') open with an
+    // out-of-train-vocab word, pinning the unseen-prefix path
+    val oovIds = (1000L until 1050L)
+      .filter(i => md5hex(i.toString).substring(0, 8) >= "80000000").take(2)
+    val raw = (0L until 100L).map { i =>
+      (i, Seq.fill(rnd.nextInt(9))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    } ++ oovIds.map(i => (i, s"zz$i w0 zz$i")) // (zz,w0): unseen prefix; (w0,zz): unseen continuation
+    val d = 0.75
+    val out = TextAnalysis.kneserNeySurprisal(
+        raw.toDF("doc_id", "text"), "doc_id", "text", d, trainFrac = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    val toks = raw.map { case (i, t) =>
+      i -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val train = raw.map(_._1).filter(i =>
+      md5hex(i.toString).substring(0, 8) < "80000000").toSet
+    val docBgs = toks.view.mapValues(t =>
+      t.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq).toMap
+    val bf = train.toSeq.flatMap(docBgs(_)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val c1 = bf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = bf.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val n1c = bf.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val nbi = bf.size.toDouble
+    var sawUnseenPrefix = false
+    var sawUnseenCont = false
+    for ((i, bgs) <- docBgs) {
+      if (bgs.isEmpty) assert(out(i) === ((0L, None, None)), s"doc $i")
+      else {
+        val scores = bgs.map { case (w1, w2) =>
+          if (!n1c.contains(w2)) sawUnseenCont = true
+          val pcont = n1c.getOrElse(w2, 1).toDouble / nbi
+          val p = c1.get(w1) match {
+            case Some(cp) =>
+              math.max(bf.getOrElse((w1, w2), 0).toDouble - d, 0.0) / cp +
+                d * n1p(w1) / cp * pcont
+            case None => sawUnseenPrefix = true; pcont
+          }
+          -math.log(p)
+        }
+        val nun = bgs.count(!bf.contains(_))
+        assert(out(i)._1 === bgs.size.toLong, s"doc $i count")
+        assert(math.abs(out(i)._2.get -
+          math.rint(nun.toDouble / bgs.size * 1e6) / 1e6) < 2e-6,
+          s"doc $i unseen rate")
+        val want = math.rint(scores.sum / bgs.size * 1e6) / 1e6
+        assert(math.abs(out(i)._3.get - want) < 2e-6,
+          s"doc $i: got ${out(i)._3.get}, want $want")
+      }
+    }
+    assert(sawUnseenPrefix, "corpus must exercise the unseen-prefix path")
+    assert(sawUnseenCont, "corpus must exercise the unseen-continuation path")
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {
