@@ -490,6 +490,46 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Character-entropy gibberish filter: per-doc Shannon entropy of the
+    * non-whitespace character distribution, via the count identity
+    * `H = log2(n) − (Σ k_c·log2 k_c)/n` — exact integer counts into a
+    * FIXED double expression, so the oracle reproduces it bit-for-bit
+    * (round(,6) only on the emitted entropy). Low entropy flags
+    * repeated-character spam ("aaaa…", ASCII-art padding); anomalously
+    * high entropy flags base64/hex blobs and binary-in-text — the two
+    * tails a compression-based quality gate trims. Whitespace is the
+    * explicit `[ \t\n\x0B\f\r]` class (the [[scriptRatios]] rule — bare
+    * `\s` diverges between regex engines). Docs with no non-whitespace
+    * characters emit n_chars 0 with null entropy.
+    *
+    * Scale shape: one explode → (doc, char)-keyed partial agg (each
+    * partition pre-compresses to ≤ alphabet-size rows per doc before
+    * the exchange) → one doc-keyed agg; nothing corpus-sized on the
+    * driver, no windows. Output: (id, n_chars, n_distinct, entropy). */
+  def charEntropy(docs0: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val ws = Seq(" ", "\t", "\n", "\u000B", "\f", "\r", "")
+    val ch = docs.select(col(idCol).as("did"),
+        explode(filter(split(col(textCol), ""),
+          c => !c.isin(ws: _*))).as("c"))
+      .groupBy("did", "c").agg(count(lit(1)).as("k"))
+    val sc = ch.groupBy("did").agg(
+        sum(col("k")).as("n"),
+        count(lit(1)).as("nd"),
+        sum(col("k").cast("double") * log2(col("k").cast("double")))
+          .as("slk"))
+      .select(col("did"), col("n"), col("nd"),
+        round(log2(col("n").cast("double")) -
+          col("slk") / col("n").cast("double"), 6).as("entropy"))
+    docs.select(col(idCol))
+      .join(sc.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_chars"),
+        coalesce(col("nd"), lit(0L)).cast("long").as("n_distinct"),
+        col("entropy"))
+  }
+
   /** Unicode-script character ratios + dominant script — the lang-id
     * pre-filter that works where stopword scoring is blind (CJK,
     * Cyrillic, mixed-script spam). Counts are per CHARACTER CLASS via

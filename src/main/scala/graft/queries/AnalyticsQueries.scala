@@ -2431,6 +2431,35 @@ object AnalyticsQueries {
             "doc_id", "text", discount = 0.75, trainFrac = 0.5)
           .orderBy("doc_id")),
 
+    // ----- character-entropy gibberish filter -----
+    Q("q148_char_entropy",
+      "per-doc Shannon entropy of the non-whitespace character " +
+        "distribution via H = log2(n) - sum(k*log2 k)/n — low flags " +
+        "repeated-char spam, high flags base64/binary blobs; one " +
+        "(doc,char) partial agg (pre-compressed to alphabet-size rows " +
+        "per partition) + one doc agg, nothing on the driver",
+      Some("""WITH ch AS (
+             |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+             |  FROM (SELECT doc_id,
+             |               unnest(list_filter(regexp_extract_all(text, '.', 0, 's'),
+             |                                  x -> x NOT IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)))) AS c
+             |        FROM documents)
+             |  GROUP BY doc_id, c),
+             |sc AS (
+             |  SELECT doc_id, sum(k) AS n, CAST(count(*) AS BIGINT) AS nd,
+             |         sum(CAST(k AS DOUBLE) * log2(CAST(k AS DOUBLE))) AS slk
+             |  FROM ch GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(sc.n, 0) AS BIGINT) AS n_chars,
+             |       coalesce(sc.nd, 0) AS n_distinct,
+             |       round(log2(CAST(sc.n AS DOUBLE)) - sc.slk / CAST(sc.n AS DOUBLE), 6) AS entropy
+             |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.charEntropy(Tables(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("doc_id")),
+
     // ----- epoch-replicated target mixture (upsampling) -----
     Q("q132_mixture_epochs",
       "hit the target lang mixture by REPLICATION (training epochs): " +

@@ -1339,6 +1339,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(sawUnseenPrefix, "corpus must exercise the unseen-prefix path")
     assert(sawUnseenCont, "corpus must exercise the unseen-continuation path")
   }
+
+  test("charEntropy: uniform text = log2(alphabet), repeated char = 0, " +
+       "whitespace excluded, empty doc null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),               // one symbol: H = 0
+      (2L, "ab"),                 // two equiprobable: H = 1
+      (3L, "a a b\t\n"),          // whitespace excluded: counts a=2, b=1
+      (4L, "   \t"),              // nothing left: null entropy
+      (5L, "абвг")                // multibyte BMP: 4 distinct, H = 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 1L &&
+      out(0).getDouble(3) === 0.0)
+    assert(out(1).getDouble(3) === 1.0)
+    val h3 = math.log(3) / math.log(2) - (2.0 * 1.0 + 0.0) / 3 // 2*log2(2)/3
+    assert(out(2).getLong(1) === 3L && out(2).getLong(2) === 2L)
+    assert(math.abs(out(2).getDouble(3) - math.rint(h3 * 1e6) / 1e6) < 2e-6)
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(3))
+    assert(out(4).getLong(2) === 4L && out(4).getDouble(3) === 2.0)
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {
