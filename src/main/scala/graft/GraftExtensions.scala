@@ -101,6 +101,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("nfc_normalize", 1)(args); NfcNormalize(args(0))
       }),
+    ("fix_mojibake",
+      info("fix_mojibake",
+        "fix_mojibake(s) - repair UTF-8 text mis-decoded as " +
+          "Latin-1/cp1252 (strict re-decode; non-mojibake passes through)"),
+      (args: Seq[Expression]) => {
+        arity("fix_mojibake", 1)(args); FixMojibake(args(0))
+      }),
     ("winnow_fp",
       info("winnow_fp",
         "winnow_fp(text, k, w) - winnowing fingerprints (MOSS): distinct " +

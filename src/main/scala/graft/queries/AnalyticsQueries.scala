@@ -2460,6 +2460,33 @@ object AnalyticsQueries {
             "doc_id", "text")
           .orderBy("doc_id")),
 
+    // ----- mojibake repair (ftfy rule) -----
+    Q("q149_mojibake_roundtrip",
+      "fix_mojibake round-trip gate: every doc is garbled in-engine " +
+        "(UTF-8 bytes re-read as Latin-1 — the charset-lying-server " +
+        "corruption) and repaired by the strict-decode kernel; the " +
+        "oracle pins the INVARIANT (n_recovered = n_docs, n_garbled = " +
+        "docs with any non-ASCII char) rather than replaying the " +
+        "byte-level op DuckDB cannot express — a kernel regression " +
+        "breaks the Spark-side counts, not the oracle",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(CASE WHEN strlen(text) <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_garbled,
+             |       CAST(count(*) AS BIGINT) AS n_recovered
+             |FROM documents""".stripMargin),
+      (s, dir) => {
+        val t = col("text")
+        // the classic corruption: UTF-8 bytes mis-decoded as Latin-1
+        val garbled = decode(encode(t, "UTF-8"), "ISO-8859-1")
+        Tables(s, dir, "documents")
+          .select(t, garbled.as("g"),
+            graft.functions.FixMojibake.fixMojibake(garbled).as("fx"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("g") =!= t, 1).otherwise(0)).cast("long")
+              .as("n_garbled"),
+            sum(when(col("fx") === t, 1).otherwise(0)).cast("long")
+              .as("n_recovered"))
+      }),
+
     // ----- epoch-replicated target mixture (upsampling) -----
     Q("q132_mixture_epochs",
       "hit the target lang mixture by REPLICATION (training epochs): " +
