@@ -699,14 +699,62 @@ object TextAnalysis {
         coalesce(col("avg_surprisal") <= col("thr"), lit(false)).as("keep"))
   }
 
+  /** The LINE-LEVEL Gopher rules (Rae et al. 2021 appendix A1's other
+    * half — [[gopherRules]] covers the word-level subset and documents
+    * this one): per-doc fractions of lines that start with a bullet
+    * (• - *) or end in an ellipsis (... or …), and the within-doc
+    * duplicate-line signals — fraction of repeated non-empty lines and
+    * fraction of characters living in repeated lines. `pass` applies
+    * the published thresholds (bullet ≤ 0.90, ellipsis ≤ 0.30,
+    * dup-line ≤ 0.30, dup-char ≤ 0.20), nulls (no lines) failing
+    * closed. Single-line corpora get structure from [[Dedup.
+    * reflowLines]] first (the q99 rule).
+    *
+    * Entirely MAP-SIDE: the line array never leaves its row — dup
+    * detection is per-DOC (array_distinct + an O(distinct × lines)
+    * occurrence fold over the row's own array), unlike [[Dedup.
+    * removeBoilerplateLines]]'s corpus-wide df. Exact integer counts
+    * into round(,6) fractions — oracle-reproducible. */
+  def gopherLineRules(docs0: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val t = col(textCol)
+    val lines = filter(
+      transform(split(t, "\n"), l => trim(l, " \t\f\r")), l => l =!= "")
+    val n = size(lines)
+    val nNz = nullif(n, lit(0)).cast("double")
+    val bullet = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("-") || l.startsWith("*")))
+    val ell = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val dinct = array_distinct(lines)
+    val dupLines = n - size(dinct)
+    val totChars = aggregate(lines, lit(0), (a, l) => a + length(l))
+    val dupChars = aggregate(dinct, lit(0), (a, d) => {
+      val cnt = size(filter(lines, l => l === d))
+      a + when(cnt > 1, cnt * length(d)).otherwise(lit(0))
+    })
+    val fb = round(bullet.cast("double") / nNz, 6)
+    val fe = round(ell.cast("double") / nNz, 6)
+    val fd = round(dupLines.cast("double") / nNz, 6)
+    val fc = round(dupChars.cast("double") /
+      nullif(totChars, lit(0)).cast("double"), 6)
+    docs.select(col(idCol),
+      coalesce(n, lit(0)).cast("long").as("n_lines"),
+      fb.as("frac_bullet"), fe.as("frac_ellipsis"),
+      fd.as("frac_dup_lines"), fc.as("frac_dup_chars"),
+      coalesce(fb <= 0.9 && fe <= 0.3 && fd <= 0.3 && fc <= 0.2,
+        lit(false)).as("pass"))
+  }
+
   /** Gopher-style quality rule flags (the published repetition-free subset
     * of the Gopher data-filter rules, Rae et al. 2021 appendix A1):
     * word-count bounds [50, 100000], mean-word-length band [3, 10],
     * alphabetic-word fraction >= 0.8, symbol-to-word ratio ("#"/"...")
     * <= 0.1, and >= 2 stopword hits; `pass` is the conjunction with nulls
-    * (empty docs) failing closed. The line-level rules (bullet/ellipsis
-    * line fractions) need line structure the corpus contract doesn't
-    * carry, so they are deliberately out of scope here.
+    * (empty docs) failing closed. The line-level rules live in
+    * [[gopherLineRules]] (single-line corpora get structure from
+    * [[Dedup.reflowLines]] first, the q99 rule).
     *
     * Entirely MAP-SIDE: every metric reads one row, mean word length is
     * non-space chars / tokens (no explode), and ratios are single double

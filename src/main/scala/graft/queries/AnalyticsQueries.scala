@@ -2487,6 +2487,52 @@ object AnalyticsQueries {
               .as("n_recovered"))
       }),
 
+    // ----- Gopher line-level rules -----
+    Q("q150_gopher_line_rules",
+      "the line-level half of the Gopher A1 filters: per-doc bullet/" +
+        "ellipsis line fractions + within-doc duplicate-line and " +
+        "duplicate-char fractions with the published thresholds " +
+        "(0.9/0.3/0.3/0.2); docs reflowed into 7-word lines first " +
+        "(q99's structure rule); entirely map-side, the line array " +
+        "never leaves its row",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |rl AS (
+             |  SELECT doc_id, i, array_to_string(t[i*7+1 : i*7+7], ' ') AS line
+             |  FROM (SELECT doc_id, t, unnest(range(greatest(1, CAST(ceil(len(t)/7.0) AS BIGINT)))) AS i FROM toks)),
+             |nz AS (SELECT doc_id, line FROM rl WHERE line <> ''),
+             |grp AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+             |        FROM nz GROUP BY doc_id, line),
+             |agg AS (
+             |  SELECT doc_id,
+             |         CAST(sum(c) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN line LIKE '•%' OR line LIKE '-%' OR line LIKE '*%' THEN c ELSE 0 END) AS BIGINT) AS nb,
+             |         CAST(sum(CASE WHEN line LIKE '%...' OR line LIKE '%…' THEN c ELSE 0 END) AS BIGINT) AS ne,
+             |         CAST(sum(c) - count(*) AS BIGINT) AS nd,
+             |         CAST(sum(c * l) AS BIGINT) AS tc,
+             |         CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS BIGINT) AS dc
+             |  FROM grp GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(a.n, 0) AS BIGINT) AS n_lines,
+             |       round(CAST(a.nb AS DOUBLE) / a.n, 6) AS frac_bullet,
+             |       round(CAST(a.ne AS DOUBLE) / a.n, 6) AS frac_ellipsis,
+             |       round(CAST(a.nd AS DOUBLE) / a.n, 6) AS frac_dup_lines,
+             |       round(CAST(a.dc AS DOUBLE) / nullif(a.tc, 0), 6) AS frac_dup_chars,
+             |       coalesce(round(CAST(a.nb AS DOUBLE) / a.n, 6) <= 0.9
+             |                AND round(CAST(a.ne AS DOUBLE) / a.n, 6) <= 0.3
+             |                AND round(CAST(a.nd AS DOUBLE) / a.n, 6) <= 0.3
+             |                AND round(CAST(a.dc AS DOUBLE) / nullif(a.tc, 0), 6) <= 0.2,
+             |                false) AS pass
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.gopherLineRules(
+            Tables(s, dir, "documents").select(col("doc_id"),
+              Dedup.reflowLines(col("text"), 7).as("text")),
+            "doc_id", "text")
+          .orderBy("doc_id")),
+
     // ----- epoch-replicated target mixture (upsampling) -----
     Q("q132_mixture_epochs",
       "hit the target lang mixture by REPLICATION (training epochs): " +

@@ -1340,6 +1340,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(sawUnseenCont, "corpus must exercise the unseen-continuation path")
   }
 
+  test("gopherLineRules: bullet/ellipsis/dup-line/dup-char fractions " +
+       "with published thresholds; empty docs fail closed") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines: 2 bullets, 1 ellipsis, "same line" twice (dup 1/4 lines)
+      (1L, "• first point\nsame line\nsame line\n- trailing dots..."),
+      // clean 2-liner
+      (2L, "alpha beta\ngamma delta"),
+      // 10 identical lines: dup fractions spike, pass = false
+      (3L, (1 to 10).map(_ => "spam spam spam").mkString("\n")),
+      (4L, "   \n\t\n")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherLineRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L)
+    assert(out(0).getDouble(2) === 0.5)  // bullets: "• first", "- trailing"
+    assert(out(0).getDouble(3) === 0.25) // one ... line
+    assert(out(0).getDouble(4) === 0.25) // one repeated line of 4
+    val dupChars = 2 * "same line".length
+    val totChars = "• first point".length + 2 * "same line".length +
+      "- trailing dots...".length
+    assert(math.abs(out(0).getDouble(5) -
+      math.rint(dupChars.toDouble / totChars * 1e6) / 1e6) < 1e-9)
+    assert(!out(0).getBoolean(6)) // dup-char 0.367 > 0.2
+    assert(out(1).getBoolean(6) && out(1).getDouble(4) === 0.0)
+    assert(out(2).getDouble(4) === 0.9 && out(2).getDouble(5) === 1.0 &&
+      !out(2).getBoolean(6))
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(4) &&
+      !out(3).getBoolean(6)) // no lines: fail closed
+  }
+
   test("charEntropy: uniform text = log2(alphabet), repeated char = 0, " +
        "whitespace excluded, empty doc null") {
     import spark.implicits._
