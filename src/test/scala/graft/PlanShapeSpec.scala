@@ -152,6 +152,7 @@ class PlanShapeSpec extends SparkTestBase {
     //   q121 dsir select:    scored corpus x broadcast ONE-ROW percentile
     //   q123 bloom:          distinct keys x broadcast literal probe grid
     //   q131 stupid-backoff: bigram counts x broadcast ONE-ROW corpus total
+    //   q147 kneser-ney:     bigram counts x broadcast ONE-ROW distinct-bigram total
     //   q134 hard negatives: query x broadcast corpus, non-equi label guard
     //   q135 bm25:           postings x broadcast ONE-ROW corpus stats
     //   q136 hybrid rrf:     q135's stats bracket + q24's broadcast corpus
@@ -160,7 +161,7 @@ class PlanShapeSpec extends SparkTestBase {
       "q97_external_surprisal", "q101_knn_classify", "q106_centroid_classify",
       "q108_dsir_weights", "q110_nb_classify", "q116_quantile_buckets",
       "q120_cm_sketch", "q121_dsir_select", "q123_bloom_filter",
-      "q131_stupid_backoff", "q134_hard_negatives",
+      "q131_stupid_backoff", "q134_hard_negatives", "q147_kneser_ney",
       "q135_bm25_topk", "q136_hybrid_rrf", "q139_retrieval_metrics",
       "q143_vocab_drift")
     val offenders = queries.Catalog.all.flatMap { q =>
