@@ -315,6 +315,18 @@ object ScaleBench {
             k = 5, poolK = 20).count()),
         // three long counters per row, one dictionary-sized agg — the
         // flattest shape in the catalog; must be scan-flat
+        // (doc,char) partial agg pre-compressed to alphabet-size rows
+        // per partition — the exchange carries ~100 rows/doc regardless
+        // of doc length; must be scan-linear
+        "q148_char_entropy" -> (() =>
+          analytics.TextAnalysis.charEntropy(docs, "doc_id", "text")
+            .count()),
+        // map-side line-array folds, zero shuffles — must be scan-flat
+        "q150_gopher_lines" -> (() =>
+          analytics.TextAnalysis.gopherLineRules(
+            docs.select($"doc_id",
+              analytics.Dedup.reflowLines($"text", 7).as("text")),
+            "doc_id", "text").count()),
         "q137_fertility" -> (() =>
           analytics.TextAnalysis.fertility(docs, "doc_id", "text", "lang")
             .count()),
