@@ -460,6 +460,18 @@ object Dedup {
       .filter($"df" >= minDocFreq)
     val drops = ln.join(boiler, Seq("h"))
       .groupBy($"doc").agg(collect_list($"pos").as("drop_pos"))
+    rebuildWithoutPositions(withLines, drops, idCol, textCol)
+  }
+
+  /** Shared text-rebuild tail of the line-dedup family: drop each doc's
+    * `drop_pos` line positions and rejoin the survivors in order.
+    * `array_except` hashes the drop list once (an `array_contains` scan
+    * per line would cost O(lines × drops) on a boilerplate-heavy
+    * 100k-line template page). */
+  private def rebuildWithoutPositions(withLines: DataFrame, drops: DataFrame,
+                                      idCol: String, textCol: String): DataFrame = {
+    val spark = withLines.sparkSession
+    import spark.implicits._
     withLines.join(drops, Seq("doc"), "left")
       .select($"doc".as(idCol),
         concat_ws("\n", transform(
@@ -468,6 +480,45 @@ object Dedup {
           p => element_at($"lines", p + 1))).as(textCol),
         size($"lines").cast("long").as("n_lines"),
         coalesce(size($"drop_pos"), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /** Corpus-wide KEEP-FIRST line dedup (the RefinedWeb/ExactSubstr rule
+    * at line granularity): every line that occurs more than once in the
+    * corpus keeps ONLY its first occurrence — first in (doc id, position)
+    * order — and every later occurrence is dropped; text is rebuilt from
+    * the survivors. Complements [[removeBoilerplateLines]], which removes
+    * ALL occurrences of high-df lines including the first: boilerplate
+    * removal cleans templates, keep-first preserves one copy of
+    * legitimately shared content (quotes, licenses, headers) so the
+    * corpus keeps the information while losing the repetition.
+    *
+    * Scale shape: identical to [[removeBoilerplateLines]] — the exploded
+    * table carries (doc, pos, xxhash64(line)), never text; the
+    * first-occurrence winner per hash is a PARTIAL-AGGREGABLE
+    * `min(struct(doc, pos))` (no corpus-wide window; the oracle's
+    * row_number formulation would sort every duplicate group through
+    * single tasks), and the only text-moving exchange is the final
+    * doc-keyed drop-list join. */
+  def keepFirstLines(docs0: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withLines = docs.select(col(idCol).as("doc"),
+      split(col(textCol), "\n").as("lines"))
+    val ln = withLines
+      .select($"doc", posexplode($"lines").as(Seq("pos", "line")))
+      .withColumn("lt", trim($"line", " \t\f\r"))
+      .filter($"lt" =!= "")
+      .select($"doc", $"pos", xxhash64($"lt").as("h"))
+      .localCheckpoint() // feeds the winner agg AND the join back
+    val firsts = ln.groupBy($"h")
+      .agg(min(struct($"doc", $"pos")).as("w"), count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1)
+    val drops = ln.join(firsts, Seq("h"))
+      .filter(struct($"doc", $"pos") =!= $"w")
+      .groupBy($"doc").agg(collect_list($"pos").as("drop_pos"))
+    rebuildWithoutPositions(withLines, drops, idCol, textCol)
   }
 
   /** Reflow `text` into newline-delimited lines of `wordsPerLine`

@@ -2487,6 +2487,49 @@ object AnalyticsQueries {
               .as("n_recovered"))
       }),
 
+    // ----- corpus-wide keep-first line dedup -----
+    Q("q151_keep_first_lines",
+      "RefinedWeb/ExactSubstr keep-first line dedup: every line " +
+        "occurring >1 time corpus-wide keeps only its (doc,pos)-first " +
+        "occurrence, text rebuilt — one copy of shared content " +
+        "survives, unlike q99's remove-all boilerplate rule; winner = " +
+        "partial-aggregable min(struct), no corpus window",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |rl AS (
+             |  SELECT doc_id, i, array_to_string(t[i*5+1 : i*5+5], ' ') AS line
+             |  FROM (SELECT doc_id, t, unnest(range(greatest(1, CAST(ceil(len(t)/5.0) AS BIGINT)))) AS i FROM toks)),
+             |rk AS (
+             |  SELECT doc_id, i,
+             |         row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn,
+             |         count(*) OVER (PARTITION BY line) AS cnt
+             |  FROM rl WHERE line <> ''),
+             |drops AS (SELECT doc_id, i FROM rk WHERE cnt > 1 AND rn > 1),
+             |kept AS (
+             |  SELECT r.doc_id, r.i, r.line
+             |  FROM rl r LEFT JOIN drops d ON d.doc_id = r.doc_id AND d.i = r.i
+             |  WHERE d.doc_id IS NULL),
+             |nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+             |       FROM rl GROUP BY doc_id),
+             |ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+             |              CAST(count(*) AS BIGINT) AS n_kept
+             |       FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(ka.text, '') AS text,
+             |       coalesce(nl.n_lines, 0) AS n_lines,
+             |       coalesce(nl.n_lines, 0) - coalesce(ka.n_kept, 0) AS n_removed
+             |FROM documents d
+             |LEFT JOIN nl USING (doc_id)
+             |LEFT JOIN ka USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val reflowed = Tables(s, dir, "documents").select(col("doc_id"),
+          Dedup.reflowLines(col("text"), 5).as("text"))
+        Dedup.keepFirstLines(reflowed, "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
     // ----- Gopher line-level rules -----
     Q("q150_gopher_line_rules",
       "the line-level half of the Gopher A1 filters: per-doc bullet/" +

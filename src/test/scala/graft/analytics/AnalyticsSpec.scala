@@ -1022,6 +1022,25 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, "nothing shared here\n\nat all", 3L, 0L)))
   }
 
+  test("keepFirstLines: duplicated lines keep ONLY the (doc,pos)-first " +
+       "occurrence — including within-doc repeats — unlike the " +
+       "remove-all boilerplate rule; blanks are structure") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared quote\nbody one\nshared quote"),   // in-doc repeat: 2nd goes
+      (2L, "  shared quote \n\nbody two"),            // trim-keyed later occurrence goes
+      (3L, "body three\nshared quote"),
+      (4L, "all original\n\nhere")).toDF("doc_id", "text")
+    val out = Dedup.keepFirstLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "shared quote\nbody one", 3L, 1L), // doc 1 pos 0 is THE first: kept
+      (2L, "\nbody two", 3L, 1L),
+      (3L, "body three", 2L, 1L),
+      (4L, "all original\n\nhere", 3L, 0L)))
+  }
+
   test("removeBoilerplateLines: whitespace-only lines (tabs included) " +
        "are structure — never counted toward df, never removed") {
     import spark.implicits._
