@@ -313,11 +313,9 @@ object ScaleBench {
             emb, "vec_id", "embedding",
             $"doc_id" % 100 === 0, $"vec_id" % 100 === 0,
             k = 5, poolK = 20).count()),
-        // three long counters per row, one dictionary-sized agg — the
-        // flattest shape in the catalog; must be scan-flat
         // (doc,char) partial agg pre-compressed to alphabet-size rows
         // per partition — the exchange carries ~100 rows/doc regardless
-        // of doc length; must be scan-linear
+        // of doc length; must be scan-flat
         "q148_char_entropy" -> (() =>
           analytics.TextAnalysis.charEntropy(docs, "doc_id", "text")
             .count()),
@@ -327,6 +325,15 @@ object ScaleBench {
             docs.select($"doc_id",
               analytics.Dedup.reflowLines($"text", 7).as("text")),
             "doc_id", "text").count()),
+        // keep-first dedup: hashed-line exchange + min(struct) winner agg
+        // + doc-keyed drop join — must track q99's curve
+        "q151_keep_first" -> (() =>
+          analytics.Dedup.keepFirstLines(
+            docs.select($"doc_id",
+              analytics.Dedup.reflowLines($"text", 5).as("text")),
+            "doc_id", "text").count()),
+        // three long counters per row, one dictionary-sized agg — the
+        // flattest shape in the catalog; must be scan-flat
         "q137_fertility" -> (() =>
           analytics.TextAnalysis.fertility(docs, "doc_id", "text", "lang")
             .count()),

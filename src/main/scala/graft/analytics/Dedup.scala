@@ -435,6 +435,30 @@ object Dedup {
     * 100k-line template page). Line identity by 64-bit hash: a
     * collision can only remove one extra line, and at 10^11 lines the
     * expected collision count is still < 1 per ~300 corpora. */
+  /** Shared hashed-line prologue of the line-dedup family: each doc's
+    * line array plus the exploded (doc, pos, xxhash64(trimmed line))
+    * table. Blank lines are structure, never hashed — via the explicit
+    * whitespace set (incl. U+000B): plain trim() strips only spaces, so
+    * a tab-only line would otherwise count as content; \n can't occur
+    * inside a split line. The hashed table is localCheckpointed because
+    * every caller feeds it to an aggregate AND a join back — without it
+    * the explode runs twice per action. One definition so the trim set
+    * and hashing can never desynchronize the dedup rules. */
+  private def hashedLines(docs: DataFrame, idCol: String,
+                          textCol: String): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withLines = docs.select(col(idCol).as("doc"),
+      split(col(textCol), "\n").as("lines"))
+    val ln = withLines
+      .select($"doc", posexplode($"lines").as(Seq("pos", "line")))
+      .withColumn("lt", trim($"line", " \t\u000B\f\r"))
+      .filter($"lt" =!= "")
+      .select($"doc", $"pos", xxhash64($"lt").as("h"))
+      .localCheckpoint()
+    (withLines, ln)
+  }
+
   def removeBoilerplateLines(docs0: DataFrame, idCol: String,
                              textCol: String,
                              minDocFreq: Int = 3): DataFrame = {
@@ -442,19 +466,7 @@ object Dedup {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val withLines = docs.select(col(idCol).as("doc"),
-      split(col(textCol), "\n").as("lines"))
-    // checkpoint: the hashed line table feeds the df aggregate AND the
-    // join back — without it the explode runs twice per action
-    val ln = withLines
-      .select($"doc", posexplode($"lines").as(Seq("pos", "line")))
-      // explicit whitespace set (plain trim() strips only spaces — a
-      // tab-only line would otherwise count as content); \n can't occur
-      // inside a split line
-      .withColumn("lt", trim($"line", " \t\f\r"))
-      .filter($"lt" =!= "")
-      .select($"doc", $"pos", xxhash64($"lt").as("h"))
-      .localCheckpoint()
+    val (withLines, ln) = hashedLines(docs, idCol, textCol)
     val boiler = ln.select($"doc", $"h").distinct()
       .groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" >= minDocFreq)
@@ -504,14 +516,7 @@ object Dedup {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val withLines = docs.select(col(idCol).as("doc"),
-      split(col(textCol), "\n").as("lines"))
-    val ln = withLines
-      .select($"doc", posexplode($"lines").as(Seq("pos", "line")))
-      .withColumn("lt", trim($"line", " \t\f\r"))
-      .filter($"lt" =!= "")
-      .select($"doc", $"pos", xxhash64($"lt").as("h"))
-      .localCheckpoint() // feeds the winner agg AND the join back
+    val (withLines, ln) = hashedLines(docs, idCol, textCol)
     val firsts = ln.groupBy($"h")
       .agg(min(struct($"doc", $"pos")).as("w"), count(lit(1)).as("cnt"))
       .filter($"cnt" > 1)

@@ -352,19 +352,25 @@ object TextAnalysis {
     * broadcastable, as in [[unigramSurprisal]] — AQE downgrades to
     * broadcast when small); T is a 1-row broadcast. Nothing corpus-sized
     * ever sits in a window or on the driver. */
-  def stupidBackoffSurprisal(docs0: DataFrame, idCol: String,
-                             textCol: String, alpha: Double = 0.4,
-                             trainFrac: Double = 0.5): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    require(trainFrac > 0.0 && trainFrac <= 1.0,
-      "trainFrac must be in (0, 1]")
-    val docs = Par.ensure(docs0)
-    val isTrain = substring(md5(col(idCol).cast("string")), 1, 8) <
+  /** The md5-threshold train-split predicate the bigram-LM family
+    * shares (deterministic, partition-invariant — the [[Sampling]]
+    * pattern). */
+  private def trainPredicate(idCol: String, trainFrac: Double): Column =
+    substring(md5(col(idCol).cast("string")), 1, 8) <
       lit(Sampling.hexThreshold(trainFrac))
-    // per-(doc, bigram) counts for ALL docs, train-tagged; this subtree
-    // feeds both the model aggregation and the scoring join
-    val db = docs
-      .select(col(idCol).as("did"), isTrain.as("tr"),
+
+  /** Train-tagged per-(doc, bigram) counts `(did, tr, w1, w2, n)` — the
+    * shared prologue of [[stupidBackoffSurprisal]] and
+    * [[kneserNeySurprisal]]: ONE tokenization, one (doc, bigram)
+    * partial-agg exchange, feeding both each model's aggregation and
+    * its scoring join. Kept in one place so a tokenization or
+    * train-split fix can never desynchronize the two LM gates. */
+  private def docBigramCounts(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              trainFrac: Double): DataFrame =
+    docs
+      .select(col(idCol).as("did"),
+        trainPredicate(idCol, trainFrac).as("tr"),
         Dedup.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("did"), col("tr"), explode(transform(
@@ -374,6 +380,16 @@ object TextAnalysis {
       .select(col("did"), col("tr"), col("bg.w1").as("w1"),
         col("bg.w2").as("w2"))
       .groupBy("did", "tr", "w1", "w2").agg(count(lit(1)).as("n"))
+
+  def stupidBackoffSurprisal(docs0: DataFrame, idCol: String,
+                             textCol: String, alpha: Double = 0.4,
+                             trainFrac: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      "trainFrac must be in (0, 1]")
+    val docs = Par.ensure(docs0)
+    val isTrain = trainPredicate(idCol, trainFrac)
+    val db = docBigramCounts(docs, idCol, textCol, trainFrac)
     val bf = db.filter(col("tr")).groupBy("w1", "w2")
       .agg(sum(col("n")).as("c12"))
     val pf = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -441,19 +457,7 @@ object TextAnalysis {
     require(trainFrac > 0.0 && trainFrac <= 1.0,
       "trainFrac must be in (0, 1]")
     val docs = Par.ensure(docs0)
-    val isTrain = substring(md5(col(idCol).cast("string")), 1, 8) <
-      lit(Sampling.hexThreshold(trainFrac))
-    val db = docs
-      .select(col(idCol).as("did"), isTrain.as("tr"),
-        Dedup.tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("did"), col("tr"), explode(transform(
-        sequence(lit(1), size(col("t")) - 1),
-        i => struct(element_at(col("t"), i).as("w1"),
-                    element_at(col("t"), i + 1).as("w2")))).as("bg"))
-      .select(col("did"), col("tr"), col("bg.w1").as("w1"),
-        col("bg.w2").as("w2"))
-      .groupBy("did", "tr", "w1", "w2").agg(count(lit(1)).as("n"))
+    val db = docBigramCounts(docs, idCol, textCol, trainFrac)
     // train model: every table below is an aggregate of bf — the corpus
     // is never re-scanned
     val bf = db.filter(col("tr")).groupBy("w1", "w2")

@@ -31,19 +31,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * (known mojibake/clean pairs), per the non-SQL-op contract. */
 object FixMojibakeUtil {
 
-  // cp1252 0x80-0x9F specials: Unicode char -> original byte. Entries of
-  // 0 in the Unicode table (0x81, 0x8D, 0x8F, 0x90, 0x9D are undefined
-  // in cp1252) are absent — a char outside both this map and the
+  // cp1252 0x80-0x9F specials: Unicode char -> original byte, as a
+  // compiler-generated lookupswitch (no boxed Map.get in the hot
+  // kernel). Chars whose cp1252 slot is undefined (0x81, 0x8D, 0x8F,
+  // 0x90, 0x9D) return -1 — a char outside both this switch and the
   // Latin-1 range means "not mojibake".
-  private val Cp1252Inverse: Map[Char, Byte] = Map(
-    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
-    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
-    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
-    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
-    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
-    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
-    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F
-  ).map { case (c, b) => c -> b.toByte }
+  private def cp1252Inverse(c: Char): Int = c match {
+    case '€' => 0x80; case '‚' => 0x82; case 'ƒ' => 0x83
+    case '„' => 0x84; case '…' => 0x85; case '†' => 0x86
+    case '‡' => 0x87; case 'ˆ' => 0x88; case '‰' => 0x89
+    case 'Š' => 0x8A; case '‹' => 0x8B; case 'Œ' => 0x8C
+    case 'Ž' => 0x8E; case '‘' => 0x91; case '’' => 0x92
+    case '“' => 0x93; case '”' => 0x94; case '•' => 0x95
+    case '–' => 0x96; case '—' => 0x97; case '˜' => 0x98
+    case '™' => 0x99; case 'š' => 0x9A; case '›' => 0x9B
+    case 'œ' => 0x9C; case 'ž' => 0x9E; case 'Ÿ' => 0x9F
+    case _ => -1
+  }
+
+  // CharsetDecoder is stateful (not thread-safe) but reusable after
+  // reset(): one per task thread instead of one per garbled row
+  private val decoders =
+    ThreadLocal.withInitial[java.nio.charset.CharsetDecoder](() =>
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT))
 
   def fix(s: UTF8String): UTF8String = {
     // pure-ASCII fast path on the raw bytes (sign bit = non-ASCII)
@@ -61,15 +73,15 @@ object FixMojibakeUtil {
     while (i < str.length) {
       val c = str.charAt(i)
       if (c <= 0xFF) bytes(i) = c.toByte
-      else Cp1252Inverse.get(c) match {
-        case Some(b) => bytes(i) = b
-        case None    => return s // char has no single-byte origin
+      else {
+        val b = cp1252Inverse(c)
+        if (b < 0) return s // char has no single-byte origin
+        bytes(i) = b.toByte
       }
       i += 1
     }
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val dec = decoders.get()
+    dec.reset()
     try {
       val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
       // a real double-encoding always shrinks (some multibyte sequence

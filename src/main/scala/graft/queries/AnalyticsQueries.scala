@@ -2471,7 +2471,7 @@ object AnalyticsQueries {
         "breaks the Spark-side counts, not the oracle",
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(sum(CASE WHEN strlen(text) <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_garbled,
-             |       CAST(count(*) AS BIGINT) AS n_recovered
+             |       CAST(count(text) AS BIGINT) AS n_recovered
              |FROM documents""".stripMargin),
       (s, dir) => {
         val t = col("text")
