@@ -325,6 +325,12 @@ object ScaleBench {
             docs.select($"doc_id",
               analytics.Dedup.reflowLines($"text", 7).as("text")),
             "doc_id", "text").count()),
+        // map-side line folds + page-flag probes — must be scan-flat
+        "q152_c4_filters" -> (() =>
+          analytics.TextAnalysis.c4Filters(
+            docs.select($"doc_id",
+              analytics.Dedup.reflowLines($"text", 5).as("text")),
+            "doc_id", "text").count()),
         // keep-first dedup: hashed-line exchange + min(struct) winner agg
         // + doc-keyed drop join — must track q99's curve
         "q151_keep_first" -> (() =>

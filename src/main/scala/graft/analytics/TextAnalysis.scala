@@ -751,6 +751,42 @@ object TextAnalysis {
         lit(false)).as("pass"))
   }
 
+  /** The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the filter
+    * set behind the most-used open pretraining corpus), line-level:
+    * keep only lines that END IN TERMINAL PUNCTUATION (. ! ? ") and
+    * have ≥ 5 words, drop any line containing "javascript" (the
+    * cookie/JS-warning tell); then page-level: discard documents with
+    * fewer than 3 surviving lines, any "{" (code), or the phrase
+    * "lorem ipsum". Output: (id, cleaned text from the kept lines,
+    * n_lines, n_kept, keep). The paper's dirty-word list and langdetect
+    * steps live in their own operators ([[corpusFilter]]'s gates,
+    * [[langId]]); its 3-sentence-span dedup is the [[Dedup]] family.
+    *
+    * Entirely MAP-SIDE (line array folds within the row, page flags are
+    * substring probes); exact counts, no shuffles. Single-line corpora
+    * get structure from [[Dedup.reflowLines]] first (the q99 rule). */
+  def c4Filters(docs0: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val t = col(textCol)
+    val lines = filter(
+      transform(split(t, "\n"), l => trim(l, " \t\f\r")), l => l =!= "")
+    val keptLines = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+      size(filter(split(l, " "), w => w =!= "")) >= 5 &&
+      !lower(l).contains("javascript"))
+    val hasBrace = t.contains("{")
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val nKept = size(keptLines)
+    docs.select(col(idCol),
+      concat_ws("\n", keptLines).as("clean_text"),
+      coalesce(size(lines), lit(0)).cast("long").as("n_lines"),
+      coalesce(nKept, lit(0)).cast("long").as("n_kept"),
+      coalesce(nKept >= 3 && !hasBrace && !hasLorem, lit(false))
+        .as("keep"))
+  }
+
   /** Gopher-style quality rule flags (the published repetition-free subset
     * of the Gopher data-filter rules, Rae et al. 2021 appendix A1):
     * word-count bounds [50, 100000], mean-word-length band [3, 10],

@@ -2530,6 +2530,49 @@ object AnalyticsQueries {
           .orderBy("doc_id")
       }),
 
+    // ----- C4 cleaning heuristics -----
+    Q("q152_c4_filters",
+      "the C4 cleaning rules (Raffel et al. 2020 §2.2): keep lines " +
+        "ending in terminal punctuation with >= 5 words and no " +
+        "'javascript'; drop pages with < 3 surviving lines, a '{', or " +
+        "'lorem ipsum' — entirely map-side line-array folds over " +
+        "reflowed docs",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |rl AS (
+             |  SELECT doc_id, i, array_to_string(t[i*5+1 : i*5+5], ' ') AS line
+             |  FROM (SELECT doc_id, t, unnest(range(greatest(1, CAST(ceil(len(t)/5.0) AS BIGINT)))) AS i FROM toks)),
+             |ft AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS rt
+             |       FROM rl GROUP BY doc_id),
+             |nz AS (SELECT doc_id, i, line FROM rl WHERE line <> ''),
+             |kp AS (SELECT doc_id, i, line FROM nz
+             |       WHERE (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?' OR line LIKE '%"')
+             |         AND len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+             |         AND NOT contains(lower(line), 'javascript')),
+             |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nl FROM nz GROUP BY doc_id),
+             |ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS ct,
+             |              CAST(count(*) AS BIGINT) AS nk
+             |       FROM kp GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(ka.ct, '') AS clean_text,
+             |       coalesce(ag.nl, 0) AS n_lines,
+             |       coalesce(ka.nk, 0) AS n_kept,
+             |       coalesce(ka.nk >= 3 AND NOT contains(ft.rt, '{')
+             |                AND NOT contains(lower(ft.rt), 'lorem ipsum'),
+             |                false) AS keep
+             |FROM documents d
+             |LEFT JOIN ag USING (doc_id)
+             |LEFT JOIN ka USING (doc_id)
+             |LEFT JOIN ft USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.c4Filters(
+            Tables(s, dir, "documents").select(col("doc_id"),
+              Dedup.reflowLines(col("text"), 5).as("text")),
+            "doc_id", "text")
+          .orderBy("doc_id")),
+
     // ----- Gopher line-level rules -----
     Q("q150_gopher_line_rules",
       "the line-level half of the Gopher A1 filters: per-doc bullet/" +

@@ -1359,6 +1359,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(sawUnseenCont, "corpus must exercise the unseen-continuation path")
   }
 
+  test("c4Filters: terminal-punctuation + 5-word + javascript line " +
+       "rules, then 3-line/brace/lorem page rules") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 qualifying sentences -> keep; short/unpunctuated lines drop
+      (1L, "the quick brown fox jumps high.\nshort line.\n" +
+           "a second proper sentence right here!\nno terminal punct here\n" +
+           "is this a qualifying question line?"),
+      // qualifying lines but a '{' kills the page
+      (2L, "one fine sentence with many words.\nanother fine sentence " +
+           "with words.\na third fine sentence with { brace."),
+      // javascript line dropped -> only 2 survive -> page dropped
+      (3L, "please enable javascript to view this.\n" +
+           "a first good sentence with words.\n" +
+           "a second good sentence with words.\n" +
+           "a third good sentence but javascript again."),
+      // lorem ipsum kills the page
+      (4L, "lorem ipsum dolor sit amet consectetur.\n" +
+           "real sentence number two is here.\n" +
+           "real sentence number three is here."),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(3) === 3L && out(0).getBoolean(4))
+    assert(out(0).getString(1) ===
+      "the quick brown fox jumps high.\n" +
+      "a second proper sentence right here!\n" +
+      "is this a qualifying question line?")
+    assert(out(1).getLong(3) === 3L && !out(1).getBoolean(4)) // brace
+    assert(out(2).getLong(3) === 2L && !out(2).getBoolean(4)) // js lines gone
+    assert(!out(3).getBoolean(4))                             // lorem ipsum
+    assert(out(4).getLong(2) === 0L && !out(4).getBoolean(4))
+  }
+
   test("gopherLineRules: bullet/ellipsis/dup-line/dup-char fractions " +
        "with published thresholds; empty docs fail closed") {
     import spark.implicits._
