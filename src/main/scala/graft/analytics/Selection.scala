@@ -93,6 +93,35 @@ object Selection {
         coalesce($"dsir_weight" >= $"thr", lit(false)).as("keep"))
   }
 
+  /** Per-group ADAPTIVE length gate: keep rows whose `lenCol` lies within
+    * the group's own [lo, hi] exact percentiles — the curation rule that
+    * replaces one global min/max-length cutoff with per-language (or
+    * per-source) thresholds, so a CJK corpus isn't judged by English
+    * character budgets. Thresholds are an exact interpolated
+    * `percentile()` per group (a group-keyed partial agg whose state is a
+    * value→count map bounded by DISTINCT lengths — lengths live in a
+    * small integer domain, so this never scales with row count), then
+    * broadcast back onto the corpus for a map-side keep flag — the
+    * corpus itself is never re-shuffled.
+    *
+    * Output: (id, group, len, p_lo, p_hi, keep) with thresholds rounded
+    * to 6 places; the keep comparison uses the ROUNDED thresholds so the
+    * flag is reproducible cross-engine. */
+  def lengthPercentileGate(docs: DataFrame, idCol: String, lenCol: String,
+                           groupCol: String, lo: Double = 0.05,
+                           hi: Double = 0.95): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0, "need 0 <= lo < hi <= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val thr = docs.groupBy(col(groupCol).as("grp"))
+      .agg(round(expr(s"percentile($lenCol, $lo)"), 6).as("p_lo"),
+        round(expr(s"percentile($lenCol, $hi)"), 6).as("p_hi"))
+    docs.join(broadcast(thr), col(groupCol) === $"grp")
+      .select(col(idCol).as("id"), col(groupCol), col(lenCol),
+        $"p_lo", $"p_hi",
+        (col(lenCol) >= $"p_lo" && col(lenCol) <= $"p_hi").as("keep"))
+  }
+
   /** Rebalance a corpus toward TARGET mix proportions: given per-stratum
     * target shares (summing to ~1) and a document budget, derive keep
     * rates `rate_s = min(1, budget * share_s / n_s)` from the observed

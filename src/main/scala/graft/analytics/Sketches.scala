@@ -225,4 +225,42 @@ object Sketches {
             (element_at($"mins", k).cast("double") /
               lit(1152921504606846976.0))), 6).as("est_distinct"))
   }
+
+  /** EXACT corpus heavy hitters — every distinct `value` whose frequency
+    * is strictly above N/k — via the classic two-pass sketch plan:
+    *
+    *  1. one scan aggregates the bounded [[graft.functions.MisraGries]]
+    *     summary (≤ k string counters per partial, merged map-side like
+    *     any agg) alongside `count(*)`; the merged summary's keys are a
+    *     GUARANTEED superset of every item with frequency > N/k, and only
+    *     that ≤ k-element candidate array ever reaches the driver;
+    *  2. a second scan recounts ONLY the candidates (a ≤ k-literal `In`
+    *     filter evaluated map-side, then a partial-aggregable count over
+    *     ≤ k surviving keys) and keeps those with `cnt * k > N`.
+    *
+    * The result is exactly the SQL `HAVING count(*) * k > N` answer, but
+    * no vocabulary-sized aggregation state or shuffle ever forms: at
+    * 10^9 distinct tokens the exact GROUP BY must move every distinct
+    * key, while this plan moves k strings per partition in pass 1 and
+    * ≤ k keys total in pass 2.
+    *
+    * Output: (item, cnt, frac) — frac = cnt/N rounded to 6 places. */
+  def heavyHitters(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val firstPass = Par.ensure(df)
+      .agg(count(lit(1)).cast("long").as("n"),
+        graft.functions.MisraGries.mgCandidates(value, k).as("cand"))
+      .collect()(0)
+    val n = firstPass.getLong(0)
+    val cands = firstPass.getSeq[String](1)
+    Par.ensure(df)
+      .select(value.as("item"))
+      .filter($"item".isin(cands: _*))
+      .groupBy($"item")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .filter($"cnt" * k > n)
+      .withColumn("frac", round($"cnt".cast("double") / lit(n.toDouble), 6))
+  }
 }

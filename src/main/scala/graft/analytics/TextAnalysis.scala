@@ -228,6 +228,25 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Zipf fit of the corpus frequency-rank curve: OLS slope/intercept of
+    * `ln(freq)` on `ln(rank)` over the top-N vocabulary — the one-glance
+    * corpus-health diagnostic (natural text sits near slope −1; a flat
+    * slope means synthetic/templated text, a cliff means boilerplate
+    * domination). Rides [[vocabulary]]'s distributed top-N (TakeOrdered,
+    * never a full-vocab window), so the regression runs over a table
+    * bounded at N rows regardless of vocabulary size; the OLS moments are
+    * one partial-aggregable `regr_slope`/`regr_intercept` pass.
+    *
+    * Output: 1 row (n_words, zipf_slope, log_intercept). */
+  def zipfSlope(docs0: DataFrame, idCol: String, textCol: String,
+                topN: Int = 1000): DataFrame =
+    vocabulary(docs0, idCol, textCol, topN)
+      .select(log(col("vocab_rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        round(expr("regr_slope(y, x)"), 6).as("zipf_slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("log_intercept"))
+
   /** Per-document out-of-vocabulary rate against the top-N corpus
     * vocabulary — the tokenizer-coverage gate of a training pipeline
     * (docs full of unknown tokens are dropped or routed to vocab

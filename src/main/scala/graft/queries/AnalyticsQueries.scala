@@ -3030,7 +3030,70 @@ object AnalyticsQueries {
               Tables(s, dir, "documents"),
               "doc_id", "text", col("lang") === "en", dim = 64, iters = 30),
             "score", "y", bins = 10)
-          .orderBy("bin"))
+          .orderBy("bin")),
+
+    // ----- exact heavy hitters via bounded Misra-Gries candidates -----
+    Q("q153_heavy_hitters",
+      "exact corpus heavy hitters (words with freq > N/32) through the " +
+        "two-pass Misra-Gries plan: the bounded k=32 mergeable summary " +
+        "yields a guaranteed candidate superset in one scan, then ONLY " +
+        "candidates are recounted exactly (map-side <=k-literal In " +
+        "filter, partial agg over <=k keys) — no vocabulary-sized " +
+        "aggregation state ever forms on any task",
+      Some(wCte + """,
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wf)
+             |SELECT word AS item, c AS cnt,
+             |       round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac
+             |FROM wf, tot WHERE c * 32 > n ORDER BY item""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sketches.heavyHitters(
+            Tables(s, dir, "documents")
+              .select(explode(Dedup.tokens(col("text"))).as("word")),
+            col("word"), k = 32)
+          .orderBy("item")),
+
+    // ----- Zipf frequency-rank fit -----
+    Q("q155_zipf_slope",
+      "OLS slope/intercept of ln(freq) on ln(rank) over the top-1000 " +
+        "vocabulary — the one-glance corpus-health diagnostic (natural " +
+        "text near -1, templated text flat); rank comes from the " +
+        "distributed top-N TakeOrdered, never a full-vocab window, and " +
+        "the regression is one partial-aggregable moments pass",
+      Some(wCte + """,
+             |rk AS (SELECT word, c,
+             |              row_number() OVER (ORDER BY c DESC, word) AS rank
+             |       FROM wf),
+             |pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+             |               ln(CAST(c AS DOUBLE)) AS y
+             |        FROM rk WHERE rank <= 1000)
+             |SELECT CAST(count(*) AS BIGINT) AS n_words,
+             |       round(regr_slope(y, x), 6) AS zipf_slope,
+             |       round(regr_intercept(y, x), 6) AS log_intercept
+             |FROM pts""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.zipfSlope(Tables(s, dir, "documents"),
+          "doc_id", "text", topN = 1000)),
+
+    // ----- per-language adaptive length gate -----
+    Q("q156_length_gate",
+      "per-language adaptive length gate: keep docs whose n_chars lies " +
+        "within their OWN language's exact [p05, p95] percentiles — " +
+        "per-group thresholds instead of one global cutoff; the " +
+        "thresholds table is language-dictionary-sized and broadcast, " +
+        "the keep flag entirely map-side",
+      Some("""WITH thr AS (
+             |  SELECT lang, round(quantile_cont(n_chars, 0.05), 6) AS p_lo,
+             |         round(quantile_cont(n_chars, 0.95), 6) AS p_hi
+             |  FROM documents GROUP BY lang)
+             |SELECT d.doc_id AS id, d.lang, d.n_chars, t.p_lo, t.p_hi,
+             |       d.n_chars >= t.p_lo AND d.n_chars <= t.p_hi AS keep
+             |FROM documents d JOIN thr t ON d.lang = t.lang
+             |ORDER BY id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Selection.lengthPercentileGate(
+            Tables(s, dir, "documents"), "doc_id", "n_chars", "lang",
+            lo = 0.05, hi = 0.95)
+          .orderBy("id"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.engine.{CleanFns, MultiValue}
-import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin}
+import graft.operators.{AsOfJoin, Bucketing, RangeJoin, SaltedJoin}
 
 /** Remaining small operators from SURVEY.md §2 registered as verified
   * queries: A2 param concat, F6/F8 cell scrubs, F11 image predicate,
@@ -518,6 +518,81 @@ object MiscQueries {
           .select($"event_id", $"user_id", $"ts", $"value",
                   $"next_click_value")
           .orderBy("event_id")
+      }),
+
+    // ----- bucketed co-located join (write once, join shuffle-free) -----
+    Q("q154_bucketed_join",
+      "documents joined to their embedding rows through BUCKETED table " +
+        "layout: both sides written bucketed+bucket-sorted by their id " +
+        "into 16 buckets, then a sort-merge join whose children need NO " +
+        "shuffle (the bucket spec satisfies the join's distribution " +
+        "requirement — PlanShapeSpec pins the exchange-free shape); the " +
+        "write-once/join-many design for text-embedding sibling tables",
+      Some("""SELECT d.doc_id, d.lang, d.n_chars, e.label
+             |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val base = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft_bucketed_" + Bucketing.pathKey(dir)).toString
+        Bucketing.writeBucketed(Tables(s, dir, "documents"),
+          "graft_q154_documents", s"$base/documents", "doc_id", 16)
+        Bucketing.writeBucketed(
+          Tables(s, dir, "embeddings").select(col("vec_id"), col("label")),
+          "graft_q154_embeddings", s"$base/embeddings", "vec_id", 16)
+        val d = s.table("graft_q154_documents")
+        val e = s.table("graft_q154_embeddings")
+        d.hint("merge").join(e, d("doc_id") === e("vec_id"))
+          .select(d("doc_id"), d("lang"), d("n_chars"), e("label"))
+          .orderBy("doc_id")
+      }),
+
+    // ----- event-rate anomaly vs trailing window -----
+    Q("q157_rate_anomaly",
+      "per-type hourly event counts z-scored against each type's OWN " +
+        "trailing 24h window (avg/stddev over the 24 preceding hour " +
+        "slots, current hour excluded; z only when >= 12 slots of " +
+        "history) — the rate-spike monitor over an ingest feed; the " +
+        "corpus compresses to (type, hour) rows before any window runs",
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT event_type, hr, c,
+             |         count(*) OVER tw AS n_hist,
+             |         avg(c) OVER tw AS mu,
+             |         stddev_pop(c) OVER tw AS sd
+             |  FROM h
+             |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+             |                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, hr, c,
+             |       CAST(n_hist AS BIGINT) AS n_hist,
+             |       CASE WHEN n_hist >= 12 AND sd > 0
+             |            THEN round((c - mu) / sd, 6) END AS z,
+             |       coalesce(n_hist >= 12 AND sd > 0
+             |                AND abs(round((c - mu) / sd, 6)) > 2.0,
+             |                false) AS anomaly
+             |FROM w ORDER BY event_type, hr""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables(s, dir, "events")
+          .groupBy($"event_type",
+            floor(unix_timestamp($"ts") / 3600L).cast("long").as("hr"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val tw = Window.partitionBy($"event_type").orderBy($"hr")
+          .rangeBetween(-24L, -1L)
+        val z = round(($"c" - avg($"c").over(tw)) /
+          stddev_pop($"c").over(tw), 6)
+        val ok = count(lit(1)).over(tw) >= 12 &&
+          stddev_pop($"c").over(tw) > 0
+        h.select($"event_type", $"hr", $"c",
+            count(lit(1)).over(tw).cast("long").as("n_hist"),
+            when(ok, z).as("z"),
+            coalesce(ok && abs(z) > 2.0, lit(false)).as("anomaly"))
+          .orderBy("event_type", "hr")
       })
   )
 }

@@ -89,6 +89,18 @@ class PlanShapeSpec extends SparkTestBase {
            s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("q154 catalog query: bucketed layout keeps the doc-embedding join " +
+       "hash-exchange-free (only the final orderBy repartitions)") {
+    val df = queries.Catalog.byName("q154_bucketed_join")
+      .run(spark, "/root/testdata/sf0.001")
+    val plan = executedPlan(df)
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+           s"bucketed sides must satisfy the join's distribution:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+           s"both scans must actually read as bucketed:\n$plan")
+  }
+
   test("partitioned layout prunes partitions: a date filter reaches the " +
        "scan as a PartitionFilter and unmatched partitions are not read") {
     import org.apache.spark.sql.functions._

@@ -144,4 +144,46 @@ class SketchesSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(merged === one, "two partial filters OR-merge to the full one")
   }
+
+  test("MisraGries: exact below k, guaranteed superset above k, " +
+       "partition-invariant guarantee") {
+    import spark.implicits._
+    // below k: the summary IS the distinct set, sorted
+    val tiny = Seq("b", "a", "b", "c").toDF("w")
+      .agg(graft.functions.MisraGries.mgCandidates($"w", 8).as("c"))
+      .collect().head.getSeq[String](0)
+    assert(tiny === Seq("a", "b", "c"))
+    // above k the decrement/merge paths engage; any item with freq > N/k
+    // must survive REGARDLESS of partitioning (the mergeable-summaries
+    // bound) — skewed stream: a×50, b×30, 40 singletons, N=120
+    val stream = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 40).map(i => s"rare$i")
+    for (p <- Seq(1, 7, 32)) {
+      val cand = stream.toDF("w").repartition(p)
+        .agg(graft.functions.MisraGries.mgCandidates($"w", 4).as("c"))
+        .collect().head.getSeq[String](0)
+      assert(cand.size <= 4, s"bounded at k (partitions=$p)")
+      assert(cand.contains("a"), s"freq 50 > 120/4 must survive (p=$p)")
+    }
+  }
+
+  test("heavyHitters: equals the exact HAVING answer on skewed and " +
+       "uniform streams, any partitioning") {
+    import spark.implicits._
+    val stream = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (1 to 40).map(i => s"rare$i") // N=120; k=4 -> thr 30: only a (50)
+    for (p <- Seq(1, 7)) {
+      val hh = Sketches.heavyHitters(stream.toDF("w").repartition(p),
+          $"w", k = 4)
+        .orderBy("item").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(hh === Seq(("a", 50L, 0.416667)), s"partitions=$p")
+    }
+    // boundary: cnt*k == N is NOT a heavy hitter (strict >)
+    val uniform = (1 to 10).flatMap(i => Seq.fill(10)(s"u$i")) // N=100
+    assert(Sketches.heavyHitters(uniform.toDF("w"), $"w", k = 10)
+      .count() === 0L, "uniform at exactly N/k keeps nothing")
+    assert(Sketches.heavyHitters(uniform.toDF("w"), $"w", k = 11)
+      .count() === 10L, "k=11 makes every uniform key heavy")
+  }
 }
