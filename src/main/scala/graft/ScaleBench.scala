@@ -48,6 +48,19 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
+  private def scaleEvents(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    // per-copy +64-day shift: the base feed spans ~30 days, so copies
+    // occupy DISJOINT hour ranges — the (type, hour) window table grows
+    // linearly with copies, the exact stress the trailing-window op sees
+    // from a longer-running feed
+    (0 until k).map { i =>
+      base.select(($"event_id" + lit(i.toLong * 1000000000L)).as("event_id"),
+        ($"ts" + expr(s"INTERVAL ${i * 64} DAYS")).as("ts"),
+        $"event_type")
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(
@@ -70,13 +83,17 @@ object ScaleBench {
     }
 
     println("[scalebench] scale  op                rows      sec")
+    val events0 = queries.Tables(spark, sfDir, "events")
     for (k <- Seq(1, 3, 10)) {
       val dPath = tmp.resolve(s"docs_x$k").toString
       val ePath = tmp.resolve(s"emb_x$k").toString
+      val evPath = tmp.resolve(s"events_x$k").toString
       scaleDocs(spark, docs0, k).write.mode("overwrite").parquet(dPath)
       scaleEmb(spark, emb0, k).write.mode("overwrite").parquet(ePath)
+      scaleEvents(spark, events0, k).write.mode("overwrite").parquet(evPath)
       val docs = spark.read.parquet(dPath)
       val emb = spark.read.parquet(ePath)
+      val events = spark.read.parquet(evPath)
       val ops: Seq[(String, () => Long)] = Seq(
         "q17_exact_dedup" -> (() =>
           analytics.Dedup.exactDupTags(docs, "doc_id", "text").count()),
@@ -366,7 +383,57 @@ object ScaleBench {
         // the q77 shape: one (group, word) agg + word-keyed corpus join;
         // per-copy token prefixes grow the vocab linearly — linear-flat
         "q143_vocab_drift" -> (() =>
-          analytics.TextAnalysis.vocabDrift(docs, "text", "lang").count()))
+          analytics.TextAnalysis.vocabDrift(docs, "text", "lang").count()),
+        // pass 1 is k counters/partition + a 1-row driver merge; pass 2
+        // a <=k-key recount — the most bounded sketch in the family;
+        // must be scan-flat even as the prefixed vocab grows linearly
+        "q153_heavy_hitters" -> (() =>
+          analytics.Sketches.heavyHitters(
+            docs.select(explode(analytics.Dedup.tokens($"text")).as("w")),
+            $"w", k = 32).count()),
+        // bucketed write (the only n-proportional cost) then the
+        // exchange-free merge join — times the write-once/join-many
+        // layout end-to-end at each scale
+        "q154_bucketed" -> (() => {
+          val bb = tmp.resolve(s"bkt_x$k").toString
+          operators.Bucketing.writeBucketed(docs.select($"doc_id", $"lang"),
+            "graft_scale_docs", s"$bb/docs", "doc_id", 16)
+          operators.Bucketing.writeBucketed(emb.select($"vec_id"),
+            "graft_scale_emb", s"$bb/emb", "vec_id", 16)
+          val d = spark.table("graft_scale_docs")
+          val e = spark.table("graft_scale_emb")
+          d.hint("merge").join(e, d("doc_id") === e("vec_id")).count()
+        }),
+        // word-count exchange + bounded TakeOrdered + 1-row moments agg:
+        // everything after the count is N-bounded — scan-flat
+        "q155_zipf" -> (() =>
+          analytics.TextAnalysis.zipfSlope(docs, "doc_id", "text").count()),
+        // percentile state is distinct-length-bounded per group; the
+        // thresholds table broadcasts — scan-flat
+        "q156_length_gate" -> (() =>
+          analytics.Selection.lengthPercentileGate(
+            docs.withColumn("n_chars", length($"text").cast("long")),
+            "doc_id", "n_chars", "lang").count()),
+        // the feed compresses to (type, hour) rows before any window;
+        // +64-day copy shifts grow that table linearly — linear-flat
+        "q157_rate_anomaly" -> (() =>
+          analytics.Stats.rateAnomaly(events, "event_type", "ts").count()),
+        // assignment rides q80's lloyd (k ∝ n holds clusters flat);
+        // selection state is m pairs per cluster per partial — the
+        // window-free per-group top-k claim under load
+        "q158_coreset" -> (() =>
+          analytics.Cluster.clusterCoreset(emb, "vec_id", "embedding",
+            k = 8 * k, iters = 2, m = 25).count()),
+        // both sides compress to (id, md5) before the full-outer join;
+        // id spaces disjoint per copy so diff structure scales linearly
+        "q159_snapshot_diff" -> (() => {
+          val newSnap = docs.filter($"doc_id" % 7 =!= 0)
+            .select($"doc_id",
+              when($"doc_id" % 5 === 0, concat($"text", lit(" rev2")))
+                .otherwise($"text").as("text"))
+          analytics.Dedup.snapshotDiff(docs, newSnap, "doc_id", "text")
+            .count()
+        }))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

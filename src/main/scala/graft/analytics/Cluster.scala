@@ -79,6 +79,34 @@ object Cluster {
       col("cluster").cast("int").as("cluster"),
       round(col("d2"), 6).as("dist2"))
 
+  /** Cluster-stratified coreset: the `m` vectors CLOSEST to their
+    * centroid from every k-means cluster — the prototype subset a
+    * diversity-balanced data-selection pass keeps (every region of
+    * embedding space contributes its most-central exemplars, instead of
+    * a global top-m collapsing onto the densest cluster).
+    *
+    * Scale shape: selection per cluster is the bounded native
+    * [[graft.functions.TopKBy]] aggregate — k pairs of state per
+    * partial, map-side combined — so a 10^8-member cluster never sorts
+    * through one task the way the `row_number` window form (which the
+    * DuckDB oracle runs) would. Ties break by id; dist2 is the round-6
+    * assignment distance, so ranks are reproducible cross-engine.
+    *
+    * Output: (cluster, rank 1..m, vec_id, dist2) — rank ascending by
+    * (dist2, vec_id) within each cluster. */
+  def clusterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 8, iters: Int = 2, m: Int = 25): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    kmeansAssign(emb, idCol, vecCol, k, iters)
+      .groupBy($"cluster")
+      .agg(graft.functions.TopKBy.topKMin($"dist2", $"vec_id", m).as("top"))
+      .select($"cluster", posexplode($"top"))
+      .select($"cluster", ($"pos" + 1).cast("int").as("rank"),
+        $"col.id".as("vec_id"), $"col.score".as("dist2"))
+  }
+
   /** SemDeDup: semantic near-duplicate pruning scoped to k-means
     * clusters — the composition the SemDeDup pipeline ships (cluster the
     * corpus, then drop all-but-one of every within-cluster near-dup

@@ -322,6 +322,31 @@ object Dedup {
   def corpusFingerprints(docs: DataFrame, textCol: String): DataFrame =
     Par.ensure(docs).select(md5(col(textCol)).as("fp")).distinct()
 
+  /** Corpus snapshot diff — the audit between two versions of a
+    * document table: every id classified `added` (new snapshot only),
+    * `removed` (old only), `changed` (both, content fingerprint
+    * differs) or `unchanged`. The crawl-refresh / recuration diff a
+    * pipeline reads before deciding what to reprocess (changed + added)
+    * and what downstream artifacts to invalidate.
+    *
+    * Scale shape: each side compresses to (id, md5(text)) BEFORE the
+    * full-outer join, so the shuffle carries 48-byte rows, never
+    * document bodies; the join is id-keyed with no skew term (ids are
+    * unique per side). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = Par.ensure(oldDocs)
+      .select(col(idCol).as("id"), md5(col(textCol)).as("fp_old"))
+    val n = Par.ensure(newDocs)
+      .select(col(idCol).as("id"), md5(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** [[incrementalDedup]] against a persisted [[CorpusIndex]]: the probe
     * reuses the index's OWN sketch parameters (shingle n, numHashes,
     * bandSize travel with the artifact), so a mismatched probe cannot

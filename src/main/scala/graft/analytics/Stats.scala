@@ -327,4 +327,40 @@ object Stats {
           .as("mean_score"),
         (sum(col("y")).cast("double") / count(lit(1))).as("frac_pos"))
   }
+
+  /** Event-rate anomaly detection: z-score each (type, hour) count
+    * against that type's OWN trailing window of the `trailing` preceding
+    * hour slots (current hour excluded), flagging |z| > `zThresh` once at
+    * least `minHist` slots of history exist — the rate-spike monitor over
+    * an ingest/telemetry feed, per-type so a chatty event class doesn't
+    * set the bar for a quiet one.
+    *
+    * Scale shape: the raw feed compresses to (type, hour) rows in one
+    * partial-aggregable count BEFORE any window runs, so the window's
+    * input is bounded by types × hours-of-history — corpus volume only
+    * widens the scan. The z comparison uses the ROUNDED z so the flag is
+    * reproducible cross-engine.
+    *
+    * Output: (type, hr, c, n_hist, z, anomaly); z is null until the
+    * history and variance gates pass. */
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+                  trailing: Int = 24, minHist: Int = 12,
+                  zThresh: Double = 2.0): DataFrame = {
+    require(trailing >= 1 && minHist >= 1, "window params must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = events
+      .groupBy(col(typeCol),
+        floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tw = Window.partitionBy(col(typeCol)).orderBy(col("hr"))
+      .rangeBetween(-trailing.toLong, -1L)
+    val z = round((col("c") - avg(col("c")).over(tw)) /
+      stddev_pop(col("c")).over(tw), 6)
+    val ok = count(lit(1)).over(tw) >= minHist &&
+      stddev_pop(col("c")).over(tw) > 0
+    h.select(col(typeCol), col("hr"), col("c"),
+      count(lit(1)).over(tw).cast("long").as("n_hist"),
+      when(ok, z).as("z"),
+      coalesce(ok && abs(z) > zThresh, lit(false)).as("anomaly"))
+  }
 }

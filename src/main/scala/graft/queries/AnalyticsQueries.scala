@@ -3093,7 +3093,63 @@ object AnalyticsQueries {
         graft.analytics.Selection.lengthPercentileGate(
             Tables(s, dir, "documents"), "doc_id", "n_chars", "lang",
             lo = 0.05, hi = 0.95)
-          .orderBy("id"))
+          .orderBy("id")),
+
+    // ----- cluster-stratified coreset via bounded native top-k -----
+    Q("q158_cluster_coreset",
+      "the m=25 vectors closest to their centroid from EVERY k-means " +
+        "cluster — diversity-balanced prototype selection; per-cluster " +
+        "pick is the bounded native top_k_by aggregate (k pairs of " +
+        "state, map-side combined), never the row_number window the " +
+        "oracle replays — a 1e8-member cluster keeps 25 without " +
+        "sorting itself through one task",
+      Some(kmCte + """,
+             |sel AS (
+             |  SELECT vec_id, c, round(d2, 6) AS dist2,
+             |         row_number() OVER (PARTITION BY c
+             |           ORDER BY round(d2, 6), vec_id) AS rank
+             |  FROM a2)
+             |SELECT CAST(c AS INT) AS cluster, CAST(rank AS INT) AS rank,
+             |       vec_id, dist2
+             |FROM sel WHERE rank <= 25 ORDER BY cluster, rank""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Cluster.clusterCoreset(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 2, m = 25)
+          .orderBy("cluster", "rank")),
+
+    // ----- corpus snapshot diff -----
+    Q("q159_snapshot_diff",
+      "added/removed/changed/unchanged audit between two corpus " +
+        "versions (new snapshot derived deterministically: %7 ids " +
+        "removed, %5 texts revised, %11 re-added under shifted ids) — " +
+        "each side compresses to (id, md5) BEFORE the full-outer join, " +
+        "so the shuffle carries 48-byte rows, never document bodies",
+      Some("""WITH newsnap AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+             |                      ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents
+             |  WHERE doc_id % 11 = 0),
+             |o AS (SELECT doc_id AS id, md5(text) AS fp_old FROM documents),
+             |n AS (SELECT doc_id AS id, md5(text) AS fp_new FROM newsnap)
+             |SELECT coalesce(o.id, n.id) AS id,
+             |       CASE WHEN o.id IS NULL THEN 'added'
+             |            WHEN n.id IS NULL THEN 'removed'
+             |            WHEN fp_old = fp_new THEN 'unchanged'
+             |            ELSE 'changed' END AS status
+             |FROM o FULL OUTER JOIN n ON o.id = n.id
+             |ORDER BY id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Dedup.snapshotDiff(docs, newSnap, "doc_id", "text").orderBy("id")
+      })
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

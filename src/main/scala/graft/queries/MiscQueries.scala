@@ -575,24 +575,9 @@ object MiscQueries {
              |                AND abs(round((c - mu) / sd, 6)) > 2.0,
              |                false) AS anomaly
              |FROM w ORDER BY event_type, hr""".stripMargin),
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val h = Tables(s, dir, "events")
-          .groupBy($"event_type",
-            floor(unix_timestamp($"ts") / 3600L).cast("long").as("hr"))
-          .agg(count(lit(1)).cast("long").as("c"))
-        val tw = Window.partitionBy($"event_type").orderBy($"hr")
-          .rangeBetween(-24L, -1L)
-        val z = round(($"c" - avg($"c").over(tw)) /
-          stddev_pop($"c").over(tw), 6)
-        val ok = count(lit(1)).over(tw) >= 12 &&
-          stddev_pop($"c").over(tw) > 0
-        h.select($"event_type", $"hr", $"c",
-            count(lit(1)).over(tw).cast("long").as("n_hist"),
-            when(ok, z).as("z"),
-            coalesce(ok && abs(z) > 2.0, lit(false)).as("anomaly"))
-          .orderBy("event_type", "hr")
-      })
+      (s, dir) =>
+        graft.analytics.Stats.rateAnomaly(Tables(s, dir, "events"),
+            "event_type", "ts", trailing = 24, minHist = 12, zThresh = 2.0)
+          .orderBy("event_type", "hr"))
   )
 }

@@ -255,4 +255,95 @@ object EventStreams {
           }
       }
   }
+
+  final case class RateAlert(event_type: String, hr: Long, c: Long,
+                             n_hist: Long, z: Option[Double],
+                             anomaly: Boolean)
+
+  // parallel sorted arrays, not a Map, and PUBLIC: the state encoder's
+  // generated code invokes the accessors reflectively at runtime — a
+  // private class's methods are invisible to it and codegen fails
+  final case class RateState(hours: Array[Long], counts: Array[Long],
+                             emittedThrough: Long)
+
+  /** The q157 rate-spike monitor over a LIVE feed: per-type hourly
+    * counts z-scored against that type's trailing `trailing` closed
+    * hours, via flatMapGroupsWithState — an hour emits exactly once,
+    * when the event-time watermark passes its end (so its count and its
+    * whole trailing window are final), with the same history/variance
+    * gates as the batch [[graft.analytics.Stats.rateAnomaly]].
+    *
+    * State per type is a counts map pruned to the last
+    * `trailing + 1` relevant hours — bounded regardless of feed volume
+    * or uptime. The z is rounded HALF_UP to 6 places like the batch
+    * side; the batch==stream differential (EventStreamsSpec) compares z
+    * at FP tolerance because the two sides accumulate variance in
+    * different orders. */
+  def rateMonitor(events: Dataset[Event], trailing: Int = 24,
+                  minHist: Int = 12, zThresh: Double = 2.0,
+                  watermark: String = "2 hours"): Dataset[RateAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (tpe: String, it: Iterator[Event], state: GroupState[RateState]) =>
+          val st = state.getOption.getOrElse(
+            RateState(Array.empty, Array.empty, Long.MinValue))
+          var counts = st.hours.zip(st.counts).toMap
+          it.foreach { e =>
+            val h = Math.floorDiv(e.ts.getTime, 3600000L)
+            counts = counts.updated(h, counts.getOrElse(h, 0L) + 1L)
+          }
+          // hour h is CLOSED once the watermark reaches its end: every
+          // event of h and of its whole trailing window has arrived
+          val wm = state.getCurrentWatermarkMs()
+          val closedMax =
+            if (wm <= 0L) Long.MinValue else Math.floorDiv(wm, 3600000L) - 1L
+          val ready = counts.keys.toSeq.sorted
+            .filter(h => h > st.emittedThrough && h <= closedMax)
+          val out = ready.map { h =>
+            val hist = counts.collect {
+              case (h2, c2) if h2 >= h - trailing && h2 <= h - 1 => c2
+            }.toSeq
+            val n = hist.size.toLong
+            val c = counts(h)
+            val zOpt =
+              if (n >= minHist) {
+                val mu = hist.sum.toDouble / n
+                val sd = math.sqrt(
+                  hist.map(x => (x - mu) * (x - mu)).sum / n)
+                if (sd > 0)
+                  Some(BigDecimal((c - mu) / sd)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None
+              } else None
+            RateAlert(tpe, h, c, n, zOpt,
+              zOpt.exists(z => math.abs(z) > zThresh))
+          }
+          val newEmitted = if (ready.nonEmpty) ready.max else st.emittedThrough
+          // keep only hours that can still serve a future trailing window
+          // (saturating subtraction: before anything has emitted,
+          // newEmitted is Long.MinValue and `- trailing` would wrap
+          // around to Long.MaxValue and prune EVERYTHING)
+          val cutoff =
+            if (newEmitted < Long.MinValue + trailing) Long.MinValue
+            else newEmitted - trailing
+          val pruned = counts.filter { case (h, _) => h > cutoff }
+            .toSeq.sortBy(_._1)
+          state.update(RateState(pruned.map(_._1).toArray,
+            pruned.map(_._2).toArray, newEmitted))
+          // a group with no new input is only re-invoked by a TIMEOUT —
+          // without one, hours that close on a later watermark advance
+          // would sit unemitted until the type's next event. Arm it for
+          // the earliest unemitted hour's close (> wm by construction:
+          // were it <= wm, the hour would be in `ready` above).
+          val pending = pruned.map(_._1).filter(_ > newEmitted)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp((pending.min + 1L) * 3600000L)
+          out.iterator
+      }
+  }
 }

@@ -1,0 +1,138 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The round-7 curation/ops additions: bounded per-group top-k,
+  * cluster coreset, snapshot diff, rate anomaly, adaptive length gate,
+  * Zipf fit. */
+class CurationOpsSpec extends SparkTestBase {
+
+  test("TopKBy: bounded at k, ascending (score, id), ties by id, " +
+       "partition-invariant") {
+    import spark.implicits._
+    val rows = Seq((3.0, 30L), (1.0, 10L), (2.0, 20L), (1.0, 5L),
+      (4.0, 40L), (2.0, 15L))
+    for (p <- Seq(1, 4)) {
+      val top = rows.toDF("s", "id").repartition(p)
+        .agg(graft.functions.TopKBy.topKMin($"s", $"id", 3).as("t"))
+        .select(posexplode($"t"))
+        .select($"col.score", $"col.id")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      assert(top === Seq((1.0, 5L), (1.0, 10L), (2.0, 15L)),
+        s"partitions=$p")
+    }
+    // below k the aggregate returns the whole group, still sorted
+    val all = Seq((2.0, 2L), (1.0, 1L)).toDF("s", "id")
+      .agg(graft.functions.TopKBy.topKMin($"s", $"id", 10).as("t"))
+      .select(size($"t")).head().getInt(0)
+    assert(all === 2)
+  }
+
+  test("clusterCoreset equals the row_number window reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // two tight clusters of 30 points each in 4-d
+    val vecs = (0 until 60).map { i =>
+      val base = if (i < 30) 1.0f else -1.0f
+      (i.toLong, Array(base + i * 0.001f, base, base, base))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Cluster.clusterCoreset(emb, "vec_id", "embedding",
+        k = 2, iters = 2, m = 5)
+      .orderBy("cluster", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val ref = Cluster.kmeansAssign(emb, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"cluster").orderBy($"dist2", $"vec_id"))
+        .cast("int"))
+      .filter($"rank" <= 5)
+      .select($"cluster", $"rank", $"vec_id", $"dist2")
+      .orderBy("cluster", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got === ref)
+    assert(got.nonEmpty && got.forall(_._2 <= 5), "ranks capped at m")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = Dedup.snapshotDiff(old, neu, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got === Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
+  test("rateAnomaly: z-scores against the trailing window, gated on " +
+       "history depth and variance") {
+    import spark.implicits._
+    // type A: 14 steady hours at 10, then a spike of 100
+    // type B: only 3 hours — never enough history for a z
+    val rows =
+      (0 until 14).map(h => ("A", h, 10)) ++ Seq(("A", 14, 100)) ++
+      (0 until 3).map(h => ("B", h, 5))
+    val events = rows.toDF("event_type", "h", "n")
+      .select($"event_type", $"h", explode(array_repeat(lit(1), $"n")))
+      .select($"event_type",
+        timestamp_seconds($"h".cast("long") * 3600L).as("ts"))
+    val out = Stats.rateAnomaly(events, "event_type", "ts",
+        trailing = 24, minHist = 12)
+      .orderBy("event_type", "hr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    val a = out.filter(_._1 == "A")
+    val byHr = a.map(r => r._2 -> r).toMap
+    assert(byHr(11L)._4.isEmpty, "under minHist: no z")
+    assert(byHr(13L)._4.isEmpty, "zero variance: gated")
+    assert(byHr(14L)._4.isEmpty && !byHr(14L)._5,
+      "spike over a zero-variance window stays gated (sd=0)")
+    assert(out.filter(_._1 == "B").forall(r => r._4.isEmpty && !r._5),
+      "3 hours of history never clears minHist")
+    // now a window with real variance: alternate 10/12 for 24h, then 40
+    val rows2 = (0 until 24).map(h => ("C", h, if (h % 2 == 0) 10 else 12)) ++
+      Seq(("C", 24, 40))
+    val ev2 = rows2.toDF("event_type", "h", "n")
+      .select($"event_type", $"h", explode(array_repeat(lit(1), $"n")))
+      .select($"event_type",
+        timestamp_seconds($"h".cast("long") * 3600L).as("ts"))
+    val c24 = Stats.rateAnomaly(ev2, "event_type", "ts").collect()
+      .filter(r => r.getLong(1) == 24L).head
+    // trailing mean 11, sd 1 -> z = 29
+    assert(c24.getDouble(4) === 29.0 && c24.getBoolean(5))
+  }
+
+  test("lengthPercentileGate: hand-computed per-group thresholds, " +
+       "keep inside [p05, p95]") {
+    import spark.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, "g1", i.toLong * 10)) ++
+      Seq((100L, "g2", 5L), (101L, "g2", 6L), (102L, "g2", 7L)))
+      .toDF("id0", "grp0", "len")
+    val out = Selection.lengthPercentileGate(docs, "id0", "len", "grp0",
+        lo = 0.05, hi = 0.95)
+      .orderBy("id0").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    // g1 lengths 10..200: p05 = 10 + 0.05*19*10 = 19.5, p95 = 190.5
+    val g1 = out.filter(_._1 <= 20L)
+    assert(g1.head._2 === 19.5 && g1.head._3 === 190.5)
+    assert(g1.count(_._4) === 18, "10 and 200 fall outside")
+    // g2 lengths 5,6,7: p05 = 5.1, p95 = 6.9 -> only 6 survives
+    val g2 = out.filter(_._1 >= 100L)
+    assert(g2.map(_._4).toSeq === Seq(false, true, false))
+  }
+
+  test("zipfSlope: a perfect 1/rank law fits slope -1 exactly") {
+    import spark.implicits._
+    // freqs 12/6/4/3 for ranks 1..4: ln f = ln 12 - 1 * ln rank
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(docs, "doc_id", "text").head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === -1.0)
+    assert(r.getDouble(2) === math.rint(math.log(12.0) * 1e6) / 1e6)
+  }
+}

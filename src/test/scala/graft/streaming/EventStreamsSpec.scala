@@ -348,4 +348,62 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed(100L) > streamed(101L),
       "the served model must still separate prose from spam")
   }
+
+  test("rateMonitor: streamed hourly z-scores equal the batch " +
+       "rateAnomaly on every closed hour (gates, spike flag, timing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2025-01-01 00:00:00").getTime
+    var id = 0L
+    def burst(tpe: String, h: Int, n: Int): Seq[Event] =
+      (0 until n).map { i =>
+        id += 1
+        Event(id, new Timestamp(base + h * 3600000L + i * 1000L),
+          1L, tpe, 1.0, "{}")
+      }
+    // type A: 26 hours cycling 10/11/12 (real variance), then a spike;
+    // type B: 6 sparse hours — never clears minHist
+    val evs =
+      (0 to 25).flatMap(h => burst("A", h, 10 + h % 3)) ++
+      burst("A", 26, 60) ++
+      (0 to 5).flatMap(h => burst("B", h, 3))
+    val batch = graft.analytics.Stats.rateAnomaly(
+        evs.toDF(), "event_type", "ts")
+      .orderBy("event_type", "hr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    val in = MemoryStream[Event]
+    val q = EventStreams.rateMonitor(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("rate_mon")
+      .outputMode("append").start()
+    in.addData(evs: _*); q.processAllAvailable()
+    // sentinels (their own type, never closes) advance the watermark in
+    // two steps; each subsequent DATA batch fires the armed event-time
+    // timeouts, so closed hours emit without relying on no-data batches
+    in.addData(burst("zz", 66, 1): _*); q.processAllAvailable()
+    in.addData(burst("zz", 67, 1): _*); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("rate_mon")
+      .filter(col("event_type") =!= "zz")
+      .orderBy("event_type", "hr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))
+    assert(stream.map(t => (t._1, t._2, t._3, t._4)) ===
+      batch.map(t => (t._1, t._2, t._3, t._4)),
+      "same (type, hour, count, history) rows")
+    stream.zip(batch).foreach { case (s, b) =>
+      (s._5, b._5) match {
+        case (None, None) => ()
+        case (Some(zs), Some(zb)) =>
+          // both sides round HALF_UP to 6 places but accumulate variance
+          // in different orders — adjacent 6-dp grid points are possible
+          assert(math.abs(zs - zb) <= 1.1e-6, s"z at ${s._2}: $zs vs $zb")
+        case other => fail(s"z gate mismatch at hour ${s._2}: $other")
+      }
+      assert(s._6 === b._6, s"anomaly flag at hour ${s._2}")
+    }
+    assert(stream.count(_._6) === 1 &&
+      stream.find(_._6).get._2 === Math.floorDiv(base, 3600000L) + 26,
+      "exactly the injected spike flags")
+  }
 }
