@@ -23,9 +23,9 @@ import graft.functions._
   * Registered: cosine_sim, dot_product, word_ngrams(text, n),
   * xml_escape_text, xml_escape_attr, csv_quote,
   * dedup_delimited(text, delim), nfc_normalize, winnow_fp(text, k, w),
-  * and the native aggregates kmv_sketch(h, k) / cov_moments(vec). The PQ
-  * kernels are not SQL-registered — their codebook argument is a model,
-  * not a literal.
+  * and the native aggregates kmv_sketch(h, k) / cov_moments(vec) /
+  * misra_gries(s, k) / top_k_by(score, id, k). The PQ kernels are not
+  * SQL-registered — their codebook argument is a model, not a literal.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -133,5 +133,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("cov_moments", 1)(args)
         CovMoments(args(0)).toAggregateExpression()
+      }),
+    ("misra_gries",
+      info("misra_gries",
+        "misra_gries(s, k) - aggregate: <= k Misra-Gries candidate keys, " +
+          "a guaranteed superset of every item with frequency > N/k"),
+      (args: Seq[Expression]) => {
+        arity("misra_gries", 2)(args)
+        MisraGries(args(0), litInt("misra_gries", args(1)))
+          .toAggregateExpression()
+      }),
+    ("top_k_by",
+      info("top_k_by",
+        "top_k_by(score, id, k) - aggregate: the k smallest (score, id) " +
+          "pairs ascending as array<struct<score, id>> (bounded per-group " +
+          "top-k, no window sort)"),
+      (args: Seq[Expression]) => {
+        arity("top_k_by", 3)(args)
+        TopKBy(args(0), args(1), litInt("top_k_by", args(2)))
+          .toAggregateExpression()
       }))
 }

@@ -3149,6 +3149,59 @@ object AnalyticsQueries {
           .unionByName(docs.filter(col("doc_id") % 11 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         Dedup.snapshotDiff(docs, newSnap, "doc_id", "text").orderBy("id")
+      }),
+
+    // ----- LSH candidate quality vs exact ground truth -----
+    Q("q160_lsh_recall",
+      "recall/precision of the q19 LSH candidate pairs against the " +
+        "exact Jaccard>=0.5 ground truth (q18 machinery) — the " +
+        "calibration harness a pipeline runs ON A SAMPLE before " +
+        "trusting banding parameters corpus-wide: the exact side's " +
+        "pair join is only feasible at tuning scale, the LSH side is " +
+        "the production path; one full-outer pair join + 1-row metrics",
+      Some(shCapped + lshCte + """,
+             | counts AS (SELECT doc, count(*) AS n FROM sh0 GROUP BY doc),
+             | inter AS (
+             |   SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter_n
+             |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+             |   GROUP BY 1, 2),
+             | tp AS (
+             |   SELECT doc_a, doc_b FROM inter
+             |   JOIN counts ca ON ca.doc = doc_a
+             |   JOIN counts cb ON cb.doc = doc_b
+             |   WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5),
+             | j AS (
+             |   SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_true,
+             |          CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_cand
+             |   FROM tp t FULL OUTER JOIN cand c
+             |     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+             |SELECT CAST(sum(in_true) AS BIGINT) AS n_true,
+             |       CAST(sum(in_cand) AS BIGINT) AS n_cand,
+             |       CAST(sum(in_true * in_cand) AS BIGINT) AS n_hit,
+             |       round(CAST(sum(in_true * in_cand) AS DOUBLE)
+             |         / nullif(sum(in_true), 0), 6) AS pair_recall,
+             |       round(CAST(sum(in_true * in_cand) AS DOUBLE)
+             |         / nullif(sum(in_cand), 0), 6) AS pair_precision
+             |FROM j""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val t = Dedup.ngramJaccardPairsFromDocs(docs, "doc_id", "text",
+            minJaccard = 0.5, n = 3, maxDocFreq = 1000)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_true"))
+        val c = Dedup.minhashCandidates(
+            Dedup.minhashBandsFromDocs(docs, "doc_id", "text",
+              n = 3, numHashes = 8, bandSize = 2), maxBucket = 1000)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("in_cand"))
+        val it = coalesce(col("in_true"), lit(0))
+        val ic = coalesce(col("in_cand"), lit(0))
+        t.join(c, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(sum(it).cast("long").as("n_true"),
+            sum(ic).cast("long").as("n_cand"),
+            sum(it * ic).cast("long").as("n_hit"),
+            round(sum(it * ic).cast("double") /
+              nullif(sum(it), lit(0)), 6).as("pair_recall"),
+            round(sum(it * ic).cast("double") /
+              nullif(sum(ic), lit(0)), 6).as("pair_precision"))
       })
   )
 

@@ -62,6 +62,24 @@ class GraftExtensionsSpec extends SparkTestBase {
       .head().getSeq[Double](0)
     // [d=2, n=2, sx=(4,6), sxx upper=(10,14,20)]
     assert(m === Seq(2.0, 2.0, 4.0, 6.0, 10.0, 14.0, 20.0))
+
+    val words = Seq("a", "a", "a", "b", "c").toDF("w")
+    words.createOrReplaceTempView("ext_words")
+    val sqlMg = spark.sql(
+      "SELECT misra_gries(w, 2) AS cand FROM ext_words")
+      .head().getSeq[String](0)
+    val wrapMg = words
+      .agg(MisraGries.mgCandidates($"w", 2).as("cand"))
+      .head().getSeq[String](0)
+    assert(sqlMg === wrapMg)
+
+    val scored = Seq((3.0, 30L), (1.0, 10L), (2.0, 20L)).toDF("s", "id")
+    scored.createOrReplaceTempView("ext_scored")
+    val sqlTop = spark.sql(
+      "SELECT top_k_by(s, id, 2) AS t FROM ext_scored")
+      .select(posexplode($"t")).select($"col.score", $"col.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(sqlTop === Seq((1.0, 10L), (2.0, 20L)))
   }
 
   test("word_ngrams rejects a non-literal n with a clear message") {
