@@ -433,6 +433,23 @@ object ScaleBench {
                 .otherwise($"text").as("text"))
           analytics.Dedup.snapshotDiff(docs, newSnap, "doc_id", "text")
             .count()
+        }),
+        // coalesce rewrite, no shuffle: cost = one read + one write of
+        // the data — must scale with bytes, never with file count
+        "q161_compaction" -> (() => {
+          val b = tmp.resolve(s"compact_x$k").toString
+          docs.repartition(64).write.mode("overwrite").parquet(s"$b/small")
+          sinks.Layout.compactParquet(spark, s"$b/small", s"$b/out",
+            targetBytes = 8L * 1024 * 1024).toLong
+        }),
+        // range-partition + in-file sort rewrite, then the selective
+        // filtered scan that the tight footer stats prune
+        "q162_clustered" -> (() => {
+          val b = tmp.resolve(s"cluster_x$k").toString
+          sinks.Layout.writeClustered(
+            docs.withColumn("n_chars", length($"text").cast("long")),
+            b, 4 * k, "n_chars")
+          spark.read.parquet(b).filter($"n_chars" >= 400).count()
         }))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")

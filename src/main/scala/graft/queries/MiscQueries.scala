@@ -578,6 +578,57 @@ object MiscQueries {
       (s, dir) =>
         graft.analytics.Stats.rateAnomaly(Tables(s, dir, "events"),
             "event_type", "ts", trailing = 24, minHist = 12, zThresh = 2.0)
-          .orderBy("event_type", "hr"))
+          .orderBy("event_type", "hr")),
+
+    // ----- small-file compaction -----
+    Q("q161_compaction",
+      "small-files maintenance: documents scattered across 64 tiny part " +
+        "files are compacted into size-targeted files (coalesce — no " +
+        "shuffle), and the per-source checksum table proves content is " +
+        "byte-identical through the rewrite; LayoutSpec pins the file " +
+        "counts — the continuous table-health job of a streaming lake",
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(('0x' || substring(md5(text), 1, 10))::BIGINT)
+             |         AS BIGINT) AS checksum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_compact_" + graft.operators.Bucketing.pathKey(dir)).toString
+        Tables(s, dir, "documents").repartition(64)
+          .write.mode("overwrite").parquet(s"$base/small")
+        graft.sinks.Layout.compactParquet(s, s"$base/small",
+          s"$base/compact", targetBytes = 4L * 1024 * 1024)
+        s.read.parquet(s"$base/compact")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(conv(substring(md5(col("text")), 1, 10), 16, 10)
+              .cast("long")).cast("long").as("checksum"))
+          .orderBy("source")
+      }),
+
+    // ----- sort-clustered layout: file-level data skipping -----
+    Q("q162_clustered_scan",
+      "documents rewritten range-clustered on n_chars (disjoint per-file " +
+        "ranges + in-file sort -> tight footer min/max), then a " +
+        "selective length filter aggregated per lang: the reader admits " +
+        "only the files whose range overlaps the predicate — LayoutSpec " +
+        "pins the scan decoding strictly fewer rows than the unclustered " +
+        "layout pays for the same answer",
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents WHERE n_chars >= 400
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_cluster_" + graft.operators.Bucketing.pathKey(dir)).toString
+        graft.sinks.Layout.writeClustered(
+          Tables(s, dir, "documents"), base, n = 4, "n_chars")
+        s.read.parquet(base)
+          .filter(col("n_chars") >= 400)
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("lang")
+      })
   )
 }

@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Parquet LAYOUT maintenance — the two table-health jobs a 100 TB lake
+  * schedules continuously:
+  *
+  *  - **Compaction** ([[compactParquet]]): streaming ingest and
+  *    fine-grained writes leave thousands of small part files; every
+  *    downstream scan then pays per-file open/footer/seek costs and the
+  *    driver pays per-file listing. Compacting rewrites a directory into
+  *    size-targeted files (ceil(totalBytes / targetBytes) of them).
+  *  - **Sort-clustered layout** ([[writeClustered]]): a global range
+  *    partition + in-partition sort on the hot filter columns makes each
+  *    file's min/max footer stats TIGHT, so a selective predicate prunes
+  *    whole files/row-groups at the reader instead of decoding every row
+  *    and filtering after — the poor man's z-order, and the difference
+  *    between scanning 100 TB and scanning the 2 TB a date/length filter
+  *    actually needs (PlanShapeSpec pins the skipping with scan metrics).
+  */
+object Layout {
+
+  /** Total bytes of the data files under `dir` (driver-side listing —
+    * one filesystem call per file, the same cost every scan of the
+    * uncompacted directory would pay again and again). */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).iterator
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+  }
+
+  /** Rewrite the parquet directory `inDir` into `outDir` as
+    * ceil(totalBytes / targetBytes) files. `shuffle = false` (default)
+    * coalesces — no data movement, each output file concatenates input
+    * partitions, sizes as even as the inputs allow; `shuffle = true`
+    * round-robin repartitions for exactly-even files at the cost of
+    * moving every row once. Returns the target file count. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long = 128L * 1024 * 1024,
+                     shuffle: Boolean = false): Int = {
+    require(targetBytes > 0, "targetBytes must be > 0")
+    val n = math.max(1L,
+      math.ceil(dataBytes(spark, inDir).toDouble / targetBytes).toLong).toInt
+    val df = spark.read.parquet(inDir)
+    val sized = if (shuffle) df.repartition(n) else df.coalesce(n)
+    sized.write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Write `df` range-partitioned into `n` files and sorted within each
+    * on `cols` — every file covers a disjoint slice of the leading
+    * column's domain, so its parquet footer min/max admits or prunes the
+    * whole file against a range predicate. */
+  def writeClustered(df: DataFrame, outDir: String, n: Int,
+                     cols: String*): Unit = {
+    require(n >= 1 && cols.nonEmpty, "need n >= 1 and at least one column")
+    df.repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(outDir)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LayoutSpec extends SparkTestBase {
+
+  private def partFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val listing = Files.list(dir)
+    try listing.iterator().asScala.toSeq.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("part-") && n.endsWith(".parquet")
+    } finally listing.close()
+  }
+
+  /** Rows the parquet reader actually DECODED (scan metric after pushed
+    * row-group/file pruning) — the data-skipping measurement. */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    unwrap(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("compactParquet: 64 small files fold into the size-targeted " +
+       "count with identical content") {
+    val tmp = Files.createTempDirectory("graft_layout")
+    try {
+      val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "documents")
+      val small = tmp.resolve("small").toString
+      val out = tmp.resolve("compact").toString
+      docs.repartition(64).write.mode("overwrite").parquet(small)
+      assert(partFiles(tmp.resolve("small")).size === 64)
+      val total = Layout.dataBytes(spark, small)
+      val n = Layout.compactParquet(spark, small, out,
+        targetBytes = math.ceil(total / 4.0).toLong)
+      assert(n === 4, s"expected 4 target files for total=$total")
+      assert(partFiles(tmp.resolve("compact")).size === 4)
+      // content identical: same (doc_id, md5) multiset
+      val a = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id").collect().toSeq
+      val b = spark.read.parquet(out)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id").collect().toSeq
+      assert(a === b)
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("writeClustered: a selective range filter decodes strictly fewer " +
+       "rows from the clustered layout than from the unclustered one") {
+    val tmp = Files.createTempDirectory("graft_layout_c")
+    try {
+      val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "documents")
+      val clustered = tmp.resolve("clustered").toString
+      val random = tmp.resolve("random").toString
+      Layout.writeClustered(docs, clustered, n = 4, "n_chars")
+      docs.repartition(4).write.mode("overwrite").parquet(random)
+      val pred = col("n_chars") >= 400
+      val cRows = scanRows(spark.read.parquet(clustered).filter(pred))
+      val rRows = scanRows(spark.read.parquet(random).filter(pred))
+      val expected = docs.filter(pred).count()
+      assert(spark.read.parquet(clustered).filter(pred).count() === expected)
+      assert(rRows === docs.count(),
+        "random layout: every file's min/max admits the filter, all rows decode")
+      assert(cRows < rRows,
+        s"clustered layout must skip files: decoded $cRows vs $rRows")
+      assert(cRows >= expected, "skipping never loses matching rows")
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+}
