@@ -629,6 +629,29 @@ object MiscQueries {
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum(col("n_chars")).cast("long").as("total_chars"))
           .orderBy("lang")
+      }),
+
+    // ----- parquet bloom filter: point lookups on an unsorted key -----
+    Q("q163_bloom_lookup",
+      "documents written id-SHUFFLED with a parquet bloom filter on " +
+        "doc_id, then a point-lookup of three ids: min/max stats are " +
+        "useless under the shuffle, the bloom filter still skips every " +
+        "row group that definitely lacks the keys — equality skipping " +
+        "on a key the data is not sorted by; LayoutSpec pins the " +
+        "decoded-row metric",
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE doc_id IN (37, 123, 222) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_bloom_" + graft.operators.Bucketing.pathKey(dir)).toString
+        graft.sinks.Layout.writeWithBloom(
+          Tables(s, dir, "documents")
+            .orderBy(md5(col("doc_id").cast("string"))).repartition(4),
+          base, "doc_id", expectedNdv = 100000L)
+        s.read.parquet(base)
+          .filter(col("doc_id").isin(37L, 123L, 222L))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -62,4 +62,23 @@ object Layout {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Write `df` with a parquet BLOOM FILTER on `keyCol` — the layout for
+    * POINT lookups on a column the data is NOT sorted by (sorting buys
+    * range skipping on one ordering; bloom filters buy equality skipping
+    * on any other key for a few bytes per distinct value). The reader
+    * consults the filter per row group and skips groups that definitely
+    * lack the key — LayoutSpec measures a shuffled-id lookup decoding
+    * only the one admitted group. `expectedNdv` sizes the filter (false-
+    * positive rate degrades past it; a false positive only costs a
+    * wasted decode, never a wrong result). */
+  def writeWithBloom(df: DataFrame, outDir: String, keyCol: String,
+                     expectedNdv: Long): Unit = {
+    require(expectedNdv >= 1, "expectedNdv must be >= 1")
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$keyCol",
+        expectedNdv.toString)
+      .parquet(outDir)
+  }
 }

@@ -63,6 +63,36 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("writeWithBloom: an equality lookup on a shuffled key decodes " +
+       "strictly fewer rows than the bloom-less layout") {
+    val tmp = Files.createTempDirectory("graft_layout_b")
+    try {
+      val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+        "documents")
+      val shuffled = docs.orderBy(md5(col("doc_id").cast("string")))
+        .repartition(4)
+      Layout.writeWithBloom(shuffled, tmp.resolve("bloom").toString,
+        "doc_id", expectedNdv = 100000L)
+      shuffled.write.mode("overwrite")
+        .parquet(tmp.resolve("plain").toString)
+      val pred = col("doc_id") === 123L
+      val bRows = scanRows(
+        spark.read.parquet(tmp.resolve("bloom").toString).filter(pred))
+      val pRows = scanRows(
+        spark.read.parquet(tmp.resolve("plain").toString).filter(pred))
+      assert(pRows === docs.count(),
+        "shuffled ids leave min/max stats useless: the plain layout decodes everything")
+      assert(bRows < pRows,
+        s"bloom must skip definitely-absent groups: decoded $bRows vs $pRows")
+      assert(spark.read.parquet(tmp.resolve("bloom").toString)
+        .filter(pred).count() === 1L, "the lookup still finds its row")
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("writeClustered: a selective range filter decodes strictly fewer " +
        "rows from the clustered layout than from the unclustered one") {
     val tmp = Files.createTempDirectory("graft_layout_c")
