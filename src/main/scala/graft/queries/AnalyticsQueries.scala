@@ -3151,6 +3151,71 @@ object AnalyticsQueries {
         Dedup.snapshotDiff(docs, newSnap, "doc_id", "text").orderBy("id")
       }),
 
+    // ----- incremental aggregate maintenance over a snapshot diff -----
+    Q("q164_incremental_agg",
+      "maintain the per-source (n_docs, total_chars) aggregate across a " +
+        "corpus refresh WITHOUT re-aggregating unchanged rows: q159's " +
+        "diff selects only added/removed/changed ids, their per-source " +
+        "deltas merge into the v1 aggregate, and the result equals the " +
+        "direct v2 aggregate (the oracle computes it directly) — " +
+        "incremental view maintenance, where the refresh touches the " +
+        "delta instead of the corpus",
+      Some("""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+             |v2 AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+             |              ELSE text END AS text
+             |  FROM v1 WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, source, text FROM v1
+             |  WHERE doc_id % 11 = 0)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+             |FROM v2 GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val v1 = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(v1.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("text")))
+        // the persisted v1 aggregate (production: a stored table)
+        val oldAgg = v1.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(length(col("text"))).cast("long").as("chars"))
+        // per-source deltas from ONLY the non-unchanged ids — the whole
+        // point: unchanged rows are never re-read past the diff's
+        // (id, md5) projection
+        val delta = Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+          .filter(col("status") =!= "unchanged")
+          .join(v1.select(col("doc_id").as("id"),
+            col("source").as("src_old"),
+            length(col("text")).cast("long").as("len_old")), Seq("id"), "left")
+          .join(v2.select(col("doc_id").as("id"),
+            col("source").as("src_new"),
+            length(col("text")).cast("long").as("len_new")), Seq("id"), "left")
+          .select(coalesce(col("src_new"), col("src_old")).as("source"),
+            when(col("status") === "added", 1L)
+              .when(col("status") === "removed", -1L)
+              .otherwise(0L).as("dn"),
+            (coalesce(col("len_new"), lit(0L)) -
+              coalesce(col("len_old"), lit(0L))).as("dchars"))
+          .groupBy("source")
+          .agg(sum(col("dn")).as("dn"), sum(col("dchars")).as("dchars"))
+        oldAgg.join(delta, Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .cast("long").as("n_docs"),
+            (coalesce(col("chars"), lit(0L)) +
+              coalesce(col("dchars"), lit(0L)))
+              .cast("long").as("total_chars"))
+          .filter(col("n_docs") > 0)
+          .orderBy("source")
+      }),
+
     // ----- LSH candidate quality vs exact ground truth -----
     Q("q160_lsh_recall",
       "recall/precision of the q19 LSH candidate pairs against the " +

@@ -652,6 +652,69 @@ object MiscQueries {
           .filter(col("doc_id").isin(37L, 123L, 222L))
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- parquet schema evolution (mergeSchema union) -----
+    Q("q165_schema_evolution",
+      "a table whose schema GREW between writes: v1 files carry " +
+        "(doc_id, lang), later v2 files add (source, n_chars); one " +
+        "mergeSchema read unions both generations — absent columns " +
+        "null-fill — and the per-lang rollup counts how much of the " +
+        "table has the new columns; the append-only schema-growth path " +
+        "every long-lived lake table walks",
+      Some("""WITH u AS (
+             |  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+             |         CAST(NULL AS BIGINT) AS n_chars
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, source, n_chars FROM documents
+             |  WHERE doc_id % 2 <> 0)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(source) AS BIGINT) AS n_with_source,
+             |       CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars
+             |FROM u GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_evolve_" + graft.operators.Bucketing.pathKey(dir)).toString
+        val docs = Tables(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$base/v1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$base/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/v1", s"$base/v2")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            count(col("source")).cast("long").as("n_with_source"),
+            sum(coalesce(col("n_chars"), lit(0L))).cast("long")
+              .as("total_chars"))
+          .orderBy("lang")
+      }),
+
+    // ----- semi-structured JSON column -----
+    Q("q166_json_props",
+      "the events feed's semi-structured props column ('{\"k\": N}') " +
+        "parsed in place and rolled up per (event_type, k-decade): " +
+        "JSON stays a string column until the one projection that " +
+        "extracts the path — no schema migration, no UDF, the " +
+        "get_json_object expression is codegen'd map-side",
+      Some("""SELECT event_type,
+             |       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |         // 10 AS BIGINT) AS k_bucket,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       round(sum(value), 6) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10")
+              .as("k_bucket"),
+            col("value"))
+          .groupBy("event_type", "k_bucket")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            round(sum(col("value")), 6).as("total_value"))
+          .orderBy("event_type", "k_bucket"))
   )
 }
