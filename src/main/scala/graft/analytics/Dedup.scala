@@ -332,17 +332,23 @@ object Dedup {
     * Scale shape: each side compresses to (id, md5(text)) BEFORE the
     * full-outer join, so the shuffle carries 48-byte rows, never
     * document bodies; the join is id-keyed with no skew term (ids are
-    * unique per side). */
+    * unique per side). Presence is keyed on the ID, not the
+    * fingerprint, so a null text never masquerades as an absent row; a
+    * null text on either (or both) sides of a present pair reports
+    * `changed` — null content is never treated as equal, matching the
+    * SQL `fp_old = fp_new` three-valued comparison. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
     val o = Par.ensure(oldDocs)
-      .select(col(idCol).as("id"), md5(col(textCol)).as("fp_old"))
+      .select(col(idCol).as("id"), md5(col(textCol)).as("fp_old"),
+        lit(true).as("in_old"))
     val n = Par.ensure(newDocs)
-      .select(col(idCol).as("id"), md5(col(textCol)).as("fp_new"))
+      .select(col(idCol).as("id"), md5(col(textCol)).as("fp_new"),
+        lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("fp_old").isNull, lit("added"))
-          .when(col("fp_new").isNull, lit("removed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
           .when(col("fp_old") === col("fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }

@@ -249,8 +249,11 @@ object Sketches {
     require(k >= 1, "k must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // N counts NON-NULL values only — the sketch and the recount both
+    // ignore nulls, so count(*) would inflate the threshold on a
+    // null-bearing column and break the exact HAVING parity
     val firstPass = Par.ensure(df)
-      .agg(count(lit(1)).cast("long").as("n"),
+      .agg(count(value).cast("long").as("n"),
         graft.functions.MisraGries.mgCandidates(value, k).as("cand"))
       .collect()(0)
     val n = firstPass.getLong(0)

@@ -644,9 +644,10 @@ object MiscQueries {
       (s, dir) => {
         val base = new java.io.File(sys.props("java.io.tmpdir"),
           "graft_bloom_" + graft.operators.Bucketing.pathKey(dir)).toString
+        // round-robin repartition alone stripes every file across the
+        // full id range (min/max stats useless) — no sort needed
         graft.sinks.Layout.writeWithBloom(
-          Tables(s, dir, "documents")
-            .orderBy(md5(col("doc_id").cast("string"))).repartition(4),
+          Tables(s, dir, "documents").repartition(4),
           base, "doc_id", expectedNdv = 100000L)
         s.read.parquet(base)
           .filter(col("doc_id").isin(37L, 123L, 222L))
@@ -709,8 +710,10 @@ object MiscQueries {
       (s, dir) =>
         Tables(s, dir, "events")
           .select(col("event_type"),
-            expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10")
-              .as("k_bucket"),
+            // FLOOR division, matching DuckDB's `//` on negative keys
+            // (Spark's `div` truncates toward zero instead)
+            floor(expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+              .cast("double") / 10.0).cast("long").as("k_bucket"),
             col("value"))
           .groupBy("event_type", "k_bucket")
           .agg(count(lit(1)).cast("long").as("n_events"),

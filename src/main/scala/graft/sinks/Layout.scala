@@ -22,29 +22,42 @@ import org.apache.spark.sql.functions.col
   */
 object Layout {
 
-  /** Total bytes of the data files under `dir` (driver-side listing —
-    * one filesystem call per file, the same cost every scan of the
+  /** Total bytes of the data files under `dir`, RECURSIVE — so a
+    * hive-partitioned layout (part files inside `key=value/` subdirs)
+    * is sized correctly, not read as zero (driver-side listing — one
+    * filesystem call per file, the same cost every scan of the
     * uncompacted directory would pay again and again). */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).iterator
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
+    val it = fs.listFiles(p, /* recursive = */ true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-")) total += f.getLen
+    }
+    total
   }
 
   /** Rewrite the parquet directory `inDir` into `outDir` as
     * ceil(totalBytes / targetBytes) files. `shuffle = false` (default)
     * coalesces — no data movement, each output file concatenates input
-    * partitions, sizes as even as the inputs allow; `shuffle = true`
-    * round-robin repartitions for exactly-even files at the cost of
-    * moving every row once. Returns the target file count. */
+    * partitions, sizes as even as the inputs allow (and coalesce can
+    * only MERGE: if the target count exceeds the read's partition
+    * count, the existing files are already under target size and the
+    * write keeps them); `shuffle = true` round-robin repartitions for
+    * exactly-even files at the cost of moving every row once. Returns
+    * the target file count. Refuses an empty directory rather than
+    * silently writing one file from zero computed bytes. NOTE: a
+    * hive-partitioned input is flattened — at lake scale compact each
+    * partition directory (the unit ingest appends to), not the root. */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetBytes: Long = 128L * 1024 * 1024,
                      shuffle: Boolean = false): Int = {
     require(targetBytes > 0, "targetBytes must be > 0")
-    val n = math.max(1L,
-      math.ceil(dataBytes(spark, inDir).toDouble / targetBytes).toLong).toInt
+    val total = dataBytes(spark, inDir)
+    require(total > 0, s"no part- data files found under $inDir")
+    val n = math.max(1L, math.ceil(total.toDouble / targetBytes).toLong).toInt
     val df = spark.read.parquet(inDir)
     val sized = if (shuffle) df.repartition(n) else df.coalesce(n)
     sized.write.mode("overwrite").parquet(outDir)

@@ -28,6 +28,16 @@ class CurationOpsSpec extends SparkTestBase {
       .agg(graft.functions.TopKBy.topKMin($"s", $"id", 10).as("t"))
       .select(size($"t")).head().getInt(0)
     assert(all === 2)
+    // duplicate (score, id) rows keep their multiplicity — exactly what
+    // row_number() OVER (ORDER BY s, id) <= k would keep
+    for (p <- Seq(1, 3)) {
+      val dup = Seq((1.0, 5L), (1.0, 5L), (3.0, 7L)).toDF("s", "id")
+        .repartition(p)
+        .agg(graft.functions.TopKBy.topKMin($"s", $"id", 2).as("t"))
+        .select(posexplode($"t")).select($"col.score", $"col.id")
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      assert(dup === Seq((1.0, 5L), (1.0, 5L)), s"partitions=$p")
+    }
   }
 
   test("clusterCoreset equals the row_number window reference") {
@@ -64,6 +74,21 @@ class CurationOpsSpec extends SparkTestBase {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got === Seq((1L, "removed"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added")))
+  }
+
+  test("snapshotDiff: presence is keyed on the id, so a null text is a " +
+       "present-but-changed row, never a phantom add/remove") {
+    import spark.implicits._
+    val old = Seq((1L, null: String), (2L, "b"), (3L, null: String),
+      (4L, "d")).toDF("id", "text")
+    val neu = Seq((1L, "x"), (2L, null: String), (3L, null: String))
+      .toDF("id", "text")
+    val got = Dedup.snapshotDiff(old, neu, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // null content never compares equal (SQL three-valued =), so even
+    // null->null is `changed`; id 4 is the only true removal
+    assert(got === Seq((1L, "changed"), (2L, "changed"),
+      (3L, "changed"), (4L, "removed")))
   }
 
   test("rateAnomaly: z-scores against the trailing window, gated on " +

@@ -69,8 +69,8 @@ class LayoutSpec extends SparkTestBase {
     try {
       val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001",
         "documents")
-      val shuffled = docs.orderBy(md5(col("doc_id").cast("string")))
-        .repartition(4)
+      // round-robin striping alone leaves min/max stats useless
+      val shuffled = docs.repartition(4)
       Layout.writeWithBloom(shuffled, tmp.resolve("bloom").toString,
         "doc_id", expectedNdv = 100000L)
       shuffled.write.mode("overwrite")
