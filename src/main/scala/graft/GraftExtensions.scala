@@ -24,7 +24,8 @@ import graft.functions._
   * xml_escape_text, xml_escape_attr, csv_quote,
   * dedup_delimited(text, delim), nfc_normalize, winnow_fp(text, k, w),
   * and the native aggregates kmv_sketch(h, k) / cov_moments(vec) /
-  * misra_gries(s, k) / top_k_by(score, id, k). The PQ kernels are not
+  * misra_gries(s, k) / top_k_by(score, id, k) / log_hist(x, s). The PQ
+  * kernels are not
   * SQL-registered — their codebook argument is a model, not a literal.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -151,6 +152,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("top_k_by", 3)(args)
         TopKBy(args(0), args(1), litInt("top_k_by", args(2)))
+          .toAggregateExpression()
+      }),
+    ("log_hist",
+      info("log_hist",
+        "log_hist(x, s) - aggregate: dense (64-s)*2^s bucket counts of " +
+          "the base-2 log-linear histogram (HDR-style mergeable quantile " +
+          "sketch, 2^s sub-buckets per octave, integer boundaries)"),
+      (args: Seq[Expression]) => {
+        arity("log_hist", 2)(args)
+        LogHist(args(0), litInt("log_hist", args(1)))
           .toAggregateExpression()
       }))
 }

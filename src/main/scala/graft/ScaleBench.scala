@@ -450,7 +450,19 @@ object ScaleBench {
             docs.withColumn("n_chars", length($"text").cast("long")),
             b, 4 * k, "n_chars")
           spark.read.parquet(b).filter($"n_chars" >= 400).count()
-        }))
+        }),
+        // 960 integer counters per group, map-side combined; everything
+        // after the sketch agg is keys x <=960 rows — scan-flat
+        "q167_loghist" -> (() =>
+          analytics.Sketches.logHistQuantiles(
+            docs.withColumn("n_chars", length($"text").cast("long")),
+            "lang", $"n_chars").count()),
+        // the prefix index holds each doc's rarest ~(1-tau) shingles;
+        // per-copy token prefixes keep copies content-disjoint, so true
+        // pairs and candidate volume both grow linearly with k
+        "q168_prefix_join" -> (() =>
+          analytics.Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+            minJaccard = 0.5).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

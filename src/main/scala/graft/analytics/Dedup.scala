@@ -246,6 +246,111 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"inter_n", $"n_a", $"n_b", $"jaccard")
   }
 
+  /** EXACT all-pairs Jaccard self-join via PREFIX FILTERING (Bayardo,
+    * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007):
+    * order every document's shingles by global rarity — the ordering key
+    * is `(df, sh)` itself, so no dense-rank assignment pass — and index
+    * only each document's PREFIX, its first `|T| - ceil(tau*|T|) + 1`
+    * rarest shingles. Completeness: Jaccard >= tau forces overlap
+    * `o >= tau * max(|x|,|y|)`, so a qualifying pair that shared no
+    * prefix shingle would fit all `o` common shingles into the last
+    * `ceil(tau*|T|) - 1` positions — a contradiction; every qualifying
+    * pair therefore collides on a prefix shingle in BOTH prefixes and
+    * exact verification of the candidates loses nothing.
+    *
+    * This is the EXACT-answer scale path next to [[jaccardCore]]'s
+    * df-capped inverted index: the cap drops hot shingles (answer becomes
+    * a lower bound) while the prefix filter keeps the answer exact and
+    * shrinks the index by construction — the indexed ~(1-tau) fraction of
+    * each document is its RAREST shingles, precisely the ones with the
+    * smallest inverted lists, so bucket sizes collapse where the full
+    * index's hot heads explode. A size filter
+    * (`tau*|x| <= |y| <= |x|/tau`, implied by the threshold) prunes
+    * candidates before verification. Verification joins the per-doc
+    * sorted shingle arrays (doc-bounded rows) by id — two id-keyed joins,
+    * never a re-scan of the corpus.
+    *
+    * Output: (doc_a, doc_b, inter_n, n_a, n_b, jaccard) — identical
+    * schema to [[ngramJaccardPairsFromDocs]], equal to its UNCAPPED
+    * exact answer. */
+  def prefixFilterJaccardPairs(docs0: DataFrame, idCol: String,
+                               textCol: String, minJaccard: Double,
+                               n: Int = 3): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "minJaccard must lie in (0, 1]")
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tau = minJaccard
+    val arr = docs.select(col(idCol).as("doc"),
+        graft.functions.WordNgrams.wordNgrams(col(textCol), n).as("shs"))
+      .filter(size($"shs") > 0)
+    // shingles ride as md5-60-bit int64s from here on: distinctness is
+    // preserved (deterministic hash; a collision needs ~2^30 distinct
+    // shingles per birthday pair), and every downstream shuffle, sort
+    // and intersection works on 8-byte longs instead of n-word strings
+    val sh = arr.select($"doc", explode($"shs").as("sh0"))
+      .select($"doc", Sketches.h60($"sh0").as("sh"))
+    val dfs = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted rare-first — each doc's array follows the
+    // one GLOBAL (df, sh) order, which both the prefix theorem and the
+    // positional filter below rely on. Consumed three times (prefix
+    // probe + both verify sides), so cache it — persist() rather than
+    // localCheckpoint() because the groupBy leaves the table
+    // hash-partitioned on doc, and KEEPING that partitioning info lets
+    // both verify joins reuse it (only the candidate side exchanges)
+    val sets = sh.join(dfs, Seq("sh"))
+      .groupBy($"doc")
+      .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ts"))
+      .select($"doc",
+        transform($"ts", x => x.getField("sh")).as("toks"),
+        size($"ts").cast("long").as("sz"))
+      // the -1e-9 slack guards the IEEE knife edge (e.g. 0.8*15 =
+      // 12.000000000000002): when tau*sz lands a hair ABOVE an exact
+      // integer the un-guarded ceil would shorten the prefix by one and
+      // could miss a J == tau boundary pair; erring longer only adds
+      // candidates, which verification discards
+      .withColumn("plen",
+        ($"sz" - ceil(lit(tau) * $"sz".cast("double") - lit(1e-9)) + 1)
+          .cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = sets.select($"doc", $"sz",
+      posexplode(slice($"toks", lit(1), $"plen")).as(Seq("pos", "sh")))
+    // candidate generation with BOTH classic prunes folded into the
+    // collision aggregation (PPJoin, Xiao et al. WWW 2008):
+    //  - size filter: tau*|x| <= |y| <= |x|/tau, else J < tau;
+    //  - positional filter: per-doc order == global order, so for a
+    //    common shingle at ranks (pa, pb) the overlap is at most
+    //    min(pa,pb) + min(sz_a-pa, sz_b-pb); the pair's tightest such
+    //    bound must still reach ceil(tau/(1+tau)*(sz_a+sz_b)), the
+    //    overlap any Jaccard >= tau pair needs
+    val a = pre.select($"doc".as("doc_a"), $"sz".as("sz_a"),
+      ($"pos" + 1).as("pa"), $"sh")
+    val b = pre.select($"doc".as("doc_b"), $"sz".as("sz_b"),
+      ($"pos" + 1).as("pb"), $"sh")
+    val cand = a.join(b, Seq("sh"))
+      .filter($"doc_a" < $"doc_b" &&
+        $"sz_b".cast("double") >= lit(tau) * $"sz_a".cast("double") - lit(1e-9) &&
+        $"sz_a".cast("double") >= lit(tau) * $"sz_b".cast("double") - lit(1e-9))
+      .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
+      .agg(min(least($"pa", $"pb") +
+        least($"sz_a" - $"pa", $"sz_b" - $"pb")).as("ub"))
+      .filter($"ub" >= ceil(lit(tau / (1.0 + tau)) *
+        ($"sz_a" + $"sz_b").cast("double") - lit(1e-9)))
+      .select($"doc_a", $"doc_b")
+    cand
+      .join(sets.select($"doc".as("doc_a"), $"toks".as("toks_a"),
+        $"sz".as("n_a")), "doc_a")
+      .join(sets.select($"doc".as("doc_b"), $"toks".as("toks_b"),
+        $"sz".as("n_b")), "doc_b")
+      .withColumn("inter_n",
+        size(array_intersect($"toks_a", $"toks_b")).cast("long"))
+      .withColumn("jaccard",
+        $"inter_n".cast("double") / ($"n_a" + $"n_b" - $"inter_n"))
+      .filter($"jaccard" >= tau)
+      .select($"doc_a", $"doc_b", $"inter_n", $"n_a", $"n_b", $"jaccard")
+  }
+
   /** Exact substring-duplication pairs: documents sharing at least
     * `minShared` runs of `spanLen` CONSECUTIVE tokens — the
     * exact-substring dedup signal (long verbatim overlaps mean copied

@@ -226,6 +226,112 @@ object Sketches {
               lit(1152921504606846976.0))), 6).as("est_distinct"))
   }
 
+  /** Pairwise distinct-value overlap estimates between groups via KMV
+    * sketch SET OPERATIONS — the audience/corpus-overlap matrix from
+    * sketches alone: a KMV sketch of the UNION of two sets is the k
+    * smallest of the merged sketches (theta-sketch union rule), so
+    * `|A∪B|` estimates from the merged k-th order statistic,
+    * `|A∩B| = |A|+|B|-|A∪B|` by inclusion-exclusion, and Jaccard
+    * follows — all WITHOUT rescanning either set. The exact q115-style
+    * matrix must shuffle every (group, value) pair; this reads the
+    * corpus once for dictionary-sized sketch rows, and per-group
+    * sketches persisted from earlier runs merge the same way (the
+    * cross-snapshot overlap monitor).
+    *
+    * The pair probe is a deliberate broadcast cross of the
+    * dictionary-sized sketch table against itself (keys x keys rows,
+    * each carrying two k-long arrays); all merge work is bounded array
+    * ops (concat/distinct/sort/slice at 2k elements). Groups with fewer
+    * than k distinct values carry their EXACT set, so their estimates
+    * (and unions under k) are exact. Deterministic by construction:
+    * md5-derived hashes, integer sketch state, IEEE tails.
+    *
+    * Output: (key_a, key_b, est_a, est_b, est_union, est_inter,
+    * est_jaccard) for every unordered pair, estimates rounded to 6. */
+  def kmvOverlap(df: DataFrame, keyCol: String, value: Column,
+                 k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sk = Par.ensure(df)
+      .select(col(keyCol).as("key"), h60(value).as("h"))
+      .groupBy($"key")
+      .agg(graft.functions.KmvSketch.kmvMinHashes($"h", k).as("mins"))
+    def est(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (element_at(mins, k).cast("double") / lit(1152921504606846976.0)))
+    val a = sk.select($"key".as("key_a"), $"mins".as("mins_a"))
+    val b = sk.select($"key".as("key_b"), $"mins".as("mins_b"))
+    val inter = greatest(lit(0.0),
+      est($"mins_a") + est($"mins_b") - est($"mu"))
+    a.join(broadcast(b), $"key_a" < $"key_b")
+      .withColumn("mu", slice(array_sort(array_distinct(
+        concat($"mins_a", $"mins_b"))), 1, k))
+      .select($"key_a", $"key_b",
+        round(est($"mins_a"), 6).as("est_a"),
+        round(est($"mins_b"), 6).as("est_b"),
+        round(est($"mu"), 6).as("est_union"),
+        round(inter, 6).as("est_inter"),
+        round(inter / est($"mu"), 6).as("est_jaccard"))
+  }
+
+  /** Approximate per-group quantiles from the bounded
+    * [[graft.functions.LogHist]] base-2 log-linear histogram — the
+    * mergeable percentile sketch (HdrHistogram/DDSketch family) for
+    * latency/length monitoring where exact `percentile()` would hold
+    * every distinct value per group. One aggregation pass builds a
+    * `(64-s)*2^s`-bucket integer histogram per key (map-side partials,
+    * merges by addition — streaming-state-safe); the estimate for
+    * quantile q is the LOWER BOUND of the bucket where the cumulative
+    * count first reaches `ceil(q*n)`, guaranteeing
+    * `est <= true_quantile < est * (1 + 2^(1-s))` — relative value error
+    * under `2^-s` (6.25% at s=4), values below `2^s` exact.
+    *
+    * Deterministic by construction: bucket boundaries are pure integer
+    * shifts (never `log()`), so a SQL oracle reproduces every index from
+    * `length(bin(x))`. The post-histogram walk is dictionary-sized —
+    * at most `(64-s)*2^s` rows per key — so the window sort after the
+    * sketch agg touches keys x 960 rows regardless of input volume.
+    *
+    * Output: (key, n, p<q1>, p<q2>, ...) — estimates as BIGINT. */
+  def logHistQuantiles(df: DataFrame, keyCol: String, value: Column,
+                       subBits: Int = 4,
+                       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = subBits
+    val twoS = 1 << s
+    val hist = Par.ensure(df)
+      .select(col(keyCol).as("key"), value.cast("long").as("v0"))
+      .groupBy($"key")
+      .agg(graft.functions.LogHist.histCounts($"v0", s).as("counts"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy($"idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"key")
+    val bkts = hist
+      .select($"key", posexplode($"counts").as(Seq("idx", "c")))
+      .filter($"c" > 0)
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wAll))
+      // inverse of the bucket map: small buckets are their own bound,
+      // otherwise ((idx % 2^s) + 2^s) << (idx/2^s - 1)
+      .withColumn("lo", when($"idx" < twoS, $"idx".cast("long"))
+        .otherwise(expr(s"shiftleft(cast(idx % $twoS + $twoS as bigint), " +
+          s"cast(idx DIV $twoS as int) - 1)")))
+    val qCols = qs.map { q =>
+      val nm = "p" + BigDecimal(q * 100).bigDecimal.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+      min(when($"cum" >= ceil(lit(q) * $"n".cast("double")), $"lo")).as(nm)
+    }
+    bkts.groupBy($"key")
+      .agg(max($"n").cast("long").as("n"), qCols: _*)
+      .withColumnRenamed("key", keyCol)
+  }
+
   /** EXACT corpus heavy hitters — every distinct `value` whose frequency
     * is strictly above N/k — via the classic two-pass sketch plan:
     *

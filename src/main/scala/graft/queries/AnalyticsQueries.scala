@@ -3267,7 +3267,137 @@ object AnalyticsQueries {
               nullif(sum(it), lit(0)), 6).as("pair_recall"),
             round(sum(it * ic).cast("double") /
               nullif(sum(ic), lit(0)), 6).as("pair_precision"))
-      })
+      }),
+
+    // ----- log-histogram quantile sketch -----
+    Q("q167_loghist_quantiles",
+      "per-source p50/p90/p99 of n_chars from the bounded native " +
+        "log_hist aggregate — the HDR-style base-2 log-linear histogram " +
+        "(16 sub-buckets per octave, relative error < 1/16, values < 16 " +
+        "exact): ONE pass, 960 integer counters per group, map-side " +
+        "partials, merges by addition (streaming-state-safe) — where " +
+        "exact percentile() holds every distinct value per group; " +
+        "bucket boundaries are pure integer shifts (never log()), so " +
+        "the oracle reproduces every index from length(bin(x))",
+      Some("""WITH b AS (
+             |  SELECT source,
+             |         CASE WHEN n_chars < 16 THEN n_chars
+             |              ELSE ((length(bin(n_chars)) - 4) << 4)
+             |                   + (n_chars >> (length(bin(n_chars)) - 5)) - 16
+             |         END AS idx
+             |  FROM documents WHERE n_chars >= 1),
+             |g AS (SELECT source, idx, CAST(count(*) AS BIGINT) AS c
+             |      FROM b GROUP BY source, idx),
+             |cm AS (
+             |  SELECT source, idx, c,
+             |         CAST(sum(c) OVER (PARTITION BY source ORDER BY idx)
+             |              AS BIGINT) AS cum,
+             |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+             |  FROM g),
+             |lb AS (
+             |  SELECT *, CASE WHEN idx < 16 THEN idx
+             |                 ELSE ((idx % 16) + 16) << ((idx // 16) - 1)
+             |            END AS lo
+             |  FROM cm)
+             |SELECT source, max(n) AS n,
+             |       CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN lo END)
+             |            AS BIGINT) AS p50,
+             |       CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN lo END)
+             |            AS BIGINT) AS p90,
+             |       CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN lo END)
+             |            AS BIGINT) AS p99
+             |FROM lb GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sketches.logHistQuantiles(
+            Tables(s, dir, "documents"), "source", col("n_chars"),
+            subBits = 4, qs = Seq(0.5, 0.9, 0.99))
+          .orderBy("source")),
+
+    // ----- exact similarity join via prefix filtering -----
+    Q("q168_prefix_filter_join",
+      "EXACT Jaccard>=0.5 pairs via prefix filtering (Bayardo et al. " +
+        "WWW'07): each doc indexes only its |T|-ceil(tau|T|)+1 RAREST " +
+        "shingles (df-ascending order), qualifying pairs provably " +
+        "collide there, candidates verify against the per-doc sorted " +
+        "arrays — the exact-answer scale path next to q18's df-capped " +
+        "index: no cap, no lower-bound answer, and the indexed fraction " +
+        "is precisely the shingles with the SMALLEST inverted lists",
+      Some(shCte + """,
+             | cnt AS (SELECT doc, CAST(count(*) AS BIGINT) AS n
+             |         FROM sh0 GROUP BY doc),
+             | dfq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df
+             |         FROM sh0 GROUP BY sh),
+             | rk AS (
+             |   SELECT s.doc, s.sh, c.n,
+             |          row_number() OVER (PARTITION BY s.doc
+             |            ORDER BY d.df, s.sh) AS r
+             |   FROM sh0 s JOIN dfq d USING (sh) JOIN cnt c USING (doc)),
+             | pre AS (SELECT doc, sh FROM rk
+             |         WHERE r <= n - ceil(0.5 * n) + 1),
+             | cand AS (
+             |   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+             |   FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc < b.doc),
+             | inter AS (
+             |   SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter_n
+             |   FROM cand c JOIN sh0 x ON x.doc = c.doc_a
+             |               JOIN sh0 y ON y.doc = c.doc_b AND y.sh = x.sh
+             |   GROUP BY c.doc_a, c.doc_b)
+             |SELECT i.doc_a, i.doc_b, i.inter_n, ca.n AS n_a, cb.n AS n_b,
+             |       CAST(i.inter_n AS DOUBLE) / (ca.n + cb.n - i.inter_n)
+             |         AS jaccard
+             |FROM inter i JOIN cnt ca ON ca.doc = i.doc_a
+             |             JOIN cnt cb ON cb.doc = i.doc_b
+             |WHERE CAST(i.inter_n AS DOUBLE) / (ca.n + cb.n - i.inter_n)
+             |      >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) =>
+        Dedup.prefixFilterJaccardPairs(Tables(s, dir, "documents"),
+            "doc_id", "text", minJaccard = 0.5, n = 3)
+          .orderBy("doc_a", "doc_b")),
+
+    // ----- KMV sketch set operations: pairwise overlap matrix -----
+    Q("q169_kmv_overlap",
+      "distinct-user overlap between every event-type pair from KMV " +
+        "sketches alone (theta-sketch union rule: k smallest of the " +
+        "merged sketches estimates |A∪B|, inclusion-exclusion gives " +
+        "|A∩B| and Jaccard) — the audience-overlap matrix WITHOUT " +
+        "rescanning the feed: one corpus pass builds dictionary-sized " +
+        "sketch rows, the pair probe is a broadcast cross of that tiny " +
+        "table, every merge a bounded 2k-element array op; the exact " +
+        "q115-style matrix shuffles every (group, value) pair instead",
+      Some("""WITH h AS (
+             |  SELECT DISTINCT event_type AS key,
+             |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM events),
+             |rk AS (SELECT key, h,
+             |         row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+             |       FROM h),
+             |sk AS (SELECT key, list(h ORDER BY h) AS l
+             |       FROM rk WHERE rn <= 64 GROUP BY key),
+             |p AS (SELECT a.key AS key_a, b.key AS key_b, a.l AS la,
+             |             b.l AS lb,
+             |             list_sort(list_distinct(list_concat(a.l, b.l)))[:64] AS lu
+             |      FROM sk a JOIN sk b ON a.key < b.key),
+             |e AS (SELECT key_a, key_b,
+             |        CASE WHEN len(la) < 64 THEN CAST(len(la) AS DOUBLE)
+             |             ELSE 63 / (CAST(la[64] AS DOUBLE) / 1152921504606846976)
+             |        END AS ea,
+             |        CASE WHEN len(lb) < 64 THEN CAST(len(lb) AS DOUBLE)
+             |             ELSE 63 / (CAST(lb[64] AS DOUBLE) / 1152921504606846976)
+             |        END AS eb,
+             |        CASE WHEN len(lu) < 64 THEN CAST(len(lu) AS DOUBLE)
+             |             ELSE 63 / (CAST(lu[64] AS DOUBLE) / 1152921504606846976)
+             |        END AS eu
+             |      FROM p)
+             |SELECT key_a, key_b, round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+             |       round(eu, 6) AS est_union,
+             |       round(greatest(0.0, ea + eb - eu), 6) AS est_inter,
+             |       round(greatest(0.0, ea + eb - eu) / eu, 6) AS est_jaccard
+             |FROM e ORDER BY key_a, key_b""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sketches.kmvOverlap(Tables(s, dir, "events"),
+            "event_type", col("user_id").cast("string"), k = 64)
+          .orderBy("key_a", "key_b"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

@@ -175,7 +175,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q120_cm_sketch", "q121_dsir_select", "q123_bloom_filter",
       "q131_stupid_backoff", "q134_hard_negatives", "q147_kneser_ney",
       "q135_bm25_topk", "q136_hybrid_rrf", "q139_retrieval_metrics",
-      "q143_vocab_drift")
+      "q143_vocab_drift",
+      // q169: keys x keys pair probe over the broadcast dictionary-sized
+      // sketch table (non-equi key_a < key_b) — the design, not a leak
+      "q169_kmv_overlap")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan

@@ -116,6 +116,41 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() === 0)
   }
 
+  test("prefixFilterJaccardPairs == the uncapped exact answer across " +
+       "thresholds, and keeps hot-shingle pairs the df cap loses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val base = (1L to 40L).map { i =>
+      val len = 6 + rnd.nextInt(10)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (base ++ Seq(
+      (101L, base.head._2),                       // exact clone
+      (102L, base(1)._2 + " extraone extratwo"),  // near clone
+      (103L, "hot hot hot hot hot hot"),          // hot-only pair
+      (104L, "hot hot hot hot hot hot")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getDouble(5))).toSeq
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val exact = rows(Dedup.ngramJaccardPairsFromDocs(docs, "doc_id",
+        "text", minJaccard = tau, maxDocFreq = Int.MaxValue))
+      val viaPrefix = rows(Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+        "text", minJaccard = tau))
+      assert(viaPrefix === exact, s"tau=$tau")
+      assert(viaPrefix.exists(p => p._1 == 103L && p._2 == 104L),
+        s"tau=$tau: the identical hot pair must qualify")
+    }
+    // the df cap drops the hot-only pair; the prefix filter kept it above
+    val capped = Dedup.ngramJaccardPairsFromDocs(docs, "doc_id", "text",
+      minJaccard = 0.5, maxDocFreq = 1)
+    assert(!capped.collect().exists(r =>
+      r.getLong(0) == 103L && r.getLong(1) == 104L))
+  }
+
   test("substringDupPairs: a copied 5-token run pairs its docs with the " +
        "right span count; low-Jaccard docs still pair; hot spans capped") {
     import spark.implicits._

@@ -186,4 +186,112 @@ class SketchesSpec extends SparkTestBase {
     assert(Sketches.heavyHitters(uniform.toDF("w"), $"w", k = 11)
       .count() === 10L, "k=11 makes every uniform key heavy")
   }
+
+  test("LogHist bucket map: lowerBound inverts bucketIndex, width bounds " +
+       "the relative error, small values exact") {
+    import graft.functions.LogHist.{bucketIndex, lowerBound}
+    val s = 4
+    val probes = (1L to 1000L) ++
+      Seq(1L << 20, (1L << 20) + 1, Long.MaxValue, Long.MaxValue - 1) ++
+      (0 until 500).map(i => math.abs(new scala.util.Random(7 + i).nextLong())
+        .max(1L))
+    for (x <- probes) {
+      val idx = bucketIndex(x, s)
+      val lo = lowerBound(idx, s)
+      assert(lo <= x, s"x=$x idx=$idx lo=$lo: lower bound must not exceed x")
+      // width = lo >> s for the log range; exact (width 1) below 2^s
+      val width = if (idx < (1 << s)) 1L else lo >> s
+      assert(x - lo < width || (x - lo == 0 && width == 0),
+        s"x=$x idx=$idx lo=$lo width=$width: x must lie inside its bucket")
+      if (x < (1 << s)) assert(lo === x, "small values map to themselves")
+    }
+    // indices are monotone in x and bounded by (64-s)*2^s
+    val idxs = probes.sorted.map(bucketIndex(_, s))
+    assert(idxs === idxs.sorted, "bucket index monotone in value")
+    assert(idxs.last < (64 - s) * (1 << s), "index stays inside the array")
+  }
+
+  test("logHistQuantiles: differential vs the exact-histogram replay, " +
+       "exact below 2^s, rank-error bound, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // two groups: one heavy-tailed (log-uniform-ish), one small-exact
+    val big = Seq.fill(2000)(("big",
+      math.max(1L, math.pow(10, rnd.nextDouble() * 5).toLong)))
+    val small = Seq.fill(300)(("small", (rnd.nextInt(15) + 1).toLong))
+    val rows = rnd.shuffle(big ++ small)
+    val qs = Seq(0.5, 0.9, 0.99)
+    // reference: exact order statistic mapped through the bucket floor
+    def ref(vals: Seq[Long], q: Double): Long = {
+      val sorted = vals.sorted
+      val r = math.ceil(q * vals.size).toLong.toInt
+      graft.functions.LogHist.lowerBound(
+        graft.functions.LogHist.bucketIndex(sorted(r - 1), 4), 4)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> (vs.size.toLong, qs.map(q => ref(vs.map(_._2), q)))
+    }
+    for (p <- Seq(1, 7, 32)) {
+      val got = Sketches.logHistQuantiles(
+          rows.toDF("g", "v").repartition(p), "g", $"v",
+          subBits = 4, qs = qs)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got === expected, s"partitions=$p")
+    }
+    // error contract: estimate <= true quantile < estimate * (1 + 2^-4)
+    val bigVals = big.map(_._2).sorted
+    for (q <- qs) {
+      val est = expected("big")._2(qs.indexOf(q)).toDouble
+      val truth = bigVals(math.ceil(q * bigVals.size).toInt - 1).toDouble
+      assert(est <= truth && truth < est * (1.0 + 1.0 / 16) + 1,
+        s"q=$q est=$est truth=$truth")
+    }
+    // groups whose values are all < 2^s get EXACT percentiles
+    val smallVals = small.map(_._2).sorted
+    val exactP50 = smallVals(math.ceil(0.5 * smallVals.size).toInt - 1)
+    assert(expected("small")._2.head === exactP50, "small group exact")
+  }
+
+  test("kmvOverlap: below-k groups give EXACT set algebra; estimates " +
+       "track true overlap on large sets; partition-invariant") {
+    import spark.implicits._
+    // small groups (< k distinct): everything must be exact
+    val small = (Seq.fill(3)(("a", "u1")) ++ Seq(("a", "u2"), ("a", "u3"),
+      ("b", "u2"), ("b", "u3"), ("b", "u4"), ("c", "u9"))).toDF("g", "u")
+    val rows = Sketches.kmvOverlap(small, "g", $"u", k = 16)
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.toSeq === Seq(
+      ("a", "b", 3.0, 3.0, 4.0, 2.0, 0.5),
+      ("a", "c", 3.0, 1.0, 4.0, 0.0, 0.0),
+      ("b", "c", 3.0, 1.0, 4.0, 0.0, 0.0)))
+    // large overlapping sets: estimate within KMV error of the truth
+    val x = (1 to 3000).map(i => ("x", s"user$i"))
+    val y = (1501 to 4500).map(i => ("y", s"user$i")) // true J = 1500/4500
+    for (p <- Seq(1, 13)) {
+      val est = Sketches.kmvOverlap((x ++ y).toDF("g", "u").repartition(p),
+          "g", $"u", k = 64)
+        .collect().head
+      assert(math.abs(est.getDouble(6) - 1.0 / 3) < 0.2,
+        s"p=$p jaccard est ${est.getDouble(6)}")
+      assert(math.abs(est.getDouble(4) - 4500) / 4500 < 0.4,
+        s"p=$p union est ${est.getDouble(4)}")
+    }
+  }
+
+  test("log_hist SQL registration aggregates like the Column form") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("v")
+    df.createOrReplaceTempView("lh_vals")
+    val viaSql = spark.sql(
+      "SELECT log_hist(v, 4) AS h FROM lh_vals").collect().head.getSeq[Long](0)
+    val viaCol = df.agg(graft.functions.LogHist.histCounts($"v", 4).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql === viaCol)
+    assert(viaSql.sum === 100L, "every input counted once")
+  }
 }
