@@ -57,7 +57,10 @@ object ScaleBench {
     (0 until k).map { i =>
       base.select(($"event_id" + lit(i.toLong * 1000000000L)).as("event_id"),
         ($"ts" + expr(s"INTERVAL ${i * 64} DAYS")).as("ts"),
-        $"event_type")
+        $"event_type",
+        // per-copy user shift: cohorts/values per copy mirror the base
+        ($"user_id" + lit(i.toLong * 1000000L)).as("user_id"),
+        $"value")
     }.reduce(_ unionByName _)
   }
 
@@ -462,7 +465,25 @@ object ScaleBench {
         // pairs and candidate volume both grow linearly with k
         "q168_prefix_join" -> (() =>
           analytics.Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
-            minJaccard = 0.5).count()))
+            minJaccard = 0.5).count()),
+        // two bounded percentile aggs broadcast back, flag map-side;
+        // percentile state grows with distinct values — scan-linear
+        "q170_mad" -> (() =>
+          analytics.Stats.madOutliers(events, "event_id", "value",
+            "event_type").count()),
+        // the feed compresses to (user, day)-distinct rows before any
+        // join; per-copy user shifts grow cohorts linearly
+        "q172_retention" -> (() =>
+          analytics.Events.cohortRetention(events, "user_id", "ts")
+            .count()),
+        // 10 join+agg rounds over the persisted symmetrized LSH
+        // candidate graph — edge volume grows linearly (disjoint-copy
+        // shingle spaces), so each round's shuffle does too
+        "q173_pagerank" -> (() =>
+          analytics.Graph.pageRank(
+            analytics.Dedup.minhashCandidates(
+              analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text")),
+            "doc_a", "doc_b").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

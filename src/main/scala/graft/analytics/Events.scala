@@ -1,0 +1,93 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event feed: ordered-step funnel
+  * conversion and cohort retention — the two rollups every event
+  * warehouse serves daily, expressed so no per-user event list is ever
+  * collected: each is user-keyed aggregation + dictionary-sized joins,
+  * the shape that holds at 10^9 users x 10^12 events.
+  */
+object Events {
+
+  /** Ordered funnel conversion over `steps` event types: a user reaches
+    * step i+1 only with an event of that type STRICTLY AFTER their
+    * earliest completion of step i (the classic ordered-funnel
+    * semantics — unordered "did all three" overcounts users who
+    * purchased before ever viewing). Completion time of step i+1 is the
+    * user's EARLIEST qualifying event, computed left-to-right.
+    *
+    * Scale shape: one user-keyed min-aggregation per step over only
+    * that step's type slice (map-side type filter, then partial aggs),
+    * joined user-keyed to the previous step's table — never a window
+    * over a user's full event history, never an event-list collect. The
+    * final rollup is one steps-sized table.
+    *
+    * Output: (step, step_name, n_users, rate_vs_prev, rate_vs_first) —
+    * one row per step, rates rounded to 6 (step 1 rates = 1.0). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).as("ts"))
+    // reached(i): (u, t_i) — earliest completion of step i per user
+    val step1 = ev.filter($"t" === steps.head)
+      .groupBy($"u").agg(min($"ts").as("t_step"))
+    val reached = steps.tail.scanLeft(step1) { (prev, stepType) =>
+      ev.filter($"t" === stepType)
+        .join(prev.select($"u", $"t_step".as("t_prev")), Seq("u"))
+        .filter($"ts" > $"t_prev")
+        .groupBy($"u").agg(min($"ts").as("t_step"))
+    }
+    val counts = reached.zipWithIndex.map { case (r, i) =>
+      r.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          $"n_users")
+    }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"step") // steps-sized table: a 1-task window is fine
+    counts
+      .withColumn("rate_vs_prev",
+        round($"n_users".cast("double") /
+          coalesce(lag($"n_users", 1).over(w), $"n_users").cast("double"), 6))
+      .withColumn("rate_vs_first",
+        round($"n_users".cast("double") /
+          first($"n_users").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 6))
+  }
+
+  /** Cohort retention matrix: users cohorted by their FIRST active day,
+    * counted once per (cohort, day-offset) they return on. The output is
+    * the (cohort_day, day_offset, n_active, cohort_size, retention)
+    * triangle — day_offset 0 rows carry retention 1.0 by construction.
+    *
+    * Scale shape: the first-day table is one user-keyed min-agg; tagging
+    * activity days is a user-keyed join of the (user, day)-distinct
+    * activity table (already compressed from event volume by its own
+    * partial agg); cohort sizes are a dictionary-sized table joined back
+    * by cohort day. Nothing holds more than (users x active days) rows,
+    * and nothing sorts. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val firstDay = days.groupBy($"u").agg(min($"d").as("cohort_day"))
+    val active = days.join(firstDay, Seq("u"))
+      .select($"u", $"cohort_day", datediff($"d", $"cohort_day").as("day_offset"))
+    val cohortSize = firstDay.groupBy($"cohort_day")
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    active.groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(cohortSize, Seq("cohort_day"))
+      .select($"cohort_day", $"day_offset", $"n_active", $"cohort_size",
+        round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
+          .as("retention"))
+  }
+}

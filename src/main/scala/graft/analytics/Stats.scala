@@ -363,4 +363,45 @@ object Stats {
       when(ok, z).as("z"),
       coalesce(ok && abs(z) > zThresh, lit(false)).as("anomaly"))
   }
+
+  /** Robust per-group outlier gate via MEDIAN ABSOLUTE DEVIATION
+    * (Iglewicz & Hoaglin's modified z-score): per group,
+    * `med = median(x)`, `mad = median(|x - med|)`,
+    * `rz = 0.6745 * (x - med) / mad`, outlier iff `|rz| > thresh`
+    * (3.5 is the standard cut). Mean/stddev z-scores move WITH the
+    * outliers they hunt (one 1000x spike inflates sigma enough to hide
+    * itself); medians don't — this is the gate that survives the
+    * heavy-tailed value columns a crawl feed actually has.
+    *
+    * Scale shape: two percentile aggregations (state bounded by
+    * distinct values per group, like [[graft.analytics.Selection
+    * .lengthPercentileGate]]), each producing a group-dictionary-sized
+    * threshold table that broadcast-joins back; the flag itself is
+    * map-side. A zero MAD (>= half the group identical) yields a null
+    * `rz` and `false` flag rather than dividing by zero.
+    *
+    * Output: (id, group, value, med, mad, rz, is_outlier), rz rounded
+    * to 6. */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+                  groupCol: String, thresh: Double = 3.5): DataFrame = {
+    require(thresh > 0.0, "thresh must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // med/mad round to 6 AT the aggregation (the q156 percentile rule):
+    // interpolated medians are the one place engine ulp could differ, and
+    // everything downstream must read the same thresholds
+    val med = df.groupBy(col(groupCol).as("__mad_grp"))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val withMed = df.join(broadcast(med), col(groupCol) === $"__mad_grp")
+      .drop("__mad_grp")
+    val mad = withMed
+      .groupBy(col(groupCol).as("__mad_grp"))
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 6).as("mad"))
+    val rz = round(lit(0.6745) * (col(valueCol) - $"med") /
+      when($"mad" > 0, $"mad"), 6)
+    withMed.join(broadcast(mad), col(groupCol) === $"__mad_grp")
+      .select(col(idCol).as("id"), col(groupCol), col(valueCol),
+        $"med", $"mad", rz.as("rz"),
+        coalesce(abs(rz) > thresh, lit(false)).as("is_outlier"))
+  }
 }

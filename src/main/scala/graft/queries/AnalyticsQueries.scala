@@ -3397,7 +3397,63 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Sketches.kmvOverlap(Tables(s, dir, "events"),
             "event_type", col("user_id").cast("string"), k = 64)
-          .orderBy("key_a", "key_b"))
+          .orderBy("key_a", "key_b")),
+
+    // ----- PageRank over the near-dup candidate graph -----
+    Q("q173_pagerank",
+      "PageRank (10 rounds, d=0.85) over the UNDIRECTED q19 LSH " +
+        "candidate graph — centrality in the duplicate graph ranks the " +
+        "boilerplate templates a raw dup-count misses; each round is " +
+        "one edge-keyed join + node-keyed agg over the persisted " +
+        "symmetrized edges (N is the single driver scalar), the " +
+        "textbook distributed recurrence with no adjacency collects",
+      Some(pageRankOracleSql(iters = 10, damping = 0.85)),
+      (s, dir) =>
+        graft.analytics.Graph.pageRank(
+            Dedup.minhashCandidates(
+              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
+                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+              maxBucket = 1000),
+            "doc_a", "doc_b", iters = 10, damping = 0.85)
+          .orderBy("node")),
+
+    // ----- triangle counts / clustering coefficient -----
+    Q("q174_triangles",
+      "per-node triangle counts + local clustering coefficient over " +
+        "the q19 candidate graph (each triangle enumerated once in " +
+        "a<b<c orientation by the standard two-join wedge plan) — " +
+        "clustering near 1 marks tight clone clusters, low clustering " +
+        "with high degree marks chained drift or a template hub; two " +
+        "equi-joins + one node-keyed count, no neighborhood arrays",
+      Some(shCte + lshCte + """,
+             | ed AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand),
+             | dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+             |          SELECT a AS v FROM ed
+             |          UNION ALL SELECT b FROM ed) GROUP BY v),
+             | tri AS (
+             |   SELECT e1.a, e1.b, e2.b AS c
+             |   FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+             |   JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+             | pn AS (SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+             |        FROM (SELECT a AS v FROM tri
+             |              UNION ALL SELECT b FROM tri
+             |              UNION ALL SELECT c FROM tri) GROUP BY v)
+             |SELECT dg.v AS node, dg.deg,
+             |       coalesce(pn.n_triangles, CAST(0 AS BIGINT))
+             |         AS n_triangles,
+             |       CASE WHEN dg.deg >= 2
+             |            THEN round(2.0 * coalesce(pn.n_triangles, 0)
+             |              / (dg.deg * (dg.deg - 1)), 6) END AS clustering
+             |FROM dg LEFT JOIN pn ON pn.v = dg.v
+             |ORDER BY node""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Graph.triangleCounts(
+            Dedup.minhashCandidates(
+              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
+                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+              maxBucket = 1000),
+            "doc_a", "doc_b")
+          .orderBy("node"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —
@@ -3506,6 +3562,38 @@ object AnalyticsQueries {
          |       CAST(sum(CAST(round(score * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mean_score,
          |       CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos
          |FROM s GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Unrolled PageRank in DuckDB over the q19 candidate graph: edges
+    * symmetrize from `cand`, then `iters` MATERIALIZED recurrence CTEs
+    * (the q130 inlining lesson) of the same join + aggregate
+    * [[graft.analytics.Graph.pageRank]] runs; `1 - damping` is
+    * interpolated as the SAME IEEE constant the Scala side computes, so
+    * both engines iterate the identical recurrence. */
+  private def pageRankOracleSql(iters: Int, damping: Double): String = {
+    val teleport = 1.0 - damping
+    val head = shCte + lshCte + """,
+      | ed AS MATERIALIZED (
+      |   SELECT doc_a AS src, doc_b AS dst FROM cand
+      |   UNION SELECT doc_b, doc_a FROM cand),
+      | dg AS MATERIALIZED (
+      |   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+      | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
+      | r0 AS (SELECT src AS v, 1.0 / nn.n AS r FROM dg CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         | r$k AS MATERIALIZED (
+         |   SELECT ed.dst AS v,
+         |          $teleport / nn.n + $damping * sum(p.r / dg.deg) AS r
+         |   FROM ed JOIN r${k - 1} p ON p.v = ed.src
+         |           JOIN dg ON dg.src = ed.src
+         |   CROSS JOIN nn
+         |   GROUP BY ed.dst, nn.n)""".stripMargin
+    }.mkString
+    head + steps +
+      s"""
+         |SELECT v AS node, round(r, 6) AS rank
+         |FROM r$iters ORDER BY node""".stripMargin
+  }
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one
     * matrix-vector product over the full d×d covariance (both triangles)

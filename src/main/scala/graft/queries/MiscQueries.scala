@@ -718,6 +718,106 @@ object MiscQueries {
           .groupBy("event_type", "k_bucket")
           .agg(count(lit(1)).cast("long").as("n_events"),
             round(sum(col("value")), 6).as("total_value"))
-          .orderBy("event_type", "k_bucket"))
+          .orderBy("event_type", "k_bucket")),
+
+    // ----- robust MAD outlier gate -----
+    Q("q170_mad_outliers",
+      "per-type robust outlier gate on event value via median absolute " +
+        "deviation (Iglewicz-Hoaglin modified z: 0.6745*(x-med)/mad, " +
+        "|rz| > 3.5) — medians don't move with the spikes they hunt, " +
+        "unlike the mean/sigma z a single 1000x value can hide inside; " +
+        "two bounded percentile aggs broadcast back, the flag map-side",
+      Some("""WITH med AS (
+             |  SELECT event_type AS grp, round(quantile_cont(value, 0.5), 6) AS med
+             |  FROM events GROUP BY 1),
+             |mad AS (
+             |  SELECT e.event_type AS grp,
+             |         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+             |  FROM events e JOIN med m ON e.event_type = m.grp GROUP BY 1)
+             |SELECT e.event_id AS id, e.event_type, e.value, m.med, d.mad,
+             |       CASE WHEN d.mad > 0
+             |            THEN round(0.6745 * (e.value - m.med) / d.mad, 6)
+             |       END AS rz,
+             |       coalesce(abs(CASE WHEN d.mad > 0
+             |           THEN round(0.6745 * (e.value - m.med) / d.mad, 6)
+             |         END) > 3.5, false) AS is_outlier
+             |FROM events e JOIN med m ON e.event_type = m.grp
+             |              JOIN mad d ON e.event_type = d.grp
+             |ORDER BY id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.madOutliers(Tables(s, dir, "events"),
+            "event_id", "value", "event_type", thresh = 3.5)
+          .orderBy("id")),
+
+    // ----- ordered funnel conversion -----
+    Q("q171_funnel",
+      "ordered view->click->purchase funnel: a user reaches a step only " +
+        "with an event of that type STRICTLY AFTER their earliest " +
+        "completion of the previous step (unordered 'did all three' " +
+        "overcounts purchase-before-view); one user-keyed min-agg per " +
+        "step over that type's slice, never a full-history window",
+      Some("""WITH s1 AS (
+             |  SELECT user_id AS u, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id AS u, min(e.ts) AS t
+             |  FROM events e JOIN s1 ON e.user_id = s1.u
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id AS u, min(e.ts) AS t
+             |  FROM events e JOIN s2 ON e.user_id = s2.u
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+             |c AS (
+             |  SELECT 1 AS step, 'view' AS step_name,
+             |         CAST(count(*) AS BIGINT) AS n_users FROM s1
+             |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+             |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+             |SELECT step, step_name, n_users,
+             |       round(CAST(n_users AS DOUBLE) /
+             |         coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6)
+             |         AS rate_vs_prev,
+             |       round(CAST(n_users AS DOUBLE) /
+             |         (SELECT n_users FROM c WHERE step = 1), 6)
+             |         AS rate_vs_first
+             |FROM c ORDER BY step""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.funnel(Tables(s, dir, "events"),
+            "user_id", "event_type", "ts",
+            Seq("view", "click", "purchase"))
+          .orderBy("step")),
+
+    // ----- cohort retention triangle -----
+    Q("q172_cohort_retention",
+      "cohort retention: users cohorted by FIRST active day, counted " +
+        "once per (cohort, day-offset) they return on — the retention " +
+        "triangle; the feed compresses to (user, day)-distinct rows " +
+        "first, cohorting is one user-keyed min-agg, cohort sizes a " +
+        "dictionary-sized join — nothing holds more than users x days",
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |fd AS (SELECT u, min(d) AS cohort_day FROM days GROUP BY 1),
+             |act AS (
+             |  SELECT f.u, f.cohort_day,
+             |         date_diff('day', f.cohort_day, d.d) AS day_offset
+             |  FROM days d JOIN fd f ON d.u = f.u),
+             |cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+             |       FROM fd GROUP BY 1)
+             |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+             |       CAST(a.day_offset AS INT) AS day_offset,
+             |       CAST(count(*) AS BIGINT) AS n_active, cs.cohort_size,
+             |       round(CAST(count(*) AS DOUBLE) / cs.cohort_size, 6)
+             |         AS retention
+             |FROM act a JOIN cs USING (cohort_day)
+             |GROUP BY a.cohort_day, a.day_offset, cs.cohort_size
+             |ORDER BY cohort_day, day_offset""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.cohortRetention(Tables(s, dir, "events"),
+            "user_id", "ts")
+          .select(date_format(col("cohort_day"), "yyyy-MM-dd")
+              .as("cohort_day"),
+            col("day_offset"), col("n_active"), col("cohort_size"),
+            col("retention"))
+          .orderBy("cohort_day", "day_offset"))
   )
 }

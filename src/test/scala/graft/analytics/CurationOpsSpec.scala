@@ -160,4 +160,75 @@ class CurationOpsSpec extends SparkTestBase {
     assert(r.getDouble(1) === -1.0)
     assert(r.getDouble(2) === math.rint(math.log(12.0) * 1e6) / 1e6)
   }
+
+  test("madOutliers: hand-computed modified z, spike flagged where " +
+       "mean/sigma z would hide it, zero-MAD group all-false") {
+    import spark.implicits._
+    // g1: 1..9 plus a 1000.0 spike. med = 5.5, |x-med| sorted gives
+    // mad = 2.5; rz(1000) = 0.6745*994.5/2.5 = 268.3 -> outlier.
+    // Classic z would be ~3.0 on this group (sigma ~315 inflated by
+    // the spike itself) — the robustness point.
+    val g1 = (1 to 9).map(i => (i.toLong, "g1", i.toDouble)) :+
+      (10L, "g1", 1000.0)
+    // g2: constant -> mad 0 -> no flags, null rz
+    val g2 = (11 to 15).map(i => (i.toLong, "g2", 7.0))
+    val out = Stats.madOutliers((g1 ++ g2).toDF("eid", "grp", "v"),
+        "eid", "v", "grp")
+      .orderBy("id").collect()
+    val spike = out.find(_.getLong(0) == 10L).get
+    assert(spike.getDouble(3) === 5.5 && spike.getDouble(4) === 2.5)
+    assert(spike.getDouble(5) === math.rint(0.6745 * 994.5 / 2.5 * 1e6) / 1e6)
+    assert(spike.getBoolean(6), "spike must be flagged")
+    assert(out.filter(_.getString(1) == "g1").count(_.getBoolean(6)) === 1,
+      "only the spike flags in g1")
+    val g2rows = out.filter(_.getString(1) == "g2")
+    assert(g2rows.forall(r => r.isNullAt(5) && !r.getBoolean(6)),
+      "zero-MAD group: null rz, no flags")
+  }
+
+  test("funnel: ordered semantics — purchase before view does NOT " +
+       "count; rates hand-pinned") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      (2L, "view", t(1)), (2L, "click", t(2)),           // no purchase
+      (3L, "purchase", t(1)), (3L, "view", t(2)),        // wrong order
+      (3L, "click", t(3)),
+      (4L, "click", t(1)), (4L, "view", t(2)),           // click before view
+      (5L, "view", t(5))
+    ).toDF("user_id", "event_type", "ts")
+    val f = Events.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // views: users 1,2,3,4,5 = 5. clicks after view: 1,2,3 (user 4's
+    // click precedes their view) = 3. purchases after that click: 1
+    // (user 3's only purchase was before everything) = 1.
+    assert(f.toSeq === Seq(
+      (1, "view", 5L, 1.0, 1.0),
+      (2, "click", 3L, 0.6, 0.6),
+      (3, "purchase", 1L, math.rint(1.0 / 3 * 1e6) / 1e6, 0.2)))
+  }
+
+  test("cohortRetention: hand-pinned triangle, multi-visit days count " +
+       "once") {
+    import spark.implicits._
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, t(1, 1)), (1L, t(1, 9)), (1L, t(2, 1)),  // day-1 cohort, back day 2
+      (2L, t(1, 5)),                                 // day-1 cohort, never back
+      (3L, t(2, 3)), (3L, t(4, 3))                   // day-2 cohort, back day 4
+    ).toDF("user_id", "ts")
+    val r = Events.cohortRetention(ev, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq === Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-02", 0, 1L, 1L, 1.0),
+      ("2024-01-02", 2, 1L, 1L, 1.0)))
+  }
 }
