@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic k-means corpus clustering (Lloyd's algorithm, fixed
@@ -256,6 +256,76 @@ object Cluster {
     cand.withColumn("rn", rn).filter($"rn" <= kTop)
       .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
         $"nd".as("dist2"))
+  }
+
+  /** The full production ANN serving pipeline in one plan — IVF-PQ with
+    * exact re-rank, the FAISS `IVFx,PQy` shape:
+    *
+    *  1. each query probes its `nprobe` nearest trained centroids
+    *     (map-side kernel over the broadcast k×dim model);
+    *  2. candidates come from ONLY those inverted lists, and are scored
+    *     by ASYMMETRIC distance against their 8-byte PQ codes — the
+    *     probe scans `nprobe/k` of the corpus and reads codes, never
+    *     full vectors;
+    *  3. the per-query ADC `shortlist` re-ranks by EXACT distance (the
+    *     only place full candidate vectors are touched), and the final
+    *     `kTop` emerge.
+    *
+    * Tie rules pinned for the oracle at every stage: probe (round-6
+    * centroid distance, cluster), shortlist (round-6 ADC, id), final
+    * (round-6 exact distance, id). Self-matches excluded. The PQ
+    * codebook is the md5-sampled [[Pq.codebookRows]] model — at serving
+    * scale both models (centroids + codebook) are a few KB broadcast,
+    * the inverted lists are (cluster, id, codes) rows, and the exact
+    * re-rank joins `shortlist × queries` ids back to vectors — the
+    * recall/latency dial is (nprobe, shortlist), with the exact re-rank
+    * capping the ADC approximation error at the list it actually
+    * returns.
+    *
+    * Output: (query_id, rank, neighbor_id, dist2) — exact round-6
+    * squared distance, rank 1..kTop. */
+  def ivfPqTopK(model: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, queryPred: Column, kTop: Int = 5,
+                nprobe: Int = 2, shortlist: Int = 25, m: Int = 8,
+                kCodes: Int = 16): DataFrame = {
+    require(kTop >= 1 && shortlist >= kTop,
+      "need kTop >= 1 and shortlist >= kTop")
+    val cents = modelCentroids(model)
+    require(nprobe >= 1 && nprobe <= cents.size, "nprobe must be in [1, k]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (v0, dim) = Pq.vectors(Par.ensure(corpus), idCol, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val cb = Pq.codebookRows(v0, kCodes)
+    require(cb.size == kCodes,
+      s"corpus has fewer than $kCodes vectors for the codebook")
+    // assignment feeds the codes-only lists AND the exact re-rank side
+    val aa = assignAgainst(corpus, idCol, vecCol, cents).localCheckpoint()
+    val lists = aa.select($"cluster", $"vid",
+      graft.functions.PqKernels.pqEncode($"v", cb, m)
+        .getField("codes").as("cs"))
+    val queries = v0.filter(queryPred)
+      .select(col("vid").as("qid"), col("v").as("qv"))
+    val probes = queries.select($"qid", $"qv",
+      explode(graft.functions.PqKernels.centroidProbe($"qv", cents, nprobe))
+        .as("cluster"))
+    val adc = probes.join(lists, Seq("cluster"))
+      .filter($"vid" =!= $"qid")
+      .select($"qid", $"qv", $"vid".as("nid"),
+        round(graft.functions.PqKernels.adcDist($"qv", $"cs", cb, m), 6)
+          .as("adist"))
+    val short = adc.withColumn("ra", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adist", $"nid")))
+      .filter($"ra" <= shortlist)
+    short
+      .join(aa.select($"vid".as("nid"), $"v"), Seq("nid"))
+      .select($"qid", $"nid", round(Pq.d2($"qv", $"v"), 6).as("dist2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dist2", $"nid")).cast("int"))
+      .filter($"rank" <= kTop)
+      .select($"qid".as("query_id"), $"rank", $"nid".as("neighbor_id"),
+        $"dist2")
   }
 
   /** One-shot composition of [[train]] + [[ivfTopK]] (the q95 gate

@@ -95,10 +95,12 @@ object AnalyticsQueries {
     * (8 subspaces × 8 dims over the 64-dim testdata embeddings;
     * `list_distance²` vs the index-ordered fold agree to ulps, absorbed
     * by the round-6 on every emitted/ranked value). */
-  private val pqCte =
-    """WITH v AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-      |  FROM embeddings WHERE len(embedding) = 64),
+  /** PQ codebook + per-subspace assignment CTEs (`cb`, `dist`, `sel`),
+    * appended after ANY chain that already defines `v` — [[pqCte]]'s own
+    * prologue or [[kmCte]] (the q175 IVF-PQ composition needs both
+    * models over the same `v`). */
+  private val pqTail =
+    """,
       |cb AS (
       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j, vv AS cv
       |  FROM (SELECT * FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
@@ -111,6 +113,11 @@ object AnalyticsQueries {
       |    SELECT vec_id, s, j, d2,
       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
       |    FROM dist) WHERE rn = 1)""".stripMargin
+
+  private val pqCte =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      |  FROM embeddings WHERE len(embedding) = 64)""".stripMargin + pqTail
 
   /** Shared DuckDB CTE chain for k-means (2 Lloyd iterations, k=8):
     * md5-ordered init, first assignment, round-6 per-dimension means,
@@ -3453,7 +3460,60 @@ object AnalyticsQueries {
                 "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
               maxBucket = 1000),
             "doc_a", "doc_b")
-          .orderBy("node"))
+          .orderBy("node")),
+
+    // ----- IVF-PQ with exact re-rank: the full ANN serving pipeline -----
+    Q("q175_ivf_pq_rerank",
+      "the FAISS-shape IVF-PQ serving pipeline in one plan: queries " +
+        "probe nprobe=2 trained centroids, candidates from ONLY those " +
+        "inverted lists score by ASYMMETRIC distance against 8-byte PQ " +
+        "codes (no corpus vector touched), the top-25 ADC shortlist " +
+        "re-ranks by exact distance, top-5 emerge — the recall/latency " +
+        "dial is (nprobe, shortlist); composes the q95 trained index " +
+        "with the q79 codes under one probe",
+      Some(kmCte + pqTail + """,
+             |q AS (SELECT vec_id AS qid, vv AS qv FROM v
+             |      WHERE vec_id % 100 = 0),
+             |pr AS (
+             |  SELECT qid, qv, c AS pc FROM (
+             |    SELECT q.qid, q.qv, i.c,
+             |           row_number() OVER (PARTITION BY q.qid
+             |             ORDER BY round(pow(list_distance(q.qv, i.cv), 2), 6), i.c) AS rn
+             |    FROM q, cent2 i) WHERE rn <= 2),
+             |adc AS (
+             |  SELECT p.qid, a.vec_id AS nid,
+             |         round(sum(pow(list_distance(p.qv[e.s*8+1 : e.s*8+8], cb.cv[e.s*8+1 : e.s*8+8]), 2)), 6) AS adist
+             |  FROM pr p JOIN a2 a ON a.c = p.pc AND a.vec_id <> p.qid
+             |  JOIN sel e ON e.vec_id = a.vec_id JOIN cb ON cb.j = e.j
+             |  GROUP BY p.qid, a.vec_id),
+             |sh AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT qid, nid,
+             |           row_number() OVER (PARTITION BY qid
+             |             ORDER BY adist, nid) AS ra
+             |    FROM adc) WHERE ra <= 25),
+             |ex AS (
+             |  SELECT s.qid, s.nid,
+             |         round(pow(list_distance(q.qv, v.vv), 2), 6) AS dist2
+             |  FROM sh s JOIN q ON q.qid = s.qid
+             |            JOIN v ON v.vec_id = s.nid)
+             |SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+             |       nid AS neighbor_id, dist2
+             |FROM (SELECT qid, nid, dist2,
+             |             row_number() OVER (PARTITION BY qid
+             |               ORDER BY dist2, nid) AS rn
+             |      FROM ex) WHERE rn <= 5
+             |ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        graft.analytics.Cluster.ivfPqTopK(
+            graft.analytics.Cluster.train(emb, "vec_id", "embedding",
+              k = 8, iters = 2),
+            emb, "vec_id", "embedding",
+            queryPred = col("vec_id") % 100 === 0,
+            kTop = 5, nprobe = 2, shortlist = 25, m = 8, kCodes = 16)
+          .orderBy("query_id", "rank")
+      })
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

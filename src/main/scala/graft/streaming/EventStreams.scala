@@ -346,4 +346,80 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class PctRow(event_type: String, hr: Long, n: Long,
+                          p50: Long, p90: Long, p99: Long)
+
+  // parallel arrays (see RateState): the reflective state encoder needs
+  // public accessors, and Array[Array[Long]] encodes natively
+  final case class PctState(hours: Array[Long], hists: Array[Array[Long]],
+                            emittedThrough: Long)
+
+  /** Per-(type, hour) VALUE-DISTRIBUTION percentiles over a LIVE feed —
+    * the latency-dashboard shape — with the mergeable
+    * [[graft.functions.LogHist]] sketch held directly in the state
+    * store: values land in micro-units (`round(value * 1e6)`, positive
+    * longs), each open hour keeps one 960-counter histogram per type,
+    * and an hour emits its p50/p90/p99 EXACTLY ONCE when the event-time
+    * watermark closes it — so the emitted estimates are final and equal
+    * the batch [[graft.analytics.Sketches.logHistQuantiles]] over the
+    * same slice bit-for-bit (all-integer sketch, same ceil-rank rule;
+    * EventStreamsSpec pins the differential).
+    *
+    * This is the state-store payoff the batch sketch was built for:
+    * exact per-hour percentiles would hold every distinct value in
+    * state; the histogram is a fixed 7.5 KB per open (type, hour)
+    * regardless of rate, and merges by addition if a restart replays.
+    * State prunes to OPEN hours only (no trailing window); event-time
+    * timeouts re-arm per type so hours close on watermark advances
+    * without new data (the [[rateMonitor]] rule). */
+  def percentileMonitor(events: Dataset[Event], subBits: Int = 4,
+                        watermark: String = "2 hours"): Dataset[PctRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nb = (64 - subBits) << subBits
+    val qs = Seq(0.5, 0.9, 0.99)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PctState, PctRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (tpe: String, it: Iterator[Event], state: GroupState[PctState]) =>
+          val st = state.getOption.getOrElse(
+            PctState(Array.empty, Array.empty, Long.MinValue))
+          var hists = st.hours.zip(st.hists).toMap
+          it.foreach { e =>
+            val h = Math.floorDiv(e.ts.getTime, 3600000L)
+            // an event for an already-emitted hour is beyond-watermark
+            // late: its hour's final row is out — drop, like any
+            // append-mode watermark discard
+            if (h > st.emittedThrough) {
+              val v = math.round(e.value * 1e6)
+              if (v >= 1L) {
+                val arr = hists.getOrElse(h, new Array[Long](nb))
+                arr(graft.functions.LogHist.bucketIndex(v, subBits)) += 1L
+                hists = hists.updated(h, arr)
+              }
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closedMax =
+            if (wm <= 0L) Long.MinValue else Math.floorDiv(wm, 3600000L) - 1L
+          val ready = hists.keys.toSeq.sorted
+            .filter(h => h > st.emittedThrough && h <= closedMax)
+          val out = ready.map { h =>
+            val (n, ests) = graft.functions.LogHist
+              .quantilesFromCounts(hists(h), subBits, qs)
+            PctRow(tpe, h, n, ests(0), ests(1), ests(2))
+          }
+          val newEmitted = if (ready.nonEmpty) ready.max else st.emittedThrough
+          val pruned = hists.filter(_._1 > newEmitted).toSeq.sortBy(_._1)
+          state.update(PctState(pruned.map(_._1).toArray,
+            pruned.map(_._2).toArray, newEmitted))
+          val pending = pruned.map(_._1).filter(_ > newEmitted)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp((pending.min + 1L) * 3600000L)
+          out.iterator
+      }
+  }
 }

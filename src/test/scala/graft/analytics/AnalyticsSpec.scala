@@ -820,6 +820,53 @@ class PqSpec extends SparkTestBase {
       s"nprobe=1 stays in-cluster: ${one.toSeq}")
   }
 
+  test("ivfPqTopK: with nprobe=k and a corpus-wide shortlist the " +
+       "pipeline equals exact brute force; tight settings keep rank " +
+       "order and in-shortlist membership") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 64L)
+      .map(i => (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Cluster.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def brute(q: Long, k: Int): Seq[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (r6(vecs(q).zip(vecs(n))
+          .map { case (a, b) => (a - b) * (a - b) }.sum), n))
+        .sorted.take(k).map(_._2)
+    // exhaustive settings: probe every list, shortlist the whole corpus
+    // -> the ADC stage cannot drop a true neighbor, the exact re-rank
+    // must reproduce brute force
+    val full = Cluster.ivfPqTopK(model, emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 8 === 0, kTop = 3, nprobe = 4,
+        shortlist = 64, m = 8, kCodes = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(full.keySet === (0L until 64L by 8L).toSet)
+    for ((q, rows) <- full) {
+      assert(rows.sortBy(_._2).map(_._3).toSeq === brute(q, 3), s"query $q")
+    }
+    // tight settings: results are ranked 1..kTop with strictly
+    // nondecreasing exact distances (the re-rank invariant)
+    val tight = Cluster.ivfPqTopK(model, emb, "vec_id", "embedding",
+        queryPred = col("vec_id") % 8 === 0, kTop = 3, nprobe = 2,
+        shortlist = 5, m = 8, kCodes = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+      .groupBy(_._1)
+    for ((q, rows) <- tight) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.size).toSeq, s"q=$q ranks")
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq,
+        s"q=$q distances nondecreasing")
+    }
+  }
+
   test("train/ivfTopK split: a parquet-persisted model probes without " +
        "retraining — many probe calls share one training run, results " +
        "match the one-shot composition, and the probe plan carries no " +

@@ -406,4 +406,61 @@ class EventStreamsSpec extends SparkTestBase {
       stream.find(_._6).get._2 === Math.floorDiv(base, 3600000L) + 26,
       "exactly the injected spike flags")
   }
+
+  test("percentileMonitor: streamed per-hour p50/p90/p99 equal the " +
+       "batch log-hist sketch BIT-FOR-BIT on every closed hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2025-01-01 00:00:00").getTime
+    var id = 0L
+    def burst(tpe: String, h: Int, values: Seq[Double]): Seq[Event] =
+      values.map { v =>
+        id += 1
+        Event(id, new Timestamp(base + h * 3600000L + id % 3000 * 1000L),
+          1L, tpe, v, "{}")
+      }
+    val rnd = new scala.util.Random(23)
+    // heavy-tailed values across 3 closed hours x 2 types, plus a tiny
+    // hour (exact small-count regime) and sub-micro values that drop
+    val evs =
+      (0 to 2).flatMap(h => burst("A", h,
+        Seq.fill(200)(math.pow(10, rnd.nextDouble() * 4) / 100))) ++
+      (0 to 2).flatMap(h => burst("B", h,
+        Seq.fill(50)(rnd.nextDouble() * 500))) ++
+      burst("B", 3, Seq(7.25, 0.0000001)) // second value rounds to 0 micro
+    val batch = graft.analytics.Sketches.logHistQuantiles(
+        evs.toDF()
+          .withColumn("hr", floor(unix_timestamp(col("ts")) / 3600L)
+            .cast("long"))
+          .withColumn("key", concat_ws("|", col("event_type"), col("hr"))),
+        "key", round(col("value") * 1e6).cast("long"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val in = MemoryStream[Event]
+    val q = EventStreams.percentileMonitor(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("pct_mon")
+      .outputMode("append").start()
+    in.addData(evs: _*); q.processAllAvailable()
+    in.addData(burst("zz", 66, Seq(1.0)): _*); q.processAllAvailable()
+    in.addData(burst("zz", 67, Seq(1.0)): _*); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("pct_mon")
+      .filter(col("event_type") =!= "zz")
+      .orderBy("event_type", "hr").collect()
+      .map(r => s"${r.getString(0)}|${r.getLong(1)}" ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // every closed (type, hour) must match the batch sketch exactly —
+    // same integer histogram, same ceil-rank rule
+    val closed = batch.keys.filter { k =>
+      val hr = k.split('|')(1).toLong
+      hr <= Math.floorDiv(base, 3600000L) + 3 // all data hours closed
+    }
+    assert(closed.nonEmpty && stream.keySet === closed.toSet)
+    closed.foreach { k =>
+      assert(stream(k) === batch(k), s"key $k: ${stream(k)} vs ${batch(k)}")
+    }
+    // the dropped sub-micro value: hour 3 of B counted only one event
+    assert(stream(s"B|${Math.floorDiv(base, 3600000L) + 3}")._1 === 1L)
+  }
 }
