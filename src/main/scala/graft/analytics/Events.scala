@@ -60,6 +60,40 @@ object Events {
             w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 6))
   }
 
+  /** First-order Markov transition matrix between event types: for each
+    * user's time-ordered event sequence, count cur->next adjacent pairs
+    * and normalize per source state — P(next | cur), the behavioral
+    * fingerprint behind journey analysis and synthetic-session
+    * generation (and, read as a matrix, the input to the q173-style
+    * stationary analysis).
+    *
+    * Scale shape: the ONLY per-event work is one `lead` window inside
+    * each user's own partition ordered by (ts, id) — the q54
+    * sessionization shape, parallel across users — after which
+    * everything is a states x states table. Ordering ties break on the
+    * id so both engines walk identical sequences.
+    *
+    * Output: (cur, next, n, p) — p = n / sum(n per cur), rounded 6. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(typeCol).as("cur"),
+        lead(col(typeCol), 1).over(w).as("next"))
+      .filter($"next".isNotNull)
+      .groupBy($"cur", $"next")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = pairs.groupBy($"cur".as("__tm_cur"))
+      .agg(sum($"n").cast("long").as("tot"))
+    pairs.join(broadcast(totals), $"cur" === $"__tm_cur")
+      .select($"cur", $"next", $"n",
+        round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
+  }
+
   /** Cohort retention matrix: users cohorted by their FIRST active day,
     * counted once per (cohort, day-offset) they return on. The output is
     * the (cohort_day, day_offset, n_active, cohort_size, retention)

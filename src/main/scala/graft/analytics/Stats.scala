@@ -364,6 +364,44 @@ object Stats {
       coalesce(ok && abs(z) > zThresh, lit(false)).as("anomaly"))
   }
 
+  /** CUSUM changepoint/level-shift detection on per-group hourly event
+    * counts (Page 1954): the one-sided cumulative-sum statistic
+    * `S_t = max(0, S_{t-1} + (x_t - mu - slack))` flags a SUSTAINED
+    * upward shift that a pointwise z-score (q157) never accumulates —
+    * the slow-leak detector next to the spike detector. `mu` and `sd`
+    * are the group's own full-series moments; `slack = 0.5*sd` absorbs
+    * noise, the alarm fires at `S_t > 4*sd` (the standard h=4 tuning).
+    *
+    * The clamped recurrence is NOT a window sum — but it has an exact
+    * non-recursive identity: with `P_t` the prefix sum of
+    * `(x_t - mu - slack)`, `S_t = P_t - min(P_0..P_t, 0)` — so two
+    * stacked windows (prefix sum, running min) compute it exactly, and
+    * a SQL oracle replays it verbatim. The windows run over the
+    * (group, hour) table the feed compresses to in one partial agg —
+    * groups x hours rows, never event volume.
+    *
+    * Output: (group, hr, c, cusum, shift) — cusum rounded 6. */
+  def cusumShift(events: DataFrame, typeCol: String, tsCol: String,
+                 slackSds: Double = 0.5, threshSds: Double = 4.0): DataFrame = {
+    require(slackSds >= 0.0 && threshSds > 0.0, "bad CUSUM tuning")
+    import org.apache.spark.sql.expressions.Window
+    val h = events
+      .groupBy(col(typeCol),
+        floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val st = h.groupBy(col(typeCol).as("__cs_grp"))
+      .agg(avg(col("c")).as("mu"), stddev_pop(col("c")).as("sd"))
+    val wCum = Window.partitionBy(col(typeCol)).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = col("c").cast("double") - col("mu") - lit(slackSds) * col("sd")
+    val s = col("p") - least(min(col("p")).over(wCum), lit(0.0))
+    h.join(broadcast(st), col(typeCol) === col("__cs_grp")).drop("__cs_grp")
+      .withColumn("p", sum(dev).over(wCum))
+      .select(col(typeCol), col("hr"), col("c"),
+        round(s, 6).as("cusum"),
+        (round(s, 6) > round(lit(threshSds) * col("sd"), 6)).as("shift"))
+  }
+
   /** Robust per-group outlier gate via MEDIAN ABSOLUTE DEVIATION
     * (Iglewicz & Hoaglin's modified z-score): per group,
     * `med = median(x)`, `mad = median(|x - med|)`,

@@ -818,6 +818,67 @@ object MiscQueries {
               .as("cohort_day"),
             col("day_offset"), col("n_active"), col("cohort_size"),
             col("retention"))
-          .orderBy("cohort_day", "day_offset"))
+          .orderBy("cohort_day", "day_offset")),
+
+    // ----- CUSUM level-shift detection -----
+    Q("q176_cusum_shift",
+      "one-sided CUSUM on per-type hourly counts (Page 1954): " +
+        "S_t = max(0, S_{t-1} + x_t - mu - 0.5*sd) accumulates a " +
+        "SUSTAINED upward level shift that q157's pointwise z never " +
+        "sums; computed EXACTLY by the prefix-sum identity " +
+        "S_t = P_t - min(0, running-min P) — two stacked windows over " +
+        "the (type, hour) table, never event volume; alarm at 4*sd",
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, avg(c) AS mu, stddev_pop(c) AS sd
+             |       FROM h GROUP BY 1),
+             |p AS (
+             |  SELECT h.event_type, h.hr, h.c, st.sd,
+             |         sum(h.c - st.mu - 0.5 * st.sd) OVER w AS p
+             |  FROM h JOIN st USING (event_type)
+             |  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |sline AS (
+             |  SELECT event_type, hr, c, sd,
+             |         p - least(min(p) OVER w, 0.0) AS s
+             |  FROM p
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, hr, c, round(s, 6) AS cusum,
+             |       round(s, 6) > round(4.0 * sd, 6) AS shift
+             |FROM sline ORDER BY event_type, hr""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.cusumShift(Tables(s, dir, "events"),
+            "event_type", "ts", slackSds = 0.5, threshSds = 4.0)
+          .orderBy("event_type", "hr")),
+
+    // ----- Markov transition matrix between event types -----
+    Q("q177_transition_matrix",
+      "first-order Markov transitions between event types over each " +
+        "user's time-ordered sequence — P(next | cur), the journey " +
+        "fingerprint; the only per-event work is one lead window inside " +
+        "each user's partition (the q54 shape), then everything is a " +
+        "states x states table; (ts, id) ordering pins engine parity",
+      Some("""WITH seq AS (
+             |  SELECT event_type AS cur,
+             |         lead(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS next
+             |  FROM events),
+             |pairs AS (
+             |  SELECT cur, next, CAST(count(*) AS BIGINT) AS n
+             |  FROM seq WHERE next IS NOT NULL GROUP BY cur, next),
+             |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
+             |        FROM pairs GROUP BY cur)
+             |SELECT p.cur, p.next, p.n,
+             |       round(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+             |FROM pairs p JOIN tot t ON t.cur = p.cur
+             |ORDER BY p.cur, p.next""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.transitionMatrix(Tables(s, dir, "events"),
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy("cur", "next"))
   )
 }

@@ -161,6 +161,65 @@ class CurationOpsSpec extends SparkTestBase {
     assert(r.getDouble(2) === math.rint(math.log(12.0) * 1e6) / 1e6)
   }
 
+  test("cusumShift: window identity equals the clamped recurrence " +
+       "replayed locally; a sustained level shift alarms where single " +
+       "hours stay under the pointwise radar") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 40 quiet hours at 10±1, then 20 hours at 13 — each shifted hour is
+    // under ~2 sigma alone; the cumulative sum crosses 4*sd quickly
+    val hourly = (0 until 40).map(h => h -> (10 + (h % 3 - 1))) ++
+      (40 until 60).map(h => h -> 13)
+    val evs = hourly.flatMap { case (h, n) =>
+      (0 until n).map(i =>
+        (h.toLong * 100 + i, new java.sql.Timestamp(
+          base + h * 3600000L + i * 1000L), "A"))
+    }.toDF("event_id", "ts", "event_type")
+    val got = Stats.cusumShift(evs, "event_type", "ts")
+      .orderBy("hr").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // local replay of S_t = max(0, S_{t-1} + x - mu - 0.5 sd)
+    val xs = hourly.map(_._2.toDouble)
+    val mu = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / xs.size)
+    var s = 0.0
+    val want = xs.map { x => s = math.max(0.0, s + x - mu - 0.5 * sd); s }
+    got.map(_._2).zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-6, s"hour $i: $g vs $w")
+    }
+    val firstAlarm = got.indexWhere(_._3)
+    assert(firstAlarm >= 40 && firstAlarm <= 45,
+      s"alarm soon after the shift, got hour $firstAlarm")
+    assert(got.take(40).forall(!_._3), "no alarms during the quiet period")
+  }
+
+  test("transitionMatrix: hand-pinned counts and probabilities; " +
+       "sequences never cross users; ties break on event id") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, "a", t(1)), (2L, 1L, "b", t(2)), (3L, 1L, "a", t(3)),
+      (4L, 1L, "b", t(4)),
+      (5L, 2L, "a", t(1)), (6L, 2L, "a", t(2)),
+      // same-ts tie for user 3: event_id order decides c->d
+      (7L, 3L, "c", t(9)), (8L, 3L, "d", t(9))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.transitionMatrix(ev, "user_id", "event_type", "ts",
+        "event_id")
+      .orderBy("cur", "next").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // user 1: a->b, b->a, a->b; user 2: a->a; user 3: c->d (tie by id)
+    // cur=a has 3 outgoing: p(a->b)=2/3, p(a->a)=1/3
+    val m = got.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.length === 4)
+    assert(m(("a", "b")) === ((2L, 0.666667)))
+    assert(m(("a", "a")) === ((1L, 0.333333)))
+    assert(m(("b", "a")) === ((1L, 1.0)) && m(("c", "d")) === ((1L, 1.0)))
+    assert(!m.contains(("b", "c")) && !m.contains(("d", "a")),
+      "no cross-user transitions")
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._
