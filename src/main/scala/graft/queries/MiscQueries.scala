@@ -879,6 +879,39 @@ object MiscQueries {
       (s, dir) =>
         graft.analytics.Events.transitionMatrix(Tables(s, dir, "events"),
             "user_id", "event_type", "ts", "event_id")
-          .orderBy("cur", "next"))
+          .orderBy("cur", "next")),
+
+    // ----- z-order layout: two-column data skipping -----
+    Q("q178_zorder_scan",
+      "events rewritten Z-ORDERED on (user_id, hour) — 16-bit min-max " +
+        "normalization interleaved into a Morton key, range-partitioned " +
+        "and sorted on it, so every file covers a SQUARE of the plane " +
+        "and footer min/max stays tight on BOTH columns — then a " +
+        "two-predicate slice aggregated per type; writeClustered buys " +
+        "one ordering, z-order splits the skipping across two " +
+        "(LayoutSpec pins both single-column scans decoding less than " +
+        "the unordered layout pays)",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |       round(sum(value), 6) AS total_value
+             |FROM events
+             |WHERE user_id BETWEEN 4 AND 70
+             |  AND CAST(floor(epoch(ts) / 3600) AS BIGINT) < 473568
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_zorder_" + graft.operators.Bucketing.pathKey(dir)).toString
+        graft.sinks.Layout.writeZOrdered(
+          Tables(s, dir, "events")
+            .withColumn("hr",
+              floor(unix_timestamp(col("ts")) / 3600L).cast("long")),
+          base, n = 16, "user_id", "hr")
+        s.read.parquet(base)
+          .filter(col("user_id").between(4, 70) &&
+            col("hr") < 473568L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            round(sum(col("value")), 6).as("total_value"))
+          .orderBy("event_type")
+      })
   )
 }

@@ -94,4 +94,45 @@ object Layout {
         expectedNdv.toString)
       .parquet(outDir)
   }
+
+  /** Write `df` Z-ORDERED on TWO integer columns: each column min-max
+    * normalizes to 16 bits, the bits interleave into one 32-bit Morton
+    * key, and the data range-partitions + sorts on that key — so each
+    * file covers a small SQUARE of the (a, b) plane and its footer
+    * min/max stays tight on BOTH columns. [[writeClustered]] buys
+    * skipping on one ordering and nothing on any other column; z-order
+    * splits the skipping budget across two (each predicate prunes
+    * ~sqrt of what a dedicated sort would — the standard multi-column
+    * layout trade, Delta/Iceberg's OPTIMIZE ZORDER BY).
+    *
+    * The normalization needs each column's min/max — one 1-row driver
+    * aggregate, the model-exchange pattern. Domain widths must fit the
+    * scale multiply (`(x-lo) * 65535` in int64: width under ~2^47);
+    * ids/hours/sizes all qualify. The Morton key is a pure-integer
+    * projection (32 shift/mask terms, codegen'd map-side) and is
+    * DROPPED before the write — layout is physical, the schema doesn't
+    * change. */
+  def writeZOrdered(df: DataFrame, outDir: String, n: Int,
+                    colA: String, colB: String): Unit = {
+    require(n >= 1, "need n >= 1")
+    import org.apache.spark.sql.functions._
+    val mm = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    require(!mm.anyNull, "z-order columns must be non-null")
+    def norm(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      else (col(c).cast("long") - lit(lo)) * 65535L / lit(hi - lo)
+    val a = norm(colA, mm.getLong(0), mm.getLong(1)).cast("long")
+    val b = norm(colB, mm.getLong(2), mm.getLong(3)).cast("long")
+    val z = (0 until 16).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+    df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -119,4 +119,46 @@ class LayoutSpec extends SparkTestBase {
       all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
+
+  test("writeZOrdered: BOTH single-column range filters decode fewer " +
+       "rows than the shuffled layout, and the second column beats the " +
+       "one-column clustered layout") {
+    val tmp = Files.createTempDirectory("graft_layout_z")
+    try {
+      val events = graft.queries.Tables(spark, "/root/testdata/sf0.001",
+          "events")
+        .withColumn("hr", floor(unix_timestamp(col("ts")) / 3600L)
+          .cast("long"))
+      val z = tmp.resolve("zorder").toString
+      val shuffled = tmp.resolve("shuffled").toString
+      val aOnly = tmp.resolve("aclustered").toString
+      Layout.writeZOrdered(events, z, n = 16, "user_id", "hr")
+      events.repartition(16).write.mode("overwrite").parquet(shuffled)
+      Layout.writeClustered(events, aOnly, n = 16, "user_id")
+      val total = events.count()
+      val predA = col("user_id") <= 2 // sf0.001 has users 0..14
+      val predB = col("hr") <= 473400L // first ~2 days
+      for ((pred, name) <- Seq((predA, "user"), (predB, "hour"))) {
+        val zr = scanRows(spark.read.parquet(z).filter(pred))
+        val sr = scanRows(spark.read.parquet(shuffled).filter(pred))
+        val expected = events.filter(pred).count()
+        assert(spark.read.parquet(z).filter(pred).count() === expected,
+          s"$name: z layout returns the exact answer")
+        assert(sr === total,
+          s"$name: shuffled layout decodes everything")
+        assert(zr < sr, s"$name: z-order must skip files ($zr vs $sr)")
+        assert(zr >= expected, s"$name: skipping never loses rows")
+      }
+      // the one-column layout is useless for the OTHER column; z-order
+      // still prunes there — the whole point of interleaving
+      val zB = scanRows(spark.read.parquet(z).filter(predB))
+      val aB = scanRows(spark.read.parquet(aOnly).filter(predB))
+      assert(zB < aB,
+        s"hour filter: z-order ($zB) must beat user-clustered ($aB)")
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
 }
