@@ -60,6 +60,42 @@ object Events {
             w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 6))
   }
 
+  /** Time-weighted average value per (type, day) — TWAP: each
+    * observation holds until the next one of its type that day (last
+    * one holds to midnight), and the average weights each value by its
+    * holding duration in EXACT integer microseconds — the correct
+    * "average price/level over the day" when observations arrive
+    * unevenly, where a row-average over-weights bursts.
+    *
+    * Scale shape: the lead window partitions by (type, DAY) — bounded
+    * partitions that parallelize over the calendar, never the per-type
+    * full-history funnel a (type)-only partition would be. Durations
+    * are exact long microseconds; the only floats are the value*dur
+    * products and one final division, rounded 6.
+    *
+    * Output: (group, day, n, twap) — day as 'yyyy-MM-dd'. */
+  def twap(events: DataFrame, typeCol: String, tsCol: String,
+           valueCol: String, idCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(typeCol), col("__day"))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("__day", to_date(col(tsCol)))
+      .withColumn("__end", coalesce(
+        lead(col(tsCol), 1).over(w),
+        (col("__day") + lit(1)).cast("timestamp")))
+      .withColumn("__dur",
+        unix_micros(col("__end")) - unix_micros(col(tsCol)))
+      .groupBy(col(typeCol), col("__day").as("day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col(valueCol) * col("__dur").cast("double")) /
+          sum(col("__dur")).cast("double"), 6).as("twap"))
+      .select(col(typeCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("twap"))
+  }
+
   /** First-order Markov transition matrix between event types: for each
     * user's time-ordered event sequence, count cur->next adjacent pairs
     * and normalize per source state — P(next | cur), the behavioral

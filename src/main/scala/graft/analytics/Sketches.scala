@@ -332,6 +332,47 @@ object Sketches {
       .withColumnRenamed("key", keyCol)
   }
 
+  /** Per-row CDF (percentile-rank) normalization against each group's
+    * OWN distribution, from the bounded [[graft.functions.LogHist]]
+    * sketch — the cross-source score-fusion step: a raw score is
+    * comparable across sources only as "what fraction of its source
+    * scores at or below it", and the exact form (`cume_dist` windowed
+    * per source) funnels every source through one task's sort. Here the
+    * per-group histogram aggregates once (960 integer counters,
+    * map-side partials), BROADCASTS, and the normalization is a pure
+    * map-side projection: `cdf(x) = (count in buckets <= bucket(x)) / n`
+    * — the step-CDF at sketch resolution (exact bucket boundaries, no
+    * interpolation, deterministic; monotone in x by construction).
+    *
+    * Output: (id, group, value, cdf) — cdf in (0, 1], rounded 6; rows
+    * with value < 1 get null cdf (outside the sketch domain). */
+  def logHistCdf(df: DataFrame, idCol: String, valueCol: String,
+                 groupCol: String, subBits: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = subBits
+    val twoS = 1 << s
+    val hist = Par.ensure(df)
+      .select(col(groupCol).as("__ch_grp"), col(valueCol).cast("long").as("v0"))
+      .groupBy($"__ch_grp")
+      .agg(graft.functions.LogHist.histCounts($"v0", s).as("counts"),
+        sum(when(col("v0") >= 1, 1L).otherwise(0L)).as("n"))
+    // bucket(x) inline (same integer formula as the aggregate), then the
+    // prefix sum over the broadcast counts array — a <=960-element fold
+    val idx = when(col(valueCol).cast("long") < twoS,
+        col(valueCol).cast("long"))
+      .otherwise(expr(
+        s"(cast(length(bin(cast($valueCol as bigint))) - 1 - $s + 1 as bigint) * $twoS) + " +
+        s"shiftright(cast($valueCol as bigint), " +
+        s"cast(length(bin(cast($valueCol as bigint))) - 1 - $s as int)) - $twoS"))
+    df.join(broadcast(hist), col(groupCol) === $"__ch_grp")
+      .select(col(idCol).as("id"), col(groupCol), col(valueCol),
+        when(col(valueCol).cast("long") >= 1, round(
+          aggregate(slice($"counts", lit(1), (idx + 1).cast("int")),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+            $"n".cast("double"), 6)).as("cdf"))
+  }
+
   /** EXACT corpus heavy hitters — every distinct `value` whose frequency
     * is strictly above N/k — via the classic two-pass sketch plan:
     *

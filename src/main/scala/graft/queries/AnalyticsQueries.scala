@@ -3513,7 +3513,44 @@ object AnalyticsQueries {
             queryPred = col("vec_id") % 100 === 0,
             kTop = 5, nprobe = 2, shortlist = 25, m = 8, kCodes = 16)
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    // ----- sketch-based CDF normalization -----
+    Q("q179_cdf_normalize",
+      "per-doc percentile rank of n_chars within its OWN source's " +
+        "distribution, from the broadcast log-hist sketch — the " +
+        "cross-source score-fusion step, where exact cume_dist would " +
+        "funnel each source through one task's sort: the per-source " +
+        "histogram aggregates once (960 integer counters), broadcasts, " +
+        "and the normalization is a pure map-side prefix-sum fold — " +
+        "step-CDF at sketch resolution, monotone, deterministic",
+      Some("""WITH b AS (
+             |  SELECT doc_id, source, n_chars,
+             |         CASE WHEN n_chars < 16 THEN n_chars
+             |              ELSE ((length(bin(n_chars)) - 4) << 4)
+             |                   + (n_chars >> (length(bin(n_chars)) - 5)) - 16
+             |         END AS idx
+             |  FROM documents),
+             |g AS (SELECT source, idx, CAST(count(*) AS BIGINT) AS c
+             |      FROM b WHERE n_chars >= 1 GROUP BY source, idx),
+             |cm AS (
+             |  SELECT source, idx,
+             |         CAST(sum(c) OVER (PARTITION BY source ORDER BY idx)
+             |              AS BIGINT) AS cum,
+             |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+             |  FROM g)
+             |SELECT b.doc_id AS id, b.source, b.n_chars,
+             |       CASE WHEN b.n_chars >= 1
+             |            THEN round(CAST(cm.cum AS DOUBLE)
+             |              / CAST(cm.n AS DOUBLE), 6) END AS cdf
+             |FROM b LEFT JOIN cm
+             |  ON cm.source = b.source AND cm.idx = b.idx
+             |ORDER BY id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sketches.logHistCdf(
+            Tables(s, dir, "documents"), "doc_id", "n_chars", "source",
+            subBits = 4)
+          .orderBy("id"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

@@ -912,6 +912,38 @@ object MiscQueries {
           .agg(count(lit(1)).cast("long").as("n_events"),
             round(sum(col("value")), 6).as("total_value"))
           .orderBy("event_type")
-      })
+      }),
+
+    // ----- time-weighted average value -----
+    Q("q180_twap",
+      "per-(type, day) TIME-WEIGHTED average value: each observation " +
+        "holds until the next of its type that day (last holds to " +
+        "midnight), weighted by EXACT integer microsecond durations — " +
+        "the correct daily level when observations arrive unevenly, " +
+        "where a row-average over-weights bursts; the lead window " +
+        "partitions by (type, DAY) — bounded slices that parallelize " +
+        "over the calendar, never a per-type full-history funnel",
+      Some("""WITH e AS (
+             |  SELECT event_type, ts, value, event_id,
+             |         CAST(ts AS DATE) AS day,
+             |         lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             |                        ORDER BY ts, event_id) AS next_ts
+             |  FROM events),
+             |d AS (
+             |  SELECT event_type, day, value,
+             |         epoch_us(coalesce(next_ts,
+             |           CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+             |           - epoch_us(ts) AS dur
+             |  FROM e)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value * CAST(dur AS DOUBLE))
+             |         / CAST(sum(dur) AS DOUBLE), 6) AS twap
+             |FROM d GROUP BY event_type, day
+             |ORDER BY event_type, day""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.twap(Tables(s, dir, "events"),
+            "event_type", "ts", "value", "event_id")
+          .orderBy("event_type", "day"))
   )
 }

@@ -220,6 +220,34 @@ class CurationOpsSpec extends SparkTestBase {
       "no cross-user transitions")
   }
 
+  test("twap: hand-computed holding-time weights; burst does not " +
+       "dominate the day; last observation holds to midnight") {
+    import spark.implicits._
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // level 10.0 from 00:00, burst of 3x 100.0 during one minute at
+    // 12:00-12:03, back to 10.0 from 12:03: time-weighted stays near 10
+    val ev = Seq(
+      (1L, "A", t(0, 0), 10.0),
+      (2L, "A", t(12, 0), 100.0), (3L, "A", t(12, 1), 100.0),
+      (4L, "A", t(12, 2), 100.0),
+      (5L, "A", t(12, 3), 10.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val got = Events.twap(ev, "event_type", "ts", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length === 1)
+    val (_, day, n, tw) = got.head
+    assert(day === "2024-01-01" && n === 5L)
+    // exact: 10*(12h) + 100*(3min) + 10*(11h57m) over 24h
+    val total = 24.0 * 60
+    val want = (10.0 * (12 * 60) + 100.0 * 3 + 10.0 * (11 * 60 + 57)) / total
+    assert(math.abs(tw - want) < 1e-6, s"$tw vs $want")
+    val rowAvg = (10.0 + 100.0 * 3 + 10.0) / 5
+    assert(tw < 12 && rowAvg > 40,
+      "row-average is burst-dominated; TWAP is not")
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._

@@ -283,6 +283,44 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("logHistCdf: exact small-value regime matches cume_dist; " +
+       "monotone in value; groups normalized independently") {
+    import spark.implicits._
+    // values < 2^4 are exact buckets -> cdf == exact step-CDF
+    val g1 = Seq(1L, 2L, 2L, 3L, 10L, 15L).map(("g1", _))
+    val g2 = Seq(5L, 5L, 5L, 5L).map(("g2", _))
+    val df = (g1 ++ g2).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("rid", "g", "v")
+    val got = Sketches.logHistCdf(df, "rid", "v", "g")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // g1 exact: P(<=1)=1/6, P(<=2)=3/6, P(<=3)=4/6, P(<=10)=5/6, P(<=15)=1
+    assert(got(0L) === math.rint(1.0 / 6 * 1e6) / 1e6)
+    assert(got(1L) === 0.5 && got(2L) === 0.5)
+    assert(got(3L) === math.rint(4.0 / 6 * 1e6) / 1e6)
+    assert(got(4L) === math.rint(5.0 / 6 * 1e6) / 1e6)
+    assert(got(5L) === 1.0)
+    assert((6L to 9L).forall(got(_) === 1.0), "g2 all-equal -> cdf 1")
+    // large-value regime: monotone, ends at 1, within rank tolerance
+    val rnd = new scala.util.Random(3)
+    val big = (0 until 1000)
+      .map(i => (1000L + i, "h", math.max(1L,
+        math.pow(10, rnd.nextDouble() * 5).toLong)))
+      .toDF("rid", "g", "v")
+    val rows = Sketches.logHistCdf(big, "rid", "v", "g")
+      .orderBy("v").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq,
+      "cdf monotone in value")
+    assert(rows.last._2 === 1.0, "max value has cdf 1")
+    // cdf never UNDERSTATES the true rank (step-CDF counts the whole
+    // bucket at or below x's bucket)
+    val vs = rows.map(_._1)
+    rows.zipWithIndex.foreach { case ((v, c), i) =>
+      val trueRank = vs.count(_ <= v).toDouble / vs.size
+      assert(c >= trueRank - 1e-9, s"v=$v cdf=$c < rank $trueRank")
+    }
+  }
+
   test("log_hist SQL registration aggregates like the Column form") {
     import spark.implicits._
     val df = (1L to 100L).toDF("v")
