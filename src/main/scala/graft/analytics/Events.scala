@@ -60,6 +60,104 @@ object Events {
             w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 6))
   }
 
+  /** Two-sample A/B conversion test: users split by `cohortCol`
+    * (0 = control, 1 = treatment; must be constant per user — e.g. a
+    * deterministic hash bucket), conversion = the user emitted
+    * `convType` at least once. Reports per-cohort rates, relative
+    * lift, and the pooled two-proportion z statistic
+    * `z = (pB - pA) / sqrt(p(1-p)(1/nA + 1/nB))` — the experiment
+    * readout; |z| > 1.96 is the usual 95% call.
+    *
+    * Scale shape: one user-keyed agg collapses the feed to one row per
+    * user (conversion is max of a flag — order-free), then ONE 1-row
+    * conditional aggregate computes every cell; nothing after the
+    * per-user agg exceeds a scalar row.
+    *
+    * Output: 1 row (n_a, n_b, conv_a, conv_b, p_a, p_b, lift, z),
+    * floats rounded 6; lift/z null when a denominator is 0. */
+  def abLift(events: DataFrame, userCol: String, typeCol: String,
+             convType: String, cohortCol: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val u = events
+      .select(col(userCol).as("u"), cohortCol.cast("int").as("g"),
+        when(col(typeCol) === convType, 1L).otherwise(0L).as("c"))
+      .groupBy($"u").agg(max($"g").as("g"), max($"c").as("c"))
+    val agg = u.agg(
+      sum(when($"g" === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when($"g" === 0, $"c").otherwise(0L)).cast("long").as("conv_a"),
+      sum(when($"g" === 1, $"c").otherwise(0L)).cast("long").as("conv_b"))
+    val pa = $"conv_a".cast("double") / $"n_a".cast("double")
+    val pb = $"conv_b".cast("double") / $"n_b".cast("double")
+    val pp = ($"conv_a" + $"conv_b").cast("double") /
+      ($"n_a" + $"n_b").cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
+    agg.select($"n_a", $"n_b", $"conv_a", $"conv_b",
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      when($"n_a" > 0 && $"n_b" > 0 && $"conv_a" > 0,
+        round(pb / pa - 1.0, 6)).as("lift"),
+      when($"n_a" > 0 && $"n_b" > 0 && se > 0,
+        round((pb - pa) / se, 6)).as("z"))
+  }
+
+  /** Kaplan-Meier retention curve over user LIFETIMES: a user's
+    * lifetime is the day span from first to last activity; the churn is
+    * OBSERVED when the last activity predates the feed's final day, and
+    * CENSORED (still alive at cutoff) otherwise — the textbook
+    * right-censoring the naive "averaging observed lifetimes" estimate
+    * gets wrong. At each distinct observed-churn lifetime t:
+    * `S(t) = prod over t_i <= t of (1 - d_i / n_i)` with `n_i` the
+    * users still at risk (lifetime >= t_i, censored included).
+    *
+    * Scale shape: the feed compresses to (user, day)-distinct rows,
+    * then to one row per user, then to one row per DISTINCT lifetime —
+    * every window thereafter runs over that bounded lifetime table.
+    * The product accumulates as `exp(sum(ln(1 - d/n)))` with the
+    * identical expression in the SQL oracle.
+    *
+    * Output: (t_days, n_risk, n_churned, survival) per distinct
+    * observed-churn lifetime, survival rounded 6. */
+  def kaplanMeier(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val life = days.groupBy($"u")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+    val gmax = days.agg(max($"d").as("gmax"))
+    val lt = life.crossJoin(broadcast(gmax))
+      .select(datediff($"d1", $"d0").cast("long").as("t"),
+        ($"d1" < $"gmax").as("observed"))
+    val byT = lt.groupBy($"t")
+      .agg(count(lit(1)).cast("long").as("n_at"),
+        sum(when($"observed", 1L).otherwise(0L)).cast("long")
+          .as("n_churned"))
+    val wRisk = Window.orderBy($"t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the window input is the distinct-lifetime table — bounded by the
+    // feed's day span, so the single-partition window is a scalar job
+    // a lifetime where EVERYONE at risk churns drives its factor to 0
+    // and the curve to exactly 0 from there on — pinned explicitly (an
+    // ln(0) would ride engine-specific -inf semantics)
+    val f = lit(1.0) - $"n_churned".cast("double") /
+      col("n_risk").cast("double")
+    byT
+      .withColumn("n_risk", sum($"n_at").over(wRisk))
+      .withColumn("hit0", max(when(f <= 0.0, 1).otherwise(0)).over(wCum))
+      .withColumn("survival",
+        when($"hit0" === 1, 0.0).otherwise(round(exp(sum(
+          when(f > 0.0, log(f)).otherwise(lit(0.0))).over(wCum)), 6)))
+      .filter($"n_churned" > 0)
+      .select($"t".as("t_days"), $"n_risk", $"n_churned", $"survival")
+  }
+
   /** Time-weighted average value per (type, day) — TWAP: each
     * observation holds until the next one of its type that day (last
     * one holds to midnight), and the average weights each value by its

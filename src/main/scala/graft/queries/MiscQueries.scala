@@ -944,6 +944,91 @@ object MiscQueries {
       (s, dir) =>
         graft.analytics.Events.twap(Tables(s, dir, "events"),
             "event_type", "ts", "value", "event_id")
-          .orderBy("event_type", "day"))
+          .orderBy("event_type", "day")),
+
+    // ----- A/B conversion lift + two-proportion z -----
+    Q("q181_ab_lift",
+      "two-sample A/B readout with users hash-split by parity: " +
+        "per-cohort purchase-conversion rates, relative lift, pooled " +
+        "two-proportion z — the experiment call; one user-keyed agg " +
+        "collapses the feed to a row per user (conversion is an " +
+        "order-free max flag), then ONE 1-row conditional aggregate " +
+        "computes every cell",
+      Some("""WITH u AS (
+             |  SELECT user_id AS u, CAST(max(user_id % 2) AS INT) AS g,
+             |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |         CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+             |         CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+             |  FROM u),
+             |b AS (
+             |  SELECT *, CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             |         CAST(conv_a + conv_b AS DOUBLE)
+             |           / CAST(n_a + n_b AS DOUBLE) AS pp
+             |  FROM a)
+             |SELECT n_a, n_b, conv_a, conv_b,
+             |       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+             |       CASE WHEN n_a > 0 AND n_b > 0 AND conv_a > 0
+             |            THEN round(pb / pa - 1.0, 6) END AS lift,
+             |       CASE WHEN n_a > 0 AND n_b > 0
+             |             AND sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+             |            THEN round((pb - pa) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+             |       END AS z
+             |FROM b""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.abLift(Tables(s, dir, "events"),
+            "user_id", "event_type", "purchase",
+            cohortCol = col("user_id") % 2)),
+
+    // ----- Kaplan-Meier retention curve -----
+    Q("q182_kaplan_meier",
+      "Kaplan-Meier retention over user lifetimes (first-to-last active " +
+        "day): churn observed when the last day predates the feed " +
+        "cutoff, CENSORED otherwise — the right-censoring a naive " +
+        "lifetime average gets wrong; S(t) multiplies (1 - d/n) over " +
+        "churn times, every window over the bounded distinct-lifetime " +
+        "table; the everyone-churns terminal factor pins S to exactly 0",
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |life AS (SELECT u, min(d) AS d0, max(d) AS d1
+             |         FROM days GROUP BY u),
+             |gm AS (SELECT max(d) AS gmax FROM days),
+             |lt AS (SELECT date_diff('day', d0, d1) AS t,
+             |              d1 < gm.gmax AS observed
+             |       FROM life CROSS JOIN gm),
+             |byt AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+             |         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_churned
+             |  FROM lt GROUP BY t),
+             |r AS (
+             |  SELECT t, n_at, n_churned,
+             |         CAST(sum(n_at) OVER (ORDER BY t
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |           AS BIGINT) AS n_risk
+             |  FROM byt),
+             |sline AS (
+             |  SELECT t, n_risk, n_churned,
+             |         max(CASE WHEN 1.0 - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE) <= 0.0
+             |                  THEN 1 ELSE 0 END) OVER w AS hit0,
+             |         sum(CASE WHEN 1.0 - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE) > 0.0
+             |                  THEN ln(1.0 - CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             |                  ELSE 0.0 END) OVER w AS lsum
+             |  FROM r
+             |  WINDOW w AS (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT CAST(t AS BIGINT) AS t_days, n_risk, n_churned,
+             |       CASE WHEN hit0 = 1 THEN 0.0
+             |            ELSE round(exp(lsum), 6) END AS survival
+             |FROM sline WHERE n_churned > 0 ORDER BY t_days""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.kaplanMeier(Tables(s, dir, "events"),
+            "user_id", "ts")
+          .orderBy("t_days"))
   )
 }

@@ -248,6 +248,59 @@ class CurationOpsSpec extends SparkTestBase {
       "row-average is burst-dominated; TWAP is not")
   }
 
+  test("abLift: hand-computed rates, lift and pooled z; a user's many " +
+       "events count once") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // cohort = user % 2. A (even): users 2,4,6,8 — 2 convert (user 2
+    // twice: still one conversion). B (odd): users 1,3,5,7,9 — 4 convert.
+    val ev = (Seq((2L, "purchase"), (2L, "purchase"), (4L, "purchase"),
+      (6L, "view"), (8L, "view"),
+      (1L, "purchase"), (3L, "purchase"), (5L, "purchase"),
+      (7L, "purchase"), (9L, "view"))
+      .zipWithIndex.map { case ((u, tp), i) => (i.toLong, u, tp, t(i)) })
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.abLift(ev, "user_id", "event_type", "purchase",
+      col("user_id") % 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 5L, 2L, 4L)))
+    assert(r.getDouble(4) === 0.5 && r.getDouble(5) === 0.8)
+    assert(r.getDouble(6) === 0.6, "lift = 0.8/0.5 - 1")
+    // pooled p = 6/9; z = (0.8-0.5)/sqrt(p(1-p)(1/4+1/5))
+    val p = 6.0 / 9
+    val z = (0.8 - 0.5) / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 5))
+    assert(math.abs(r.getDouble(7) - z) < 1e-6)
+  }
+
+  test("kaplanMeier: hand-computed curve with right-censoring; naive " +
+       "lifetime averaging would understate survival") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // feed spans days 1..5 (gmax = day 5)
+    //  u1: days 1..2  -> lifetime 1, churned
+    //  u2: days 1..3  -> lifetime 2, churned
+    //  u3: days 1..5  -> lifetime 4, CENSORED (active at cutoff)
+    //  u4: day 2 only -> lifetime 0, churned
+    //  u5: days 3..5  -> lifetime 2, CENSORED
+    val ev = Seq(
+      (1L, t(1)), (1L, t(2)),
+      (2L, t(1)), (2L, t(3)),
+      (3L, t(1)), (3L, t(5)),
+      (4L, t(2)),
+      (5L, t(3)), (5L, t(5))
+    ).zipWithIndex.map { case ((u, ts), i) => (i.toLong, u, ts) }
+      .toDF("event_id", "user_id", "ts")
+    val got = Events.kaplanMeier(ev, "user_id", "ts")
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // t=0: risk 5, churn 1 -> S = 4/5 = .8
+    // t=1: risk 4, churn 1 -> S = .8 * 3/4 = .6
+    // t=2: risk 3 (u2 churn, u5 censored) churn 1 -> S = .6 * 2/3 = .4
+    // t=4: u3 censored, no churn -> no row
+    assert(got.toSeq === Seq(
+      (0L, 5L, 1L, 0.8), (1L, 4L, 1L, 0.6), (2L, 3L, 1L, 0.4)))
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._
