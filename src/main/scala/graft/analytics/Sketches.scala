@@ -332,6 +332,47 @@ object Sketches {
       .withColumnRenamed("key", keyCol)
   }
 
+  /** TRAILING-WINDOW distinct estimate per (key, hour) by MERGING
+    * hourly HLL registers — "distinct users in the last 24h, every
+    * hour": the query `count(distinct)` cannot serve at scale without
+    * re-scanning 24h of events per hour, and cannot serve on a stream
+    * at all. Hourly registers (the q118 fold) merge across the trailing
+    * window by per-bucket MAX — the HLL union rule, associative and
+    * idempotent — so each hour's estimate reads 64 integers per covered
+    * hour, never events. The bucket grid densifies per active (key, hr)
+    * so a bucket seen only EARLIER in the window still merges (a naive
+    * window over existing register rows silently drops those).
+    *
+    * Scale shape: one corpus pass builds (key, hr, bucket) rows; the
+    * merge window runs over keys x hours x 64 rows — calendar-sized.
+    * The same registers a streaming state store holds merge identically
+    * (max), so a live implementation shares this exact math.
+    *
+    * Output: (key, hr, n_registers, est_distinct) per ACTIVE hour. */
+  def hllSlidingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+                         value: Column, trailing: Int = 24): DataFrame = {
+    require(trailing >= 1, "trailing must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val regs = withHllCols(
+        Par.ensure(df).select(col(keyCol).as("key"),
+          floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"),
+          value.as("v0")), $"v0")
+      .groupBy($"key", $"hr", $"bucket").agg(max($"rho").as("r"))
+    val grid = regs.select($"key", $"hr").distinct()
+      .select($"key", $"hr",
+        explode(sequence(lit(0), lit(m - 1))).as("bucket"))
+    val w = Window.partitionBy($"key", $"bucket").orderBy($"hr")
+      .rangeBetween(-(trailing - 1).toLong, 0L)
+    val merged = grid.join(regs, Seq("key", "hr", "bucket"), "left")
+      .withColumn("rm", max($"r").over(w))
+      .filter($"rm".isNotNull)
+      .select($"key", $"hr", $"bucket", $"rm".as("r"))
+    estimateFromRegisters(merged, Seq("key", "hr"))
+      .withColumnRenamed("key", keyCol)
+  }
+
   /** Per-row CDF (percentile-rank) normalization against each group's
     * OWN distribution, from the bounded [[graft.functions.LogHist]]
     * sketch — the cross-source score-fusion step: a raw score is

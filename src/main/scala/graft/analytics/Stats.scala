@@ -364,6 +364,53 @@ object Stats {
       coalesce(ok && abs(z) > zThresh, lit(false)).as("anomaly"))
   }
 
+  /** Deterministic Bayesian-bootstrap confidence interval for each
+    * group's mean (Rubin 1981): replicate `rep` weights every row by an
+    * Exp(1) draw `w = -ln(u)` with `u` derived from md5(id|rep) — so
+    * the resampling is REPRODUCIBLE across engines and runs, the
+    * property Monte-Carlo RNG bootstraps lack — and the CI is the
+    * [lo, hi] percentile band of the `b` weighted replicate means.
+    * Uncertainty for any mean the warehouse reports, without
+    * distributional assumptions.
+    *
+    * Scale shape: the explode is x`b` map-side (no shuffle
+    * amplification beyond the (key, rep) partial agg whose output is
+    * groups x b rows); the percentile runs over b values per group.
+    * Replicate means round to 6 BEFORE the percentile so both engines
+    * interpolate the identical grid.
+    *
+    * Output: (key, n, mean, ci_lo, ci_hi) — mean is the plain
+    * unweighted mean, all rounded 6. */
+  def bootstrapMeanCI(df: DataFrame, keyCol: String, valueCol: String,
+                      idCol: String, b: Int = 32, lo: Double = 0.025,
+                      hi: Double = 0.975): DataFrame = {
+    require(b >= 2 && 0.0 <= lo && lo < hi && hi <= 1.0,
+      "need b >= 2 and 0 <= lo < hi <= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val twoP60 = 1152921504606846976.0 // 2^60
+    val rows = Par.ensure(df)
+      .select(col(keyCol).as("key"), col(valueCol).cast("double").as("x"),
+        col(idCol).cast("string").as("rid"))
+      .select($"key", $"x", explode(sequence(lit(0), lit(b - 1))).as("rep"),
+        $"rid")
+      .withColumn("u",
+        (graft.analytics.Sketches.h60(
+          concat($"rid", lit("|"), col("rep").cast("string")))
+          .cast("double") + 1.0) / lit(twoP60))
+      .withColumn("w", -log($"u"))
+    val reps = rows.groupBy($"key", $"rep")
+      .agg(round(sum($"w" * $"x") / sum($"w"), 6).as("mb"))
+    val ci = reps.groupBy($"key".as("__bs_key"))
+      .agg(round(expr(s"percentile(mb, $lo)"), 6).as("ci_lo"),
+        round(expr(s"percentile(mb, $hi)"), 6).as("ci_hi"))
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(col(valueCol)).cast("long").as("n"),
+        round(avg(col(valueCol)), 6).as("mean"))
+      .join(broadcast(ci), $"key" === $"__bs_key")
+      .select($"key".as(keyCol), $"n", $"mean", $"ci_lo", $"ci_hi")
+  }
+
   /** CUSUM changepoint/level-shift detection on per-group hourly event
     * counts (Page 1954): the one-sided cumulative-sum statistic
     * `S_t = max(0, S_{t-1} + (x_t - mu - slack))` flags a SUSTAINED

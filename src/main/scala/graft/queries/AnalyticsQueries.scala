@@ -3550,7 +3550,89 @@ object AnalyticsQueries {
         graft.analytics.Sketches.logHistCdf(
             Tables(s, dir, "documents"), "doc_id", "n_chars", "source",
             subBits = 4)
-          .orderBy("id"))
+          .orderBy("id")),
+
+    // ----- sliding-window distinct via HLL register merging -----
+    Q("q183_sliding_hll_users",
+      "trailing-24h distinct users per (type, hour) by MERGING hourly " +
+        "HLL registers with per-bucket MAX (the HLL union rule, " +
+        "associative + idempotent) — the rolling-distinct dashboard " +
+        "metric that exact count(distinct) can only serve by " +
+        "re-scanning 24h of events per hour; each hour's estimate " +
+        "reads 64 integers per covered hour, the bucket grid densifies " +
+        "so buckets seen only earlier in the window still merge",
+      Some("""WITH h0 AS (
+             |  SELECT event_type AS key,
+             |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM events),
+             |b AS (SELECT key, hr, CAST(h % 64 AS INT) AS bucket,
+             |             h // 64 AS wv FROM h0),
+             |r AS (SELECT key, hr, bucket,
+             |        max(CASE WHEN wv = 0 THEN 55
+             |                 ELSE CAST(floor(log2(wv & (-wv))) AS INT) + 1
+             |            END) AS r
+             |      FROM b GROUP BY 1, 2, 3),
+             |grid AS (SELECT DISTINCT key, hr FROM r),
+             |g2 AS (SELECT key, hr, CAST(unnest(range(0, 64)) AS INT) AS bucket
+             |       FROM grid),
+             |mg AS (
+             |  SELECT g2.key, g2.hr, g2.bucket,
+             |         max(r.r) OVER (PARTITION BY g2.key, g2.bucket
+             |           ORDER BY g2.hr
+             |           RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS rm
+             |  FROM g2 LEFT JOIN r ON r.key = g2.key AND r.hr = g2.hr
+             |                      AND r.bucket = g2.bucket),
+             |mm AS (SELECT key, hr, rm AS r FROM mg WHERE rm IS NOT NULL),
+             |ag AS (SELECT key, hr, sum(1::BIGINT << (55 - r)) AS s,
+             |              count(*) AS nb
+             |       FROM mm GROUP BY 1, 2),
+             |e AS (SELECT key, hr, nb,
+             |        ((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 64)) * 4096) * 36028797018963968
+             |          / CAST(s + (64 - nb) * 36028797018963968 AS DOUBLE) AS raw
+             |      FROM ag)
+             |SELECT key AS event_type, hr, CAST(nb AS BIGINT) AS n_registers,
+             |       round(CASE WHEN raw <= 160 AND nb < 64
+             |                  THEN 64 * ln(CAST(64 AS DOUBLE) / (64 - nb))
+             |                  ELSE raw END, 6) + 0.0 AS est_distinct
+             |FROM e ORDER BY event_type, hr""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sketches.hllSlidingDistinct(
+            Tables(s, dir, "events"), "event_type", "ts",
+            col("user_id").cast("string"), trailing = 24)
+          .orderBy("event_type", "hr")),
+
+    // ----- deterministic Bayesian-bootstrap mean CI -----
+    Q("q184_bootstrap_ci",
+      "hash-seeded Bayesian-bootstrap 95% CI for each type's mean event " +
+        "value (Rubin 1981: Exp(1) weights w = -ln(u) with u from " +
+        "md5(id|replicate) — REPRODUCIBLE resampling, no RNG state): " +
+        "32 weighted replicate means, the CI their percentile band; " +
+        "the explode is map-side and the percentile runs over 32 rows " +
+        "per group — uncertainty without distributional assumptions",
+      Some("""WITH rep AS (
+             |  SELECT event_type AS key, value,
+             |         CAST(unnest(range(0, 32)) AS INT) AS rep, event_id
+             |  FROM events),
+             |wts AS (
+             |  SELECT key, rep, value,
+             |         -ln((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || '|' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+             |             / 1152921504606846976) AS w
+             |  FROM rep),
+             |mb AS (SELECT key, rep, round(sum(w * value) / sum(w), 6) AS mb
+             |       FROM wts GROUP BY 1, 2),
+             |ci AS (SELECT key, round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+             |              round(quantile_cont(mb, 0.975), 6) AS ci_hi
+             |       FROM mb GROUP BY 1)
+             |SELECT e.event_type, CAST(count(e.value) AS BIGINT) AS n,
+             |       round(avg(e.value), 6) AS mean, ci.ci_lo, ci.ci_hi
+             |FROM events e JOIN ci ON ci.key = e.event_type
+             |GROUP BY e.event_type, ci.ci_lo, ci.ci_hi
+             |ORDER BY e.event_type""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.bootstrapMeanCI(Tables(s, dir, "events"),
+            "event_type", "value", "event_id", b = 32)
+          .orderBy("event_type"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

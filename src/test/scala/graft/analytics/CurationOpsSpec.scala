@@ -301,6 +301,28 @@ class CurationOpsSpec extends SparkTestBase {
       (0L, 5L, 1L, 0.8), (1L, 4L, 1L, 0.6), (2L, 3L, 1L, 0.4)))
   }
 
+  test("bootstrapMeanCI: CI brackets the true mean, is deterministic " +
+       "across partitionings, and narrows with sample size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val small = (0 until 50).map(i => ("s", i.toLong, 10.0 + rnd.nextGaussian()))
+    val large = (0 until 2000).map(i => ("l", 1000L + i, 10.0 + rnd.nextGaussian()))
+    val df = (small ++ large).toDF("g", "rid", "x")
+    def run(p: Int) = Stats.bootstrapMeanCI(df.repartition(p), "g", "x",
+        "rid", b = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val a = run(1)
+    assert(run(13) === a, "hash-seeded weights: partition-invariant")
+    for ((g, (n, mean, clo, chi)) <- a) {
+      assert(clo < mean && mean < chi, s"$g: CI brackets the mean")
+      assert(clo < 10.2 && chi > 9.8, s"$g: CI covers the truth region")
+    }
+    val widthS = a("s")._4 - a("s")._3
+    val widthL = a("l")._4 - a("l")._3
+    assert(widthL < widthS, s"more data -> tighter CI ($widthL vs $widthS)")
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._

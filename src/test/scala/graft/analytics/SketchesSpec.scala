@@ -321,6 +321,37 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("hllSlidingDistinct: every hour equals the from-scratch HLL " +
+       "over its trailing slice — including hours where a bucket was " +
+       "seen only EARLIER in the window") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime
+    val rnd = new scala.util.Random(17)
+    // bursty arrivals with gaps: hour h gets users clustered by h so
+    // consecutive windows share some users and not others
+    val evs = (0 until 40).flatMap { h =>
+      if (h % 7 == 3) Seq.empty // silent hours exercise range gaps
+      else (0 until 30).map { i =>
+        ("A", new java.sql.Timestamp(base + h * 3600000L + i * 1000L),
+          s"user${h / 2}_${rnd.nextInt(50)}")
+      }
+    }.toDF("k", "ts", "uid")
+    val got = Sketches.hllSlidingDistinct(evs, "k", "ts", $"uid",
+        trailing = 24)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // reference: re-run the plain per-key estimator over each trailing
+    // slice (same register math, built from scratch)
+    val hrs = got.keys.toSeq.sorted
+    for (h <- hrs) {
+      val slice = evs.filter(
+        floor(unix_timestamp($"ts") / 3600L).cast("long").between(h - 23, h))
+      val want = Sketches.hllDistinct(slice, "k", $"uid")
+        .collect().head
+      assert((want.getLong(1), want.getDouble(2)) === got(h), s"hour $h")
+    }
+  }
+
   test("log_hist SQL registration aggregates like the Column form") {
     import spark.implicits._
     val df = (1L to 100L).toDF("v")
