@@ -75,11 +75,12 @@ object Graph {
     * Scale shape: two equi-joins on edge endpoints (the join input is
     * the ordered edge table, so each wedge is generated once, not
     * twice) and one node-keyed count — no neighborhood arrays, no
-    * windows. Skew note: a hot node of degree D contributes D^2/2
-    * wedges; at web scale the standard mitigation is degree-ordered
-    * orientation (done here: wedges pivot on the MIDDLE node of the
-    * a < b < c order) plus a degree cap upstream if the pair source has
-    * super-hubs.
+    * windows. Skew note: a hot MIDDLE node of degree D still generates
+    * ~D^2/2 wedges — the orientation here is by node ID (canonical
+    * enumeration only), NOT the degree-ordered orientation that
+    * mitigates hubs at web scale; on a hub-heavy pair graph apply a
+    * degree cap upstream (the Dedup family's df-cap pattern) or add
+    * degree-ordering before relying on this at 10^10 edges.
     *
     * Output: (node, deg, n_triangles, clustering) ordered by caller. */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {

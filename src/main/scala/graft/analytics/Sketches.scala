@@ -393,11 +393,13 @@ object Sketches {
     import spark.implicits._
     val s = subBits
     val twoS = 1 << s
+    // model columns stay __ch_-prefixed through the join so a caller
+    // whose input already has counts/n columns cannot collide
     val hist = Par.ensure(df)
       .select(col(groupCol).as("__ch_grp"), col(valueCol).cast("long").as("v0"))
       .groupBy($"__ch_grp")
-      .agg(graft.functions.LogHist.histCounts($"v0", s).as("counts"),
-        sum(when(col("v0") >= 1, 1L).otherwise(0L)).as("n"))
+      .agg(graft.functions.LogHist.histCounts($"v0", s).as("__ch_counts"),
+        sum(when(col("v0") >= 1, 1L).otherwise(0L)).as("__ch_n"))
     // bucket(x) inline (same integer formula as the aggregate), then the
     // prefix sum over the broadcast counts array — a <=960-element fold
     val idx = when(col(valueCol).cast("long") < twoS,
@@ -409,9 +411,9 @@ object Sketches {
     df.join(broadcast(hist), col(groupCol) === $"__ch_grp")
       .select(col(idCol).as("id"), col(groupCol), col(valueCol),
         when(col(valueCol).cast("long") >= 1, round(
-          aggregate(slice($"counts", lit(1), (idx + 1).cast("int")),
+          aggregate(slice($"__ch_counts", lit(1), (idx + 1).cast("int")),
             lit(0L), (acc, x) => acc + x).cast("double") /
-            $"n".cast("double"), 6)).as("cdf"))
+            $"__ch_n".cast("double"), 6)).as("cdf"))
   }
 
   /** EXACT corpus heavy hitters — every distinct `value` whose frequency

@@ -389,9 +389,14 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     val twoP60 = 1152921504606846976.0 // 2^60
+    // null values must not enter the resampling: a null contributes
+    // nothing to sum(w*x) but its weight would still inflate sum(w),
+    // biasing every replicate mean toward 0 — while n/mean below use
+    // null-IGNORING count/avg. Filter so both sides see the same rows.
     val rows = Par.ensure(df)
       .select(col(keyCol).as("key"), col(valueCol).cast("double").as("x"),
         col(idCol).cast("string").as("rid"))
+      .filter($"x".isNotNull)
       .select($"key", $"x", explode(sequence(lit(0), lit(b - 1))).as("rep"),
         $"rid")
       .withColumn("u",
@@ -424,18 +429,33 @@ object Stats {
     * `(x_t - mu - slack)`, `S_t = P_t - min(P_0..P_t, 0)` — so two
     * stacked windows (prefix sum, running min) compute it exactly, and
     * a SQL oracle replays it verbatim. The windows run over the
-    * (group, hour) table the feed compresses to in one partial agg —
-    * groups x hours rows, never event volume.
+    * (group, hour) table the feed compresses to in one partial agg,
+    * DENSIFIED to each group's full hour span (a silent hour is a ZERO
+    * sample, not a missing one) — groups x hours rows, never event
+    * volume.
     *
     * Output: (group, hr, c, cusum, shift) — cusum rounded 6. */
   def cusumShift(events: DataFrame, typeCol: String, tsCol: String,
                  slackSds: Double = 0.5, threshSds: Double = 4.0): DataFrame = {
     require(slackSds >= 0.0 && threshSds > 0.0, "bad CUSUM tuning")
     import org.apache.spark.sql.expressions.Window
-    val h = events
+    val h0 = events
       .groupBy(col(typeCol),
         floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"))
       .agg(count(lit(1)).cast("long").as("c"))
+    // DENSIFY to the full per-type hour span: a silent hour is a count
+    // of ZERO, not a missing sample — otherwise overnight/outage gaps
+    // inflate mu (only active hours averaged) and the recurrence treats
+    // 17:00 -> 09:00 as adjacent, exactly the drop-to-zero regime a
+    // CUSUM exists to catch. The grid is types x span hours — bounded
+    // by the calendar, never event volume.
+    val span = h0.groupBy(col(typeCol).as("__cs_g2"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val h = span
+      .select(col("__cs_g2").as(typeCol),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(h0, Seq(typeCol, "hr"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
     val st = h.groupBy(col(typeCol).as("__cs_grp"))
       .agg(avg(col("c")).as("mu"), stddev_pop(col("c")).as("sd"))
     val wCum = Window.partitionBy(col(typeCol)).orderBy(col("hr"))
@@ -474,19 +494,22 @@ object Stats {
     import spark.implicits._
     // med/mad round to 6 AT the aggregation (the q156 percentile rule):
     // interpolated medians are the one place engine ulp could differ, and
-    // everything downstream must read the same thresholds
+    // everything downstream must read the same thresholds. All model
+    // columns carry the __mad_ prefix until the final select so a caller
+    // whose input already has med/mad columns cannot collide.
     val med = df.groupBy(col(groupCol).as("__mad_grp"))
-      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("__mad_med"))
     val withMed = df.join(broadcast(med), col(groupCol) === $"__mad_grp")
       .drop("__mad_grp")
     val mad = withMed
       .groupBy(col(groupCol).as("__mad_grp"))
-      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 6).as("mad"))
-    val rz = round(lit(0.6745) * (col(valueCol) - $"med") /
-      when($"mad" > 0, $"mad"), 6)
+      .agg(round(expr(s"percentile(abs($valueCol - __mad_med), 0.5)"), 6)
+        .as("__mad_mad"))
+    val rz = round(lit(0.6745) * (col(valueCol) - $"__mad_med") /
+      when($"__mad_mad" > 0, $"__mad_mad"), 6)
     withMed.join(broadcast(mad), col(groupCol) === $"__mad_grp")
       .select(col(idCol).as("id"), col(groupCol), col(valueCol),
-        $"med", $"mad", rz.as("rz"),
+        $"__mad_med".as("med"), $"__mad_mad".as("mad"), rz.as("rz"),
         coalesce(abs(rz) > thresh, lit(false)).as("is_outlier"))
   }
 }

@@ -828,11 +828,20 @@ object MiscQueries {
         "sums; computed EXACTLY by the prefix-sum identity " +
         "S_t = P_t - min(0, running-min P) — two stacked windows over " +
         "the (type, hour) table, never event volume; alarm at 4*sd",
-      Some("""WITH h AS (
+      Some("""WITH h0 AS (
              |  SELECT event_type,
              |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
              |         CAST(count(*) AS BIGINT) AS c
              |  FROM events GROUP BY 1, 2),
+             |sp AS (SELECT event_type, min(hr) AS hlo, max(hr) AS hhi
+             |       FROM h0 GROUP BY 1),
+             |grid AS (SELECT event_type,
+             |                CAST(unnest(range(hlo, hhi + 1)) AS BIGINT) AS hr
+             |         FROM sp),
+             |h AS (SELECT g.event_type, g.hr,
+             |             coalesce(h0.c, CAST(0 AS BIGINT)) AS c
+             |      FROM grid g LEFT JOIN h0
+             |        ON h0.event_type = g.event_type AND h0.hr = g.hr),
              |st AS (SELECT event_type, avg(c) AS mu, stddev_pop(c) AS sd
              |       FROM h GROUP BY 1),
              |p AS (

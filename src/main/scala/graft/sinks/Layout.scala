@@ -120,9 +120,13 @@ object Layout {
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     require(!mm.anyNull, "z-order columns must be non-null")
+    // integer DIV, not the double-returning '/': (x-lo)*65535 reaches
+    // width*65535, past double's 2^53 exact range for widths over ~2^37,
+    // which would put some values one bucket off — DIV keeps the full
+    // documented 2^47 width exact
     def norm(c: String, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
-      else (col(c).cast("long") - lit(lo)) * 65535L / lit(hi - lo)
+      else expr(s"(cast($c as bigint) - ${lo}L) * 65535L DIV ${hi - lo}L")
     val a = norm(colA, mm.getLong(0), mm.getLong(1)).cast("long")
     val b = norm(colB, mm.getLong(2), mm.getLong(3)).cast("long")
     val z = (0 until 16).map { i =>

@@ -413,12 +413,14 @@ object EventStreams {
             PctRow(tpe, h, n, ests(0), ests(1), ests(2))
           }
           val newEmitted = if (ready.nonEmpty) ready.max else st.emittedThrough
+          // pruned keeps only unemitted (open) hours — unlike
+          // rateMonitor's trailing-window state, everything here is
+          // pending by construction
           val pruned = hists.filter(_._1 > newEmitted).toSeq.sortBy(_._1)
           state.update(PctState(pruned.map(_._1).toArray,
             pruned.map(_._2).toArray, newEmitted))
-          val pending = pruned.map(_._1).filter(_ > newEmitted)
-          if (pending.nonEmpty)
-            state.setTimeoutTimestamp((pending.min + 1L) * 3600000L)
+          if (pruned.nonEmpty)
+            state.setTimeoutTimestamp((pruned.map(_._1).min + 1L) * 3600000L)
           out.iterator
       }
   }

@@ -191,6 +191,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(firstAlarm >= 40 && firstAlarm <= 45,
       s"alarm soon after the shift, got hour $firstAlarm")
     assert(got.take(40).forall(!_._3), "no alarms during the quiet period")
+    // silent hours are ZERO samples, not missing ones: hour 2 has no
+    // events yet must appear, carry c=0, and enter mu/sd and the sum
+    val evs2 = Seq((0, 5), (1, 5), (3, 9)).flatMap { case (h, n) =>
+      (0 until n).map(i => (h.toLong * 1000 + i, new java.sql.Timestamp(
+        base + h * 3600000L + i * 1000L), "B"))
+    }.toDF("event_id", "ts", "event_type")
+    val g2 = Stats.cusumShift(evs2, "event_type", "ts")
+      .orderBy("hr").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(g2.length === 4, "silent hour densified in")
+    assert(g2(2)._1 === 0L, "hour 2 carries count 0")
+    val xs2 = Seq(5.0, 5.0, 0.0, 9.0)
+    val mu2 = xs2.sum / 4
+    val sd2 = math.sqrt(xs2.map(x => (x - mu2) * (x - mu2)).sum / 4)
+    var s2 = 0.0
+    val want2 = xs2.map { x => s2 = math.max(0.0, s2 + x - mu2 - 0.5 * sd2); s2 }
+    g2.map(_._2).zip(want2).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"$g vs $w")
+    }
   }
 
   test("transitionMatrix: hand-pinned counts and probabilities; " +
