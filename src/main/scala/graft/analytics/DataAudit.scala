@@ -1,0 +1,88 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit rows — the dbt-tests/Deequ-style
+  * contract checks a lake runs against every table, every load: row
+  * counts, primary-key uniqueness, foreign-key orphans, null rates,
+  * value ranges, accepted values. Every check is ONE aggregate over its
+  * table (the uniqueness check's only shuffle is the key-distinct; the
+  * FK check is a broadcast-or-shuffle anti join by size), and every
+  * check emits the SAME one-row schema so audits union into one report:
+  *
+  *   (tbl, chk, metric, violations, pass)
+  *
+  * `metric` is the check's headline number (row count, duplicate rows,
+  * orphan count, null fraction, out-of-range count), `violations` the
+  * offending-row count, `pass` the verdict. Nulls never sneak through:
+  * null FK keys are EXCLUDED from the orphan check (SQL's nullable-FK
+  * convention), while the null-rate check counts them explicitly.
+  */
+object DataAudit {
+
+  private def emit(df: DataFrame, tbl: String, check: String,
+                   metric: org.apache.spark.sql.Column,
+                   violations: org.apache.spark.sql.Column,
+                   pass: org.apache.spark.sql.Column): DataFrame =
+    df.agg(metric.as("m"), violations.as("v"), pass.as("p"))
+      .select(lit(tbl).as("tbl"), lit(check).as("chk"),
+        round(col("m").cast("double"), 6).as("metric"),
+        col("v").cast("long").as("violations"), col("p").as("pass"))
+
+  /** Row-count floor: metric = rows, violation-free iff rows >= minRows. */
+  def rowCount(df: DataFrame, tbl: String, minRows: Long): DataFrame =
+    emit(df, tbl, "row_count",
+      count(lit(1)), lit(0L), count(lit(1)) >= minRows)
+
+  /** Primary-key uniqueness: violations = rows beyond one per key. */
+  def pkUnique(df: DataFrame, tbl: String, keyCol: String): DataFrame =
+    emit(df, tbl, s"pk_unique:$keyCol",
+      count(lit(1)) - countDistinct(col(keyCol)),
+      count(lit(1)) - countDistinct(col(keyCol)),
+      count(lit(1)) === countDistinct(col(keyCol)))
+
+  /** Foreign-key orphans: child keys absent from the parent (null child
+    * keys excluded — the nullable-FK convention). */
+  def fkOrphans(child: DataFrame, parent: DataFrame, tbl: String,
+                childKey: String, parentKey: String): DataFrame = {
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+    emit(orphans, tbl, s"fk_orphans:$childKey",
+      count(lit(1)), count(lit(1)), count(lit(1)) === 0)
+  }
+
+  /** Null-rate ceiling: metric = null fraction, pass iff <= maxRate. */
+  def nullRate(df: DataFrame, tbl: String, colName: String,
+               maxRate: Double): DataFrame = {
+    val nulls = sum(when(col(colName).isNull, 1L).otherwise(0L))
+    emit(df, tbl, s"null_rate:$colName",
+      nulls.cast("double") / count(lit(1)).cast("double"),
+      nulls,
+      nulls.cast("double") / count(lit(1)).cast("double") <= maxRate)
+  }
+
+  /** Numeric range: violations = non-null values outside [lo, hi]. */
+  def valueRange(df: DataFrame, tbl: String, colName: String,
+                 lo: Double, hi: Double): DataFrame = {
+    val bad = sum(when(col(colName).isNotNull &&
+      (col(colName) < lo || col(colName) > hi), 1L).otherwise(0L))
+    emit(df, tbl, s"value_range:$colName", bad, bad, bad === 0)
+  }
+
+  /** Accepted values: violations = non-null values outside the set. */
+  def acceptedValues(df: DataFrame, tbl: String, colName: String,
+                     allowed: Seq[String]): DataFrame = {
+    require(allowed.nonEmpty, "allowed set must be non-empty")
+    val bad = sum(when(col(colName).isNotNull &&
+      !col(colName).isin(allowed: _*), 1L).otherwise(0L))
+    emit(df, tbl, s"accepted_values:$colName", bad, bad, bad === 0)
+  }
+
+  /** Union audit rows into one report (same schema by construction). */
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    checks.reduce(_ unionByName _)
+  }
+}

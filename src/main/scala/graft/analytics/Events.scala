@@ -59,11 +59,16 @@ object Events {
     counts
       .withColumn("rate_vs_prev",
         round($"n_users".cast("double") /
-          coalesce(lag($"n_users", 1).over(w), $"n_users").cast("double"), 6))
+          when(coalesce(lag($"n_users", 1).over(w), $"n_users") > 0,
+            coalesce(lag($"n_users", 1).over(w), $"n_users"))
+            .cast("double"), 6))
       .withColumn("rate_vs_first",
         round($"n_users".cast("double") /
-          first($"n_users").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 6))
+          when(first($"n_users").over(
+              w.rowsBetween(Window.unboundedPreceding, 0)) > 0,
+            first($"n_users").over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+            .cast("double"), 6))
   }
 
   /** Two-sample A/B conversion test: users split by `cohortCol`
@@ -94,10 +99,12 @@ object Events {
       sum(when($"g" === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
       sum(when($"g" === 0, $"c").otherwise(0L)).cast("long").as("conv_a"),
       sum(when($"g" === 1, $"c").otherwise(0L)).cast("long").as("conv_b"))
-    val pa = $"conv_a".cast("double") / $"n_a".cast("double")
-    val pb = $"conv_b".cast("double") / $"n_b".cast("double")
+    // null-on-zero denominators: ANSI division evaluates eagerly even
+    // inside when() gates, so an empty cohort must yield null, not throw
+    val pa = $"conv_a".cast("double") / when($"n_a" > 0, $"n_a").cast("double")
+    val pb = $"conv_b".cast("double") / when($"n_b" > 0, $"n_b").cast("double")
     val pp = ($"conv_a" + $"conv_b").cast("double") /
-      ($"n_a" + $"n_b").cast("double")
+      when($"n_a" + $"n_b" > 0, $"n_a" + $"n_b").cast("double")
     val se = sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
     agg.select($"n_a", $"n_b", $"conv_a", $"conv_b",

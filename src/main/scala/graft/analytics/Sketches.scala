@@ -413,7 +413,9 @@ object Sketches {
         when(col(valueCol).cast("long") >= 1, round(
           aggregate(slice($"__ch_counts", lit(1), (idx + 1).cast("int")),
             lit(0L), (acc, x) => acc + x).cast("double") /
-            $"__ch_n".cast("double"), 6)).as("cdf"))
+            // null-on-zero denominator: ANSI division evaluates eagerly
+            // even under the when() gate
+            when($"__ch_n" > 0, $"__ch_n").cast("double"), 6)).as("cdf"))
   }
 
   /** EXACT corpus heavy hitters — every distinct `value` whose frequency

@@ -405,7 +405,10 @@ object Stats {
           .cast("double") + 1.0) / lit(twoP60))
       .withColumn("w", -log($"u"))
     val reps = rows.groupBy($"key", $"rep")
-      .agg(round(sum($"w" * $"x") / sum($"w"), 6).as("mb"))
+      .agg(round(sum($"w" * $"x") /
+        // sum(w) = 0 needs every u to hash to exactly 1.0 — measure-zero,
+        // but ANSI division would throw rather than null
+        when(sum($"w") > 0, sum($"w")), 6).as("mb"))
     val ci = reps.groupBy($"key".as("__bs_key"))
       .agg(round(expr(s"percentile(mb, $lo)"), 6).as("ci_lo"),
         round(expr(s"percentile(mb, $hi)"), 6).as("ci_hi"))
@@ -467,6 +470,57 @@ object Stats {
       .select(col(typeCol), col("hr"), col("c"),
         round(s, 6).as("cusum"),
         (round(s, 6) > round(lit(threshSds) * col("sd"), 6)).as("shift"))
+  }
+
+  /** Seasonal-baseline anomaly: each (group, hour) compares against the
+    * MEDIAN count of its own HOUR-OF-DAY across the feed's days — the
+    * seasonality-aware monitor that q157's trailing window and q176's
+    * global-mean CUSUM both lack: a 3 AM hour is judged against other
+    * 3 AMs, so the nightly trough never reads as an incident and a
+    * quiet-hours spike isn't hidden under the daily peak's variance.
+    * Hours densify to each group's full span (zero counts are samples,
+    * the q176 rule); the deviation is `ratio = c / med_hod` flagged
+    * outside [1/factor, factor] once the slot has `minDays` samples.
+    *
+    * Scale shape: the feed compresses to (group, hour) rows, medians
+    * aggregate over (group, 24) slots whose percentile state is bounded
+    * by distinct day-counts, and the baseline table broadcasts back —
+    * groups x 24 rows. Medians round to 6 at the aggregation (the q156
+    * rule) so both engines read identical baselines.
+    *
+    * Output: (group, hr, c, hod, n_days, med_hod, ratio, seasonal) —
+    * ratio null when the baseline is 0 or history is short. */
+  def seasonalAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+                      factor: Double = 2.0, minDays: Int = 14): DataFrame = {
+    require(factor > 1.0 && minDays >= 1, "bad seasonal tuning")
+    val h0 = events
+      .groupBy(col(typeCol),
+        floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val span = h0.groupBy(col(typeCol).as("__sa_g"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val h = span
+      .select(col("__sa_g").as(typeCol),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(h0, Seq(typeCol, "hr"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("hod", (col("hr") % 24).cast("int"))
+    val base = h.groupBy(col(typeCol).as("__sa_grp"), col("hod").as("__sa_hod"))
+      .agg(count(lit(1)).cast("long").as("__sa_days"),
+        round(expr("percentile(c, 0.5)"), 6).as("__sa_med"))
+    val ok = col("__sa_days") >= minDays && col("__sa_med") > 0
+    // the null-on-zero denominator (not just the `when` gate) matters:
+    // ANSI division evaluates eagerly as a shared subexpression, so a
+    // zero median would throw DIVIDE_BY_ZERO before the gate applies
+    val ratio = round(col("c").cast("double") /
+      when(col("__sa_med") > 0, col("__sa_med")), 6)
+    h.join(broadcast(base),
+        col(typeCol) === col("__sa_grp") && col("hod") === col("__sa_hod"))
+      .select(col(typeCol), col("hr"), col("c"), col("hod"),
+        col("__sa_days").as("n_days"), col("__sa_med").as("med_hod"),
+        when(ok, ratio).as("ratio"),
+        coalesce(ok && (ratio > factor || ratio < lit(1.0) / factor),
+          lit(false)).as("seasonal"))
   }
 
   /** Robust per-group outlier gate via MEDIAN ABSOLUTE DEVIATION

@@ -1038,6 +1038,140 @@ object MiscQueries {
       (s, dir) =>
         graft.analytics.Events.kaplanMeier(Tables(s, dir, "events"),
             "user_id", "ts")
-          .orderBy("t_days"))
+          .orderBy("t_days")),
+
+    // ----- seasonal hour-of-day baseline anomaly -----
+    Q("q185_seasonal_anomaly",
+      "each (type, hour) judged against the MEDIAN count of its own " +
+        "HOUR-OF-DAY across the feed's days — the seasonality-aware " +
+        "monitor q157's trailing window lacks: 3 AM compares to other " +
+        "3 AMs, so the nightly trough never reads as an incident; " +
+        "hours densify per type (q176's zero-sample rule), baselines " +
+        "are groups x 24 medians broadcast back, flag outside " +
+        "[1/2, 2]x with >= 14 day samples",
+      Some("""WITH h0 AS (
+             |  SELECT event_type,
+             |         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |sp AS (SELECT event_type, min(hr) AS hlo, max(hr) AS hhi
+             |       FROM h0 GROUP BY 1),
+             |grid AS (SELECT event_type,
+             |                CAST(unnest(range(hlo, hhi + 1)) AS BIGINT) AS hr
+             |         FROM sp),
+             |h AS (SELECT g.event_type, g.hr,
+             |             coalesce(h0.c, CAST(0 AS BIGINT)) AS c,
+             |             CAST(g.hr % 24 AS INT) AS hod
+             |      FROM grid g LEFT JOIN h0
+             |        ON h0.event_type = g.event_type AND h0.hr = g.hr),
+             |base AS (
+             |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_days,
+             |         round(quantile_cont(c, 0.5), 6) AS med_hod
+             |  FROM h GROUP BY 1, 2)
+             |SELECT h.event_type, h.hr, h.c, h.hod, b.n_days, b.med_hod,
+             |       CASE WHEN b.n_days >= 14 AND b.med_hod > 0
+             |            THEN round(CAST(h.c AS DOUBLE) / b.med_hod, 6)
+             |       END AS ratio,
+             |       coalesce(b.n_days >= 14 AND b.med_hod > 0 AND
+             |         (round(CAST(h.c AS DOUBLE) / b.med_hod, 6) > 2.0 OR
+             |          round(CAST(h.c AS DOUBLE) / b.med_hod, 6) < 1.0 / 2.0),
+             |         false) AS seasonal
+             |FROM h JOIN base b
+             |  ON b.event_type = h.event_type AND b.hod = h.hod
+             |ORDER BY h.event_type, h.hr""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.seasonalAnomaly(Tables(s, dir, "events"),
+            "event_type", "ts", factor = 2.0, minDays = 14)
+          .orderBy("event_type", "hr")),
+
+    // ----- declarative data-quality audit -----
+    Q("q186_dq_audit",
+      "the dbt-tests-style contract report in one union: row-count " +
+        "floor, primary-key uniqueness (orders, part), FK orphans " +
+        "(lineitem->orders, orders->customer; null keys excluded by " +
+        "the nullable-FK convention), null rate, value range, accepted " +
+        "values — every check ONE aggregate over its table, all rows " +
+        "the same schema so the lake's daily audit is one query",
+      Some("""SELECT 'lineitem' AS tbl, 'row_count' AS chk,
+             |       round(CAST(count(*) AS DOUBLE), 6) AS metric,
+             |       CAST(0 AS BIGINT) AS violations,
+             |       count(*) >= 1000 AS pass FROM lineitem
+             |UNION ALL
+             |SELECT 'orders', 'pk_unique:o_orderkey',
+             |       round(CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE), 6),
+             |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+             |       count(*) = count(DISTINCT o_orderkey) FROM orders
+             |UNION ALL
+             |SELECT 'part', 'pk_unique:p_partkey',
+             |       round(CAST(count(*) - count(DISTINCT p_partkey) AS DOUBLE), 6),
+             |       CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT),
+             |       count(*) = count(DISTINCT p_partkey) FROM part
+             |UNION ALL
+             |SELECT 'lineitem', 'fk_orphans:l_orderkey',
+             |       round(CAST(count(*) AS DOUBLE), 6),
+             |       CAST(count(*) AS BIGINT), count(*) = 0
+             |FROM (SELECT l.l_orderkey FROM lineitem l
+             |      WHERE l.l_orderkey IS NOT NULL
+             |        AND NOT EXISTS (SELECT 1 FROM orders o
+             |                        WHERE o.o_orderkey = l.l_orderkey))
+             |UNION ALL
+             |SELECT 'orders', 'fk_orphans:o_custkey',
+             |       round(CAST(count(*) AS DOUBLE), 6),
+             |       CAST(count(*) AS BIGINT), count(*) = 0
+             |FROM (SELECT o.o_custkey FROM orders o
+             |      WHERE o.o_custkey IS NOT NULL
+             |        AND NOT EXISTS (SELECT 1 FROM customer c
+             |                        WHERE c.c_custkey = o.o_custkey))
+             |UNION ALL
+             |SELECT 'customer', 'null_rate:c_name',
+             |       round(CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE), 6),
+             |       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE) <= 0.0
+             |FROM customer
+             |UNION ALL
+             |SELECT 'lineitem', 'value_range:l_quantity',
+             |       round(CAST(sum(CASE WHEN l_quantity IS NOT NULL
+             |           AND (l_quantity < 1 OR l_quantity > 50)
+             |           THEN 1 ELSE 0 END) AS DOUBLE), 6),
+             |       CAST(sum(CASE WHEN l_quantity IS NOT NULL
+             |           AND (l_quantity < 1 OR l_quantity > 50)
+             |           THEN 1 ELSE 0 END) AS BIGINT),
+             |       sum(CASE WHEN l_quantity IS NOT NULL
+             |           AND (l_quantity < 1 OR l_quantity > 50)
+             |           THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orders', 'accepted_values:o_orderstatus',
+             |       round(CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+             |           AND o_orderstatus NOT IN ('O', 'F', 'P')
+             |           THEN 1 ELSE 0 END) AS DOUBLE), 6),
+             |       CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+             |           AND o_orderstatus NOT IN ('O', 'F', 'P')
+             |           THEN 1 ELSE 0 END) AS BIGINT),
+             |       sum(CASE WHEN o_orderstatus IS NOT NULL
+             |           AND o_orderstatus NOT IN ('O', 'F', 'P')
+             |           THEN 1 ELSE 0 END) = 0
+             |FROM orders
+             |ORDER BY tbl, chk""".stripMargin),
+      (s, dir) => {
+        import graft.analytics.DataAudit._
+        val li = Tables(s, dir, "lineitem")
+        val ord = Tables(s, dir, "orders")
+        val cust = Tables(s, dir, "customer")
+        val part = Tables(s, dir, "part")
+        report(Seq(
+          rowCount(li, "lineitem", minRows = 1000L),
+          pkUnique(ord, "orders", "o_orderkey"),
+          pkUnique(part, "part", "p_partkey"),
+          fkOrphans(li, ord, "lineitem", "l_orderkey", "o_orderkey"),
+          fkOrphans(ord, cust, "orders", "o_custkey", "c_custkey"),
+          nullRate(cust, "customer", "c_name", maxRate = 0.0),
+          valueRange(li, "lineitem", "l_quantity", lo = 1, hi = 50),
+          acceptedValues(ord, "orders", "o_orderstatus",
+            Seq("O", "F", "P"))))
+          .orderBy("tbl", "chk")
+      })
   )
 }

@@ -342,6 +342,70 @@ class CurationOpsSpec extends SparkTestBase {
     assert(widthL < widthS, s"more data -> tighter CI ($widthL vs $widthS)")
   }
 
+  test("seasonalAnomaly: a quiet-hours spike flags against its own " +
+       "hour-of-day baseline while the daily peak does not; short " +
+       "history gates") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    var id = 0L
+    def burst(day: Int, hod: Int, n: Int): Seq[(Long, java.sql.Timestamp, String)] =
+      (0 until n).map { i =>
+        id += 1
+        (id, new java.sql.Timestamp(
+          base + (day * 24L + hod) * 3600000L + i * 1000L), "A")
+      }
+    // 20 days: hod 3 runs at 10/hr, hod 12 runs at 100/hr; on day 19
+    // hod 3 spikes to 30 (3x ITS baseline, far below the daily peak)
+    val evs = ((0 until 20).flatMap { d =>
+      burst(d, 3, if (d == 19) 30 else 10) ++ burst(d, 12, 100)
+    }).toDF("event_id", "ts", "event_type")
+    val got = Stats.seasonalAnomaly(evs, "event_type", "ts",
+        factor = 2.0, minDays = 14)
+      .collect()
+      .map(r => ((r.getLong(1) - base / 3600000L), r.getLong(2),
+        Option(r.get(6)).map(_.asInstanceOf[Double]), r.getBoolean(7)))
+    val flagged = got.filter(_._4)
+    assert(flagged.map(x => (x._1 % 24, x._2)).toSeq === Seq((3L, 30L)),
+      s"exactly the quiet-hours spike flags: ${flagged.toSeq}")
+    // the daily peak (100 at hod 12) never flags: ratio vs ITS median is 1
+    assert(got.filter(x => x._1 % 24 == 12).forall(!_._4))
+    // a global z-score would rank the spike (30) far below the peak's
+    // ordinary hours (100) — the seasonality point
+    assert(got.find(x => x._1 == 19 * 24 + 3).get._3.get === 3.0)
+    // short history: with minDays above the day count, nothing flags
+    assert(Stats.seasonalAnomaly(evs, "event_type", "ts", minDays = 99)
+      .filter(col("seasonal")).count() === 0L)
+  }
+
+  test("DataAudit: injected violations surface in the right rows with " +
+       "exact counts; clean tables pass") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val childBad = Seq(1L, 2L, 9L, 9L).toDF("fk") // one orphan key, twice
+    val dup = Seq(1L, 1L, 2L).toDF("k")           // pk violated
+    val nully = Seq(Some("a"), None, None, Some("b")).toDF("s")
+    val ranged = Seq(0.5, 1.0, 50.0, 51.0).toDF("x")
+    val statuses = Seq("O", "F", "X").toDF("st")
+    val rep = DataAudit.report(Seq(
+      DataAudit.rowCount(parent, "parent", minRows = 10),
+      DataAudit.rowCount(parent, "parent_ok", minRows = 3),
+      DataAudit.pkUnique(dup, "dup", "k"),
+      DataAudit.fkOrphans(childBad, parent, "child", "fk", "pk"),
+      DataAudit.nullRate(nully, "nully", "s", maxRate = 0.25),
+      DataAudit.valueRange(ranged, "ranged", "x", lo = 1, hi = 50),
+      DataAudit.acceptedValues(statuses, "statuses", "st", Seq("O", "F"))))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(rep("parent") === ((3.0, 0L, false)), "row floor missed")
+    assert(rep("parent_ok") === ((3.0, 0L, true)), "clean floor passes")
+    assert(rep("dup") === ((1.0, 1L, false)), "one duplicate row beyond pk")
+    assert(rep("child") === ((2.0, 2L, false)), "both orphan rows counted")
+    assert(rep("nully") === ((0.5, 2L, false)), "null rate over ceiling")
+    assert(rep("ranged") === ((2.0, 2L, false)), "0.5 and 51 out of range")
+    assert(rep("statuses") === ((1.0, 1L, false)), "X not accepted")
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._
