@@ -178,7 +178,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q143_vocab_drift",
       // q169: keys x keys pair probe over the broadcast dictionary-sized
       // sketch table (non-equi key_a < key_b) — the design, not a leak
-      "q169_kmv_overlap")
+      "q169_kmv_overlap",
+      // q182: user lifetimes x broadcast ONE-ROW feed-cutoff date (the
+      // q77/q88 one-row-total bracket)
+      "q182_kaplan_meier")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
