@@ -221,6 +221,47 @@ object Events {
     * id so both engines walk identical sequences.
     *
     * Output: (cur, next, n, p) — p = n / sum(n per cur), rounded 6. */
+  /** Top event-type JOURNEY n-grams: the most frequent length-`n` runs
+    * of consecutive event types within a user's time-ordered sequence —
+    * the Sankey/path-analysis input one step deeper than
+    * [[transitionMatrix]]'s pairs (a->b->c distinguishes checkout flows
+    * from bounce loops that a 2-gram matrix blurs together).
+    *
+    * Scale shape: `n-1` lead windows inside each user's own partition
+    * (one window SPEC, the q54 shape — per-user sequences parallelize),
+    * then a (path)-keyed count and a `rank <= k` filter the optimizer
+    * rewrites to a per-partition group limit (WindowGroupLimit: each
+    * task keeps its own top-k before the single k-sized merge) — the
+    * path table never fully sorts through one task. Ties break on the
+    * path string so both engines cut the same top-k.
+    *
+    * Output: (rank, path, n_occurrences) — path as " > "-joined types. */
+  def topJourneys(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String, n: Int = 3,
+                  k: Int = 20): DataFrame = {
+    require(n >= 2 && k >= 1, "need n >= 2 and k >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val steps = (0 until n).map {
+      case 0 => col(typeCol)
+      case i => lead(col(typeCol), i).over(w)
+    }
+    val paths = events
+      .select(concat_ws(" > ", steps: _*).as("path"),
+        steps.last.isNotNull.as("complete"))
+      .filter($"complete")
+      .groupBy($"path")
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+    val wr = Window.orderBy($"n_occurrences".desc, $"path")
+    paths
+      .withColumn("rank", row_number().over(wr).cast("int"))
+      .filter($"rank" <= k)
+      .select($"rank", $"path", $"n_occurrences")
+  }
+
   def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
                        tsCol: String, idCol: String): DataFrame = {
     val spark = events.sparkSession

@@ -890,6 +890,33 @@ object MiscQueries {
             "user_id", "event_type", "ts", "event_id")
           .orderBy("cur", "next")),
 
+    // ----- top journey trigrams -----
+    Q("q187_top_journeys",
+      "the 20 most frequent 3-step event-type journeys within user " +
+        "sequences — the Sankey/path input one step deeper than q177's " +
+        "pair matrix (a->b->c separates checkout flows from bounce " +
+        "loops a 2-gram blurs); two lead windows per user partition, " +
+        "a path-keyed count, and a rank<=k filter the optimizer " +
+        "rewrites to a per-partition WindowGroupLimit",
+      Some("""WITH seq AS (
+             |  SELECT event_type AS t0,
+             |         lead(event_type, 1) OVER w AS t1,
+             |         lead(event_type, 2) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |p AS (
+             |  SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+             |         CAST(count(*) AS BIGINT) AS n_occurrences
+             |  FROM seq WHERE t2 IS NOT NULL GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, path)
+             |            AS INT) AS rank,
+             |       path, n_occurrences
+             |FROM p QUALIFY rank <= 20 ORDER BY rank""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.topJourneys(Tables(s, dir, "events"),
+            "user_id", "event_type", "ts", "event_id", n = 3, k = 20)
+          .orderBy("rank")),
+
     // ----- z-order layout: two-column data skipping -----
     Q("q178_zorder_scan",
       "events rewritten Z-ORDERED on (user_id, hour) — 16-bit min-max " +

@@ -406,6 +406,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(rep("statuses") === ((1.0, 1L, false)), "X not accepted")
   }
 
+  test("topJourneys: hand-pinned trigram paths; incomplete tails drop; " +
+       "no cross-user paths; deterministic tie order") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, "a", t(1)), (2L, 1L, "b", t(2)), (3L, 1L, "c", t(3)),
+      (4L, 1L, "a", t(4)), // user 1: a>b>c, b>c>a
+      (5L, 2L, "a", t(1)), (6L, 2L, "b", t(2)), (7L, 2L, "c", t(3)),
+      (8L, 3L, "x", t(1)), (9L, 3L, "y", t(2)) // too short: no trigram
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.topJourneys(ev, "user_id", "event_type", "ts",
+        "event_id", n = 3, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "a > b > c", 2L), (2, "b > c > a", 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._
