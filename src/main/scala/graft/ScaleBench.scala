@@ -483,7 +483,29 @@ object ScaleBench {
           analytics.Graph.pageRank(
             analytics.Dedup.minhashCandidates(
               analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text")),
-            "doc_a", "doc_b").count()))
+            "doc_a", "doc_b").count()),
+        // one per-user lead window then states x states — scan-flat
+        "q177_transitions" -> (() =>
+          analytics.Events.transitionMatrix(events, "user_id",
+            "event_type", "ts", "event_id").count()),
+        // (type, DAY) windows parallelize over the calendar; +64-day
+        // copies grow the day set linearly
+        "q180_twap" -> (() =>
+          analytics.Events.twap(events, "event_type", "ts", "value",
+            "event_id").count()),
+        // register build is one pass; the merge window is keys x hours
+        // x 64 integer rows — calendar-linear, volume-flat
+        "q183_sliding_hll" -> (() =>
+          analytics.Sketches.hllSlidingDistinct(events, "event_type",
+            "ts", col("user_id").cast("string")).count()),
+        // densified (type, hour) medians over 24 slots, broadcast back
+        "q185_seasonal" -> (() =>
+          analytics.Stats.seasonalAnomaly(events, "event_type", "ts")
+            .count()),
+        // two per-user lead windows + path-keyed count + group limit
+        "q187_journeys" -> (() =>
+          analytics.Events.topJourneys(events, "user_id", "event_type",
+            "ts", "event_id").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
