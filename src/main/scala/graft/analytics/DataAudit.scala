@@ -85,4 +85,28 @@ object DataAudit {
     require(checks.nonEmpty, "need at least one check")
     checks.reduce(_ unionByName _)
   }
+
+  /** k-anonymity audit over a quasi-identifier combination — the
+    * release gate before a dataset with indirect identifiers ships: a
+    * row is RE-IDENTIFIABLE when its quasi-identifier equivalence class
+    * holds fewer than `k` rows (Sweeney 2002), and the standard remedy
+    * is suppressing or generalizing exactly those classes. Emits one
+    * row per equivalence class with its size and the suppress verdict —
+    * the input to the generalization loop, and the audit trail.
+    *
+    * Scale shape: ONE aggregation keyed on the quasi-identifier tuple
+    * (map-side partials like any count); no row data moves beyond the
+    * class keys, and the output is equivalence-class-sized. The
+    * class-size distribution is exactly what [[graft.analytics
+    * .Sketches.logHistQuantiles]] summarizes when classes outnumber
+    * what a report can list.
+    *
+    * Output: (quasiCols..., class_size, suppress) ordered by caller. */
+  def kAnonymity(df: DataFrame, k: Long, quasiCols: String*): DataFrame = {
+    require(k >= 2 && quasiCols.nonEmpty,
+      "need k >= 2 and at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("class_size"))
+      .withColumn("suppress", col("class_size") < k)
+  }
 }

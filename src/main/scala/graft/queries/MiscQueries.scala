@@ -917,6 +917,29 @@ object MiscQueries {
             "user_id", "event_type", "ts", "event_id", n = 3, k = 20)
           .orderBy("rank")),
 
+    // ----- k-anonymity release gate -----
+    Q("q188_k_anonymity",
+      "k-anonymity audit (Sweeney 2002) over the documents corpus's " +
+        "quasi-identifiers (lang, source, length-centile-bucket): a " +
+        "row is re-identifiable when its equivalence class holds fewer " +
+        "than k=10 rows, and those classes are exactly what the " +
+        "release gate suppresses or generalizes; ONE aggregation keyed " +
+        "on the quasi tuple, output equivalence-class-sized",
+      Some("""SELECT lang, source,
+             |       CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             |       CAST(count(*) AS BIGINT) AS class_size,
+             |       count(*) < 10 AS suppress
+             |FROM documents
+             |GROUP BY lang, source, len_bucket
+             |ORDER BY lang, source, len_bucket""".stripMargin),
+      (s, dir) =>
+        graft.analytics.DataAudit.kAnonymity(
+            Tables(s, dir, "documents")
+              .withColumn("len_bucket",
+                floor(col("n_chars").cast("double") / 100.0).cast("long")),
+            k = 10L, "lang", "source", "len_bucket")
+          .orderBy("lang", "source", "len_bucket")),
+
     // ----- z-order layout: two-column data skipping -----
     Q("q178_zorder_scan",
       "events rewritten Z-ORDERED on (user_id, hour) — 16-bit min-max " +

@@ -425,6 +425,22 @@ class CurationOpsSpec extends SparkTestBase {
       s"got ${got.toSeq}")
   }
 
+  test("kAnonymity: classes under k flag for suppression, classes at " +
+       "or over k pass; the boundary is strict") {
+    import spark.implicits._
+    val rows = Seq.fill(10)(("en", "webA")) ++ Seq.fill(9)(("en", "webB")) ++
+      Seq.fill(1)(("de", "webA"))
+    val got = DataAudit.kAnonymity(rows.toDF("lang", "src"), k = 10L,
+        "lang", "src")
+      .orderBy("lang", "src").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("de", "webA", 1L, true),
+      ("en", "webA", 10L, false), // exactly k is anonymous
+      ("en", "webB", 9L, true)))  // k-1 is not
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._
