@@ -53,30 +53,36 @@ object DataAudit {
       count(lit(1)), count(lit(1)), count(lit(1)) === 0)
   }
 
-  /** Null-rate ceiling: metric = null fraction, pass iff <= maxRate. */
+  /** Null-rate ceiling: metric = null fraction, pass iff <= maxRate.
+    * An empty table has rate 0 and passes (no row violates) — the sums
+    * coalesce so the verdict is a real boolean, never a NULL a
+    * `getBoolean`/`pass = false` filter would choke on. */
   def nullRate(df: DataFrame, tbl: String, colName: String,
                maxRate: Double): DataFrame = {
-    val nulls = sum(when(col(colName).isNull, 1L).otherwise(0L))
-    emit(df, tbl, s"null_rate:$colName",
-      nulls.cast("double") / count(lit(1)).cast("double"),
-      nulls,
-      nulls.cast("double") / count(lit(1)).cast("double") <= maxRate)
+    val nulls = coalesce(sum(when(col(colName).isNull, 1L).otherwise(0L)),
+      lit(0L))
+    val rate = coalesce(
+      nulls.cast("double") / when(count(lit(1)) > 0, count(lit(1)))
+        .cast("double"), lit(0.0))
+    emit(df, tbl, s"null_rate:$colName", rate, nulls, rate <= maxRate)
   }
 
-  /** Numeric range: violations = non-null values outside [lo, hi]. */
+  /** Numeric range: violations = non-null values outside [lo, hi]
+    * (empty table: zero violations, pass). */
   def valueRange(df: DataFrame, tbl: String, colName: String,
                  lo: Double, hi: Double): DataFrame = {
-    val bad = sum(when(col(colName).isNotNull &&
-      (col(colName) < lo || col(colName) > hi), 1L).otherwise(0L))
+    val bad = coalesce(sum(when(col(colName).isNotNull &&
+      (col(colName) < lo || col(colName) > hi), 1L).otherwise(0L)), lit(0L))
     emit(df, tbl, s"value_range:$colName", bad, bad, bad === 0)
   }
 
-  /** Accepted values: violations = non-null values outside the set. */
+  /** Accepted values: violations = non-null values outside the set
+    * (empty table: zero violations, pass). */
   def acceptedValues(df: DataFrame, tbl: String, colName: String,
                      allowed: Seq[String]): DataFrame = {
     require(allowed.nonEmpty, "allowed set must be non-empty")
-    val bad = sum(when(col(colName).isNotNull &&
-      !col(colName).isin(allowed: _*), 1L).otherwise(0L))
+    val bad = coalesce(sum(when(col(colName).isNotNull &&
+      !col(colName).isin(allowed: _*), 1L).otherwise(0L)), lit(0L))
     emit(df, tbl, s"accepted_values:$colName", bad, bad, bad === 0)
   }
 

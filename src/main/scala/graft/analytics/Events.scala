@@ -58,17 +58,14 @@ object Events {
     val w = Window.orderBy($"step") // steps-sized table: a 1-task window is fine
     counts
       .withColumn("rate_vs_prev",
-        round($"n_users".cast("double") /
-          when(coalesce(lag($"n_users", 1).over(w), $"n_users") > 0,
-            coalesce(lag($"n_users", 1).over(w), $"n_users"))
-            .cast("double"), 6))
+        round(Par.safeDiv($"n_users".cast("double"),
+          coalesce(lag($"n_users", 1).over(w), $"n_users").cast("double")),
+          6))
       .withColumn("rate_vs_first",
-        round($"n_users".cast("double") /
-          when(first($"n_users").over(
-              w.rowsBetween(Window.unboundedPreceding, 0)) > 0,
-            first($"n_users").over(
-              w.rowsBetween(Window.unboundedPreceding, 0)))
-            .cast("double"), 6))
+        round(Par.safeDiv($"n_users".cast("double"),
+          first($"n_users").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")),
+          6))
   }
 
   /** Two-sample A/B conversion test: users split by `cohortCol`
@@ -99,20 +96,23 @@ object Events {
       sum(when($"g" === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
       sum(when($"g" === 0, $"c").otherwise(0L)).cast("long").as("conv_a"),
       sum(when($"g" === 1, $"c").otherwise(0L)).cast("long").as("conv_b"))
-    // null-on-zero denominators: ANSI division evaluates eagerly even
-    // inside when() gates, so an empty cohort must yield null, not throw
-    val pa = $"conv_a".cast("double") / when($"n_a" > 0, $"n_a").cast("double")
-    val pb = $"conv_b".cast("double") / when($"n_b" > 0, $"n_b").cast("double")
-    val pp = ($"conv_a" + $"conv_b").cast("double") /
-      when($"n_a" + $"n_b" > 0, $"n_a" + $"n_b").cast("double")
+    // every ratio through Par.safeDiv (null-on-zero denominator): an
+    // empty cohort, a zero conversion rate, or a degenerate pooled p
+    // must yield null, never an ANSI DIVIDE_BY_ZERO
+    import Par.safeDiv
+    val pa = safeDiv($"conv_a".cast("double"), $"n_a".cast("double"))
+    val pb = safeDiv($"conv_b".cast("double"), $"n_b".cast("double"))
+    val pp = safeDiv(($"conv_a" + $"conv_b").cast("double"),
+      ($"n_a" + $"n_b").cast("double"))
     val se = sqrt(pp * (lit(1.0) - pp) *
-      (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))
+      (safeDiv(lit(1.0), $"n_a".cast("double")) +
+        safeDiv(lit(1.0), $"n_b".cast("double"))))
     agg.select($"n_a", $"n_b", $"conv_a", $"conv_b",
       round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
       when($"n_a" > 0 && $"n_b" > 0 && $"conv_a" > 0,
-        round(pb / pa - 1.0, 6)).as("lift"),
+        round(safeDiv(pb, pa) - 1.0, 6)).as("lift"),
       when($"n_a" > 0 && $"n_b" > 0 && se > 0,
-        round((pb - pa) / se, 6)).as("z"))
+        round(safeDiv(pb - pa, se), 6)).as("z"))
   }
 
   /** Kaplan-Meier retention curve over user LIFETIMES: a user's
@@ -221,6 +221,26 @@ object Events {
     * id so both engines walk identical sequences.
     *
     * Output: (cur, next, n, p) — p = n / sum(n per cur), rounded 6. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(typeCol).as("cur"),
+        lead(col(typeCol), 1).over(w).as("next"))
+      .filter($"next".isNotNull)
+      .groupBy($"cur", $"next")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = pairs.groupBy($"cur".as("__tm_cur"))
+      .agg(sum($"n").cast("long").as("tot"))
+    pairs.join(broadcast(totals), $"cur" === $"__tm_cur")
+      .select($"cur", $"next", $"n",
+        round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
+  }
+
   /** Top event-type JOURNEY n-grams: the most frequent length-`n` runs
     * of consecutive event types within a user's time-ordered sequence —
     * the Sankey/path-analysis input one step deeper than
@@ -249,9 +269,13 @@ object Events {
       case 0 => col(typeCol)
       case i => lead(col(typeCol), i).over(w)
     }
+    // complete = EVERY step non-null, not just the last: a NULL type
+    // value mid-run would otherwise slip through (concat_ws silently
+    // drops nulls, so the row would count as a shorter path) and
+    // diverge from the oracle's null-propagating || concatenation
     val paths = events
       .select(concat_ws(" > ", steps: _*).as("path"),
-        steps.last.isNotNull.as("complete"))
+        steps.map(_.isNotNull).reduce(_ && _).as("complete"))
       .filter($"complete")
       .groupBy($"path")
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
@@ -260,26 +284,6 @@ object Events {
       .withColumn("rank", row_number().over(wr).cast("int"))
       .filter($"rank" <= k)
       .select($"rank", $"path", $"n_occurrences")
-  }
-
-  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
-                       tsCol: String, idCol: String): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col(idCol))
-    val pairs = events
-      .select(col(typeCol).as("cur"),
-        lead(col(typeCol), 1).over(w).as("next"))
-      .filter($"next".isNotNull)
-      .groupBy($"cur", $"next")
-      .agg(count(lit(1)).cast("long").as("n"))
-    val totals = pairs.groupBy($"cur".as("__tm_cur"))
-      .agg(sum($"n").cast("long").as("tot"))
-    pairs.join(broadcast(totals), $"cur" === $"__tm_cur")
-      .select($"cur", $"next", $"n",
-        round($"n".cast("double") / $"tot".cast("double"), 6).as("p"))
   }
 
   /** Cohort retention matrix: users cohorted by their FIRST active day,

@@ -12,6 +12,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
+  /** ANSI-safe ratio: `num / den` with a NULL-on-nonpositive denominator.
+    * Spark's ANSI mode (this project's sessions) evaluates division
+    * EAGERLY as a shared subexpression, so `when(den > 0, num / den)`
+    * still throws DIVIDE_BY_ZERO when den = 0 — the guard must live on
+    * the denominator itself. Every ratio in the analytics package routes
+    * through here so the next one cannot reintroduce the bug class. */
+  def safeDiv(num: org.apache.spark.sql.Column,
+              den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    num / org.apache.spark.sql.functions.when(den > 0, den)
+
   def ensure(df: DataFrame): DataFrame = {
     // streaming plans have no .rdd and micro-batch sizing is the
     // scheduler's concern — pass through untouched

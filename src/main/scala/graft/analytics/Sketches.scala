@@ -410,12 +410,10 @@ object Sketches {
         s"cast(length(bin(cast($valueCol as bigint))) - 1 - $s as int)) - $twoS"))
     df.join(broadcast(hist), col(groupCol) === $"__ch_grp")
       .select(col(idCol).as("id"), col(groupCol), col(valueCol),
-        when(col(valueCol).cast("long") >= 1, round(
+        when(col(valueCol).cast("long") >= 1, round(Par.safeDiv(
           aggregate(slice($"__ch_counts", lit(1), (idx + 1).cast("int")),
-            lit(0L), (acc, x) => acc + x).cast("double") /
-            // null-on-zero denominator: ANSI division evaluates eagerly
-            // even under the when() gate
-            when($"__ch_n" > 0, $"__ch_n").cast("double"), 6)).as("cdf"))
+            lit(0L), (acc, x) => acc + x).cast("double"),
+          $"__ch_n".cast("double")), 6)).as("cdf"))
   }
 
   /** EXACT corpus heavy hitters — every distinct `value` whose frequency

@@ -404,11 +404,10 @@ object Stats {
           concat($"rid", lit("|"), col("rep").cast("string")))
           .cast("double") + 1.0) / lit(twoP60))
       .withColumn("w", -log($"u"))
+    // sum(w) = 0 needs every u to hash to exactly 1.0 — measure-zero,
+    // but ANSI division would throw rather than null without safeDiv
     val reps = rows.groupBy($"key", $"rep")
-      .agg(round(sum($"w" * $"x") /
-        // sum(w) = 0 needs every u to hash to exactly 1.0 — measure-zero,
-        // but ANSI division would throw rather than null
-        when(sum($"w") > 0, sum($"w")), 6).as("mb"))
+      .agg(round(Par.safeDiv(sum($"w" * $"x"), sum($"w")), 6).as("mb"))
     val ci = reps.groupBy($"key".as("__bs_key"))
       .agg(round(expr(s"percentile(mb, $lo)"), 6).as("ci_lo"),
         round(expr(s"percentile(mb, $hi)"), 6).as("ci_hi"))
@@ -438,27 +437,34 @@ object Stats {
     * volume.
     *
     * Output: (group, hr, c, cusum, shift) — cusum rounded 6. */
-  def cusumShift(events: DataFrame, typeCol: String, tsCol: String,
-                 slackSds: Double = 0.5, threshSds: Double = 4.0): DataFrame = {
-    require(slackSds >= 0.0 && threshSds > 0.0, "bad CUSUM tuning")
-    import org.apache.spark.sql.expressions.Window
+  /** The densified per-group hourly count table (group, hr, c): one
+    * partial agg compresses the feed, then each group's FULL hour span
+    * grid left-joins it so a silent hour is a count of ZERO, not a
+    * missing sample — otherwise overnight/outage gaps inflate baselines
+    * (only active hours averaged) and recurrences treat 17:00 -> 09:00
+    * as adjacent, exactly the drop-to-zero regime the monitors exist to
+    * catch. Shared by [[cusumShift]] and [[seasonalAnomaly]] so their
+    * densify semantics cannot drift. Grid size: groups x span hours —
+    * calendar-bounded, never event volume. */
+  private def densifiedHourly(events: DataFrame, typeCol: String,
+                              tsCol: String): DataFrame = {
     val h0 = events
       .groupBy(col(typeCol),
         floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"))
       .agg(count(lit(1)).cast("long").as("c"))
-    // DENSIFY to the full per-type hour span: a silent hour is a count
-    // of ZERO, not a missing sample — otherwise overnight/outage gaps
-    // inflate mu (only active hours averaged) and the recurrence treats
-    // 17:00 -> 09:00 as adjacent, exactly the drop-to-zero regime a
-    // CUSUM exists to catch. The grid is types x span hours — bounded
-    // by the calendar, never event volume.
-    val span = h0.groupBy(col(typeCol).as("__cs_g2"))
+    h0.groupBy(col(typeCol).as("__dh_g"))
       .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-    val h = span
-      .select(col("__cs_g2").as(typeCol),
+      .select(col("__dh_g").as(typeCol),
         explode(sequence(col("h0"), col("h1"))).as("hr"))
       .join(h0, Seq(typeCol, "hr"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
+  }
+
+  def cusumShift(events: DataFrame, typeCol: String, tsCol: String,
+                 slackSds: Double = 0.5, threshSds: Double = 4.0): DataFrame = {
+    require(slackSds >= 0.0 && threshSds > 0.0, "bad CUSUM tuning")
+    import org.apache.spark.sql.expressions.Window
+    val h = densifiedHourly(events, typeCol, tsCol)
     val st = h.groupBy(col(typeCol).as("__cs_grp"))
       .agg(avg(col("c")).as("mu"), stddev_pop(col("c")).as("sd"))
     val wCum = Window.partitionBy(col(typeCol)).orderBy(col("hr"))
@@ -493,27 +499,14 @@ object Stats {
   def seasonalAnomaly(events: DataFrame, typeCol: String, tsCol: String,
                       factor: Double = 2.0, minDays: Int = 14): DataFrame = {
     require(factor > 1.0 && minDays >= 1, "bad seasonal tuning")
-    val h0 = events
-      .groupBy(col(typeCol),
-        floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"))
-      .agg(count(lit(1)).cast("long").as("c"))
-    val span = h0.groupBy(col(typeCol).as("__sa_g"))
-      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
-    val h = span
-      .select(col("__sa_g").as(typeCol),
-        explode(sequence(col("h0"), col("h1"))).as("hr"))
-      .join(h0, Seq(typeCol, "hr"), "left")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val h = densifiedHourly(events, typeCol, tsCol)
       .withColumn("hod", (col("hr") % 24).cast("int"))
     val base = h.groupBy(col(typeCol).as("__sa_grp"), col("hod").as("__sa_hod"))
       .agg(count(lit(1)).cast("long").as("__sa_days"),
         round(expr("percentile(c, 0.5)"), 6).as("__sa_med"))
     val ok = col("__sa_days") >= minDays && col("__sa_med") > 0
-    // the null-on-zero denominator (not just the `when` gate) matters:
-    // ANSI division evaluates eagerly as a shared subexpression, so a
-    // zero median would throw DIVIDE_BY_ZERO before the gate applies
-    val ratio = round(col("c").cast("double") /
-      when(col("__sa_med") > 0, col("__sa_med")), 6)
+    val ratio = round(Par.safeDiv(col("c").cast("double"),
+      col("__sa_med")), 6)
     h.join(broadcast(base),
         col(typeCol) === col("__sa_grp") && col("hod") === col("__sa_hod"))
       .select(col(typeCol), col("hr"), col("c"), col("hod"),

@@ -774,10 +774,11 @@ object MiscQueries {
              |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
              |SELECT step, step_name, n_users,
              |       round(CAST(n_users AS DOUBLE) /
-             |         coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6)
+             |         nullif(coalesce(lag(n_users) OVER (ORDER BY step),
+             |                         n_users), 0), 6)
              |         AS rate_vs_prev,
              |       round(CAST(n_users AS DOUBLE) /
-             |         (SELECT n_users FROM c WHERE step = 1), 6)
+             |         nullif((SELECT n_users FROM c WHERE step = 1), 0), 6)
              |         AS rate_vs_first
              |FROM c ORDER BY step""".stripMargin),
       (s, dir) =>
