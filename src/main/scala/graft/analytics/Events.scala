@@ -286,6 +286,55 @@ object Events {
       .select($"rank", $"path", $"n_occurrences")
   }
 
+  /** Touch attribution for conversions: each `convType` event finds its
+    * user's `touchType` events in the `windowDays` lookback, and the
+    * summary carries the three standard credit models at once —
+    * FIRST-touch (earliest touch id), LAST-touch (latest), and the
+    * LINEAR share (value / n_touches each touch would receive).
+    * Conversions with no in-window touch keep a row (null ids, zero
+    * touches) — unattributed revenue is a number the report needs, not
+    * a dropped row.
+    *
+    * Scale shape: one user-keyed equi join with the time bracket as a
+    * join-side filter (candidates per conversion = that user's
+    * in-window touches, never a cross of the feed), then a per-
+    * conversion aggregate whose first/last picks are `min_by`/`max_by`
+    * over a (ts, id) struct — deterministic under timestamp ties, no
+    * per-conversion sort. The oracle replays the same argmin/argmax on
+    * an (epoch, id) list key.
+    *
+    * Output: (conv_id, user, value, n_touches, first_touch_id,
+    * last_touch_id, linear_share) — share rounded 6, null when no
+    * touches. */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String, valueCol: String,
+                  convType: String, touchType: String,
+                  windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol).as("u"),
+        col(tsCol).as("pts"), col(valueCol).as("value"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(idCol).as("touch_id"), col(userCol).as("u"),
+        col(tsCol).as("cts"))
+    conv
+      .join(touch, conv("u") === touch("u") &&
+        $"cts" <= $"pts" &&
+        $"cts" >= $"pts" - expr(s"INTERVAL $windowDays DAYS"), "left")
+      .groupBy($"conv_id", conv("u").as("user"), $"pts", $"value")
+      .agg(count($"touch_id").cast("long").as("n_touches"),
+        min_by($"touch_id", struct($"cts", $"touch_id"))
+          .as("first_touch_id"),
+        max_by($"touch_id", struct($"cts", $"touch_id"))
+          .as("last_touch_id"))
+      .select($"conv_id", $"user", $"value", $"n_touches",
+        $"first_touch_id", $"last_touch_id",
+        round(Par.safeDiv($"value", $"n_touches".cast("double")), 6)
+          .as("linear_share"))
+  }
+
   /** Cohort retention matrix: users cohorted by their FIRST active day,
     * counted once per (cohort, day-offset) they return on. The output is
     * the (cohort_day, day_offset, n_active, cohort_size, retention)

@@ -941,6 +941,54 @@ object MiscQueries {
             k = 10L, "lang", "source", "len_bucket")
           .orderBy("lang", "source", "len_bucket")),
 
+    // ----- touch attribution -----
+    Q("q189_attribution",
+      "first/last/linear touch attribution: each purchase finds its " +
+        "user's clicks in a 7-day lookback — earliest and latest touch " +
+        "ids (min_by/max_by over a (ts, id) struct, deterministic under " +
+        "timestamp ties) plus the linear per-touch credit; conversions " +
+        "with NO in-window touch keep their row (unattributed revenue " +
+        "is a number the report needs); one user-keyed join, candidates " +
+        "bounded per conversion by that user's window",
+      Some("""WITH p AS (
+             |  SELECT event_id AS conv_id, user_id AS u, ts AS pts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id AS touch_id, user_id AS u, ts AS cts
+             |  FROM events WHERE event_type = 'click'),
+             |j AS (
+             |  SELECT p.conv_id, p.u, p.value, c.touch_id, c.cts
+             |  FROM p LEFT JOIN c ON c.u = p.u AND c.cts <= p.pts
+             |    AND c.cts >= p.pts - INTERVAL 7 DAY),
+             |a AS (
+             |  SELECT conv_id, u, value,
+             |         CAST(count(touch_id) AS BIGINT) AS n_touches
+             |  FROM j GROUP BY 1, 2, 3),
+             |f AS (
+             |  SELECT conv_id, touch_id AS first_touch_id FROM (
+             |    SELECT conv_id, touch_id,
+             |           row_number() OVER (PARTITION BY conv_id
+             |             ORDER BY cts, touch_id) AS rn
+             |    FROM j WHERE touch_id IS NOT NULL) WHERE rn = 1),
+             |l AS (
+             |  SELECT conv_id, touch_id AS last_touch_id FROM (
+             |    SELECT conv_id, touch_id,
+             |           row_number() OVER (PARTITION BY conv_id
+             |             ORDER BY cts DESC, touch_id DESC) AS rn
+             |    FROM j WHERE touch_id IS NOT NULL) WHERE rn = 1)
+             |SELECT a.conv_id, a.u AS user, a.value, a.n_touches,
+             |       f.first_touch_id, l.last_touch_id,
+             |       CASE WHEN a.n_touches > 0
+             |            THEN round(a.value / a.n_touches, 6)
+             |       END AS linear_share
+             |FROM a LEFT JOIN f USING (conv_id) LEFT JOIN l USING (conv_id)
+             |ORDER BY conv_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.attribution(Tables(s, dir, "events"),
+            "user_id", "event_type", "ts", "event_id", "value",
+            convType = "purchase", touchType = "click", windowDays = 7)
+          .orderBy("conv_id")),
+
     // ----- z-order layout: two-column data skipping -----
     Q("q178_zorder_scan",
       "events rewritten Z-ORDERED on (user_id, hour) — 16-bit min-max " +

@@ -441,6 +441,35 @@ class CurationOpsSpec extends SparkTestBase {
       ("en", "webB", 9L, true)))  // k-1 is not
   }
 
+  test("attribution: first/last picks are deterministic under ties, " +
+       "window excludes stale and future touches, no-touch conversions " +
+       "keep a null-share row") {
+    import spark.implicits._
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: clicks on day 2 (two at the SAME ts: id tiebreak), day 9;
+      // purchase day 9 12:00 -> window [day 2 12:00, day 9 12:00]
+      (10L, 1L, "click", t(2, 13), 0.0), (11L, 1L, "click", t(2, 13), 0.0),
+      (12L, 1L, "click", t(9, 1), 0.0),
+      (13L, 1L, "click", t(1, 1), 0.0),  // stale: before the window
+      (14L, 1L, "click", t(9, 18), 0.0), // future: after the purchase
+      (20L, 1L, "purchase", t(9, 12), 30.0),
+      // user 2: purchase with no clicks at all
+      (21L, 2L, "purchase", t(5, 5), 9.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Events.attribution(ev, "user_id", "event_type", "ts",
+        "event_id", "value", "purchase", "click", windowDays = 7)
+      .orderBy("conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq === Seq(
+      (20L, 3L, Some(10L), Some(12L), Some(10.0)),
+      (21L, 0L, None, None, None)))
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._
