@@ -286,6 +286,40 @@ object Events {
       .select($"rank", $"path", $"n_occurrences")
   }
 
+  /** Time-to-convert distribution: for each user whose first `endType`
+    * event follows their first `startType` event, the latency between
+    * the two — summarized as count + p50/p90/p99 minutes. The
+    * conversion-RATE funnel ([[funnel]]) says how many make it; this
+    * says how long the ones who make it take — the pair every growth
+    * dashboard shows together.
+    *
+    * Scale shape: two user-keyed min-aggs (one per step type slice)
+    * joined user-keyed, then ONE percentile row over the converting-user
+    * latencies (state bounded by distinct latency values); latencies are
+    * exact integer microseconds, minutes one division, percentiles rounded 6
+    * at the aggregation.
+    *
+    * Output: 1 row (n_converted, p50_minutes, p90_minutes,
+    * p99_minutes). */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, startType: String,
+                    endType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val s0 = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t0"))
+    val s1 = events.filter(col(typeCol) === endType)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t1"))
+    s0.join(s1, Seq("u"))
+      .filter($"t1" > $"t0")
+      .select(((unix_micros($"t1") - unix_micros($"t0"))
+        .cast("double") / 60000000.0).as("mins"))
+      .agg(count(lit(1)).cast("long").as("n_converted"),
+        round(expr("percentile(mins, 0.5)"), 6).as("p50_minutes"),
+        round(expr("percentile(mins, 0.9)"), 6).as("p90_minutes"),
+        round(expr("percentile(mins, 0.99)"), 6).as("p99_minutes"))
+  }
+
   /** Touch attribution for conversions: each `convType` event finds its
     * user's `touchType` events in the `windowDays` lookback, and the
     * summary carries the three standard credit models at once —

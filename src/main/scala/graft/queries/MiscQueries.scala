@@ -989,6 +989,32 @@ object MiscQueries {
             convType = "purchase", touchType = "click", windowDays = 7)
           .orderBy("conv_id")),
 
+    // ----- time-to-convert distribution -----
+    Q("q190_time_to_convert",
+      "latency from first view to first later purchase per converting " +
+        "user, summarized as p50/p90/p99 minutes — the conversion-RATE " +
+        "funnel (q171) says how many make it, this says how long they " +
+        "take; two user-keyed min-aggs joined user-keyed, one bounded " +
+        "percentile row, exact integer microseconds until one division",
+      Some("""WITH s0 AS (
+             |  SELECT user_id AS u, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s1 AS (
+             |  SELECT user_id AS u, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |d AS (
+             |  SELECT CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE) / 60000000.0 AS mins
+             |  FROM s0 JOIN s1 USING (u) WHERE t1 > t0)
+             |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             |       round(quantile_cont(mins, 0.5), 6) AS p50_minutes,
+             |       round(quantile_cont(mins, 0.9), 6) AS p90_minutes,
+             |       round(quantile_cont(mins, 0.99), 6) AS p99_minutes
+             |FROM d""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.timeToConvert(Tables(s, dir, "events"),
+            "user_id", "event_type", "ts",
+            startType = "view", endType = "purchase")),
+
     // ----- z-order layout: two-column data skipping -----
     Q("q178_zorder_scan",
       "events rewritten Z-ORDERED on (user_id, hour) — 16-bit min-max " +

@@ -470,6 +470,27 @@ class CurationOpsSpec extends SparkTestBase {
       (21L, 0L, None, None, None)))
   }
 
+  test("timeToConvert: hand-computed percentiles over converting users " +
+       "only; purchase-before-view users do not convert") {
+    import spark.implicits._
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", t(1, 0)), (1L, "purchase", t(1, 10)),   // 10 min
+      (2L, "view", t(2, 0)), (2L, "purchase", t(2, 20)),   // 20 min
+      (3L, "view", t(3, 0)), (3L, "purchase", t(4, 0)),    // 60 min
+      (4L, "purchase", t(5, 0)), (4L, "view", t(6, 0)),    // wrong order
+      (5L, "view", t(7, 0))                                // never buys
+    ).zipWithIndex.map { case ((u, tp, ts), i) => (i.toLong, u, tp, ts) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Events.timeToConvert(ev, "user_id", "event_type", "ts",
+      "view", "purchase").collect().head
+    assert(r.getLong(0) === 3L, "users 4 and 5 do not convert")
+    assert(r.getDouble(1) === 20.0, "median of 10/20/60")
+    // p90 interpolates between 20 and 60: 20 + 0.8*(60-20) = 52
+    assert(r.getDouble(2) === 52.0)
+  }
+
   test("madOutliers: hand-computed modified z, spike flagged where " +
        "mean/sigma z would hide it, zero-MAD group all-false") {
     import spark.implicits._
