@@ -97,6 +97,35 @@ object ScaleBench {
       val docs = spark.read.parquet(dPath)
       val emb = spark.read.parquet(ePath)
       val events = spark.read.parquet(evPath)
+      // hub-heavy pair graph over the scaled doc ids: one hub node of
+      // degree n (the boilerplate-template shape) plus a ring over the
+      // leaves so triangles exist (hub-leaf_i-leaf_{i+1}); built and
+      // written OUTSIDE the timed closure so the curve isolates
+      // triangleCounts itself. Degree-ordered wedges keep this linear
+      // in n; ID-ordered enumeration would pay n^2/2 wedges at the hub.
+      val hubPath = tmp.resolve(s"hub_x$k").toString
+      locally {
+        val idx = docs.select($"doc_id")
+          .withColumn("i", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"doc_id")))
+        val star = idx.select(lit(-1L).as("a"), $"doc_id".as("b"))
+        val ring = idx.select($"i", $"doc_id".as("a"))
+          .join(idx.select(($"i" - 1).as("i"), $"doc_id".as("b")), Seq("i"))
+          .select($"a", $"b")
+        star.union(ring).write.mode("overwrite").parquet(hubPath)
+      }
+      val hubPairs = spark.read.parquet(hubPath)
+      // hot-user attribution stress: k unshifted copies (same ts, same
+      // user) — per-user in-window touch density grows k-fold, so the
+      // conversion x touch join volume grows ~k^2 for every user: the
+      // bot-user tail the per-conversion candidate bound can't cap
+      val hotPath = tmp.resolve(s"hot_x$k").toString
+      (0 until k).map { i =>
+        events0.select(
+          ($"event_id" + lit(i.toLong * 1000000000L)).as("event_id"),
+          $"ts", $"event_type", $"user_id", $"value")
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(hotPath)
+      val hotEvents = spark.read.parquet(hotPath)
       val ops: Seq[(String, () => Long)] = Seq(
         "q17_exact_dedup" -> (() =>
           analytics.Dedup.exactDupTags(docs, "doc_id", "text").count()),
@@ -505,7 +534,27 @@ object ScaleBench {
         // two per-user lead windows + path-keyed count + group limit
         "q187_journeys" -> (() =>
           analytics.Events.topJourneys(events, "user_id", "event_type",
-            "ts", "event_id").count()))
+            "ts", "event_id").count()),
+        // degree-ordered wedges: the hub contributes ZERO wedges, the
+        // ring leaves O(1) each — linear in n where ID-ordering is n^2
+        "q174_tri_hub" -> (() =>
+          analytics.Graph.triangleCounts(hubPairs, "a", "b").count()),
+        // user-shifted copies hold per-conversion candidates flat —
+        // the healthy-feed curve (volume-linear)
+        "q189_attribution" -> (() =>
+          analytics.Events.attribution(events, "user_id", "event_type",
+            "ts", "event_id", "value", convType = "purchase",
+            touchType = "click", windowDays = 7).count()),
+        // UNSHIFTED copies: per-user in-window touches grow k-fold, so
+        // conv x touch candidates grow ~k^2 — the bot-user tail
+        "q189_attr_hot" -> (() =>
+          analytics.Events.attribution(hotEvents, "user_id", "event_type",
+            "ts", "event_id", "value", convType = "purchase",
+            touchType = "click", windowDays = 7).count()),
+        // two user-keyed min-aggs + one percentile row — scan-flat
+        "q190_time_to_conv" -> (() =>
+          analytics.Events.timeToConvert(events, "user_id", "event_type",
+            "ts", startType = "view", endType = "purchase").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

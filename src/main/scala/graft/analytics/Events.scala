@@ -337,22 +337,50 @@ object Events {
     * per-conversion sort. The oracle replays the same argmin/argmax on
     * an (epoch, id) list key.
     *
+    * The candidate bound is data-dependent: a user with C conversions
+    * and T in-window touches joins C*T rows, so one bot user with 10^4
+    * of each pays 10^8 — `maxTouchesPerWindow` is the safety valve.
+    * When set, each user's touch feed keeps only the LATEST N touches
+    * per windowDays-sized time bucket (one touch-side window sort,
+    * partitioned (user, bucket) — never a per-conversion sort), so a
+    * conversion window, which spans at most 2 buckets, joins <= 2N
+    * candidates. Under an engaged cap the result is approximate for
+    * over-cap users: n_touches / linear_share become lower / upper
+    * bounds and first_touch may miss the true earliest (last_touch
+    * stays exact — the window's latest touch is the latest of its
+    * bucket and is always kept). Default = uncapped, exact.
+    *
     * Output: (conv_id, user, value, n_touches, first_touch_id,
     * last_touch_id, linear_share) — share rounded 6, null when no
     * touches. */
   def attribution(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, idCol: String, valueCol: String,
                   convType: String, touchType: String,
-                  windowDays: Int = 7): DataFrame = {
+                  windowDays: Int = 7,
+                  maxTouchesPerWindow: Int = Int.MaxValue): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
+    require(maxTouchesPerWindow >= 1, "maxTouchesPerWindow must be >= 1")
     val spark = events.sparkSession
     import spark.implicits._
     val conv = events.filter(col(typeCol) === convType)
       .select(col(idCol).as("conv_id"), col(userCol).as("u"),
         col(tsCol).as("pts"), col(valueCol).as("value"))
-    val touch = events.filter(col(typeCol) === touchType)
+    val touchAll = events.filter(col(typeCol) === touchType)
       .select(col(idCol).as("touch_id"), col(userCol).as("u"),
         col(tsCol).as("cts"))
+    val touch =
+      if (maxTouchesPerWindow == Int.MaxValue) touchAll // exact path: no sort
+      else {
+        val bucketMicros = windowDays.toLong * 86400000000L
+        touchAll
+          .withColumn("bkt", floor(unix_micros($"cts") / bucketMicros))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"u", $"bkt")
+              .orderBy($"cts".desc, $"touch_id".desc)))
+          .filter($"rn" <= maxTouchesPerWindow)
+          .drop("bkt", "rn")
+      }
     conv
       .join(touch, conv("u") === touch("u") &&
         $"cts" <= $"pts" &&

@@ -13,7 +13,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Everything is edge-keyed joins + node-keyed aggregations — the
   * standard distributed shapes (no adjacency lists are ever collected,
-  * no per-node windows), so the same plans run over 10^10 edges.
+  * no per-node windows), so the same plans run over 10^10 edges. Both
+  * operators materialize their result via `localCheckpoint` and release
+  * the cached edge table before returning, so repeated calls in a
+  * long-lived session do not accumulate CacheManager storage.
   */
 object Graph {
 
@@ -23,18 +26,27 @@ object Graph {
     * standard recurrence run as join + aggregate:
     * `r'(v) = (1-d)/N + d * sum over neighbors u of r(u)/deg(u)`.
     *
-    * The iteration builds ONE lazy DAG (each round's join appears once;
-    * nothing is recomputed across rounds) over the persisted edge
-    * table; ranks and degrees are node-keyed so every round reuses the
-    * same hash partitioning. The node count N is a driver scalar — the
-    * one collect, O(1). Deterministic to the 6 rounded places: the
-    * recurrence is fixed-iteration with (1-d) passed as the SAME
-    * interpolated constant the oracle uses; float addition order only
-    * perturbs ulps, which the final round absorbs.
+    * Ranks and degrees are node-keyed so every round reuses the same
+    * hash partitioning over the persisted edge table; the node count N
+    * is a driver scalar — the one collect, O(1). For deep iteration
+    * (`iters > 10`) ranks are `localCheckpoint`ed every 5 rounds: the
+    * lineage would otherwise nest one join per round and plan
+    * compilation / recovery cost grows superlinearly past ~10 joins,
+    * while a checkpoint truncates it to a materialized node-keyed table
+    * (rank values are identical either way — checkpointing only cuts
+    * the plan, not the arithmetic). Deterministic to the 6 rounded
+    * places: the recurrence is fixed-iteration with (1-d) passed as the
+    * SAME interpolated constant the oracle uses; float addition order
+    * only perturbs ulps, which the final round absorbs.
     *
-    * Output: (node, rank) — rank rounded to 6; ranks sum to ~1. */
+    * Output: (node, rank) — rank rounded to 6; ranks sum to ~1. With
+    * `emitDelta` a third column `delta` carries the node's absolute
+    * rank change in the FINAL round (rounded to 9) so convergence is
+    * observable: `sum(delta)` is the L1 step size, and a caller tuning
+    * `iters` watches it approach 0. */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
-               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+               iters: Int = 10, damping: Double = 0.85,
+               emitDelta: Boolean = false): DataFrame = {
     require(iters >= 1 && damping > 0.0 && damping < 1.0,
       "need iters >= 1 and damping in (0, 1)")
     val spark = pairs.sparkSession
@@ -53,37 +65,95 @@ object Graph {
     val n = deg.count() // node count: the one driver scalar
     val teleport = 1.0 - damping
     var ranks = deg.select($"src".as("n"), (lit(1.0) / n).as("r"))
-    for (_ <- 1 to iters) {
+    var prev: DataFrame = null
+    for (i <- 1 to iters) {
+      if (emitDelta && i == iters) prev = ranks
       ranks = edges
         .join(ranks.select($"n".as("src"), $"r"), Seq("src"))
         .join(deg, Seq("src"))
         .select($"dst".as("n"), ($"r" / $"deg").as("c"))
         .groupBy($"n")
         .agg((lit(teleport) / n + lit(damping) * sum($"c")).as("r"))
+      // deep iteration: truncate lineage every 5 rounds (node-keyed
+      // table, one row per node — cheap to materialize)
+      if (iters > 10 && i < iters && i % 5 == 0)
+        ranks = ranks.localCheckpoint()
     }
-    ranks.select($"n".as("node"), round($"r", 6).as("rank"))
+    val projected =
+      if (emitDelta)
+        ranks.join(prev.select($"n", $"r".as("r_prev")), Seq("n"), "left")
+          .select($"n".as("node"), round($"r", 6).as("rank"),
+            round(abs($"r" - coalesce($"r_prev", lit(0.0))), 9).as("delta"))
+      else ranks.select($"n".as("node"), round($"r", 6).as("rank"))
+    // materialize, then release the cached edges: the returned frame
+    // reads its own checkpointed blocks, not the edge lineage
+    val out = projected.localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  /** Degree-ordered wedge generation — the hub-safe core of
+    * [[triangleCounts]], factored out so specs can pin the wedge count
+    * itself. Each undirected edge is oriented from its LOWER-(deg, id)
+    * endpoint to the higher one (struct comparison breaks degree ties
+    * by node id), and a wedge (u; v, w) is a pair of ORIENTED
+    * out-neighbors of u with (deg_v, v) < (deg_w, w). Orienting this
+    * way bounds any node's out-degree by O(sqrt(m)) — a hub of degree D
+    * receives its D edges inbound and generates ZERO wedges itself, so
+    * total wedge volume is O(m^1.5) instead of the sum of D^2/2 that
+    * ID-only canonical enumeration pays on hub-heavy graphs (exactly
+    * the shape of a boilerplate near-dup graph, where one template node
+    * links to everything).
+    *
+    * `maxDegree` is a further safety valve: edges incident to a node of
+    * degree > maxDegree are excluded from wedge generation entirely
+    * (triangle counts through such hubs become lower bounds; reported
+    * degrees stay exact). Default = no cap, exact counts.
+    *
+    * Output: (u, v, w) with the closing edge {v, w} NOT yet checked;
+    * each potential triangle appears exactly once. */
+  private[graft] def degreeOrientedWedges(
+      edges: DataFrame, deg: DataFrame, maxDegree: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withDeg = edges
+      .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
+      .filter($"da" <= maxDegree.toLong && $"db" <= maxDegree.toLong)
+    val lowFirst = struct($"da", $"a") < struct($"db", $"b")
+    val oriented = withDeg.select(
+      when(lowFirst, $"a").otherwise($"b").as("src"),
+      when(lowFirst, $"b").otherwise($"a").as("dst"),
+      when(lowFirst, $"db").otherwise($"da").as("ddst"))
+    oriented.select($"src", $"dst".as("v"), $"ddst".as("dv"))
+      .join(oriented.select($"src", $"dst".as("w"), $"ddst".as("dw")),
+        Seq("src"))
+      .filter(struct($"dv", $"v") < struct($"dw", $"w"))
+      .select($"src".as("u"), $"v", $"w")
   }
 
   /** Per-node triangle counts and local clustering coefficient over an
-    * UNDIRECTED pair list. Each triangle {a, b, c} is enumerated exactly
-    * once in canonical a < b < c orientation by the standard two-join
-    * plan — edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) — then credited to all
-    * three corners; the coefficient is `2T / (deg * (deg - 1))` (the
-    * fraction of a node's neighbor pairs that are themselves linked),
-    * null for degree-1 nodes.
+    * UNDIRECTED pair list. Wedges are generated DEGREE-ORDERED (see
+    * [[degreeOrientedWedges]]): each edge orients from its lower-
+    * (deg, id) endpoint, a wedge is an ordered pair of out-neighbors,
+    * and the closing edge {v, w} — necessarily oriented v -> w under
+    * the same ordering — is checked by one equi-join, so each triangle
+    * is enumerated exactly once and total join volume is O(m^1.5) even
+    * when one hub carries most of the edges. The coefficient is
+    * `2T / (deg * (deg - 1))` (the fraction of a node's neighbor pairs
+    * that are themselves linked), null for degree-1 nodes.
     *
-    * Scale shape: two equi-joins on edge endpoints (the join input is
-    * the ordered edge table, so each wedge is generated once, not
-    * twice) and one node-keyed count — no neighborhood arrays, no
-    * windows. Skew note: a hot MIDDLE node of degree D still generates
-    * ~D^2/2 wedges — the orientation here is by node ID (canonical
-    * enumeration only), NOT the degree-ordered orientation that
-    * mitigates hubs at web scale; on a hub-heavy pair graph apply a
-    * degree cap upstream (the Dedup family's df-cap pattern) or add
-    * degree-ordering before relying on this at 10^10 edges.
+    * Scale shape: two equi-joins (wedge build on src, closure on
+    * (v, w)) and one node-keyed count — no neighborhood arrays, no
+    * windows, and no D^2 blow-up on a hot node. `maxDegree` caps wedge
+    * generation through extreme hubs as a safety valve (counts through
+    * over-cap nodes become lower bounds; degrees stay exact); the
+    * default is uncapped/exact.
     *
     * Output: (node, deg, n_triangles, clustering) ordered by caller. */
-  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String,
+                     maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxDegree >= 1, "need maxDegree >= 1")
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs
@@ -95,17 +165,27 @@ object Graph {
     val deg = edges.select($"a".as("node"))
       .union(edges.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
-    val tri = edges.select($"a", $"b")
-      .join(edges.select($"a".as("b"), $"b".as("c")), Seq("b"))
-      .join(edges.select($"a", $"b".as("c")), Seq("a", "c"))
-      .select($"a", $"b", $"c")
-    val perNode = tri.select(explode(array($"a", $"b", $"c")).as("node"))
+    val wedges = degreeOrientedWedges(edges, deg, maxDegree)
+    // closing edge {v, w}: under the same (deg, id) orientation it can
+    // only appear as v -> w, so one equi-join on both keys closes it
+    val lowFirst = struct($"da", $"a") < struct($"db", $"b")
+    val orientedEdges = edges
+      .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
+      .select(when(lowFirst, $"a").otherwise($"b").as("v"),
+        when(lowFirst, $"b").otherwise($"a").as("w"))
+    val tri = wedges.join(orientedEdges, Seq("v", "w"))
+      .select($"u", $"v", $"w")
+    val perNode = tri.select(explode(array($"u", $"v", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).cast("long").as("n_triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    val projected = deg.join(perNode, Seq("node"), "left")
       .select($"node", $"deg",
         coalesce($"n_triangles", lit(0L)).as("n_triangles"),
         when($"deg" >= 2, round(
           lit(2.0) * coalesce($"n_triangles", lit(0L)) /
             ($"deg" * ($"deg" - 1)).cast("double"), 6)).as("clustering"))
+    val out = projected.localCheckpoint()
+    edges.unpersist()
+    out
   }
 }

@@ -470,6 +470,38 @@ class CurationOpsSpec extends SparkTestBase {
       (21L, 0L, None, None, None)))
   }
 
+  test("attribution maxTouchesPerWindow cap: latest-N-per-bucket kept, " +
+       "last_touch stays exact, n_touches becomes a lower bound, " +
+       "under-cap users unchanged") {
+    import spark.implicits._
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // buckets are EPOCH-aligned 7-day spans: floor(19726/7) = 2818
+    // starts 2024-01-04, so days 4..10 share one bucket. user 1: five
+    // clicks on days 4..8 (one bucket), purchase day 8 12:00 — all
+    // five in-window. user 2: two clicks, under cap.
+    val ev = Seq(
+      (10L, 1L, "click", t(4, 1), 0.0), (11L, 1L, "click", t(5, 1), 0.0),
+      (12L, 1L, "click", t(6, 1), 0.0), (13L, 1L, "click", t(7, 1), 0.0),
+      (14L, 1L, "click", t(8, 1), 0.0),
+      (20L, 1L, "purchase", t(8, 12), 50.0),
+      (30L, 2L, "click", t(5, 2), 0.0), (31L, 2L, "click", t(6, 2), 0.0),
+      (40L, 2L, "purchase", t(7, 4), 8.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    def run(cap: Int) =
+      Events.attribution(ev, "user_id", "event_type", "ts", "event_id",
+          "value", "purchase", "click", windowDays = 7,
+          maxTouchesPerWindow = cap)
+        .orderBy("conv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // capped at 3: user 1 keeps the LATEST three clicks (12, 13, 14) —
+    // n_touches drops 5 -> 3, first_touch shifts to 12, last stays 14;
+    // user 2 is under cap and byte-identical to the exact path
+    assert(run(3).toSeq === Seq((20L, 3L, 12L, 14L), (40L, 2L, 30L, 31L)))
+    assert(run(Int.MaxValue).toSeq ===
+      Seq((20L, 5L, 10L, 14L), (40L, 2L, 30L, 31L)))
+  }
+
   test("timeToConvert: hand-computed percentiles over converting users " +
        "only; purchase-before-view users do not convert") {
     import spark.implicits._

@@ -32,6 +32,33 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRank deep iteration: iters=30 checkpoints lineage (bounded " +
+       "wall time), delta column observes convergence, K3 stays exact") {
+    import spark.implicits._
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val t0 = System.nanoTime()
+    val got = Graph.pageRank(k3, "a", "b", iters = 30, emitDelta = true)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // 30 un-checkpointed rounds nest 30 joins deep and blow up plan
+    // compilation; checkpoint-every-5 keeps the whole run seconds-flat
+    assert(secs < 60.0, s"iters=30 took $secs s — lineage not truncated?")
+    assert(got.map(_.getDouble(1)).forall(_ === 0.333333),
+      "K3 fixed point survives checkpointing")
+    // K3 is already AT the fixed point: the final-round L1 step is 0
+    assert(got.map(_.getDouble(2)).forall(_ === 0.0),
+      "delta = 0 at the fixed point")
+    // a non-fixed-point graph has a strictly positive early delta that
+    // shrinks with iteration count
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    def l1(iters: Int): Double =
+      Graph.pageRank(path, "a", "b", iters = iters, emitDelta = true)
+        .agg(sum("delta")).head.getDouble(0)
+    val (early, late) = (l1(2), l1(20))
+    assert(early > 1e-4 && late < early / 10,
+      s"L1 step should shrink: iters=2 -> $early, iters=20 -> $late")
+  }
+
   test("triangleCounts: one triangle plus a tail — counts, degrees and " +
        "clustering hand-pinned; reversed/duplicated pairs collapse") {
     import spark.implicits._
@@ -49,5 +76,49 @@ class GraphSpec extends SparkTestBase {
       got(2)._4 === 0.333333)
     assert(got(3)._1 === 4L && got(3)._2 === 1L && got(3)._3 === 0L &&
       got(3)._4.isNaN, "degree-1 node: null clustering")
+  }
+
+  test("degree-ordered wedges: a 1000-leaf star generates ZERO wedges " +
+       "(ID-ordering would pay ~D^2/2); hub triangles still found") {
+    import spark.implicits._
+    // star: center 0 linked to 1..1000 — the boilerplate-template shape
+    val star = (1L to 1000L).map(i => (0L, i)).toDF("a", "b")
+    val edges = star
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .distinct()
+    val deg = edges.select($"a".as("node"))
+      .union(edges.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
+    // every edge orients leaf(deg 1) -> center(deg 1000); leaves have
+    // out-degree 1, the center out-degree 0 — no node pairs two
+    // out-neighbors, so the wedge table is EMPTY (ID ordering from the
+    // center would emit 1000*999/2 = 499500 wedges here)
+    assert(Graph.degreeOrientedWedges(edges, deg, Int.MaxValue)
+      .count() === 0L)
+    // glue one triangle onto the hub: 1-2 closes {0,1,2} — exactly one
+    // wedge is generated (at the lower-degree corner), one triangle out
+    val withTri = star.union(Seq((1L, 2L)).toDF("a", "b"))
+    val got = Graph.triangleCounts(withTri, "a", "b")
+      .filter($"n_triangles" > 0).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1000L, 1L), (1L, 2L, 1L), (2L, 2L, 1L)),
+      "hub triangle credited to all three corners, hub degree exact")
+  }
+
+  test("triangleCounts maxDegree cap: wedges through over-cap hubs are " +
+       "excluded (lower-bound counts), degrees stay exact") {
+    import spark.implicits._
+    // triangle {1,2,3} + hub 3 fanned to 10 extra leaves -> deg(3)=12
+    val fan = (10L to 19L).map(i => (3L, i))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ fan).toDF("a", "b")
+    val exact = Graph.triangleCounts(pairs, "a", "b")
+      .filter($"node" === 3L).head
+    assert(exact.getLong(1) === 12L && exact.getLong(2) === 1L)
+    // cap at 5: the edges into node 3 are dropped from wedge gen, so
+    // the {1,2,3} triangle is no longer countable — but deg stays 12
+    val capped = Graph.triangleCounts(pairs, "a", "b", maxDegree = 5)
+      .filter($"node" === 3L).head
+    assert(capped.getLong(1) === 12L && capped.getLong(2) === 0L,
+      "cap trades exactness for a wedge bound; degree column unchanged")
   }
 }
