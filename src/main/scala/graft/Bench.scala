@@ -65,17 +65,26 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
-    // SPARK_GRAFT_BENCH_PASSES=N (default 2): run each query N times and
+    // SPARK_GRAFT_BENCH_PASSES=N (default 3): run each query N times and
     // publish BOTH the first pass (cold plans — the round-over-round
-    // comparison number, matching how r3–r5 measured) and the last pass
-    // (steady state, plan compilation + codegen warm — the SCALE.md
-    // evidence number, robust to ambient host-load spikes that inflate a
-    // single cold pass). One artifact carries both so neither can be
-    // mistaken for the other.
+    // comparison number, matching how r3–r5 measured) and the per-query
+    // MEDIAN (steady state, robust to a host-load spike poisoning any
+    // one pass — r7's driver artifact read 3-14x inflated because a
+    // loaded host hit both of the two published passes). One artifact
+    // carries both so neither can be mistaken for the other, and the
+    // /proc/loadavg stamps below make an inflated run self-labeling.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .map(v => v.toIntOption.getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$v'")))
-      .getOrElse(2).max(1)
+      .getOrElse(3).max(1)
+    // 1-minute load average, stamped before and after the measured
+    // section: a run whose artifact carries load >> cpus explains its
+    // own inflation (host contention, not an engine regression)
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -90,8 +99,12 @@ object Bench {
       // happens to survive (first-run codegen, OOM) must not be recorded
       // as a clean success
       val anyFail = times.exists(_ < 0)
+      // lower median across passes: one loaded pass cannot move it
+      // (with the default 3 passes a single spike lands above the
+      // median; the old first/last publication let it poison both)
+      val median = times.sorted.apply((times.size - 1) / 2)
       name -> (if (anyFail) -1.0 else times.head,
-               if (anyFail) -1.0 else times.last)
+               if (anyFail) -1.0 else median)
     }
     def jmap(sel: ((Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
@@ -104,9 +117,10 @@ object Bench {
     val failed = results.collect { case (n, (v, _)) if v < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     // "value"/"queries" stay the FIRST-pass numbers (comparable with prior
-    // rounds); "steady_value"/"queries_steady" are the warm numbers.
-    // "passes" makes the artifact self-describing.
-    println(s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"failed":$failed,"sf":"$sfDir"}""")
+    // rounds); "steady_value"/"queries_steady" are the per-query medians.
+    // "passes" + the loadavg stamps make the artifact self-describing.
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
