@@ -273,7 +273,10 @@ object Sketches {
         round(est($"mins_b"), 6).as("est_b"),
         round(est($"mu"), 6).as("est_union"),
         round(inter, 6).as("est_inter"),
-        round(inter / est($"mu"), 6).as("est_jaccard"))
+        // a group whose value expression is entirely null carries an
+        // EMPTY sketch: est_union 0.0 would make this 0/0 = NaN —
+        // safeDiv nulls the degenerate pair instead (project rule)
+        round(Par.safeDiv(inter, est($"mu")), 6).as("est_jaccard"))
   }
 
   /** Approximate per-group quantiles from the bounded

@@ -411,10 +411,14 @@ object Stats {
     val ci = reps.groupBy($"key".as("__bs_key"))
       .agg(round(expr(s"percentile(mb, $lo)"), 6).as("ci_lo"),
         round(expr(s"percentile(mb, $hi)"), 6).as("ci_hi"))
+    // LEFT join: a group whose values are all null has no replicate
+    // rows and thus no CI row — the group itself must still report
+    // (n=0, null mean, null bounds), as the oracle's plain GROUP BY
+    // does, not silently vanish
     df.groupBy(col(keyCol).as("key"))
       .agg(count(col(valueCol)).cast("long").as("n"),
         round(avg(col(valueCol)), 6).as("mean"))
-      .join(broadcast(ci), $"key" === $"__bs_key")
+      .join(broadcast(ci), $"key" === $"__bs_key", "left")
       .select($"key".as(keyCol), $"n", $"mean", $"ci_lo", $"ci_hi")
   }
 

@@ -119,7 +119,17 @@ object Layout {
     val mm = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // empty input makes every min/max null — say so, instead of the
+    // misleading "columns must be non-null"
+    require(!(0 until 4).forall(mm.isNullAt),
+      "z-order input is empty: nothing to lay out")
     require(!mm.anyNull, "z-order columns must be non-null")
+    // enforce the documented domain-width bound: (x-lo)*65535 must stay
+    // exact in int64, so each column's width must be under ~2^47 —
+    // past it the 16-bit normalization silently degrades
+    require(mm.getLong(1) - mm.getLong(0) < (1L << 47) &&
+      mm.getLong(3) - mm.getLong(2) < (1L << 47),
+      "z-order column width must be < 2^47 for exact 16-bit normalization")
     // integer DIV, not the double-returning '/': (x-lo)*65535 reaches
     // width*65535, past double's 2^53 exact range for widths over ~2^37,
     // which would put some values one bucket off — DIV keeps the full

@@ -340,6 +340,19 @@ class CurationOpsSpec extends SparkTestBase {
     val widthS = a("s")._4 - a("s")._3
     val widthL = a("l")._4 - a("l")._3
     assert(widthL < widthS, s"more data -> tighter CI ($widthL vs $widthS)")
+    // a group whose values are ALL null produces no bootstrap
+    // replicates — the group row must still appear (n=0, null mean,
+    // null bounds), as the oracle's plain GROUP BY keeps it
+    val withNull = df.select($"g", $"rid", $"x")
+      .union(Seq(("empty", 9999L), ("empty", 9998L))
+        .toDF("g", "rid").withColumn("x", lit(null).cast("double"))
+        .select($"g", $"rid", $"x"))
+    val rows = Stats.bootstrapMeanCI(withNull, "g", "x", "rid", b = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.contains("empty"), "all-null group row is kept")
+    val e = rows("empty")
+    assert(e.getLong(1) === 0L && e.isNullAt(2) && e.isNullAt(3) &&
+      e.isNullAt(4), "n=0, null mean and bounds")
   }
 
   test("seasonalAnomaly: a quiet-hours spike flags against its own " +

@@ -269,6 +269,22 @@ class SketchesSpec extends SparkTestBase {
       ("a", "b", 3.0, 3.0, 4.0, 2.0, 0.5),
       ("a", "c", 3.0, 1.0, 4.0, 0.0, 0.0),
       ("b", "c", 3.0, 1.0, 4.0, 0.0, 0.0)))
+    // groups whose value expression is entirely null carry EMPTY
+    // sketches: a pair of two such groups has est_union 0 and its
+    // jaccard must be NULL (safeDiv rule), never IEEE 0/0 = NaN
+    val withNull = Seq(("a", Some("u1")), ("a", Some("u2")),
+      ("z1", None), ("z1", None), ("z2", None)).toDF("g", "u")
+    val byPair = Sketches.kmvOverlap(withNull, "g", $"u", k = 16)
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val az = byPair(("a", "z1"))
+    assert(az.getDouble(3) === 0.0 && az.getDouble(4) === 2.0 &&
+      az.getDouble(6) === 0.0,
+      "empty-vs-real pair: union is the real set, jaccard 0")
+    val zz = byPair(("z1", "z2"))
+    assert(zz.getDouble(4) === 0.0 && zz.getDouble(5) === 0.0,
+      "empty-vs-empty: union and inter both 0")
+    assert(zz.isNullAt(6), "degenerate 0/0 -> null, not NaN")
     // large overlapping sets: estimate within KMV error of the truth
     val x = (1 to 3000).map(i => ("x", s"user$i"))
     val y = (1501 to 4500).map(i => ("y", s"user$i")) // true J = 1500/4500

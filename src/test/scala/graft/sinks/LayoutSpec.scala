@@ -161,4 +161,29 @@ class LayoutSpec extends SparkTestBase {
       all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
+
+  test("writeZOrdered guards: empty input and over-wide domains fail " +
+       "with their OWN messages, not a misleading null complaint") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_layout_guard")
+    try {
+      val out = tmp.resolve("out").toString
+      val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+      val e1 = intercept[IllegalArgumentException] {
+        Layout.writeZOrdered(empty, out, n = 2, "a", "b")
+      }
+      assert(e1.getMessage.contains("input is empty"))
+      // width >= 2^47 on one column: the 16-bit normalization would
+      // silently degrade — must refuse up front
+      val wide = Seq((0L, 1L), (1L << 47, 2L)).toDF("a", "b")
+      val e2 = intercept[IllegalArgumentException] {
+        Layout.writeZOrdered(wide, out, n = 2, "a", "b")
+      }
+      assert(e2.getMessage.contains("2^47"))
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
 }
