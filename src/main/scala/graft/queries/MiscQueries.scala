@@ -1297,6 +1297,72 @@ object MiscQueries {
           acceptedValues(ord, "orders", "o_orderstatus",
             Seq("O", "F", "P"))))
           .orderBy("tbl", "chk")
+      }),
+
+    // ----- streaming ingest gate, batch-replayed (q54 precedent) -----
+    Q("q191_ingest_gate",
+      "the streaming corpus ingest gate replayed over the historical " +
+        "documents table: min-id-per-fingerprint dedup (the batch " +
+        "stand-in for first-arrival), quality + language via the SAME " +
+        "corpusFlags expressions the stream runs, and the q60-split " +
+        "eval fingerprints anti-joined broadcast — one ~50-byte/row " +
+        "exchange on fp, text never shuffles",
+      Some("""WITH flags AS (
+             |  SELECT doc_id, md5(text) AS fp,
+             |         min(doc_id) OVER (PARTITION BY md5(text)) AS first_id,
+             |         len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS n_tokens,
+             |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
+             |         len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+             |         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_hits,
+             |         len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS es_hits,
+             |         len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que)\b')) AS fr_hits,
+             |         CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+             |              WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+             |              WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+             |              WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+             |              ELSE 'fr' END AS lang_guess
+             |  FROM documents),
+             |ev AS (SELECT DISTINCT md5(text) AS fp FROM documents
+             |       WHERE doc_id % 10 = 0)
+             |SELECT f.doc_id, f.lang_guess
+             |FROM flags f
+             |WHERE f.doc_id = f.first_id
+             |  AND f.n_tokens >= 10 AND f.punct_ratio < 0.2
+             |  AND f.lang_guess = 'en'
+             |  AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.fp = f.fp)
+             |ORDER BY f.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.streaming.CorpusIngest.ingestGateBatch(docs, "doc_id",
+            "text",
+            evalFps = docs.filter(col("doc_id") % 10 === 0)
+              .select(md5(col("text")).as("fp")).distinct())
+          .orderBy("doc_id")
+      }),
+
+    // ----- stream-stream click attribution, batch-replayed -----
+    Q("q192_click_attribution",
+      "the stream-stream click-attribution join run as a batch query " +
+        "over the events table — the SAME EventStreams.clickAttribution " +
+        "code (batch planning elides the watermarks), purchases joining " +
+        "their user's clicks in the 30-minute lookback: one user-keyed " +
+        "equi join with the time bracket as a join-side filter",
+      Some("""SELECT p.user_id, p.ts AS purchase_ts,
+             |       p.event_id AS purchase_id, p.value,
+             |       c.ts AS click_ts, c.event_id AS click_id
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id
+             | AND p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts <= p.ts
+             | AND c.ts >= p.ts - INTERVAL 30 MINUTE
+             |ORDER BY purchase_id, click_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        graft.streaming.EventStreams.clickAttribution(
+            clicks = ev.filter(col("event_type") === "click"),
+            purchases = ev.filter(col("event_type") === "purchase"),
+            windowMinutes = 30)
+          .orderBy("purchase_id", "click_id")
       })
   )
 }

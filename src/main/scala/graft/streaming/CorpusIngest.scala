@@ -39,6 +39,30 @@ object CorpusIngest {
       .select(col(idCol), col(tsCol), col(textCol), col("lang_guess"))
   }
 
+  /** Batch replay of [[ingestGate]] — the same gate semantics over a
+    * historical documents table, oracle-checkable (the q54
+    * sessionizeBatch precedent). The one semantic substitution is the
+    * dedup keep rule: a batch table has no arrival order, so
+    * first-of-fingerprint becomes MIN-ID-of-fingerprint (one window
+    * over the 32-byte fp — a ~50-byte/row exchange, text never
+    * shuffles); quality, language, and the eval-set anti join are the
+    * identical `corpusFlags` expressions and broadcast pattern.
+    * Output: (id, lang_guess), gated rows only. */
+  def ingestGateBatch(docs: DataFrame, idCol: String, textCol: String,
+                      evalFps: DataFrame,
+                      keepLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = graft.analytics.TextAnalysis.corpusFlags(docs, textCol)
+      .select(col(idCol), col("fp"), col("q_ok"), col("lang_guess"))
+    flagged
+      .withColumn("first_id",
+        min(col(idCol)).over(Window.partitionBy(col("fp"))))
+      .filter(col(idCol) === col("first_id") &&
+        col("q_ok") && col("lang_guess") === keepLang)
+      .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_anti")
+      .select(col(idCol), col("lang_guess"))
+  }
+
   /** Score a document stream under a persisted
     * [[graft.analytics.Selection.logregTrain]] `(b, wt, mu, s)` model
     * artifact — model-artifact SERVING: the trained quality filter
