@@ -386,15 +386,26 @@ object Multimodal {
            "sum_sq", "peak_abs", "zero_cross")
   }
 
-  /** Minimal deterministic MP4 skeleton: `ftyp` + `moov(mvhd v0)` with
-    * formula-derived timescale/duration — enough container structure for
-    * any ISO-BMFF metadata parser. */
+  /** Minimal deterministic MP4 skeleton: `ftyp` + `moov(mvhd v0, trak/
+    * mdia/minf/stbl(stts, stsz))` with formula-derived timescale/
+    * duration and a real SAMPLE TABLE — `stts` (one run of n frames at
+    * a fixed delta) and `stsz` (varying per-frame byte sizes) — enough
+    * container structure for any ISO-BMFF metadata or frame-index
+    * parser, all fields recomputable from doc_id by a SQL oracle. */
   private[analytics] def syntheticMp4(docId: Long): Array[Byte] = {
     val timescale = 1000 * ((docId % 3).toInt + 1)
     val duration = 500 + (docId % 100).toInt
-    val buf = java.nio.ByteBuffer.allocate(16 + 116) // big-endian default
+    val n = 5 + (docId % 4).toInt           // frame count
+    val delta = 100 + (docId % 7).toInt     // per-frame duration units
+    val stszSize = 20 + 4 * n
+    val stblSize = 8 + 24 + stszSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + minfSize
+    val trakSize = 8 + mdiaSize
+    val moovSize = 8 + 108 + trakSize
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSize) // big-endian
     buf.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
-    buf.putInt(116).put("moov".getBytes)
+    buf.putInt(moovSize).put("moov".getBytes)
     buf.putInt(108).put("mvhd".getBytes)
     buf.putInt(0)                 // version 0 + flags
       .putInt(0).putInt(0)        // creation, modification
@@ -406,6 +417,20 @@ object Multimodal {
       buf.putInt(m)               // unity matrix
     for (_ <- 0 until 6) buf.putInt(0) // pre_defined
     buf.putInt(2)                 // next_track_id
+    buf.putInt(trakSize).put("trak".getBytes)
+    buf.putInt(mdiaSize).put("mdia".getBytes)
+    buf.putInt(minfSize).put("minf".getBytes)
+    buf.putInt(stblSize).put("stbl".getBytes)
+    buf.putInt(24).put("stts".getBytes)
+      .putInt(0)                  // version + flags
+      .putInt(1)                  // entry_count
+      .putInt(n).putInt(delta)    // one (count, delta) run
+    buf.putInt(stszSize).put("stsz".getBytes)
+      .putInt(0)                  // version + flags
+      .putInt(0)                  // sample_size 0 = per-sample table
+      .putInt(n)                  // sample_count
+    for (i <- 0 until n)
+      buf.putInt(200 + ((docId + i) % 50).toInt)
     buf.array()
   }
 
@@ -433,6 +458,36 @@ object Multimodal {
       }
     }.toDF("doc_id", "media_type", "n_bytes", "timescale",
            "duration_units", "duration_ms")
+  }
+
+  /** Container-level video FRAME INDEX via [[Mp4Headers.parseSampleTable]]:
+    * frame count, per-track duration units, total/max frame bytes from
+    * the `stts`/`stsz` sample tables, and the fps those imply against
+    * the `mvhd` timescale — the packet-level inventory a training
+    * pipeline shards and filters on (short clips, bitrate outliers),
+    * with zero codec work. Map-side per-row parse, no shuffle; payloads
+    * without a complete sample table are dropped (pixel decode of
+    * compressed codecs stays out of scope — needs codec libs). */
+  def videoFrameIndex(blobs: Dataset[MediaBlob]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        for {
+          m <- Mp4Headers.parse(b.data)
+          fi <- Mp4Headers.parseSampleTable(b.data)
+        } yield (b.doc_id, fi.nFrames, fi.durationUnits, fi.totalBytes,
+          fi.maxBytes, m.timescale)
+      }
+    }.toDF("doc_id", "n_frames", "duration_units_frames",
+           "total_sample_bytes", "max_sample_bytes", "timescale")
+      .select(col("doc_id"), col("n_frames"), col("duration_units_frames"),
+        col("total_sample_bytes"), col("max_sample_bytes"),
+        // ANSI: guard the denominator itself — a zero-duration track
+        // yields null fps, not DIVIDE_BY_ZERO
+        round(col("n_frames").cast("double") * col("timescale") /
+          when(col("duration_units_frames") > 0,
+            col("duration_units_frames").cast("double")), 6).as("fps"))
   }
 
   /** The decode gate: REAL ImageIO decode of each payload, deterministic
@@ -688,6 +743,68 @@ object Mp4Headers {
                 else None
               else Some(Mp4Meta(be32(d, hs + 12), be32(d, hs + 16)))
     } yield meta
+  }
+
+  /** Frame index from the sample tables — the container-level "frame
+    * decode" that needs NO codec: `stts` (time-to-sample runs) gives
+    * the frame count and total track duration in media units, `stsz`
+    * gives per-frame byte sizes. */
+  final case class Mp4FrameIndex(nFrames: Long, durationUnits: Long,
+                                 totalBytes: Long, maxBytes: Long)
+
+  /** Walk moov/trak/mdia/minf/stbl to the first track's `stts` + `stsz`
+    * and fold the sample tables. None on any malformed/truncated table,
+    * and on an stts/stsz frame-count disagreement (a malformed file
+    * must not half-parse). Pure byte inspection, one pass per box. */
+  def parseSampleTable(d: Array[Byte]): Option[Mp4FrameIndex] = {
+    if (d == null || d.length < 16) return None
+    val lead = new String(d, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (!LeadBoxes.contains(lead)) return None
+    for {
+      (ms, me) <- findBox(d, 0, d.length, "moov")
+      (ts, te) <- findBox(d, ms, me, "trak")
+      (mds, mde) <- findBox(d, ts, te, "mdia")
+      (mns, mne) <- findBox(d, mds, mde, "minf")
+      (ss, se) <- findBox(d, mns, mne, "stbl")
+      (tts, tte) <- findBox(d, ss, se, "stts")
+      (szs, sze) <- findBox(d, ss, se, "stsz")
+      idx <- foldSampleTables(d, tts, tte, szs, sze)
+    } yield idx
+  }
+
+  private def foldSampleTables(d: Array[Byte], tts: Int, tte: Int,
+                               szs: Int, sze: Int): Option[Mp4FrameIndex] = {
+    // stts: version/flags(4) entry_count(4) then (count, delta) pairs
+    if (tte - tts < 8) return None
+    val nEntries = be32(d, tts + 4)
+    if (nEntries < 0 || tte - tts - 8 < 8L * nEntries) return None
+    var frames = 0L; var durUnits = 0L
+    var e = 0
+    while (e < nEntries) {
+      val c = be32(d, tts + 8 + 8 * e)
+      frames += c
+      durUnits += c * be32(d, tts + 12 + 8 * e)
+      e += 1
+    }
+    // stsz: version/flags(4) sample_size(4) sample_count(4) [+ sizes]
+    if (sze - szs < 12) return None
+    val fixedSize = be32(d, szs + 4)
+    val count = be32(d, szs + 8)
+    if (count != frames) return None // tables disagree: malformed
+    val (total, mx) =
+      if (fixedSize != 0L) (fixedSize * count, if (count > 0) fixedSize else 0L)
+      else {
+        if (sze - szs - 12 < 4L * count) return None
+        var t = 0L; var m = 0L
+        var i = 0
+        while (i < count) {
+          val s = be32(d, szs + 12 + 4 * i)
+          t += s; if (s > m) m = s
+          i += 1
+        }
+        (t, m)
+      }
+    Some(Mp4FrameIndex(frames, durUnits, total, mx))
   }
 }
 

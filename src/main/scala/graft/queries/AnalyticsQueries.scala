@@ -872,13 +872,36 @@ object AnalyticsQueries {
         "timescale, duration units, exact integer duration from mvhd",
       Some("""SELECT doc_id,
              |       'video/mp4' AS media_type,
-             |       CAST(132 AS BIGINT) AS n_bytes,
+             |       CAST(228 + 4 * (doc_id % 4) AS BIGINT) AS n_bytes,
              |       CAST(1000 * (doc_id % 3 + 1) AS BIGINT) AS timescale,
              |       CAST(500 + doc_id % 100 AS BIGINT) AS duration_units,
              |       CAST((500 + doc_id % 100) * 1000 // (1000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) =>
         Multimodal.videoMeta(
+            Multimodal.syntheticMp4Blobs(Tables(s, dir, "documents"), "doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- video frame index: stts/stsz sample-table parse, no codec -----
+    Q("q193_video_frame_index",
+      "container-level frame inventory from the MP4 sample tables: " +
+        "frame count + track duration from stts runs, per-frame byte " +
+        "totals/max from stsz, fps implied against the mvhd timescale " +
+        "— the packet-level metadata a video pipeline shards and " +
+        "filters on with ZERO codec work; map-side per-row byte walk, " +
+        "oracle recomputes every field from the generative formula",
+      Some("""SELECT doc_id,
+             |       CAST(5 + doc_id % 4 AS BIGINT) AS n_frames,
+             |       CAST((5 + doc_id % 4) * (100 + doc_id % 7) AS BIGINT) AS duration_units_frames,
+             |       (SELECT CAST(sum(200 + (doc_id + i.x) % 50) AS BIGINT)
+             |        FROM unnest(range(5 + doc_id % 4)) AS i(x)) AS total_sample_bytes,
+             |       (SELECT CAST(max(200 + (doc_id + i.x) % 50) AS BIGINT)
+             |        FROM unnest(range(5 + doc_id % 4)) AS i(x)) AS max_sample_bytes,
+             |       round(CAST((5 + doc_id % 4) AS DOUBLE) * (1000 * (doc_id % 3 + 1))
+             |             / ((5 + doc_id % 4) * (100 + doc_id % 7)), 6) AS fps
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Multimodal.videoFrameIndex(
             Multimodal.syntheticMp4Blobs(Tables(s, dir, "documents"), "doc_id"))
           .orderBy("doc_id")),
 

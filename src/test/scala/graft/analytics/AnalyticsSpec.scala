@@ -1948,6 +1948,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(Mp4Headers.parse(Multimodal.syntheticWav(1L)) === None)
   }
 
+  test("Mp4Headers.parseSampleTable: stts runs + stsz sizes fold to the " +
+       "frame index; truncated or disagreeing tables drop whole") {
+    // doc 5: n = 5+5%4 = 6 frames, delta = 100+5%7 = 105,
+    // sizes 200+((5+i)%50) for i<6 -> 205..210
+    val mp4 = Multimodal.syntheticMp4(5L)
+    val fi = Mp4Headers.parseSampleTable(mp4).get
+    assert(fi === Mp4Headers.Mp4FrameIndex(6L, 6L * 105, 205 + 206 + 207 +
+      208 + 209 + 210, 210L))
+    // fixed-size stsz (sample_size != 0, no per-sample table): find the
+    // stsz payload and rewrite sample_size in place
+    val fixed = mp4.clone()
+    val szOff = { // locate "stsz" ascii
+      var i = 0
+      while (!(fixed(i) == 's' && fixed(i + 1) == 't' && fixed(i + 2) == 's'
+        && fixed(i + 3) == 'z')) i += 1
+      i + 4
+    }
+    // sample_size field is at szOff + 4 (after version/flags)
+    java.nio.ByteBuffer.wrap(fixed).putInt(szOff + 4, 333)
+    val ff = Mp4Headers.parseSampleTable(fixed).get
+    assert(ff.totalBytes === 333L * 6 && ff.maxBytes === 333L)
+    // stsz count disagreeing with stts total: malformed, drop whole
+    val bad = mp4.clone()
+    java.nio.ByteBuffer.wrap(bad).putInt(szOff + 8, 4) // claim 4 frames
+    assert(Mp4Headers.parseSampleTable(bad) === None)
+    // truncated per-sample table: declared 6 sizes, buffer cut short
+    assert(Mp4Headers.parseSampleTable(
+      java.util.Arrays.copyOf(mp4, mp4.length - 8)) === None)
+    // no sample table at all (the pre-extension skeleton shape)
+    assert(Mp4Headers.parseSampleTable("not a video".getBytes) === None)
+  }
+
   test("videoMeta flows through the distributed path and drops non-MP4") {
     import spark.implicits._
     val blobs = Seq(
