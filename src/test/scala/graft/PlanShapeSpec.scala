@@ -196,6 +196,64 @@ class PlanShapeSpec extends SparkTestBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("newest BNLJ allowlist entries carry MACHINE-CHECKED reasons: " +
+       "q147/q182 build sides are grouping-free one-row aggregates, " +
+       "q169's build side is the keyed sketch over a <= 64-key dictionary") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val dir = "/root/testdata/sf0.001"
+    // AQE wraps materialized subtrees in leaf QueryStageExec nodes;
+    // traverse through them so build-side structure stays visible
+    def deep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val stages = p.collect { case s: QueryStageExec => s.plan }
+      p.collect(pf) ++ stages.flatMap(deep(_)(pf))
+    }
+    def buildSides(name: String): Seq[SparkPlan] = {
+      val q = queries.Catalog.all.find(_.name == name)
+        .getOrElse(fail(s"$name not in catalog"))
+      val df = q.run(spark, dir)
+      df.collect() // finalize the adaptive plan
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val joins = deep(root) { case b: BroadcastNestedLoopJoinExec => b }
+      assert(joins.nonEmpty, s"$name: expected a BNLJ in the plan")
+      joins.map(b => if (b.buildSide == BuildLeft) b.left else b.right)
+    }
+    // the TOPMOST aggregate below the broadcast determines the
+    // broadcast's row count: grouping-free = structurally ONE row,
+    // keyed = bounded by that key's dictionary (deep() yields outer
+    // nodes before stage subtrees, so .headOption is the topmost)
+    def topAggGrouped(p: SparkPlan): Option[Boolean] =
+      deep(p) {
+        case h: HashAggregateExec => h.groupingExpressions.nonEmpty
+        case o: ObjectHashAggregateExec => o.groupingExpressions.nonEmpty
+        case s: SortAggregateExec => s.groupingExpressions.nonEmpty
+      }.headOption
+    // q147/q182: the allowlist comment says "broadcast ONE-ROW total" —
+    // prove it: every BNLJ build side must top out in a grouping-free
+    // aggregate, which is structurally a single row
+    for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier"))
+      for (b <- buildSides(name))
+        assert(topAggGrouped(b).contains(false),
+          s"$name: BNLJ build side must top out in a grouping-free " +
+            s"one-row aggregate, got:\n$b")
+    // q169: the comment says "broadcast dictionary-sized sketch table" —
+    // prove the two halves separately: the build side tops out in a
+    // BY-KEY aggregate (rows bounded by the key dictionary, independent
+    // of event volume), and the key dictionary itself is tiny
+    for (b <- buildSides("q169_kmv_overlap"))
+      assert(topAggGrouped(b).contains(true),
+        s"q169: BNLJ build side must be the keyed sketch aggregate:\n$b")
+    val dict = queries.Tables(spark, dir, "events")
+      .select("event_type").distinct().count()
+    assert(dict <= 64, s"event_type dictionary must stay tiny, got $dict")
+  }
+
   test("IVF assignment has no Window over the n x centroids product") {
     import org.apache.spark.sql.functions._
     val df = analytics.Similarity.ivfTopK(
