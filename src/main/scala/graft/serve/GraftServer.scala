@@ -1,0 +1,324 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.Pipeline
+import graft.sources.{PathGuard, XmlSource}
+
+/** The serving shim: binds the reference's 24 HTTP routes
+  * (main.py:1744–2331, client routing static/js/main.js:265–288) over
+  * the engine's [[graft.Pipeline]] functions with the JDK's built-in
+  * `com.sun.net.httpserver` — no web framework, no new dependency. A
+  * reference user's client can point at this server and run every
+  * conversion they run today:
+  *
+  *   GET  /  /robots.txt  /sitemap.xml  /api/user-info   (chrome)
+  *   POST /process_file            extension-dispatched conversion
+  *   POST /process_link            {link_url, preset_id, return_url}
+  *   POST /convert_csv_to_xml      (+ xml_format form/query field)
+  *   POST /convert_csv_to_excel | /convert_excel_to_csv
+  *   POST /convert_json_to_csv  | /convert_csv_to_json
+  *   POST /convert_xml_to_json     (+ optional row_tag, else detected)
+  *   POST /convert_pdf_to_csv | _excel | _json | _png | _jpg
+  *   POST /convert_csv_to_pdf | /convert_excel_to_pdf (+ report_style)
+  *   POST /convert_image_to_pdf | /convert_jpg_to_png | /convert_png_to_jpg
+  *   GET  /status/{preset_id}      completed echo (main.py:2321)
+  *   GET  /download/data_files/{f} PathGuard-validated file serving
+  *
+  * Upload envelope is `multipart/form-data` ([[Multipart]]); converted
+  * files land in `dataDir` (the reference's `data_files/`) and are
+  * served back via `/download/data_files/<name>`, the same URL shape
+  * the reference returns. Error mapping mirrors the reference:
+  * client-side validation failures → 400, missing download → 404,
+  * oversize upload (100 MB, main.py:1779) → 413, engine errors → 500
+  * with a `{"detail": ...}` body.
+  *
+  * Threading: handlers run on a cached pool; SparkSession is
+  * thread-safe, so concurrent conversions interleave as independent
+  * jobs on the shared session — the GIL-free answer to the reference's
+  * single-process service.
+  */
+final class GraftServer(spark: SparkSession, dataDir: Path,
+                        host: String = "127.0.0.1", port: Int = 0) {
+
+  import GraftServer._
+
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  Files.createDirectories(dataDir)
+
+  // ---- route table ------------------------------------------------------
+
+  route("/", ex => respond(ex, 200, IndexHtml, "text/html"))
+  route("/robots.txt",
+    ex => respond(ex, 200, "User-agent: *\nAllow: /\n", "text/plain"))
+  route("/sitemap.xml", ex => respond(ex, 200,
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>/</loc></url></urlset>
+      |""".stripMargin, "application/xml"))
+  route("/api/user-info",
+    ex => respondJson(ex, 200, """{"authenticated": false, "user": null}"""))
+
+  route("/process_file", upload(Seq.empty) { (in, _) =>
+    Pipeline.processFile(spark, in.toString, dataDir.toString)
+  })
+  route("/convert_csv_to_xml", upload(Seq(".csv")) { (in, fields) =>
+    Pipeline.processCsvToXml(spark, in.toString, dataDir.toString,
+      xmlFormat = fields.getOrElse("xml_format", "yandex_market"))
+  })
+  route("/convert_csv_to_excel", upload(Seq(".csv")) { (in, _) =>
+    Pipeline.processCsvToExcel(spark, in.toString, dataDir.toString)
+  })
+  route("/convert_excel_to_csv", upload(Seq(".xlsx", ".xls")) { (in, _) =>
+    Pipeline.processExcelToCsv(spark, in.toString, dataDir.toString)
+  })
+  route("/convert_json_to_csv", upload(Seq(".json")) { (in, _) =>
+    Pipeline.processJsonToCsv(spark, in.toString, dataDir.toString)
+  })
+  route("/convert_csv_to_json", upload(Seq(".csv")) { (in, fields) =>
+    Pipeline.processCsvToJson(spark, in.toString, dataDir.toString,
+      jsonFormat = fields.getOrElse("json_format", "array"))
+  })
+  route("/convert_xml_to_json", upload(Seq(".xml")) { (in, fields) =>
+    val rowTag = fields.getOrElse("row_tag",
+      XmlSource.detectFile(in.toString).rowTag)
+    Pipeline.processXmlToJson(spark, in.toString, dataDir.toString, rowTag)
+  })
+  route("/convert_jpg_to_png", upload(Seq(".jpg", ".jpeg")) { (in, _) =>
+    Pipeline.processJpgToPng(in.toString, dataDir.toString)
+  })
+  route("/convert_png_to_jpg", upload(Seq(".png")) { (in, _) =>
+    Pipeline.processPngToJpg(in.toString, dataDir.toString)
+  })
+  route("/convert_pdf_to_csv", upload(Seq(".pdf")) { (in, _) =>
+    Pipeline.processPdfToCsv(spark, in.toString, dataDir.toString)
+  })
+  route("/convert_pdf_to_excel", upload(Seq(".pdf")) { (in, _) =>
+    Pipeline.processPdfToExcel(spark, in.toString, dataDir.toString)
+  })
+  route("/convert_pdf_to_json", upload(Seq(".pdf")) { (in, _) =>
+    Pipeline.processPdfToJson(spark, in.toString, dataDir.toString)
+  })
+  route("/convert_csv_to_pdf", upload(Seq(".csv")) { (in, fields) =>
+    Pipeline.processCsvToPdf(spark, in.toString, dataDir.toString,
+      reportStyle = fields.getOrElse("report_style", "table"))
+  })
+  route("/convert_excel_to_pdf", upload(Seq(".xlsx", ".xls")) { (in, fields) =>
+    Pipeline.processExcelToPdf(spark, in.toString, dataDir.toString,
+      reportStyle = fields.getOrElse("report_style", "table"))
+  })
+  route("/convert_image_to_pdf", upload(Seq(".jpg", ".jpeg", ".png")) {
+    (in, _) => Pipeline.processImageToPdf(in.toString, dataDir.toString)
+  })
+  route("/convert_pdf_to_png", upload(Seq(".pdf")) { (in, _) =>
+    Pipeline.processPdfToImages(in.toString, dataDir.toString, "png")
+  })
+  route("/convert_pdf_to_jpg", upload(Seq(".pdf")) { (in, _) =>
+    Pipeline.processPdfToImages(in.toString, dataDir.toString, "jpg")
+  })
+
+  route("/process_link", ex => handled(ex) {
+    val body = new String(readBody(ex), UTF_8)
+    val linkUrl = jsonField(body, "link_url")
+      .getOrElse(throw new IllegalArgumentException("link_url is required"))
+    val presetId = jsonField(body, "preset_id").getOrElse("")
+    val returnUrl = jsonField(body, "return_url").filter(_.nonEmpty)
+    val targetNode = if (presetId.isEmpty) "auto" else presetId
+    val out = Pipeline.processLink(spark, linkUrl, dataDir.toString,
+      targetNode = targetNode, returnUrl = returnUrl)
+    respondJson(ex, 200,
+      s"""{"file_url": ${jsonStr(downloadUrl(out))}, """ +
+        s""""preset_id": ${jsonStr(presetId)}, "status": "completed"}""")
+  })
+
+  // main.py:2321 returns a hardcoded completed body; mirror its shape
+  // against our own download namespace
+  route("/status/", ex => handled(ex) {
+    val presetId = ex.getRequestURI.getPath.stripPrefix("/status/")
+    respondJson(ex, 200,
+      s"""{"status": "completed", "preset_id": ${jsonStr(presetId)}}""")
+  })
+
+  route("/download/data_files/", ex => handled(ex) {
+    val filename = ex.getRequestURI.getPath
+      .stripPrefix("/download/data_files/")
+    val f = PathGuard.validatedFilePath(dataDir, filename)
+    respondBytes(ex, 200, Files.readAllBytes(f), "application/octet-stream")
+  })
+
+  // ---- lifecycle --------------------------------------------------------
+
+  def start(): GraftServer = { server.start(); this }
+  def boundPort: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://$host:$boundPort"
+  def stop(): Unit = server.stop(0)
+
+  // ---- handler plumbing -------------------------------------------------
+
+  private def route(path: String, h: HttpExchange => Unit): Unit =
+    server.createContext(path, (ex: HttpExchange) => h(ex))
+
+  /** Wrap a handler with the reference's error mapping. */
+  private def handled(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: TooLarge =>
+        respondJson(ex, 413, s"""{"detail": ${jsonStr(e.getMessage)}}""")
+      case e: java.io.FileNotFoundException =>
+        respondJson(ex, 404, s"""{"detail": ${jsonStr(e.getMessage)}}""")
+      case e: IllegalArgumentException =>
+        respondJson(ex, 400, s"""{"detail": ${jsonStr(
+          Option(e.getMessage).getOrElse("Bad request"))}}""")
+      case e: Throwable =>
+        respondJson(ex, 500, s"""{"detail": ${jsonStr(
+          "Error processing file: " + Option(e.getMessage).getOrElse(e.toString))}}""")
+    }
+    finally ex.close()
+
+  /** Multipart-upload route body: save the `file` part under its
+    * (sanitized, extension-validated) client name, run the conversion
+    * into `dataDir`, answer the reference's completion JSON. */
+  private def upload(exts: Seq[String])(
+      run: (Path, Map[String, String]) => Path): HttpExchange => Unit =
+    ex => handled(ex) {
+      val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("")
+      val boundary = Multipart.boundaryOf(ct).getOrElse(
+        throw new IllegalArgumentException("Expected multipart/form-data"))
+      val parts = Multipart.parse(readBody(ex), boundary)
+      val filePart = parts.find(_.filename.isDefined)
+        .orElse(parts.find(_.name == "file"))
+        .getOrElse(throw new IllegalArgumentException("Missing file part"))
+      if (filePart.data.isEmpty)
+        throw new IllegalArgumentException("File is empty")
+      val safeName = Paths.get(
+        filePart.filename.getOrElse("uploaded_file").replace('\\', '/'))
+        .getFileName.toString
+      if (exts.nonEmpty && !exts.exists(safeName.toLowerCase.endsWith))
+        throw new IllegalArgumentException(
+          s"Only ${exts.mkString("/")} files are supported")
+      val fields = parts.filter(_.filename.isEmpty)
+        .map(p => p.name -> new String(p.data, UTF_8)).toMap ++
+        queryParams(ex)
+      val tmpDir = Files.createTempDirectory("graft_upload")
+      try {
+        val in = tmpDir.resolve(safeName)
+        Files.write(in, filePart.data)
+        val out = run(in, fields)
+        val name = out.getFileName.toString
+        respondJson(ex, 200,
+          s"""{"file_url": ${jsonStr(downloadUrl(out))}, """ +
+            s""""status": "completed", "filename": ${jsonStr(name)}}""")
+      } finally {
+        val walk = Files.walk(tmpDir)
+        val all = try walk.iterator().asScala.toSeq finally walk.close()
+        all.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+
+  private def downloadUrl(out: Path): String =
+    s"/download/data_files/${out.getFileName.toString}"
+
+  private def readBody(ex: HttpExchange): Array[Byte] = {
+    // reference cap: 100 MB (main.py:1779); read one byte past to
+    // distinguish at-limit from over-limit
+    val in = ex.getRequestBody
+    val bytes = in.readNBytes(MaxUpload + 1)
+    if (bytes.length > MaxUpload)
+      throw new TooLarge("File too large. Maximum size is 100MB")
+    bytes
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, UTF_8) ->
+              java.net.URLDecoder.decode(v, UTF_8))
+          case _ => None
+        }
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      cType: String): Unit =
+    respondBytes(ex, code, body.getBytes(UTF_8), s"$cType; charset=utf-8")
+
+  private def respondJson(ex: HttpExchange, code: Int, body: String): Unit =
+    respond(ex, code, body, "application/json")
+
+  private def respondBytes(ex: HttpExchange, code: Int, bytes: Array[Byte],
+                           cType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", cType)
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
+}
+
+object GraftServer {
+
+  private final class TooLarge(msg: String) extends RuntimeException(msg)
+  private val MaxUpload = 100 * 1024 * 1024
+
+  /** Minimal extraction of a STRING field from a flat JSON object —
+    * the `/process_link` body is `{link_url, preset_id, return_url}`
+    * (main.py LinkData); handles escaped quotes/backslashes and the
+    * standard escape set, which is all a URL/id field can carry. */
+  private[serve] def jsonField(body: String, name: String): Option[String] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(name) +
+      "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    re.findFirstMatchIn(body).map { m =>
+      val sb = new StringBuilder
+      val s = m.group(1)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' if i + 5 < s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case other => sb.append(other)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  private[serve] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private val IndexHtml =
+    """<!doctype html><html><head><title>graft</title></head><body>
+      |<h1>graft — Spark-native feed/tabular conversion service</h1>
+      |<p>POST multipart uploads to /process_file or any
+      |/convert_* route; POST JSON {"link_url": ...} to /process_link;
+      |fetch results from /download/data_files/&lt;name&gt;.</p>
+      |</body></html>
+      |""".stripMargin
+}
