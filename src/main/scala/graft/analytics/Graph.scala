@@ -188,4 +188,64 @@ object Graph {
     edges.unpersist()
     out
   }
+
+  /** k-core membership by FIXED-ROUND peel: `rounds` iterations of
+    * "drop every node whose current degree is below k (and its edges)"
+    * over the symmetrized distinct edge set. The k-core is the
+    * dedup-graph pruning tool — a template hub with a thousand
+    * degree-1 pendants is NOT dense structure, and peeling strips the
+    * pendants (and whatever chains they expose) before cluster
+    * analysis runs.
+    *
+    * The round count is part of the OPERATOR CONTRACT, not a
+    * convergence heuristic: exactly `rounds` peels always run, so a
+    * replayed oracle (or a rerun on the same data) reaches the
+    * identical intermediate state even when the peel has not yet
+    * converged — after round r the survivor set is exact for any graph
+    * whose peel terminates within r rounds, and an upper bound on the
+    * true k-core otherwise (each extra round only removes). Chain
+    * graphs peel one layer per round, so size `rounds` to the longest
+    * pendant chain you care to strip; real near-dup graphs collapse in
+    * a handful.
+    *
+    * Scale shape: each round is one node-keyed degree agg + one
+    * semi-join of edges against survivors — the pageRank round shape;
+    * lineage is `localCheckpoint`-truncated every 3 rounds. Output:
+    * (node, deg, in_core 0/1) for every ORIGINAL node, deg = the
+    * node's degree within the surviving subgraph (original degree for
+    * peeled nodes' row: null). */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String,
+            k: Int = 2, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges0 = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allNodes = edges0.select($"a".as("node"))
+      .union(edges0.select($"b".as("node"))).distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select($"a".as("node")).union(e.select($"b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
+    var edges = edges0.select($"a", $"b")
+    for (r <- 1 to rounds) {
+      val keep = degrees(edges).filter($"deg" >= k).select($"node")
+      edges = edges
+        .join(keep.select($"node".as("a")), Seq("a"), "left_semi")
+        .join(keep.select($"node".as("b")), Seq("b"), "left_semi")
+        .select($"a", $"b")
+      if (r < rounds && r % 3 == 0) edges = edges.localCheckpoint()
+    }
+    val surv = degrees(edges).filter($"deg" >= k)
+    val projected = allNodes
+      .join(surv, Seq("node"), "left")
+      .select($"node", $"deg",
+        when($"deg".isNotNull, 1).otherwise(0).as("in_core"))
+    val out = projected.localCheckpoint()
+    edges0.unpersist()
+    out
+  }
 }

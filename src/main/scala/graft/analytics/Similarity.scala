@@ -75,6 +75,76 @@ object Similarity {
       .select($"qid", $"rn", $"vid".as("neighbor_id"), $"cos_sim")
   }
 
+  /** Maximal Marginal Relevance diversified re-rank (Carbonell &
+    * Goldstein 1998) — the retrieval-diversity step between "top-k by
+    * similarity" and "top-k worth showing": from each query's
+    * `candidates`-deep cosine shortlist, greedily select k items
+    * maximizing `lambda * sim(q, d) - (1 - lambda) * max sim(d, S)`
+    * where S is the already-selected set, so near-duplicate hits can't
+    * crowd the result page the way raw top-k lets them.
+    *
+    * Scale shape: the shortlist is the [[bruteForceTopK]] probe (swap
+    * in [[ivfTopK]]/[[graft.analytics.Cluster.ivfPqTopK]] upstream for
+    * big corpora — MMR only needs (qid, vid, simq) + vectors); the
+    * pairwise penalty table is candidates² rows PER QUERY (bounded,
+    * e.g. 10² = 100), and each greedy step is one query-keyed
+    * anti-join + penalty max + argmax — k unrolled DataFrame steps
+    * over dictionary-sized tables, the pageRank unroll pattern, no
+    * driver loop over data. Deterministic: every score is rounded to 6
+    * before the argmax and ties break by id, so a SQL oracle replays
+    * the identical greedy trajectory.
+    *
+    * Output: (qid, step, neighbor_id, mmr_score), step 1..k in
+    * selection order; step 1 is the plain top hit scaled by lambda. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, candidates: Int = 10, k: Int = 5,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && candidates >= k, "need 1 <= k <= candidates")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cand = bruteForceTopK(emb, idCol, vecCol, queryPred, candidates)
+      .select($"qid", $"neighbor_id".as("vid"), $"cos_sim".as("simq"))
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val cv = cand.join(v, Seq("vid")).select($"qid", $"vid", $"simq", $"v")
+    val pair = cv.select($"qid", $"vid".as("vid_a"), $"v".as("va"))
+      .join(cv.select($"qid", $"vid".as("vid_b"), $"v".as("vb")), Seq("qid"))
+      .filter($"vid_a" =!= $"vid_b")
+      .select($"qid", $"vid_a", $"vid_b",
+        round(cosine($"va", $"vb"), 6).as("sim_ab"))
+    // the 1-lambda constant is interpolated ONCE and reused by the SQL
+    // oracle verbatim, so both engines score with the identical IEEE
+    // double (the pageRank teleport precedent); scores round via
+    // round(x * 1e6) / 1e6 rather than round(x, 6) — both engines then
+    // round the SAME scaled double to an integer, where round(x, 6)
+    // leaves DuckDB's internal x*1e6 free to cross a half-way point
+    // Spark's exact-decimal rounding does not (bit-level knife edge)
+    val penalty = 1.0 - lambda
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"score".desc, $"vid")))
+        .filter($"rn" === 1).drop("rn")
+        .withColumn("step", lit(step))
+    var all = pick(cand.select($"qid", $"vid",
+      (round(lit(lambda) * $"simq" * 1e6) / 1e6).as("score")), 1)
+    for (s <- 2 to k) {
+      val rem = cand.join(all.select($"qid", $"vid"),
+        Seq("qid", "vid"), "left_anti")
+      val pen = pair.join(all.select($"qid", $"vid".as("vid_b")),
+          Seq("qid", "vid_b"))
+        .groupBy($"qid", $"vid_a".as("vid")).agg(max($"sim_ab").as("ms"))
+      val scored = rem.join(pen, Seq("qid", "vid"), "left")
+        .select($"qid", $"vid",
+          (round((lit(lambda) * $"simq" -
+            lit(penalty) * coalesce($"ms", lit(0.0))) * 1e6) / 1e6)
+            .as("score"))
+      all = all.unionByName(pick(scored, s))
+    }
+    all.select($"qid", $"step", $"vid".as("neighbor_id"),
+      $"score".as("mmr_score"))
+  }
+
   /** Embedding-cosine near-dup candidate pairs, IVF-bucketed: vectors are
     * assigned to their nearest hash-selected centroid (map-side argmax),
     * then only SAME-BUCKET pairs are scored — |corpus|²/nCentroids work

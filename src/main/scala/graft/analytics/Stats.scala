@@ -563,4 +563,118 @@ object Stats {
         $"__mad_med".as("med"), $"__mad_mad".as("mad"), rz.as("rz"),
         coalesce(abs(rz) > thresh, lit(false)).as("is_outlier"))
   }
+
+  /** Population Stability Index between a REFERENCE slice and a CURRENT
+    * slice of a value column, per key — the standard "did the serving
+    * distribution drift from training" gate (credit-scoring lineage;
+    * the industry thresholds are 0.1 = watch, 0.25 = drifted). Values
+    * bucket into `nBins` fixed-width bins (`floor(v / binWidth)`
+    * clamped to [0, nBins)), each side's bucket share is floored at
+    * `eps` so a bucket present on only one side contributes a finite
+    * term, and `PSI = sum over buckets of (p - q) * ln(p / q)`.
+    *
+    * Scale shape: two map-side-filtered (key, bucket) partial aggs —
+    * dictionary-sized output (keys x nBins), one full-outer join of
+    * the two bucket tables, one key-keyed sum; event volume never
+    * shuffles. Deterministic to the rounded places: each bucket's term
+    * is rounded to 9 and summed as scaled integers, so float addition
+    * order cannot flip the 6th decimal a SQL oracle sees.
+    *
+    * Output: (key, n_ref, n_cur, psi, verdict in
+    * {stable, watch, drifted}); keys missing a side entirely report a
+    * null psi (no distribution to compare). */
+  def psiDrift(df: DataFrame, keyCol: String, valueCol: String,
+               refPred: Column, curPred: Column,
+               binWidth: Double = 10.0, nBins: Int = 20,
+               eps: Double = 1e-4): DataFrame = {
+    require(binWidth > 0 && nBins >= 2 && eps > 0,
+      "need binWidth > 0, nBins >= 2, eps > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def side(pred: Column, cnt: String) =
+      Par.ensure(df).filter(pred && col(valueCol).isNotNull)
+        .select(col(keyCol).as("key"),
+          least(lit(nBins - 1), greatest(lit(0),
+            floor(col(valueCol) / binWidth))).cast("int").as("bkt"))
+        .groupBy($"key", $"bkt").agg(count(lit(1)).as(cnt))
+    val joined = side(refPred, "cr").join(side(curPred, "cc"),
+      Seq("key", "bkt"), "full_outer")
+    val totals = joined.groupBy($"key")
+      .agg(sum(coalesce($"cr", lit(0L))).as("nr"),
+        sum(coalesce($"cc", lit(0L))).as("nc"))
+    val p = greatest(coalesce($"cr", lit(0L)).cast("double") /
+      when($"nr" > 0, $"nr".cast("double")), lit(eps))
+    val q = greatest(coalesce($"cc", lit(0L)).cast("double") /
+      when($"nc" > 0, $"nc".cast("double")), lit(eps))
+    // per-bucket term as a scaled integer (scale FIRST, round to a
+    // whole number, THEN cast — round(x,9)*1e9 would truncate vs
+    // DuckDB's rounding cast): summation order cannot perturb the
+    // rounded result either engine reports
+    val term = round((p - q) * log(p / q) * 1e9).cast("long")
+    joined.join(totals, Seq("key"))
+      .groupBy($"key")
+      .agg(max($"nr").cast("long").as("n_ref"),
+        max($"nc").cast("long").as("n_cur"),
+        round(sum(term) / 1e9, 6).as("psi_raw"))
+      .select($"key", $"n_ref", $"n_cur",
+        // a key seen on only one side has no distribution to compare:
+        // null psi + no_data, not a score against the eps floor
+        when($"n_ref" > 0 && $"n_cur" > 0, $"psi_raw").as("psi"))
+      .withColumn("verdict",
+        when($"psi".isNull, "no_data")
+          .when($"psi" > 0.25, "drifted")
+          .when($"psi" > 0.1, "watch")
+          .otherwise("stable"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift statistic per key: the max
+    * absolute gap between the two slices' empirical CDFs — the
+    * bin-free complement of [[psiDrift]] (PSI sees WHERE mass moved,
+    * KS sees the worst single displacement and carries a significance
+    * threshold). Both CDFs step only at observed values, so the exact
+    * statistic is the max over the pooled distinct-value grid of
+    * `|F_ref(v) - F_cur(v)|`; the drift flag compares against the
+    * large-sample alpha = 0.05 critical value
+    * `1.358 * sqrt((n1 + n2) / (n1 * n2))`.
+    *
+    * Scale shape: the feed compresses to (key, value)-distinct counts
+    * in one partial agg; the CDF sweep is one window sort over that
+    * compressed table (bounded by distinct values per key — the
+    * monitoring-table shape, never raw event volume); the max is a
+    * key-keyed agg. Deterministic: cumulative counts are exact
+    * integers, both engines divide the same integers and round 6.
+    *
+    * Output: (key, n_ref, n_cur, ks, threshold, drifted). */
+  def ksDrift(df: DataFrame, keyCol: String, valueCol: String,
+              refPred: Column, curPred: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Par.ensure(df).filter(col(valueCol).isNotNull &&
+        (refPred || curPred))
+      .select(col(keyCol).as("key"), col(valueCol).as("v"),
+        refPred.cast("long").as("ir"), curPred.cast("long").as("ic"))
+      .groupBy($"key", $"v")
+      .agg(sum($"ir").as("cr"), sum($"ic").as("cc"))
+    val w = Window.partitionBy($"key").orderBy($"v")
+    val cum = base
+      .withColumn("ar", sum($"cr").over(w))
+      .withColumn("ac", sum($"cc").over(w))
+    val tot = cum.groupBy($"key")
+      .agg(max($"ar").as("nr"), max($"ac").as("nc"))
+    cum.join(tot, Seq("key"))
+      .select($"key", $"nr", $"nc",
+        abs($"ar".cast("double") / when($"nr" > 0, $"nr".cast("double")) -
+          $"ac".cast("double") / when($"nc" > 0, $"nc".cast("double")))
+          .as("gap"))
+      .groupBy($"key")
+      .agg(max($"nr").cast("long").as("n_ref"),
+        max($"nc").cast("long").as("n_cur"),
+        round(max($"gap"), 6).as("ks"))
+      .select($"key", $"n_ref", $"n_cur", $"ks",
+        round(lit(1.358) * sqrt(($"n_ref" + $"n_cur").cast("double") /
+          when($"n_ref" * $"n_cur" > 0,
+            ($"n_ref" * $"n_cur").cast("double"))), 6).as("threshold"))
+      .withColumn("drifted", $"ks" > $"threshold")
+  }
 }

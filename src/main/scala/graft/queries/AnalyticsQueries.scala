@@ -3655,7 +3655,135 @@ object AnalyticsQueries {
       (s, dir) =>
         graft.analytics.Stats.bootstrapMeanCI(Tables(s, dir, "events"),
             "event_type", "value", "event_id", b = 32)
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // ----- MMR diversified re-rank -----
+    Q("q194_mmr_rerank",
+      "Maximal Marginal Relevance top-5 from each query's 10-deep " +
+        "cosine shortlist (lambda=0.7): greedy select maximizing " +
+        "relevance minus max-similarity-to-selected, so near-duplicate " +
+        "hits can't crowd the result page; candidate pair table is " +
+        "10^2 rows per query, each greedy step one query-keyed " +
+        "anti-join + penalty max + argmax — 5 unrolled steps over " +
+        "dictionary-sized tables (the pageRank unroll), every score " +
+        "rounded 6 with id tiebreak so the oracle replays the exact " +
+        "greedy trajectory",
+      Some(mmrOracleSql(candidates = 10, k = 5, lambda = 0.7)),
+      (s, dir) =>
+        graft.analytics.Similarity.mmrRerank(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 100 === 0,
+            candidates = 10, k = 5, lambda = 0.7)
+          .orderBy("qid", "step")),
+
+    // ----- PSI distribution drift -----
+    Q("q195_psi_drift",
+      "Population Stability Index per event type between the even- and " +
+        "odd-user halves of the feed (fixed-width value bins, eps " +
+        "floor, industry 0.1/0.25 thresholds) — the did-the-serving-" +
+        "distribution-drift gate; two map-side-filtered (key, bin) " +
+        "aggs joined full-outer, per-bin terms summed as scaled " +
+        "integers so float order can't flip the rounded result",
+      Some("""WITH r AS (
+             |  SELECT event_type AS key,
+             |         CAST(least(19, greatest(0, floor(value / 10.0))) AS INT) AS bkt,
+             |         count(*) AS cr
+             |  FROM events WHERE value IS NOT NULL AND user_id % 2 = 0
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type AS key,
+             |         CAST(least(19, greatest(0, floor(value / 10.0))) AS INT) AS bkt,
+             |         count(*) AS cc
+             |  FROM events WHERE value IS NOT NULL AND user_id % 2 = 1
+             |  GROUP BY 1, 2),
+             |j AS (SELECT coalesce(r.key, c.key) AS key,
+             |             coalesce(r.bkt, c.bkt) AS bkt, r.cr, c.cc
+             |      FROM r FULL OUTER JOIN c ON r.key = c.key AND r.bkt = c.bkt),
+             |t AS (SELECT key, sum(coalesce(cr, 0)) AS nr,
+             |             sum(coalesce(cc, 0)) AS nc
+             |      FROM j GROUP BY 1),
+             |s AS (SELECT j.key, t.nr, t.nc,
+             |        greatest(CAST(coalesce(j.cr, 0) AS DOUBLE) / nullif(t.nr, 0), 0.0001) AS p,
+             |        greatest(CAST(coalesce(j.cc, 0) AS DOUBLE) / nullif(t.nc, 0), 0.0001) AS q
+             |      FROM j JOIN t ON t.key = j.key),
+             |a AS (SELECT key, CAST(max(nr) AS BIGINT) AS n_ref,
+             |             CAST(max(nc) AS BIGINT) AS n_cur,
+             |             round(sum(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT)) / 1e9, 6) AS psi_raw
+             |      FROM s GROUP BY key)
+             |SELECT key, n_ref, n_cur,
+             |       CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi_raw END AS psi,
+             |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN 'no_data'
+             |            WHEN psi_raw > 0.25 THEN 'drifted'
+             |            WHEN psi_raw > 0.1 THEN 'watch'
+             |            ELSE 'stable' END AS verdict
+             |FROM a ORDER BY key""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.psiDrift(Tables(s, dir, "events"),
+            "event_type", "value",
+            refPred = col("user_id") % 2 === 0,
+            curPred = col("user_id") % 2 === 1)
+          .orderBy("key")),
+
+    // ----- two-sample KS drift -----
+    Q("q196_ks_drift",
+      "two-sample Kolmogorov-Smirnov statistic per event type between " +
+        "the even- and odd-user halves: max |F_ref - F_cur| over the " +
+        "pooled distinct-value grid + the alpha=0.05 large-sample " +
+        "threshold — the bin-free complement of q195; the feed " +
+        "compresses to (key, value)-distinct counts, one window sort " +
+        "over that table, one key-keyed max",
+      Some("""WITH f AS (
+             |  SELECT event_type AS key, value AS v,
+             |         CAST(user_id % 2 = 0 AS BIGINT) AS ir,
+             |         CAST(user_id % 2 = 1 AS BIGINT) AS ic
+             |  FROM events
+             |  WHERE value IS NOT NULL AND (user_id % 2 = 0 OR user_id % 2 = 1)),
+             |g AS (SELECT key, v, sum(ir) AS cr, sum(ic) AS cc
+             |      FROM f GROUP BY 1, 2),
+             |cm AS (SELECT key, v,
+             |         sum(cr) OVER (PARTITION BY key ORDER BY v) AS ar,
+             |         sum(cc) OVER (PARTITION BY key ORDER BY v) AS ac
+             |       FROM g),
+             |t AS (SELECT key, max(ar) AS nr, max(ac) AS nc
+             |      FROM cm GROUP BY 1),
+             |gp AS (SELECT cm.key, t.nr, t.nc,
+             |         abs(CAST(ar AS DOUBLE) / nullif(CAST(t.nr AS DOUBLE), 0)
+             |           - CAST(ac AS DOUBLE) / nullif(CAST(t.nc AS DOUBLE), 0)) AS gap
+             |       FROM cm JOIN t ON t.key = cm.key),
+             |a AS (SELECT key, CAST(max(nr) AS BIGINT) AS n_ref,
+             |             CAST(max(nc) AS BIGINT) AS n_cur,
+             |             round(max(gap), 6) AS ks
+             |      FROM gp GROUP BY key)
+             |SELECT key, n_ref, n_cur, ks,
+             |       round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+             |         / nullif(CAST(n_ref * n_cur AS DOUBLE), 0)), 6) AS threshold,
+             |       ks > round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+             |         / nullif(CAST(n_ref * n_cur AS DOUBLE), 0)), 6) AS drifted
+             |FROM a ORDER BY key""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.ksDrift(Tables(s, dir, "events"),
+            "event_type", "value",
+            refPred = col("user_id") % 2 === 0,
+            curPred = col("user_id") % 2 === 1)
+          .orderBy("key")),
+
+    // ----- k-core peel of the candidate graph -----
+    Q("q197_kcore",
+      "2-core membership of the q19 LSH candidate graph by 8 FIXED " +
+        "peel rounds (drop degree<2 nodes + their edges, repeat): " +
+        "strips template-hub pendants and exposed chains before " +
+        "cluster analysis; each round is one node-keyed degree agg + " +
+        "one survivor semi-join (the pageRank round shape), round " +
+        "count part of the contract so the oracle replays the " +
+        "identical partial peel",
+      Some(kCoreOracleSql(k = 2, rounds = 8)),
+      (s, dir) =>
+        graft.analytics.Graph.kCore(
+            Dedup.minhashCandidates(
+              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
+                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+              maxBucket = 1000),
+            "doc_a", "doc_b", k = 2, rounds = 8)
+          .orderBy("node"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —
@@ -3795,6 +3923,93 @@ object AnalyticsQueries {
       s"""
          |SELECT v AS node, round(r, 6) AS rank
          |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled greedy MMR in DuckDB: the q24 shortlist + candidate-pair
+    * cosine table, then `k` MATERIALIZED selection steps, each scoring
+    * the unselected candidates (`lambda * simq - (1-lambda) * max sim
+    * to selected`, rounded 6, id tiebreak) and picking the argmax —
+    * the same unrolled trajectory
+    * [[graft.analytics.Similarity.mmrRerank]] runs; the `1 - lambda`
+    * constant interpolates as the identical IEEE double. */
+  private def mmrOracleSql(candidates: Int, k: Int,
+                           lambda: Double): String = {
+    val pen = 1.0 - lambda
+    val head = vCte + s""",
+      |mq AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id % 100 = 0),
+      |msc AS (SELECT qid, vec_id AS vid, ${cosSql("qv", "vv")} AS simq
+      |        FROM mq, v WHERE qid <> vec_id),
+      |cand AS MATERIALIZED (SELECT qid, vid, simq FROM (
+      |  SELECT qid, vid, simq,
+      |         row_number() OVER (PARTITION BY qid ORDER BY simq DESC, vid) AS rn
+      |  FROM msc) WHERE rn <= $candidates),
+      |cv AS MATERIALIZED (SELECT c.qid, c.vid, c.simq, v.vv
+      |      FROM cand c JOIN v ON v.vec_id = c.vid),
+      |pr AS MATERIALIZED (
+      |  SELECT a.qid, a.vid AS vid_a, b.vid AS vid_b,
+      |         ${cosSql("a.vv", "b.vv")} AS sim_ab
+      |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.vid <> b.vid),
+      |s1 AS MATERIALIZED (SELECT qid, vid, score, 1 AS step FROM (
+      |  SELECT qid, vid, round($lambda * simq * 1e6) / 1e6 AS score,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY round($lambda * simq * 1e6) / 1e6 DESC, vid) AS rn
+      |  FROM cand) WHERE rn = 1),
+      |sel1 AS (SELECT qid, vid, score, step FROM s1)""".stripMargin
+    val steps = (2 to k).map { s =>
+      s""",
+         |sc$s AS (
+         |  SELECT r.qid, r.vid,
+         |         round(($lambda * r.simq - $pen * coalesce(p.ms, 0.0)) * 1e6) / 1e6 AS score
+         |  FROM (SELECT c.* FROM cand c
+         |        ANTI JOIN sel${s - 1} x ON x.qid = c.qid AND x.vid = c.vid) r
+         |  LEFT JOIN (SELECT pr.qid, pr.vid_a AS vid, max(pr.sim_ab) AS ms
+         |             FROM pr JOIN sel${s - 1} x
+         |               ON x.qid = pr.qid AND x.vid = pr.vid_b
+         |             GROUP BY pr.qid, pr.vid_a) p
+         |    ON p.qid = r.qid AND p.vid = r.vid),
+         |s$s AS MATERIALIZED (SELECT qid, vid, score, $s AS step FROM (
+         |  SELECT qid, vid, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
+         |  FROM sc$s) WHERE rn = 1),
+         |sel$s AS (SELECT * FROM sel${s - 1} UNION ALL SELECT * FROM s$s)""".stripMargin
+    }.mkString
+    head + steps + s"""
+      |SELECT qid, CAST(step AS INT) AS step, vid AS neighbor_id,
+      |       score AS mmr_score
+      |FROM sel$k ORDER BY qid, step""".stripMargin
+  }
+
+  /** Unrolled fixed-round k-core peel in DuckDB over the q19 candidate
+    * graph: `rounds` MATERIALIZED (degree, survivor, edge-filter) CTE
+    * triples replaying [[graft.analytics.Graph.kCore]]'s exact partial
+    * peel, then the final survivor degrees left-joined to the original
+    * node set. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val head = shCte + lshCte + """,
+      | e0 AS MATERIALIZED (
+      |   SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      |   FROM cand WHERE doc_a <> doc_b),
+      | n0 AS (SELECT a AS node FROM e0 UNION SELECT b FROM e0)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+         | d$r AS (SELECT node, count(*) AS deg FROM (
+         |   SELECT a AS node FROM e${r - 1}
+         |   UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+         | k$r AS (SELECT node FROM d$r WHERE deg >= $k),
+         | e$r AS MATERIALIZED (
+         |   SELECT e.a, e.b FROM e${r - 1} e
+         |   JOIN k$r x ON x.node = e.a
+         |   JOIN k$r y ON y.node = e.b)""".stripMargin
+    }.mkString
+    head + steps + s""",
+      | ds AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |   SELECT a AS node FROM e$rounds
+      |   UNION ALL SELECT b FROM e$rounds) GROUP BY 1),
+      | sv AS (SELECT node, deg FROM ds WHERE deg >= $k)
+      |SELECT n0.node, sv.deg,
+      |       CASE WHEN sv.deg IS NOT NULL THEN 1 ELSE 0 END AS in_core
+      |FROM n0 LEFT JOIN sv ON sv.node = n0.node
+      |ORDER BY n0.node""".stripMargin
   }
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one

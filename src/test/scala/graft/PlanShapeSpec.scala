@@ -181,7 +181,11 @@ class PlanShapeSpec extends SparkTestBase {
       "q169_kmv_overlap",
       // q182: user lifetimes x broadcast ONE-ROW feed-cutoff date (the
       // q77/q88 one-row-total bracket)
-      "q182_kaplan_meier")
+      "q182_kaplan_meier",
+      // q194: shortlist rides the q24 query x broadcast corpus probe
+      // (swap in ivfTopK upstream at scale); the MMR steps themselves
+      // are equi-joins over candidates-sized tables
+      "q194_mmr_rerank")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan

@@ -670,6 +670,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 >= 90L || p._2 >= 90L))
   }
+
+  test("mmrRerank: an exact duplicate of the top hit is demoted below " +
+       "the diverse candidate; plain top-k would rank it second") {
+    import spark.implicits._
+    // query 0 = (0.8, 0.6); candidates: 1 = (1,0), 2 = exact duplicate
+    // of 1, 3 = (0,1). simq: 1 -> 0.8, 2 -> 0.8, 3 -> 0.6 — raw top-2
+    // is {1, 2}. With lambda = 0.5: step 1 picks 1 (tie with 2, id
+    // tiebreak, score 0.4); step 2 scores 2 at 0.5*0.8 - 0.5*1.0 =
+    // -0.1 and 3 at 0.5*0.6 - 0.5*0 = 0.3 -> 3 wins; step 3 takes the
+    // leftover duplicate at -0.1
+    val emb = Seq(
+      (0L, Array(0.8f, 0.6f)), (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        col("vec_id") === 0, candidates = 3, k = 3, lambda = 0.5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1, 1L, 0.4), (2, 3L, 0.3), (3, 2L, -0.1)))
+    // contrast: the similarity-only shortlist puts the duplicate 2nd
+    val plain = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2)
+      .orderBy("rn").collect().map(_.getLong(2))
+    assert(plain.toSeq === Seq(1L, 2L))
+  }
 }
 
 class PqSpec extends SparkTestBase {
@@ -2018,6 +2043,52 @@ class MultimodalSpec extends SparkTestBase {
 }
 
 class StatsSpec extends SparkTestBase {
+
+  test("psiDrift: identical halves are stable at psi 0; fully displaced " +
+       "mass is drifted with the hand-computed eps-floor psi; a " +
+       "one-sided key reports no_data") {
+    import spark.implicits._
+    val rows =
+      // g_same: both sides identical (10 values in bin 0, 10 in bin 1)
+      (0 until 10).flatMap(i => Seq(("g_same", 0L, 5.0), ("g_same", 1L, 5.0),
+        ("g_same", 0L, 15.0), ("g_same", 1L, 15.0))) ++
+      // g_move: ref all in bin 0, cur all in bin 1 — total displacement
+      (0 until 10).flatMap(i => Seq(("g_move", 0L, 5.0), ("g_move", 1L, 15.0))) ++
+      // g_one: current side only
+      Seq(("g_one", 1L, 5.0))
+    val df = rows.toDF("k", "user_id", "value")
+    val got = Stats.psiDrift(df, "k", "value",
+        refPred = col("user_id") % 2 === 0, curPred = col("user_id") % 2 === 1)
+      .orderBy("key").collect()
+      .map(r => r.getString(0) -> (Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getString(4))).toMap
+    assert(got("g_same") === ((Some(0.0), "stable")))
+    // displaced: p = (1, eps), q = (eps, 1) ->
+    // psi = 2 * (1 - 1e-4) * ln(1 / 1e-4), each term rounded at 1e-9
+    val term = math.round((1.0 - 1e-4) * math.log(1.0 / 1e-4) * 1e9)
+    val expected = math.round(2.0 * term / 1e9 * 1e6) / 1e6.toDouble
+    assert(got("g_move")._2 === "drifted")
+    assert(math.abs(got("g_move")._1.get - expected) < 1e-9,
+      s"psi ${got("g_move")._1} vs $expected")
+    assert(got("g_one") === ((None, "no_data")))
+  }
+
+  test("ksDrift: disjoint supports give ks = 1 (drifted past the " +
+       "alpha=.05 threshold); identical samples give ks = 0") {
+    import spark.implicits._
+    val rows =
+      (1 to 5).flatMap(i => Seq(("dis", 0L, i.toDouble), ("dis", 1L, i + 100.0))) ++
+      (1 to 5).flatMap(i => Seq(("same", 0L, i.toDouble), ("same", 1L, i.toDouble)))
+    val got = Stats.ksDrift(rows.toDF("k", "user_id", "value"), "k", "value",
+        refPred = col("user_id") % 2 === 0, curPred = col("user_id") % 2 === 1)
+      .orderBy("key").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    val thr = math.round(1.358 * math.sqrt(10.0 / 25.0) * 1e6) / 1e6.toDouble
+    assert(got("dis") === ((5L, 5L, 1.0, thr, true)))
+    assert(got("same")._3 === 0.0 && !got("same")._5)
+  }
 
   test("covariance matrix matches a direct computation; diagonal is the " +
        "variance; mismatched-dim rows are dropped") {

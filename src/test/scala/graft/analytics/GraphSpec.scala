@@ -105,6 +105,28 @@ class GraphSpec extends SparkTestBase {
       "hub triangle credited to all three corners, hub degree exact")
   }
 
+  test("kCore: pendant chain peels one layer per round (fixed-round " +
+       "contract observable); converged peel keeps exactly the 2-core") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5: the 2-core is the triangle
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    def run(rounds: Int) =
+      Graph.kCore(g, "a", "b", k = 2, rounds = rounds)
+        .orderBy("node").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2)))
+    // 1 round: only leaf 5 peels; 4 survives the edge filter but fails
+    // the final deg >= 2 cut — membership already right, but node 3
+    // still counts its edge to 4
+    assert(run(1).toSeq === Seq((1L, 2L, 1), (2L, 2L, 1), (3L, 3L, 1),
+      (4L, -1L, 0), (5L, -1L, 0)))
+    // 2+ rounds: converged — the triangle alone, all degrees 2
+    for (r <- Seq(2, 8))
+      assert(run(r).toSeq === Seq((1L, 2L, 1), (2L, 2L, 1), (3L, 2L, 1),
+        (4L, -1L, 0), (5L, -1L, 0)), s"rounds=$r")
+  }
+
   test("triangleCounts maxDegree cap: wedges through over-cap hubs are " +
        "excluded (lower-bound counts), degrees stay exact") {
     import spark.implicits._
