@@ -554,7 +554,22 @@ object ScaleBench {
         // two user-keyed min-aggs + one percentile row — scan-flat
         "q190_time_to_conv" -> (() =>
           analytics.Events.timeToConvert(events, "user_id", "event_type",
-            "ts", startType = "view", endType = "purchase").count()))
+            "ts", startType = "view", endType = "purchase").count()),
+        // 8 fixed peel rounds x (degree agg + survivor semi-join) over
+        // the hub graph — nothing peels (all deg >= 2), so this prices
+        // the pure round overhead at edge-volume scale
+        "q197_kcore_hub" -> (() =>
+          analytics.Graph.kCore(hubPairs, "a", "b", k = 2, rounds = 8)
+            .count()),
+        // (key, bin) partial aggs + dictionary-sized join — scan-linear
+        "q195_psi" -> (() =>
+          analytics.Stats.psiDrift(events, "event_type", "value",
+            col("user_id") % 2 === 0, col("user_id") % 2 === 1).count()),
+        // (key, value)-distinct compression + one window sort over the
+        // compressed table — grows with distinct values, not volume
+        "q196_ks" -> (() =>
+          analytics.Stats.ksDrift(events, "event_type", "value",
+            col("user_id") % 2 === 0, col("user_id") % 2 === 1).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -198,22 +198,26 @@ object Graph {
     * analysis runs.
     *
     * The round count is part of the OPERATOR CONTRACT, not a
-    * convergence heuristic: exactly `rounds` peels always run, so a
-    * replayed oracle (or a rerun on the same data) reaches the
-    * identical intermediate state even when the peel has not yet
-    * converged — after round r the survivor set is exact for any graph
-    * whose peel terminates within r rounds, and an upper bound on the
-    * true k-core otherwise (each extra round only removes). Chain
-    * graphs peel one layer per round, so size `rounds` to the longest
-    * pendant chain you care to strip; real near-dup graphs collapse in
-    * a handful.
+    * convergence heuristic: the result is always the state after
+    * exactly `rounds` peels, so a replayed oracle (or a rerun on the
+    * same data) reaches the identical intermediate state even when the
+    * peel has not yet converged — after round r the survivor set is
+    * exact for any graph whose peel terminates within r rounds, and an
+    * upper bound on the true k-core otherwise (each extra round only
+    * removes). Chain graphs peel one layer per round, so size `rounds`
+    * to the longest pendant chain you care to strip; real near-dup
+    * graphs collapse in a handful. A round that removes NOTHING is a
+    * fixed point — every later round is provably a no-op — so the loop
+    * exits early there with a result identical to the full unroll (the
+    * measured hub graph converges in 1 round instead of paying 8).
     *
     * Scale shape: each round is one node-keyed degree agg + one
-    * semi-join of edges against survivors — the pageRank round shape;
-    * lineage is `localCheckpoint`-truncated every 3 rounds. Output:
-    * (node, deg, in_core 0/1) for every ORIGINAL node, deg = the
-    * node's degree within the surviving subgraph (original degree for
-    * peeled nodes' row: null). */
+    * survivor semi-join of the edge table — the pageRank round shape;
+    * the per-round degree table and edge survivors are
+    * `localCheckpoint`ed (node-keyed / shrinking tables), so lineage
+    * stays one round deep. Output: (node, deg, in_core 0/1) for every
+    * ORIGINAL node; deg = the node's degree within the surviving
+    * subgraph, null for peeled nodes. */
   def kCore(pairs: DataFrame, aCol: String, bCol: String,
             k: Int = 2, rounds: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
@@ -231,15 +235,24 @@ object Graph {
       e.select($"a".as("node")).union(e.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
     var edges = edges0.select($"a", $"b")
-    for (r <- 1 to rounds) {
-      val keep = degrees(edges).filter($"deg" >= k).select($"node")
-      edges = edges
-        .join(keep.select($"node".as("a")), Seq("a"), "left_semi")
-        .join(keep.select($"node".as("b")), Seq("b"), "left_semi")
-        .select($"a", $"b")
-      if (r < rounds && r % 3 == 0) edges = edges.localCheckpoint()
+    var finalDeg: DataFrame = null
+    var r = 0
+    while (r < rounds && finalDeg == null) {
+      val deg = degrees(edges).localCheckpoint()
+      if (deg.filter($"deg" < k).isEmpty) finalDeg = deg // fixed point
+      else {
+        val keep = deg.filter($"deg" >= k).select($"node")
+        edges = edges
+          .join(keep.select($"node".as("a")), Seq("a"), "left_semi")
+          .join(keep.select($"node".as("b")), Seq("b"), "left_semi")
+          .select($"a", $"b")
+          .localCheckpoint()
+      }
+      r += 1
     }
-    val surv = degrees(edges).filter($"deg" >= k)
+    val surv =
+      (if (finalDeg != null) finalDeg else degrees(edges))
+        .filter($"deg" >= k)
     val projected = allNodes
       .join(surv, Seq("node"), "left")
       .select($"node", $"deg",
