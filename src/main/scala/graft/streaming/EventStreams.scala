@@ -424,4 +424,119 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class PsiRow(event_type: String, hr: Long, n: Long,
+                          psi: Option[Double], verdict: String)
+  final case class PsiState(hours: Array[Long], bins: Array[Array[Long]],
+                            emittedThrough: Long)
+
+  /** Build the per-key reference bin counts
+    * [[psiMonitor]] compares against — the TRAINING distribution,
+    * computed once from a batch frame with the identical binning
+    * [[graft.analytics.Stats.psiDrift]] uses. Output is
+    * dictionary-sized (keys x nBins), the one collect. */
+  def psiReferenceBins(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                       valueCol: String, binWidth: Double = 10.0,
+                       nBins: Int = 20): Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions._
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        least(lit(nBins - 1), greatest(lit(0),
+          floor(col(valueCol) / binWidth))).cast("int").as("b"))
+      .groupBy("k", "b").count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        val arr = new Array[Long](nBins)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        k -> arr
+      }
+  }
+
+  /** Hourly PSI drift monitor over a LIVE feed: the
+    * [[graft.analytics.Stats.psiDrift]] gate (q195) per event type,
+    * each CLOSED hour's value distribution scored against a static
+    * per-key reference (the training distribution, a keys x nBins
+    * closure-broadcast map) — "is what we're serving still what we
+    * trained on", continuously. Same close-on-watermark contract as
+    * [[rateMonitor]]: an hour emits exactly once, when the event-time
+    * watermark passes its end, and event-time timeouts re-arm per key
+    * so hours close on watermark advances without new data. State per
+    * key is the open hours' nBins integer counters — bounded
+    * regardless of uptime.
+    *
+    * The PSI arithmetic replays the batch operator's expression tree
+    * exactly (eps floor, per-bin terms as HALF_UP-rounded scaled
+    * integers, final round 6, 0.1/0.25 verdicts) — the differential
+    * spec pins streamed rows to `psiDrift` output on identical data.
+    * Keys absent from the reference emit verdict `no_data`. */
+  def psiMonitor(events: Dataset[Event],
+                 reference: Map[String, Array[Long]],
+                 binWidth: Double = 10.0, nBins: Int = 20,
+                 eps: Double = 1e-4,
+                 watermark: String = "2 hours"): Dataset[PsiRow] = {
+    require(binWidth > 0 && nBins >= 2 && eps > 0,
+      "need binWidth > 0, nBins >= 2, eps > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def halfUp(x: Double, scale: Int): BigDecimal =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    def psiOf(cur: Array[Long], ref: Option[Array[Long]])
+        : (Long, Option[Double], String) = {
+      val n = cur.sum
+      val refArr = ref.getOrElse(Array.empty[Long])
+      val nr = refArr.sum
+      if (n == 0L || nr == 0L) (n, None, "no_data")
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < nBins) {
+          val p = math.max(refArr(i).toDouble / nr, eps)
+          val q = math.max(cur(i).toDouble / n, eps)
+          acc += halfUp((p - q) * math.log(p / q) * 1e9, 0).toLong
+          i += 1
+        }
+        val psi = halfUp(acc / 1e9, 6).toDouble
+        val verdict =
+          if (psi > 0.25) "drifted" else if (psi > 0.1) "watch" else "stable"
+        (n, Some(psi), verdict)
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PsiState, PsiRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (tpe: String, it: Iterator[Event], state: GroupState[PsiState]) =>
+          val st = state.getOption.getOrElse(
+            PsiState(Array.empty, Array.empty, Long.MinValue))
+          var bins = st.hours.zip(st.bins).toMap
+          it.foreach { e =>
+            val h = Math.floorDiv(e.ts.getTime, 3600000L)
+            if (h > st.emittedThrough) { // beyond-watermark late: drop
+              val b = math.min(nBins - 1,
+                math.max(0, math.floor(e.value / binWidth).toInt))
+              val arr = bins.getOrElse(h, new Array[Long](nBins))
+              arr(b) += 1L
+              bins = bins.updated(h, arr)
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val closedMax =
+            if (wm <= 0L) Long.MinValue else Math.floorDiv(wm, 3600000L) - 1L
+          val ready = bins.keys.toSeq.sorted
+            .filter(h => h > st.emittedThrough && h <= closedMax)
+          val out = ready.map { h =>
+            val (n, psi, verdict) = psiOf(bins(h), reference.get(tpe))
+            PsiRow(tpe, h, n, psi, verdict)
+          }
+          val newEmitted = if (ready.nonEmpty) ready.max else st.emittedThrough
+          val pruned = bins.filter(_._1 > newEmitted).toSeq.sortBy(_._1)
+          state.update(PsiState(pruned.map(_._1).toArray,
+            pruned.map(_._2).toArray, newEmitted))
+          if (pruned.nonEmpty)
+            state.setTimeoutTimestamp((pruned.map(_._1).min + 1L) * 3600000L)
+          out.iterator
+      }
+  }
 }

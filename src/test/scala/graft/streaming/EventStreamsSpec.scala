@@ -463,4 +463,70 @@ class EventStreamsSpec extends SparkTestBase {
     // the dropped sub-micro value: hour 3 of B counted only one event
     assert(stream(s"B|${Math.floorDiv(base, 3600000L) + 3}")._1 === 1L)
   }
+
+  test("psiMonitor: streamed per-hour PSI vs the static reference " +
+       "equals batch psiDrift on every closed hour; unknown key is " +
+       "no_data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2025-01-01 00:00:00").getTime
+    val baseHr = Math.floorDiv(base, 3600000L)
+    var id = 0L
+    def burst(tpe: String, h: Int, values: Seq[Double]): Seq[Event] =
+      values.map { v =>
+        id += 1
+        Event(id, new Timestamp(base + h * 3600000L + id % 3000 * 1000L),
+          1L, tpe, v, "{}")
+      }
+    val rnd = new scala.util.Random(41)
+    // reference (training) distribution per type
+    val refVals = Map(
+      "A" -> Seq.fill(300)(rnd.nextDouble() * 60),
+      "B" -> Seq.fill(300)(rnd.nextDouble() * 200))
+    val refDf = refVals.toSeq.flatMap { case (t, vs) => vs.map(t -> _) }
+      .toDF("event_type", "value")
+    val ref = EventStreams.psiReferenceBins(refDf, "event_type", "value")
+    // live hours: h0 matches training, h1 shifts A's mass, h2 extreme;
+    // type "C" has no reference -> no_data
+    val evs =
+      burst("A", 0, Seq.fill(150)(rnd.nextDouble() * 60)) ++
+      burst("A", 1, Seq.fill(150)(30 + rnd.nextDouble() * 90)) ++
+      burst("A", 2, Seq.fill(150)(190.0 + rnd.nextDouble() * 5)) ++
+      burst("B", 0, Seq.fill(100)(rnd.nextDouble() * 200)) ++
+      burst("C", 0, Seq.fill(20)(rnd.nextDouble() * 10))
+    val in = MemoryStream[Event]
+    val q = EventStreams.psiMonitor(in.toDS(), ref).toDF()
+      .writeStream.format("memory").queryName("psi_mon")
+      .outputMode("append").start()
+    in.addData(evs: _*); q.processAllAvailable()
+    in.addData(burst("zz", 66, Seq(1.0)): _*); q.processAllAvailable()
+    in.addData(burst("zz", 67, Seq(1.0)): _*); q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("psi_mon")
+      .filter(col("event_type") =!= "zz")
+      .orderBy("event_type", "hr").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getString(4))).toMap
+    // batch replay per closed (type, hour): union the reference (side
+    // 0) with that hour's slice (side 1) and run the q195 operator
+    for (((tpe, hr), (n, psi, verdict)) <- stream if tpe != "C") {
+      val hourSlice = evs.filter(e => e.event_type == tpe &&
+        Math.floorDiv(e.ts.getTime, 3600000L) == hr)
+      assert(n === hourSlice.size.toLong)
+      val both = refVals(tpe).map(v => (tpe, 0L, v)) ++
+        hourSlice.map(e => (tpe, 1L, e.value))
+      val b = graft.analytics.Stats.psiDrift(
+          both.toDF("k", "side", "value"), "k", "value",
+          refPred = col("side") === 0, curPred = col("side") === 1)
+        .head()
+      val bPsi = Option(b.get(3)).map(_.asInstanceOf[Double])
+      assert(psi === bPsi, s"($tpe, $hr): stream $psi vs batch $bPsi")
+      assert(verdict === b.getString(4), s"($tpe, $hr) verdict")
+    }
+    // drift ordering: matched hour stable-or-watch, extreme hour worst
+    assert(stream(("A", baseHr))._3 !== "drifted")
+    assert(stream(("A", baseHr + 2))._3 === "drifted")
+    assert(stream(("C", baseHr)) === ((20L, None, "no_data")))
+  }
 }
