@@ -627,6 +627,54 @@ object Stats {
           .otherwise("stable"))
   }
 
+  /** Cohen's kappa between two categorical label columns — chance-
+    * corrected agreement, THE reliability number for any labeling
+    * pipeline (model vs heuristic, annotator vs annotator, metadata vs
+    * classifier): `kappa = (po - pe) / (1 - pe)` with `po` the
+    * observed agreement rate and `pe` the agreement expected from the
+    * two marginal label distributions alone. Rows where either label
+    * is null are excluded (standard practice — "unlabeled" is not a
+    * category).
+    *
+    * Scale shape: one count + agree-count pass, plus two label-keyed
+    * marginal aggs joined on the label value (dictionary-sized) and
+    * collapsed to the single pe sum — nothing holds more than
+    * |label vocabulary| rows. The pe terms sum as scaled integers so
+    * partition order can't move the rounded result. Output: 1 row
+    * (n, po, pe, kappa), all rounded 6; kappa null when pe = 1 (a
+    * single shared label — agreement is undefined, not perfect). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Par.ensure(df)
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+    val tot = base.agg(count(lit(1)).cast("long").as("n"),
+      sum(when($"a" === $"b", 1L).otherwise(0L)).cast("long").as("agree"))
+    val ma = base.groupBy($"a".as("lbl")).agg(count(lit(1)).as("ca"))
+    val mb = base.groupBy($"b".as("lbl")).agg(count(lit(1)).as("cb"))
+    // per-label expected-agreement term (ca/n)*(cb/n), summed as scaled
+    // integers against the one-row totals
+    val pe = ma.join(mb, Seq("lbl"))
+      .crossJoin(broadcast(tot))
+      .select(round($"ca".cast("double") / $"n" *
+        ($"cb".cast("double") / $"n") * 1e9).cast("long").as("t"))
+      .agg(coalesce(sum($"t"), lit(0L)).as("pes"))
+    // robust 6-place rounding (round(x*1e6)/1e6, the q194 lesson):
+    // both engines round the same scaled double, and kappa recomputes
+    // from the ROUNDED po/pe so the division sees identical inputs
+    val po6 = round($"agree".cast("double") /
+      when($"n" > 0, $"n".cast("double")) * 1e6) / 1e6
+    val pe6 = round($"pes" / 1e9 * 1e6) / 1e6
+    tot.crossJoin(broadcast(pe))
+      .select($"n", po6.as("po"), pe6.as("pe"))
+      .select($"n", $"po", $"pe",
+        (round(($"po" - $"pe") /
+          when(lit(1.0) - $"pe" > 0, lit(1.0) - $"pe") * 1e6) / 1e6)
+          .as("kappa"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift statistic per key: the max
     * absolute gap between the two slices' empirical CDFs — the
     * bin-free complement of [[psiDrift]] (PSI sees WHERE mass moved,

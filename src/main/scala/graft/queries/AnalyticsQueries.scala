@@ -3783,7 +3783,82 @@ object AnalyticsQueries {
                 "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
               maxBucket = 1000),
             "doc_a", "doc_b", k = 2, rounds = 8)
-          .orderBy("node"))
+          .orderBy("node")),
+
+    // ----- Cohen's kappa: metadata labels vs the language heuristic -----
+    Q("q198_kappa",
+      "Cohen's kappa between the documents table's source `lang` " +
+        "metadata and the q22 language-ID heuristic — chance-corrected " +
+        "agreement, THE reliability number for any labeling pipeline; " +
+        "one agree-count pass + two label-keyed marginals collapsed to " +
+        "the expected-agreement sum as scaled integers",
+      Some("""WITH f AS (
+             |  SELECT lang AS a,
+             |         CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+             |              WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+             |              WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+             |              WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+             |              ELSE 'fr' END AS b
+             |  FROM (SELECT lang,
+             |          len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+             |          len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_hits,
+             |          len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS es_hits,
+             |          len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que)\b')) AS fr_hits
+             |        FROM documents)),
+             |fb AS (SELECT a, b FROM f WHERE a IS NOT NULL AND b IS NOT NULL),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+             |        FROM fb),
+             |ma AS (SELECT a AS lbl, count(*) AS ca FROM fb GROUP BY 1),
+             |mb AS (SELECT b AS lbl, count(*) AS cb FROM fb GROUP BY 1),
+             |pe AS (SELECT coalesce(sum(CAST(round(CAST(ca AS DOUBLE) / tot.n
+             |                 * (CAST(cb AS DOUBLE) / tot.n) * 1e9) AS BIGINT)),
+             |               CAST(0 AS BIGINT)) AS pes
+             |       FROM ma JOIN mb USING (lbl) CROSS JOIN tot),
+             |o AS (SELECT tot.n,
+             |             round(CAST(agree AS DOUBLE)
+             |               / nullif(CAST(tot.n AS DOUBLE), 0) * 1e6) / 1e6 AS po,
+             |             round(pes / 1e9 * 1e6) / 1e6 AS pe
+             |      FROM tot CROSS JOIN pe)
+             |SELECT n, po, pe,
+             |       round((po - pe) / nullif(1.0 - pe, 0) * 1e6) / 1e6 AS kappa
+             |FROM o""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.cohensKappa(
+          TextAnalysis.corpusFlags(Tables(s, dir, "documents"), "text")
+            .select(col("lang"), col("lang_guess")),
+          "lang", "lang_guess")),
+
+    // ----- Bradley-Terry preference aggregation -----
+    Q("q199_bradley_terry",
+      "Bradley-Terry strength scores over deterministic pairwise " +
+        "preferences on the q19 candidate graph (the content-richer " +
+        "doc of each pair wins; ties to the lower id) — the RLHF " +
+        "preference-aggregation shape: 10 rounds of Hunter's MM " +
+        "update with a phantom-opponent prior, each round two " +
+        "node-keyed joins + one agg + a broadcast 1-row geometric-" +
+        "mean normalize, the pageRank unroll replayed by the oracle",
+      Some(bradleyTerryOracleSql(iters = 10)),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cand = Dedup.minhashCandidates(
+          Dedup.minhashBandsFromDocs(docs, "doc_id", "text",
+            n = 3, numHashes = 8, bandSize = 2), maxBucket = 1000)
+        val cmp = cand
+          .join(docs.select(col("doc_id").as("doc_a"),
+            col("n_chars").as("la")), Seq("doc_a"))
+          .join(docs.select(col("doc_id").as("doc_b"),
+            col("n_chars").as("lb")), Seq("doc_b"))
+          .select(
+            when(col("la") > col("lb"), col("doc_a"))
+              .when(col("la") < col("lb"), col("doc_b"))
+              .otherwise(least(col("doc_a"), col("doc_b"))).as("w"),
+            when(col("la") > col("lb"), col("doc_b"))
+              .when(col("la") < col("lb"), col("doc_a"))
+              .otherwise(greatest(col("doc_a"), col("doc_b"))).as("l"))
+        graft.analytics.Preference.bradleyTerry(cmp, "w", "l", iters = 10)
+          .orderBy("node")
+      })
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —
@@ -4010,6 +4085,56 @@ object AnalyticsQueries {
       |       CASE WHEN sv.deg IS NOT NULL THEN 1 ELSE 0 END AS in_core
       |FROM n0 LEFT JOIN sv ON sv.node = n0.node
       |ORDER BY n0.node""".stripMargin
+  }
+
+  /** Unrolled Bradley-Terry MM iteration in DuckDB over the q19
+    * candidate-graph preference feed (richer doc wins, ties to lower
+    * id): `iters` MATERIALIZED (denominator, raw-score, normalize) CTE
+    * triples replaying [[graft.analytics.Preference.bradleyTerry]]'s
+    * exact recurrence — phantom-opponent prior, geometric-mean
+    * normalize, final scaled-integer round. */
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    val head = shCte + lshCte + """,
+      | dl AS (SELECT doc_id, n_chars FROM documents),
+      | cmp AS MATERIALIZED (
+      |   SELECT CASE WHEN a.n_chars > b.n_chars THEN c.doc_a
+      |               WHEN a.n_chars < b.n_chars THEN c.doc_b
+      |               ELSE least(c.doc_a, c.doc_b) END AS w,
+      |          CASE WHEN a.n_chars > b.n_chars THEN c.doc_b
+      |               WHEN a.n_chars < b.n_chars THEN c.doc_a
+      |               ELSE greatest(c.doc_a, c.doc_b) END AS l
+      |   FROM cand c JOIN dl a ON a.doc_id = c.doc_a
+      |               JOIN dl b ON b.doc_id = c.doc_b),
+      | bm AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS nij
+      |   FROM (SELECT w AS i, l AS j FROM cmp
+      |         UNION ALL SELECT l, w FROM cmp) GROUP BY 1, 2),
+      | bw AS MATERIALIZED (
+      |   SELECT ng.node, ng.n_games, coalesce(wc.wins, CAST(0 AS BIGINT)) AS wins
+      |   FROM (SELECT i AS node, CAST(sum(nij) AS BIGINT) AS n_games
+      |         FROM bm GROUP BY 1) ng
+      |   LEFT JOIN (SELECT w AS node, CAST(count(*) AS BIGINT) AS wins
+      |              FROM cmp GROUP BY 1) wc ON wc.node = ng.node),
+      | t0 AS (SELECT node, 1.0 AS th FROM bw)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s""",
+         | d$k AS (SELECT bm.i AS node, ti.th AS ti,
+         |         sum(bm.nij / (ti.th + tj.th)) AS dsum
+         |         FROM bm JOIN t${k - 1} ti ON ti.node = bm.i
+         |                 JOIN t${k - 1} tj ON tj.node = bm.j
+         |         GROUP BY 1, 2),
+         | r$k AS MATERIALIZED (SELECT bw.node,
+         |         CAST(bw.wins + 1 AS DOUBLE)
+         |           / (d.dsum + 2.0 / (d.ti + 1.0)) AS score
+         |         FROM bw JOIN d$k d ON d.node = bw.node),
+         | t$k AS MATERIALIZED (SELECT node,
+         |         score / (SELECT exp(avg(ln(score))) FROM r$k) AS th
+         |         FROM r$k)""".stripMargin
+    }.mkString
+    head + steps + s"""
+      |SELECT bw.node, bw.n_games, bw.wins,
+      |       round(t$iters.th * 1e6) / 1e6 AS score
+      |FROM bw JOIN t$iters ON t$iters.node = bw.node
+      |ORDER BY bw.node""".stripMargin
   }
 
   /** Unrolled power iteration in DuckDB: `iters` CTE pairs, each one

@@ -185,7 +185,12 @@ class PlanShapeSpec extends SparkTestBase {
       // q194: shortlist rides the q24 query x broadcast corpus probe
       // (swap in ivfTopK upstream at scale); the MMR steps themselves
       // are equi-joins over candidates-sized tables
-      "q194_mmr_rerank")
+      "q194_mmr_rerank",
+      // q198: label marginals x broadcast ONE-ROW totals (po/pe
+      // brackets) — machine-checked below. (q199's per-round 1-row
+      // normalizer broadcasts never reach the FINAL plan: each round
+      // localCheckpoints, so the sweep sees only the last equi-join.)
+      "q198_kappa")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -238,10 +243,11 @@ class PlanShapeSpec extends SparkTestBase {
         case o: ObjectHashAggregateExec => o.groupingExpressions.nonEmpty
         case s: SortAggregateExec => s.groupingExpressions.nonEmpty
       }.headOption
-    // q147/q182: the allowlist comment says "broadcast ONE-ROW total" —
-    // prove it: every BNLJ build side must top out in a grouping-free
-    // aggregate, which is structurally a single row
-    for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier"))
+    // q147/q182/q198/q199: the allowlist comments say "broadcast
+    // ONE-ROW total" — prove it: every BNLJ build side must top out in
+    // a grouping-free aggregate, which is structurally a single row
+    for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
+        "q198_kappa"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +

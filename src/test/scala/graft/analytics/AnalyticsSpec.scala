@@ -2090,6 +2090,51 @@ class StatsSpec extends SparkTestBase {
     assert(got("same")._3 === 0.0 && !got("same")._5)
   }
 
+  test("cohensKappa: textbook 2x2 fixture gives kappa 0.4; perfect " +
+       "single-label agreement is UNDEFINED (null), not 1; null labels " +
+       "drop") {
+    import spark.implicits._
+    // marginals a: yes 6 / no 4, b: yes 5 / no 5; agree 7 of 10
+    // po = 0.7, pe = .6*.5 + .4*.5 = 0.5, kappa = 0.2/0.5 = 0.4
+    val rows = Seq.fill(4)(("y", "y")) ++ Seq.fill(2)(("y", "n")) ++
+      Seq.fill(1)(("n", "y")) ++ Seq.fill(3)(("n", "n"))
+    val r = Stats.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      === ((10L, 0.7, 0.5, 0.4)))
+    // one shared label: po = pe = 1 -> 0/0 must be null
+    val same = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val s = Stats.cohensKappa(same, "a", "b").head()
+    assert(s.getDouble(1) === 1.0 && s.getDouble(2) === 1.0 && s.isNullAt(3))
+    // null labels excluded from n and from the marginals
+    val withNull = rows ++ Seq((null, "y"), ("y", null))
+    val n2 = Stats.cohensKappa(withNull.toDF("a", "b"), "a", "b").head()
+    assert(n2.getLong(0) === 10L && n2.getDouble(3) === 0.4)
+  }
+
+  test("bradleyTerry: dominance order recovered, zero-win node stays " +
+       "finite via the phantom prior, geometric mean ~1, " +
+       "partition-invariant, self-comparisons dropped") {
+    import spark.implicits._
+    // A beats B 2x, B beats C 2x, A beats C 1x (+ a self-row to drop)
+    val cmp = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("A", "A")).toDF("w", "l")
+    def run(p: Int) =
+      Preference.bradleyTerry(cmp.repartition(p), "w", "l", iters = 10)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val m = run(1)
+    assert(m("A")._1 === 3L && m("A")._2 === 3L, "A: 3 games, 3 wins")
+    assert(m("B")._1 === 4L && m("B")._2 === 2L)
+    assert(m("C")._1 === 3L && m("C")._2 === 0L)
+    assert(m("A")._3 > m("B")._3 && m("B")._3 > m("C")._3,
+      s"dominance order: $m")
+    assert(m("C")._3 > 0.0, "phantom prior keeps the never-winner finite")
+    val gm = math.pow(m.values.map(_._3).product, 1.0 / 3)
+    assert(math.abs(gm - 1.0) < 1e-3, s"geometric mean ~1, got $gm")
+    assert(run(7) === m, "hash-free deterministic recurrence")
+  }
+
   test("covariance matrix matches a direct computation; diagonal is the " +
        "variance; mismatched-dim rows are dropped") {
     import spark.implicits._
