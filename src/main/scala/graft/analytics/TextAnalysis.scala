@@ -96,6 +96,50 @@ object TextAnalysis {
     * precedence mirrors pipeline practice: drop dups first (cheapest
     * signal), then quality, then language.
     */
+  /** Per-source corpus scorecard — the domain-curation rollup every
+    * crawl pipeline runs before deciding which SOURCES (domains,
+    * feeds, dumps) to keep, upweight, or drop wholesale: per source,
+    * document count, exact-duplicate rate (the q46 min-id-per-
+    * fingerprint rule — a source full of dups is a mirror), mean
+    * tokens per doc (thin-content signal), and the source's share of
+    * total corpus tokens (what dropping it would actually cost).
+    *
+    * Scale shape: one scan computes fingerprints and token counts
+    * map-side; the dup flag is the ~50-byte/row fingerprint window
+    * (text never shuffles); the rollup is one source-keyed agg joined
+    * against the broadcast ONE-ROW corpus token total (the q77
+    * bracket). Output: (source, n_docs, dup_rate, mean_tokens,
+    * token_share), rates rounded 6 via the scaled-double pattern. */
+  def sourceScorecard(docs0: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = col(textCol)
+    val flagged = docs.select(col(sourceCol).as("source"), col(idCol),
+        md5(t).as("fp"), nTokens(t).cast("long").as("ntok"))
+      .withColumn("is_dup",
+        when(col(idCol) =!= min(col(idCol)).over(Window.partitionBy($"fp")),
+          1L).otherwise(0L))
+    val perSource = flagged.groupBy($"source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"is_dup").cast("long").as("n_dups"),
+        sum($"ntok").cast("long").as("toks"))
+    val total = perSource.agg(sum($"toks").cast("long").as("total_toks"))
+    perSource.crossJoin(broadcast(total))
+      .select($"source", $"n_docs",
+        (round($"n_dups".cast("double") /
+          when($"n_docs" > 0, $"n_docs".cast("double")) * 1e6) / 1e6)
+          .as("dup_rate"),
+        (round($"toks".cast("double") /
+          when($"n_docs" > 0, $"n_docs".cast("double")) * 1e6) / 1e6)
+          .as("mean_tokens"),
+        (round($"toks".cast("double") /
+          when($"total_toks" > 0, $"total_toks".cast("double")) * 1e6) / 1e6)
+          .as("token_share"))
+  }
+
   def corpusFilter(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession

@@ -3858,7 +3858,36 @@ object AnalyticsQueries {
               .otherwise(greatest(col("doc_a"), col("doc_b"))).as("l"))
         graft.analytics.Preference.bradleyTerry(cmp, "w", "l", iters = 10)
           .orderBy("node")
-      })
+      }),
+
+    // ----- per-source corpus scorecard -----
+    Q("q200_source_scorecard",
+      "the domain-curation rollup: per source, doc count, exact-dup " +
+        "rate (min-id-per-fingerprint), mean tokens per doc, and share " +
+        "of total corpus tokens — what keeping/dropping each source " +
+        "actually costs; one map-side scan, the ~50-byte fingerprint " +
+        "window, one source-keyed agg against the broadcast one-row " +
+        "token total",
+      Some("""WITH f AS (
+             |  SELECT source, doc_id, md5(text) AS fp,
+             |         CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS ntok,
+             |         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+             |              THEN 1 ELSE 0 END AS is_dup
+             |  FROM documents),
+             |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |              CAST(sum(is_dup) AS BIGINT) AS n_dups,
+             |              CAST(sum(ntok) AS BIGINT) AS toks
+             |       FROM f GROUP BY 1),
+             |tt AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks FROM ps)
+             |SELECT source, n_docs,
+             |       round(CAST(n_dups AS DOUBLE) / nullif(CAST(n_docs AS DOUBLE), 0) * 1e6) / 1e6 AS dup_rate,
+             |       round(CAST(toks AS DOUBLE) / nullif(CAST(n_docs AS DOUBLE), 0) * 1e6) / 1e6 AS mean_tokens,
+             |       round(CAST(toks AS DOUBLE) / nullif(CAST(tt.total_toks AS DOUBLE), 0) * 1e6) / 1e6 AS token_share
+             |FROM ps CROSS JOIN tt ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextAnalysis.sourceScorecard(Tables(s, dir, "documents"),
+            "doc_id", "text", "source")
+          .orderBy("source"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

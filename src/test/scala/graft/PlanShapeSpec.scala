@@ -190,7 +190,10 @@ class PlanShapeSpec extends SparkTestBase {
       // brackets) — machine-checked below. (q199's per-round 1-row
       // normalizer broadcasts never reach the FINAL plan: each round
       // localCheckpoints, so the sweep sees only the last equi-join.)
-      "q198_kappa")
+      "q198_kappa",
+      // q200: source rollup x broadcast ONE-ROW corpus token total
+      // (the q77 bracket) — machine-checked below
+      "q200_source_scorecard")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -247,7 +250,7 @@ class PlanShapeSpec extends SparkTestBase {
     // ONE-ROW total" — prove it: every BNLJ build side must top out in
     // a grouping-free aggregate, which is structurally a single row
     for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
-        "q198_kappa"))
+        "q198_kappa", "q200_source_scorecard"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +

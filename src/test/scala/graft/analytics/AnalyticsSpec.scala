@@ -986,6 +986,34 @@ class PqSpec extends SparkTestBase {
 
 class TextAnalysisSpec extends SparkTestBase {
 
+  test("sourceScorecard: dup rate counts CROSS-source fingerprint " +
+       "collisions against the non-canonical holder, token share sums " +
+       "to 1, thin source exposed by mean_tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      // mirrorA holds the canonical copy (lowest id) of a dup pair
+      (1L, "alpha beta gamma", "mirrorA"),
+      (2L, "alpha beta gamma", "mirrorB"),   // dup of doc 1
+      (3L, "delta epsilon zeta eta", "mirrorA"),
+      (4L, "one", "thin"),
+      (5L, "two", "thin")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceScorecard(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // 9 corpus tokens: mirrorA 7, mirrorB 3 (dup still counts tokens),
+    // thin 2 -> shares 7/12, 3/12, 2/12
+    assert(got("mirrorA") === ((2L, 0.0, 3.5,
+      math.round(7.0 / 12 * 1e6) / 1e6.toDouble)))
+    assert(got("mirrorB") === ((1L, 1.0, 3.0,
+      math.round(3.0 / 12 * 1e6) / 1e6.toDouble)),
+      "the non-canonical mirror carries the dup")
+    assert(got("thin")._3 === 1.0, "thin source: 1 token per doc")
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-5,
+      "token shares sum to ~1")
+  }
+
   test("nTokens: 0 for empty/whitespace, counts words otherwise") {
     import spark.implicits._
     val out = Seq("", "   ", "one", "one two  three").toDF("t")
