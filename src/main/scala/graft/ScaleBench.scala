@@ -569,7 +569,28 @@ object ScaleBench {
         // compressed table — grows with distinct values, not volume
         "q196_ks" -> (() =>
           analytics.Stats.ksDrift(events, "event_type", "value",
-            col("user_id") % 2 === 0, col("user_id") % 2 === 1).count()))
+            col("user_id") % 2 === 0, col("user_id") % 2 === 1).count()),
+        // 10 MM rounds over the node-keyed match table: comparisons
+        // grow with the candidate graph, round count constant
+        "q199_bradley_terry" -> (() => {
+          val cand = analytics.Dedup.minhashCandidates(
+            analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text"))
+          val cmp = cand
+            .join(docs.selectExpr("doc_id AS doc_a",
+              "length(text) AS la"), Seq("doc_a"))
+            .join(docs.selectExpr("doc_id AS doc_b",
+              "length(text) AS lb"), Seq("doc_b"))
+            .select(
+              when(col("la") >= col("lb"), col("doc_a"))
+                .otherwise(col("doc_b")).as("w"),
+              when(col("la") >= col("lb"), col("doc_b"))
+                .otherwise(col("doc_a")).as("l"))
+          analytics.Preference.bradleyTerry(cmp, "w", "l").count()
+        }),
+        // one scan + fingerprint window + source agg — scan-linear
+        "q200_scorecard" -> (() =>
+          analytics.TextAnalysis.sourceScorecard(docs, "doc_id", "text",
+            "lang").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

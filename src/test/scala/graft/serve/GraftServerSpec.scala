@@ -163,6 +163,29 @@ class GraftServerSpec extends SparkTestBase {
     }
   }
 
+  test("concurrent conversions interleave as independent jobs: parallel " +
+       "uploads all complete with distinct output files") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    withServer { srv =>
+      val results = Await.result(Future.sequence((1 to 4).map { i =>
+        Future {
+          postMultipart(s"${srv.baseUrl}/convert_csv_to_json", s"t$i.csv",
+            s"id;name\n$i;row$i\n".getBytes(UTF_8))
+        }
+      }), 120.seconds)
+      assert(results.forall(_.statusCode() == 200),
+        results.map(_.body()).mkString("; "))
+      val urls = results.map(r => fileUrlOf(r.body()))
+      assert(urls.distinct.size === 4, s"distinct outputs: $urls")
+      urls.zipWithIndex.foreach { case (u, i) =>
+        val body = new String(get(srv.baseUrl + u).body(), UTF_8)
+        assert(body.contains(s"row${i + 1}"), s"$u carries its own rows")
+      }
+    }
+  }
+
   test("Multipart parser: binary payload with embedded CRLFs and " +
        "quoted boundary round-trips byte-exact") {
     val payload = Array.tabulate[Byte](512)(i => (i % 256).toByte)
