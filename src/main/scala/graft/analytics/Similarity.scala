@@ -99,7 +99,23 @@ object Similarity {
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, candidates: Int = 10, k: Int = 5,
                 lambda: Double = 0.7): DataFrame = {
-    require(k >= 1 && candidates >= k, "need 1 <= k <= candidates")
+    require(candidates >= k, "need candidates >= k")
+    mmrRerankFrom(
+      bruteForceTopK(emb, idCol, vecCol, queryPred, candidates)
+        .select(col("qid"), col("neighbor_id").as("vid"),
+          col("cos_sim").as("simq")),
+      emb, idCol, vecCol, k, lambda)
+  }
+
+  /** [[mmrRerank]]'s core over ANY precomputed shortlist — the scale
+    * path: at corpus sizes where the brute probe can't broadcast, feed
+    * the (qid, vid, simq) output of [[ivfTopK]] or
+    * [[graft.analytics.Cluster.ivfPqTopK]] (renamed to these columns)
+    * and only the shortlisted vectors are ever touched again. */
+  def mmrRerankFrom(shortlist: DataFrame, emb: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 5,
+                    lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "need k >= 1")
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -107,10 +123,9 @@ object Similarity {
     // materialize the shortlist and pair tables ONCE (queries x
     // candidates / x candidates² rows — tiny): the greedy unfold below
     // references them k+1 times, and each lazy reference would replay
-    // the full corpus probe inside one physical plan (measured 10.3 s
+    // the full upstream probe inside one physical plan (measured 10.3 s
     // -> the probe's own 0.3 s at sf0.1 after this checkpoint)
-    val cand = bruteForceTopK(emb, idCol, vecCol, queryPred, candidates)
-      .select($"qid", $"neighbor_id".as("vid"), $"cos_sim".as("simq"))
+    val cand = shortlist.select($"qid", $"vid", $"simq")
       .localCheckpoint()
     val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val cv = cand.join(v, Seq("vid")).select($"qid", $"vid", $"simq", $"v")

@@ -694,6 +694,17 @@ class SimilaritySpec extends SparkTestBase {
         col("vec_id") === 0, k = 2)
       .orderBy("rn").collect().map(_.getLong(2))
     assert(plain.toSeq === Seq(1L, 2L))
+    // the scale path: an externally-supplied shortlist (here the same
+    // brute probe, renamed) reproduces the identical greedy trajectory
+    val external = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3)
+      .select(col("qid"), col("neighbor_id").as("vid"),
+        col("cos_sim").as("simq"))
+    val fromExt = Similarity.mmrRerankFrom(external, emb, "vec_id",
+        "embedding", k = 3, lambda = 0.5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(fromExt.toSeq === got.toSeq)
   }
 }
 
