@@ -344,11 +344,14 @@ object Events {
     * per windowDays-sized time bucket (one touch-side window sort,
     * partitioned (user, bucket) — never a per-conversion sort), so a
     * conversion window, which spans at most 2 buckets, joins <= 2N
-    * candidates. Under an engaged cap the result is approximate for
-    * over-cap users: n_touches / linear_share become lower / upper
-    * bounds and first_touch may miss the true earliest (last_touch
-    * stays exact — the window's latest touch is the latest of its
-    * bucket and is always kept). Default = uncapped, exact.
+    * candidates. Under an engaged cap EVERY output field is
+    * approximate for over-cap (user, bucket) slices: n_touches /
+    * linear_share become lower / upper bounds, and first/last touch
+    * may both miss — the kept set is bucket-recency-ranked without
+    * regard to any conversion's bracket, so touches AFTER a conversion
+    * can evict that conversion's in-window touches (a bot user
+    * clicking past their purchase). Users whose buckets stay within N
+    * touches are exact. Default = uncapped, exact.
     *
     * Output: (conv_id, user, value, n_touches, first_touch_id,
     * last_touch_id, linear_share) — share rounded 6, null when no

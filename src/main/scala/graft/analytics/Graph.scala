@@ -112,8 +112,12 @@ object Graph {
     *
     * Output: (u, v, w) with the closing edge {v, w} NOT yet checked;
     * each potential triangle appears exactly once. */
-  private[graft] def degreeOrientedWedges(
-      edges: DataFrame, deg: DataFrame, maxDegree: Int): DataFrame = {
+  /** The one (deg, id) edge orientation both triangle consumers share —
+    * wedge generation and closure MUST orient identically or triangles
+    * silently vanish, so the expression lives exactly once. Output:
+    * (src, dst, ddst), src the lower-(deg, id) endpoint. */
+  private def orientEdges(edges: DataFrame, deg: DataFrame,
+                          maxDegree: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val withDeg = edges
@@ -121,10 +125,17 @@ object Graph {
       .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
       .filter($"da" <= maxDegree.toLong && $"db" <= maxDegree.toLong)
     val lowFirst = struct($"da", $"a") < struct($"db", $"b")
-    val oriented = withDeg.select(
+    withDeg.select(
       when(lowFirst, $"a").otherwise($"b").as("src"),
       when(lowFirst, $"b").otherwise($"a").as("dst"),
       when(lowFirst, $"db").otherwise($"da").as("ddst"))
+  }
+
+  private[graft] def degreeOrientedWedges(
+      edges: DataFrame, deg: DataFrame, maxDegree: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val oriented = orientEdges(edges, deg, maxDegree)
     oriented.select($"src", $"dst".as("v"), $"ddst".as("dv"))
       .join(oriented.select($"src", $"dst".as("w"), $"ddst".as("dw")),
         Seq("src"))
@@ -168,13 +179,11 @@ object Graph {
     val wedges = degreeOrientedWedges(edges, deg, maxDegree)
     // closing edge {v, w}: under the same (deg, id) orientation it can
     // only appear as v -> w, so one equi-join on both keys closes it
-    val lowFirst = struct($"da", $"a") < struct($"db", $"b")
-    val orientedEdges = edges
-      .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
-      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
-      .select(when(lowFirst, $"a").otherwise($"b").as("v"),
-        when(lowFirst, $"b").otherwise($"a").as("w"))
-    val tri = wedges.join(orientedEdges, Seq("v", "w"))
+    // (UNCAPPED: a wedge through in-cap endpoints may legitimately
+    // close via an edge whose other metadata we no longer need)
+    val closure = orientEdges(edges, deg, Int.MaxValue)
+      .select($"src".as("v"), $"dst".as("w"))
+    val tri = wedges.join(closure, Seq("v", "w"))
       .select($"u", $"v", $"w")
     val perNode = tri.select(explode(array($"u", $"v", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).cast("long").as("n_triangles"))

@@ -615,7 +615,9 @@ object Stats {
       .groupBy($"key")
       .agg(max($"nr").cast("long").as("n_ref"),
         max($"nc").cast("long").as("n_cur"),
-        round(sum(term) / 1e9, 6).as("psi_raw"))
+        // robust 6-place rounding (the q194 knife-edge lesson): both
+        // engines round the same scaled double to an integer
+        (round(sum(term) / 1e9 * 1e6) / 1e6).as("psi_raw"))
       .select($"key", $"n_ref", $"n_cur",
         // a key seen on only one side has no distribution to compare:
         // null psi + no_data, not a score against the eps floor
@@ -718,11 +720,16 @@ object Stats {
       .groupBy($"key")
       .agg(max($"nr").cast("long").as("n_ref"),
         max($"nc").cast("long").as("n_cur"),
-        round(max($"gap"), 6).as("ks"))
+        // robust rounding, as in psiDrift
+        (round(max($"gap") * 1e6) / 1e6).as("ks"))
       .select($"key", $"n_ref", $"n_cur", $"ks",
-        round(lit(1.358) * sqrt(($"n_ref" + $"n_cur").cast("double") /
-          when($"n_ref" * $"n_cur" > 0,
-            ($"n_ref" * $"n_cur").cast("double"))), 6).as("threshold"))
+        // counts multiply AS DOUBLES: the Long product overflows past
+        // ~3e9-row slices (the scale this is for), and under ANSI mode
+        // that is a query-killing ARITHMETIC_OVERFLOW
+        (round(lit(1.358) * sqrt(($"n_ref" + $"n_cur").cast("double") /
+          when($"n_ref" > 0 && $"n_cur" > 0,
+            $"n_ref".cast("double") * $"n_cur".cast("double"))) * 1e6)
+          / 1e6).as("threshold"))
       .withColumn("drifted", $"ks" > $"threshold")
   }
 }

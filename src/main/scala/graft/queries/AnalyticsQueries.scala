@@ -3707,7 +3707,7 @@ object AnalyticsQueries {
              |      FROM j JOIN t ON t.key = j.key),
              |a AS (SELECT key, CAST(max(nr) AS BIGINT) AS n_ref,
              |             CAST(max(nc) AS BIGINT) AS n_cur,
-             |             round(sum(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT)) / 1e9, 6) AS psi_raw
+             |             round(sum(CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT)) / 1e9 * 1e6) / 1e6 AS psi_raw
              |      FROM s GROUP BY key)
              |SELECT key, n_ref, n_cur,
              |       CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi_raw END AS psi,
@@ -3751,13 +3751,13 @@ object AnalyticsQueries {
              |       FROM cm JOIN t ON t.key = cm.key),
              |a AS (SELECT key, CAST(max(nr) AS BIGINT) AS n_ref,
              |             CAST(max(nc) AS BIGINT) AS n_cur,
-             |             round(max(gap), 6) AS ks
+             |             round(max(gap) * 1e6) / 1e6 AS ks
              |      FROM gp GROUP BY key)
              |SELECT key, n_ref, n_cur, ks,
              |       round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
-             |         / nullif(CAST(n_ref * n_cur AS DOUBLE), 0)), 6) AS threshold,
+             |         / nullif(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE), 0)) * 1e6) / 1e6 AS threshold,
              |       ks > round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
-             |         / nullif(CAST(n_ref * n_cur AS DOUBLE), 0)), 6) AS drifted
+             |         / nullif(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE), 0)) * 1e6) / 1e6 AS drifted
              |FROM a ORDER BY key""".stripMargin),
       (s, dir) =>
         graft.analytics.Stats.ksDrift(Tables(s, dir, "events"),

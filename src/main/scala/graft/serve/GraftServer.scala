@@ -162,8 +162,22 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
 
   // ---- handler plumbing -------------------------------------------------
 
+  /** JDK HttpServer contexts match by RAW string prefix: without a
+    * path check, "/" would 200 every unknown path and a typo like
+    * /convert_csv_to_excelXYZ would run the nearest named conversion.
+    * Fixed routes answer only their exact path; the two namespace
+    * routes (/status/, /download/data_files/) accept suffixes. */
   private def route(path: String, h: HttpExchange => Unit): Unit =
-    server.createContext(path, (ex: HttpExchange) => h(ex))
+    server.createContext(path, { (ex: HttpExchange) =>
+      val p = ex.getRequestURI.getPath
+      val ok = if (path.endsWith("/") && path.length > 1) p.startsWith(path)
+               else p == path
+      if (ok) h(ex)
+      else {
+        respondJson(ex, 404, """{"detail": "Not Found"}""")
+        ex.close()
+      }
+    })
 
   /** Wrap a handler with the reference's error mapping. */
   private def handled(ex: HttpExchange)(body: => Unit): Unit =
@@ -204,9 +218,10 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
       if (exts.nonEmpty && !exts.exists(safeName.toLowerCase.endsWith))
         throw new IllegalArgumentException(
           s"Only ${exts.mkString("/")} files are supported")
-      val fields = parts.filter(_.filename.isEmpty)
-        .map(p => p.name -> new String(p.data, UTF_8)).toMap ++
-        queryParams(ex)
+      // form fields WIN over same-named query params (the reference's
+      // Form(...) parameters read the posted body)
+      val fields = queryParams(ex) ++ parts.filter(_.filename.isEmpty)
+        .map(p => p.name -> new String(p.data, UTF_8)).toMap
       val tmpDir = Files.createTempDirectory("graft_upload")
       try {
         val in = tmpDir.resolve(safeName)

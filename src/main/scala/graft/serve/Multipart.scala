@@ -45,7 +45,10 @@ object Multipart {
   }
 
   private val HeaderEnd = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
-  private val NameRe = """name="([^"]*)"""".r
+  // attribute-boundary anchored: an unanchored name=" would match
+  // INSIDE filename="..." when a client emits filename before name
+  // (RFC 7578 mandates no attribute order)
+  private val NameRe = """(?<![\w-])name="([^"]*)"""".r
   private val FilenameRe = """filename="([^"]*)"""".r
 
   /** Parse the request body. Malformed framing truncates the part list

@@ -126,9 +126,13 @@ object Layout {
     require(!mm.anyNull, "z-order columns must be non-null")
     // enforce the documented domain-width bound: (x-lo)*65535 must stay
     // exact in int64, so each column's width must be under ~2^47 —
-    // past it the 16-bit normalization silently degrades
-    require(mm.getLong(1) - mm.getLong(0) < (1L << 47) &&
-      mm.getLong(3) - mm.getLong(2) < (1L << 47),
+    // past it the 16-bit normalization silently degrades. Width via
+    // BigInt: raw Long subtraction WRAPS for full-range domains (e.g.
+    // signed 64-bit hashes, max - min = -1), which would pass the
+    // check for exactly the worst inputs
+    def width(hi: Long, lo: Long) = BigInt(hi) - BigInt(lo)
+    require(width(mm.getLong(1), mm.getLong(0)) < (BigInt(1) << 47) &&
+      width(mm.getLong(3), mm.getLong(2)) < (BigInt(1) << 47),
       "z-order column width must be < 2^47 for exact 16-bit normalization")
     // integer DIV, not the double-returning '/': (x-lo)*65535 reaches
     // width*65535, past double's 2^53 exact range for widths over ~2^37,

@@ -496,7 +496,9 @@ object EventStreams {
           acc += halfUp((p - q) * math.log(p / q) * 1e9, 0).toLong
           i += 1
         }
-        val psi = halfUp(acc / 1e9, 6).toDouble
+        // mirror the batch operator's robust rounding exactly:
+        // round((sum/1e9) * 1e6) / 1e6
+        val psi = halfUp(acc / 1e9 * 1e6, 0).toDouble / 1e6
         val verdict =
           if (psi > 0.25) "drifted" else if (psi > 0.1) "watch" else "stable"
         (n, Some(psi), verdict)

@@ -513,6 +513,21 @@ class CurationOpsSpec extends SparkTestBase {
     assert(run(3).toSeq === Seq((20L, 3L, 12L, 14L), (40L, 2L, 30L, 31L)))
     assert(run(Int.MaxValue).toSeq ===
       Seq((20L, 5L, 10L, 14L), (40L, 2L, 30L, 31L)))
+    // documented approximation boundary: a touch AFTER the conversion
+    // (but in the same bucket) competes for the kept slots, so even
+    // last_touch can miss under cap — pin the behavior so the scaladoc
+    // claim and the code can't drift apart
+    val late = Seq(
+      (50L, 9L, "click", t(4, 2), 0.0),      // in-window
+      (60L, 9L, "purchase", t(5, 0), 5.0),
+      (51L, 9L, "click", t(6, 0), 0.0)       // after purchase, same bucket
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val capped1 = Events.attribution(late, "user_id", "event_type", "ts",
+        "event_id", "value", "purchase", "click", windowDays = 7,
+        maxTouchesPerWindow = 1)
+      .collect().head
+    assert(capped1.getLong(3) === 0L && capped1.isNullAt(4),
+      "cap=1 keeps only the post-conversion click: in-window set empty")
   }
 
   test("timeToConvert: hand-computed percentiles over converting users " +

@@ -163,6 +163,35 @@ class GraftServerSpec extends SparkTestBase {
     }
   }
 
+  test("routing is exact: unknown paths and typo'd route names are " +
+       "404s, not silent prefix matches") {
+    withServer { srv =>
+      assert(get(s"${srv.baseUrl}/nonexistent").statusCode() === 404)
+      assert(get(s"${srv.baseUrl}/favicon.ico").statusCode() === 404)
+      // raw-prefix trap: without the path check this would RUN the
+      // csv_to_excel conversion for a path the reference 404s
+      val typo = postMultipart(s"${srv.baseUrl}/convert_csv_to_excelXYZ",
+        "t.csv", "id;name\n1;w\n".getBytes(UTF_8))
+      assert(typo.statusCode() === 404)
+      assert(get(s"${srv.baseUrl}/robots.txtXYZ").statusCode() === 404)
+      assert(get(s"${srv.baseUrl}/").statusCode() === 200)
+    }
+  }
+
+  test("Multipart: filename attribute BEFORE name still parses the " +
+       "part name (RFC 7578 mandates no attribute order)") {
+    val boundary = "bnd42"
+    val body = (s"--$boundary\r\n" +
+      "Content-Disposition: form-data; filename=\"report.csv\"; name=\"file\"\r\n\r\n" +
+      "data\r\n" +
+      s"--$boundary--\r\n").getBytes(UTF_8)
+    val parts = Multipart.parse(body, boundary)
+    assert(parts.size === 1)
+    assert(parts.head.name === "file",
+      s"name must not be captured from filename=: ${parts.head.name}")
+    assert(parts.head.filename.contains("report.csv"))
+  }
+
   test("concurrent conversions interleave as independent jobs: parallel " +
        "uploads all complete with distinct output files") {
     import scala.concurrent.{Await, Future}

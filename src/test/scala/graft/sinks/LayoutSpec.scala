@@ -180,6 +180,14 @@ class LayoutSpec extends SparkTestBase {
         Layout.writeZOrdered(wide, out, n = 2, "a", "b")
       }
       assert(e2.getMessage.contains("2^47"))
+      // FULL-range domain (signed 64-bit hashes): max - min wraps to -1
+      // in Long arithmetic — the guard must still refuse
+      val fullRange = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L))
+        .toDF("a", "b")
+      val e3 = intercept[IllegalArgumentException] {
+        Layout.writeZOrdered(fullRange, out, n = 2, "a", "b")
+      }
+      assert(e3.getMessage.contains("2^47"))
     } finally {
       val walk = Files.walk(tmp)
       val all = try walk.iterator().asScala.toSeq finally walk.close()
