@@ -163,6 +163,29 @@ class GraftServerSpec extends SparkTestBase {
     }
   }
 
+  test("binary round trip over HTTP: csv -> xlsx (binary download) -> " +
+       "re-upload the xlsx -> csv preserves the cells") {
+    withServer { srv =>
+      val csv = "id;name;price\n1;widget;10.5\n2;gadget;7.25\n"
+      val r1 = postMultipart(s"${srv.baseUrl}/convert_csv_to_excel",
+        "items.csv", csv.getBytes(UTF_8))
+      assert(r1.statusCode() === 200, r1.body())
+      val xlsx = get(srv.baseUrl + fileUrlOf(r1.body())).body()
+      // a real OOXML container comes back: zip magic, nontrivial size
+      assert(xlsx.length > 100 && xlsx(0) === 'P'.toByte &&
+        xlsx(1) === 'K'.toByte, "downloaded xlsx is a zip container")
+      // feed the binary download straight back through the multipart
+      // path — this is the byte-exactness test for Multipart framing
+      val r2 = postMultipart(s"${srv.baseUrl}/convert_excel_to_csv",
+        "items.xlsx", xlsx)
+      assert(r2.statusCode() === 200, r2.body())
+      val back = new String(get(srv.baseUrl + fileUrlOf(r2.body())).body(),
+        UTF_8)
+      for (cell <- Seq("widget", "gadget", "10.5", "7.25"))
+        assert(back.contains(cell), s"round-tripped CSV lost '$cell': $back")
+    }
+  }
+
   test("routing is exact: unknown paths and typo'd route names are " +
        "404s, not silent prefix matches") {
     withServer { srv =>
