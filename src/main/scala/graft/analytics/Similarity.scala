@@ -170,6 +170,73 @@ object Similarity {
       $"score".as("mmr_score"))
   }
 
+  /** Margin-based pair mining (the ratio margin of Artetxe & Schwenk
+    * 2019 — the LASER/CCMatrix bitext-mining criterion): a source
+    * vector pairs with the target whose cosine stands out RELATIVE to
+    * both points' neighborhoods, `margin = cos(x, y) /
+    * ((avgNN_k(x) + avgNN_k(y)) / 2)` — raw cosine thresholds can't
+    * separate "genuinely aligned" from "everything in this region is
+    * close" (hubness), the margin can. The classic use: mining
+    * parallel text pairs across two embedding spaces; here the two
+    * sides are any predicate split of one corpus.
+    *
+    * Scale shape: the cross scoring broadcasts the target side (the
+    * q24 baseline — swap an IVF/PQ shortlist upstream for corpora past
+    * executor memory); neighborhood averages are one window top-k per
+    * side over the scored table, and the pick is one argmax per
+    * source. Exact cross-engine arithmetic: cosines become scaled
+    * integers (`round(cos * 1e6)`), neighborhood sums stay integer,
+    * and the margin is ONE integer-ratio division
+    * `c * 2 * kx * ky / (ax * ky + ay * kx)` rounded robustly — no
+    * float accumulation anywhere, so the oracle replays bit-for-bit.
+    *
+    * Output: (src_id, tgt_id, cos_sim, margin) — each source's best
+    * target when its margin clears `minMargin`; margin and cos rounded
+    * 6; ties break by target id. */
+  def marginMining(emb: DataFrame, idCol: String, vecCol: String,
+                   srcPred: Column, k: Int = 4,
+                   minMargin: Double = 1.05): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val s = v.filter(srcPred).select($"vid".as("sid"), $"v".as("sv"))
+    val t = v.filter(!srcPred).select($"vid".as("tid"), $"v".as("tv"))
+    // scored once, referenced three times (both neighborhoods + the
+    // pick) — materialize, the MMR lesson
+    val scored = s.join(broadcast(t), $"sid" =!= $"tid")
+      .select($"sid", $"tid",
+        round(cosine($"sv", $"tv") * 1e6).cast("long").as("c6"))
+      .localCheckpoint()
+    def neighborhood(keyCol: String, otherCol: String, sumName: String,
+                     cntName: String) = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy($"c6".desc, col(otherCol))
+      scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .groupBy(col(keyCol))
+        .agg(sum($"c6").as(sumName),
+          count(lit(1)).cast("long").as(cntName))
+    }
+    val nx = neighborhood("sid", "tid", "ax", "kx")
+    val ny = neighborhood("tid", "sid", "ay", "ky")
+    // guard the denominator: a non-positive neighborhood sum (wholly
+    // anti-correlated region) has no meaningful margin — null, never
+    // an IEEE infinity (ANSI-division rule)
+    val den = $"ax" * $"ky" + $"ay" * $"kx"
+    val margin = round($"c6".cast("double") * 2 * $"kx" * $"ky" /
+      when(den > 0, den.cast("double")) * 1e6) / 1e6
+    val ranked = scored
+      .join(nx, Seq("sid")).join(ny, Seq("tid"))
+      .select($"sid", $"tid", $"c6", margin.as("margin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"sid").orderBy($"margin".desc, $"tid")))
+      .filter($"rn" === 1 && $"margin" > minMargin)
+    ranked.select($"sid".as("src_id"), $"tid".as("tgt_id"),
+      ($"c6" / 1e6).as("cos_sim"), $"margin")
+  }
+
   /** Embedding-cosine near-dup candidate pairs, IVF-bucketed: vectors are
     * assigned to their nearest hash-selected centroid (map-side argmax),
     * then only SAME-BUCKET pairs are scored — |corpus|²/nCentroids work

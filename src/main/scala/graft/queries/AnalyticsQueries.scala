@@ -3887,7 +3887,57 @@ object AnalyticsQueries {
       (s, dir) =>
         TextAnalysis.sourceScorecard(Tables(s, dir, "documents"),
             "doc_id", "text", "source")
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // ----- margin-based pair mining (ratio margin) -----
+    Q("q201_margin_mining",
+      "LASER/CCMatrix-style margin mining between the even and odd " +
+        "halves of the embedding corpus: each source pairs with the " +
+        "target whose cosine stands out against BOTH points' k=4 " +
+        "neighborhood averages (margin > 1.05) — raw thresholds can't " +
+        "separate aligned pairs from dense regions, the ratio margin " +
+        "can; cosines as scaled integers, neighborhood sums integer, " +
+        "ONE integer-ratio division — the oracle replays bit-for-bit",
+      Some("""WITH v AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+             |  FROM embeddings),
+             |s AS (SELECT vec_id AS sid, vv AS sv FROM v WHERE vec_id % 2 = 0),
+             |t AS (SELECT vec_id AS tid, vv AS tv FROM v WHERE vec_id % 2 = 1),
+             |sc AS MATERIALIZED (
+             |  SELECT sid, tid,
+             |         CAST(round(list_dot_product(sv, tv)
+             |           / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(tv, tv)))
+             |           * 1e6) AS BIGINT) AS c6
+             |  FROM s, t WHERE sid <> tid),
+             |nx AS (SELECT sid, CAST(sum(c6) AS BIGINT) AS ax,
+             |              CAST(count(*) AS BIGINT) AS kx FROM (
+             |  SELECT sid, c6, row_number() OVER (PARTITION BY sid
+             |           ORDER BY c6 DESC, tid) AS rn FROM sc)
+             |  WHERE rn <= 4 GROUP BY sid),
+             |ny AS (SELECT tid, CAST(sum(c6) AS BIGINT) AS ay,
+             |              CAST(count(*) AS BIGINT) AS ky FROM (
+             |  SELECT tid, c6, row_number() OVER (PARTITION BY tid
+             |           ORDER BY c6 DESC, sid) AS rn FROM sc)
+             |  WHERE rn <= 4 GROUP BY tid),
+             |mg AS (SELECT sc.sid, sc.tid, sc.c6,
+             |         round(CAST(sc.c6 AS DOUBLE) * 2 * nx.kx * ny.ky
+             |           / nullif(CASE WHEN nx.ax * ny.ky + ny.ay * nx.kx > 0
+             |                    THEN CAST(nx.ax * ny.ky + ny.ay * nx.kx AS DOUBLE) END, 0)
+             |           * 1e6) / 1e6 AS margin
+             |       FROM sc JOIN nx ON nx.sid = sc.sid
+             |               JOIN ny ON ny.tid = sc.tid),
+             |pk AS (SELECT sid, tid, c6, margin,
+             |         row_number() OVER (PARTITION BY sid
+             |           ORDER BY margin DESC, tid) AS rn
+             |       FROM mg)
+             |SELECT sid AS src_id, tid AS tgt_id, c6 / 1e6 AS cos_sim, margin
+             |FROM pk WHERE rn = 1 AND margin > 1.05
+             |ORDER BY src_id""".stripMargin),
+      (s, dir) =>
+        Similarity.marginMining(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", srcPred = col("vec_id") % 2 === 0,
+            k = 4, minMargin = 1.05)
+          .orderBy("src_id"))
   )
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —

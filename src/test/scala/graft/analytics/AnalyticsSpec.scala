@@ -2174,6 +2174,30 @@ class StatsSpec extends SparkTestBase {
     assert(run(7) === m, "hash-free deterministic recurrence")
   }
 
+  test("marginMining: integer-ratio margins hand-computed end to end; " +
+       "threshold drops the weaker pair; best-target pick per source") {
+    import spark.implicits._
+    // sources even / targets odd, 2-D: c6 grid is (s0,t1)=1e6,
+    // (s0,t3)=6e5, (s2,t1)=0, (s2,t3)=8e5. k=2 neighborhoods:
+    // ax(s0)=1.6e6, ax(s2)=8e5; ay(t1)=1e6, ay(t3)=1.4e6; margin =
+    // 8*c6 / (2*(ax+ay)): s0->t1 = 8/5.2 = 1.538462, s2->t3 =
+    // 6.4/4.4 = 1.454545 — both their source's best and above 1.05
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (1L, Array(1f, 0f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    def run(minMargin: Double) =
+      Similarity.marginMining(emb, "vec_id", "embedding",
+          col("vec_id") % 2 === 0, k = 2, minMargin = minMargin)
+        .orderBy("src_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+    assert(run(1.05).toSeq === Seq(
+      (0L, 1L, 1.0, 1.538462), (2L, 3L, 0.8, 1.454545)))
+    // tightening the threshold drops the weaker pair, keeps the other
+    assert(run(1.5).toSeq === Seq((0L, 1L, 1.0, 1.538462)))
+  }
+
   test("covariance matrix matches a direct computation; diagonal is the " +
        "variance; mismatched-dim rows are dropped") {
     import spark.implicits._
