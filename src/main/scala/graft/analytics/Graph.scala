@@ -92,6 +92,24 @@ object Graph {
     out
   }
 
+  /** The one (deg, id) edge orientation both triangle consumers share.
+    * Output: (src, dst, ddst), src the lower-(deg, id) endpoint; edges
+    * touching a node of degree > maxDegree are dropped. */
+  private def orientEdges(edges: DataFrame, deg: DataFrame,
+                          maxDegree: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withDeg = edges
+      .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
+      .filter($"da" <= maxDegree.toLong && $"db" <= maxDegree.toLong)
+    val lowFirst = struct($"da", $"a") < struct($"db", $"b")
+    withDeg.select(
+      when(lowFirst, $"a").otherwise($"b").as("src"),
+      when(lowFirst, $"b").otherwise($"a").as("dst"),
+      when(lowFirst, $"db").otherwise($"da").as("ddst"))
+  }
+
   /** Degree-ordered wedge generation — the hub-safe core of
     * [[triangleCounts]], factored out so specs can pin the wedge count
     * itself. Each undirected edge is oriented from its LOWER-(deg, id)
@@ -111,26 +129,10 @@ object Graph {
     * degrees stay exact). Default = no cap, exact counts.
     *
     * Output: (u, v, w) with the closing edge {v, w} NOT yet checked;
-    * each potential triangle appears exactly once. */
-  /** The one (deg, id) edge orientation both triangle consumers share —
-    * wedge generation and closure MUST orient identically or triangles
-    * silently vanish, so the expression lives exactly once. Output:
-    * (src, dst, ddst), src the lower-(deg, id) endpoint. */
-  private def orientEdges(edges: DataFrame, deg: DataFrame,
-                          maxDegree: Int): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val withDeg = edges
-      .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
-      .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
-      .filter($"da" <= maxDegree.toLong && $"db" <= maxDegree.toLong)
-    val lowFirst = struct($"da", $"a") < struct($"db", $"b")
-    withDeg.select(
-      when(lowFirst, $"a").otherwise($"b").as("src"),
-      when(lowFirst, $"b").otherwise($"a").as("dst"),
-      when(lowFirst, $"db").otherwise($"da").as("ddst"))
-  }
-
+    * each potential triangle appears exactly once. The (deg, id)
+    * orientation itself lives in [[orientEdges]], shared with the
+    * closure join — the two MUST orient identically or triangles
+    * silently vanish. */
   private[graft] def degreeOrientedWedges(
       edges: DataFrame, deg: DataFrame, maxDegree: Int): DataFrame = {
     val spark = edges.sparkSession
@@ -190,9 +192,13 @@ object Graph {
     val projected = deg.join(perNode, Seq("node"), "left")
       .select($"node", $"deg",
         coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        // degrees multiply AS DOUBLES: deg*(deg-1) in Long is an ANSI
+        // ARITHMETIC_OVERFLOW past ~3e9 neighbors — precisely the hub
+        // regime maxDegree exists to survive
         when($"deg" >= 2, round(
           lit(2.0) * coalesce($"n_triangles", lit(0L)) /
-            ($"deg" * ($"deg" - 1)).cast("double"), 6)).as("clustering"))
+            ($"deg".cast("double") * ($"deg" - 1).cast("double")),
+          6)).as("clustering"))
     val out = projected.localCheckpoint()
     edges.unpersist()
     out

@@ -3902,7 +3902,7 @@ object AnalyticsQueries {
              |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
              |  FROM embeddings),
              |s AS (SELECT vec_id AS sid, vv AS sv FROM v WHERE vec_id % 2 = 0),
-             |t AS (SELECT vec_id AS tid, vv AS tv FROM v WHERE vec_id % 2 = 1),
+             |t AS (SELECT vec_id AS tid, vv AS tv FROM v WHERE vec_id % 2 <> 0),
              |sc AS MATERIALIZED (
              |  SELECT sid, tid,
              |         CAST(round(list_dot_product(sv, tv)

@@ -54,6 +54,13 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
   Files.createDirectories(dataDir)
 
+  // route storage must precede the route() calls below (class body
+  // initializes in order)
+  private val exactRoutes =
+    scala.collection.mutable.Map.empty[String, HttpExchange => Unit]
+  private val prefixRoutes =
+    scala.collection.mutable.Map.empty[String, HttpExchange => Unit]
+
   // ---- route table ------------------------------------------------------
 
   route("/", ex => respond(ex, 200, IndexHtml, "text/html"))
@@ -155,6 +162,8 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
 
   // ---- lifecycle --------------------------------------------------------
 
+  installDispatcher() // after every route() above has registered
+
   def start(): GraftServer = { server.start(); this }
   def boundPort: Int = server.getAddress.getPort
   def baseUrl: String = s"http://$host:$boundPort"
@@ -162,20 +171,30 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
 
   // ---- handler plumbing -------------------------------------------------
 
-  /** JDK HttpServer contexts match by RAW string prefix: without a
-    * path check, "/" would 200 every unknown path and a typo like
-    * /convert_csv_to_excelXYZ would run the nearest named conversion.
-    * Fixed routes answer only their exact path; the two namespace
-    * routes (/status/, /download/data_files/) accept suffixes. */
+  /** All dispatch happens in ONE root context against the DECODED
+    * request path (`URI.getPath`): JDK HttpServer contexts match the
+    * RAW path by string prefix, which both 200s unknown paths through
+    * "/" and misroutes typo'd or percent-encoded spellings — the
+    * reference (Starlette) decodes before routing, so
+    * `/api/user%2Dinfo` must serve and `/convert_csv_to_excelXYZ`
+    * must 404. Fixed routes answer only their exact decoded path; the
+    * two namespace routes (/status/, /download/data_files/) accept
+    * suffixes. */
   private def route(path: String, h: HttpExchange => Unit): Unit =
-    server.createContext(path, { (ex: HttpExchange) =>
-      val p = ex.getRequestURI.getPath
-      val ok = if (path.endsWith("/") && path.length > 1) p.startsWith(path)
-               else p == path
-      if (ok) h(ex)
-      else {
-        respondJson(ex, 404, """{"detail": "Not Found"}""")
-        ex.close()
+    if (path.endsWith("/") && path.length > 1) prefixRoutes(path) = h
+    else exactRoutes(path) = h
+
+  private def installDispatcher(): Unit =
+    server.createContext("/", { (ex: HttpExchange) =>
+      val p = ex.getRequestURI.getPath // decoded
+      exactRoutes.get(p)
+        .orElse(prefixRoutes.collectFirst {
+          case (pre, h) if p.startsWith(pre) => h
+        }) match {
+        case Some(h) => h(ex)
+        case None =>
+          respondJson(ex, 404, """{"detail": "Not Found"}""")
+          ex.close()
       }
     })
 
@@ -218,10 +237,16 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
       if (exts.nonEmpty && !exts.exists(safeName.toLowerCase.endsWith))
         throw new IllegalArgumentException(
           s"Only ${exts.mkString("/")} files are supported")
-      // form fields WIN over same-named query params (the reference's
-      // Form(...) parameters read the posted body)
-      val fields = queryParams(ex) ++ parts.filter(_.filename.isEmpty)
-        .map(p => p.name -> new String(p.data, UTF_8)).toMap
+      // precedence mirrors the reference exactly: its endpoints declare
+      // plain scalar params (never Form(...)), which FastAPI binds from
+      // the QUERY STRING — the bundled client's FormData fields are
+      // silently ignored there (main.py:1825, static/js/main.js:272).
+      // We honor the query first for fidelity and fall back to the
+      // posted form field, serving the client's evident intent (the
+      // processPngToJpg precedent for reference quirks)
+      val fields = parts.filter(_.filename.isEmpty)
+        .map(p => p.name -> new String(p.data, UTF_8)).toMap ++
+        queryParams(ex)
       val tmpDir = Files.createTempDirectory("graft_upload")
       try {
         val in = tmpDir.resolve(safeName)

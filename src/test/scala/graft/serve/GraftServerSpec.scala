@@ -198,6 +198,12 @@ class GraftServerSpec extends SparkTestBase {
       assert(typo.statusCode() === 404)
       assert(get(s"${srv.baseUrl}/robots.txtXYZ").statusCode() === 404)
       assert(get(s"${srv.baseUrl}/").statusCode() === 200)
+      // routing happens on the DECODED path (the reference's Starlette
+      // decodes before matching): a %-encoded spelling of a real route
+      // must serve, not fall through to 404
+      val enc = get(s"${srv.baseUrl}/api/user%2Dinfo")
+      assert(enc.statusCode() === 200 &&
+        new String(enc.body(), UTF_8).contains("authenticated"))
     }
   }
 
