@@ -1,0 +1,121 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining: which items repeatedly appear in
+  * the same basket (order, session, document), and the association-rule
+  * view (confidence/lift) of those pairs. In a training-data pipeline
+  * the same shapes rank co-occurring sources, tags or entities; over a
+  * sales star schema they are the classic cross-sell miner.
+  *
+  * Scale shape: the only quadratic is PER-BASKET pair expansion,
+  * bounded by `maxBasket` (a basket of size s emits s(s-1)/2 pairs; an
+  * over-cap basket — a crawl dump of one giant pseudo-order — is
+  * dropped whole, the cap-discipline rule every wedge generator in this
+  * repo follows). Both sides of the pair self-join arrive hash-
+  * partitioned on the basket key, so the expansion is co-located; the
+  * pair tally is one (item_a, item_b)-keyed aggregate. Nothing is ever
+  * collected to the driver.
+  */
+object Baskets {
+
+  /** Distinct co-occurrence pairs with their basket support. Items are
+    * de-duplicated within a basket first (a part ordered on three lines
+    * of one order co-occurs once), pairs emit in `item_a < item_b`
+    * canonical order, and `minSupport` keeps only pairs seen in at
+    * least that many baskets — support >= 2 is what separates a real
+    * co-purchase graph from one-off coincidence cliques.
+    *
+    * Output: (item_a, item_b, pair_n). */
+  def coOccurrencePairs(items: DataFrame, basketCol: String,
+                        itemCol: String, minSupport: Long = 1L,
+                        maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1L && maxBasket >= 2, "need minSupport >= 1, maxBasket >= 2")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val bif = basketItems(items, basketCol, itemCol, maxBasket)
+    bif.select($"bk", $"it".as("item_a"))
+      .join(bif.select($"bk", $"it".as("item_b")), Seq("bk"))
+      .filter($"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b")
+      .agg(count(lit(1)).cast("long").as("pair_n"))
+      .filter($"pair_n" >= minSupport)
+  }
+
+  /** Pairwise association rules over the same capped basket relation:
+    * each supported pair emits BOTH directed rules (a -> b) and
+    * (b -> a) with
+    * `confidence = support(ab) / support(antecedent)` and
+    * `lift = support(ab) * n_baskets / (support(a) * support(b))`
+    * (symmetric, so both directions carry the same lift but different
+    * confidence). `n_baskets` counts the baskets that SURVIVED the size
+    * cap — supports and the normalizer must come from the same
+    * population or lift is biased. The basket count is a broadcast
+    * one-row frame (the q200 token-total shape), not a driver collect.
+    *
+    * Top-k is contract: rows order by the SCALED-integer lift
+    * `round(lift * 1e6)` descending, ties (antecedent, consequent) —
+    * the total order a replayed oracle lands on exactly.
+    *
+    * Output: (antecedent, consequent, pair_n, confidence, lift). */
+  def associationRules(items: DataFrame, basketCol: String,
+                       itemCol: String, minPairSupport: Long = 2L,
+                       maxBasket: Int = 1000, topK: Int = 100): DataFrame = {
+    require(minPairSupport >= 1L && topK >= 1, "need minPairSupport >= 1, topK >= 1")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val bif = basketItems(items, basketCol, itemCol, maxBasket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bif.select($"bk", $"it".as("item_a"))
+      .join(bif.select($"bk", $"it".as("item_b")), Seq("bk"))
+      .filter($"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b")
+      .agg(count(lit(1)).cast("long").as("pair_n"))
+      .filter($"pair_n" >= minPairSupport)
+    val itemN = bif.groupBy($"it")
+      .agg(count(lit(1)).cast("long").as("item_n"))
+    val nBaskets = bif.select($"bk").distinct()
+      .agg(count(lit(1)).cast("long").as("n"))
+    val directed = pairs
+      .select($"item_a".as("antecedent"), $"item_b".as("consequent"), $"pair_n")
+      .union(pairs
+        .select($"item_b".as("antecedent"), $"item_a".as("consequent"), $"pair_n"))
+    val scored = directed
+      .join(itemN.select($"it".as("antecedent"), $"item_n".as("na")),
+        Seq("antecedent"))
+      .join(itemN.select($"it".as("consequent"), $"item_n".as("nc")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select($"antecedent", $"consequent", $"pair_n",
+        (round($"pair_n".cast("double") / $"na" * 1e6) / 1e6).as("confidence"),
+        (round($"pair_n".cast("double") * $"n" / ($"na" * $"nc").cast("double")
+          * 1e6) / 1e6).as("lift"),
+        round($"pair_n".cast("double") * $"n" / ($"na" * $"nc").cast("double")
+          * 1e6).as("l6"))
+    val out = scored
+      .orderBy($"l6".desc, $"antecedent", $"consequent")
+      .limit(topK)
+      .select($"antecedent", $"consequent", $"pair_n", $"confidence", $"lift")
+      .localCheckpoint()
+    bif.unpersist()
+    out
+  }
+
+  /** The shared capped basket relation: distinct (basket, item), minus
+    * baskets larger than `maxBasket` in DISTINCT items. */
+  private def basketItems(items: DataFrame, basketCol: String,
+                          itemCol: String, maxBasket: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val bi = items
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .filter($"bk".isNotNull && $"it".isNotNull)
+      .distinct()
+    val ok = bi.groupBy($"bk")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= maxBasket.toLong)
+      .select($"bk")
+    bi.join(ok, Seq("bk"), "left_semi")
+  }
+}

@@ -276,4 +276,127 @@ object Graph {
     edges0.unpersist()
     out
   }
+
+  /** Adamic-Adar link prediction over an UNDIRECTED pair list: score
+    * every NON-adjacent pair (u, w) that shares at least one neighbor
+    * by `sum over common neighbors z of 1 / ln(deg(z))` — the classic
+    * "which near-dup pairs did LSH miss / which docs will collide
+    * next" ranking, where a shared rare neighbor (low degree) is strong
+    * evidence and a shared template hub is weak.
+    *
+    * Shape: candidate pairs are exactly the OPEN wedges, so the wedge
+    * volume `sum of deg(z)^2 / 2` is inherent to the semantics (unlike
+    * triangles, an open wedge cannot be skipped) — the only principled
+    * bound is `maxDegree`, which drops wedges CENTERED on a node of
+    * degree > maxDegree. That cap is semantically gentle by the
+    * operator's own weighting: an over-cap hub contributes at most
+    * 1/ln(maxDegree) per pair, the evidence the measure already
+    * discounts toward zero. Everything else is equi-joins + one
+    * pair-keyed agg; existing edges leave by one anti-join against the
+    * canonical edge set (wedge endpoints are emitted a < b, matching).
+    *
+    * Top-k is part of the contract: rows order by the SCALED-integer
+    * score `round(aa * 1e6)` descending with (node_a, node_b) ties —
+    * a total order both engines replay exactly (raw double ordering is
+    * an IEEE knife edge under float-sum reassociation).
+    *
+    * Output: (node_a, node_b, common_neighbors, aa_score) — top `topK`.
+    */
+  def adamicAdar(pairs: DataFrame, aCol: String, bCol: String,
+                 maxDegree: Int = 10000, topK: Int = 200): DataFrame = {
+    require(maxDegree >= 2 && topK >= 1, "need maxDegree >= 2, topK >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val half = edges.select($"a".as("z"), $"b".as("n"))
+      .union(edges.select($"b".as("z"), $"a".as("n")))
+    val deg = half.groupBy($"z").agg(count(lit(1)).cast("long").as("deg"))
+    // center-attached degree: each wedge row needs deg(z) for its term,
+    // and the cap filter rides the same join
+    val centers = half.join(deg, Seq("z"))
+      .filter($"deg" <= maxDegree.toLong)
+    val wedges = centers.select($"z", $"n".as("na"), $"deg")
+      .join(centers.select($"z", $"n".as("nb")), Seq("z"))
+      .filter($"na" < $"nb")
+    val scored = wedges
+      .groupBy($"na".as("node_a"), $"nb".as("node_b"))
+      .agg(count(lit(1)).cast("long").as("common_neighbors"),
+        sum(lit(1.0) / log($"deg".cast("double"))).as("aa"))
+    val nonEdges = scored.join(
+      edges.select($"a".as("node_a"), $"b".as("node_b")),
+      Seq("node_a", "node_b"), "left_anti")
+    val out = nonEdges
+      .select($"node_a", $"node_b", $"common_neighbors",
+        (round($"aa" * 1e6) / 1e6).as("aa_score"))
+      .orderBy(round($"aa" * 1e6).desc, $"node_a", $"node_b")
+      .limit(topK)
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  /** Synchronous label propagation (fixed rounds): every node starts
+    * labeled with its own id; each round it adopts the MODE of its
+    * neighbors' labels, ties broken to the SMALLEST label. Communities
+    * denser than their surroundings converge to one label — the soft
+    * clustering view of a near-dup graph that connected components
+    * overstate (components chain through single weak edges; LPA needs
+    * a neighborhood majority to absorb a node).
+    *
+    * The round count is the operator contract (the kCore precedent):
+    * the result is the state after exactly `rounds` synchronous
+    * updates, so a replayed oracle lands on the identical intermediate
+    * state even where LPA has not converged (synchronous LPA can
+    * 2-cycle on bipartite-ish structure — fixed rounds make that
+    * deterministic instead of divergent). The (count desc, label asc)
+    * argmax is a TOTAL order per node — labels are distinct within a
+    * node's tally — implemented as one `max_by(label, (count, -label))`
+    * hash aggregate, NOT a per-node window, so a million-neighbor hub
+    * costs one aggregation key, not one window partition.
+    *
+    * Scale shape per round: one edge-keyed join (labels onto the
+    * symmetrized half-edge table, node-keyed) + two hash aggregates;
+    * labels are `localCheckpoint`ed each round so lineage stays one
+    * round deep. Output: (node, label, community_size), community size
+    * counted over the final labeling. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val half = edges.select($"a".as("node"), $"b".as("nb"))
+      .union(edges.select($"b".as("node"), $"a".as("nb")))
+    var labels = half.select($"node").distinct()
+      .select($"node", $"node".as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val tallies = half
+        .join(labels.select($"node".as("nb"), $"label"), Seq("nb"))
+        .groupBy($"node", $"label")
+        .agg(count(lit(1)).cast("long").as("c"))
+      labels = tallies
+        .groupBy($"node")
+        .agg(max_by($"label", struct($"c", (-$"label").as("nl")))
+          .as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy($"label")
+      .agg(count(lit(1)).cast("long").as("community_size"))
+    val out = labels.join(sizes, Seq("label"))
+      .select($"node", $"label", $"community_size")
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
 }

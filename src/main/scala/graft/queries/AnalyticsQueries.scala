@@ -56,6 +56,22 @@ object AnalyticsQueries {
       |   JOIN (SELECT b.* FROM bands b JOIN keep USING (band, bucket)) b
       |     ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)""".stripMargin
 
+  /** Shared DuckDB CTE chain: capped order baskets -> canonical
+    * co-occurrence pairs with support. Mirrors Baskets.basketItems /
+    * coOccurrencePairs exactly: distinct (order, part), baskets over
+    * 1000 DISTINCT items dropped whole, pairs in item_a < item_b order.
+    * Ends at `bif` (basket items) and `pr` (pair support). */
+  private val basketCte =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |bsz AS (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 1000),
+      |bif AS MATERIALIZED (SELECT bi.bk, bi.it FROM bi JOIN bsz USING (bk)),
+      |pr AS MATERIALIZED (
+      |  SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS pair_n
+      |  FROM bif a JOIN bif b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Shared DuckDB CTE: per-(doc, word) token counts + corpus word
     * frequencies. Mirrors TextAnalysis.docWordCounts / vocabulary exactly
     * (same tokenizer as [[shCte]]'s `toks`). */
@@ -3937,8 +3953,136 @@ object AnalyticsQueries {
         Similarity.marginMining(Tables(s, dir, "embeddings"),
             "vec_id", "embedding", srcPred = col("vec_id") % 2 === 0,
             k = 4, minMargin = 1.05)
-          .orderBy("src_id"))
+          .orderBy("src_id")),
+
+    // ----- Adamic-Adar link prediction -----
+    Q("q202_adamic_adar",
+      "Adamic-Adar link prediction over the repeatedly-co-purchased " +
+        "part graph (support >= 2 basket pairs — one-off coincidences " +
+        "would close the graph into cliques with no open wedges to " +
+        "predict): every non-adjacent pair sharing a neighbor scores " +
+        "sum(1/ln(deg(z))) over common neighbors, rare shared " +
+        "neighbors weighted over hubs; open wedges ARE the semantics " +
+        "so the only principled bound is the center-degree cap (the " +
+        "over-cap hub's term is the evidence the measure already " +
+        "discounts); top-200 by SCALED-integer score so both engines " +
+        "replay the order",
+      Some(basketCte + """,
+             | ed AS MATERIALIZED (
+             |   SELECT item_a AS a, item_b AS b FROM pr WHERE pair_n >= 2),
+             | un AS (SELECT a AS z, b AS n FROM ed UNION ALL SELECT b, a FROM ed),
+             | dg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM un GROUP BY z),
+             | ctr AS (SELECT un.z, un.n, dg.deg FROM un JOIN dg USING (z)
+             |         WHERE dg.deg <= 1000),
+             | wg AS (SELECT c1.n AS na, c2.n AS nb, c1.deg
+             |        FROM ctr c1 JOIN ctr c2 ON c2.z = c1.z AND c1.n < c2.n),
+             | sc AS (SELECT na AS node_a, nb AS node_b,
+             |               CAST(count(*) AS BIGINT) AS common_neighbors,
+             |               sum(1.0 / ln(deg)) AS aa
+             |        FROM wg GROUP BY 1, 2),
+             | ne AS (SELECT sc.* FROM sc LEFT JOIN ed
+             |          ON ed.a = sc.node_a AND ed.b = sc.node_b
+             |        WHERE ed.a IS NULL)
+             |SELECT node_a, node_b, common_neighbors,
+             |       round(aa * 1e6) / 1e6 AS aa_score
+             |FROM ne
+             |ORDER BY round(aa * 1e6) DESC, node_a, node_b
+             |LIMIT 200""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Graph.adamicAdar(
+          graft.analytics.Baskets.coOccurrencePairs(
+            Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+            minSupport = 2L, maxBasket = 1000),
+          "item_a", "item_b", maxDegree = 1000, topK = 200)),
+
+    // ----- association rules (confidence / lift) -----
+    Q("q204_association_rules",
+      "pairwise association rules over capped order baskets: every " +
+        "support >= 2 co-purchase pair emits both directed rules with " +
+        "confidence = pair/antecedent support and lift = pair * " +
+        "n_baskets / (support_a * support_b), the n_baskets normalizer " +
+        "counted over the SAME cap-surviving population as the " +
+        "supports (a biased normalizer fakes lift); per-basket pair " +
+        "expansion is the only quadratic, bounded by maxBasket and " +
+        "co-located on the basket key; top-100 by scaled-integer lift",
+      Some(basketCte + """,
+             | it AS (SELECT it, CAST(count(*) AS BIGINT) AS item_n FROM bif GROUP BY it),
+             | nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM bif),
+             | dir AS (
+             |   SELECT item_a AS antecedent, item_b AS consequent, pair_n
+             |   FROM pr WHERE pair_n >= 2
+             |   UNION ALL
+             |   SELECT item_b, item_a, pair_n FROM pr WHERE pair_n >= 2),
+             | sc AS (SELECT d.antecedent, d.consequent, d.pair_n,
+             |          round(CAST(d.pair_n AS DOUBLE) / ia.item_n * 1e6) / 1e6 AS confidence,
+             |          round(CAST(d.pair_n AS DOUBLE) * nb.n
+             |            / CAST(ia.item_n * ic.item_n AS DOUBLE) * 1e6) / 1e6 AS lift,
+             |          round(CAST(d.pair_n AS DOUBLE) * nb.n
+             |            / CAST(ia.item_n * ic.item_n AS DOUBLE) * 1e6) AS l6
+             |        FROM dir d JOIN it ia ON ia.it = d.antecedent
+             |                   JOIN it ic ON ic.it = d.consequent
+             |                   CROSS JOIN nb)
+             |SELECT antecedent, consequent, pair_n, confidence, lift
+             |FROM sc ORDER BY l6 DESC, antecedent, consequent
+             |LIMIT 100""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Baskets.associationRules(
+          Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minPairSupport = 2L, maxBasket = 1000, topK = 100)),
+
+    // ----- label propagation communities -----
+    Q("q203_label_propagation",
+      "synchronous label-propagation communities over the q19 candidate " +
+        "graph, 5 fixed rounds (the kCore contract: the oracle replays " +
+        "the exact intermediate state, converged or not): each node " +
+        "adopts its neighbors' MODE label, ties to the smallest — the " +
+        "soft community view that connected components overstate by " +
+        "chaining through single weak edges; per round one node-keyed " +
+        "join + a max_by hash agg (no per-node windows), labels " +
+        "checkpointed so lineage stays one round deep",
+      Some(labelPropOracleSql(rounds = 5)),
+      (s, dir) =>
+        graft.analytics.Graph.labelPropagation(
+          Dedup.minhashCandidates(
+            Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
+              "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+            maxBucket = 1000),
+          "doc_a", "doc_b", rounds = 5)
+          .orderBy("node"))
   )
+
+  /** Unrolled synchronous label propagation in DuckDB — the SAME
+    * fixed-round recurrence [[graft.analytics.Graph.labelPropagation]]
+    * runs: mode of neighbor labels, ties to the smallest label, one
+    * MATERIALIZED CTE per round (inlined chains go exponential — the
+    * pageRank/q130 lesson). The argmax is a row_number window here vs
+    * max_by on the Spark side: same total (count desc, label asc)
+    * order, same values. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val head = shCte + lshCte + """,
+      | ed AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cand),
+      | un AS MATERIALIZED (
+      |   SELECT a AS node, b AS nb FROM ed UNION ALL SELECT b, a FROM ed),
+      | l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM un)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s""",
+      | l$r AS MATERIALIZED (
+      |   SELECT node, label FROM (
+      |     SELECT t.node, t.label,
+      |            row_number() OVER (PARTITION BY t.node
+      |              ORDER BY t.c DESC, t.label) AS rn
+      |     FROM (SELECT un.node, p.label, CAST(count(*) AS BIGINT) AS c
+      |           FROM un JOIN l${r - 1} p ON p.node = un.nb
+      |           GROUP BY un.node, p.label) t) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val tail = s"""
+      |SELECT lf.node, lf.label, cs.community_size
+      |FROM l$rounds lf JOIN (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS community_size
+      |  FROM l$rounds GROUP BY label) cs USING (label)
+      |ORDER BY node""".stripMargin
+    head + steps + tail
+  }
 
   /** Unrolled full-batch STANDARDIZED logistic-regression GD in DuckDB —
     * the SAME recurrence [[graft.analytics.Selection.logregQuality]]

@@ -143,4 +143,58 @@ class GraphSpec extends SparkTestBase {
     assert(capped.getLong(1) === 12L && capped.getLong(2) === 0L,
       "cap trades exactness for a wedge bound; degree column unchanged")
   }
+
+  test("adamicAdar: path scores its one open pair 1/ln(2); K3 has no " +
+       "open wedges; center cap empties a star; topK ties break by ids; " +
+       "partition-invariant") {
+    import spark.implicits._
+    // path 1-2-3: open pair (1,3) via center 2 of degree 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.adamicAdar(path, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 3L, 1L,
+      math.round(1.0 / math.log(2.0) * 1e6) / 1e6)))
+    // K3: every wedge closes -> nothing to predict
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.adamicAdar(k3, "a", "b").isEmpty)
+    // star center 9, leaves 1..5: C(5,2)=10 open pairs at 1/ln(5) each;
+    // capping the center's degree below 5 removes every wedge
+    val star = (1L to 5L).map(i => (9L, i)).toDF("a", "b")
+    val full = Graph.adamicAdar(star, "a", "b").collect()
+    assert(full.length === 10 &&
+      full.forall(_.getDouble(3) === math.round(1.0 / math.log(5.0) * 1e6) / 1e6))
+    assert(Graph.adamicAdar(star, "a", "b", maxDegree = 4).isEmpty)
+    // equal scores: topK must cut on the deterministic (node_a, node_b)
+    // tie-break, so the kept rows are the id-smallest pairs
+    val top3 = Graph.adamicAdar(star, "a", "b", topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top3.toSeq === Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    for (p <- Seq(1, 7)) {
+      val g2 = Graph.adamicAdar(star.repartition(p), "a", "b").collect()
+      assert(g2.length === 10, s"p=$p")
+    }
+  }
+
+  test("labelPropagation: two bridged triangles settle into two " +
+       "communities of 3; a lone edge 2-cycles so odd rounds land " +
+       "swapped (the fixed-round contract); partition-invariant") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    def run(df: org.apache.spark.sql.DataFrame, rounds: Int = 5) =
+      Graph.labelPropagation(df, "a", "b", rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // hand replay: round-by-round mode/min updates converge by round 5
+    // to label 1 on {1,2,3} and label 3 on {4,5,6}
+    assert(run(g).toSeq === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L)))
+    // single edge: synchronous LPA swaps labels every round — after an
+    // odd round count the labels sit exchanged, deterministically
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    assert(run(e, rounds = 5).toSeq === Seq((1L, 2L, 1L), (2L, 1L, 1L)))
+    assert(run(e, rounds = 4).toSeq === Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+    for (p <- Seq(1, 7))
+      assert(run(g.repartition(p)).toSeq.map(_._2).toSeq ===
+        Seq(1L, 1L, 1L, 3L, 3L, 3L), s"p=$p")
+  }
 }
