@@ -115,4 +115,31 @@ object DataAudit {
       .agg(count(lit(1)).cast("long").as("class_size"))
       .withColumn("suppress", col("class_size") < k)
   }
+
+  /** Distinct l-diversity (Machanavajjhala 2007) — the k-anonymity
+    * follow-through: a large equivalence class still leaks when every
+    * member shares the SAME sensitive value (the homogeneity attack;
+    * "all 40 patients in this quasi-class have the same diagnosis"),
+    * so each class must also hold at least `l` distinct sensitive
+    * values. Null sensitive values do not count toward diversity (a
+    * null is an absent disclosure, not a distinct one).
+    *
+    * One aggregation keyed on the quasi tuple; the exact distinct
+    * rides the same exchange as the count (Spark expands distinct
+    * aggregates into a two-phase plan, still one logical pass).
+    * Output: (quasiCols..., class_size, l_distinct, suppress) —
+    * suppress when EITHER bound fails, since l-diversity subsumes
+    * k-anonymity only when l >= k. */
+  def lDiversity(df: DataFrame, k: Long, l: Long, sensitiveCol: String,
+                 quasiCols: String*): DataFrame = {
+    require(k >= 2 && l >= 2 && quasiCols.nonEmpty,
+      "need k >= 2, l >= 2 and at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot also be a quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("class_size"),
+        count_distinct(col(sensitiveCol)).cast("long").as("l_distinct"))
+      .withColumn("suppress",
+        col("class_size") < k || col("l_distinct") < l)
+  }
 }

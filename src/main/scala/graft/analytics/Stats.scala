@@ -732,4 +732,57 @@ object Stats {
           / 1e6).as("threshold"))
       .withColumn("drifted", $"ks" > $"threshold")
   }
+
+  /** Weighted percentiles per group — the "median price weighted by
+    * units sold" / "p90 doc length weighted by token count" shape,
+    * where each value counts `weight` times. Semantics are the
+    * lower-bound (type-1) quantile over the weighted distribution:
+    * the smallest value whose CUMULATIVE weight reaches `p` of the
+    * group total.
+    *
+    * The whole computation is INTEGER-exact, immune to float-sum
+    * reassociation: weights quantize once to `round(w * weightScale)`
+    * (exact when weights carry <= log10(weightScale) decimals), weight
+    * mass pre-aggregates PER DISTINCT VALUE (so the cumulative sum is
+    * over a total (group, value) order — no intra-tie float drift),
+    * and each threshold test is the integer cross-multiplication
+    * `cum * 1e6 >= round(p * 1e6) * tot`. Percentiles are thereby
+    * quantized to ppm — nobody's p-value has more precision anyway.
+    *
+    * Scale shape: one (group, value)-keyed pre-agg with map-side
+    * partials, then one group-partitioned window over DISTINCT values
+    * only (bounded by value cardinality per group, not row count), one
+    * final group agg. Output: (group, total_weight, p{NN}_weighted
+    * per requested percentile). */
+  def weightedPercentiles(df: DataFrame, groupCol: String,
+                          valueCol: String, weightCol: String,
+                          percentiles: Seq[Double] = Seq(0.5, 0.9),
+                          weightScale: Long = 1000L): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles must be in (0, 1]")
+    require(weightScale >= 1L, "need weightScale >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dv = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).as("v"),
+        round(col(weightCol) * weightScale).cast("long").as("wt"))
+      .groupBy($"grp", $"v")
+      .agg(sum($"wt").cast("long").as("wt"))
+    val wOrd = Window.partitionBy($"grp").orderBy($"v")
+    val wAll = Window.partitionBy($"grp")
+    val cum = dv
+      .withColumn("cum", sum($"wt").over(wOrd).cast("long"))
+      .withColumn("tot", sum($"wt").over(wAll).cast("long"))
+    val pCols = percentiles.map { p =>
+      val ppm = math.round(p * 1e6)
+      val name = s"p${math.round(p * 100)}_weighted"
+      min(when($"cum" * 1000000L >= lit(ppm) * $"tot", $"v")).as(name)
+    }
+    cum.groupBy($"grp")
+      .agg((round(max($"tot").cast("double") / weightScale * 1e6) / 1e6)
+        .as("total_weight"), pCols: _*)
+  }
 }

@@ -892,4 +892,43 @@ object TextAnalysis {
       stopHits.as("stop_hits"),
       pass.as("pass"))
   }
+
+  /** Flesch reading-ease + Flesch-Kincaid grade per document — the
+    * classic curation signal separating prose from listings/boilerplate
+    * (keyword-stuffed pages score absurdly "easy", legalese absurdly
+    * "hard"; both are filter fodder). Heuristic components, all
+    * map-side single-regex counts (no per-word explode):
+    *  - words: [[nTokens]] (the corpus-wide tokenizer);
+    *  - sentences: runs of `[.!?]+`, floored at 1 so headline-style
+    *    fragments divide by one sentence instead of zero;
+    *  - syllables: vowel-GROUP runs `[aeiouy]+` over the lowered text —
+    *    whitespace breaks groups, so the whole-text count equals the
+    *    per-word sum without ever splitting.
+    * Standard coefficients (Flesch 1948 / Kincaid 1975); zero-word docs
+    * emit null scores via the guarded denominator. Scores round by the
+    * scaled-double rule; the arithmetic tree is division + multiply +
+    * subtract on small integers, deterministic across engines.
+    *
+    * Output: (id, n_words, n_sentences, n_syllables, flesch, fk_grade).
+    */
+  def readability(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    val wordsD = col("n_words").cast("double")
+    val wps = wordsD / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") /
+      when(col("n_words") > 0L, wordsD)
+    docs.select(col(idCol),
+        nTokens(t).cast("long").as("n_words"),
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sentences"),
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (round((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw) * 1e6)
+          / 1e6).as("flesch"),
+        (round((lit(0.39) * wps + lit(11.8) * spw - lit(15.59)) * 1e6)
+          / 1e6).as("fk_grade"))
+  }
 }

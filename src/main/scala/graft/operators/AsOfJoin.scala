@@ -92,4 +92,79 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         rightCols.map(c => when(withinTol, col(s"__rlast.$c")).as(c))): _*)
   }
+
+  /** Linearly-INTERPOLATING as-of join: for each left row, bracket it
+    * between the latest series point at-or-before and the earliest
+    * strictly-after within the same key, and emit
+    * `v0 + (v1 - v0) * (t - t0) / (t1 - t0)` — the quote-curve /
+    * sensor-resample operator that backward/forward as-of can only
+    * approximate stepwise. A left row landing EXACTLY on a series
+    * point returns that point's value (no later bracket needed); a row
+    * outside the series span (before the first point or after the
+    * last) returns null — interpolation never extrapolates, the caller
+    * coalesces with [[asofJoin]] if it wants nearest-value fill.
+    *
+    * Same scale shape as [[asofJoin]]: union + ONE key-partitioned
+    * window pass (a backward carry and a forward carry over the same
+    * sort), no join, no range explosion. Series rows must be unique
+    * per (key, ts). Time arithmetic runs on INTEGER epoch micros and
+    * the output rounds via the scaled-double rule, so a replayed
+    * oracle lands on identical values.
+    *
+    * @param left     probe rows (any schema containing key + ts)
+    * @param series   (key, ts, valueCol) series points
+    * @param valueCol series value column name
+    * @param outCol   name of the appended interpolated column
+    * @return left rows + outCol (double, rounded 6; null off-span) */
+  def interpolateJoin(left: DataFrame, series: DataFrame, key: String,
+                      ts: String, valueCol: String,
+                      outCol: String = "interp_value"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains(outCol),
+      s"output column $outCol collides with a left column")
+    // a null-VALUED series point is an absent point (nothing to
+    // interpolate through), not a payload to carry — unlike asofJoin's
+    // struct rule, interpolation has no meaningful null bracket, so
+    // dropping the row here keeps brackets spanning across it
+    val taggedSeries = series
+      .filter(col(key).isNotNull && col(valueCol).isNotNull).select(
+      (Seq(col(key), col(ts), lit(0).as("__side"),
+        col(valueCol).cast("double").as("__sv")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast("double").as("__sv")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
+    val unioned = taggedSeries.unionByName(taggedLeft)
+    val back = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    // pack (t, v) per series row so a legitimately-null series value
+    // cannot resurrect a staler point (the asofJoin struct rule)
+    val packed = unioned.withColumn("__pt",
+      when(col("__side") === 0,
+        struct(unix_micros(col(ts)).as("t"), col("__sv").as("v"))))
+    val carried = packed
+      .withColumn("__p0", last(col("__pt"), ignoreNulls = true).over(back))
+      .withColumn("__p1", first(col("__pt"), ignoreNulls = true).over(fwd))
+    val tq = unix_micros(col(ts))
+    val t0 = col("__p0.t"); val v0 = col("__p0.v")
+    val t1 = col("__p1.t"); val v1 = col("__p1.v")
+    // series rows sort before left rows at equal ts, so an exact-ts hit
+    // is always in the BACKWARD carry; t1 > tq strictly, hence t1 - t0
+    // > 0 whenever both brackets exist (the when() guard is belt for
+    // malformed duplicate series points)
+    val interp =
+      when(t0 === tq, round(v0 * 1e6) / 1e6)
+        .otherwise(round(
+          (v0 + (v1 - v0) *
+            ((tq - t0).cast("double") /
+              when(t1 - t0 > 0L, t1 - t0).cast("double"))) * 1e6) / 1e6)
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) :+ interp.as(outCol)): _*)
+  }
 }

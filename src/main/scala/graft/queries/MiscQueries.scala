@@ -1363,6 +1363,186 @@ object MiscQueries {
             purchases = ev.filter(col("event_type") === "purchase"),
             windowMinutes = 30)
           .orderBy("purchase_id", "click_id")
-      })
+      }),
+
+    // ----- SCD type-2 interval build -----
+    Q("q205_scd2_intervals",
+      "slowly-changing-dimension (type 2) intervals from the event " +
+        "change log: per user, consecutive same-type events collapse " +
+        "into the open version and each surviving change point opens " +
+        "a (valid_from, valid_to] interval, null valid_to = current — " +
+        "the warehouse view of any mutable entity; per-key windows " +
+        "over (ts, event_id) only, ONE exchange, history never leaves " +
+        "its partition, equal-ts changes made deterministic by the " +
+        "tie-break column (a change log without a total order has no " +
+        "well-defined previous state)",
+      Some("""WITH s AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (SELECT user_id, ts, event_id, event_type FROM s
+             |      WHERE prev IS NULL OR event_type IS DISTINCT FROM prev),
+             |v AS (SELECT user_id,
+             |        CAST(row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS BIGINT) AS version,
+             |        event_type, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS valid_to
+             |      FROM c)
+             |SELECT user_id, version, event_type, valid_from, valid_to,
+             |       valid_to IS NULL AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin),
+      (s, dir) =>
+        graft.operators.Scd.scd2Intervals(Tables(s, dir, "events"),
+            key = "user_id", ts = "ts", tieBreak = "event_id",
+            attrCols = Seq("event_type"))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("user_id", "version")),
+
+    // ----- linearly-interpolating as-of join -----
+    Q("q206_interpolate_asof",
+      "interpolating as-of join: each purchase reads the user's view-" +
+        "value series at its exact timestamp by linear interpolation " +
+        "between the bracketing points (exact-ts hits return the " +
+        "point; off-span rows null — never extrapolate), the quote-" +
+        "curve/sensor-resample operator stepwise as-of can't express; " +
+        "union + ONE key-partitioned window pass (backward and " +
+        "forward carries over the same sort), time arithmetic on " +
+        "integer epoch micros so the oracle replays exactly",
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS is_q,
+             |         CASE WHEN event_type = 'view' THEN value END AS sv
+             |  FROM events WHERE event_type IN ('view', 'purchase')),
+             |w AS (
+             |  SELECT user_id, ts, event_id, is_q,
+             |    last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts, is_q, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             |    last_value(CASE WHEN sv IS NOT NULL THEN epoch_us(ts) END
+             |      IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts, is_q, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             |    first_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts, is_q, event_id
+             |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1,
+             |    first_value(CASE WHEN sv IS NOT NULL THEN epoch_us(ts) END
+             |      IGNORE NULLS) OVER (PARTITION BY user_id
+             |      ORDER BY ts, is_q, event_id
+             |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1
+             |  FROM u)
+             |SELECT user_id, event_id, ts,
+             |  CASE WHEN t0 = epoch_us(ts) THEN round(v0 * 1e6) / 1e6
+             |       ELSE round((v0 + (v1 - v0)
+             |         * (CAST(epoch_us(ts) - t0 AS DOUBLE)
+             |            / CAST(CASE WHEN t1 - t0 > 0 THEN t1 - t0 END
+             |                   AS DOUBLE))) * 1e6) / 1e6
+             |  END AS interp_value
+             |FROM w WHERE is_q = 1
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        AsOfJoin.interpolateJoin(
+            left = ev.filter(col("event_type") === "purchase")
+              .select("user_id", "event_id", "ts"),
+            series = ev.filter(col("event_type") === "view")
+              .select("user_id", "ts", "value"),
+            key = "user_id", ts = "ts", valueCol = "value")
+          .orderBy("user_id", "event_id")
+      }),
+
+    // ----- weighted percentiles -----
+    Q("q207_weighted_percentiles",
+      "per-flag price percentiles weighted by units sold (the median " +
+        "UNIT pays, not the median LINE): lower-bound weighted " +
+        "quantiles computed INTEGER-exact — weights quantized once to " +
+        "1e3, mass pre-aggregated per distinct value so the cumulative " +
+        "sum runs over a total order, thresholds tested by integer " +
+        "cross-multiplication cum*1e6 >= p_ppm*tot (no float-sum " +
+        "reassociation anywhere); one keyed pre-agg + one window over " +
+        "DISTINCT values only + one group agg",
+      Some("""WITH w AS (
+             |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+             |         CAST(round(l_quantity * 1000) AS BIGINT) AS wt
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+             |dv AS (SELECT grp, v, CAST(sum(wt) AS BIGINT) AS wt
+             |       FROM w GROUP BY grp, v),
+             |cw AS (SELECT grp, v, wt,
+             |         CAST(sum(wt) OVER (PARTITION BY grp ORDER BY v)
+             |              AS BIGINT) AS cum,
+             |         CAST(sum(wt) OVER (PARTITION BY grp) AS BIGINT) AS tot
+             |       FROM dv)
+             |SELECT grp,
+             |       round(CAST(max(tot) AS DOUBLE) / 1000 * 1e6) / 1e6
+             |         AS total_weight,
+             |       min(CASE WHEN cum * 1000000 >= 500000 * tot THEN v END)
+             |         AS p50_weighted,
+             |       min(CASE WHEN cum * 1000000 >= 900000 * tot THEN v END)
+             |         AS p90_weighted
+             |FROM cw GROUP BY grp ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.weightedPercentiles(
+            Tables(s, dir, "lineitem"), "l_returnflag",
+            "l_extendedprice", "l_quantity",
+            percentiles = Seq(0.5, 0.9), weightScale = 1000L)
+          .orderBy("grp")),
+
+    // ----- l-diversity release gate -----
+    Q("q208_l_diversity",
+      "distinct l-diversity over the q188 quasi-identifiers (source, " +
+        "length-centile) with lang as the sensitive attribute: a " +
+        "quasi-class passing k-anonymity still leaks when every member " +
+        "shares one sensitive value (the homogeneity attack), so each " +
+        "class must hold >= l distinct values too; ONE aggregation " +
+        "keyed on the quasi tuple, the exact distinct riding the same " +
+        "exchange",
+      Some("""SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             |       CAST(count(*) AS BIGINT) AS class_size,
+             |       CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+             |       count(*) < 10 OR count(DISTINCT lang) < 3 AS suppress
+             |FROM documents
+             |GROUP BY source, len_bucket
+             |ORDER BY source, len_bucket""".stripMargin),
+      (s, dir) =>
+        graft.analytics.DataAudit.lDiversity(
+            Tables(s, dir, "documents")
+              .withColumn("len_bucket",
+                floor(col("n_chars").cast("double") / 100.0).cast("long")),
+            k = 10L, l = 3L, "lang", "source", "len_bucket")
+          .orderBy("source", "len_bucket")),
+
+    // ----- Flesch readability -----
+    Q("q209_readability",
+      "Flesch reading-ease + Flesch-Kincaid grade per document — the " +
+        "prose-vs-boilerplate curation signal (keyword stuffing scores " +
+        "absurdly easy, legalese absurdly hard; both are filter " +
+        "fodder); words from the corpus tokenizer, sentences as " +
+        "[.!?]+ runs floored at 1, syllables as vowel-group runs over " +
+        "the lowered text (whitespace breaks groups, so the whole-text " +
+        "regexp count equals the per-word sum with NO explode) — " +
+        "entirely map-side, zero exchanges",
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS n_words,
+             |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  round((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+             |              / CASE WHEN n_words > 0 THEN n_words END)) * 1e6)
+             |    / 1e6 AS flesch,
+             |  round((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |    + 11.8 * (CAST(n_syllables AS DOUBLE)
+             |              / CASE WHEN n_words > 0 THEN n_words END)
+             |    - 15.59) * 1e6) / 1e6 AS fk_grade
+             |FROM t ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.TextAnalysis.readability(
+            Tables(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"))
   )
 }

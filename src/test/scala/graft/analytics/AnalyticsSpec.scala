@@ -1650,6 +1650,32 @@ class CorpusFilterDifferentialSpec extends SparkTestBase {
     }
     assert(fused.map { case (id, v) => id -> v } === composed)
   }
+
+  test("readability: hand-computed Flesch / FK-grade on pinned prose, " +
+       "sentence floor for fragments, zero-word docs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat."),  // w=3 s=1 syl=3 (e, a, a)
+      (2L, "Hi! Go now?"),   // w=3 s=2 syl=3 (i, o, o)
+      (3L, "xyz"),           // w=1 s=1(floor) syl=0 — consonant fragment
+      (4L, "   "))           // 0 words -> null scores
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5)))
+    def f(w: Double, s: Double, syl: Double) =
+      (math.round((206.835 - 1.015 * (w / s) - 84.6 * (syl / w)) * 1e6) / 1e6,
+        math.round((0.39 * (w / s) + 11.8 * (syl / w) - 15.59) * 1e6) / 1e6)
+    val (f1, g1) = f(3, 1, 3); val (f2, g2) = f(3, 2, 3)
+    val (f3, g3) = f(1, 1, 0)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1L, 3L, f1, g1),
+      (2L, 3L, 2L, 3L, f2, g2),
+      (3L, 1L, 1L, 0L, f3, g3), // 0 syllables: valid, maximally "easy"
+      (4L, 0L, 1L, 0L, null, null)))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
@@ -2371,6 +2397,38 @@ class StatsSpec extends SparkTestBase {
       .head().getDouble(2) === 1.0)
     val nopos = Seq((0.3, 0), (0.6, 0)).toDF("score", "y")
     assert(Stats.averagePrecision(nopos, "score", "y").head().isNullAt(2))
+  }
+
+  test("weightedPercentiles: hand-computed lower-bound weighted " +
+       "quantiles, exact-half boundary picks the LOWER value, " +
+       "fractional weights quantize exactly, duplicate values pre-" +
+       "aggregate; partition-invariant") {
+    import spark.implicits._
+    // group a: (10, w1) (20, w2) (30, w1) — tot 4
+    //   p50: cum(20) = 3 >= 2  -> 20;  p90: cum >= 3.6 -> 30
+    // group b: (1, w1) (2, w1) — p50 sits EXACTLY at half: type-1
+    //   lower-bound takes v = 1
+    // group c: duplicates (5, w1)+(5, w1) pre-agg to w2 of tot 4 -> p50 = 5
+    // group d: fractional w 0.5/1.5 -> scaled 500/1500, p50 -> 7
+    val df = Seq(
+      ("a", 10.0, 1.0), ("a", 20.0, 2.0), ("a", 30.0, 1.0),
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0),
+      ("c", 5.0, 1.0), ("c", 5.0, 1.0), ("c", 6.0, 2.0),
+      ("d", 3.0, 0.5), ("d", 7.0, 1.5))
+      .toDF("g", "v", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.weightedPercentiles(d, "g", "v", "w")
+        .orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3)))
+    val got = run(df)
+    assert(got.toSeq === Seq(
+      ("a", 4.0, 20.0, 30.0),
+      ("b", 2.0, 1.0, 2.0),
+      ("c", 4.0, 5.0, 6.0),
+      ("d", 2.0, 7.0, 7.0)))
+    for (p <- Seq(1, 7))
+      assert(run(df.repartition(p)).toSeq === got.toSeq, s"p=$p")
   }
 }
 

@@ -454,6 +454,30 @@ class CurationOpsSpec extends SparkTestBase {
       ("en", "webB", 9L, true)))  // k-1 is not
   }
 
+  test("lDiversity: a k-large homogeneous class still suppresses (the " +
+       "homogeneity attack), null sensitive values add no diversity, " +
+       "either bound failing flags") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(10)(("webA", "en")) ++                    // size ok, l=1
+      (Seq.fill(8)(("webB", "en")) ++ Seq(("webB", "de"),
+        ("webB", "fr"), ("webB", "it"))) ++              // size 11, l=4
+      Seq.fill(4)(("webC", "en")) ++ Seq(("webC", "de"),
+        ("webC", "fr")) ++                               // l ok, size 6 < 10
+      (Seq.fill(8)(("webD", null: String)) ++
+        Seq(("webD", "en"), ("webD", "de")))             // nulls: l=2 < 3
+    val got = DataAudit.lDiversity(rows.toDF("src", "lang"),
+        k = 10L, l = 3L, "lang", "src")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("webA", 10L, 1L, true),
+      ("webB", 11L, 4L, false),
+      ("webC", 6L, 3L, true),
+      ("webD", 10L, 2L, true)))
+  }
+
   test("attribution: first/last picks are deterministic under ties, " +
        "window excludes stale and future touches, no-touch conversions " +
        "keep a null-share row") {

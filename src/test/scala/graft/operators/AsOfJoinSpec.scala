@@ -107,4 +107,43 @@ class AsOfJoinSpec extends SparkTestBase {
     val f = run("forward", 20 * 60)
     assert(f.isNullAt(f.fieldIndex("rv")))
   }
+
+  test("interpolateJoin: hand-computed lerp between brackets, exact-ts " +
+       "hit returns the point, off-span and keyless probes null, " +
+       "null-valued series points are transparent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // series key 1: (100s, 10.0) (200s, 30.0) (250s, null) (400s, 20.0)
+    val series = Seq(
+      (1L, 100L, Some(10.0)), (1L, 200L, Some(30.0)),
+      (1L, 250L, None), (1L, 400L, Some(20.0)))
+      .toDF("k", "sec", "value")
+      .select($"k", timestamp_seconds($"sec").as("ts"), $"value")
+    val left = Seq(
+      (1L, 1L, 150L), // mid-bracket: 10 + 20 * 0.5 = 20
+      (1L, 2L, 100L), // exact hit -> 10
+      (1L, 3L, 300L), // brackets (200,30)-(400,20) ACROSS the null
+                      // point: 30 - 10 * 0.5 = 25
+      (1L, 4L, 50L),  // before the span -> null
+      (1L, 5L, 500L), // after the span -> null
+      (2L, 6L, 150L)) // no series for key 2 -> null
+      .toDF("k", "id", "sec")
+      .select($"k", $"id", timestamp_seconds($"sec").as("ts"))
+    val got = AsOfJoin.interpolateJoin(left, series, "k", "ts", "value")
+      .collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got === Map(1L -> 20.0, 2L -> 10.0, 3L -> 25.0,
+      4L -> null, 5L -> null, 6L -> null))
+    // partition invariance
+    for (p <- Seq(1, 7)) {
+      val g2 = AsOfJoin
+        .interpolateJoin(left.repartition(p), series.repartition(p),
+          "k", "ts", "value")
+        .collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      assert(g2 === got, s"p=$p")
+    }
+  }
 }
