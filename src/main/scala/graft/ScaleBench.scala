@@ -64,6 +64,20 @@ object ScaleBench {
     }.reduce(_ unionByName _)
   }
 
+  private def scaleLineitem(spark: SparkSession, base: DataFrame,
+                            k: Int): DataFrame = {
+    import spark.implicits._
+    // per-copy orderkey AND partkey shifts: baskets and item spaces are
+    // disjoint across copies, so pair structure per copy mirrors the
+    // base and the co-occurrence graph grows linearly with copies
+    (0 until k).map { i =>
+      base.select(
+        ($"l_orderkey" + lit(i.toLong * 100000000L)).as("l_orderkey"),
+        ($"l_partkey" + lit(i.toLong * 100000000L)).as("l_partkey"),
+        $"l_quantity", $"l_extendedprice", $"l_returnflag")
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(
@@ -126,6 +140,11 @@ object ScaleBench {
           $"ts", $"event_type", $"user_id", $"value")
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(hotPath)
       val hotEvents = spark.read.parquet(hotPath)
+      val liPath = tmp.resolve(s"li_x$k").toString
+      scaleLineitem(spark,
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), k)
+        .write.mode("overwrite").parquet(liPath)
+      val li = spark.read.parquet(liPath)
       val ops: Seq[(String, () => Long)] = Seq(
         "q17_exact_dedup" -> (() =>
           analytics.Dedup.exactDupTags(docs, "doc_id", "text").count()),
@@ -590,7 +609,67 @@ object ScaleBench {
         // one scan + fingerprint window + source agg — scan-linear
         "q200_scorecard" -> (() =>
           analytics.TextAnalysis.sourceScorecard(docs, "doc_id", "text",
-            "lang").count()))
+            "lang").count()),
+        // disjoint per-copy basket/item spaces: the support>=2 graph,
+        // its wedges, and the rule table all grow linearly with copies;
+        // the per-basket expansion is the only quadratic and its bound
+        // (basket size) is copy-invariant
+        "q202_adamic" -> (() =>
+          analytics.Graph.adamicAdar(
+            analytics.Baskets.coOccurrencePairs(li, "l_orderkey",
+              "l_partkey", minSupport = 2L),
+            "item_a", "item_b", maxDegree = 1000, topK = 200).count()),
+        "q204_assoc_rules" -> (() =>
+          analytics.Baskets.associationRules(li, "l_orderkey",
+            "l_partkey").count()),
+        // 5 fixed rounds of node-keyed join + two hash aggs over the
+        // LSH candidate graph; per-copy disjoint token spaces keep the
+        // graph linear in copies, so each round must be too
+        "q203_lpa" -> (() =>
+          analytics.Graph.labelPropagation(
+            analytics.Dedup.minhashCandidates(
+              analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text")),
+            "doc_a", "doc_b", rounds = 5).count()),
+        // per-key windows only — must track the q54 sessionize curve
+        "q205_scd2" -> (() =>
+          operators.Scd.scd2Intervals(events, "user_id", "ts",
+            "event_id", Seq("event_type")).count()),
+        // union + one key-partitioned window pass (two carries, one
+        // sort) — must be scan-flat like the asof family
+        "q206_interp" -> (() =>
+          operators.AsOfJoin.interpolateJoin(
+            events.filter($"event_type" === "purchase")
+              .select($"user_id", $"event_id", $"ts"),
+            events.filter($"event_type" === "view")
+              .select($"user_id", $"ts", $"value"),
+            "user_id", "ts", "value").count()),
+        // the cumulative window runs over DISTINCT (grp, value) rows —
+        // grows with value cardinality, not row volume
+        "q207_wpct" -> (() =>
+          analytics.Stats.weightedPercentiles(li, "l_returnflag",
+            "l_extendedprice", "l_quantity").count()),
+        // three regexp counts per row, zero exchanges — must be
+        // scan-flat
+        "q209_readability" -> (() =>
+          analytics.TextAnalysis.readability(docs, "doc_id", "text")
+            .count()),
+        // test table is slice-dictionary-sized however large n gets;
+        // only the two arm-stat scans grow
+        "q210_welch_bh" -> (() =>
+          analytics.Stats.welchTestsBH(
+            events.withColumn("hr", hour($"ts").cast("long")),
+            Seq("event_type", "hr"), "value",
+            $"user_id" % 2 === 0, $"user_id" % 2 =!= 0).count()),
+        // day count grows linearly with copies (disjoint +64d shifts),
+        // pair volume quadratically in DAYS — the calendar-bounded
+        // quadratic the maxPoints cap exists for
+        "q211_theil_sen" -> (() =>
+          analytics.Stats.theilSenSlope(
+            events.groupBy($"event_type",
+              datediff(to_date($"ts"), lit("1970-01-01"))
+                .cast("long").as("x"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "x", "n", maxPoints = 10000).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

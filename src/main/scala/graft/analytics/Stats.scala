@@ -785,4 +785,131 @@ object Stats {
       .agg((round(max($"tot").cast("double") / weightScale * 1e6) / 1e6)
         .as("total_weight"), pCols: _*)
   }
+
+  /** Theil-Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * `(y_j - y_i) / (x_j - x_i)`, x_i < x_j — the trend estimator one
+    * outlier day cannot drag (OLS breaks at a single bad point;
+    * Theil-Sen tolerates ~29% contamination). The series-health view of
+    * a feed: slope of daily volume, of mean quality score, of dup rate.
+    *
+    * The per-key pair expansion is quadratic in the key's DISTINCT x
+    * count — inherent to the estimator — so keys with more than
+    * `maxPoints` x values are dropped whole (the maxBasket rule; a
+    * daily series is calendar-bounded, a key that blows the cap is
+    * feeding sub-daily points to a daily estimator). Pairs stay inside
+    * their key's partition: one (key, x)-keyed pre-agg collapses
+    * duplicate x (summing y is the caller's job — this requires one y
+    * per (key, x)), one self-join on the key, one median window over
+    * the pair table.
+    *
+    * The median of an even pair count averages the two middle values;
+    * ties among equal slopes make row_number's tie order irrelevant.
+    * Output: (key, n_points, n_pairs, ts_slope) — slope rounded 6. */
+  def theilSenSlope(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String, maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2, "need maxPoints >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(keyCol).as("key"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("double").as("y"))
+      .filter($"x".isNotNull && $"y".isNotNull)
+    val nPts = pts.groupBy($"key")
+      .agg(count(lit(1)).cast("long").as("n_points"))
+      .filter($"n_points" <= maxPoints.toLong && $"n_points" >= 2L)
+    val kept = pts.join(nPts, Seq("key"))
+    val pairs = kept.select($"key", $"x", $"y")
+      .join(kept.select($"key", $"x".as("x2"), $"y".as("y2"),
+        $"n_points"), Seq("key"))
+      .filter($"x2" > $"x")
+      .select($"key", $"n_points",
+        (($"y2" - $"y") / ($"x2" - $"x").cast("double")).as("slope"))
+    val w = Window.partitionBy($"key").orderBy($"slope")
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy($"key")).cast("long"))
+    val mid = $"rn" * 2L === $"m" || $"rn" * 2L === $"m" + 2L ||
+      ($"m" % 2L === 1L && $"rn" * 2L === $"m" + 1L)
+    ranked.groupBy($"key")
+      .agg(max($"n_points").as("n_points"),
+        max($"m").as("n_pairs"),
+        (round(avg(when(mid, $"slope")) * 1e6) / 1e6).as("ts_slope"))
+  }
+
+  /** Welch two-sample tests over every slice, with Benjamini-Hochberg
+    * FDR control across the whole family — the canary battery a
+    * pipeline runs per load ("did ANY (type, hour) slice's value
+    * distribution move between arms?") where per-test alpha would
+    * false-alarm daily at 120 tests.
+    *
+    * Arithmetic is exact-integer until the last step: values quantize
+    * once to `round(v * valueScale)`, per-(slice, arm) sums are BIGINT
+    * and sums of squares DECIMAL(38,0) (the q144 rank-sum rule — a
+    * squared 1e5-scale value times a billion rows overflows int64),
+    * so means/variances/t come out of identical integer inputs in any
+    * engine. The p-value is the logistic approximation of the
+    * two-sided normal tail, `2 / (1 + exp(1.702 |t|))` (Welch df ~
+    * large; documented approximation, monotone in |t| so BH ordering
+    * is unaffected). BH: rank p ascending, reject ranks up to the
+    * LARGEST k with p_k <= k * alpha / m — implemented as one
+    * ordered window over the test table (bounded by the slice
+    * dictionary, not data volume) plus a broadcast one-row max.
+    *
+    * Output: (sliceCols..., n_a, n_b, t_stat, p_value, rnk, reject),
+    * ordered by rnk; slices with under 2 rows per arm are excluded
+    * (variance undefined). Result is localCheckpoint-ed (small by
+    * construction: one row per slice). */
+  def welchTestsBH(df: DataFrame, sliceCols: Seq[String],
+                   valueCol: String, armA: Column, armB: Column,
+                   alpha: Double = 0.1,
+                   valueScale: Long = 1000L): DataFrame = {
+    require(sliceCols.nonEmpty && alpha > 0.0 && alpha < 1.0,
+      "need slice columns and alpha in (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val slices = sliceCols.map(col)
+    val v3 = round(col(valueCol) * valueScale).cast("long")
+    def armStats(pred: Column, sfx: String): DataFrame =
+      df.filter(pred && col(valueCol).isNotNull)
+        .select((slices :+ v3.as("v")): _*)
+        .groupBy(slices: _*)
+        .agg(count(lit(1)).cast("long").as(s"n_$sfx"),
+          sum($"v").cast("long").as(s"sv_$sfx"),
+          sum(($"v" * $"v").cast(DecimalType(38, 0))).as(s"ss_$sfx"))
+    val joined = armStats(armA, "a").join(armStats(armB, "b"), sliceCols)
+      .filter($"n_a" >= 2L && $"n_b" >= 2L)
+    def mean(sv: Column, n: Column): Column =
+      sv.cast("double") / n / valueScale
+    def variance(ss: Column, n: Column, m: Column): Column =
+      (ss.cast("double") / (valueScale * valueScale) - n * m * m) /
+        when(n > 1L, n - 1L).cast("double")
+    val mA = mean($"sv_a", $"n_a"); val mB = mean($"sv_b", $"n_b")
+    val vA = variance($"ss_a", $"n_a", mA)
+    val vB = variance($"ss_b", $"n_b", mB)
+    val tStat = (mA - mB) / sqrt(vA / $"n_a" + vB / $"n_b")
+    val tests = joined.select((slices ++ Seq($"n_a", $"n_b",
+      tStat.as("t"),
+      (lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(tStat)))).as("p"))): _*)
+    val wAll = Window.orderBy(($"p" +: slices): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tests
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(($"p" +: slices): _*)).cast("long"))
+      .withColumn("m", count(lit(1))
+        .over(Window.partitionBy()).cast("long"))
+    val kmax = ranked
+      .agg(coalesce(max(when($"p" <= $"rnk" * alpha / $"m", $"rnk")),
+        lit(0L)).as("kmax"))
+    val out = ranked.crossJoin(broadcast(kmax))
+      .select((slices ++ Seq($"n_a", $"n_b",
+        (round($"t" * 1e6) / 1e6).as("t_stat"),
+        (round($"p" * 1e6) / 1e6).as("p_value"),
+        $"rnk", ($"rnk" <= $"kmax").as("reject"))): _*)
+      .orderBy($"rnk")
+      .localCheckpoint()
+    out
+  }
 }

@@ -1543,6 +1543,112 @@ object MiscQueries {
       (s, dir) =>
         graft.analytics.TextAnalysis.readability(
             Tables(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- Welch test battery + Benjamini-Hochberg FDR -----
+    Q("q210_welch_bh",
+      "Welch two-sample tests on every (event_type, hour-of-day) slice " +
+        "between the user-parity arms, Benjamini-Hochberg FDR across " +
+        "the 120-test family (per-test alpha false-alarms daily at " +
+        "this width): exact-integer sums (values quantized 1e3, " +
+        "squares DECIMAL(38,0) — the q144 overflow rule), logistic " +
+        "normal-tail p monotone in |t| so BH ordering is exact, " +
+        "reject = rank <= the largest k with p_k <= k*alpha/m; on " +
+        "parity-split null data every reject is FALSE by construction " +
+        "— the gate pins the arithmetic, not a synthetic effect",
+      Some("""WITH s AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             |         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             |         CAST(round(value * 1000) AS BIGINT) AS v3
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT event_type, hr, arm, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(v3) AS BIGINT) AS sv,
+             |             CAST(sum(v3 * v3) AS DECIMAL(38, 0)) AS ss
+             |      FROM s GROUP BY 1, 2, 3),
+             |w AS (SELECT a.event_type, a.hr, a.n AS n_a, b.n AS n_b,
+             |        CAST(a.sv AS DOUBLE) / a.n / 1000 AS m_a,
+             |        CAST(b.sv AS DOUBLE) / b.n / 1000 AS m_b,
+             |        (CAST(a.ss AS DOUBLE) / 1000000
+             |          - a.n * (CAST(a.sv AS DOUBLE) / a.n / 1000)
+             |                * (CAST(a.sv AS DOUBLE) / a.n / 1000))
+             |          / CAST(CASE WHEN a.n > 1 THEN a.n - 1 END AS DOUBLE) AS var_a,
+             |        (CAST(b.ss AS DOUBLE) / 1000000
+             |          - b.n * (CAST(b.sv AS DOUBLE) / b.n / 1000)
+             |                * (CAST(b.sv AS DOUBLE) / b.n / 1000))
+             |          / CAST(CASE WHEN b.n > 1 THEN b.n - 1 END AS DOUBLE) AS var_b
+             |      FROM (SELECT * FROM g WHERE arm = 'a' AND n >= 2) a
+             |      JOIN (SELECT * FROM g WHERE arm = 'b' AND n >= 2) b
+             |        USING (event_type, hr)),
+             |t AS (SELECT event_type, hr, n_a, n_b,
+             |        (m_a - m_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+             |        2.0 / (1.0 + exp(1.702 * abs(
+             |          (m_a - m_b) / sqrt(var_a / n_a + var_b / n_b)))) AS p
+             |      FROM w),
+             |r AS (SELECT *, CAST(row_number() OVER
+             |          (ORDER BY p, event_type, hr) AS BIGINT) AS rnk,
+             |        CAST(count(*) OVER () AS BIGINT) AS m
+             |      FROM t),
+             |mx AS (SELECT coalesce(max(rnk) FILTER (p <= rnk * 0.1 / m),
+             |         CAST(0 AS BIGINT)) AS kmax FROM r)
+             |SELECT event_type, hr, n_a, n_b,
+             |       round(t_stat * 1e6) / 1e6 AS t_stat,
+             |       round(p * 1e6) / 1e6 AS p_value, rnk,
+             |       rnk <= mx.kmax AS reject
+             |FROM r CROSS JOIN mx ORDER BY rnk""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.welchTestsBH(
+          Tables(s, dir, "events")
+            .withColumn("hr", hour(col("ts")).cast("long")),
+          sliceCols = Seq("event_type", "hr"), valueCol = "value",
+          armA = col("user_id") % 2 === 0,
+          armB = col("user_id") % 2 =!= 0,
+          alpha = 0.1, valueScale = 1000L)),
+
+    // ----- Theil-Sen robust trend -----
+    Q("q211_theil_sen",
+      "Theil-Sen robust trend of daily event volume per type: the " +
+        "median of all pairwise day-count slopes — the estimator one " +
+        "outage day cannot drag where OLS breaks at a single bad " +
+        "point; the per-key pair expansion is quadratic in DISTINCT " +
+        "days (calendar-bounded by nature, maxPoints-capped by " +
+        "contract) and pairs never leave their key's partition; even " +
+        "pair counts average the two middle slopes",
+      Some("""WITH d AS (
+             |  SELECT event_type,
+             |         CAST(date_diff('day', DATE '1970-01-01',
+             |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.event_type,
+             |         CAST(b.n - a.n AS DOUBLE)
+             |           / CAST(b.x - a.x AS DOUBLE) AS slope
+             |       FROM d a JOIN d b
+             |         ON b.event_type = a.event_type AND b.x > a.x),
+             |rk AS (SELECT event_type, slope,
+             |         CAST(row_number() OVER (PARTITION BY event_type
+             |           ORDER BY slope) AS BIGINT) AS rn,
+             |         CAST(count(*) OVER (PARTITION BY event_type)
+             |           AS BIGINT) AS m
+             |       FROM pr),
+             |np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+             |       FROM d GROUP BY 1)
+             |SELECT rk.event_type, np.n_points,
+             |       CAST(max(rk.m) AS BIGINT) AS n_pairs,
+             |       round(avg(slope) FILTER (rn * 2 = m OR rn * 2 = m + 2
+             |         OR (m % 2 = 1 AND rn * 2 = m + 1)) * 1e6) / 1e6
+             |         AS ts_slope
+             |FROM rk JOIN np USING (event_type)
+             |GROUP BY rk.event_type, np.n_points
+             |ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.theilSenSlope(
+          Tables(s, dir, "events")
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01"))
+                .cast("long").as("x"))
+            .agg(count(lit(1)).cast("long").as("n")),
+          keyCol = "event_type", xCol = "x", yCol = "n")
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type"))
   )
 }

@@ -2430,6 +2430,80 @@ class StatsSpec extends SparkTestBase {
     for (p <- Seq(1, 7))
       assert(run(df.repartition(p)).toSeq === got.toSeq, s"p=$p")
   }
+
+  test("theilSenSlope: perfect line recovered exactly, one outlier " +
+       "day cannot drag the median (the anti-OLS pin), even pair " +
+       "counts average the middles, over-cap and single-point keys " +
+       "drop") {
+    import spark.implicits._
+    val df = Seq(
+      // key "line": y = 2x exactly -> slope 2
+      ("line", 0L, 0.0), ("line", 1L, 2.0), ("line", 2L, 4.0),
+      // key "outlier": 4 days on y = x, day 4 spikes to 100;
+      // slopes sorted: 1,1,1,1,1,1,25,33,49,97 -> median (1+1)/2 = 1
+      ("outlier", 0L, 0.0), ("outlier", 1L, 1.0), ("outlier", 2L, 2.0),
+      ("outlier", 3L, 3.0), ("outlier", 4L, 100.0),
+      // key "even": slopes 1,2,3,3,4,5 -> avg(3, 3) = 3
+      ("even", 0L, 0.0), ("even", 1L, 1.0), ("even", 2L, 4.0),
+      ("even", 3L, 9.0),
+      // key "lone": a single point has no pairs -> dropped
+      ("lone", 0L, 5.0))
+      .toDF("k", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame, cap: Int = 1000) =
+      Stats.theilSenSlope(d, "k", "x", "y", maxPoints = cap)
+        .orderBy("key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+    val got = run(df)
+    assert(got.toSeq === Seq(
+      ("even", 4L, 6L, 3.0),
+      ("line", 3L, 3L, 2.0),
+      ("outlier", 5L, 10L, 1.0)))
+    // cap at 4 points: "outlier" (5 points) drops whole
+    assert(run(df, cap = 4).map(_._1).toSeq === Seq("even", "line"))
+    for (p <- Seq(1, 7))
+      assert(run(df.repartition(p)).toSeq === got.toSeq, s"p=$p")
+  }
+
+  test("welchTestsBH: identical arms test at t = 0 / p = 1 and never " +
+       "reject; a separated slice rejects under BH; under-2-per-arm " +
+       "slices are excluded; ranks order the family") {
+    import spark.implicits._
+    val rows =
+      // slice s1: both arms identical -> t = 0, p = 2/(1+e^0) = 1
+      Seq(1.0, 2.0, 3.0, 4.0).flatMap(v =>
+        Seq(("s1", 0L, v), ("s1", 1L, v))) ++
+      // slice s2: arm a ~ 10, arm b ~ 1, same spread -> |t| huge
+      Seq(10.0, 10.1, 9.9, 10.2).map(v => ("s2", 0L, v)) ++
+      Seq(1.0, 1.1, 0.9, 1.2).map(v => ("s2", 1L, v)) ++
+      // slice s3: one row per arm -> variance undefined -> excluded
+      Seq(("s3", 0L, 5.0), ("s3", 1L, 6.0))
+    val df = rows.toDF("slice", "u", "value")
+    val got = Stats.welchTestsBH(df, Seq("slice"), "value",
+        armA = col("u") === 0L, armB = col("u") === 1L, alpha = 0.1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.map(_._1).toSeq === Seq("s2", "s1"), "ranked by p")
+    val s2 = got(0); val s1 = got(1)
+    // replay the Welch t for s2 with the same quantized arithmetic
+    def stats(vs: Seq[Double]) = {
+      val v3 = vs.map(v => math.round(v * 1000))
+      val n = v3.size.toLong
+      val m = v3.sum.toDouble / n / 1000
+      val ss = v3.map(x => x * x).sum.toDouble
+      (n, m, (ss / 1000000 - n * m * m) / (n - 1).toDouble)
+    }
+    val (na, ma, va) = stats(Seq(10.0, 10.1, 9.9, 10.2))
+    val (nb, mb, vb) = stats(Seq(1.0, 1.1, 0.9, 1.2))
+    val tExp = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(s2._4 === math.round(tExp * 1e6) / 1e6)
+    assert(s2._5 === 0.0 && s2._6 === 1L && s2._7 === true,
+      "p rounds to 0 and BH rejects at rank 1")
+    assert(s1._4 === 0.0 && s1._5 === 1.0 && s1._7 === false,
+      "identical arms: t = 0, p = 1, never rejected")
+    assert(!got.exists(_._1 == "s3"), "1-per-arm slice excluded")
+  }
 }
 
 class BpeSpec extends SparkTestBase {
