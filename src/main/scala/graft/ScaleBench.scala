@@ -669,7 +669,18 @@ object ScaleBench {
               datediff(to_date($"ts"), lit("1970-01-01"))
                 .cast("long").as("x"))
               .agg(count(lit(1)).cast("long").as("n")),
-            "event_type", "x", "n", maxPoints = 10000).count()))
+            "event_type", "x", "n", maxPoints = 10000).count()),
+        // blocks here are synthetic (doc_id % 997): block count fixed,
+        // block SIZE grows linearly with copies, so candidate volume
+        // grows ~k^2 per block — exactly the over-coarse-key stress the
+        // maxBlock cap is for; the kernel itself is one codegen call
+        // per surviving pair
+        "q212_name_link" -> (() =>
+          analytics.Dedup.blockedNameLink(
+            docs.select($"doc_id", ($"doc_id" % 997L).as("blk"),
+              substring($"text", 0, 40).as("nm")),
+            "doc_id", "nm", Seq("blk"), minSim = 0.85,
+            maxBlock = 10000).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

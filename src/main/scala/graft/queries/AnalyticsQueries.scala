@@ -4048,7 +4048,34 @@ object AnalyticsQueries {
               "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
             maxBucket = 1000),
           "doc_a", "doc_b", rounds = 5)
-          .orderBy("node"))
+          .orderBy("node")),
+
+    // ----- blocked fuzzy record linkage (native Jaro-Winkler) -----
+    Q("q212_name_linkage",
+      "blocked fuzzy record linkage over parts: pairs sharing the " +
+        "(brand, size) blocking key score their names with the native " +
+        "Jaro-Winkler codegen kernel (textbook Winkler 1990 — matches " +
+        "DuckDB's jaro_winkler_similarity bit-for-bit on ASCII, " +
+        "including the both-empty = 0 convention), keep jw >= 0.88 — " +
+        "the entity-resolution shape where exact fingerprints see " +
+        "nothing; blocking IS the scale contract (candidate volume = " +
+        "sum of block^2/2, over-cap blocks dropped whole)",
+      Some("""WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part
+             |  WHERE p_brand IS NOT NULL AND p_size IS NOT NULL
+             |    AND p_partkey IS NOT NULL),
+             |pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |              jaro_winkler_similarity(a.p_name, b.p_name) AS s
+             |       FROM p a JOIN p b
+             |         ON b.p_brand = a.p_brand AND b.p_size = a.p_size
+             |        AND a.p_partkey < b.p_partkey)
+             |SELECT id_a, id_b, round(s * 1e6) / 1e6 AS jw
+             |FROM pr WHERE s >= 0.88
+             |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) =>
+        Dedup.blockedNameLink(Tables(s, dir, "part"),
+            "p_partkey", "p_name", Seq("p_brand", "p_size"),
+            minSim = 0.88, maxBlock = 10000)
+          .orderBy("id_a", "id_b"))
   )
 
   /** Unrolled synchronous label propagation in DuckDB — the SAME
