@@ -680,7 +680,20 @@ object ScaleBench {
             docs.select($"doc_id", ($"doc_id" % 997L).as("blk"),
               substring($"text", 0, 40).as("nm")),
             "doc_id", "nm", Seq("blk"), minSim = 0.85,
-            maxBlock = 10000).count()))
+            maxBlock = 10000).count()),
+        // two slice-keyed aggs + one rank window over CALIBRATION rows
+        // only — must be scan-linear
+        "q213_conformal" -> (() =>
+          analytics.Stats.conformalGate(events, "event_type", "value",
+            $"user_id" % 2 =!= 0).count()),
+        // one rank window + one group agg over the doc table
+        "q214_gini" -> (() =>
+          analytics.Stats.giniConcentration(docs, "lang",
+            "doc_id").count()),
+        // one rank window + one group agg over lineitem
+        "q215_trimmed" -> (() =>
+          analytics.Stats.trimmedMean(li, "l_returnflag",
+            "l_extendedprice").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -912,4 +912,167 @@ object Stats {
       .localCheckpoint()
     out
   }
+
+  /** Trimmed mean per group: drop the lowest and highest
+    * `floor(n * trimFrac)` rows by value and average the middle — the
+    * robust location estimate a fat-tailed metric needs (one whale
+    * order moves a plain mean; it never reaches a 10%-trimmed one).
+    * Values quantize once to `round(v * valueScale)` so ranking,
+    * trimming and summation are INTEGER-exact; the one division at the
+    * end runs on identical integers in any engine. Ties at the trim
+    * boundary cut by rank, which is value-stable: equal values carry
+    * equal contribution wherever row_number breaks the tie.
+    *
+    * Scale shape: one group-partitioned rank window + one group agg.
+    * The long sum bounds the domain at ~2^63/scale total mass per
+    * group — past that, lift the sum to DECIMAL(38,0) (the q144 rule).
+    * Output: (grp, n_rows, n_kept, trimmed_mean). */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimFrac: Double = 0.1,
+                  valueScale: Long = 100L): DataFrame = {
+    require(trimFrac >= 0.0 && trimFrac < 0.5, "need trimFrac in [0, 0.5)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // mass pre-aggregates PER DISTINCT VALUE (the weightedPercentiles
+    // compression): the rank window then runs over value cardinality,
+    // never raw row volume — a 3-group billion-row input would
+    // otherwise sort 3 giant window partitions. A boundary value
+    // straddling the trim cut keeps only its overlap with
+    // [k+1, n-k]: kept = min(cum, n-k) - max(cum - cnt, k), clamped.
+    val dv = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * valueScale).cast("long").as("v"))
+      .groupBy($"grp", $"v")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = dv
+      .withColumn("cum", sum($"cnt")
+        .over(Window.partitionBy($"grp").orderBy($"v")).cast("long"))
+      .withColumn("n", sum($"cnt")
+        .over(Window.partitionBy($"grp")).cast("long"))
+      .withColumn("k", floor($"n" * trimFrac).cast("long"))
+    val kept = greatest(
+      least($"cum", $"n" - $"k") - greatest($"cum" - $"cnt", $"k"),
+      lit(0L))
+    cum.groupBy($"grp")
+      .agg(max($"n").as("n_rows"),
+        sum(kept).cast("long").as("n_kept"),
+        (round(sum(kept * $"v").cast("double") / sum(kept) / valueScale
+          * 1e6) / 1e6).as("trimmed_mean"))
+  }
+
+  /** Gini concentration per group over a non-negative mass column —
+    * the corpus-concentration audit ("is this source four giant dumps
+    * and a million stubs, or evenly spread?"); 0 = uniform,
+    * -> 1 = all mass in one row. Computed from the rank identity
+    * `G = 2 Σ i·x_(i) / (n Σ x) - (n+1)/n` with INTEGER rank-mass
+    * products in DECIMAL(38,0) (rank × mass × rows overflows int64
+    * exactly in the regime this audits — the q144 rank-sum rule);
+    * ties are rank-stable because equal masses contribute equally
+    * under any tie order. One rank window + one group agg.
+    * Output: (grp, n_rows, total_mass, gini). */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        massCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // distinct-value compression (the weightedPercentiles rule): a tie
+    // block of mass x spanning ranks (a, b] contributes
+    // x * (b(b+1) - a(a+1)) / 2 to Σ i·x_(i) — algebraically identical
+    // to the row-rank sum for ANY tie order, and the rank window now
+    // runs over value cardinality instead of raw row volume
+    val dv = df.filter(col(massCol).isNotNull && col(massCol) >= 0)
+      .select(col(groupCol).as("grp"), col(massCol).cast("long").as("x"))
+      .groupBy($"grp", $"x")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = dv.withColumn("b", sum($"cnt")
+      .over(Window.partitionBy($"grp").orderBy($"x")).cast("long"))
+    val bD = $"b".cast(DecimalType(38, 0))
+    val aD = ($"b" - $"cnt").cast(DecimalType(38, 0))
+    val blockS1 = ($"x".cast(DecimalType(38, 0)) *
+      (bD * (bD + 1) - aD * (aD + 1)) / 2).cast(DecimalType(38, 0))
+    cum.groupBy($"grp")
+      .agg(sum($"cnt").cast("long").as("n_rows"),
+        sum($"x" * $"cnt").cast("long").as("total_mass"),
+        sum(blockS1).cast(DecimalType(38, 0)).as("s1"))
+      .select($"grp", $"n_rows", $"total_mass",
+        (round((lit(2.0) * $"s1".cast("double") /
+          ($"n_rows".cast("double") *
+            when($"total_mass" > 0L, $"total_mass").cast("double")) -
+          ($"n_rows" + 1L).cast("double") / $"n_rows".cast("double"))
+          * 1e6) / 1e6).as("gini"))
+  }
+
+  /** Split-conformal calibration gate per slice: the distribution-free
+    * interval check a scoring pipeline runs before shipping a model —
+    * calibration rows set `qhat` = the `ceil((1-alpha)(n+1))`-th
+    * smallest absolute residual around the calibration mean, test rows
+    * then measure EMPIRICAL coverage of `mean ± qhat`; split-conformal
+    * guarantees >= 1-alpha coverage in expectation WITHOUT any
+    * distributional assumption, so a slice whose measured coverage
+    * falls below `minCoverage` has genuinely shifted between the
+    * splits. Values quantize once (integer sums -> identical means in
+    * any engine); the quantile rank test is the integer
+    * cross-multiplication `rn * 1e6 >= round((1-alpha)*1e6) * (n+1)`;
+    * residual ties make row_number's tie order irrelevant (min over
+    * the qualifying set IS the order statistic).
+    *
+    * Scale shape: two slice-keyed aggs + one rank window over
+    * calibration rows + one slice-keyed coverage agg — no windows over
+    * test data, nothing driver-side. Output: (key, n_cal, n_test,
+    * mean_cal, qhat, coverage, calibrated). */
+  def conformalGate(df: DataFrame, sliceCol: String, valueCol: String,
+                    calibPred: Column, alpha: Double = 0.1,
+                    minCoverage: Double = 0.85,
+                    valueScale: Long = 1000L): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0 && minCoverage > 0.0 &&
+      minCoverage < 1.0, "need alpha, minCoverage in (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ppm = math.round((1.0 - alpha) * 1e6)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(sliceCol).as("key"),
+        round(col(valueCol) * valueScale).cast("long").as("v"),
+        calibPred.as("is_cal"))
+    val cal = base.filter($"is_cal")
+    val mu = cal.groupBy($"key")
+      .agg(count(lit(1)).cast("long").as("n_cal"),
+        (sum($"v").cast("double") / count(lit(1)) / valueScale)
+          .as("mean_cal"))
+    // residuals pre-aggregate per DISTINCT value (the
+    // weightedPercentiles compression — equal v means equal r), so the
+    // quantile window runs over value cardinality, not raw calibration
+    // volume; the order statistic is unchanged: min(r) over the ranks
+    // at-or-past the cut is the same r whether ties occupy one row or
+    // many
+    val res = cal.groupBy($"key", $"v")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .join(mu, Seq("key"))
+      .select($"key", $"cnt", $"n_cal", $"mean_cal",
+        abs($"v".cast("double") / valueScale - $"mean_cal").as("r"))
+    val qh = res
+      .withColumn("cum", sum($"cnt")
+        .over(Window.partitionBy($"key").orderBy($"r")).cast("long"))
+      .groupBy($"key")
+      .agg(max($"n_cal").as("n_cal"), max($"mean_cal").as("mean_cal"),
+        min(when($"cum" * 1000000L >= lit(ppm) * ($"n_cal" + 1L), $"r"))
+          .as("qhat"))
+    val cov = base.filter(!$"is_cal").join(qh, Seq("key"))
+      .groupBy($"key")
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(abs($"v".cast("double") / valueScale - $"mean_cal")
+          <= $"qhat", 1L).otherwise(0L)).cast("long").as("covered"))
+    qh.join(cov, Seq("key"))
+      .select($"key", $"n_cal", $"n_test",
+        (round($"mean_cal" * 1e6) / 1e6).as("mean_cal"),
+        (round($"qhat" * 1e6) / 1e6).as("qhat"),
+        (round($"covered".cast("double") /
+          when($"n_test" > 0L, $"n_test").cast("double") * 1e6) / 1e6)
+          .as("coverage"),
+        ($"covered".cast("double") /
+          when($"n_test" > 0L, $"n_test").cast("double") >= minCoverage)
+          .as("calibrated"))
+  }
 }

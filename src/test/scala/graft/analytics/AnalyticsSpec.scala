@@ -2504,6 +2504,68 @@ class StatsSpec extends SparkTestBase {
       "identical arms: t = 0, p = 1, never rejected")
     assert(!got.exists(_._1 == "s3"), "1-per-arm slice excluded")
   }
+
+  test("trimmedMean: a whale row cannot move the 10%-trim, trimFrac 0 " +
+       "is the plain mean, small groups trim nothing") {
+    import spark.implicits._
+    // 1..9 + a 1000 whale: k = floor(10 * .1) = 1 -> keep ranks 2..9 =
+    // values 2..9 -> mean 5.5 (the plain mean is ~104.5)
+    val whale = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("a", _))
+    val df = whale.toDF("g", "v")
+    val got = Stats.trimmedMean(df, "g", "v").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getDouble(3)) ===
+      ((10L, 8L, 5.5)))
+    val plain = Stats.trimmedMean(df, "g", "v", trimFrac = 0.0)
+      .collect().head
+    assert(plain.getDouble(3) === 104.5)
+    // n = 3 at 10%: k = 0, nothing trimmed
+    val small = Seq(("b", 1.0), ("b", 2.0), ("b", 6.0)).toDF("g", "v")
+    assert(Stats.trimmedMean(small, "g", "v").collect().head
+      .getDouble(3) === 3.0)
+  }
+
+  test("giniConcentration: uniform mass is exactly 0, single-owner " +
+       "mass is (n-1)/n, zero-mass groups null") {
+    import spark.implicits._
+    val df = Seq(
+      ("uni", 5L), ("uni", 5L), ("uni", 5L), ("uni", 5L),
+      ("one", 0L), ("one", 0L), ("one", 12L),
+      ("zero", 0L), ("zero", 0L))
+      .toDF("g", "x")
+    val got = Stats.giniConcentration(df, "g", "x")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("one", 3L, 12L, math.round((2.0 / 3.0) * 1e6) / 1e6),
+      ("uni", 4L, 20L, 0.0),
+      ("zero", 2L, 0L, null)))
+  }
+
+  test("conformalGate: hand-replayed qhat at n_cal = 9 (rank 9 of 9 " +
+       "residuals), shifted test half fails the coverage gate; a " +
+       "calibration set too small for the quantile yields null qhat " +
+       "and zero coverage") {
+    import spark.implicits._
+    // slice big: cal (u=1) values 1..9 -> mean 5, |res| sorted
+    // 0,1,1,2,2,3,3,4,4; ceil(.9*10) = 9 -> qhat = 4.
+    // test (u=0) values 1,5,9,15 -> |res| 4,0,4,10 -> covered 3/4.
+    val rows =
+      (1 to 9).map(v => ("big", 1L, v.toDouble)) ++
+      Seq(1.0, 5.0, 9.0, 15.0).map(v => ("big", 0L, v)) ++
+      // slice tiny: 2 cal rows -> rank 9(3)*0.9 needs rn >= 2.7 > 2
+      Seq(("tiny", 1L, 0.0), ("tiny", 1L, 10.0), ("tiny", 0L, 5.0))
+    val got = Stats.conformalGate(rows.toDF("k", "u", "v"), "k", "v",
+        calibPred = col("u") === 1L)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))
+    assert(got.toSeq === Seq(
+      ("big", 9L, 4L, 5.0, 4.0, 0.75, false),
+      ("tiny", 2L, 1L, 5.0, null, 0.0, false)))
+  }
 }
 
 class BpeSpec extends SparkTestBase {
