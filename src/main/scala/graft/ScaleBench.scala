@@ -693,7 +693,29 @@ object ScaleBench {
         // one rank window + one group agg over lineitem
         "q215_trimmed" -> (() =>
           analytics.Stats.trimmedMean(li, "l_returnflag",
-            "l_extendedprice").count()))
+            "l_extendedprice").count()),
+        // one group-keyed window sort (the sweep IS the sort) — must
+        // track a plain per-group sort's curve
+        "q216_pareto" -> (() =>
+          operators.Skyline.paretoFrontier2d(
+            li.select($"l_partkey", $"l_extendedprice", $"l_quantity",
+              $"l_returnflag"),
+            "l_returnflag", "l_extendedprice", "l_quantity",
+            "l_partkey").count()),
+        // one key-partitioned window sort serves every lag feature
+        "q217_lag_features" -> (() =>
+          analytics.Events.lagFeatures(
+            events.groupBy($"event_type", to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "day", "n").count()),
+        // one customer agg + two ONE-ROW broadcasts (max date,
+        // threshold arrays); the percentile agg is the only sort
+        "q218_rfm" -> (() =>
+          analytics.Events.rfmSegments(
+            events.filter($"event_type" === "purchase")
+              .select($"user_id".as("ck"), $"ts".as("od"),
+                $"value".as("amt")),
+            "ck", "od", "amt").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

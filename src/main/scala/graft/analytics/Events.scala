@@ -430,4 +430,95 @@ object Events {
         round($"n_active".cast("double") / $"cohort_size".cast("double"), 6)
           .as("retention"))
   }
+
+  /** Lag-feature builder over a keyed series — the feature matrix a
+    * forecasting / anomaly model trains on: per (key, x) row, the
+    * previous values at each requested lag, the trailing moving
+    * average, and the step-over-step relative change. Leading rows
+    * whose lag reaches before the series keep null features (a model
+    * pipeline masks them; fabricating zeros would teach the model the
+    * series started at zero).
+    *
+    * One key-partitioned window sort serves every feature — lags and
+    * the trailing mean share the same ordering, so this is ONE
+    * exchange + ONE sort however many lags are asked for. The moving
+    * average divides by the ACTUAL trailing row count (partial windows
+    * average what exists). Output: (key, x, y, lag_L..., ma_W,
+    * pct_change), doubles rounded 6. */
+  def lagFeatures(series: DataFrame, keyCol: String, xCol: String,
+                  yCol: String, lags: Seq[Int] = Seq(1, 7),
+                  maWindow: Int = 7): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1) && maWindow >= 1,
+      "need positive lags and maWindow >= 1")
+    val spark = series.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val wMa = w.rowsBetween(-(maWindow - 1), Window.currentRow)
+    val lagCols = lags.map(l =>
+      lag(col(yCol), l).over(w).as(s"lag_$l"))
+    val base = series.select(
+      (Seq(col(keyCol), col(xCol), col(yCol)) ++ lagCols ++ Seq(
+        (round(sum(col(yCol)).over(wMa).cast("double") /
+          count(lit(1)).over(wMa) * 1e6) / 1e6).as(s"ma_$maWindow"))): _*)
+    val l1 = col(s"lag_${lags.min}")
+    base.withColumn("pct_change",
+      round((col(yCol).cast("double") /
+        when(l1 > 0, l1).cast("double") - lit(1.0)) * 1e6) / 1e6)
+  }
+
+  /** RFM segmentation over an order feed: per customer, recency (days
+    * since last order, measured from the feed's max date), frequency
+    * (order count) and monetary (total spend), each scored into `q`
+    * quantile buckets — the classic lifecycle segmentation (5-5-5 =
+    * recent, frequent, big spender). Bucket boundaries are the exact
+    * percentile cut points of each metric's own distribution computed
+    * as ONE broadcast row (the q116 quantileBuckets rule: bucket =
+    * 1 + thresholds passed, map-side — no single-task ntile sort over
+    * the customer table). Monetary quantizes once
+    * (`round(amount * amountScale)`) so sums are integer-exact.
+    *
+    * Bucket semantics are the metric's NATURAL order: r_score 1 = most
+    * recent, f_score/m_score 5 = most frequent / biggest. Output:
+    * (custkey, recency_days, frequency, monetary, r_score, f_score,
+    * m_score). */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String, q: Int = 5,
+                  amountScale: Long = 100L): DataFrame = {
+    require(q >= 2, "q must be >= 2")
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val mx = orders.agg(max(to_date(col(dateCol))).as("mxd"))
+    val perCust = orders
+      .filter(col(custCol).isNotNull && col(dateCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .crossJoin(broadcast(mx))
+      .groupBy(col(custCol).as("custkey"))
+      .agg(
+        // recency = days since the LAST order: the minimum gap to mxd
+        min(datediff($"mxd", to_date(col(dateCol)))).cast("long")
+          .as("rec"),
+        count(lit(1)).cast("long").as("freq"),
+        sum(round(col(amountCol) * amountScale).cast("long")).cast("long")
+          .as("mon"))
+    val ps = (1 until q).map(i => i / q.toDouble).mkString(", ")
+    val thr = perCust.agg(
+      expr(s"percentile(rec, array($ps))").as("tr0"),
+      expr(s"percentile(freq, array($ps))").as("tf0"),
+      expr(s"percentile(mon, array($ps))").as("tm0"))
+      .select(transform($"tr0", t => round(t, 6)).as("tr"),
+        transform($"tf0", t => round(t, 6)).as("tf"),
+        transform($"tm0", t => round(t, 6)).as("tm"))
+    def score(v: org.apache.spark.sql.Column,
+              ts: org.apache.spark.sql.Column) =
+      (lit(1) + aggregate(ts, lit(0),
+        (acc, t) => acc + when(v > t, 1).otherwise(0))).cast("int")
+    perCust.crossJoin(broadcast(thr))
+      .select($"custkey", $"rec".as("recency_days"), $"freq".as("frequency"),
+        (round($"mon".cast("double") / amountScale * 1e6) / 1e6)
+          .as("monetary"),
+        score($"rec", $"tr").as("r_score"),
+        score($"freq", $"tf").as("f_score"),
+        score($"mon", $"tm").as("m_score"))
+  }
 }

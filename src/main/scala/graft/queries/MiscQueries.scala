@@ -1763,6 +1763,113 @@ object MiscQueries {
         graft.analytics.Stats.trimmedMean(
           Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
           trimFrac = 0.1, valueScale = 100L)
-          .orderBy("grp"))
+          .orderBy("grp")),
+
+    // ----- Pareto frontier (skyline) -----
+    Q("q216_pareto_frontier",
+      "per-brand Pareto frontier of (price minimize, size maximize): a " +
+        "part survives when no brand-mate is at least as cheap AND at " +
+        "least as big with one strict — the cheapest-thing-that-is-" +
+        "also-best query; the classic 2D sweep, ONE window pass over " +
+        "the (price asc, size desc, id) sort with a strictly-preceding " +
+        "running max, no pair join anywhere; equal-coordinate twins " +
+        "keep the id-first representative",
+      Some("""WITH p AS (SELECT p_brand, p_partkey, p_retailprice, p_size
+             |  FROM part WHERE p_brand IS NOT NULL
+             |    AND p_retailprice IS NOT NULL AND p_size IS NOT NULL
+             |    AND p_partkey IS NOT NULL),
+             |o AS (SELECT *, max(p_size) OVER (PARTITION BY p_brand
+             |        ORDER BY p_retailprice, p_size DESC, p_partkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        AS best_prev
+             |      FROM p)
+             |SELECT p_brand, p_partkey, p_retailprice,
+             |       CAST(p_size AS INT) AS p_size
+             |FROM o WHERE best_prev IS NULL OR p_size > best_prev
+             |ORDER BY p_brand, p_partkey""".stripMargin),
+      (s, dir) =>
+        graft.operators.Skyline.paretoFrontier2d(Tables(s, dir, "part"),
+            groupCol = "p_brand", minimizeCol = "p_retailprice",
+            maximizeCol = "p_size", idCol = "p_partkey")
+          .orderBy("p_brand", "p_partkey")),
+
+    // ----- lag-feature builder -----
+    Q("q217_lag_features",
+      "forecasting feature matrix over daily volumes per type: lag-1, " +
+        "lag-7, trailing-7 moving average (dividing by the ACTUAL " +
+        "trailing row count) and day-over-day relative change; leading " +
+        "rows keep null features — fabricated zeros would teach a " +
+        "model the series started at zero; ONE key-partitioned window " +
+        "sort serves every feature",
+      Some("""WITH d AS (SELECT event_type,
+             |         CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS BIGINT) AS n
+             |       FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, n,
+             |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag_1,
+             |  lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag_7,
+             |  round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / count(*) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1e6) / 1e6
+             |    AS ma_7,
+             |  round((CAST(n AS DOUBLE)
+             |    / CAST(CASE WHEN lag(n, 1) OVER (PARTITION BY event_type
+             |        ORDER BY day) > 0 THEN lag(n, 1) OVER (PARTITION BY
+             |        event_type ORDER BY day) END AS DOUBLE) - 1.0) * 1e6)
+             |    / 1e6 AS pct_change
+             |FROM d ORDER BY event_type, day""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.lagFeatures(
+          Tables(s, dir, "events")
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("long").as("n")),
+          keyCol = "event_type", xCol = "day", yCol = "n",
+          lags = Seq(1, 7), maWindow = 7)
+          .orderBy("event_type", "day")),
+
+    // ----- RFM segmentation -----
+    Q("q218_rfm_segments",
+      "RFM lifecycle segmentation: per customer, days since last order " +
+        "(from the feed's max date), order count, total spend " +
+        "(quantized integer sums), each scored into quintiles via the " +
+        "q116 rule — exact percentile cut points as ONE broadcast row, " +
+        "bucket = 1 + thresholds passed, map-side — no single-task " +
+        "ntile sort over the customer table; r_score 1 = most recent, " +
+        "f/m_score 5 = most frequent / biggest",
+      Some("""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd
+             |  FROM orders),
+             |c AS (SELECT o_custkey AS custkey,
+             |        CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+             |          mx.mxd)) AS BIGINT) AS rec,
+             |        CAST(count(*) AS BIGINT) AS freq,
+             |        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |          AS BIGINT) AS mon
+             |      FROM orders CROSS JOIN mx
+             |      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |        AND o_totalprice IS NOT NULL
+             |      GROUP BY o_custkey),
+             |thr AS (SELECT
+             |    list_transform(quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]),
+             |      t -> round(t, 6)) AS tr,
+             |    list_transform(quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]),
+             |      t -> round(t, 6)) AS tf,
+             |    list_transform(quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]),
+             |      t -> round(t, 6)) AS tm
+             |  FROM c)
+             |SELECT custkey, rec AS recency_days, freq AS frequency,
+             |       round(CAST(mon AS DOUBLE) / 100 * 1e6) / 1e6 AS monetary,
+             |       CAST(1 + len(list_filter(thr.tr, t -> c.rec > t)) AS INT)
+             |         AS r_score,
+             |       CAST(1 + len(list_filter(thr.tf, t -> c.freq > t)) AS INT)
+             |         AS f_score,
+             |       CAST(1 + len(list_filter(thr.tm, t -> c.mon > t)) AS INT)
+             |         AS m_score
+             |FROM c, thr ORDER BY custkey""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.rfmSegments(Tables(s, dir, "orders"),
+            custCol = "o_custkey", dateCol = "o_orderdate",
+            amountCol = "o_totalprice", q = 5, amountScale = 100L)
+          .orderBy("custkey"))
   )
 }

@@ -193,7 +193,11 @@ class PlanShapeSpec extends SparkTestBase {
       "q198_kappa",
       // q200: source rollup x broadcast ONE-ROW corpus token total
       // (the q77 bracket) — machine-checked below
-      "q200_source_scorecard")
+      "q200_source_scorecard",
+      // q218: orders x broadcast ONE-ROW max-date, then customers x
+      // broadcast ONE-ROW threshold arrays (the q116 bracket) —
+      // machine-checked below
+      "q218_rfm_segments")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -250,7 +254,7 @@ class PlanShapeSpec extends SparkTestBase {
     // ONE-ROW total" — prove it: every BNLJ build side must top out in
     // a grouping-free aggregate, which is structurally a single row
     for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
-        "q198_kappa", "q200_source_scorecard"))
+        "q198_kappa", "q200_source_scorecard", "q218_rfm_segments"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +

@@ -1657,7 +1657,8 @@ class CorpusFilterDifferentialSpec extends SparkTestBase {
     val docs = Seq(
       (1L, "The cat sat."),  // w=3 s=1 syl=3 (e, a, a)
       (2L, "Hi! Go now?"),   // w=3 s=2 syl=3 (i, o, o)
-      (3L, "xyz"),           // w=1 s=1(floor) syl=0 — consonant fragment
+      (3L, "zzz"),           // w=1 s=1(floor) syl=0 — consonant fragment
+                             // ('y' counts as a vowel, so not "xyz")
       (4L, "   "))           // 0 words -> null scores
       .toDF("doc_id", "text")
     val got = TextAnalysis.readability(docs, "doc_id", "text")

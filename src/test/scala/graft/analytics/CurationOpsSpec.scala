@@ -645,4 +645,49 @@ class CurationOpsSpec extends SparkTestBase {
       ("2024-01-02", 0, 1L, 1L, 1.0),
       ("2024-01-02", 2, 1L, 1L, 1.0)))
   }
+
+  test("lagFeatures: lags shift by rank, leading rows keep nulls, the " +
+       "trailing mean divides by the ACTUAL window row count, " +
+       "pct_change guards a zero previous value") {
+    import spark.implicits._
+    val s = ((1 to 9).map(d => ("k", java.sql.Date.valueOf(
+        f"2024-01-$d%02d"), d.toLong)) :+
+      ("z", java.sql.Date.valueOf("2024-01-01"), 0L) :+
+      ("z", java.sql.Date.valueOf("2024-01-02"), 4L))
+      .toDF("key", "day", "n")
+    val got = Events.lagFeatures(s, "key", "day", "n")
+      .orderBy("key", "day").collect()
+    val k3 = got(2) // key k, day 3
+    assert(k3.getLong(3) === 2L && k3.isNullAt(4), "lag_1=2, lag_7 null")
+    assert(k3.getDouble(5) === 2.0, "ma_7 over 3 actual rows = (1+2+3)/3")
+    assert(k3.getDouble(6) === 0.5, "3/2 - 1")
+    val k8 = got(7) // day 8: lag_7 = day 1 value
+    assert(k8.getLong(4) === 1L)
+    assert(got(0).isNullAt(3) && got(0).isNullAt(6), "leading row nulls")
+    // z day 2: previous value is 0 -> pct_change null, not a throw
+    val z2 = got(10)
+    assert(z2.getLong(3) === 0L && z2.isNullAt(6))
+  }
+
+  test("rfmSegments: hand-computed recency/frequency/monetary and " +
+       "interpolated quintile thresholds on a 3-customer feed") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    val orders = Seq(
+      (1L, d("10"), 100.0),
+      (2L, d("01"), 50.0), (2L, d("05"), 50.0),
+      (3L, d("01"), 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Events.rfmSegments(orders, "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .orderBy("custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    // rec [0,5,9] -> thresholds 2.0/4.0/5.8/7.4; freq [1,1,2] ->
+    // 1/1/1.2/1.6; mon(scaled) [1000,10000,10000] -> 4600/8200/10000/10000
+    assert(got.toSeq === Seq(
+      (1L, 0L, 1L, 100.0, 1, 1, 3),
+      (2L, 5L, 2L, 100.0, 3, 5, 3),
+      (3L, 9L, 1L, 10.0, 5, 1, 1)))
+  }
 }
