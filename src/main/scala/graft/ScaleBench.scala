@@ -715,7 +715,24 @@ object ScaleBench {
             events.filter($"event_type" === "purchase")
               .select($"user_id".as("ck"), $"ts".as("od"),
                 $"value".as("amt")),
-            "ck", "od", "amt").count()))
+            "ck", "od", "amt").count()),
+        // prefix-sum window + argmax per key over the day series —
+        // the day count grows with the +64d copy shifts
+        "q219_changepoint" -> (() =>
+          analytics.Stats.changepoint(
+            events.groupBy($"event_type", to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "day", "n").count()),
+        "q220_mase" -> (() =>
+          analytics.Stats.maseBacktest(
+            events.groupBy($"event_type", to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "day", "n").count()),
+        // item-revenue agg + distinct-revenue tie-block windows — the
+        // cumulative ranking never sees raw row volume
+        "q221_abc" -> (() =>
+          analytics.Baskets.abcClassification(li, "l_returnflag",
+            "l_partkey", "l_extendedprice").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -102,6 +102,59 @@ object Baskets {
     out
   }
 
+  /** ABC / contribution classification: rank items by their revenue
+    * within a group and split at cumulative-share thresholds — A =
+    * the head that carries `aPct`% of revenue, B = the next slice to
+    * `bPct`%, C = the long tail; the 80/15/5 inventory classic, and
+    * the same shape that ranks corpus sources by token contribution.
+    *
+    * Revenue quantizes once (integer sums), and the cumulative ranking
+    * runs over DISTINCT revenue values (the weightedPercentiles
+    * compression — a dimension with millions of items never sorts as
+    * one window task per group): an equal-revenue TIE BLOCK classifies
+    * as a unit by its block-END cumulative share, which is the only
+    * tie-consistent definition (splitting a tie block would let an
+    * arbitrary tiebreak decide who is A). Thresholds test as integer
+    * cross-multiplications `cum * 100 <= pct * total` — no float
+    * boundary anywhere.
+    *
+    * Output: (grp, item, revenue, cum_share, abc_class), revenue
+    * de-quantized, cum_share rounded 6. */
+  def abcClassification(df: DataFrame, groupCol: String, itemCol: String,
+                        amountCol: String, aPct: Int = 80, bPct: Int = 95,
+                        amountScale: Long = 100L): DataFrame = {
+    require(aPct >= 1 && aPct < bPct && bPct < 100,
+      "need 1 <= aPct < bPct < 100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = df
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(itemCol).as("item"),
+        round(col(amountCol) * amountScale).cast("long").as("a"))
+      .groupBy($"grp", $"item")
+      .agg(sum($"a").cast("long").as("r"))
+    val blocks = rev.groupBy($"grp", $"r")
+      .agg(sum($"r").cast("long").as("mass"))
+    val cum = blocks
+      .withColumn("cum", sum($"mass")
+        .over(Window.partitionBy($"grp").orderBy($"r".desc)).cast("long"))
+      .withColumn("tot", sum($"mass")
+        .over(Window.partitionBy($"grp")).cast("long"))
+      .select($"grp", $"r", $"cum", $"tot")
+    rev.join(cum, Seq("grp", "r"))
+      .select($"grp", $"item",
+        (round($"r".cast("double") / amountScale * 1e6) / 1e6)
+          .as("revenue"),
+        (round($"cum".cast("double") /
+          when($"tot" > 0L, $"tot").cast("double") * 1e6) / 1e6)
+          .as("cum_share"),
+        when($"cum" * 100L <= lit(aPct.toLong) * $"tot", "A")
+          .when($"cum" * 100L <= lit(bPct.toLong) * $"tot", "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** The shared capped basket relation: distinct (basket, item), minus
     * baskets larger than `maxBasket` in DISTINCT items. */
   private def basketItems(items: DataFrame, basketCol: String,

@@ -1004,6 +1004,91 @@ object Stats {
           * 1e6) / 1e6).as("gini"))
   }
 
+  /** Single changepoint per key by binary segmentation: the split
+    * minimizing total within-segment squared error — equivalently,
+    * maximizing `gain = SSE_total - (SSE_left + SSE_right)` — over a
+    * keyed series; the "did the feed change regime, and WHEN" question
+    * CUSUM (q176) only answers with "somewhere recent". Every SSE term
+    * comes off integer prefix sums (`Σx`, `Σx²` cumulative over the
+    * (key, x-order) window) via `SSE = Σx² - (Σx)²/n`, so both engines
+    * derive gain from identical integers through one identical
+    * expression tree — the argmax order (gain desc, x asc) is then
+    * bit-reproducible without any rounding knife edge. Candidate
+    * splits leave at least one point on each side.
+    *
+    * Scale shape: one key-partitioned window pass over the series +
+    * one argmax; series length per key is the usual calendar bound.
+    * Output: (key, split_x, n_before, n_after, mean_before,
+    * mean_after, gain). */
+  def changepoint(df: DataFrame, keyCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(keyCol).as("key"), col(xCol).as("x"),
+        col(yCol).cast("long").as("v"))
+      .filter($"x".isNotNull && $"v".isNotNull)
+    val wOrd = Window.partitionBy($"key").orderBy($"x")
+    val wAll = Window.partitionBy($"key")
+    val r = pts
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("cs", sum($"v").over(wOrd).cast("long"))
+      .withColumn("css", sum($"v" * $"v").over(wOrd).cast("long"))
+      .withColumn("ts", sum($"v").over(wAll).cast("long"))
+      .withColumn("tss", sum($"v" * $"v").over(wAll).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .filter($"i" < $"n")
+    val gain =
+      ($"tss".cast("double") - $"ts".cast("double") * $"ts" / $"n") -
+        (($"css".cast("double") - $"cs".cast("double") * $"cs" / $"i") +
+          (($"tss" - $"css").cast("double") -
+            ($"ts" - $"cs").cast("double") * ($"ts" - $"cs") /
+              ($"n" - $"i")))
+    val ranked = r.withColumn("gain", gain)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"key").orderBy($"gain".desc, $"x")))
+    ranked.filter($"rk" === 1)
+      .select($"key", $"x".as("split_x"),
+        $"i".as("n_before"), ($"n" - $"i").as("n_after"),
+        (round($"cs".cast("double") / $"i" * 1e6) / 1e6)
+          .as("mean_before"),
+        (round(($"ts" - $"cs").cast("double") / ($"n" - $"i") * 1e6)
+          / 1e6).as("mean_after"),
+        (round($"gain" * 1e6) / 1e6).as("gain"))
+  }
+
+  /** Seasonal-naive forecast backtest: score "tomorrow looks like the
+    * same weekday last week" (lag-`season`) against the naive lag-1
+    * baseline on the rows where BOTH have a prediction, and report
+    * MASE = MAE_seasonal / MAE_naive — under 1 means the seasonal
+    * structure is real and a forecaster should use it; the go/no-go a
+    * pipeline wants before fitting anything. Absolute errors are
+    * integer (counts), so both MAE sums are exact; the single ratio is
+    * the only float op. One key-partitioned window pass + one agg.
+    * Output: (key, n_scored, mae_seasonal_sum, mae_naive_sum, mase). */
+  def maseBacktest(df: DataFrame, keyCol: String, xCol: String,
+                   yCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, "need season >= 2 (season 1 IS the baseline)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"key").orderBy($"x")
+    val f = df.select(col(keyCol).as("key"), col(xCol).as("x"),
+        col(yCol).cast("long").as("v"))
+      .filter($"x".isNotNull && $"v".isNotNull)
+      .withColumn("sn", lag($"v", season).over(w))
+      .withColumn("n1", lag($"v", 1).over(w))
+      .filter($"sn".isNotNull && $"n1".isNotNull)
+    f.groupBy($"key")
+      .agg(count(lit(1)).cast("long").as("n_scored"),
+        sum(abs($"v" - $"sn")).cast("long").as("mae_seasonal_sum"),
+        sum(abs($"v" - $"n1")).cast("long").as("mae_naive_sum"))
+      .select($"key", $"n_scored", $"mae_seasonal_sum", $"mae_naive_sum",
+        (round($"mae_seasonal_sum".cast("double") /
+          when($"mae_naive_sum" > 0L, $"mae_naive_sum").cast("double")
+          * 1e6) / 1e6).as("mase"))
+  }
+
   /** Split-conformal calibration gate per slice: the distribution-free
     * interval check a scoring pipeline runs before shipping a model —
     * calibration rows set `qhat` = the `ceil((1-alpha)(n+1))`-th

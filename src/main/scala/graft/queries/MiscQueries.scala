@@ -1870,6 +1870,129 @@ object MiscQueries {
         graft.analytics.Events.rfmSegments(Tables(s, dir, "orders"),
             custCol = "o_custkey", dateCol = "o_orderdate",
             amountCol = "o_totalprice", q = 5, amountScale = 100L)
-          .orderBy("custkey"))
+          .orderBy("custkey")),
+
+    // ----- single changepoint by binary segmentation -----
+    Q("q219_changepoint",
+      "single changepoint per type over daily volumes: the split " +
+        "maximizing SSE_total - (SSE_left + SSE_right) — WHERE the " +
+        "regime changed, which CUSUM only answers with 'somewhere " +
+        "recent'; every SSE term comes off integer prefix sums so the " +
+        "argmax (gain desc, day) is bit-reproducible with NO rounding " +
+        "knife edge; one window pass + one argmax per key",
+      Some("""WITH d AS (SELECT event_type,
+             |         CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS BIGINT) AS x
+             |       FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, day, x,
+             |        CAST(row_number() OVER (PARTITION BY event_type
+             |          ORDER BY day) AS BIGINT) AS i,
+             |        CAST(sum(x) OVER (PARTITION BY event_type
+             |          ORDER BY day) AS BIGINT) AS cs,
+             |        CAST(sum(x * x) OVER (PARTITION BY event_type
+             |          ORDER BY day) AS BIGINT) AS css,
+             |        CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS ts_,
+             |        CAST(sum(x * x) OVER (PARTITION BY event_type) AS BIGINT) AS tss,
+             |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |      FROM d),
+             |g AS (SELECT event_type, day, i, n, cs, ts_,
+             |        (CAST(tss AS DOUBLE) - CAST(ts_ AS DOUBLE) * ts_ / n)
+             |        - ((CAST(css AS DOUBLE) - CAST(cs AS DOUBLE) * cs / i)
+             |           + (CAST(tss - css AS DOUBLE)
+             |              - CAST(ts_ - cs AS DOUBLE) * (ts_ - cs) / (n - i)))
+             |          AS gain
+             |      FROM r WHERE i < n),
+             |pk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |         ORDER BY gain DESC, day) AS rk FROM g)
+             |SELECT event_type, day AS split_x, i AS n_before,
+             |       CAST(n - i AS BIGINT) AS n_after,
+             |       round(CAST(cs AS DOUBLE) / i * 1e6) / 1e6 AS mean_before,
+             |       round(CAST(ts_ - cs AS DOUBLE) / (n - i) * 1e6) / 1e6
+             |         AS mean_after,
+             |       round(gain * 1e6) / 1e6 AS gain
+             |FROM pk WHERE rk = 1 ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.changepoint(
+          Tables(s, dir, "events")
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("long").as("n")),
+          keyCol = "event_type", xCol = "day", yCol = "n")
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type")),
+
+    // ----- seasonal-naive forecast backtest (MASE) -----
+    Q("q220_mase_backtest",
+      "seasonal-naive backtest per type: score 'same weekday last " +
+        "week' (lag-7) against the naive lag-1 baseline on rows where " +
+        "BOTH predict, MASE = MAE_seasonal / MAE_naive — under 1 means " +
+        "the weekly structure is real and worth a forecaster; count " +
+        "errors are integer so both MAE sums are exact, the one ratio " +
+        "is the only float op; one window pass + one agg",
+      Some("""WITH d AS (SELECT event_type,
+             |         CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS BIGINT) AS x
+             |       FROM events GROUP BY 1, 2),
+             |f AS (SELECT event_type, day, x,
+             |        lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS sn,
+             |        lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS n1
+             |      FROM d),
+             |s AS (SELECT event_type, x, sn, n1 FROM f
+             |      WHERE sn IS NOT NULL AND n1 IS NOT NULL)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+             |       CAST(sum(abs(x - sn)) AS BIGINT) AS mae_seasonal_sum,
+             |       CAST(sum(abs(x - n1)) AS BIGINT) AS mae_naive_sum,
+             |       round(CAST(sum(abs(x - sn)) AS DOUBLE)
+             |         / CAST(CASE WHEN sum(abs(x - n1)) > 0
+             |                THEN sum(abs(x - n1)) END AS DOUBLE) * 1e6)
+             |         / 1e6 AS mase
+             |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.maseBacktest(
+          Tables(s, dir, "events")
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("long").as("n")),
+          keyCol = "event_type", xCol = "day", yCol = "n", season = 7)
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type")),
+
+    // ----- ABC / contribution classification -----
+    Q("q221_abc_classification",
+      "ABC contribution classes per return flag: items ranked by " +
+        "integer-quantized revenue, A = the head carrying 80% of " +
+        "cumulative revenue, B to 95%, C the tail — the 80/15/5 " +
+        "inventory classic and the shape that ranks corpus sources by " +
+        "token contribution; the cumulative ranking runs over DISTINCT " +
+        "revenue values (tie blocks classify as a unit by block-END " +
+        "share — the only tie-consistent definition), thresholds are " +
+        "integer cross-multiplications, no float boundary anywhere",
+      Some("""WITH rev AS (SELECT l_returnflag AS grp, l_partkey AS item,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS r
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL
+             |  GROUP BY 1, 2),
+             |b AS (SELECT grp, r, CAST(sum(r) AS BIGINT) AS mass
+             |      FROM rev GROUP BY grp, r),
+             |c AS (SELECT grp, r,
+             |        CAST(sum(mass) OVER (PARTITION BY grp ORDER BY r DESC)
+             |          AS BIGINT) AS cum,
+             |        CAST(sum(mass) OVER (PARTITION BY grp) AS BIGINT) AS tot
+             |      FROM b)
+             |SELECT rev.grp, rev.item,
+             |       round(CAST(rev.r AS DOUBLE) / 100 * 1e6) / 1e6 AS revenue,
+             |       round(CAST(cum AS DOUBLE)
+             |         / CAST(CASE WHEN tot > 0 THEN tot END AS DOUBLE) * 1e6)
+             |         / 1e6 AS cum_share,
+             |       CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+             |            WHEN cum * 100 <= 95 * tot THEN 'B'
+             |            ELSE 'C' END AS abc_class
+             |FROM rev JOIN c ON c.grp = rev.grp AND c.r = rev.r
+             |ORDER BY rev.grp, rev.item""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Baskets.abcClassification(
+          Tables(s, dir, "lineitem"), "l_returnflag", "l_partkey",
+          "l_extendedprice", aPct = 80, bPct = 95, amountScale = 100L)
+          .orderBy("grp", "item"))
   )
 }

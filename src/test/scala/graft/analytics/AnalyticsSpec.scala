@@ -2567,6 +2567,37 @@ class StatsSpec extends SparkTestBase {
       ("big", 9L, 4L, 5.0, 4.0, 0.75, false),
       ("tiny", 2L, 1L, 5.0, null, 0.0, false)))
   }
+
+  test("changepoint: a clean step lands the split on the step's last " +
+       "low day with gain = total SS; a constant series picks the " +
+       "earliest split at gain 0") {
+    import spark.implicits._
+    val step = ((1 to 4).map(d => ("s", d.toLong, 10L)) ++
+      (5 to 8).map(d => ("s", d.toLong, 30L))).toDF("k", "x", "v")
+    val got = Stats.changepoint(step, "k", "x", "v").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getDouble(4), got.getDouble(5), got.getDouble(6)) ===
+      ((4L, 4L, 4L, 10.0, 30.0, 800.0)))
+    val flat = (1 to 6).map(d => ("f", d.toLong, 7L)).toDF("k", "x", "v")
+    val g2 = Stats.changepoint(flat, "k", "x", "v").collect().head
+    assert(g2.getLong(1) === 1L && g2.getDouble(6) === 0.0,
+      "no structure: earliest split, zero gain")
+  }
+
+  test("maseBacktest: an exactly-weekly series scores MASE 0, scoring " +
+       "starts only where BOTH predictors exist, a constant series " +
+       "nulls the ratio") {
+    import spark.implicits._
+    val weekly = (1 to 21).map(d =>
+      ("w", d.toLong, ((d - 1) % 7 + 1).toLong)).toDF("k", "x", "v")
+    val got = Stats.maseBacktest(weekly, "k", "x", "v").collect().head
+    assert((got.getLong(1), got.getLong(2), got.getDouble(4)) ===
+      ((14L, 0L, 0.0)))
+    val const = (1 to 10).map(d => ("c", d.toLong, 5L)).toDF("k", "x", "v")
+    val g2 = Stats.maseBacktest(const, "k", "x", "v").collect().head
+    assert(g2.getLong(2) === 0L && g2.getLong(3) === 0L && g2.isNullAt(4),
+      "0/0 guards to null, not a throw")
+  }
 }
 
 class BpeSpec extends SparkTestBase {

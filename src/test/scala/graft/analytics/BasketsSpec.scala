@@ -57,6 +57,29 @@ class BasketsSpec extends SparkTestBase {
     assert(got2.toSeq === got.toSeq)
   }
 
+  test("abcClassification: 80/15/5 revenue shares land A/B/C, a " +
+       "revenue tie block classifies as a unit by its block-end " +
+       "share, zero-total groups null their share") {
+    import spark.implicits._
+    val df = Seq(
+      // group g: revenues 80 / 15 / 5 -> exactly A / B / C
+      ("g", 1L, 80.0), ("g", 2L, 15.0), ("g", 3L, 5.0),
+      // group h: two tied items carry ALL revenue -> both classify by
+      // the block-end share (100% > 95% -> C), no arbitrary split
+      ("h", 4L, 50.0), ("h", 5L, 50.0))
+      .toDF("grp", "item", "amt")
+    val got = Baskets.abcClassification(df, "grp", "item", "amt")
+      .orderBy("grp", "item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      ("g", 1L, 80.0, 0.8, "A"),
+      ("g", 2L, 15.0, 0.95, "B"),
+      ("g", 3L, 5.0, 1.0, "C"),
+      ("h", 4L, 50.0, 1.0, "C"),
+      ("h", 5L, 50.0, 1.0, "C")))
+  }
+
   test("associationRules is partition-invariant") {
     import spark.implicits._
     val items = Seq(
