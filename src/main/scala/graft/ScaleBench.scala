@@ -732,7 +732,14 @@ object ScaleBench {
         // cumulative ranking never sees raw row volume
         "q221_abc" -> (() =>
           analytics.Baskets.abcClassification(li, "l_returnflag",
-            "l_partkey", "l_extendedprice").count()))
+            "l_partkey", "l_extendedprice").count()),
+        // the per-key recurrence as ONE map-side array fold — the day
+        // array is calendar-bounded, so this must be scan-flat
+        "q222_holt" -> (() =>
+          analytics.Stats.holtSmoothing(
+            events.groupBy($"event_type", to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "day", "n").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

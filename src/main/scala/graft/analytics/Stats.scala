@@ -1089,6 +1089,57 @@ object Stats {
           * 1e6) / 1e6).as("mase"))
   }
 
+  /** Holt double-exponential smoothing per key — level + trend state
+    * folded over the day series, forecast = level + trend one step
+    * out; the first real forecaster in the family lagFeatures (q217)
+    * feeds and maseBacktest (q220) gatekeeps. A per-key RECURRENCE is
+    * the classic Spark anti-shape (a driver loop per step, or a
+    * checkpoint per day); here the calendar-bounded series collects
+    * into ONE array per key and the whole recurrence runs as a single
+    * map-side `aggregate()` higher-order fold — zero iterations in the
+    * plan, one exchange total (the collect_list agg). The oracle folds
+    * the identical sequence with DuckDB's list_reduce over the same
+    * struct state, with the smoothing constants spelled as the same
+    * literals so both engines iterate the same IEEE recurrence.
+    *
+    * Init: level = first value, trend = 0 (the zero-history start; a
+    * one-point series forecasts itself). Output: (key, n_points,
+    * level, trend, forecast_next), doubles rounded 6. */
+  def holtSmoothing(df: DataFrame, keyCol: String, xCol: String,
+                    yCol: String, alpha: Double = 0.3,
+                    beta: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0 && beta > 0.0 && beta < 1.0,
+      "need alpha, beta in (0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val series = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("key"), col(xCol).as("x"),
+        col(yCol).cast("double").as("v"))
+      .groupBy($"key")
+      .agg(transform(sort_array(collect_list(struct($"x", $"v"))),
+        e => e.getField("v")).as("vals"))
+    // l' = a·x + (1-a)(l + b); b' = β(l' - l) + (1-β)b — l' spelled
+    // out twice so the oracle's identical duplication yields the same
+    // doubles (no CSE changes values, only work)
+    def lNext(acc: Column, x: Column): Column =
+      lit(alpha) * x + lit(1.0 - alpha) *
+        (acc.getField("l") + acc.getField("b"))
+    val folded = series.select($"key",
+      size($"vals").cast("long").as("n_points"),
+      aggregate(
+        slice($"vals", lit(2), greatest(size($"vals") - 1, lit(0))),
+        struct(element_at($"vals", 1).as("l"), lit(0.0).as("b")),
+        (acc, x) => struct(
+          lNext(acc, x).as("l"),
+          (lit(beta) * (lNext(acc, x) - acc.getField("l")) +
+            lit(1.0 - beta) * acc.getField("b")).as("b"))).as("st"))
+    folded.select($"key", $"n_points",
+      (round($"st.l" * 1e6) / 1e6).as("level"),
+      (round($"st.b" * 1e6) / 1e6).as("trend"),
+      (round(($"st.l" + $"st.b") * 1e6) / 1e6).as("forecast_next"))
+  }
+
   /** Split-conformal calibration gate per slice: the distribution-free
     * interval check a scoring pipeline runs before shipping a model —
     * calibration rows set `qhat` = the `ceil((1-alpha)(n+1))`-th

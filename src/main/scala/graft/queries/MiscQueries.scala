@@ -1993,6 +1993,67 @@ object MiscQueries {
         graft.analytics.Baskets.abcClassification(
           Tables(s, dir, "lineitem"), "l_returnflag", "l_partkey",
           "l_extendedprice", aPct = 80, bPct = 95, amountScale = 100L)
-          .orderBy("grp", "item"))
+          .orderBy("grp", "item")),
+
+    // ----- Holt double-exponential smoothing -----
+    Q("q222_holt_smoothing",
+      "Holt level+trend smoothing per type over daily volumes, " +
+        "forecast = level + trend one step out — the per-key " +
+        "recurrence that is the classic Spark anti-shape (a driver " +
+        "loop per step) run instead as ONE map-side aggregate() fold " +
+        "over the calendar-bounded day array; the oracle folds the " +
+        "identical sequence with list_reduce over the same struct " +
+        "state, smoothing constants interpolated as driver-computed " +
+        "IEEE literals (the pageRank rule) so both engines iterate " +
+        "the same recurrence",
+      Some(holtOracleSql(alpha = 0.3, beta = 0.1)),
+      (s, dir) =>
+        graft.analytics.Stats.holtSmoothing(
+          Tables(s, dir, "events")
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("long").as("n")),
+          keyCol = "event_type", xCol = "day", yCol = "n",
+          alpha = 0.3, beta = 0.1)
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type"))
   )
+
+  /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the
+    * same fold via list_reduce with every smoothing constant
+    * interpolated from the DRIVER-computed double (Scala's toString
+    * round-trips, so DuckDB parses the identical IEEE value —
+    * `1.0 - alpha` is NOT the same double as a hand-typed 0.7).
+    *
+    * The accumulator is a 2-element LIST [level, trend], NOT a struct:
+    * DuckDB v1.0's list_reduce resolves `acc.field` inside a LATER
+    * struct field against the PARTIALLY-UPDATED accumulator (the trend
+    * expression saw the new level as `acc.l` — measured, off by
+    * exactly that substitution), while list-element indexing reads the
+    * whole previous state consistently. */
+  private def holtOracleSql(alpha: Double, beta: Double): String = {
+    val a = alpha.toString; val oma = (1.0 - alpha).toString
+    val b = beta.toString; val omb = (1.0 - beta).toString
+    s"""WITH d AS (SELECT event_type,
+       |         CAST(date_trunc('day', ts) AS DATE) AS day,
+       |         CAST(count(*) AS BIGINT) AS x
+       |       FROM events GROUP BY 1, 2),
+       |s AS (SELECT event_type,
+       |        list(CAST(x AS DOUBLE) ORDER BY day) AS vals
+       |      FROM d GROUP BY 1),
+       |f AS (SELECT event_type, CAST(len(vals) AS BIGINT) AS n_points,
+       |        list_reduce(
+       |          list_prepend([vals[1], CAST(0 AS DOUBLE)],
+       |            list_transform(vals[2:],
+       |              x -> [x, CAST(0 AS DOUBLE)])),
+       |          (acc, e) -> [
+       |            $a * e[1] + $oma * (acc[1] + acc[2]),
+       |            $b * ($a * e[1] + $oma * (acc[1] + acc[2]) - acc[1])
+       |              + $omb * acc[2]]) AS st
+       |      FROM s)
+       |SELECT event_type, n_points,
+       |       round(st[1] * 1e6) / 1e6 AS level,
+       |       round(st[2] * 1e6) / 1e6 AS trend,
+       |       round((st[1] + st[2]) * 1e6) / 1e6 AS forecast_next
+       |FROM f ORDER BY event_type""".stripMargin
+  }
 }

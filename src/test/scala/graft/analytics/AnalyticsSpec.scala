@@ -2598,6 +2598,30 @@ class StatsSpec extends SparkTestBase {
     assert(g2.getLong(2) === 0L && g2.getLong(3) === 0L && g2.isNullAt(4),
       "0/0 guards to null, not a throw")
   }
+
+  test("holtSmoothing: hand-replayed level/trend fold, one-point " +
+       "series forecasts itself, partition-invariant") {
+    import spark.implicits._
+    val s = Seq(("k", 1L, 10L), ("k", 2L, 12L), ("k", 3L, 14L),
+      ("one", 5L, 42L)).toDF("g", "x", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.holtSmoothing(d, "g", "x", "v").orderBy("key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+    // replay: l=10,b=0; x=12: l=10.6, b=0.06; x=14: l=11.662, b=0.1602
+    var (l, b) = (10.0, 0.0)
+    for (x <- Seq(12.0, 14.0)) {
+      val ln = 0.3 * x + 0.7 * (l + b)
+      b = 0.1 * (ln - l) + 0.9 * b; l = ln
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val got = run(s)
+    assert(got.toSeq === Seq(
+      ("k", 3L, r6(l), r6(b), r6(l + b)),
+      ("one", 1L, 42.0, 0.0, 42.0)))
+    for (p <- Seq(1, 7))
+      assert(run(s.repartition(p)).toSeq === got.toSeq, s"p=$p")
+  }
 }
 
 class BpeSpec extends SparkTestBase {
