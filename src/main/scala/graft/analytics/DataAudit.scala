@@ -92,6 +92,48 @@ object DataAudit {
     checks.reduce(_ unionByName _)
   }
 
+  /** Parent-child amount reconciliation — the warehouse invariant "a
+    * header's total equals the sum of its lines" checked as audit
+    * rows: `childless` (parents with NO child rows — metric/violations
+    * = their count) and `amount_mismatch` (parents whose child sum
+    * differs from the header amount by more than `tolerance` in
+    * QUANTIZED units — both sides quantize once to `round(x * scale)`
+    * so the comparison is integer-exact; childless parents are counted
+    * once, in their own check, not double-flagged as mismatches).
+    *
+    * Scale shape: one child aggregation keyed on the join key + one
+    * key-partitioned left join + one grouping-free rollup per check.
+    * Output: two rows in the standard (tbl, chk, metric, violations,
+    * pass) audit schema. */
+  def reconcile(parent: DataFrame, child: DataFrame, tbl: String,
+                parentKey: String, childKey: String,
+                parentAmount: String, childAmount: org.apache.spark.sql.Column,
+                tolerance: Double = 0.01,
+                scale: Long = 100L): DataFrame = {
+    val spark = parent.sparkSession
+    import spark.implicits._
+    val tolQ = math.round(tolerance * scale)
+    val cs = child.filter(col(childKey).isNotNull)
+      .select(col(childKey).as("__k"),
+        round(childAmount * scale).cast("long").as("__ca"))
+      .groupBy($"__k")
+      .agg(sum($"__ca").cast("long").as("__child_sum"))
+    val joined = parent.filter(col(parentKey).isNotNull)
+      .select(col(parentKey).as("__k"),
+        round(col(parentAmount) * scale).cast("long").as("__pa"))
+      .join(cs, Seq("__k"), "left")
+    val childless = emit(joined, tbl, s"childless:$parentKey",
+      coalesce(sum(when($"__child_sum".isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when($"__child_sum".isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when($"__child_sum".isNull, 1L).otherwise(0L)),
+        lit(0L)) === 0L)
+    val mism = coalesce(sum(when($"__child_sum".isNotNull &&
+      abs($"__pa" - $"__child_sum") > tolQ, 1L).otherwise(0L)), lit(0L))
+    val mismatch = emit(joined, tbl, s"amount_reconcile:$parentAmount",
+      mism, mism, mism === 0L)
+    childless.unionByName(mismatch)
+  }
+
   /** k-anonymity audit over a quasi-identifier combination — the
     * release gate before a dataset with indirect identifiers ships: a
     * row is RE-IDENTIFIABLE when its quasi-identifier equivalence class

@@ -92,21 +92,26 @@ object Graph {
     out
   }
 
-  /** The one (deg, id) edge orientation both triangle consumers share.
-    * Output: (src, dst, ddst), src the lower-(deg, id) endpoint; edges
-    * touching a node of degree > maxDegree are dropped. */
-  private def orientEdges(edges: DataFrame, deg: DataFrame,
-                          maxDegree: Int): DataFrame = {
+  /** The one (deg, id) edge orientation both triangle consumers share,
+    * computed ONCE with BOTH endpoint degrees kept: (src, dst, dsrc,
+    * ddst), src the lower-(deg, id) endpoint. The maxDegree cap is a
+    * downstream FILTER on these degree columns — orientation per edge
+    * does not depend on the cap, so wedge generation (capped) and
+    * closure lookup (uncapped) share one degree-join pipeline instead
+    * of running it twice (measured: the duplicated pipeline doubled
+    * q174's exchange count and made it the slowest query in the
+    * catalog bench). */
+  private def orientEdges(edges: DataFrame, deg: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val withDeg = edges
       .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
       .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
-      .filter($"da" <= maxDegree.toLong && $"db" <= maxDegree.toLong)
     val lowFirst = struct($"da", $"a") < struct($"db", $"b")
     withDeg.select(
       when(lowFirst, $"a").otherwise($"b").as("src"),
       when(lowFirst, $"b").otherwise($"a").as("dst"),
+      when(lowFirst, $"da").otherwise($"db").as("dsrc"),
       when(lowFirst, $"db").otherwise($"da").as("ddst"))
   }
 
@@ -134,12 +139,19 @@ object Graph {
     * closure join — the two MUST orient identically or triangles
     * silently vanish. */
   private[graft] def degreeOrientedWedges(
-      edges: DataFrame, deg: DataFrame, maxDegree: Int): DataFrame = {
-    val spark = edges.sparkSession
+      edges: DataFrame, deg: DataFrame, maxDegree: Int): DataFrame =
+    wedgesFromOriented(orientEdges(edges, deg), maxDegree)
+
+  /** Wedge pairing over an ALREADY-oriented edge table (so the caller
+    * can orient once and reuse the frame for the closure join). */
+  private def wedgesFromOriented(oriented: DataFrame,
+                                 maxDegree: Int): DataFrame = {
+    val spark = oriented.sparkSession
     import spark.implicits._
-    val oriented = orientEdges(edges, deg, maxDegree)
-    oriented.select($"src", $"dst".as("v"), $"ddst".as("dv"))
-      .join(oriented.select($"src", $"dst".as("w"), $"ddst".as("dw")),
+    val capped = oriented
+      .filter($"dsrc" <= maxDegree.toLong && $"ddst" <= maxDegree.toLong)
+    capped.select($"src", $"dst".as("v"), $"ddst".as("dv"))
+      .join(capped.select($"src", $"dst".as("w"), $"ddst".as("dw")),
         Seq("src"))
       .filter(struct($"dv", $"v") < struct($"dw", $"w"))
       .select($"src".as("u"), $"v", $"w")
@@ -178,13 +190,17 @@ object Graph {
     val deg = edges.select($"a".as("node"))
       .union(edges.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
-    val wedges = degreeOrientedWedges(edges, deg, maxDegree)
+    // orient ONCE and materialize: wedge generation (cap-filtered) and
+    // the closure lookup reuse the same degree-join pipeline — running
+    // orientEdges twice doubled the exchange count and made q174 the
+    // slowest query in the catalog bench
+    val oriented = orientEdges(edges, deg).localCheckpoint()
+    val wedges = wedgesFromOriented(oriented, maxDegree)
     // closing edge {v, w}: under the same (deg, id) orientation it can
     // only appear as v -> w, so one equi-join on both keys closes it
     // (UNCAPPED: a wedge through in-cap endpoints may legitimately
     // close via an edge whose other metadata we no longer need)
-    val closure = orientEdges(edges, deg, Int.MaxValue)
-      .select($"src".as("v"), $"dst".as("w"))
+    val closure = oriented.select($"src".as("v"), $"dst".as("w"))
     val tri = wedges.join(closure, Seq("v", "w"))
       .select($"u", $"v", $"w")
     val perNode = tri.select(explode(array($"u", $"v", $"w")).as("node"))

@@ -893,6 +893,55 @@ object TextAnalysis {
       pass.as("pass"))
   }
 
+  /** PMI collocations: adjacent-bigram pointwise mutual information,
+    * `ln(c(w1,w2) · N / (c1(w1) · c2(w2)))` with marginals counted in
+    * POSITION (left counts over bigram-firsts, right over bigram-
+    * seconds — the textbook contingency normalization; a doc's last
+    * token is never a w1), filtered to `minCount` co-occurrences so
+    * one-off pairs can't post infinite-looking scores. THE collocation
+    * extractor ("new york", "machine learning") a phrase-aware
+    * tokenizer or stopword-pair auditor runs before training.
+    *
+    * Scale shape: one bigram explode + three keyed aggs (pair, left
+    * marginal, right marginal) + one broadcast one-row total; top-k by
+    * SCALED-integer PMI with (w1, w2) ties so a replayed oracle lands
+    * the same cut. Output: (w1, w2, c12, pmi). */
+  def pmiCollocations(docs0: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1L && topK >= 1, "need minCount >= 1, topK >= 1")
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = docs
+      .select(Dedup.tokens(col(textCol)).as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"),
+          element_at($"t", i + 1).as("w2")))).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = bg.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).cast("long").as("c12"))
+      .filter($"c12" >= minCount)
+    val u1 = bg.groupBy($"w1").agg(count(lit(1)).cast("long").as("c1"))
+    val u2 = bg.groupBy($"w2").agg(count(lit(1)).cast("long").as("c2"))
+    val nt = bg.agg(count(lit(1)).cast("long").as("n"))
+    val scored = cb.join(u1, Seq("w1")).join(u2, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .select($"w1", $"w2", $"c12",
+        log($"c12".cast("double") * $"n" /
+          ($"c1".cast("double") * $"c2")).as("pmi"))
+    val out = scored
+      .orderBy(round($"pmi" * 1e6).desc, $"w1", $"w2")
+      .limit(topK)
+      .select($"w1", $"w2", $"c12",
+        (round($"pmi" * 1e6) / 1e6).as("pmi"))
+      .localCheckpoint()
+    bg.unpersist()
+    out
+  }
+
   /** Flesch reading-ease + Flesch-Kincaid grade per document — the
     * classic curation signal separating prose from listings/boilerplate
     * (keyword-stuffed pages score absurdly "easy", legalese absurdly

@@ -2015,7 +2015,92 @@ object MiscQueries {
           keyCol = "event_type", xCol = "day", yCol = "n",
           alpha = 0.3, beta = 0.1)
           .withColumnRenamed("key", "event_type")
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // ----- parent-child amount reconciliation -----
+    Q("q223_reconciliation",
+      "the warehouse invariant 'header total = sum of its lines' as " +
+        "audit rows: childless orders counted once in their own check, " +
+        "mismatches beyond a one-cent tolerance in QUANTIZED integer " +
+        "units (both sides round once to cents — no float comparison); " +
+        "the charge formula is the TPC-H extendedprice*(1-disc)*(1+tax); " +
+        "one child agg + one key-partitioned left join + grouping-free " +
+        "rollups; on this synthetic feed BOTH checks genuinely fail — " +
+        "the audit exists to catch exactly that",
+      Some("""WITH l AS (SELECT l_orderkey AS k,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+             |      * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS child_sum
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+             |o AS (SELECT o_orderkey AS k,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS pa
+             |      FROM orders WHERE o_orderkey IS NOT NULL),
+             |j AS (SELECT o.k, o.pa, l.child_sum FROM o LEFT JOIN l USING (k))
+             |SELECT 'orders~lineitem' AS tbl, 'childless:o_orderkey' AS chk,
+             |       round(CAST(coalesce(sum(CASE WHEN child_sum IS NULL
+             |         THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS metric,
+             |       CAST(coalesce(sum(CASE WHEN child_sum IS NULL
+             |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+             |       coalesce(sum(CASE WHEN child_sum IS NULL
+             |         THEN 1 ELSE 0 END), 0) = 0 AS pass
+             |FROM j
+             |UNION ALL
+             |SELECT 'orders~lineitem', 'amount_reconcile:o_totalprice',
+             |       round(CAST(coalesce(sum(CASE WHEN child_sum IS NOT NULL
+             |         AND abs(pa - child_sum) > 1 THEN 1 ELSE 0 END), 0)
+             |         AS DOUBLE), 6),
+             |       CAST(coalesce(sum(CASE WHEN child_sum IS NOT NULL
+             |         AND abs(pa - child_sum) > 1 THEN 1 ELSE 0 END), 0)
+             |         AS BIGINT),
+             |       coalesce(sum(CASE WHEN child_sum IS NOT NULL
+             |         AND abs(pa - child_sum) > 1 THEN 1 ELSE 0 END), 0) = 0
+             |FROM j
+             |ORDER BY chk""".stripMargin),
+      (s, dir) =>
+        graft.analytics.DataAudit.reconcile(
+          parent = Tables(s, dir, "orders"),
+          child = Tables(s, dir, "lineitem"),
+          tbl = "orders~lineitem",
+          parentKey = "o_orderkey", childKey = "l_orderkey",
+          parentAmount = "o_totalprice",
+          childAmount = col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")),
+          tolerance = 0.01, scale = 100L)
+          .orderBy("chk")),
+
+    // ----- PMI collocations -----
+    Q("q224_pmi_collocations",
+      "adjacent-bigram pointwise mutual information with positional " +
+        "marginals (left counts over bigram-firsts, right over " +
+        "seconds — the textbook contingency normalization) and a " +
+        "min-count floor so one-off pairs can't post infinite-looking " +
+        "scores — THE collocation extractor a phrase-aware tokenizer " +
+        "runs before training; one bigram explode + three keyed aggs " +
+        "+ a broadcast one-row total, top-100 by scaled-integer PMI",
+      Some("""WITH toks AS (
+             |  SELECT list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+             |       FROM (SELECT t, unnest(range(1, len(t))) AS i
+             |             FROM toks WHERE len(t) >= 2)),
+             |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+             |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+             |u1 AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c
+             |       FROM bg GROUP BY 1),
+             |u2 AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS c
+             |       FROM bg GROUP BY 1),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+             |p AS (SELECT cb.w1, cb.w2, cb.c12,
+             |        ln(CAST(cb.c12 AS DOUBLE) * nt.n
+             |           / (CAST(u1.c AS DOUBLE) * u2.c)) AS pmi
+             |      FROM cb JOIN u1 ON u1.w = cb.w1
+             |              JOIN u2 ON u2.w = cb.w2 CROSS JOIN nt)
+             |SELECT w1, w2, c12, round(pmi * 1e6) / 1e6 AS pmi
+             |FROM p ORDER BY round(pmi * 1e6) DESC, w1, w2
+             |LIMIT 100""".stripMargin),
+      (s, dir) =>
+        graft.analytics.TextAnalysis.pmiCollocations(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          minCount = 5L, topK = 100))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

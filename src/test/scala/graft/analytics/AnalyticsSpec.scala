@@ -1651,6 +1651,30 @@ class CorpusFilterDifferentialSpec extends SparkTestBase {
     assert(fused.map { case (id, v) => id -> v } === composed)
   }
 
+  test("pmiCollocations: hand-computed PMI with POSITIONAL marginals, " +
+       "min-count floor, PMI-desc order with id tie-break") {
+    import spark.implicits._
+    // bigrams: (x,y) x4, (x,z) x1, (w,y) x1; N = 6
+    // positional marginals: w1: x=5, w=1;  w2: y=5, z=1
+    // PMI(x,y) = ln(4*6/(5*5)),  PMI(x,z) = PMI(w,y) = ln(6/5)
+    val docs = (Seq.fill(4)("x y") ++ Seq("x z", "w y")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+        minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("w", "y", 1L, r6(math.log(6.0 / 5.0))), // tie: w < x
+      ("x", "z", 1L, r6(math.log(6.0 / 5.0))),
+      ("x", "y", 4L, r6(math.log(24.0 / 25.0)))))
+    val floored = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+        minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(floored.toSeq === Seq(("x", "y")),
+      "one-off pairs die to the floor")
+  }
+
   test("readability: hand-computed Flesch / FK-grade on pinned prose, " +
        "sentence floor for fragments, zero-word docs null") {
     import spark.implicits._

@@ -669,6 +669,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(z2.getLong(3) === 0L && z2.isNullAt(6))
   }
 
+  test("reconcile: a consistent parent passes, a two-cent drift flags " +
+       "at one-cent tolerance, childless parents count once in their " +
+       "own check and never as mismatches") {
+    import spark.implicits._
+    val parents = Seq((1L, 10.0), (2L, 5.0), (3L, 7.0))
+      .toDF("pk", "total")
+    val children = Seq((1L, 4.0), (1L, 6.0), (2L, 5.02))
+      .toDF("ck", "amt")
+    val got = DataAudit.reconcile(parents, children, "t",
+        "pk", "ck", "total", col("amt"))
+      .orderBy("chk").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("amount_reconcile:total", 1L, false), // order 2: 5.02 vs 5.00
+      ("childless:pk", 1L, false)))          // order 3 only
+    // tightened children: everything reconciles, only childless fails
+    val clean = DataAudit.reconcile(parents,
+        Seq((1L, 10.0), (2L, 5.0)).toDF("ck", "amt"), "t",
+        "pk", "ck", "total", col("amt"))
+      .orderBy("chk").collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+    assert(clean.toSeq === Seq(
+      ("amount_reconcile:total", 0L, true),
+      ("childless:pk", 1L, false)))
+  }
+
   test("rfmSegments: hand-computed recency/frequency/monetary and " +
        "interpolated quintile thresholds on a 3-customer feed") {
     import spark.implicits._
