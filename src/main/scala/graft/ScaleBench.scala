@@ -739,7 +739,23 @@ object ScaleBench {
           analytics.Stats.holtSmoothing(
             events.groupBy($"event_type", to_date($"ts").as("day"))
               .agg(count(lit(1)).cast("long").as("n")),
-            "event_type", "day", "n").count()))
+            "event_type", "day", "n").count()),
+        // one window sort collecting 7-bounded arrays + map-side folds
+        "q225_hampel" -> (() =>
+          analytics.Stats.hampelFilter(
+            events.groupBy($"event_type", to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "day", "n").count()),
+        // audit rollup: one child agg + keyed left join + 1-row rollups
+        "q223_reconcile" -> (() =>
+          analytics.DataAudit.reconcile(
+            spark.read.parquet(s"$sfDir/orders.parquet"), li,
+            "t", "o_orderkey", "l_orderkey", "o_totalprice",
+            $"l_extendedprice").count()),
+        // bigram explode + three keyed aggs + broadcast one-row total
+        "q224_pmi" -> (() =>
+          analytics.TextAnalysis.pmiCollocations(docs, "doc_id",
+            "text").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

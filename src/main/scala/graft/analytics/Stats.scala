@@ -1140,6 +1140,55 @@ object Stats {
       (round(($"st.l" + $"st.b") * 1e6) / 1e6).as("forecast_next"))
   }
 
+  /** Hampel despiking filter per key: each point compares against the
+    * MEDIAN of its ±halfWindow neighborhood, flags as a spike when
+    * `|v - med| > nSigma * 1.4826 * MAD` (1.4826 scales MAD to a
+    * Gaussian sigma), and the filtered series replaces spikes with the
+    * rolling median — the standard sensor/telemetry despiker, robust
+    * where a rolling MEAN would drag toward the very spike it should
+    * remove. Edge windows shrink (a series start is judged against
+    * what exists, not padded zeros); a zero-MAD window (all neighbors
+    * equal) flags ANY deviation, the filter's textbook degenerate
+    * behavior.
+    *
+    * Shape: ONE key-partitioned window sort collects each ±k
+    * neighborhood as a (2k+1)-bounded array; medians/MADs are
+    * map-side array folds from there — no per-row re-sorts of raw
+    * volume, no self-joins. Integer inputs make every median an exact
+    * .0/.5 double, so the oracle replays bit-for-bit. Output:
+    * (key, x, v, med, mad, is_spike, filtered). */
+  def hampelFilter(df: DataFrame, keyCol: String, xCol: String,
+                   yCol: String, halfWindow: Int = 3,
+                   nSigma: Double = 3.0): DataFrame = {
+    require(halfWindow >= 1 && nSigma > 0.0,
+      "need halfWindow >= 1 and nSigma > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def medOf(arr: Column): Column = {
+      val s = sort_array(arr)
+      val n = size(arr)
+      when(n % 2 === 1,
+        element_at(s, ((n + 1) / lit(2)).cast("int")).cast("double"))
+        .otherwise((element_at(s, (n / lit(2)).cast("int")).cast("double")
+          + element_at(s, (n / lit(2)).cast("int") + 1)) / 2.0)
+    }
+    val w = Window.partitionBy($"key").orderBy($"x")
+      .rowsBetween(-halfWindow, halfWindow)
+    val arr = df.select(col(keyCol).as("key"), col(xCol).as("x"),
+        col(yCol).cast("long").as("v"))
+      .filter($"x".isNotNull && $"v".isNotNull)
+      .withColumn("l", collect_list($"v").over(w))
+    val withMed = arr.withColumn("med", medOf($"l"))
+    val withMad = withMed.withColumn("mad",
+      medOf(transform($"l", a => abs(a - $"med"))))
+    val spike = abs($"v" - $"med") >
+      lit(nSigma) * lit(1.4826) * $"mad"
+    withMad.select($"key", $"x", $"v", $"med", $"mad",
+      spike.as("is_spike"),
+      when(spike, $"med").otherwise($"v".cast("double")).as("filtered"))
+  }
+
   /** Split-conformal calibration gate per slice: the distribution-free
     * interval check a scoring pipeline runs before shipping a model —
     * calibration rows set `qhat` = the `ceil((1-alpha)(n+1))`-th

@@ -2100,7 +2100,54 @@ object MiscQueries {
       (s, dir) =>
         graft.analytics.TextAnalysis.pmiCollocations(
           Tables(s, dir, "documents"), "doc_id", "text",
-          minCount = 5L, topK = 100))
+          minCount = 5L, topK = 100)),
+
+    // ----- Hampel despiking filter -----
+    Q("q225_hampel_filter",
+      "Hampel despiking over daily volumes per type: each point " +
+        "against the MEDIAN of its ±3-day neighborhood, spike when " +
+        "|v - med| > 3 * 1.4826 * MAD, filtered series replaces " +
+        "spikes with the rolling median — the telemetry despiker a " +
+        "rolling mean can't be (the mean drags toward the spike); ONE " +
+        "window sort collects 7-bounded neighborhood arrays, medians " +
+        "are map-side folds, integer inputs make every median an " +
+        "exact .0/.5 double so the oracle replays bit-for-bit",
+      Some("""WITH d AS (SELECT event_type,
+             |         CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(count(*) AS BIGINT) AS v
+             |       FROM events GROUP BY 1, 2),
+             |a AS (SELECT event_type, day, v,
+             |        list(v) OVER (PARTITION BY event_type ORDER BY day
+             |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS l
+             |      FROM d),
+             |m AS (SELECT *, CASE WHEN len(l) % 2 = 1
+             |          THEN CAST(list_sort(l)[(len(l) + 1) // 2] AS DOUBLE)
+             |          ELSE (CAST(list_sort(l)[len(l) // 2] AS DOUBLE)
+             |                + list_sort(l)[len(l) // 2 + 1]) / 2.0
+             |        END AS med FROM a),
+             |md AS (SELECT *, CASE WHEN len(l) % 2 = 1
+             |          THEN CAST(list_sort(list_transform(l, x -> abs(x - med)))
+             |                 [(len(l) + 1) // 2] AS DOUBLE)
+             |          ELSE (CAST(list_sort(list_transform(l, x -> abs(x - med)))
+             |                 [len(l) // 2] AS DOUBLE)
+             |                + list_sort(list_transform(l, x -> abs(x - med)))
+             |                 [len(l) // 2 + 1]) / 2.0
+             |        END AS mad FROM m)
+             |SELECT event_type, day, v, med, mad,
+             |       abs(v - med) > 3.0 * 1.4826 * mad AS is_spike,
+             |       CASE WHEN abs(v - med) > 3.0 * 1.4826 * mad THEN med
+             |            ELSE CAST(v AS DOUBLE) END AS filtered
+             |FROM md ORDER BY event_type, day""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.hampelFilter(
+          Tables(s, dir, "events")
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("long").as("n")),
+          keyCol = "event_type", xCol = "day", yCol = "n",
+          halfWindow = 3, nSigma = 3.0)
+          .withColumnRenamed("key", "event_type")
+          .withColumnRenamed("x", "day")
+          .orderBy("event_type", "day"))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

@@ -2623,6 +2623,29 @@ class StatsSpec extends SparkTestBase {
       "0/0 guards to null, not a throw")
   }
 
+  test("hampelFilter: a lone spike flags and filters to the rolling " +
+       "median, edge windows shrink and judge against what exists, " +
+       "constant series never flags (zero deviation vs zero MAD)") {
+    import spark.implicits._
+    val s = ((1 to 7).map(d =>
+        ("k", d.toLong, if (d == 4) 100L else 10L)) ++
+      (1 to 5).map(d => ("c", d.toLong, 5L))).toDF("g", "x", "v")
+    val got = Stats.hampelFilter(s, "g", "x", "v")
+      .orderBy("key", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getDouble(6)))
+    val k = got.filter(_._1 == "k")
+    // day 4: full 7-window, med 10, MAD 0 -> any deviation spikes
+    assert(k(3) === (("k", 4L, 100L, 10.0, 0.0, true, 10.0)))
+    // day 1: shrunk 4-window [10,10,10,100] -> med 10, not a spike
+    assert(k(0) === (("k", 1L, 10L, 10.0, 0.0, false, 10.0)))
+    // day 7: shrunk window [100,10,10,10] via days 4..7? no — days
+    // 4..7 = [100,10,10,10]: med 10, v=10, no spike
+    assert(k(6)._6 === false && k(6)._7 === 10.0)
+    assert(got.filter(_._1 == "c").forall(r => !r._6 && r._7 === 5.0),
+      "constant series: zero deviation vs zero MAD never flags")
+  }
+
   test("holtSmoothing: hand-replayed level/trend fold, one-point " +
        "series forecasts itself, partition-invariant") {
     import spark.implicits._
