@@ -263,6 +263,26 @@ object ConverterQueries {
             $"n_chars".cast("long").as("n_chars"),
             md5($"text").as("text_md5"))
           .orderBy("doc_id")
+      }),
+
+    // ----- fixed-width text round-trip -----
+    Q("q226_fixedwidth_roundtrip",
+      "write part as fixed-width text (the COBOL-copybook/legacy-ETL " +
+        "interchange: fixed CHARACTER spans, no delimiters, nulls as " +
+        "spaces), read it back by position + rtrim — both directions " +
+        "pure map-side column expressions over distributed text parts, " +
+        "no driver single-file bottleneck",
+      Some("""SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name,
+             |       p_brand, CAST(p_size AS VARCHAR) AS p_size
+             |FROM part ORDER BY CAST(p_partkey AS BIGINT)""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val widths = Seq("p_partkey" -> 12, "p_name" -> 80,
+          "p_brand" -> 12, "p_size" -> 8)
+        val path = tmpFile("part_fixedwidth")
+        graft.sources.FixedWidth.write(Tables(s, dir, "part"), widths, path)
+        graft.sources.FixedWidth.read(s, path, widths)
+          .orderBy($"p_partkey".cast("long"))
       })
   )
 }
