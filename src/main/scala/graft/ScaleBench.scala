@@ -755,7 +755,14 @@ object ScaleBench {
         // bigram explode + three keyed aggs + broadcast one-row total
         "q224_pmi" -> (() =>
           analytics.TextAnalysis.pmiCollocations(docs, "doc_id",
-            "text").count()))
+            "text").count()),
+        // corpus x broadcast query sample, 4 scored dims — queries
+        // scale with copies (id shifts preserve % 10), so the probe
+        // volume grows ~k^2: the documented brute-force ceiling before
+        // IVF takes over
+        "q227_trunc_recall" -> (() =>
+          analytics.Similarity.truncationRecall(emb, "vec_id",
+            "embedding", $"vec_id" % 97 === 0).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -193,6 +193,58 @@ object Similarity {
     * Output: (src_id, tgt_id, cos_sim, margin) — each source's best
     * target when its margin clears `minMargin`; margin and cos rounded
     * 6; ties break by target id. */
+  /** Matryoshka truncation audit: for a query sample, does the PREFIX
+    * of the embedding (first d dims) retrieve the same top-1 neighbor
+    * as the full vector? Recall@1 per candidate dim is THE go/no-go
+    * before serving truncated embeddings (MRL-style storage cuts:
+    * keeping 16 of 64 dims is a 4× index shrink IF recall holds).
+    * Cosines compare as SCALED integers (`round(cos * 1e6)`, the q201
+    * rule) with id tie-break, so the argmax replays exactly; prefix
+    * cosines renormalize over the truncated dims (a prefix is NOT
+    * unit-norm).
+    *
+    * Shape: corpus × broadcast query sample (the q24 brute-force
+    * baseline probe — swap [[Cluster.kmeansIvfTopK]] upstream at
+    * serving scale), one `max_by` hash argmax per (query, dim) — no
+    * windows — then one join of truncated picks against full-dim picks
+    * and a dim-keyed rollup. Output: (trunc_dim, n_queries, recall_at_1).
+    */
+  def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column,
+                       dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "need positive dims")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
+    val qs = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val cand = v.join(broadcast(qs), $"vid" =!= $"qid")
+    def c6(d: Option[Int]): Column = {
+      val (a, b) = d match {
+        case Some(k) => (slice($"qv", 1, k), slice($"vv", 1, k))
+        case None => ($"qv", $"vv")
+      }
+      round(cosine(a, b) * 1e6).cast("long")
+    }
+    def top1(scoreCol: Column): DataFrame => DataFrame = df =>
+      df.groupBy($"qid")
+        .agg(max_by($"vid", struct(scoreCol.as("c"), (-$"vid").as("ni")))
+          .as("nn"))
+    val full = top1(c6(None))(cand)
+      .withColumnRenamed("nn", "nn_full")
+    val truncated = dims.map { d =>
+      top1(c6(Some(d)))(cand)
+        .select(lit(d).as("trunc_dim"), $"qid", $"nn")
+    }.reduce(_ unionByName _)
+    truncated.join(full, Seq("qid"))
+      .groupBy($"trunc_dim")
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        (round(sum(when($"nn" === $"nn_full", 1L).otherwise(0L))
+          .cast("double") /
+          when(count(lit(1)) > 0, count(lit(1))).cast("double") * 1e6)
+          / 1e6).as("recall_at_1"))
+  }
+
   def marginMining(emb: DataFrame, idCol: String, vecCol: String,
                    srcPred: Column, k: Int = 4,
                    minMargin: Double = 1.05): DataFrame = {

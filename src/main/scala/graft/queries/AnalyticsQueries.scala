@@ -4075,7 +4075,54 @@ object AnalyticsQueries {
         Dedup.blockedNameLink(Tables(s, dir, "part"),
             "p_partkey", "p_name", Seq("p_brand", "p_size"),
             minSim = 0.88, maxBlock = 10000)
-          .orderBy("id_a", "id_b"))
+          .orderBy("id_a", "id_b")),
+
+    // ----- Matryoshka truncation audit -----
+    Q("q227_truncation_recall",
+      "MRL-style truncation audit: does the PREFIX of each embedding " +
+        "(8/16/32 of 64 dims) retrieve the same top-1 neighbor as the " +
+        "full vector? recall@1 per dim is the go/no-go before serving " +
+        "truncated embeddings (a 4x index shrink IF recall holds); " +
+        "cosines as scaled integers with id tie-break (the q201 rule), " +
+        "prefixes renormalized; corpus x broadcast query sample (the " +
+        "q24 baseline probe — swap IVF upstream at scale), max_by " +
+        "argmaxes, one dim-keyed rollup",
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+             |  FROM embeddings),
+             |qs AS (SELECT vec_id AS qid, vv AS qv FROM v
+             |       WHERE vec_id % 10 = 0),
+             |cand AS (SELECT qs.qid, qs.qv, v.vec_id AS vid, v.vv
+             |         FROM qs JOIN v ON v.vec_id <> qs.qid),
+             |fr AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+             |         ORDER BY CAST(round(list_dot_product(qv, vv)
+             |           / (sqrt(list_dot_product(qv, qv))
+             |              * sqrt(list_dot_product(vv, vv))) * 1e6)
+             |           AS BIGINT) DESC, vid) AS rn
+             |       FROM cand),
+             |ft AS (SELECT qid, vid AS nn_full FROM fr WHERE rn = 1),
+             |tr AS (SELECT d.d AS trunc_dim, c.qid, c.vid,
+             |         row_number() OVER (PARTITION BY d.d, c.qid
+             |         ORDER BY CAST(round(
+             |             list_dot_product(c.qv[1:d.d], c.vv[1:d.d])
+             |           / (sqrt(list_dot_product(c.qv[1:d.d], c.qv[1:d.d]))
+             |              * sqrt(list_dot_product(c.vv[1:d.d], c.vv[1:d.d])))
+             |           * 1e6) AS BIGINT) DESC, c.vid) AS rn
+             |       FROM cand c
+             |       CROSS JOIN (SELECT unnest([8, 16, 32]) AS d) d),
+             |tt AS (SELECT trunc_dim, qid, vid AS nn FROM tr WHERE rn = 1)
+             |SELECT tt.trunc_dim, CAST(count(*) AS BIGINT) AS n_queries,
+             |       round(CAST(sum(CASE WHEN tt.nn = f.nn_full
+             |           THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(CASE WHEN count(*) > 0 THEN count(*) END
+             |                AS DOUBLE) * 1e6) / 1e6 AS recall_at_1
+             |FROM tt JOIN ft f USING (qid)
+             |GROUP BY tt.trunc_dim ORDER BY trunc_dim""".stripMargin),
+      (s, dir) =>
+        Similarity.truncationRecall(Tables(s, dir, "embeddings"),
+            "vec_id", "embedding", queryPred = col("vec_id") % 10 === 0,
+            dims = Seq(8, 16, 32))
+          .orderBy("trunc_dim"))
   )
 
   /** Unrolled synchronous label propagation in DuckDB — the SAME

@@ -197,7 +197,11 @@ class PlanShapeSpec extends SparkTestBase {
       // q218: orders x broadcast ONE-ROW max-date, then customers x
       // broadcast ONE-ROW threshold arrays (the q116 bracket) —
       // machine-checked below
-      "q218_rfm_segments")
+      "q218_rfm_segments",
+      // q227: corpus x broadcast query sample, non-equi self-exclusion
+      // (the q24 brute-force baseline probe — swap IVF upstream at
+      // serving scale)
+      "q227_truncation_recall")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan

@@ -706,6 +706,27 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(fromExt.toSeq === got.toSeq)
   }
+
+  test("truncationRecall: a prefix that preserves the neighborhood " +
+       "scores recall 1, a prefix that hides the signal dims misses; " +
+       "the query itself is never its own neighbor") {
+    import spark.implicits._
+    // 4-dim vectors; the FIRST 2 dims separate {q, a} from {b, far},
+    // the LAST 2 dims are where b secretly matches q better.
+    // full-dim top-1 of q is b; prefix-2 top-1 is a -> recall 0 at d=2.
+    // prefix-4 == full -> recall 1.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),          // q (query)
+      (1L, Array(0.9f, 0.1f, 1.0f, -1.0f)),         // a: close in d=2
+      (2L, Array(0.5f, 0.5f, 0.05f, 1.1f)),         // b: close in full
+      (3L, Array(-1.0f, -1.0f, -1.0f, -1.0f)))      // far everywhere
+      .toDF("vec_id", "embedding")
+    val got = Similarity.truncationRecall(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") === 0L, dims = Seq(2, 4))
+      .orderBy("trunc_dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((2, 1L, 0.0), (4, 1L, 1.0)))
+  }
 }
 
 class PqSpec extends SparkTestBase {
