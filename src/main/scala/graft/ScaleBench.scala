@@ -762,7 +762,16 @@ object ScaleBench {
         // IVF takes over
         "q227_trunc_recall" -> (() =>
           analytics.Similarity.truncationRecall(emb, "vec_id",
-            "embedding", $"vec_id" % 97 === 0).count()))
+            "embedding", $"vec_id" % 97 === 0).count()),
+        // user-keyed bracket join; hot-copy events multiply per-user
+        // purchase density ~k-fold, the candidate bound under stress
+        "q228_abandonment" -> (() =>
+          analytics.Events.abandonment(hotEvents, "user_id", "ts",
+            "event_id", "view", "purchase").count()),
+        // one keyed agg + broadcast one-row feed max
+        "q229_freshness" -> (() =>
+          analytics.DataAudit.freshness(events, "event_type", "ts")
+            .count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit rows — the dbt-tests/Deequ-style
@@ -156,6 +156,48 @@ object DataAudit {
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("class_size"))
       .withColumn("suppress", col("class_size") < k)
+  }
+
+  /** Feed freshness / completeness audit per key — the ops dashboard a
+    * lake runs per load: when did each slice last report
+    * (staleness vs the FEED max, so a wholly-stalled feed reads zero
+    * staleness everywhere — by design, this audits slices against each
+    * other; wall-clock lag is the caller's clock injection), how many
+    * distinct hours were active, and what fraction of the slice's own
+    * first-seen→feed-max span that covers. Minute/hour arithmetic
+    * counts BOUNDARY CROSSINGS (both sides truncate first), matching
+    * SQL date_diff semantics rather than elapsed-time floors.
+    *
+    * One keyed aggregate + a broadcast one-row feed max. Output:
+    * (key, last_seen, staleness_minutes, hours_active, hours_span,
+    * completeness). */
+  def freshness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mx = df.agg(max(col(tsCol)).as("feed_max"))
+    val per = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(max(col(tsCol)).as("last_seen"),
+        min(col(tsCol)).as("first_seen"),
+        count_distinct(date_trunc("hour", col(tsCol))).cast("long")
+          .as("hours_active"))
+    def minuteCrossings(a: Column, b: Column): Column =
+      ((unix_micros(date_trunc("minute", b)) -
+        unix_micros(date_trunc("minute", a))) / lit(60000000L))
+        .cast("long")
+    def hourCrossings(a: Column, b: Column): Column =
+      ((unix_micros(date_trunc("hour", b)) -
+        unix_micros(date_trunc("hour", a))) / lit(3600000000L))
+        .cast("long")
+    per.crossJoin(broadcast(mx))
+      .select($"key", $"last_seen",
+        minuteCrossings($"last_seen", $"feed_max").as("staleness_minutes"),
+        $"hours_active",
+        (hourCrossings($"first_seen", $"feed_max") + 1L).as("hours_span"),
+        (round($"hours_active".cast("double") /
+          when(hourCrossings($"first_seen", $"feed_max") + 1L > 0L,
+            hourCrossings($"first_seen", $"feed_max") + 1L).cast("double")
+          * 1e6) / 1e6).as("completeness"))
   }
 
   /** Distinct l-diversity (Machanavajjhala 2007) — the k-anonymity

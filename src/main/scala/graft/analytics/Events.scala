@@ -467,6 +467,49 @@ object Events {
         when(l1 > 0, l1).cast("double") - lit(1.0)) * 1e6) / 1e6)
   }
 
+  /** Abandonment detector — the funnel NEGATIVE: a view (cart-add,
+    * trial-start) counts as abandoned when the same user records NO
+    * conversion within `windowMinutes` after it; the complement of
+    * click attribution (q189/q192 join conversions BACK to touches,
+    * this op finds the touches nothing ever joined). Per-user rollup:
+    * view count, abandoned count, abandonment rate.
+    *
+    * Shape: one user-keyed equi join with the time bracket as a join
+    * filter (the q192 pattern — candidates per view are bounded by the
+    * user's conversions inside the window), then a per-view existence
+    * agg and a user rollup. A view with zero joined conversions is
+    * exactly the abandoned case, so the left join's null row IS the
+    * signal — no NOT EXISTS subquery, no anti-join over raw volume.
+    * Output: (user, n_views, n_abandoned, abandon_rate). */
+  def abandonment(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, viewType: String, convType: String,
+                  typeCol: String = "event_type",
+                  windowMinutes: Int = 30): DataFrame = {
+    require(windowMinutes >= 1, "need windowMinutes >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val v = events.filter(col(typeCol) === viewType)
+      .select(col(userCol).as("u"), col(idCol).as("view_id"),
+        col(tsCol).as("vts"))
+    val p = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(tsCol).as("pts"))
+    val joined = v.join(p,
+      v("u") === p("u") && $"pts" >= $"vts" &&
+        $"pts" <= $"vts" + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left")
+      .select(v("u").as("u"), $"view_id", $"pts")
+    val perView = joined.groupBy($"u", $"view_id")
+      .agg((count($"pts") === 0L).as("abandoned"))
+    perView.groupBy($"u".as("user"))
+      .agg(count(lit(1)).cast("long").as("n_views"),
+        sum(when($"abandoned", 1L).otherwise(0L)).cast("long")
+          .as("n_abandoned"))
+      .select($"user", $"n_views", $"n_abandoned",
+        (round($"n_abandoned".cast("double") /
+          when($"n_views" > 0L, $"n_views").cast("double") * 1e6) / 1e6)
+          .as("abandon_rate"))
+  }
+
   /** RFM segmentation over an order feed: per customer, recency (days
     * since last order, measured from the feed's max date), frequency
     * (order count) and monetary (total spend), each scored into `q`

@@ -2147,7 +2147,73 @@ object MiscQueries {
           halfWindow = 3, nSigma = 3.0)
           .withColumnRenamed("key", "event_type")
           .withColumnRenamed("x", "day")
-          .orderBy("event_type", "day"))
+          .orderBy("event_type", "day")),
+
+    // ----- abandonment (funnel negative) -----
+    Q("q228_abandonment",
+      "cart-abandonment per user: a view with NO purchase by the same " +
+        "user within 30 minutes is abandoned — the funnel NEGATIVE " +
+        "(attribution joins conversions back to touches; this finds " +
+        "the touches nothing ever joined); one user-keyed equi join " +
+        "with the time bracket as a join filter, the left join's null " +
+        "row IS the signal — no NOT EXISTS over raw volume",
+      Some("""WITH v AS (SELECT event_id, user_id, ts FROM events
+             |       WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |a AS (SELECT v.user_id, v.event_id,
+             |        NOT EXISTS (SELECT 1 FROM p
+             |          WHERE p.user_id = v.user_id AND p.ts >= v.ts
+             |            AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+             |          AS abandoned
+             |      FROM v)
+             |SELECT user_id AS "user", CAST(count(*) AS BIGINT) AS n_views,
+             |       CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_abandoned,
+             |       round(CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END)
+             |           AS DOUBLE)
+             |         / CAST(CASE WHEN count(*) > 0 THEN count(*) END
+             |                AS DOUBLE) * 1e6) / 1e6 AS abandon_rate
+             |FROM a GROUP BY user_id ORDER BY "user"""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.abandonment(Tables(s, dir, "events"),
+            userCol = "user_id", tsCol = "ts", idCol = "event_id",
+            viewType = "view", convType = "purchase",
+            windowMinutes = 30)
+          .orderBy("user")),
+
+    // ----- feed freshness / completeness audit -----
+    Q("q229_freshness_audit",
+      "per-type feed freshness: staleness of each slice's last event " +
+        "vs the FEED max (slices audited against each other — a " +
+        "wall-clock lag needs the caller's clock), distinct active " +
+        "hours, and completeness over the slice's own first-seen to " +
+        "feed-max span; minute/hour arithmetic counts BOUNDARY " +
+        "CROSSINGS (both sides truncated first) matching SQL " +
+        "date_diff; one keyed agg + a broadcast one-row feed max",
+      Some("""WITH mx AS (SELECT max(ts) AS feed_max FROM events),
+             |t AS (SELECT event_type, max(ts) AS last_seen,
+             |        min(ts) AS first_seen,
+             |        CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+             |          AS hours_active
+             |      FROM events GROUP BY 1)
+             |SELECT t.event_type, t.last_seen,
+             |       CAST(date_diff('minute', t.last_seen, mx.feed_max)
+             |         AS BIGINT) AS staleness_minutes,
+             |       t.hours_active,
+             |       CAST(date_diff('hour', t.first_seen, mx.feed_max) + 1
+             |         AS BIGINT) AS hours_span,
+             |       round(CAST(t.hours_active AS DOUBLE)
+             |         / CAST(CASE WHEN date_diff('hour', t.first_seen,
+             |             mx.feed_max) + 1 > 0
+             |           THEN date_diff('hour', t.first_seen, mx.feed_max) + 1
+             |           END AS DOUBLE) * 1e6) / 1e6 AS completeness
+             |FROM t CROSS JOIN mx ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        graft.analytics.DataAudit.freshness(Tables(s, dir, "events"),
+            keyCol = "event_type", tsCol = "ts")
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type"))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

@@ -669,6 +669,48 @@ class CurationOpsSpec extends SparkTestBase {
     assert(z2.getLong(3) === 0L && z2.isNullAt(6))
   }
 
+  test("abandonment: conversion inside the window clears the view, " +
+       "outside-or-absent abandons it, an EARLIER purchase never " +
+       "rescues a later view") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val ev = Seq(
+      (10L, 1L, "view", t("10:00")), (11L, 1L, "purchase", t("10:15")),
+      (12L, 1L, "view", t("11:00")), // nothing within 30m
+      (13L, 1L, "view", t("11:50")), (14L, 1L, "purchase", t("12:40")),
+      (20L, 2L, "purchase", t("09:00")), // BEFORE the view: no rescue
+      (21L, 2L, "view", t("09:30")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Events.abandonment(ev, "user_id", "ts", "event_id",
+        "view", "purchase", windowMinutes = 30)
+      .orderBy("user").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, math.round(2.0 / 3.0 * 1e6) / 1e6),
+      (2L, 1L, 1L, 1.0)))
+  }
+
+  test("freshness: staleness against the FEED max, hours_active vs " +
+       "the slice's own span, boundary-crossing minute arithmetic") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      ("a", t("00:10:00")), ("a", t("01:20:00")), ("a", t("03:30:00")),
+      ("b", t("02:10:30")))
+      .toDF("k", "ts")
+    val got = DataAudit.freshness(ev, "k", "ts")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      // a IS the feed max: staleness 0; hours {0,1,3} of span 0..3
+      ("a", 0L, 3L, 4L, 0.75),
+      // b last 02:10:30 vs max 03:30:00 -> 80 minute crossings;
+      // span hour2..hour3 = 2, one active
+      ("b", 80L, 1L, 2L, 0.5)))
+  }
+
   test("reconcile: a consistent parent passes, a two-cent drift flags " +
        "at one-cent tolerance, childless parents count once in their " +
        "own check and never as mismatches") {
