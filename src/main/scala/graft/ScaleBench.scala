@@ -771,7 +771,15 @@ object ScaleBench {
         // one keyed agg + broadcast one-row feed max
         "q229_freshness" -> (() =>
           analytics.DataAudit.freshness(events, "event_type", "ts")
-            .count()))
+            .count()),
+        // one digit agg + one-row total; 9-row checkpointed result
+        "q230_benford" -> (() =>
+          analytics.DataAudit.benford(
+            events.select($"value".as("amt")), "amt").count()),
+        // one keyed power-sum aggregate
+        "q231_pearson" -> (() =>
+          analytics.Stats.pearsonByGroup(li, "l_returnflag",
+            "l_quantity", "l_extendedprice").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

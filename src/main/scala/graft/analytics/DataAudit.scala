@@ -200,6 +200,42 @@ object DataAudit {
           * 1e6) / 1e6).as("completeness"))
   }
 
+  /** Benford first-digit audit — the fraud/synthetic-data screen: a
+    * naturally-grown amount distribution follows
+    * `P(d) = log10(1 + 1/d)`; fabricated or uniformly-generated
+    * figures don't, and the per-digit deviation table is the evidence.
+    * The first digit comes off the QUANTIZED integer (scaling by a
+    * power of ten never changes a leading digit), non-positive amounts
+    * are excluded (Benford is a positive-magnitude law), and all nine
+    * digits emit even at zero observations so the table is always
+    * 9-complete. One aggregate + a broadcast one-row total; the
+    * result materializes (9 rows) so no broadcast reaches callers'
+    * plans. Output: (digit, observed_n, observed_p, benford_p,
+    * abs_dev). */
+  def benford(df: DataFrame, amountCol: String,
+              scale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = spark.range(1, 10).select($"id".as("digit"))
+    val counts = df
+      .filter(col(amountCol).isNotNull && col(amountCol) > 0)
+      .select(substring(round(col(amountCol) * scale).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tot = counts.agg(sum($"n").cast("long").as("tot"))
+    val bp = log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0))
+    val op = coalesce($"n", lit(0L)).cast("double") /
+      when($"tot" > 0L, $"tot").cast("double")
+    digits.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"digit", coalesce($"n", lit(0L)).as("observed_n"),
+        (round(op * 1e6) / 1e6).as("observed_p"),
+        (round(bp * 1e6) / 1e6).as("benford_p"),
+        (round(abs(op - bp) * 1e6) / 1e6).as("abs_dev"))
+      .localCheckpoint()
+  }
+
   /** Distinct l-diversity (Machanavajjhala 2007) — the k-anonymity
     * follow-through: a large equivalence class still leaks when every
     * member shares the SAME sensitive value (the homogeneity attack;

@@ -1140,6 +1140,44 @@ object Stats {
       (round(($"st.l" + $"st.b") * 1e6) / 1e6).as("forecast_next"))
   }
 
+  /** Pearson correlation per group between two quantized columns —
+    * "does quantity track price within each segment", the first
+    * question an elasticity or data-leakage probe asks. Computed from
+    * the five integer power sums via
+    * `r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))` with
+    * products summed in DECIMAL(38,0) (the q144 rule — a squared
+    * 1e7-scale value times a billion rows overflows int64), so both
+    * engines derive r from identical integers through one identical
+    * tree. Zero-variance groups null (correlation undefined, not 0).
+    * One keyed aggregate, map-side partials, nothing else.
+    * Output: (grp, n, pearson_r). */
+  def pearsonByGroup(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String, xScale: Long = 1L,
+                     yScale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(xCol) * xScale).cast("long").as("x"),
+        round(col(yCol) * yScale).cast("long").as("y"))
+    val s = w.groupBy($"grp").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum($"x").cast("long").as("sx"),
+      sum($"y").cast("long").as("sy"),
+      sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"),
+      sum(($"y" * $"y").cast(DecimalType(38, 0))).as("syy"),
+      sum(($"x" * $"y").cast(DecimalType(38, 0))).as("sxy"))
+    val denom = sqrt(($"n" * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx") *
+      ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy"))
+    s.select($"grp", $"n",
+      (round(($"n" * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy") /
+        when(denom > 0.0, denom) * 1e6) / 1e6).as("pearson_r"))
+  }
+
   /** Hampel despiking filter per key: each point compares against the
     * MEDIAN of its ±halfWindow neighborhood, flags as a spike when
     * `|v - med| > nSigma * 1.4826 * MAD` (1.4826 scales MAD to a

@@ -2213,7 +2213,81 @@ object MiscQueries {
         graft.analytics.DataAudit.freshness(Tables(s, dir, "events"),
             keyCol = "event_type", tsCol = "ts")
           .withColumnRenamed("key", "event_type")
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // ----- Benford first-digit audit -----
+    Q("q230_benford_audit",
+      "Benford first-digit audit of order totals — the fraud/" +
+        "synthetic-data screen: natural amounts follow log10(1+1/d), " +
+        "fabricated or uniform ones don't, and this synthetic feed's " +
+        "near-uniform digits FAIL loudly (deviation up to 0.12 where " +
+        "real books sit under 0.02) — which is the audit doing its " +
+        "job; first digit off the QUANTIZED integer (powers of ten " +
+        "never change a leading digit), all nine digits always emit; " +
+        "one agg + a broadcast one-row total",
+      Some("""WITH d AS (SELECT CAST(substring(CAST(CAST(round(
+             |         o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+             |         AS BIGINT) AS digit
+             |       FROM orders
+             |       WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+             |      FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+             |g AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit)
+             |SELECT g.digit, coalesce(c.n, CAST(0 AS BIGINT)) AS observed_n,
+             |       round(CAST(coalesce(c.n, 0) AS DOUBLE)
+             |         / CAST(CASE WHEN t.tot > 0 THEN t.tot END AS DOUBLE)
+             |         * 1e6) / 1e6 AS observed_p,
+             |       round(ln(1.0 + 1.0 / g.digit) / ln(10.0) * 1e6) / 1e6
+             |         AS benford_p,
+             |       round(abs(CAST(coalesce(c.n, 0) AS DOUBLE)
+             |           / CAST(CASE WHEN t.tot > 0 THEN t.tot END AS DOUBLE)
+             |         - ln(1.0 + 1.0 / g.digit) / ln(10.0)) * 1e6) / 1e6
+             |         AS abs_dev
+             |FROM g LEFT JOIN c ON c.digit = g.digit CROSS JOIN t
+             |ORDER BY g.digit""".stripMargin),
+      (s, dir) =>
+        graft.analytics.DataAudit.benford(Tables(s, dir, "orders"),
+            amountCol = "o_totalprice", scale = 100L)
+          .orderBy("digit")),
+
+    // ----- grouped Pearson correlation -----
+    Q("q231_pearson_by_group",
+      "Pearson correlation of quantity vs price per return flag from " +
+        "the five integer power sums — the elasticity/leakage probe; " +
+        "products summed in DECIMAL(38,0) (the q144 overflow rule) so " +
+        "both engines derive r from identical integers through one " +
+        "identical tree; zero-variance groups null (undefined, not 0); " +
+        "ONE keyed aggregate with map-side partials",
+      Some("""WITH w AS (SELECT l_returnflag AS grp,
+             |         CAST(round(l_quantity * 1) AS BIGINT) AS x,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+             |       FROM lineitem
+             |       WHERE l_quantity IS NOT NULL
+             |         AND l_extendedprice IS NOT NULL),
+             |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(CAST(x * x AS HUGEINT)) AS DECIMAL(38, 0)) AS sxx,
+             |        CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38, 0)) AS syy,
+             |        CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38, 0)) AS sxy
+             |      FROM w GROUP BY 1)
+             |SELECT grp, n,
+             |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             |    / CAST(CASE WHEN sqrt(
+             |          (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             |        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             |        > 0
+             |      THEN sqrt(
+             |          (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             |        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             |      END AS DOUBLE) * 1e6) / 1e6 AS pearson_r
+             |FROM s ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.pearsonByGroup(Tables(s, dir, "lineitem"),
+            groupCol = "l_returnflag", xCol = "l_quantity",
+            yCol = "l_extendedprice", xScale = 1L, yScale = 100L)
+          .orderBy("grp"))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

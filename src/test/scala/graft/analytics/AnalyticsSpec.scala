@@ -2644,6 +2644,26 @@ class StatsSpec extends SparkTestBase {
       "0/0 guards to null, not a throw")
   }
 
+  test("pearsonByGroup: exact +1/-1 on linear relations, a " +
+       "hand-computed 0.5, zero-variance groups null") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
+      ("down", 1.0, 3.0), ("down", 2.0, 2.0), ("down", 3.0, 1.0),
+      // Sx=6 Sy=6 Sxy=13 Sxx=Syy=14 -> r = 3/6 = 0.5
+      ("half", 1.0, 1.0), ("half", 2.0, 3.0), ("half", 3.0, 2.0),
+      ("flat", 5.0, 1.0), ("flat", 5.0, 9.0))
+      .toDF("g", "x", "y")
+    val got = Stats.pearsonByGroup(df, "g", "x", "y",
+        xScale = 1L, yScale = 1L)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      ("down", 3L, -1.0), ("flat", 2L, null),
+      ("half", 3L, 0.5), ("up", 3L, 1.0)))
+  }
+
   test("hampelFilter: a lone spike flags and filters to the rolling " +
        "median, edge windows shrink and judge against what exists, " +
        "constant series never flags (zero deviation vs zero MAD)") {

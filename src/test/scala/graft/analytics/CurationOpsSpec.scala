@@ -711,6 +711,22 @@ class CurationOpsSpec extends SparkTestBase {
       ("b", 80L, 1L, 2L, 0.5)))
   }
 
+  test("benford: digits come off the quantized integer, non-positive " +
+       "amounts are excluded, all nine digits emit, the reference " +
+       "probabilities pin") {
+    import spark.implicits._
+    // digits: 1.00->"100"->1, 12.34->1, 199.9->1, 2.5->2; zero/neg out
+    val df = Seq(1.00, 12.34, 199.9, 2.5, 0.0, -7.0).toDF("amt")
+    val got = DataAudit.benford(df, "amt").orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.length === 9)
+    assert(got(0) === ((1L, 3L, 0.75, 0.30103)))
+    assert(got(1)._2 === 1L && got(1)._3 === 0.25)
+    assert(got.drop(2).forall(r => r._2 === 0L && r._3 === 0.0),
+      "digits 3..9 emit zero rows, not missing rows")
+  }
+
   test("reconcile: a consistent parent passes, a two-cent drift flags " +
        "at one-cent tolerance, childless parents count once in their " +
        "own check and never as mismatches") {
