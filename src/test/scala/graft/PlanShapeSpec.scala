@@ -198,6 +198,9 @@ class PlanShapeSpec extends SparkTestBase {
       // broadcast ONE-ROW threshold arrays (the q116 bracket) —
       // machine-checked below
       "q218_rfm_segments",
+      // q229: slice stats x broadcast ONE-ROW feed max — machine-checked
+      // below
+      "q229_freshness_audit",
       // q227: corpus x broadcast query sample, non-equi self-exclusion
       // (the q24 brute-force baseline probe — swap IVF upstream at
       // serving scale)
@@ -258,7 +261,8 @@ class PlanShapeSpec extends SparkTestBase {
     // ONE-ROW total" — prove it: every BNLJ build side must top out in
     // a grouping-free aggregate, which is structurally a single row
     for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
-        "q198_kappa", "q200_source_scorecard", "q218_rfm_segments"))
+        "q198_kappa", "q200_source_scorecard", "q218_rfm_segments",
+        "q229_freshness_audit"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +
