@@ -779,7 +779,61 @@ object ScaleBench {
         // one keyed power-sum aggregate
         "q231_pearson" -> (() =>
           analytics.Stats.pearsonByGroup(li, "l_returnflag",
-            "l_quantity", "l_extendedprice").count()))
+            "l_quantity", "l_extendedprice").count()),
+        // one (label, dim) keyed agg + dictionary-sized fold — vectors
+        // never pairwise-join, so this must be scan-flat (the scaled
+        // table carries no label column; a synthetic id-derived one
+        // exercises the identical plan)
+        "q232_centroid_drift" -> (() =>
+          analytics.Similarity.centroidDrift(
+            emb.withColumn("label", ($"vec_id" % 8).cast("int")),
+            "label", "embedding", $"vec_id" % 2 === 0).count()),
+        // one keyed agg to cells; margins and the r x c spine are
+        // dictionary-sized broadcasts (event_type x a 10-bucket user
+        // slice — the scaled docs table drops `source`)
+        "q233_chi_square" -> (() =>
+          analytics.Stats.chiSquareCells(
+            events.withColumn("ub", ($"user_id" % 10).cast("string")),
+            "event_type", "ub").count()),
+        // one keyed agg + map-side scalar noise
+        "q234_dp_noisy" -> (() =>
+          analytics.DataAudit.dpNoisyCounts(
+            events.select($"event_type", to_date($"ts").as("day")),
+            1.0, "event_type", "day").count()),
+        // postings filtered to the phrase's terms before the join —
+        // only the phrase's posting lists move (scaled copies prefix
+        // tokens c<i>_, so the copy-0 phrase holds its postings FLAT
+        // while the corpus grows — exactly the curve the design claims)
+        "q235_phrase" -> (() =>
+          analytics.Retrieval.phraseOccurrences(docs, "doc_id", "text",
+            "c0_table c0_key").count()),
+        // fan-out x7 of the pre-aggregated day series + one power-sum agg
+        "q236_acf" -> (() =>
+          analytics.Stats.acfByKey(
+            events.groupBy($"event_type", to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "day", "n", maxLag = 7).count()),
+        // calendar-bounded pairwise self-join of the day series
+        "q237_mann_kendall" -> (() =>
+          analytics.Stats.mannKendall(
+            events.groupBy($"event_type", to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "event_type", "day", "n").count()),
+        // one user-keyed agg + ONE 1-row power-sum aggregate
+        "q238_cuped" -> (() =>
+          analytics.Events.cupedLift(events, "user_id", "ts",
+            "event_type", "purchase", "value", "2024-01-16",
+            $"user_id" % 2).count()),
+        // per-user lead windows + dictionary model agg + broadcast join
+        "q239_markov" -> (() =>
+          analytics.Events.markovAccuracy(events, "user_id", "ts",
+            "event_id", "event_type", "2024-01-16").count()),
+        // per-user calendar spine + ONE keyed window over spine rows
+        "q240_locf" -> (() =>
+          analytics.Stats.locfGapfill(
+            events.groupBy($"user_id".as("key"), to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "key", "day", "n").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -262,4 +262,43 @@ object DataAudit {
       .withColumn("suppress",
         col("class_size") < k || col("l_distinct") < l)
   }
+
+  /** Differentially-private count release: per-group counts plus
+    * Laplace(1/epsilon) noise — the third leg of the privacy family
+    * (k-anonymity and l-diversity suppress; DP perturbs, so every
+    * group can be published). Counting queries have sensitivity 1, so
+    * scale b = 1/epsilon gives epsilon-DP.
+    *
+    * The noise is DETERMINISTIC-by-hash (the project's bootstrap rule):
+    * u = (h60(key) + 0.5) / 2^60 is uniform in (0,1) strictly — the
+    * +0.5 keeps 1-2|u-0.5| away from ln(0) at BOTH hash extremes — and
+    * inverse-CDF gives Laplace: -b * sign(u-.5) * ln(1-2|u-.5|). An
+    * oracle replays it exactly; a production caller would swap the hash
+    * input for a per-release salt. Post-processing clamps the released
+    * count at 0 (post-processing never costs privacy budget).
+    *
+    * Shape: ONE keyed aggregate, then map-side scalar math on the
+    * group rows. Output: (keys..., n, noise, noisy_n). */
+  def dpNoisyCounts(df: DataFrame, epsilon: Double,
+                    keyCols: String*): DataFrame = {
+    require(epsilon > 0.0 && keyCols.nonEmpty,
+      "need epsilon > 0 and at least one key column")
+    val negB = -1.0 / epsilon
+    val twoP60 = 1152921504606846976.0 // 2^60
+    val counts = Par.ensure(df)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+    val u = (Sketches.h60(concat_ws("|",
+      keyCols.map(c => col(c).cast("string")): _*))
+      .cast("double") + 0.5) / lit(twoP60)
+    val c = u - 0.5
+    val noise = lit(negB) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    counts
+      .withColumn("noise", round(noise * 1e6) / 1e6)
+      // round() first so the double is integral — ANSI cast double→long
+      // TRUNCATES in Spark but rounds in DuckDB; an integral value is
+      // exact under both
+      .withColumn("noisy_n",
+        greatest(lit(0.0), round(col("n") + col("noise"))).cast("long"))
+  }
 }

@@ -272,7 +272,15 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, inter_n, n_a, n_b, jaccard) — identical
     * schema to [[ngramJaccardPairsFromDocs]], equal to its UNCAPPED
-    * exact answer. */
+    * exact answer.
+    *
+    * Caching contract: the sorted-shingle table persists
+    * (MEMORY_AND_DISK) because the returned LAZY plan consumes it three
+    * times (prefix probe + both verify sides); it stays cached until the
+    * caller materializes the result and drops the reference (or clears
+    * the cache) — a long-lived session calling this repeatedly should
+    * `spark.sharedState.cacheManager.clearCache()` between batches, the
+    * same release point Bench uses between measured queries. */
   def prefixFilterJaccardPairs(docs0: DataFrame, idCol: String,
                                textCol: String, minJaccard: Double,
                                n: Int = 3): DataFrame = {

@@ -115,6 +115,132 @@ object Events {
         round(safeDiv(pb - pa, se), 6)).as("z"))
   }
 
+  /** CUPED-adjusted A/B readout on a continuous metric: each user's
+    * post-period metric Y (sum of `valueCol` on `convType` rows at or
+    * after `splitDay`) is adjusted by their PRE-period covariate X
+    * (same sum before `splitDay`) via the pooled
+    * theta = cov(X,Y)/var(X):  Y' = Y - theta (X - mean X). The
+    * adjusted arm difference equals the raw one in expectation but
+    * with variance shrunk by rho^2 = corr(X,Y)^2 — the standard trick
+    * that makes a continuous-metric experiment readable weeks sooner.
+    * The user universe is EVERYONE in the feed (a user with no
+    * qualifying rows contributes 0, not a dropped row).
+    *
+    * Scale shape: one user-keyed aggregate collapses the feed, then
+    * ONE 1-row aggregate computes every power sum; values quantize to
+    * integer cents first, so both engines derive theta and the
+    * adjusted difference from identical integers (per-user cent sums
+    * stay far under 2^31, so the long x*x products cannot overflow —
+    * the q231 magnitude rule).
+    *
+    * Output: 1 row (n_a, n_b, mean_y_a, mean_y_b, diff_raw, theta,
+    * diff_adj, var_reduction); theta/adjusted null when var(X) is 0. */
+  def cupedLift(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, convType: String, valueCol: String,
+                splitDay: String, cohortCol: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import Par.safeDiv
+    val cents = round(col(valueCol) * 100).cast("long")
+    val pre = when(col(typeCol) === convType &&
+      to_date(col(tsCol)) < lit(splitDay).cast("date"), cents)
+      .otherwise(0L)
+    val post = when(col(typeCol) === convType &&
+      to_date(col(tsCol)) >= lit(splitDay).cast("date"), cents)
+      .otherwise(0L)
+    val u = events
+      .select(col(userCol).as("u"), cohortCol.cast("int").as("g"),
+        pre.as("xr"), post.as("yr"))
+      .groupBy($"u")
+      .agg(max($"g").as("g"), sum($"xr").cast("long").as("x"),
+        sum($"yr").cast("long").as("y"))
+    val a = u.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when($"g" === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum($"x").cast("long").as("sx"),
+      sum($"y").cast("long").as("sy"),
+      sum(when($"g" === 0, $"x").otherwise(0L)).cast("long").as("sx_a"),
+      sum(when($"g" === 1, $"x").otherwise(0L)).cast("long").as("sx_b"),
+      sum(when($"g" === 0, $"y").otherwise(0L)).cast("long").as("sy_a"),
+      sum(when($"g" === 1, $"y").otherwise(0L)).cast("long").as("sy_b"),
+      sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"),
+      sum(($"x" * $"y").cast(DecimalType(38, 0))).as("sxy"),
+      sum(($"y" * $"y").cast(DecimalType(38, 0))).as("syy"))
+    val covN = $"n" * $"sxy".cast("double") -
+      $"sx".cast("double") * $"sy"
+    val varXN = $"n" * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx"
+    val varYN = $"n" * $"syy".cast("double") -
+      $"sy".cast("double") * $"sy"
+    val theta = covN / when(varXN > 0.0, varXN)
+    // cents back to currency units (/100) at the means
+    val myA = safeDiv($"sy_a".cast("double"), $"n_a".cast("double")) / 100.0
+    val myB = safeDiv($"sy_b".cast("double"), $"n_b".cast("double")) / 100.0
+    val mxA = safeDiv($"sx_a".cast("double"), $"n_a".cast("double")) / 100.0
+    val mxB = safeDiv($"sx_b".cast("double"), $"n_b".cast("double")) / 100.0
+    a.select($"n_a", $"n_b",
+      (round(myA * 1e6) / 1e6).as("mean_y_a"),
+      (round(myB * 1e6) / 1e6).as("mean_y_b"),
+      (round((myB - myA) * 1e6) / 1e6).as("diff_raw"),
+      (round(theta * 1e6) / 1e6).as("theta"),
+      (round(((myB - myA) - theta * (mxB - mxA)) * 1e6) / 1e6)
+        .as("diff_adj"),
+      (round(covN * covN / when(varXN * varYN > 0.0, varXN * varYN)
+        * 1e6) / 1e6).as("var_reduction"))
+  }
+
+  /** First-order Markov next-event model, trained and EVALUATED: build
+    * the per-from-state argmax transition model on the pre-`splitDay`
+    * feed, predict every post-split transition, report accuracy per
+    * from-state — the eval loop a transition matrix (q177) feeds (a
+    * model is only as good as its held-out hit rate). Transitions are
+    * consecutive same-user events within one period, ordered by
+    * (ts, id) so timestamp ties break deterministically; boundary-
+    * crossing transitions belong to neither period. Argmax ties go to
+    * the smallest successor (the label-propagation total order). A
+    * test from-state unseen in training predicts null and scores 0.
+    *
+    * Shape: per-user lead windows over each period's feed (one sort
+    * per period), a transition-dictionary-sized model aggregate, its
+    * argmax as a min_by hash agg (no windows over volume), then one
+    * broadcast join of test transitions against the model. Output:
+    * (from_s, n_test, n_correct, predicted, accuracy). */
+  def markovAccuracy(events: DataFrame, userCol: String, tsCol: String,
+                     idCol: String, typeCol: String,
+                     splitDay: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def transitions(pred: Column): DataFrame = {
+      val w = Window.partitionBy($"u").orderBy($"ts", $"eid")
+      events.filter(pred)
+        .select(col(userCol).as("u"), col(tsCol).as("ts"),
+          col(idCol).as("eid"), col(typeCol).as("s"))
+        .withColumn("nxt", lead($"s", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .select($"s".as("from_s"), $"nxt".as("to_s"))
+    }
+    val isPre = to_date(col(tsCol)) < lit(splitDay).cast("date")
+    val model = transitions(isPre)
+      .groupBy($"from_s", $"to_s")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy($"from_s")
+      .agg(min_by($"to_s", struct((-$"cnt").as("nc"), $"to_s"))
+        .as("predicted"))
+    transitions(!isPre)
+      .join(broadcast(model), Seq("from_s"), "left")
+      .groupBy($"from_s")
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when($"to_s" === $"predicted", 1L).otherwise(0L))
+          .cast("long").as("n_correct"),
+        max($"predicted").as("predicted"))
+      .withColumn("accuracy",
+        round(Par.safeDiv($"n_correct".cast("double"),
+          $"n_test".cast("double")) * 1e6) / 1e6)
+  }
+
   /** Kaplan-Meier retention curve over user LIFETIMES: a user's
     * lifetime is the day span from first to last activity; the churn is
     * OBSERVED when the last activity predates the feed's final day, and

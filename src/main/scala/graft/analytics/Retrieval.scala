@@ -219,4 +219,40 @@ object Retrieval {
       .select(col("qid"), col("neighbor_id").as("did"), col("rn"))
     rrfFuse(Seq(lexical, vector), kConst, k)
   }
+
+  /** Exact-phrase search via positional posting-list intersection:
+    * documents where the phrase's tokens appear CONSECUTIVELY, with
+    * the occurrence count. This is how a search engine answers phrase
+    * queries — intersect the phrase terms' positional postings with a
+    * fixed offset between them — and the plan is the point at scale:
+    * postings are FILTERED to the phrase's own terms before anything
+    * joins, so a 100 TB corpus moves only the phrase's posting lists
+    * (a prebuilt term-keyed positional index makes even the scan a
+    * keyed probe; here one scan builds them inline). The naive form —
+    * a regex scan of every document — touches all bytes instead.
+    *
+    * Joins chain on (doc, pos - i): term i must sit exactly i tokens
+    * after term 0. Tokenization is a plain single-space split, matching
+    * the corpus format. Output: (id, n_occurrences), matching docs
+    * only. */
+  def phraseOccurrences(docs0: DataFrame, idCol: String, textCol: String,
+                        phrase: String): DataFrame = {
+    val terms = phrase.trim.split("\\s+").toSeq
+    require(terms.nonEmpty && terms.head.nonEmpty, "phrase must be non-empty")
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = docs.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter($"w".isin(terms: _*))
+    val head = post.filter($"w" === terms.head).select($"doc", $"pos")
+    val matched = terms.zipWithIndex.drop(1).foldLeft(head) {
+      case (acc, (t, i)) =>
+        acc.join(post.filter($"w" === t)
+          .select($"doc", ($"pos" - i).as("pos")), Seq("doc", "pos"))
+    }
+    matched.groupBy($"doc")
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+      .select($"doc".as(idCol), $"n_occurrences")
+  }
 }

@@ -622,4 +622,47 @@ object Similarity {
       .filter($"rn" <= k)
       .select($"qid", $"rn", $"vid".as("neighbor_id"), $"cos_sim")
   }
+
+  /** Embedding-centroid drift between two corpus slices, per label: the
+    * cosine between the slices' per-label MEAN vectors plus their L2
+    * shift — the embedding-space analogue of PSI/KS drift (those watch
+    * one scalar; an upstream encoder swap or ingest shift moves the
+    * whole vector, and the centroid is its cheapest sufficient
+    * statistic). `sliceA` partitions rows (true = slice A, e.g. old
+    * snapshot vs new, even ids vs odd).
+    *
+    * Shape: ONE keyed aggregate over (label, dim) — |labels| x dim
+    * rows, map-side partials do the heavy summation — then a
+    * dictionary-sized fold per label. Embeddings never pairwise-join;
+    * at 100 TB the only full-data pass is the first aggregate. A label
+    * empty in one slice yields null cosine/l2 (undefined, not 0).
+    * Output: (label, n_a, n_b, centroid_cosine, centroid_l2). */
+  def centroidDrift(df: DataFrame, labelCol: String, vecCol: String,
+                    sliceA: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = Par.ensure(df)
+      .select(col(labelCol).as("label"), sliceA.as("in_a"),
+        posexplode(asDouble(col(vecCol))).as(Seq("i", "xi")))
+    val dims = x.groupBy($"label", $"i").agg(
+      sum(when($"in_a", $"xi").otherwise(lit(0.0))).as("sa"),
+      sum(when(!$"in_a", $"xi").otherwise(lit(0.0))).as("sb"),
+      sum(when($"in_a", lit(1L)).otherwise(lit(0L))).cast("long").as("na"),
+      sum(when(!$"in_a", lit(1L)).otherwise(lit(0L))).cast("long").as("nb"))
+    // means via the safeDiv rule: an empty slice nulls, never throws
+    val m = dims.select($"label", $"na", $"nb",
+      Par.safeDiv($"sa", $"na".cast("double")).as("ma"),
+      Par.safeDiv($"sb", $"nb".cast("double")).as("mb"))
+    val g = m.groupBy($"label").agg(
+      max($"na").as("n_a"), max($"nb").as("n_b"),
+      sum($"ma" * $"mb").as("dot"),
+      sum($"ma" * $"ma").as("naa"),
+      sum($"mb" * $"mb").as("nbb"),
+      sum(($"ma" - $"mb") * ($"ma" - $"mb")).as("ss"))
+    val den = sqrt($"naa" * $"nbb")
+    g.select($"label", $"n_a", $"n_b",
+      (round($"dot" / when(den > 0.0, den) * 1e6) / 1e6)
+        .as("centroid_cosine"),
+      (round(sqrt($"ss") * 1e6) / 1e6).as("centroid_l2"))
+  }
 }

@@ -1298,4 +1298,164 @@ object Stats {
           when($"n_test" > 0L, $"n_test").cast("double") >= minCoverage)
           .as("calibrated"))
   }
+
+  /** Chi-square independence cells for two categorical columns: the
+    * full r x c contingency grid with observed counts, expected counts
+    * under independence (row_total * col_total / n), and each cell's
+    * chi-square contribution (o-e)^2/e — the categorical-association
+    * audit (is `lang` independent of `source`?); summing the
+    * contribution column gives the chi-square statistic on
+    * (r-1)(c-1) degrees of freedom.
+    *
+    * Shape: ONE keyed aggregate over raw volume to the observed cells;
+    * margins re-aggregate the CELLS (dictionary-sized), and the r x c
+    * grid is a broadcast nested-loop of margin x margin — raw rows
+    * never cross-join. Zero-observed cells still emit (the statistic
+    * needs them). Null categories are excluded. */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = Par.ensure(df)
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ra = obs.groupBy($"a").agg(sum($"n").cast("long").as("row_n"))
+    val cb = obs.groupBy($"b").agg(sum($"n").cast("long").as("col_n"))
+    val tot = obs.agg(sum($"n").cast("long").as("tot"))
+    val e = $"row_n".cast("double") * $"col_n".cast("double") /
+      when($"tot" > 0L, $"tot").cast("double")
+    ra.join(broadcast(cb), lit(true))
+      .join(broadcast(tot), lit(true))
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("observed_n", coalesce($"n", lit(0L)))
+      .withColumn("expected", e)
+      .select($"a", $"b", $"observed_n",
+        (round($"expected" * 1e6) / 1e6).as("expected"),
+        (round(($"observed_n".cast("double") - $"expected") *
+          ($"observed_n".cast("double") - $"expected") /
+          when($"expected" > 0.0, $"expected") * 1e6) / 1e6)
+          .as("chi2_contrib"))
+  }
+
+  /** Sample autocorrelation of a per-key integer series at calendar
+    * lags 1..maxLag: for each (key, lag), the Pearson correlation over
+    * all pairs (x at day d, x at day d+lag) — the seasonality/
+    * persistence fingerprint (a weekly cycle spikes lag 7; white noise
+    * sits near 0 everywhere). Pairs align by CALENDAR day, not row
+    * order, so gaps pair nothing rather than silently shifting the
+    * series.
+    *
+    * Shape: the series arrives pre-aggregated (key, day, x) — tiny
+    * relative to raw volume — is fanned out maxLag ways, and re-joins
+    * itself on the shifted (key, day) equi-key; one keyed aggregate
+    * derives r from the five integer power sums (the q231 parity
+    * tree: products summed in DECIMAL(38,0), zero-variance lags null).
+    * Output: (key, lag_days, n, acf_r). */
+  def acfByKey(series: DataFrame, keyCol: String, dayCol: String,
+               xCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = series.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val s = series.select(col(keyCol).as("key"), col(dayCol).as("day"),
+      col(xCol).cast("long").as("x"))
+    val fan = s.select($"key", $"day", $"x".as("x0"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag_days"))
+      .withColumn("day2", date_add($"day", $"lag_days"))
+    val pairs = fan.join(
+      s.select($"key", $"day".as("day2"), $"x".as("x1")),
+      Seq("key", "day2"))
+    val g = pairs.groupBy($"key", $"lag_days").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum($"x0").cast("long").as("sx"),
+      sum($"x1").cast("long").as("sy"),
+      sum(($"x0" * $"x0").cast(DecimalType(38, 0))).as("sxx"),
+      sum(($"x1" * $"x1").cast(DecimalType(38, 0))).as("syy"),
+      sum(($"x0" * $"x1").cast(DecimalType(38, 0))).as("sxy"))
+    val denom = sqrt(($"n" * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx") *
+      ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy"))
+    g.select($"key", $"lag_days", $"n",
+      (round(($"n" * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy") /
+        when(denom > 0.0, denom) * 1e6) / 1e6).as("acf_r"))
+  }
+
+  /** Mann-Kendall trend test per key: S = sum over all day pairs
+    * (i < j) of sign(x_j - x_i), its tie-corrected variance
+    * (n(n-1)(2n+5) - sum over tie groups t(t-1)(2t+5)) / 18, and the
+    * continuity-corrected normal z = (S - sign(S)) / sqrt(var) — the
+    * nonparametric "is this series trending" companion to
+    * [[theilSenSlope]] (that one sizes the trend, this one scores its
+    * significance; neither assumes normal residuals).
+    *
+    * Scale shape: the input series arrives pre-aggregated (key, day,
+    * x), so the pairwise self-join is CALENDAR-bounded per key (30
+    * days = 435 pairs regardless of raw volume underneath); every
+    * statistic is an exact integer until the final /18 and z, which
+    * both engines derive from identical longs. Output:
+    * (key, n, s_stat, var_s, z); z null when var is 0 (n < 2 or all
+    * tied). */
+  def mannKendall(series: DataFrame, keyCol: String, dayCol: String,
+                  xCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val s = series.select(col(keyCol).as("key"), col(dayCol).as("day"),
+      col(xCol).cast("long").as("x"))
+    val pairs = s.select($"key", $"day", $"x").as("a")
+      .join(s.select($"key".as("kb"), $"day".as("db"), $"x".as("xb")),
+        $"key" === $"kb" && $"day" < $"db")
+      .select($"key",
+        signum(($"xb" - $"x").cast("double")).cast("long").as("sgn"))
+    val sAgg = pairs.groupBy($"key")
+      .agg(sum($"sgn").cast("long").as("s_stat"))
+    val nAgg = s.groupBy($"key").agg(count(lit(1)).cast("long").as("n"))
+    val ties = s.groupBy($"key", $"x")
+      .agg(count(lit(1)).cast("long").as("t"))
+      .groupBy($"key")
+      .agg(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L))
+        .cast("long").as("tie_term"))
+    val varS = ($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term")
+      .cast("double") / 18.0
+    // LEFT join + coalesce: a single-day key has NO pairs, so it is
+    // absent from the pair aggregate — it must still report (S=0,
+    // var 0, z null), not silently vanish (the bootstrapMeanCI rule)
+    nAgg.join(sAgg, Seq("key"), "left").join(ties, Seq("key"))
+      .withColumn("s_stat", coalesce($"s_stat", lit(0L)))
+      .select($"key", $"n", $"s_stat",
+        (round(varS * 1e6) / 1e6).as("var_s"),
+        (round(($"s_stat".cast("double") -
+          signum($"s_stat".cast("double"))) /
+          when(sqrt(varS) > 0.0, sqrt(varS)) * 1e6) / 1e6).as("z"))
+  }
+
+  /** Calendar-spine gap fill with last-observation-carried-forward:
+    * each key's series is completed to EVERY day between its own first
+    * and last observation, missing days flagged (`was_gap`) and filled
+    * with the most recent reading — the regularization every
+    * downstream window/lag/ACF op silently assumes (a gap-blind lag
+    * pairs week-apart readings as neighbors). The spine starts at each
+    * key's own min day, so `filled` is never null.
+    *
+    * Shape: the series arrives pre-aggregated; the spine is
+    * `sequence(min, max)` per key — calendar-bounded — and the fill is
+    * ONE key-partitioned window `last(x, ignoreNulls)` over spine
+    * rows, never raw volume. Output: (key, day, filled, was_gap). */
+  def locfGapfill(series: DataFrame, keyCol: String, dayCol: String,
+                  xCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = series.select(col(keyCol).as("key"), col(dayCol).as("day"),
+      col(xCol).cast("long").as("x"))
+    val spine = s.groupBy($"key")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"key", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"key").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(s, Seq("key", "day"), "left")
+      .select($"key", $"day",
+        last($"x", ignoreNulls = true).over(w).as("filled"),
+        $"x".isNull.as("was_gap"))
+  }
 }

@@ -2287,7 +2287,420 @@ object MiscQueries {
         graft.analytics.Stats.pearsonByGroup(Tables(s, dir, "lineitem"),
             groupCol = "l_returnflag", xCol = "l_quantity",
             yCol = "l_extendedprice", xScale = 1L, yScale = 100L)
-          .orderBy("grp"))
+          .orderBy("grp")),
+
+    // ----- embedding centroid drift -----
+    Q("q232_centroid_drift",
+      "embedding-centroid drift per label between two corpus slices " +
+        "(even vs odd vec_id standing in for old vs new snapshot): " +
+        "cosine of the slices' mean vectors + their L2 shift — the " +
+        "vector-space drift monitor (PSI/KS watch one scalar; an " +
+        "encoder swap moves the whole embedding); ONE (label, dim) " +
+        "keyed agg over raw volume, then a dictionary-sized fold — " +
+        "vectors never pairwise-join",
+      Some("""WITH v AS (SELECT vec_id, label,
+             |        list_transform(embedding, e -> CAST(e AS DOUBLE)) AS vv
+             |      FROM embeddings),
+             |x AS (SELECT label, vec_id % 2 = 0 AS in_a,
+             |        CAST(generate_subscripts(vv, 1) AS INT) AS i,
+             |        unnest(vv) AS xi
+             |      FROM v),
+             |d AS (SELECT label, i,
+             |        sum(CASE WHEN in_a THEN xi ELSE 0.0 END) AS sa,
+             |        sum(CASE WHEN NOT in_a THEN xi ELSE 0.0 END) AS sb,
+             |        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS na,
+             |        CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS nb
+             |      FROM x GROUP BY 1, 2),
+             |m AS (SELECT label, na, nb,
+             |        sa / CAST(CASE WHEN na > 0 THEN na END AS DOUBLE) AS ma,
+             |        sb / CAST(CASE WHEN nb > 0 THEN nb END AS DOUBLE) AS mb
+             |      FROM d),
+             |g AS (SELECT label, max(na) AS n_a, max(nb) AS n_b,
+             |        sum(ma * mb) AS dot, sum(ma * ma) AS naa,
+             |        sum(mb * mb) AS nbb,
+             |        sum((ma - mb) * (ma - mb)) AS ss
+             |      FROM m GROUP BY 1)
+             |SELECT label, n_a, n_b,
+             |  round(dot / CASE WHEN sqrt(naa * nbb) > 0
+             |      THEN sqrt(naa * nbb) END * 1e6) / 1e6 AS centroid_cosine,
+             |  round(sqrt(ss) * 1e6) / 1e6 AS centroid_l2
+             |FROM g ORDER BY label""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Similarity.centroidDrift(
+            Tables(s, dir, "embeddings"), labelCol = "label",
+            vecCol = "embedding",
+            sliceA = org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+          .orderBy("label")),
+
+    // ----- chi-square independence cells -----
+    Q("q233_chi_square",
+      "chi-square independence grid of lang x source over documents: " +
+        "observed counts, expected under independence, per-cell " +
+        "contribution (sum = the statistic on (r-1)(c-1) dof) — the " +
+        "categorical-association audit; one keyed agg to the observed " +
+        "cells, margins re-aggregate CELLS, and the r x c spine is a " +
+        "broadcast margin x margin nested loop — raw rows never " +
+        "cross-join; zero-observed cells still emit",
+      Some("""WITH o AS (SELECT lang AS a, source AS b,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM documents
+             |      WHERE lang IS NOT NULL AND source IS NOT NULL
+             |      GROUP BY 1, 2),
+             |r AS (SELECT a, CAST(sum(n) AS BIGINT) AS row_n FROM o
+             |      GROUP BY 1),
+             |c AS (SELECT b, CAST(sum(n) AS BIGINT) AS col_n FROM o
+             |      GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM o),
+             |e AS (SELECT r.a, c.b,
+             |        CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+             |          / CAST(CASE WHEN tot > 0 THEN tot END AS DOUBLE)
+             |          AS expected
+             |      FROM r CROSS JOIN c CROSS JOIN t)
+             |SELECT e.a AS lang, e.b AS source,
+             |  coalesce(o.n, CAST(0 AS BIGINT)) AS observed_n,
+             |  round(e.expected * 1e6) / 1e6 AS expected,
+             |  round((CAST(coalesce(o.n, 0) AS DOUBLE) - e.expected)
+             |      * (CAST(coalesce(o.n, 0) AS DOUBLE) - e.expected)
+             |      / CASE WHEN e.expected > 0 THEN e.expected END * 1e6)
+             |    / 1e6 AS chi2_contrib
+             |FROM e LEFT JOIN o ON o.a = e.a AND o.b = e.b
+             |ORDER BY lang, source""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.chiSquareCells(Tables(s, dir, "documents"),
+            aCol = "lang", bCol = "source")
+          .withColumnRenamed("a", "lang")
+          .withColumnRenamed("b", "source")
+          .orderBy("lang", "source")),
+
+    // ----- differentially-private noisy counts -----
+    Q("q234_dp_noisy_counts",
+      "epsilon-DP count release per (event_type, day): Laplace(1/eps) " +
+        "noise via deterministic-by-hash inverse-CDF (the bootstrap " +
+        "rule — a production caller salts the hash per release), " +
+        "released counts clamped at 0 by post-processing — the privacy " +
+        "family's third leg (k-anon and l-div suppress, DP perturbs); " +
+        "one keyed agg, then map-side scalar math on group rows",
+      Some("""WITH c AS (SELECT event_type,
+             |        CAST(date_trunc('day', ts) AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM events GROUP BY 1, 2),
+             |h AS (SELECT event_type, day, n,
+             |        (CAST(('0x' || substring(md5(concat_ws('|',
+             |            event_type, CAST(day AS VARCHAR))), 1, 15))::BIGINT
+             |          AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+             |      FROM c),
+             |g AS (SELECT event_type, day, n,
+             |        round(-1.0 * sign(u - 0.5)
+             |          * ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6) / 1e6 AS noise
+             |      FROM h)
+             |SELECT event_type, day, n, noise,
+             |  CAST(greatest(0.0, round(CAST(n AS DOUBLE) + noise))
+             |    AS BIGINT) AS noisy_n
+             |FROM g ORDER BY event_type, day""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, to_date}
+        graft.analytics.DataAudit.dpNoisyCounts(
+            Tables(s, dir, "events")
+              .select(col("event_type"), to_date(col("ts")).as("day")),
+            epsilon = 1.0, "event_type", "day")
+          .orderBy("event_type", "day")
+      }),
+
+    // ----- positional phrase search -----
+    Q("q235_phrase_search",
+      "exact-phrase occurrence counts for \"table key\" via positional " +
+        "posting-list intersection: postings FILTERED to the phrase's " +
+        "terms before anything joins (at 100 TB only the phrase's " +
+        "posting lists move — a prebuilt term-keyed index makes the " +
+        "scan itself a probe), consecutive terms chained on " +
+        "(doc, pos - i) equi-keys; the naive regex scan touches every " +
+        "byte instead",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |      FROM documents),
+             |p AS (SELECT doc_id, unnest(toks) AS w,
+             |        CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+             |      FROM t),
+             |f AS (SELECT doc_id, pos FROM p WHERE w = 'table'),
+             |s1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE w = 'key')
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM f JOIN s1 USING (doc_id, pos)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Retrieval.phraseOccurrences(
+            Tables(s, dir, "documents"), idCol = "doc_id",
+            textCol = "text", phrase = "table key")
+          .orderBy("doc_id")),
+
+    // ----- per-series autocorrelation -----
+    Q("q236_daily_acf",
+      "sample autocorrelation of each event type's daily count series " +
+        "at calendar lags 1..7 — the seasonality fingerprint (weekly " +
+        "cycles spike lag 7, white noise sits near 0); pairs align by " +
+        "CALENDAR day via a (key, day+lag) equi self-join of the " +
+        "pre-aggregated series (gaps pair nothing, never silently " +
+        "shift), r derived from five integer power sums per (key, lag) " +
+        "— the q231 parity tree",
+      Some("""WITH d AS (SELECT event_type AS key,
+             |        CAST(date_trunc('day', ts) AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS x
+             |      FROM events GROUP BY 1, 2),
+             |b AS (SELECT key, day, x AS x0,
+             |        CAST(unnest(range(1, 8)) AS INT) AS lag_days
+             |      FROM d),
+             |p AS (SELECT b.key, b.lag_days, b.x0, d2.x AS x1
+             |      FROM b JOIN d d2
+             |        ON d2.key = b.key AND d2.day = b.day + b.lag_days),
+             |s AS (SELECT key, lag_days, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x0) AS BIGINT) AS sx,
+             |        CAST(sum(x1) AS BIGINT) AS sy,
+             |        CAST(sum(CAST(x0 AS HUGEINT) * x0) AS DECIMAL(38, 0))
+             |          AS sxx,
+             |        CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DECIMAL(38, 0))
+             |          AS syy,
+             |        CAST(sum(CAST(x0 AS HUGEINT) * x1) AS DECIMAL(38, 0))
+             |          AS sxy
+             |      FROM p GROUP BY 1, 2)
+             |SELECT key AS event_type, lag_days, n,
+             |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             |    / CAST(CASE WHEN sqrt(
+             |          (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             |        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             |        > 0
+             |      THEN sqrt(
+             |          (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             |        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             |      END AS DOUBLE) * 1e6) / 1e6 AS acf_r
+             |FROM s ORDER BY event_type, lag_days""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type").as("key"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("x"))
+        graft.analytics.Stats.acfByKey(daily, keyCol = "key",
+            dayCol = "day", xCol = "x", maxLag = 7)
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type", "lag_days")
+      }),
+
+    // ----- Mann-Kendall trend test -----
+    Q("q237_mann_kendall",
+      "Mann-Kendall trend test per event type's daily count series: " +
+        "S = sum of sign(x_j - x_i) over day pairs i<j, tie-corrected " +
+        "variance, continuity-corrected z — the nonparametric 'is it " +
+        "trending' companion to Theil-Sen (q211 sizes the trend, this " +
+        "scores it); the pairwise join runs over the CALENDAR-bounded " +
+        "pre-aggregated series, never raw volume; exact integers until " +
+        "the final /18",
+      Some("""WITH d AS (SELECT event_type AS key,
+             |        CAST(date_trunc('day', ts) AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS x
+             |      FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.key,
+             |        CAST(sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS sgn
+             |      FROM d a JOIN d b
+             |        ON b.key = a.key AND a.day < b.day),
+             |sa AS (SELECT key, CAST(sum(sgn) AS BIGINT) AS s_stat
+             |       FROM p GROUP BY 1),
+             |na AS (SELECT key, CAST(count(*) AS BIGINT) AS n
+             |       FROM d GROUP BY 1),
+             |tt AS (SELECT key,
+             |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+             |           AS tie_term
+             |       FROM (SELECT key, x, CAST(count(*) AS BIGINT) AS t
+             |             FROM d GROUP BY 1, 2)
+             |       GROUP BY 1),
+             |j AS (SELECT na.key, na.n,
+             |        coalesce(sa.s_stat, CAST(0 AS BIGINT)) AS s_stat,
+             |        CAST(na.n * (na.n - 1) * (2 * na.n + 5) - tt.tie_term
+             |          AS DOUBLE) / 18.0 AS v
+             |      FROM na LEFT JOIN sa USING (key) JOIN tt USING (key))
+             |SELECT key AS event_type, n, s_stat,
+             |  round(v * 1e6) / 1e6 AS var_s,
+             |  round((CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE)))
+             |    / CASE WHEN sqrt(v) > 0 THEN sqrt(v) END * 1e6) / 1e6 AS z
+             |FROM j ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type").as("key"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("x"))
+        graft.analytics.Stats.mannKendall(daily, keyCol = "key",
+            dayCol = "day", xCol = "x")
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type")
+      }),
+
+    // ----- CUPED variance-reduced A/B readout -----
+    Q("q238_cuped",
+      "CUPED-adjusted A/B revenue readout: per-user post-period " +
+        "purchase revenue adjusted by the pre-period covariate via " +
+        "pooled theta = cov(X,Y)/var(X) — the standard " +
+        "variance-reduction that makes continuous-metric experiments " +
+        "readable sooner; arms by user_id parity, split at day 16; " +
+        "revenue quantized to integer cents so both engines derive " +
+        "theta from identical integers; one user-keyed agg then ONE " +
+        "1-row power-sum aggregate",
+      Some("""WITH u AS (SELECT user_id AS u,
+             |        CAST(user_id % 2 AS INT) AS g,
+             |        CAST(sum(CASE WHEN event_type = 'purchase'
+             |            AND CAST(date_trunc('day', ts) AS DATE)
+             |              < DATE '2024-01-16'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS BIGINT) AS x,
+             |        CAST(sum(CASE WHEN event_type = 'purchase'
+             |            AND CAST(date_trunc('day', ts) AS DATE)
+             |              >= DATE '2024-01-16'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS BIGINT) AS y
+             |      FROM events GROUP BY 1, 2),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_a,
+             |        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_b,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+             |          AS sx_a,
+             |        CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT)
+             |          AS sx_b,
+             |        CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT)
+             |          AS sy_a,
+             |        CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT)
+             |          AS sy_b,
+             |        CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38, 0))
+             |          AS sxx,
+             |        CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38, 0))
+             |          AS sxy,
+             |        CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38, 0))
+             |          AS syy
+             |      FROM u),
+             |k AS (SELECT n_a, n_b,
+             |        n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy
+             |          AS cov_n,
+             |        n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+             |          AS varx_n,
+             |        n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+             |          AS vary_n,
+             |        sy_a / CAST(CASE WHEN n_a > 0 THEN n_a END AS DOUBLE)
+             |          / 100.0 AS my_a,
+             |        sy_b / CAST(CASE WHEN n_b > 0 THEN n_b END AS DOUBLE)
+             |          / 100.0 AS my_b,
+             |        sx_a / CAST(CASE WHEN n_a > 0 THEN n_a END AS DOUBLE)
+             |          / 100.0 AS mx_a,
+             |        sx_b / CAST(CASE WHEN n_b > 0 THEN n_b END AS DOUBLE)
+             |          / 100.0 AS mx_b
+             |      FROM a)
+             |SELECT n_a, n_b,
+             |  round(my_a * 1e6) / 1e6 AS mean_y_a,
+             |  round(my_b * 1e6) / 1e6 AS mean_y_b,
+             |  round((my_b - my_a) * 1e6) / 1e6 AS diff_raw,
+             |  round(cov_n / CASE WHEN varx_n > 0 THEN varx_n END * 1e6)
+             |    / 1e6 AS theta,
+             |  round(((my_b - my_a)
+             |      - cov_n / CASE WHEN varx_n > 0 THEN varx_n END
+             |        * (mx_b - mx_a)) * 1e6) / 1e6 AS diff_adj,
+             |  round(cov_n * cov_n
+             |    / CASE WHEN varx_n * vary_n > 0 THEN varx_n * vary_n END
+             |    * 1e6) / 1e6 AS var_reduction
+             |FROM k""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.cupedLift(Tables(s, dir, "events"),
+          userCol = "user_id", tsCol = "ts", typeCol = "event_type",
+          convType = "purchase", valueCol = "value",
+          splitDay = "2024-01-16",
+          cohortCol = org.apache.spark.sql.functions.col("user_id") % 2)),
+
+    // ----- Markov next-event model, trained and evaluated -----
+    Q("q239_markov_accuracy",
+      "first-order Markov next-event model trained on days 1-15, " +
+        "evaluated on days 16+: per-from-state argmax successor " +
+        "(ties to the smallest, the q203 total order), held-out " +
+        "accuracy per from-state — the eval loop the q177 transition " +
+        "matrix feeds; per-user lead windows per period, a " +
+        "dictionary-sized model agg + min_by argmax, one broadcast " +
+        "join of test transitions; unseen from-states predict null " +
+        "and score 0",
+      Some("""WITH e AS (SELECT user_id AS u, ts, event_id AS eid,
+             |        event_type AS s,
+             |        CAST(date_trunc('day', ts) AS DATE)
+             |          < DATE '2024-01-16' AS pre
+             |      FROM events),
+             |tr AS (SELECT s AS from_s,
+             |         lead(s) OVER (PARTITION BY u, pre
+             |           ORDER BY ts, eid) AS to_s,
+             |         pre
+             |       FROM e),
+             |m AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM tr WHERE to_s IS NOT NULL AND pre
+             |      GROUP BY 1, 2),
+             |p AS (SELECT from_s, to_s AS predicted FROM (
+             |        SELECT from_s, to_s,
+             |               row_number() OVER (PARTITION BY from_s
+             |                 ORDER BY cnt DESC, to_s) AS rn
+             |        FROM m) WHERE rn = 1),
+             |tt AS (SELECT from_s, to_s FROM tr
+             |       WHERE to_s IS NOT NULL AND NOT pre),
+             |j AS (SELECT tt.from_s, tt.to_s, p.predicted
+             |      FROM tt LEFT JOIN p USING (from_s))
+             |SELECT from_s, CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN to_s = predicted THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  max(predicted) AS predicted,
+             |  round(CAST(sum(CASE WHEN to_s = predicted THEN 1 ELSE 0 END)
+             |      AS DOUBLE)
+             |    / CAST(CASE WHEN count(*) > 0 THEN count(*) END AS DOUBLE)
+             |    * 1e6) / 1e6 AS accuracy
+             |FROM j GROUP BY from_s ORDER BY from_s""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.markovAccuracy(Tables(s, dir, "events"),
+            userCol = "user_id", tsCol = "ts", idCol = "event_id",
+            typeCol = "event_type", splitDay = "2024-01-16")
+          .orderBy("from_s")),
+
+    // ----- calendar-spine LOCF gap fill -----
+    Q("q240_locf_gapfill",
+      "per-user daily activity series completed to a calendar spine " +
+        "(each user's own first..last day), gaps flagged and filled " +
+        "with last-observation-carried-forward — the regularization " +
+        "every window/lag/ACF op silently assumes (a gap-blind lag " +
+        "pairs week-apart readings as neighbors); spine is " +
+        "calendar-bounded sequence() per key, fill is ONE keyed " +
+        "window over spine rows, never raw volume",
+      Some("""WITH d AS (SELECT user_id AS key,
+             |        CAST(date_trunc('day', ts) AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS x
+             |      FROM events GROUP BY 1, 2),
+             |b AS (SELECT key, min(day) AS d0, max(day) AS d1
+             |      FROM d GROUP BY 1),
+             |o AS (SELECT key, d0,
+             |        unnest(range(0, date_diff('day', d0, d1) + 1)) AS i
+             |      FROM b),
+             |sp AS (SELECT key, d0 + CAST(i AS INT) AS day FROM o),
+             |j AS (SELECT sp.key, sp.day, d.x
+             |      FROM sp LEFT JOIN d USING (key, day))
+             |SELECT key AS user_id, day,
+             |  last_value(x IGNORE NULLS) OVER (PARTITION BY key
+             |    ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS filled,
+             |  x IS NULL AS was_gap
+             |FROM j ORDER BY user_id, day""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("user_id").as("key"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("x"))
+        graft.analytics.Stats.locfGapfill(daily, keyCol = "key",
+            dayCol = "day", xCol = "x")
+          .withColumnRenamed("key", "user_id")
+          .orderBy("user_id", "day")
+      })
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

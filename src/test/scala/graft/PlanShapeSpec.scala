@@ -204,7 +204,11 @@ class PlanShapeSpec extends SparkTestBase {
       // q227: corpus x broadcast query sample, non-equi self-exclusion
       // (the q24 brute-force baseline probe — swap IVF upstream at
       // serving scale)
-      "q227_truncation_recall")
+      "q227_truncation_recall",
+      // q233: the r x c contingency spine is margin x margin — one
+      // build side the ONE-ROW grand total, the other the per-source
+      // margin (keyed, dictionary-bounded) — machine-checked below
+      "q233_chi_square")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -277,6 +281,21 @@ class PlanShapeSpec extends SparkTestBase {
     val dict = queries.Tables(spark, dir, "events")
       .select("event_type").distinct().count()
     assert(dict <= 64, s"event_type dictionary must stay tiny, got $dict")
+    // q233: two BNLJ build sides — the ONE-ROW grand total
+    // (grouping-free) and the per-source margin (keyed, bounded by the
+    // source dictionary); both structures must be present and the
+    // dictionary must stay tiny
+    locally {
+      val grouped = buildSides("q233_chi_square").flatMap(topAggGrouped)
+      assert(grouped.contains(false),
+        "q233: expected the grouping-free ONE-ROW total build side")
+      assert(grouped.contains(true),
+        "q233: expected the keyed margin build side")
+      val srcDict = queries.Tables(spark, dir, "documents")
+        .select("source").distinct().count()
+      assert(srcDict <= 64,
+        s"source dictionary must stay tiny, got $srcDict")
+    }
   }
 
   test("IVF assignment has no Window over the n x centroids product") {

@@ -727,6 +727,27 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq === Seq((2, 1L, 0.0), (4, 1L, 1.0)))
   }
+
+  test("centroidDrift: identical slices give cosine 1 / l2 0, " +
+       "orthogonal slice centroids give cosine 0, a label empty in " +
+       "one slice nulls the drift instead of faking a 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.0f, 2.0f), 2), (3L, Array(2.0f, 0.0f), 2),
+      (4L, Array(1.0f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(emb, "label", "embedding",
+        sliceA = col("vec_id") % 2 === 0)
+      .orderBy("label").collect()
+    assert(got(0).getDouble(3) === 1.0 && got(0).getDouble(4) === 0.0)
+    // label 2: centroid (0,2) vs (2,0) — cosine 0, l2 = sqrt(8)
+    assert(got(1).getDouble(3) === 0.0 &&
+      math.abs(got(1).getDouble(4) - math.sqrt(8.0)) < 1e-6)
+    // label 3 has no odd-id rows: n_b = 0, drift undefined
+    assert(got(2).getLong(2) === 0L && got(2).isNullAt(3) &&
+      got(2).isNullAt(4))
+  }
 }
 
 class PqSpec extends SparkTestBase {
@@ -2709,6 +2730,94 @@ class StatsSpec extends SparkTestBase {
       ("one", 1L, 42.0, 0.0, 42.0)))
     for (p <- Seq(1, 7))
       assert(run(s.repartition(p)).toSeq === got.toSeq, s"p=$p")
+  }
+
+  test("chiSquareCells: an independent grid has zero contributions " +
+       "and expected = observed, a zero-observed cell still emits " +
+       "with positive expected") {
+    import spark.implicits._
+    // margins: rows (50, 10), cols (48, 12), n = 60 — counts exactly
+    // proportional, so independence holds cell-exactly
+    val rows = Seq.fill(40)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(8)(("b", "x")) ++ Seq.fill(2)(("b", "y"))
+    val got = Stats.chiSquareCells(rows.toDF("l", "s"), "l", "s")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("a", "x", 40L, 40.0, 0.0), ("a", "y", 10L, 10.0, 0.0),
+      ("b", "x", 8L, 8.0, 0.0), ("b", "y", 2L, 2.0, 0.0)))
+    // drop the (b, y) rows: the grid must still emit the cell with
+    // observed 0 and expected 8*10/58 > 0
+    val g2 = Stats.chiSquareCells(
+        rows.filterNot(_ == ("b", "y")).toDF("l", "s"), "l", "s")
+      .orderBy("a", "b").collect()
+    assert(g2.length === 4)
+    val by = g2.find(r => r.getString(0) == "b" && r.getString(1) == "y").get
+    assert(by.getLong(2) === 0L && by.getDouble(3) > 0.0 &&
+      by.getDouble(4) > 0.0)
+  }
+
+  test("acfByKey: an alternating series scores -1 at lag 1 and +1 at " +
+       "lag 2, calendar gaps pair nothing instead of shifting") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+    val s = (0 until 10).map(i =>
+      ("k", day(i), if (i % 2 == 0) 1L else 5L))
+    val got = Stats.acfByKey(s.toDF("g", "d", "v"), "g", "d", "v",
+        maxLag = 2)
+      .orderBy("lag_days").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1, 9L, -1.0), (2, 8L, 1.0)))
+    // remove day 5: lag-1 pairs (4,5) and (5,6) vanish — 7 pairs, not
+    // a silently re-aligned 8
+    val g2 = Stats.acfByKey(
+        s.filterNot(_._2 == day(5)).toDF("g", "d", "v"),
+        "g", "d", "v", maxLag = 1).collect().head
+    assert(g2.getLong(2) === 7L)
+  }
+
+  test("mannKendall: strictly increasing scores S = n(n-1)/2 with the " +
+       "no-tie variance, an all-tied series nulls z, a single-day key " +
+       "still reports") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+    val s = (0 until 10).map(i => ("up", day(i), (i + 1).toLong)) ++
+      (0 until 5).map(i => ("flat", day(i), 7L)) ++
+      Seq(("one", day(0), 3L))
+    val got = Stats.mannKendall(s.toDF("g", "d", "v"), "g", "d", "v")
+      .orderBy("key").collect()
+    val flat = got(0); val one = got(1); val up = got(2)
+    // up: S = 45, var = 10*9*25/18 = 125, z = 44/sqrt(125)
+    assert(up.getLong(2) === 45L && up.getDouble(3) === 125.0)
+    assert(math.abs(up.getDouble(4) - 44.0 / math.sqrt(125.0)) < 1e-6)
+    // flat: ties kill the variance entirely -> z null, S = 0
+    assert(flat.getLong(2) === 0L && flat.getDouble(3) === 0.0 &&
+      flat.isNullAt(4))
+    // one day: no pairs — the key must still report (S=0), not vanish
+    assert(one.getLong(1) === 1L && one.getLong(2) === 0L &&
+      one.isNullAt(4))
+  }
+
+  test("locfGapfill: gaps flag and carry the last reading forward, the " +
+       "spine is each key's OWN span, a single-day key emits one " +
+       "gapless row") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+    val s = Seq(("k", day(1), 10L), ("k", day(2), 20L), ("k", day(5), 50L),
+      ("solo", day(9), 7L)).toDF("g", "d", "v")
+    val got = Stats.locfGapfill(s, "g", "d", "v")
+      .orderBy("key", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      ("k", day(1), 10L, false), ("k", day(2), 20L, false),
+      ("k", day(3), 20L, true), ("k", day(4), 20L, true),
+      ("k", day(5), 50L, false),
+      ("solo", day(9), 7L, false)))
   }
 }
 

@@ -774,4 +774,97 @@ class CurationOpsSpec extends SparkTestBase {
       (2L, 5L, 2L, 100.0, 3, 5, 3),
       (3L, 9L, 1L, 10.0, 5, 1, 1)))
   }
+
+  test("dpNoisyCounts: deterministic, noise scales linearly with " +
+       "1/epsilon, released counts clamp at 0 and equal the recomputed " +
+       "round(n + noise)") {
+    import spark.implicits._
+    val df = spark.range(50).select(($"id" % 40).cast("string").as("k"))
+    def run(eps: Double) =
+      DataAudit.dpNoisyCounts(df, eps, "k").orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+    val a = run(1.0)
+    assert(a.toSeq === run(1.0).toSeq, "hash-derived noise is replayable")
+    // Laplace scale b = 1/eps is a linear factor of the inverse-CDF
+    val tenth = run(0.1)
+    for (((_, _, n1, _), (_, _, n10, _)) <- a.zip(tenth))
+      assert(math.abs(n10 - 10.0 * n1) < 1e-4,
+        s"eps 0.1 noise must be 10x the eps 1.0 noise: $n10 vs $n1")
+    assert(a.exists(_._3 < 0.0) && a.exists(_._3 > 0.0),
+      "both noise signs occur across 40 keys")
+    for ((k, n, noise, released) <- tenth) {
+      assert(released >= 0L, s"key $k released a negative count")
+      val expect = math.max(0.0, math.round(n + noise).toDouble).toLong
+      assert(released === expect, s"key $k: $released != $expect")
+    }
+  }
+
+  test("cupedLift: a covariate that fully explains the metric drives " +
+       "var_reduction to 1 and the adjusted diff to the true 0; a " +
+       "constant covariate nulls theta but keeps the raw readout") {
+    import spark.implicits._
+    def t(day: String) = java.sql.Timestamp.valueOf(s"2024-01-$day 00:00:00")
+    // y = 2x per user exactly; arms differ only through x imbalance
+    val rows = (0 until 10).flatMap { u => Seq(
+      (u.toLong, t("10"), "purchase", (u + 1).toDouble),
+      (u.toLong, t("20"), "purchase", 2.0 * (u + 1)))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val g = Events.cupedLift(rows, "user_id", "ts", "event_type",
+      "purchase", "value", "2024-01-16", col("user_id") % 2)
+      .collect().head
+    // arm means: y 10 vs 12 (diff 2), x 5 vs 6; theta = 2 exactly
+    assert(g.getLong(0) === 5L && g.getLong(1) === 5L)
+    assert(g.getDouble(2) === 10.0 && g.getDouble(3) === 12.0)
+    assert(g.getDouble(4) === 2.0 && g.getDouble(5) === 2.0)
+    assert(g.getDouble(6) === 0.0, "theta*dx removes the whole raw diff")
+    assert(g.getDouble(7) === 1.0, "perfect covariate: rho^2 = 1")
+    // constant pre-period: var(X) = 0 -> adjusted quantities null
+    val flat = (0 until 10).flatMap { u => Seq(
+      (u.toLong, t("10"), "purchase", 7.0),
+      (u.toLong, t("20"), "purchase", (u + 1).toDouble))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val g2 = Events.cupedLift(flat, "user_id", "ts", "event_type",
+      "purchase", "value", "2024-01-16", col("user_id") % 2)
+      .collect().head
+    assert(!g2.isNullAt(4) && g2.isNullAt(5) && g2.isNullAt(6) &&
+      g2.isNullAt(7))
+  }
+
+  test("markovAccuracy: argmax model from the pre period only, ties to " +
+       "the smallest successor, unseen from-states predict null and " +
+       "score 0, same-timestamp order breaks by id") {
+    import spark.implicits._
+    def t(day: String, s: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day 00:00:$s%02d")
+    var id = 0L
+    def ev(u: Long, day: String, sec: Int, s: String) = {
+      id += 1; (u, t(day, sec), id, s)
+    }
+    val pre =
+      Seq("a", "b", "a", "b", "a", "c").zipWithIndex.map { case (s, i) =>
+        ev(1L, "10", i, s) } ++                  // a->b x2, a->c, b->a x2
+      Seq(ev(3L, "10", 0, "x"), ev(3L, "10", 1, "m"),
+        ev(3L, "10", 2, "x"), ev(3L, "10", 3, "k")) // x->m, x->k tie -> k
+    // user 4: both events share ONE timestamp; ids order s before t
+    val tied = Seq((4L, t("10", 0), 900L, "s"), (4L, t("10", 0), 901L, "t"))
+    val test = Seq("a", "b", "a", "c", "z", "a").zipWithIndex.map {
+      case (s, i) => ev(2L, "20", i, s) } ++     // a->b ok, b->a ok,
+      Seq(ev(5L, "20", 0, "s"), ev(5L, "20", 1, "t"), // a->c, c->z, z->a
+        ev(6L, "20", 0, "x"), ev(6L, "20", 1, "k"))   // tie argmax -> k
+    val df = (pre ++ tied ++ test)
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.markovAccuracy(df, "user_id", "ts", "event_id",
+        "event_type", "2024-01-16")
+      .orderBy("from_s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("a", 2L, 1L, "b", 0.5),   // model argmax b; test a->b, a->c
+      ("b", 1L, 1L, "a", 1.0),
+      ("c", 1L, 0L, null, 0.0),  // from c unseen in training
+      ("s", 1L, 1L, "t", 1.0),   // tied-ts pre pair ordered by id
+      ("x", 1L, 1L, "k", 1.0),   // count tie m/k -> smallest successor
+      ("z", 1L, 0L, null, 0.0)))
+  }
 }

@@ -112,4 +112,20 @@ class RetrievalSpec extends SparkTestBase {
       .orderBy("rn").collect()
     assert(out.map(_.getLong(2)).toSeq === Seq(7L, 20L))
   }
+
+  test("phraseOccurrences: consecutive runs only, 3-term chains, " +
+       "self-overlapping starts all count, non-matching docs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c"), // the 3-gram twice
+      (2L, "a c b"),       // all terms present, never consecutive
+      (3L, "x x x")        // "x x" starts at positions 0 AND 1
+    ).toDF("doc_id", "text")
+    val abc = Retrieval.phraseOccurrences(d, "doc_id", "text", "a b c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(abc.toSeq === Seq((1L, 2L)))
+    val xx = Retrieval.phraseOccurrences(d, "doc_id", "text", "x x")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(xx.toSeq === Seq((3L, 2L)))
+  }
 }
