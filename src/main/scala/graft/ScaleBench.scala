@@ -74,7 +74,7 @@ object ScaleBench {
       base.select(
         ($"l_orderkey" + lit(i.toLong * 100000000L)).as("l_orderkey"),
         ($"l_partkey" + lit(i.toLong * 100000000L)).as("l_partkey"),
-        $"l_quantity", $"l_extendedprice", $"l_returnflag")
+        $"l_quantity", $"l_extendedprice", $"l_returnflag", $"l_shipdate")
     }.reduce(_ unionByName _)
   }
 
@@ -833,7 +833,23 @@ object ScaleBench {
           analytics.Stats.locfGapfill(
             events.groupBy($"user_id".as("key"), to_date($"ts").as("day"))
               .agg(count(lit(1)).cast("long").as("n")),
-            "key", "day", "n").count()))
+            "key", "day", "n").count()),
+        // facts agg to the (growing) item dictionary + one-row max date;
+        // dim synthesized from the scaled item space so every copy joins
+        "q241_decayed_topk" -> (() =>
+          analytics.Baskets.decayedTopK(li, "l_partkey", "l_shipdate",
+            li.select($"l_partkey".as("k")).distinct()
+              .withColumn("grp", ($"k" % 25).cast("string")),
+            "k", "grp", lambda = 0.05, k = 3).count()),
+        // hive-partitioned write + pruned-listing read of one slice
+        "q242_partition_prune" -> (() => {
+          val out = tmp.resolve(s"hivepart_x$k").toString
+          sinks.Layout.writePartitioned(events, out, "event_type")
+          spark.read.parquet(out)
+            .filter($"event_type" === "purchase")
+            .groupBy(to_date($"ts").as("day"))
+            .agg(count(lit(1)).cast("long").as("n")).count()
+        }))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

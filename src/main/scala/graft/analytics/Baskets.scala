@@ -171,4 +171,44 @@ object Baskets {
       .select($"bk")
     bi.join(ok, Seq("bk"), "left_semi")
   }
+
+  /** Time-decayed popularity top-k per dimension group: each fact row
+    * contributes exp(-lambda * age_days) — age against the feed's own
+    * max date — so yesterday's sale outranks last month's at equal
+    * volume: the cold-start recommender / trending-items shelf every
+    * storefront runs. Per-ROW weights round to integer micro-units
+    * before summing, so the ranking compares exact integers (one exp
+    * per row is engine-deterministic; a summed raw double is not —
+    * the q194 scaled-round rule applied at the row).
+    *
+    * Shape: facts aggregate to one row per item (map-side partials
+    * absorb raw volume) against a broadcast ONE-ROW max-date; the dim
+    * join and the per-group top-k window run over the item dictionary,
+    * never facts. Output: (grp, rnk, item, n_rows, score_micro). */
+  def decayedTopK(facts: DataFrame, itemCol: String, dateCol: String,
+                  dim: DataFrame, dimKeyCol: String, groupCol: String,
+                  lambda: Double = 0.05, k: Int = 3): DataFrame = {
+    require(lambda > 0.0 && k >= 1, "need lambda > 0 and k >= 1")
+    val spark = facts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val f = Par.ensure(facts)
+      .select(col(itemCol).as("item"), to_date(col(dateCol)).as("d"))
+      .filter($"item".isNotNull && $"d".isNotNull)
+    val mx = f.agg(max($"d").as("dmax"))
+    val scored = f.join(broadcast(mx), lit(true))
+      .withColumn("w",
+        round(exp(lit(-lambda) * datediff($"dmax", $"d").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy($"item")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum($"w").cast("long").as("score_micro"))
+    val w = Window.partitionBy($"grp").orderBy($"score_micro".desc, $"item")
+    scored
+      .join(dim.select(col(dimKeyCol).as("item"), col(groupCol).as("grp")),
+        Seq("item"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"grp", $"rnk", $"item", $"n_rows", $"score_micro")
+  }
 }

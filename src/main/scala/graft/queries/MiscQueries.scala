@@ -2700,6 +2700,66 @@ object MiscQueries {
             dayCol = "day", xCol = "x")
           .withColumnRenamed("key", "user_id")
           .orderBy("user_id", "day")
+      }),
+
+    // ----- time-decayed popularity top-k -----
+    Q("q241_decayed_topk",
+      "time-decayed popularity top-3 parts per brand: each lineitem " +
+        "row contributes exp(-0.05 * age_days) vs the feed max date — " +
+        "the trending-items / cold-start shelf; per-ROW weights round " +
+        "to integer micro-units BEFORE summing so the ranking compares " +
+        "exact integers (the q194 scaled-round rule at the row); facts " +
+        "aggregate to the item dictionary against a broadcast one-row " +
+        "max date, dim join + top-k window run over items only",
+      Some("""WITH f AS (SELECT l_partkey AS item,
+             |        CAST(date_trunc('day', l_shipdate) AS DATE) AS d
+             |      FROM lineitem
+             |      WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL),
+             |mx AS (SELECT max(d) AS dmax FROM f),
+             |s AS (SELECT item, CAST(count(*) AS BIGINT) AS n_rows,
+             |        CAST(sum(CAST(round(exp(-0.05
+             |            * CAST(date_diff('day', d, dmax) AS DOUBLE))
+             |          * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+             |      FROM f CROSS JOIN mx GROUP BY 1),
+             |j AS (SELECT p.p_brand AS grp, s.item, s.n_rows,
+             |        s.score_micro
+             |      FROM s JOIN part p ON p.p_partkey = s.item),
+             |r AS (SELECT grp, item, n_rows, score_micro,
+             |        CAST(row_number() OVER (PARTITION BY grp
+             |          ORDER BY score_micro DESC, item) AS INT) AS rnk
+             |      FROM j)
+             |SELECT grp, rnk, item, n_rows, score_micro
+             |FROM r WHERE rnk <= 3 ORDER BY grp, rnk""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Baskets.decayedTopK(Tables(s, dir, "lineitem"),
+            itemCol = "l_partkey", dateCol = "l_shipdate",
+            dim = Tables(s, dir, "part"), dimKeyCol = "p_partkey",
+            groupCol = "p_brand", lambda = 0.05, k = 3)
+          .orderBy("grp", "rnk")),
+
+    // ----- hive-partitioned layout: listing-level pruning -----
+    Q("q242_partition_prune",
+      "events rewritten hive-partitioned by event_type, then one " +
+        "slice's daily counts read back through the pruned listing — " +
+        "the coarsest tier of the skipping ladder (partition dirs > " +
+        "footer stats q162 > bloom q163): non-matching files are " +
+        "never OPENED, not even footers; LayoutSpec pins the actual " +
+        "file count admitted",
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY day""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_hivepart_" + graft.operators.Bucketing.pathKey(dir)).toString
+        graft.sinks.Layout.writePartitioned(
+          Tables(s, dir, "events"), base, "event_type")
+        s.read.parquet(base)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("n_events"))
+          .orderBy("day")
       })
   )
 

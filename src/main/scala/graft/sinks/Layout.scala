@@ -153,4 +153,22 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Hive-style partitioned layout: rows land in one directory per
+    * distinct partition-column tuple (directory names carry the
+    * values), so a reader with an equality/IN predicate on those
+    * columns prunes at the LISTING — non-matching files are never
+    * opened, not even their footers. This is the coarsest, cheapest
+    * tier of the skipping ladder (partition dirs > footer min/max
+    * [[writeClustered]] > bloom [[writeWithBloom]]): the first line of
+    * defense for the one low-cardinality column every query filters
+    * on. Keep partition columns dictionary-sized — one directory per
+    * distinct tuple, and the small-files pathology past ~10^4
+    * partitions ([[compactParquet]]'s NOTE applies per partition
+    * directory). */
+  def writePartitioned(df: DataFrame, outDir: String,
+                       partCols: String*): Unit = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(outDir)
+  }
 }

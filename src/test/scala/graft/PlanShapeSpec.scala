@@ -208,7 +208,10 @@ class PlanShapeSpec extends SparkTestBase {
       // q233: the r x c contingency spine is margin x margin — one
       // build side the ONE-ROW grand total, the other the per-source
       // margin (keyed, dictionary-bounded) — machine-checked below
-      "q233_chi_square")
+      "q233_chi_square",
+      // q241: facts x broadcast ONE-ROW max-date (the q218 recency
+      // bracket) — machine-checked below
+      "q241_decayed_topk")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -266,7 +269,7 @@ class PlanShapeSpec extends SparkTestBase {
     // a grouping-free aggregate, which is structurally a single row
     for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
         "q198_kappa", "q200_source_scorecard", "q218_rfm_segments",
-        "q229_freshness_audit"))
+        "q229_freshness_audit", "q241_decayed_topk"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +

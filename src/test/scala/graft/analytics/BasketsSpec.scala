@@ -90,4 +90,29 @@ class BasketsSpec extends SparkTestBase {
       assert(Baskets.associationRules(items.repartition(p), "bk", "it")
         .collect().toSeq === base, s"p=$p")
   }
+
+  test("decayedTopK: recency outranks volume, per-row micro rounding " +
+       "pins the score exactly, ties break to the smaller item, k caps " +
+       "the shelf") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    val facts = Seq(
+      (10L, d(31)), (10L, d(31)),                 // 2 fresh rows
+      (20L, d(1)), (20L, d(1)), (20L, d(1)),      // 3 rows at age 30
+      (30L, d(31)), (40L, d(31)), (50L, d(31)))   // g2: three 1-row ties
+      .toDF("item", "dt")
+    val dim = Seq((10L, "g1"), (20L, "g1"), (30L, "g2"), (40L, "g2"),
+      (50L, "g2")).toDF("k", "grp")
+    val got = Baskets.decayedTopK(facts, "item", "dt", dim, "k", "grp",
+        lambda = 0.05, k = 2)
+      .orderBy("grp", "rnk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val stale = math.round(math.exp(-0.05 * 30.0) * 1e6) // 223130
+    assert(got.toSeq === Seq(
+      ("g1", 1, 10L, 2L, 2000000L),      // 2 fresh beat 3 stale
+      ("g1", 2, 20L, 3L, 3L * stale),
+      ("g2", 1, 30L, 1L, 1000000L),      // equal scores: smaller item
+      ("g2", 2, 40L, 1L, 1000000L)))     // item 50 cut by k = 2
+  }
 }

@@ -194,4 +194,52 @@ class LayoutSpec extends SparkTestBase {
       all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
+
+  test("writePartitioned: an equality predicate prunes at the LISTING " +
+       "— the scan admits exactly the matching partition's files and " +
+       "decodes only its rows") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_hivepart_spec")
+    try {
+      val out = tmp.resolve("t").toString
+      val df = (0 until 400).map(i => (s"k${i % 4}", i.toLong))
+        .toDF("part_key", "v")
+        .repartition(4)
+      Layout.writePartitioned(df, out, "part_key")
+      // one subdirectory per distinct partition value
+      val dirs = {
+        val l = Files.list(new java.io.File(out).toPath)
+        try l.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part_key="))
+        finally l.close()
+      }
+      assert(dirs.size === 4, s"expected 4 partition dirs, got $dirs")
+      val one = spark.read.parquet(out).filter($"part_key" === "k1")
+      // decoded rows = the one partition's rows, and the scan's file
+      // list is the one directory's files — pruning at the listing,
+      // before any footer is read
+      assert(scanRows(one) === 100L)
+      def scanFiles(d: DataFrame): Long = {
+        d.collect()
+        def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+          case other => other +: other.children.flatMap(unwrap)
+        }
+        unwrap(d.queryExecution.executedPlan)
+          .collect { case s: FileSourceScanExec => s }
+          .map(_.metrics("numFiles").value).sum
+      }
+      val prunedFiles = scanFiles(spark.read.parquet(out)
+        .filter($"part_key" === "k1"))
+      val allFiles = scanFiles(spark.read.parquet(out))
+      assert(prunedFiles < allFiles,
+        s"pruned read must admit fewer files: $prunedFiles vs $allFiles")
+      assert(prunedFiles === partFiles(dirs.find(
+        _.getFileName.toString == "part_key=k1").get).size.toLong)
+    } finally {
+      val walk = Files.walk(tmp)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
 }
