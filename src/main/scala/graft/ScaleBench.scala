@@ -849,7 +849,16 @@ object ScaleBench {
             .filter($"event_type" === "purchase")
             .groupBy(to_date($"ts").as("day"))
             .agg(count(lit(1)).cast("long").as("n")).count()
-        }))
+        }),
+        // one user agg + ONE 1-row power-sum aggregate
+        "q243_mde" -> (() =>
+          analytics.Events.mdeReadout(events, "user_id", "event_type",
+            "purchase", "value", $"user_id" % 2).count()),
+        // one distinct-user pass + a 1-row aggregate
+        "q244_srm" -> (() =>
+          analytics.Events.srmCheck(events, "user_id",
+            analytics.Sketches.h60($"user_id".cast("string")) % 2)
+            .count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -191,6 +191,95 @@ object Events {
         * 1e6) / 1e6).as("var_reduction"))
   }
 
+  /** Minimum-detectable-effect readout for a two-arm continuous-metric
+    * experiment: with the arms' OBSERVED sizes and variances, the
+    * smallest true difference the test would flag at the given
+    * two-sided alpha and power —
+    * `MDE = (z_a/2 + z_pow) * sqrt(var_a/n_a + var_b/n_b)` — the
+    * pre-readout sanity every experimenter needs ("could this test
+    * even see the effect we care about?"). Per-user metrics quantize
+    * to integer cents (the [[cupedLift]] rule), so both engines derive
+    * the variances from identical integers; the z constants are
+    * driver-computed literals interpolated into both trees.
+    *
+    * Shape: one user-keyed agg, then ONE 1-row conditional power-sum
+    * aggregate. Output: 1 row (n_a, n_b, mean_a, mean_b, mde_abs,
+    * mde_rel); null when an arm has < 2 users or the pooled mean is
+    * 0. */
+  def mdeReadout(events: DataFrame, userCol: String, typeCol: String,
+                 convType: String, valueCol: String, cohortCol: Column,
+                 zAlpha: Double = 1.959964,
+                 zPower: Double = 0.841621): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import Par.safeDiv
+    val cents = when(col(typeCol) === convType,
+      round(col(valueCol) * 100).cast("long")).otherwise(0L)
+    val u = events
+      .select(col(userCol).as("u"), cohortCol.cast("int").as("g"),
+        cents.as("xr"))
+      .groupBy($"u")
+      .agg(max($"g").as("g"), sum($"xr").cast("long").as("x"))
+    def arm(g: Int, sfx: String) = Seq(
+      sum(when($"g" === g, 1L).otherwise(0L)).cast("long").as(s"n_$sfx"),
+      sum(when($"g" === g, $"x").otherwise(0L)).cast("long").as(s"sx_$sfx"),
+      sum(when($"g" === g, ($"x" * $"x").cast(DecimalType(38, 0)))
+        .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s"sxx_$sfx"))
+    val aggs = arm(0, "a") ++ arm(1, "b")
+    val a = u.agg(aggs.head, aggs.tail: _*)
+    def variance(sfx: String): Column = {
+      val n = col(s"n_$sfx"); val sx = col(s"sx_$sfx")
+      val sxx = col(s"sxx_$sfx")
+      (n * sxx.cast("double") - sx.cast("double") * sx) /
+        when(n * (n - 1L) > 0L, n * (n - 1L)).cast("double")
+    }
+    def mean(sfx: String): Column =
+      safeDiv(col(s"sx_$sfx").cast("double"),
+        col(s"n_$sfx").cast("double")) / 100.0
+    val mde = (lit(zAlpha + zPower) *
+      sqrt(variance("a") / when($"n_a" > 0L, $"n_a").cast("double") +
+        variance("b") / when($"n_b" > 0L, $"n_b").cast("double"))) / 100.0
+    val pooled = safeDiv(($"sx_a" + $"sx_b").cast("double"),
+      ($"n_a" + $"n_b").cast("double")) / 100.0
+    a.select($"n_a", $"n_b",
+      (round(mean("a") * 1e6) / 1e6).as("mean_a"),
+      (round(mean("b") * 1e6) / 1e6).as("mean_b"),
+      (round(mde * 1e6) / 1e6).as("mde_abs"),
+      (round(mde / when(pooled > 0.0, pooled) * 1e6) / 1e6).as("mde_rel"))
+  }
+
+  /** Sample-ratio-mismatch check: the experiment-health gate that must
+    * run before ANY readout is believed — if the hash split assigns
+    * users measurably off the expected ratio, the assignment itself is
+    * broken (redirect bugs, bot filtering one arm) and every
+    * downstream metric is garbage. Chi-square of the observed arm
+    * sizes against the expected split on 1 dof; flag past the 95%
+    * critical value 3.841459. Exact integer counts; one distinct-user
+    * pass, then a 1-row aggregate. Output: 1 row (n_a, n_b, chi2,
+    * srm). */
+  def srmCheck(events: DataFrame, userCol: String, cohortCol: Column,
+               expectedA: Double = 0.5): DataFrame = {
+    require(expectedA > 0.0 && expectedA < 1.0,
+      "expectedA must lie in (0, 1)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val u = events
+      .select(col(userCol).as("u"), cohortCol.cast("int").as("g"))
+      .groupBy($"u").agg(max($"g").as("g"))
+    val a = u.agg(
+      sum(when($"g" === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).cast("long").as("n_b"))
+    val tot = ($"n_a" + $"n_b").cast("double")
+    val ea = tot * lit(expectedA)
+    val eb = tot * lit(1.0 - expectedA)
+    val chi2 = ($"n_a" - ea) * ($"n_a" - ea) / when(ea > 0.0, ea) +
+      ($"n_b" - eb) * ($"n_b" - eb) / when(eb > 0.0, eb)
+    a.select($"n_a", $"n_b",
+      (round(chi2 * 1e6) / 1e6).as("chi2"),
+      (chi2 > 3.841459).as("srm"))
+  }
+
   /** First-order Markov next-event model, trained and EVALUATED: build
     * the per-from-state argmax transition model on the pre-`splitDay`
     * feed, predict every post-split transition, report accuracy per

@@ -2760,7 +2760,113 @@ object MiscQueries {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).cast("long").as("n_events"))
           .orderBy("day")
-      })
+      }),
+
+    // ----- minimum detectable effect -----
+    Q("q243_mde_readout",
+      "minimum-detectable-effect readout for the revenue experiment: " +
+        "with the arms' observed sizes and variances, the smallest " +
+        "true difference the test would flag at alpha .05 / power .80 " +
+        "— the 'could this test even see it' pre-check; per-user " +
+        "revenue in integer cents (the q238 rule), z constants " +
+        "driver-interpolated into both trees; one user agg + ONE " +
+        "1-row power-sum aggregate",
+      Some({
+        val zs = (1.959964 + 0.841621).toString
+        s"""WITH u AS (SELECT user_id AS u,
+           |        CAST(user_id % 2 AS INT) AS g,
+           |        CAST(sum(CASE WHEN event_type = 'purchase'
+           |          THEN CAST(round(value * 100) AS BIGINT)
+           |          ELSE 0 END) AS BIGINT) AS x
+           |      FROM events GROUP BY 1, 2),
+           |a AS (SELECT
+           |        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS n_a,
+           |        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS n_b,
+           |        CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT)
+           |          AS sx_a,
+           |        CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT)
+           |          AS sx_b,
+           |        CAST(sum(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * x
+           |          ELSE 0 END) AS DECIMAL(38, 0)) AS sxx_a,
+           |        CAST(sum(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * x
+           |          ELSE 0 END) AS DECIMAL(38, 0)) AS sxx_b
+           |      FROM u),
+           |k AS (SELECT n_a, n_b, sx_a, sx_b,
+           |        (n_a * CAST(sxx_a AS DOUBLE)
+           |            - CAST(sx_a AS DOUBLE) * sx_a)
+           |          / CAST(CASE WHEN n_a * (n_a - 1) > 0
+           |            THEN n_a * (n_a - 1) END AS DOUBLE) AS var_a,
+           |        (n_b * CAST(sxx_b AS DOUBLE)
+           |            - CAST(sx_b AS DOUBLE) * sx_b)
+           |          / CAST(CASE WHEN n_b * (n_b - 1) > 0
+           |            THEN n_b * (n_b - 1) END AS DOUBLE) AS var_b
+           |      FROM a),
+           |m AS (SELECT n_a, n_b,
+           |        sx_a / CAST(CASE WHEN n_a > 0 THEN n_a END AS DOUBLE)
+           |          / 100.0 AS mean_a,
+           |        sx_b / CAST(CASE WHEN n_b > 0 THEN n_b END AS DOUBLE)
+           |          / 100.0 AS mean_b,
+           |        $zs * sqrt(
+           |            var_a / CAST(CASE WHEN n_a > 0 THEN n_a END
+           |              AS DOUBLE)
+           |          + var_b / CAST(CASE WHEN n_b > 0 THEN n_b END
+           |              AS DOUBLE)) / 100.0 AS mde,
+           |        (sx_a + sx_b) / CAST(CASE WHEN n_a + n_b > 0
+           |          THEN n_a + n_b END AS DOUBLE) / 100.0 AS pooled
+           |      FROM k)
+           |SELECT n_a, n_b,
+           |  round(mean_a * 1e6) / 1e6 AS mean_a,
+           |  round(mean_b * 1e6) / 1e6 AS mean_b,
+           |  round(mde * 1e6) / 1e6 AS mde_abs,
+           |  round(mde / CASE WHEN pooled > 0 THEN pooled END * 1e6) / 1e6
+           |    AS mde_rel
+           |FROM m""".stripMargin
+      }),
+      (s, dir) =>
+        graft.analytics.Events.mdeReadout(Tables(s, dir, "events"),
+          userCol = "user_id", typeCol = "event_type",
+          convType = "purchase", valueCol = "value",
+          cohortCol = org.apache.spark.sql.functions.col("user_id") % 2)),
+
+    // ----- sample-ratio-mismatch gate -----
+    Q("q244_srm_check",
+      "sample-ratio-mismatch gate on the hash-bucket split: chi-square " +
+        "of observed arm sizes vs the expected 50/50 on 1 dof, flagged " +
+        "past 3.841459 — the experiment-health check that must pass " +
+        "before ANY readout is believed (a broken split makes every " +
+        "metric garbage); one distinct-user pass + a 1-row aggregate, " +
+        "exact integer counts",
+      Some("""WITH u AS (SELECT user_id AS u,
+             |        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+             |          1, 15))::BIGINT % 2 AS INT) AS g
+             |      FROM events GROUP BY 1, 2),
+             |a AS (SELECT
+             |        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_a,
+             |        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_b
+             |      FROM u),
+             |k AS (SELECT n_a, n_b,
+             |        CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
+             |        CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
+             |      FROM a)
+             |SELECT n_a, n_b,
+             |  round(((n_a - ea) * (n_a - ea)
+             |      / CASE WHEN ea > 0 THEN ea END
+             |    + (n_b - eb) * (n_b - eb)
+             |      / CASE WHEN eb > 0 THEN eb END) * 1e6) / 1e6 AS chi2,
+             |  ((n_a - ea) * (n_a - ea) / CASE WHEN ea > 0 THEN ea END
+             |    + (n_b - eb) * (n_b - eb) / CASE WHEN eb > 0 THEN eb END)
+             |    > 3.841459 AS srm
+             |FROM k""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.srmCheck(Tables(s, dir, "events"),
+          userCol = "user_id",
+          cohortCol = graft.analytics.Sketches.h60(
+            org.apache.spark.sql.functions.col("user_id")
+              .cast("string")) % 2))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

@@ -831,6 +831,48 @@ class CurationOpsSpec extends SparkTestBase {
       g2.isNullAt(7))
   }
 
+  test("mdeReadout: hand-computed MDE from the arm variances, a " +
+       "single-user arm nulls it, relative MDE scales by the pooled " +
+       "mean") {
+    import spark.implicits._
+    def t = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // arm0 users 0,2,4: revenue 1, 2, 3 units; arm1 users 1,3: 0
+    val rows = Seq((0L, t, "purchase", 1.0), (2L, t, "purchase", 2.0),
+      (4L, t, "purchase", 3.0), (1L, t, "view", 9.0),
+      (3L, t, "view", 9.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val g = Events.mdeReadout(rows, "user_id", "event_type", "purchase",
+      "value", col("user_id") % 2).collect().head
+    assert(g.getLong(0) === 3L && g.getLong(1) === 2L)
+    assert(g.getDouble(2) === 2.0 && g.getDouble(3) === 0.0)
+    // var_a = 10000 cents^2, var_b = 0: mde = z*sqrt(10000/3)/100
+    val mde = 2.801585 * math.sqrt(10000.0 / 3.0) / 100.0
+    assert(math.abs(g.getDouble(4) - mde) < 1e-6)
+    // pooled mean = 600 cents / 5 / 100 = 1.2
+    assert(math.abs(g.getDouble(5) - mde / 1.2) < 1e-6)
+    // an arm of one user has no variance estimate -> null MDE
+    val one = rows.filter($"user_id" =!= 3L)
+    val g2 = Events.mdeReadout(one, "user_id", "event_type", "purchase",
+      "value", col("user_id") % 2).collect().head
+    assert(g2.getLong(1) === 1L && g2.isNullAt(4) && g2.isNullAt(5))
+  }
+
+  test("srmCheck: a 10/30 split flags (chi2 = 10), a balanced split " +
+       "scores 0 and passes") {
+    import spark.implicits._
+    def t = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val skew = (0 until 40).map(u =>
+      (u.toLong, t, if (u < 10) 0 else 1))
+      .toDF("user_id", "ts", "arm")
+    val g = Events.srmCheck(skew, "user_id", col("arm")).collect().head
+    assert(g.getLong(0) === 10L && g.getLong(1) === 30L)
+    assert(g.getDouble(2) === 10.0 && g.getBoolean(3))
+    val fair = (0 until 40).map(u => (u.toLong, t, u % 2))
+      .toDF("user_id", "ts", "arm")
+    val g2 = Events.srmCheck(fair, "user_id", col("arm")).collect().head
+    assert(g2.getDouble(2) === 0.0 && !g2.getBoolean(3))
+  }
+
   test("markovAccuracy: argmax model from the pre period only, ties to " +
        "the smallest successor, unseen from-states predict null and " +
        "score 0, same-timestamp order breaks by id") {
