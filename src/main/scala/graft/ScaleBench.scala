@@ -858,7 +858,20 @@ object ScaleBench {
         "q244_srm" -> (() =>
           analytics.Events.srmCheck(events, "user_id",
             analytics.Sketches.h60($"user_id".cast("string")) % 2)
-            .count()))
+            .count()),
+        // detection map-side over the growing corpus, dictionary cells
+        "q245_lang_confusion" -> (() =>
+          analytics.TextAnalysis.langConfusion(docs, "lang", "text")
+            .count()),
+        // distinct keys grow 10x; 9-way fan + min_by placements
+        "q246_reshard" -> (() =>
+          analytics.Sampling.reshardMovement(docs, "doc_id", 8, 9)
+            .count()),
+        // one keyed agg to dictionary cells + one-row class totals
+        "q247_woe" -> (() =>
+          analytics.Selection.woeBuckets(emb,
+            element_at($"embedding", 1).cast("double"),
+            $"vec_id" % 2).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -432,4 +432,55 @@ object Sampling {
       .select(d(idCol), d(domainCol),
         explode(sequence(lit(0L), $"__k" - 1)).as("epoch"))
   }
+
+  /** Resharding-movement audit: the fraction of keys that RELOCATE
+    * when the shard count grows nFrom -> nTo, under (a) naive modulo
+    * placement and (b) rendezvous (highest-random-weight) hashing.
+    * Modulo reshuffles almost everything (~1 - 1/nTo of keys change
+    * `h % n`); rendezvous moves only the keys the NEW shards win
+    * (~(nTo-nFrom)/nTo) — the reason stateful layouts (corpus shards,
+    * caches, ANN partitions) reshard with HRW, and this audit is the
+    * receipt a migration plan attaches. Deterministic h60 scoring
+    * replays in any engine.
+    *
+    * Shape: one distinct-key pass, a nTo-way fan (shard dictionary)
+    * with one hash per (key, shard), both placements as min_by hash
+    * aggregates per key (no windows), then ONE 1-row rollup. Output:
+    * 1 row (n_keys, moved_mod, moved_hrw, frac_mod, frac_hrw). */
+  def reshardMovement(df: DataFrame, keyCol: String, nFrom: Int,
+                      nTo: Int): DataFrame = {
+    require(nFrom >= 1 && nTo > nFrom, "need 1 <= nFrom < nTo")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = Par.ensure(df)
+      .select(col(keyCol).cast("string").as("kk"))
+      .filter($"kk".isNotNull).distinct()
+    val sc = keys
+      .select($"kk", explode(sequence(lit(0), lit(nTo - 1))).as("s"))
+      .withColumn("score",
+        Sketches.h60(concat($"kk", lit("|"), $"s".cast("string"))))
+    // HRW placement at both sizes from ONE score table: the nFrom
+    // argmax demotes s >= nFrom below every real score instead of
+    // re-hashing a second fan
+    val a = sc.groupBy($"kk").agg(
+      min_by($"s", struct(
+        when($"s" < nFrom, -$"score").otherwise(lit(Long.MaxValue))
+          .as("o"), $"s")).as("hrw_from"),
+      min_by($"s", struct((-$"score").as("o"), $"s")).as("hrw_to"))
+    val hk = Sketches.h60($"kk")
+    val moved = a.select(
+      (hk % nFrom =!= hk % nTo).as("mod_moved"),
+      ($"hrw_from" =!= $"hrw_to").as("hrw_moved"))
+    val tot = moved.agg(
+      count(lit(1)).cast("long").as("n_keys"),
+      sum(when($"mod_moved", 1L).otherwise(0L)).cast("long")
+        .as("moved_mod"),
+      sum(when($"hrw_moved", 1L).otherwise(0L)).cast("long")
+        .as("moved_hrw"))
+    tot.select($"n_keys", $"moved_mod", $"moved_hrw",
+      (round(Par.safeDiv($"moved_mod".cast("double"),
+        $"n_keys".cast("double")) * 1e6) / 1e6).as("frac_mod"),
+      (round(Par.safeDiv($"moved_hrw".cast("double"),
+        $"n_keys".cast("double")) * 1e6) / 1e6).as("frac_hrw"))
+  }
 }

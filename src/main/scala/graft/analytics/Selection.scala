@@ -377,4 +377,49 @@ object Selection {
         round(lit(1.0) / (lit(1.0) + exp(-col("mg"))), 6).as("score"))
       .withColumn("keep", col("score") >= 0.5)
   }
+
+  /** Weight-of-evidence buckets + information value for one scalar
+    * feature against a binary label — the credit-scoring-style
+    * predictiveness audit a feature earns BEFORE a model trains on it:
+    * `WOE_b = ln((pos_b/pos)/(neg_b/neg))`, IV = sum of
+    * (pos-share - neg-share)*WOE (rule of thumb: IV < 0.02 useless,
+    * > 0.3 strong). Laplace-smoothed (+0.5 per cell) so empty cells
+    * stay finite, in BOTH shares consistently.
+    *
+    * Buckets are VALUE-derived fixed-width integer bins —
+    * floor(round(x*scale)/width) via an offset trick that keeps the
+    * integer division non-negative (Spark DIV truncates toward zero,
+    * engines disagree below 0) — so no global quantile pass and no
+    * data-dependent bracket; |x|*scale must stay under the 10^6
+    * offset. One keyed agg to cells (dictionary-sized), totals as a
+    * broadcast ONE-ROW aggregate. Output: (bucket, n, n_pos, n_neg,
+    * woe, iv_contrib). */
+  def woeBuckets(df: DataFrame, xCol: Column, labelCol: Column,
+                 scale: Long = 1000L, width: Long = 200L): DataFrame = {
+    require(scale >= 1L && width >= 1L, "need scale >= 1 and width >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import Par.safeDiv
+    val off = 1000000L
+    val raw = round(xCol * scale).cast("long") + off
+    val b = ((raw - raw % width) / width).cast("long") - off / width
+    val cells = Par.ensure(df)
+      .select(b.as("bucket"),
+        when(labelCol.cast("long") =!= 0L, 1L).otherwise(0L).as("y"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"y").cast("long").as("n_pos"))
+      .withColumn("n_neg", $"n" - $"n_pos")
+    val tot = cells.agg(sum($"n_pos").cast("long").as("pos_tot"),
+      sum($"n_neg").cast("long").as("neg_tot"))
+    val ps = safeDiv($"n_pos".cast("double") + 0.5,
+      $"pos_tot".cast("double"))
+    val ns = safeDiv($"n_neg".cast("double") + 0.5,
+      $"neg_tot".cast("double"))
+    val woe = log(ps / ns)
+    cells.join(broadcast(tot), lit(true))
+      .select($"bucket", $"n", $"n_pos", $"n_neg",
+        (round(woe * 1e6) / 1e6).as("woe"),
+        (round((ps - ns) * woe * 1e6) / 1e6).as("iv_contrib"))
+  }
 }

@@ -88,6 +88,36 @@ object TextAnalysis {
         .when(es === m, "es").otherwise("fr").as("lang_guess"))
   }
 
+  /** Language-ID confusion matrix: the [[langId]] detector evaluated
+    * against the corpus's DECLARED language labels — per (declared,
+    * detected) cell the count and its share of the declared row.
+    * Detectors drift silently (new sources, new scripts); the
+    * confusion matrix is the eval artifact that says WHICH languages
+    * leak where (here: zh has no stopword set, so its row landing in
+    * 'und'/misdetections is the finding, not a bug). Same shape as the
+    * q239 model-eval loop: an operator's output audited against
+    * ground truth.
+    *
+    * Shape: detection is map-side ([[langId]] expressions), then one
+    * (declared, detected) keyed agg; row totals re-aggregate the CELLS
+    * (language-dictionary-sized). Output: (declared, detected, n,
+    * row_share). */
+  def langConfusion(docs: DataFrame, declaredCol: String,
+                    textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cells = langId(docs, declaredCol, textCol)
+      .groupBy(col(declaredCol).as("declared"),
+        col("lang_guess").as("detected"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val rowTot = cells.groupBy($"declared")
+      .agg(sum($"n").cast("long").as("row_n"))
+    cells.join(broadcast(rowTot), Seq("declared"))
+      .select($"declared", $"detected", $"n",
+        (round(Par.safeDiv($"n".cast("double"), $"row_n".cast("double"))
+          * 1e6) / 1e6).as("row_share"))
+  }
+
   /** The composed corpus-cleaning decision — what a training-data pipeline
     * actually ships: exact-dup removal + quality gate + language gate fused
     * into ONE scan and ONE exchange. All flag expressions evaluate in the

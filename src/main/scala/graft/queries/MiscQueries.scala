@@ -2866,7 +2866,147 @@ object MiscQueries {
           userCol = "user_id",
           cohortCol = graft.analytics.Sketches.h60(
             org.apache.spark.sql.functions.col("user_id")
-              .cast("string")) % 2))
+              .cast("string")) % 2)),
+
+    // ----- language-ID confusion matrix -----
+    Q("q245_lang_confusion",
+      "the q22 language detector evaluated against the corpus's " +
+        "DECLARED labels: per (declared, detected) cell the count and " +
+        "its share of the declared row — the eval artifact that says " +
+        "WHICH languages leak where (zh has no stopword set; its row " +
+        "landing in und/misdetections is the finding); detection " +
+        "map-side, one cell agg, row totals re-aggregate the " +
+        "language-dictionary-sized cells",
+      Some("""WITH d AS (SELECT lang AS declared,
+             |  len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+             |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_hits,
+             |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS es_hits,
+             |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que)\b')) AS fr_hits
+             |  FROM documents),
+             |g AS (SELECT declared,
+             |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+             |       WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+             |       WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+             |       WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+             |       ELSE 'fr' END AS detected
+             |  FROM d),
+             |c AS (SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
+             |      FROM g GROUP BY 1, 2),
+             |r AS (SELECT declared, CAST(sum(n) AS BIGINT) AS row_n
+             |      FROM c GROUP BY 1)
+             |SELECT c.declared, c.detected, c.n,
+             |  round(CAST(c.n AS DOUBLE)
+             |    / CAST(CASE WHEN row_n > 0 THEN row_n END AS DOUBLE)
+             |    * 1e6) / 1e6 AS row_share
+             |FROM c JOIN r USING (declared)
+             |ORDER BY declared, detected""".stripMargin),
+      (s, dir) =>
+        graft.analytics.TextAnalysis.langConfusion(
+            Tables(s, dir, "documents"), declaredCol = "lang",
+            textCol = "text")
+          .orderBy("declared", "detected")),
+
+    // ----- resharding movement audit -----
+    Q("q246_reshard_movement",
+      "resharding-movement audit, 8 -> 9 shards over document keys: " +
+        "fraction of keys that relocate under naive modulo (~8/9 — " +
+        "everything reshuffles) vs rendezvous hashing (~1/9 — only " +
+        "what the new shard wins): the receipt a migration plan " +
+        "attaches, and why stateful layouts reshard with HRW; one " +
+        "distinct-key pass, a 9-way fan with min_by placements, ONE " +
+        "1-row rollup",
+      Some("""WITH k AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS kk
+             |      FROM documents WHERE doc_id IS NOT NULL),
+             |f AS (SELECT kk, CAST(unnest(range(0, 9)) AS INT) AS s
+             |      FROM k),
+             |sc AS (SELECT kk, s,
+             |        ('0x' || substring(md5(kk || '|' ||
+             |          CAST(s AS VARCHAR)), 1, 15))::BIGINT AS score
+             |      FROM f),
+             |t1 AS (SELECT kk, s AS hrw_to FROM (
+             |        SELECT kk, s, row_number() OVER (PARTITION BY kk
+             |          ORDER BY score DESC, s) AS rn FROM sc)
+             |       WHERE rn = 1),
+             |t0 AS (SELECT kk, s AS hrw_from FROM (
+             |        SELECT kk, s, row_number() OVER (PARTITION BY kk
+             |          ORDER BY score DESC, s) AS rn
+             |        FROM sc WHERE s < 8)
+             |       WHERE rn = 1),
+             |h AS (SELECT kk,
+             |        ('0x' || substring(md5(kk), 1, 15))::BIGINT AS hk
+             |      FROM k),
+             |j AS (SELECT h.kk, hk % 8 <> hk % 9 AS mod_moved,
+             |        t0.hrw_from <> t1.hrw_to AS hrw_moved
+             |      FROM h JOIN t0 USING (kk) JOIN t1 USING (kk))
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS moved_mod,
+             |  CAST(sum(CASE WHEN hrw_moved THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS moved_hrw,
+             |  round(CAST(sum(CASE WHEN mod_moved THEN 1 ELSE 0 END)
+             |      AS DOUBLE)
+             |    / CAST(CASE WHEN count(*) > 0 THEN count(*) END AS DOUBLE)
+             |    * 1e6) / 1e6 AS frac_mod,
+             |  round(CAST(sum(CASE WHEN hrw_moved THEN 1 ELSE 0 END)
+             |      AS DOUBLE)
+             |    / CAST(CASE WHEN count(*) > 0 THEN count(*) END AS DOUBLE)
+             |    * 1e6) / 1e6 AS frac_hrw
+             |FROM j""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.reshardMovement(
+          Tables(s, dir, "documents"), keyCol = "doc_id",
+          nFrom = 8, nTo = 9)),
+
+    // ----- weight-of-evidence feature audit -----
+    Q("q247_woe_buckets",
+      "weight-of-evidence buckets + IV contributions of the first " +
+        "embedding dimension against the parity label — the " +
+        "predictiveness audit a feature earns BEFORE a model trains " +
+        "on it (IV < .02 useless, > .3 strong); fixed-width " +
+        "value-derived integer bins via the non-negative-offset trick " +
+        "(engines disagree on integer division below 0), " +
+        "Laplace-smoothed cells so empties stay finite; one keyed agg " +
+        "+ broadcast one-row totals",
+      Some("""WITH v AS (SELECT CAST(embedding[1] AS DOUBLE) AS x,
+             |        CAST(label % 2 AS BIGINT) AS y FROM embeddings),
+             |c0 AS (SELECT CAST((CAST(round(x * 1000) AS BIGINT) + 1000000
+             |          - (CAST(round(x * 1000) AS BIGINT) + 1000000) % 200)
+             |          / 200 AS BIGINT) - 5000 AS bucket,
+             |        CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_pos
+             |      FROM v GROUP BY 1),
+             |c AS (SELECT bucket, n, n_pos, n - n_pos AS n_neg FROM c0),
+             |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS pos_tot,
+             |        CAST(sum(n_neg) AS BIGINT) AS neg_tot FROM c)
+             |SELECT bucket, n, n_pos, n_neg,
+             |  round(ln(((n_pos + 0.5)
+             |      / CAST(CASE WHEN pos_tot > 0 THEN pos_tot END
+             |        AS DOUBLE))
+             |    / ((n_neg + 0.5)
+             |      / CAST(CASE WHEN neg_tot > 0 THEN neg_tot END
+             |        AS DOUBLE))) * 1e6) / 1e6 AS woe,
+             |  round((((n_pos + 0.5)
+             |      / CAST(CASE WHEN pos_tot > 0 THEN pos_tot END
+             |        AS DOUBLE))
+             |    - ((n_neg + 0.5)
+             |      / CAST(CASE WHEN neg_tot > 0 THEN neg_tot END
+             |        AS DOUBLE)))
+             |    * ln(((n_pos + 0.5)
+             |      / CAST(CASE WHEN pos_tot > 0 THEN pos_tot END
+             |        AS DOUBLE))
+             |    / ((n_neg + 0.5)
+             |      / CAST(CASE WHEN neg_tot > 0 THEN neg_tot END
+             |        AS DOUBLE))) * 1e6) / 1e6 AS iv_contrib
+             |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, element_at}
+        graft.analytics.Selection.woeBuckets(
+            Tables(s, dir, "embeddings"),
+            xCol = element_at(col("embedding"), 1).cast("double"),
+            labelCol = col("label") % 2)
+          .orderBy("bucket")
+      })
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

@@ -211,7 +211,10 @@ class PlanShapeSpec extends SparkTestBase {
       "q233_chi_square",
       // q241: facts x broadcast ONE-ROW max-date (the q218 recency
       // bracket) — machine-checked below
-      "q241_decayed_topk")
+      "q241_decayed_topk",
+      // q247: WOE cells x broadcast ONE-ROW class totals (the q77
+      // bracket) — machine-checked below
+      "q247_woe_buckets")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -269,7 +272,8 @@ class PlanShapeSpec extends SparkTestBase {
     // a grouping-free aggregate, which is structurally a single row
     for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
         "q198_kappa", "q200_source_scorecard", "q218_rfm_segments",
-        "q229_freshness_audit", "q241_decayed_topk"))
+        "q229_freshness_audit", "q241_decayed_topk",
+        "q247_woe_buckets"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +

@@ -1632,6 +1632,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3).getLong(1) === 0L && out(3).isNullAt(3))
     assert(out(4).getLong(2) === 4L && out(4).getDouble(3) === 2.0)
   }
+
+  test("langConfusion: cells count declared x detected, shares are of " +
+       "the declared row, a language without a stopword set lands in " +
+       "und — the finding, not a bug") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat and the dog"),   // detected en
+      ("en", "el perro y la casa"),    // mislabeled: detected es
+      ("zh", "zhongwen wenben neirong"), // zero stopword hits -> und
+      ("de", "der hund ist nicht da")) // detected de
+      .toDF("lang", "text")
+    val got = TextAnalysis.langConfusion(docs, "lang", "text")
+      .orderBy("declared", "detected").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("de", "de", 1L, 1.0),
+      ("en", "en", 1L, 0.5), ("en", "es", 1L, 0.5),
+      ("zh", "und", 1L, 1.0)))
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {

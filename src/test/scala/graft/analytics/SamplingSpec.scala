@@ -357,4 +357,24 @@ class SamplingSpec extends SparkTestBase {
     assert(frac.sortBy(t => (t._1, t._3)).toSeq ===
       again.sortBy(t => (t._1, t._3)).toSeq)
   }
+
+  test("reshardMovement: rendezvous relocates ~1/nTo of keys where " +
+       "modulo reshuffles nearly everything; replayable; bad sizes " +
+       "refuse") {
+    import spark.implicits._
+    val keys = (0 until 200).map(i => Tuple1(i.toLong)).toDF("id")
+    val got = Sampling.reshardMovement(keys, "id", 4, 5).collect().head
+    val (n, mm, mh) = (got.getLong(0), got.getLong(1), got.getLong(2))
+    assert(n === 200L)
+    // theory: HRW ~ n/5 = 40, modulo ~ 4n/5 = 160; generous brackets
+    // keep the pin hash-stable without baking in the exact hash values
+    assert(mh < mm, s"rendezvous ($mh) must move fewer than modulo ($mm)")
+    assert(mh >= 20L && mh <= 65L, s"HRW moves ~1/5 of 200, got $mh")
+    assert(mm >= 130L, s"modulo reshuffles nearly everything, got $mm")
+    assert(Sampling.reshardMovement(keys, "id", 4, 5).collect().head
+      === got, "deterministic hash placement replays")
+    intercept[IllegalArgumentException] {
+      Sampling.reshardMovement(keys, "id", 5, 5)
+    }
+  }
 }

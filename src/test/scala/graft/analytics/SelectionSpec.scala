@@ -255,4 +255,24 @@ class SelectionSpec extends SparkTestBase {
     assert((0L until 40L).forall(i => again(i) === out(i)._1),
       "scores must be identical under a different partitioning")
   }
+
+  test("woeBuckets: a perfectly separating feature posts symmetric " +
+       "smoothed WOE, negative values bucket by FLOOR not truncation, " +
+       "informative buckets contribute positive IV") {
+    import spark.implicits._
+    val df = (Seq.fill(4)((-0.5, 0L)) ++ Seq.fill(4)((0.5, 1L)))
+      .toDF("x", "y")
+    val got = Selection.woeBuckets(df, col("x"), col("y"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // smoothed: woe = ln((0.5/4)/(4.5/4)) = -ln 9 on the pure-neg
+    // bucket, +ln 9 on the pure-pos one; both IVs = +ln 9
+    val w = math.log(9.0)
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(got.toSeq === Seq(
+      // floor(-500/200) = -3: truncation toward zero would say -2
+      (-3L, 4L, 0L, 4L, r6(-w), r6(w)),
+      (2L, 4L, 4L, 0L, r6(w), r6(w))))
+  }
 }
