@@ -871,7 +871,27 @@ object ScaleBench {
         "q247_woe" -> (() =>
           analytics.Selection.woeBuckets(emb,
             element_at($"embedding", 1).cast("double"),
-            $"vec_id" % 2).count()))
+            $"vec_id" % 2).count()),
+        // word agg absorbs the 10x corpus; top-k never sorts the vocab
+        "q248_vocab_coverage" -> (() =>
+          analytics.TextAnalysis.vocabCoverage(docs, "text",
+            ks = Seq(5, 10, 20)).count()),
+        // distinct-value windows only; raw volume stops at the value agg
+        "q249_decile_lift" -> (() =>
+          analytics.Selection.decileLift(emb,
+            element_at($"embedding", 1).cast("double"),
+            $"vec_id" % 2).count()),
+        // map-side 32x explode + one (rep, arm) agg with partials
+        "q250_bootstrap_diff" -> (() =>
+          analytics.Stats.bootstrapDiffCI(events, $"user_id" % 2,
+            "value", "event_id", b = 32).count()),
+        // dow cells from the pre-aggregated day series
+        "q251_dow_seasonality" -> (() =>
+          analytics.Stats.dowSeasonalIndex(
+            events.groupBy($"event_type".as("key"),
+              to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "key", "day", "n").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

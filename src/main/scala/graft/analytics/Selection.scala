@@ -422,4 +422,59 @@ object Selection {
         (round(woe * 1e6) / 1e6).as("woe"),
         (round((ps - ns) * woe * 1e6) / 1e6).as("iv_contrib"))
   }
+
+  /** Decile lift/gains table for a scalar score against a binary
+    * label: rows rank by score (descending — decile 0 is the model's
+    * top slice), and each decile reports its positive rate, its lift
+    * over the base rate, and the cumulative share of ALL positives
+    * captured so far — the campaign-targeting readout ("mail decile 0
+    * and reach 30% of converters with 10% of the volume"). Decile
+    * assignment is TIE-INVARIANT: scores quantize to integers, all
+    * rows of one distinct value share the same cumulative-count-before
+    * and so the same decile (the q215 distinct-value-compression
+    * rule), and the cut uses integer cross-multiplication — no float
+    * boundary, no row-rank window over raw volume.
+    *
+    * Shape: one value-keyed agg, windows over the DISTINCT-value
+    * table, a <= `buckets`-row rollup. Output: (decile, n, n_pos,
+    * pos_rate, lift, cum_capture). */
+  def decileLift(df: DataFrame, xCol: Column, labelCol: Column,
+                 buckets: Int = 10, scale: Long = 1000L): DataFrame = {
+    require(buckets >= 2 && scale >= 1L, "need buckets >= 2, scale >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import Par.safeDiv
+    val v = Par.ensure(df)
+      .select(round(xCol * scale).cast("long").as("q"),
+        when(labelCol.cast("long") =!= 0L, 1L).otherwise(0L).as("y"))
+      .filter($"q".isNotNull)
+    val dv = v.groupBy($"q").agg(count(lit(1)).cast("long").as("n"),
+      sum($"y").cast("long").as("np"))
+    val ord = Window.orderBy($"q".desc)
+    val scored = dv.select($"q", $"n", $"np",
+      coalesce(sum($"n").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("cb"),
+      sum($"n").over(Window.partitionBy()).cast("long").as("tot"))
+    val d = scored
+      .withColumn("decile",
+        (($"cb" * buckets - ($"cb" * buckets) % $"tot") / $"tot")
+          .cast("long"))
+      .groupBy($"decile")
+      .agg(sum($"n").cast("long").as("n"),
+        sum($"np").cast("long").as("n_pos"))
+    val ordD = Window.orderBy($"decile")
+    val posAll = sum($"n_pos").over(Window.partitionBy()).cast("double")
+    val nAll = sum($"n").over(Window.partitionBy()).cast("double")
+    val rate = safeDiv($"n_pos".cast("double"), $"n".cast("double"))
+    val base = posAll / when(nAll > 0.0, nAll)
+    val cumPos = sum($"n_pos")
+      .over(ordD.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+    d.select($"decile", $"n", $"n_pos",
+      (round(rate * 1e6) / 1e6).as("pos_rate"),
+      (round(rate / when(base > 0.0, base) * 1e6) / 1e6).as("lift"),
+      (round(cumPos / when(posAll > 0.0, posAll) * 1e6) / 1e6)
+        .as("cum_capture"))
+  }
 }

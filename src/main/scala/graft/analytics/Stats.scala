@@ -422,6 +422,95 @@ object Stats {
       .select($"key".as(keyCol), $"n", $"mean", $"ci_lo", $"ci_hi")
   }
 
+  /** Hash-seeded bootstrap CI for the DIFFERENCE in arm means — the
+    * nonparametric A/B significance readout ([[bootstrapMeanCI]]'s
+    * machinery pointed at the quantity experimenters actually decide
+    * on): each replicate reweights BOTH arms with the same
+    * md5(id|replicate) Exp(1) weights, the replicate statistic is
+    * mean_b - mean_a, and the CI is the percentile band of the `b`
+    * replicate diffs; `significant` = the band excludes 0 (computed
+    * from the ROUNDED bounds so both engines make the same call).
+    *
+    * Shape: the explode is map-side, replicate means are one
+    * (rep, arm)-keyed agg with partials, the diff join and percentile
+    * run over 2b rows. Output: 1 row (n_a, n_b, diff_obs, ci_lo,
+    * ci_hi, significant). */
+  def bootstrapDiffCI(df: DataFrame, cohortCol: Column, valueCol: String,
+                      idCol: String, b: Int = 32, lo: Double = 0.025,
+                      hi: Double = 0.975): DataFrame = {
+    require(b >= 2 && 0.0 <= lo && lo < hi && hi <= 1.0,
+      "need b >= 2 and 0 <= lo < hi <= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val twoP60 = 1152921504606846976.0 // 2^60
+    val e = Par.ensure(df)
+      .select(cohortCol.cast("int").as("g"),
+        col(valueCol).cast("double").as("x"),
+        col(idCol).cast("string").as("rid"))
+      .filter($"x".isNotNull)
+    val rows = e
+      .select($"g", $"x", explode(sequence(lit(0), lit(b - 1))).as("rep"),
+        $"rid")
+      .withColumn("u",
+        (graft.analytics.Sketches.h60(
+          concat($"rid", lit("|"), col("rep").cast("string")))
+          .cast("double") + 1.0) / lit(twoP60))
+      .withColumn("w", -log($"u"))
+    val reps = rows.groupBy($"rep", $"g")
+      .agg(round(Par.safeDiv(sum($"w" * $"x"), sum($"w")), 6).as("mb"))
+    val diffs = reps.filter($"g" === 0)
+      .select($"rep", $"mb".as("mb_a"))
+      .join(reps.filter($"g" === 1).select($"rep", $"mb".as("mb_b")),
+        Seq("rep"))
+      .select(($"mb_b" - $"mb_a").as("d"))
+    val ci = diffs.agg(
+      round(expr(s"percentile(d, $lo)"), 6).as("ci_lo"),
+      round(expr(s"percentile(d, $hi)"), 6).as("ci_hi"))
+    e.agg(
+      sum(when($"g" === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      round(avg(when($"g" === 1, $"x")) - avg(when($"g" === 0, $"x")), 6)
+        .as("diff_obs"))
+      .join(broadcast(ci), lit(true))
+      .select($"n_a", $"n_b", $"diff_obs", $"ci_lo", $"ci_hi",
+        ($"ci_lo" > 0.0 || $"ci_hi" < 0.0).as("significant"))
+  }
+
+  /** Day-of-week seasonal index per key: each ISO weekday's AVERAGE
+    * daily volume relative to the key's own all-days average — the
+    * demand-planning multiplier table (a Monday index of 1.3 means
+    * Mondays run 30% hot). Averages divide by the number of DISTINCT
+    * active days per weekday, so a 30-day feed (5 Mondays, 4 Sundays)
+    * doesn't fake weekday skew from calendar coverage.
+    *
+    * Shape: the day series arrives pre-aggregated; weekday cells and
+    * per-key totals are windows over the <= 7-row dow table per key.
+    * Output: (key, isodow, n_events, n_days, daily_rate,
+    * seasonal_index). */
+  def dowSeasonalIndex(series: DataFrame, keyCol: String, dayCol: String,
+                       xCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import Par.safeDiv
+    val cells = series
+      .select(col(keyCol).as("key"), (weekday(col(dayCol)) + 1)
+        .cast("int").as("isodow"), col(xCol).cast("long").as("x"))
+      .groupBy($"key", $"isodow")
+      .agg(sum($"x").cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_days"))
+    val wk = Window.partitionBy($"key")
+    val rate = safeDiv($"n_events".cast("double"),
+      $"n_days".cast("double"))
+    val overall = sum($"n_events").over(wk).cast("double") /
+      when(sum($"n_days").over(wk).cast("double") > 0.0,
+        sum($"n_days").over(wk).cast("double"))
+    cells.select($"key", $"isodow", $"n_events", $"n_days",
+      (round(rate * 1e6) / 1e6).as("daily_rate"),
+      (round(rate / when(overall > 0.0, overall) * 1e6) / 1e6)
+        .as("seasonal_index"))
+  }
+
   /** CUSUM changepoint/level-shift detection on per-group hourly event
     * counts (Page 1954): the one-sided cumulative-sum statistic
     * `S_t = max(0, S_{t-1} + (x_t - mu - slack))` flags a SUSTAINED

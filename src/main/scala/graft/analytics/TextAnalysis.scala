@@ -118,6 +118,43 @@ object TextAnalysis {
           * 1e6) / 1e6).as("row_share"))
   }
 
+  /** Vocabulary coverage curve: what share of ALL corpus tokens the
+    * top-k most frequent types cover, at the requested ranks — the
+    * Zipf-tail readout that sizes tokenizer vocabularies and
+    * stopword lists (English-like corpora cover ~50% with ~100
+    * types). Ranks tie-break by word so the curve replays exactly.
+    *
+    * Shape: one word-keyed count agg absorbs raw volume; the top-k
+    * selection is `orderBy.limit` — Spark's TakeOrderedAndProject,
+    * a map-side partial top-k merged at the driver, NEVER a global
+    * sort of the vocabulary (fine for k <= ~10^4; the vocab itself is
+    * never assumed broadcastable) — and the rank/cumulative windows
+    * run over the <= max(ks) surviving rows only. Output per k:
+    * (k, top_k_tokens, total_tokens, coverage). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ranks must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = Par.ensure(docs)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = c.agg(sum($"cnt").cast("long").as("total_tokens"))
+    val w = Window.orderBy($"cnt".desc, $"word")
+    val ranked = c.orderBy($"cnt".desc, $"word").limit(ks.max)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("covered", sum($"cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    ranked.filter($"rnk".isin(ks.map(_.toLong): _*))
+      .join(broadcast(tot), lit(true))
+      .select($"rnk".as("k"), $"covered".as("top_k_tokens"),
+        $"total_tokens",
+        (round(Par.safeDiv($"covered".cast("double"),
+          $"total_tokens".cast("double")) * 1e6) / 1e6).as("coverage"))
+  }
+
   /** The composed corpus-cleaning decision — what a training-data pipeline
     * actually ships: exact-dup removal + quality gate + language gate fused
     * into ONE scan and ONE exchange. All flag expressions evaluate in the

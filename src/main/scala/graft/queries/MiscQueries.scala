@@ -3006,6 +3006,187 @@ object MiscQueries {
             xCol = element_at(col("embedding"), 1).cast("double"),
             labelCol = col("label") % 2)
           .orderBy("bucket")
+      }),
+
+    // ----- vocabulary coverage curve -----
+    Q("q248_vocab_coverage",
+      "token share covered by the top-k most frequent types at ranks " +
+        "5/10/20 — the Zipf-tail readout that sizes tokenizer vocabs " +
+        "and stopword lists; one word-keyed agg absorbs raw volume, " +
+        "top-k via TakeOrderedAndProject (map-side partial top-k, " +
+        "never a global vocab sort), rank/cumulative windows over the " +
+        "<= 20 survivors, broadcast one-row token total",
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+             |      FROM documents),
+             |ww AS (SELECT word FROM w WHERE word <> ''),
+             |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM ww GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+             |r AS (SELECT cnt,
+             |        CAST(row_number() OVER (ORDER BY cnt DESC, word)
+             |          AS BIGINT) AS rnk,
+             |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS covered
+             |      FROM c)
+             |SELECT rnk AS k, covered AS top_k_tokens, t.total_tokens,
+             |  round(CAST(covered AS DOUBLE)
+             |    / CAST(CASE WHEN total_tokens > 0 THEN total_tokens END
+             |      AS DOUBLE) * 1e6) / 1e6 AS coverage
+             |FROM r CROSS JOIN t WHERE rnk IN (5, 10, 20)
+             |ORDER BY k""".stripMargin),
+      (s, dir) =>
+        graft.analytics.TextAnalysis.vocabCoverage(
+            Tables(s, dir, "documents"), textCol = "text",
+            ks = Seq(5, 10, 20))
+          .orderBy("k")),
+
+    // ----- decile lift / gains table -----
+    Q("q249_decile_lift",
+      "decile lift and gains for the first embedding dimension " +
+        "scoring the parity label: per descending-score decile the " +
+        "positive rate, lift over base, and cumulative capture — the " +
+        "campaign-targeting readout; TIE-INVARIANT deciles via " +
+        "distinct-value compression + integer cross-multiplied cuts " +
+        "(the q215 rule — no row-rank window over raw volume), " +
+        "windows only over distinct values and the 10-row rollup",
+      Some("""WITH v AS (SELECT
+             |        CAST(round(CAST(embedding[1] AS DOUBLE) * 1000)
+             |          AS BIGINT) AS q,
+             |        CAST(CASE WHEN label % 2 <> 0 THEN 1 ELSE 0 END
+             |          AS BIGINT) AS y
+             |      FROM embeddings),
+             |dv AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(y) AS BIGINT) AS np
+             |      FROM v GROUP BY 1),
+             |sc AS (SELECT q, n, np,
+             |        CAST(coalesce(sum(n) OVER (ORDER BY q DESC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS BIGINT) AS cb,
+             |        CAST(sum(n) OVER () AS BIGINT) AS tot
+             |      FROM dv),
+             |d AS (SELECT CAST((cb * 10 - (cb * 10) % tot) / tot
+             |          AS BIGINT) AS decile,
+             |        CAST(sum(n) AS BIGINT) AS n,
+             |        CAST(sum(np) AS BIGINT) AS n_pos
+             |      FROM sc GROUP BY 1),
+             |f AS (SELECT decile, n, n_pos,
+             |        CAST(sum(n_pos) OVER (ORDER BY decile
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS DOUBLE) AS cum_pos,
+             |        CAST(sum(n_pos) OVER () AS DOUBLE) AS pos_all,
+             |        CAST(sum(n) OVER () AS DOUBLE) AS n_all
+             |      FROM d)
+             |SELECT decile, n, n_pos,
+             |  round(CAST(n_pos AS DOUBLE)
+             |    / CAST(CASE WHEN n > 0 THEN n END AS DOUBLE) * 1e6) / 1e6
+             |    AS pos_rate,
+             |  round((CAST(n_pos AS DOUBLE)
+             |      / CAST(CASE WHEN n > 0 THEN n END AS DOUBLE))
+             |    / CASE WHEN pos_all / CASE WHEN n_all > 0 THEN n_all END
+             |        > 0
+             |      THEN pos_all / CASE WHEN n_all > 0 THEN n_all END END
+             |    * 1e6) / 1e6 AS lift,
+             |  round(cum_pos
+             |    / CASE WHEN pos_all > 0 THEN pos_all END * 1e6) / 1e6
+             |    AS cum_capture
+             |FROM f ORDER BY decile""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, element_at}
+        graft.analytics.Selection.decileLift(
+            Tables(s, dir, "embeddings"),
+            xCol = element_at(col("embedding"), 1).cast("double"),
+            labelCol = col("label") % 2)
+          .orderBy("decile")
+      }),
+
+    // ----- bootstrap diff-in-means CI -----
+    Q("q250_bootstrap_diff_ci",
+      "hash-seeded bootstrap 95% CI for the DIFFERENCE in arm means " +
+        "of event value (the q184 machinery pointed at the quantity " +
+        "experimenters decide on): 32 replicates reweight both arms " +
+        "with the same md5(id|rep) Exp(1) weights, CI = percentile " +
+        "band of the replicate diffs, significant = the ROUNDED band " +
+        "excludes 0; map-side explode, one (rep, arm) agg, the diff " +
+        "join and percentile over 64 rows",
+      Some("""WITH e AS (SELECT CAST(user_id % 2 AS INT) AS g, value,
+             |        event_id
+             |      FROM events WHERE value IS NOT NULL),
+             |rep AS (SELECT g, value, event_id,
+             |        CAST(unnest(range(0, 32)) AS INT) AS rep FROM e),
+             |wts AS (SELECT g, rep, value,
+             |        -ln((CAST(('0x' || substring(md5(CAST(event_id
+             |            AS VARCHAR) || '|' || CAST(rep AS VARCHAR)),
+             |            1, 15))::BIGINT AS DOUBLE) + 1.0)
+             |          / 1152921504606846976) AS w
+             |      FROM rep),
+             |mb AS (SELECT rep, g, round(sum(w * value) / sum(w), 6) AS mb
+             |       FROM wts GROUP BY 1, 2),
+             |dv AS (SELECT b.mb - a.mb AS d
+             |       FROM mb a JOIN mb b
+             |         ON b.rep = a.rep AND a.g = 0 AND b.g = 1),
+             |ci AS (SELECT round(quantile_cont(d, 0.025), 6) AS ci_lo,
+             |              round(quantile_cont(d, 0.975), 6) AS ci_hi
+             |       FROM dv),
+             |obs AS (SELECT
+             |        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_a,
+             |        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS n_b,
+             |        round(avg(CASE WHEN g = 1 THEN value END)
+             |          - avg(CASE WHEN g = 0 THEN value END), 6)
+             |          AS diff_obs
+             |       FROM e)
+             |SELECT obs.n_a, obs.n_b, obs.diff_obs, ci.ci_lo, ci.ci_hi,
+             |  (ci.ci_lo > 0 OR ci.ci_hi < 0) AS significant
+             |FROM obs CROSS JOIN ci""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.bootstrapDiffCI(Tables(s, dir, "events"),
+          cohortCol = org.apache.spark.sql.functions.col("user_id") % 2,
+          valueCol = "value", idCol = "event_id", b = 32)),
+
+    // ----- day-of-week seasonal index -----
+    Q("q251_dow_seasonality",
+      "ISO-weekday seasonal index per event type: each weekday's " +
+        "AVERAGE daily volume vs the type's all-days average — the " +
+        "demand-planning multiplier table; averages divide by DISTINCT " +
+        "active days per weekday so a 30-day feed (5 Mondays, 4 " +
+        "Sundays) can't fake skew from calendar coverage; windows over " +
+        "the <= 7-row dow table per key",
+      Some("""WITH d AS (SELECT event_type AS key,
+             |        CAST(date_trunc('day', ts) AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS x
+             |      FROM events GROUP BY 1, 2),
+             |c AS (SELECT key, CAST(isodow(day) AS INT) AS isodow,
+             |        CAST(sum(x) AS BIGINT) AS n_events,
+             |        CAST(count(*) AS BIGINT) AS n_days
+             |      FROM d GROUP BY 1, 2),
+             |f AS (SELECT key, isodow, n_events, n_days,
+             |        CAST(sum(n_events) OVER (PARTITION BY key) AS DOUBLE)
+             |          AS te,
+             |        CAST(sum(n_days) OVER (PARTITION BY key) AS DOUBLE)
+             |          AS td
+             |      FROM c)
+             |SELECT key AS event_type, isodow, n_events, n_days,
+             |  round(CAST(n_events AS DOUBLE)
+             |    / CAST(CASE WHEN n_days > 0 THEN n_days END AS DOUBLE)
+             |    * 1e6) / 1e6 AS daily_rate,
+             |  round((CAST(n_events AS DOUBLE)
+             |      / CAST(CASE WHEN n_days > 0 THEN n_days END AS DOUBLE))
+             |    / CASE WHEN te / CASE WHEN td > 0 THEN td END > 0
+             |      THEN te / CASE WHEN td > 0 THEN td END END * 1e6) / 1e6
+             |    AS seasonal_index
+             |FROM f ORDER BY event_type, isodow""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type").as("key"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("x"))
+        graft.analytics.Stats.dowSeasonalIndex(daily, keyCol = "key",
+            dayCol = "day", xCol = "x")
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type", "isodow")
       })
   )
 

@@ -214,7 +214,13 @@ class PlanShapeSpec extends SparkTestBase {
       "q241_decayed_topk",
       // q247: WOE cells x broadcast ONE-ROW class totals (the q77
       // bracket) — machine-checked below
-      "q247_woe_buckets")
+      "q247_woe_buckets",
+      // q248: top-k coverage rows x broadcast ONE-ROW token total —
+      // machine-checked below
+      "q248_vocab_coverage",
+      // q250: one-row observed diff x broadcast ONE-ROW percentile CI —
+      // machine-checked below
+      "q250_bootstrap_diff_ci")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -273,7 +279,8 @@ class PlanShapeSpec extends SparkTestBase {
     for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
         "q198_kappa", "q200_source_scorecard", "q218_rfm_segments",
         "q229_freshness_audit", "q241_decayed_topk",
-        "q247_woe_buckets"))
+        "q247_woe_buckets", "q248_vocab_coverage",
+        "q250_bootstrap_diff_ci"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +

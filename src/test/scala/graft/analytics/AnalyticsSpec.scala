@@ -1652,6 +1652,22 @@ class TextAnalysisSpec extends SparkTestBase {
       ("en", "en", 1L, 0.5), ("en", "es", 1L, 0.5),
       ("zh", "und", 1L, 1.0)))
   }
+
+  test("vocabCoverage: cumulative token shares at the requested ranks, " +
+       "count ties break by word so the curve replays, empty tokens " +
+       "from double spaces are excluded") {
+    import spark.implicits._
+    // counts: a=5, b=3, c=3, d=1 (total 12); rank order a, b, c, d
+    val docs = Seq("a a a  a a", "b b b c", "c c d").toDF("text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", ks = Seq(1, 3))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(got.toSeq === Seq(
+      (1L, 5L, 12L, r6(5.0 / 12.0)),
+      (3L, 11L, 12L, r6(11.0 / 12.0))))
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {
@@ -2819,6 +2835,48 @@ class StatsSpec extends SparkTestBase {
     // one day: no pairs — the key must still report (S=0), not vanish
     assert(one.getLong(1) === 1L && one.getLong(2) === 0L &&
       one.isNullAt(4))
+  }
+
+  test("bootstrapDiffCI: separated arms give a degenerate CI at the " +
+       "exact diff and flag significant, identical arms sit at 0 and " +
+       "don't, replicates replay") {
+    import spark.implicits._
+    // weighted mean of a constant is the constant: every replicate
+    // diff is exactly 4.0, so the percentile band collapses onto it
+    val sep = ((0 until 6).map(i => (i.toLong * 2, 1.0)) ++
+      (0 until 6).map(i => (i.toLong * 2 + 1, 5.0)))
+      .toDF("event_id", "value")
+    val g = Stats.bootstrapDiffCI(sep, col("event_id") % 2, "value",
+      "event_id", b = 8).collect().head
+    assert(g.getLong(0) === 6L && g.getLong(1) === 6L)
+    assert(g.getDouble(2) === 4.0 && g.getDouble(3) === 4.0 &&
+      g.getDouble(4) === 4.0 && g.getBoolean(5))
+    val same = ((0 until 12).map(i => (i.toLong, 3.0)))
+      .toDF("event_id", "value")
+    val g2 = Stats.bootstrapDiffCI(same, col("event_id") % 2, "value",
+      "event_id", b = 8).collect().head
+    assert(g2.getDouble(2) === 0.0 && g2.getDouble(3) === 0.0 &&
+      g2.getDouble(4) === 0.0 && !g2.getBoolean(5))
+    assert(Stats.bootstrapDiffCI(sep, col("event_id") % 2, "value",
+      "event_id", b = 8).collect().head === g, "hash weights replay")
+  }
+
+  test("dowSeasonalIndex: two full weeks with hot Mondays index at " +
+       "exactly 1.75 vs 0.875, day coverage divides per weekday") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)) // Jan 1 = Mon
+    val s = (0 until 14).map(i =>
+      ("k", day(i), if (i % 7 == 0) 20L else 10L))
+    val got = Stats.dowSeasonalIndex(s.toDF("g", "d", "v"), "g", "d", "v")
+      .orderBy("isodow").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    val overall = 160.0 / 14.0
+    assert(got(0) === ((1, 40L, 2L, 20.0, r6(20.0 / overall)))) // 1.75
+    assert(got.drop(1).forall(t => t._2 === 20L && t._3 === 2L &&
+      t._4 === 10.0 && t._5 === r6(10.0 / overall)))            // 0.875
   }
 
   test("locfGapfill: gaps flag and carry the last reading forward, the " +

@@ -275,4 +275,27 @@ class SelectionSpec extends SparkTestBase {
       (-3L, 4L, 0L, 4L, r6(-w), r6(w)),
       (2L, 4L, 4L, 0L, r6(w), r6(w))))
   }
+
+  test("decileLift: top deciles capture the positives (lift = 1/base " +
+       "rate), cumulative gains reach 1, tied scores share a decile " +
+       "instead of splitting on row order") {
+    import spark.implicits._
+    // scores 1..20, positives at the top 4: deciles 0/1 are pure
+    val df = (1 to 20).map(i => (i.toDouble, if (i >= 17) 1L else 0L))
+      .toDF("x", "y")
+    val got = Selection.decileLift(df, col("x"), col("y"))
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length === 10)
+    assert(got(0) === ((0L, 2L, 2L, 1.0, 5.0, 0.5)))
+    assert(got(1) === ((1L, 2L, 2L, 1.0, 5.0, 1.0)))
+    assert(got(9)._3 === 0L && got(9)._5 === 0.0 && got(9)._6 === 1.0)
+    // one distinct score: every row lands in ONE decile — a row-rank
+    // split would scatter them by arbitrary order
+    val g2 = Selection.decileLift(Seq.fill(20)((5.0, 1L)).toDF("x", "y"),
+      col("x"), col("y")).collect()
+    assert(g2.length === 1 && g2.head.getLong(0) === 0L &&
+      g2.head.getLong(1) === 20L)
+  }
 }
