@@ -891,7 +891,29 @@ object ScaleBench {
             events.groupBy($"event_type".as("key"),
               to_date($"ts").as("day"))
               .agg(count(lit(1)).cast("long").as("n")),
-            "key", "day", "n").count()))
+            "key", "day", "n").count()),
+        // one per-user window sort + session-keyed max_by/distinct aggs
+        "q252_exit_rates" -> (() =>
+          analytics.Events.exitRates(events, "user_id", "ts",
+            "event_id", "event_type").count()),
+        // one user agg to membership flags + 1-row rollup
+        "q253_capture_recapture" -> (() =>
+          analytics.Sketches.captureRecapture(events, "user_id",
+            $"event_id" % 2 === 0, $"event_id" % 2 === 1).count()),
+        // word agg absorbs the 10x corpus; 1-row rollup
+        "q254_vocab_richness" -> (() =>
+          analytics.TextAnalysis.vocabRichness(docs, "text").count()),
+        // user agg + dictionary stratum agg + 1-row rollup
+        "q255_post_stratified" -> (() =>
+          analytics.Events.postStratifiedDiff(events, "user_id",
+            "event_type", "purchase", "value", $"user_id" % 2,
+            $"user_id" % 5).count()),
+        // one keyed window lag over the per-user day series
+        "q256_gap_episodes" -> (() =>
+          analytics.DataAudit.gapEpisodes(
+            events.select($"user_id".as("key"),
+              to_date($"ts").as("day")).distinct(),
+            "key", "day").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

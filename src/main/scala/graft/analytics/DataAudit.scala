@@ -263,6 +263,43 @@ object DataAudit {
         col("class_size") < k || col("l_distinct") < l)
   }
 
+  /** Gap-episode SLA audit per key: from a (key, day) activity series,
+    * the number of MISSING-day runs, total missing days, the longest
+    * single outage, and coverage over the key's own first..last span —
+    * the gaps-and-islands readout a data-SLA review wants ("how often
+    * did this feed go dark, and for how long at a stretch"), the
+    * episode view [[freshness]]'s point-in-time staleness can't give.
+    *
+    * Shape: the series arrives pre-aggregated and deduplicates to
+    * (key, day); ONE key-partitioned window lag computes each
+    * observation's gap-before; everything else is a keyed aggregate.
+    * Output: (key, n_days, span_days, n_gap_episodes, missing_days,
+    * longest_gap, coverage). */
+  def gapEpisodes(series: DataFrame, keyCol: String,
+                  dayCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = series.select(col(keyCol).as("key"), col(dayCol).as("day"))
+      .filter($"day".isNotNull).distinct()
+    val w = Window.partitionBy($"key").orderBy($"day")
+    val gapBefore = datediff($"day", lag($"day", 1).over(w)) - 1
+    s.withColumn("gb", gapBefore)
+      .groupBy($"key")
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        (datediff(max($"day"), min($"day")) + 1).cast("long")
+          .as("span_days"),
+        sum(when($"gb" > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_gap_episodes"),
+        sum(when($"gb" > 0, $"gb".cast("long")).otherwise(0L))
+          .cast("long").as("missing_days"),
+        coalesce(max(when($"gb" > 0, $"gb".cast("long"))), lit(0L))
+          .as("longest_gap"))
+      .withColumn("coverage",
+        round(Par.safeDiv($"n_days".cast("double"),
+          $"span_days".cast("double")) * 1e6) / 1e6)
+  }
+
   /** Differentially-private count release: per-group counts plus
     * Laplace(1/epsilon) noise — the third leg of the privacy family
     * (k-anonymity and l-diversity suppress; DP perturbs, so every

@@ -280,6 +280,108 @@ object Events {
       (chi2 > 3.841459).as("srm"))
   }
 
+  /** Post-stratified A/B difference: the arm diff reweighted so every
+    * stratum counts by its OVERALL share — w_s (mean_b,s - mean_a,s)
+    * summed over strata — the weighting complement to [[cupedLift]]
+    * (CUPED removes pre-period variance; post-stratification removes
+    * the bias a lopsided stratum mix injects when randomization is
+    * imperfect or the readout slices late). Strata present in only one
+    * arm have an undefined diff and are EXCLUDED from the adjusted sum
+    * (their weight reports in `w_excluded` so the exclusion is
+    * visible, never silent). Metrics quantize to integer cents (the
+    * q238 rule).
+    *
+    * Shape: one user-keyed agg, one stratum-keyed conditional agg
+    * (dictionary-sized), ONE 1-row rollup. Output: 1 row (n_a, n_b,
+    * diff_raw, diff_post, n_strata, w_excluded). */
+  def postStratifiedDiff(events: DataFrame, userCol: String,
+                         typeCol: String, convType: String,
+                         valueCol: String, cohortCol: Column,
+                         stratumCol: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import Par.safeDiv
+    val cents = when(col(typeCol) === convType,
+      round(col(valueCol) * 100).cast("long")).otherwise(0L)
+    val u = events
+      .select(col(userCol).as("u"), cohortCol.cast("int").as("g"),
+        stratumCol.cast("string").as("s"), cents.as("xr"))
+      .groupBy($"u")
+      .agg(max($"g").as("g"), max($"s").as("s"),
+        sum($"xr").cast("long").as("y"))
+    val st = u.groupBy($"s").agg(
+      sum(when($"g" === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when($"g" === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when($"g" === 0, $"y").otherwise(0L)).cast("long").as("sy_a"),
+      sum(when($"g" === 1, $"y").otherwise(0L)).cast("long").as("sy_b"))
+    val d = safeDiv($"sy_b".cast("double"), $"n_b".cast("double")) -
+      safeDiv($"sy_a".cast("double"), $"n_a".cast("double"))
+    val roll = st.agg(
+      sum($"n_a").cast("long").as("n_a"),
+      sum($"n_b").cast("long").as("n_b"),
+      sum($"sy_a").cast("long").as("sy_a"),
+      sum($"sy_b").cast("long").as("sy_b"),
+      count(lit(1)).cast("long").as("n_strata"),
+      // per-stratum weight = its share of ALL users; a null stratum
+      // diff (one-armed stratum) drops out of sum() in both engines
+      sum(($"n_a" + $"n_b").cast("double") * d).as("wsum"),
+      sum(when($"n_a" === 0L || $"n_b" === 0L, $"n_a" + $"n_b")
+        .otherwise(0L)).cast("long").as("n_excluded"))
+    roll.select($"n_a", $"n_b",
+      (round((safeDiv($"sy_b".cast("double"), $"n_b".cast("double")) -
+        safeDiv($"sy_a".cast("double"), $"n_a".cast("double"))) / 100.0
+        * 1e6) / 1e6).as("diff_raw"),
+      (round(safeDiv($"wsum", ($"n_a" + $"n_b").cast("double")) / 100.0
+        * 1e6) / 1e6).as("diff_post"),
+      $"n_strata",
+      (round(safeDiv($"n_excluded".cast("double"),
+        ($"n_a" + $"n_b").cast("double")) * 1e6) / 1e6)
+        .as("w_excluded"))
+  }
+
+  /** Session exit analysis: per event type, how many gap-sessions
+    * CONTAIN it vs END on it — exit rate = ended / contained, the
+    * "where do sessions die" readout that ranks the last thing users
+    * saw before leaving (the q228 abandonment signal generalized from
+    * one funnel pair to every type). Sessions are the q54 gap rule
+    * ((ts, id)-ordered per user, new session after `gapMinutes` of
+    * silence); a session's exit is its LAST event, ties by id.
+    *
+    * Shape: one per-user window sort assigns session ids, the exit is
+    * a max_by hash agg per session (no second window), containment is
+    * a (session, type)-distinct agg, and the final join runs over the
+    * type dictionary. Output: (event_type, n_sessions, n_exits,
+    * exit_rate). */
+  def exitRates(events: DataFrame, userCol: String, tsCol: String,
+                idCol: String, typeCol: String,
+                gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, "gapMinutes must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import Par.safeDiv
+    val e = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(idCol).as("eid"), col(typeCol).as("t"))
+    val byUser = Window.partitionBy($"u").orderBy($"ts", $"eid")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val newS = when(lag($"ts", 1).over(byUser).isNull ||
+      unix_micros($"ts") -
+        unix_micros(lag($"ts", 1).over(byUser)) > gapUs, 1)
+      .otherwise(0)
+    val sess = e.withColumn("sid", sum(newS).over(
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exits = sess.groupBy($"u", $"sid")
+      .agg(max_by($"t", struct($"ts", $"eid")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).cast("long").as("n_exits"))
+    val contains = sess.select($"u", $"sid", $"t").distinct()
+      .groupBy($"t").agg(count(lit(1)).cast("long").as("n_sessions"))
+    contains.join(exits, Seq("t"), "left")
+      .select($"t".as("event_type"), $"n_sessions",
+        coalesce($"n_exits", lit(0L)).as("n_exits"),
+        (round(safeDiv(coalesce($"n_exits", lit(0L)).cast("double"),
+          $"n_sessions".cast("double")) * 1e6) / 1e6).as("exit_rate"))
+  }
+
   /** First-order Markov next-event model, trained and EVALUATED: build
     * the per-from-state argmax transition model on the pre-`splitDay`
     * feed, predict every post-split transition, report accuracy per

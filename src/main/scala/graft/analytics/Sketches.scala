@@ -248,6 +248,45 @@ object Sketches {
     *
     * Output: (key_a, key_b, est_a, est_b, est_union, est_inter,
     * est_jaccard) for every unordered pair, estimates rounded to 6. */
+  /** Lincoln-Petersen capture-recapture estimate of a population's
+    * size from two overlapping observation windows: keys marked by
+    * `sampleA` and `sampleB` predicates, estimate = n1*n2/overlap —
+    * the ecology estimator that doubles as a coverage audit for ANY
+    * partial observation process (two crawls, two log shards, two
+    * days of traffic: how many users exist beyond what either window
+    * saw?). Reported against the actual distinct count with relative
+    * error, so the estimator itself is auditable where ground truth
+    * exists. Zero overlap nulls the estimate (undefined, not
+    * infinity).
+    *
+    * Shape: one key-keyed agg collapses observations to per-key
+    * membership flags, then ONE 1-row rollup. Output: 1 row
+    * (n1, n2, overlap, lp_estimate, n_actual, rel_err). */
+  def captureRecapture(df: DataFrame, keyCol: String, sampleA: Column,
+                       sampleB: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = Par.ensure(df)
+      .select(col(keyCol).as("k"),
+        when(sampleA, 1L).otherwise(0L).as("a"),
+        when(sampleB, 1L).otherwise(0L).as("b"))
+      .filter($"k".isNotNull)
+      .groupBy($"k").agg(max($"a").as("ina"), max($"b").as("inb"))
+    val agg = k.agg(
+      count(lit(1)).cast("long").as("n_actual"),
+      sum($"ina").cast("long").as("n1"),
+      sum($"inb").cast("long").as("n2"),
+      sum($"ina" * $"inb").cast("long").as("overlap"))
+    val lp = $"n1".cast("double") * $"n2" /
+      when($"overlap" > 0L, $"overlap").cast("double")
+    agg.select($"n1", $"n2", $"overlap",
+      (round(lp * 1e6) / 1e6).as("lp_estimate"),
+      $"n_actual",
+      (round((lp - $"n_actual") /
+        when($"n_actual" > 0L, $"n_actual").cast("double") * 1e6) / 1e6)
+        .as("rel_err"))
+  }
+
   def kmvOverlap(df: DataFrame, keyCol: String, value: Column,
                  k: Int = 64): DataFrame = {
     require(k >= 2, "k must be >= 2")

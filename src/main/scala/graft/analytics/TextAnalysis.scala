@@ -155,6 +155,39 @@ object TextAnalysis {
           $"total_tokens".cast("double")) * 1e6) / 1e6).as("coverage"))
   }
 
+  /** Vocabulary richness and unseen mass: Good-Turing's estimate of
+    * the probability the NEXT token is a never-seen type
+    * (singletons/tokens) and the bias-corrected Chao1 estimate of how
+    * many types exist beyond the sample
+    * (types + n1(n1-1)/(2(n2+1)), always defined) — the "is this
+    * corpus slice saturated" readout that tells a crawl whether more
+    * of the same source still buys new vocabulary. Exact integer
+    * frequency-of-frequency counts; one word-keyed agg then ONE 1-row
+    * rollup. Output: 1 row (n_types, n_tokens, singletons, doubletons,
+    * unseen_mass, chao1_types). */
+  def vocabRichness(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val c = Par.ensure(docs)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).cast("long").as("cnt"))
+    val a = c.agg(
+      count(lit(1)).cast("long").as("n_types"),
+      sum($"cnt").cast("long").as("n_tokens"),
+      sum(when($"cnt" === 1L, 1L).otherwise(0L)).cast("long")
+        .as("singletons"),
+      sum(when($"cnt" === 2L, 1L).otherwise(0L)).cast("long")
+        .as("doubletons"))
+    a.select($"n_types", $"n_tokens", $"singletons", $"doubletons",
+      (round(Par.safeDiv($"singletons".cast("double"),
+        $"n_tokens".cast("double")) * 1e6) / 1e6).as("unseen_mass"),
+      (round(($"n_types".cast("double") +
+        $"singletons".cast("double") * ($"singletons" - 1L) /
+          (lit(2.0) * ($"doubletons" + 1L))) * 1e6) / 1e6)
+        .as("chao1_types"))
+  }
+
   /** The composed corpus-cleaning decision — what a training-data pipeline
     * actually ships: exact-dup removal + quality gate + language gate fused
     * into ONE scan and ONE exchange. All flag expressions evaluate in the

@@ -3187,6 +3187,223 @@ object MiscQueries {
             dayCol = "day", xCol = "x")
           .withColumnRenamed("key", "event_type")
           .orderBy("event_type", "isodow")
+      }),
+
+    // ----- session exit rates -----
+    Q("q252_exit_rates",
+      "where sessions die: per event type, gap-sessions (q54 rule, 30 " +
+        "min) that CONTAIN it vs END on it, exit rate = ended/" +
+        "contained — the q228 abandonment signal generalized to every " +
+        "type; one per-user window sort assigns sessions, the exit is " +
+        "a max_by per session (no second window), containment a " +
+        "(session, type)-distinct agg, final join over the type " +
+        "dictionary",
+      Some("""WITH e AS (SELECT user_id AS u, ts, event_id AS eid,
+             |        event_type AS t FROM events),
+             |s0 AS (SELECT u, ts, eid, t,
+             |        CASE WHEN lag(ts) OVER (PARTITION BY u
+             |            ORDER BY ts, eid) IS NULL
+             |          OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+             |            PARTITION BY u ORDER BY ts, eid)) > 1800000000
+             |          THEN 1 ELSE 0 END AS news
+             |      FROM e),
+             |s AS (SELECT u, t, ts, eid,
+             |        sum(news) OVER (PARTITION BY u ORDER BY ts, eid
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS sid
+             |      FROM s0),
+             |x AS (SELECT t, CAST(count(*) AS BIGINT) AS n_exits FROM (
+             |        SELECT u, sid, t,
+             |          row_number() OVER (PARTITION BY u, sid
+             |            ORDER BY ts DESC, eid DESC) AS rn
+             |        FROM s) WHERE rn = 1 GROUP BY t),
+             |c AS (SELECT t, CAST(count(*) AS BIGINT) AS n_sessions
+             |      FROM (SELECT DISTINCT u, sid, t FROM s) GROUP BY t)
+             |SELECT c.t AS event_type, c.n_sessions,
+             |  coalesce(x.n_exits, CAST(0 AS BIGINT)) AS n_exits,
+             |  round(CAST(coalesce(x.n_exits, 0) AS DOUBLE)
+             |    / CAST(CASE WHEN c.n_sessions > 0 THEN c.n_sessions END
+             |      AS DOUBLE) * 1e6) / 1e6 AS exit_rate
+             |FROM c LEFT JOIN x USING (t)
+             |ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.exitRates(Tables(s, dir, "events"),
+            userCol = "user_id", tsCol = "ts", idCol = "event_id",
+            typeCol = "event_type", gapMinutes = 30)
+          .orderBy("event_type")),
+
+    // ----- capture-recapture population estimate -----
+    Q("q253_capture_recapture",
+      "Lincoln-Petersen population estimate of distinct users from " +
+        "two overlapping observation windows (even vs odd event ids): " +
+        "n1*n2/overlap, audited against the actual distinct count " +
+        "with relative error — the coverage estimator for ANY partial " +
+        "observation (two crawls, two log shards); one user-keyed agg " +
+        "to membership flags + ONE 1-row rollup",
+      Some("""WITH k AS (SELECT user_id AS k,
+             |        CAST(max(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0
+             |          END) AS BIGINT) AS ina,
+             |        CAST(max(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0
+             |          END) AS BIGINT) AS inb
+             |      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_actual,
+             |        CAST(sum(ina) AS BIGINT) AS n1,
+             |        CAST(sum(inb) AS BIGINT) AS n2,
+             |        CAST(sum(ina * inb) AS BIGINT) AS overlap
+             |      FROM k)
+             |SELECT n1, n2, overlap,
+             |  round(CAST(n1 AS DOUBLE) * n2
+             |    / CAST(CASE WHEN overlap > 0 THEN overlap END AS DOUBLE)
+             |    * 1e6) / 1e6 AS lp_estimate,
+             |  n_actual,
+             |  round((CAST(n1 AS DOUBLE) * n2
+             |      / CAST(CASE WHEN overlap > 0 THEN overlap END
+             |        AS DOUBLE) - n_actual)
+             |    / CAST(CASE WHEN n_actual > 0 THEN n_actual END
+             |      AS DOUBLE) * 1e6) / 1e6 AS rel_err
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.analytics.Sketches.captureRecapture(
+          Tables(s, dir, "events"), keyCol = "user_id",
+          sampleA = col("event_id") % 2 === 0,
+          sampleB = col("event_id") % 2 === 1)
+      }),
+
+    // ----- vocabulary richness / unseen mass -----
+    Q("q254_vocab_richness",
+      "Good-Turing unseen mass (singletons/tokens — the probability " +
+        "the NEXT token is a never-seen type) and bias-corrected " +
+        "Chao1 type-count estimate (types + n1(n1-1)/(2(n2+1))) — the " +
+        "'is this slice saturated' readout that tells a crawl whether " +
+        "more of the same source still buys vocabulary; exact " +
+        "frequency-of-frequency integers, one word agg + ONE 1-row " +
+        "rollup",
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+             |      FROM documents),
+             |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM w WHERE word <> '' GROUP BY 1),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+             |        CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS singletons,
+             |        CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS doubletons
+             |      FROM c)
+             |SELECT n_types, n_tokens, singletons, doubletons,
+             |  round(CAST(singletons AS DOUBLE)
+             |    / CAST(CASE WHEN n_tokens > 0 THEN n_tokens END
+             |      AS DOUBLE) * 1e6) / 1e6 AS unseen_mass,
+             |  round((CAST(n_types AS DOUBLE)
+             |    + CAST(singletons AS DOUBLE) * (singletons - 1)
+             |      / (2.0 * (doubletons + 1))) * 1e6) / 1e6
+             |    AS chao1_types
+             |FROM a""".stripMargin),
+      (s, dir) =>
+        graft.analytics.TextAnalysis.vocabRichness(
+          Tables(s, dir, "documents"), textCol = "text")),
+
+    // ----- post-stratified A/B difference -----
+    Q("q255_post_stratified",
+      "post-stratified A/B revenue diff: per-stratum arm diffs " +
+        "reweighted by each stratum's OVERALL share — the weighting " +
+        "complement to CUPED (q238 removes pre-period variance, this " +
+        "removes lopsided-mix bias); one-armed strata are excluded " +
+        "and their weight REPORTED (w_excluded), never silently " +
+        "dropped; cents-quantized, one user agg + dictionary stratum " +
+        "agg + 1-row rollup",
+      Some("""WITH u AS (SELECT user_id AS u,
+             |        CAST(user_id % 2 AS INT) AS g,
+             |        CAST(user_id % 5 AS VARCHAR) AS s,
+             |        CAST(sum(CASE WHEN event_type = 'purchase'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS BIGINT) AS y
+             |      FROM events GROUP BY 1, 2, 3),
+             |st AS (SELECT s,
+             |        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_a,
+             |        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_b,
+             |        CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END)
+             |          AS BIGINT) AS sy_a,
+             |        CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END)
+             |          AS BIGINT) AS sy_b
+             |      FROM u GROUP BY 1),
+             |r AS (SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+             |        CAST(sum(n_b) AS BIGINT) AS n_b,
+             |        CAST(sum(sy_a) AS BIGINT) AS sy_a,
+             |        CAST(sum(sy_b) AS BIGINT) AS sy_b,
+             |        CAST(count(*) AS BIGINT) AS n_strata,
+             |        sum(CAST(n_a + n_b AS DOUBLE)
+             |          * (sy_b / CAST(CASE WHEN n_b > 0 THEN n_b END
+             |              AS DOUBLE)
+             |            - sy_a / CAST(CASE WHEN n_a > 0 THEN n_a END
+             |              AS DOUBLE))) AS wsum,
+             |        CAST(sum(CASE WHEN n_a = 0 OR n_b = 0
+             |          THEN n_a + n_b ELSE 0 END) AS BIGINT)
+             |          AS n_excluded
+             |      FROM st)
+             |SELECT n_a, n_b,
+             |  round((sy_b / CAST(CASE WHEN n_b > 0 THEN n_b END
+             |        AS DOUBLE)
+             |      - sy_a / CAST(CASE WHEN n_a > 0 THEN n_a END
+             |        AS DOUBLE)) / 100.0 * 1e6) / 1e6 AS diff_raw,
+             |  round(wsum / CAST(CASE WHEN n_a + n_b > 0
+             |      THEN n_a + n_b END AS DOUBLE) / 100.0 * 1e6) / 1e6
+             |    AS diff_post,
+             |  n_strata,
+             |  round(CAST(n_excluded AS DOUBLE)
+             |    / CAST(CASE WHEN n_a + n_b > 0 THEN n_a + n_b END
+             |      AS DOUBLE) * 1e6) / 1e6 AS w_excluded
+             |FROM r""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.analytics.Events.postStratifiedDiff(
+          Tables(s, dir, "events"), userCol = "user_id",
+          typeCol = "event_type", convType = "purchase",
+          valueCol = "value", cohortCol = col("user_id") % 2,
+          stratumCol = col("user_id") % 5)
+      }),
+
+    // ----- gap-episode SLA audit -----
+    Q("q256_gap_episodes",
+      "gap-episode SLA audit of each user's daily activity: number of " +
+        "missing-day runs, total missing days, longest single outage, " +
+        "coverage over the user's own span — the gaps-and-islands " +
+        "episode view the q229 point-in-time staleness can't give; " +
+        "ONE keyed window lag over the pre-aggregated day series, " +
+        "then keyed aggregates",
+      Some("""WITH d AS (SELECT user_id AS key,
+             |        CAST(date_trunc('day', ts) AS DATE) AS day
+             |      FROM events GROUP BY 1, 2),
+             |g AS (SELECT key, day,
+             |        date_diff('day', lag(day) OVER (PARTITION BY key
+             |          ORDER BY day), day) - 1 AS gb
+             |      FROM d)
+             |SELECT key AS user_id, CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+             |    AS span_days,
+             |  CAST(sum(CASE WHEN gb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_gap_episodes,
+             |  CAST(sum(CASE WHEN gb > 0 THEN gb ELSE 0 END) AS BIGINT)
+             |    AS missing_days,
+             |  CAST(coalesce(max(CASE WHEN gb > 0 THEN gb END), 0)
+             |    AS BIGINT) AS longest_gap,
+             |  round(CAST(count(*) AS DOUBLE)
+             |    / CAST(CASE WHEN date_diff('day', min(day), max(day)) + 1
+             |        > 0
+             |      THEN date_diff('day', min(day), max(day)) + 1 END
+             |      AS DOUBLE) * 1e6) / 1e6 AS coverage
+             |FROM g GROUP BY key ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, to_date}
+        val d = Tables(s, dir, "events")
+          .select(col("user_id").as("key"),
+            to_date(col("ts")).as("day")).distinct()
+        graft.analytics.DataAudit.gapEpisodes(d, keyCol = "key",
+            dayCol = "day")
+          .withColumnRenamed("key", "user_id")
+          .orderBy("user_id")
       })
   )
 

@@ -1668,6 +1668,22 @@ class TextAnalysisSpec extends SparkTestBase {
       (1L, 5L, 12L, r6(5.0 / 12.0)),
       (3L, 11L, 12L, r6(11.0 / 12.0))))
   }
+
+  test("vocabRichness: hand-computed Good-Turing mass and " +
+       "bias-corrected Chao1 (defined even with zero doubletons)") {
+    import spark.implicits._
+    // counts: a=2, b=1, c=1 -> types 3, tokens 4, n1=2, n2=1
+    val g = TextAnalysis.vocabRichness(Seq("a a b c").toDF("text"),
+      "text").collect().head
+    assert(g.getLong(0) === 3L && g.getLong(1) === 4L &&
+      g.getLong(2) === 2L && g.getLong(3) === 1L)
+    assert(g.getDouble(4) === 0.5)            // 2/4 unseen mass
+    assert(g.getDouble(5) === 3.5)            // 3 + 2*1/(2*2)
+    // no doubletons: the +1 correction keeps Chao1 finite
+    val g2 = TextAnalysis.vocabRichness(Seq("x y").toDF("text"), "text")
+      .collect().head
+    assert(g2.getLong(3) === 0L && g2.getDouble(5) === 3.0) // 2 + 2/2
+  }
 }
 
 class CorpusFilterSpec extends SparkTestBase {

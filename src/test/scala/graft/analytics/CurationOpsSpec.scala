@@ -873,6 +873,70 @@ class CurationOpsSpec extends SparkTestBase {
     assert(g2.getDouble(2) === 0.0 && !g2.getBoolean(3))
   }
 
+  test("postStratifiedDiff: a pure mix artifact (zero within-stratum " +
+       "effect, lopsided arms) adjusts to 0 while raw reads 1.0; " +
+       "one-armed strata are excluded and their weight reported") {
+    import spark.implicits._
+    def t = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // (user, arm, stratum, units): s0 = cheap stratum (y=1), s1 =
+    // expensive (y=5), arms lopsided ACROSS strata but flat within;
+    // s2 exists only in arm a
+    val spec = Seq(
+      (1L, 0, "s0", 1.0), (2L, 0, "s0", 1.0), (3L, 0, "s0", 1.0),
+      (4L, 1, "s0", 1.0),
+      (5L, 0, "s1", 5.0),
+      (6L, 1, "s1", 5.0), (7L, 1, "s1", 5.0), (8L, 1, "s1", 5.0),
+      (9L, 0, "s2", 7.0))
+    val rows = spec.map { case (u, g, s, v) =>
+      (u, t, "purchase", v, g, s)
+    }.toDF("user_id", "ts", "event_type", "value", "g", "s")
+    val got = Events.postStratifiedDiff(rows, "user_id", "event_type",
+      "purchase", "value", col("g"), col("s")).collect().head
+    assert(got.getLong(0) === 5L && got.getLong(1) === 4L)
+    assert(got.getDouble(2) === 1.0, "raw diff is the mix artifact")
+    assert(got.getDouble(3) === 0.0, "post-stratified removes it")
+    assert(got.getLong(4) === 3L)
+    assert(math.abs(got.getDouble(5) - 1.0 / 9.0) < 1e-6,
+      "the one-armed stratum's weight is reported, not hidden")
+  }
+
+  test("gapEpisodes: missing-day runs count as episodes with their " +
+       "lengths, coverage is over the key's own span, a single-day " +
+       "key is fully covered") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+    val s = Seq(("k", day(1)), ("k", day(2)), ("k", day(5)),
+      ("k", day(6)), ("k", day(10)), ("solo", day(3)))
+      .toDF("g", "d")
+    val got = DataAudit.gapEpisodes(s, "g", "d")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      // gaps: days 3-4 (run of 2) and 7-9 (run of 3)
+      ("k", 5L, 10L, 2L, 5L, 3L, 0.5),
+      ("solo", 1L, 1L, 0L, 0L, 0L, 1.0)))
+  }
+
+  test("exitRates: the session's LAST event is the exit, containment " +
+       "counts a type once per session, never-exiting types report 0") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-10 00:$m%02d:00")
+    // user 1: session 1 = a(0m), b(5m); 40-min gap; session 2 = b(45m),
+    // c(50m). exits: b and c. containment: a 1, b 2, c 1.
+    val rows = Seq((1L, t(0), 1L, "a"), (1L, t(5), 2L, "b"),
+      (1L, t(45), 3L, "b"), (1L, t(50), 4L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.exitRates(rows, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", 1L, 0L, 0.0), ("b", 2L, 1L, 0.5), ("c", 1L, 1L, 1.0)))
+  }
+
   test("markovAccuracy: argmax model from the pre period only, ties to " +
        "the smallest successor, unseen from-states predict null and " +
        "score 0, same-timestamp order breaks by id") {

@@ -379,4 +379,23 @@ class SketchesSpec extends SparkTestBase {
     assert(viaSql === viaCol)
     assert(viaSql.sum === 100L, "every input counted once")
   }
+
+  test("captureRecapture: textbook n1*n2/m on half-overlapping " +
+       "windows, zero overlap nulls instead of blowing up") {
+    import spark.implicits._
+    // A sees keys 1..10, B sees 6..15: n1=n2=10, overlap 5 -> LP 20
+    // against 15 actual (the estimator's known small-sample bias)
+    val rows = ((1 to 10).map(k => (k.toLong, "a")) ++
+      (6 to 15).map(k => (k.toLong, "b"))).toDF("k", "tag")
+    val g = Sketches.captureRecapture(rows, "k",
+      col("tag") === "a", col("tag") === "b").collect().head
+    assert(g.getLong(0) === 10L && g.getLong(1) === 10L &&
+      g.getLong(2) === 5L)
+    assert(g.getDouble(3) === 20.0 && g.getLong(4) === 15L)
+    assert(math.abs(g.getDouble(5) - (20.0 - 15.0) / 15.0) < 1e-6)
+    val disjoint = Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+    val g2 = Sketches.captureRecapture(disjoint, "k",
+      col("tag") === "a", col("tag") === "b").collect().head
+    assert(g2.getLong(2) === 0L && g2.isNullAt(3) && g2.isNullAt(5))
+  }
 }
