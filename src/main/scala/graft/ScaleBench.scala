@@ -913,7 +913,18 @@ object ScaleBench {
           analytics.DataAudit.gapEpisodes(
             events.select($"user_id".as("key"),
               to_date($"ts").as("day")).distinct(),
-            "key", "day").count()))
+            "key", "day").count()),
+        // candidates + exact verify over the capped LSH set only
+        "q257_minhash_calibration" -> (() =>
+          analytics.Dedup.minhashCalibration(docs, "doc_id", "text")
+            .count()),
+        // one keyed power-sum aggregate over the day series
+        "q258_fano" -> (() =>
+          analytics.Stats.fanoFactor(
+            events.groupBy($"event_type".as("key"),
+              to_date($"ts").as("day"))
+              .agg(count(lit(1)).cast("long").as("n")),
+            "key", "n").count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

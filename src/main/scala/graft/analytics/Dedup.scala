@@ -838,6 +838,53 @@ object Dedup {
       .filter($"est" >= minEstimate)
   }
 
+  /** MinHash estimator CALIBRATION over its own LSH candidates: per
+    * exact-Jaccard bucket, the estimator's mean absolute error, signed
+    * bias, and worst case — the audit that says whether the q90
+    * signature-agreement estimate can be TRUSTED at the thresholds the
+    * dedup pipeline cuts on (theory: sd ~ sqrt(J(1-J)/k) per pair; an
+    * 8-hash signature is coarse, and this table is the receipt).
+    * Exact Jaccard is computed ONLY for the candidate pairs the bands
+    * emitted — the same capped set the estimator scores — via the
+    * distinct-shingle array intersection; a candidate pair sharing no
+    * shingle scores exact 0, not a dropped row.
+    *
+    * Output: (bucket = floor(exact*k) capped, n_pairs, mae, bias,
+    * max_abs_err), bucket-keyed. */
+  def minhashCalibration(docs0: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 8,
+                         bandSize: Int = 2,
+                         maxBucket: Int = 1000): DataFrame = {
+    val docs = Par.ensure(docs0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val est = minhashJaccardEstimate(docs, idCol, textCol,
+      minEstimate = 0.0, n, numHashes, bandSize, maxBucket)
+    val sets = shingles(docs, idCol, textCol, n).distinct()
+      .groupBy($"doc")
+      .agg(sort_array(collect_list($"sh")).as("toks"),
+        count(lit(1)).cast("long").as("sz"))
+    val den = $"na" + $"nb" - $"inter_n"
+    val scored = est
+      .join(sets.select($"doc".as("doc_a"), $"toks".as("ta"),
+        $"sz".as("na")), Seq("doc_a"))
+      .join(sets.select($"doc".as("doc_b"), $"toks".as("tb"),
+        $"sz".as("nb")), Seq("doc_b"))
+      .withColumn("inter_n",
+        size(array_intersect($"ta", $"tb")).cast("long"))
+      .withColumn("exact_j", $"inter_n".cast("double") /
+        when(den > 0L, den).cast("double"))
+      .withColumn("bucket",
+        least(lit(numHashes - 1), floor($"exact_j" * numHashes))
+          .cast("int"))
+      .withColumn("err", $"est" - $"exact_j")
+    scored.groupBy($"bucket")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        (round(avg(abs($"err")) * 1e6) / 1e6).as("mae"),
+        (round(avg($"err") * 1e6) / 1e6).as("bias"),
+        (round(max(abs($"err")) * 1e6) / 1e6).as("max_abs_err"))
+  }
+
   /** Graded contamination score per TRAINING document: how many of its
     * distinct n-gram shingles appear in ANY eval document, and the
     * fraction — [[decontaminate]]'s binary verdict refined into the

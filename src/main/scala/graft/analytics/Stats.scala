@@ -1518,6 +1518,36 @@ object Stats {
           when(sqrt(varS) > 0.0, sqrt(varS)) * 1e6) / 1e6).as("z"))
   }
 
+  /** Fano factor (index of dispersion) per key: sample variance over
+    * mean of the daily count series — the is-this-traffic-Poisson
+    * readout (Poisson arrivals sit at 1; bursty/bot traffic runs well
+    * above, metronomic schedulers below) that tells a monitor whether
+    * a z-score threshold is even meaningful for this key. Exact
+    * integer power sums (the q231 tree); keys with < 2 days or zero
+    * mean null the factor. Output: (key, n_days, mean, variance,
+    * fano). */
+  def fanoFactor(series: DataFrame, keyCol: String,
+                 xCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import Par.safeDiv
+    val g = series
+      .select(col(keyCol).as("key"), col(xCol).cast("long").as("x"))
+      .groupBy($"key")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"x").cast("long").as("sx"),
+        sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"))
+    val mean = safeDiv($"sx".cast("double"), $"n".cast("double"))
+    val variance = ($"n" * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx") /
+      when($"n" * ($"n" - 1L) > 0L, $"n" * ($"n" - 1L)).cast("double")
+    g.select($"key", $"n".as("n_days"),
+      (round(mean * 1e6) / 1e6).as("mean"),
+      (round(variance * 1e6) / 1e6).as("variance"),
+      (round(variance / when(mean > 0.0, mean) * 1e6) / 1e6).as("fano"))
+  }
+
   /** Calendar-spine gap fill with last-observation-carried-forward:
     * each key's series is completed to EVERY day between its own first
     * and last observation, missing days flagged (`was_gap`) and filled

@@ -4123,6 +4123,55 @@ object AnalyticsQueries {
             "vec_id", "embedding", queryPred = col("vec_id") % 10 === 0,
             dims = Seq(8, 16, 32))
           .orderBy("trunc_dim"))
+  ) ++ Seq(
+
+    // ----- MinHash estimator calibration -----
+    Q("q257_minhash_calibration",
+      "the q90 signature-agreement Jaccard estimator audited against " +
+        "EXACT Jaccard over its own LSH candidates: per exact-J bucket " +
+        "the MAE, signed bias, and worst case — the receipt that says " +
+        "whether an 8-hash signature can be trusted at the pipeline's " +
+        "cut thresholds (theory sd ~ sqrt(J(1-J)/8)); exact J only for " +
+        "the capped candidate set, zero-overlap candidates score 0 " +
+        "instead of dropping",
+      Some(shCte + lshCte + """,
+             |ja AS (SELECT c.doc_a, c.doc_b,
+             |        CAST(count(*) AS BIGINT) AS inter_n
+             |       FROM cand c JOIN sh0 a ON a.doc = c.doc_a
+             |       JOIN sh0 b ON b.doc = c.doc_b AND b.sh = a.sh
+             |       GROUP BY 1, 2),
+             |sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS nn
+             |       FROM sh0 GROUP BY 1),
+             |estt AS (SELECT c.doc_a, c.doc_b,
+             |        CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+             |          AS DOUBLE) / 8 AS est
+             |       FROM cand c JOIN sigs sa ON sa.doc = c.doc_a
+             |       JOIN sigs sb ON sb.doc = c.doc_b AND sb.k = sa.k
+             |       GROUP BY 1, 2),
+             |ex AS (SELECT e.est,
+             |        coalesce(ja.inter_n, CAST(0 AS BIGINT)) AS inter_n,
+             |        sa.nn AS na, sb.nn AS nb
+             |       FROM estt e LEFT JOIN ja USING (doc_a, doc_b)
+             |       JOIN sz sa ON sa.doc = e.doc_a
+             |       JOIN sz sb ON sb.doc = e.doc_b),
+             |sc AS (SELECT est,
+             |        CAST(inter_n AS DOUBLE)
+             |          / CAST(CASE WHEN na + nb - inter_n > 0
+             |            THEN na + nb - inter_n END AS DOUBLE) AS exact_j
+             |       FROM ex),
+             |bk AS (SELECT CAST(least(7, floor(exact_j * 8)) AS INT)
+             |          AS bucket,
+             |        est - exact_j AS err
+             |       FROM sc)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  round(avg(abs(err)) * 1e6) / 1e6 AS mae,
+             |  round(avg(err) * 1e6) / 1e6 AS bias,
+             |  round(max(abs(err)) * 1e6) / 1e6 AS max_abs_err
+             |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        Dedup.minhashCalibration(Tables(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("bucket"))
   )
 
   /** Unrolled synchronous label propagation in DuckDB — the SAME

@@ -3404,6 +3404,48 @@ object MiscQueries {
             dayCol = "day")
           .withColumnRenamed("key", "user_id")
           .orderBy("user_id")
+      }),
+
+    // ----- Fano factor / burstiness -----
+    Q("q258_fano_factor",
+      "index of dispersion (sample variance / mean) of each type's " +
+        "daily count series — the is-this-Poisson readout that says " +
+        "whether a z-score monitor threshold is even meaningful for " +
+        "this key (Poisson sits at 1, bursty traffic far above); " +
+        "exact integer power sums, q231 tree, <2-day or zero-mean " +
+        "keys null",
+      Some("""WITH d AS (SELECT event_type AS key,
+             |        CAST(date_trunc('day', ts) AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS x
+             |      FROM events GROUP BY 1, 2),
+             |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38, 0))
+             |          AS sxx
+             |      FROM d GROUP BY 1),
+             |k AS (SELECT key, n,
+             |        sx / CAST(CASE WHEN n > 0 THEN n END AS DOUBLE)
+             |          AS mean,
+             |        (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             |          / CAST(CASE WHEN n * (n - 1) > 0 THEN n * (n - 1)
+             |            END AS DOUBLE) AS variance
+             |      FROM g)
+             |SELECT key AS event_type, n AS n_days,
+             |  round(mean * 1e6) / 1e6 AS mean,
+             |  round(variance * 1e6) / 1e6 AS variance,
+             |  round(variance / CASE WHEN mean > 0 THEN mean END * 1e6)
+             |    / 1e6 AS fano
+             |FROM k ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, to_date}
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type").as("key"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("long").as("x"))
+        graft.analytics.Stats.fanoFactor(daily, keyCol = "key",
+            xCol = "x")
+          .withColumnRenamed("key", "event_type")
+          .orderBy("event_type")
       })
   )
 

@@ -402,6 +402,22 @@ class DedupSpec extends SparkTestBase {
     assert(out((1L, 4L)) === 0, "identical docs")
     assert(out((1L, 3L)) === -1, "over threshold reports -1, not a cost")
   }
+
+  test("minhashCalibration: identical pairs land in the top bucket " +
+       "with zero error in every statistic") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // exact J = 1 and signature agreement = 8/8 for both clone pairs:
+    // bucket floor(1.0*8) caps to 7, every error statistic exactly 0
+    assert(got.toSeq === Seq((7, 2L, 0.0, 0.0, 0.0)))
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
@@ -2851,6 +2867,24 @@ class StatsSpec extends SparkTestBase {
     // one day: no pairs — the key must still report (S=0), not vanish
     assert(one.getLong(1) === 1L && one.getLong(2) === 0L &&
       one.isNullAt(4))
+  }
+
+  test("fanoFactor: constant series disperses at 0, an alternating " +
+       "0/2 series pins sample var/mean = 4/3, single points null") {
+    import spark.implicits._
+    val s = (Seq.fill(5)(("flat", 7L)) ++
+      Seq(("alt", 0L), ("alt", 2L), ("alt", 0L), ("alt", 2L)) ++
+      Seq(("one", 3L))).toDF("g", "v")
+    val got = Stats.fanoFactor(s, "g", "v")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(got.toSeq === Seq(
+      ("alt", 4L, r6(4.0 / 3.0), r6(4.0 / 3.0)), // mean 1: fano = var
+      ("flat", 5L, 0.0, 0.0),
+      ("one", 1L, null, null)))
   }
 
   test("bootstrapDiffCI: separated arms give a degenerate CI at the " +
