@@ -263,6 +263,53 @@ object DataAudit {
         col("class_size") < k || col("l_distinct") < l)
   }
 
+  /** t-closeness (Li, Li & Venkatasubramanian 2007) — the third rung of
+    * the anonymity ladder: a class can be large (k-anonymous) and
+    * varied (l-diverse) yet still leak by SKEW — "90% of this class has
+    * the sensitive flag vs 10% globally" updates an attacker's belief
+    * massively. Each quasi-class's sensitive-value distribution must
+    * stay within total-variation distance `t` of the GLOBAL
+    * distribution (TVD is the categorical Earth-Mover's Distance the
+    * paper uses for nominal attributes):
+    * `tvd = sum over values of |p_class - p_global| / 2`.
+    *
+    * Null sensitive values are absent disclosures and are excluded
+    * (the l-diversity rule). Scale shape: one (quasi, sensitive) agg
+    * absorbs raw volume, the global distribution is a broadcast
+    * dictionary, and the class x value completion is class-table x
+    * value-dictionary — never row volume. Per-value terms round to 9
+    * places and sum as scaled integers. Output:
+    * (quasiCols..., class_size, tvd, suppress). */
+  def tCloseness(df: DataFrame, t: Double, sensitiveCol: String,
+                 quasiCols: String*): DataFrame = {
+    require(t > 0.0 && t < 1.0 && quasiCols.nonEmpty,
+      "need 0 < t < 1 and at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot also be a quasi-identifier")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+
+        col(sensitiveCol).cast("string").as("__sens"): _*)
+    val cells = base.groupBy(quasiCols.map(col) :+ $"__sens": _*)
+      .agg(count(lit(1)).cast("long").as("c"))
+    val classes = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum($"c").cast("long").as("class_size"))
+    val global = base.groupBy($"__sens")
+      .agg(count(lit(1)).cast("long").as("g"))
+    val tot = global.agg(sum($"g").cast("long").as("tot"))
+    val p = coalesce($"c", lit(0L)).cast("double") /
+      $"class_size".cast("double")
+    val q = $"g".cast("double") / $"tot".cast("double")
+    val term = round(abs(p - q) * 1e9).cast("long")
+    classes
+      .crossJoin(broadcast(global.crossJoin(broadcast(tot))))
+      .join(cells, quasiCols :+ "__sens", "left")
+      .groupBy(quasiCols.map(col) :+ $"class_size": _*)
+      .agg((round(sum(term) / 2.0 / 1e9 * 1e6) / 1e6).as("tvd"))
+      .withColumn("suppress", $"tvd" > t)
+  }
+
   /** Gap-episode SLA audit per key: from a (key, day) activity series,
     * the number of MISSING-day runs, total missing days, the longest
     * single outage, and coverage over the key's own first..last span —

@@ -488,6 +488,60 @@ object Events {
       .select($"t".as("t_days"), $"n_risk", $"n_churned", $"survival")
   }
 
+  /** Nelson-Aalen cumulative hazard over the same right-censored user
+    * lifetimes as [[kaplanMeier]]: `H(t) = sum over t_i <= t of
+    * d_i / n_i`, with the Aalen variance `sum of d_i / n_i^2` and the
+    * Fleming-Harrington survival `exp(-H)` — the estimator of choice
+    * when the HAZARD (instantaneous churn pressure) is the quantity
+    * under study rather than the survival curve, and the numerically
+    * gentler one near small risk sets (no product hitting exact 0).
+    *
+    * Scale shape: identical to [[kaplanMeier]] — the feed compresses
+    * to (user, day)-distinct rows, one row per user, one row per
+    * DISTINCT observed-churn lifetime; the cumulative windows run over
+    * that bounded lifetime table only. Per-step terms round to 9
+    * places and sum as scaled integers, so both engines accumulate
+    * identical integers. Output: (t_days, n_risk, n_churned,
+    * cum_hazard, hazard_var, fh_survival), rounded 6. */
+  def nelsonAalen(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val life = days.groupBy($"u")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+    val gmax = days.agg(max($"d").as("gmax"))
+    val lt = life.crossJoin(broadcast(gmax))
+      .select(datediff($"d1", $"d0").cast("long").as("t"),
+        ($"d1" < $"gmax").as("observed"))
+    val byT = lt.groupBy($"t")
+      .agg(count(lit(1)).cast("long").as("n_at"),
+        sum(when($"observed", 1L).otherwise(0L)).cast("long")
+          .as("n_churned"))
+    val wRisk = Window.orderBy($"t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hTerm = round($"n_churned".cast("double") /
+      $"n_risk".cast("double") * 1e9).cast("long")
+    val vTerm = round($"n_churned".cast("double") /
+      ($"n_risk".cast("double") * $"n_risk") * 1e9).cast("long")
+    byT
+      .withColumn("n_risk", sum($"n_at").over(wRisk))
+      .withColumn("cum_hazard",
+        round(sum(hTerm).over(wCum) / 1e9, 6))
+      .withColumn("hazard_var",
+        round(sum(vTerm).over(wCum) / 1e9, 6))
+      .withColumn("fh_survival",
+        round(exp(-sum(hTerm).over(wCum) / 1e9), 6))
+      .filter($"n_churned" > 0)
+      .select($"t".as("t_days"), $"n_risk", $"n_churned",
+        $"cum_hazard", $"hazard_var", $"fh_survival")
+  }
+
   /** Time-weighted average value per (type, day) — TWAP: each
     * observation holds until the next one of its type that day (last
     * one holds to midnight), and the average weights each value by its

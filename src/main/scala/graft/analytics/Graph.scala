@@ -415,4 +415,53 @@ object Graph {
     edges.unpersist()
     out
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed edge of the symmetrized
+    * graph — positive means hubs link to hubs (social shape), negative
+    * means hubs link to leaves (hub-and-spoke; a near-dup graph
+    * dominated by one template scores strongly negative). THE one-
+    * number shape summary that tells you in advance whether the
+    * triangle/wedge pipelines face the hub blow-up their caps guard
+    * against. (Pearson is shift-invariant, so correlating full degrees
+    * equals the textbook's remaining-degree form exactly.)
+    *
+    * Scale shape: one node-keyed degree agg, two edge-keyed joins to
+    * attach endpoint degrees, ONE moment aggregate with map-side
+    * partials — no windows, no driver state. Degree products sum as
+    * DECIMAL(38,0) (the q144/q231 overflow rule); both engines derive
+    * r from identical integers through one identical IEEE tree.
+    * Degree-regular graphs (zero variance) null — undefined, not 0.
+    * Output: 1 row (n_nodes, n_edges, assortativity). */
+  def degreeAssortativity(pairs: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = edges.groupBy($"src".as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val j = edges
+      .join(deg.select($"node".as("src"), $"deg".as("x")), Seq("src"))
+      .join(deg.select($"node".as("dst"), $"deg".as("y")), Seq("dst"))
+    val s = j.agg(
+      count(lit(1)).cast("long").as("m2"),
+      sum($"x").cast("long").as("sx"),
+      sum($"y").cast("long").as("sy"),
+      sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"),
+      sum(($"y" * $"y").cast(DecimalType(38, 0))).as("syy"),
+      sum(($"x" * $"y").cast(DecimalType(38, 0))).as("sxy"))
+    val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val denom = sqrt(($"m2" * $"sxx".cast("double") -
+      $"sx".cast("double") * $"sx") *
+      ($"m2" * $"syy".cast("double") - $"sy".cast("double") * $"sy"))
+    s.crossJoin(broadcast(nNodes))
+      .select($"n_nodes", ($"m2" / 2L).cast("long").as("n_edges"),
+        (round(($"m2" * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy") /
+          when(denom > 0.0, denom) * 1e6) / 1e6).as("assortativity"))
+  }
 }

@@ -477,4 +477,45 @@ object Selection {
       (round(cumPos / when(posAll > 0.0, posAll) * 1e6) / 1e6)
         .as("cum_capture"))
   }
+
+  /** Smoothed target (mean) encoding of a categorical feature against a
+    * binary label — the m-estimate / empirical-Bayes shrinkage form
+    * `enc = (n_pos + m * prior) / (n + m)`: a category seen twice
+    * reports nearly the global prior (no memorized noise), a category
+    * seen 10^5 times reports its own rate — the high-cardinality
+    * encoder that replaces one-hot when the vocabulary would explode
+    * the feature space (store ids, brands, domains). The output table
+    * IS the model artifact: a serving join applies it.
+    *
+    * Shape: one category-keyed agg absorbs raw volume map-side, the
+    * (pos_tot, n_tot) prior rides a broadcast 1-row cross — never a
+    * per-row pass with the label visible (the leakage door target
+    * encoding is infamous for; the artifact form fits-once like q146).
+    * Both engines derive enc from identical integers through one
+    * identical tree. Output: (category, n, n_pos, raw_rate, prior,
+    * enc), rates rounded 6; categories ordered by the caller. */
+  def targetEncode(df: DataFrame, catCol: Column, labelCol: Column,
+                   m: Double = 20.0): DataFrame = {
+    require(m > 0.0, "need smoothing m > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = Par.ensure(df)
+      .filter(catCol.isNotNull)
+      .select(catCol.cast("string").as("category"),
+        when(labelCol.cast("long") =!= 0L, 1L).otherwise(0L).as("y"))
+      .groupBy($"category")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"y").cast("long").as("n_pos"))
+    val tot = cells.agg(sum($"n").cast("long").as("n_tot"),
+      sum($"n_pos").cast("long").as("pos_tot"))
+    val prior = $"pos_tot".cast("double") /
+      when($"n_tot" > 0L, $"n_tot".cast("double"))
+    cells.crossJoin(broadcast(tot))
+      .select($"category", $"n", $"n_pos",
+        (round($"n_pos".cast("double") / $"n".cast("double") * 1e6)
+          / 1e6).as("raw_rate"),
+        (round(prior * 1e6) / 1e6).as("prior"),
+        (round(($"n_pos".cast("double") + lit(m) * prior) /
+          ($"n".cast("double") + m) * 1e6) / 1e6).as("enc"))
+  }
 }

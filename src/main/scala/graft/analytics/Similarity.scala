@@ -245,6 +245,56 @@ object Similarity {
           / 1e6).as("recall_at_1"))
   }
 
+  /** Hubness audit (Radovanović et al., JMLR 2010): the k-occurrence
+    * distribution of an embedding space — how many times each corpus
+    * vector appears in the exact top-k of a query sample. High-
+    * dimensional spaces grow HUBS: a few vectors that are "everyone's
+    * neighbor" (and antihubs nobody retrieves), which silently poison
+    * kNN classification, retrieval diversity, and ANN recall — this is
+    * the go/no-go audit to run BEFORE shipping an embedding column into
+    * the q24/q95 serving pipelines. A healthy space's k-occurrence
+    * histogram is binomial-tight around k·|Q|/|corpus|; a hubby one has
+    * a long right tail (max_occ >> mean) — read `slot_share` of the top
+    * rows.
+    *
+    * Scale shape: corpus x broadcast query-sample probe (the q24 brute
+    * baseline shape; swap IVF upstream at serving scale), top-k per
+    * query via the BOUNDED native [[graft.functions.TopKBy]] aggregate
+    * (k pairs of map-side state, never a window sort over corpus-sized
+    * partitions — the SQL window form is what the oracle runs), then
+    * two dictionary-sized aggs. Cosines quantize to 1e6 integers with
+    * id tie-break so ranks replay cross-engine. Output: one row per
+    * occurrence count (k_occurrence, n_vectors, slot_share), ascending. */
+  def hubnessAudit(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int = 5): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("vv"))
+    val qs = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val cand = v.join(broadcast(qs), $"vid" =!= $"qid")
+      .select($"qid", $"vid",
+        round(cosine($"qv", $"vv") * 1e6).cast("long").as("c6"))
+    // smallest (-c6, vid) == largest cosine, ties to the smaller id
+    val top = cand.groupBy($"qid")
+      .agg(graft.functions.TopKBy.topKMin(-$"c6".cast("double"),
+        $"vid", k).as("top"))
+      .select($"qid", explode($"top").as("t"))
+      .select($"t.id".as("vid"))
+    val occ = top.groupBy($"vid")
+      .agg(count(lit(1)).cast("long").as("k_occurrence"))
+    val hist = occ.groupBy($"k_occurrence")
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+    val slots = hist.agg(
+      sum($"k_occurrence" * $"n_vectors").cast("long").as("n_slots"))
+    hist.crossJoin(broadcast(slots))
+      .select($"k_occurrence", $"n_vectors",
+        (round(($"k_occurrence" * $"n_vectors").cast("double") /
+          when($"n_slots" > 0L, $"n_slots".cast("double")) * 1e6) / 1e6)
+          .as("slot_share"))
+  }
+
   def marginMining(emb: DataFrame, idCol: String, vecCol: String,
                    srcPred: Column, k: Int = 4,
                    minMargin: Double = 1.05): DataFrame = {

@@ -498,4 +498,68 @@ object Sketches {
       .filter($"cnt" * k > n)
       .withColumn("frac", round($"cnt".cast("double") / lit(n.toDouble), 6))
   }
+
+  /** AMS (Alon-Matias-Szegedy) F2 sketch: estimate the second frequency
+    * moment `F2 = sum over keys of count^2` — which IS the self-join
+    * size on that key, the number a join planner needs BEFORE running
+    * the join (equi-join output = sum over keys of cnt_a * cnt_b <=
+    * sqrt(F2_a * F2_b)) — from ONE map-side pass holding 16 integers.
+    * Estimator j keeps `Z_j = sum over rows of sign_j(key)` with
+    * `sign_j` the j-th md5-nibble high bit (the q20 SimHash sign
+    * convention, deterministic and engine-portable); `E[Z_j^2] = F2`
+    * exactly (pairwise sign independence), so the report carries the
+    * mean of 16 AND the classic median-of-means (4 groups of 4 — the
+    * outlier-robust form), each against the exact F2 with signed
+    * relative error — the estimator audits itself where truth is
+    * computable.
+    *
+    * Scale shape: the sketch is one aggregate of 16 integer sums with
+    * map-side partials (nothing keyed ever shuffles — this is the
+    * 100 TB path); the exact side is one key-keyed count-agg, and the
+    * two 1-row frames cross as broadcasts. |Z_j| <= n < 2^53 keeps
+    * Z^2 exact in IEEE. Output: 1 row (n_rows, n_keys, exact_f2,
+    * est_mean, est_median_means, rel_err_mean, rel_err_mom). */
+  def amsF2(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val w = Par.ensure(df).filter(col(keyCol).isNotNull)
+      .select(md5(col(keyCol).cast("string")).as("h"))
+    val zs = (1 to 16).map(j =>
+      sum(when(substring($"h", j, 1).isin(hi: _*), 1L).otherwise(-1L))
+        .cast("long").as(s"z$j"))
+    val sk = w.agg(count(lit(1)).cast("long").as("n_rows"), zs: _*)
+    val sq = (1 to 16).map(j =>
+      (col(s"z$j").cast("double") * col(s"z$j")).as(s"s$j"))
+    val means = (0 until 4).map(g =>
+      ((col(s"s${4 * g + 1}") + col(s"s${4 * g + 2}") +
+        col(s"s${4 * g + 3}") + col(s"s${4 * g + 4}")) / 4.0)
+        .as(s"m$g"))
+    val est = sk.select(($"n_rows" +: sq): _*)
+      .select(($"n_rows" +:
+        ((1 to 16).map(j => col(s"s$j")) ++ means)): _*)
+      .select($"n_rows",
+        (((1 to 16).map(j => col(s"s$j")).reduce(_ + _)) / 16.0)
+          .as("est_mean"),
+        sort_array(array($"m0", $"m1", $"m2", $"m3")).as("ms"))
+      .select($"n_rows", round($"est_mean", 6).as("est_mean"),
+        round((element_at($"ms", 2) + element_at($"ms", 3)) / 2.0, 6)
+          .as("est_median_means"))
+    val exact = Par.ensure(df).filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(($"cnt" * $"cnt").cast(DecimalType(38, 0)))
+          .cast("long").as("exact_f2"))
+    est.crossJoin(broadcast(exact))
+      .select($"n_rows", $"n_keys", $"exact_f2", $"est_mean",
+        $"est_median_means",
+        round(($"est_mean" - $"exact_f2".cast("double")) /
+          when($"exact_f2" > 0L, $"exact_f2".cast("double")) * 1e6)
+          .divide(1e6).as("rel_err_mean"),
+        round(($"est_median_means" - $"exact_f2".cast("double")) /
+          when($"exact_f2" > 0L, $"exact_f2".cast("double")) * 1e6)
+          .divide(1e6).as("rel_err_mom"))
+  }
 }

@@ -1577,4 +1577,199 @@ object Stats {
         last($"x", ignoreNulls = true).over(w).as("filled"),
         $"x".isNull.as("was_gap"))
   }
+
+  /** Spearman rank correlation per group — [[pearsonByGroup]] on AVERAGE
+    * ranks, the monotone-association probe that survives the outliers
+    * and nonlinearity Pearson folds into its moments (a price column
+    * with a fat tail can hide a perfect monotone relation, or fake
+    * one). Ties take the conventional average rank; a value's rank
+    * depends only on its own column, so ranks compute on the
+    * per-(group, value) DICTIONARY and join back — never a window over
+    * raw rows.
+    *
+    * Exactness: average ranks are .0/.5, so DOUBLED ranks
+    * `r2 = 2*cnt_less + cnt_eq + 1` are integers (the scale cancels in
+    * the correlation); the five power sums accumulate as
+    * long/DECIMAL(38,0) (the q144/q231 overflow rule) and rho derives
+    * from identical integers through one identical IEEE tree in both
+    * engines. Zero-variance groups (all-tied column) null — undefined,
+    * not 0.
+    *
+    * Scale shape: two dictionary aggs + cumulative-count windows over
+    * DISTINCT values per group (value-grid-bounded, never row volume),
+    * two (group, value)-keyed joins back to rows, one keyed moment
+    * aggregate with map-side partials. Output: (grp, n, spearman_rho). */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String, xScale: Long = 1L,
+                      yScale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Par.ensure(df)
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(xCol) * xScale).cast("long").as("x"),
+        round(col(yCol) * yScale).cast("long").as("y"))
+    // doubled average rank of each DISTINCT value: 2*cnt_less + cnt_eq + 1
+    def ranks(vc: String, out: String) = {
+      val win = Window.partitionBy($"grp").orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      w.groupBy($"grp", col(vc))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .select($"grp", col(vc),
+          (coalesce(sum($"cnt").over(win), lit(0L)) * 2L + $"cnt" + 1L)
+            .as(out))
+    }
+    val j = w
+      .join(ranks("x", "a"), Seq("grp", "x"))
+      .join(ranks("y", "b"), Seq("grp", "y"))
+    val s = j.groupBy($"grp").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum($"a").cast("long").as("sa"),
+      sum($"b").cast("long").as("sb"),
+      sum(($"a" * $"a").cast(DecimalType(38, 0))).as("saa"),
+      sum(($"b" * $"b").cast(DecimalType(38, 0))).as("sbb"),
+      sum(($"a" * $"b").cast(DecimalType(38, 0))).as("sab"))
+    val denom = sqrt(($"n" * $"saa".cast("double") -
+      $"sa".cast("double") * $"sa") *
+      ($"n" * $"sbb".cast("double") - $"sb".cast("double") * $"sb"))
+    s.select($"grp", $"n",
+      (round(($"n" * $"sab".cast("double") -
+        $"sa".cast("double") * $"sb") /
+        when(denom > 0.0, denom) * 1e6) / 1e6).as("spearman_rho"))
+  }
+
+  /** Jensen-Shannon divergence between a REFERENCE and a CURRENT slice
+    * of a CATEGORICAL column — the symmetric, always-finite drift
+    * number for label/type/source mixes where PSI's eps floor distorts
+    * (a category present on one side only contributes a bounded term
+    * here, log2(2) at most, instead of riding an arbitrary floor).
+    * `JS = (KL(p||m) + KL(q||m)) / 2` with `m = (p+q)/2`, log base 2 so
+    * JS lies in [0, 1]; `js_distance = sqrt(JS)` is the metric form.
+    *
+    * Scale shape: two map-side-filtered category aggs (dictionary-
+    * sized), one full-outer join, totals as a broadcast 1-row cross;
+    * per-category terms round to 9 places and sum as scaled integers so
+    * float order can't flip the 6th place either engine reports.
+    * Output: 1 row (n_ref, n_cur, n_categories, js_divergence,
+    * js_distance), null JS when either side is empty. */
+  def jsDrift(df: DataFrame, catCol: String, refPred: Column,
+              curPred: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def side(pred: Column, cnt: String) =
+      Par.ensure(df).filter(pred && col(catCol).isNotNull)
+        .groupBy(col(catCol).as("cat"))
+        .agg(count(lit(1)).as(cnt))
+    val joined = side(refPred, "cr").join(side(curPred, "cc"),
+      Seq("cat"), "full_outer")
+    val totals = joined.agg(
+      sum(coalesce($"cr", lit(0L))).cast("long").as("nr"),
+      sum(coalesce($"cc", lit(0L))).cast("long").as("nc"))
+    val p = coalesce($"cr", lit(0L)).cast("double") /
+      when($"nr" > 0L, $"nr".cast("double"))
+    val q = coalesce($"cc", lit(0L)).cast("double") /
+      when($"nc" > 0L, $"nc".cast("double"))
+    val m = (p + q) / 2.0
+    // 0*log(0/m) = 0 by continuity — pinned explicitly, never ln(0)
+    val term = round((
+      when(p > 0.0, p * log(p / m)).otherwise(lit(0.0)) +
+      when(q > 0.0, q * log(q / m)).otherwise(lit(0.0))
+      ) / 2.0 / log(lit(2.0)) * 1e9).cast("long")
+    joined.crossJoin(broadcast(totals))
+      .agg(max($"nr").as("n_ref"), max($"nc").as("n_cur"),
+        count(lit(1)).cast("long").as("n_categories"),
+        (round(sum(term) / 1e9 * 1e6) / 1e6).as("js_raw"))
+      .select($"n_ref", $"n_cur", $"n_categories",
+        when($"n_ref" > 0L && $"n_cur" > 0L, $"js_raw")
+          .as("js_divergence"),
+        when($"n_ref" > 0L && $"n_cur" > 0L,
+          round(sqrt(greatest($"js_raw", lit(0.0))), 6))
+          .as("js_distance"))
+  }
+
+  /** Equal-frequency binning (quantile discretizer) of a numeric
+    * column: k bins holding ~n/k rows each, ALL ties of one value in
+    * one bin (`bin = min(k, ceil(cdf * k))` over the distinct-value
+    * CDF) — the feature-engineering discretization and the
+    * histogram-equalized layout probe; the per-bin (lo, hi) boundaries
+    * are the split points a serving layer would apply.
+    *
+    * Scale shape: rows compress to per-DISTINCT-value counts first, so
+    * the one cumulative window runs over the value grid (price grid =
+    * part prices x quantity 1..50 — bounded), never raw volume; the
+    * total rides a broadcast 1-row cross. Only non-empty bins emit (a
+    * tie mass spanning several quantiles swallows them — both engines
+    * agree by the identical closed form). Output:
+    * (bin, n_rows, n_values, lo, hi) with bounds de-scaled. */
+  def equalFreqBins(df: DataFrame, valueCol: String, k: Int,
+                    scale: Long = 100L): DataFrame = {
+    require(k >= 2, "need k >= 2 bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Par.ensure(df).filter(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * scale).cast("long").as("v"))
+    val dv = v.groupBy($"v").agg(count(lit(1)).cast("long").as("cnt"))
+    val win = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = dv.agg(sum($"cnt").cast("long").as("total"))
+    dv.withColumn("cum", sum($"cnt").over(win))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin",
+        least(lit(k.toLong), ceil($"cum".cast("double") /
+          $"total".cast("double") * k).cast("long")))
+      .groupBy($"bin")
+      .agg(sum($"cnt").cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_values"),
+        (min($"v").cast("double") / scale).as("lo"),
+        (max($"v").cast("double") / scale).as("hi"))
+  }
+
+  /** Concentration profile per group: how dominated is a group's value
+    * mass by its top entities — Herfindahl-Hirschman index
+    * (`sum(share^2)`), Shannon entropy in nats, effective entity count
+    * (`1/HHI` — the "equivalent number of equal players"), and the top
+    * entity's share. The corpus/traffic-diversity audit: a source mix
+    * whose effective N collapses is one template away from a dedup
+    * blow-up, and a revenue mix with HHI > 0.25 is concentration risk.
+    *
+    * Scale shape: one (group, entity) agg absorbs raw volume map-side,
+    * then one group-keyed fold over the entity table; HHI terms scale
+    * to 1e12-integers and entropy terms to 1e9-integers before summing
+    * (sum(share^2) <= 1 bounds the scaled sum), so partition order
+    * cannot move the rounded result. Negative/zero-total groups are
+    * excluded (shares undefined). Output: (grp, n_entities, total,
+    * hhi, entropy, effective_n, top_share). */
+  def concentrationProfile(df: DataFrame, groupCol: String,
+                           entityCol: String, valueCol: String,
+                           valueScale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = Par.ensure(df)
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(entityCol).as("ent"),
+        round(col(valueCol) * valueScale).cast("long").as("v"))
+      .groupBy($"grp", $"ent")
+      .agg(sum($"v").cast("long").as("sv"))
+      .filter($"sv" > 0L)
+    val totals = e.groupBy($"grp")
+      .agg(sum($"sv").cast("long").as("tot"))
+    val share = $"sv".cast("double") / $"tot".cast("double")
+    e.join(totals, Seq("grp"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).cast("long").as("n_entities"),
+        (max($"tot").cast("double") / valueScale).as("total"),
+        (round(sum(round(share * share * 1e12).cast("long")) / 1e12
+          * 1e6) / 1e6).as("hhi"),
+        (round(sum(round(-share * log(share) * 1e9).cast("long")) / 1e9
+          * 1e6) / 1e6).as("entropy"),
+        (round(max($"sv").cast("double") / max($"tot") * 1e6) / 1e6)
+          .as("top_share"))
+      .withColumn("effective_n",
+        round(lit(1.0) / when($"hhi" > 0.0, $"hhi"), 6))
+      .select($"grp", $"n_entities", $"total", $"hhi", $"entropy",
+        $"effective_n", $"top_share")
+  }
 }

@@ -4171,7 +4171,52 @@ object AnalyticsQueries {
       (s, dir) =>
         Dedup.minhashCalibration(Tables(s, dir, "documents"),
             "doc_id", "text")
-          .orderBy("bucket"))
+          .orderBy("bucket")),
+
+    // ----- degree assortativity of the candidate graph -----
+    Q("q264_assortativity",
+      "Newman degree assortativity of the q19 LSH candidate graph " +
+        "(Pearson over endpoint degrees of every directed edge; " +
+        "shift-invariance makes full degrees equal the textbook " +
+        "remaining-degree form) — strongly negative = hub-and-spoke, " +
+        "the shape that blows up wedge pipelines, known BEFORE q174 " +
+        "runs; one degree agg + two edge joins + one moment agg, " +
+        "DECIMAL(38,0) products",
+      Some(shCte + lshCte + """,
+             | ed AS MATERIALIZED (SELECT doc_a, doc_b FROM cand),
+             | e2 AS (SELECT doc_a AS src, doc_b AS dst FROM ed
+             |        UNION SELECT doc_b, doc_a FROM ed),
+             | dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM e2 GROUP BY 1),
+             | j AS (SELECT dx.deg AS x, dy.deg AS y
+             |       FROM e2 JOIN dg dx ON dx.node = e2.src
+             |       JOIN dg dy ON dy.node = e2.dst),
+             | s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38, 0)) AS sxx,
+             |        CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38, 0)) AS syy,
+             |        CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38, 0)) AS sxy
+             |       FROM j),
+             | nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM dg)
+             |SELECT n_nodes, CAST(m2 / 2 AS BIGINT) AS n_edges,
+             |  round((m2 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             |    / CAST(CASE WHEN sqrt(
+             |          (m2 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             |        * (m2 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             |        > 0
+             |      THEN sqrt(
+             |          (m2 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             |        * (m2 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             |      END AS DOUBLE) * 1e6) / 1e6 AS assortativity
+             |FROM s CROSS JOIN nn""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Graph.degreeAssortativity(
+            Dedup.minhashCandidates(
+              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
+                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+              maxBucket = 1000),
+            "doc_a", "doc_b"))
   )
 
   /** Unrolled synchronous label propagation in DuckDB — the SAME

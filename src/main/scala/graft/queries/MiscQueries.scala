@@ -3446,7 +3446,371 @@ object MiscQueries {
             xCol = "x")
           .withColumnRenamed("key", "event_type")
           .orderBy("event_type")
-      })
+      }),
+
+    // ----- Spearman rank correlation -----
+    Q("q259_spearman",
+      "Spearman rank correlation of quantity vs price per return flag " +
+        "— q231's Pearson on AVERAGE ranks, the monotone-association " +
+        "probe robust to the fat tails Pearson folds into its moments; " +
+        "doubled ranks (2*cnt_less + cnt_eq + 1) stay integer so the " +
+        "five power sums replay exactly (q144/q231 overflow rule); " +
+        "ranks compute on the per-(group, value) DICTIONARY and join " +
+        "back — never a window over raw rows",
+      Some("""WITH w AS (SELECT l_returnflag AS grp,
+             |         CAST(round(l_quantity * 1) AS BIGINT) AS x,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+             |       FROM lineitem
+             |       WHERE l_quantity IS NOT NULL
+             |         AND l_extendedprice IS NOT NULL),
+             |dx AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM w GROUP BY 1, 2),
+             |rx AS (SELECT grp, x,
+             |        CAST(2 * coalesce(sum(cnt) OVER (PARTITION BY grp
+             |            ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND 1 PRECEDING), 0) + cnt + 1 AS BIGINT) AS a
+             |       FROM dx),
+             |dy AS (SELECT grp, y, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM w GROUP BY 1, 2),
+             |ry AS (SELECT grp, y,
+             |        CAST(2 * coalesce(sum(cnt) OVER (PARTITION BY grp
+             |            ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND 1 PRECEDING), 0) + cnt + 1 AS BIGINT) AS b
+             |       FROM dy),
+             |j AS (SELECT w.grp, rx.a, ry.b
+             |      FROM w JOIN rx ON rx.grp = w.grp AND rx.x = w.x
+             |      JOIN ry ON ry.grp = w.grp AND ry.y = w.y),
+             |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(a) AS BIGINT) AS sa,
+             |        CAST(sum(b) AS BIGINT) AS sb,
+             |        CAST(sum(CAST(a AS HUGEINT) * a) AS DECIMAL(38, 0)) AS saa,
+             |        CAST(sum(CAST(b AS HUGEINT) * b) AS DECIMAL(38, 0)) AS sbb,
+             |        CAST(sum(CAST(a AS HUGEINT) * b) AS DECIMAL(38, 0)) AS sab
+             |      FROM j GROUP BY 1)
+             |SELECT grp, n,
+             |  round((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
+             |    / CAST(CASE WHEN sqrt(
+             |          (n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+             |        * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb))
+             |        > 0
+             |      THEN sqrt(
+             |          (n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+             |        * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb))
+             |      END AS DOUBLE) * 1e6) / 1e6 AS spearman_rho
+             |FROM s ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.spearmanByGroup(Tables(s, dir, "lineitem"),
+            groupCol = "l_returnflag", xCol = "l_quantity",
+            yCol = "l_extendedprice", xScale = 1L, yScale = 100L)
+          .orderBy("grp")),
+
+    // ----- Jensen-Shannon categorical drift -----
+    Q("q260_js_drift",
+      "Jensen-Shannon divergence of the event-type MIX between the " +
+        "even- and odd-user halves — the symmetric always-finite " +
+        "categorical drift number (log2, so [0,1]; one-sided " +
+        "categories contribute a bounded term instead of riding " +
+        "q195's eps floor); two dictionary aggs + full-outer join, " +
+        "terms summed as scaled integers",
+      Some("""WITH r AS (SELECT event_type AS cat,
+             |        CAST(count(*) AS BIGINT) AS cr
+             |      FROM events
+             |      WHERE event_type IS NOT NULL AND user_id % 2 = 0
+             |      GROUP BY 1),
+             |c AS (SELECT event_type AS cat,
+             |        CAST(count(*) AS BIGINT) AS cc
+             |      FROM events
+             |      WHERE event_type IS NOT NULL AND user_id % 2 = 1
+             |      GROUP BY 1),
+             |j AS (SELECT coalesce(r.cat, c.cat) AS cat, r.cr, c.cc
+             |      FROM r FULL OUTER JOIN c ON r.cat = c.cat),
+             |t AS (SELECT CAST(sum(coalesce(cr, 0)) AS BIGINT) AS nr,
+             |             CAST(sum(coalesce(cc, 0)) AS BIGINT) AS nc
+             |      FROM j),
+             |sl AS (SELECT j.cat, t.nr, t.nc,
+             |        CAST(coalesce(j.cr, 0) AS DOUBLE)
+             |          / CAST(CASE WHEN t.nr > 0 THEN t.nr END AS DOUBLE)
+             |          AS p,
+             |        CAST(coalesce(j.cc, 0) AS DOUBLE)
+             |          / CAST(CASE WHEN t.nc > 0 THEN t.nc END AS DOUBLE)
+             |          AS q
+             |      FROM j CROSS JOIN t),
+             |a AS (SELECT max(nr) AS n_ref, max(nc) AS n_cur,
+             |        CAST(count(*) AS BIGINT) AS n_categories,
+             |        round(sum(CAST(round((
+             |            (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+             |                  ELSE 0.0 END)
+             |          + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+             |                  ELSE 0.0 END)
+             |          ) / 2.0 / ln(2.0) * 1e9) AS BIGINT)) / 1e9 * 1e6)
+             |          / 1e6 AS js_raw
+             |      FROM sl)
+             |SELECT n_ref, n_cur, n_categories,
+             |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN js_raw END
+             |    AS js_divergence,
+             |  CASE WHEN n_ref > 0 AND n_cur > 0
+             |    THEN round(sqrt(greatest(js_raw, 0.0)), 6) END
+             |    AS js_distance
+             |FROM a""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.jsDrift(Tables(s, dir, "events"),
+            "event_type",
+            refPred = col("user_id") % 2 === 0,
+            curPred = col("user_id") % 2 === 1)),
+
+    // ----- smoothed target encoding -----
+    Q("q261_target_encoding",
+      "m-estimate target encoding of part brand against the return " +
+        "flag: enc = (n_pos + m*prior)/(n + m) — empirical-Bayes " +
+        "shrinkage toward the global rate, the high-cardinality " +
+        "encoder whose output table IS the serving artifact (fit-once " +
+        "like q146, never a per-row label-visible pass); one " +
+        "category-keyed agg + broadcast 1-row prior",
+      Some("""WITH w AS (SELECT p_brand AS category,
+             |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+             |      FROM lineitem JOIN part ON p_partkey = l_partkey
+             |      WHERE p_brand IS NOT NULL),
+             |cells AS (SELECT category, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(y) AS BIGINT) AS n_pos
+             |      FROM w GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             |        CAST(sum(n_pos) AS BIGINT) AS pos_tot FROM cells)
+             |SELECT category, n, n_pos,
+             |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6)
+             |    / 1e6 AS raw_rate,
+             |  round(CAST(pos_tot AS DOUBLE)
+             |    / CAST(CASE WHEN n_tot > 0 THEN n_tot END AS DOUBLE)
+             |    * 1e6) / 1e6 AS prior,
+             |  round((CAST(n_pos AS DOUBLE) + 20.0
+             |      * (CAST(pos_tot AS DOUBLE)
+             |        / CAST(CASE WHEN n_tot > 0 THEN n_tot END AS DOUBLE)))
+             |    / (CAST(n AS DOUBLE) + 20.0) * 1e6) / 1e6 AS enc
+             |FROM cells CROSS JOIN t ORDER BY category""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Selection.targetEncode(
+            Tables(s, dir, "lineitem").join(Tables(s, dir, "part"),
+              col("p_partkey") === col("l_partkey")),
+            catCol = col("p_brand"),
+            labelCol = col("l_returnflag") === "R", m = 20.0)
+          .orderBy("category")),
+
+    // ----- equal-frequency binning -----
+    Q("q262_equal_freq_bins",
+      "equal-frequency 10-bin discretization of extended price over " +
+        "the distinct-value CDF (bin = min(k, ceil(cdf*k)), ALL ties " +
+        "of one value in one bin — the q215 distinct-value-compression " +
+        "rule, so the one cumulative window runs over the bounded " +
+        "price grid, never rows); per-bin counts + (lo, hi) split " +
+        "points, the serving discretizer artifact",
+      Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100)
+             |          AS BIGINT) AS v
+             |      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |dv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM v GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM dv),
+             |c AS (SELECT v, cnt,
+             |        CAST(sum(cnt) OVER (ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS cum
+             |      FROM dv),
+             |b AS (SELECT v, cnt,
+             |        CAST(least(10, CAST(ceil(CAST(cum AS DOUBLE)
+             |          / CAST(total AS DOUBLE) * 10) AS BIGINT))
+             |          AS BIGINT) AS bin
+             |      FROM c CROSS JOIN t)
+             |SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_values,
+             |  CAST(min(v) AS DOUBLE) / 100 AS lo,
+             |  CAST(max(v) AS DOUBLE) / 100 AS hi
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.equalFreqBins(Tables(s, dir, "lineitem"),
+            valueCol = "l_extendedprice", k = 10, scale = 100L)
+          .orderBy("bin")),
+
+    // ----- t-closeness -----
+    Q("q263_t_closeness",
+      "t-closeness of the market-segment distribution within each " +
+        "nation vs the global mix (total-variation distance, the " +
+        "categorical EMD of the 2007 paper) — the skew leak k-anonymity " +
+        "(q188) and l-diversity (q208) both miss: a big, varied class " +
+        "that is 90% one segment still discloses; class x value " +
+        "completion runs over dictionaries, terms sum as scaled ints",
+      Some("""WITH base AS (SELECT c_nationkey,
+             |        CAST(c_mktsegment AS VARCHAR) AS s
+             |      FROM customer WHERE c_mktsegment IS NOT NULL),
+             |cells AS (SELECT c_nationkey, s,
+             |        CAST(count(*) AS BIGINT) AS c
+             |      FROM base GROUP BY 1, 2),
+             |cls AS (SELECT c_nationkey,
+             |        CAST(sum(c) AS BIGINT) AS class_size
+             |      FROM cells GROUP BY 1),
+             |g AS (SELECT s, CAST(count(*) AS BIGINT) AS g
+             |      FROM base GROUP BY 1),
+             |t AS (SELECT CAST(sum(g) AS BIGINT) AS tot FROM g),
+             |x AS (SELECT cls.c_nationkey, cls.class_size, g.s, g.g,
+             |        t.tot, cells.c
+             |      FROM cls CROSS JOIN g CROSS JOIN t
+             |      LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+             |        AND cells.s = g.s),
+             |a AS (SELECT c_nationkey, class_size,
+             |        round(sum(CAST(round(abs(
+             |            CAST(coalesce(c, 0) AS DOUBLE)
+             |              / CAST(class_size AS DOUBLE)
+             |            - CAST(g AS DOUBLE) / CAST(tot AS DOUBLE))
+             |          * 1e9) AS BIGINT)) / 2.0 / 1e9 * 1e6) / 1e6 AS tvd
+             |      FROM x GROUP BY 1, 2)
+             |SELECT c_nationkey, class_size, tvd, tvd > 0.2 AS suppress
+             |FROM a ORDER BY c_nationkey""".stripMargin),
+      (s, dir) =>
+        graft.analytics.DataAudit.tCloseness(Tables(s, dir, "customer"),
+            0.2, "c_mktsegment", "c_nationkey")
+          .orderBy("c_nationkey")),
+
+    // ----- AMS F2 / self-join-size sketch -----
+    Q("q265_ams_f2",
+      "AMS second-frequency-moment sketch of the orderkey column: 16 " +
+        "md5-nibble sign estimators (the q20 convention) against the " +
+        "exact self-join size sum(cnt^2) — the join-size estimate a " +
+        "planner needs BEFORE the join, from one map-side pass holding " +
+        "16 integers; mean-of-16 and the classic median-of-4-means " +
+        "both reported with signed relative error",
+      Some("""WITH w AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h
+             |      FROM lineitem WHERE l_orderkey IS NOT NULL),
+             |sk AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |""".stripMargin +
+        (1 to 16).map(j =>
+          s"""        CAST(sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS z$j""")
+          .mkString(",\n") + "\n" +
+        """      FROM w),
+          |e AS (SELECT n_rows,
+          |        round((""".stripMargin +
+        (1 to 16).map(j => s"CAST(z$j AS DOUBLE) * z$j")
+          .mkString(" + ") + """) / 16.0, 6) AS est_mean,
+          |        round((list_sort([
+          |            (CAST(z1 AS DOUBLE) * z1 + CAST(z2 AS DOUBLE) * z2 + CAST(z3 AS DOUBLE) * z3 + CAST(z4 AS DOUBLE) * z4) / 4.0,
+          |            (CAST(z5 AS DOUBLE) * z5 + CAST(z6 AS DOUBLE) * z6 + CAST(z7 AS DOUBLE) * z7 + CAST(z8 AS DOUBLE) * z8) / 4.0,
+          |            (CAST(z9 AS DOUBLE) * z9 + CAST(z10 AS DOUBLE) * z10 + CAST(z11 AS DOUBLE) * z11 + CAST(z12 AS DOUBLE) * z12) / 4.0,
+          |            (CAST(z13 AS DOUBLE) * z13 + CAST(z14 AS DOUBLE) * z14 + CAST(z15 AS DOUBLE) * z15 + CAST(z16 AS DOUBLE) * z16) / 4.0
+          |          ])[2] + list_sort([
+          |            (CAST(z1 AS DOUBLE) * z1 + CAST(z2 AS DOUBLE) * z2 + CAST(z3 AS DOUBLE) * z3 + CAST(z4 AS DOUBLE) * z4) / 4.0,
+          |            (CAST(z5 AS DOUBLE) * z5 + CAST(z6 AS DOUBLE) * z6 + CAST(z7 AS DOUBLE) * z7 + CAST(z8 AS DOUBLE) * z8) / 4.0,
+          |            (CAST(z9 AS DOUBLE) * z9 + CAST(z10 AS DOUBLE) * z10 + CAST(z11 AS DOUBLE) * z11 + CAST(z12 AS DOUBLE) * z12) / 4.0,
+          |            (CAST(z13 AS DOUBLE) * z13 + CAST(z14 AS DOUBLE) * z14 + CAST(z15 AS DOUBLE) * z15 + CAST(z16 AS DOUBLE) * z16) / 4.0
+          |          ])[3]) / 2.0, 6) AS est_median_means
+          |      FROM sk),
+          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |        CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT)
+          |          AS exact_f2
+          |      FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+          |            FROM lineitem WHERE l_orderkey IS NOT NULL
+          |            GROUP BY l_orderkey))
+          |SELECT n_rows, n_keys, exact_f2, est_mean, est_median_means,
+          |  round((est_mean - CAST(exact_f2 AS DOUBLE))
+          |    / CAST(CASE WHEN exact_f2 > 0 THEN exact_f2 END AS DOUBLE)
+          |    * 1e6) / 1e6 AS rel_err_mean,
+          |  round((est_median_means - CAST(exact_f2 AS DOUBLE))
+          |    / CAST(CASE WHEN exact_f2 > 0 THEN exact_f2 END AS DOUBLE)
+          |    * 1e6) / 1e6 AS rel_err_mom
+          |FROM e CROSS JOIN ex""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sketches.amsF2(Tables(s, dir, "lineitem"),
+            keyCol = "l_orderkey")),
+
+    // ----- Nelson-Aalen cumulative hazard -----
+    Q("q266_nelson_aalen",
+      "Nelson-Aalen cumulative hazard over the q182 right-censored " +
+        "user lifetimes (H = sum d/n, Aalen variance sum d/n^2, " +
+        "Fleming-Harrington exp(-H) survival) — the hazard-view " +
+        "complement when churn PRESSURE is the quantity under study; " +
+        "same bounded distinct-lifetime table, per-step terms summed " +
+        "as scaled integers",
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |  FROM events),
+             |life AS (SELECT u, min(d) AS d0, max(d) AS d1
+             |         FROM days GROUP BY u),
+             |gm AS (SELECT max(d) AS gmax FROM days),
+             |lt AS (SELECT date_diff('day', d0, d1) AS t,
+             |              d1 < gm.gmax AS observed
+             |       FROM life CROSS JOIN gm),
+             |byt AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+             |         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_churned
+             |  FROM lt GROUP BY t),
+             |r AS (
+             |  SELECT t, n_at, n_churned,
+             |         CAST(sum(n_at) OVER (ORDER BY t
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |           AS BIGINT) AS n_risk
+             |  FROM byt),
+             |sline AS (
+             |  SELECT t, n_risk, n_churned,
+             |         sum(CAST(round(CAST(n_churned AS DOUBLE)
+             |             / CAST(n_risk AS DOUBLE) * 1e9) AS BIGINT))
+             |           OVER w AS hsum,
+             |         sum(CAST(round(CAST(n_churned AS DOUBLE)
+             |             / (CAST(n_risk AS DOUBLE) * n_risk) * 1e9)
+             |             AS BIGINT)) OVER w AS vsum
+             |  FROM r
+             |  WINDOW w AS (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT CAST(t AS BIGINT) AS t_days, n_risk, n_churned,
+             |       round(hsum / 1e9, 6) AS cum_hazard,
+             |       round(vsum / 1e9, 6) AS hazard_var,
+             |       round(exp(-hsum / 1e9), 6) AS fh_survival
+             |FROM sline WHERE n_churned > 0 ORDER BY t_days""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.nelsonAalen(Tables(s, dir, "events"),
+            "user_id", "ts")
+          .orderBy("t_days")),
+
+    // ----- embedding hubness audit -----
+    Q("q267_hubness",
+      "k-occurrence histogram of the embedding space (Radovanovic " +
+        "2010): how many times each corpus vector lands in the exact " +
+        "top-5 of the 1-in-100 query sample — the hub/antihub " +
+        "go-no-go BEFORE shipping a space into the q24/q95 pipelines; " +
+        "top-k per query via the BOUNDED native TopKBy aggregate " +
+        "(k pairs of map-side state; the window form is what the " +
+        "oracle runs), then two dictionary aggs",
+      Some("""WITH v AS (SELECT vec_id AS vid,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |          AS vv
+             |      FROM embeddings),
+             |q AS (SELECT vec_id AS qid,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |          AS qv
+             |      FROM embeddings WHERE vec_id % 100 = 0),
+             |cand AS (SELECT q.qid, v.vid,
+             |        CAST(round(list_dot_product(qv, vv)
+             |          / (sqrt(list_dot_product(qv, qv))
+             |             * sqrt(list_dot_product(vv, vv))) * 1e6)
+             |          AS BIGINT) AS c6
+             |      FROM v CROSS JOIN q WHERE v.vid <> q.qid),
+             |top AS (SELECT qid, vid,
+             |        row_number() OVER (PARTITION BY qid
+             |          ORDER BY c6 DESC, vid) AS rn
+             |      FROM cand),
+             |occ AS (SELECT vid, CAST(count(*) AS BIGINT)
+             |          AS k_occurrence
+             |      FROM top WHERE rn <= 5 GROUP BY 1),
+             |hist AS (SELECT k_occurrence,
+             |        CAST(count(*) AS BIGINT) AS n_vectors
+             |      FROM occ GROUP BY 1),
+             |t AS (SELECT CAST(sum(k_occurrence * n_vectors) AS BIGINT)
+             |        AS n_slots FROM hist)
+             |SELECT k_occurrence, n_vectors,
+             |  round(CAST(k_occurrence * n_vectors AS DOUBLE)
+             |    / CAST(CASE WHEN n_slots > 0 THEN n_slots END AS DOUBLE)
+             |    * 1e6) / 1e6 AS slot_share
+             |FROM hist CROSS JOIN t ORDER BY k_occurrence""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Similarity.hubnessAudit(
+            Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            queryPred = col("vec_id") % 100 === 0, k = 5)
+          .orderBy("k_occurrence"))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

@@ -220,7 +220,22 @@ class PlanShapeSpec extends SparkTestBase {
       "q248_vocab_coverage",
       // q250: one-row observed diff x broadcast ONE-ROW percentile CI —
       // machine-checked below
-      "q250_bootstrap_diff_ci")
+      "q250_bootstrap_diff_ci",
+      // q260/q261/q262/q264/q265: category/bin/moment tables x broadcast
+      // ONE-ROW totals (the q77 bracket) — machine-checked below
+      "q260_js_drift", "q261_target_encoding", "q262_equal_freq_bins",
+      "q264_assortativity", "q265_ams_f2",
+      // q263: classes x broadcast (sensitive-dictionary x ONE-ROW total)
+      // completion — both build-side structures machine-checked below
+      // (the q233 margin-x-total shape)
+      "q263_t_closeness",
+      // q266: user lifetimes x broadcast ONE-ROW feed-cutoff date (the
+      // q182 bracket) — machine-checked below
+      "q266_nelson_aalen",
+      // q267: corpus x broadcast query sample, non-equi self-exclusion
+      // (the q24/q227 brute-baseline probe — swap IVF upstream at
+      // serving scale), plus a histogram x broadcast ONE-ROW slot total
+      "q267_hubness")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -280,7 +295,9 @@ class PlanShapeSpec extends SparkTestBase {
         "q198_kappa", "q200_source_scorecard", "q218_rfm_segments",
         "q229_freshness_audit", "q241_decayed_topk",
         "q247_woe_buckets", "q248_vocab_coverage",
-        "q250_bootstrap_diff_ci"))
+        "q250_bootstrap_diff_ci", "q260_js_drift",
+        "q261_target_encoding", "q262_equal_freq_bins",
+        "q264_assortativity", "q265_ams_f2", "q266_nelson_aalen"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +
@@ -309,6 +326,21 @@ class PlanShapeSpec extends SparkTestBase {
         .select("source").distinct().count()
       assert(srcDict <= 64,
         s"source dictionary must stay tiny, got $srcDict")
+    }
+    // q263: the q233 shape — the class x value completion crosses the
+    // class table against (sensitive-dictionary x ONE-ROW total); both
+    // the keyed-dictionary and grouping-free build sides must be
+    // present, and the sensitive dictionary must stay tiny
+    locally {
+      val grouped = buildSides("q263_t_closeness").flatMap(topAggGrouped)
+      assert(grouped.contains(false),
+        "q263: expected the grouping-free ONE-ROW total build side")
+      assert(grouped.contains(true),
+        "q263: expected the keyed sensitive-dictionary build side")
+      val segDict = queries.Tables(spark, dir, "customer")
+        .select("c_mktsegment").distinct().count()
+      assert(segDict <= 64,
+        s"c_mktsegment dictionary must stay tiny, got $segDict")
     }
   }
 

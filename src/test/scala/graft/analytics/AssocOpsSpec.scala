@@ -1,0 +1,198 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The round-8 continuation additions: Spearman ranks, JS drift,
+  * target encoding, equal-frequency bins, t-closeness, AMS F2,
+  * Nelson-Aalen, degree assortativity, hubness. Every fixture is
+  * hand-computed; partition invariance pinned where state merges. */
+class AssocOpsSpec extends SparkTestBase {
+
+  test("spearmanByGroup: perfect monotone = 1, anti-monotone = -1, " +
+       "average ranks make tied columns correlate exactly, " +
+       "zero-variance group is null") {
+    import spark.implicits._
+    val df = Seq(
+      // "up": y strictly increasing in x (values not linear — Pearson
+      // on raw values would be < 1, ranks give exactly 1)
+      ("up", 1.0, 1.0), ("up", 2.0, 10.0), ("up", 3.0, 11.0),
+      ("up", 4.0, 1000.0),
+      // "dn": strictly decreasing
+      ("dn", 1.0, 9.0), ("dn", 2.0, 7.0), ("dn", 3.0, 1.0),
+      // "tie": identical tie structure in x and y -> identical rank
+      //        vectors -> rho exactly 1 (average-rank handling)
+      ("tie", 1.0, 2.0), ("tie", 2.0, 3.0), ("tie", 2.0, 3.0),
+      ("tie", 3.0, 9.0),
+      // "flat": x constant -> zero rank variance -> null
+      ("flat", 5.0, 1.0), ("flat", 5.0, 2.0))
+      .toDF("g", "x", "y")
+    val out = Stats.spearmanByGroup(df, "g", "x", "y",
+        xScale = 1L, yScale = 1L)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out("up") == 1.0)
+    assert(out("dn") == -1.0)
+    assert(out("tie") == 1.0)
+    assert(out("flat") == null)
+  }
+
+  test("jsDrift: identical mixes = 0, disjoint supports = 1 (log2), " +
+       "one-sided category contributes a bounded term") {
+    import spark.implicits._
+    def js(rows: Seq[(String, Long)]): (Double, Long) = {
+      val df = rows.toDF("cat", "uid")
+      val r = Stats.jsDrift(df, "cat",
+        refPred = col("uid") % 2 === 0,
+        curPred = col("uid") % 2 === 1).collect().head
+      (r.getDouble(3), r.getLong(2))
+    }
+    // identical distributions on both sides
+    val (same, nSame) = js(Seq(("a", 0L), ("a", 1L), ("b", 2L),
+      ("b", 3L)))
+    assert(same == 0.0 && nSame == 2L)
+    // disjoint supports: JS = 1 bit exactly
+    val (disj, nDisj) = js(Seq(("a", 0L), ("a", 2L), ("b", 1L),
+      ("b", 3L)))
+    assert(disj == 1.0 && nDisj == 2L)
+    // hand case: ref = {a}, cur = {a: 1/2, b: 1/2}
+    //   m(a) = 3/4, m(b) = 1/4
+    //   JS = [1*ln(4/3) + (1/2)*ln(2/3) + (1/2)*ln(2)] / 2 / ln2
+    val (mix, _) = js(Seq(("a", 0L), ("a", 2L), ("a", 1L), ("b", 3L)))
+    val expected = math.floor((1.0 * math.log(1.0 / 0.75) +
+      0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)) /
+      2.0 / math.log(2.0) * 1e9 + 0.5) / 1e9
+    assert(math.abs(mix - math.floor(expected * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("targetEncode: m-estimate shrinks small categories toward the " +
+       "prior, null categories excluded") {
+    import spark.implicits._
+    val df = Seq(("A", 1), ("A", 1), ("A", 1), ("A", 0), ("B", 0),
+      (null.asInstanceOf[String], 1)).toDF("cat", "y")
+    val out = Selection.targetEncode(df, col("cat"), col("y"), m = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    // prior = 3/5 = 0.6 (null category excluded from the fit)
+    assert(out("A") == ((4L, 3L, 0.72)))  // (3 + 1*0.6) / (4 + 1)
+    assert(out("B") == ((1L, 0L, 0.3)))   // (0 + 0.6) / 2
+    assert(!out.contains(null))
+  }
+
+  test("equalFreqBins: ties stay whole in one bin, counts balance " +
+       "when values are distinct") {
+    import spark.implicits._
+    // 8 rows, k=2: value 1 has cnt 4 (cdf .5 -> bin 1), rest bin 2
+    val skewed = Seq(1, 1, 1, 1, 2, 3, 4, 5).toDF("v")
+    val bins = Stats.equalFreqBins(skewed, "v", k = 2, scale = 1L)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))
+    assert(bins === Seq((1L, 4L, 1.0, 1.0), (2L, 4L, 2.0, 5.0)))
+    // 10 distinct values, k=5 -> 2 rows per bin
+    val even = (1 to 10).toDF("v")
+    val counts = Stats.equalFreqBins(even, "v", k = 5, scale = 1L)
+      .orderBy("bin").collect().map(r => r.getLong(1))
+    assert(counts === Seq(2L, 2L, 2L, 2L, 2L))
+  }
+
+  test("tCloseness: a class mirroring the global mix scores 0, a " +
+       "single-value class scores the hand TVD, null sensitive " +
+       "values excluded") {
+    import spark.implicits._
+    // global: A 3, B 3; class c1 = {A,A,B,B} (tvd ~ |1/2-1/2| = 0),
+    // class c2 = {A} (tvd = (|1-1/2| + |0-1/2|)/2 = 1/2),
+    // class c3 = {B} (same by symmetry); null sens row dropped
+    val df = Seq(("c1", "A"), ("c1", "A"), ("c1", "B"), ("c1", "B"),
+      ("c2", "A"), ("c3", "B"),
+      ("c3", null.asInstanceOf[String])).toDF("q", "s")
+    val out = DataAudit.tCloseness(df, t = 0.3, sensitiveCol = "s", "q")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out("c1") == ((4L, 0.0, false)))
+    assert(out("c2") == ((1L, 0.5, true)))
+    assert(out("c3") == ((1L, 0.5, true)))
+  }
+
+  test("amsF2: exact side is sum(cnt^2), estimators are partition-" +
+       "invariant and unbiased-shaped (positive, finite)") {
+    import spark.implicits._
+    val rows = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_))
+    def run(parts: Int) =
+      Sketches.amsF2(rows.toDF("k").repartition(parts), "k")
+        .collect().head
+    val r1 = run(1); val r4 = run(4)
+    // exact F2 = 9 + 4 + 1 = 14 over 3 keys
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 14L)
+    assert(r1.getDouble(3) > 0.0 && !r1.getDouble(3).isNaN)
+    // the sketch state is integer sums: partitioning cannot move it
+    assert(r1.toSeq == r4.toSeq)
+  }
+
+  test("nelsonAalen: hand-computed hazard steps, censored tail kept " +
+       "in the risk set, only churn rows emitted") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    // u1: day 1 only -> t=0 observed; u2: days 1..3 -> t=2 observed;
+    // u3: days 1..10 -> t=9, ends at feed max -> CENSORED
+    val df = (Seq((1L, ts(1))) ++ Seq((2L, ts(1)), (2L, ts(3))) ++
+      Seq((3L, ts(1)), (3L, ts(10)))).toDF("u", "t")
+    val out = Events.nelsonAalen(df, "u", "t").orderBy("t_days")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(5)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val h1 = math.floor(1.0 / 3.0 * 1e9 + 0.5) / 1e9
+    val h2 = h1 + 0.5
+    assert(out === Seq(
+      (0L, 3L, 1L, r6(h1), r6(math.exp(-h1))),
+      (2L, 2L, 1L, r6(h2), r6(math.exp(-h2)))))
+  }
+
+  test("degreeAssortativity: star = -1, path P4 = -0.5, regular " +
+       "graph (zero degree variance) = null") {
+    import spark.implicits._
+    def assort(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) = {
+      val r = Graph.degreeAssortativity(edges.toDF("a", "b"), "a", "b")
+        .collect().head
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    assert(assort(Seq((0L, 1L), (0L, 2L), (0L, 3L))) ===
+      ((4L, 3L, Some(-1.0))))
+    assert(assort(Seq((0L, 1L), (1L, 2L), (2L, 3L))) ===
+      ((4L, 3L, Some(-0.5))))
+    // 4-cycle: every degree 2
+    assert(assort(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) ===
+      ((4L, 4L, None)))
+  }
+
+  test("hubnessAudit: a dominant hub takes every slot; cosine ties " +
+       "break to the smaller id") {
+    import spark.implicits._
+    // one query (id 0) pointing at (1,0); ids 1 and 2 BOTH have
+    // cosine exactly 1 (scaled copies), id 3 is orthogonal
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(3.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.hubnessAudit(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") === 0, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1 === Seq((1L, 1L, 1.0))) // one vector retrieved once
+    // three queries all nearest to the same hub -> k_occurrence 3
+    val hub = Seq(
+      (0L, Seq(1.0f, 0.0f)), (10L, Seq(1.0f, 0.0f)),
+      (20L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val occ = Similarity.hubnessAudit(hub, "vec_id", "embedding",
+        queryPred = col("vec_id") % 10 === 0, k = 1)
+      .orderBy("k_occurrence")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ids 0/10/20 are mutual cosine-1 ties: each query's top-1 is the
+    // smallest OTHER query id (0 -> 10, 10 -> 0, 20 -> 0)
+    assert(occ === Seq((1L, 1L), (2L, 1L)))
+  }
+}
