@@ -924,7 +924,50 @@ object ScaleBench {
             events.groupBy($"event_type".as("key"),
               to_date($"ts").as("day"))
               .agg(count(lit(1)).cast("long").as("n")),
-            "key", "n").count()))
+            "key", "n").count()),
+        // rank dictionaries: quantity grid is FIXED (1..50) while the
+        // price grid grows with the part space — the rank windows run
+        // over those dictionaries, the two rank joins carry raw volume
+        "q259_spearman" -> (() =>
+          analytics.Stats.spearmanByGroup(li, "l_returnflag",
+            "l_quantity", "l_extendedprice").count()),
+        // two dictionary aggs + a 1-row cross: must be scan-flat
+        "q260_js_drift" -> (() =>
+          analytics.Stats.jsDrift(events, "event_type",
+            $"user_id" % 2 === 0, $"user_id" % 2 === 1).count()),
+        // category dictionary grows linearly with copies (disjoint part
+        // spaces) — the high-cardinality-encoder stress by construction
+        "q261_target_encode" -> (() =>
+          analytics.Selection.targetEncode(li, $"l_partkey",
+            $"l_returnflag" === "R").count()),
+        // distinct-value compression: the cumulative window runs over
+        // the price grid, which grows ~linearly with copies
+        "q262_equal_freq_bins" -> (() =>
+          analytics.Stats.equalFreqBins(li, "l_extendedprice",
+            k = 10).count()),
+        // (quasi, sensitive) cells absorb raw volume map-side; the
+        // completion cross is classes x 5-value dictionary
+        "q263_t_closeness" -> (() =>
+          analytics.DataAudit.tCloseness(
+            events.withColumn("seg", ($"user_id" % 5).cast("string")),
+            0.2, "seg", "event_type").count()),
+        // the hub graph: one degree-n node — degrees join edge-keyed,
+        // ONE moment agg; no wedge term anywhere, so the hub is free
+        "q264_assortativity" -> (() =>
+          analytics.Graph.degreeAssortativity(hubPairs, "a", "b")
+            .count()),
+        // 16 integer sums map-side + one key-keyed exact agg
+        "q265_ams_f2" -> (() =>
+          analytics.Sketches.amsF2(li, "l_orderkey").count()),
+        // same bounded distinct-lifetime table as q182
+        "q266_nelson_aalen" -> (() =>
+          analytics.Events.nelsonAalen(events, "user_id", "ts").count()),
+        // corpus x 1% query sample: probe volume grows ~k^2 (the q24
+        // brute baseline shape; IVF substitutes upstream at serving
+        // scale) — but per-query state is the BOUNDED top-k buffer
+        "q267_hubness" -> (() =>
+          analytics.Similarity.hubnessAudit(emb, "vec_id", "embedding",
+            $"vec_id" % 100 === 0, k = 5).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
