@@ -967,7 +967,28 @@ object ScaleBench {
         // scale) — but per-query state is the BOUNDED top-k buffer
         "q267_hubness" -> (() =>
           analytics.Similarity.hubnessAudit(emb, "vec_id", "embedding",
-            $"vec_id" % 100 === 0, k = 5).count()))
+            $"vec_id" % 100 === 0, k = 5).count()),
+        // one key agg absorbs raw volume; the multiplicity-frequency
+        // window and the top-10 TakeOrdered are both bounded
+        "q268_join_skew" -> (() =>
+          analytics.DataAudit.joinSkewAudit(li, "l_partkey").count()),
+        // the q233 contingency machinery + a 1-row fold (the scaled
+        // docs copies carry no source column; the scaled feed's
+        // type x user-segment grid exercises the same shape)
+        "q269_cramers_v" -> (() =>
+          analytics.Stats.cramersV(
+            events.withColumn("seg", ($"user_id" % 5).cast("string")),
+            "event_type", "seg").count()),
+        // cells/margins dictionary-sized after the one raw-volume agg
+        "q270_mutual_information" -> (() =>
+          analytics.Stats.mutualInformation(
+            events.withColumn("seg", ($"user_id" % 5).cast("string")),
+            "event_type", "seg").count()),
+        // k grows with the corpus (the q81/q95 sizing rule): inverted
+        // assignment work is one broadcast-model map pass either way
+        "q271_silhouette" -> (() =>
+          analytics.Cluster.simplifiedSilhouette(emb, "vec_id",
+            "embedding", k = 8 * k, iters = 2).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

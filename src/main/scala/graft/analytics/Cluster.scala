@@ -107,6 +107,55 @@ object Cluster {
         $"col.id".as("vec_id"), $"col.score".as("dist2"))
   }
 
+  /** Simplified (centroid-based) silhouette per cluster: for each
+    * vector, `a` = distance² to its OWN centroid, `b` = min distance²
+    * to any OTHER centroid, `s = (b - a) / max(a, b)` — the clustering-
+    * quality audit that says whether the k-means organization the
+    * SemDeDup/coreset/IVF pipelines stand on actually separated
+    * anything (mean s near 0 = clusters overlap; near 1 = tight and
+    * far apart). The centroid form is THE silhouette that scales: the
+    * textbook pairwise-distance form is Σ n_c² work for a number the
+    * centroid approximation tracks, so this is one map-side pass
+    * against the broadcast k x dim literal model — no joins at all
+    * after assignment.
+    *
+    * Determinism: all k distances recompute through one left-to-right
+    * fold (matching SQL list_distance evaluation), round to 6 BEFORE
+    * the compare so both engines pick b from identical values; the
+    * degenerate max(a, b) = 0 point (vector ON two coincident
+    * centroids) scores 0 by the sklearn convention. Per-cluster means
+    * sum as scaled integers. Output: (cluster, n, mean_silhouette,
+    * min_silhouette), ordered by the caller. */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 2, "silhouette needs k >= 2 (no 'other' centroid at 1)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (asg, cents) = lloyd(emb, idCol, vecCol, k, iters)
+    val cb = typedLit(cents.map(_.toArray).toArray)
+    val d2 = (cv: Column) => round(aggregate(
+      zip_with($"v", cv, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, e) => acc + e), 6)
+    val dists = transform(cb, cv => d2(cv))
+    val scored = asg
+      .withColumn("a2", element_at(dists, ($"cluster" + 1).cast("int")))
+      .withColumn("b2", array_min(transform(filter(
+        zip_with(dists, sequence(lit(0), lit(k - 1)),
+          (d, i) => struct(d.as("d"), i.as("i"))),
+        s => s.getField("i") =!= $"cluster"),
+        s => s.getField("d"))))
+    scored
+      .withColumn("s", when(greatest($"a2", $"b2") > 0.0,
+        ($"b2" - $"a2") / greatest($"a2", $"b2")).otherwise(lit(0.0)))
+      .groupBy($"cluster".cast("int").as("cluster"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        (round(sum(round($"s" * 1e9).cast("long")) / 1e9 /
+          count(lit(1)).cast("double") * 1e6) / 1e6)
+          .as("mean_silhouette"),
+        (round(min(round($"s" * 1e9).cast("long")) / 1e9 * 1e6) / 1e6)
+          .as("min_silhouette"))
+  }
+
   /** SemDeDup: semantic near-duplicate pruning scoped to k-means
     * clusters — the composition the SemDeDup pipeline ships (cluster the
     * corpus, then drop all-but-one of every within-cluster near-dup

@@ -310,6 +310,62 @@ object DataAudit {
       .withColumn("suppress", $"tvd" > t)
   }
 
+  /** Join-skew pre-flight audit of a key column: the per-key row-count
+    * distribution — mean, p50/p99 (key-weighted), max, the share of all
+    * rows held by the 10 heaviest keys, and max/mean — read BEFORE
+    * shuffling 100 TB on that key. A shuffle partition receives its
+    * keys' row counts; max/mean >> 1 or a fat top-10 share says one
+    * task will straggle (or OOM) and the join wants [[graft.operators
+    * .SaltedJoin]] / AQE skew handling, while a flat profile clears the
+    * plain hash join. This is the audit-side complement to the q265
+    * AMS sketch's self-join SIZE estimate.
+    *
+    * Shape: one key agg absorbs raw volume; percentiles compress to
+    * per-DISTINCT-count frequencies (the q215 rule — the window runs
+    * over distinct multiplicity values, never keys); the top-10 is a
+    * bounded TakeOrdered (map-side partial top-k, id tie-break), never
+    * a global sort. Output: 1 row (n_rows, n_keys, mean_rows,
+    * p50_rows, p99_rows, max_rows, top10_share, skew_ratio). */
+  def joinSkewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyCnt = Par.ensure(df).filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = keyCnt.agg(
+      sum($"cnt").cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max($"cnt").cast("long").as("max_rows"))
+    val freq = keyCnt.groupBy($"cnt")
+      .agg(count(lit(1)).cast("long").as("nk"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy($"cnt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = freq.withColumn("cumk", sum($"nk").over(win))
+      .crossJoin(broadcast(tot))
+    def pct(q: Double, name: String) =
+      cum.filter($"cumk" >=
+          ceil(lit(q) * $"n_keys".cast("double")).cast("long"))
+        .agg(min($"cnt").cast("long").as(name))
+    val top10 = keyCnt.orderBy($"cnt".desc, $"k").limit(10)
+      .agg(sum($"cnt").cast("long").as("top10_rows"))
+    tot
+      .crossJoin(broadcast(pct(0.5, "p50_rows")))
+      .crossJoin(broadcast(pct(0.99, "p99_rows")))
+      .crossJoin(broadcast(top10))
+      .select($"n_rows", $"n_keys",
+        (round($"n_rows".cast("double") /
+          when($"n_keys" > 0L, $"n_keys").cast("double") * 1e6) / 1e6)
+          .as("mean_rows"),
+        $"p50_rows", $"p99_rows", $"max_rows",
+        (round($"top10_rows".cast("double") /
+          when($"n_rows" > 0L, $"n_rows").cast("double") * 1e6) / 1e6)
+          .as("top10_share"),
+        (round($"max_rows".cast("double") * $"n_keys" /
+          when($"n_rows" > 0L, $"n_rows").cast("double") * 1e6) / 1e6)
+          .as("skew_ratio"))
+  }
+
   /** Gap-episode SLA audit per key: from a (key, day) activity series,
     * the number of MISSING-day runs, total missing days, the longest
     * single outage, and coverage over the key's own first..last span —

@@ -1426,6 +1426,93 @@ object Stats {
           .as("chi2_contrib"))
   }
 
+  /** Cramér's V over the [[chiSquareCells]] grid: the [0, 1] effect-size
+    * normalization `V = sqrt(chi2 / (n * (min(r,c) - 1)))` that makes
+    * association strengths comparable ACROSS tables — a chi2 of 10^6 on
+    * a 10^8-row feed is nothing, and the raw statistic can't say so.
+    * Reported with the grid dimensions and degrees of freedom so the
+    * reader can judge the test, not just the number.
+    *
+    * Exactness: the per-cell contributions arrive ROUNDED to 6 from
+    * chiSquareCells, so chi2 is a sum of scaled integers — partition
+    * order cannot move it, and the oracle replays the identical fold.
+    * Degenerate grids (a single row or column level — dof 0) null V.
+    * Shape: everything after the one raw-volume cell agg is
+    * dictionary-sized. Output: 1 row (n, r_levels, c_levels, dof,
+    * chi2, cramers_v). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    chiSquareCells(df, aCol, bCol)
+      .agg(sum($"observed_n").cast("long").as("n"),
+        count_distinct($"a").cast("long").as("r_levels"),
+        count_distinct($"b").cast("long").as("c_levels"),
+        (round(sum(round($"chi2_contrib" * 1e6).cast("long")) / 1e6
+          * 1e6) / 1e6).as("chi2"))
+      .select($"n", $"r_levels", $"c_levels",
+        (($"r_levels" - 1L) * ($"c_levels" - 1L)).as("dof"),
+        $"chi2",
+        (round(sqrt($"chi2" /
+          when($"n" > 0L && least($"r_levels", $"c_levels") > 1L,
+            $"n".cast("double") *
+              (least($"r_levels", $"c_levels") - 1L).cast("double")))
+          * 1e6) / 1e6).as("cramers_v"))
+  }
+
+  /** Mutual information between two categorical columns (nats), with
+    * both marginal entropies and the sqrt-normalized NMI in [0, 1] —
+    * the feature-relevance / redundancy number for categorical pairs
+    * (label vs metadata, source vs language): MI 0 means knowing one
+    * says nothing about the other, NMI 1 means they determine each
+    * other. `I = sum over observed cells of p_ij * ln(p_ij / (p_i
+    * q_j))`; zero cells contribute 0 by continuity and never enter.
+    *
+    * Shape: ONE keyed aggregate over raw volume to the observed cells,
+    * margins re-aggregate the CELLS, the term join is cell x broadcast
+    * margins — dictionary-sized throughout. Per-cell and per-margin
+    * terms round to 9 places and sum as scaled integers. Null
+    * categories are excluded. Output: 1 row (n, n_cells, mi, h_a,
+    * h_b, nmi) — nmi null when either marginal entropy is 0 (a
+    * constant column carries no information to normalize by). */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = Par.ensure(df)
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ra = obs.groupBy($"a").agg(sum($"n").cast("long").as("row_n"))
+    val cb = obs.groupBy($"b").agg(sum($"n").cast("long").as("col_n"))
+    val tot = obs.agg(sum($"n").cast("long").as("tot"))
+    def ent(cnt: Column, total: Column): Column = {
+      val p = cnt.cast("double") / when(total > 0L, total).cast("double")
+      round(-p * log(p) * 1e9).cast("long")
+    }
+    val ha = ra.crossJoin(broadcast(tot))
+      .agg((round(sum(ent($"row_n", $"tot")) / 1e9 * 1e6) / 1e6)
+        .as("h_a"))
+    val hb = cb.crossJoin(broadcast(tot))
+      .agg((round(sum(ent($"col_n", $"tot")) / 1e9 * 1e6) / 1e6)
+        .as("h_b"))
+    val pij = $"n".cast("double") /
+      when($"tot" > 0L, $"tot").cast("double")
+    val lift = $"n".cast("double") * $"tot".cast("double") /
+      ($"row_n".cast("double") * $"col_n".cast("double"))
+    val term = round(pij * log(lift) * 1e9).cast("long")
+    obs.join(broadcast(ra), Seq("a"))
+      .join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .agg(max($"tot").as("n"),
+        count(lit(1)).cast("long").as("n_cells"),
+        (round(sum(term) / 1e9 * 1e6) / 1e6).as("mi"))
+      .crossJoin(broadcast(ha))
+      .crossJoin(broadcast(hb))
+      .select($"n", $"n_cells", $"mi", $"h_a", $"h_b",
+        (round($"mi" / when($"h_a" > 0.0 && $"h_b" > 0.0,
+          sqrt($"h_a" * $"h_b")) * 1e6) / 1e6).as("nmi"))
+  }
+
   /** Sample autocorrelation of a per-key integer series at calendar
     * lags 1..maxLag: for each (key, lag), the Pearson correlation over
     * all pairs (x at day d, x at day d+lag) — the seasonality/

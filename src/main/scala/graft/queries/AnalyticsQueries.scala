@@ -4216,7 +4216,43 @@ object AnalyticsQueries {
               Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
                 "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
               maxBucket = 1000),
-            "doc_a", "doc_b"))
+            "doc_a", "doc_b")),
+
+    // ----- simplified silhouette: clustering-quality audit -----
+    Q("q271_silhouette",
+      "centroid-based silhouette per q80 k-means cluster (a = d2 to " +
+        "own centroid, b = min d2 to any other, s = (b-a)/max(a,b)) — " +
+        "does the organization SemDeDup/coreset/IVF stand on actually " +
+        "separate anything; the centroid form IS the silhouette that " +
+        "scales (the pairwise form is sum n_c^2 work), one map-side " +
+        "pass against the broadcast k x dim model, distances rounded " +
+        "6 BEFORE the compare so both engines pick b identically",
+      Some(kmCte + """,
+             |dd AS (SELECT a2.vec_id, a2.c, ce.c AS oc,
+             |        round(pow(list_distance(a2.vv, ce.cv), 2), 6) AS d2
+             |      FROM a2 CROSS JOIN cent2 ce),
+             |ab AS (SELECT vec_id, c,
+             |        max(CASE WHEN oc = c THEN d2 END) AS a2d,
+             |        min(CASE WHEN oc <> c THEN d2 END) AS b2d
+             |      FROM dd GROUP BY 1, 2),
+             |sc AS (SELECT c,
+             |        CASE WHEN greatest(a2d, b2d) > 0
+             |          THEN (b2d - a2d) / greatest(a2d, b2d)
+             |          ELSE 0.0 END AS s
+             |      FROM ab)
+             |SELECT CAST(c AS INT) AS cluster,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(CAST(round(s * 1e9) AS BIGINT)) / 1e9
+             |    / CAST(count(*) AS DOUBLE) * 1e6) / 1e6
+             |    AS mean_silhouette,
+             |  round(min(CAST(round(s * 1e9) AS BIGINT)) / 1e9 * 1e6)
+             |    / 1e6 AS min_silhouette
+             |FROM sc GROUP BY c ORDER BY cluster""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Cluster.simplifiedSilhouette(
+            Tables(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 8, iters = 2)
+          .orderBy("cluster"))
   )
 
   /** Unrolled synchronous label propagation in DuckDB — the SAME

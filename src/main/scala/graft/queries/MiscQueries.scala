@@ -3810,7 +3810,158 @@ object MiscQueries {
         graft.analytics.Similarity.hubnessAudit(
             Tables(s, dir, "embeddings"), "vec_id", "embedding",
             queryPred = col("vec_id") % 100 === 0, k = 5)
-          .orderBy("k_occurrence"))
+          .orderBy("k_occurrence")),
+
+    // ----- join-skew pre-flight audit -----
+    Q("q268_join_skew",
+      "per-key row-count distribution of the partkey join key — mean, " +
+        "key-weighted p50/p99, max, top-10-key share, max/mean — the " +
+        "will-this-shuffle-straggle pre-flight read BEFORE moving " +
+        "100 TB on a key (the audit complement to q265's self-join-" +
+        "size sketch); percentiles over per-DISTINCT-count frequencies " +
+        "(the q215 rule), top-10 a bounded TakeOrdered, never a " +
+        "global sort",
+      Some("""WITH kc AS (SELECT l_partkey AS k,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM lineitem WHERE l_partkey IS NOT NULL
+             |      GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |        CAST(count(*) AS BIGINT) AS n_keys,
+             |        CAST(max(cnt) AS BIGINT) AS max_rows FROM kc),
+             |f AS (SELECT cnt, CAST(count(*) AS BIGINT) AS nk
+             |      FROM kc GROUP BY 1),
+             |cm AS (SELECT cnt,
+             |        CAST(sum(nk) OVER (ORDER BY cnt
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS cumk
+             |      FROM f),
+             |p50 AS (SELECT CAST(min(cnt) AS BIGINT) AS p50_rows
+             |      FROM cm CROSS JOIN t
+             |      WHERE cumk >= CAST(ceil(0.5 * CAST(n_keys AS DOUBLE))
+             |        AS BIGINT)),
+             |p99 AS (SELECT CAST(min(cnt) AS BIGINT) AS p99_rows
+             |      FROM cm CROSS JOIN t
+             |      WHERE cumk >= CAST(ceil(0.99 * CAST(n_keys AS DOUBLE))
+             |        AS BIGINT)),
+             |tp AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10_rows
+             |      FROM (SELECT cnt FROM kc ORDER BY cnt DESC, k
+             |            LIMIT 10))
+             |SELECT n_rows, n_keys,
+             |  round(CAST(n_rows AS DOUBLE)
+             |    / CAST(CASE WHEN n_keys > 0 THEN n_keys END AS DOUBLE)
+             |    * 1e6) / 1e6 AS mean_rows,
+             |  p50_rows, p99_rows, max_rows,
+             |  round(CAST(top10_rows AS DOUBLE)
+             |    / CAST(CASE WHEN n_rows > 0 THEN n_rows END AS DOUBLE)
+             |    * 1e6) / 1e6 AS top10_share,
+             |  round(CAST(max_rows AS DOUBLE) * n_keys
+             |    / CAST(CASE WHEN n_rows > 0 THEN n_rows END AS DOUBLE)
+             |    * 1e6) / 1e6 AS skew_ratio
+             |FROM t CROSS JOIN p50 CROSS JOIN p99 CROSS JOIN tp"""
+        .stripMargin),
+      (s, dir) =>
+        graft.analytics.DataAudit.joinSkewAudit(
+            Tables(s, dir, "lineitem"), keyCol = "l_partkey")),
+
+    // ----- Cramer's V effect size -----
+    Q("q269_cramers_v",
+      "Cramer's V over the q233 lang x source chi-square grid: the " +
+        "[0,1] effect-size normalization sqrt(chi2/(n*(min(r,c)-1))) " +
+        "that makes association comparable ACROSS tables (a huge chi2 " +
+        "on a huge feed can still be a nothing association); chi2 sums " +
+        "the round-6 cell contributions as scaled integers, degenerate " +
+        "single-level grids null",
+      Some("""WITH o AS (SELECT lang AS a, source AS b,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM documents
+             |      WHERE lang IS NOT NULL AND source IS NOT NULL
+             |      GROUP BY 1, 2),
+             |r AS (SELECT a, CAST(sum(n) AS BIGINT) AS row_n FROM o
+             |      GROUP BY 1),
+             |c AS (SELECT b, CAST(sum(n) AS BIGINT) AS col_n FROM o
+             |      GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM o),
+             |e AS (SELECT r.a, c.b,
+             |        CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+             |          / CAST(CASE WHEN tot > 0 THEN tot END AS DOUBLE)
+             |          AS expected
+             |      FROM r CROSS JOIN c CROSS JOIN t),
+             |cells AS (SELECT e.a, e.b,
+             |        coalesce(o.n, CAST(0 AS BIGINT)) AS observed_n,
+             |        round((CAST(coalesce(o.n, 0) AS DOUBLE) - e.expected)
+             |            * (CAST(coalesce(o.n, 0) AS DOUBLE) - e.expected)
+             |            / CASE WHEN e.expected > 0 THEN e.expected END
+             |            * 1e6) / 1e6 AS chi2_contrib
+             |      FROM e LEFT JOIN o ON o.a = e.a AND o.b = e.b),
+             |s AS (SELECT CAST(sum(observed_n) AS BIGINT) AS n,
+             |        CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+             |        CAST(count(DISTINCT b) AS BIGINT) AS c_levels,
+             |        round(sum(CAST(round(chi2_contrib * 1e6) AS BIGINT))
+             |          / 1e6 * 1e6) / 1e6 AS chi2
+             |      FROM cells)
+             |SELECT n, r_levels, c_levels,
+             |  (r_levels - 1) * (c_levels - 1) AS dof, chi2,
+             |  round(sqrt(chi2 / CAST(CASE WHEN n > 0
+             |        AND least(r_levels, c_levels) > 1
+             |      THEN CAST(n AS DOUBLE)
+             |        * CAST(least(r_levels, c_levels) - 1 AS DOUBLE)
+             |      END AS DOUBLE)) * 1e6) / 1e6 AS cramers_v
+             |FROM s""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.cramersV(Tables(s, dir, "documents"),
+            aCol = "lang", bCol = "source")),
+
+    // ----- categorical mutual information -----
+    Q("q270_mutual_information",
+      "mutual information of lang x source in nats with marginal " +
+        "entropies and sqrt-normalized NMI — the feature-relevance/" +
+        "redundancy number for categorical pairs; observed cells only " +
+        "(zero cells contribute 0 by continuity), per-cell and " +
+        "per-margin terms summed as scaled integers, NMI null when a " +
+        "constant column leaves nothing to normalize by",
+      Some("""WITH o AS (SELECT lang AS a, source AS b,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM documents
+             |      WHERE lang IS NOT NULL AND source IS NOT NULL
+             |      GROUP BY 1, 2),
+             |r AS (SELECT a, CAST(sum(n) AS BIGINT) AS row_n FROM o
+             |      GROUP BY 1),
+             |c AS (SELECT b, CAST(sum(n) AS BIGINT) AS col_n FROM o
+             |      GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM o),
+             |ha AS (SELECT round(sum(CAST(round(
+             |        -(CAST(row_n AS DOUBLE) / CAST(CASE WHEN tot > 0
+             |            THEN tot END AS DOUBLE))
+             |        * ln(CAST(row_n AS DOUBLE) / CAST(CASE WHEN tot > 0
+             |            THEN tot END AS DOUBLE)) * 1e9) AS BIGINT))
+             |        / 1e9 * 1e6) / 1e6 AS h_a
+             |      FROM r CROSS JOIN t),
+             |hb AS (SELECT round(sum(CAST(round(
+             |        -(CAST(col_n AS DOUBLE) / CAST(CASE WHEN tot > 0
+             |            THEN tot END AS DOUBLE))
+             |        * ln(CAST(col_n AS DOUBLE) / CAST(CASE WHEN tot > 0
+             |            THEN tot END AS DOUBLE)) * 1e9) AS BIGINT))
+             |        / 1e9 * 1e6) / 1e6 AS h_b
+             |      FROM c CROSS JOIN t),
+             |mi AS (SELECT CAST(max(tot) AS BIGINT) AS n,
+             |        CAST(count(*) AS BIGINT) AS n_cells,
+             |        round(sum(CAST(round(
+             |          (CAST(o.n AS DOUBLE) / CAST(CASE WHEN tot > 0
+             |              THEN tot END AS DOUBLE))
+             |          * ln(CAST(o.n AS DOUBLE) * CAST(tot AS DOUBLE)
+             |            / (CAST(row_n AS DOUBLE)
+             |              * CAST(col_n AS DOUBLE))) * 1e9) AS BIGINT))
+             |          / 1e9 * 1e6) / 1e6 AS mi
+             |      FROM o JOIN r USING (a) JOIN c USING (b)
+             |      CROSS JOIN t)
+             |SELECT n, n_cells, mi, h_a, h_b,
+             |  round(mi / CAST(CASE WHEN h_a > 0 AND h_b > 0
+             |      THEN sqrt(h_a * h_b) END AS DOUBLE) * 1e6) / 1e6
+             |    AS nmi
+             |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.mutualInformation(
+            Tables(s, dir, "documents"), aCol = "lang", bCol = "source"))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

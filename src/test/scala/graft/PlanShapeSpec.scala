@@ -235,7 +235,13 @@ class PlanShapeSpec extends SparkTestBase {
       // q267: corpus x broadcast query sample, non-equi self-exclusion
       // (the q24/q227 brute-baseline probe — swap IVF upstream at
       // serving scale), plus a histogram x broadcast ONE-ROW slot total
-      "q267_hubness")
+      "q267_hubness",
+      // q268/q270: count/margin tables x broadcast ONE-ROW totals and
+      // percentile brackets (the q77/q116 shape) — machine-checked below
+      "q268_join_skew", "q270_mutual_information",
+      // q269: rides q233's margin x margin contingency spine (one-row
+      // total + dictionary-bounded margin) — machine-checked below
+      "q269_cramers_v")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -259,11 +265,16 @@ class PlanShapeSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     val dir = "/root/testdata/sf0.001"
-    // AQE wraps materialized subtrees in leaf QueryStageExec nodes;
-    // traverse through them so build-side structure stays visible
+    // AQE wraps materialized subtrees in leaf QueryStageExec nodes and
+    // de-duplicates identical broadcasts into leaf ReusedExchange refs;
+    // traverse through both so build-side structure stays visible
     def deep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
       val stages = p.collect { case s: QueryStageExec => s.plan }
-      p.collect(pf) ++ stages.flatMap(deep(_)(pf))
+      val reused = p.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          r.child
+      }
+      p.collect(pf) ++ (stages ++ reused).flatMap(deep(_)(pf))
     }
     def buildSides(name: String): Seq[SparkPlan] = {
       val q = queries.Catalog.all.find(_.name == name)
@@ -297,7 +308,8 @@ class PlanShapeSpec extends SparkTestBase {
         "q247_woe_buckets", "q248_vocab_coverage",
         "q250_bootstrap_diff_ci", "q260_js_drift",
         "q261_target_encoding", "q262_equal_freq_bins",
-        "q264_assortativity", "q265_ams_f2", "q266_nelson_aalen"))
+        "q264_assortativity", "q265_ams_f2", "q266_nelson_aalen",
+        "q268_join_skew", "q270_mutual_information"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +
@@ -341,6 +353,15 @@ class PlanShapeSpec extends SparkTestBase {
         .select("c_mktsegment").distinct().count()
       assert(segDict <= 64,
         s"c_mktsegment dictionary must stay tiny, got $segDict")
+    }
+    // q269 rides the q233 contingency spine: same two build-side
+    // structures (grouping-free one-row total + keyed dictionary margin)
+    locally {
+      val grouped = buildSides("q269_cramers_v").flatMap(topAggGrouped)
+      assert(grouped.contains(false),
+        "q269: expected the grouping-free ONE-ROW total build side")
+      assert(grouped.contains(true),
+        "q269: expected the keyed margin build side")
     }
   }
 

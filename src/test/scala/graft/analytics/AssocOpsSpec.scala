@@ -195,4 +195,91 @@ class AssocOpsSpec extends SparkTestBase {
     // smallest OTHER query id (0 -> 10, 10 -> 0, 20 -> 0)
     assert(occ === Seq((1L, 1L), (2L, 1L)))
   }
+
+  test("joinSkewAudit: hand-computed distribution on a hot-key " +
+       "fixture; a uniform key profile reports skew_ratio 1") {
+    import spark.implicits._
+    // keys: hot x 6 rows, a/b/c x 1 row each, null excluded
+    val hot = (Seq.fill(6)("hot") ++ Seq("a", "b", "c") ++
+      Seq(null.asInstanceOf[String])).map(Tuple1(_)).toDF("k")
+    val r = DataAudit.joinSkewAudit(hot, "k").collect().head
+    // n_rows 9, n_keys 4, mean 2.25, p50 (cum>=2 at cnt 1) = 1,
+    // p99 (cum>=4) = 6, max 6, top10 = all rows -> share 1,
+    // skew = 6/2.25
+    assert(r.getLong(0) == 9L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.25)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 6L && r.getLong(5) == 6L)
+    assert(r.getDouble(6) == 1.0)
+    assert(r.getDouble(7) == math.floor(6.0 / 2.25 * 1e6 + 0.5) / 1e6)
+    // uniform: every key exactly twice
+    val uni = Seq("a", "a", "b", "b", "c", "c").map(Tuple1(_)).toDF("k")
+    val u = DataAudit.joinSkewAudit(uni, "k").collect().head
+    assert(u.getDouble(7) == 1.0 && u.getLong(3) == 2L)
+  }
+
+  test("cramersV: a deterministic association scores 1, an " +
+       "independent grid scores 0, single-level grids null") {
+    import spark.implicits._
+    // perfect: a determines b on a 2x2 grid
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val p = Stats.cramersV(perfect, "a", "b").collect().head
+    assert(p.getLong(3) == 1L)          // dof (2-1)(2-1)
+    assert(p.getDouble(5) == 1.0)
+    // independent: every cell equal
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    assert(Stats.cramersV(ind, "a", "b").collect().head.getDouble(5)
+      == 0.0)
+    // degenerate: one column level -> dof 0 -> null V
+    val deg = Seq(("x", "p"), ("y", "p")).toDF("a", "b")
+    assert(Stats.cramersV(deg, "a", "b").collect().head.isNullAt(5))
+  }
+
+  test("mutualInformation: independence = 0, determinism = full " +
+       "entropy with NMI 1, constant column nulls NMI") {
+    import spark.implicits._
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Stats.mutualInformation(ind, "a", "b").collect().head
+    assert(i.getDouble(2) == 0.0 && i.getLong(1) == 4L)
+    // deterministic 50/50: MI = H = ln 2, NMI = 1
+    val det = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val d = Stats.mutualInformation(det, "a", "b").collect().head
+    val ln2r = math.floor(math.floor(math.log(2.0) * 1e9 + 0.5) / 1e9
+      * 1e6 + 0.5) / 1e6
+    assert(d.getDouble(2) == ln2r && d.getDouble(3) == ln2r)
+    assert(d.getDouble(5) == 1.0)
+    // constant a: h_a = 0 -> nmi null, mi 0
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val c = Stats.mutualInformation(const, "a", "b").collect().head
+    assert(c.getDouble(2) == 0.0 && c.isNullAt(5))
+  }
+
+  test("simplifiedSilhouette: two tight far-apart blobs score near 1, " +
+       "every cluster row carries its member count") {
+    import spark.implicits._
+    // k=2 on two clearly-separated 2-D blobs. Init is the 2 smallest
+    // (md5(id), id) corpus vectors — md5 sorts 11 < 12 < 1 < 13 < 2 < 3
+    // here — so ids are laid out to seed ONE centroid per blob (11 in
+    // the far blob, 12 in the origin blob); with both seeds in one
+    // blob, 2-iteration Lloyd genuinely straddles, which is what the
+    // audit would then (correctly) report as near-0
+    val emb = Seq(
+      (12L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f)), (11L, Seq(10.0f, 10.1f)),
+      (13L, Seq(10.1f, 10.0f)), (1L, Seq(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Cluster.simplifiedSilhouette(emb, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).sum == 6L)
+    assert(out.forall(_._2 > 0.9),
+      s"expected near-1 silhouettes, got ${out.mkString(",")}")
+    // k=1 has no 'other' centroid to compare against
+    intercept[IllegalArgumentException] {
+      Cluster.simplifiedSilhouette(emb, "vec_id", "embedding", k = 1)
+    }
+  }
 }
