@@ -74,7 +74,8 @@ object ScaleBench {
       base.select(
         ($"l_orderkey" + lit(i.toLong * 100000000L)).as("l_orderkey"),
         ($"l_partkey" + lit(i.toLong * 100000000L)).as("l_partkey"),
-        $"l_quantity", $"l_extendedprice", $"l_returnflag", $"l_shipdate")
+        $"l_quantity", $"l_extendedprice", $"l_discount",
+        $"l_returnflag", $"l_shipdate")
     }.reduce(_ unionByName _)
   }
 
@@ -988,7 +989,21 @@ object ScaleBench {
         // assignment work is one broadcast-model map pass either way
         "q271_silhouette" -> (() =>
           analytics.Cluster.simplifiedSilhouette(emb, "vec_id",
-            "embedding", k = 8 * k, iters = 2).count()))
+            "embedding", k = 8 * k, iters = 2).count()),
+        // one keyed bucket agg absorbs rows; the pair grid is the
+        // FIXED discount-grid squared however large the feed
+        "q272_isotonic" -> (() =>
+          analytics.Selection.isotonicCalibration(li, $"l_discount",
+            $"l_returnflag" === "R", scale = 1000L).count()),
+        // both CDF dictionaries grow with the price grid (~linear in
+        // the part space); the one union window runs over them only
+        "q273_quantile_normalize" -> (() =>
+          analytics.Stats.quantileNormalize(li, "l_returnflag",
+            "l_extendedprice").count()),
+        // word agg absorbs the corpus; TakeOrdered head is <= k+1
+        "q274_hill" -> (() =>
+          analytics.TextAnalysis.hillEstimator(docs, "text", k = 100)
+            .count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -494,6 +494,68 @@ object Selection {
     * Both engines derive enc from identical integers through one
     * identical tree. Output: (category, n, n_pos, raw_rate, prior,
     * enc), rates rounded 6; categories ordered by the caller. */
+  /** Isotonic calibration (PAV) of a binary-outcome rate against an
+    * ordered score, via the MINIMAX identity: the pool-adjacent-
+    * violators fit at bucket i equals `max over j <= i of (min over
+    * k >= i of avg(j..k))` — the closed form that turns the textbook
+    * sequential stack algorithm into two windows over the bucket-pair
+    * grid, exactly replayable in SQL (the Holt-style fold this op does
+    * NOT need). The output mapping (score -> fitted monotone rate) is
+    * the calibration artifact a serving layer applies on top of q142's
+    * diagnostic bins when the raw reliability curve is non-monotone.
+    *
+    * Scale shape: ONE keyed agg absorbs raw volume into per-DISTINCT-
+    * score buckets (B = score grid, bounded by `scale`); cumulative
+    * sums, the B(B+1)/2 window-average pairs, and the two min/max
+    * windows all run over that grid — B² pairs at B ≤ ~10^3 is a
+    * dictionary-sized shuffle, never row volume. Window averages are
+    * ratios of exact integer cumsums, so both engines compare
+    * identical doubles; only the final fitted rate rounds (6).
+    * Output: (score, n, n_pos, raw_rate, fitted_rate) ascending by
+    * score, fitted non-decreasing by construction. */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column,
+                          labelCol: Column,
+                          scale: Long = 1000L): DataFrame = {
+    require(scale >= 1L, "need scale >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = Par.ensure(df)
+      .filter(scoreCol.isNotNull)
+      .select(round(scoreCol * scale).cast("long").as("s"),
+        when(labelCol.cast("long") =!= 0L, 1L).otherwise(0L).as("y"))
+      .groupBy($"s")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"y").cast("long").as("np"))
+    val wc = Window.orderBy($"s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = b.select($"s", $"n", $"np",
+      sum($"n").over(wc).as("cn"), sum($"np").over(wc).as("cp"))
+    // every (j, k) bucket window, j <= k, keyed by the buckets' scores;
+    // avg = (cp_k - cp_{j-1}) / (cn_k - cn_{j-1}) from exact cumsums
+    val a = cum.select($"s".as("sj"), ($"cn" - $"n").as("cnj"),
+      ($"cp" - $"np").as("cpj"))
+    val bk = cum.select($"s".as("sk"), $"cn".as("cnk"), $"cp".as("cpk"))
+    val pairs = a.join(bk, $"sj" <= $"sk")
+      .select($"sj", $"sk",
+        (($"cpk" - $"cpj").cast("double") /
+          ($"cnk" - $"cnj").cast("double")).as("wavg"))
+    // minTail(j, i) = min over k >= i of avg(j, k); then
+    // fitted(i) = max over j <= i of minTail(j, i)
+    val wTail = Window.partitionBy($"sj").orderBy($"sk")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fitted = pairs
+      .withColumn("mt", min($"wavg").over(wTail))
+      .groupBy($"sk".as("s"))
+      .agg(max($"mt").as("fit"))
+    b.join(fitted, Seq("s"))
+      .select(($"s".cast("double") / scale).as("score"), $"n",
+        $"np".as("n_pos"),
+        (round($"np".cast("double") / $"n".cast("double") * 1e6) / 1e6)
+          .as("raw_rate"),
+        (round($"fit" * 1e6) / 1e6).as("fitted_rate"))
+  }
+
   def targetEncode(df: DataFrame, catCol: Column, labelCol: Column,
                    m: Double = 20.0): DataFrame = {
     require(m > 0.0, "need smoothing m > 0")

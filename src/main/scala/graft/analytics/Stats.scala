@@ -1426,6 +1426,68 @@ object Stats {
           .as("chi2_contrib"))
   }
 
+  /** Quantile normalization mapping per group: each (group, value) maps
+    * to the SMALLEST pooled value whose pooled CDF reaches the group
+    * CDF — the batch-effect correction that puts every group on one
+    * common distribution (microarray lineage; for a data pipeline:
+    * align per-source quality/length scores before a global threshold,
+    * so a lenient scorer's 0.8 and a strict scorer's 0.5 land at the
+    * same pooled quantile). The output is the value-grid-sized mapping
+    * TABLE; a serving join applies it.
+    *
+    * Scale shape: rows compress to per-(group, value) counts and
+    * per-pooled-value counts FIRST; the quantile lookup is the
+    * forward-as-of trick — union the two CDF tables, one window
+    * ordered by (cdf, tag) taking the first pooled value at-or-after —
+    * so no group x pooled cross term exists anywhere (a naive
+    * `pcdf >= gcdf` join is grid² — the shape this op exists to
+    * avoid). Pooled values are monotone in pooled CDF, so min over
+    * the forward window IS the first qualifying value. CDFs are exact
+    * integer ratios; both engines order identical doubles, ties broken
+    * by the tag (pooled sorts after group rows at equal cdf, so an
+    * exact-match quantile maps to itself). Output:
+    * (grp, value, n, gcdf, normalized). */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String,
+                        scale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Par.ensure(df).filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * scale).cast("long").as("v"))
+    val g = w.groupBy($"grp", $"v")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val gt = g.groupBy($"grp").agg(sum($"n").cast("long").as("gt"))
+    val wg = Window.partitionBy($"grp").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gcdf = g.join(gt, Seq("grp"))
+      .withColumn("cdf", sum($"n").over(wg).cast("double") /
+        $"gt".cast("double"))
+      .select($"grp", $"v", $"n", $"cdf", lit(0).as("tag"),
+        lit(null).cast("double").as("pv"))
+    val p = w.groupBy($"v").agg(count(lit(1)).cast("long").as("pn"))
+    val pt = p.agg(sum($"pn").cast("long").as("pt"))
+    val wp = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pcdf = p.crossJoin(broadcast(pt))
+      .withColumn("cdf", sum($"pn").over(wp).cast("double") /
+        $"pt".cast("double"))
+      .select(lit(null).cast(g.schema("grp").dataType).as("grp"),
+        $"v", lit(null).cast("long").as("n"), $"cdf", lit(1).as("tag"),
+        ($"v".cast("double") / scale).as("pv"))
+    // ONE window over the combined grid (group grid + pooled grid,
+    // both dictionary-sized): first pooled value at-or-after my cdf
+    val wAsOf = Window.orderBy($"cdf", $"tag", $"v")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    gcdf.unionByName(pcdf)
+      .withColumn("normalized", min($"pv").over(wAsOf))
+      .filter($"tag" === 0)
+      .select($"grp", ($"v".cast("double") / scale).as("value"), $"n",
+        (round($"cdf" * 1e6) / 1e6).as("gcdf"),
+        round($"normalized", 6).as("normalized"))
+  }
+
   /** Cramér's V over the [[chiSquareCells]] grid: the [0, 1] effect-size
     * normalization `V = sqrt(chi2 / (n * (min(r,c) - 1)))` that makes
     * association strengths comparable ACROSS tables — a chi2 of 10^6 on

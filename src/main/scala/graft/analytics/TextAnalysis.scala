@@ -188,6 +188,50 @@ object TextAnalysis {
         .as("chao1_types"))
   }
 
+  /** Hill tail-index estimator over the word-frequency distribution:
+    * `alpha = 1 + k / sum over top-k of ln(f_i / f_(k+1))` — the
+    * order-statistics MLE for a power-law tail (Hill 1975; the Clauset
+    * et al. recommendation over q155's log-log regression, whose slope
+    * is biased by the head). The is-it-really-Zipf receipt: alpha ~ 2
+    * for natural text; a synthetic or template-stuffed corpus drifts.
+    *
+    * Scale shape: one word-keyed agg absorbs the corpus; the top
+    * (k+1) types arrive via a bounded TakeOrdered (map-side partial
+    * top-k, ties to the lexicographically smaller word — never a
+    * global vocab sort), and everything after runs over <= k+1 rows.
+    * Log terms round to 9 and sum as scaled integers. A corpus with
+    * fewer types shrinks k honestly; an all-tied top (sum 0) nulls
+    * alpha. Output: 1 row (n_types, k_used, xmin, sum_log, alpha). */
+  def hillEstimator(docs: DataFrame, textCol: String,
+                    k: Int = 100): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = Par.ensure(docs)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).cast("long").as("cnt"))
+    val nTypes = c.agg(count(lit(1)).cast("long").as("n_types"))
+    val top = c.orderBy($"cnt".desc, $"word").limit(k + 1)
+    val wr = Window.orderBy($"cnt".desc, $"word")
+    val r = top.withColumn("rn", row_number().over(wr))
+    val thr = r.crossJoin(broadcast(r.agg(max($"rn").as("m"))))
+      .filter($"rn" === $"m")
+      .select($"cnt".as("xmin"), $"m")
+    val agg = r.crossJoin(broadcast(thr))
+      .filter($"rn" < $"m")
+      .agg(max($"m").as("m"), max($"xmin").as("xmin"),
+        sum(round(log($"cnt".cast("double") /
+          $"xmin".cast("double")) * 1e9).cast("long")).as("slog"))
+    agg.crossJoin(broadcast(nTypes))
+      .select($"n_types", ($"m" - 1).cast("long").as("k_used"),
+        $"xmin",
+        (round($"slog" / 1e9 * 1e6) / 1e6).as("sum_log"),
+        (round((lit(1.0) + ($"m" - 1).cast("double") /
+          when($"slog" > 0L, $"slog" / 1e9)) * 1e6) / 1e6).as("alpha"))
+  }
+
   /** The composed corpus-cleaning decision — what a training-data pipeline
     * actually ships: exact-dup removal + quality gate + language gate fused
     * into ONE scan and ONE exchange. All flag expressions evaluate in the

@@ -3961,7 +3961,138 @@ object MiscQueries {
              |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin),
       (s, dir) =>
         graft.analytics.Stats.mutualInformation(
-            Tables(s, dir, "documents"), aCol = "lang", bCol = "source"))
+            Tables(s, dir, "documents"), aCol = "lang", bCol = "source")),
+
+    // ----- isotonic (PAV) calibration via the minimax identity -----
+    Q("q272_isotonic_calibration",
+      "isotonic return-rate fit against the discount grid via the PAV " +
+        "minimax identity fitted(i) = max_{j<=i} min_{k>=i} avg(j..k) " +
+        "— the monotone calibration artifact a serving layer applies " +
+        "when q142's raw reliability curve is non-monotone; one keyed " +
+        "agg to score buckets, then the B^2 window-average pair grid + " +
+        "two min/max windows, all bucket-bounded; window averages are " +
+        "exact integer-cumsum ratios so both engines compare identical " +
+        "doubles",
+      Some("""WITH b AS (SELECT CAST(round(l_discount * 1000) AS BIGINT)
+             |          AS s,
+             |        CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+             |          ELSE 0 END) AS BIGINT) AS np
+             |      FROM lineitem WHERE l_discount IS NOT NULL
+             |      GROUP BY 1),
+             |cum AS (SELECT s, n, np,
+             |        CAST(sum(n) OVER w AS BIGINT) AS cn,
+             |        CAST(sum(np) OVER w AS BIGINT) AS cp
+             |      FROM b WINDOW w AS (ORDER BY s
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |a AS (SELECT s AS sj, cn - n AS cnj, cp - np AS cpj
+             |      FROM cum),
+             |bk AS (SELECT s AS sk, cn AS cnk, cp AS cpk FROM cum),
+             |pairs AS (SELECT sj, sk,
+             |        CAST(cpk - cpj AS DOUBLE) / CAST(cnk - cnj AS DOUBLE)
+             |          AS wavg
+             |      FROM a JOIN bk ON sj <= sk),
+             |mt AS (SELECT sj, sk,
+             |        min(wavg) OVER (PARTITION BY sj ORDER BY sk
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |          AS mt
+             |      FROM pairs),
+             |f AS (SELECT sk AS s, max(mt) AS fit FROM mt GROUP BY 1)
+             |SELECT CAST(b.s AS DOUBLE) / 1000 AS score, b.n,
+             |  b.np AS n_pos,
+             |  round(CAST(b.np AS DOUBLE) / CAST(b.n AS DOUBLE) * 1e6)
+             |    / 1e6 AS raw_rate,
+             |  round(f.fit * 1e6) / 1e6 AS fitted_rate
+             |FROM b JOIN f ON f.s = b.s ORDER BY score""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Selection.isotonicCalibration(
+            Tables(s, dir, "lineitem"), scoreCol = col("l_discount"),
+            labelCol = col("l_returnflag") === "R", scale = 1000L)
+          .orderBy("score")),
+
+    // ----- quantile normalization across groups -----
+    Q("q273_quantile_normalize",
+      "quantile-normalization mapping of extended price per return " +
+        "flag onto the pooled distribution (each (group, value) maps " +
+        "to the smallest pooled value whose pooled CDF reaches the " +
+        "group CDF) — the batch-effect correction that puts every " +
+        "source's scores on one scale; the lookup is the forward-as-of " +
+        "union-window trick, so no group x pooled cross term exists " +
+        "(a pcdf >= gcdf join is grid^2 — the shape this op avoids)",
+      Some("""WITH w AS (SELECT l_returnflag AS grp,
+             |        CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |g AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS n
+             |      FROM w GROUP BY 1, 2),
+             |gt AS (SELECT grp, CAST(sum(n) AS BIGINT) AS gt
+             |      FROM g GROUP BY 1),
+             |gc AS (SELECT g.grp, g.v, g.n,
+             |        CAST(sum(g.n) OVER (PARTITION BY g.grp
+             |            ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND CURRENT ROW) AS DOUBLE)
+             |          / CAST(gt.gt AS DOUBLE) AS cdf,
+             |        0 AS tag, CAST(NULL AS DOUBLE) AS pv
+             |      FROM g JOIN gt ON gt.grp = g.grp),
+             |p AS (SELECT v, CAST(count(*) AS BIGINT) AS pn
+             |      FROM w GROUP BY 1),
+             |pt AS (SELECT CAST(sum(pn) AS BIGINT) AS pt FROM p),
+             |pc AS (SELECT CAST(NULL AS VARCHAR) AS grp, v,
+             |        CAST(NULL AS BIGINT) AS n,
+             |        CAST(sum(pn) OVER (ORDER BY v
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+             |            ROW) AS DOUBLE) / CAST(pt.pt AS DOUBLE) AS cdf,
+             |        1 AS tag, CAST(v AS DOUBLE) / 100 AS pv
+             |      FROM p CROSS JOIN pt),
+             |u AS (SELECT * FROM gc UNION ALL SELECT * FROM pc),
+             |x AS (SELECT grp, v, n, cdf, tag,
+             |        min(pv) OVER (ORDER BY cdf, tag, v
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |          AS normalized
+             |      FROM u)
+             |SELECT grp, CAST(v AS DOUBLE) / 100 AS value, n,
+             |  round(cdf * 1e6) / 1e6 AS gcdf,
+             |  round(normalized, 6) AS normalized
+             |FROM x WHERE tag = 0 ORDER BY grp, value""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.quantileNormalize(
+            Tables(s, dir, "lineitem"), groupCol = "l_returnflag",
+            valueCol = "l_extendedprice", scale = 100L)
+          .orderBy("grp", "value")),
+
+    // ----- Hill power-law tail index -----
+    Q("q274_hill_tail_index",
+      "Hill tail-index MLE over word frequencies (alpha = 1 + k / sum " +
+        "ln(f_i/f_(k+1)) over the top-k types) — the is-it-really-Zipf " +
+        "receipt, unbiased where q155's log-log regression slope is " +
+        "dragged by the head; top-(k+1) via bounded TakeOrdered with " +
+        "word tie-break, everything after runs over <= k+1 rows, log " +
+        "terms summed as scaled integers, all-tied top nulls alpha",
+      Some("""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS word
+             |      FROM documents),
+             |c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM wd WHERE word <> '' GROUP BY 1),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+             |r AS (SELECT cnt, rn FROM (
+             |        SELECT cnt, row_number() OVER (ORDER BY cnt DESC,
+             |          word) AS rn FROM c)
+             |      WHERE rn <= 101),
+             |mm AS (SELECT max(rn) AS m FROM r),
+             |thr AS (SELECT r.cnt AS xmin, mm.m
+             |      FROM r CROSS JOIN mm WHERE r.rn = mm.m),
+             |ag AS (SELECT max(t.m) AS m, max(t.xmin) AS xmin,
+             |        CAST(sum(CAST(round(ln(CAST(r.cnt AS DOUBLE)
+             |          / CAST(t.xmin AS DOUBLE)) * 1e9) AS BIGINT))
+             |          AS BIGINT) AS slog
+             |      FROM r CROSS JOIN thr t WHERE r.rn < t.m)
+             |SELECT n_types, CAST(m - 1 AS BIGINT) AS k_used, xmin,
+             |  round(slog / 1e9 * 1e6) / 1e6 AS sum_log,
+             |  round((1.0 + CAST(m - 1 AS DOUBLE)
+             |    / CAST(CASE WHEN slog > 0 THEN slog / 1e9 END
+             |      AS DOUBLE)) * 1e6) / 1e6 AS alpha
+             |FROM ag CROSS JOIN nt""".stripMargin),
+      (s, dir) =>
+        graft.analytics.TextAnalysis.hillEstimator(
+            Tables(s, dir, "documents"), textCol = "text", k = 100))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

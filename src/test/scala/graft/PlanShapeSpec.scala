@@ -241,7 +241,18 @@ class PlanShapeSpec extends SparkTestBase {
       "q268_join_skew", "q270_mutual_information",
       // q269: rides q233's margin x margin contingency spine (one-row
       // total + dictionary-bounded margin) — machine-checked below
-      "q269_cramers_v")
+      "q269_cramers_v",
+      // q272: the PAV pair grid is bucket-table x bucket-table
+      // (non-equi sj <= sk) — both sides the SAME keyed score-bucket
+      // aggregate, dictionary-bounded by the score scale; q169 shape,
+      // machine-checked below
+      "q272_isotonic_calibration",
+      // q273: pooled-CDF side rides a broadcast ONE-ROW pooled total
+      // (the q77 bracket) — machine-checked below
+      "q273_quantile_normalize",
+      // q274: <= (k+1)-row TakeOrdered head x broadcast ONE-ROW
+      // max-rank / threshold brackets — machine-checked below
+      "q274_hill_tail_index")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -309,7 +320,8 @@ class PlanShapeSpec extends SparkTestBase {
         "q250_bootstrap_diff_ci", "q260_js_drift",
         "q261_target_encoding", "q262_equal_freq_bins",
         "q264_assortativity", "q265_ams_f2", "q266_nelson_aalen",
-        "q268_join_skew", "q270_mutual_information"))
+        "q268_join_skew", "q270_mutual_information",
+        "q273_quantile_normalize"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +
@@ -362,6 +374,33 @@ class PlanShapeSpec extends SparkTestBase {
         "q269: expected the grouping-free ONE-ROW total build side")
       assert(grouped.contains(true),
         "q269: expected the keyed margin build side")
+    }
+    // q272: the PAV pair grid's build side is the KEYED score-bucket
+    // aggregate (the q169 dictionary shape), and the score grid itself
+    // must stay bucket-bounded (discount quantizes to a tiny grid)
+    locally {
+      for (b <- buildSides("q272_isotonic_calibration"))
+        assert(topAggGrouped(b).contains(true),
+          s"q272: BNLJ build side must be the keyed bucket aggregate:\n$b")
+      val grid = queries.Tables(spark, dir, "lineitem")
+        .select((org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("l_discount") * 1000))
+          .cast("long")).distinct().count()
+      assert(grid <= 64, s"discount score grid must stay tiny, got $grid")
+    }
+    // q274: build sides are either grouping-free one-row brackets
+    // (max-rank, n_types) or the <= (k+1)-row TakeOrdered head — every
+    // build side must show one of those two bounded structures
+    for (b <- buildSides("q274_hill_tail_index")) {
+      val oneRow = topAggGrouped(b).contains(false)
+      val bounded = deep(b) {
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case c: org.apache.spark.sql.execution.CollectLimitExec => c
+      }.nonEmpty
+      assert(oneRow || bounded,
+        s"q274: BNLJ build side must be a one-row bracket or the " +
+          s"bounded top-(k+1) head, got:\n$b")
     }
   }
 

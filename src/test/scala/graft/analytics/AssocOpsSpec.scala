@@ -282,4 +282,73 @@ class AssocOpsSpec extends SparkTestBase {
       Cluster.simplifiedSilhouette(emb, "vec_id", "embedding", k = 1)
     }
   }
+
+  test("isotonicCalibration: a rate violation pools to the pooled " +
+       "average, monotone input passes through, fit never decreases") {
+    import spark.implicits._
+    // rates by score: 0.0, 1.0, 0.5 -> PAV pools buckets 2+3 to 0.75
+    val df = Seq((1.0, 0), (1.0, 0), (2.0, 1), (2.0, 1), (3.0, 1),
+      (3.0, 0)).toDF("score", "y")
+    val out = Selection.isotonicCalibration(df, col("score"), col("y"),
+        scale = 1L)
+      .orderBy("score")
+      .collect().map(r => (r.getDouble(0), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out === Seq((1.0, 0.0, 0.0), (2.0, 1.0, 0.75),
+      (3.0, 0.5, 0.75)))
+    assert(out.map(_._3).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    // already-monotone input is a fixed point
+    val mono = Seq((1.0, 0), (2.0, 1), (2.0, 0), (3.0, 1))
+      .toDF("score", "y")
+    val m = Selection.isotonicCalibration(mono, col("score"), col("y"),
+        scale = 1L)
+      .orderBy("score").collect().map(r => r.getDouble(4))
+    assert(m === Seq(0.0, 0.5, 1.0))
+  }
+
+  test("quantileNormalize: shifted groups land on the pooled values " +
+       "at their own quantiles; a lone group maps to itself") {
+    import spark.implicits._
+    // A = {1, 2}, B = {3, 4}; pooled CDF: 1->.25, 2->.5, 3->.75, 4->1
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val out = Stats.quantileNormalize(df, "g", "v", scale = 1L)
+      .orderBy("grp", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(4)))
+    // both groups' lower halves map to pooled 2, upper to pooled 4
+    assert(out === Seq(("A", 1.0, 2.0), ("A", 2.0, 4.0),
+      ("B", 3.0, 2.0), ("B", 4.0, 4.0)))
+    // one group == pooled: identity mapping (equal-cdf pooled row
+    // qualifies because pooled sorts after group rows at equal cdf)
+    val lone = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 5.0))
+      .toDF("g", "v")
+    val self = Stats.quantileNormalize(lone, "g", "v", scale = 1L)
+      .collect().map(r => (r.getDouble(1), r.getDouble(4)))
+    assert(self.forall(p => p._1 == p._2), self.mkString(","))
+  }
+
+  test("hillEstimator: hand-computed alpha on a geometric tail, " +
+       "all-tied frequencies null alpha") {
+    import spark.implicits._
+    // counts 8/4/2/1 with k=3: sum_log = ln8+ln4+ln2 (each rounded to
+    // 9 as the op does), alpha = 1 + 3/sum
+    val text = (Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++
+      Seq.fill(2)("w3") ++ Seq("w4")).mkString(" ")
+    val r = TextAnalysis.hillEstimator(Seq(Tuple1(text)).toDF("text"),
+        "text", k = 3)
+      .collect().head
+    val slog = Seq(8.0, 4.0, 2.0)
+      .map(f => math.floor(math.log(f / 1.0) * 1e9 + 0.5)).sum
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L &&
+      r.getLong(2) == 1L)
+    assert(r.getDouble(4) ==
+      math.floor((1.0 + 3.0 / (slog / 1e9)) * 1e6 + 0.5) / 1e6)
+    // every type once: all top frequencies tie -> sum_log 0 -> null
+    val flat = TextAnalysis.hillEstimator(
+        Seq(Tuple1("a b c d e")).toDF("text"), "text", k = 2)
+      .collect().head
+    assert(flat.isNullAt(4))
+  }
 }
