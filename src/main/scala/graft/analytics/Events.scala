@@ -542,6 +542,81 @@ object Events {
         $"cum_hazard", $"hazard_var", $"fh_survival")
   }
 
+  /** Log-rank test between two arms' survival over the [[kaplanMeier]]
+    * right-censored lifetimes: at each distinct observed-churn time,
+    * arm A's observed churns compare against the hypergeometric
+    * expectation `d * nA / n` with variance
+    * `d * (nA/n) * (1 - nA/n) * (n-d)/(n-1)`; `z = (O - E) / sqrt(V)`
+    * and `chi2 = z^2` on 1 dof — THE standard "do these cohorts churn
+    * differently" test, which eyeballing two KM curves cannot answer
+    * (crossing curves, unequal censoring). `armPred` must be
+    * deterministic per user (e.g. `user_id % 2 = 0`).
+    *
+    * Scale shape: the feed compresses to (user, day)-distinct rows,
+    * one row per user, then per (arm, distinct-lifetime) — the risk
+    * sets are reverse-cumulative windows over that bounded grid,
+    * zero-filled by an arm x lifetime completion (2 x grid rows).
+    * Per-time E and V terms round to 9 and sum as scaled integers.
+    * Output: 1 row (n_times, o_a, e_a, v, z, chi2, significant at
+    * alpha = 0.05 / chi2 > 3.841459). */
+  def logRankTest(events: DataFrame, userCol: String, tsCol: String,
+                  armPred: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
+        when(armPred, 1L).otherwise(0L).as("arm"))
+      .groupBy($"u", $"d").agg(max($"arm").as("arm"))
+    val life = days.groupBy($"u")
+      .agg(min($"d").as("d0"), max($"d").as("d1"),
+        max($"arm").as("arm"))
+    val gmax = days.agg(max($"d").as("gmax"))
+    val lt = life.crossJoin(broadcast(gmax))
+      .select(datediff($"d1", $"d0").cast("long").as("t"),
+        ($"d1" < $"gmax").as("observed"), $"arm")
+    // arm x distinct-lifetime completion so both risk windows see
+    // every time point (a lifetime present in one arm only would
+    // otherwise shift the other arm's reverse cumsum)
+    val byTA = lt.groupBy($"t", $"arm")
+      .agg(count(lit(1)).cast("long").as("n_at"),
+        sum(when($"observed", 1L).otherwise(0L)).cast("long")
+          .as("d"))
+    val grid = byTA.select($"t").distinct()
+      .crossJoin(broadcast(spark.range(2).select($"id".as("arm"))))
+    val full = grid.join(byTA, Seq("t", "arm"), "left")
+      .select($"t", $"arm", coalesce($"n_at", lit(0L)).as("n_at"),
+        coalesce($"d", lit(0L)).as("d"))
+    val wRisk = Window.partitionBy($"arm").orderBy($"t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val r = full.withColumn("n_risk", sum($"n_at").over(wRisk))
+    val byT = r.groupBy($"t")
+      .agg(sum($"d").cast("long").as("dt"),
+        sum($"n_risk").cast("long").as("nt"),
+        sum(when($"arm" === 1L, $"d").otherwise(0L)).cast("long")
+          .as("da"),
+        sum(when($"arm" === 1L, $"n_risk").otherwise(0L)).cast("long")
+          .as("na"))
+      .filter($"dt" > 0L)
+    val pa = $"na".cast("double") / $"nt".cast("double")
+    val eTerm = round($"dt".cast("double") * pa * 1e9).cast("long")
+    val vTerm = round(when($"nt" > 1L,
+      $"dt".cast("double") * pa * (lit(1.0) - pa) *
+        ($"nt" - $"dt").cast("double") / ($"nt" - 1L).cast("double"))
+      .otherwise(lit(0.0)) * 1e9).cast("long")
+    val agg = byT.agg(
+      count(lit(1)).cast("long").as("n_times"),
+      sum($"da").cast("long").as("o_a"),
+      (round(sum(eTerm) / 1e9 * 1e6) / 1e6).as("e_a"),
+      (round(sum(vTerm) / 1e9 * 1e6) / 1e6).as("v"))
+    val z = ($"o_a".cast("double") - $"e_a") /
+      when($"v" > 0.0, sqrt($"v"))
+    agg.select($"n_times", $"o_a", $"e_a", $"v",
+      (round(z * 1e6) / 1e6).as("z"),
+      (round(z * z * 1e6) / 1e6).as("chi2"))
+      .withColumn("significant", $"chi2" > 3.841459)
+  }
+
   /** Time-weighted average value per (type, day) — TWAP: each
     * observation holds until the next one of its type that day (last
     * one holds to midnight), and the average weights each value by its
