@@ -120,7 +120,19 @@ object Bench {
     // rounds); "steady_value"/"queries_steady" are the per-query medians.
     // "passes" + the loadavg stamps make the artifact self-describing.
     val loadEnd = loadAvg()
-    println(s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the line to a file: the driver's harness captures only
+    // the tail of sbt output and has truncated the per-query maps two
+    // rounds running — the file keeps the full medians inspectable (and
+    // committable as BENCH_LOCAL_r{N}.json) without re-running.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(benchOut), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -438,9 +438,15 @@ object Graph {
     val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
+    // self-loops are dropped BEFORE symmetrizing: a loop survives
+    // symmetrize+distinct as a single directed edge, making m2 odd —
+    // and Spark's (m2/2).cast truncates where DuckDB's CAST rounds.
+    // Assortativity over loops is ill-defined anyway (x == y by
+    // construction inflates r toward +1).
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter($"src" =!= $"dst")
       .distinct()
     val deg = edges.groupBy($"src".as("node"))
       .agg(count(lit(1)).cast("long").as("deg"))
@@ -451,9 +457,9 @@ object Graph {
       count(lit(1)).cast("long").as("m2"),
       sum($"x").cast("long").as("sx"),
       sum($"y").cast("long").as("sy"),
-      sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"),
-      sum(($"y" * $"y").cast(DecimalType(38, 0))).as("syy"),
-      sum(($"x" * $"y").cast(DecimalType(38, 0))).as("sxy"))
+      sum($"x".cast(DecimalType(38, 0)) * $"x").as("sxx"),
+      sum($"y".cast(DecimalType(38, 0)) * $"y").as("syy"),
+      sum($"x".cast(DecimalType(38, 0)) * $"y").as("sxy"))
     val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
     val denom = sqrt(($"m2" * $"sxx".cast("double") -
       $"sx".cast("double") * $"sx") *

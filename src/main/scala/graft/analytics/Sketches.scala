@@ -550,7 +550,7 @@ object Sketches {
       .groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .agg(count(lit(1)).cast("long").as("n_keys"),
-        sum(($"cnt" * $"cnt").cast(DecimalType(38, 0)))
+        sum($"cnt".cast(DecimalType(38, 0)) * $"cnt")
           .cast("long").as("exact_f2"))
     est.crossJoin(broadcast(exact))
       .select($"n_rows", $"n_keys", $"exact_f2", $"est_mean",

@@ -1436,17 +1436,25 @@ object Stats {
     * TABLE; a serving join applies it.
     *
     * Scale shape: rows compress to per-(group, value) counts and
-    * per-pooled-value counts FIRST; the quantile lookup is the
-    * forward-as-of trick — union the two CDF tables, one window
-    * ordered by (cdf, tag) taking the first pooled value at-or-after —
-    * so no group x pooled cross term exists anywhere (a naive
-    * `pcdf >= gcdf` join is grid² — the shape this op exists to
-    * avoid). Pooled values are monotone in pooled CDF, so min over
-    * the forward window IS the first qualifying value. CDFs are exact
-    * integer ratios; both engines order identical doubles, ties broken
-    * by the tag (pooled sorts after group rows at equal cdf, so an
-    * exact-match quantile maps to itself). Output:
-    * (grp, value, n, gcdf, normalized). */
+    * per-pooled-value counts FIRST. The pooled CDF is a two-level
+    * distributed prefix sum (the tokenBudgetShards shape:
+    * range-partition by value, per-partition running totals, a
+    * broadcast per-partition offset table — the only unpartitioned
+    * window runs over that <= numPartitions-row table, never a grid).
+    * The quantile lookup is a BUCKETED range join: each pooled value
+    * owns the half-open CDF interval (prev_cdf, cdf] — the intervals
+    * partition (0, 1] exactly, because consecutive rows derive lo and
+    * hi from the SAME integer cumulative counts — and intervals
+    * explode to the <= 4096 cdf buckets they overlap (<= grid + 4096
+    * rows total), group rows hash-join their bucket, one residual
+    * interval test picks the exactly-one owner. No group x pooled
+    * cross term and no grid-sized sort task exist anywhere (a naive
+    * `pcdf >= gcdf` join is grid², and the union-grid as-of window —
+    * this op's previous shape — serialized groups x grid rows through
+    * ONE sort task). CDFs are exact integer ratios, so both engines
+    * compare identical doubles; a group cdf exactly equal to a pooled
+    * cdf maps to that pooled value (intervals are right-closed, the
+    * old tag tie-break). Output: (grp, value, n, gcdf, normalized). */
   def quantileNormalize(df: DataFrame, groupCol: String,
                         valueCol: String,
                         scale: Long = 100L): DataFrame = {
@@ -1464,28 +1472,49 @@ object Stats {
     val gcdf = g.join(gt, Seq("grp"))
       .withColumn("cdf", sum($"n").over(wg).cast("double") /
         $"gt".cast("double"))
-      .select($"grp", $"v", $"n", $"cdf", lit(0).as("tag"),
-        lit(null).cast("double").as("pv"))
+      .select($"grp", $"v", $"n", $"cdf")
     val p = w.groupBy($"v").agg(count(lit(1)).cast("long").as("pn"))
     val pt = p.agg(sum($"pn").cast("long").as("pt"))
-    val wp = Window.orderBy($"v")
+    // two-level prefix sum over the pooled grid: checkpoint AFTER the
+    // range partition so the offsets scan and the in-partition window
+    // see the SAME pid assignment
+    val parts = p.repartitionByRange($"v")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parts.groupBy($"pid").agg(sum($"pn").as("ppn"))
+      // one row per partition: a single-partition window here is fine
+      .withColumn("off", coalesce(sum($"ppn").over(
+        Window.orderBy($"pid").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val inPart = Window.partitionBy($"pid").orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val pcdf = p.crossJoin(broadcast(pt))
-      .withColumn("cdf", sum($"pn").over(wp).cast("double") /
-        $"pt".cast("double"))
-      .select(lit(null).cast(g.schema("grp").dataType).as("grp"),
-        $"v", lit(null).cast("long").as("n"), $"cdf", lit(1).as("tag"),
-        ($"v".cast("double") / scale).as("pv"))
-    // ONE window over the combined grid (group grid + pooled grid,
-    // both dictionary-sized): first pooled value at-or-after my cdf
-    val wAsOf = Window.orderBy($"cdf", $"tag", $"v")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    gcdf.unionByName(pcdf)
-      .withColumn("normalized", min($"pv").over(wAsOf))
-      .filter($"tag" === 0)
+    // each pooled value's CDF interval (lo, hi]: hi = cum/pt and
+    // lo = (cum - pn)/pt — the previous row computes ITS hi from the
+    // identical integers, so consecutive intervals share their exact
+    // boundary double and the intervals partition (0, 1]
+    val pIv = parts.join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(pt))
+      .withColumn("cum", sum($"pn").over(inPart) + $"off")
+      .select($"v".as("pvl"),
+        (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
+        ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
+    // bucketed as-of: 4096 cdf buckets; an interval explodes to every
+    // bucket it overlaps (total <= grid + 4096 rows — an interval
+    // spanning k extra buckets carries >= k/4096 of ALL pooled mass),
+    // group rows hash-join their one bucket
+    val nB = 4096
+    val pBuck = pIv.select($"pvl", $"lo", $"hi",
+      explode(sequence(
+        least(floor($"lo" * nB), lit(nB - 1L)).cast("int"),
+        least(floor($"hi" * nB), lit(nB - 1L)).cast("int"))).as("bk"))
+    gcdf
+      .withColumn("bk", least(floor($"cdf" * nB), lit(nB - 1L)).cast("int"))
+      .join(pBuck, Seq("bk"))
+      .filter($"lo" < $"cdf" && $"cdf" <= $"hi")
       .select($"grp", ($"v".cast("double") / scale).as("value"), $"n",
         (round($"cdf" * 1e6) / 1e6).as("gcdf"),
-        round($"normalized", 6).as("normalized"))
+        round($"pvl".cast("double") / scale, 6).as("normalized"))
   }
 
   /** Cramér's V over the [[chiSquareCells]] grid: the [0, 1] effect-size
@@ -1777,9 +1806,9 @@ object Stats {
       count(lit(1)).cast("long").as("n"),
       sum($"a").cast("long").as("sa"),
       sum($"b").cast("long").as("sb"),
-      sum(($"a" * $"a").cast(DecimalType(38, 0))).as("saa"),
-      sum(($"b" * $"b").cast(DecimalType(38, 0))).as("sbb"),
-      sum(($"a" * $"b").cast(DecimalType(38, 0))).as("sab"))
+      sum($"a".cast(DecimalType(38, 0)) * $"a").as("saa"),
+      sum($"b".cast(DecimalType(38, 0)) * $"b").as("sbb"),
+      sum($"a".cast(DecimalType(38, 0)) * $"b").as("sab"))
     val denom = sqrt(($"n" * $"saa".cast("double") -
       $"sa".cast("double") * $"sa") *
       ($"n" * $"sbb".cast("double") - $"sb".cast("double") * $"sb"))
@@ -1888,9 +1917,12 @@ object Stats {
     * then one group-keyed fold over the entity table; HHI terms scale
     * to 1e12-integers and entropy terms to 1e9-integers before summing
     * (sum(share^2) <= 1 bounds the scaled sum), so partition order
-    * cannot move the rounded result. Negative/zero-total groups are
-    * excluded (shares undefined). Output: (grp, n_entities, total,
-    * hhi, entropy, effective_n, top_share). */
+    * cannot move the rounded result. Entities whose summed value is
+    * <= 0 are excluded PER ENTITY (a negative-sum entity has no
+    * defined share; dropping it keeps every remaining share in (0,1]
+    * so log/HHI stay finite) — a group whose entities all sum <= 0
+    * disappears entirely. Output: (grp, n_entities, total, hhi,
+    * entropy, effective_n, top_share). */
   def concentrationProfile(df: DataFrame, groupCol: String,
                            entityCol: String, valueCol: String,
                            valueScale: Long = 100L): DataFrame = {

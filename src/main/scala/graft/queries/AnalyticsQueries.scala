@@ -4183,7 +4183,8 @@ object AnalyticsQueries {
         "runs; one degree agg + two edge joins + one moment agg, " +
         "DECIMAL(38,0) products",
       Some(shCte + lshCte + """,
-             | ed AS MATERIALIZED (SELECT doc_a, doc_b FROM cand),
+             | ed AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
+             |       WHERE doc_a <> doc_b),
              | e2 AS (SELECT doc_a AS src, doc_b AS dst FROM ed
              |        UNION SELECT doc_b, doc_a FROM ed),
              | dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg

@@ -4092,7 +4092,132 @@ object MiscQueries {
              |FROM ag CROSS JOIN nt""".stripMargin),
       (s, dir) =>
         graft.analytics.TextAnalysis.hillEstimator(
-            Tables(s, dir, "documents"), textCol = "text", k = 100))
+            Tables(s, dir, "documents"), textCol = "text", k = 100)),
+
+    // ----- log-rank test between two churn arms -----
+    Q("q275_log_rank_test",
+      "log-rank test between even/odd user-id arms over the q182 " +
+        "right-censored lifetimes (per churn time O vs hypergeometric " +
+        "E = d*nA/n with variance d*(nA/n)(1-nA/n)(n-d)/(n-1); z = " +
+        "(O-E)/sqrt(V), chi2 on 1 dof) — the do-these-cohorts-churn-" +
+        "differently receipt KM curves alone cannot give; risk sets " +
+        "are per-arm reverse cumsums over the arm x distinct-lifetime " +
+        "completed grid, E/V terms summed as 1e9-scaled integers",
+      Some("""WITH days AS (
+             |  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+             |         max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |           AS arm
+             |  FROM events GROUP BY 1, 2),
+             |life AS (SELECT u, min(d) AS d0, max(d) AS d1,
+             |                max(arm) AS arm
+             |         FROM days GROUP BY u),
+             |gm AS (SELECT max(d) AS gmax FROM days),
+             |lt AS (SELECT CAST(date_diff('day', d0, d1) AS BIGINT)
+             |                AS t,
+             |              d1 < gm.gmax AS observed, arm
+             |       FROM life CROSS JOIN gm),
+             |byta AS (SELECT t, arm, CAST(count(*) AS BIGINT) AS n_at,
+             |                CAST(sum(CASE WHEN observed THEN 1 ELSE 0
+             |                  END) AS BIGINT) AS d
+             |         FROM lt GROUP BY 1, 2),
+             |grid AS (SELECT DISTINCT t, a.arm
+             |         FROM byta
+             |         CROSS JOIN (SELECT unnest([0, 1]) AS arm) a),
+             |fl AS (SELECT g.t, g.arm,
+             |              coalesce(b.n_at, CAST(0 AS BIGINT)) AS n_at,
+             |              coalesce(b.d, CAST(0 AS BIGINT)) AS d
+             |       FROM grid g LEFT JOIN byta b
+             |         ON b.t = g.t AND b.arm = g.arm),
+             |r AS (SELECT t, arm, d,
+             |             CAST(sum(n_at) OVER (PARTITION BY arm
+             |               ORDER BY t ROWS BETWEEN CURRENT ROW AND
+             |               UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+             |      FROM fl),
+             |byt AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt,
+             |               CAST(sum(n_risk) AS BIGINT) AS nt,
+             |               CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0
+             |                 END) AS BIGINT) AS da,
+             |               CAST(sum(CASE WHEN arm = 1 THEN n_risk
+             |                 ELSE 0 END) AS BIGINT) AS na
+             |        FROM r GROUP BY t
+             |        HAVING CAST(sum(d) AS BIGINT) > 0),
+             |terms AS (SELECT da,
+             |        CAST(round(CAST(dt AS DOUBLE)
+             |          * (CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))
+             |          * 1e9) AS BIGINT) AS et,
+             |        CAST(round(CASE WHEN nt > 1
+             |            THEN CAST(dt AS DOUBLE)
+             |              * (CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))
+             |              * (1.0 - CAST(na AS DOUBLE)
+             |                 / CAST(nt AS DOUBLE))
+             |              * CAST(nt - dt AS DOUBLE)
+             |              / CAST(nt - 1 AS DOUBLE)
+             |            ELSE 0.0 END * 1e9) AS BIGINT) AS vt
+             |   FROM byt),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+             |              CAST(sum(da) AS BIGINT) AS o_a,
+             |              round(CAST(sum(et) AS DOUBLE) / 1e9 * 1e6)
+             |                / 1e6 AS e_a,
+             |              round(CAST(sum(vt) AS DOUBLE) / 1e9 * 1e6)
+             |                / 1e6 AS v
+             |       FROM terms),
+             |zc AS (SELECT n_times, o_a, e_a, v,
+             |              (CAST(o_a AS DOUBLE) - e_a)
+             |                / (CASE WHEN v > 0.0 THEN sqrt(v) END) AS z
+             |       FROM ag)
+             |SELECT n_times, o_a, e_a, v,
+             |  round(z * 1e6) / 1e6 AS z,
+             |  round(z * z * 1e6) / 1e6 AS chi2,
+             |  round(z * z * 1e6) / 1e6 > 3.841459 AS significant
+             |FROM zc""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.logRankTest(Tables(s, dir, "events"),
+            "user_id", "ts", armPred = col("user_id") % 2 === 0)),
+
+    // ----- concentration profile: HHI / entropy / effective N -----
+    Q("q276_concentration_profile",
+      "per-returnflag concentration of extended-price mass over part " +
+        "keys: HHI (sum share^2), Shannon entropy, effective entity " +
+        "count 1/HHI, top share — the corpus/traffic-diversity audit " +
+        "(an effective-N collapse is one template away from a dedup " +
+        "blow-up); one (grp, entity) agg absorbs raw volume map-side, " +
+        "then one group-keyed fold, HHI terms 1e12-scaled and entropy " +
+        "terms 1e9-scaled integers so partition order cannot move the " +
+        "rounded result; entities summing <= 0 excluded per entity",
+      Some("""WITH w AS (SELECT l_returnflag AS grp, l_partkey AS ent,
+             |        CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |e AS (SELECT grp, ent, CAST(sum(v) AS BIGINT) AS sv
+             |      FROM w GROUP BY 1, 2
+             |      HAVING CAST(sum(v) AS BIGINT) > 0),
+             |t AS (SELECT grp, CAST(sum(sv) AS BIGINT) AS tot
+             |      FROM e GROUP BY 1),
+             |j AS (SELECT e.grp, e.sv, t.tot,
+             |        CAST(e.sv AS DOUBLE) / CAST(t.tot AS DOUBLE)
+             |          AS share
+             |      FROM e JOIN t ON t.grp = e.grp),
+             |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_entities,
+             |        CAST(max(tot) AS DOUBLE) / 100 AS total,
+             |        round(CAST(sum(CAST(round(share * share * 1e12)
+             |            AS BIGINT)) AS DOUBLE) / 1e12 * 1e6) / 1e6
+             |          AS hhi,
+             |        round(CAST(sum(CAST(round(-share * ln(share)
+             |            * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 * 1e6)
+             |          / 1e6 AS entropy,
+             |        round(CAST(max(sv) AS DOUBLE) / max(tot) * 1e6)
+             |          / 1e6 AS top_share
+             |      FROM j GROUP BY grp)
+             |SELECT grp, n_entities, total, hhi, entropy,
+             |  round(1.0 / (CASE WHEN hhi > 0.0 THEN hhi END), 6)
+             |    AS effective_n,
+             |  top_share
+             |FROM a ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.concentrationProfile(
+            Tables(s, dir, "lineitem"), groupCol = "l_returnflag",
+            entityCol = "l_partkey", valueCol = "l_extendedprice",
+            valueScale = 100L)
+          .orderBy("grp"))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

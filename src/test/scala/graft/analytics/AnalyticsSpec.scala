@@ -149,6 +149,11 @@ class DedupSpec extends SparkTestBase {
       minJaccard = 0.5, maxDocFreq = 1)
     assert(!capped.collect().exists(r =>
       r.getLong(0) == 103L && r.getLong(1) == 104L))
+    // cache-release contract: the sets table the op persists internally
+    // must be GONE once the call returns — repeated PPJoin batches in a
+    // long-lived session must not accumulate CacheManager storage
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "prefixFilterJaccardPairs left a cached table behind")
   }
 
   test("substringDupPairs: a copied 5-token run pairs its docs with the " +

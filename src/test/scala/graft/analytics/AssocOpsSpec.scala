@@ -166,6 +166,12 @@ class AssocOpsSpec extends SparkTestBase {
     // 4-cycle: every degree 2
     assert(assort(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) ===
       ((4L, 4L, None)))
+    // a self-loop is dropped BEFORE symmetrizing: P4 + loop on node 1
+    // scores exactly P4 (a loop survives symmetrize+distinct as ONE
+    // directed edge, making m2 odd — the truncate-vs-round n_edges
+    // divergence the filter exists to prevent)
+    assert(assort(Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 1L))) ===
+      ((4L, 3L, Some(-0.5))))
   }
 
   test("hubnessAudit: a dominant hub takes every slot; cosine ties " +
@@ -350,5 +356,135 @@ class AssocOpsSpec extends SparkTestBase {
         Seq(Tuple1("a b c d e")).toDF("text"), "text", k = 2)
       .collect().head
     assert(flat.isNullAt(4))
+  }
+
+  test("quantileNormalize at 10^4 groups: matches the brute-force " +
+       "as-of reference, and the only unpartitioned window in the " +
+       "plan is the <= numPartitions-row pid-offset table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nG = 10000
+    val rows = (0 until nG).flatMap { gi =>
+      val base = gi % 7
+      Seq((s"g$gi", (base + 1).toDouble), (s"g$gi", (base + 1).toDouble),
+        (s"g$gi", (base + 11).toDouble), (s"g$gi", (base + 21).toDouble))
+    }
+    val df = rows.toDF("g", "x").repartition(16)
+    val out = Stats.quantileNormalize(df, "g", "x", scale = 1L)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // brute-force reference: pooled cdf per distinct value; each
+    // (group, value) maps to the FIRST pooled value whose cdf reaches
+    // the group cdf — identical double arithmetic (long/long division)
+    val pooled = rows.groupBy(r => math.round(r._2))
+      .map { case (v, g) => v -> g.size.toLong }.toSeq.sortBy(_._1)
+    val ptot = pooled.map(_._2).sum
+    val pcdf = pooled.scanLeft((0L, 0L)) { case ((_, c), (v, n)) =>
+      (v, c + n) }.tail.map { case (v, c) => (v, c.toDouble / ptot) }
+    for ((g, vs) <- rows.groupBy(_._1)) {
+      val counts = vs.groupBy(r => math.round(r._2))
+        .map { case (v, l) => v -> l.size.toLong }.toSeq.sortBy(_._1)
+      val tot = counts.map(_._2).sum
+      var cum = 0L
+      for ((v, n) <- counts) {
+        cum += n
+        val cdf = cum.toDouble / tot
+        val want = pcdf.find(_._2 >= cdf).get._1.toDouble
+        val (gn, gcdf, norm) = got((g, v.toDouble))
+        assert(gn == n && norm == want,
+          s"$g v=$v: got ($gn, $norm), want ($n, $want)")
+        assert(gcdf == math.floor(cdf * 1e6 + 0.5) / 1e6)
+      }
+    }
+    assert(got.size == nG * 3)
+    // plan shape: the union-grid as-of window (ONE task sorting
+    // groups x grid rows) must be gone — every unpartitioned WindowExec
+    // left must be the per-partition offset fold, recognizable by its
+    // pid sort key
+    def deep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val stages = p.collect { case s: QueryStageExec => s.plan }
+      p.collect(pf) ++ stages.flatMap(deep(_)(pf))
+    }
+    val root = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val unpart = deep(root) {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty, "expected the pid-offset window")
+    for (w <- unpart)
+      assert(w.orderSpec.map(_.child.toString).exists(_.contains("pid")),
+        s"unpartitioned window over a non-offset table:\n$w")
+  }
+
+  test("logRankTest: hand-computed hypergeometric O/E/V per churn " +
+       "time; identical arms score z = 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // feed spans days 1..5 (gmax = day 5); arm 1 = even user_id
+    //  u1 arm0: days 1..2 -> t=1 churned     u2 arm1: days 1..3 -> t=2 churned
+    //  u3 arm0: days 1..5 -> t=4 CENSORED    u4 arm1: day 2     -> t=0 churned
+    //  u5 arm0: days 3..5 -> t=2 CENSORED    u6 arm1: days 1..5 -> t=4 CENSORED
+    val ev = Seq(
+      (1L, t(1)), (1L, t(2)), (2L, t(1)), (2L, t(3)),
+      (3L, t(1)), (3L, t(5)), (4L, t(2)),
+      (5L, t(3)), (5L, t(5)), (6L, t(1)), (6L, t(5))
+    ).zipWithIndex.map { case ((u, ts), i) => (i.toLong, u, ts) }
+      .toDF("event_id", "user_id", "ts")
+    val r = Events.logRankTest(ev, "user_id", "ts",
+        col("user_id") % 2 === 0).collect().head
+    // t=0: d=1 n=6 nA=3 -> E=.5  V=.25 (the (n-d)/(n-1) factor is 1)
+    // t=1: d=1 n=5 nA=2 -> E=.4  V=.24
+    // t=2: d=1 n=4 nA=2 -> E=.5  V=.25   (arm0's t=2 user is censored)
+    // O_A = 1(t=0) + 0(t=1) + 1(t=2) = 2; E=1.4 V=.74
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.4 && r.getDouble(3) === 0.74)
+    val z = (2.0 - 1.4) / math.sqrt(0.74)
+    assert(r.getDouble(4) === math.floor(z * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(5) === math.floor(z * z * 1e6 + 0.5) / 1e6)
+    assert(!r.getBoolean(6), "chi2 ~ .49 is not significant")
+    // symmetric arms (every lifetime mirrored even/odd) -> O = E, z = 0
+    val sym = Seq(
+      (1L, t(1)), (1L, t(2)), (2L, t(1)), (2L, t(2)),
+      (3L, t(1)), (3L, t(5)), (4L, t(1)), (4L, t(5))
+    ).zipWithIndex.map { case ((u, ts), i) => (i.toLong, u, ts) }
+      .toDF("event_id", "user_id", "ts")
+    val rs = Events.logRankTest(sym, "user_id", "ts",
+        col("user_id") % 2 === 0).collect().head
+    assert(rs.getDouble(4) === 0.0 && !rs.getBoolean(6))
+  }
+
+  test("concentrationProfile: hand-computed HHI/entropy/effective-N; " +
+       "negative-sum entities drop per entity, all-negative groups " +
+       "disappear") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: entity sums 6 / 2 / 2 -> shares .6 .2 .2
+      ("a", "e1", 4.0), ("a", "e1", 2.0), ("a", "e2", 2.0),
+      ("a", "e3", 2.0),
+      // group b: e2's sum is negative -> excluded per entity
+      ("b", "e1", 5.0), ("b", "e2", -3.0),
+      // group c: only entity sums negative -> whole group gone
+      ("c", "e1", -2.0)
+    ).toDF("g", "e", "v")
+    val got = Stats.concentrationProfile(df, "g", "e", "v")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.length === 2, "group c (all-negative) disappears")
+    val hhi = 0.44 // .36 + .04 + .04
+    val ent = math.floor((
+      math.floor(-0.6 * math.log(0.6) * 1e9 + 0.5) +
+      2 * math.floor(-0.2 * math.log(0.2) * 1e9 + 0.5)) / 1e9
+      * 1e6 + 0.5) / 1e6
+    assert(got(0) === (("a", 3L, 10.0, hhi, ent,
+      math.floor(1.0 / hhi * 1e6 + 0.5) / 1e6, 0.6)))
+    // b keeps only e1: share 1 -> HHI 1, entropy 0, effective N 1
+    assert(got(1) === (("b", 1L, 5.0, 1.0, 0.0, 1.0, 1.0)))
   }
 }
