@@ -4253,7 +4253,92 @@ object AnalyticsQueries {
         graft.analytics.Cluster.simplifiedSilhouette(
             Tables(s, dir, "embeddings"), "vec_id", "embedding",
             k = 8, iters = 2)
-          .orderBy("cluster"))
+          .orderBy("cluster")),
+
+    // ----- model-artifact stream scorer, batch-replayed -----
+    Q("q277_stream_scorer",
+      "the streaming model-serving scorer (CorpusIngest.scoreStream) " +
+        "replayed over the md5-high holdout under a model logregTrained " +
+        "on the low half — the stateless per-token weff fold a stream " +
+        "can run without aggregation, algebraically the q146 batch " +
+        "margin (x_b = tf_b/len collapses into the token sum, round-6 " +
+        "absorbs the ulps); pure map-side serving, zero streaming state",
+      Some(logregOracleSql(iters = 30,
+          trainWhere = "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'",
+          holdoutWhere =
+            Some("WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'")) +
+        s"""
+           |SELECT doc_id AS id,
+           |       round(1.0 / (1.0 + exp(-mg)), 6) AS score,
+           |       round(1.0 / (1.0 + exp(-mg)), 6) >= 0.5 AS keep
+           |FROM m31 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val half = substring(md5(col("doc_id").cast("string")), 1, 1)
+        graft.streaming.CorpusIngest.scoreStream(
+            graft.analytics.Selection.logregTrain(docs.filter(half < "8"),
+              "doc_id", "text", col("lang") === "en", dim = 64, iters = 30),
+            docs.filter(half >= "8"), "doc_id", "text", dim = 64)
+          .orderBy("id")
+      }),
+
+    // ----- hourly PSI serving monitor, batch-replayed -----
+    Q("q278_psi_hourly_monitor",
+      "the streaming PSI drift monitor (EventStreams.psiMonitor) " +
+        "batch-replayed: every feed hour's value distribution scored " +
+        "against the even-user reference slice with the q195 " +
+        "expression tree verbatim (eps floor, 1e9-scaled integer " +
+        "terms, 0.1/0.25 verdicts) — raw volume stops at a " +
+        "(key, hour, bin) agg and a (key, bin) reference, everything " +
+        "downstream is dictionary x calendar bounded",
+      Some("""WITH b AS (SELECT event_type AS key,
+             |        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             |        CAST(least(19, greatest(0, floor(value / 10.0)))
+             |          AS INT) AS bkt,
+             |        user_id % 2 = 0 AS is_ref
+             |      FROM events WHERE value IS NOT NULL),
+             |cur AS (SELECT key, hr, bkt, CAST(count(*) AS BIGINT) AS cc
+             |      FROM b GROUP BY 1, 2, 3),
+             |ref AS (SELECT key, bkt, CAST(count(*) AS BIGINT) AS cr
+             |      FROM b WHERE is_ref GROUP BY 1, 2),
+             |rt AS (SELECT key, CAST(sum(cr) AS BIGINT) AS nr
+             |      FROM ref GROUP BY 1),
+             |hrs AS (SELECT key, hr, CAST(sum(cc) AS BIGINT) AS n
+             |      FROM cur GROUP BY 1, 2),
+             |u AS (SELECT key, hr, bkt FROM cur
+             |      UNION
+             |      SELECT h.key, h.hr, r.bkt
+             |      FROM hrs h JOIN ref r ON r.key = h.key),
+             |j AS (SELECT u.key, u.hr, u.bkt, cur.cc, ref.cr
+             |      FROM u
+             |      LEFT JOIN cur ON cur.key = u.key AND cur.hr = u.hr
+             |        AND cur.bkt = u.bkt
+             |      LEFT JOIN ref ON ref.key = u.key AND ref.bkt = u.bkt),
+             |s AS (SELECT j.key, j.hr, h.n, coalesce(rt.nr, 0) AS nr,
+             |        greatest(CAST(coalesce(j.cr, 0) AS DOUBLE)
+             |          / nullif(coalesce(rt.nr, 0), 0), 0.0001) AS p,
+             |        greatest(CAST(coalesce(j.cc, 0) AS DOUBLE)
+             |          / nullif(h.n, 0), 0.0001) AS q
+             |      FROM j JOIN hrs h ON h.key = j.key AND h.hr = j.hr
+             |      LEFT JOIN rt ON rt.key = j.key),
+             |a AS (SELECT key, hr, CAST(max(n) AS BIGINT) AS n,
+             |        CAST(max(nr) AS BIGINT) AS nr,
+             |        round(sum(CAST(round((p - q) * ln(p / q) * 1e9)
+             |          AS BIGINT)) / 1e9 * 1e6) / 1e6 AS psi_raw
+             |      FROM s GROUP BY 1, 2)
+             |SELECT key, hr, n,
+             |  CASE WHEN nr > 0 THEN psi_raw END AS psi,
+             |  CASE WHEN nr = 0 THEN 'no_data'
+             |       WHEN psi_raw > 0.25 THEN 'drifted'
+             |       WHEN psi_raw > 0.1 THEN 'watch'
+             |       ELSE 'stable' END AS verdict
+             |FROM a ORDER BY key, hr""".stripMargin),
+      (s, dir) =>
+        graft.streaming.EventStreams.psiMonitorBatch(
+            Tables(s, dir, "events"),
+            refPred = col("user_id") % 2 === 0,
+            keyCol = "event_type", tsCol = "ts", valueCol = "value")
+          .orderBy("key", "hr"))
   )
 
   /** Unrolled synchronous label propagation in DuckDB — the SAME

@@ -453,6 +453,78 @@ object EventStreams {
       }
   }
 
+  /** Batch replay of [[psiMonitor]] — per (key, HOUR) PSI of a value
+    * column against a static reference slice, oracle-checkable (the
+    * ingestGateBatch precedent): the feed plays the stream's role and
+    * every hour is closed, so every hour with data emits exactly one
+    * row; the reference (the stream's broadcast training map) is the
+    * `refPred` slice of the same frame. The PSI arithmetic is the
+    * [[graft.analytics.Stats.psiDrift]] expression tree verbatim —
+    * eps floor, per-bin terms as 1e9-scaled HALF_UP integers, round-6
+    * total, 0.1/0.25 verdicts; keys with no reference rows emit null
+    * psi + `no_data`, exactly the stream's unknown-key rule.
+    *
+    * Scale shape: raw volume stops at two keyed aggregates — a
+    * (key, hour, bin) table and the (key, bin) reference — both
+    * dictionary-x-calendar bounded (nBins <= 20 cells per key-hour);
+    * the bin-union grid, totals join, and per-hour fold all run over
+    * those. Output: (key, hr, n, psi, verdict), hr = unix hour. */
+  def psiMonitorBatch(events: org.apache.spark.sql.DataFrame,
+                      refPred: org.apache.spark.sql.Column,
+                      keyCol: String, tsCol: String, valueCol: String,
+                      binWidth: Double = 10.0, nBins: Int = 20,
+                      eps: Double = 1e-4): org.apache.spark.sql.DataFrame = {
+    require(binWidth > 0 && nBins >= 2 && eps > 0,
+      "need binWidth > 0, nBins >= 2, eps > 0")
+    import org.apache.spark.sql.functions._
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = graft.analytics.Par.ensure(events)
+      .filter(col(valueCol).isNotNull)
+    val bkt = least(lit(nBins - 1), greatest(lit(0),
+      floor(col(valueCol) / binWidth))).cast("int")
+    val hrOf = expr(s"unix_micros($tsCol) DIV 3600000000")
+    val cur = base
+      .select(col(keyCol).as("key"), hrOf.as("hr"), bkt.as("bkt"))
+      .groupBy($"key", $"hr", $"bkt")
+      .agg(count(lit(1)).cast("long").as("cc"))
+    val ref = base.filter(refPred)
+      .select(col(keyCol).as("key"), bkt.as("bkt"))
+      .groupBy($"key", $"bkt")
+      .agg(count(lit(1)).cast("long").as("cr"))
+    val refTot = ref.groupBy($"key").agg(sum($"cr").cast("long").as("nr"))
+    val hours = cur.groupBy($"key", $"hr")
+      .agg(sum($"cc").cast("long").as("n"))
+    // bin-union grid per (key, hour): bins present in the hour OR in
+    // the key's reference — a bin on only one side still contributes
+    // its eps-floored term, as in psiDrift's full-outer join
+    val grid = cur.select($"key", $"hr", $"bkt")
+      .union(hours.select($"key", $"hr")
+        .join(ref.select($"key", $"bkt"), Seq("key")))
+      .distinct()
+    val nr0 = coalesce($"nr", lit(0L))
+    val p = greatest(coalesce($"cr", lit(0L)).cast("double") /
+      when(nr0 > 0L, nr0.cast("double")), lit(eps))
+    val q = greatest(coalesce($"cc", lit(0L)).cast("double") /
+      when($"n" > 0L, $"n".cast("double")), lit(eps))
+    val term = round((p - q) * log(p / q) * 1e9).cast("long")
+    grid
+      .join(cur, Seq("key", "hr", "bkt"), "left")
+      .join(ref, Seq("key", "bkt"), "left")
+      .join(hours, Seq("key", "hr"))
+      .join(refTot, Seq("key"), "left")
+      .groupBy($"key", $"hr")
+      .agg(max($"n").as("n"), max(nr0).as("nr"),
+        (round(sum(term) / 1e9 * 1e6) / 1e6).as("psi_raw"))
+      .select($"key", $"hr", $"n",
+        when($"nr" > 0L, $"psi_raw").as("psi"))
+      .withColumn("verdict",
+        when($"psi".isNull, "no_data")
+          .when($"psi" > 0.25, "drifted")
+          .when($"psi" > 0.1, "watch")
+          .otherwise("stable"))
+  }
+
   /** Hourly PSI drift monitor over a LIVE feed: the
     * [[graft.analytics.Stats.psiDrift]] gate (q195) per event type,
     * each CLOSED hour's value distribution scored against a static

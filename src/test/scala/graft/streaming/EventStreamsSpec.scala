@@ -528,5 +528,26 @@ class EventStreamsSpec extends SparkTestBase {
     assert(stream(("A", baseHr))._3 !== "drifted")
     assert(stream(("A", baseHr + 2))._3 === "drifted")
     assert(stream(("C", baseHr)) === ((20L, None, "no_data")))
+
+    // the catalog's batch replay (q278): ONE frame where the reference
+    // is the refPred slice (parked at a far hour, excluded from the
+    // compare) must emit the IDENTICAL (n, psi, verdict) per live
+    // (key, hour) as the streamed monitor — including C's no_data
+    val refRows = refVals.toSeq.flatMap { case (t, vs) =>
+      vs.map(v => (t, new Timestamp(base + 50 * 3600000L), 0L, v))
+    }
+    val liveRows = evs.map(e => (e.event_type, e.ts, 1L, e.value))
+    val frame = (refRows ++ liveRows)
+      .toDF("event_type", "ts", "user_id", "value")
+    val batch2 = EventStreams.psiMonitorBatch(frame,
+        refPred = col("user_id") === 0L,
+        keyCol = "event_type", tsCol = "ts", valueCol = "value")
+      .filter($"hr" < baseHr + 50)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getString(4))).toMap
+    assert(batch2 === stream,
+      s"psiMonitorBatch != streamed monitor:\n$batch2\nvs\n$stream")
   }
 }
