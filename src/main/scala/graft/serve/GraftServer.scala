@@ -44,14 +44,33 @@ import graft.sources.{PathGuard, XmlSource}
   * thread-safe, so concurrent conversions interleave as independent
   * jobs on the shared session — the GIL-free answer to the reference's
   * single-process service.
+  *
+  * Hardening (the shim is a real attack surface the reference's
+  * framework absorbed for it): request bodies must finish arriving
+  * within `readTimeoutMillis` or a watchdog aborts the exchange (a
+  * slow-loris trickle cannot pin a handler thread forever); multipart
+  * boundaries are length-capped (RFC 2046 allows 70 chars — an
+  * attacker-sized boundary would turn the body scan quadratic);
+  * conversions write into a per-request staging dir inside `dataDir`
+  * and PUBLISH by atomic rename, so two concurrent uploads deriving
+  * the same output filename each serve a complete file (last writer
+  * wins wholesale — never an interleaved torn write).
   */
 final class GraftServer(spark: SparkSession, dataDir: Path,
-                        host: String = "127.0.0.1", port: Int = 0) {
+                        host: String = "127.0.0.1", port: Int = 0,
+                        readTimeoutMillis: Long = 30000L) {
 
   import GraftServer._
 
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  private val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-read-watchdog")
+        t.setDaemon(true)
+        t
+      })
   Files.createDirectories(dataDir)
 
   // route storage must precede the route() calls below (class body
@@ -73,62 +92,62 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
   route("/api/user-info",
     ex => respondJson(ex, 200, """{"authenticated": false, "user": null}"""))
 
-  route("/process_file", upload(Seq.empty) { (in, _) =>
-    Pipeline.processFile(spark, in.toString, dataDir.toString)
+  route("/process_file", upload(Seq.empty) { (in, _, outDir) =>
+    Pipeline.processFile(spark, in.toString, outDir)
   })
-  route("/convert_csv_to_xml", upload(Seq(".csv")) { (in, fields) =>
-    Pipeline.processCsvToXml(spark, in.toString, dataDir.toString,
+  route("/convert_csv_to_xml", upload(Seq(".csv")) { (in, fields, outDir) =>
+    Pipeline.processCsvToXml(spark, in.toString, outDir,
       xmlFormat = fields.getOrElse("xml_format", "yandex_market"))
   })
-  route("/convert_csv_to_excel", upload(Seq(".csv")) { (in, _) =>
-    Pipeline.processCsvToExcel(spark, in.toString, dataDir.toString)
+  route("/convert_csv_to_excel", upload(Seq(".csv")) { (in, _, outDir) =>
+    Pipeline.processCsvToExcel(spark, in.toString, outDir)
   })
-  route("/convert_excel_to_csv", upload(Seq(".xlsx", ".xls")) { (in, _) =>
-    Pipeline.processExcelToCsv(spark, in.toString, dataDir.toString)
+  route("/convert_excel_to_csv", upload(Seq(".xlsx", ".xls")) { (in, _, outDir) =>
+    Pipeline.processExcelToCsv(spark, in.toString, outDir)
   })
-  route("/convert_json_to_csv", upload(Seq(".json")) { (in, _) =>
-    Pipeline.processJsonToCsv(spark, in.toString, dataDir.toString)
+  route("/convert_json_to_csv", upload(Seq(".json")) { (in, _, outDir) =>
+    Pipeline.processJsonToCsv(spark, in.toString, outDir)
   })
-  route("/convert_csv_to_json", upload(Seq(".csv")) { (in, fields) =>
-    Pipeline.processCsvToJson(spark, in.toString, dataDir.toString,
+  route("/convert_csv_to_json", upload(Seq(".csv")) { (in, fields, outDir) =>
+    Pipeline.processCsvToJson(spark, in.toString, outDir,
       jsonFormat = fields.getOrElse("json_format", "array"))
   })
-  route("/convert_xml_to_json", upload(Seq(".xml")) { (in, fields) =>
+  route("/convert_xml_to_json", upload(Seq(".xml")) { (in, fields, outDir) =>
     val rowTag = fields.getOrElse("row_tag",
       XmlSource.detectFile(in.toString).rowTag)
-    Pipeline.processXmlToJson(spark, in.toString, dataDir.toString, rowTag)
+    Pipeline.processXmlToJson(spark, in.toString, outDir, rowTag)
   })
-  route("/convert_jpg_to_png", upload(Seq(".jpg", ".jpeg")) { (in, _) =>
-    Pipeline.processJpgToPng(in.toString, dataDir.toString)
+  route("/convert_jpg_to_png", upload(Seq(".jpg", ".jpeg")) { (in, _, outDir) =>
+    Pipeline.processJpgToPng(in.toString, outDir)
   })
-  route("/convert_png_to_jpg", upload(Seq(".png")) { (in, _) =>
-    Pipeline.processPngToJpg(in.toString, dataDir.toString)
+  route("/convert_png_to_jpg", upload(Seq(".png")) { (in, _, outDir) =>
+    Pipeline.processPngToJpg(in.toString, outDir)
   })
-  route("/convert_pdf_to_csv", upload(Seq(".pdf")) { (in, _) =>
-    Pipeline.processPdfToCsv(spark, in.toString, dataDir.toString)
+  route("/convert_pdf_to_csv", upload(Seq(".pdf")) { (in, _, outDir) =>
+    Pipeline.processPdfToCsv(spark, in.toString, outDir)
   })
-  route("/convert_pdf_to_excel", upload(Seq(".pdf")) { (in, _) =>
-    Pipeline.processPdfToExcel(spark, in.toString, dataDir.toString)
+  route("/convert_pdf_to_excel", upload(Seq(".pdf")) { (in, _, outDir) =>
+    Pipeline.processPdfToExcel(spark, in.toString, outDir)
   })
-  route("/convert_pdf_to_json", upload(Seq(".pdf")) { (in, _) =>
-    Pipeline.processPdfToJson(spark, in.toString, dataDir.toString)
+  route("/convert_pdf_to_json", upload(Seq(".pdf")) { (in, _, outDir) =>
+    Pipeline.processPdfToJson(spark, in.toString, outDir)
   })
-  route("/convert_csv_to_pdf", upload(Seq(".csv")) { (in, fields) =>
-    Pipeline.processCsvToPdf(spark, in.toString, dataDir.toString,
+  route("/convert_csv_to_pdf", upload(Seq(".csv")) { (in, fields, outDir) =>
+    Pipeline.processCsvToPdf(spark, in.toString, outDir,
       reportStyle = fields.getOrElse("report_style", "table"))
   })
-  route("/convert_excel_to_pdf", upload(Seq(".xlsx", ".xls")) { (in, fields) =>
-    Pipeline.processExcelToPdf(spark, in.toString, dataDir.toString,
+  route("/convert_excel_to_pdf", upload(Seq(".xlsx", ".xls")) { (in, fields, outDir) =>
+    Pipeline.processExcelToPdf(spark, in.toString, outDir,
       reportStyle = fields.getOrElse("report_style", "table"))
   })
   route("/convert_image_to_pdf", upload(Seq(".jpg", ".jpeg", ".png")) {
-    (in, _) => Pipeline.processImageToPdf(in.toString, dataDir.toString)
+    (in, _, outDir) => Pipeline.processImageToPdf(in.toString, outDir)
   })
-  route("/convert_pdf_to_png", upload(Seq(".pdf")) { (in, _) =>
-    Pipeline.processPdfToImages(in.toString, dataDir.toString, "png")
+  route("/convert_pdf_to_png", upload(Seq(".pdf")) { (in, _, outDir) =>
+    Pipeline.processPdfToImages(in.toString, outDir, "png")
   })
-  route("/convert_pdf_to_jpg", upload(Seq(".pdf")) { (in, _) =>
-    Pipeline.processPdfToImages(in.toString, dataDir.toString, "jpg")
+  route("/convert_pdf_to_jpg", upload(Seq(".pdf")) { (in, _, outDir) =>
+    Pipeline.processPdfToImages(in.toString, outDir, "jpg")
   })
 
   route("/process_link", ex => handled(ex) {
@@ -138,11 +157,35 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
     val presetId = jsonField(body, "preset_id").getOrElse("")
     val returnUrl = jsonField(body, "return_url").filter(_.nonEmpty)
     val targetNode = if (presetId.isEmpty) "auto" else presetId
-    val out = Pipeline.processLink(spark, linkUrl, dataDir.toString,
-      targetNode = targetNode, returnUrl = returnUrl)
-    respondJson(ex, 200,
-      s"""{"file_url": ${jsonStr(downloadUrl(out))}, """ +
-        s""""preset_id": ${jsonStr(presetId)}, "status": "completed"}""")
+    val stage = Files.createTempDirectory(dataDir, ".stage_")
+    try {
+      // the conversion stages like every upload route; the completion
+      // webhook fires HERE, after publication, so its file_url names
+      // the published path (Pipeline's own webhook would name the
+      // staging path, deleted moments later) — still strictly before
+      // the HTTP response, which the spec pins
+      val out = Pipeline.processLink(spark, linkUrl, stage.toString,
+        targetNode = targetNode, returnUrl = None)
+      val name = out.getFileName.toString
+      publishStaged(stage)
+      val published = dataDir.resolve(name)
+      returnUrl.filter(_.nonEmpty).foreach { cb =>
+        val body =
+          s"""{"file_url": ${jsonStr(published.toString)}, """ +
+            s""""preset_id": ${jsonStr(targetNode)}, "status": "completed"}"""
+        try graft.sources.HttpFetch.postJson(cb, body)
+        catch { case e: Exception =>
+          System.err.println(s"[serve] callback error: ${e.getMessage}")
+        }
+      }
+      respondJson(ex, 200,
+        s"""{"file_url": ${jsonStr(downloadUrl(published))}, """ +
+          s""""preset_id": ${jsonStr(presetId)}, "status": "completed"}""")
+    } finally {
+      val walk = Files.walk(stage)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
   })
 
   // main.py:2321 returns a hardcoded completed body; mirror its shape
@@ -167,7 +210,7 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
   def start(): GraftServer = { server.start(); this }
   def boundPort: Int = server.getAddress.getPort
   def baseUrl: String = s"http://$host:$boundPort"
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); watchdog.shutdownNow() }
 
   // ---- handler plumbing -------------------------------------------------
 
@@ -198,33 +241,42 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
       }
     })
 
-  /** Wrap a handler with the reference's error mapping. */
-  private def handled(ex: HttpExchange)(body: => Unit): Unit =
+  /** Wrap a handler with the reference's error mapping. The error
+    * responses themselves are best-effort: a watchdog-aborted exchange
+    * is already closed, and a second failure while reporting the first
+    * must not escape into the dispatcher. */
+  private def handled(ex: HttpExchange)(body: => Unit): Unit = {
+    def tryRespond(code: Int, detail: String): Unit =
+      try respondJson(ex, code, s"""{"detail": ${jsonStr(detail)}}""")
+      catch { case _: java.io.IOException => }
     try body
     catch {
-      case e: TooLarge =>
-        respondJson(ex, 413, s"""{"detail": ${jsonStr(e.getMessage)}}""")
-      case e: java.io.FileNotFoundException =>
-        respondJson(ex, 404, s"""{"detail": ${jsonStr(e.getMessage)}}""")
+      case e: TooLarge => tryRespond(413, e.getMessage)
+      case e: java.io.FileNotFoundException => tryRespond(404, e.getMessage)
       case e: IllegalArgumentException =>
-        respondJson(ex, 400, s"""{"detail": ${jsonStr(
-          Option(e.getMessage).getOrElse("Bad request"))}}""")
+        tryRespond(400, Option(e.getMessage).getOrElse("Bad request"))
       case e: Throwable =>
-        respondJson(ex, 500, s"""{"detail": ${jsonStr(
-          "Error processing file: " + Option(e.getMessage).getOrElse(e.toString))}}""")
+        tryRespond(500, "Error processing file: " +
+          Option(e.getMessage).getOrElse(e.toString))
     }
     finally ex.close()
+  }
 
   /** Multipart-upload route body: save the `file` part under its
     * (sanitized, extension-validated) client name, run the conversion
+    * into a per-request staging dir, atomically publish the outputs
     * into `dataDir`, answer the reference's completion JSON. */
   private def upload(exts: Seq[String])(
-      run: (Path, Map[String, String]) => Path): HttpExchange => Unit =
+      run: (Path, Map[String, String], String) => Path): HttpExchange => Unit =
     ex => handled(ex) {
       val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .getOrElse("")
       val boundary = Multipart.boundaryOf(ct).getOrElse(
         throw new IllegalArgumentException("Expected multipart/form-data"))
+      // RFC 2046 caps boundaries at 70 chars; an attacker-sized one
+      // would make the body scan O(body x boundary) — reject early
+      if (boundary.isEmpty || boundary.length > 256)
+        throw new IllegalArgumentException("Invalid multipart boundary")
       val parts = Multipart.parse(readBody(ex), boundary)
       val filePart = parts.find(_.filename.isDefined)
         .orElse(parts.find(_.name == "file"))
@@ -248,32 +300,65 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
         .map(p => p.name -> new String(p.data, UTF_8)).toMap ++
         queryParams(ex)
       val tmpDir = Files.createTempDirectory("graft_upload")
+      val stage = Files.createTempDirectory(dataDir, ".stage_")
       try {
         val in = tmpDir.resolve(safeName)
         Files.write(in, filePart.data)
-        val out = run(in, fields)
+        val out = run(in, fields, stage.toString)
         val name = out.getFileName.toString
+        publishStaged(stage)
         respondJson(ex, 200,
-          s"""{"file_url": ${jsonStr(downloadUrl(out))}, """ +
+          s"""{"file_url": ${jsonStr(
+            downloadUrl(dataDir.resolve(name)))}, """ +
             s""""status": "completed", "filename": ${jsonStr(name)}}""")
       } finally {
-        val walk = Files.walk(tmpDir)
-        val all = try walk.iterator().asScala.toSeq finally walk.close()
-        all.reverse.foreach(Files.deleteIfExists(_))
+        for (d <- Seq(tmpDir, stage)) {
+          val walk = Files.walk(d)
+          val all = try walk.iterator().asScala.toSeq finally walk.close()
+          all.reverse.foreach(Files.deleteIfExists(_))
+        }
       }
     }
+
+  /** Atomically publish every file a conversion staged: rename into
+    * `dataDir`, replacing whole files — the staging dir shares
+    * `dataDir`'s filestore, so the rename IS atomic and a concurrent
+    * download of a colliding name sees either the old or the new
+    * complete file, never a torn write. */
+  private def publishStaged(stage: Path): Unit = {
+    val ls = Files.list(stage)
+    val staged = try ls.iterator().asScala.toSeq finally ls.close()
+    staged.filter(Files.isRegularFile(_)).foreach { f =>
+      Files.move(f, dataDir.resolve(f.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 
   private def downloadUrl(out: Path): String =
     s"/download/data_files/${out.getFileName.toString}"
 
   private def readBody(ex: HttpExchange): Array[Byte] = {
-    // reference cap: 100 MB (main.py:1779); read one byte past to
-    // distinguish at-limit from over-limit
-    val in = ex.getRequestBody
-    val bytes = in.readNBytes(MaxUpload + 1)
-    if (bytes.length > MaxUpload)
-      throw new TooLarge("File too large. Maximum size is 100MB")
-    bytes
+    // slow-loris guard: if the body hasn't fully arrived within the
+    // timeout, abort the exchange from the watchdog thread — closing it
+    // unblocks the stuck read below, freeing the handler thread
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val abort = watchdog.schedule(new Runnable {
+      override def run(): Unit = { timedOut.set(true); ex.close() }
+    }, readTimeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try {
+      // reference cap: 100 MB (main.py:1779); read one byte past to
+      // distinguish at-limit from over-limit
+      val in = ex.getRequestBody
+      val bytes = in.readNBytes(MaxUpload + 1)
+      // a watchdog-closed stream can also surface as a SHORT read
+      // rather than an IOException — never hand a truncated body on
+      if (timedOut.get)
+        throw new java.io.IOException("request body read timed out")
+      if (bytes.length > MaxUpload)
+        throw new TooLarge("File too large. Maximum size is 100MB")
+      bytes
+    } finally abort.cancel(false)
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =

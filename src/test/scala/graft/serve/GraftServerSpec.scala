@@ -244,6 +244,121 @@ class GraftServerSpec extends SparkTestBase {
     }
   }
 
+  test("abuse: an attacker-sized multipart boundary is rejected 400 " +
+       "before the body scan can go quadratic") {
+    withServer { srv =>
+      val boundary = "b" * 10000
+      val body = (s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"file\"; filename=\"t.csv\"\r\n\r\n" +
+        "id;name\n1;w\n\r\n" + s"--$boundary--\r\n").getBytes(UTF_8)
+      val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"${srv.baseUrl}/convert_csv_to_json"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 400, r.body())
+      assert(r.body().contains("Invalid multipart boundary"))
+    }
+  }
+
+  test("abuse: a slow-loris partial body is aborted by the read " +
+       "watchdog and the server stays responsive") {
+    val dataDir = Files.createTempDirectory("graft_serve_slow")
+    val srv = new GraftServer(spark, dataDir,
+      readTimeoutMillis = 500L).start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      sock.setSoTimeout(15000)
+      val os = sock.getOutputStream
+      os.write(("POST /convert_csv_to_json HTTP/1.1\r\n" +
+        s"Host: 127.0.0.1:${srv.boundPort}\r\n" +
+        "Content-Type: multipart/form-data; boundary=bnd\r\n" +
+        "Content-Length: 100000\r\n\r\n").getBytes(UTF_8))
+      os.write("--bnd\r\ntrickle".getBytes(UTF_8))
+      os.flush()
+      // never send the rest: the watchdog must abort the exchange —
+      // observable as connection close (EOF or reset) well before the
+      // claimed body could have "arrived"
+      val t0 = System.nanoTime()
+      val closed =
+        try sock.getInputStream.readAllBytes() != null // EOF -> returns
+        catch { case _: java.io.IOException => true }  // reset -> throws
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(closed, "connection must be aborted")
+      assert(waitedMs < 10000, s"aborted in ${waitedMs}ms, not at SoTimeout")
+      sock.close()
+      // the handler thread is free again: a normal request still serves
+      val ok = postMultipart(s"${srv.baseUrl}/convert_csv_to_json",
+        "t.csv", "id;name\n1;w\n".getBytes(UTF_8))
+      assert(ok.statusCode() === 200, ok.body())
+    } finally {
+      srv.stop()
+      val walk = Files.walk(dataDir)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("abuse: fully-encoded %2e%2e traversal through the decoded-path " +
+       "router cannot escape the download namespace") {
+    withServer { srv =>
+      // plant a secret OUTSIDE dataDir that a successful traversal
+      // would read; the raw URI decodes to /download/data_files/../...
+      val secret = Files.createTempFile("graft_secret", ".txt")
+      Files.writeString(secret, "do-not-serve")
+      try {
+        val name = secret.getFileName.toString
+        for (path <- Seq(
+            s"%2e%2e%2f$name",
+            s"%2e%2e/%2e%2e/tmp/$name",
+            s"..%2f..%2ftmp%2f$name",
+            s"foo%2f..%2f..%2f$name")) {
+          val r = get(s"${srv.baseUrl}/download/data_files/$path")
+          assert(r.statusCode() === 400 || r.statusCode() === 404,
+            s"$path -> ${r.statusCode()}")
+          assert(!new String(r.body(), UTF_8).contains("do-not-serve"),
+            s"$path leaked the secret")
+        }
+      } finally Files.deleteIfExists(secret)
+    }
+  }
+
+  test("abuse: concurrent uploads colliding on the SAME derived output " +
+       "filename each serve a complete file, never a torn write") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    withServer { srv =>
+      def csvOf(tag: String): Array[Byte] =
+        (Seq("id;name") ++ (1 to 50).map(i => s"$i;${tag}_row$i"))
+          .mkString("", "\n", "\n").getBytes(UTF_8)
+      // serial references: what each conversion alone produces
+      def serial(tag: String): String = {
+        val r = postMultipart(s"${srv.baseUrl}/convert_csv_to_json",
+          "same.csv", csvOf(tag))
+        assert(r.statusCode() === 200, r.body())
+        new String(get(srv.baseUrl + fileUrlOf(r.body())).body(), UTF_8)
+      }
+      val refA = serial("aa")
+      val refB = serial("bb")
+      assert(refA !== refB)
+      // now race them: same client filename -> same output name
+      for (_ <- 1 to 3) {
+        val (ra, rb) = Await.result(
+          Future(postMultipart(s"${srv.baseUrl}/convert_csv_to_json",
+            "same.csv", csvOf("aa")))
+            .zip(Future(postMultipart(s"${srv.baseUrl}/convert_csv_to_json",
+              "same.csv", csvOf("bb")))), 120.seconds)
+        assert(ra.statusCode() === 200 && rb.statusCode() === 200)
+        val url = fileUrlOf(ra.body())
+        assert(url === fileUrlOf(rb.body()), "same derived output name")
+        val got = new String(get(srv.baseUrl + url).body(), UTF_8)
+        assert(got === refA || got === refB,
+          s"download must be ONE complete conversion, got:\n$got")
+      }
+    }
+  }
+
   test("Multipart parser: binary payload with embedded CRLFs and " +
        "quoted boundary round-trips byte-exact") {
     val payload = Array.tabulate[Byte](512)(i => (i % 256).toByte)
