@@ -14,8 +14,33 @@ import org.apache.spark.sql.functions._
   * SCALE.md for the measured curves and the log2(n) signature-bits law.)
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleBench
+  *
+  * Subcommand `split <feed.xml>`: throughput comparison of the S2
+  * distributed element splitter vs the native multiLine scan on a
+  * large single-file feed (the SCALE.md splitter-vs-multiLine row).
   */
 object ScaleBench {
+
+  /** Manual splitter-vs-native comparison (formerly its own main). */
+  private def splitBench(spark: SparkSession, path: String): Unit = {
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[splitbench] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.1fs  rows=$n")
+    }
+    // warm the JVM/codegen on a small read first
+    spark.read.text(path).limit(10).count()
+    time("readSplit (distributed)") {
+      sources.XmlSource.readSplit(spark, path, sources.XmlSource.Yml).count()
+    }
+    time("multiLine (single-core)") {
+      spark.read.format("xml")
+        .option("rowTag", "offer")
+        .option("attributePrefix", sources.XmlSource.AttrPrefix)
+        .option("valueTag", sources.XmlSource.ValueTag)
+        .option("ignoreSurroundingSpaces", "true")
+        .load(path).count()
+    }
+  }
 
   private def scaleDocs(spark: SparkSession, base: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
@@ -85,6 +110,11 @@ object ScaleBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
       appName = "graft-scalebench")
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("split")) {
+      splitBench(spark, args.lift(1).getOrElse("/tmp/big_feed.xml"))
+      spark.stop()
+      return
+    }
     import spark.implicits._
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale")

@@ -281,7 +281,9 @@ object CoreQueries {
 
     // ----- A10/K8: summary stats (main.py:1120-1124) -----
     Q("q13_summary_stats",
-      "A10 row/field counts + min/max summary",
+      "A10 dataset summary card: row count, distinct customers/statuses, " +
+        "min/max price — the one-aggregate overview panel the reference " +
+        "renders for every processed feed; map-side partials, one row out",
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
              |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
@@ -300,7 +302,9 @@ object CoreQueries {
 
     // ----- F13: md5 short id (main.py:1767-1768) -----
     Q("q14_md5_id",
-      "F13 upper(md5[:8]) row id",
+      "F13 short stable row id: upper(md5(name)[:8]) — the reference's " +
+        "8-hex-char document id derivation, deterministic so re-runs " +
+        "assign identical ids; pure map-side column expression",
       Some("""SELECT c_custkey, upper(substr(md5(c_name), 1, 8)) AS uid
              |FROM customer ORDER BY c_custkey""".stripMargin),
       (s, dir) => {
