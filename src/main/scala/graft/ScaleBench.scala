@@ -132,7 +132,12 @@ object ScaleBench {
 
     println("[scalebench] scale  op                rows      sec")
     val events0 = queries.Tables(spark, sfDir, "events")
-    for (k <- Seq(1, 3, 10)) {
+    // optional scale-point override, e.g. SPARK_GRAFT_SCALE_KS=10,30
+    // (the 30x/100x spot-runs that confirm the 1-10x slopes extrapolate)
+    val ks = sys.env.get("SPARK_GRAFT_SCALE_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 3, 10))
+    for (k <- ks) {
       val dPath = tmp.resolve(s"docs_x$k").toString
       val ePath = tmp.resolve(s"emb_x$k").toString
       val evPath = tmp.resolve(s"events_x$k").toString

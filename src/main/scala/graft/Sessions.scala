@@ -44,6 +44,17 @@ object Sessions {
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // let AQE right-size each shuffle instead of pinning every
+      // exchange to the core count: shuffles PLAN at 16x cores and AQE
+      // coalesces small ones back down (64 MB advisory target), so a
+      // dictionary agg still runs in a handful of tasks while a
+      // byte-heavy exchange (the q168 verify join at 30x: candidate
+      // rows each carrying a shingle array) gets enough partitions
+      // that per-task sort buffers stop spilling — measured 2x on that
+      // stage. This IS the cluster posture: initialPartitionNum high,
+      // AQE coalesce on (default), advisory size the real knob.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores * 16).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -252,7 +252,11 @@ class PlanShapeSpec extends SparkTestBase {
       "q273_quantile_normalize",
       // q274: <= (k+1)-row TakeOrdered head x broadcast ONE-ROW
       // max-rank / threshold brackets — machine-checked below
-      "q274_hill_tail_index")
+      "q274_hill_tail_index",
+      // q275: lifetimes x broadcast ONE-ROW feed-cutoff date (the q182
+      // bracket) + the distinct-lifetime grid x a broadcast TWO-ROW
+      // Range (the arm completion) — machine-checked below
+      "q275_log_rank_test")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -326,6 +330,20 @@ class PlanShapeSpec extends SparkTestBase {
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +
             s"one-row aggregate, got:\n$b")
+    // q275: two BNLJ build sides — the grouping-free ONE-ROW feed
+    // cutoff (q182's bracket) and the TWO-ROW arm Range completing the
+    // lifetime grid; each build side must be one of those structures
+    locally {
+      import org.apache.spark.sql.execution.RangeExec
+      for (b <- buildSides("q275_log_rank_test")) {
+        val smallRange = deep(b) {
+          case r: RangeExec if r.numElements.toLong <= 2L => r
+        }.nonEmpty
+        assert(topAggGrouped(b).contains(false) || smallRange,
+          s"q275: BNLJ build side must be a one-row aggregate or a " +
+            s"<=2-row Range, got:\n$b")
+      }
+    }
     // q169: the comment says "broadcast dictionary-sized sketch table" —
     // prove the two halves separately: the build side tops out in a
     // BY-KEY aggregate (rows bounded by the key dictionary, independent
