@@ -44,17 +44,16 @@ object Sessions {
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      // let AQE right-size each shuffle instead of pinning every
-      // exchange to the core count: shuffles PLAN at 16x cores and AQE
-      // coalesces small ones back down (64 MB advisory target), so a
-      // dictionary agg still runs in a handful of tasks while a
-      // byte-heavy exchange (the q168 verify join at 30x: candidate
-      // rows each carrying a shingle array) gets enough partitions
-      // that per-task sort buffers stop spilling — measured 2x on that
-      // stage. This IS the cluster posture: initialPartitionNum high,
-      // AQE coalesce on (default), advisory size the real knob.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores * 16).toString)
+      // NOTE on AQE initialPartitionNum: the canonical cluster posture
+      // (plan shuffles wide, AQE coalesces small ones to the advisory
+      // size) was TRIED at 16x cores and reverted — bracketed A/B on
+      // the heavy iterative queries measured ~50% regressions locally
+      // (q204 2.2->6.6 s, q199 4.3->9.3 s steady medians): every round
+      // of an iterative op pays the 512-way shuffle-WRITE fan-out
+      // (tiny blocks) that read-side coalescing never earns back at
+      // single-box volumes. On a real cluster with executor-count
+      // parallelism and real data volumes, set it to 2-3x total cores;
+      // here the core-count default is the measured optimum.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
