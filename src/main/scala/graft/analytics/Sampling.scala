@@ -483,4 +483,38 @@ object Sampling {
       (round(Par.safeDiv($"moved_hrw".cast("double"),
         $"n_keys".cast("double")) * 1e6) / 1e6).as("frac_hrw"))
   }
+
+  /** Consistent per-key sample: for each key, the k rows with the
+    * smallest (32-bit md5-prefix hash of id, id) — the deterministic
+    * "show me a few examples from every slice" primitive behind eyeball
+    * QA, golden-set refreshes, and debug dashboards. CONSISTENT means
+    * re-runs (and both engines) pick the identical rows, and a row's
+    * membership never depends on what else arrived — unlike LIMIT,
+    * which is partition-order roulette.
+    *
+    * The 32-bit prefix (not [[Sketches.h60]]) is deliberate: it is
+    * exact in an IEEE double, so the bounded TopKBy aggregate's
+    * (double score, id) ordering is bit-identical to a SQL
+    * `ORDER BY hash, id` — ties at equal hash break by id.
+    *
+    * Scale shape: one bounded TopKBy per key — k rows of state per
+    * partition per key, map-side partials, NO window over raw volume
+    * and no global sort. Output: (key, id, hash32) exploded, ordered
+    * within key by (hash32, id). */
+  def consistentSample(df: DataFrame, keyCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long")
+    Par.ensure(df)
+      .select(col(keyCol).as("key"), col(idCol).cast("long").as("id"),
+        h32.as("h"))
+      .groupBy($"key")
+      .agg(graft.functions.TopKBy.topKMin($"h".cast("double"), $"id", k)
+        .as("top"))
+      .select($"key", explode($"top").as("e"))
+      .select($"key", $"e.id".as("id"), $"e.score".cast("long").as("hash32"))
+  }
 }

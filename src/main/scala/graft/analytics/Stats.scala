@@ -1953,4 +1953,191 @@ object Stats {
       .select($"grp", $"n_entities", $"total", $"hhi", $"entropy",
         $"effective_n", $"top_share")
   }
+
+  /** Mann-Whitney U test per key between two arms — the rank-based
+    * two-sample test that q210's Welch t cannot replace when the
+    * metric is heavy-tailed or ordinal (latency, doc length, quality
+    * scores: one bot user moves a mean, not a rank sum). Tie-corrected
+    * normal approximation: `U1 = R1 - n1(n1+1)/2` over average ranks,
+    * `z = (U1 - n0 n1 / 2) / sigma` with the tie term
+    * `sigma^2 = n0 n1 / 12 ((N+1) - sum(t^3 - t) / (N (N-1)))`; no
+    * continuity correction (documented — both engines replay the same
+    * formula). Also reports the rank-biserial effect size
+    * `r = 2 U1 / (n0 n1) - 1` (+1 = arm 1 stochastically larger).
+    *
+    * Exactness: ranks come from the distinct-value CDF as INTEGER
+    * doubled-ranks (`2 x avgrank = 2 cumBefore + t + 1`), so R1, U1
+    * and the tie sum are exact integers (DECIMAL(38,0) products — the
+    * q144 overflow rule) and both engines derive z through one
+    * identical IEEE tree.
+    *
+    * Scale shape: raw volume stops at the (key, value)-distinct agg;
+    * the rank window runs over value cardinality per key, never rows.
+    * Degenerate arms (n0 = 0 or n1 = 0, or zero variance) null z.
+    * Output: (key, n0, n1, u1, z, rank_biserial, significant). */
+  def mannWhitneyU(df: DataFrame, keyCol: String, valueCol: String,
+                   armPred: Column,
+                   valueScale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dv = Par.ensure(df).filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        round(col(valueCol) * valueScale).cast("long").as("v"),
+        when(armPred, 1L).otherwise(0L).as("arm"))
+      .groupBy($"key", $"v")
+      .agg(sum(when($"arm" === 0L, 1L).otherwise(0L)).cast("long")
+          .as("c0"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).cast("long").as("c1"))
+      .withColumn("t", $"c0" + $"c1")
+    val wOrd = Window.partitionBy($"key").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // 2 x average rank of a tie block = 2 cumBefore + t + 1 — integer
+    val r2 = ($"cum" - $"t") * 2L + $"t" + 1L
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val agg = dv
+      .withColumn("cum", sum($"t").over(wOrd).cast("long"))
+      .groupBy($"key")
+      .agg(sum($"c0").cast("long").as("n0"),
+        sum($"c1").cast("long").as("n1"),
+        sum(dec($"c1") * dec(r2)).as("r1x2"),
+        sum(dec($"t") * dec($"t") * dec($"t") - dec($"t")).as("ties"))
+    val n = $"n0" + $"n1"
+    // 2 x U1, exact integer
+    val u1x2 = $"r1x2" - dec($"n1") * dec($"n1" + 1L)
+    val sigma2 = $"n0".cast("double") * $"n1".cast("double") / 12.0 *
+      ((n + 1L).cast("double") -
+        $"ties".cast("double") /
+          (n.cast("double") * when(n > 1L, n - 1L).cast("double")))
+    val z = (u1x2.cast("double") -
+      $"n0".cast("double") * $"n1") /
+      (lit(2.0) * sqrt(when(sigma2 > 0.0, sigma2)))
+    agg.select($"key", $"n0", $"n1",
+      (u1x2.cast("double") / 2).as("u1"),
+      (round(z * 1e6) / 1e6).as("z"),
+      (round((u1x2.cast("double") /
+        when($"n0" > 0L && $"n1" > 0L,
+          $"n0".cast("double") * $"n1") - 1.0) * 1e6) / 1e6)
+        .as("rank_biserial"))
+      .withColumn("significant",
+        coalesce(abs($"z") > 1.959964, lit(false)))
+  }
+
+  /** Kruskal-Wallis H test: does ANY of 3+ groups differ in location —
+    * the rank-based one-way ANOVA completing the q210 (Welch, 2 arms) /
+    * mannWhitneyU family; the first question asked of a per-source
+    * quality metric. `H = 12/(N(N+1)) sum R_g^2/n_g - 3(N+1)`, tie
+    * correction `C = 1 - sum(t^3 - t)/(N^3 - N)`, `H_c = H / C`,
+    * significance vs the 0.95 chi-square quantile on g-1 dof via the
+    * Wilson-Hilferty closed form (exactly replayable in SQL — no
+    * lookup table).
+    *
+    * Exactness: global doubled-ranks over the distinct-value grid are
+    * exact integers; per-group `(2R_g)^2 / (4 n_g)` terms round to
+    * 1e6-scaled integers before the final (dictionary-sized) sum.
+    * Scale shape: one (group, value) agg absorbs raw volume; the rank
+    * window runs over the GLOBAL distinct-value grid (the q196
+    * bound); everything after is dictionary-sized. All-tied input
+    * (C = 0) nulls H_c. Output: 1 row (n_groups, n, dof, h,
+    * h_tie_corrected, chi2_crit_05, significant). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    valueScale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val gv = Par.ensure(df)
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * valueScale).cast("long").as("v"))
+      .groupBy($"grp", $"v")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val vt = gv.groupBy($"v").agg(sum($"cnt").cast("long").as("t"))
+      .withColumn("cum",
+        sum($"t").over(Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .select($"v", $"t", (($"cum" - $"t") * 2L + $"t" + 1L).as("r2"))
+    val perGroup = gv.join(vt, Seq("v"))
+      .groupBy($"grp")
+      .agg(sum($"cnt").cast("long").as("ng"),
+        sum(dec($"cnt") * dec($"r2")).as("rgx2"))
+    // (2 R_g)^2 / (4 n_g) rounded to a 1e6-scaled integer per group —
+    // the cross-group sum is over the group dictionary only
+    val term = round($"rgx2".cast("double") * $"rgx2".cast("double") /
+      (lit(4.0) * $"ng".cast("double")) * 1e6).cast(DecimalType(38, 0))
+    val totals = vt.agg(sum($"t").cast("long").as("n"),
+      sum(dec($"t") * dec($"t") * dec($"t") - dec($"t")).as("ties"))
+    val g = perGroup.agg(count(lit(1)).cast("long").as("n_groups"),
+      sum(term).as("s"))
+    val nD = $"n".cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) *
+      ($"s".cast("double") / 1e6) - lit(3.0) * (nD + 1.0)
+    val c = lit(1.0) - $"ties".cast("double") /
+      when(nD * nD * nD - nD > 0.0, nD * nD * nD - nD)
+    val dofD = ($"n_groups" - 1L).cast("double")
+    // Wilson-Hilferty 0.95 chi-square quantile: k(1 - 2/9k + z sqrt(2/9k))^3
+    val wh = dofD * pow(lit(1.0) - lit(2.0) / (lit(9.0) * dofD) +
+      lit(1.6448536269514722) * sqrt(lit(2.0) / (lit(9.0) * dofD)), 3.0)
+    g.crossJoin(broadcast(totals))
+      .select($"n_groups", $"n", ($"n_groups" - 1L).as("dof"),
+        (round(h * 1e6) / 1e6).as("h"),
+        (round(h / when(c > 0.0, c) * 1e6) / 1e6).as("h_tie_corrected"),
+        (round(when(dofD > 0.0, wh) * 1e6) / 1e6).as("chi2_crit_05"))
+      .withColumn("significant",
+        coalesce($"h_tie_corrected" > $"chi2_crit_05", lit(false)))
+  }
+
+  /** Winsorized mean per group — the trimmedMean sibling that CLAMPS
+    * the tails to the cut values instead of dropping them (the robust
+    * mean that keeps n constant, standard for payment/latency KPIs
+    * where dropping rows changes the denominator story). k = floor(n
+    * frac) values at each end are replaced by the (k+1)-th smallest /
+    * (n-k)-th smallest value.
+    *
+    * Scale shape: the weightedPercentiles distinct-value compression —
+    * one (group, value) agg, rank windows over value cardinality, cut
+    * values via conditional mins, everything integer-exact until one
+    * final division. Output: (grp, n_rows, lo_clamp, hi_clamp,
+    * winsorized_mean). */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+                     winsorFrac: Double = 0.05,
+                     valueScale: Long = 100L): DataFrame = {
+    require(winsorFrac >= 0.0 && winsorFrac < 0.5,
+      "need winsorFrac in [0, 0.5)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dv = Par.ensure(df).filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * valueScale).cast("long").as("v"))
+      .groupBy($"grp", $"v")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = dv
+      .withColumn("cum", sum($"cnt")
+        .over(Window.partitionBy($"grp").orderBy($"v")).cast("long"))
+      .withColumn("n", sum($"cnt")
+        .over(Window.partitionBy($"grp")).cast("long"))
+      .withColumn("k", floor($"n" * winsorFrac).cast("long"))
+    // interior mass of a block: overlap with ranks (k, n-k]
+    val kept = greatest(
+      least($"cum", $"n" - $"k") - greatest($"cum" - $"cnt", $"k"),
+      lit(0L))
+    cum.groupBy($"grp")
+      .agg(max($"n").as("n_rows"), max($"k").as("k"),
+        // (k+1)-th smallest and (n-k)-th smallest values — the clamps
+        min(when($"cum" >= $"k" + 1L, $"v")).as("lo"),
+        min(when($"cum" >= $"n" - $"k", $"v")).as("hi"),
+        sum(kept.cast(DecimalType(38, 0)) *
+          $"v".cast(DecimalType(38, 0))).as("s"))
+      .select($"grp", $"n_rows",
+        ($"lo".cast("double") / valueScale).as("lo_clamp"),
+        ($"hi".cast("double") / valueScale).as("hi_clamp"),
+        (round(($"s".cast("double") +
+          $"k".cast("double") * ($"lo" + $"hi")) /
+          when($"n_rows" > 0L, $"n_rows").cast("double") / valueScale
+          * 1e6) / 1e6).as("winsorized_mean"))
+  }
 }

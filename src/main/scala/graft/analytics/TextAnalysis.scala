@@ -1124,4 +1124,70 @@ object TextAnalysis {
         (round((lit(0.39) * wps + lit(11.8) * spw - lit(15.59)) * 1e6)
           / 1e6).as("fk_grade"))
   }
+
+  /** Pairwise Jensen-Shannon divergence matrix between groups' unigram
+    * distributions — "which sources are near-clones of each other",
+    * the pre-dedup mix audit that q143's per-source-vs-corpus KL can't
+    * answer (two mirrored dumps both look mildly drifted from the
+    * blend but IDENTICAL to each other). JS in nats, plus the /ln 2
+    * normalization to [0, 1]; symmetric, so only key_a < key_b rows
+    * emit.
+    *
+    * The disjoint-support mass needs no word-level rows: for words on
+    * one side only the JS term is (p/2) ln 2, so
+    * `JS = co-support terms + ln2/2 ((1 - sumP_co) + (1 - sumQ_co))`
+    * — the word-level join carries ONLY co-occurring words, and pairs
+    * sharing nothing still score exactly ln 2 via the completion
+    * cross. Per-word terms and the co-support masses round to
+    * 1e9-scaled integers before their pair-keyed sums, so partition
+    * order cannot move the 6th decimal.
+    *
+    * Scale shape: one (group, word) agg absorbs the corpus; the
+    * word-keyed self-join carries (groups-per-word choose 2) rows per
+    * word — bounded by the group DICTIONARY squared per word, never by
+    * corpus volume; the completion cross is dictionary x dictionary.
+    * Output: (key_a, key_b, n_words_shared, js_nats, js_normalized). */
+  def jsDivergenceMatrix(docs: DataFrame, keyCol: String,
+                         textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Par.ensure(docs)
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        explode(Dedup.tokens(col(textCol))).as("word"))
+      .groupBy($"key", $"word")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val kt = w.groupBy($"key").agg(sum($"cnt").cast("long").as("tot"))
+    val p = w.join(kt, Seq("key"))
+      .select($"key", $"word",
+        ($"cnt".cast("double") / $"tot".cast("double")).as("p"))
+    val a = p.select($"key".as("key_a"), $"word", $"p".as("pa"))
+    val b = p.select($"key".as("key_b"), $"word", $"p".as("pb"))
+    val ln2 = math.log(2.0)
+    // per-word JS contribution on co-support, 1e9-scaled
+    val term = round((lit(0.5) * $"pa" * log(lit(2.0) * $"pa" /
+      ($"pa" + $"pb")) + lit(0.5) * $"pb" * log(lit(2.0) * $"pb" /
+      ($"pa" + $"pb"))) * 1e9).cast("long")
+    val co = a.join(b, Seq("word"))
+      .filter($"key_a" < $"key_b")
+      .groupBy($"key_a", $"key_b")
+      .agg(count(lit(1)).cast("long").as("n_words_shared"),
+        sum(term).as("s"),
+        sum(round($"pa" * 1e9).cast("long")).as("spa"),
+        sum(round($"pb" * 1e9).cast("long")).as("spb"))
+    // complete the pair grid: groups sharing NO word score exactly ln 2
+    val keys = kt.select($"key")
+    val grid = keys.select($"key".as("key_a"))
+      .join(keys.select($"key".as("key_b")), $"key_a" < $"key_b")
+    grid.join(co, Seq("key_a", "key_b"), "left")
+      .select($"key_a", $"key_b",
+        coalesce($"n_words_shared", lit(0L)).as("n_words_shared"),
+        (round((coalesce($"s", lit(0L)).cast("double") / 1e9 +
+          lit(ln2 / 2.0) *
+            ((lit(1.0) - coalesce($"spa", lit(0L)).cast("double") / 1e9) +
+             (lit(1.0) - coalesce($"spb", lit(0L)).cast("double") / 1e9)))
+          * 1e6) / 1e6).as("js_nats"))
+      .withColumn("js_normalized",
+        round($"js_nats" / ln2, 6))
+  }
 }

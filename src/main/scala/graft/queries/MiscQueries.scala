@@ -4217,7 +4217,243 @@ object MiscQueries {
             Tables(s, dir, "lineitem"), groupCol = "l_returnflag",
             entityCol = "l_partkey", valueCol = "l_extendedprice",
             valueScale = 100L)
-          .orderBy("grp"))
+          .orderBy("grp")),
+
+    // ----- Mann-Whitney U per event type -----
+    Q("q279_mann_whitney",
+      "Mann-Whitney U per event type between even/odd user arms " +
+        "(tie-corrected normal approximation, no continuity " +
+        "correction, rank-biserial effect size) — the rank test a " +
+        "heavy-tailed metric needs where q210's Welch t chases one " +
+        "bot user's mean; doubled-ranks from the distinct-value CDF " +
+        "are exact integers, products DECIMAL(38,0), the rank window " +
+        "runs over value cardinality per key",
+      Some("""WITH dv AS (SELECT event_type AS key,
+             |        CAST(round(value * 100) AS BIGINT) AS v,
+             |        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+             |          END) AS BIGINT) AS c0,
+             |        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+             |          END) AS BIGINT) AS c1
+             |      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT key, c0, c1, c0 + c1 AS t,
+             |        CAST(sum(c0 + c1) OVER (PARTITION BY key
+             |          ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |          CURRENT ROW) AS BIGINT) AS cum
+             |      FROM dv),
+             |a AS (SELECT key, CAST(sum(c0) AS BIGINT) AS n0,
+             |        CAST(sum(c1) AS BIGINT) AS n1,
+             |        CAST(sum(CAST(c1 AS HUGEINT)
+             |          * ((cum - t) * 2 + t + 1)) AS DECIMAL(38, 0))
+             |          AS r1x2,
+             |        CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+             |          AS DECIMAL(38, 0)) AS ties
+             |      FROM c GROUP BY key),
+             |zz AS (SELECT key, n0, n1,
+             |        CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+             |          AS DOUBLE) AS u1x2,
+             |        CAST(n0 AS DOUBLE) * n1 / 12.0
+             |          * (CAST(n0 + n1 + 1 AS DOUBLE)
+             |            - CAST(ties AS DOUBLE)
+             |              / (CAST(n0 + n1 AS DOUBLE)
+             |                * CAST(CASE WHEN n0 + n1 > 1
+             |                  THEN n0 + n1 - 1 END AS DOUBLE))) AS s2
+             |      FROM a),
+             |o AS (SELECT key, n0, n1, u1x2 / 2 AS u1,
+             |        round((u1x2 - CAST(n0 AS DOUBLE) * n1)
+             |          / (2.0 * sqrt(CASE WHEN s2 > 0 THEN s2 END))
+             |          * 1e6) / 1e6 AS z,
+             |        round((u1x2 / (CASE WHEN n0 > 0 AND n1 > 0
+             |            THEN CAST(n0 AS DOUBLE) * n1 END) - 1.0)
+             |          * 1e6) / 1e6 AS rank_biserial
+             |      FROM zz)
+             |SELECT key, n0, n1, u1, z, rank_biserial,
+             |  coalesce(abs(z) > 1.959964, false) AS significant
+             |FROM o ORDER BY key""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.mannWhitneyU(Tables(s, dir, "events"),
+            "event_type", "value", armPred = col("user_id") % 2 === 1)
+          .orderBy("key")),
+
+    // ----- Kruskal-Wallis H across event types -----
+    Q("q280_kruskal_wallis",
+      "Kruskal-Wallis H across event types over the value metric " +
+        "(rank-based one-way ANOVA, tie-corrected, significance vs " +
+        "the Wilson-Hilferty closed-form 0.95 chi-square quantile) — " +
+        "does ANY group differ, the first question of a per-source " +
+        "quality metric; global doubled-ranks over the distinct-value " +
+        "grid, per-group terms as 1e6-scaled integers, everything " +
+        "after the one (group, value) agg is dictionary-sized",
+      Some("""WITH gv AS (SELECT event_type AS grp,
+             |        CAST(round(value * 100) AS BIGINT) AS v,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM events WHERE value IS NOT NULL
+             |        AND event_type IS NOT NULL GROUP BY 1, 2),
+             |vt AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS t,
+             |        CAST(sum(sum(cnt)) OVER (ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+             |          ROW) AS BIGINT) AS cum
+             |      FROM gv GROUP BY v),
+             |vr AS (SELECT v, t, (cum - t) * 2 + t + 1 AS r2 FROM vt),
+             |pg AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS ng,
+             |        CAST(sum(CAST(cnt AS HUGEINT) * r2)
+             |          AS DECIMAL(38, 0)) AS rgx2
+             |      FROM gv JOIN vr ON vr.v = gv.v GROUP BY grp),
+             |tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+             |        CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+             |          AS DECIMAL(38, 0)) AS ties
+             |      FROM vr),
+             |gg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |        CAST(sum(CAST(round(CAST(rgx2 AS DOUBLE)
+             |          * CAST(rgx2 AS DOUBLE)
+             |          / (4.0 * CAST(ng AS DOUBLE)) * 1e6) AS HUGEINT))
+             |          AS DECIMAL(38, 0)) AS s
+             |      FROM pg),
+             |hh AS (SELECT n_groups, n,
+             |        12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+             |          + 1.0)) * (CAST(s AS DOUBLE) / 1e6)
+             |          - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+             |        1.0 - CAST(ties AS DOUBLE)
+             |          / (CASE WHEN CAST(n AS DOUBLE) * n * n - n > 0
+             |            THEN CAST(n AS DOUBLE) * n * n - n END) AS c,
+             |        CAST(n_groups - 1 AS DOUBLE) AS dofd
+             |      FROM gg CROSS JOIN tt)
+             |SELECT n_groups, n, CAST(n_groups - 1 AS BIGINT) AS dof,
+             |  round(h * 1e6) / 1e6 AS h,
+             |  round(h / (CASE WHEN c > 0 THEN c END) * 1e6) / 1e6
+             |    AS h_tie_corrected,
+             |  round((CASE WHEN dofd > 0 THEN dofd
+             |    * pow(1.0 - 2.0 / (9.0 * dofd)
+             |      + 1.6448536269514722 * sqrt(2.0 / (9.0 * dofd)),
+             |      3.0) END) * 1e6) / 1e6 AS chi2_crit_05,
+             |  coalesce(round(h / (CASE WHEN c > 0 THEN c END) * 1e6)
+             |      / 1e6
+             |    > round((CASE WHEN dofd > 0 THEN dofd
+             |      * pow(1.0 - 2.0 / (9.0 * dofd)
+             |        + 1.6448536269514722 * sqrt(2.0 / (9.0 * dofd)),
+             |        3.0) END) * 1e6) / 1e6, false) AS significant
+             |FROM hh""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.kruskalWallis(Tables(s, dir, "events"),
+            "event_type", "value")),
+
+    // ----- winsorized mean per return flag -----
+    Q("q281_winsorized_mean",
+      "winsorized mean of extended price per return flag (tails " +
+        "CLAMPED to the k-th order statistics, not dropped — the " +
+        "robust KPI mean that keeps n constant, q215's sibling); " +
+        "distinct-value compression, clamp values via conditional " +
+        "mins over the CDF, integer-exact until one division",
+      Some("""WITH dv AS (SELECT l_returnflag AS grp,
+             |        CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |      GROUP BY 1, 2),
+             |c AS (SELECT grp, v, cnt,
+             |        CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+             |          ROW) AS BIGINT) AS cum,
+             |        CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT)
+             |          AS n
+             |      FROM dv),
+             |k AS (SELECT grp, v, cnt, cum, n,
+             |        CAST(floor(n * 0.05) AS BIGINT) AS k FROM c),
+             |a AS (SELECT grp, max(n) AS n_rows, max(k) AS k,
+             |        min(CASE WHEN cum >= k + 1 THEN v END) AS lo,
+             |        min(CASE WHEN cum >= n - k THEN v END) AS hi,
+             |        CAST(sum(CAST(greatest(least(cum, n - k)
+             |          - greatest(cum - cnt, k), 0) AS HUGEINT) * v)
+             |          AS DECIMAL(38, 0)) AS s
+             |      FROM k GROUP BY grp)
+             |SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(lo AS DOUBLE) / 100 AS lo_clamp,
+             |  CAST(hi AS DOUBLE) / 100 AS hi_clamp,
+             |  round((CAST(s AS DOUBLE) + CAST(k AS DOUBLE)
+             |    * (lo + hi)) / (CASE WHEN n_rows > 0
+             |      THEN CAST(n_rows AS DOUBLE) END) / 100 * 1e6) / 1e6
+             |    AS winsorized_mean
+             |FROM a ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Stats.winsorizedMean(Tables(s, dir, "lineitem"),
+            "l_returnflag", "l_extendedprice")
+          .orderBy("grp")),
+
+    // ----- consistent per-key sample -----
+    Q("q282_consistent_sample",
+      "deterministic k-per-language document sample: the 5 smallest " +
+        "(32-bit md5-prefix hash of doc_id, doc_id) rows per lang — " +
+        "the show-me-examples-from-every-slice primitive behind " +
+        "eyeball QA and golden-set refreshes, identical across " +
+        "re-runs and engines (LIMIT is partition-order roulette); " +
+        "one bounded TopKBy aggregate per key, k rows of state per " +
+        "partition, no window over raw volume",
+      Some("""WITH h AS (SELECT lang AS key, doc_id AS id,
+             |        CAST(('0x' || substring(md5(CAST(doc_id AS
+             |          VARCHAR)), 1, 8))::BIGINT AS BIGINT) AS hash32
+             |      FROM documents),
+             |r AS (SELECT key, id, hash32,
+             |        row_number() OVER (PARTITION BY key
+             |          ORDER BY hash32, id) AS rn
+             |      FROM h)
+             |SELECT key, id, hash32 FROM r WHERE rn <= 5
+             |ORDER BY key, hash32, id""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Sampling.consistentSample(
+            Tables(s, dir, "documents"), "lang", "doc_id", k = 5)
+          .orderBy("key", "hash32", "id")),
+
+    // ----- pairwise source JS-divergence matrix -----
+    Q("q283_js_matrix",
+      "pairwise Jensen-Shannon divergence between sources' unigram " +
+        "distributions (nats + /ln2 normalization) — which sources " +
+        "are near-clones of EACH OTHER, the mix audit q143's " +
+        "source-vs-corpus KL can't answer; disjoint-support mass " +
+        "needs no word rows (closed-form ln2/2 terms from co-support " +
+        "masses), the word-keyed self-join carries co-occurring " +
+        "words only, the completion cross is dictionary x dictionary",
+      Some {
+        val ln2 = math.log(2.0).toString
+        val ln2h = (math.log(2.0) / 2.0).toString
+        s"""WITH w AS (SELECT source AS key, unnest(list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS word
+           |      FROM documents WHERE source IS NOT NULL),
+           |c AS (SELECT key, word, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM w GROUP BY 1, 2),
+           |kt AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS tot
+           |      FROM c GROUP BY 1),
+           |p AS (SELECT c.key, c.word,
+           |        CAST(cnt AS DOUBLE) / tot AS p
+           |      FROM c JOIN kt ON kt.key = c.key),
+           |co AS (SELECT a.key AS key_a, b.key AS key_b,
+           |        CAST(count(*) AS BIGINT) AS n_words_shared,
+           |        CAST(sum(CAST(round((0.5 * a.p
+           |            * ln(2 * a.p / (a.p + b.p))
+           |          + 0.5 * b.p * ln(2 * b.p / (a.p + b.p))) * 1e9)
+           |          AS BIGINT)) AS BIGINT) AS s,
+           |        CAST(sum(CAST(round(a.p * 1e9) AS BIGINT))
+           |          AS BIGINT) AS spa,
+           |        CAST(sum(CAST(round(b.p * 1e9) AS BIGINT))
+           |          AS BIGINT) AS spb
+           |      FROM p a JOIN p b
+           |        ON a.word = b.word AND a.key < b.key
+           |      GROUP BY 1, 2),
+           |grid AS (SELECT a.key AS key_a, b.key AS key_b
+           |      FROM kt a JOIN kt b ON a.key < b.key),
+           |f AS (SELECT g.key_a, g.key_b,
+           |        CAST(coalesce(co.n_words_shared, 0) AS BIGINT)
+           |          AS n_words_shared,
+           |        round((coalesce(co.s, 0) / 1e9 + $ln2h
+           |          * ((1.0 - coalesce(co.spa, 0) / 1e9)
+           |            + (1.0 - coalesce(co.spb, 0) / 1e9))) * 1e6)
+           |          / 1e6 AS js_nats
+           |      FROM grid g LEFT JOIN co
+           |        ON co.key_a = g.key_a AND co.key_b = g.key_b)
+           |SELECT key_a, key_b, n_words_shared, js_nats,
+           |  round(js_nats / $ln2, 6) AS js_normalized
+           |FROM f ORDER BY key_a, key_b""".stripMargin
+      },
+      (s, dir) =>
+        graft.analytics.TextAnalysis.jsDivergenceMatrix(
+            Tables(s, dir, "documents"), "source", "text")
+          .orderBy("key_a", "key_b"))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

@@ -256,7 +256,15 @@ class PlanShapeSpec extends SparkTestBase {
       // q275: lifetimes x broadcast ONE-ROW feed-cutoff date (the q182
       // bracket) + the distinct-lifetime grid x a broadcast TWO-ROW
       // Range (the arm completion) — machine-checked below
-      "q275_log_rank_test")
+      "q275_log_rank_test",
+      // q280: per-group terms x broadcast ONE-ROW (n, ties) totals
+      // (the q77 bracket) — machine-checked below
+      "q280_kruskal_wallis",
+      // q283: the pair grid is key-dictionary x key-dictionary
+      // (non-equi key_a < key_b over the per-key totals aggregate —
+      // the q272 shape); build sides are KEYED aggregates bounded by
+      // the source dictionary — machine-checked below
+      "q283_js_matrix")
     val offenders = queries.Catalog.all.flatMap { q =>
       // plan-compile only (no execution): CartesianProduct can't appear
       // adaptively if it isn't in the initial physical plan
@@ -325,7 +333,7 @@ class PlanShapeSpec extends SparkTestBase {
         "q261_target_encoding", "q262_equal_freq_bins",
         "q264_assortativity", "q265_ams_f2", "q266_nelson_aalen",
         "q268_join_skew", "q270_mutual_information",
-        "q273_quantile_normalize"))
+        "q273_quantile_normalize", "q280_kruskal_wallis"))
       for (b <- buildSides(name))
         assert(topAggGrouped(b).contains(false),
           s"$name: BNLJ build side must top out in a grouping-free " +
@@ -343,6 +351,17 @@ class PlanShapeSpec extends SparkTestBase {
           s"q275: BNLJ build side must be a one-row aggregate or a " +
             s"<=2-row Range, got:\n$b")
       }
+    }
+    // q283: the pair-grid BNLJ's build side must be the KEYED per-key
+    // totals aggregate (dictionary-bounded), and the source dictionary
+    // itself tiny — the q169 proof shape
+    locally {
+      for (b <- buildSides("q283_js_matrix"))
+        assert(topAggGrouped(b).contains(true),
+          s"q283: BNLJ build side must be the keyed totals aggregate:\n$b")
+      val srcDict = queries.Tables(spark, dir, "documents")
+        .select("source").distinct().count()
+      assert(srcDict <= 64, s"source dictionary must stay tiny, got $srcDict")
     }
     // q169: the comment says "broadcast dictionary-sized sketch table" —
     // prove the two halves separately: the build side tops out in a

@@ -487,4 +487,109 @@ class AssocOpsSpec extends SparkTestBase {
     // b keeps only e1: share 1 -> HHI 1, entropy 0, effective N 1
     assert(got(1) === (("b", 1L, 5.0, 1.0, 0.0, 1.0, 1.0)))
   }
+
+  test("mannWhitneyU: hand-computed tie-corrected z and rank-biserial; " +
+       "identical arms z = 0; one-arm key nulls z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm0 {1,2,3}, arm1 {2,4,5}: ranks 1, 2.5, 2.5, 4, 5, 6
+    // R1 = 2.5+5+6 = 13.5, U1 = 7.5, mu = 4.5
+    // sigma^2 = (9/12)(7 - 6/30) = 5.1
+    val df = Seq(("k", 1.0, 0), ("k", 2.0, 0), ("k", 3.0, 0),
+      ("k", 2.0, 1), ("k", 4.0, 1), ("k", 5.0, 1),
+      // key with ONE arm only: no comparison to make
+      ("lone", 7.0, 0), ("lone", 8.0, 0)).toDF("key", "v", "arm")
+    val got = Stats.mannWhitneyU(df, "key", "v", col("arm") === 1,
+        valueScale = 1L)
+      .orderBy("key").collect()
+    val r = got(0)
+    assert(r.getString(0) === "k" && r.getLong(1) === 3L &&
+      r.getLong(2) === 3L && r.getDouble(3) === 7.5)
+    val z = (7.5 - 4.5) / math.sqrt(5.1)
+    assert(r.getDouble(4) === math.floor(z * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(5) === math.floor((15.0 / 9 - 1) * 1e6 + 0.5) / 1e6)
+    assert(!r.getBoolean(6))
+    assert(got(1).isNullAt(4) && !got(1).getBoolean(6), "one-arm key")
+    // symmetric arms -> U1 = mu -> z = 0
+    val sym = Seq(("k", 1.0, 0), ("k", 2.0, 0), ("k", 1.0, 1),
+      ("k", 2.0, 1)).toDF("key", "v", "arm")
+    assert(Stats.mannWhitneyU(sym, "key", "v", col("arm") === 1,
+      valueScale = 1L).head().getDouble(4) === 0.0)
+  }
+
+  test("kruskalWallis: hand-computed tie-corrected H vs the " +
+       "Wilson-Hilferty 0.95 chi-square bar; all-tied input nulls H_c") {
+    import spark.implicits._
+    // a {1,2}, b {2,3}, c {5,6}: ranks 1, 2.5, 2.5, 4, 5, 6
+    // H = 12/42 * (3.5^2/2 + 6.5^2/2 + 11^2/2) - 21 = 4.071428...
+    // C = 1 - 6/210; crit(dof 2) = 2 (1 - 2/18 + 1.6448536 sqrt(2/18))^3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "g", "v", valueScale = 1L).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 6L &&
+      r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 4.071429)
+    val hc = 4.071429 / (1.0 - 6.0 / 210.0)
+    // the engine divides the ROUNDED h? no — it rounds h and h/c
+    // separately from the same unrounded h; replay that
+    val h = 12.0 / 42.0 * 87.75 - 21.0
+    assert(r.getDouble(4) ===
+      math.floor(h / (1.0 - 6.0 / 210.0) * 1e6 + 0.5) / 1e6)
+    val crit = 2.0 * math.pow(1.0 - 2.0 / 18 +
+      1.6448536269514722 * math.sqrt(2.0 / 18), 3)
+    assert(r.getDouble(5) === math.floor(crit * 1e6 + 0.5) / 1e6)
+    assert(!r.getBoolean(6), s"H ${r.getDouble(4)} below crit $crit")
+    assert(hc > 0) // silence unused warning-by-intent
+    // all rows one value: C = 0 -> tie-corrected H undefined
+    val flat = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(flat, "g", "v", valueScale = 1L)
+      .head().isNullAt(4))
+  }
+
+  test("winsorizedMean: clamps (not drops) the tails; frac 0 is the " +
+       "plain mean; partition-invariant") {
+    import spark.implicits._
+    // {1,2,3,4,100} at frac .2 -> k=1: clamp to [2,4] -> {2,2,3,4,4}
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("g", "v")
+    for (p <- Seq(1, 4)) {
+      val r = Stats.winsorizedMean(df.repartition(p), "g", "v",
+        winsorFrac = 0.2, valueScale = 1L).head()
+      assert(r.getLong(1) === 5L)
+      assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 4.0)
+      assert(r.getDouble(4) === 3.0, s"partitions=$p")
+    }
+    val plain = Stats.winsorizedMean(df, "g", "v", winsorFrac = 0.0,
+      valueScale = 1L).head()
+    assert(plain.getDouble(4) === 22.0, "frac 0 = plain mean")
+  }
+
+  test("jsDivergenceMatrix: disjoint-vocabulary pair scores exactly " +
+       "ln 2, identical distributions 0, hand term for a mixed pair; " +
+       "the grid completes pairs sharing nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "x x y"), ("B", "x y"), ("C", "z"),
+      ("D", "x x y") // identical distribution to A
+    ).toDF("src", "text")
+    val got = TextAnalysis.jsDivergenceMatrix(docs, "src", "text")
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size === 6, "4 choose 2 pairs, grid-completed")
+    val ln2r = math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert(got(("A", "C")) === ((0L, ln2r, 1.0)), "no shared words")
+    assert(got(("A", "D"))._2 === 0.0 && got(("A", "D"))._3 === 0.0)
+    // A = {x: 2/3, y: 1/3}, B = {x: 1/2, y: 1/2} — replay the scaled
+    // integer fold exactly
+    def term(p: Double, q: Double): Long =
+      math.floor((0.5 * p * math.log(2 * p / (p + q)) +
+        0.5 * q * math.log(2 * q / (p + q))) * 1e9 + 0.5).toLong
+    val s = term(2.0 / 3, 0.5) + term(1.0 / 3, 0.5)
+    val spa = math.floor(2.0 / 3 * 1e9 + 0.5) +
+      math.floor(1.0 / 3 * 1e9 + 0.5)
+    val missing = math.log(2.0) / 2 * ((1.0 - spa / 1e9) + (1.0 - 1.0))
+    val want = math.floor((s / 1e9 + missing) * 1e6 + 0.5) / 1e6
+    assert(got(("A", "B")) === ((2L, want,
+      math.floor(want / math.log(2.0) * 1e6 + 0.5) / 1e6)))
+  }
 }

@@ -377,4 +377,36 @@ class SamplingSpec extends SparkTestBase {
       Sampling.reshardMovement(keys, "id", 5, 5)
     }
   }
+
+  test("consistentSample: equals the row_number-by-(hash, id) " +
+       "reference, bounded at k per key, partition-invariant, and " +
+       "membership survives unrelated arrivals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => (s"k${i % 3}", i)).toDF("key", "id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("key", "hash32", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rows(Sampling.consistentSample(df, "key", "id", k = 5))
+    assert(got === rows(Sampling.consistentSample(df.repartition(7),
+      "key", "id", k = 5)), "partition-invariant")
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+    // reference: explicit rank window over the same (hash32, id) order
+    val h = conv(substring(md5($"id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val ref = df.withColumn("h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"key").orderBy($"h", $"id")))
+      .filter($"rn" <= 5)
+      .select($"key", $"id", $"h".as("hash32"))
+    assert(got === rows(ref), "TopKBy == rank-window reference")
+    // consistency: adding rows for OTHER ids cannot evict or reorder a
+    // key's picks unless the new ids hash lower
+    val more = df.union(Seq(("k0", 1000L)).toDF("key", "id"))
+    val got2 = rows(Sampling.consistentSample(more, "key", "id", k = 5))
+    val stayed = got.filter(_._1 != "k0")
+    assert(got2.filter(_._1 != "k0") === stayed,
+      "untouched keys identical")
+  }
 }
