@@ -165,9 +165,9 @@ object Events {
       sum(when($"g" === 1, $"x").otherwise(0L)).cast("long").as("sx_b"),
       sum(when($"g" === 0, $"y").otherwise(0L)).cast("long").as("sy_a"),
       sum(when($"g" === 1, $"y").otherwise(0L)).cast("long").as("sy_b"),
-      sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"),
-      sum(($"x" * $"y").cast(DecimalType(38, 0))).as("sxy"),
-      sum(($"y" * $"y").cast(DecimalType(38, 0))).as("syy"))
+      sum(($"x".cast(DecimalType(38, 0)) * $"x")).as("sxx"),
+      sum(($"x".cast(DecimalType(38, 0)) * $"y")).as("sxy"),
+      sum(($"y".cast(DecimalType(38, 0)) * $"y")).as("syy"))
     val covN = $"n" * $"sxy".cast("double") -
       $"sx".cast("double") * $"sy"
     val varXN = $"n" * $"sxx".cast("double") -
@@ -224,7 +224,7 @@ object Events {
     def arm(g: Int, sfx: String) = Seq(
       sum(when($"g" === g, 1L).otherwise(0L)).cast("long").as(s"n_$sfx"),
       sum(when($"g" === g, $"x").otherwise(0L)).cast("long").as(s"sx_$sfx"),
-      sum(when($"g" === g, ($"x" * $"x").cast(DecimalType(38, 0)))
+      sum(when($"g" === g, ($"x".cast(DecimalType(38, 0)) * $"x"))
         .otherwise(lit(0).cast(DecimalType(38, 0)))).as(s"sxx_$sfx"))
     val aggs = arm(0, "a") ++ arm(1, "b")
     val a = u.agg(aggs.head, aggs.tail: _*)

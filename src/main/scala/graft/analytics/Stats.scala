@@ -967,7 +967,7 @@ object Stats {
         .groupBy(slices: _*)
         .agg(count(lit(1)).cast("long").as(s"n_$sfx"),
           sum($"v").cast("long").as(s"sv_$sfx"),
-          sum(($"v" * $"v").cast(DecimalType(38, 0))).as(s"ss_$sfx"))
+          sum(($"v".cast(DecimalType(38, 0)) * $"v")).as(s"ss_$sfx"))
     val joined = armStats(armA, "a").join(armStats(armB, "b"), sliceCols)
       .filter($"n_a" >= 2L && $"n_b" >= 2L)
     def mean(sv: Column, n: Column): Column =
@@ -1255,9 +1255,9 @@ object Stats {
       count(lit(1)).cast("long").as("n"),
       sum($"x").cast("long").as("sx"),
       sum($"y").cast("long").as("sy"),
-      sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"),
-      sum(($"y" * $"y").cast(DecimalType(38, 0))).as("syy"),
-      sum(($"x" * $"y").cast(DecimalType(38, 0))).as("sxy"))
+      sum(($"x".cast(DecimalType(38, 0)) * $"x")).as("sxx"),
+      sum(($"y".cast(DecimalType(38, 0)) * $"y")).as("syy"),
+      sum(($"x".cast(DecimalType(38, 0)) * $"y")).as("sxy"))
     val denom = sqrt(($"n" * $"sxx".cast("double") -
       $"sx".cast("double") * $"sx") *
       ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy"))
@@ -1636,9 +1636,9 @@ object Stats {
       count(lit(1)).cast("long").as("n"),
       sum($"x0").cast("long").as("sx"),
       sum($"x1").cast("long").as("sy"),
-      sum(($"x0" * $"x0").cast(DecimalType(38, 0))).as("sxx"),
-      sum(($"x1" * $"x1").cast(DecimalType(38, 0))).as("syy"),
-      sum(($"x0" * $"x1").cast(DecimalType(38, 0))).as("sxy"))
+      sum(($"x0".cast(DecimalType(38, 0)) * $"x0")).as("sxx"),
+      sum(($"x1".cast(DecimalType(38, 0)) * $"x1")).as("syy"),
+      sum(($"x0".cast(DecimalType(38, 0)) * $"x1")).as("sxy"))
     val denom = sqrt(($"n" * $"sxx".cast("double") -
       $"sx".cast("double") * $"sx") *
       ($"n" * $"syy".cast("double") - $"sy".cast("double") * $"sy"))
@@ -1715,7 +1715,7 @@ object Stats {
       .groupBy($"key")
       .agg(count(lit(1)).cast("long").as("n"),
         sum($"x").cast("long").as("sx"),
-        sum(($"x" * $"x").cast(DecimalType(38, 0))).as("sxx"))
+        sum(($"x".cast(DecimalType(38, 0)) * $"x")).as("sxx"))
     val mean = safeDiv($"sx".cast("double"), $"n".cast("double"))
     val variance = ($"n" * $"sxx".cast("double") -
       $"sx".cast("double") * $"sx") /

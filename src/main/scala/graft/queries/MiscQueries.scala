@@ -4453,7 +4453,64 @@ object MiscQueries {
       (s, dir) =>
         graft.analytics.TextAnalysis.jsDivergenceMatrix(
             Tables(s, dir, "documents"), "source", "text")
-          .orderBy("key_a", "key_b"))
+          .orderBy("key_a", "key_b")),
+
+    // ----- hourly value percentiles (the percentileMonitor batch twin) -----
+    Q("q284_hourly_percentiles",
+      "per-(type, hour) p50/p90/p99 of the value metric from the " +
+        "bounded log_hist sketch in micro-units — the BATCH REPLAY of " +
+        "the streaming percentileMonitor (q191/q192/q278 precedent: " +
+        "the stream emits each hour's row once on watermark close, " +
+        "bit-equal to this operator over the same slice — " +
+        "EventStreamsSpec pins that differential; this row hash-pins " +
+        "the shared sketch against DuckDB); 960 integer counters per " +
+        "(type, hour), map-side partials, the quantile walk " +
+        "dictionary x calendar bounded",
+      Some("""WITH e AS (SELECT event_type,
+             |        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             |        CAST(round(value * 1e6) AS BIGINT) AS v
+             |      FROM events WHERE value IS NOT NULL),
+             |b AS (SELECT event_type, hr,
+             |        CASE WHEN v < 16 THEN v
+             |             ELSE ((length(bin(v)) - 4) << 4)
+             |                  + (v >> (length(bin(v)) - 5)) - 16
+             |        END AS idx
+             |      FROM e WHERE v >= 1),
+             |g AS (SELECT event_type, hr, idx,
+             |        CAST(count(*) AS BIGINT) AS c
+             |      FROM b GROUP BY 1, 2, 3),
+             |cm AS (SELECT event_type, hr, idx, c,
+             |        CAST(sum(c) OVER (PARTITION BY event_type, hr
+             |          ORDER BY idx) AS BIGINT) AS cum,
+             |        CAST(sum(c) OVER (PARTITION BY event_type, hr)
+             |          AS BIGINT) AS n
+             |      FROM g),
+             |lb AS (SELECT *, CASE WHEN idx < 16 THEN idx
+             |          ELSE ((idx % 16) + 16) << ((idx // 16) - 1)
+             |        END AS lo
+             |      FROM cm)
+             |SELECT event_type, hr, max(n) AS n,
+             |  CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN lo END)
+             |    AS BIGINT) AS p50,
+             |  CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN lo END)
+             |    AS BIGINT) AS p90,
+             |  CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN lo END)
+             |    AS BIGINT) AS p99
+             |FROM lb GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin),
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(
+            concat_ws("|", col("event_type"),
+              expr("unix_micros(ts) DIV 3600000000")).as("key"),
+            round(col("value") * 1e6).cast("long").as("v"))
+        graft.analytics.Sketches.logHistQuantiles(ev, "key", col("v"))
+          .select(
+            substring_index(col("key"), "|", 1).as("event_type"),
+            substring_index(col("key"), "|", -1).cast("long").as("hr"),
+            col("n"), col("p50"), col("p90"), col("p99"))
+          .orderBy("event_type", "hr")
+      })
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the
