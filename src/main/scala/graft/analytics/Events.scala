@@ -1010,4 +1010,88 @@ object Events {
         score($"freq", $"tf").as("f_score"),
         score($"mon", $"tm").as("m_score"))
   }
+
+  /** Delta-method comparison of a RATIO metric between two arms —
+    * revenue per view, items per session, CTR: the metric shaped
+    * `sum(num)/sum(den)` whose unit of randomization (the user) is not
+    * its unit of analysis (the event). A per-event t-test is WRONG
+    * there (correlated events within a user understate variance, the
+    * classic A/B false-positive factory); the delta method puts the
+    * variance on USER-level (x, y) totals:
+    * `var(R) = (Sxx - 2R Sxy + R^2 Syy) / (n ybar^2)` with sample
+    * (co)variances over per-unit sums — zero-denominator units
+    * INCLUDED, which is the point.
+    *
+    * Exactness: per-unit sums quantize to scaled longs; each arm's
+    * five power sums accumulate as DECIMAL(38,0) (the q144 rule) in
+    * ONE grouping-free aggregate — no join, no window, one row out;
+    * both engines derive z and the 95% CI through one identical IEEE
+    * tree. `armPred` must be deterministic per unit (enforced like
+    * q275: the unit's arm is max over its rows).
+    *
+    * Scale shape: raw volume stops at the per-unit keyed agg; the arm
+    * rollup is 12 conditional sums with map-side partials. Arms with
+    * n < 2 units or zero denominator mass null their side (and z).
+    * Output: 1 row (n0, n1, ratio0, ratio1, diff, z, ci_lo, ci_hi,
+    * significant). */
+  def ratioMetricDelta(df: DataFrame, unitCol: String, armPred: Column,
+                       num: Column, den: Column,
+                       scale: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val perUnit = Par.ensure(df)
+      .select(col(unitCol).as("u"),
+        round(num * scale).cast("long").as("xr"),
+        round(den * scale).cast("long").as("yr"),
+        when(armPred, 1L).otherwise(0L).as("arm"))
+      .groupBy($"u")
+      .agg(sum($"xr").cast("long").as("x"),
+        sum($"yr").cast("long").as("y"),
+        max($"arm").as("arm"))
+    // type coercion promotes the 0L branch to the value branch's type,
+    // so one helper serves both the long and the DECIMAL power sums
+    def side(a: Int, nm: String)(c: Column): Column =
+      sum(when($"arm" === a.toLong, c).otherwise(lit(0L))).as(nm + a)
+    val mom = perUnit.agg(
+      sum(when($"arm" === 0L, 1L).otherwise(0L)).cast("long").as("n0"),
+      sum(when($"arm" === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+      side(0, "sx")($"x"), side(1, "sx")($"x"),
+      side(0, "sy")($"y"), side(1, "sy")($"y"),
+      side(0, "sxx")(dec($"x") * $"x"), side(1, "sxx")(dec($"x") * $"x"),
+      side(0, "syy")(dec($"y") * $"y"), side(1, "syy")(dec($"y") * $"y"),
+      side(0, "sxy")(dec($"x") * $"y"), side(1, "sxy")(dec($"x") * $"y"))
+    def ratio(a: Int): Column = {
+      val sy = col(s"sy$a").cast("double")
+      col(s"sx$a").cast("double") / when(col(s"sy$a") > 0L, sy)
+    }
+    def varR(a: Int): Column = {
+      val n = col(s"n$a").cast("double")
+      val r = ratio(a)
+      val sxx = (col(s"sxx$a").cast("double") -
+        col(s"sx$a").cast("double") * col(s"sx$a") / n) /
+        when(col(s"n$a") > 1L, n - 1.0)
+      val syy = (col(s"syy$a").cast("double") -
+        col(s"sy$a").cast("double") * col(s"sy$a") / n) /
+        when(col(s"n$a") > 1L, n - 1.0)
+      val sxy = (col(s"sxy$a").cast("double") -
+        col(s"sx$a").cast("double") * col(s"sy$a") / n) /
+        when(col(s"n$a") > 1L, n - 1.0)
+      val ybar = col(s"sy$a").cast("double") / n
+      (sxx - lit(2.0) * r * sxy + r * r * syy) /
+        (n * when(ybar > 0.0, ybar * ybar))
+    }
+    val diff = ratio(1) - ratio(0)
+    val se = sqrt(when(varR(0) + varR(1) > 0.0, varR(0) + varR(1)))
+    mom.select($"n0", $"n1",
+      (round(ratio(0) * 1e6) / 1e6).as("ratio0"),
+      (round(ratio(1) * 1e6) / 1e6).as("ratio1"),
+      (round(diff * 1e6) / 1e6).as("diff"),
+      (round(diff / se * 1e6) / 1e6).as("z"),
+      (round((diff - lit(1.959964) * se) * 1e6) / 1e6).as("ci_lo"),
+      (round((diff + lit(1.959964) * se) * 1e6) / 1e6).as("ci_hi"))
+      .withColumn("significant",
+        coalesce(abs($"z") > 1.959964, lit(false)))
+  }
 }

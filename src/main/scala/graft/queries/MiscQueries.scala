@@ -4510,7 +4510,115 @@ object MiscQueries {
             substring_index(col("key"), "|", -1).cast("long").as("hr"),
             col("n"), col("p50"), col("p90"), col("p99"))
           .orderBy("event_type", "hr")
-      })
+      }),
+
+    // ----- delta-method ratio-metric test (revenue per view) -----
+    Q("q285_ratio_metric_delta",
+      "delta-method two-arm test of revenue-per-view (sum of purchase " +
+        "value / count of views) with USER-level variance — the ratio " +
+        "metric whose unit of randomization is not its unit of " +
+        "analysis, where a per-event t-test is the classic A/B " +
+        "false-positive factory; per-unit sums quantize to scaled " +
+        "longs, each arm's five power sums accumulate DECIMAL(38,0) " +
+        "in ONE grouping-free aggregate (no join, no window, 1 row), " +
+        "zero-denominator users INCLUDED (the point of the method)",
+      Some("""WITH pu AS (SELECT user_id AS u,
+             |        CAST(sum(CAST(round((CASE WHEN event_type =
+             |          'purchase' THEN value ELSE 0.0 END) * 100)
+             |          AS BIGINT)) AS BIGINT) AS x,
+             |        CAST(sum(CAST(round((CASE WHEN event_type =
+             |          'view' THEN 1.0 ELSE 0.0 END) * 100)
+             |          AS BIGINT)) AS BIGINT) AS y,
+             |        max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+             |          AS arm
+             |      FROM events GROUP BY 1),
+             |m AS (SELECT
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END)
+             |      AS BIGINT) AS sx0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END)
+             |      AS BIGINT) AS sx1,
+             |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END)
+             |      AS BIGINT) AS sy0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END)
+             |      AS BIGINT) AS sy1,
+             |    CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT)
+             |      * x ELSE 0 END) AS DECIMAL(38, 0)) AS sxx0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT)
+             |      * x ELSE 0 END) AS DECIMAL(38, 0)) AS sxx1,
+             |    CAST(sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT)
+             |      * y ELSE 0 END) AS DECIMAL(38, 0)) AS syy0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT)
+             |      * y ELSE 0 END) AS DECIMAL(38, 0)) AS syy1,
+             |    CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT)
+             |      * y ELSE 0 END) AS DECIMAL(38, 0)) AS sxy0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT)
+             |      * y ELSE 0 END) AS DECIMAL(38, 0)) AS sxy1
+             |  FROM pu),
+             |d AS (SELECT n0, n1,
+             |    CAST(sx0 AS DOUBLE) / (CASE WHEN sy0 > 0
+             |      THEN CAST(sy0 AS DOUBLE) END) AS r0,
+             |    CAST(sx1 AS DOUBLE) / (CASE WHEN sy1 > 0
+             |      THEN CAST(sy1 AS DOUBLE) END) AS r1,
+             |    (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0
+             |      / CAST(n0 AS DOUBLE))
+             |      / (CASE WHEN n0 > 1 THEN CAST(n0 AS DOUBLE) - 1.0
+             |        END) AS vxx0,
+             |    (CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * sy0
+             |      / CAST(n0 AS DOUBLE))
+             |      / (CASE WHEN n0 > 1 THEN CAST(n0 AS DOUBLE) - 1.0
+             |        END) AS vyy0,
+             |    (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sy0
+             |      / CAST(n0 AS DOUBLE))
+             |      / (CASE WHEN n0 > 1 THEN CAST(n0 AS DOUBLE) - 1.0
+             |        END) AS vxy0,
+             |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1
+             |      / CAST(n1 AS DOUBLE))
+             |      / (CASE WHEN n1 > 1 THEN CAST(n1 AS DOUBLE) - 1.0
+             |        END) AS vxx1,
+             |    (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1
+             |      / CAST(n1 AS DOUBLE))
+             |      / (CASE WHEN n1 > 1 THEN CAST(n1 AS DOUBLE) - 1.0
+             |        END) AS vyy1,
+             |    (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1
+             |      / CAST(n1 AS DOUBLE))
+             |      / (CASE WHEN n1 > 1 THEN CAST(n1 AS DOUBLE) - 1.0
+             |        END) AS vxy1,
+             |    CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS yb0,
+             |    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS yb1
+             |  FROM m),
+             |v AS (SELECT n0, n1, r0, r1,
+             |    (vxx0 - 2.0 * r0 * vxy0 + r0 * r0 * vyy0)
+             |      / (CAST(n0 AS DOUBLE) * (CASE WHEN yb0 > 0
+             |        THEN yb0 * yb0 END)) AS v0,
+             |    (vxx1 - 2.0 * r1 * vxy1 + r1 * r1 * vyy1)
+             |      / (CAST(n1 AS DOUBLE) * (CASE WHEN yb1 > 0
+             |        THEN yb1 * yb1 END)) AS v1
+             |  FROM d),
+             |f AS (SELECT n0, n1, r0, r1, r1 - r0 AS df,
+             |    sqrt(CASE WHEN v0 + v1 > 0 THEN v0 + v1 END) AS se
+             |  FROM v)
+             |SELECT n0, n1,
+             |  round(r0 * 1e6) / 1e6 AS ratio0,
+             |  round(r1 * 1e6) / 1e6 AS ratio1,
+             |  round(df * 1e6) / 1e6 AS diff,
+             |  round(df / se * 1e6) / 1e6 AS z,
+             |  round((df - 1.959964 * se) * 1e6) / 1e6 AS ci_lo,
+             |  round((df + 1.959964 * se) * 1e6) / 1e6 AS ci_hi,
+             |  coalesce(abs(round(df / se * 1e6) / 1e6) > 1.959964,
+             |    false) AS significant
+             |FROM f""".stripMargin),
+      (s, dir) =>
+        graft.analytics.Events.ratioMetricDelta(
+            Tables(s, dir, "events"), "user_id",
+            armPred = col("user_id") % 2 === 1,
+            num = when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0)),
+            den = when(col("event_type") === "view", lit(1.0))
+              .otherwise(lit(0.0))))
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the

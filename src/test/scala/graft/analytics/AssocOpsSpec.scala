@@ -563,6 +563,41 @@ class AssocOpsSpec extends SparkTestBase {
     assert(plain.getDouble(4) === 22.0, "frac 0 = plain mean")
   }
 
+  test("ratioMetricDelta: hand-computed delta-method variance on " +
+       "user-level totals; per-event rows roll up per unit; " +
+       "zero-denominator arm nulls z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // arm0 units: (10,5), (20,5) -> R0 = 3, Sxx = 50, Syy = Sxy = 0,
+    // var0 = 50 / (2 * 25) = 1
+    // arm1 units: (30,5), (10,5) -> R1 = 4, Sxx = 200, var1 = 4
+    // z = 1 / sqrt(5)
+    val rows = Seq(
+      // u1 split over TWO events: per-unit roll-up is part of the test
+      (1L, 4.0, 2.0, 0), (1L, 6.0, 3.0, 0),
+      (2L, 20.0, 5.0, 0),
+      (3L, 30.0, 5.0, 1), (4L, 10.0, 5.0, 1))
+      .toDF("u", "num", "den", "arm")
+    val r = Events.ratioMetricDelta(rows, "u", col("arm") === 1,
+        col("num"), col("den"), scale = 1L).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 1.0)
+    val se = math.sqrt(5.0)
+    assert(r.getDouble(5) === math.floor(1.0 / se * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(6) ===
+      math.floor((1.0 - 1.959964 * se) * 1e6 + 0.5) / 1e6 ||
+      r.getDouble(6) ===
+      math.ceil((1.0 - 1.959964 * se) * 1e6 - 0.5) / 1e6)
+    assert(!r.getBoolean(8))
+    // an arm whose every unit has zero denominator: ratio undefined
+    val degenerate = Seq((1L, 5.0, 0.0, 0), (2L, 5.0, 2.0, 1))
+      .toDF("u", "num", "den", "arm")
+    val d = Events.ratioMetricDelta(degenerate, "u", col("arm") === 1,
+      col("num"), col("den"), scale = 1L).head()
+    assert(d.isNullAt(2) && d.isNullAt(5) && !d.getBoolean(8))
+  }
+
   test("jsDivergenceMatrix: disjoint-vocabulary pair scores exactly " +
        "ln 2, identical distributions 0, hand term for a mixed pair; " +
        "the grid completes pairs sharing nothing") {
