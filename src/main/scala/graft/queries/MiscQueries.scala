@@ -4618,7 +4618,68 @@ object MiscQueries {
             num = when(col("event_type") === "purchase", col("value"))
               .otherwise(lit(0.0)),
             den = when(col("event_type") === "view", lit(1.0))
-              .otherwise(lit(0.0))))
+              .otherwise(lit(0.0)))),
+
+    // ----- int8 quantize -> dequantize round-trip audit -----
+    Q("q286_int8_roundtrip",
+      "per-vector int8 quantize -> dequantize reconstruction audit: " +
+        "max absolute error, 1e9-scaled L1 error, and the " +
+        "within-half-step guarantee |deq - orig| <= scale/2 (symmetric " +
+        "scheme, no clamp error possible since |v|/scale <= 127 by " +
+        "construction) — the is-the-compressed-corpus-still-usable " +
+        "receipt for the q74 storage path; entirely map-side per " +
+        "vector, one id-keyed join of the quantized form back to the " +
+        "originals, element errors through identical IEEE trees in " +
+        "both engines (max is order-free, L1 sums scaled integers)",
+      Some("""WITH v AS (SELECT vec_id,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE))
+             |          AS vv
+             |      FROM embeddings),
+             |s AS (SELECT vec_id, vv,
+             |        list_max(list_transform(vv, x -> abs(x))) / 127
+             |          AS sc0
+             |      FROM v),
+             |q AS (SELECT vec_id, vv,
+             |        CASE WHEN sc0 IS NOT NULL AND sc0 > 0 THEN sc0
+             |             ELSE 0.0 END AS scale,
+             |        CASE WHEN sc0 IS NOT NULL AND sc0 > 0
+             |             THEN list_transform(vv, x ->
+             |               CAST(greatest(-127, least(127,
+             |                 floor(x / sc0 + 0.5))) AS BIGINT))
+             |             ELSE list_transform(vv, x -> CAST(0 AS
+             |               BIGINT)) END AS qq
+             |      FROM s),
+             |e AS (SELECT vec_id, scale,
+             |        list_transform(range(1, len(vv) + 1), i ->
+             |          abs(CAST(qq[i] AS DOUBLE) * scale - vv[i]))
+             |          AS errs
+             |      FROM q)
+             |SELECT vec_id, round(scale, 6) AS qscale,
+             |  round(list_max(errs), 9) AS max_abs_err,
+             |  CAST(list_aggregate(list_transform(errs, x ->
+             |    CAST(round(x * 1e9) AS BIGINT)), 'sum') AS BIGINT)
+             |    AS err_l1_nanos,
+             |  list_max(errs) <= scale / 2 AS within_half_step
+             |FROM e ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val qv = graft.analytics.Quantize.int8Vectors(emb, "vec_id",
+          "embedding")
+        val deq = graft.analytics.Quantize.dequantize(col("q"),
+          col("scale"))
+        val errs = zip_with(col("vv"), deq, (a, b) => abs(a - b))
+        emb.select(col("vec_id"),
+            graft.analytics.Similarity.asDouble(col("embedding"))
+              .as("vv"))
+          .join(qv, "vec_id")
+          .select(col("vec_id"), round(col("scale"), 6).as("qscale"),
+            round(array_max(errs), 9).as("max_abs_err"),
+            aggregate(errs, lit(0L),
+              (acc, x) => acc + round(x * 1e9).cast("long"))
+              .as("err_l1_nanos"),
+            (array_max(errs) <= col("scale") / 2).as("within_half_step"))
+          .orderBy("vec_id")
+      })
   )
 
   /** DuckDB mirror of [[graft.analytics.Stats.holtSmoothing]]: the
