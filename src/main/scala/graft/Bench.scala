@@ -53,7 +53,7 @@ object Bench {
     val picked =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => wanted(n) }
-    // Several operators localCheckpoint()/persist() intermediates; those
+    // Several operators Par.materialize/persist() intermediates; those
     // blocks are only freed when the RDD is GC'd, so over a 67-query run
     // executor storage and GC pressure accumulate and the tail queries pay
     // for the head's garbage (r4: q63, a 5000-row map-side filter, read
@@ -127,12 +127,19 @@ object Bench {
     // rounds running — the file keeps the full medians inspectable (and
     // committable as BENCH_LOCAL_r{N}.json) without re-running.
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL.json")
+      "BENCH_LOCAL.json") // cwd-relative default; override via env
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchOut), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
     }
+    // The totals print at the START of the big line above, and the
+    // driver's harness keeps only the TAIL of sbt output — three rounds
+    // running the captured artifact lost them (BENCH_r07–r09 all
+    // `parsed: null`). Print a compact summary LAST so the totals are
+    // the final thing on stdout and always survive tail truncation.
+    val nOk = results.count(_._2._1 >= 0)
+    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.analytics.Par.Mat
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -306,7 +308,7 @@ object ScaleBench {
         // LSH components + split, all on machinery with measured curves
         "q119_pipeline" -> (() => {
           val cf = analytics.TextAnalysis
-            .corpusFilter(docs, "doc_id", "text").localCheckpoint()
+            .corpusFilter(docs, "doc_id", "text").materialized()
           val kept = docs.join(
             cf.filter($"keep" === 1).select("doc_id"), "doc_id")
           val split = analytics.Dedup.leakageSafeSplit(

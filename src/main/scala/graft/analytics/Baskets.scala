@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -97,7 +99,7 @@ object Baskets {
       .orderBy($"l6".desc, $"antecedent", $"consequent")
       .limit(topK)
       .select($"antecedent", $"consequent", $"pair_n", $"confidence", $"lift")
-      .localCheckpoint()
+      .materialized()
     bif.unpersist()
     out
   }

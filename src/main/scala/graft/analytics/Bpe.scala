@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -87,7 +89,7 @@ object Bpe {
     // the ONE corpus scan, materialized — both the tier probe and
     // whichever tier trains read the checkpointed vocab table, never the
     // raw corpus again
-    val vocab = wordTable(docs, textCol).localCheckpoint()
+    val vocab = wordTable(docs, textCol).materialized()
     if (localVocabThreshold > 0) {
       // tier probe off the checkpoint: collect at most threshold+1 rows;
       // spilling past the cap falls through to the distributed tier
@@ -116,7 +118,7 @@ object Bpe {
   private[analytics] def trainDistributed(docs: DataFrame, textCol: String,
       numMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    trainOnTable(wordTable(docs, textCol).localCheckpoint(), numMerges)
+    trainOnTable(wordTable(docs, textCol).materialized(), numMerges)
   }
 
   /** The distributed merge loop over an already-materialized `(w, f, s)`
@@ -128,7 +130,7 @@ object Bpe {
       numMerges: Int): (DataFrame, DataFrame) = {
     val spark = vocab0.sparkSession
     import spark.implicits._
-    // each iteration's state is materialized (localCheckpoint): the next
+    // each iteration's state is materialized (Par.materialize): the next
     // pair count must not recompute the whole merge chain from the raw
     // corpus — 20 merges would otherwise cost O(20²) corpus scans
     var vocab = vocab0
@@ -153,7 +155,7 @@ object Bpe {
           // punctuation; semantics = greedy left-to-right non-overlapping,
           // identical to the oracle's replace()
           .withColumn("s", replace($"s", lit(s" $a $b "), lit(s" $a$b ")))
-          .localCheckpoint()
+          .materialized()
         r += 1
       }
     }

@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -175,7 +177,7 @@ object Cluster {
     val spark = emb.sparkSession
     import spark.implicits._
     val aa = lloyd(emb, idCol, vecCol, k, iters)._1
-      .select($"vid", $"v", $"cluster").localCheckpoint()
+      .select($"vid", $"v", $"cluster").materialized()
     val big = aa.groupBy($"cluster").agg(count(lit(1)).as("n"))
       .filter($"n" > maxCluster).select($"cluster")
     val sm = aa.join(broadcast(big), Seq("cluster"), "left_anti")
@@ -281,7 +283,7 @@ object Cluster {
     import org.apache.spark.sql.expressions.Window
     // the inverted lists: one assignment pass, checkpointed (it feeds
     // the candidate join and — in self-query mode — the probe side too)
-    val aa = assignAgainst(corpus, idCol, vecCol, cents).localCheckpoint()
+    val aa = assignAgainst(corpus, idCol, vecCol, cents).materialized()
     val qsrc =
       if (queries eq corpus) aa.select($"vid".as("qid"), $"v".as("qv"))
       else {
@@ -350,7 +352,7 @@ object Cluster {
     require(cb.size == kCodes,
       s"corpus has fewer than $kCodes vectors for the codebook")
     // assignment feeds the codes-only lists AND the exact re-rank side
-    val aa = assignAgainst(corpus, idCol, vecCol, cents).localCheckpoint()
+    val aa = assignAgainst(corpus, idCol, vecCol, cents).materialized()
     val lists = aa.select($"cluster", $"vid",
       graft.functions.PqKernels.pqEncode($"v", cb, m)
         .getField("codes").as("cs"))

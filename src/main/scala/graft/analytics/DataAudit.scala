@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -233,7 +235,7 @@ object DataAudit {
         (round(op * 1e6) / 1e6).as("observed_p"),
         (round(bp * 1e6) / 1e6).as("benford_p"),
         (round(abs(op - bp) * 1e6) / 1e6).as("abs_dev"))
-      .localCheckpoint()
+      .materialized()
   }
 
   /** Distinct l-diversity (Machanavajjhala 2007) — the k-anonymity

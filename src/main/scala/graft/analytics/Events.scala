@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -35,19 +37,19 @@ object Events {
     val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
       col(tsCol).as("ts"))
     // reached(i): (u, t_i) — earliest completion of step i per user.
-    // Each step is localCheckpoint'd: step i's table feeds BOTH step
+    // Each step is Par.materialize'd: step i's table feeds BOTH step
     // i+1's join and its own count branch, and Spark shares no
     // non-identical subplans — uncheckpointed, an s-step funnel would
     // rescan the feed O(s^2) times instead of once per step
     val step1 = ev.filter($"t" === steps.head)
       .groupBy($"u").agg(min($"ts").as("t_step"))
-      .localCheckpoint()
+      .materialized()
     val reached = steps.tail.scanLeft(step1) { (prev, stepType) =>
       ev.filter($"t" === stepType)
         .join(prev.select($"u", $"t_step".as("t_prev")), Seq("u"))
         .filter($"ts" > $"t_prev")
         .groupBy($"u").agg(min($"ts").as("t_step"))
-        .localCheckpoint()
+        .materialized()
     }
     val counts = reached.zipWithIndex.map { case (r, i) =>
       r.agg(count(lit(1)).cast("long").as("n_users"))

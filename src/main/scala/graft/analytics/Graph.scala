@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -14,7 +16,7 @@ import org.apache.spark.storage.StorageLevel
   * Everything is edge-keyed joins + node-keyed aggregations — the
   * standard distributed shapes (no adjacency lists are ever collected,
   * no per-node windows), so the same plans run over 10^10 edges. Both
-  * operators materialize their result via `localCheckpoint` and release
+  * operators materialize their result via `Par.materialize` and release
   * the cached edge table before returning, so repeated calls in a
   * long-lived session do not accumulate CacheManager storage.
   */
@@ -29,7 +31,7 @@ object Graph {
     * Ranks and degrees are node-keyed so every round reuses the same
     * hash partitioning over the persisted edge table; the node count N
     * is a driver scalar — the one collect, O(1). For deep iteration
-    * (`iters > 10`) ranks are `localCheckpoint`ed every 5 rounds: the
+    * (`iters > 10`) ranks are `Par.materialize`d every 5 rounds: the
     * lineage would otherwise nest one join per round and plan
     * compilation / recovery cost grows superlinearly past ~10 joins,
     * while a checkpoint truncates it to a materialized node-keyed table
@@ -77,7 +79,7 @@ object Graph {
       // deep iteration: truncate lineage every 5 rounds (node-keyed
       // table, one row per node — cheap to materialize)
       if (iters > 10 && i < iters && i % 5 == 0)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.materialized()
     }
     val projected =
       if (emitDelta)
@@ -87,7 +89,7 @@ object Graph {
       else ranks.select($"n".as("node"), round($"r", 6).as("rank"))
     // materialize, then release the cached edges: the returned frame
     // reads its own checkpointed blocks, not the edge lineage
-    val out = projected.localCheckpoint()
+    val out = projected.materialized()
     edges.unpersist()
     out
   }
@@ -194,7 +196,7 @@ object Graph {
     // the closure lookup reuse the same degree-join pipeline — running
     // orientEdges twice doubled the exchange count and made q174 the
     // slowest query in the catalog bench
-    val oriented = orientEdges(edges, deg).localCheckpoint()
+    val oriented = orientEdges(edges, deg).materialized()
     val wedges = wedgesFromOriented(oriented, maxDegree)
     // closing edge {v, w}: under the same (deg, id) orientation it can
     // only appear as v -> w, so one equi-join on both keys closes it
@@ -215,7 +217,7 @@ object Graph {
           lit(2.0) * coalesce($"n_triangles", lit(0L)) /
             ($"deg".cast("double") * ($"deg" - 1).cast("double")),
           6)).as("clustering"))
-    val out = projected.localCheckpoint()
+    val out = projected.materialized()
     edges.unpersist()
     out
   }
@@ -245,7 +247,7 @@ object Graph {
     * Scale shape: each round is one node-keyed degree agg + one
     * survivor semi-join of the edge table — the pageRank round shape;
     * the per-round degree table and edge survivors are
-    * `localCheckpoint`ed (node-keyed / shrinking tables), so lineage
+    * `Par.materialize`d (node-keyed / shrinking tables), so lineage
     * stays one round deep. Output: (node, deg, in_core 0/1) for every
     * ORIGINAL node; deg = the node's degree within the surviving
     * subgraph, null for peeled nodes. */
@@ -269,7 +271,7 @@ object Graph {
     var finalDeg: DataFrame = null
     var r = 0
     while (r < rounds && finalDeg == null) {
-      val deg = degrees(edges).localCheckpoint()
+      val deg = degrees(edges).materialized()
       if (deg.filter($"deg" < k).isEmpty) finalDeg = deg // fixed point
       else {
         val keep = deg.filter($"deg" >= k).select($"node")
@@ -277,7 +279,7 @@ object Graph {
           .join(keep.select($"node".as("a")), Seq("a"), "left_semi")
           .join(keep.select($"node".as("b")), Seq("b"), "left_semi")
           .select($"a", $"b")
-          .localCheckpoint()
+          .materialized()
       }
       r += 1
     }
@@ -288,7 +290,7 @@ object Graph {
       .join(surv, Seq("node"), "left")
       .select($"node", $"deg",
         when($"deg".isNotNull, 1).otherwise(0).as("in_core"))
-    val out = projected.localCheckpoint()
+    val out = projected.materialized()
     edges0.unpersist()
     out
   }
@@ -351,7 +353,7 @@ object Graph {
         (round($"aa" * 1e6) / 1e6).as("aa_score"))
       .orderBy(round($"aa" * 1e6).desc, $"node_a", $"node_b")
       .limit(topK)
-      .localCheckpoint()
+      .materialized()
     edges.unpersist()
     out
   }
@@ -377,7 +379,7 @@ object Graph {
     *
     * Scale shape per round: one edge-keyed join (labels onto the
     * symmetrized half-edge table, node-keyed) + two hash aggregates;
-    * labels are `localCheckpoint`ed each round so lineage stays one
+    * labels are `Par.materialize`d each round so lineage stays one
     * round deep. Output: (node, label, community_size), community size
     * counted over the final labeling. */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
@@ -395,7 +397,7 @@ object Graph {
       .union(edges.select($"b".as("node"), $"a".as("nb")))
     var labels = half.select($"node").distinct()
       .select($"node", $"node".as("label"))
-      .localCheckpoint()
+      .materialized()
     for (_ <- 1 to rounds) {
       val tallies = half
         .join(labels.select($"node".as("nb"), $"label"), Seq("nb"))
@@ -405,13 +407,13 @@ object Graph {
         .groupBy($"node")
         .agg(max_by($"label", struct($"c", (-$"label").as("nl")))
           .as("label"))
-        .localCheckpoint()
+        .materialized()
     }
     val sizes = labels.groupBy($"label")
       .agg(count(lit(1)).cast("long").as("community_size"))
     val out = labels.join(sizes, Seq("label"))
       .select($"node", $"label", $"community_size")
-      .localCheckpoint()
+      .materialized()
     edges.unpersist()
     out
   }

@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -582,7 +584,7 @@ object Multimodal {
     import spark.implicits._
     val ch = ph.groupBy($"hash_hi", $"hash_lo")
       .agg(min($"doc_id").as("canon"))
-      .localCheckpoint()
+      .materialized()
     val bands = ch.select($"canon", $"hash_hi", $"hash_lo",
       posexplode(array(
         expr("hash_lo % 65536"), expr("hash_lo DIV 65536"),

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Parallelism guard for CPU-heavy map stages. A small input file (one
   * parquet row group) plans as ONE scan partition, so everything fused
@@ -21,6 +21,43 @@ object Par {
   def safeDiv(num: org.apache.spark.sql.Column,
               den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     num / org.apache.spark.sql.functions.when(den > 0, den)
+
+  /** Materialize a Dataset and truncate its lineage. Every iterative or
+    * multi-consumer operator in the engine routes through here (never
+    * calling `localCheckpoint` directly), so the materialization strategy
+    * is a single deployment decision:
+    *
+    *   - default: `localCheckpoint()` — blocks live on executors, zero
+    *     extra IO. Right for local mode and stable clusters, but the
+    *     truncated lineage means a LOST EXECUTOR kills the job (no
+    *     recompute path).
+    *   - reliable: when a checkpoint directory is configured — either
+    *     `spark.graft.checkpoint.dir` in the session conf or an existing
+    *     `SparkContext.setCheckpointDir` — upgrades to `checkpoint()`,
+    *     which writes the blocks to that (HDFS/S3) directory and survives
+    *     executor loss/preemption. This is the posture for a 1000-executor
+    *     run with dynamic allocation or spot instances; the write cost is
+    *     bounded because every materialized table in this engine is a
+    *     compressed intermediate (signatures, edges, model grids), not the
+    *     raw corpus.
+    *
+    * Both paths are eager, so callers may `unpersist` their inputs
+    * immediately after — the cache-release contracts in Dedup/Graph/etc.
+    * hold under either strategy.
+    */
+  def materialize[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      spark.conf.getOption("spark.graft.checkpoint.dir").foreach(sc.setCheckpointDir)
+    if (sc.getCheckpointDir.isDefined) ds.checkpoint(eager = true)
+    else ds.localCheckpoint(eager = true)
+  }
+
+  /** Chaining sugar for [[materialize]]: `df.materialized()`. */
+  implicit class Mat[T](private val ds: Dataset[T]) extends AnyVal {
+    def materialized(): Dataset[T] = materialize(ds)
+  }
 
   def ensure(df: DataFrame): DataFrame = {
     // streaming plans have no .rdd and micro-batch sizing is the

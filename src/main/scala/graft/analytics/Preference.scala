@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -30,7 +32,7 @@ object Preference {
     * geometric-mean normalize — the pageRank round shape, and like
     * pageRank the fixed-iteration recurrence with interpolated
     * constants lets a SQL oracle replay it exactly (per-round theta is
-    * `localCheckpoint`ed: the normalize references each round's raw
+    * `Par.materialize`d: the normalize references each round's raw
     * scores twice, and without truncation the lazy plan doubles per
     * round). Self-comparisons are dropped. Deterministic to the
     * rounded places: float addition order perturbs ulps the final
@@ -56,7 +58,7 @@ object Preference {
       .agg(sum($"nij").cast("long").as("n_games"))
       .join(winCounts, Seq("node"), "left")
       .select($"node", $"n_games", coalesce($"wins", lit(0L)).as("wins"))
-      .localCheckpoint()
+      .materialized()
     var th = base.select($"node", lit(1.0).as("th"))
     for (_ <- 1 to iters) {
       val d = m
@@ -70,12 +72,12 @@ object Preference {
       val g = raw.agg(exp(avg(log($"score"))).as("g"))
       th = raw.crossJoin(broadcast(g))
         .select($"node", ($"score" / $"g").as("th"))
-        .localCheckpoint()
+        .materialized()
     }
     val projected = base.join(th, Seq("node"))
       .select($"node", $"n_games", $"wins",
         (round($"th" * 1e6) / 1e6).as("score"))
-    val out = projected.localCheckpoint()
+    val out = projected.materialized()
     m.unpersist()
     out
   }

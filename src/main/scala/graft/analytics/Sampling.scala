@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,7 +75,7 @@ object Sampling {
     // the final join must see the SAME pid assignment
     val parts = n.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .materialized()
     val offsets = parts.groupBy($"pid").agg(sum($"n_tokens").as("pn"))
       // one row per partition: a single-partition window here is fine
       .withColumn("off",
@@ -275,7 +277,7 @@ object Sampling {
     // the final join must see the SAME pid assignment
     val parts = n.repartitionByRange($"h", $"doc_id")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .materialized()
     val offsets = parts.groupBy($"pid").agg(count(lit(1)).as("pn"))
       // one row per partition: a single-partition window here is fine
       .withColumn("off",
@@ -504,6 +506,17 @@ object Sampling {
   def consistentSample(df: DataFrame, keyCol: String, idCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")
+    // the bounded TopKBy aggregate carries the id as an int64 payload, so
+    // the id column must be integral — fail loudly here rather than let
+    // the cast below silently null out string/decimal ids in the output
+    require(df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"consistentSample requires an integral id column; " +
+      s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession
     import spark.implicits._
     val h32 = conv(substring(md5(col(idCol).cast("string")), 1, 8),

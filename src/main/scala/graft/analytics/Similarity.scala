@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -126,7 +128,7 @@ object Similarity {
     // the full upstream probe inside one physical plan (measured 10.3 s
     // -> the probe's own 0.3 s at sf0.1 after this checkpoint)
     val cand = shortlist.select($"qid", $"vid", $"simq")
-      .localCheckpoint()
+      .materialized()
     val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val cv = cand.join(v, Seq("vid")).select($"qid", $"vid", $"simq", $"v")
     val pair = cv.select($"qid", $"vid".as("vid_a"), $"v".as("va"))
@@ -134,7 +136,7 @@ object Similarity {
       .filter($"vid_a" =!= $"vid_b")
       .select($"qid", $"vid_a", $"vid_b",
         round(cosine($"va", $"vb"), 6).as("sim_ab"))
-      .localCheckpoint()
+      .materialized()
     // the 1-lambda constant is interpolated ONCE and reused by the SQL
     // oracle verbatim, so both engines score with the identical IEEE
     // double (the pageRank teleport precedent); scores round via
@@ -164,7 +166,7 @@ object Similarity {
       // step s's plan references every prior step twice (anti-join +
       // penalty); checkpoint the selection (queries x s rows) so the
       // unfold stays one step deep instead of exponential
-      all = all.unionByName(pick(scored, s)).localCheckpoint()
+      all = all.unionByName(pick(scored, s)).materialized()
     }
     all.select($"qid", $"step", $"vid".as("neighbor_id"),
       $"score".as("mmr_score"))
@@ -310,7 +312,7 @@ object Similarity {
     val scored = s.join(broadcast(t), $"sid" =!= $"tid")
       .select($"sid", $"tid",
         round(cosine($"sv", $"tv") * 1e6).cast("long").as("c6"))
-      .localCheckpoint()
+      .materialized()
     def neighborhood(keyCol: String, otherCol: String, sumName: String,
                      cntName: String) = {
       val w = Window.partitionBy(col(keyCol))
@@ -372,7 +374,7 @@ object Similarity {
       // identical IEEE doubles the fused kernel produces)
       .withColumn("nrm",
         sqrt(graft.functions.DotProduct.dotProduct($"v", $"v")))
-      .localCheckpoint() // consumed by both self-join sides
+      .materialized() // consumed by both self-join sides
     val a = assigned.select($"cid", $"vid".as("vid_a"), $"v".as("va"),
                             $"nrm".as("na"))
     val b = assigned.select($"cid", $"vid".as("vid_b"), $"v".as("vb"),
@@ -601,11 +603,11 @@ object Similarity {
     val v = v0.filter(size(col("v")) === dim)
       .withColumn("nrm",
         sqrt(graft.functions.DotProduct.dotProduct(col("v"), col("v"))))
-      .localCheckpoint()
+      .materialized()
     // both self-join sides consume the signatures: materialize once,
     // pre-partitioned on the join key
     val bb = bandsFromV(v, dim, bands, planesPerBand)
-      .repartition($"band", $"sig").localCheckpoint()
+      .repartition($"band", $"sig").materialized()
     val big = bb.groupBy($"band", $"sig").agg(count(lit(1)).as("bn"))
       .filter($"bn" > maxBucket).select($"band", $"sig")
     val capped = bb.join(broadcast(big), Seq("band", "sig"), "left_anti")

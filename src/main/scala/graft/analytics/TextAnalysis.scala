@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -854,7 +856,7 @@ object TextAnalysis {
     require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
     // checkpoint: scores feeds the threshold aggregate AND the output
     // projection — without it the scoring join runs twice per action
-    val scores = unigramSurprisal(docs0, idCol, textCol).localCheckpoint()
+    val scores = unigramSurprisal(docs0, idCol, textCol).materialized()
     val thr = scores.filter(col("avg_surprisal").isNotNull)
       .agg(round(expr(s"percentile(avg_surprisal, $p)"), 6).as("thr"))
     scores.crossJoin(broadcast(thr))
@@ -902,7 +904,7 @@ object TextAnalysis {
         when(col("nt") > 0,
           round(col("s") / col("nt").cast("double"), 6))
           .as("avg_surprisal"))
-      .localCheckpoint()
+      .materialized()
     val thr = scores.filter(col("avg_surprisal").isNotNull)
       .agg(round(expr(s"percentile(avg_surprisal, $p)"), 6).as("thr"))
     scores.crossJoin(broadcast(thr))
@@ -1081,7 +1083,7 @@ object TextAnalysis {
       .limit(topK)
       .select($"w1", $"w2", $"c12",
         (round($"pmi" * 1e6) / 1e6).as("pmi"))
-      .localCheckpoint()
+      .materialized()
     bg.unpersist()
     out
   }

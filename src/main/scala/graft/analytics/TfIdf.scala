@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,7 +48,7 @@ object TfIdf {
     tf.join(dfreq, "term")
       .withColumn("w", expr(s"(tf * $scale) DIV df"))
       .select($"doc", $"term", $"tf", $"df", $"w")
-      .localCheckpoint()
+      .materialized()
   }
 
   /** Class centroids: per-(label, term) summed weights of labeled docs. */
@@ -176,7 +178,7 @@ object TfIdf {
           .cast("int"))
       .groupBy($"id", $"cls", $"bucket")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialized()
     val classes = d.groupBy(col(classCol).as("cls"))
       .agg(count(lit(1)).as("n_docs"))
     val nTot = classes.agg(sum($"n_docs").as("n_tot"))

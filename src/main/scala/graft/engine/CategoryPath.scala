@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.analytics.Par.Mat
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,7 +118,7 @@ object CategoryPath {
           .otherwise($"segs").as("segs"),
         when($"e_id".isNotNull, concat($"seen", array($"e_id")))
           .otherwise($"seen").as("seen"))
-        .localCheckpoint(eager = true) // dimension is small; truncate lineage
+        .materialized() // dimension is small; truncate lineage
       anyOpen = state.filter($"cur".isNotNull).limit(1).count() > 0
       iter += 1
     }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.analytics.Par.Mat
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2088,7 +2090,7 @@ object AnalyticsQueries {
         // the verdict frame feeds the keep-filter AND the final join —
         // checkpoint so the fp window runs once (the house reuse rule)
         val cf = TextAnalysis.corpusFilter(docs, "doc_id", "text")
-          .localCheckpoint()
+          .materialized()
         val kept = docs.join(
           cf.filter(col("keep") === 1).select("doc_id"), "doc_id")
         val split = Dedup.leakageSafeSplit(

@@ -4502,7 +4502,10 @@ object MiscQueries {
           .filter(col("value").isNotNull)
           .select(
             concat_ws("|", col("event_type"),
-              expr("unix_micros(ts) DIV 3600000000")).as("key"),
+              // floor division (matches the oracle's floor(epoch/3600)
+              // on pre-1970 timestamps too; DIV truncates toward zero)
+              expr("(unix_micros(ts) - pmod(unix_micros(ts), " +
+                "3600000000)) DIV 3600000000")).as("key"),
             round(col("value") * 1e6).cast("long").as("v"))
         graft.analytics.Sketches.logHistQuantiles(ev, "key", col("v"))
           .select(

@@ -328,10 +328,29 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
   private def publishStaged(stage: Path): Unit = {
     val ls = Files.list(stage)
     val staged = try ls.iterator().asScala.toSeq finally ls.close()
-    staged.filter(Files.isRegularFile(_)).foreach { f =>
-      Files.move(f, dataDir.resolve(f.getFileName.toString),
+    // every conversion stages flat regular files; a directory (or any
+    // other kind) here means a new Pipeline output shape this publisher
+    // doesn't know how to move — fail LOUDLY instead of letting the
+    // finally-cleanup silently delete it and 404 the returned file_url
+    val odd = staged.filterNot(Files.isRegularFile(_))
+    require(odd.isEmpty,
+      s"staging dir holds non-regular-file entries ${odd.map(_.getFileName)}: " +
+        "publishStaged only publishes flat regular files")
+    staged.foreach { f =>
+      val dest = dataDir.resolve(f.getFileName.toString)
+      try Files.move(f, dest,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // ATOMIC_MOVE+REPLACE_EXISTING replace semantics are
+        // implementation-specific off POSIX; staging shares dataDir's
+        // filestore so this should not happen, but a plain replace
+        // still publishes a complete file if it does
+        case _: java.nio.file.AtomicMoveNotSupportedException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          Files.move(f, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 

@@ -188,7 +188,7 @@ object Excel {
       }
     }
     val sstMap =
-      if (sst.isEmpty) map(lit(" none"), lit(""))
+      if (sst.isEmpty) map(lit("\u0000none"), lit(""))
       else map(sst.zipWithIndex.flatMap { case (s, i) =>
         Seq(lit(i.toString), lit(s))
       }: _*)

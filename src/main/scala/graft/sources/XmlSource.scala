@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.analytics.Par.Mat
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -219,7 +221,7 @@ object XmlSource {
       // memory-and-disk) instead of re-scanning + re-regexing the file.
       // Single-file feeds are upload-bounded (reference caps at 100 MB),
       // so the block footprint is a non-issue even per-executor.
-      .localCheckpoint()
+      .materialized()
     spark.read
       .option("rowTag", dialect.rowTag)
       .option("attributePrefix", AttrPrefix)

@@ -483,7 +483,12 @@ object EventStreams {
       .filter(col(valueCol).isNotNull)
     val bkt = least(lit(nBins - 1), greatest(lit(0),
       floor(col(valueCol) / binWidth))).cast("int")
-    val hrOf = expr(s"unix_micros($tsCol) DIV 3600000000")
+    // FLOOR division (pmod makes the numerator an exact multiple), not
+    // `DIV`: DIV truncates toward zero, so a pre-1970 timestamp would
+    // land one hour late vs the oracle's floor(epoch/3600) and the
+    // stateful stream path's Math.floorDiv
+    val hrOf = expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+      "3600000000)) DIV 3600000000")
     val cur = base
       .select(col(keyCol).as("key"), hrOf.as("hr"), bkt.as("bkt"))
       .groupBy($"key", $"hr", $"bkt")

@@ -1,0 +1,82 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The materialization indirection: every lineage-truncating site in the
+  * engine routes through Par.materialize, whose strategy is a deployment
+  * decision — localCheckpoint by default, reliable checkpoint() when a
+  * checkpoint dir is configured (the 100 TB posture: blocks on HDFS/S3
+  * survive executor preemption, which executor-local blocks do not).
+  * This spec pins (1) both strategies produce identical results through
+  * a heavy multi-materialization operator, and (2) the reliable path
+  * really writes to the configured directory. */
+class ParSpec extends SparkTestBase {
+
+  private def docs = {
+    val rows = (1 to 120).map { i =>
+      val base = s"the quick brown fox $i jumps over the lazy dog " +
+        s"word${i % 7} word${i % 11} word${i % 13} tail tokens here"
+      // 30 near-dup pairs: doc 2k and 2k+1 share almost all shingles
+      val text = if (i % 2 == 0) base else
+        s"the quick brown fox ${i - 1} jumps over the lazy dog " +
+          s"word${(i - 1) % 7} word${(i - 1) % 11} word${(i - 1) % 13} " +
+          "tail tokens here extra"
+      (i.toLong, text)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def runPairs() =
+    Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, n = 3)
+      .orderBy("doc_a", "doc_b")
+      .collect()
+      .map(_.toString)
+      .toSeq
+
+  test("reliable checkpoint path matches the default local path " +
+       "bit-for-bit and writes into the configured dir") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "test JVM should start with no checkpoint dir")
+    val local = runPairs()
+    assert(local.nonEmpty, "expected near-dup pairs in the fixture")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.conf.set("spark.graft.checkpoint.dir", dir.toString)
+    try {
+      val reliable = runPairs()
+      assert(reliable == local,
+        "reliable-checkpoint run diverged from the localCheckpoint run")
+      assert(sc.getCheckpointDir.isDefined,
+        "Par.materialize should have adopted the configured dir")
+      // the reliable path must actually land blocks in the dir
+      val walk = java.nio.file.Files.walk(dir)
+      val files =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
+      assert(files > 0, s"no checkpoint files written under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      // reset the sticky SparkContext checkpoint dir for the rest of
+      // the shared-session suite (Option(null) => None in setCheckpointDir)
+      sc.setCheckpointDir(null)
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("default path still truncates lineage via localCheckpoint") {
+    import spark.implicits._
+    val out = Par.materialize(Seq(1, 2, 3).toDF("v").filter($"v" > 1))
+    assert(out.count() == 2)
+    // a checkpointed frame's plan is a leaf scan, not the filter tree
+    assert(out.queryExecution.optimizedPlan.collectLeaves().size == 1)
+  }
+}
