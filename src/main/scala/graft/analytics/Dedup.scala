@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -151,7 +153,7 @@ object Dedup {
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
+    val sh = shingles(docs, idCol, textCol, n).materialized()
     val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
     val cov = sh.join(df, Seq("sh"))
       .groupBy($"doc")
@@ -210,7 +212,7 @@ object Dedup {
     * ([[jaccardCore]], [[decontaminate]], [[substringDupPairs]]):
     * materialize a (…, sh) table ONCE — hash-partitioned on the shingle
     * so the downstream self-join needs no further exchange,
-    * localCheckpoint'd because the plan consumes the subtree up to four
+    * Par.materialize'd because the plan consumes the subtree up to four
     * times (df scan, anti-join, both join sides) and Spark does not
     * reuse non-identical aliased subtrees — then drop rows whose
     * shingle's document frequency exceeds `maxDocFreq`. The HOT set is
@@ -221,7 +223,7 @@ object Dedup {
                                  maxDocFreq: Int): (DataFrame, DataFrame) = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val shP = sh.repartition($"sh").localCheckpoint()
+    val shP = sh.repartition($"sh").materialized()
     val hot = shP.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" > maxDocFreq).select($"sh")
     (shP, shP.join(broadcast(hot), Seq("sh"), "left_anti"))
@@ -277,12 +279,19 @@ object Dedup {
     * Caching contract: the sorted-shingle table persists
     * (MEMORY_AND_DISK) because the plan consumes it three times (prefix
     * probe + both verify sides); the verified pairs are then
-    * MATERIALIZED via localCheckpoint and the cache released before
+    * MATERIALIZED via Par.materialize and the cache released before
     * returning — the returned frame reads its own checkpointed blocks,
     * so repeated calls in a long-lived session leave nothing behind in
     * the CacheManager (the Graph.scala pageRank release pattern). The
     * checkpoint itself is bounded by the true near-dup pairs — the
-    * table a dedup run materializes anyway. */
+    * table a dedup run materializes anyway. Two deliberate trade-offs
+    * of that contract: the returned frame is EAGER (a caller composing
+    * a further filter/limit still pays full materialization first — the
+    * price of releasing the cache before returning), and under the
+    * default local strategy the truncated lineage is not recoverable on
+    * executor loss — configure `spark.graft.checkpoint.dir` to upgrade
+    * every [[Par.materialize]] site to a reliable checkpoint for
+    * preemptible-cluster runs. */
   def prefixFilterJaccardPairs(docs0: DataFrame, idCol: String,
                                textCol: String, minJaccard: Double,
                                n: Int = 3): DataFrame = {
@@ -306,15 +315,13 @@ object Dedup {
     // one GLOBAL (df, sh) order, which both the prefix theorem and the
     // positional filter below rely on. Consumed three times (prefix
     // probe + both verify sides), so cache it — persist() rather than
-    // localCheckpoint() because the groupBy leaves the table
+    // Par.materialize because the groupBy leaves the table
     // hash-partitioned on doc, and KEEPING that partitioning info lets
     // both verify joins reuse it (only the candidate side exchanges)
     val sets = sh.join(dfs, Seq("sh"))
       .groupBy($"doc")
       .agg(sort_array(collect_list(struct($"df", $"sh"))).as("ts"))
-      .select($"doc",
-        transform($"ts", x => x.getField("sh")).as("toks"),
-        size($"ts").cast("long").as("sz"))
+      .select($"doc", $"ts", size($"ts").cast("long").as("sz"))
       // the -1e-9 slack guards the IEEE knife edge (e.g. 0.8*15 =
       // 12.000000000000002): when tau*sz lands a hair ABOVE an exact
       // integer the un-guarded ceil would shorten the prefix by one and
@@ -323,9 +330,29 @@ object Dedup {
       .withColumn("plen",
         ($"sz" - ceil(lit(tau) * $"sz".cast("double") - lit(1e-9)) + 1)
           .cast("int"))
+      // df-singleton elision, both arrays, EXACT: a df=1 shingle lives
+      // in exactly one document, so it can neither collide in the
+      // prefix index nor contribute to any pair's intersection —
+      // `toks` (the verify side) keeps only df>=2 tokens while `sz`
+      // stays the FULL set size, and `pref` (the index side) keeps only
+      // df>=2 prefix entries WITH their full-order positions (the
+      // positional filter needs positions in the uncut rare-first
+      // order). On a mostly-unique corpus this is the verify-shuffle
+      // fix: the ~420-byte-per-candidate arrays SCALE.md measured at
+      // 30x shrink to the shared-token subset, and the persisted
+      // footprint shrinks with them.
+      .select($"doc", $"sz", $"plen",
+        transform(filter($"ts", x => x.getField("df") >= 2),
+          x => x.getField("sh")).as("toks"),
+        filter(
+          transform($"ts", (x, i) =>
+            struct((i + 1).as("pos"), x.getField("df").as("df"),
+              x.getField("sh").as("sh"))),
+          e => e.getField("pos") <= $"plen" &&
+            e.getField("df") >= 2).as("pref"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pre = sets.select($"doc", $"sz",
-      posexplode(slice($"toks", lit(1), $"plen")).as(Seq("pos", "sh")))
+    val pre = sets.select($"doc", $"sz", explode($"pref").as("p"))
+      .select($"doc", $"sz", $"p.pos".as("pos1"), $"p.sh".as("sh"))
     // candidate generation with BOTH classic prunes folded into the
     // collision aggregation (PPJoin, Xiao et al. WWW 2008):
     //  - size filter: tau*|x| <= |y| <= |x|/tau, else J < tau;
@@ -335,18 +362,41 @@ object Dedup {
     //    bound must still reach ceil(tau/(1+tau)*(sz_a+sz_b)), the
     //    overlap any Jaccard >= tau pair needs
     val a = pre.select($"doc".as("doc_a"), $"sz".as("sz_a"),
-      ($"pos" + 1).as("pa"), $"sh")
+      $"pos1".as("pa"), $"sh")
     val b = pre.select($"doc".as("doc_b"), $"sz".as("sz_b"),
-      ($"pos" + 1).as("pb"), $"sh")
+      $"pos1".as("pb"), $"sh")
+    // two provable overlap upper bounds, the pair pruned when the
+    // TIGHTER one misses the required overlap:
+    //  - ub1 (per-collision): for a common shingle at ranks (pa, pb),
+    //    overlap <= min(pa,pb) + min(sz_a-pa, sz_b-pb); take the min
+    //    over the pair's collisions. Degenerates to sz for equal-size
+    //    pairs whose collision sits at pa = pb.
+    //  - ub2 (PPJoin's accumulated bound, Xiao et al. WWW 2008): let
+    //    alpha = the pair's prefix-collision COUNT and (pa*, pb*) the
+    //    positions of the LAST collision (max shared token w; per-doc
+    //    order == global order, so max(pa) and max(pb) both name it).
+    //    Every other common token is > w — a token in either suffix
+    //    sits above that doc's whole prefix, hence above w — so it
+    //    lies beyond pa* in a AND beyond pb* in b:
+    //    overlap <= alpha + min(sz_a - pa*, sz_b - pb*). For the
+    //    dominant false-positive shape (few accidental collisions at
+    //    small ranks in similar-size docs) alpha << min(pa*, pb*)
+    //    makes ub2 the bound that actually prunes.
     val cand = a.join(b, Seq("sh"))
       .filter($"doc_a" < $"doc_b" &&
         $"sz_b".cast("double") >= lit(tau) * $"sz_a".cast("double") - lit(1e-9) &&
         $"sz_a".cast("double") >= lit(tau) * $"sz_b".cast("double") - lit(1e-9))
       .groupBy($"doc_a", $"doc_b", $"sz_a", $"sz_b")
-      .agg(min(least($"pa", $"pb") +
-        least($"sz_a" - $"pa", $"sz_b" - $"pb")).as("ub"))
-      .filter($"ub" >= ceil(lit(tau / (1.0 + tau)) *
-        ($"sz_a" + $"sz_b").cast("double") - lit(1e-9)))
+      .agg(
+        min(least($"pa", $"pb") +
+          least($"sz_a" - $"pa", $"sz_b" - $"pb")).as("ub1"),
+        count(lit(1)).as("alpha"),
+        max($"pa").as("pa_last"),
+        max($"pb").as("pb_last"))
+      .filter(least($"ub1",
+          $"alpha" + least($"sz_a" - $"pa_last", $"sz_b" - $"pb_last")) >=
+        ceil(lit(tau / (1.0 + tau)) *
+          ($"sz_a" + $"sz_b").cast("double") - lit(1e-9)))
       .select($"doc_a", $"doc_b")
     val verified = cand
       .join(sets.select($"doc".as("doc_a"), $"toks".as("toks_a"),
@@ -361,7 +411,7 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"inter_n", $"n_a", $"n_b", $"jaccard")
     // materialize, then release the cached sets table: repeated calls
     // must not accumulate CacheManager storage across a session
-    val out = verified.localCheckpoint()
+    val out = verified.materialized()
     sets.unpersist()
     out
   }
@@ -536,7 +586,7 @@ object Dedup {
     import spark.implicits._
     val withToks = docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
-      .localCheckpoint() // feeds the span table AND the rebuild join
+      .materialized() // feeds the span table AND the rebuild join
     // positional span hashes: ONE transform per row (hash inside the
     // same lambda — no alias re-evaluation, the q111 lesson)
     val sp = withToks.filter(size($"t") >= spanLen)
@@ -544,7 +594,7 @@ object Dedup {
         transform(sequence(lit(0), size($"t") - spanLen),
           i => md5(concat_ws(" ", slice($"t", i + 1, lit(spanLen))))))
         .as(Seq("pos", "h")))
-      .localCheckpoint() // feeds the df aggregate AND the drop join
+      .materialized() // feeds the df aggregate AND the drop join
     val boiler = sp.select($"doc", $"h").distinct()
       .groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" >= minDocFreq)
@@ -591,7 +641,7 @@ object Dedup {
     * table. Blank lines are structure, never hashed — via the explicit
     * whitespace set (incl. U+000B): plain trim() strips only spaces, so
     * a tab-only line would otherwise count as content; \n can't occur
-    * inside a split line. The hashed table is localCheckpointed because
+    * inside a split line. The hashed table is materialized (Par.materialize) because
     * every caller feeds it to an aggregate AND a join back — without it
     * the explode runs twice per action. One definition so the trim set
     * and hashing can never desynchronize the dedup rules. */
@@ -606,7 +656,7 @@ object Dedup {
       .withColumn("lt", trim($"line", " \t\u000B\f\r"))
       .filter($"lt" =!= "")
       .select($"doc", $"pos", xxhash64($"lt").as("h"))
-      .localCheckpoint()
+      .materialized()
     (withLines, ln)
   }
 
@@ -833,7 +883,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigsDf = minhashSigs(docs, idCol, textCol, n, numHashes)
-      .localCheckpoint()
+      .materialized()
     val cand = minhashCandidates(
       bandsFromSigs(sigsDf, numHashes, bandSize), maxBucket)
     cand
@@ -960,7 +1010,7 @@ object Dedup {
     import spark.implicits._
     // bands feed three subtrees (bucket-size scan + both join sides):
     // materialize once, pre-partitioned on the join key
-    val bandsC = bands.repartition($"band", $"bucket").localCheckpoint()
+    val bandsC = bands.repartition($"band", $"bucket").materialized()
     val big = bandsC.groupBy($"band", $"bucket").agg(count(lit(1)).as("bn"))
       .filter($"bn" > maxBucket).select($"band", $"bucket")
     val capped = bandsC.join(broadcast(big), Seq("band", "bucket"), "left_anti")
@@ -982,7 +1032,7 @@ object Dedup {
     * keyed by node id) + one min-aggregate — linear in |E| per round, and
     * rounds = cluster diameter, which for near-dup graphs is tiny (clusters
     * are near-cliques: every member shares shingles with most others). The
-    * label set is localCheckpoint'd per round to truncate the iterative
+    * label set is Par.materialize'd per round to truncate the iterative
     * lineage. For general billion-edge graphs with long chains one would
     * switch to alternating large-star/small-star (O(log n) rounds); dup
     * graphs don't need it.
@@ -1001,7 +1051,7 @@ object Dedup {
     // the whole shingle->MinHash->LSH pipeline — materialize it ONCE so the
     // probe, the collect/propagation, and any caller join-back all read the
     // checkpointed blocks instead of recomputing the pipeline.
-    val p = pairs.localCheckpoint()
+    val p = pairs.materialized()
     val small =
       p.limit((localMaxPairs + 1).toInt).count() <= localMaxPairs
     if (small) connectedComponentsLocal(p)
@@ -1049,10 +1099,10 @@ object Dedup {
     val und = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
-      .localCheckpoint() // consumed every round; freeze once
+      .materialized() // consumed every round; freeze once
     var labels = und.select($"src".as("node")).distinct()
       .withColumn("comp", $"node")
-      .localCheckpoint()
+      .materialized()
     var iter    = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -1063,7 +1113,7 @@ object Dedup {
         .select($"dst".as("node"), $"comp")
       val next = labels.union(pushed)
         .groupBy($"node").agg(min($"comp").as("comp"))
-        .localCheckpoint()
+        .materialized()
       changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "node")
         .filter($"comp" =!= $"prev")
@@ -1114,7 +1164,7 @@ object Dedup {
     val scored = clusters.join(
       docs.select(col(idCol),
         coalesce(col(qualityCol).cast("long"), lit(0L)).as("quality")),
-      Seq(idCol)).localCheckpoint()
+      Seq(idCol)).materialized()
     // min over (-quality, id): highest quality, ties to smallest id.
     // The QUALITY side is negated (always numeric), never the id — string
     // ids work, matching the generic-id contract of the rest of the family
