@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -22,7 +24,7 @@ object Selection {
     * buckets.
     *
     * Scale shape: ONE tokenization pass feeds both the model aggregation
-    * and the scoring join (localCheckpoint reuse, same rule as
+    * and the scoring join (Par.materialize reuse, same rule as
     * [[TextAnalysis.surprisalGate]]); the model is a `dim`-row table
     * crossed with a 1-row totals aggregate (the allowlisted
     * scalar-broadcast pattern) and broadcast back, so scoring is
@@ -50,7 +52,7 @@ object Selection {
           .cast("int"))
       .groupBy($"id", $"tgt", $"bucket")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialized()
     val model = db.groupBy($"bucket")
       .agg(sum($"tf").as("raw_n"),
         sum(when($"tgt", $"tf").otherwise(lit(0L))).as("tgt_n"))
@@ -84,7 +86,7 @@ object Selection {
     import spark.implicits._
     // checkpoint: weights feed the threshold aggregate AND the output
     val w = dsirWeights(docs, idCol, textCol, isTarget, dim)
-      .localCheckpoint()
+      .materialized()
     val thr = w.filter($"dsir_weight".isNotNull)
       .agg(round(expr(s"percentile(dsir_weight, ${1.0 - topFrac})"), 6)
         .as("thr"))
@@ -162,7 +164,7 @@ object Selection {
     * aggregation per GD step serve every gradient component (the bias
     * bucket's raw moment IS the residual total Σr).
     *
-    * `materialize` id-repartitions and localCheckpoints the table — the
+    * `materialize` id-repartitions and Par-materializes the table — the
     * right call for TRAINING, where 30 GD iterations each re-scan it
     * (and each scans it twice: margins + the gradient join). The SCORE
     * path consumes the features exactly once, so it passes false and
@@ -187,7 +189,7 @@ object Selection {
       .unionByName(docs.select(col(idCol).as("id"),
         label.cast("int").as("y"), lit(dim).cast("int").as("bucket"),
         lit(1.0).as("x")))
-    if (materialize) base.repartition($"id").localCheckpoint() else base
+    if (materialize) base.repartition($"id").materialized() else base
   }
 
   /** Round-6-pinned per-bucket standardization stats over the DENSE
@@ -233,6 +235,45 @@ object Selection {
   private def half6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Session-scoped memo of TRAINED logreg models. Training is fully
+    * deterministic (zero init, fixed iters, round-6 gradient exchange),
+    * so a (input-plan, label, hyperparams) key returns bit-identical
+    * weights to a retrain — consumers stay independently verifiable
+    * while a session that scores one model several ways (AUC, AP,
+    * calibration, artifact-score: seven catalog queries share two
+    * trainings) pays the 30-iteration recurrence once. Keys hold the
+    * CANONICALIZED analyzed plan (expr ids normalized, so two reads of
+    * the same table match) plus the session identity (a new session may
+    * see new data at the same path). LRU-capped: model arrays are
+    * ~1.5 KB, 64 entries bound a long-lived serving session. */
+  private case class ModelKey(
+      session: Int,
+      // the CANONICALIZED analyzed plan object, compared by plan
+      // equality — NOT its string form: LocalRelation.toString prints
+      // only the schema, so two in-memory inputs with equal schemas but
+      // different rows would string-collide, while plan equality
+      // compares the data too
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      label: String, idCol: String, textCol: String,
+      dim: Int, iters: Int, lr: Double)
+
+  private val modelCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[ModelKey, Array[Double]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[ModelKey, Array[Double]]): Boolean =
+          size() > 64
+      })
+  private[graft] val modelCacheHits =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def modelKey(docs: DataFrame, idCol: String, textCol: String,
+                       label: Column, dim: Int, iters: Int,
+                       lr: Double): ModelKey =
+    ModelKey(System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.analyzed.canonicalized,
+      label.toString, idCol, textCol, dim, iters, lr)
+
   private def logregFit(feats: DataFrame, n: Double, dim: Int,
                         iters: Int, lr: Double): Array[Double] = {
     require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
@@ -271,9 +312,16 @@ object Selection {
                   lr: Double = 0.5): DataFrame = {
     val spark = docs0.sparkSession
     import spark.implicits._
-    val docs = Par.ensure(docs0)
-    val feats = logregFeatures(docs, idCol, textCol, label, dim)
-    val packed = logregFit(feats, docs.count().toDouble, dim, iters, lr)
+    val key = modelKey(docs0, idCol, textCol, label, dim, iters, lr)
+    val packed = Option(modelCache.get(key)).map { p =>
+      modelCacheHits.incrementAndGet(); p
+    }.getOrElse {
+      val docs = Par.ensure(docs0)
+      val feats = logregFeatures(docs, idCol, textCol, label, dim)
+      val p = logregFit(feats, docs.count().toDouble, dim, iters, lr)
+      modelCache.put(key, p)
+      p
+    }
     val (w, mu, s) = (packed.take(dim + 1), packed.slice(dim + 1, 2 * dim + 1),
       packed.drop(2 * dim + 1))
     (0 to dim).map(b => (b, w(b),
@@ -366,9 +414,20 @@ object Selection {
                     label: Column, dim: Int = 64, iters: Int = 30,
                     lr: Double = 0.5): DataFrame = {
     val docs = Par.ensure(docs0)
-    val feats = logregFeatures(docs, idCol, textCol, label, dim)
-    val n = docs.count().toDouble
-    val packed = logregFit(feats, n, dim, iters, lr)
+    val key = modelKey(docs0, idCol, textCol, label, dim, iters, lr)
+    val hit = Option(modelCache.get(key))
+    // cache hit: the feature table is consumed ONCE (scoring) — stream
+    // it instead of repartition+materialize; miss: fit consumes it
+    // 60+ times, so materialize, train, and score off the same table
+    val feats = logregFeatures(docs, idCol, textCol, label, dim,
+      materialize = hit.isEmpty)
+    val packed = hit.map { p =>
+      modelCacheHits.incrementAndGet(); p
+    }.getOrElse {
+      val p = logregFit(feats, docs.count().toDouble, dim, iters, lr)
+      modelCache.put(key, p)
+      p
+    }
     val w = packed.take(dim + 1)
     val mu = packed.slice(dim + 1, 2 * dim + 1) :+ 0.0
     val s = packed.drop(2 * dim + 1) :+ 1.0

@@ -256,6 +256,40 @@ class SelectionSpec extends SparkTestBase {
       "scores must be identical under a different partitioning")
   }
 
+  test("logreg model cache: a second consumer with the same input plan, " +
+       "label, and hyperparams hits the session memo and scores " +
+       "identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 30L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", 1)
+      else (i, "spam junk garbage noise blob", 0)
+    }
+    val docs = rows.toDF("doc_id", "text", "y")
+    // distinct hyperparams from every other test so this key is fresh
+    val first = Selection.logregQuality(docs, "doc_id", "text",
+        col("y") === 1, dim = 32, iters = 7)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val before = Selection.modelCacheHits.get()
+    val second = Selection.logregQuality(docs, "doc_id", "text",
+        col("y") === 1, dim = 32, iters = 7)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(Selection.modelCacheHits.get() == before + 1,
+      "second identical consumer must hit the model cache")
+    assert(second == first, "cached model must score bit-identically")
+    // a train-consumer with the same key rides the same memo
+    val model = Selection.logregTrain(docs, "doc_id", "text",
+      col("y") === 1, dim = 32, iters = 7)
+    assert(Selection.modelCacheHits.get() == before + 2,
+      "logregTrain with the same key must also hit")
+    assert(model.count() == 33)
+    // different hyperparams miss: the key carries them
+    Selection.logregQuality(docs, "doc_id", "text",
+      col("y") === 1, dim = 32, iters = 8).collect()
+    assert(Selection.modelCacheHits.get() == before + 2,
+      "a different iteration count must be a cache miss")
+  }
+
   test("woeBuckets: a perfectly separating feature posts symmetric " +
        "smoothed WOE, negative values bucket by FLOOR not truncation, " +
        "informative buckets contribute positive IV") {
