@@ -1,5 +1,7 @@
 package graft.analytics
 
+import Par.Mat
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -150,7 +152,7 @@ object Stats {
     require(q >= 2, "q must be >= 2")
     val spark = df.sparkSession
     import spark.implicits._
-    val scored = df.select(col(idCol), score.as("score")).localCheckpoint()
+    val scored = df.select(col(idCol), score.as("score")).materialized()
     val ps = (1 until q).map(i => i / q.toDouble).mkString(", ")
     val thr = scored.filter($"score".isNotNull)
       .agg(expr(s"percentile(score, array($ps))").as("ts0"))
@@ -947,7 +949,7 @@ object Stats {
     *
     * Output: (sliceCols..., n_a, n_b, t_stat, p_value, rnk, reject),
     * ordered by rnk; slices with under 2 rows per arm are excluded
-    * (variance undefined). Result is localCheckpoint-ed (small by
+    * (variance undefined). Result is Par.materialize-d (small by
     * construction: one row per slice). */
   def welchTestsBH(df: DataFrame, sliceCols: Seq[String],
                    valueCol: String, armA: Column, armB: Column,
@@ -998,7 +1000,7 @@ object Stats {
         (round($"p" * 1e6) / 1e6).as("p_value"),
         $"rnk", ($"rnk" <= $"kmax").as("reject"))): _*)
       .orderBy($"rnk")
-      .localCheckpoint()
+      .materialized()
     out
   }
 
@@ -1480,7 +1482,7 @@ object Stats {
     // see the SAME pid assignment
     val parts = p.repartitionByRange($"v")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .materialized()
     val offsets = parts.groupBy($"pid").agg(sum($"pn").as("ppn"))
       // one row per partition: a single-partition window here is fine
       .withColumn("off", coalesce(sum($"ppn").over(
@@ -1499,17 +1501,27 @@ object Stats {
       .select($"v".as("pvl"),
         (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
         ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
-    // bucketed as-of: 4096 cdf buckets; an interval explodes to every
-    // bucket it overlaps (total <= grid + 4096 rows — an interval
-    // spanning k extra buckets carries >= k/4096 of ALL pooled mass),
-    // group rows hash-join their one bucket
-    val nB = 4096
+    // bucketed as-of with an ADAPTIVE bucket count ~ the pooled grid
+    // size (read for free off the materialized `parts`): an interval
+    // explodes to every bucket it overlaps (total <= grid + nB rows —
+    // an interval spanning k extra buckets carries >= k/nB of ALL
+    // pooled mass), group rows hash-join their one bucket. The bucket
+    // count is the cross-term dial: the join emits ~ gRows x grid / nB
+    // candidate rows before the residual interval test, so a FIXED
+    // 4096 against a 10^5-10^6-value grid (l_extendedprice-like
+    // continuous columns) manufactures a 100x row blow-up the filter
+    // then discards; nB ~ grid keeps candidates ~ gRows at the price
+    // of <= grid extra explode rows. Bounded to [4096, 1<<22] so tiny
+    // inputs keep dense buckets and the explode stays sane at any
+    // scale. nB never changes the OUTPUT (exact interval ownership) —
+    // only the candidate volume.
+    val nB = math.min(math.max(parts.count(), 4096L), 1L << 22)
     val pBuck = pIv.select($"pvl", $"lo", $"hi",
       explode(sequence(
-        least(floor($"lo" * nB), lit(nB - 1L)).cast("int"),
-        least(floor($"hi" * nB), lit(nB - 1L)).cast("int"))).as("bk"))
+        least(floor($"lo" * nB), lit(nB - 1L)).cast("long"),
+        least(floor($"hi" * nB), lit(nB - 1L)).cast("long"))).as("bk"))
     gcdf
-      .withColumn("bk", least(floor($"cdf" * nB), lit(nB - 1L)).cast("int"))
+      .withColumn("bk", least(floor($"cdf" * nB), lit(nB - 1L)).cast("long"))
       .join(pBuck, Seq("bk"))
       .filter($"lo" < $"cdf" && $"cdf" <= $"hi")
       .select($"grp", ($"v".cast("double") / scale).as("value"), $"n",
