@@ -1463,11 +1463,20 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // the quantized projection feeds BOTH the per-group and the pooled
+    // aggregation and is deliberately NOT materialized: it is
+    // corpus-sized, so at scale re-scanning two pruned columns beats
+    // writing a corpus-sized checkpoint (measured a wash locally)
     val w = Par.ensure(df).filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"),
         round(col(valueCol) * scale).cast("long").as("v"))
+    // (grp, v) counts feed the group totals AND the CDF window AND the
+    // final bucket join — materialize to stop the agg re-running three
+    // times (it is already the compressed form, <= one row per distinct
+    // (group, value))
     val g = w.groupBy($"grp", $"v")
       .agg(count(lit(1)).cast("long").as("n"))
+      .materialized()
     val gt = g.groupBy($"grp").agg(sum($"n").cast("long").as("gt"))
     val wg = Window.partitionBy($"grp").orderBy($"v")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1477,45 +1486,72 @@ object Stats {
       .select($"grp", $"v", $"n", $"cdf")
     val p = w.groupBy($"v").agg(count(lit(1)).cast("long").as("pn"))
     val pt = p.agg(sum($"pn").cast("long").as("pt"))
-    // two-level prefix sum over the pooled grid: checkpoint AFTER the
-    // range partition so the offsets scan and the in-partition window
-    // see the SAME pid assignment
-    val parts = p.repartitionByRange($"v")
-      .withColumn("pid", spark_partition_id())
-      .materialized()
-    val offsets = parts.groupBy($"pid").agg(sum($"pn").as("ppn"))
-      // one row per partition: a single-partition window here is fine
-      .withColumn("off", coalesce(sum($"ppn").over(
-        Window.orderBy($"pid").rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"pid", $"off")
-    val inPart = Window.partitionBy($"pid").orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // each pooled value's CDF interval (lo, hi]: hi = cum/pt and
-    // lo = (cum - pn)/pt — the previous row computes ITS hi from the
-    // identical integers, so consecutive intervals share their exact
-    // boundary double and the intervals partition (0, 1]
-    val pIv = parts.join(broadcast(offsets), "pid")
-      .crossJoin(broadcast(pt))
-      .withColumn("cum", sum($"pn").over(inPart) + $"off")
-      .select($"v".as("pvl"),
-        (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
-        ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
+    // pooled-grid prefix sum, SIZE-GATED: the pooled grid is at most
+    // gRows (distinct (group, value) pairs, known for free from the
+    // materialized g), so when that bound fits one comfortable sort
+    // task the CDF is a single global window over the grid — the shape
+    // the catalog already accepts for distinct-value grids — and the
+    // range shuffle + checkpoint + offsets machinery (three extra jobs)
+    // never runs. Past the gate (a 100 TB continuous column), the
+    // two-level distributed prefix sum takes over: range-partition by
+    // value, per-partition running totals, a broadcast per-partition
+    // offset table — the only unpartitioned window runs over that
+    // <= numPartitions-row table. The checkpoint after the range
+    // partition pins ONE pid assignment for the offsets scan and the
+    // in-partition window.
+    val gRows = g.count()
+    // conf-overridable so a spec can force the distributed branch at
+    // test volumes (and a cluster can lower it if one sort task of 4M
+    // grid rows is too hot for its executors)
+    val singleTaskGate = spark.conf
+      .get("spark.graft.quantile.singleTaskGate", "4000000").toLong
+    val (pIv, grid) = if (gRows <= singleTaskGate) {
+      val wAll = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      (p.crossJoin(broadcast(pt))
+        .withColumn("cum", sum($"pn").over(wAll))
+        .select($"v".as("pvl"),
+          (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
+          ($"cum".cast("double") / $"pt".cast("double")).as("hi")),
+        gRows)
+    } else {
+      val parts = p.repartitionByRange($"v")
+        .withColumn("pid", spark_partition_id())
+        .materialized()
+      val offsets = parts.groupBy($"pid").agg(sum($"pn").as("ppn"))
+        // one row per partition: a single-partition window here is fine
+        .withColumn("off", coalesce(sum($"ppn").over(
+          Window.orderBy($"pid").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"pid", $"off")
+      val inPart = Window.partitionBy($"pid").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // each pooled value's CDF interval (lo, hi]: hi = cum/pt and
+      // lo = (cum - pn)/pt — the previous row computes ITS hi from the
+      // identical integers, so consecutive intervals share their exact
+      // boundary double and the intervals partition (0, 1]
+      (parts.join(broadcast(offsets), "pid")
+        .crossJoin(broadcast(pt))
+        .withColumn("cum", sum($"pn").over(inPart) + $"off")
+        .select($"v".as("pvl"),
+          (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
+          ($"cum".cast("double") / $"pt".cast("double")).as("hi")),
+        parts.count())
+    }
     // bucketed as-of with an ADAPTIVE bucket count ~ the pooled grid
-    // size (read for free off the materialized `parts`): an interval
-    // explodes to every bucket it overlaps (total <= grid + nB rows —
-    // an interval spanning k extra buckets carries >= k/nB of ALL
-    // pooled mass), group rows hash-join their one bucket. The bucket
-    // count is the cross-term dial: the join emits ~ gRows x grid / nB
-    // candidate rows before the residual interval test, so a FIXED
-    // 4096 against a 10^5-10^6-value grid (l_extendedprice-like
-    // continuous columns) manufactures a 100x row blow-up the filter
-    // then discards; nB ~ grid keeps candidates ~ gRows at the price
-    // of <= grid extra explode rows. Bounded to [4096, 1<<22] so tiny
-    // inputs keep dense buckets and the explode stays sane at any
-    // scale. nB never changes the OUTPUT (exact interval ownership) —
-    // only the candidate volume.
-    val nB = math.min(math.max(parts.count(), 4096L), 1L << 22)
+    // size: an interval explodes to every bucket it overlaps (total
+    // <= grid + nB rows — an interval spanning k extra buckets carries
+    // >= k/nB of ALL pooled mass), group rows hash-join their one
+    // bucket. The bucket count is the cross-term dial: the join emits
+    // ~ gRows x grid / nB candidate rows before the residual interval
+    // test, so a FIXED 4096 against a 10^5-10^6-value grid
+    // (l_extendedprice-like continuous columns) manufactures a 100x
+    // row blow-up the filter then discards; nB ~ grid keeps candidates
+    // ~ gRows at the price of <= grid extra explode rows. Bounded to
+    // [4096, 1<<22] so tiny inputs keep dense buckets and the explode
+    // stays sane at any scale. nB never changes the OUTPUT (exact
+    // interval ownership) — only the candidate volume.
+    val nB = math.min(math.max(grid, 4096L), 1L << 22)
     val pBuck = pIv.select($"pvl", $"lo", $"hi",
       explode(sequence(
         least(floor($"lo" * nB), lit(nB - 1L)).cast("long"),

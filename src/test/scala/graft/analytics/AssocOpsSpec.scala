@@ -358,9 +358,11 @@ class AssocOpsSpec extends SparkTestBase {
     assert(flat.isNullAt(4))
   }
 
-  test("quantileNormalize at 10^4 groups: matches the brute-force " +
-       "as-of reference, and the only unpartitioned window in the " +
-       "plan is the <= numPartitions-row pid-offset table") {
+  test("quantileNormalize at 10^4 groups: the FORCED distributed branch " +
+       "matches the brute-force as-of reference, the only unpartitioned " +
+       "window in its plan is the <= numPartitions-row pid-offset " +
+       "table, and the default size-gated single-window branch returns " +
+       "the identical table") {
     import spark.implicits._
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -372,7 +374,12 @@ class AssocOpsSpec extends SparkTestBase {
         (s"g$gi", (base + 11).toDouble), (s"g$gi", (base + 21).toDouble))
     }
     val df = rows.toDF("g", "x").repartition(16)
-    val out = Stats.quantileNormalize(df, "g", "x", scale = 1L)
+    // force the distributed two-level prefix-sum branch (the 100 TB
+    // path the size gate skips at test volumes)
+    spark.conf.set("spark.graft.quantile.singleTaskGate", "0")
+    val out =
+      try Stats.quantileNormalize(df, "g", "x", scale = 1L)
+      finally spark.conf.unset("spark.graft.quantile.singleTaskGate")
     val got = out.collect()
       .map(r => (r.getString(0), r.getDouble(1)) ->
         (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
@@ -419,6 +426,14 @@ class AssocOpsSpec extends SparkTestBase {
     for (w <- unpart)
       assert(w.orderSpec.map(_.child.toString).exists(_.contains("pid")),
         s"unpartitioned window over a non-offset table:\n$w")
+    // the default path (size gate admits this grid) must return the
+    // identical table through its single global window
+    val viaGate = Stats.quantileNormalize(df, "g", "x", scale = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(viaGate == got,
+      "size-gated single-window branch diverged from the distributed branch")
   }
 
   test("logRankTest: hand-computed hypergeometric O/E/V per churn " +
