@@ -459,7 +459,11 @@ object ScaleBench {
         // q141's cost + the distinct-score running sum: the tail is
         // data-DEPENDENT (bounded at 1e6+1 rows by round-6 scores, but
         // how close it gets depends on score diversity) so it earns its
-        // own measured curve — must track q141's, the tail staying flat
+        // own measured curve — must track q141's, the tail staying flat.
+        // NOTE: since the Selection model memo, running this in the same
+        // session AFTER q141 at the same scale point rides the cached
+        // model — the curve then measures the TAIL alone; run it in its
+        // own session (ops filter) to measure train+tail
         "q144_auc" -> (() =>
           analytics.Stats.aucScore(
             analytics.Selection.logregQuality(docs, "doc_id", "text",
