@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
   *  - shuffle partitions sized to the core count given (a real cluster
   *    sizes this to ~2-3x total cores / target partition size instead);
   *  - AQE stays ON (Spark default) for runtime coalescing and skew splits.
+  *
+  * Cluster resilience: every lineage-truncating materialization in the
+  * engine routes through [[graft.analytics.Par.materialize]], which
+  * defaults to executor-local blocks (fast; right for local mode and
+  * stable clusters). On preemptible/dynamic-allocation clusters set
+  * `spark.graft.checkpoint.dir` to an HDFS/S3 path (or call
+  * `sparkContext.setCheckpointDir`) and every site upgrades to a
+  * reliable `checkpoint()` that survives executor loss.
   */
 object Sessions {
 
