@@ -325,7 +325,7 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
     * `dataDir`'s filestore, so the rename IS atomic and a concurrent
     * download of a colliding name sees either the old or the new
     * complete file, never a torn write. */
-  private def publishStaged(stage: Path): Unit = {
+  private[serve] def publishStaged(stage: Path): Unit = {
     val ls = Files.list(stage)
     val staged = try ls.iterator().asScala.toSeq finally ls.close()
     // every conversion stages flat regular files; a directory (or any

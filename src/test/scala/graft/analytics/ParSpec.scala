@@ -72,6 +72,41 @@ class ParSpec extends SparkTestBase {
     }
   }
 
+  test("reliable path matches local across the heavy ITERATIVE shapes " +
+       "(pageRank's per-round truncation, BPE's per-merge state)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "checkpoint dir leaked in")
+    // ring + chords so ranks differentiate and rounds matter
+    val edges = ((0L until 40L).map(i => (i, (i + 1) % 40)) ++
+      (0L until 40L by 5).map(i => (i, (i + 13) % 40)))
+      .toDF("a", "b")
+    val corpus = (0L until 60L)
+      .map(i => (i, s"low low lower lowest newer new${i % 3} wider"))
+      .toDF("doc_id", "text")
+    def run(): (Seq[String], Seq[String]) = (
+      Graph.pageRank(edges, "a", "b", iters = 12)
+        .orderBy("node").collect().map(_.toString).toSeq,
+      Bpe.train(corpus, "text", numMerges = 8, localVocabThreshold = 0)
+        ._1.orderBy("rank").collect().map(_.toString).toSeq)
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2")
+    spark.conf.set("spark.graft.checkpoint.dir", dir.toString)
+    try {
+      assert(run() == local,
+        "reliable-checkpoint iterative runs diverged from local runs")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      sc.setCheckpointDir(null)
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("default path still truncates lineage via localCheckpoint") {
     import spark.implicits._
     val out = Par.materialize(Seq(1, 2, 3).toDF("v").filter($"v" > 1))

@@ -383,4 +383,31 @@ class GraftServerSpec extends SparkTestBase {
     // malformed framing: no parts, no throw
     assert(Multipart.parse("garbage".getBytes(UTF_8), boundary).isEmpty)
   }
+
+  test("publishStaged: a staged DIRECTORY fails loudly instead of being " +
+       "silently deleted into a 404; flat files still publish") {
+    withServer { srv =>
+      val dataDir = Files.createTempDirectory("graft_pub")
+      try {
+        val stage = Files.createTempDirectory(dataDir, ".stage_")
+        Files.writeString(stage.resolve("ok.csv"), "a;b\n1;2\n")
+        Files.createDirectory(stage.resolve("part-dir"))
+        val e = intercept[IllegalArgumentException](srv.publishStaged(stage))
+        assert(e.getMessage.contains("non-regular-file"),
+          s"wrong failure: ${e.getMessage}")
+        // flat staging publishes (idempotent replace of an existing file)
+        val stage2 = Files.createTempDirectory(dataDir, ".stage_")
+        Files.writeString(stage2.resolve("ok.csv"), "a;b\n3;4\n")
+        srv.publishStaged(stage2)
+        // the server publishes into ITS OWN dataDir, not this temp one —
+        // the call not throwing and draining the staging dir is the pin
+        assert(!Files.exists(stage2.resolve("ok.csv")),
+          "staged file should have been moved out")
+      } finally {
+        val walk = Files.walk(dataDir)
+        val all = try walk.iterator().asScala.toSeq finally walk.close()
+        all.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
 }
