@@ -267,6 +267,13 @@ object Selection {
   private[graft] val modelCacheHits =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Drop every memoized model. The memo keys on the input PLAN, not
+    * file contents — immutable inputs per session (the lakehouse norm)
+    * make that sound, but a long-lived serving session that overwrites
+    * a path in place must invalidate here (the moral equivalent of
+    * Spark's own `REFRESH TABLE`) before retraining picks up new data. */
+  def invalidateModels(): Unit = modelCache.clear()
+
   private def modelKey(docs: DataFrame, idCol: String, textCol: String,
                        label: Column, dim: Int, iters: Int,
                        lr: Double): ModelKey =

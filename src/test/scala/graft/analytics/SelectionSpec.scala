@@ -288,6 +288,13 @@ class SelectionSpec extends SparkTestBase {
       col("y") === 1, dim = 32, iters = 8).collect()
     assert(Selection.modelCacheHits.get() == before + 2,
       "a different iteration count must be a cache miss")
+    // explicit invalidation (the in-place-overwrite escape hatch)
+    // forces the next identical consumer to retrain
+    Selection.invalidateModels()
+    Selection.logregQuality(docs, "doc_id", "text",
+      col("y") === 1, dim = 32, iters = 7).collect()
+    assert(Selection.modelCacheHits.get() == before + 2,
+      "invalidateModels must clear the memo")
   }
 
   test("woeBuckets: a perfectly separating feature posts symmetric " +
