@@ -43,7 +43,10 @@ object Par {
     *
     * Both paths are eager, so callers may `unpersist` their inputs
     * immediately after — the cache-release contracts in Dedup/Graph/etc.
-    * hold under either strategy.
+    * hold under either strategy. Long-lived reliable-path sessions
+    * should also set `spark.cleaner.referenceTracking.cleanCheckpoints=
+    * true` so checkpoint files are reaped when their RDDs are GC'd —
+    * otherwise the checkpoint dir grows with every materialization.
     */
   def materialize[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
