@@ -71,7 +71,7 @@ object MiscQueries {
           .select($"c_custkey",
             CleanFns.scrubCell(concat($"c_name", lit("\nx\ry"))).as("scrubbed"),
             CleanFns.stripControlChars(
-              concat(lit(""), $"c_name", lit(""))).as("stripped"))
+              concat(lit("\u0001"), $"c_name", lit("\u007f"))).as("stripped"))
           .orderBy("c_custkey")
       }),
 
