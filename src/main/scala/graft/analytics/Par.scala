@@ -54,6 +54,11 @@ object Par {
     if (sc.getCheckpointDir.isEmpty)
       spark.conf.getOption("spark.graft.checkpoint.dir").foreach(sc.setCheckpointDir)
     if (sc.getCheckpointDir.isDefined) ds.checkpoint(eager = true)
+    // MEMORY_AND_DISK_SER was TRIED here and reverted on a bracketed
+    // A/B (array-heavy subset steady 10.9 s -> 12.9 s): at bench
+    // volumes the per-reuse deserialization tax beats the block-manager
+    // pressure it relieves; the 10x-memory-pressure win it showed on
+    // one op did not generalize
     else ds.localCheckpoint(eager = true)
   }
 
