@@ -116,6 +116,48 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.count() === 0)
   }
 
+  test("prefixFilterJaccardPairs: multi-seed adversarial differential — " +
+       "the accumulated positional bound must never prune a TRUE pair") {
+    import spark.implicits._
+    // Zipf-skewed vocab drives heavy shingle reuse, so candidate pairs
+    // collide on SEVERAL prefix tokens — the alpha >= 2 regime where
+    // round-10's ub2 = alpha + min(sz - pa_last, sz - pb_last) actually
+    // binds; a proof error there would silently DROP a qualifying pair,
+    // which no fixed-corpus test is guaranteed to hit. Near-clone pairs
+    // are planted at J ~= tau knife edges.
+    def corpus(seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      def zipfWord() = s"z${math.min(24, (1.0 /
+        math.max(1e-9, rnd.nextDouble())).toInt % 25)}"
+      val base = (1L to 24L).map { i =>
+        val len = 5 + rnd.nextInt(12)
+        (i, Seq.fill(len)(zipfWord()).mkString(" "))
+      }
+      val edges = base.take(6).zipWithIndex.map { case ((id, t), j) =>
+        val words = t.split(" ")
+        // drop/append a token: J lands near len/(len+1) and
+        // (len-1)/len — knife edges for high taus
+        val mutated = if (j % 2 == 0) (words :+ s"tail$j").mkString(" ")
+                      else words.drop(1).mkString(" ")
+        (200L + j, mutated)
+      }
+      (base ++ edges).toDF("doc_id", "text")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getDouble(5))).toSeq
+    for (seed <- Seq(11, 23, 37, 41, 53, 67); tau <- Seq(0.34, 0.5, 0.8)) {
+      val docs = corpus(seed)
+      val exact = rows(Dedup.ngramJaccardPairsFromDocs(docs, "doc_id",
+        "text", minJaccard = tau, maxDocFreq = Int.MaxValue))
+      val viaPrefix = rows(Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+        "text", minJaccard = tau))
+      assert(viaPrefix === exact,
+        s"seed=$seed tau=$tau: prefix-filter answer diverged from exact")
+    }
+  }
+
   test("prefixFilterJaccardPairs == the uncapped exact answer across " +
        "thresholds, and keeps hot-shingle pairs the df cap loses") {
     import spark.implicits._
