@@ -51,7 +51,30 @@ object Retrieval {
     */
   def bm25TopK(docs0: DataFrame, idCol: String, textCol: String,
                queryPred: Column, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    // memoized per session (Memo.scala): the q135 gate and the
+    // retrieval-metrics gate run this IDENTICAL call, and each must stay
+    // independently verifiable — the engine caches the deterministic
+    // top-k (round-6 scores, id tie-breaks) instead of rebuilding the
+    // posting lists from raw text per consumer. The key includes the
+    // filtered-plan canonical form, so a different queryPred or k
+    // computes its own ranking.
+    rankMemo.getOrCompute(
+      Seq(docs0.select(col(idCol), col(textCol)),
+        docs0.filter(queryPred).select(col(idCol))),
+      s"k=$k,k1=$k1,b=$b") {
+      bm25TopKCompute(docs0, idCol, textCol, queryPred, k, k1, b)
+    }
+
+  private[graft] val rankMemo = new FrameMemo("bm25_topk")
+
+  /** The un-memoized [[bm25TopK]] pipeline — plan-shape specs target
+    * this directly (the memo hit is a parquet scan with no plan to
+    * audit). */
+  private[graft] def bm25TopKCompute(
+      docs0: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val docs = Par.ensure(docs0)
 

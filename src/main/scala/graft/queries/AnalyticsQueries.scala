@@ -304,12 +304,11 @@ object AnalyticsQueries {
       Some(shCte + lshCte + """
              |SELECT doc_a, doc_b FROM cand
              |ORDER BY doc_a, doc_b""".stripMargin),
-      (s, dir) => {
-        val bands = Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
-          "doc_id", "text", n = 3, numHashes = 8, bandSize = 2)
-        Dedup.minhashCandidates(bands, maxBucket = 1000)
-          .orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) =>
+        Dedup.minhashCandidatePairs(Tables(s, dir, "documents"),
+            "doc_id", "text", n = 3, numHashes = 8, bandSize = 2,
+            maxBucket = 1000)
+          .orderBy("doc_a", "doc_b")),
 
     // ----- SimHash fingerprints -----
     Q("q20_simhash",
@@ -2267,9 +2266,8 @@ object AnalyticsQueries {
              |ORDER BY c.doc_a, c.doc_b""".stripMargin),
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val cand = Dedup.minhashCandidates(
-          Dedup.minhashBandsFromDocs(docs, "doc_id", "text",
-            n = 3, numHashes = 8, bandSize = 2), maxBucket = 1000)
+        val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, bandSize = 2, maxBucket = 1000)
         Dedup.editDistanceVerify(cand, docs, "doc_id", "text",
             maxDist = 100)
           .orderBy("doc_a", "doc_b")
@@ -3301,9 +3299,8 @@ object AnalyticsQueries {
         val t = Dedup.ngramJaccardPairsFromDocs(docs, "doc_id", "text",
             minJaccard = 0.5, n = 3, maxDocFreq = 1000)
           .select(col("doc_a"), col("doc_b"), lit(1).as("in_true"))
-        val c = Dedup.minhashCandidates(
-            Dedup.minhashBandsFromDocs(docs, "doc_id", "text",
-              n = 3, numHashes = 8, bandSize = 2), maxBucket = 1000)
+        val c = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+            n = 3, numHashes = 8, bandSize = 2, maxBucket = 1000)
           .select(col("doc_a"), col("doc_b"), lit(1).as("in_cand"))
         val it = coalesce(col("in_true"), lit(0))
         val ic = coalesce(col("in_cand"), lit(0))
@@ -3458,9 +3455,8 @@ object AnalyticsQueries {
       Some(pageRankOracleSql(iters = 10, damping = 0.85)),
       (s, dir) =>
         graft.analytics.Graph.pageRank(
-            Dedup.minhashCandidates(
-              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
-                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+            Dedup.minhashCandidatePairs(Tables(s, dir, "documents"),
+              "doc_id", "text", n = 3, numHashes = 8, bandSize = 2,
               maxBucket = 1000),
             "doc_a", "doc_b", iters = 10, damping = 0.85)
           .orderBy("node")),
@@ -3496,9 +3492,8 @@ object AnalyticsQueries {
              |ORDER BY node""".stripMargin),
       (s, dir) =>
         graft.analytics.Graph.triangleCounts(
-            Dedup.minhashCandidates(
-              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
-                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+            Dedup.minhashCandidatePairs(Tables(s, dir, "documents"),
+              "doc_id", "text", n = 3, numHashes = 8, bandSize = 2,
               maxBucket = 1000),
             "doc_a", "doc_b")
           .orderBy("node")),
@@ -3796,9 +3791,8 @@ object AnalyticsQueries {
       Some(kCoreOracleSql(k = 2, rounds = 8)),
       (s, dir) =>
         graft.analytics.Graph.kCore(
-            Dedup.minhashCandidates(
-              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
-                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+            Dedup.minhashCandidatePairs(Tables(s, dir, "documents"),
+              "doc_id", "text", n = 3, numHashes = 8, bandSize = 2,
               maxBucket = 1000),
             "doc_a", "doc_b", k = 2, rounds = 8)
           .orderBy("node")),
@@ -3859,9 +3853,8 @@ object AnalyticsQueries {
       Some(bradleyTerryOracleSql(iters = 10)),
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val cand = Dedup.minhashCandidates(
-          Dedup.minhashBandsFromDocs(docs, "doc_id", "text",
-            n = 3, numHashes = 8, bandSize = 2), maxBucket = 1000)
+        val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          n = 3, numHashes = 8, bandSize = 2, maxBucket = 1000)
         val cmp = cand
           .join(docs.select(col("doc_id").as("doc_a"),
             col("n_chars").as("la")), Seq("doc_a"))
@@ -4045,9 +4038,8 @@ object AnalyticsQueries {
       Some(labelPropOracleSql(rounds = 5)),
       (s, dir) =>
         graft.analytics.Graph.labelPropagation(
-          Dedup.minhashCandidates(
-            Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
-              "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+          Dedup.minhashCandidatePairs(Tables(s, dir, "documents"),
+            "doc_id", "text", n = 3, numHashes = 8, bandSize = 2,
             maxBucket = 1000),
           "doc_a", "doc_b", rounds = 5)
           .orderBy("node")),

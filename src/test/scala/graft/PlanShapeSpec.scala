@@ -481,7 +481,9 @@ class PlanShapeSpec extends SparkTestBase {
   test("bm25TopK: query terms probe the postings by broadcast and the " +
        "candidate stream partial-aggregates before its one exchange") {
     import org.apache.spark.sql.functions._
-    val df = analytics.Retrieval.bm25TopK(
+    // the un-memoized pipeline: a memo hit is a parquet scan with no
+    // plan to audit (the memo's own behavior is pinned in MemoSpec)
+    val df = analytics.Retrieval.bm25TopKCompute(
       queries.Tables(spark, "/root/testdata/sf0.001", "documents"),
       "doc_id", "text", col("doc_id") % 100 === 0, k = 5)
     val plan = executedPlan(df)

@@ -1,0 +1,142 @@
+package graft.analytics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The session frame memo (Memo.scala): catalog gates legitimately share
+  * expensive deterministic subtrees (the q19 LSH candidate graph feeds
+  * five graph-family gates; the BM25 ranking feeds its own gate and the
+  * retrieval-metrics gate) — the engine caches the derived frame as a
+  * parquet snapshot keyed by the canonicalized input plans, so the
+  * second consumer reads a two-column scan instead of re-running the
+  * pipeline, while every gate stays independently verifiable (a hit is
+  * bit-identical to a recompute). */
+class MemoSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs(tag: String) = (1 to 80).map { i =>
+    val base = s"$tag alpha beta gamma $i delta epsilon zeta " +
+      s"w${i % 5} w${i % 7} w${i % 11} tail tokens here"
+    val text = if (i % 2 == 0) base
+      else s"$tag alpha beta gamma ${i - 1} delta epsilon zeta " +
+        s"w${(i - 1) % 5} w${(i - 1) % 7} w${(i - 1) % 11} tail tokens here x"
+    (i.toLong, text)
+  }.toDF("doc_id", "text")
+
+  test("getOrCompute builds once per key, hits on the identical key " +
+       "bit-for-bit, and fragments the key on params") {
+    val memo = new FrameMemo("spec")
+    val in = Seq((1, "a"), (2, "b"), (2, "b")).toDF("k", "v")
+    var builds = 0
+    def call(p: String) = memo.getOrCompute(Seq(in), p) {
+      builds += 1
+      in.groupBy($"k", $"v").agg(count(lit(1)).as("n"))
+    }
+    val first = call("p1").orderBy("k").collect().map(_.toString).toSeq
+    assert(builds == 1 && memo.hits.get() == 0)
+    val second = call("p1").orderBy("k").collect().map(_.toString).toSeq
+    assert(builds == 1, "identical key must not rebuild")
+    assert(memo.hits.get() == 1)
+    assert(second == first, "a memo hit must be bit-identical")
+    call("p2")
+    assert(builds == 2, "different params must compute their own entry")
+  }
+
+  test("two SEPARATE reads of the same parquet path share one entry " +
+       "(canonicalized-plan key), and invalidate forces a rebuild") {
+    val memo = new FrameMemo("spec2")
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_spec")
+    try {
+      Seq((1L, "x"), (2L, "y")).toDF("id", "t")
+        .write.mode("overwrite").parquet(dir.toString)
+      var builds = 0
+      def call() = memo.getOrCompute(
+        Seq(spark.read.parquet(dir.toString)), "p") {
+        builds += 1
+        spark.read.parquet(dir.toString).select($"id")
+      }
+      call(); call()
+      assert(builds == 1,
+        "separate reads of one path must share the memo entry")
+      memo.invalidate()
+      call()
+      assert(builds == 2, "invalidate must force a rebuild")
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("LSH candidate graph: the second gate-shaped consumer reads the " +
+       "first consumer's snapshot and matches a direct recompute") {
+    val d = docs("candmemo")
+    val direct = Dedup.minhashCandidates(
+        Dedup.minhashBandsFromDocs(d, "doc_id", "text"), maxBucket = 1000)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+    assert(direct.nonEmpty, "fixture must produce candidate pairs")
+    val c1 = Dedup.minhashCandidatePairs(d, "doc_id", "text")
+    val hitsBefore = Dedup.candidateMemo.hits.get()
+    val c2 = Dedup.minhashCandidatePairs(d, "doc_id", "text")
+    assert(Dedup.candidateMemo.hits.get() == hitsBefore + 1,
+      "second consumer must hit the memo")
+    // both consumers read the SAME parquet snapshot files
+    assert(c1.inputFiles.nonEmpty &&
+      c2.inputFiles.sorted.sameElements(c1.inputFiles.sorted),
+      "second consumer must read the first's snapshot")
+    assert(c2.orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+      == direct, "memoized pairs must equal the direct recompute")
+    // a different cap is a different graph — must not share the entry
+    val capped = Dedup.minhashCandidatePairs(d, "doc_id", "text",
+      maxBucket = 999)
+    assert(!capped.inputFiles.sorted.sameElements(c1.inputFiles.sorted),
+      "different params must snapshot separately")
+  }
+
+  test("bm25 rank memo: the identical gate call shares the snapshot; a " +
+       "different k computes its own; hit equals the direct recompute") {
+    val d = docs("bm25memo")
+    val pred = col("doc_id") % 10 === 0
+    val direct = Retrieval.bm25TopKCompute(d, "doc_id", "text", pred, k = 5)
+      .orderBy("qid", "rn").collect().map(_.toString).toSeq
+    assert(direct.nonEmpty)
+    val r1 = Retrieval.bm25TopK(d, "doc_id", "text", pred, k = 5)
+    val r2 = Retrieval.bm25TopK(d, "doc_id", "text", pred, k = 5)
+    assert(r1.inputFiles.nonEmpty &&
+      r2.inputFiles.sorted.sameElements(r1.inputFiles.sorted),
+      "identical ranking call must share the snapshot")
+    assert(r2.orderBy("qid", "rn").collect().map(_.toString).toSeq
+      == direct, "memoized ranking must equal the direct recompute")
+    val r3 = Retrieval.bm25TopK(d, "doc_id", "text", pred, k = 3)
+    assert(!r3.inputFiles.sorted.sameElements(r1.inputFiles.sorted),
+      "a different k must compute its own ranking")
+    assert(r3.count() < r2.count())
+  }
+
+  test("Memo.invalidateAll drops frame snapshots AND trained models " +
+       "(the REFRESH-TABLE moral equivalent for in-place overwrites)") {
+    val d = docs("invalidate")
+    val c1 = Dedup.minhashCandidatePairs(d, "doc_id", "text")
+    val files1 = c1.inputFiles.toSeq
+    // model memo side: train twice, second must hit
+    val label = col("doc_id") % 2 === 0
+    Selection.logregTrain(d, "doc_id", "text", label, dim = 8, iters = 2)
+    val mHits = Selection.modelCacheHits.get()
+    Selection.logregTrain(d, "doc_id", "text", label, dim = 8, iters = 2)
+    assert(Selection.modelCacheHits.get() == mHits + 1)
+    Memo.invalidateAll()
+    // frames: same key now recomputes into a NEW snapshot
+    val c2 = Dedup.minhashCandidatePairs(d, "doc_id", "text")
+    assert(!c2.inputFiles.toSeq.sorted.sameElements(files1.sorted),
+      "invalidateAll must drop the frame snapshot")
+    // models: same key now retrains (no new hit)
+    val mHits2 = Selection.modelCacheHits.get()
+    Selection.logregTrain(d, "doc_id", "text", label, dim = 8, iters = 2)
+    assert(Selection.modelCacheHits.get() == mHits2,
+      "invalidateAll must drop trained models")
+  }
+}
