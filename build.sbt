@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output (graft.Bench's one-line JSON artifacts) must reach
+// stdout BARE: the default LoggedOutput strategy prefixes every program
+// line with `[info] `, which has made the driver harness's JSON parse of
+// the bench summary fail three rounds running (BENCH_r08–r10 all
+// `parsed: null`). StdoutOutput pipes the forked process's streams
+// straight through, so the summary is the last unprefixed line before
+// sbt's epilogue.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

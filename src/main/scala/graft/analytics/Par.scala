@@ -45,15 +45,39 @@ object Par {
     * immediately after — the cache-release contracts in Dedup/Graph/etc.
     * hold under either strategy. Long-lived reliable-path sessions
     * should also set `spark.cleaner.referenceTracking.cleanCheckpoints=
-    * true` so checkpoint files are reaped when their RDDs are GC'd —
-    * otherwise the checkpoint dir grows with every materialization.
+    * true` (a STARTUP conf — the cleanup registration reads it when a
+    * checkpoint is created) so checkpoint files are reaped when their
+    * RDDs are GC'd — otherwise the checkpoint dir grows with every
+    * materialization.
+    *
+    * Adoption of `spark.graft.checkpoint.dir` is ONE-WAY and sticky:
+    * the conf is consulted only while the SparkContext has no
+    * checkpoint dir, so the first materialize call pins it for the
+    * session and later conf changes have no effect (SparkContext offers
+    * no unset; tests reset via `setCheckpointDir(null)`). The guard
+    * below keeps two concurrent first calls from racing the adoption.
     */
   def materialize[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      spark.conf.getOption("spark.graft.checkpoint.dir").foreach(sc.setCheckpointDir)
-    if (sc.getCheckpointDir.isDefined) ds.checkpoint(eager = true)
+    if (sc.getCheckpointDir.isEmpty) Par.synchronized {
+      if (sc.getCheckpointDir.isEmpty)
+        spark.conf.getOption("spark.graft.checkpoint.dir")
+          .foreach(sc.setCheckpointDir)
+    }
+    if (sc.getCheckpointDir.isDefined) {
+      // a bare checkpoint(eager) computes the subtree TWICE — the eager
+      // action once, then the ReliableCheckpointRDD write job re-runs
+      // the lineage. Persist first so the write job reads the blocks
+      // the eager action produced (the standard persist-then-checkpoint
+      // idiom), and release the cache after — the checkpoint files
+      // carry the data from here. (Cache substitution happens when the
+      // physical plan is first forced, which for a fresh frame is the
+      // checkpoint action itself.)
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint(eager = true)
+      finally ds.unpersist()
+    }
     // MEMORY_AND_DISK_SER was TRIED here and reverted on a bracketed
     // A/B (array-heavy subset steady 10.9 s -> 12.9 s): at bench
     // volumes the per-reuse deserialization tax beats the block-manager

@@ -248,13 +248,16 @@ object Selection {
     * ~1.5 KB, 64 entries bound a long-lived serving session. */
   private case class ModelKey(
       session: Int,
-      // the CANONICALIZED analyzed plan object, compared by plan
-      // equality — NOT its string form: LocalRelation.toString prints
-      // only the schema, so two in-memory inputs with equal schemas but
-      // different rows would string-collide, while plan equality
-      // compares the data too
+      // the CANONICALIZED analyzed plan object of the training
+      // PROJECTION docs.select(id, text, label), compared by plan
+      // equality — NOT any string form: LocalRelation.toString prints
+      // only the schema (two in-memory inputs with equal schemas but
+      // different rows would string-collide), and label.toString
+      // collided for semantically different expressions that print
+      // identically (int vs long literal in the predicate) — folding
+      // the RESOLVED label expression into the keyed plan compares it
+      // structurally, types included
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      label: String, idCol: String, textCol: String,
       dim: Int, iters: Int, lr: Double)
 
   private val modelCache =
@@ -270,16 +273,21 @@ object Selection {
   /** Drop every memoized model. The memo keys on the input PLAN, not
     * file contents — immutable inputs per session (the lakehouse norm)
     * make that sound, but a long-lived serving session that overwrites
-    * a path in place must invalidate here (the moral equivalent of
-    * Spark's own `REFRESH TABLE`) before retraining picks up new data. */
+    * a path in place must invalidate (the moral equivalent of Spark's
+    * own `REFRESH TABLE`) before retraining picks up new data. The
+    * serving layer does this automatically: GraftServer.publishStaged
+    * calls [[Memo.invalidateAll]] (which includes this) on every
+    * dataset-publishing route, so a long-lived server never scores
+    * with weights trained on a path it has since overwritten. */
   def invalidateModels(): Unit = modelCache.clear()
 
   private def modelKey(docs: DataFrame, idCol: String, textCol: String,
                        label: Column, dim: Int, iters: Int,
                        lr: Double): ModelKey =
     ModelKey(System.identityHashCode(docs.sparkSession),
-      docs.queryExecution.analyzed.canonicalized,
-      label.toString, idCol, textCol, dim, iters, lr)
+      docs.select(col(idCol), col(textCol), label.as("_graft_label"))
+        .queryExecution.analyzed.canonicalized,
+      dim, iters, lr)
 
   private def logregFit(feats: DataFrame, n: Double, dim: Int,
                         iters: Int, lr: Double): Array[Double] = {

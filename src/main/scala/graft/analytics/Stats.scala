@@ -1486,34 +1486,38 @@ object Stats {
       .select($"grp", $"v", $"n", $"cdf")
     val p = w.groupBy($"v").agg(count(lit(1)).cast("long").as("pn"))
     val pt = p.agg(sum($"pn").cast("long").as("pt"))
-    // pooled-grid prefix sum, SIZE-GATED: the pooled grid is at most
-    // gRows (distinct (group, value) pairs, known for free from the
-    // materialized g), so when that bound fits one comfortable sort
-    // task the CDF is a single global window over the grid — the shape
-    // the catalog already accepts for distinct-value grids — and the
-    // range shuffle + checkpoint + offsets machinery (three extra jobs)
-    // never runs. Past the gate (a 100 TB continuous column), the
-    // two-level distributed prefix sum takes over: range-partition by
-    // value, per-partition running totals, a broadcast per-partition
-    // offset table — the only unpartitioned window runs over that
-    // <= numPartitions-row table. The checkpoint after the range
+    // pooled-grid prefix sum, SIZE-GATED on the POOLED grid size
+    // (distinct values): when the grid fits one comfortable sort task
+    // the CDF is a single global window over it — the shape the catalog
+    // already accepts for distinct-value grids — and the range shuffle
+    // + checkpoint + offsets machinery (three extra jobs) never runs.
+    // Past the gate (a 100 TB continuous column), the two-level
+    // distributed prefix sum takes over: range-partition by value,
+    // per-partition running totals, a broadcast per-partition offset
+    // table — the only unpartitioned window runs over that
+    // <= numPartitions-row table; the checkpoint after the range
     // partition pins ONE pid assignment for the offsets scan and the
-    // in-partition window.
-    val gRows = g.count()
+    // in-partition window. The SAME pooled count sizes the bucket dial
+    // below in BOTH branches (the bound that matters for gate and dial
+    // alike is the pooled-CDF sort/explode volume, not the per-group
+    // grid, which an earlier revision used in the single-window
+    // branch). Derived from the materialized g (a grid-sized distinct
+    // over checkpointed blocks), so the gate job never rescans the
+    // corpus.
+    val grid = g.select($"v").distinct().count()
     // conf-overridable so a spec can force the distributed branch at
     // test volumes (and a cluster can lower it if one sort task of 4M
     // grid rows is too hot for its executors)
     val singleTaskGate = spark.conf
       .get("spark.graft.quantile.singleTaskGate", "4000000").toLong
-    val (pIv, grid) = if (gRows <= singleTaskGate) {
+    val pIv = if (grid <= singleTaskGate) {
       val wAll = Window.orderBy($"v")
         .rowsBetween(Window.unboundedPreceding, 0)
-      (p.crossJoin(broadcast(pt))
+      p.crossJoin(broadcast(pt))
         .withColumn("cum", sum($"pn").over(wAll))
         .select($"v".as("pvl"),
           (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
-          ($"cum".cast("double") / $"pt".cast("double")).as("hi")),
-        gRows)
+          ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
     } else {
       val parts = p.repartitionByRange($"v")
         .withColumn("pid", spark_partition_id())
@@ -1530,24 +1534,23 @@ object Stats {
       // lo = (cum - pn)/pt — the previous row computes ITS hi from the
       // identical integers, so consecutive intervals share their exact
       // boundary double and the intervals partition (0, 1]
-      (parts.join(broadcast(offsets), "pid")
+      parts.join(broadcast(offsets), "pid")
         .crossJoin(broadcast(pt))
         .withColumn("cum", sum($"pn").over(inPart) + $"off")
         .select($"v".as("pvl"),
           (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
-          ($"cum".cast("double") / $"pt".cast("double")).as("hi")),
-        parts.count())
+          ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
     }
     // bucketed as-of with an ADAPTIVE bucket count ~ the pooled grid
     // size: an interval explodes to every bucket it overlaps (total
     // <= grid + nB rows — an interval spanning k extra buckets carries
     // >= k/nB of ALL pooled mass), group rows hash-join their one
     // bucket. The bucket count is the cross-term dial: the join emits
-    // ~ gRows x grid / nB candidate rows before the residual interval
+    // ~ groupGrid x grid / nB candidate rows before the residual interval
     // test, so a FIXED 4096 against a 10^5-10^6-value grid
     // (l_extendedprice-like continuous columns) manufactures a 100x
     // row blow-up the filter then discards; nB ~ grid keeps candidates
-    // ~ gRows at the price of <= grid extra explode rows. Bounded to
+    // ~ groupGrid at the price of <= grid extra explode rows. Bounded to
     // [4096, 1<<22] so tiny inputs keep dense buckets and the explode
     // stays sane at any scale. nB never changes the OUTPUT (exact
     // interval ownership) — only the candidate volume.

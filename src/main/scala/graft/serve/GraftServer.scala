@@ -352,6 +352,12 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    // publishing may OVERWRITE a path a memoized operator (trained
+    // model, candidate graph, ranking — Memo.scala) already read in
+    // this session: invalidate engine-wide, the REFRESH-TABLE moral
+    // equivalent, so a long-lived server never serves results derived
+    // from replaced data
+    if (staged.nonEmpty) graft.analytics.Memo.invalidateAll()
   }
 
   private def downloadUrl(out: Path): String =

@@ -10,6 +10,10 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // a STARTUP conf (read when a reliable checkpoint registers for
+      // cleanup): lets ParSpec assert that long-lived reliable-path
+      // sessions actually reap checkpoint files on RDD GC
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

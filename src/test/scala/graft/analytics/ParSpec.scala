@@ -107,6 +107,62 @@ class ParSpec extends SparkTestBase {
     }
   }
 
+  test("reliable checkpoint files are REAPED when their RDD is GC'd " +
+       "(the cleanCheckpoints receipt for long-lived sessions): the " +
+       "dropped frame's files go, the live frame's files stay") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "checkpoint dir leaked in")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_gc")
+    def files(): Set[String] = {
+      val walk = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.toString).toSet
+      } finally walk.close()
+    }
+    spark.conf.set("spark.graft.checkpoint.dir", dir.toString)
+    try {
+      // first materialization in a throwaway scope: its frame is the
+      // GC candidate (returns only the row count)
+      def dropped(): Long =
+        Par.materialize((1 to 500).toDF("v").filter($"v" > 1)).count()
+      assert(dropped() == 499)
+      val afterFirst = files()
+      assert(afterFirst.nonEmpty, "reliable path must write files")
+      // second materialization stays strongly referenced throughout
+      val kept = Par.materialize((1 to 500).toDF("w").filter($"w" > 2))
+      val keptFiles = files() -- afterFirst
+      assert(keptFiles.nonEmpty, "second checkpoint must write its own files")
+      // drop the first frame's only references, GC, and wait for the
+      // ContextCleaner (async, reference-queue driven) to reap
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      var live = files()
+      while ((live & afterFirst).nonEmpty && System.nanoTime < deadline) {
+        System.gc()
+        Thread.sleep(250)
+        live = files()
+      }
+      assert((live & afterFirst).isEmpty,
+        "the GC'd frame's checkpoint files must be reaped " +
+          s"(still present: ${(live & afterFirst).take(3)})")
+      assert((keptFiles -- live).isEmpty,
+        "the live frame's checkpoint files must survive the sweep")
+      assert(kept.count() == 498, "the live frame must still read")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      sc.setCheckpointDir(null)
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("default path still truncates lineage via localCheckpoint") {
     import spark.implicits._
     val out = Par.materialize(Seq(1, 2, 3).toDF("v").filter($"v" > 1))

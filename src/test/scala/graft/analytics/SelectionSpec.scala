@@ -288,6 +288,14 @@ class SelectionSpec extends SparkTestBase {
       col("y") === 1, dim = 32, iters = 8).collect()
     assert(Selection.modelCacheHits.get() == before + 2,
       "a different iteration count must be a cache miss")
+    // the label keys on its RESOLVED expression, not its string form:
+    // an int- vs long-literal predicate prints identically ("(y = 1)")
+    // but differs structurally (the analyzed plan carries the cast) —
+    // it must MISS, never collide
+    Selection.logregQuality(docs, "doc_id", "text",
+      col("y") === 1L, dim = 32, iters = 7).collect()
+    assert(Selection.modelCacheHits.get() == before + 2,
+      "a structurally different label must be a cache miss")
     // explicit invalidation (the in-place-overwrite escape hatch)
     // forces the next identical consumer to retrain
     Selection.invalidateModels()

@@ -386,28 +386,71 @@ class GraftServerSpec extends SparkTestBase {
 
   test("publishStaged: a staged DIRECTORY fails loudly instead of being " +
        "silently deleted into a 404; flat files still publish") {
-    withServer { srv =>
-      val dataDir = Files.createTempDirectory("graft_pub")
-      try {
-        val stage = Files.createTempDirectory(dataDir, ".stage_")
-        Files.writeString(stage.resolve("ok.csv"), "a;b\n1;2\n")
-        Files.createDirectory(stage.resolve("part-dir"))
-        val e = intercept[IllegalArgumentException](srv.publishStaged(stage))
-        assert(e.getMessage.contains("non-regular-file"),
-          s"wrong failure: ${e.getMessage}")
-        // flat staging publishes (idempotent replace of an existing file)
-        val stage2 = Files.createTempDirectory(dataDir, ".stage_")
-        Files.writeString(stage2.resolve("ok.csv"), "a;b\n3;4\n")
-        srv.publishStaged(stage2)
-        // the server publishes into ITS OWN dataDir, not this temp one —
-        // the call not throwing and draining the staging dir is the pin
-        assert(!Files.exists(stage2.resolve("ok.csv")),
-          "staged file should have been moved out")
-      } finally {
-        val walk = Files.walk(dataDir)
-        val all = try walk.iterator().asScala.toSeq finally walk.close()
-        all.reverse.foreach(Files.deleteIfExists(_))
-      }
+    // a THROWAWAY server with its own dataDir: publishing into the
+    // shared withServer fixture's dataDir would leak ok.csv across the
+    // suite's later download/listing assertions
+    val dataDir = Files.createTempDirectory("graft_pub")
+    val srv = new GraftServer(spark, dataDir)
+    try {
+      val stage = Files.createTempDirectory(dataDir, ".stage_")
+      Files.writeString(stage.resolve("ok.csv"), "a;b\n1;2\n")
+      Files.createDirectory(stage.resolve("part-dir"))
+      val e = intercept[IllegalArgumentException](srv.publishStaged(stage))
+      assert(e.getMessage.contains("non-regular-file"),
+        s"wrong failure: ${e.getMessage}")
+      // flat staging publishes (idempotent replace of an existing file)
+      val stage2 = Files.createTempDirectory(dataDir, ".stage_")
+      Files.writeString(stage2.resolve("ok.csv"), "a;b\n3;4\n")
+      srv.publishStaged(stage2)
+      assert(!Files.exists(stage2.resolve("ok.csv")),
+        "staged file should have been moved out")
+      assert(Files.readString(dataDir.resolve("ok.csv")) == "a;b\n3;4\n",
+        "flat staging must publish into the server's dataDir")
+    } finally {
+      srv.stop()
+      val walk = Files.walk(dataDir)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("publishStaged invalidates the session memos: a scorer over an " +
+       "overwritten dataset path RETRAINS instead of serving stale " +
+       "weights (the r10 staleness contract, now wired)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft_pub_inval")
+    val srv = new GraftServer(spark, dataDir)
+    try {
+      // a dataset the server serves and a scorer trains on
+      val path = dataDir.resolve("docs.parquet").toString
+      (0L until 30L).map { i =>
+        (i, if (i % 2 == 0) "good clean prose text here"
+            else "spam junk garbage noise blob")
+      }.toDF("doc_id", "text").write.mode("overwrite").parquet(path)
+      def train() = graft.analytics.Selection.logregTrain(
+        spark.read.parquet(path), "doc_id", "text",
+        col("doc_id") % 2 === 0, dim = 16, iters = 3).count()
+      train()
+      val hits = graft.analytics.Selection.modelCacheHits.get()
+      train()
+      assert(graft.analytics.Selection.modelCacheHits.get() == hits + 1,
+        "second identical training must hit the model memo")
+      // the server publishes (a route just overwrote data in dataDir)
+      val stage = Files.createTempDirectory(dataDir, ".stage_")
+      Files.writeString(stage.resolve("refresh.csv"), "a;b\n1;2\n")
+      srv.publishStaged(stage)
+      // the next identical training must MISS — fresh weights, not the
+      // memo entry keyed on the pre-publish read
+      val hits2 = graft.analytics.Selection.modelCacheHits.get()
+      train()
+      assert(graft.analytics.Selection.modelCacheHits.get() == hits2,
+        "publish must invalidate the model memo (stale-weight guard)")
+    } finally {
+      srv.stop()
+      val walk = Files.walk(dataDir)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }
