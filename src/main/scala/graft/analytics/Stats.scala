@@ -1501,10 +1501,12 @@ object Stats {
     // below in BOTH branches (the bound that matters for gate and dial
     // alike is the pooled-CDF sort/explode volume, not the per-group
     // grid, which an earlier revision used in the single-window
-    // branch). Derived from the materialized g (a grid-sized distinct
-    // over checkpointed blocks), so the gate job never rescans the
-    // corpus.
-    val grid = g.select($"v").distinct().count()
+    // branch). Derived from the materialized g via approx_count_distinct
+    // (one partial-aggregated pass over checkpointed blocks — an EXACT
+    // distinct cost a measured ~0.7 s extra shuffle job here, and
+    // neither the 4M gate nor the dial needs exactness: nB never
+    // changes the output, only candidate volume).
+    val grid = g.agg(approx_count_distinct($"v")).head.getLong(0)
     // conf-overridable so a spec can force the distributed branch at
     // test volumes (and a cluster can lower it if one sort task of 4M
     // grid rows is too hot for its executors)
