@@ -28,15 +28,19 @@ object Preference {
     *
     * Scale shape: the match table is node-keyed `(i, j, n_ij)`
     * (symmetrized, persisted); each round is two node-keyed joins of
-    * the theta table against it + one aggregate + a broadcast 1-row
-    * geometric-mean normalize — the pageRank round shape, and like
-    * pageRank the fixed-iteration recurrence with interpolated
-    * constants lets a SQL oracle replay it exactly (per-round theta is
-    * `Par.materialize`d: the normalize references each round's raw
-    * scores twice, and without truncation the lazy plan doubles per
-    * round). Self-comparisons are dropped. Deterministic to the
-    * rounded places: float addition order perturbs ulps the final
-    * round-6 absorbs.
+    * the theta table against it + one aggregate + a geometric-mean
+    * normalize — the pageRank round shape, and like pageRank the
+    * fixed-iteration recurrence with interpolated constants lets a SQL
+    * oracle replay it exactly. The round's RAW scores are
+    * `Par.materialize`d and the normalizer collects as ONE driver
+    * scalar over the checkpointed blocks (pageRank's N precedent):
+    * normalizing through a broadcast subtree instead made every round's
+    * materialization evaluate the join+aggregate pipeline TWICE — once
+    * for the scores, once inside the broadcast — a measured ~25% of
+    * q199's round cost. Theta itself stays a lazy projection over the
+    * round's blocks, so lineage is one round deep either way.
+    * Self-comparisons are dropped. Deterministic to the rounded places:
+    * float addition order perturbs ulps the final round-6 absorbs.
     *
     * Output: (node, n_games, wins, score) — score rounded 6 via the
     * scaled-integer pattern, geometric mean ~1, higher = stronger. */
@@ -69,10 +73,14 @@ object Preference {
       val raw = base.join(d, Seq("node"))
         .select($"node", (($"wins" + 1).cast("double") /
           ($"dsum" + lit(2.0) / ($"ti" + lit(1.0)))).as("score"))
-      val g = raw.agg(exp(avg(log($"score"))).as("g"))
-      th = raw.crossJoin(broadcast(g))
-        .select($"node", ($"score" / $"g").as("th"))
         .materialized()
+      // the normalizer is ONE scalar over the round's checkpointed
+      // blocks; same double either as a literal or a broadcast column,
+      // but the broadcast form re-evaluated the whole round pipeline a
+      // second time inside the materialization
+      val gRow = raw.agg(exp(avg(log($"score"))).as("g")).head()
+      val g = if (gRow.isNullAt(0)) 1.0 else gRow.getDouble(0)
+      th = raw.select($"node", ($"score" / lit(g)).as("th"))
     }
     val projected = base.join(th, Seq("node"))
       .select($"node", $"n_games", $"wins",
