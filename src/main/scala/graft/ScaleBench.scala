@@ -189,6 +189,18 @@ object ScaleBench {
         "q19_minhash_lsh" -> (() =>
           analytics.Dedup.minhashCandidates(
             analytics.Dedup.minhashBandsFromDocs(docs, "doc_id", "text")).count()),
+        // memo receipt: the catalog's graph-family gates consume ONE
+        // memoized candidate snapshot (Memo.scala) — price the build
+        // (first call at this scale: pipeline + parquet snapshot write)
+        // against the hit (second call: a two-column scan). Each scale
+        // point's docs frame is a distinct key, so within one
+        // ScaleBench run _build is always a true first call.
+        "q19_cand_memo_build" -> (() =>
+          analytics.Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+            .count()),
+        "q19_cand_memo_hit" -> (() =>
+          analytics.Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+            .count()),
         // signature bits scale with log2(n): a FIXED bit width saturates
         // (buckets per band are constant, so chance candidates grow n²/2^b).
         // 6 bits at n=2k keeps E[bucket] ≈ 31; hold that ratio as n grows.
