@@ -34,16 +34,30 @@ object Baskets {
                         itemCol: String, minSupport: Long = 1L,
                         maxBasket: Int = 1000): DataFrame = {
     require(minSupport >= 1L && maxBasket >= 2, "need minSupport >= 1, maxBasket >= 2")
-    val spark = items.sparkSession
-    import spark.implicits._
-    val bif = basketItems(items, basketCol, itemCol, maxBasket)
-    bif.select($"bk", $"it".as("item_a"))
-      .join(bif.select($"bk", $"it".as("item_b")), Seq("bk"))
-      .filter($"item_a" < $"item_b")
-      .groupBy($"item_a", $"item_b")
-      .agg(count(lit(1)).cast("long").as("pair_n"))
-      .filter($"pair_n" >= minSupport)
+    pairCounts(items, basketCol, itemCol, maxBasket)
+      .filter(col("pair_n") >= minSupport)
   }
+
+  /** The shared pair tally (item_a, item_b, pair_n) over the capped
+    * basket relation, MEMOIZED at the support-1 superset: minSupport is
+    * a final filter, so one snapshot of the per-basket quadratic
+    * expansion + pair aggregate serves the co-purchase graph gate
+    * (q202's Adamic-Adar input) and the association-rules gate alike. */
+  private def pairCounts(items: DataFrame, basketCol: String,
+                         itemCol: String, maxBasket: Int): DataFrame =
+    pairMemo.getOrCompute(
+      Seq(items.select(col(basketCol), col(itemCol))), s"cap=$maxBasket") {
+      val spark = items.sparkSession
+      import spark.implicits._
+      val bif = basketItems(items, basketCol, itemCol, maxBasket)
+      bif.select($"bk", $"it".as("item_a"))
+        .join(bif.select($"bk", $"it".as("item_b")), Seq("bk"))
+        .filter($"item_a" < $"item_b")
+        .groupBy($"item_a", $"item_b")
+        .agg(count(lit(1)).cast("long").as("pair_n"))
+    }
+
+  private[graft] val pairMemo = new FrameMemo("basket_pairs")
 
   /** Pairwise association rules over the same capped basket relation:
     * each supported pair emits BOTH directed rules (a -> b) and
@@ -69,11 +83,9 @@ object Baskets {
     import spark.implicits._
     val bif = basketItems(items, basketCol, itemCol, maxBasket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = bif.select($"bk", $"it".as("item_a"))
-      .join(bif.select($"bk", $"it".as("item_b")), Seq("bk"))
-      .filter($"item_a" < $"item_b")
-      .groupBy($"item_a", $"item_b")
-      .agg(count(lit(1)).cast("long").as("pair_n"))
+    // the pair tally rides the shared memoized snapshot (pairCounts);
+    // bif stays persisted for the item/basket marginals below
+    val pairs = pairCounts(items, basketCol, itemCol, maxBasket)
       .filter($"pair_n" >= minPairSupport)
     val itemN = bif.groupBy($"it")
       .agg(count(lit(1)).cast("long").as("item_n"))

@@ -40,8 +40,6 @@ object Cluster {
                     k: Int, iters: Int): (DataFrame, Seq[Seq[Double]]) = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val (v, _) = Pq.vectors(Par.ensure(emb), idCol, vecCol)
-    var cents: Seq[Seq[Double]] = Pq.codebookRows(v, k)
-    require(cents.size == k, s"corpus has fewer than $k vectors")
 
     def assigned(cb: Seq[Seq[Double]]): DataFrame = {
       val enc = graft.functions.PqKernels.pqEncode(col("v"), cb, m = 1)
@@ -50,26 +48,41 @@ object Cluster {
         enc.getField("qerr").as("d2"))
     }
 
-    for (_ <- 1 until iters) {
-      // element-wise mean per cluster: (cluster, pos)-keyed partial-agg
-      // shuffle; k×dim rows to the driver. round(,6) INSIDE the query:
-      // Spark's round and DuckDB's round are both half-away-from-zero, so
-      // the exchanged model is the engines' common fixed point (a
-      // driver-side math.rint would be half-EVEN).
-      val means = assigned(cents)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(round(avg(col("x")), 6).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .view.mapValues(rows =>
-          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        .toMap
-      cents = cents.zipWithIndex.map { case (old, c) =>
-        means.getOrElse(c, old)
+    // the trained model is k x dim driver doubles derived
+    // deterministically from (emb, k, iters) — memoize it (ValueMemo)
+    // so the six clustering-family gates that organize the SAME corpus
+    // with the SAME hyperparams train Lloyd once per session; each
+    // gate's map-side assignment still runs on its own plan
+    val cents = centroidMemo.getOrCompute(
+      Seq(emb.select(col(idCol), col(vecCol))), s"k=$k,iters=$iters") {
+      var cb: Seq[Seq[Double]] = Pq.codebookRows(v, k)
+      require(cb.size == k, s"corpus has fewer than $k vectors")
+      for (_ <- 1 until iters) {
+        // element-wise mean per cluster: (cluster, pos)-keyed partial-agg
+        // shuffle; k×dim rows to the driver. round(,6) INSIDE the query:
+        // Spark's round and DuckDB's round are both half-away-from-zero,
+        // so the exchanged model is the engines' common fixed point (a
+        // driver-side math.rint would be half-EVEN).
+        val means = assigned(cb)
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos").agg(round(avg(col("x")), 6).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .view.mapValues(rows =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .toMap
+        cb = cb.zipWithIndex.map { case (old, c) =>
+          means.getOrElse(c, old)
+        }
       }
+      cb
     }
+    require(cents.size == k, s"corpus has fewer than $k vectors")
     (assigned(cents), cents)
   }
+
+  private[graft] val centroidMemo =
+    new ValueMemo[Seq[Seq[Double]]]("kmeans_centroids")
 
   /** Assign every vector to a cluster after `iters` Lloyd iterations.
     * Output: (vec_id, cluster, dist2) — final squared distance to the

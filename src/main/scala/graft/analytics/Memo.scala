@@ -41,18 +41,59 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object Memo {
 
-  private val frames =
-    new java.util.concurrent.CopyOnWriteArrayList[FrameMemo]()
+  private val memos =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionMemo]()
 
-  private[analytics] def register(m: FrameMemo): Unit = frames.add(m)
+  private[analytics] def register(m: SessionMemo): Unit = memos.add(m)
 
-  /** Drop every memoized frame AND every memoized trained model,
+  /** Drop every memoized frame/value AND every memoized trained model,
     * engine-wide. Call after overwriting any dataset a memoized
     * operator may have read. */
   def invalidateAll(): Unit = {
-    frames.asScala.foreach(_.invalidate())
+    memos.asScala.foreach(_.invalidate())
     Selection.invalidateModels()
   }
+}
+
+/** Common surface of the session memos, for central invalidation. */
+private[graft] trait SessionMemo { def invalidate(): Unit }
+
+/** Plan-keyed LRU of DRIVER-SIDE values (trained centroid models,
+  * bounded dictionaries — anything model-sized that gates re-derive
+  * from the same inputs). The value lives on the driver, so unlike
+  * [[FrameMemo]] no snapshot lifecycle exists; the soundness contract
+  * is the same — the computing closure must be a deterministic
+  * function of the keyed inputs. */
+private[graft] final class ValueMemo[V](name: String, maxEntries: Int = 64)
+    extends SessionMemo {
+
+  Memo.register(this)
+
+  private case class Key(session: Int, plans: Seq[LogicalPlan], params: String)
+
+  private val cache =
+    new java.util.LinkedHashMap[Key, V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Key, V]): Boolean = size() > maxEntries
+    }
+
+  private[graft] val hits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def getOrCompute(inputs: Seq[DataFrame], params: String)(build: => V): V = {
+    require(inputs.nonEmpty, "memo needs at least one input frame")
+    val key = Key(System.identityHashCode(inputs.head.sparkSession),
+      inputs.map(_.queryExecution.analyzed.canonicalized), params)
+    synchronized { Option(cache.get(key)) } match {
+      case Some(v) => hits.incrementAndGet(); v
+      case None =>
+        val v = build
+        synchronized {
+          Option(cache.get(key)).getOrElse { cache.put(key, v); v }
+        }
+    }
+  }
+
+  def invalidate(): Unit = synchronized { cache.clear() }
 }
 
 /** One memo table: plan-keyed LRU of parquet-snapshot directories.
@@ -61,7 +102,8 @@ object Memo {
   * earlier and still being consumed when its entry is evicted would
   * lose its files, so the cap is sized well above any realistic number
   * of live distinct keys). */
-private[graft] final class FrameMemo(name: String, maxEntries: Int = 32) {
+private[graft] final class FrameMemo(name: String, maxEntries: Int = 32)
+    extends SessionMemo {
 
   Memo.register(this)
 

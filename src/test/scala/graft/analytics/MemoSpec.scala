@@ -117,6 +117,28 @@ class MemoSpec extends SparkTestBase {
     assert(r3.count() < r2.count())
   }
 
+  test("kmeans centroid memo (ValueMemo): the second clustering-family " +
+       "consumer reuses the trained model and assigns identically") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(j => ((i % 4) * 10 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val first = Cluster.kmeansAssign(emb, "vec_id", "embedding",
+        k = 4, iters = 3)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val hits = Cluster.centroidMemo.hits.get()
+    val second = Cluster.kmeansAssign(emb, "vec_id", "embedding",
+        k = 4, iters = 3)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(Cluster.centroidMemo.hits.get() == hits + 1,
+      "second consumer must reuse the trained centroids")
+    assert(second == first, "memoized model must assign bit-identically")
+    // different k is a different model
+    Cluster.kmeansAssign(emb, "vec_id", "embedding", k = 3, iters = 3)
+      .collect()
+    assert(Cluster.centroidMemo.hits.get() == hits + 1,
+      "different hyperparams must retrain")
+  }
+
   test("Memo.invalidateAll drops frame snapshots AND trained models " +
        "(the REFRESH-TABLE moral equivalent for in-place overwrites)") {
     val d = docs("invalidate")
