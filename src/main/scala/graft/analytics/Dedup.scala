@@ -889,22 +889,32 @@ object Dedup {
                              textCol: String, minEstimate: Double,
                              n: Int = 3, numHashes: Int = 8,
                              bandSize: Int = 2,
-                             maxBucket: Int = 1000): DataFrame = {
-    val docs = Par.ensure(docs0)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigsDf = minhashSigs(docs, idCol, textCol, n, numHashes)
-      .materialized()
-    val cand = minhashCandidates(
-      bandsFromSigs(sigsDf, numHashes, bandSize), maxBucket)
-    cand
-      .join(sigsDf.select($"doc".as("doc_a"), $"sigs".as("sa")), Seq("doc_a"))
-      .join(sigsDf.select($"doc".as("doc_b"), $"sigs".as("sb")), Seq("doc_b"))
-      .select($"doc_a", $"doc_b",
-        (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), b => b))
-          .cast("double") / numHashes).as("est"))
-      .filter($"est" >= minEstimate)
-  }
+                             maxBucket: Int = 1000): DataFrame =
+    // memoized at the THRESHOLD-0 superset (the ngramJaccard rule:
+    // minEstimate is a final filter, so one snapshot of the scored LSH
+    // candidate pairs serves the q90 gate, the q257 calibration, and
+    // the q115 cross-group matrix)
+    estimateMemo.getOrCompute(
+      Seq(docs0.select(col(idCol), col(textCol))),
+      s"n=$n,h=$numHashes,bs=$bandSize,cap=$maxBucket") {
+      val docs = Par.ensure(docs0)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val sigsDf = minhashSigs(docs, idCol, textCol, n, numHashes)
+        .materialized()
+      val cand = minhashCandidates(
+        bandsFromSigs(sigsDf, numHashes, bandSize), maxBucket)
+      cand
+        .join(sigsDf.select($"doc".as("doc_a"), $"sigs".as("sa")),
+          Seq("doc_a"))
+        .join(sigsDf.select($"doc".as("doc_b"), $"sigs".as("sb")),
+          Seq("doc_b"))
+        .select($"doc_a", $"doc_b",
+          (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), b => b))
+            .cast("double") / numHashes).as("est"))
+    }.filter(col("est") >= minEstimate)
+
+  private[graft] val estimateMemo = new FrameMemo("minhash_estimate")
 
   /** MinHash estimator CALIBRATION over its own LSH candidates: per
     * exact-Jaccard bucket, the estimator's mean absolute error, signed
