@@ -61,7 +61,25 @@ object Similarity {
     * vectors (excluding itself). `corpus` is broadcast — the baseline for
     * corpora that fit an executor; see [[ivfTopK]] for the scale path. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, k: Int): DataFrame = {
+                     queryPred: Column, k: Int): DataFrame =
+    // memoized per session (Memo.scala): the baseline probe feeds the
+    // knn gate, the knn classifier, MMR's shortlist, and the hybrid
+    // retriever's vector branch — identical (corpus, queries, k) calls
+    // share one deterministic top-k snapshot (round-6 cosines, id
+    // tie-breaks)
+    probeMemo.getOrCompute(
+      Seq(emb.select(col(idCol), col(vecCol)),
+        emb.filter(queryPred).select(col(idCol))),
+      s"k=$k") {
+      bruteForceTopKCompute(emb, idCol, vecCol, queryPred, k)
+    }
+
+  private[graft] val probeMemo = new FrameMemo("brute_topk")
+
+  /** The un-memoized [[bruteForceTopK]] pipeline (plan-shape audits). */
+  private[graft] def bruteForceTopKCompute(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
