@@ -170,21 +170,28 @@ object Baskets {
   }
 
   /** The shared capped basket relation: distinct (basket, item), minus
-    * baskets larger than `maxBasket` in DISTINCT items. */
+    * baskets larger than `maxBasket` in DISTINCT items. Memoized — the
+    * pair tally's build and the rules gate's item/basket marginals all
+    * re-read the same snapshot instead of re-running the raw-volume
+    * distinct + cap semi-join. */
   private def basketItems(items: DataFrame, basketCol: String,
-                          itemCol: String, maxBasket: Int): DataFrame = {
-    val spark = items.sparkSession
-    import spark.implicits._
-    val bi = items
-      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .filter($"bk".isNotNull && $"it".isNotNull)
-      .distinct()
-    val ok = bi.groupBy($"bk")
-      .agg(count(lit(1)).as("bn"))
-      .filter($"bn" <= maxBasket.toLong)
-      .select($"bk")
-    bi.join(ok, Seq("bk"), "left_semi")
-  }
+                          itemCol: String, maxBasket: Int): DataFrame =
+    bifMemo.getOrCompute(
+      Seq(items.select(col(basketCol), col(itemCol))), s"cap=$maxBasket") {
+      val spark = items.sparkSession
+      import spark.implicits._
+      val bi = items
+        .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+        .filter($"bk".isNotNull && $"it".isNotNull)
+        .distinct()
+      val ok = bi.groupBy($"bk")
+        .agg(count(lit(1)).as("bn"))
+        .filter($"bn" <= maxBasket.toLong)
+        .select($"bk")
+      bi.join(ok, Seq("bk"), "left_semi")
+    }
+
+  private[graft] val bifMemo = new FrameMemo("basket_items")
 
   /** Time-decayed popularity top-k per dimension group: each fact row
     * contributes exp(-lambda * age_days) — age against the feed's own
