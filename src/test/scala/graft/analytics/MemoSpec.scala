@@ -139,6 +139,29 @@ class MemoSpec extends SparkTestBase {
       "different hyperparams must retrain")
   }
 
+  test("gate-level cold/warm differential: representative memoized " +
+       "catalog gates return IDENTICAL rows with the memos invalidated " +
+       "vs warm (the driver-gate soundness claim, end-to-end)") {
+    val dir = "/root/testdata/sf0.001"
+    val spark0 = spark
+    // one consumer per memo family: candidate graph (graph gate),
+    // jaccard superset (histogram gate), basket pairs (rules gate),
+    // centroid model (clustering gate), brute probe (knn gate),
+    // bm25 ranking (metrics gate)
+    val gates = Seq("q197_kcore", "q96_jaccard_histogram",
+      "q204_association_rules", "q80_kmeans_cluster", "q101_knn_classify",
+      "q139_retrieval_metrics")
+    def run(name: String): Seq[String] =
+      graft.queries.Catalog.byName(name).run(spark0, dir)
+        .collect().map(_.toString).sorted.toSeq
+    for (g <- gates) {
+      Memo.invalidateAll()
+      val cold = run(g) // builds every memo entry it needs
+      val warm = run(g) // pure hits
+      assert(warm == cold, s"$g: warm memo run diverged from cold")
+    }
+  }
+
   test("Memo.invalidateAll drops frame snapshots AND trained models " +
        "(the REFRESH-TABLE moral equivalent for in-place overwrites)") {
     val d = docs("invalidate")
