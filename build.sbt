@@ -19,6 +19,10 @@ run / fork := true
 // straight through, so the summary is the last unprefixed line before
 // sbt's epilogue.
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." epilogue so
+// the bench summary is the LITERAL last stdout line, not merely the last
+// unprefixed one (exit codes still signal failure).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
