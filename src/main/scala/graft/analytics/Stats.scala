@@ -1463,17 +1463,13 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // the quantized projection feeds BOTH the per-group and the pooled
-    // aggregation and is deliberately NOT materialized: it is
-    // corpus-sized, so at scale re-scanning two pruned columns beats
-    // writing a corpus-sized checkpoint (measured a wash locally)
     val w = Par.ensure(df).filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"),
         round(col(valueCol) * scale).cast("long").as("v"))
-    // (grp, v) counts feed the group totals AND the CDF window AND the
-    // final bucket join — materialize to stop the agg re-running three
-    // times (it is already the compressed form, <= one row per distinct
-    // (group, value))
+    // (grp, v) counts feed the group totals, the CDF window, the final
+    // bucket join, AND the pooled distribution — the corpus scans ONCE
+    // into this compressed grid (<= one row per distinct (group,
+    // value)); materialize stops the agg re-running per consumer
     val g = w.groupBy($"grp", $"v")
       .agg(count(lit(1)).cast("long").as("n"))
       .materialized()
@@ -1484,7 +1480,10 @@ object Stats {
       .withColumn("cdf", sum($"n").over(wg).cast("double") /
         $"gt".cast("double"))
       .select($"grp", $"v", $"n", $"cdf")
-    val p = w.groupBy($"v").agg(count(lit(1)).cast("long").as("pn"))
+    // the pooled per-value counts are the group grid FOLDED over grp
+    // (Σ_grp count(grp, v) = count(v), exactly) — deriving them from the
+    // checkpointed grid removes what used to be a SECOND corpus scan
+    val p = g.groupBy($"v").agg(sum($"n").cast("long").as("pn"))
     val pt = p.agg(sum($"pn").cast("long").as("pt"))
     // pooled-grid prefix sum, SIZE-GATED on the POOLED grid size
     // (distinct values): when the grid fits one comfortable sort task
