@@ -124,7 +124,12 @@ private[graft] final class FrameMemo(name: String, maxEntries: Int = 32)
   /** Return the memoized frame for (inputs, params), computing and
     * snapshotting `build` on first use. `inputs` should be the MINIMAL
     * column projections the operator actually reads (so an unrelated
-    * extra column on the caller's frame does not fragment the key). */
+    * extra column on the caller's frame does not fragment the key).
+    * Feed LOGICAL plans, never checkpointed/materialized frames: a
+    * localCheckpoint leaf carries a fresh RDD identity per
+    * materialization, so such a key can never hit and re-snapshots on
+    * every call (file-backed reads and in-memory relations both
+    * canonicalize stably). */
   def getOrCompute(inputs: Seq[DataFrame], params: String)
                   (build: => DataFrame): DataFrame = {
     require(inputs.nonEmpty, "memo needs at least one input frame")

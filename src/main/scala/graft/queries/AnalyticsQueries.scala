@@ -2088,10 +2088,15 @@ object AnalyticsQueries {
         val docs = Tables(s, dir, "documents")
         // the verdict frame feeds the keep-filter AND the final join —
         // checkpoint so the fp window runs once (the house reuse rule)
-        val cf = TextAnalysis.corpusFilter(docs, "doc_id", "text")
-          .materialized()
+        val cfPlan = TextAnalysis.corpusFilter(docs, "doc_id", "text")
+        val cf = cfPlan.materialized()
+        // the cluster branch builds from the LOGICAL corpusFilter plan,
+        // not the checkpointed frame: a localCheckpoint leaf carries a
+        // fresh RDD identity every run, which would make dupClusters'
+        // candidate memo miss (and re-snapshot) on every execution —
+        // the logical plan canonicalizes stably, so repeat runs hit
         val kept = docs.join(
-          cf.filter(col("keep") === 1).select("doc_id"), "doc_id")
+          cfPlan.filter(col("keep") === 1).select("doc_id"), "doc_id")
         val split = Dedup.leakageSafeSplit(
           Dedup.dupClusters(kept, "doc_id", "text"), "doc_id", "component")
         cf.join(split, Seq("doc_id"), "left")
