@@ -85,6 +85,12 @@ object Bench {
         .split("\\s+").head.toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
+    // memo counters start from zero for the measured section, so the
+    // artifact's `memos` map attributes snapshot-build cost to the memo
+    // itself — pass-1 `queries` numbers still INCLUDE each build in
+    // whichever consumer gate ran first in catalog order (that is the
+    // honest cold cost); `memos` makes the attribution explicit.
+    graft.analytics.Memo.resetStats()
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -120,7 +126,19 @@ object Bench {
     // rounds); "steady_value"/"queries_steady" are the per-query medians.
     // "passes" + the loadavg stamps make the artifact self-describing.
     val loadEnd = loadAvg()
-    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"failed":$failed,"sf":"$sfDir"}"""
+    // per-memo build/hit accounting (active memos only): "build_s" is
+    // the wall time the first consumer paid to snapshot the shared
+    // subtree; "hits" are the later consumers that read it back
+    val memosJson = graft.analytics.Memo.stats().toSeq
+      .filter { case (_, m) => m.values.sum > 0 }
+      .sortBy(_._1)
+      .map { case (n, m) =>
+        "\"" + n + "\":{" + m.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + (if (k == "build_s") f"$v%.3f"
+                              else v.toLong.toString)
+        }.mkString(",") + "}"
+      }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"memos":$memosJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver's harness captures only
     // the tail of sbt output and has truncated the per-query maps two

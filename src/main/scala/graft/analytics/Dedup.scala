@@ -198,6 +198,15 @@ object Dedup {
     // the q18 gate, q160's exact ground-truth side, and q96's full
     // histogram all read it. Deterministic (integer shingle counts,
     // exact divisions), so a hit is bit-identical to a recompute.
+    // Worst-case snapshot volume (the superset's price when only ONE
+    // high-threshold consumer exists): every pair sharing a surviving
+    // shingle — Σ_sh C(min(df, maxDocFreq), 2) rows of three scalars,
+    // bounded by the df-cap, never corpus text. That is the same volume
+    // the un-memoized operator already shuffled to score; the memo adds
+    // one parquet write of it. A single-threshold-only workload that
+    // wants to skip even that writes nothing by leaving the memo
+    // bypassed (no shared dir on a non-local master) — locally the
+    // write is bench-measured in the artifact's `memos` map.
     jaccardMemo.getOrCompute(
       Seq(docs0.select(col(idCol), col(textCol))),
       s"n=$n,df=$maxDocFreq") {
@@ -893,7 +902,10 @@ object Dedup {
     // memoized at the THRESHOLD-0 superset (the ngramJaccard rule:
     // minEstimate is a final filter, so one snapshot of the scored LSH
     // candidate pairs serves the q90 gate, the q257 calibration, and
-    // the q115 cross-group matrix)
+    // the q115 cross-group matrix). Worst-case snapshot volume: the
+    // capped LSH candidate set (≤ C(maxBucket,2) pairs per band
+    // bucket) × three scalars — the volume the operator scored anyway;
+    // see ngramJaccardPairsFromDocs for the single-consumer trade
     estimateMemo.getOrCompute(
       Seq(docs0.select(col(idCol), col(textCol))),
       s"n=$n,h=$numHashes,bs=$bandSize,cap=$maxBucket") {

@@ -356,7 +356,11 @@ final class GraftServer(spark: SparkSession, dataDir: Path,
     // model, candidate graph, ranking — Memo.scala) already read in
     // this session: invalidate engine-wide, the REFRESH-TABLE moral
     // equivalent, so a long-lived server never serves results derived
-    // from replaced data
+    // from replaced data. Safe under concurrency: invalidation only
+    // CONDEMNS snapshot directories — a query planned before this
+    // publish keeps scanning its files until the grace window
+    // (spark.graft.memo.grace.ms) lapses, so no in-flight reader loses
+    // its snapshot mid-scan (MemoSpec pins this).
     if (staged.nonEmpty) graft.analytics.Memo.invalidateAll()
   }
 

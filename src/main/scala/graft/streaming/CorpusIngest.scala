@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * a stream-static left-anti join against the benchmark-sized eval
   * fingerprint set, broadcast per micro-batch exactly like q60's batch
   * form.
+  *
+  * Publish safety: a [[graft.serve.GraftServer]] publish mid-stream
+  * calls `Memo.invalidateAll()`. No streaming plan here scans a memo
+  * snapshot — the gate is map-side flag expressions plus watermark
+  * state, and [[scoreStream]] collects its model artifact into plan
+  * literals before the query starts — so invalidation cannot remove
+  * files under an in-flight micro-batch; a future memo-consuming
+  * stream would additionally be covered by the memo's grace-deferred
+  * snapshot deletion (Memo.scala). EventStreamsSpec pins a mid-stream
+  * invalidateAll end-to-end.
   */
 object CorpusIngest {
 

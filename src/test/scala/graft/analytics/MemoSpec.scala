@@ -162,6 +162,131 @@ class MemoSpec extends SparkTestBase {
     }
   }
 
+  test("placement decision: memo.dir wins; a configured checkpoint dir " +
+       "is second; tmpdir only on a LOCAL master; non-local with nothing " +
+       "configured = bypass (None)") {
+    assert(Memo.resolveRootUri(Some("hdfs://nn/memo"),
+      Some("hdfs://nn/ckpt"), isLocal = false) == Some("hdfs://nn/memo"))
+    assert(Memo.resolveRootUri(None, Some("hdfs://nn/ckpt/"),
+      isLocal = false) == Some("hdfs://nn/ckpt/graft-memo"))
+    val local = Memo.resolveRootUri(None, None, isLocal = true)
+    assert(local.exists(u => u.startsWith("file:")
+      && u.endsWith("/graft-memo")),
+      s"local master must snapshot under a file:-qualified tmpdir: $local")
+    assert(Memo.resolveRootUri(None, None, isLocal = false).isEmpty,
+      "non-local master with no shared dir must bypass")
+  }
+
+  test("spark.graft.memo.dir set: the snapshot lands IN that directory " +
+       "and hits read it back") {
+    val root = java.nio.file.Files.createTempDirectory("graft_memo_root")
+    spark.conf.set("spark.graft.memo.dir", "file:" + root.toString)
+    try {
+      val memo = new FrameMemo("confdir")
+      val in = Seq((1, "a"), (2, "b")).toDF("k", "v")
+      var builds = 0
+      def call() = memo.getOrCompute(Seq(in), "p") { builds += 1; in }
+      val out = call()
+      assert(out.inputFiles.nonEmpty &&
+        out.inputFiles.forall(_.contains(root.getFileName.toString)),
+        s"snapshot must land under the configured dir: " +
+          out.inputFiles.take(1).mkString)
+      call()
+      assert(builds == 1 && memo.hits.get() == 1,
+        "second call must hit the configured-dir snapshot")
+    } finally {
+      spark.conf.unset("spark.graft.memo.dir")
+      val walk = java.nio.file.Files.walk(root)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+      } finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("non-local master, nothing configured: the memo BYPASSES — the " +
+       "build expression runs per call, nothing is snapshotted") {
+    Memo.placementOverrideForTests = Some(None)
+    try {
+      val memo = new FrameMemo("bypass")
+      val in = Seq((1, "a"), (2, "b")).toDF("k", "v")
+      var builds = 0
+      def call() = memo.getOrCompute(Seq(in), "p") {
+        builds += 1
+        in.groupBy($"k").agg(count(lit(1)).as("n"))
+      }
+      val r1 = call()
+      val r2 = call()
+      assert(builds == 2, "bypass must compute the build per call")
+      assert(memo.bypasses.get() == 2 && memo.hits.get() == 0
+        && memo.builds.get() == 0,
+        "bypass must count as bypass, never as build or hit")
+      assert(r1.inputFiles.isEmpty,
+        "bypass must hand back the logical build plan, not a file scan")
+      assert(r2.orderBy("k").collect().map(_.toString).toSeq
+        == r1.orderBy("k").collect().map(_.toString).toSeq)
+    } finally Memo.placementOverrideForTests = None
+  }
+
+  test("eviction past maxEntries CONDEMNS, never deletes under a " +
+       "reader: an earlier handed-out lazy frame still reads correctly " +
+       "inside the grace window") {
+    val memo = new FrameMemo("evict", maxEntries = 2)
+    val in = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    def call(p: String) = memo.getOrCompute(Seq(in), p) {
+      in.withColumn("tag", lit(p))
+    }
+    val early = call("A") // handed out, NOT consumed yet
+    val earlyFiles = early.inputFiles.sorted.toSeq
+    call("B"); call("C"); call("D") // cap 2: A then B evicted
+    val rebuilt = call("A")
+    assert(!rebuilt.inputFiles.sorted.sameElements(earlyFiles),
+      "an evicted key must rebuild into a fresh snapshot")
+    assert(early.orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getString(2))).toSeq
+      == Seq((1, "A"), (2, "A")),
+      "the earlier frame must still scan its condemned snapshot")
+  }
+
+  test("invalidate defers deletion (default grace): a frame planned " +
+       "BEFORE a publish-triggered invalidate still scans afterwards — " +
+       "the serving layer's publish-under-reader hazard") {
+    val memo = new FrameMemo("pubgrace")
+    val in = Seq((7, "x")).toDF("k", "v")
+    val planned = memo.getOrCompute(Seq(in), "p") { in }
+    memo.invalidate() // what GraftServer.publishStaged triggers
+    assert(planned.collect().map(_.toString).toSeq == Seq("[7,x]"),
+      "in-flight frame must survive invalidate until the grace lapses")
+  }
+
+  test("condemned snapshots ARE reaped once the grace window lapses " +
+       "(grace=0: invalidate's sweep deletes the files)") {
+    val prev = Memo.graceMs
+    Memo.graceMs = 0
+    try {
+      val memo = new FrameMemo("reap")
+      val in = Seq((1, "a")).toDF("k", "v")
+      val f = memo.getOrCompute(Seq(in), "p") { in }
+      val files = f.inputFiles
+      assert(files.nonEmpty)
+      val dir = new java.io.File(new java.net.URI(files.head)).getParentFile
+      assert(dir.exists())
+      memo.invalidate()
+      assert(!dir.exists(),
+        "a lapsed-grace sweep must delete the condemned snapshot dir")
+    } finally Memo.graceMs = prev
+  }
+
+  test("session identity: two sessions get distinct memo ids (never " +
+       "identity-hash collisions), and the same session is stable") {
+    val s1 = spark
+    val s2 = spark.newSession()
+    assert(Memo.sessionId(s1) == Memo.sessionId(s1))
+    assert(Memo.sessionId(s1) != Memo.sessionId(s2),
+      "distinct sessions must never share a memo identity")
+  }
+
   test("Memo.invalidateAll drops frame snapshots AND trained models " +
        "(the REFRESH-TABLE moral equivalent for in-place overwrites)") {
     val d = docs("invalidate")

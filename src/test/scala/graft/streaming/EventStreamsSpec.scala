@@ -277,6 +277,37 @@ class EventStreamsSpec extends SparkTestBase {
       s"the in-watermark cross-batch duplicate must be dropped: $ids")
   }
 
+  test("a publish-triggered Memo.invalidateAll MID-STREAM is safe: the " +
+       "long-lived ingest query keeps its dedup state and gates later " +
+       "micro-batches correctly (no snapshot is yanked under it — the " +
+       "streaming plans scan no memo snapshot, and the memo's " +
+       "grace-deferred deletion covers any future one)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the cat sat on the mat and the dog is in the house today"
+    val good2 = "a fine day for the park and the sun is out in the town now"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val stream = CorpusIngest.ingestGate(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", Seq.empty[String].toDF("text")
+        .select(md5(col("text")).as("fp")),
+      watermark = "2 hours")
+    val q = stream.writeStream.format("memory").queryName("midpub")
+      .outputMode("append").start()
+    in.addData((1L, ts(10), good))
+    q.processAllAvailable()
+    // what GraftServer.publishStaged does on every publish
+    graft.analytics.Memo.invalidateAll()
+    in.addData((2L, ts(30), good), (3L, ts(31), good2))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty,
+      s"mid-stream invalidation must not fail the query: ${q.exception}")
+    q.stop()
+    val ids = spark.table("midpub").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L),
+      s"dedup state must survive the publish (dup 2 dropped): $ids")
+  }
+
   test("streaming ingestGate emits exactly the docs the batch corpusFilter " +
        "keeps, minus eval collisions (differential on identical input)") {
     import spark.implicits._
