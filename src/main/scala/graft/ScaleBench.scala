@@ -980,8 +980,8 @@ object ScaleBench {
               .agg(count(lit(1)).cast("long").as("n")),
             "key", "n").count()),
         // rank dictionaries: quantity grid is FIXED (1..50) while the
-        // price grid grows with the part space — the rank windows run
-        // over those dictionaries, the two rank joins carry raw volume
+        // price grid grows with the part space — one scan into the
+        // (grp, x, y) grid, all moments fold out of the dictionaries
         "q259_spearman" -> (() =>
           analytics.Stats.spearmanByGroup(li, "l_returnflag",
             "l_quantity", "l_extendedprice").count()),

@@ -202,8 +202,10 @@ object Similarity {
     *
     * Scale shape: the cross scoring broadcasts the target side (the
     * q24 baseline — swap an IVF/PQ shortlist upstream for corpora past
-    * executor memory); neighborhood averages are one window top-k per
-    * side over the scored table, and the pick is one argmax per
+    * executor memory); neighborhood sums are bounded native
+    * [[graft.functions.TopKBy]] aggregates per side (k pairs of
+    * map-side state — never a window sort of the pair table through
+    * each key's tasks), and the pick is one `min_by` hash argmax per
     * source. Exact cross-engine arithmetic: cosines become scaled
     * integers (`round(cos * 1e6)`), neighborhood sums stay integer,
     * and the margin is ONE integer-ratio division
@@ -331,16 +333,24 @@ object Similarity {
       .select($"sid", $"tid",
         round(cosine($"sv", $"tv") * 1e6).cast("long").as("c6"))
       .materialized()
+    // k-neighborhood sums via the BOUNDED native TopKBy aggregate
+    // (k pairs of map-side state, partial-aggregable) instead of a
+    // row_number window — the window form sorts the full pair table
+    // through each key's tasks to keep k rows (the hubnessAudit rule;
+    // bracketed here: 2.69 -> 2.13 s same-JVM alternating medians at
+    // sf0.1, identical 662-row output).
+    // smallest (-c6, other) == largest cosine, ties to the smaller id —
+    // exactly the window's ORDER BY c6 DESC, other. c6 is a 1e6-scaled
+    // integer, so the double round-trip through the sort key is exact.
     def neighborhood(keyCol: String, otherCol: String, sumName: String,
-                     cntName: String) = {
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy($"c6".desc, col(otherCol))
-      scored.withColumn("rn", row_number().over(w))
-        .filter($"rn" <= k)
-        .groupBy(col(keyCol))
-        .agg(sum($"c6").as(sumName),
-          count(lit(1)).cast("long").as(cntName))
-    }
+                     cntName: String) =
+      scored.groupBy(col(keyCol))
+        .agg(graft.functions.TopKBy.topKMin(-$"c6".cast("double"),
+          col(otherCol), k).as("top"))
+        .select(col(keyCol),
+          aggregate($"top", lit(0L),
+            (acc, p) => acc - p("score").cast("long")).as(sumName),
+          size($"top").cast("long").as(cntName))
     val nx = neighborhood("sid", "tid", "ax", "kx")
     val ny = neighborhood("tid", "sid", "ay", "ky")
     // guard the denominator: a non-positive neighborhood sum (wholly
@@ -349,14 +359,21 @@ object Similarity {
     val den = $"ax" * $"ky" + $"ay" * $"kx"
     val margin = round($"c6".cast("double") * 2 * $"kx" * $"ky" /
       when(den > 0, den.cast("double")) * 1e6) / 1e6
-    val ranked = scored
+    // argmax margin per source as a partial-aggregable min_by (key =
+    // (-margin, tid): max margin, ties to the smaller tid — the
+    // window's ORDER BY margin DESC, tid), with the threshold filter
+    // pushed BELOW the pick: the per-source argmax above minMargin is
+    // the argmax of the above-minMargin pairs, and a null margin
+    // (den <= 0) drops here exactly as desc_nulls_last ranked it out
+    val picked = scored
       .join(nx, Seq("sid")).join(ny, Seq("tid"))
       .select($"sid", $"tid", $"c6", margin.as("margin"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"sid").orderBy($"margin".desc, $"tid")))
-      .filter($"rn" === 1 && $"margin" > minMargin)
-    ranked.select($"sid".as("src_id"), $"tid".as("tgt_id"),
-      ($"c6" / 1e6).as("cos_sim"), $"margin")
+      .filter($"margin" > minMargin)
+      .groupBy($"sid")
+      .agg(min_by(struct($"tid", $"c6", $"margin"),
+        struct(-$"margin", $"tid")).as("w"))
+    picked.select($"sid".as("src_id"), $"w.tid".as("tgt_id"),
+      ($"w.c6" / 1e6).as("cos_sim"), $"w.margin".as("margin"))
   }
 
   /** Embedding-cosine near-dup candidate pairs, IVF-bucketed: vectors are

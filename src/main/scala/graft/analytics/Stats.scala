@@ -1825,10 +1825,22 @@ object Stats {
     * engines. Zero-variance groups (all-tied column) null — undefined,
     * not 0.
     *
-    * Scale shape: two dictionary aggs + cumulative-count windows over
-    * DISTINCT values per group (value-grid-bounded, never row volume),
-    * two (group, value)-keyed joins back to rows, one keyed moment
-    * aggregate with map-side partials. Output: (grp, n, spearman_rho). */
+    * Scale shape: ONE corpus scan into the checkpointed (group, x, y)
+    * GRID (the q273 rule — everything downstream derives from the
+    * compressed grid, the raw rows are never revisited), and NO
+    * row-volume join anywhere: of the five power sums only `sab`
+    * couples the two rank columns, so the x-rank dictionary (callers
+    * pass the LOWER-cardinality column as x — quantities, scores,
+    * grades; AQE broadcasts it) attaches to the grid map-side and
+    * `Σ cnt·a` folds into the y dictionary IN the same shuffle that
+    * builds it — after that every moment (n, sa, saa from the x
+    * dictionary; sb, sbb, sab from the y dictionary) is a
+    * dictionary-sized aggregate. The cumulative-rank windows run over
+    * DISTINCT values per group (value-grid-bounded, never row volume;
+    * measured 0.17+0.35 s of a 2.2 s sf0.1 run — not the serial
+    * bottleneck the partitionBy-group shape suggests). All sums stay
+    * cnt-WEIGHTED integers — bit-identical to the per-row sums.
+    * Output: (grp, n, spearman_rho). */
   def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
                       yCol: String, xScale: Long = 1L,
                       yScale: Long = 100L): DataFrame = {
@@ -1836,31 +1848,43 @@ object Stats {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val w = Par.ensure(df)
+    import Par.Mat
+    val grid = Par.ensure(df)
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(groupCol).as("grp"),
         round(col(xCol) * xScale).cast("long").as("x"),
         round(col(yCol) * yScale).cast("long").as("y"))
+      .groupBy($"grp", $"x", $"y")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .materialized() // feeds the x dictionary AND the y-side fold
     // doubled average rank of each DISTINCT value: 2*cnt_less + cnt_eq + 1
-    def ranks(vc: String, out: String) = {
-      val win = Window.partitionBy($"grp").orderBy(col(vc))
+    def doubledRank(vn: Column, vc: Column): Column = {
+      val win = Window.partitionBy($"grp").orderBy(vc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      w.groupBy($"grp", col(vc))
-        .agg(count(lit(1)).cast("long").as("cnt"))
-        .select($"grp", col(vc),
-          (coalesce(sum($"cnt").over(win), lit(0L)) * 2L + $"cnt" + 1L)
-            .as(out))
+      coalesce(sum(vn).over(win), lit(0L)) * 2L + vn + 1L
     }
-    val j = w
-      .join(ranks("x", "a"), Seq("grp", "x"))
-      .join(ranks("y", "b"), Seq("grp", "y"))
-    val s = j.groupBy($"grp").agg(
-      count(lit(1)).cast("long").as("n"),
-      sum($"a").cast("long").as("sa"),
-      sum($"b").cast("long").as("sb"),
-      sum($"a".cast(DecimalType(38, 0)) * $"a").as("saa"),
-      sum($"b".cast(DecimalType(38, 0)) * $"b").as("sbb"),
-      sum($"a".cast(DecimalType(38, 0)) * $"b").as("sab"))
+    val ra = grid.groupBy($"grp", $"x")
+      .agg(sum($"cnt").cast("long").as("vn"))
+      .select($"grp", $"x", $"vn", doubledRank($"vn", $"x").as("a"))
+    // x moments close over the x dictionary alone
+    val sx = ra.groupBy($"grp").agg(
+      sum($"vn" * $"a").cast("long").as("sa"),
+      sum($"vn".cast(DecimalType(38, 0)) * $"a" * $"a").as("saa"))
+    // y dictionary with the x-rank mass folded in: say = Σ cnt·a over
+    // the grid rows sharing this (grp, y) — sab then needs no join back
+    val dy = grid
+      .join(ra.select($"grp", $"x", $"a"), Seq("grp", "x"))
+      .groupBy($"grp", $"y")
+      .agg(sum($"cnt").cast("long").as("vn"),
+        sum($"cnt" * $"a").cast("long").as("say"))
+    val rb = dy.select($"grp", $"vn", $"say",
+      doubledRank($"vn", $"y").as("b"))
+    val s = rb.groupBy($"grp").agg(
+        sum($"vn").cast("long").as("n"),
+        sum($"vn" * $"b").cast("long").as("sb"),
+        sum($"vn".cast(DecimalType(38, 0)) * $"b" * $"b").as("sbb"),
+        sum($"say".cast(DecimalType(38, 0)) * $"b").as("sab"))
+      .join(sx, Seq("grp"))
     val denom = sqrt(($"n" * $"saa".cast("double") -
       $"sa".cast("double") * $"sa") *
       ($"n" * $"sbb".cast("double") - $"sb".cast("double") * $"sb"))

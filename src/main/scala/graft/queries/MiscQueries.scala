@@ -3455,8 +3455,9 @@ object MiscQueries {
         "probe robust to the fat tails Pearson folds into its moments; " +
         "doubled ranks (2*cnt_less + cnt_eq + 1) stay integer so the " +
         "five power sums replay exactly (q144/q231 overflow rule); " +
-        "ranks compute on the per-(group, value) DICTIONARY and join " +
-        "back — never a window over raw rows",
+        "one scan into the (group, x, y) grid, ranks and ALL moments " +
+        "fold out of dictionaries — never a window or join over raw " +
+        "rows",
       Some("""WITH w AS (SELECT l_returnflag AS grp,
              |         CAST(round(l_quantity * 1) AS BIGINT) AS x,
              |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
