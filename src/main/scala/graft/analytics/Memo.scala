@@ -148,8 +148,12 @@ object Memo {
 
   /** The placement decision, pure so the spec can pin every branch:
     * memo dir, else checkpoint dir + `/graft-memo`, else tmpdir on a
-    * local master, else None (= bypass). */
-  private[analytics] def resolveRootUri(
+    * local master, else None (= bypass). Shared with the single-file
+    * sink assembly ([[graft.sinks.PartFiles]]), which has the same
+    * "distributed write must land where the driver can read it back"
+    * problem and the same correct degraded mode when nothing shared is
+    * configured. */
+  private[graft] def resolveRootUri(
       memoDir: Option[String],
       checkpointDir: Option[String],
       isLocal: Boolean): Option[String] =
@@ -160,7 +164,7 @@ object Memo {
           .stripSuffix("/") + "/graft-memo")
       else None)
 
-  private[analytics] def resolveRootUri(spark: SparkSession): Option[String] =
+  private[graft] def resolveRootUri(spark: SparkSession): Option[String] =
     placementOverrideForTests.getOrElse {
       val sc = spark.sparkContext
       resolveRootUri(

@@ -3,8 +3,6 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -36,11 +34,12 @@ object JsonSink {
     writeFramed(df, path, "{\n\"data\": [\n  ", ",\n  ",
       n => s"\n],\n\"total\": $n,\n\"exported_at\": \"$exportedAt\"\n}")
 
-  /** Row serialization runs DISTRIBUTED (text part files, separator as the
-    * writer's lineSep); the driver byte-concatenates parts, trims the one
-    * trailing separator, and counts rows by counting `\n` bytes — valid
-    * because `to_json` escapes newlines, so the only raw newlines in the
-    * stream are the one per separator. */
+  /** Row serialization runs DISTRIBUTED (the [[PartFiles]] byte drain,
+    * separator as the writer's lineSep — cluster-safe part placement is
+    * PartFiles' contract); the driver trims the one trailing separator
+    * and counts rows by counting `\n` bytes — valid because `to_json`
+    * escapes newlines, so the only raw newlines in the stream are the
+    * one per separator. */
   private def writeFramed(df: DataFrame, path: String, head: String,
                           sep: String, tail: Long => String): Unit = {
     require(sep.count(_ == '\n') == 1, "separator must carry exactly one newline")
@@ -49,49 +48,24 @@ object JsonSink {
       Paths.get(path), StandardOpenOption.CREATE,
       StandardOpenOption.TRUNCATE_EXISTING))
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
-    val tmp = Files.createTempDirectory("graft_json_parts")
-    val dir = tmp.resolve("parts")
     try {
       w(head)
-      jsonRows(df).withColumnRenamed("json", "value")
-        .write.mode("overwrite").option("lineSep", sep).text(dir.toString)
-      val listing = Files.list(dir)
-      val parts =
-        try listing.iterator().asScala.toSeq finally listing.close()
       var newlines = 0L
       // delay-write the final sepBytes.length bytes: the stream ends with
       // one trailing separator that must not reach the file
       var pending = Array.empty[Byte]
-      parts
-        .filter { p =>
-          val nm = p.getFileName.toString
-          nm.startsWith("part-") && !nm.endsWith(".crc")
-        }
-        .sortBy(_.getFileName.toString)
-        .foreach { p =>
-          val in = Files.newInputStream(p)
-          try {
-            val buf = new Array[Byte](1 << 20)
-            var n = in.read(buf)
-            while (n > 0) {
-              var i = 0
-              while (i < n) { if (buf(i) == '\n') newlines += 1; i += 1 }
-              val combined = pending ++ buf.take(n)
-              val keep = math.max(0, combined.length - sepBytes.length)
-              out.write(combined, 0, keep)
-              pending = combined.drop(keep)
-              n = in.read(buf)
-            }
-          } finally in.close()
-        }
+      PartFiles.drainBytes(
+        jsonRows(df).withColumnRenamed("json", "value"), sep) { (buf, n) =>
+        var i = 0
+        while (i < n) { if (buf(i) == '\n') newlines += 1; i += 1 }
+        val combined = pending ++ buf.take(n)
+        val keep = math.max(0, combined.length - sepBytes.length)
+        out.write(combined, 0, keep)
+        pending = combined.drop(keep)
+      }
       if (!java.util.Arrays.equals(pending, sepBytes)) out.write(pending)
       w(tail(newlines))
-    } finally {
-      out.close()
-      val walk = Files.walk(tmp)
-      val all = try walk.iterator().asScala.toSeq finally walk.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
+    } finally out.close()
   }
 
   // ------------------------------------------------------------------

@@ -1,50 +1,84 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
 
 /** Shared single-file assembly: serialize rows DISTRIBUTED via the text
   * writer, then byte-concatenate the part files on the driver in partition
   * order. The driver copy is the only serial step — inherent to "one
-  * file"; the expensive per-row string building runs across all cores. */
+  * file"; the expensive per-row string building runs across all cores.
+  *
+  * Cluster safety (the Memo snapshot-placement rule, applied to sinks):
+  * the part directory lands on the filesystem
+  * [[graft.analytics.Memo.resolveRootUri]] selects — the configured
+  * shared dir on a multi-node master, `file:`-qualified tmpdir on a
+  * local one — and the driver reads the parts back through the Hadoop
+  * FileSystem of that SAME qualified path. A driver-local `/tmp` write
+  * on a real cluster would scatter part files across executor disks and
+  * the driver's listing would silently assemble a TRUNCATED output file
+  * (worse than an error). When a non-local master has NO shared
+  * directory configured, rows stream through `toLocalIterator` instead:
+  * row serialization still runs distributed, partitions stream back one
+  * at a time in partition order (identical bytes to the part
+  * concatenation), and only the inherent one-file serial drain runs on
+  * the driver. */
 object PartFiles {
 
-  /** Write `lines` (single string column named `value`) as text parts under
-    * a temp dir, stream the part bytes into `out` in name order, delete the
-    * temp dir. `lineSep` is appended after EVERY row by the writer. */
-  def drain(lines: org.apache.spark.sql.DataFrame, out: java.io.OutputStream,
-            lineSep: String): Unit = {
-    val tmp = Files.createTempDirectory("graft_parts")
-    val dir = tmp.resolve("parts")
-    try {
-      // AQE's partition coalescing sees a few-MB shuffle and folds the
-      // whole write into ONE task — which serializes every row's string
-      // building onto one core (the sink's only CPU-heavy stage). Keep the
-      // planned partitioning for this write; part-file name order is
-      // partition order, so the concatenated bytes are unchanged.
-      val spark = lines.sparkSession
-      val conf = "spark.sql.adaptive.coalescePartitions.enabled"
-      val prev = spark.conf.getOption(conf)
-      spark.conf.set(conf, "false")
-      try
-        lines.write.mode("overwrite").option("lineSep", lineSep)
-          .text(dir.toString)
-      finally prev.foreach(spark.conf.set(conf, _))
-      val listing = Files.list(dir)
-      val parts =
-        try listing.iterator().asScala.toSeq finally listing.close()
-      parts
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && !n.endsWith(".crc")
+  /** Stream the UTF-8 bytes of `lines` (single string column named
+    * `value`, `lineSep` appended after EVERY row) to `each(buf, n)` in
+    * partition order. Chunk boundaries are arbitrary; the concatenated
+    * bytes are what the text writer would produce. */
+  def drainBytes(lines: DataFrame, lineSep: String)
+                (each: (Array[Byte], Int) => Unit): Unit = {
+    val spark = lines.sparkSession
+    graft.analytics.Memo.resolveRootUri(spark) match {
+      case Some(rootUri) =>
+        val root = new HPath(rootUri)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dir = fs.makeQualified(new HPath(root,
+          "scratch_parts_" + java.util.UUID.randomUUID().toString.take(12)))
+        try {
+          // AQE's partition coalescing sees a few-MB shuffle and folds the
+          // whole write into ONE task — which serializes every row's string
+          // building onto one core (the sink's only CPU-heavy stage). Keep
+          // the planned partitioning for this write; part-file name order
+          // is partition order, so the concatenated bytes are unchanged.
+          val conf = "spark.sql.adaptive.coalescePartitions.enabled"
+          val prev = spark.conf.getOption(conf)
+          spark.conf.set(conf, "false")
+          try
+            lines.write.mode("overwrite").option("lineSep", lineSep)
+              .text(dir.toString)
+          finally prev.foreach(spark.conf.set(conf, _))
+          val parts = fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+            .sortBy(_.getName)
+          val buf = new Array[Byte](1 << 20)
+          parts.foreach { p =>
+            val in = fs.open(p)
+            try {
+              var n = in.read(buf)
+              while (n > 0) { each(buf, n); n = in.read(buf) }
+            } finally in.close()
+          }
+        } finally fs.delete(dir, true)
+      case None =>
+        // non-local master with nothing shared configured: partitions
+        // compute distributed and stream back in order, one at a time
+        val sepBytes = lineSep.getBytes(StandardCharsets.UTF_8)
+        val it = lines.toLocalIterator()
+        while (it.hasNext) {
+          val b = it.next().getString(0).getBytes(StandardCharsets.UTF_8)
+          each(b, b.length)
+          each(sepBytes, sepBytes.length)
         }
-        .sortBy(_.getFileName.toString)
-        .foreach(p => Files.copy(p, out))
-    } finally {
-      val walk = Files.walk(tmp)
-      val all = try walk.iterator().asScala.toSeq finally walk.close()
-      all.reverse.foreach((p: Path) => Files.deleteIfExists(p))
     }
   }
+
+  /** Write `lines` into `out` — [[drainBytes]] piped to a stream. */
+  def drain(lines: DataFrame, out: java.io.OutputStream,
+            lineSep: String): Unit =
+    drainBytes(lines, lineSep)((buf, n) => out.write(buf, 0, n))
 }
