@@ -94,27 +94,43 @@ object Memo {
     * consumer realistically carries. */
   @volatile private[graft] var graceMs: Long = 15 * 60 * 1000L
 
-  /** Per-memo counters for the bench artifact: snapshot builds, their
-    * total wall seconds, hits, and bypasses — so build cost is
-    * attributed to the memo, not to whichever gate happened to run
-    * first in catalog order. */
+  /** Per-memo counters for the bench artifact: builds (snapshot writes
+    * for frame memos, driver-value computes for value memos, model
+    * trainings for the logreg cache), their total wall seconds, hits,
+    * and bypasses — so build cost is attributed to the memo, not to
+    * whichever gate happened to run first in catalog order. */
   def stats(): Map[String, Map[String, Double]] =
-    memos.asScala.collect { case f: FrameMemo =>
-      f.memoName -> Map(
-        "builds" -> f.builds.get().toDouble,
-        "build_s" -> f.buildNanos.get() / 1e9,
-        "hits" -> f.hits.get().toDouble,
-        "bypasses" -> f.bypasses.get().toDouble)
-    }.toMap
+    memos.asScala.map {
+      case f: FrameMemo =>
+        f.memoName -> Map(
+          "builds" -> f.builds.get().toDouble,
+          "build_s" -> f.buildNanos.get() / 1e9,
+          "hits" -> f.hits.get().toDouble,
+          "bypasses" -> f.bypasses.get().toDouble)
+      case v: ValueMemo[_] =>
+        v.memoName -> Map(
+          "builds" -> v.builds.get().toDouble,
+          "build_s" -> v.buildNanos.get() / 1e9,
+          "hits" -> v.hits.get().toDouble)
+    }.toMap ++ Map(
+      "logreg_models" -> Map(
+        "builds" -> Selection.modelCacheBuilds.get().toDouble,
+        "build_s" -> Selection.modelCacheBuildNanos.get() / 1e9,
+        "hits" -> Selection.modelCacheHits.get().toDouble))
 
   /** Reset the [[stats]] counters (bench isolation). */
-  private[graft] def resetStats(): Unit =
+  private[graft] def resetStats(): Unit = {
     memos.asScala.foreach {
       case f: FrameMemo =>
         f.builds.set(0); f.buildNanos.set(0); f.hits.set(0)
         f.bypasses.set(0)
-      case _ => ()
+      case v: ValueMemo[_] =>
+        v.builds.set(0); v.buildNanos.set(0); v.hits.set(0)
     }
+    Selection.modelCacheBuilds.set(0)
+    Selection.modelCacheBuildNanos.set(0)
+    Selection.modelCacheHits.set(0)
+  }
 
   // At JVM exit, purge every snapshot this process created (live and
   // condemned, no grace) — a session-scoped memo must not leak files
@@ -196,6 +212,8 @@ private[graft] final class ValueMemo[V](name: String, maxEntries: Int = 64)
 
   Memo.register(this)
 
+  private[graft] def memoName: String = name
+
   private case class Key(session: String, plans: Seq[LogicalPlan], params: String)
 
   private val cache =
@@ -205,6 +223,8 @@ private[graft] final class ValueMemo[V](name: String, maxEntries: Int = 64)
     }
 
   private[graft] val hits = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val buildNanos = new java.util.concurrent.atomic.AtomicLong(0)
 
   def getOrCompute(inputs: Seq[DataFrame], params: String)(build: => V): V = {
     require(inputs.nonEmpty, "memo needs at least one input frame")
@@ -213,7 +233,10 @@ private[graft] final class ValueMemo[V](name: String, maxEntries: Int = 64)
     synchronized { Option(cache.get(key)) } match {
       case Some(v) => hits.incrementAndGet(); v
       case None =>
+        val t0 = java.lang.System.nanoTime()
         val v = build
+        builds.incrementAndGet()
+        buildNanos.addAndGet(java.lang.System.nanoTime() - t0)
         synchronized {
           Option(cache.get(key)).getOrElse { cache.put(key, v); v }
         }

@@ -243,11 +243,13 @@ object Selection {
     * calibration, artifact-score: seven catalog queries share two
     * trainings) pays the 30-iteration recurrence once. Keys hold the
     * CANONICALIZED analyzed plan (expr ids normalized, so two reads of
-    * the same table match) plus the session identity (a new session may
-    * see new data at the same path). LRU-capped: model arrays are
+    * the same table match) plus the per-session UUID from
+    * [[Memo.sessionId]] (a new session may see new data at the same
+    * path; never an identity hash, which can collide across session
+    * restarts). LRU-capped: model arrays are
     * ~1.5 KB, 64 entries bound a long-lived serving session. */
   private case class ModelKey(
-      session: Int,
+      session: String,
       // the CANONICALIZED analyzed plan object of the training
       // PROJECTION docs.select(id, text, label), compared by plan
       // equality — NOT any string form: LocalRelation.toString prints
@@ -269,6 +271,19 @@ object Selection {
       })
   private[graft] val modelCacheHits =
     new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val modelCacheBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val modelCacheBuildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Time a training build for the bench artifact's `memos` map. */
+  private def timedFit(fit: => Array[Double]): Array[Double] = {
+    val t0 = java.lang.System.nanoTime()
+    val p = fit
+    modelCacheBuilds.incrementAndGet()
+    modelCacheBuildNanos.addAndGet(java.lang.System.nanoTime() - t0)
+    p
+  }
 
   /** Drop every memoized model. The memo keys on the input PLAN, not
     * file contents — immutable inputs per session (the lakehouse norm)
@@ -284,7 +299,7 @@ object Selection {
   private def modelKey(docs: DataFrame, idCol: String, textCol: String,
                        label: Column, dim: Int, iters: Int,
                        lr: Double): ModelKey =
-    ModelKey(System.identityHashCode(docs.sparkSession),
+    ModelKey(Memo.sessionId(docs.sparkSession),
       docs.select(col(idCol), col(textCol), label.as("_graft_label"))
         .queryExecution.analyzed.canonicalized,
       dim, iters, lr)
@@ -333,7 +348,7 @@ object Selection {
     }.getOrElse {
       val docs = Par.ensure(docs0)
       val feats = logregFeatures(docs, idCol, textCol, label, dim)
-      val p = logregFit(feats, docs.count().toDouble, dim, iters, lr)
+      val p = timedFit(logregFit(feats, docs.count().toDouble, dim, iters, lr))
       modelCache.put(key, p)
       p
     }
@@ -439,7 +454,7 @@ object Selection {
     val packed = hit.map { p =>
       modelCacheHits.incrementAndGet(); p
     }.getOrElse {
-      val p = logregFit(feats, docs.count().toDouble, dim, iters, lr)
+      val p = timedFit(logregFit(feats, docs.count().toDouble, dim, iters, lr))
       modelCache.put(key, p)
       p
     }
