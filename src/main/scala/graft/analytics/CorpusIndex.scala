@@ -52,11 +52,19 @@ object CorpusIndex {
       n, numHashes, bandSize)
 
   /** Reload a persisted index. The sketch params are recovered from the
-    * bands directory name [[CorpusIndex.write]] encoded. */
+    * bands directory name [[CorpusIndex.write]] encoded. Discovery goes
+    * through the Hadoop FileSystem of `path` itself — the index lives on
+    * whatever (shared) filesystem [[CorpusIndex.write]] targeted, and a
+    * driver-local `java.io.File` listing would see nothing for an
+    * `hdfs://`/`s3://` index. */
   def read(spark: SparkSession, path: String): CorpusIndex = {
-    val dirs = new java.io.File(path).listFiles()
-    val bandsDir = Option(dirs).toSeq.flatten
-      .map(_.getName).filter(_.startsWith("bands_"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(root)) fs.listStatus(root)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val bandsDir = dirs.toSeq
+      .map(_.getPath.getName).filter(_.startsWith("bands_"))
       .sorted.headOption.getOrElse(
         sys.error(s"no bands_n*_h*_b* directory under $path"))
     val m = "bands_n(\\d+)_h(\\d+)_b(\\d+)".r
