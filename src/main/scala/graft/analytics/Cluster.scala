@@ -227,7 +227,7 @@ object Cluster {
     * cluster-ordered — the bounded model-sized collect (never corpus
     * data). Validates the contiguous-id contract a written-then-reread
     * model must keep. */
-  private def modelCentroids(model: DataFrame): Seq[Seq[Double]] = {
+  private[analytics] def modelCentroids(model: DataFrame): Seq[Seq[Double]] = {
     val rows = model.select(
         col("cluster").cast("int"),
         col("centroid").cast("array<double>"))
@@ -280,11 +280,15 @@ object Cluster {
     * Scale shape: the probe is MAP-SIDE over the broadcast k×dim model —
     * one native [[graft.functions.CentroidProbeExpr]] kernel loop per
     * row; the candidate join is keyed on cluster against the
-    * checkpointed assignment table; the rank window partitions by
-    * query — per-query candidates are Σ of nprobe inverted-list sizes,
-    * never the corpus. Passing the SAME DataFrame reference as `corpus`
-    * and `queries` (the q95 every-vector-queries shape) reuses the one
-    * checkpointed assignment for both join sides. */
+    * checkpointed assignment table; per-query candidates are Σ of
+    * nprobe inverted-list sizes, never the corpus. The final rank runs
+    * through the bounded [[graft.functions.TopKBy]] aggregate when ids
+    * are integral (kTop pairs of map-side state — the q201 rule; the
+    * candidate table never sorts through a window) and falls back to
+    * the equivalent row_number window for non-integral id types.
+    * Passing the SAME DataFrame reference as `corpus` and `queries`
+    * (the q95 every-vector-queries shape) reuses the one checkpointed
+    * assignment for both join sides. */
   def ivfTopK(model: DataFrame, corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, kTop: Int = 5,
               nprobe: Int = 2): DataFrame = {
@@ -315,11 +319,23 @@ object Cluster {
       .filter($"vid" =!= $"qid")
       .select($"qid", $"vid".as("nid"),
         round(Pq.d2($"qv", $"v"), 6).as("nd"))
-    val rn = row_number().over(
-      Window.partitionBy($"qid").orderBy($"nd", $"nid"))
-    cand.withColumn("rn", rn).filter($"rn" <= kTop)
-      .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
-        $"nd".as("dist2"))
+    // smallest (nd, nid) == the window's ORDER BY nd, nid; nd is a
+    // round-6 double so the sort key replays exactly. (qid, nid) rows
+    // are unique, so multiplicity semantics cannot differ either.
+    if (cand.schema("nid").dataType ==
+        org.apache.spark.sql.types.LongType)
+      cand.groupBy($"qid")
+        .agg(graft.functions.TopKBy.topKMin($"nd", $"nid", kTop).as("top"))
+        .select($"qid".as("query_id"), explode($"top").as("t"))
+        .select($"query_id", $"t.id".as("neighbor_id"),
+          $"t.score".as("dist2"))
+    else {
+      val rn = row_number().over(
+        Window.partitionBy($"qid").orderBy($"nd", $"nid"))
+      cand.withColumn("rn", rn).filter($"rn" <= kTop)
+        .select($"qid".as("query_id"), $"nid".as("neighbor_id"),
+          $"nd".as("dist2"))
+    }
   }
 
   /** The full production ANN serving pipeline in one plan — IVF-PQ with
