@@ -77,6 +77,43 @@ object Bench {
       .map(v => v.toIntOption.getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$v'")))
       .getOrElse(3).max(1)
+    // ---- pinned calibration probe ----
+    // The loadavg stamps below CANNOT see IO contention or hypervisor
+    // steal: BENCH_r12 was ~3x wall-inflated on the driver host while
+    // its load stamps read "quiet" (3.5-6.3 on 32 CPUs). So the
+    // artifact now carries a DIRECT measurement: a fixed reference
+    // workload — the warmup's lineitem groupBy-agg (parquet IO +
+    // shuffle) plus a pinned 2M-row shuffle+window micro-plan (CPU +
+    // sort) — timed immediately before pass 1 and again after the last
+    // pass. A run whose probe reads >= 1.5x the committed quiet-host
+    // band (BASELINE.md §calibration) is contended REGARDLESS of what
+    // loadavg says; comparing probe_start_s/probe_end_s also shows
+    // contention that arrived mid-run. The probe runs AFTER warmup, so
+    // it never absorbs JVM/codegen first-use cost.
+    def calibrationProbe(): Double = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .collect()
+      spark.range(2000000L)
+        .select(col("id"), (col("id") % 1000).as("k"),
+          ((col("id") * 2654435761L) % 1048576).as("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v"), col("id"))))
+        .filter(col("rn") <= 3)
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one throwaway run compiles the probe's own plans (codegen,
+    // window exec shapes) so probe_start and probe_end measure the HOST,
+    // not first-use JIT — they must be comparable to each other and to
+    // the committed quiet band
+    calibrationProbe()
+    val probeStart = calibrationProbe()
+    dropAllBlocks()
     // 1-minute load average, stamped before and after the measured
     // section: a run whose artifact carries load >> cpus explains its
     // own inflation (host contention, not an engine regression)
@@ -91,8 +128,9 @@ object Bench {
     // whichever consumer gate ran first in catalog order (that is the
     // honest cold cost); `memos` makes the attribution explicit.
     graft.analytics.Memo.resetStats()
+    val retried = scala.collection.mutable.ArrayBuffer[String]()
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+      def onePass(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
@@ -101,6 +139,23 @@ object Bench {
         dropAllBlocks()
         s
       }
+      def med(ts: Seq[Double]): Double = ts.sorted.apply((ts.size - 1) / 2)
+      var times = (1 to passes).map(_ => onePass()).toVector
+      // self-healing spread retry: a host-contention spike big enough to
+      // distort the median (max > 3x the median AND > 1s over it — the
+      // absolute floor keeps sub-second jitter from triggering) earns up
+      // to 2 extra passes, so the published median comes from passes
+      // the spike could not dominate (the driver's r12 q173 read 39.9 s
+      // against a 3 s cross-run median; this heals exactly that)
+      if (passes > 1) {
+        var extra = 0
+        while (extra < 2 && !times.exists(_ < 0) &&
+               times.max > 3 * med(times) && times.max - med(times) > 1.0) {
+          if (extra == 0) retried += name
+          times = times :+ onePass()
+          extra += 1
+        }
+      }
       // ANY failed pass poisons the query: a pass-1 crash that pass-2
       // happens to survive (first-run codegen, OOM) must not be recorded
       // as a clean success
@@ -108,7 +163,7 @@ object Bench {
       // lower median across passes: one loaded pass cannot move it
       // (with the default 3 passes a single spike lands above the
       // median; the old first/last publication let it poison both)
-      val median = times.sorted.apply((times.size - 1) / 2)
+      val median = med(times)
       name -> (if (anyFail) -1.0 else times.head,
                if (anyFail) -1.0 else median)
     }
@@ -126,6 +181,12 @@ object Bench {
     // rounds); "steady_value"/"queries_steady" are the per-query medians.
     // "passes" + the loadavg stamps make the artifact self-describing.
     val loadEnd = loadAvg()
+    // second probe reading: contention that arrived DURING the run
+    // shows as probe_end >> probe_start; both >> the committed quiet
+    // band (BASELINE.md §calibration) labels the whole artifact
+    val probeEnd = calibrationProbe()
+    val retriedJson = retried.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-memo build/hit accounting (active memos only): "build_s" is
     // the wall time the first consumer paid to snapshot the shared
     // subtree; "hits" are the later consumers that read it back
@@ -138,7 +199,7 @@ object Bench {
                               else v.toLong.toString)
         }.mkString(",") + "}"
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"memos":$memosJson,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${f"$probeStart%.3f"},"probe_end_s":${f"$probeEnd%.3f"},"retried":$retriedJson,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"memos":$memosJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver's harness captures only
     // the tail of sbt output and has truncated the per-query maps two
@@ -157,7 +218,7 @@ object Bench {
     // `parsed: null`). Print a compact summary LAST so the totals are
     // the final thing on stdout and always survive tail truncation.
     val nOk = results.count(_._2._1 >= 0)
-    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${f"$probeStart%.3f"},"probe_end_s":${f"$probeEnd%.3f"},"retried":$retriedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -114,12 +114,26 @@ object Cluster {
     require(m >= 1, "m must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
-    kmeansAssign(emb, idCol, vecCol, k, iters)
-      .groupBy($"cluster")
-      .agg(graft.functions.TopKBy.topKMin($"dist2", $"vec_id", m).as("top"))
-      .select($"cluster", posexplode($"top"))
-      .select($"cluster", ($"pos" + 1).cast("int").as("rank"),
-        $"col.id".as("vec_id"), $"col.score".as("dist2"))
+    val assigned = kmeansAssign(emb, idCol, vecCol, k, iters)
+    val idType = assigned.schema("vec_id").dataType
+    if (graft.functions.TopKBy.isIntegralId(idType))
+      assigned.groupBy($"cluster")
+        .agg(graft.functions.TopKBy.topKMin($"dist2", $"vec_id", m)
+          .as("top"))
+        .select($"cluster", posexplode($"top"))
+        .select($"cluster", ($"pos" + 1).cast("int").as("rank"),
+          // TopKBy state widens to bigint; restore the caller's id type
+          $"col.id".cast(idType).as("vec_id"), $"col.score".as("dist2"))
+    else {
+      // non-integral ids: the equivalent window form (what the oracle
+      // runs) instead of failing TopKBy's integral-state check
+      import org.apache.spark.sql.expressions.Window
+      assigned.withColumn("rank", row_number().over(
+          Window.partitionBy($"cluster").orderBy($"dist2", $"vec_id")))
+        .filter($"rank" <= m)
+        .select($"cluster", $"rank".cast("int").as("rank"),
+          $"vec_id", $"dist2")
+    }
   }
 
   /** Simplified (centroid-based) silhouette per cluster: for each
@@ -283,9 +297,11 @@ object Cluster {
     * checkpointed assignment table; per-query candidates are Σ of
     * nprobe inverted-list sizes, never the corpus. The final rank runs
     * through the bounded [[graft.functions.TopKBy]] aggregate when ids
-    * are integral (kTop pairs of map-side state — the q201 rule; the
-    * candidate table never sorts through a window) and falls back to
-    * the equivalent row_number window for non-integral id types.
+    * are integral — any of tinyint..bigint, widened losslessly to the
+    * aggregate's bigint state and cast back on output (kTop pairs of
+    * map-side state — the q201 rule; the candidate table never sorts
+    * through a window) — and falls back to the equivalent row_number
+    * window for non-integral id types (strings, decimals).
     * Passing the SAME DataFrame reference as `corpus` and `queries`
     * (the q95 every-vector-queries shape) reuses the one checkpointed
     * assignment for both join sides. */
@@ -322,12 +338,14 @@ object Cluster {
     // smallest (nd, nid) == the window's ORDER BY nd, nid; nd is a
     // round-6 double so the sort key replays exactly. (qid, nid) rows
     // are unique, so multiplicity semantics cannot differ either.
-    if (cand.schema("nid").dataType ==
-        org.apache.spark.sql.types.LongType)
+    val nidType = cand.schema("nid").dataType
+    if (graft.functions.TopKBy.isIntegralId(nidType))
       cand.groupBy($"qid")
         .agg(graft.functions.TopKBy.topKMin($"nd", $"nid", kTop).as("top"))
         .select($"qid".as("query_id"), explode($"top").as("t"))
-        .select($"query_id", $"t.id".as("neighbor_id"),
+        .select($"query_id",
+          // TopKBy state widens to bigint; restore the caller's id type
+          $"t.id".cast(nidType).as("neighbor_id"),
           $"t.score".as("dist2"))
     else {
       val rn = row_number().over(

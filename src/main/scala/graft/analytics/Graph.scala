@@ -15,12 +15,67 @@ import org.apache.spark.storage.StorageLevel
   *
   * Everything is edge-keyed joins + node-keyed aggregations — the
   * standard distributed shapes (no adjacency lists are ever collected,
-  * no per-node windows), so the same plans run over 10^10 edges. Both
-  * operators materialize their result via `Par.materialize` and release
-  * the cached edge table before returning, so repeated calls in a
-  * long-lived session do not accumulate CacheManager storage.
+  * no per-node windows), so the same plans run over 10^10 edges. The
+  * canonical edge set and its degree table are SHARED across the family
+  * through a session memo (see [[edgeMemo]]): the first operator over a
+  * pair table pays the symmetrize/distinct/degree shuffles once, the
+  * siblings start from two-column snapshot scans. Operators materialize
+  * their result via `Par.materialize` and release any cached edge table
+  * before returning, so repeated calls in a long-lived session do not
+  * accumulate CacheManager storage.
   */
 object Graph {
+
+  /** Session memos of the canonical edge and degree tables — the
+    * second-level share one step DOWN from the candidate-pair memo
+    * (Dedup.candidateMemo): six graph gates consume the SAME pair
+    * table, and each used to rebuild the identical symmetrize +
+    * distinct + degree-agg prologue from it. The first graph operator
+    * per (pairs-plan) now snapshots the canonical edge set and its
+    * degree table once; every sibling starts from a two-column (edges)
+    * or (node, deg) parquet scan with the distinct shuffle already
+    * paid. Both are deterministic projections of the pair table, so a
+    * hit is bit-identical to a recompute (the Memo.scala contract).
+    *
+    * Worst-case snapshot volume: |edges| <= |pairs| rows of two id
+    * columns and |deg| <= 2|pairs| — never wider than the pair table
+    * the first-level memo already snapshots. */
+  private[graft] val edgeMemo = new FrameMemo("graph_edges")
+  private[graft] val degMemo = new FrameMemo("graph_deg")
+
+  /** The canonical UNDIRECTED edge table of a pair list, memoized:
+    * (a, b) = (least, greatest) per pair, distinct — self-loops KEPT
+    * as (x, x) rows so the one consumer whose semantics include them
+    * (pageRank) can recover them with a pushed filter; every other
+    * consumer filters `a <> b` off the snapshot scan. */
+  private def canonEdges(pairs: DataFrame, aCol: String,
+                         bCol: String): DataFrame =
+    edgeMemo.getOrCompute(
+      Seq(pairs.select(col(aCol), col(bCol))), "canon") {
+      pairs.select(least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .distinct()
+    }
+
+  /** Loop-free canonical edges — what every consumer except pageRank
+    * means by "the graph". */
+  private def simpleEdges(pairs: DataFrame, aCol: String,
+                          bCol: String): DataFrame =
+    canonEdges(pairs, aCol, bCol).filter(col("a") =!= col("b"))
+
+  /** (node, deg) over the loop-free canonical edges, memoized — the
+    * degree table five consumers re-derived independently. Its node
+    * set is exactly the graph's node set, so consumers needing "all
+    * nodes" project this instead of running their own distinct. */
+  private def canonDegrees(pairs: DataFrame, aCol: String,
+                           bCol: String): DataFrame =
+    degMemo.getOrCompute(
+      Seq(pairs.select(col(aCol), col(bCol))), "deg") {
+      val e = simpleEdges(pairs, aCol, bCol)
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+    }
 
   /** PageRank over an UNDIRECTED pair list: pairs symmetrize into a
     * directed edge table, every node then has in- and out-degree >= 1
@@ -56,11 +111,18 @@ object Graph {
     // persisted pre-partitioned on src: every round's rank join and the
     // degree agg then reuse this layout — the only per-round exchange
     // left is the contribution re-aggregation by dst, which IS the
-    // round's data movement
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    // round's data movement. The distinct edge set comes from the
+    // shared memo (already canonicalized + deduped); symmetrizing the
+    // a < b rows and re-adding the (x, x) loop rows reconstructs the
+    // "union both directions, distinct" table EXACTLY — loops survive
+    // that distinct as one row, which is one (x, x) canonical row here.
+    val canon = canonEdges(pairs, aCol, bCol)
+    val edges = canon.filter($"a" =!= $"b")
+      .select($"a".as("src"), $"b".as("dst"))
+      .union(canon.filter($"a" =!= $"b")
+        .select($"b".as("src"), $"a".as("dst")))
+      .union(canon.filter($"a" === $"b")
+        .select($"a".as("src"), $"b".as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy($"src").agg(count(lit(1)).cast("long").as("deg"))
@@ -183,15 +245,11 @@ object Graph {
     require(maxDegree >= 1, "need maxDegree >= 1")
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter($"a" =!= $"b")
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.select($"a".as("node"))
-      .union(edges.select($"b".as("node")))
-      .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
+    // edge + degree tables from the shared memo: edges feed ONLY the
+    // orientation join here (deg is its own snapshot), so no persist —
+    // a single two-column snapshot scan
+    val edges = simpleEdges(pairs, aCol, bCol)
+    val deg = canonDegrees(pairs, aCol, bCol)
     // orient ONCE and materialize: wedge generation (cap-filtered) and
     // the closure lookup reuse the same degree-join pipeline — running
     // orientEdges twice doubled the exchange count and made q174 the
@@ -217,9 +275,7 @@ object Graph {
           lit(2.0) * coalesce($"n_triangles", lit(0L)) /
             ($"deg".cast("double") * ($"deg" - 1).cast("double")),
           6)).as("clustering"))
-    val out = projected.materialized()
-    edges.unpersist()
-    out
+    projected.materialized()
   }
 
   /** k-core membership by FIXED-ROUND peel: `rounds` iterations of
@@ -256,22 +312,19 @@ object Graph {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges0 = pairs
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter($"a" =!= $"b")
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val allNodes = edges0.select($"a".as("node"))
-      .union(edges0.select($"b".as("node"))).distinct()
+    // round-0 degree table and the node universe both come from the
+    // shared memo (the degree snapshot's node set IS the node set);
+    // later rounds re-aggregate over the shrinking survivor edges
+    val deg0 = canonDegrees(pairs, aCol, bCol)
+    val allNodes = deg0.select($"node")
     def degrees(e: DataFrame): DataFrame =
       e.select($"a".as("node")).union(e.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
-    var edges = edges0.select($"a", $"b")
+    var edges = simpleEdges(pairs, aCol, bCol).select($"a", $"b")
     var finalDeg: DataFrame = null
     var r = 0
     while (r < rounds && finalDeg == null) {
-      val deg = degrees(edges).materialized()
+      val deg = if (r == 0) deg0 else degrees(edges).materialized()
       if (deg.filter($"deg" < k).isEmpty) finalDeg = deg // fixed point
       else {
         val keep = deg.filter($"deg" >= k).select($"node")
@@ -290,9 +343,7 @@ object Graph {
       .join(surv, Seq("node"), "left")
       .select($"node", $"deg",
         when($"deg".isNotNull, 1).otherwise(0).as("in_core"))
-    val out = projected.materialized()
-    edges0.unpersist()
-    out
+    projected.materialized()
   }
 
   /** Adamic-Adar link prediction over an UNDIRECTED pair list: score
@@ -325,15 +376,13 @@ object Graph {
     require(maxDegree >= 2 && topK >= 1, "need maxDegree >= 2, topK >= 1")
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter($"a" =!= $"b")
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // edge + degree snapshots from the shared memo; the half-edge view
+    // re-derives lazily from the two-column scan per consumer subtree
+    val edges = simpleEdges(pairs, aCol, bCol)
     val half = edges.select($"a".as("z"), $"b".as("n"))
       .union(edges.select($"b".as("z"), $"a".as("n")))
-    val deg = half.groupBy($"z").agg(count(lit(1)).cast("long").as("deg"))
+    val deg = canonDegrees(pairs, aCol, bCol)
+      .select($"node".as("z"), $"deg")
     // center-attached degree: each wedge row needs deg(z) for its term,
     // and the cap filter rides the same join
     val centers = half.join(deg, Seq("z"))
@@ -354,7 +403,6 @@ object Graph {
       .orderBy(round($"aa" * 1e6).desc, $"node_a", $"node_b")
       .limit(topK)
       .materialized()
-    edges.unpersist()
     out
   }
 
@@ -387,17 +435,15 @@ object Graph {
     require(rounds >= 1, "need rounds >= 1")
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter($"a" =!= $"b")
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // edge snapshot from the shared memo; the per-round joins re-read
+    // the two-column parquet scan (cheap, pruned) instead of holding a
+    // persisted copy, and the initial label universe is the degree
+    // snapshot's node column — no distinct shuffle
+    val edges = simpleEdges(pairs, aCol, bCol)
     val half = edges.select($"a".as("node"), $"b".as("nb"))
       .union(edges.select($"b".as("node"), $"a".as("nb")))
-    var labels = half.select($"node").distinct()
+    var labels = canonDegrees(pairs, aCol, bCol)
       .select($"node", $"node".as("label"))
-      .materialized()
     for (_ <- 1 to rounds) {
       val tallies = half
         .join(labels.select($"node".as("nb"), $"label"), Seq("nb"))
@@ -411,11 +457,9 @@ object Graph {
     }
     val sizes = labels.groupBy($"label")
       .agg(count(lit(1)).cast("long").as("community_size"))
-    val out = labels.join(sizes, Seq("label"))
+    labels.join(sizes, Seq("label"))
       .select($"node", $"label", $"community_size")
       .materialized()
-    edges.unpersist()
-    out
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of
@@ -444,14 +488,14 @@ object Graph {
     // symmetrize+distinct as a single directed edge, making m2 odd —
     // and Spark's (m2/2).cast truncates where DuckDB's CAST rounds.
     // Assortativity over loops is ill-defined anyway (x == y by
-    // construction inflates r toward +1).
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .filter($"src" =!= $"dst")
-      .distinct()
-    val deg = edges.groupBy($"src".as("node"))
-      .agg(count(lit(1)).cast("long").as("deg"))
+    // construction inflates r toward +1). The loop-free canonical
+    // snapshot symmetrizes into exactly that table (the a < b rows and
+    // their flips are disjoint, so no re-distinct is needed), and the
+    // degree table is the shared snapshot under its directed alias.
+    val simple = simpleEdges(pairs, aCol, bCol)
+    val edges = simple.select($"a".as("src"), $"b".as("dst"))
+      .union(simple.select($"b".as("src"), $"a".as("dst")))
+    val deg = canonDegrees(pairs, aCol, bCol)
     val j = edges
       .join(deg.select($"node".as("src"), $"deg".as("x")), Seq("src"))
       .join(deg.select($"node".as("dst"), $"deg".as("y")), Seq("dst"))

@@ -100,18 +100,20 @@ object Memo {
     * and bypasses — so build cost is attributed to the memo, not to
     * whichever gate happened to run first in catalog order. */
   def stats(): Map[String, Map[String, Double]] =
-    memos.asScala.map {
+    memos.asScala.flatMap {
       case f: FrameMemo =>
-        f.memoName -> Map(
+        Some(f.memoName -> Map(
           "builds" -> f.builds.get().toDouble,
           "build_s" -> f.buildNanos.get() / 1e9,
           "hits" -> f.hits.get().toDouble,
-          "bypasses" -> f.bypasses.get().toDouble)
+          "bypasses" -> f.bypasses.get().toDouble))
       case v: ValueMemo[_] =>
-        v.memoName -> Map(
+        Some(v.memoName -> Map(
           "builds" -> v.builds.get().toDouble,
           "build_s" -> v.buildNanos.get() / 1e9,
-          "hits" -> v.hits.get().toDouble)
+          "hits" -> v.hits.get().toDouble))
+      case _ => None // a future SessionMemo kind reports nothing,
+                     // never a MatchError at bench time
     }.toMap ++ Map(
       "logreg_models" -> Map(
         "builds" -> Selection.modelCacheBuilds.get().toDouble,
@@ -126,10 +128,33 @@ object Memo {
         f.bypasses.set(0)
       case v: ValueMemo[_] =>
         v.builds.set(0); v.buildNanos.set(0); v.hits.set(0)
+      case _ => ()
     }
     Selection.modelCacheBuilds.set(0)
     Selection.modelCacheBuildNanos.set(0)
     Selection.modelCacheHits.set(0)
+  }
+
+  // Traffic-free reaping: sweep() otherwise runs only inside
+  // getOrCompute/invalidate, so a long-lived server that stops calling
+  // memoized operators would hold grace-expired condemned directories
+  // until JVM exit. A single daemon thread ticks the sweeps instead;
+  // each tick is a queue peek (no-op when nothing is condemned), so a
+  // short period costs nothing.
+  private val SweepTickMs = 2000L
+  locally {
+    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-memo-sweeper")
+        th.setDaemon(true)
+        th
+      })
+    t.scheduleWithFixedDelay(() => memos.asScala.foreach {
+      case f: FrameMemo =>
+        try f.sweep() catch { case _: Throwable => () }
+      case _ => ()
+    }, SweepTickMs, SweepTickMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
   }
 
   // At JVM exit, purge every snapshot this process created (live and
@@ -353,8 +378,10 @@ private[graft] final class FrameMemo(name: String, maxEntries: Int = 32)
   private def condemn(snap: Snap): Unit =
     condemned.add((snap, java.lang.System.nanoTime()))
 
-  /** Delete condemned directories older than the grace window. */
-  private def sweep(): Unit = {
+  /** Delete condemned directories older than the grace window. Runs
+    * inside getOrCompute/invalidate AND on [[Memo]]'s background tick,
+    * so a traffic-less server still reaps. */
+  private[analytics] def sweep(): Unit = {
     val cutoff = java.lang.System.nanoTime() - Memo.graceMs * 1000000L
     var head = condemned.peek()
     while (head != null && head._2 <= cutoff) {

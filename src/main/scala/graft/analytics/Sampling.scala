@@ -509,13 +509,8 @@ object Sampling {
     // the bounded TopKBy aggregate carries the id as an int64 payload, so
     // the id column must be integral — fail loudly here rather than let
     // the cast below silently null out string/decimal ids in the output
-    require(df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }, s"consistentSample requires an integral id column; " +
+    require(graft.functions.TopKBy.isIntegralId(df.schema(idCol).dataType),
+      s"consistentSample requires an integral id column; " +
       s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession
     import spark.implicits._

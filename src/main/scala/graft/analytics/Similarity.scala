@@ -298,12 +298,22 @@ object Similarity {
     val cand = v.join(broadcast(qs), $"vid" =!= $"qid")
       .select($"qid", $"vid",
         round(cosine($"qv", $"vv") * 1e6).cast("long").as("c6"))
-    // smallest (-c6, vid) == largest cosine, ties to the smaller id
-    val top = cand.groupBy($"qid")
-      .agg(graft.functions.TopKBy.topKMin(-$"c6".cast("double"),
-        $"vid", k).as("top"))
-      .select($"qid", explode($"top").as("t"))
-      .select($"t.id".as("vid"))
+    // smallest (-c6, vid) == largest cosine, ties to the smaller id;
+    // non-integral ids (which TopKBy's bigint state cannot hold) take
+    // the equivalent row_number window instead of failing analysis
+    val top =
+      if (graft.functions.TopKBy.isIntegralId(cand.schema("vid").dataType))
+        cand.groupBy($"qid")
+          .agg(graft.functions.TopKBy.topKMin(-$"c6".cast("double"),
+            $"vid", k).as("top"))
+          .select($"qid", explode($"top").as("t"))
+          .select($"t.id".as("vid"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        cand.withColumn("rn", row_number().over(
+            Window.partitionBy($"qid").orderBy($"c6".desc, $"vid")))
+          .filter($"rn" <= k).select($"vid")
+      }
     val occ = top.groupBy($"vid")
       .agg(count(lit(1)).cast("long").as("k_occurrence"))
     val hist = occ.groupBy($"k_occurrence")
@@ -344,13 +354,27 @@ object Similarity {
     // integer, so the double round-trip through the sort key is exact.
     def neighborhood(keyCol: String, otherCol: String, sumName: String,
                      cntName: String) =
-      scored.groupBy(col(keyCol))
-        .agg(graft.functions.TopKBy.topKMin(-$"c6".cast("double"),
-          col(otherCol), k).as("top"))
-        .select(col(keyCol),
-          aggregate($"top", lit(0L),
-            (acc, p) => acc - p("score").cast("long")).as(sumName),
-          size($"top").cast("long").as(cntName))
+      // ids only tie-break here (they are not emitted), so any integral
+      // type rides TopKBy via an order-preserving widen; non-integral
+      // ids (string keys) keep the window form the oracle runs instead
+      // of failing TopKBy's bigint-state analysis check
+      if (graft.functions.TopKBy.isIntegralId(
+          scored.schema(otherCol).dataType))
+        scored.groupBy(col(keyCol))
+          .agg(graft.functions.TopKBy.topKMin(-$"c6".cast("double"),
+            col(otherCol), k).as("top"))
+          .select(col(keyCol),
+            aggregate($"top", lit(0L),
+              (acc, p) => acc - p("score").cast("long")).as(sumName),
+            size($"top").cast("long").as(cntName))
+      else
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col(keyCol))
+              .orderBy($"c6".desc, col(otherCol))))
+          .filter($"rn" <= k)
+          .groupBy(col(keyCol))
+          .agg(sum($"c6").as(sumName),
+            count(lit(1)).cast("long").as(cntName))
     val nx = neighborhood("sid", "tid", "ax", "kx")
     val ny = neighborhood("tid", "sid", "ay", "ky")
     // guard the denominator: a non-positive neighborhood sum (wholly

@@ -38,7 +38,10 @@ final class TopKBuf(val k: Int) {
 /** Bounded per-group top-k as a native aggregate: keep the `k` rows
   * with the SMALLEST `(score, id)` (ties by id, duplicate rows kept by
   * multiplicity — exactly the `row_number() OVER (PARTITION BY g
-  * ORDER BY score, id) <= k` answer).
+  * ORDER BY score, id) <= k` answer). The id may be any INTEGRAL type
+  * (tinyint through bigint — widening to long is order-preserving, so
+  * the tie-break is unchanged); it is RETURNED as bigint, so a caller
+  * that must preserve a narrower id type casts the exploded `id` back.
   *
   * Why a custom [[TypedImperativeAggregate]] instead of that window:
   * the window form sorts EVERY group member through the tasks holding
@@ -72,9 +75,9 @@ case class TopKBy(left: Expression, right: Expression, k: Int,
     if (left.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects a DOUBLE score, got ${left.dataType.sql}")
-    else if (right.dataType != LongType)
+    else if (!TopKBy.isIntegralId(right.dataType))
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects a BIGINT id, got ${right.dataType.sql}")
+        s"$prettyName expects an integral id, got ${right.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
@@ -83,7 +86,9 @@ case class TopKBy(left: Expression, right: Expression, k: Int,
     val s = left.eval(input)
     val id = right.eval(input)
     if (s != null && id != null)
-      buf.add((s.asInstanceOf[Double], id.asInstanceOf[Long]), 1L)
+      // any integral id widens losslessly to the long state key
+      buf.add((s.asInstanceOf[Double], id.asInstanceOf[Number].longValue()),
+        1L)
     buf
   }
 
@@ -143,6 +148,14 @@ case class TopKBy(left: Expression, right: Expression, k: Int,
 }
 
 object TopKBy {
+  /** The id types [[TopKBy]] accepts (anything that widens losslessly
+    * to its bigint state key) — callers with other id types (strings,
+    * decimals) keep the equivalent `row_number` window form. */
+  def isIntegralId(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   /** (score, id) ascending; a named serializable object because the
     * expression (and thus the comparator it references) ships to
     * executors inside the physical plan. */

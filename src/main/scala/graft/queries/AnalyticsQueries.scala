@@ -4217,10 +4217,13 @@ object AnalyticsQueries {
              |      END AS DOUBLE) * 1e6) / 1e6 AS assortativity
              |FROM s CROSS JOIN nn""".stripMargin),
       (s, dir) =>
+        // the MEMOIZED pair wrapper (not raw minhashCandidates): same
+        // deterministic table, but the session-shared snapshot keys
+        // identically across the whole graph family — a raw-pipeline
+        // plan here fragmented the second-level edge/degree memo
         graft.analytics.Graph.degreeAssortativity(
-            Dedup.minhashCandidates(
-              Dedup.minhashBandsFromDocs(Tables(s, dir, "documents"),
-                "doc_id", "text", n = 3, numHashes = 8, bandSize = 2),
+            Dedup.minhashCandidatePairs(Tables(s, dir, "documents"),
+              "doc_id", "text", n = 3, numHashes = 8, bandSize = 2,
               maxBucket = 1000),
             "doc_a", "doc_b")),
 

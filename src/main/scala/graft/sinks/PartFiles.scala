@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.DataFrame
 
 /** Shared single-file assembly: serialize rows DISTRIBUTED via the text
@@ -26,6 +26,35 @@ import org.apache.spark.sql.DataFrame
   * the driver. */
 object PartFiles {
 
+  // Scratch dirs live under the SHARED memo/checkpoint root, so a
+  // driver killed mid-drain must not leak them there permanently (the
+  // in-method `finally` covers normal and exceptional returns, not a
+  // JVM kill). Every scratch path registers here before its write and
+  // deregisters after its delete; a shutdown hook purges leftovers —
+  // the same contract FrameMemo.purge() gives snapshots, at the same
+  // priority (above FileSystem close at 10, so the FS is still open).
+  private val liveScratch = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(FileSystem, HPath)]()
+
+  org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+    new Runnable { override def run(): Unit = purgeScratch() }, 25)
+
+  /** Delete every still-registered scratch dir (shutdown-hook body,
+    * exposed `private[graft]` so the spec can pin it). */
+  private[graft] def purgeScratch(): Unit =
+    liveScratch.forEach { case (fs, dir) =>
+      try fs.delete(dir, true)
+      catch { case _: java.io.IOException => () }
+    }
+
+  private[graft] def registerScratch(fs: FileSystem, dir: HPath): Unit =
+    liveScratch.add((fs, dir))
+
+  private[graft] def deregisterScratch(fs: FileSystem, dir: HPath): Unit =
+    liveScratch.remove((fs, dir))
+
+  private[graft] def scratchRegistered: Int = liveScratch.size()
+
   /** Stream the UTF-8 bytes of `lines` (single string column named
     * `value`, `lineSep` appended after EVERY row) to `each(buf, n)` in
     * partition order. Chunk boundaries are arbitrary; the concatenated
@@ -39,6 +68,7 @@ object PartFiles {
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val dir = fs.makeQualified(new HPath(root,
           "scratch_parts_" + java.util.UUID.randomUUID().toString.take(12)))
+        registerScratch(fs, dir)
         try {
           // AQE's partition coalescing sees a few-MB shuffle and folds the
           // whole write into ONE task — which serializes every row's string
@@ -63,7 +93,10 @@ object PartFiles {
               while (n > 0) { each(buf, n); n = in.read(buf) }
             } finally in.close()
           }
-        } finally fs.delete(dir, true)
+        } finally {
+          fs.delete(dir, true)
+          deregisterScratch(fs, dir)
+        }
       case None =>
         // non-local master with nothing shared configured: partitions
         // compute distributed and stream back in order, one at a time

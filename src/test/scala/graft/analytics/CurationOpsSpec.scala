@@ -40,6 +40,42 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TopKBy integral-id widening: int/short ids aggregate through " +
+       "the same bigint state (order-preserving), and operators that " +
+       "emit ids restore the caller's type; string ids fall back to " +
+       "the window instead of failing analysis") {
+    import spark.implicits._
+    // int ids ride TopKBy directly — same keeps as the long form
+    val ints = Seq((3.0, 30), (1.0, 10), (2.0, 20), (1.0, 5))
+      .toDF("s", "id")
+    val keep = ints.agg(graft.functions.TopKBy.topKMin($"s", $"id", 2)
+        .as("t"))
+      .select(posexplode($"t")).select($"col.score", $"col.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(keep === Seq((1.0, 5L), (1.0, 10L)))
+    // clusterCoreset over INT vec_ids: analyzes, and the emitted
+    // vec_id column keeps IntegerType (cast back from the bigint state)
+    val emb = (0 until 40).map { i =>
+      val base = if (i < 20) 1.0f else -1.0f
+      (i, Array(base + i * 0.001f, base, base, base))
+    }.toDF("vec_id", "embedding")
+    val cs = Cluster.clusterCoreset(emb, "vec_id", "embedding",
+      k = 2, iters = 1, m = 3)
+    assert(cs.schema("vec_id").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "integral ids must round-trip through TopKBy at their own type")
+    assert(cs.count() === 6)
+    // marginMining over STRING ids: the window fallback must analyze
+    // and run (the TopKBy form would fail its integral-state check)
+    val semb = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (f"v$i%02d", Array(base + i * 0.01f, base, base, base))
+    }.toDF("vec_id", "embedding")
+    val mm = Similarity.marginMining(semb, "vec_id", "embedding",
+      srcPred = col("vec_id") < "v06", k = 2, minMargin = 0.0)
+    assert(mm.count() > 0, "string-id marginMining must run via window")
+  }
+
   test("clusterCoreset equals the row_number window reference") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

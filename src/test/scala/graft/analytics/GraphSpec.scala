@@ -197,4 +197,55 @@ class GraphSpec extends SparkTestBase {
       assert(run(g.repartition(p)).toSeq.map(_._2).toSeq ===
         Seq(1L, 1L, 1L, 3L, 3L, 3L), s"p=$p")
   }
+
+  test("graph family shares the edge/degree snapshots: sibling " +
+       "operators over the SAME pair table hit the memo instead of " +
+       "re-running the symmetrize/distinct/degree prologue") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 1L), (2L, 1L) /* duplicate orientation */)
+      .toDF("a", "b")
+    val e0 = (Graph.edgeMemo.hits.get(), Graph.edgeMemo.builds.get())
+    val d0 = (Graph.degMemo.hits.get(), Graph.degMemo.builds.get())
+    // first consumer builds both snapshots...
+    val tri = Graph.triangleCounts(pairs, "a", "b")
+      .orderBy("node").collect()
+    assert(Graph.edgeMemo.builds.get() == e0._2 + 1
+      && Graph.degMemo.builds.get() == d0._2 + 1,
+      "first graph operator must snapshot edges and degrees once")
+    // ...every sibling only hits
+    Graph.kCore(pairs, "a", "b", k = 2, rounds = 4).collect()
+    Graph.labelPropagation(pairs, "a", "b", rounds = 2).collect()
+    Graph.adamicAdar(pairs, "a", "b").collect()
+    Graph.degreeAssortativity(pairs, "a", "b").collect()
+    Graph.pageRank(pairs, "a", "b", iters = 3).collect()
+    assert(Graph.edgeMemo.builds.get() == e0._2 + 1
+      && Graph.degMemo.builds.get() == d0._2 + 1,
+      "siblings must not rebuild the edge/degree snapshots")
+    assert(Graph.edgeMemo.hits.get() >= e0._1 + 5
+      && Graph.degMemo.hits.get() >= d0._1 + 3,
+      "siblings must hit the shared snapshots")
+    // the duplicate (2,1) row collapsed into the canonical (1,2) edge:
+    // node 1 has degree 3, exactly as an unshared distinct would give
+    assert(tri.map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(1L)
+      === 3L)
+  }
+
+  test("pageRank reconstructs self-loops EXACTLY from the canonical " +
+       "snapshot (a loop is one (x, x) row; deg counts it once)") {
+    import spark.implicits._
+    // 1-2 edge plus a self-loop on 2: deg(1)=1, deg(2)=2, n=2
+    val g = Seq((1L, 2L), (2L, 2L)).toDF("a", "b")
+    val got = Graph.pageRank(g, "a", "b", iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // local replay of the identical recurrence
+    var (r1, r2) = (0.5, 0.5)
+    for (_ <- 1 to 10) {
+      val (n1, n2) = (0.15 / 2 + 0.85 * (r2 / 2),
+        0.15 / 2 + 0.85 * (r1 / 1 + r2 / 2))
+      r1 = n1; r2 = n2
+    }
+    assert(math.abs(got(1L) - r1) < 2e-6 && math.abs(got(2L) - r2) < 2e-6,
+      s"loop graph ranks $got vs local ($r1, $r2)")
+  }
 }

@@ -278,6 +278,32 @@ class MemoSpec extends SparkTestBase {
     } finally Memo.graceMs = prev
   }
 
+  test("condemned snapshots are reaped WITHOUT further memo traffic: " +
+       "the background sweeper tick deletes a grace-lapsed dir (the " +
+       "idle-server leak: sweep used to run only inside getOrCompute/" +
+       "invalidate)") {
+    val prev = Memo.graceMs
+    Memo.graceMs = 60 * 1000L // condemn INSIDE grace: inline sweep no-op
+    try {
+      val memo = new FrameMemo("ticksweep")
+      val in = Seq((1, "a")).toDF("k", "v")
+      val f = memo.getOrCompute(Seq(in), "p") { in }
+      val dir = new java.io.File(new java.net.URI(f.inputFiles.head))
+        .getParentFile
+      memo.invalidate()
+      assert(dir.exists(),
+        "invalidate inside the grace window must not delete")
+      // lapse the grace with NO further memo calls: only the background
+      // tick (2 s fixed delay) can reap now
+      Memo.graceMs = 0
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (dir.exists() && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(!dir.exists(),
+        "the background sweeper must reap a traffic-less memo")
+    } finally Memo.graceMs = prev
+  }
+
   test("session identity: two sessions get distinct memo ids (never " +
        "identity-hash collisions), and the same session is stable") {
     val s1 = spark

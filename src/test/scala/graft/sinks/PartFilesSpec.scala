@@ -77,6 +77,29 @@ class PartFilesSpec extends SparkTestBase {
     } finally graft.analytics.Memo.placementOverrideForTests = None
   }
 
+  test("scratch dirs are covered by the purge-at-exit hook: a dir left " +
+       "registered (driver killed mid-drain) is deleted by purgeScratch; " +
+       "a normal drain leaves the registry empty") {
+    // normal drain: registration and deregistration balance out
+    val before = PartFiles.scratchRegistered
+    drained(lines(20), "\n")
+    assert(PartFiles.scratchRegistered === before,
+      "a completed drain must deregister its scratch dir")
+    // simulated kill: a dir that never reached the finally block stays
+    // registered — the shutdown hook's purge must remove it from disk
+    val root = Files.createTempDirectory("graft_pf_purge")
+    val hp = new org.apache.hadoop.fs.Path(
+      "file:" + root.toString + "/scratch_parts_killed")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(hp)
+    assert(fs.exists(hp))
+    PartFiles.registerScratch(fs, hp)
+    PartFiles.purgeScratch()
+    assert(!fs.exists(hp),
+      "purge-at-exit must delete a scratch dir leaked by a killed drain")
+    PartFiles.deregisterScratch(fs, hp)
+  }
+
   test("JsonSink envelope is identical through both drain branches " +
        "(separator spanning chunk boundaries included)") {
     import spark.implicits._
