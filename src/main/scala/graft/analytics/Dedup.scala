@@ -661,16 +661,23 @@ object Dedup {
     * table. Blank lines are structure, never hashed — via the explicit
     * whitespace set (incl. U+000B): plain trim() strips only spaces, so
     * a tab-only line would otherwise count as content; \n can't occur
-    * inside a split line. The hashed table is materialized (Par.materialize) because
-    * every caller feeds it to an aggregate AND a join back — without it
-    * the explode runs twice per action. One definition so the trim set
-    * and hashing can never desynchronize the dedup rules. */
+    * inside a split line. BOTH tables are materialized
+    * (Par.materialize): the hashed table feeds an aggregate AND a join
+    * back within one action (the explode would otherwise run twice),
+    * and the (doc, lines) table is the rebuild join's other side — the
+    * gates feed a REFLOW expression upstream, and leaving the line
+    * table lazy re-ran tokenize+reflow+split inside the final action
+    * (~1.1 s of q99's 3.8 s gate, round-13 decomposition; the stored
+    * volume is the corpus text once, the same order as the ln table).
+    * One definition so the trim set and hashing can never
+    * desynchronize the dedup rules. */
   private def hashedLines(docs: DataFrame, idCol: String,
                           textCol: String): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val withLines = docs.select(col(idCol).as("doc"),
-      split(col(textCol), "\n").as("lines"))
+        split(col(textCol), "\n").as("lines"))
+      .materialized()
     val ln = withLines
       .select($"doc", posexplode($"lines").as(Seq("pos", "line")))
       .withColumn("lt", trim($"line", " \t\u000B\f\r"))
