@@ -1943,6 +1943,53 @@ object Stats {
           .as("js_distance"))
   }
 
+  /** Cumulative sum over a distinct-value GRID, gated by grid size:
+    * the grid table is materialized (so its size is an exact count
+    * over checkpointed blocks, and every downstream consumer scans
+    * blocks instead of re-running the raw-volume compression), then
+    * the running sum runs as ONE window task below
+    * `spark.graft.quantile.singleTaskGate` (default 4M — the
+    * quantileNormalize dial, shared deliberately) and as the two-level
+    * distributed prefix sum above it: range-partition by the order
+    * column, per-partition running sums, plus a broadcast prefix of
+    * the per-partition totals (the q91 tokenPrefixes shape). Both
+    * branches produce identical integers — the spec pins equality with
+    * the gate forced to 0. Appends `cumName`; other columns pass
+    * through. */
+  private[analytics] def gridCumSum(dv0: DataFrame, orderCol: String,
+                                    cntCol: String,
+                                    cumName: String): DataFrame = {
+    val spark = dv0.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dv = dv0.materialized()
+    val gate = spark.conf
+      .get("spark.graft.quantile.singleTaskGate", "4000000").toLong
+    if (dv.count() <= gate)
+      dv.withColumn(cumName, sum(col(cntCol)).over(
+        Window.orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    else {
+      // checkpoint AFTER the range partition: the partition-totals
+      // scan and the final join must see the SAME pid assignment
+      val parts = dv.repartitionByRange(col(orderCol))
+        .withColumn("__pid", spark_partition_id())
+        .materialized()
+      val offsets = parts.groupBy($"__pid")
+        .agg(sum(col(cntCol)).as("__pn"))
+        // one row per partition: a single-partition window here is fine
+        .withColumn("__off", coalesce(sum($"__pn").over(
+          Window.orderBy($"__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"__pid", $"__off")
+      val inPart = Window.partitionBy($"__pid").orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      parts.join(broadcast(offsets), "__pid")
+        .withColumn(cumName, sum(col(cntCol)).over(inPart) + $"__off")
+        .drop("__pid", "__off")
+    }
+  }
+
   /** Equal-frequency binning (quantile discretizer) of a numeric
     * column: k bins holding ~n/k rows each, ALL ties of one value in
     * one bin (`bin = min(k, ceil(cdf * k))` over the distinct-value
@@ -1951,9 +1998,12 @@ object Stats {
     * are the split points a serving layer would apply.
     *
     * Scale shape: rows compress to per-DISTINCT-value counts first, so
-    * the one cumulative window runs over the value grid (price grid =
-    * part prices x quantity 1..50 — bounded), never raw volume; the
-    * total rides a broadcast 1-row cross. Only non-empty bins emit (a
+    * the cumulative runs over the value grid (price grid = part prices
+    * x quantity 1..50 — bounded), never raw volume — through
+    * [[gridCumSum]], so a grid past the single-task gate takes the
+    * two-level distributed prefix sum instead of one sort task; the
+    * total rides a broadcast 1-row cross over the same materialized
+    * grid (raw volume is scanned ONCE). Only non-empty bins emit (a
     * tie mass spanning several quantiles swallows them — both engines
     * agree by the identical closed form). Output:
     * (bin, n_rows, n_values, lo, hi) with bounds de-scaled. */
@@ -1962,15 +2012,12 @@ object Stats {
     require(k >= 2, "need k >= 2 bins")
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val v = Par.ensure(df).filter(col(valueCol).isNotNull)
       .select(round(col(valueCol) * scale).cast("long").as("v"))
     val dv = v.groupBy($"v").agg(count(lit(1)).cast("long").as("cnt"))
-    val win = Window.orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = dv.agg(sum($"cnt").cast("long").as("total"))
-    dv.withColumn("cum", sum($"cnt").over(win))
-      .crossJoin(broadcast(tot))
+    val cumd = gridCumSum(dv, "v", "cnt", "cum")
+    val tot = cumd.agg(sum($"cnt").cast("long").as("total"))
+    cumd.crossJoin(broadcast(tot))
       .withColumn("bin",
         least(lit(k.toLong), ceil($"cum".cast("double") /
           $"total".cast("double") * k).cast("long")))
@@ -2113,8 +2160,10 @@ object Stats {
     * exact integers; per-group `(2R_g)^2 / (4 n_g)` terms round to
     * 1e6-scaled integers before the final (dictionary-sized) sum.
     * Scale shape: one (group, value) agg absorbs raw volume; the rank
-    * window runs over the GLOBAL distinct-value grid (the q196
-    * bound); everything after is dictionary-sized. All-tied input
+    * cumulative runs over the GLOBAL distinct-value grid (the q196
+    * bound) through [[gridCumSum]] — distributed two-level prefix sum
+    * past the single-task gate; everything after is dictionary-sized.
+    * All-tied input
     * (C = 0) nulls H_c. Output: 1 row (n_groups, n, dof, h,
     * h_tie_corrected, chi2_crit_05, significant). */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
@@ -2130,10 +2179,9 @@ object Stats {
         round(col(valueCol) * valueScale).cast("long").as("v"))
       .groupBy($"grp", $"v")
       .agg(count(lit(1)).cast("long").as("cnt"))
-    val vt = gv.groupBy($"v").agg(sum($"cnt").cast("long").as("t"))
-      .withColumn("cum",
-        sum($"t").over(Window.orderBy($"v")
-          .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    val vt = gridCumSum(gv.groupBy($"v")
+          .agg(sum($"cnt").cast("long").as("t")), "v", "t", "cum")
+      .withColumn("cum", $"cum".cast("long"))
       .select($"v", $"t", (($"cum" - $"t") * 2L + $"t" + 1L).as("r2"))
     val perGroup = gv.join(vt, Seq("v"))
       .groupBy($"grp")

@@ -97,6 +97,34 @@ class AssocOpsSpec extends SparkTestBase {
     assert(counts === Seq(2L, 2L, 2L, 2L, 2L))
   }
 
+  test("gridCumSum consumers: the FORCED two-level prefix-sum branch " +
+       "returns tables identical to the single-window default for " +
+       "equalFreqBins and kruskalWallis (the 100 TB path the size " +
+       "gate skips at test volumes)") {
+    import spark.implicits._
+    // 400 rows over a 60-value grid across 16 partitions, with ties
+    val rows = (0 until 400).map(i => (i * 7919) % 60 + (i % 3))
+    val df = rows.toDF("v").repartition(16)
+    val kw = (0 until 400).map(i => (s"g${i % 4}", ((i * 31) % 23).toDouble))
+      .toDF("g", "v").repartition(16)
+    def run[A](body: => A): A = body
+    val defBins = Stats.equalFreqBins(df, "v", k = 7, scale = 1L)
+      .orderBy("bin").collect().map(_.toString).toSeq
+    val defKw = Stats.kruskalWallis(kw, "g", "v", valueScale = 1L)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.quantile.singleTaskGate", "0")
+    val (distBins, distKw) =
+      try (Stats.equalFreqBins(df, "v", k = 7, scale = 1L)
+            .orderBy("bin").collect().map(_.toString).toSeq,
+           Stats.kruskalWallis(kw, "g", "v", valueScale = 1L)
+            .collect().map(_.toString).toSeq)
+      finally spark.conf.unset("spark.graft.quantile.singleTaskGate")
+    assert(distBins === defBins,
+      "equalFreqBins branches must produce identical bins")
+    assert(distKw === defKw,
+      "kruskalWallis branches must produce identical statistics")
+  }
+
   test("tCloseness: a class mirroring the global mix scores 0, a " +
        "single-value class scores the hand TVD, null sensitive " +
        "values excluded") {
