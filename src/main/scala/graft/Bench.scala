@@ -146,11 +146,18 @@ object Bench {
       // absolute floor keeps sub-second jitter from triggering) earns up
       // to 2 extra passes, so the published median comes from passes
       // the spike could not dominate (the driver's r12 q173 read 39.9 s
-      // against a 3 s cross-run median; this heals exactly that)
-      if (passes > 1) {
+      // against a 3 s cross-run median; this heals exactly that). The
+      // COLD first pass is excluded from the trigger: pass 1
+      // legitimately pays one-time memo builds (>3x steady on a quiet
+      // host for every first consumer of a shared snapshot), is
+      // published as the cold number regardless, and must not burn
+      // retries or mislabel the artifact's `retried` contention signal.
+      if (passes > 2) {
         var extra = 0
+        def steady = times.tail
         while (extra < 2 && !times.exists(_ < 0) &&
-               times.max > 3 * med(times) && times.max - med(times) > 1.0) {
+               steady.max > 3 * med(steady) &&
+               steady.max - med(steady) > 1.0) {
           if (extra == 0) retried += name
           times = times :+ onePass()
           extra += 1
@@ -167,6 +174,13 @@ object Bench {
       name -> (if (anyFail) -1.0 else times.head,
                if (anyFail) -1.0 else median)
     }
+    // JSON floats must be locale-independent: the f interpolator
+    // renders %.3f with the JVM default locale, and a comma-decimal
+    // locale (de_DE, fr_FR) would emit "probe_start_s":1,234 —
+    // unparseable, the exact `parsed: null` failure the file-write
+    // fallback exists to prevent
+    def jNum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jmap(sel: ((Double, Double)) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")
@@ -195,11 +209,11 @@ object Bench {
       .sortBy(_._1)
       .map { case (n, m) =>
         "\"" + n + "\":{" + m.toSeq.sortBy(_._1).map { case (k, v) =>
-          "\"" + k + "\":" + (if (k == "build_s") f"$v%.3f"
+          "\"" + k + "\":" + (if (k == "build_s") jNum(v)
                               else v.toLong.toString)
         }.mkString(",") + "}"
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${f"$probeStart%.3f"},"probe_end_s":${f"$probeEnd%.3f"},"retried":$retriedJson,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"memos":$memosJson,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"retried":$retriedJson,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"memos":$memosJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver's harness captures only
     // the tail of sbt output and has truncated the per-query maps two
@@ -218,7 +232,7 @@ object Bench {
     // `parsed: null`). Print a compact summary LAST so the totals are
     // the final thing on stdout and always survive tail truncation.
     val nOk = results.count(_._2._1 >= 0)
-    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${f"$probeStart%.3f"},"probe_end_s":${f"$probeEnd%.3f"},"retried":$retriedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"retried":$retriedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

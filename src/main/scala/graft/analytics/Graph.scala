@@ -47,15 +47,28 @@ object Graph {
     * (a, b) = (least, greatest) per pair, distinct — self-loops KEPT
     * as (x, x) rows so the one consumer whose semantics include them
     * (pageRank) can recover them with a pushed filter; every other
-    * consumer filters `a <> b` off the snapshot scan. */
+    * consumer filters `a <> b` off the snapshot scan.
+    *
+    * In memo-BYPASS mode (non-local master, no shared directory) the
+    * memo hands back the raw build plan — which every consumer here
+    * references several times (LPA joins it every round, adamicAdar's
+    * wedge self-join reads it twice), each reference re-running the
+    * whole upstream pair pipeline. The bypass result is therefore
+    * materialized per call: the one-copy cost the old per-operator
+    * persist() paid, without recompute amplification in exactly the
+    * degraded deployment mode. On the snapshot path the frame is
+    * already a two-column parquet scan — nothing extra to do. */
   private def canonEdges(pairs: DataFrame, aCol: String,
-                         bCol: String): DataFrame =
-    edgeMemo.getOrCompute(
+                         bCol: String): DataFrame = {
+    val built = edgeMemo.getOrCompute(
       Seq(pairs.select(col(aCol), col(bCol))), "canon") {
       pairs.select(least(col(aCol), col(bCol)).as("a"),
           greatest(col(aCol), col(bCol)).as("b"))
         .distinct()
     }
+    if (Memo.resolveRootUri(pairs.sparkSession).isEmpty) built.materialized()
+    else built
+  }
 
   /** Loop-free canonical edges — what every consumer except pageRank
     * means by "the graph". */
@@ -66,16 +79,21 @@ object Graph {
   /** (node, deg) over the loop-free canonical edges, memoized — the
     * degree table five consumers re-derived independently. Its node
     * set is exactly the graph's node set, so consumers needing "all
-    * nodes" project this instead of running their own distinct. */
+    * nodes" project this instead of running their own distinct.
+    * Bypass mode materializes (the [[canonEdges]] rule — kCore joins
+    * this table back after its peel loop). */
   private def canonDegrees(pairs: DataFrame, aCol: String,
-                           bCol: String): DataFrame =
-    degMemo.getOrCompute(
+                           bCol: String): DataFrame = {
+    val built = degMemo.getOrCompute(
       Seq(pairs.select(col(aCol), col(bCol))), "deg") {
       val e = simpleEdges(pairs, aCol, bCol)
       e.select(col("a").as("node")).union(e.select(col("b").as("node")))
         .groupBy(col("node"))
         .agg(count(lit(1)).cast("long").as("deg"))
     }
+    if (Memo.resolveRootUri(pairs.sparkSession).isEmpty) built.materialized()
+    else built
+  }
 
   /** PageRank over an UNDIRECTED pair list: pairs symmetrize into a
     * directed edge table, every node then has in- and out-degree >= 1

@@ -1485,63 +1485,28 @@ object Stats {
     // checkpointed grid removes what used to be a SECOND corpus scan
     val p = g.groupBy($"v").agg(sum($"n").cast("long").as("pn"))
     val pt = p.agg(sum($"pn").cast("long").as("pt"))
-    // pooled-grid prefix sum, SIZE-GATED on the POOLED grid size
-    // (distinct values): when the grid fits one comfortable sort task
-    // the CDF is a single global window over it — the shape the catalog
-    // already accepts for distinct-value grids — and the range shuffle
-    // + checkpoint + offsets machinery (three extra jobs) never runs.
-    // Past the gate (a 100 TB continuous column), the two-level
-    // distributed prefix sum takes over: range-partition by value,
-    // per-partition running totals, a broadcast per-partition offset
-    // table — the only unpartitioned window runs over that
-    // <= numPartitions-row table; the checkpoint after the range
-    // partition pins ONE pid assignment for the offsets scan and the
-    // in-partition window. The SAME pooled count sizes the bucket dial
-    // below in BOTH branches (the bound that matters for gate and dial
-    // alike is the pooled-CDF sort/explode volume, not the per-group
-    // grid, which an earlier revision used in the single-window
-    // branch). Derived from the materialized g via approx_count_distinct
-    // (one partial-aggregated pass over checkpointed blocks — an EXACT
-    // distinct cost a measured ~0.7 s extra shuffle job here, and
-    // neither the 4M gate nor the dial needs exactness: nB never
-    // changes the output, only candidate volume).
+    // pooled-value count for the BUCKET DIAL below (nB): derived from
+    // the materialized g via approx_count_distinct — one
+    // partial-aggregated pass over checkpointed blocks; an EXACT
+    // distinct cost a measured ~0.7 s extra shuffle job here, and the
+    // dial needs no exactness (nB never changes the output, only
+    // candidate volume). The pooled-CDF cumulative's own single-task-
+    // vs-distributed gate lives inside gridCumSum, which counts its
+    // materialized grid exactly.
     val grid = g.agg(approx_count_distinct($"v")).head.getLong(0)
-    // conf-overridable so a spec can force the distributed branch at
-    // test volumes (and a cluster can lower it if one sort task of 4M
-    // grid rows is too hot for its executors)
-    val singleTaskGate = spark.conf
-      .get("spark.graft.quantile.singleTaskGate", "4000000").toLong
-    val pIv = if (grid <= singleTaskGate) {
-      val wAll = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      p.crossJoin(broadcast(pt))
-        .withColumn("cum", sum($"pn").over(wAll))
-        .select($"v".as("pvl"),
-          (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
-          ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
-    } else {
-      val parts = p.repartitionByRange($"v")
-        .withColumn("pid", spark_partition_id())
-        .materialized()
-      val offsets = parts.groupBy($"pid").agg(sum($"pn").as("ppn"))
-        // one row per partition: a single-partition window here is fine
-        .withColumn("off", coalesce(sum($"ppn").over(
-          Window.orderBy($"pid").rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)))
-        .select($"pid", $"off")
-      val inPart = Window.partitionBy($"pid").orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      // each pooled value's CDF interval (lo, hi]: hi = cum/pt and
-      // lo = (cum - pn)/pt — the previous row computes ITS hi from the
-      // identical integers, so consecutive intervals share their exact
-      // boundary double and the intervals partition (0, 1]
-      parts.join(broadcast(offsets), "pid")
-        .crossJoin(broadcast(pt))
-        .withColumn("cum", sum($"pn").over(inPart) + $"off")
-        .select($"v".as("pvl"),
-          (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
-          ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
-    }
+    // each pooled value's CDF interval (lo, hi]: hi = cum/pt and
+    // lo = (cum - pn)/pt — the previous row computes ITS hi from the
+    // identical integers, so consecutive intervals share their exact
+    // boundary double and the intervals partition (0, 1]. The gated
+    // cumulative itself lives in [[gridCumSum]] (one window task below
+    // the gate, the two-level distributed prefix sum above) — shared
+    // with equalFreqBins/kruskalWallis so the ordering-invariant
+    // machinery has ONE definition.
+    val pIv = gridCumSum(p, "v", "pn", "cum", sizeHint = Some(grid))
+      .crossJoin(broadcast(pt))
+      .select($"v".as("pvl"),
+        (($"cum" - $"pn").cast("double") / $"pt".cast("double")).as("lo"),
+        ($"cum".cast("double") / $"pt".cast("double")).as("hi"))
     // bucketed as-of with an ADAPTIVE bucket count ~ the pooled grid
     // size: an interval explodes to every bucket it overlaps (total
     // <= grid + nB rows — an interval spanning k extra buckets carries
@@ -1944,9 +1909,6 @@ object Stats {
   }
 
   /** Cumulative sum over a distinct-value GRID, gated by grid size:
-    * the grid table is materialized (so its size is an exact count
-    * over checkpointed blocks, and every downstream consumer scans
-    * blocks instead of re-running the raw-volume compression), then
     * the running sum runs as ONE window task below
     * `spark.graft.quantile.singleTaskGate` (default 4M — the
     * quantileNormalize dial, shared deliberately) and as the two-level
@@ -1955,17 +1917,28 @@ object Stats {
     * the per-partition totals (the q91 tokenPrefixes shape). Both
     * branches produce identical integers — the spec pins equality with
     * the gate forced to 0. Appends `cumName`; other columns pass
-    * through. */
+    * through.
+    *
+    * `sizeHint`: None (default) materializes the grid and counts it
+    * exactly — right when the grid compresses RAW volume (the count is
+    * then a block count and downstream consumers scan blocks instead
+    * of re-aggregating the corpus: equalFreqBins, kruskalWallis). Pass
+    * Some(estimate) when the input already derives from checkpointed
+    * blocks: the materialize would only add a write (measured +0.75 s
+    * on q273's 590k-row pooled grid), and an ESTIMATE is enough
+    * because the gate needs no exactness — either side of it is
+    * correct, only differently shaped. */
   private[analytics] def gridCumSum(dv0: DataFrame, orderCol: String,
-                                    cntCol: String,
-                                    cumName: String): DataFrame = {
+                                    cntCol: String, cumName: String,
+                                    sizeHint: Option[Long] = None)
+      : DataFrame = {
     val spark = dv0.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val dv = dv0.materialized()
+    val dv = if (sizeHint.isEmpty) dv0.materialized() else dv0
     val gate = spark.conf
       .get("spark.graft.quantile.singleTaskGate", "4000000").toLong
-    if (dv.count() <= gate)
+    if (sizeHint.getOrElse(dv.count()) <= gate)
       dv.withColumn(cumName, sum(col(cntCol)).over(
         Window.orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, 0)))
@@ -2173,12 +2146,16 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    // gv absorbs RAW volume and feeds two actions (gridCumSum's grid
+    // materialization and the final perGroup collect) — materialize it
+    // so raw data is scanned once, not once per action
     val gv = Par.ensure(df)
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("grp"),
         round(col(valueCol) * valueScale).cast("long").as("v"))
       .groupBy($"grp", $"v")
       .agg(count(lit(1)).cast("long").as("cnt"))
+      .materialized()
     val vt = gridCumSum(gv.groupBy($"v")
           .agg(sum($"cnt").cast("long").as("t")), "v", "t", "cum")
       .withColumn("cum", $"cum".cast("long"))

@@ -107,7 +107,6 @@ class AssocOpsSpec extends SparkTestBase {
     val df = rows.toDF("v").repartition(16)
     val kw = (0 until 400).map(i => (s"g${i % 4}", ((i * 31) % 23).toDouble))
       .toDF("g", "v").repartition(16)
-    def run[A](body: => A): A = body
     val defBins = Stats.equalFreqBins(df, "v", k = 7, scale = 1L)
       .orderBy("bin").collect().map(_.toString).toSeq
     val defKw = Stats.kruskalWallis(kw, "g", "v", valueScale = 1L)
