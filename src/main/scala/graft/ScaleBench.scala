@@ -119,6 +119,13 @@ object ScaleBench {
     }
     import spark.implicits._
 
+    // force the grid-cumulative gate (e.g. "0" times the distributed
+    // two-level prefix-sum branch of gridCumSum on grids that would
+    // otherwise take the single-task window — the branch-slope receipt
+    // SCALE.md requires)
+    sys.env.get("SPARK_GRAFT_QUANTILE_GATE").foreach(v =>
+      spark.conf.set("spark.graft.quantile.singleTaskGate", v))
+
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -1056,6 +1063,14 @@ object ScaleBench {
         // word agg absorbs the corpus; TakeOrdered head is <= k+1
         "q274_hill" -> (() =>
           analytics.TextAnalysis.hillEstimator(docs, "text", k = 100)
+            .count()),
+        // global rank cumulative over the distinct-value grid — the
+        // second gridCumSum consumer (q262 is the other): force
+        // spark.graft.quantile.singleTaskGate low (the
+        // SPARK_GRAFT_QUANTILE_GATE passthrough in main) to time the
+        // DISTRIBUTED two-level prefix-sum branch past the gate
+        "q280_kruskal_wallis" -> (() =>
+          analytics.Stats.kruskalWallis(events, "event_type", "value")
             .count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")

@@ -49,6 +49,13 @@ object Graph {
     * (pageRank) can recover them with a pushed filter; every other
     * consumer filters `a <> b` off the snapshot scan.
     *
+    * Pairs with a NULL endpoint are DROPPED here, explicitly: least/
+    * greatest skip NULLs, so without the filter a (x, null) pair would
+    * silently collapse to an (x, x) self-loop — a different graph, not
+    * a representation choice. A null endpoint is not a node; no graph
+    * consumer defines semantics for it, so the edge is excluded rather
+    * than half-kept.
+    *
     * In memo-BYPASS mode (non-local master, no shared directory) the
     * memo hands back the raw build plan — which every consumer here
     * references several times (LPA joins it every round, adamicAdar's
@@ -62,7 +69,8 @@ object Graph {
                          bCol: String): DataFrame = {
     val built = edgeMemo.getOrCompute(
       Seq(pairs.select(col(aCol), col(bCol))), "canon") {
-      pairs.select(least(col(aCol), col(bCol)).as("a"),
+      pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(least(col(aCol), col(bCol)).as("a"),
           greatest(col(aCol), col(bCol)).as("b"))
         .distinct()
     }

@@ -165,10 +165,12 @@ object Selection {
     * bucket's raw moment IS the residual total Σr).
     *
     * `materialize` id-repartitions and Par-materializes the table — the
-    * right call for TRAINING, where 30 GD iterations each re-scan it
-    * (and each scans it twice: margins + the gradient join). The SCORE
-    * path consumes the features exactly once, so it passes false and
-    * streams tokenize → window → margin in one pass with no disk
+    * right call when BOTH the densifier ([[denseFeatures]], the
+    * training representation) and the final scoring margin read it
+    * (logregQuality's miss path): one tokenization serves both. A path
+    * that consumes the features exactly once (scoring on a cache hit,
+    * or logregTrain where only the densifier reads them) passes false
+    * and streams tokenize → window → margin in one pass with no disk
     * materialization barrier. */
   private def logregFeatures(docs: DataFrame, idCol: String,
                              textCol: String, label: Column,
@@ -192,26 +194,73 @@ object Selection {
     if (materialize) base.repartition($"id").materialized() else base
   }
 
+  /** The DENSIFIED training representation: one `(y, xs)` record per
+    * document as a persisted RDD — `xs` a fixed `dim + 1`-slot double
+    * array (absent buckets hold exact 0.0, the bias slot 1.0 — the
+    * dense semantics the standardization stats are defined over; `y`
+    * is NaN for a null label, trained as an inert row exactly like the
+    * old SQL shape, where a null residual dropped out of every sum).
+    *
+    * An RDD, not a DataFrame, deliberately — the one place in the repo
+    * where imperative per-partition logic beats the declarative plan:
+    * 30 GD iterations each re-scan this with one treeAggregate (the
+    * canonical MLlib full-batch gradient shape), while a DataFrame
+    * iteration re-pays Catalyst analysis + whole-stage codegen of a
+    * 65-buffer aggregate EVERY step because the plan changes with the
+    * weights (measured 0.43 s/step on a 5000-row table vs 0.036 s/step
+    * for the RDD — fixed model-sized overhead, not data). At 100 TB
+    * the iteration cost is exactly one corpus scan + model-sized tree
+    * reduce per step, same as MLlib's own LogisticRegression. */
+  private def denseFeatures(feats: DataFrame, dim: Int)
+      : org.apache.spark.rdd.RDD[(Double, Array[Double])] = {
+    val dense = feats.rdd
+      .map(r => ((r.get(0), r.get(1)), (r.getInt(2), r.getDouble(3))))
+      // (id, y, bucket) is unique post-agg, so slots never collide:
+      // seqOp writes disjoint slots, combOp merges disjoint-slot arrays
+      .aggregateByKey(new Array[Double](dim + 1))(
+        { (acc, bx) => acc(bx._1) += bx._2; acc },
+        { (a, b) =>
+          var i = 0; while (i <= dim) { a(i) += b(i); i += 1 }; a })
+      .map { case ((_, y), xs) =>
+        (if (y == null) Double.NaN
+         else y.asInstanceOf[java.lang.Integer].doubleValue(), xs)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dense
+  }
+
   /** Round-6-pinned per-bucket standardization stats over the DENSE
     * semantics (absent buckets count as 0): μ_b = round(Σx/n, 6),
     * s_b = round(sqrt(max(Σx²/n − μ_b², 0)), 6), with zero-variance
     * buckets pinned to s = 1 (their centered value is 0 everywhere, so
     * the coordinate is inert either way). The bias coordinate at index
-    * dim is pinned μ = 0, s = 1 — its rows are excluded here. */
-  private def logregStats(feats: DataFrame, n: Double,
+    * dim is pinned μ = 0, s = 1. One treeAggregate over the densified
+    * RDD (2·dim raw moments, model-sized result); per-bucket sum order
+    * differs from the old sparse groupBy but the round-6 pin absorbs
+    * ulp reordering — the same tolerance the DuckDB oracle already
+    * rides. */
+  private def logregStats(dense: org.apache.spark.rdd.RDD[(Double, Array[Double])],
+                          n: Double,
                           dim: Int): (Array[Double], Array[Double]) = {
-    val rows = feats.filter(col("bucket") < dim).groupBy(col("bucket"))
-      .agg(round(sum(col("x")) / lit(n), 6).as("mu"),
-        (sum(col("x") * col("x")) / lit(n)).as("exx"))
-      .select(col("bucket"), col("mu"),
-        round(sqrt(greatest(col("exx") - col("mu") * col("mu"),
-          lit(0.0))), 6).as("s"))
-      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
+    val row = dense.treeAggregate(new Array[Double](2 * dim))(
+      { (a, rec) =>
+        var b = 0
+        while (b < dim) {
+          a(2 * b) += rec._2(b)
+          a(2 * b + 1) += rec._2(b) * rec._2(b)
+          b += 1
+        }
+        a
+      },
+      { (a, b) =>
+        var i = 0; while (i < 2 * dim) { a(i) += b(i); i += 1 }; a })
     val mu = Array.tabulate(dim + 1)(b =>
-      if (b == dim) 0.0 else rows.get(b).map(_._1).getOrElse(0.0))
+      if (b == dim) 0.0 else half6(row(2 * b) / n))
     val s = Array.tabulate(dim + 1) { b =>
-      val sv = if (b == dim) 1.0 else rows.get(b).map(_._2).getOrElse(0.0)
+      val sv =
+        if (b == dim) 1.0
+        else half6(math.sqrt(math.max(
+          row(2 * b + 1) / n - mu(b) * mu(b), 0.0)))
       if (sv == 0.0) 1.0 else sv
     }
     (mu, s)
@@ -308,26 +357,51 @@ object Selection {
                         iters: Int, lr: Double): Array[Double] = {
     require(dim >= 1 && iters >= 1, "dim and iters must be >= 1")
     require(lr > 0.0, "lr must be positive")
-    val (mu, s) = logregStats(feats, n, dim)
+    // densify ONCE; every iteration below is one treeAggregate over
+    // the persisted dense RDD (the old shape re-derived per-doc
+    // margins with a groupBy + sort-merge join against the sparse
+    // table EVERY iteration — 2 scans, a sort, 2 exchanges, and fresh
+    // Catalyst planning per step; measured 21.7 s for the 2-model
+    // bench build vs ~8 s on this shape)
+    val dense = denseFeatures(feats, dim)
+    val sc = feats.sparkSession.sparkContext
+    val (mu, s) = logregStats(dense, n, dim)
     var w = Array.fill(dim + 1)(0.0)
     for (_ <- 1 to iters) {
-      // ONE action per step: raw gradient moments Σ r·x_b per bucket —
-      // the bias bucket's moment IS the residual total Σr, so the
-      // standardized gradient (Σrx − μΣr)/(s·n) assembles driver-side
-      // from a single pass, round-6 pinned (HALF_UP = the engines'
-      // shared half-away-from-zero round)
-      val rx = logregMargins(feats, w.toSeq, mu, s, dim)
-        .select(col("id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("mg"))) - col("y").cast("double"))
-            .as("r"))
-        .join(feats.select(col("id"), col("bucket"), col("x")), Seq("id"))
-        .groupBy(col("bucket")).agg(sum(col("r") * col("x")).as("v"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val t = rx.getOrElse(dim, 0.0)
+      // ONE job per step: the margin is a fixed index-ordered fold
+      // Σ_b (w_b/s_b)·xs_b (absent slots add exact 0.0 — same value
+      // as the sparse sum, reordered by ulps the round-6 gradient pin
+      // absorbs), the residual feeds dim+1 raw moments Σ r·x_b in the
+      // same fold — the bias slot's moment IS the residual total Σr,
+      // so the standardized gradient (Σrx − μΣr)/(s·n) assembles
+      // driver-side, round-6 pinned (HALF_UP = the engines' shared
+      // half-away-from-zero round). NaN-labeled rows are inert, as
+      // their null residual made them in the SQL shape.
+      val bc = sc.broadcast(
+        (Array.tabulate(dim + 1)(b => w(b) / s(b)),
+          (0 to dim).map(b => w(b) * mu(b) / s(b)).sum))
+      val rx = dense.treeAggregate(new Array[Double](dim + 1))(
+        { (a, rec) =>
+          if (!rec._1.isNaN) {
+            val (wEff, c) = bc.value
+            var mg = 0.0
+            var b = 0
+            while (b <= dim) { mg += wEff(b) * rec._2(b); b += 1 }
+            val r = 1.0 / (1.0 + math.exp(-(mg - c))) - rec._1
+            b = 0
+            while (b <= dim) { a(b) += r * rec._2(b); b += 1 }
+          }
+          a
+        },
+        { (a, b) =>
+          var i = 0; while (i <= dim) { a(i) += b(i); i += 1 }; a })
+      bc.destroy()
+      val t = rx(dim)
       val g = Array.tabulate(dim + 1)(b =>
-        half6((rx.getOrElse(b, 0.0) - mu(b) * t) / (s(b) * n)))
+        half6((rx(b) - mu(b) * t) / (s(b) * n)))
       w = w.zipWithIndex.map { case (wb, b) => wb - lr * g(b) }
     }
+    dense.unpersist(blocking = false)
     w ++ mu.take(dim) ++ s.take(dim) // packed; callers slice
   }
 
@@ -347,7 +421,10 @@ object Selection {
       modelCacheHits.incrementAndGet(); p
     }.getOrElse {
       val docs = Par.ensure(docs0)
-      val feats = logregFeatures(docs, idCol, textCol, label, dim)
+      // train-only path: the sparse features feed ONLY the densifier,
+      // which materializes its own (smaller) table — stream them
+      val feats = logregFeatures(docs, idCol, textCol, label, dim,
+        materialize = false)
       val p = timedFit(logregFit(feats, docs.count().toDouble, dim, iters, lr))
       modelCache.put(key, p)
       p
@@ -447,8 +524,9 @@ object Selection {
     val key = modelKey(docs0, idCol, textCol, label, dim, iters, lr)
     val hit = Option(modelCache.get(key))
     // cache hit: the feature table is consumed ONCE (scoring) — stream
-    // it instead of repartition+materialize; miss: fit consumes it
-    // 60+ times, so materialize, train, and score off the same table
+    // it instead of repartition+materialize; miss: the densifier and
+    // the final scoring margin both read it, so one tokenization
+    // (materialized) serves both
     val feats = logregFeatures(docs, idCol, textCol, label, dim,
       materialize = hit.isEmpty)
     val packed = hit.map { p =>

@@ -1935,6 +1935,12 @@ object Stats {
     val spark = dv0.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // the distributed branch injects and later drops two working
+    // columns; a caller frame already carrying either name would be
+    // silently corrupted — fail loudly instead (private[analytics]
+    // helpers attract new callers)
+    require(!dv0.columns.contains("__pid") && !dv0.columns.contains("__off"),
+      "gridCumSum input must not carry reserved columns __pid/__off")
     val dv = if (sizeHint.isEmpty) dv0.materialized() else dv0
     val gate = spark.conf
       .get("spark.graft.quantile.singleTaskGate", "4000000").toLong
@@ -1987,9 +1993,16 @@ object Stats {
     import spark.implicits._
     val v = Par.ensure(df).filter(col(valueCol).isNotNull)
       .select(round(col(valueCol) * scale).cast("long").as("v"))
+    // the grid is materialized HERE (not inside gridCumSum) because it
+    // feeds two consumers — the cumulative and the total — and the
+    // total must come from the pre-window blocks: aggregating it off
+    // the post-window frame re-ran the cumulative's plan for a number
+    // the grid already holds
     val dv = v.groupBy($"v").agg(count(lit(1)).cast("long").as("cnt"))
-    val cumd = gridCumSum(dv, "v", "cnt", "cum")
-    val tot = cumd.agg(sum($"cnt").cast("long").as("total"))
+      .materialized()
+    val cumd = gridCumSum(dv, "v", "cnt", "cum",
+      sizeHint = Some(dv.count()))
+    val tot = dv.agg(sum($"cnt").cast("long").as("total"))
     cumd.crossJoin(broadcast(tot))
       .withColumn("bin",
         least(lit(k.toLong), ceil($"cum".cast("double") /

@@ -304,6 +304,62 @@ class MemoSpec extends SparkTestBase {
     } finally Memo.graceMs = prev
   }
 
+  test("a sweep tick CONCURRENT with getOrCompute on the same memo " +
+       "neither double-deletes nor blocks the hit path (the daemon " +
+       "sweeper races every serving-path call; the grace-defer and the " +
+       "queue's remove-CAS make the interleaving safe BY DESIGN — this " +
+       "pins that it stays safe)") {
+    val prev = Memo.graceMs
+    Memo.graceMs = 0 // every condemned dir is instantly reapable
+    try {
+      val memo = new FrameMemo("racesweep")
+      val in = Seq((1, "a"), (2, "b")).toDF("k", "v")
+      memo.getOrCompute(Seq(in), "live") { in } // build once
+      // hammer sweep() from another thread, faster than the daemon's
+      // 2 s tick ever could — the worst-case interleaving density
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val ticker = new Thread(() => {
+        while (!stop.get()) {
+          try memo.sweep() catch { case e: Throwable => err.set(e) }
+        }
+      }, "racing-sweeper")
+      ticker.setDaemon(true)
+      ticker.start()
+      try {
+        // hit path under concurrent ticks: every call must HIT (a
+        // rebuild here would mean a tick deleted a live snapshot)
+        // and scan correct data
+        val before = memo.hits.get()
+        for (_ <- 1 to 50) {
+          val got = memo.getOrCompute(Seq(in), "live") {
+            fail("a concurrent sweep must never evict a LIVE snapshot" +
+              " — the hit path rebuilt")
+          }
+          assert(got.orderBy("k").collect().map(_.getString(1)).toSeq
+            == Seq("a", "b"))
+        }
+        assert(memo.hits.get() == before + 50)
+        // churn: condemn entries (publish-path invalidate) while ticks
+        // race the inline sweeps for the same queue heads — the
+        // remove-CAS means each dir is deleted exactly once, nothing
+        // throws, and a subsequent rebuild stays readable
+        for (i <- 1 to 20) {
+          memo.getOrCompute(Seq(in), s"churn$i") { in }
+          memo.invalidate()
+        }
+        val rebuilt = memo.getOrCompute(Seq(in), "live") { in }
+        assert(rebuilt.collect().length == 2,
+          "post-churn rebuild must scan its fresh snapshot")
+      } finally {
+        stop.set(true)
+        ticker.join(5000)
+      }
+      assert(err.get() == null,
+        s"sweep must never throw under concurrency: ${err.get()}")
+    } finally Memo.graceMs = prev
+  }
+
   test("session identity: two sessions get distinct memo ids (never " +
        "identity-hash collisions), and the same session is stable") {
     val s1 = spark
