@@ -1071,7 +1071,22 @@ object ScaleBench {
         // DISTRIBUTED two-level prefix-sum branch past the gate
         "q280_kruskal_wallis" -> (() =>
           analytics.Stats.kruskalWallis(events, "event_type", "value")
-            .count()))
+            .count()),
+        // gridCumSum BRANCH receipts: the catalog gates' price/value
+        // grids repeat across scaled copies (scaleLineitem shifts keys,
+        // not prices), so their cumulative work is ~constant in k.
+        // These two run the same operators over the l_orderkey grid,
+        // which grows linearly with copies (~150k x k distinct) and
+        // crosses the 4M single-task gate naturally at x30 — measure
+        // with SPARK_GRAFT_QUANTILE_GATE=0 (all-distributed),
+        // =10000000000 (all-single-task), and default (gate engages at
+        // the crossover) for the branch-slope comparison
+        "q262_bins_biggrid" -> (() =>
+          analytics.Stats.equalFreqBins(li, "l_orderkey", k = 10,
+            scale = 1L).count()),
+        "q280_kw_biggrid" -> (() =>
+          analytics.Stats.kruskalWallis(li, "l_returnflag",
+            "l_orderkey", valueScale = 1L).count()))
       // optional comma-separated prefix filter, e.g. SPARK_GRAFT_SCALE_OPS=q93,q96
       val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -63,6 +63,14 @@ object Sessions {
       // parallelism and real data volumes, set it to 2-3x total cores;
       // here the core-count default is the measured optimum.
       .config("spark.ui.enabled", "false")
+      // the codegen class cache defaults to 100 entries — a 286-query
+      // catalog cycles hundreds of distinct generated classes, so under
+      // catalog-interleaved bench passes every pass recompiled every
+      // query (~+45 ms median on sub-second steady medians, measured
+      // r14). Class metadata lives in metaspace; thousands of entries
+      // are cheap on a driver-sized JVM. Static conf — must be set at
+      // session build time.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
