@@ -468,10 +468,11 @@ object ScaleBench {
         "q137_fertility" -> (() =>
           analytics.TextAnalysis.fertility(docs, "doc_id", "text", "lang")
             .count()),
-        // 30 GD iterations over the id-partitioned checkpointed feature
-        // table: per-iter cost is 2 scans of feats + a 65-row collect;
-        // the curve must be linear in the feature-table build + iters x
-        // feats scans, with NO per-iteration corpus re-tokenization
+        // 30 GD iterations as treeAggregate over the persisted dense
+        // RDD (one scan + model-sized reduce per step, r14 shape): the
+        // curve must be linear in tokenize/densify + iters x dense
+        // scans, with NO per-iteration corpus re-tokenization and no
+        // per-step Catalyst planning
         "q141_logreg" -> (() =>
           analytics.Selection.logregQuality(docs, "doc_id", "text",
             $"lang" === "en").count()),
