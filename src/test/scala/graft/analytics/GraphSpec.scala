@@ -248,4 +248,28 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(got(1L) - r1) < 2e-6 && math.abs(got(2L) - r2) < 2e-6,
       s"loop graph ranks $got vs local ($r1, $r2)")
   }
+
+  test("pairs with a NULL endpoint are DROPPED, never collapsed: " +
+       "least/greatest skip NULLs, so without the canonEdges filter a " +
+       "(x, null) pair would silently become an (x, x) self-loop — a " +
+       "different graph") {
+    import spark.implicits._
+    // triangle + one (3, null) pair + one (null, null) pair
+    val g = Seq((Some(1L), Some(2L)), (Some(2L), Some(3L)),
+        (Some(1L), Some(3L)), (Some(3L), None), (None: Option[Long], None))
+      .toDF("a", "b")
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    // pageRank: a phantom (3, 3) self-loop would shift every rank
+    val got = Graph.pageRank(g, "a", "b", iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Graph.pageRank(clean, "a", "b", iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want,
+      s"null-endpoint pairs must not perturb ranks: $got vs $want")
+    // degrees: node 3 keeps deg 2 (no phantom loop), no null node row
+    val deg = Graph.triangleCounts(g, "a", "b").collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
+    assert(deg(3L) == 2L && !deg.contains(null),
+      s"degree table must exclude null endpoints: $deg")
+  }
 }
