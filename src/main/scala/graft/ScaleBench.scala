@@ -125,6 +125,11 @@ object ScaleBench {
     // SCALE.md requires)
     sys.env.get("SPARK_GRAFT_QUANTILE_GATE").foreach(v =>
       spark.conf.set("spark.graft.quantile.singleTaskGate", v))
+    // same dial for the Bradley-Terry driver gate ("0" times the
+    // distributed MM rounds on match tables the driver branch would
+    // otherwise absorb)
+    sys.env.get("SPARK_GRAFT_BT_GATE").foreach(v =>
+      spark.conf.set("spark.graft.bt.driverGate", v))
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -86,9 +86,39 @@ object Par {
     else ds.localCheckpoint(eager = true)
   }
 
+  /** [[materialize]] with the population DEFERRED to the caller's next
+    * action over the RETURNED frame: the logical plan is truncated to a
+    * leaf immediately (so fixed-iteration loops keep O(1) plans), but
+    * no job runs here — the caller's own action (a normalizer
+    * aggregate, a count it needed anyway) computes and caches the
+    * blocks, folding what was two driver actions per loop round into
+    * one. Measured on q199's 10 MM rounds: the round floor is the
+    * action-scheduling cost, so halving actions halves it.
+    *
+    * Contract differences from [[materialize]] (both deliberate):
+    *  - the caller MUST run an action on the returned frame before
+    *    unpersisting/mutating anything upstream — until then the frame
+    *    still computes through the original lineage;
+    *  - the action must touch EVERY partition (aggregates and counts
+    *    do; a limit does not) or later consumers recompute the rest;
+    *  - on the reliable-checkpoint posture (preemptible clusters,
+    *    `spark.graft.checkpoint.dir` set) this FALLS BACK to the eager
+    *    reliable path: a lazy reliable checkpoint re-runs lineage in
+    *    the write job (the compute-twice trap the eager idiom exists
+    *    to avoid), and executor-loss safety is worth one extra action
+    *    per round there. */
+  def materializeLazy[T](ds: Dataset[T]): Dataset[T] = {
+    val sc = ds.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined ||
+        ds.sparkSession.conf.getOption("spark.graft.checkpoint.dir").isDefined)
+      materialize(ds)
+    else ds.localCheckpoint(eager = false)
+  }
+
   /** Chaining sugar for [[materialize]]: `df.materialized()`. */
   implicit class Mat[T](private val ds: Dataset[T]) extends AnyVal {
     def materialized(): Dataset[T] = materialize(ds)
+    def lazyMaterialized(): Dataset[T] = materializeLazy(ds)
   }
 
   def ensure(df: DataFrame): DataFrame = {

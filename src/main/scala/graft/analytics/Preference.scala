@@ -26,19 +26,27 @@ object Preference {
     * phantom's pull vanishes as real comparisons accumulate, the
     * standard shrinkage.
     *
-    * Scale shape: the match table is node-keyed `(i, j, n_ij)`
-    * (symmetrized, persisted); each round is two node-keyed joins of
-    * the theta table against it + one aggregate + a geometric-mean
-    * normalize — the pageRank round shape, and like pageRank the
-    * fixed-iteration recurrence with interpolated constants lets a SQL
-    * oracle replay it exactly. The round's RAW scores are
-    * `Par.materialize`d and the normalizer collects as ONE driver
-    * scalar over the checkpointed blocks (pageRank's N precedent):
-    * normalizing through a broadcast subtree instead made every round's
-    * materialization evaluate the join+aggregate pipeline TWICE — once
-    * for the scores, once inside the broadcast — a measured ~25% of
-    * q199's round cost. Theta itself stays a lazy projection over the
-    * round's blocks, so lineage is one round deep either way.
+    * Scale shape: the match table `(i, j, n_ij)` is symmetrized,
+    * persisted, and ITEMS²-bounded — so the rounds are size-GATED
+    * (`spark.graft.bt.driverGate`, default 200k pair rows — sized so
+    * the one collect stays tens of MB even with string ids; the
+    * gridCumSum-gate pattern). At or below the gate the whole MM
+    * recurrence runs driver-side over one collect: at dictionary size
+    * the distributed rounds' cost is pure per-round stage scheduling
+    * (a same-JVM A/B measured the join work at milliseconds), and ten
+    * rounds of scheduling dominated the gate's wall time. Above the
+    * gate, each round is two node-keyed joins of the theta table
+    * against the match table + one aggregate + a geometric-mean
+    * normalize — the pageRank round shape. The round's RAW scores are
+    * lazily materialized (plan truncates to a leaf; the normalizer
+    * aggregate is the one action that populates them) and the
+    * normalizer collects as ONE driver scalar (pageRank's N
+    * precedent): normalizing through a broadcast subtree instead made
+    * every round's materialization evaluate the join+aggregate
+    * pipeline TWICE — a measured ~25% of q199's round cost. Both
+    * branches fold identical arithmetic; sum order differs by ulps
+    * the final round-6 absorbs (spec-pinned equality with the gate
+    * forced to 0).
     * Self-comparisons are dropped. Deterministic to the rounded places:
     * float addition order perturbs ulps the final round-6 absorbs.
     *
@@ -58,11 +66,64 @@ object Preference {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val winCounts = games.groupBy($"w".as("node"))
       .agg(count(lit(1)).cast("long").as("wins"))
-    val base = m.groupBy($"i".as("node"))
+    val base0 = m.groupBy($"i".as("node"))
       .agg(sum($"nij").cast("long").as("n_games"))
       .join(winCounts, Seq("node"), "left")
       .select($"node", $"n_games", coalesce($"wins", lit(0L)).as("wins"))
-      .materialized()
+    // ---- size-gated branch (the gridCumSum precedent) ----
+    // The symmetrized match table m is ITEMS²-bounded, not comparison-
+    // volume-bounded — for preference aggregation it is usually
+    // model-count- or candidate-pair-sized. Below the gate the 10 MM
+    // rounds run DRIVER-SIDE over one collect of (m, base): the
+    // distributed rounds' cost at dictionary size is pure per-round
+    // stage scheduling (a same-JVM A/B measured the join work itself
+    // at milliseconds), 10 rounds of which dominated the q199 gate.
+    // Above the gate (a genuinely huge pair graph) the node-keyed
+    // distributed recurrence below is unchanged. Both branches fold
+    // the SAME arithmetic — sum order differs by ulps the final
+    // round-6 absorbs (the logreg/kruskal equality tolerance);
+    // StatsSpec pins branch equality with the gate forced to 0.
+    val mCnt = m.count() // also populates m's cache for either branch
+    val driverGate = spark.conf
+      .get("spark.graft.bt.driverGate", "200000").toLong
+    if (mCnt > 0 && mCnt <= driverGate) {
+      val baseRows = base0.collect()
+      val n = baseRows.length
+      val idx = scala.collection.mutable.HashMap[Any, Int]()
+      baseRows.zipWithIndex.foreach { case (r, k) => idx(r.get(0)) = k }
+      val wins = Array.tabulate(n)(k => baseRows(k).getLong(2).toDouble)
+      val pairs = m.collect()
+        .map(r => (idx(r.get(0)), idx(r.get(1)), r.getLong(2).toDouble))
+      val thArr = Array.fill(n)(1.0)
+      for (_ <- 1 to iters) {
+        val dsum = new Array[Double](n)
+        pairs.foreach { case (i, j, nij) =>
+          dsum(i) += nij / (thArr(i) + thArr(j))
+        }
+        var logSum = 0.0
+        val score = Array.tabulate(n) { k =>
+          val s = (wins(k) + 1.0) / (dsum(k) + 2.0 / (thArr(k) + 1.0))
+          logSum += math.log(s)
+          s
+        }
+        val g = math.exp(logSum / n)
+        var k = 0
+        while (k < n) { thArr(k) = score(k) / g; k += 1 }
+      }
+      val rows = baseRows.zipWithIndex.map { case (r, k) =>
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2),
+          math.round(thArr(k) * 1e6) / 1e6)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        base0.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "score", org.apache.spark.sql.types.DoubleType))
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq,
+          spark.sparkContext.defaultParallelism), schema)
+      m.unpersist()
+      return out
+    }
+    val base = base0.materialized()
     var th = base.select($"node", lit(1.0).as("th"))
     for (_ <- 1 to iters) {
       val d = m
@@ -70,14 +131,20 @@ object Preference {
         .join(th.select($"node".as("j"), $"th".as("tj")), Seq("j"))
         .groupBy($"i".as("node"), $"ti")
         .agg(sum($"nij".cast("double") / ($"ti" + $"tj")).as("dsum"))
+      // LAZY materialization: the plan truncates to a leaf here, and
+      // the normalizer aggregate right below is the ONE action that
+      // computes and caches the round (it touches every partition) —
+      // the eager form paid a second driver action per round just to
+      // populate, and the round floor IS the action count (r13
+      // addendum 2: 75% of q199 was 10 rounds x the scheduling floor)
       val raw = base.join(d, Seq("node"))
         .select($"node", (($"wins" + 1).cast("double") /
           ($"dsum" + lit(2.0) / ($"ti" + lit(1.0)))).as("score"))
-        .materialized()
-      // the normalizer is ONE scalar over the round's checkpointed
-      // blocks; same double either as a literal or a broadcast column,
-      // but the broadcast form re-evaluated the whole round pipeline a
-      // second time inside the materialization
+        .lazyMaterialized()
+      // the normalizer is ONE scalar over the round's blocks; same
+      // double either as a literal or a broadcast column, but the
+      // broadcast form re-evaluated the whole round pipeline a second
+      // time inside the materialization
       val gRow = raw.agg(exp(avg(log($"score"))).as("g")).head()
       val g = if (gRow.isNullAt(0)) 1.0 else gRow.getDouble(0)
       th = raw.select($"node", ($"score" / lit(g)).as("th"))

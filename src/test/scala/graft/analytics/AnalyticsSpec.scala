@@ -2382,6 +2382,31 @@ class StatsSpec extends SparkTestBase {
     assert(run(7) === m, "hash-free deterministic recurrence")
   }
 
+  test("bradleyTerry branch equality: the size-gated DRIVER recurrence " +
+       "(default gate — dictionary-sized m) and the distributed rounds " +
+       "(gate forced to 0) produce identical rows, including the " +
+       "round-6 score") {
+    import spark.implicits._
+    val cmp = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("D", "A"), ("D", "C"), ("B", "D")).toDF("w", "l")
+    def run(): Seq[(String, Long, Long, Double)] =
+      Preference.bradleyTerry(cmp, "w", "l", iters = 10)
+        .orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val driver = run() // gate default 1M >> 8 pair rows
+    val prev = spark.conf.getOption("spark.graft.bt.driverGate")
+    spark.conf.set("spark.graft.bt.driverGate", "0")
+    try {
+      val distributed = run()
+      assert(driver === distributed,
+        s"branches must agree:\n$driver\n$distributed")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.bt.driverGate", v)
+      case None => spark.conf.unset("spark.graft.bt.driverGate")
+    }
+  }
+
   test("marginMining: integer-ratio margins hand-computed end to end; " +
        "threshold drops the weaker pair; best-target pick per source") {
     import spark.implicits._
