@@ -5,6 +5,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus, appName = "graft-bench")
+    // conf passthrough for branch A/Bs (the ScaleBench gate-env
+    // pattern, generalized): `SPARK_GRAFT_CONF="k=v,k=v"` sets session
+    // confs before any query runs — sbt forks the run JVM, so -D
+    // system properties on the sbt command line never arrive here.
+    // Profiling-only; the driver passes no env and measures defaults.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // warm the session (codegen, parquet reader, shuffle machinery, window
     // exec, text writer) so the first measured query isn't charged ~2-4s
     // of JVM/janino warmup

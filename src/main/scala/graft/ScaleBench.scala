@@ -130,6 +130,11 @@ object ScaleBench {
     // otherwise absorb)
     sys.env.get("SPARK_GRAFT_BT_GATE").foreach(v =>
       spark.conf.set("spark.graft.bt.driverGate", v))
+    // same dial for the iterative-graph driver gate ("0" times the
+    // distributed pageRank/kCore/LPA rounds on edge sets the driver
+    // branch would otherwise absorb)
+    sys.env.get("SPARK_GRAFT_GRAPH_GATE").foreach(v =>
+      spark.conf.set("spark.graft.graph.driverGate", v))
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -43,6 +43,23 @@ object Graph {
   private[graft] val edgeMemo = new FrameMemo("graph_edges")
   private[graft] val degMemo = new FrameMemo("graph_deg")
 
+  /** Size gate for the driver-recurrence branches of the ITERATIVE
+    * graph operators (pageRank, kCore, labelPropagation) —
+    * `spark.graft.graph.driverGate`, default 500k canonical edge rows,
+    * the bradleyTerry/gridCumSum gate pattern. At or below the gate
+    * the operator collects the (two-id-column) edge snapshot once and
+    * runs its fixed-round recurrence driver-side: at dictionary size
+    * the distributed rounds cost pure per-round stage scheduling (the
+    * q199 A/B measured the per-round join work at milliseconds), and
+    * the round count × the scheduling floor dominated each gate's
+    * wall time. Above the gate the node-keyed distributed rounds are
+    * unchanged — the 100-TB path. Branch equality is spec-pinned per
+    * operator with the gate forced to 0 (GraphSpec); arithmetic is
+    * identical up to float-sum order, which each operator's final
+    * rounding absorbs (kCore and LPA are integer/label-exact). */
+  private def driverGateOf(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.graph.driverGate", "500000").toLong
+
   /** The canonical UNDIRECTED edge table of a pair list, memoized:
     * (a, b) = (least, greatest) per pair, distinct — self-loops KEPT
     * as (x, x) rows so the one consumer whose semantics include them
@@ -143,6 +160,67 @@ object Graph {
     // "union both directions, distinct" table EXACTLY — loops survive
     // that distinct as one row, which is one (x, x) canonical row here.
     val canon = canonEdges(pairs, aCol, bCol)
+    val teleport = 1.0 - damping
+    // ---- size-gated driver branch (the bradleyTerry precedent) ----
+    // A near-dup candidate graph at catalog scale is dictionary-sized
+    // (canonical edges <= pairs), and ten distributed rounds at that
+    // size cost pure per-round stage scheduling — the same profile the
+    // q199 A/B measured. At or below the gate the recurrence runs
+    // driver-side over ONE collect of the canonical edge snapshot;
+    // above it the node-keyed rounds below are unchanged. Both
+    // branches fold the same arithmetic — float-sum order differs by
+    // ulps the final round-6 absorbs (GraphSpec pins branch equality
+    // with the gate forced to 0).
+    val canonCnt = canon.count()
+    if (canonCnt > 0 && canonCnt <= driverGateOf(spark)) {
+      val rows = canon.collect()
+      val idx = scala.collection.mutable.HashMap[Any, Int]()
+      val nodeVals = scala.collection.mutable.ArrayBuffer[Any]()
+      def id(x: Any): Int =
+        idx.getOrElseUpdate(x, { nodeVals += x; nodeVals.length - 1 })
+      val srcB = new scala.collection.mutable.ArrayBuffer[Int](rows.length * 2)
+      val dstB = new scala.collection.mutable.ArrayBuffer[Int](rows.length * 2)
+      rows.foreach { row =>
+        val a = id(row.get(0)); val b = id(row.get(1))
+        srcB += a; dstB += b
+        if (a != b) { srcB += b; dstB += a }
+      }
+      val src = srcB.toArray; val dst = dstB.toArray
+      val nn = nodeVals.length
+      val outDeg = new Array[Double](nn)
+      src.foreach(outDeg(_) += 1.0)
+      var r = Array.fill(nn)(1.0 / nn)
+      var prevArr: Array[Double] = null
+      for (i <- 1 to iters) {
+        if (emitDelta && i == iters) prevArr = r
+        val acc = new Array[Double](nn)
+        var e = 0
+        while (e < src.length) {
+          acc(dst(e)) += r(src(e)) / outDeg(src(e)); e += 1
+        }
+        val next = new Array[Double](nn)
+        var v = 0
+        while (v < nn) { next(v) = teleport / nn + damping * acc(v); v += 1 }
+        r = next
+      }
+      val outRows = (0 until nn).map { k =>
+        if (emitDelta)
+          org.apache.spark.sql.Row(nodeVals(k), math.round(r(k) * 1e6) / 1e6,
+            math.round(math.abs(r(k) - prevArr(k)) * 1e9) / 1e9)
+        else org.apache.spark.sql.Row(nodeVals(k), math.round(r(k) * 1e6) / 1e6)
+      }
+      val fields = Seq(
+        org.apache.spark.sql.types.StructField("node",
+          canon.schema("a").dataType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType)) ++
+        (if (emitDelta) Seq(org.apache.spark.sql.types.StructField("delta",
+          org.apache.spark.sql.types.DoubleType)) else Nil)
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows,
+          spark.sparkContext.defaultParallelism),
+        org.apache.spark.sql.types.StructType(fields))
+    }
     val edges = canon.filter($"a" =!= $"b")
       .select($"a".as("src"), $"b".as("dst"))
       .union(canon.filter($"a" =!= $"b")
@@ -153,7 +231,6 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy($"src").agg(count(lit(1)).cast("long").as("deg"))
     val n = deg.count() // node count: the one driver scalar
-    val teleport = 1.0 - damping
     var ranks = deg.select($"src".as("n"), (lit(1.0) / n).as("r"))
     var prev: DataFrame = null
     for (i <- 1 to iters) {
@@ -346,7 +423,72 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select($"a".as("node")).union(e.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
-    var edges = simpleEdges(pairs, aCol, bCol).select($"a", $"b")
+    // ---- size-gated driver branch (see [[driverGateOf]]) ----
+    // The peel is integer-exact, so the branches agree bit-for-bit
+    // (GraphSpec pins it with the gate forced to 0). Each distributed
+    // round costs a degree agg + two semi-joins of scheduling floor;
+    // below the gate the whole peel runs over one collect instead.
+    val simple0 = simpleEdges(pairs, aCol, bCol).select($"a", $"b")
+    val simpleCnt = simple0.count()
+    if (simpleCnt > 0 && simpleCnt <= driverGateOf(spark)) {
+      val degRows = deg0.collect()
+      val nn = degRows.length
+      val idx = scala.collection.mutable.HashMap[Any, Int]()
+      degRows.zipWithIndex.foreach { case (row, i) => idx(row.get(0)) = i }
+      val eRows = simple0.collect()
+      var ea = new Array[Int](eRows.length)
+      var eb = new Array[Int](eRows.length)
+      var i = 0
+      while (i < eRows.length) {
+        ea(i) = idx(eRows(i).get(0)); eb(i) = idx(eRows(i).get(1)); i += 1
+      }
+      // degArr(v) = degree within the current survivor subgraph, or
+      // -1 when v no longer appears in any surviving edge (mirrors the
+      // distributed degrees(e), which emits no row for such nodes)
+      var degArr = Array.tabulate(nn)(k => degRows(k).getLong(1))
+      def recompute(sa: Array[Int], sb: Array[Int]): Array[Long] = {
+        val d = Array.fill(nn)(-1L)
+        var e = 0
+        while (e < sa.length) {
+          if (d(sa(e)) < 0) d(sa(e)) = 0
+          if (d(sb(e)) < 0) d(sb(e)) = 0
+          d(sa(e)) += 1; d(sb(e)) += 1; e += 1
+        }
+        d
+      }
+      var fixed = false
+      var r = 0
+      while (r < rounds && !fixed) {
+        val deg = if (r == 0) degArr else recompute(ea, eb)
+        degArr = deg
+        if (!deg.exists(d => d >= 0 && d < k)) fixed = true // fixed point
+        else {
+          val keepE = (0 until ea.length).filter(e =>
+            deg(ea(e)) >= k && deg(eb(e)) >= k)
+          ea = keepE.map(e => ea(e)).toArray
+          eb = keepE.map(e => eb(e)).toArray
+        }
+        r += 1
+      }
+      val surv = if (fixed) degArr else recompute(ea, eb)
+      val outRows = (0 until nn).map { v =>
+        val in = surv(v) >= k
+        org.apache.spark.sql.Row(degRows(v).get(0),
+          if (in) java.lang.Long.valueOf(surv(v)) else null,
+          if (in) 1 else 0)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          deg0.schema("node").dataType),
+        org.apache.spark.sql.types.StructField("deg",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("in_core",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows,
+          spark.sparkContext.defaultParallelism), schema)
+    }
+    var edges = simple0
     var finalDeg: DataFrame = null
     var r = 0
     while (r < rounds && finalDeg == null) {
@@ -466,6 +608,76 @@ object Graph {
     // persisted copy, and the initial label universe is the degree
     // snapshot's node column — no distinct shuffle
     val edges = simpleEdges(pairs, aCol, bCol)
+    // ---- size-gated driver branch (see [[driverGateOf]]) ----
+    // The (count desc, label asc) argmax is exact, so the branches
+    // agree bit-for-bit on any graph whose node ids carry a numeric
+    // ordering — the only ids the distributed tie-break (`-label`)
+    // accepts anyway. GraphSpec pins equality with the gate forced
+    // to 0. Non-numeric ids fall through to the distributed rounds.
+    val nodeDt = canonDegrees(pairs, aCol, bCol).schema("node").dataType
+    val numericKey: Option[Any => Double] = nodeDt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        Some((x: Any) => x.asInstanceOf[Number].doubleValue)
+      case _ => None
+    }
+    val simpleCnt = edges.count()
+    if (simpleCnt > 0 && simpleCnt <= driverGateOf(spark) &&
+        numericKey.isDefined) {
+      val key = numericKey.get
+      val degRows = canonDegrees(pairs, aCol, bCol).select($"node").collect()
+      val nn = degRows.length
+      val idx = scala.collection.mutable.HashMap[Any, Int]()
+      degRows.zipWithIndex.foreach { case (row, i) => idx(row.get(0)) = i }
+      // rank(v) = position of v's id in ascending numeric order, so
+      // "smallest label" ties resolve identically to the distributed
+      // max_by(label, struct(c, -label)) without re-boxing per tally
+      val byVal = (0 until nn).sortBy(v => key(degRows(v).get(0)))
+      val rank = new Array[Int](nn)
+      byVal.zipWithIndex.foreach { case (v, p) => rank(v) = p }
+      val adj = Array.fill(nn)(new scala.collection.mutable.ArrayBuffer[Int])
+      edges.collect().foreach { row =>
+        val a = idx(row.get(0)); val b = idx(row.get(1))
+        adj(a) += b; adj(b) += a
+      }
+      var lab = Array.tabulate(nn)(identity) // label = own node, by index
+      for (_ <- 1 to rounds) {
+        val next = new Array[Int](nn)
+        val tally = scala.collection.mutable.HashMap[Int, Long]()
+        var v = 0
+        while (v < nn) {
+          tally.clear()
+          adj(v).foreach { nb =>
+            tally(lab(nb)) = tally.getOrElse(lab(nb), 0L) + 1L
+          }
+          var best = -1; var bestC = -1L
+          tally.foreach { case (l, c) =>
+            if (c > bestC || (c == bestC && rank(l) < rank(best)))
+              { best = l; bestC = c }
+          }
+          next(v) = best; v += 1
+        }
+        lab = next
+      }
+      val sizes = scala.collection.mutable.HashMap[Int, Long]()
+      lab.foreach(l => sizes(l) = sizes.getOrElse(l, 0L) + 1L)
+      val outRows = (0 until nn).map { v =>
+        org.apache.spark.sql.Row(degRows(v).get(0),
+          degRows(lab(v)).get(0), sizes(lab(v)))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeDt),
+        org.apache.spark.sql.types.StructField("label", nodeDt),
+        org.apache.spark.sql.types.StructField("community_size",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows,
+          spark.sparkContext.defaultParallelism), schema)
+    }
     val half = edges.select($"a".as("node"), $"b".as("nb"))
       .union(edges.select($"b".as("node"), $"a".as("nb")))
     var labels = canonDegrees(pairs, aCol, bCol)

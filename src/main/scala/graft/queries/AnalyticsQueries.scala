@@ -3461,8 +3461,10 @@ object AnalyticsQueries {
         "candidate graph — centrality in the duplicate graph ranks the " +
         "boilerplate templates a raw dup-count misses; each round is " +
         "one edge-keyed join + node-keyed agg over the persisted " +
-        "symmetrized edges (N is the single driver scalar), the " +
-        "textbook distributed recurrence with no adjacency collects",
+        "symmetrized edges (N is the single driver scalar); a " +
+        "dictionary-sized edge set (<= spark.graft.graph.driverGate) " +
+        "runs the same recurrence driver-side over one edge collect " +
+        "(the bradleyTerry gate pattern, branch equality spec-pinned)",
       Some(pageRankOracleSql(iters = 10, damping = 0.85)),
       (s, dir) =>
         graft.analytics.Graph.pageRank(
@@ -3798,7 +3800,9 @@ object AnalyticsQueries {
         "cluster analysis; each round is one node-keyed degree agg + " +
         "one survivor semi-join (the pageRank round shape), round " +
         "count part of the contract so the oracle replays the " +
-        "identical partial peel",
+        "identical partial peel; dictionary-sized edge sets peel " +
+        "driver-side under the shared graph gate (integer-exact, " +
+        "branch equality spec-pinned)",
       Some(kCoreOracleSql(k = 2, rounds = 8)),
       (s, dir) =>
         graft.analytics.Graph.kCore(
@@ -4045,7 +4049,9 @@ object AnalyticsQueries {
         "soft community view that connected components overstate by " +
         "chaining through single weak edges; per round one node-keyed " +
         "join + a max_by hash agg (no per-node windows), labels " +
-        "checkpointed so lineage stays one round deep",
+        "checkpointed so lineage stays one round deep; dictionary-" +
+        "sized edge sets propagate driver-side under the shared graph " +
+        "gate (label-exact, branch equality spec-pinned)",
       Some(labelPropOracleSql(rounds = 5)),
       (s, dir) =>
         graft.analytics.Graph.labelPropagation(

@@ -249,6 +249,50 @@ class GraphSpec extends SparkTestBase {
       s"loop graph ranks $got vs local ($r1, $r2)")
   }
 
+  test("iterative graph ops: driver-gated branch == distributed branch " +
+       "(gate forced to 0) on a graph with loops, a hub and a chain") {
+    import spark.implicits._
+    // dense core {1,2,3,5} + chain to 4 + a 16-leaf hub on 4 + a
+    // self-loop on 6 + a duplicate orientation — every structural
+    // wrinkle the branches must agree on
+    val g = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 1L), (6L, 6L), (2L, 1L)) ++
+      (10L to 25L).map(i => (4L, i))).toDF("a", "b")
+    def pr() = Graph.pageRank(g, "a", "b", iters = 7, emitDelta = true)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    def kc() = Graph.kCore(g, "a", "b", k = 2, rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2))).toSeq
+    def lpa() = Graph.labelPropagation(g, "a", "b", rounds = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (prD, kcD, lpaD) = (pr(), kc(), lpa())
+    // sanity: the default gate routed these through the driver branch
+    assert(prD.nonEmpty && kcD.nonEmpty && lpaD.nonEmpty)
+    val prev = spark.conf.getOption("spark.graft.graph.driverGate")
+    spark.conf.set("spark.graft.graph.driverGate", "0")
+    try {
+      val (prX, kcX, lpaX) = (pr(), kc(), lpa())
+      // kCore and LPA are integer/label-exact: bit-for-bit equality
+      assert(kcD === kcX, s"kCore branches disagree:\n$kcD\n$kcX")
+      assert(lpaD === lpaX, s"LPA branches disagree:\n$lpaD\n$lpaX")
+      // pageRank folds the same arithmetic; sum order differs by ulps
+      // the round-6 absorbs except exactly ON a rounding knife edge —
+      // compare at one scaled-integer step of tolerance
+      assert(prD.map(_._1) === prX.map(_._1))
+      prD.zip(prX).foreach { case ((n, r1, d1), (_, r2, d2)) =>
+        assert(math.abs(r1 - r2) <= 1.000001e-6 &&
+          math.abs(d1 - d2) <= 1.000001e-9,
+          s"node $n rank/delta drift: ($r1,$d1) vs ($r2,$d2)")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.graph.driverGate", v)
+      case None => spark.conf.unset("spark.graft.graph.driverGate")
+    }
+  }
+
   test("pairs with a NULL endpoint are DROPPED, never collapsed: " +
        "least/greatest skip NULLs, so without the canonEdges filter a " +
        "(x, null) pair would silently become an (x, x) self-loop — a " +
