@@ -265,18 +265,29 @@ class GraphSpec extends SparkTestBase {
       .orderBy("node").collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2))).toSeq
+    // a 10-node chain under rounds=3 does NOT converge — the partial
+    // peel (rounds-exhausted tail, survivor-degree recompute) must
+    // agree across branches too, not just the fixed-point exit
+    val chain = (30L to 39L).sliding(2).map(s => (s.head, s.last))
+      .toSeq.toDF("a", "b")
+    def kcPartial() = Graph.kCore(chain, "a", "b", k = 2, rounds = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2))).toSeq
     def lpa() = Graph.labelPropagation(g, "a", "b", rounds = 3)
       .orderBy("node").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val (prD, kcD, lpaD) = (pr(), kc(), lpa())
+    val (prD, kcD, kcpD, lpaD) = (pr(), kc(), kcPartial(), lpa())
     // sanity: the default gate routed these through the driver branch
     assert(prD.nonEmpty && kcD.nonEmpty && lpaD.nonEmpty)
     val prev = spark.conf.getOption("spark.graft.graph.driverGate")
     spark.conf.set("spark.graft.graph.driverGate", "0")
     try {
-      val (prX, kcX, lpaX) = (pr(), kc(), lpa())
+      val (prX, kcX, kcpX, lpaX) = (pr(), kc(), kcPartial(), lpa())
       // kCore and LPA are integer/label-exact: bit-for-bit equality
       assert(kcD === kcX, s"kCore branches disagree:\n$kcD\n$kcX")
+      assert(kcpD === kcpX,
+        s"kCore partial-peel branches disagree:\n$kcpD\n$kcpX")
       assert(lpaD === lpaX, s"LPA branches disagree:\n$lpaD\n$lpaX")
       // pageRank folds the same arithmetic; sum order differs by ulps
       // the round-6 absorbs except exactly ON a rounding knife edge —
