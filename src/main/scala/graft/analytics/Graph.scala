@@ -128,7 +128,12 @@ object Graph {
     *
     * Ranks and degrees are node-keyed so every round reuses the same
     * hash partitioning over the persisted edge table; the node count N
-    * is a driver scalar — the one collect, O(1). For deep iteration
+    * is a driver scalar — the one collect, O(1). A dictionary-sized
+    * edge set (<= [[driverGateOf]]) instead runs the identical
+    * recurrence driver-side over one collect of the canonical
+    * snapshot — at that size the distributed rounds cost pure stage
+    * scheduling (branch equality spec-pinned; see the gate scaladoc).
+    * For deep iteration
     * (`iters > 10`) ranks are `Par.materialize`d every 5 rounds: the
     * lineage would otherwise nest one join per round and plan
     * compilation / recovery cost grows superlinearly past ~10 joins,
@@ -407,7 +412,10 @@ object Graph {
     * survivor semi-join of the edge table — the pageRank round shape;
     * the per-round degree table and edge survivors are
     * `Par.materialize`d (node-keyed / shrinking tables), so lineage
-    * stays one round deep. Output: (node, deg, in_core 0/1) for every
+    * stays one round deep. Dictionary-sized edge sets
+    * (<= [[driverGateOf]]) peel driver-side over one collect —
+    * integer-exact, branch equality spec-pinned including the
+    * non-converged partial peel. Output: (node, deg, in_core 0/1) for every
     * ORIGINAL node; deg = the node's degree within the surviving
     * subgraph, null for peeled nodes. */
   def kCore(pairs: DataFrame, aCol: String, bCol: String,
@@ -596,7 +604,10 @@ object Graph {
     * Scale shape per round: one edge-keyed join (labels onto the
     * symmetrized half-edge table, node-keyed) + two hash aggregates;
     * labels are `Par.materialize`d each round so lineage stays one
-    * round deep. Output: (node, label, community_size), community size
+    * round deep. Dictionary-sized edge sets with numerically-ordered
+    * node ids (<= [[driverGateOf]]) propagate driver-side over one
+    * collect — label-exact, branch equality spec-pinned. Output:
+    * (node, label, community_size), community size
     * counted over the final labeling. */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
                        rounds: Int = 5): DataFrame = {
