@@ -2382,6 +2382,40 @@ class StatsSpec extends SparkTestBase {
     assert(run(7) === m, "hash-free deterministic recurrence")
   }
 
+  test("bradleyTerry randomized branch differential: driver == " +
+       "distributed over seeded random tournaments (skewed win counts, " +
+       "never-winners, self-rows, duplicate games)") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(2000L + seed)
+      val n = 3 + rnd.nextInt(10)
+      val games = (1 to 10 + rnd.nextInt(50)).map { _ =>
+        (s"p${rnd.nextInt(n)}", s"p${rnd.nextInt(n)}") // self-rows arise
+      }
+      val cmp = games.toDF("w", "l")
+      def run(): Seq[(String, Long, Long, Double)] =
+        Preference.bradleyTerry(cmp, "w", "l", iters = 10)
+          .orderBy("node").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      val driver = run()
+      val prev = spark.conf.getOption("spark.graft.bt.driverGate")
+      spark.conf.set("spark.graft.bt.driverGate", "0")
+      try {
+        val dist = run()
+        assert(driver.map(t => (t._1, t._2, t._3)) ===
+          dist.map(t => (t._1, t._2, t._3)), s"seed=$seed base cols")
+        driver.zip(dist).foreach { case ((id, _, _, s1), (_, _, _, s2)) =>
+          assert(math.abs(s1 - s2) <= 1.000001e-6,
+            s"seed=$seed $id score $s1 vs $s2")
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.bt.driverGate", v)
+        case None => spark.conf.unset("spark.graft.bt.driverGate")
+      }
+    }
+  }
+
   test("bradleyTerry branch equality: the size-gated DRIVER recurrence " +
        "(default gate — dictionary-sized m) and the distributed rounds " +
        "(gate forced to 0) produce identical rows, including the " +

@@ -304,6 +304,50 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("randomized branch differential: driver == distributed for " +
+       "pageRank/kCore/LPA over seeded random graphs (loops, dup " +
+       "orientations, null endpoints, stars, chains all arise)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(1000L + seed)
+      val n = 5 + rnd.nextInt(20)
+      val m = 1 + rnd.nextInt(40)
+      // ~5% null endpoints, ~10% loops, duplicates free to collide
+      def end(): Option[Long] =
+        if (rnd.nextInt(20) == 0) None else Some(1L + rnd.nextInt(n))
+      val pairs = (1 to m).map { _ =>
+        val a = end()
+        val b = if (rnd.nextInt(10) == 0) a else end()
+        (a, b)
+      }.toDF("a", "b")
+      def all() = (
+        Graph.pageRank(pairs, "a", "b", iters = 5).orderBy("node")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        Graph.kCore(pairs, "a", "b", k = 2, rounds = 3).orderBy("node")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) -1L else r.getLong(1), r.getInt(2))).toSeq,
+        Graph.labelPropagation(pairs, "a", "b", rounds = 2)
+          .orderBy("node").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      val (prD, kcD, lpaD) = all()
+      val prev = spark.conf.getOption("spark.graft.graph.driverGate")
+      spark.conf.set("spark.graft.graph.driverGate", "0")
+      try {
+        val (prX, kcX, lpaX) = all()
+        assert(kcD === kcX, s"seed=$seed kCore:\n$kcD\n$kcX")
+        assert(lpaD === lpaX, s"seed=$seed LPA:\n$lpaD\n$lpaX")
+        assert(prD.map(_._1) === prX.map(_._1), s"seed=$seed PR nodes")
+        prD.zip(prX).foreach { case ((node, r1), (_, r2)) =>
+          assert(math.abs(r1 - r2) <= 1.000001e-6,
+            s"seed=$seed node $node rank $r1 vs $r2")
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.graph.driverGate", v)
+        case None => spark.conf.unset("spark.graft.graph.driverGate")
+      }
+    }
+  }
+
   test("pairs with a NULL endpoint are DROPPED, never collapsed: " +
        "least/greatest skip NULLs, so without the canonEdges filter a " +
        "(x, null) pair would silently become an (x, x) self-loop — a " +
