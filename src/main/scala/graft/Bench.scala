@@ -131,6 +131,43 @@ object Bench {
       dropAllBlocks()
       r
     }
+    // ---- continuous hypervisor-steal trace ----
+    // Every bench adjudication since r12 ended up hand-reading
+    // /proc/stat steal deltas to fingerprint contention epochs the
+    // endpoint probes straddle; the artifact now samples it itself. A
+    // daemon thread reads the aggregate cpu line every 5 s and records
+    // the per-interval steal percentage; the artifact publishes the
+    // mean, the max (an epoch's fingerprint — a 10%-steal minute shows
+    // here even when the run-long mean is under 1%), and the count of
+    // samples >= 2% (epoch breadth). -1 values mean /proc/stat was
+    // unreadable (non-Linux host); sampling failures never fail the
+    // bench.
+    val stealSamples = new scala.collection.mutable.ArrayBuffer[Double]
+    @volatile var stealStop = false
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .flatMap(StealTrace.parseCpuLine)
+        finally src.close()
+      } catch { case _: Throwable => None }
+    val stealThread = new Thread(() => {
+      var prev = cpuTicks()
+      while (!stealStop) {
+        Thread.sleep(5000)
+        val cur = cpuTicks()
+        (prev, cur) match {
+          case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+            stealSamples.synchronized {
+              stealSamples += 100.0 * (s1 - s0) / (t1 - t0)
+            }
+          case _ =>
+        }
+        prev = cur
+      }
+    }, "graft-steal-trace")
+    stealThread.setDaemon(true)
+    stealThread.start()
     val probeStart = probeReading()
     // 1-minute load average, stamped before and after the measured
     // section: a run whose artifact carries load >> cpus explains its
@@ -307,7 +344,13 @@ object Bench {
                               else v.toLong.toString)
         }.mkString(",") + "}"
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"pass_order":"interleaved","load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"contended_segments":$contendedSegments,"retried":$retriedJson,"steady_preretry":$preRetryJson,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"memos":$memosJson,"failed":$failed,"sf":"$sfDir"}"""
+    stealStop = true
+    val (stealMean, stealMax, stealEpochs) = stealSamples.synchronized {
+      if (stealSamples.isEmpty) (-1.0, -1.0, -1L)
+      else (stealSamples.sum / stealSamples.length, stealSamples.max,
+        stealSamples.count(_ >= 2.0).toLong)
+    }
+    val line = s"""{"metric":"total","value":${jtotal(_._1)},"unit":"sec","passes":$passes,"pass_order":"interleaved","load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"steal_mean_pct":${jNum(stealMean)},"steal_max_pct":${jNum(stealMax)},"steal_epoch_samples":$stealEpochs,"contended_segments":$contendedSegments,"retried":$retriedJson,"steady_preretry":$preRetryJson,"steady_value":${jtotal(_._2)},"queries":${jmap(_._1)},"queries_steady":${jmap(_._2)},"memos":$memosJson,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO write the line to a file: the driver's harness captures only
     // the tail of sbt output and has truncated the per-query maps two
@@ -326,7 +369,24 @@ object Bench {
     // `parsed: null`). Print a compact summary LAST so the totals are
     // the final thing on stdout and always survive tail truncation.
     val nOk = results.count(_._2._1 >= 0)
-    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"pass_order":"interleaved","load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"contended_segments":$contendedSegments,"retried":$retriedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"pass_order":"interleaved","load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"steal_mean_pct":${jNum(stealMean)},"steal_max_pct":${jNum(stealMax)},"contended_segments":$contendedSegments,"retried":$retriedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
+}
+
+/** /proc/stat aggregate-cpu-line parser for the bench's continuous
+  * hypervisor-steal trace (field 8 of the `cpu ` line is cumulative
+  * steal ticks; the field sum is total ticks — both monotone, so an
+  * interval's steal share is Δsteal/Δtotal). Factored out of the
+  * sampling thread so the parse is spec-testable without /proc. */
+private[graft] object StealTrace {
+  /** (totalTicks, stealTicks) from an aggregate "cpu  ..." line; None
+    * for any other line or a line with fewer than 8 numeric fields
+    * (pre-2.6.11 kernels had no steal column). */
+  def parseCpuLine(line: String): Option[(Long, Long)] =
+    if (!line.startsWith("cpu ")) None
+    else {
+      val f = line.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+      if (f.length < 8) None else Some((f.sum, f(7)))
+    }
 }
