@@ -188,7 +188,7 @@ object Bpe {
     * range, UTF-8 three bytes ≤ 0xEF) and supplementary chars (UTF-16
     * surrogates 0xD800+, UTF-8 four bytes ≥ 0xF0). A code-unit
     * comparator here would break tier parity on exactly those ties. */
-  private def utf8Compare(a: String, b: String): Int = {
+  private[analytics] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -107,12 +107,16 @@ object Similarity {
     * in [[ivfTopK]]/[[graft.analytics.Cluster.ivfPqTopK]] upstream for
     * big corpora — MMR only needs (qid, vid, simq) + vectors); the
     * pairwise penalty table is candidates² rows PER QUERY (bounded,
-    * e.g. 10² = 100), and each greedy step is one query-keyed
-    * anti-join + penalty max + argmax — k unrolled DataFrame steps
-    * over dictionary-sized tables, the pageRank unroll pattern, no
-    * driver loop over data. Deterministic: every score is rounded to 6
-    * before the argmax and ties break by id, so a SQL oracle replays
-    * the identical greedy trajectory.
+    * e.g. 10² = 100). A dictionary-sized shortlist
+    * (<= `spark.graft.mmr.driverGate` rows, default 200k) collects the
+    * probe output + pair table once and replays the greedy selection
+    * driver-side (the graph/bradleyTerry gate pattern — the similarity
+    * arithmetic itself stays distributed either way); above the gate
+    * each greedy step is one query-keyed anti-join + penalty max +
+    * argmax — k unrolled DataFrame steps over dictionary-sized tables,
+    * the pageRank unroll pattern. Deterministic: every score is
+    * rounded to 6 before the argmax and ties break by id, so a SQL
+    * oracle replays the identical greedy trajectory in either branch.
     *
     * Output: (qid, step, neighbor_id, mmr_score), step 1..k in
     * selection order; step 1 is the plain top hit scaled by lambda. */
@@ -149,12 +153,11 @@ object Similarity {
       .materialized()
     val v = emb.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val cv = cand.join(v, Seq("vid")).select($"qid", $"vid", $"simq", $"v")
-    val pair = cv.select($"qid", $"vid".as("vid_a"), $"v".as("va"))
+    val pairPlan = cv.select($"qid", $"vid".as("vid_a"), $"v".as("va"))
       .join(cv.select($"qid", $"vid".as("vid_b"), $"v".as("vb")), Seq("qid"))
       .filter($"vid_a" =!= $"vid_b")
       .select($"qid", $"vid_a", $"vid_b",
         round(cosine($"va", $"vb"), 6).as("sim_ab"))
-      .materialized()
     // the 1-lambda constant is interpolated ONCE and reused by the SQL
     // oracle verbatim, so both engines score with the identical IEEE
     // double (the pageRank teleport precedent); scores round via
@@ -163,6 +166,122 @@ object Similarity {
     // leaves DuckDB's internal x*1e6 free to cross a half-way point
     // Spark's exact-decimal rounding does not (bit-level knife edge)
     val penalty = 1.0 - lambda
+    // ---- size-gated driver branch (the graph/bradleyTerry pattern) ----
+    // The SIMILARITY arithmetic stays distributed either way: the
+    // shortlist is the upstream probe's output and the pairwise table
+    // is the same codegen cosine plan both branches share — the driver
+    // branch collects those two bounded tables (queries x candidates /
+    // x candidates² rows) and replays only the GREEDY SELECTION, which
+    // is pure argmax over already-rounded scores. The distributed
+    // unfold prices k steps x (anti-join + penalty agg + argmax window
+    // + a materialize action) of stage scheduling on dictionary-sized
+    // tables — the q199 profile. Above the gate (a shortlist too big
+    // to collect — millions of queries) the unrolled plan below is
+    // unchanged. Score arithmetic is replicated to the bit: the same
+    // doubles (collected, not recomputed) fold through the same
+    // lambda/penalty literals and the same HALF_UP scaled round
+    // (AnalyticsSpec pins branch equality with the gate forced to 0).
+    val driverGate = spark.conf
+      .get("spark.graft.mmr.driverGate", "200000").toLong
+    val candCnt = cand.count()
+    val vidOrd: Option[(Any, Any) => Int] =
+      cand.schema("vid").dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType =>
+          Some((x, y) => java.lang.Long.compare(
+            x.asInstanceOf[Number].longValue, y.asInstanceOf[Number].longValue))
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          Some((x, y) => java.lang.Double.compare(
+            x.asInstanceOf[Number].doubleValue,
+            y.asInstanceOf[Number].doubleValue))
+        case org.apache.spark.sql.types.StringType =>
+          Some((x, y) =>
+            Bpe.utf8Compare(x.asInstanceOf[String], y.asInstanceOf[String]))
+        case _ => None
+      }
+    if (candCnt > 0 && candCnt <= driverGate && vidOrd.isDefined) {
+      val candRows = cand.collect()
+      // a null qid/vid/simq has no defined greedy semantics (the
+      // distributed window ranks null scores last) — fall through to
+      // the distributed branch rather than half-match it
+      if (candRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+            !r.isNullAt(2))) {
+        val ord = vidOrd.get
+        // Spark's round(e) on a double: BigDecimal.valueOf → setScale
+        // HALF_UP — fold the same way so knife-edge scores agree
+        def rnd6(x: Double): Double =
+          BigDecimal(x * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+        // duplicate (qid, vid) shortlist rows: the distributed argmax
+        // keeps whichever copy scores best — score is monotone in simq
+        // at every step (shared ms per vid), so max-simq per (qid, vid)
+        // is the same selection; the anti-join then removes all copies
+        val bestSim = scala.collection.mutable.HashMap[(Any, Any), Double]()
+        candRows.foreach { r =>
+          val key = (r.get(0), r.get(1))
+          val s = r.getDouble(2)
+          if (bestSim.get(key).forall(_ < s)) bestSim(key) = s
+        }
+        val byQid = bestSim.toSeq.groupBy(_._1._1)
+        val pairSim = scala.collection.mutable
+          .HashMap[(Any, Any, Any), Double]()
+        pairPlan.collect().foreach { r =>
+          pairSim((r.get(0), r.get(1), r.get(2))) = r.getDouble(3)
+        }
+        val out = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row]()
+        byQid.foreach { case (qid, cs) =>
+          val cands = cs.map { case ((_, vid), simq) => (vid, simq) }
+          val selected = scala.collection.mutable.ArrayBuffer[Any]()
+          var remaining = cands
+          var step = 1
+          while (step <= k && remaining.nonEmpty) {
+            var bestVid: Any = null
+            var bestScore = 0.0
+            remaining.foreach { case (vid, simq) =>
+              val score =
+                if (step == 1) rnd6(lambda * simq)
+                else {
+                  // max over EXISTING pair rows (can be negative);
+                  // only a candidate with no pair row at all gets the
+                  // distributed branch's coalesce-to-0.0
+                  var ms = Double.NegativeInfinity
+                  selected.foreach { s =>
+                    pairSim.get((qid, vid, s)).foreach(p =>
+                      if (p > ms) ms = p)
+                  }
+                  if (ms == Double.NegativeInfinity) ms = 0.0
+                  rnd6(lambda * simq - penalty * ms)
+                }
+              if (bestVid == null || score > bestScore ||
+                  (score == bestScore && ord(vid, bestVid) < 0)) {
+                bestVid = vid; bestScore = score
+              }
+            }
+            out += org.apache.spark.sql.Row(qid, step, bestVid, bestScore)
+            selected += bestVid
+            remaining = remaining.filter(_._1 != bestVid)
+            step += 1
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            cand.schema("qid").dataType),
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            cand.schema("vid").dataType),
+          org.apache.spark.sql.types.StructField("mmr_score",
+            org.apache.spark.sql.types.DoubleType)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toSeq,
+            spark.sparkContext.defaultParallelism), schema)
+      }
+    }
+    val pair = pairPlan.materialized()
     def pick(scored: DataFrame, step: Int): DataFrame =
       scored.withColumn("rn", row_number().over(
           Window.partitionBy($"qid").orderBy($"score".desc, $"vid")))

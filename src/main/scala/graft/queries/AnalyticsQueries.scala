@@ -3689,11 +3689,13 @@ object AnalyticsQueries {
         "cosine shortlist (lambda=0.7): greedy select maximizing " +
         "relevance minus max-similarity-to-selected, so near-duplicate " +
         "hits can't crowd the result page; candidate pair table is " +
-        "10^2 rows per query, each greedy step one query-keyed " +
-        "anti-join + penalty max + argmax — 5 unrolled steps over " +
-        "dictionary-sized tables (the pageRank unroll), every score " +
-        "rounded 6 with id tiebreak so the oracle replays the exact " +
-        "greedy trajectory",
+        "10^2 rows per query; a dictionary-sized shortlist " +
+        "(<= spark.graft.mmr.driverGate) collects probe + pair tables " +
+        "once and replays the greedy argmax driver-side (the graph " +
+        "gate pattern, branch equality spec-pinned), above the gate 5 " +
+        "unrolled anti-join + penalty-max + argmax steps (the pageRank " +
+        "unroll); every score rounded 6 with id tiebreak so the oracle " +
+        "replays the exact greedy trajectory",
       Some(mmrOracleSql(candidates = 10, k = 5, lambda = 0.7)),
       (s, dir) =>
         graft.analytics.Similarity.mmrRerank(Tables(s, dir, "embeddings"),

@@ -770,6 +770,68 @@ class SimilaritySpec extends SparkTestBase {
     assert(fromExt.toSeq === got.toSeq)
   }
 
+  test("mmrRerank branch equality: the size-gated driver greedy " +
+       "replays the distributed unfold bit-for-bit (same collected " +
+       "doubles through the same rounding), including negative " +
+       "pairwise cosines and a shortlist vid with no vector") {
+    import spark.implicits._
+    def run(emb: org.apache.spark.sql.DataFrame,
+            shortlist: org.apache.spark.sql.DataFrame,
+            k: Int, lambda: Double) =
+      Similarity.mmrRerankFrom(shortlist, emb, "vec_id", "embedding",
+          k = k, lambda = lambda)
+        .orderBy("qid", "step").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    def withGate0[A](body: => A): A = {
+      val prev = spark.conf.getOption("spark.graft.mmr.driverGate")
+      spark.conf.set("spark.graft.mmr.driverGate", "0")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.mmr.driverGate", v)
+        case None => spark.conf.unset("spark.graft.mmr.driverGate")
+      }
+    }
+    // negative-cosine fixture: candidate 2 is ANTI-correlated with 1,
+    // so its step-2 penalty max is negative and a driver branch that
+    // floors ms at 0 would diverge here
+    val emb = Seq(
+      (0L, Array(1.0f, 0.2f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sl = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 0, k = 3)
+      .select(col("qid"), col("neighbor_id").as("vid"),
+        col("cos_sim").as("simq"))
+    val drv = run(emb, sl, k = 3, lambda = 0.5)
+    assert(drv.nonEmpty)
+    assert(withGate0(run(emb, sl, k = 3, lambda = 0.5)) === drv)
+    // a shortlist entry whose vid has NO vector: it never appears in
+    // the pair table, so its penalty coalesces to 0.0 in both branches
+    val slExtra = sl.unionByName(
+      Seq((0L, 99L, 0.5)).toDF("qid", "vid", "simq"))
+    val drvX = run(emb, slExtra, k = 4, lambda = 0.5)
+    assert(drvX.exists(_._3 == 99L))
+    assert(withGate0(run(emb, slExtra, k = 4, lambda = 0.5)) === drvX)
+    // seeded randomized differentials: signed random vectors (negative
+    // cosines arise), several queries, candidate count > k
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(4200L + seed)
+      val rEmb = (0L until 24L).map(i =>
+        (i, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+      val rSl = Par.materialize(
+        Similarity.bruteForceTopK(rEmb, "vec_id", "embedding",
+            col("vec_id") % 6 === 0, k = 6)
+          .select(col("qid"), col("neighbor_id").as("vid"),
+            col("cos_sim").as("simq")))
+      val d = run(rEmb, rSl, k = 4, lambda = 0.7)
+      assert(d.nonEmpty)
+      assert(withGate0(run(rEmb, rSl, k = 4, lambda = 0.7)) === d,
+        s"seed=$seed branches disagree")
+    }
+  }
+
   test("truncationRecall: a prefix that preserves the neighborhood " +
        "scores recall 1, a prefix that hides the signal dims misses; " +
        "the query itself is never its own neighbor") {
