@@ -4304,9 +4304,11 @@ object AnalyticsQueries {
         "batch-replayed: every feed hour's value distribution scored " +
         "against the even-user reference slice with the q195 " +
         "expression tree verbatim (eps floor, 1e9-scaled integer " +
-        "terms, 0.1/0.25 verdicts) — raw volume stops at a " +
-        "(key, hour, bin) agg and a (key, bin) reference, everything " +
-        "downstream is dictionary x calendar bounded",
+        "terms, 0.1/0.25 verdicts) — raw volume stops at ONE " +
+        "(key, hour, bin) agg carrying the reference slice as a " +
+        "conditional count (the (key, bin) reference re-aggregates " +
+        "that grid), everything downstream is dictionary x calendar " +
+        "bounded",
       Some("""WITH b AS (SELECT event_type AS key,
              |        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
              |        CAST(least(19, greatest(0, floor(value / 10.0)))

@@ -464,11 +464,13 @@ object EventStreams {
     * total, 0.1/0.25 verdicts; keys with no reference rows emit null
     * psi + `no_data`, exactly the stream's unknown-key rule.
     *
-    * Scale shape: raw volume stops at two keyed aggregates — a
-    * (key, hour, bin) table and the (key, bin) reference — both
-    * dictionary-x-calendar bounded (nBins <= 20 cells per key-hour);
-    * the bin-union grid, totals join, and per-hour fold all run over
-    * those. Output: (key, hr, n, psi, verdict), hr = unix hour. */
+    * Scale shape: raw volume stops at ONE keyed aggregate — the
+    * (key, hour, bin) table with the reference slice as a conditional
+    * count in the same pass; the (key, bin) reference re-aggregates
+    * that dictionary-x-calendar bounded grid (nBins <= 20 cells per
+    * key-hour), and the bin-union grid, totals join, and per-hour
+    * fold all run over it. Output: (key, hr, n, psi, verdict),
+    * hr = unix hour. */
   def psiMonitorBatch(events: org.apache.spark.sql.DataFrame,
                       refPred: org.apache.spark.sql.Column,
                       keyCol: String, tsCol: String, valueCol: String,
@@ -489,14 +491,24 @@ object EventStreams {
     // stateful stream path's Math.floorDiv
     val hrOf = expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
       "3600000000)) DIV 3600000000")
-    val cur = base
-      .select(col(keyCol).as("key"), hrOf.as("hr"), bkt.as("bkt"))
+    // ONE raw scan serves BOTH distributions: the reference slice is a
+    // conditional count inside the same (key, hr, bkt) aggregate the
+    // current distribution needs (two separate aggs re-scanned the
+    // feed twice — the only raw-volume work in this op). Everything
+    // below re-aggregates this dictionary x calendar bounded grid.
+    val g = base
+      .select(col(keyCol).as("key"), hrOf.as("hr"), bkt.as("bkt"),
+        when(refPred, 1L).otherwise(0L).as("isr"))
       .groupBy($"key", $"hr", $"bkt")
-      .agg(count(lit(1)).cast("long").as("cc"))
-    val ref = base.filter(refPred)
-      .select(col(keyCol).as("key"), bkt.as("bkt"))
-      .groupBy($"key", $"bkt")
-      .agg(count(lit(1)).cast("long").as("cr"))
+      .agg(count(lit(1)).cast("long").as("cc"),
+        sum($"isr").cast("long").as("ccr"))
+    val cur = g.select($"key", $"hr", $"bkt", $"cc")
+    // cr = 0 bins are NOT reference bins: the old filter-first agg
+    // only emitted (key, bkt) groups the reference slice actually hit,
+    // and the bin-union grid below must see exactly that set
+    val ref = g.groupBy($"key", $"bkt")
+      .agg(sum($"ccr").cast("long").as("cr"))
+      .filter($"cr" > 0L)
     val refTot = ref.groupBy($"key").agg(sum($"cr").cast("long").as("nr"))
     val hours = cur.groupBy($"key", $"hr")
       .agg(sum($"cc").cast("long").as("n"))
