@@ -664,12 +664,16 @@ object Stats {
     * `eps` so a bucket present on only one side contributes a finite
     * term, and `PSI = sum over buckets of (p - q) * ln(p / q)`.
     *
-    * Scale shape: two map-side-filtered (key, bucket) partial aggs —
-    * dictionary-sized output (keys x nBins), one full-outer join of
-    * the two bucket tables, one key-keyed sum; event volume never
-    * shuffles. Deterministic to the rounded places: each bucket's term
-    * is rounded to 9 and summed as scaled integers, so float addition
-    * order cannot flip the 6th decimal a SQL oracle sees.
+    * Scale shape: ONE (key, bucket) aggregate carries both sides as
+    * conditional counts (two separate map-side-filtered aggs re-read
+    * raw volume twice), and the dictionary-sized grid (keys x nBins)
+    * is materialized because two consumers read it (the key totals and
+    * the scoring agg) — left lazy, each consumer re-ran the raw
+    * aggregate, so one call cost four raw scans. Event volume never
+    * shuffles and is read exactly once. Deterministic to the rounded
+    * places: each bucket's term is rounded to 9 and summed as scaled
+    * integers, so float addition order cannot flip the 6th decimal a
+    * SQL oracle sees.
     *
     * Output: (key, n_ref, n_cur, psi, verdict in
     * {stable, watch, drifted}); keys missing a side entirely report a
@@ -682,14 +686,23 @@ object Stats {
       "need binWidth > 0, nBins >= 2, eps > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    def side(pred: Column, cnt: String) =
-      Par.ensure(df).filter(pred && col(valueCol).isNotNull)
-        .select(col(keyCol).as("key"),
-          least(lit(nBins - 1), greatest(lit(0),
-            floor(col(valueCol) / binWidth))).cast("int").as("bkt"))
-        .groupBy($"key", $"bkt").agg(count(lit(1)).as(cnt))
-    val joined = side(refPred, "cr").join(side(curPred, "cc"),
-      Seq("key", "bkt"), "full_outer")
+    // one conditional pass replaces the old per-side filtered aggs +
+    // full_outer join: a (key, bkt) group exists iff some row passed
+    // either pred (exactly the old join's key union), and a side's
+    // count is 0 where the old join produced NULL — every consumer
+    // below already reads the counts through coalesce(_, 0), so the
+    // arithmetic is untouched
+    import Par.Mat
+    val joined = Par.ensure(df)
+      .filter((refPred || curPred) && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        least(lit(nBins - 1), greatest(lit(0),
+          floor(col(valueCol) / binWidth))).cast("int").as("bkt"),
+        when(refPred, 1L).otherwise(0L).as("isr"),
+        when(curPred, 1L).otherwise(0L).as("isc"))
+      .groupBy($"key", $"bkt")
+      .agg(sum($"isr").as("cr"), sum($"isc").as("cc"))
+      .materialized()
     val totals = joined.groupBy($"key")
       .agg(sum(coalesce($"cr", lit(0L))).as("nr"),
         sum(coalesce($"cc", lit(0L))).as("nc"))
@@ -729,8 +742,10 @@ object Stats {
     * is null are excluded (standard practice — "unlabeled" is not a
     * category).
     *
-    * Scale shape: one count + agree-count pass, plus two label-keyed
-    * marginal aggs joined on the label value (dictionary-sized) and
+    * Scale shape: ONE raw pass builds the (a, b) contingency grid
+    * (label-vocabulary² rows, materialized); the totals, agree count
+    * and both label marginals all derive from the grid (they used to
+    * be three separate raw scans), joined on the label value and
     * collapsed to the single pe sum — nothing holds more than
     * |label vocabulary| rows. The pe terms sum as scaled integers so
     * partition order can't move the rounded result. Output: 1 row
@@ -739,14 +754,21 @@ object Stats {
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = Par.ensure(df)
+    import Par.Mat
+    // one raw pass into the (a, b) contingency grid; totals, agree and
+    // both marginals fold the grid's counts (sum(c) == the row counts
+    // the three raw scans used to take) — bit-identical, raw read once
+    val obs = Par.ensure(df)
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b"))
-    val tot = base.agg(count(lit(1)).cast("long").as("n"),
-      sum(when($"a" === $"b", 1L).otherwise(0L)).cast("long").as("agree"))
-    val ma = base.groupBy($"a".as("lbl")).agg(count(lit(1)).as("ca"))
-    val mb = base.groupBy($"b".as("lbl")).agg(count(lit(1)).as("cb"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .materialized()
+    val tot = obs.agg(sum($"c").cast("long").as("n"),
+      sum(when($"a" === $"b", $"c").otherwise(0L)).cast("long").as("agree"))
+    val ma = obs.groupBy($"a".as("lbl")).agg(sum($"c").as("ca"))
+    val mb = obs.groupBy($"b".as("lbl")).agg(sum($"c").as("cb"))
     // per-label expected-agreement term (ca/n)*(cb/n), summed as scaled
     // integers against the one-row totals
     val pe = ma.join(mb, Seq("lbl"))
@@ -779,11 +801,14 @@ object Stats {
     * `1.358 * sqrt((n1 + n2) / (n1 * n2))`.
     *
     * Scale shape: the feed compresses to (key, value)-distinct counts
-    * in one partial agg; the CDF sweep is one window sort over that
-    * compressed table (bounded by distinct values per key — the
-    * monitoring-table shape, never raw event volume); the max is a
-    * key-keyed agg. Deterministic: cumulative counts are exact
-    * integers, both engines divide the same integers and round 6.
+    * in one partial agg, MATERIALIZED because both the CDF sweep and
+    * the key totals read it (lazy, each re-ran the raw aggregate); the
+    * CDF sweep is one window sort over that compressed table (bounded
+    * by distinct values per key — the monitoring-table shape, never
+    * raw event volume); the totals come straight off the grid and the
+    * max is a key-keyed agg. Raw volume is read exactly once.
+    * Deterministic: cumulative counts are exact integers, both engines
+    * divide the same integers and round 6.
     *
     * Output: (key, n_ref, n_cur, ks, threshold, drifted). */
   def ksDrift(df: DataFrame, keyCol: String, valueCol: String,
@@ -791,18 +816,25 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    import Par.Mat
     val base = Par.ensure(df).filter(col(valueCol).isNotNull &&
         (refPred || curPred))
       .select(col(keyCol).as("key"), col(valueCol).as("v"),
         refPred.cast("long").as("ir"), curPred.cast("long").as("ic"))
       .groupBy($"key", $"v")
       .agg(sum($"ir").as("cr"), sum($"ic").as("cc"))
+      // two consumers (the CDF window and the totals) — materialize the
+      // (key, value)-distinct grid so raw volume is read exactly once
+      .materialized()
     val w = Window.partitionBy($"key").orderBy($"v")
     val cum = base
       .withColumn("ar", sum($"cr").over(w))
       .withColumn("ac", sum($"cc").over(w))
-    val tot = cum.groupBy($"key")
-      .agg(max($"ar").as("nr"), max($"ac").as("nc"))
+    // totals straight off the grid (Σ counts == the window's final
+    // cumulative — max(ar)/max(ac) re-ran the CDF window for a number
+    // the grid already holds)
+    val tot = base.groupBy($"key")
+      .agg(sum($"cr").as("nr"), sum($"cc").as("nc"))
     cum.join(tot, Seq("key"))
       .select($"key", $"nr", $"nc",
         abs($"ar".cast("double") / when($"nr" > 0, $"nr".cast("double")) -
@@ -1406,10 +1438,15 @@ object Stats {
   def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import Par.Mat
+    // four consumers read the contingency grid (row marginals, column
+    // marginals, the total, and the final cell join) — materialize it
+    // so raw volume is read exactly once per call
     val obs = Par.ensure(df)
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).cast("long").as("n"))
+      .materialized()
     val ra = obs.groupBy($"a").agg(sum($"n").cast("long").as("row_n"))
     val cb = obs.groupBy($"b").agg(sum($"n").cast("long").as("col_n"))
     val tot = obs.agg(sum($"n").cast("long").as("tot"))
@@ -1586,10 +1623,15 @@ object Stats {
                         bCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import Par.Mat
+    // five consumers read the contingency grid (both marginals, the
+    // total, and the MI join; the marginals feed the entropy aggs too)
+    // — materialize it so raw volume is read exactly once per call
     val obs = Par.ensure(df)
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).cast("long").as("n"))
+      .materialized()
     val ra = obs.groupBy($"a").agg(sum($"n").cast("long").as("row_n"))
     val cb = obs.groupBy($"b").agg(sum($"n").cast("long").as("col_n"))
     val tot = obs.agg(sum($"n").cast("long").as("tot"))
@@ -1867,22 +1909,32 @@ object Stats {
     * `JS = (KL(p||m) + KL(q||m)) / 2` with `m = (p+q)/2`, log base 2 so
     * JS lies in [0, 1]; `js_distance = sqrt(JS)` is the metric form.
     *
-    * Scale shape: two map-side-filtered category aggs (dictionary-
-    * sized), one full-outer join, totals as a broadcast 1-row cross;
-    * per-category terms round to 9 places and sum as scaled integers so
-    * float order can't flip the 6th place either engine reports.
+    * Scale shape: ONE category agg carries both slices as conditional
+    * counts (the psiDrift fold — two filtered aggs read raw volume
+    * twice), materialized because the totals agg and the scoring agg
+    * both read the dictionary-sized table; totals ride a broadcast
+    * 1-row cross. Raw volume is read exactly once. Per-category terms
+    * round to 9 places and sum as scaled integers so float order can't
+    * flip the 6th place either engine reports.
     * Output: 1 row (n_ref, n_cur, n_categories, js_divergence,
     * js_distance), null JS when either side is empty. */
   def jsDrift(df: DataFrame, catCol: String, refPred: Column,
               curPred: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    def side(pred: Column, cnt: String) =
-      Par.ensure(df).filter(pred && col(catCol).isNotNull)
-        .groupBy(col(catCol).as("cat"))
-        .agg(count(lit(1)).as(cnt))
-    val joined = side(refPred, "cr").join(side(curPred, "cc"),
-      Seq("cat"), "full_outer")
+    // one conditional pass (the psiDrift fold): a category appears iff
+    // some row passed either pred — the old full_outer's key union —
+    // and a 0 count stands in for the old NULL, which every consumer
+    // already coalesces to 0
+    import Par.Mat
+    val joined = Par.ensure(df)
+      .filter((refPred || curPred) && col(catCol).isNotNull)
+      .select(col(catCol).as("cat"),
+        when(refPred, 1L).otherwise(0L).as("isr"),
+        when(curPred, 1L).otherwise(0L).as("isc"))
+      .groupBy($"cat")
+      .agg(sum($"isr").as("cr"), sum($"isc").as("cc"))
+      .materialized()
     val totals = joined.agg(
       sum(coalesce($"cr", lit(0L))).cast("long").as("nr"),
       sum(coalesce($"cc", lit(0L))).cast("long").as("nc"))
@@ -2022,7 +2074,9 @@ object Stats {
     * whose effective N collapses is one template away from a dedup
     * blow-up, and a revenue mix with HHI > 0.25 is concentration risk.
     *
-    * Scale shape: one (group, entity) agg absorbs raw volume map-side,
+    * Scale shape: one (group, entity) agg absorbs raw volume map-side
+    * (materialized — the group totals and the scoring join both read
+    * it, so raw volume is read exactly once),
     * then one group-keyed fold over the entity table; HHI terms scale
     * to 1e12-integers and entropy terms to 1e9-integers before summing
     * (sum(share^2) <= 1 bounds the scaled sum), so partition order
@@ -2037,6 +2091,9 @@ object Stats {
                            valueScale: Long = 100L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import Par.Mat
+    // the (group, entity) table feeds the group totals AND the scoring
+    // join — materialize it so raw volume is absorbed exactly once
     val e = Par.ensure(df)
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"), col(entityCol).as("ent"),
@@ -2044,6 +2101,7 @@ object Stats {
       .groupBy($"grp", $"ent")
       .agg(sum($"v").cast("long").as("sv"))
       .filter($"sv" > 0L)
+      .materialized()
     val totals = e.groupBy($"grp")
       .agg(sum($"sv").cast("long").as("tot"))
     val share = $"sv".cast("double") / $"tot".cast("double")

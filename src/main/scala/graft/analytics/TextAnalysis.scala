@@ -762,17 +762,24 @@ object TextAnalysis {
     * a true KL. Also emits token and distinct-word counts per group.
     *
     * Scale shape: one (group, word) aggregation feeds the group totals,
-    * the corpus word table, and the scoring join via exchange reuse;
-    * the word-keyed corpus join is never assumed broadcastable; the
-    * 1-row corpus total rides the allowlisted crossJoin(broadcast).
+    * the corpus word table, and the scoring join — MATERIALIZED,
+    * because the four consumers' plans differ (join-pushed not-null
+    * filters break exchange-reuse canonical equality, verified in the
+    * physical plan: four full tokenize+explode+agg subtrees, zero
+    * ReusedExchange), so a lazy grid re-tokenized the corpus per
+    * consumer; the word-keyed corpus join is never assumed
+    * broadcastable; the 1-row corpus total rides the allowlisted
+    * crossJoin(broadcast). Raw text is tokenized exactly once.
     * Output is group-cardinality-sized. round(,6) absorbs sum-order
     * ulps in the KL sum (all ratios are exact-count divisions). */
   def vocabDrift(docs0: DataFrame, textCol: String,
                  groupCol: String): DataFrame = {
+    import Par.Mat
     val docs = Par.ensure(docs0)
     val sw = docs.select(col(groupCol).as("grp"),
         explode(Dedup.tokens(col(textCol))).as("word"))
       .groupBy("grp", "word").agg(count(lit(1)).as("c"))
+      .materialized()
     val st = sw.groupBy("grp").agg(sum(col("c")).as("t"))
     val cw = sw.groupBy("word").agg(sum(col("c")).as("cw"))
     val ct = cw.agg(sum(col("cw")).cast("double").as("tt"))

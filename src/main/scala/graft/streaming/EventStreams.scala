@@ -494,19 +494,26 @@ object EventStreams {
     // ONE raw scan serves BOTH distributions: the reference slice is a
     // conditional count inside the same (key, hr, bkt) aggregate the
     // current distribution needs (two separate aggs re-scanned the
-    // feed twice — the only raw-volume work in this op). Everything
-    // below re-aggregates this dictionary x calendar bounded grid.
+    // feed twice — the only raw-volume work in this op). The grid is
+    // MATERIALIZED because five consumers read it (cur twice via grid
+    // and the final join, hours, ref, refTot): left lazy, each consumer
+    // re-ran the raw aggregate from the source — the fold's plan still
+    // carried 7 source scans and no exchange reuse. Checkpointing the
+    // dictionary x calendar bounded grid (<= keys x hours x nBins rows)
+    // makes every downstream consumer a scan of those blocks, so raw
+    // volume is read exactly once per call at ANY scale.
     val g = base
       .select(col(keyCol).as("key"), hrOf.as("hr"), bkt.as("bkt"),
         when(refPred, 1L).otherwise(0L).as("isr"))
       .groupBy($"key", $"hr", $"bkt")
       .agg(count(lit(1)).cast("long").as("cc"),
         sum($"isr").cast("long").as("ccr"))
-    val cur = g.select($"key", $"hr", $"bkt", $"cc")
+    val gM = graft.analytics.Par.materialize(g)
+    val cur = gM.select($"key", $"hr", $"bkt", $"cc")
     // cr = 0 bins are NOT reference bins: the old filter-first agg
     // only emitted (key, bkt) groups the reference slice actually hit,
     // and the bin-union grid below must see exactly that set
-    val ref = g.groupBy($"key", $"bkt")
+    val ref = gM.groupBy($"key", $"bkt")
       .agg(sum($"ccr").cast("long").as("cr"))
       .filter($"cr" > 0L)
     val refTot = ref.groupBy($"key").agg(sum($"cr").cast("long").as("nr"))
