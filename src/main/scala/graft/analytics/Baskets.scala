@@ -202,10 +202,15 @@ object Baskets {
     * per row is engine-deterministic; a summed raw double is not —
     * the q194 scaled-round rule applied at the row).
     *
-    * Shape: facts aggregate to one row per item (map-side partials
-    * absorb raw volume) against a broadcast ONE-ROW max-date; the dim
-    * join and the per-group top-k window run over the item dictionary,
-    * never facts. Output: (grp, rnk, item, n_rows, score_micro). */
+    * Shape: facts aggregate to an (item, date) grid FIRST (map-side
+    * partials absorb raw volume; the grid is materialized because both
+    * the max-date aggregate and the scoring fold read it — lazy, each
+    * re-scanned the feed). Every raw row with the same (item, date)
+    * carries the identical rounded weight, so the per-row sum equals
+    * the grid fold `sum(n * w)` exactly — integer-for-integer. The
+    * broadcast ONE-ROW max-date, the dim join and the per-group top-k
+    * window run over dictionaries, never facts.
+    * Output: (grp, rnk, item, n_rows, score_micro). */
   def decayedTopK(facts: DataFrame, itemCol: String, dateCol: String,
                   dim: DataFrame, dimKeyCol: String, groupCol: String,
                   lambda: Double = 0.05, k: Int = 3): DataFrame = {
@@ -213,17 +218,21 @@ object Baskets {
     val spark = facts.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    import graft.analytics.Par.Mat
     val f = Par.ensure(facts)
       .select(col(itemCol).as("item"), to_date(col(dateCol)).as("d"))
       .filter($"item".isNotNull && $"d".isNotNull)
+      .groupBy($"item", $"d")
+      .agg(count(lit(1)).cast("long").as("nd"))
+      .materialized()
     val mx = f.agg(max($"d").as("dmax"))
     val scored = f.join(broadcast(mx), lit(true))
       .withColumn("w",
         round(exp(lit(-lambda) * datediff($"dmax", $"d").cast("double"))
           * 1e6).cast("long"))
       .groupBy($"item")
-      .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum($"w").cast("long").as("score_micro"))
+      .agg(sum($"nd").cast("long").as("n_rows"),
+        sum($"nd" * $"w").cast("long").as("score_micro"))
     val w = Window.partitionBy($"grp").orderBy($"score_micro".desc, $"item")
     scored
       .join(dim.select(col(dimKeyCol).as("item"), col(groupCol).as("grp")),

@@ -322,18 +322,26 @@ object DataAudit {
     * plain hash join. This is the audit-side complement to the q265
     * AMS sketch's self-join SIZE estimate.
     *
-    * Shape: one key agg absorbs raw volume; percentiles compress to
-    * per-DISTINCT-count frequencies (the q215 rule — the window runs
-    * over distinct multiplicity values, never keys); the top-10 is a
-    * bounded TakeOrdered (map-side partial top-k, id tie-break), never
-    * a global sort. Output: 1 row (n_rows, n_keys, mean_rows,
+    * Shape: one key agg absorbs raw volume into the materialized key
+    * dictionary (three consumers — totals, count-frequency sweep,
+    * top-10 — read it; lazy, each re-scanned the feed); percentiles
+    * compress to per-DISTINCT-count frequencies (the q215 rule — the
+    * window runs over distinct multiplicity values, never keys) and
+    * BOTH quantiles fold in one pass over that cumulative; the top-10
+    * is a bounded TakeOrdered (map-side partial top-k, id tie-break),
+    * never a global sort. Output: 1 row (n_rows, n_keys, mean_rows,
     * p50_rows, p99_rows, max_rows, top10_share, skew_ratio). */
   def joinSkewAudit(df: DataFrame, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import Par.Mat
+    // the per-key count table feeds the totals, the count-frequency
+    // sweep and the top-10 — materialize it so the feed is read once
+    // (it is the compressed key dictionary, <= distinct keys)
     val keyCnt = Par.ensure(df).filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+      .materialized()
     val tot = keyCnt.agg(
       sum($"cnt").cast("long").as("n_rows"),
       count(lit(1)).cast("long").as("n_keys"),
@@ -345,15 +353,20 @@ object DataAudit {
         .unboundedPreceding, 0)
     val cum = freq.withColumn("cumk", sum($"nk").over(win))
       .crossJoin(broadcast(tot))
-    def pct(q: Double, name: String) =
-      cum.filter($"cumk" >=
-          ceil(lit(q) * $"n_keys".cast("double")).cast("long"))
-        .agg(min($"cnt").cast("long").as(name))
+    // both quantiles in ONE pass over the cumulative (min(when(cond))
+    // == the old filter+min, including the empty->null case): the two
+    // separate pct() frames each re-ran freq's window sweep
+    val pcts = cum.agg(
+      min(when($"cumk" >=
+          ceil(lit(0.5) * $"n_keys".cast("double")).cast("long"), $"cnt"))
+        .cast("long").as("p50_rows"),
+      min(when($"cumk" >=
+          ceil(lit(0.99) * $"n_keys".cast("double")).cast("long"), $"cnt"))
+        .cast("long").as("p99_rows"))
     val top10 = keyCnt.orderBy($"cnt".desc, $"k").limit(10)
       .agg(sum($"cnt").cast("long").as("top10_rows"))
     tot
-      .crossJoin(broadcast(pct(0.5, "p50_rows")))
-      .crossJoin(broadcast(pct(0.99, "p99_rows")))
+      .crossJoin(broadcast(pcts))
       .crossJoin(broadcast(top10))
       .select($"n_rows", $"n_keys",
         (round($"n_rows".cast("double") /

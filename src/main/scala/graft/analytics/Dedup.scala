@@ -957,10 +957,14 @@ object Dedup {
     import spark.implicits._
     val est = minhashJaccardEstimate(docs, idCol, textCol,
       minEstimate = 0.0, n, numHashes, bandSize, maxBucket)
+    // both pair sides join this per-doc shingle-array table —
+    // materialize it so the corpus is shingled once, not per side (the
+    // hashedLines rule: stored volume is the shingle set once)
     val sets = shingles(docs, idCol, textCol, n).distinct()
       .groupBy($"doc")
       .agg(sort_array(collect_list($"sh")).as("toks"),
         count(lit(1)).cast("long").as("sz"))
+      .materialized()
     val den = $"na" + $"nb" - $"inter_n"
     val scored = est
       .join(sets.select($"doc".as("doc_a"), $"toks".as("ta"),

@@ -397,11 +397,16 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    import Par.Mat
+    // the register table feeds the hour grid AND the merge join —
+    // materialize the (key, hr, bucket) grid (<= keys x hours x 64
+    // small-int rows) so raw volume is hashed exactly once
     val regs = withHllCols(
         Par.ensure(df).select(col(keyCol).as("key"),
           floor(unix_timestamp(col(tsCol)) / 3600L).cast("long").as("hr"),
           value.as("v0")), $"v0")
       .groupBy($"key", $"hr", $"bucket").agg(max($"rho").as("r"))
+      .materialized()
     val grid = regs.select($"key", $"hr").distinct()
       .select($"key", $"hr",
         explode(sequence(lit(0), lit(m - 1))).as("bucket"))
