@@ -654,7 +654,9 @@ object Selection {
     * the feature space (store ids, brands, domains). The output table
     * IS the model artifact: a serving join applies it.
     *
-    * Shape: one category-keyed agg absorbs raw volume map-side, the
+    * Shape: one category-keyed agg absorbs raw volume map-side
+    * (materialized — the prior totals and the final projection both
+    * read it, so the raw pass runs once), the
     * (pos_tot, n_tot) prior rides a broadcast 1-row cross — never a
     * per-row pass with the label visible (the leakage door target
     * encoding is infamous for; the artifact form fits-once like q146).
@@ -687,6 +689,10 @@ object Selection {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    import graft.analytics.Par.Mat
+    // the bucket grid feeds the cumulative (read twice, as the j and k
+    // pair sides) AND the final join — materialize it so raw volume
+    // (here: the upstream scoring plan) is computed exactly once
     val b = Par.ensure(df)
       .filter(scoreCol.isNotNull)
       .select(round(scoreCol * scale).cast("long").as("s"),
@@ -694,6 +700,7 @@ object Selection {
       .groupBy($"s")
       .agg(count(lit(1)).cast("long").as("n"),
         sum($"y").cast("long").as("np"))
+      .materialized()
     val wc = Window.orderBy($"s")
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = b.select($"s", $"n", $"np",
@@ -728,6 +735,10 @@ object Selection {
     require(m > 0.0, "need smoothing m > 0")
     val spark = df.sparkSession
     import spark.implicits._
+    import graft.analytics.Par.Mat
+    // the category dictionary feeds the prior totals AND the final
+    // projection — materialize it so the raw pass (often a fact-dim
+    // JOIN upstream, as in the q261 gate) runs exactly once
     val cells = Par.ensure(df)
       .filter(catCol.isNotNull)
       .select(catCol.cast("string").as("category"),
@@ -735,6 +746,7 @@ object Selection {
       .groupBy($"category")
       .agg(count(lit(1)).cast("long").as("n"),
         sum($"y").cast("long").as("n_pos"))
+      .materialized()
     val tot = cells.agg(sum($"n").cast("long").as("n_tot"),
       sum($"n_pos").cast("long").as("pos_tot"))
     val prior = $"pos_tot".cast("double") /
