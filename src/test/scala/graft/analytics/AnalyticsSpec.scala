@@ -2420,6 +2420,57 @@ class StatsSpec extends SparkTestBase {
     assert(n2.getLong(0) === 10L && n2.getDouble(3) === 0.4)
   }
 
+  test("conditional-fold equivalence (r14 scan-once class): rows " +
+       "passing NEITHER slice pred are excluded, rows passing BOTH " +
+       "count on both sides, and a one-side-only category behaves as " +
+       "the old full_outer NULL") {
+    import spark.implicits._
+    // user 0 = ref only, 1 = cur only, 2 = both, 3 = neither
+    val rows = Seq(
+      ("k", 0L, 5.0), ("k", 0L, 5.0),            // ref bin 0: 2 (+both below)
+      ("k", 1L, 5.0),                             // cur bin 0: 1 (+both)
+      ("k", 2L, 5.0),                             // both sides, bin 0
+      ("k", 1L, 15.0),                            // cur-only bin 1
+      ("k", 3L, 95.0))                            // neither: must vanish
+    val df = rows.toDF("k", "user_id", "value")
+    val ref = col("user_id") === 0 || col("user_id") === 2
+    val cur = col("user_id") === 1 || col("user_id") === 2
+    val r = Stats.psiDrift(df, "k", "value", ref, cur).head()
+    // n_ref = 3 (two ref-only + one both), n_cur = 3 (two cur-only + both):
+    // the 'neither' row contributes to no side, the 'both' row to each
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 3L)))
+    // ref dist: bin0 3/3; cur dist: bin0 2/3, bin1 1/3 — psi matches the
+    // hand fold with the eps floor on ref's empty bin 1
+    val t0 = math.round((1.0 - 2.0 / 3) * math.log(1.0 / (2.0 / 3)) * 1e9)
+    val t1 = math.round((1e-4 - 1.0 / 3) * math.log(1e-4 / (1.0 / 3)) * 1e9)
+    val want = math.round((t0 + t1) / 1e9 * 1e6) / 1e6.toDouble
+    assert(math.abs(r.getDouble(3) - want) < 1e-9, s"psi ${r.getDouble(3)} vs $want")
+    // jsDrift: category 'c' on the cur side only — the fold's 0 count
+    // must reproduce the old full_outer NULL->coalesce(0) bounded term
+    val js = Stats.jsDrift(Seq(("a", 0L), ("a", 1L), ("c", 1L)).toDF("cat", "u"),
+      "cat", refPred = col("u") === 0, curPred = col("u") === 1).head()
+    assert((js.getLong(0), js.getLong(1), js.getLong(2)) === ((1L, 2L, 2L)))
+    assert(!js.isNullAt(3) && js.getDouble(3) > 0.0 && js.getDouble(3) <= 1.0)
+  }
+
+  test("decayedTopK grid fold: repeated (item, date) rows score exactly " +
+       "n times the per-date weight (the per-row sum), and n_rows " +
+       "counts raw rows, not grid rows") {
+    import spark.implicits._
+    val facts = Seq(
+      ("i1", "2024-01-10"), ("i1", "2024-01-10"), ("i1", "2024-01-10"),
+      ("i1", "2024-01-08"),
+      ("i2", "2024-01-10")).toDF("item", "d")
+    val dim = Seq(("i1", "g"), ("i2", "g")).toDF("key", "grp")
+    val got = Baskets.decayedTopK(facts, "item", "d", dim, "key", "grp",
+        lambda = 0.05, k = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(4)))
+    val w0 = math.round(math.exp(0.0) * 1e6)          // age 0
+    val w2 = math.round(math.exp(-0.05 * 2) * 1e6)    // age 2 days
+    assert(got === Array(("i1", 4L, 3 * w0 + w2), ("i2", 1L, w0)))
+  }
+
   test("bradleyTerry: dominance order recovered, zero-win node stays " +
        "finite via the phantom prior, geometric mean ~1, " +
        "partition-invariant, self-comparisons dropped") {
