@@ -412,13 +412,26 @@ class PlanShapeSpec extends SparkTestBase {
       assert(grouped.contains(true),
         "q269: expected the keyed margin build side")
     }
-    // q272: the PAV pair grid's build side is the KEYED score-bucket
-    // aggregate (the q169 dictionary shape), and the score grid itself
-    // must stay bucket-bounded (discount quantizes to a tiny grid)
+    // q272: the PAV pair grid's build side is the score-bucket grid —
+    // since r14's scan-once pass the keyed bucket aggregate is
+    // MATERIALIZED, so the build side reads the checkpointed grid (an
+    // RDD scan) instead of containing the aggregate inline; either
+    // form is the q169 dictionary shape, but the build side must NEVER
+    // read raw volume (no file-source scan). Boundedness of the grid
+    // itself is asserted separately below.
     locally {
-      for (b <- buildSides("q272_isotonic_calibration"))
-        assert(topAggGrouped(b).contains(true),
-          s"q272: BNLJ build side must be the keyed bucket aggregate:\n$b")
+      for (b <- buildSides("q272_isotonic_calibration")) {
+        val keyedAgg = topAggGrouped(b).contains(true)
+        val checkpointed = deep(b) {
+          case r: org.apache.spark.sql.execution.RDDScanExec => r
+        }.nonEmpty
+        val readsRaw = deep(b) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.nonEmpty
+        assert((keyedAgg || checkpointed) && !readsRaw,
+          s"q272: BNLJ build side must be the keyed bucket aggregate " +
+            s"or its checkpointed grid, never a raw scan:\n$b")
+      }
       val grid = queries.Tables(spark, dir, "lineitem")
         .select((org.apache.spark.sql.functions.round(
           org.apache.spark.sql.functions.col("l_discount") * 1000))
