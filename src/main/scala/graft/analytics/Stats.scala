@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
   * for the means, no driver collect of anything unbounded — the d×d model
   * collect in [[pcaProject]] is the bounded model-exchange pattern
   * [[Cluster]] already uses.
+  *
+  * Two contracts shared by every conditional-fold drift operator here
+  * (psiDrift, jsDrift, ksDrift, cohensKappa, chiSquareCells,
+  * mutualInformation, concentrationProfile, …):
+  *
+  *  - EAGER EXECUTION: these operators `Par.materialize` their
+  *    dictionary-sized grid because 2+ consumers read it, so CALLING
+  *    one runs a Spark job immediately (and pins checkpoint blocks
+  *    until the returned frame is GC'd or the session's blocks are
+  *    dropped) — they return data-backed frames, not inspectable lazy
+  *    plans, and predicate pushdown into the raw scan stops at the
+  *    materialized grid. Callers that only want the plan shape should
+  *    inspect the un-materialized building blocks instead.
+  *  - DETERMINISTIC SLICE PREDICATES: `refPred`/`curPred` are
+  *    evaluated once in the row filter and again inside the
+  *    conditional-count projections; a NON-deterministic predicate
+  *    (e.g. rand()-based sampling) could pass the filter yet count 0
+  *    in both projections, inflating the group set with phantom 0/0
+  *    rows. Pass deterministic predicates only (every catalog gate
+  *    does); sample into a column FIRST if randomness is needed.
   */
 object Stats {
 

@@ -1055,44 +1055,56 @@ object TextAnalysis {
     * extractor ("new york", "machine learning") a phrase-aware
     * tokenizer or stopword-pair auditor runs before training.
     *
-    * Scale shape: one bigram explode + three keyed aggs (pair, left
-    * marginal, right marginal) + one broadcast one-row total; top-k by
-    * SCALED-integer PMI with (w1, w2) ties so a replayed oracle lands
-    * the same cut. Output: (w1, w2, c12, pmi). */
+    * Scale shape (r15): ONE bigram pass into the (w1, w2) count grid —
+    * vocab²-bounded, materialized — and every other table folds off the
+    * GRID: the left/right marginals are grid sums grouped by w1/w2
+    * (integer-exact: Σ_w2 c(w1,w2) ≡ count of bigrams with that w1) and
+    * the total is the grid's one-row sum. The pre-r15 shape cached the
+    * corpus-sized bigram table and aggregated it three more times —
+    * 3 extra corpus-volume shuffles that the grid fold replaces with
+    * dictionary-volume ones (guide §2.3 aggregate-before-shuffle, §2.4).
+    * Top-k by SCALED-integer PMI with (w1, w2) ties so a replayed
+    * oracle lands the same cut. Output: (w1, w2, c12, pmi). */
   def pmiCollocations(docs0: DataFrame, idCol: String, textCol: String,
                       minCount: Long = 5L, topK: Int = 100): DataFrame = {
     require(minCount >= 1L && topK >= 1, "need minCount >= 1, topK >= 1")
     val docs = Par.ensure(docs0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val bg = docs
+    import Par.Mat
+    // one corpus pass: bigrams aggregate straight into the (w1, w2)
+    // grid; the grid is materialized because four consumers read it
+    // (pair counts, both marginals, the total) — left lazy, join-pushed
+    // not-null filters defeat plan canonicalization and each consumer
+    // re-runs the corpus explode (the r14 multi-consumer-grid class)
+    val cbAll = docs
       .select(Dedup.tokens(col(textCol)).as("t"))
       .filter(size($"t") >= 2)
       .select(explode(transform(
         sequence(lit(1), size($"t") - 1),
         i => struct(element_at($"t", i).as("w1"),
           element_at($"t", i + 1).as("w2")))).as("bg"))
-      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = bg.groupBy($"w1", $"w2")
-      .agg(count(lit(1)).cast("long").as("c12"))
-      .filter($"c12" >= minCount)
-    val u1 = bg.groupBy($"w1").agg(count(lit(1)).cast("long").as("c1"))
-    val u2 = bg.groupBy($"w2").agg(count(lit(1)).cast("long").as("c2"))
-    val nt = bg.agg(count(lit(1)).cast("long").as("n"))
+      .groupBy($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .materialized()
+    // marginals and total fold off the grid, integer-exact:
+    // Σ_{w2} c(w1,w2) ≡ count of bigrams whose first token is w1 (the
+    // old corpus-volume groupBy), and Σ c ≡ the bigram total
+    val cb = cbAll.filter($"c" >= minCount)
+      .select($"w1", $"w2", $"c".as("c12"))
+    val u1 = cbAll.groupBy($"w1").agg(sum($"c").as("c1"))
+    val u2 = cbAll.groupBy($"w2").agg(sum($"c").as("c2"))
+    val nt = cbAll.agg(sum($"c").as("n"))
     val scored = cb.join(u1, Seq("w1")).join(u2, Seq("w2"))
       .crossJoin(broadcast(nt))
       .select($"w1", $"w2", $"c12",
         log($"c12".cast("double") * $"n" /
           ($"c1".cast("double") * $"c2")).as("pmi"))
-    val out = scored
+    scored
       .orderBy(round($"pmi" * 1e6).desc, $"w1", $"w2")
       .limit(topK)
       .select($"w1", $"w2", $"c12",
         (round($"pmi" * 1e6) / 1e6).as("pmi"))
-      .materialized()
-    bg.unpersist()
-    out
   }
 
   /** Flesch reading-ease + Flesch-Kincaid grade per document — the

@@ -227,6 +227,11 @@ class PlanShapeSpec extends SparkTestBase {
       "q264_assortativity", "q265_ams_f2",
       // q263: classes x broadcast (sensitive-dictionary x ONE-ROW total)
       // completion — both build-side structures machine-checked below
+      // q224: scored bigram grid x broadcast ONE-ROW bigram total (the
+      // q77/q116 bracket) — visible since the r15 grid fold removed the
+      // output materialize that used to hide the final plan;
+      // machine-checked below
+      "q224_pmi_collocations",
       // (the q233 margin-x-total shape)
       "q263_t_closeness",
       // q266: user lifetimes x broadcast ONE-ROW feed-cutoff date (the
@@ -327,6 +332,7 @@ class PlanShapeSpec extends SparkTestBase {
     // a grouping-free aggregate, which is structurally a single row
     for (name <- Seq("q147_kneser_ney", "q182_kaplan_meier",
         "q198_kappa", "q200_source_scorecard", "q218_rfm_segments",
+        "q224_pmi_collocations",
         "q229_freshness_audit", "q241_decayed_topk",
         "q247_woe_buckets", "q248_vocab_coverage",
         "q250_bootstrap_diff_ci", "q260_js_drift",
@@ -422,15 +428,21 @@ class PlanShapeSpec extends SparkTestBase {
     locally {
       for (b <- buildSides("q272_isotonic_calibration")) {
         val keyedAgg = topAggGrouped(b).contains(true)
-        val checkpointed = deep(b) {
+        // not ANY checkpointed intermediate: the RDD scan must carry
+        // the (s, n, np) score-bucket-grid columns, pinning the build
+        // side to the materialized bucket aggregate specifically
+        val gridScans = deep(b) {
           case r: org.apache.spark.sql.execution.RDDScanExec => r
-        }.nonEmpty
+        }
+        val checkpointedGrid = gridScans.nonEmpty && gridScans.forall(
+          _.schema.fieldNames.toSet == Set("s", "n", "np"))
         val readsRaw = deep(b) {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }.nonEmpty
-        assert((keyedAgg || checkpointed) && !readsRaw,
+        assert((keyedAgg || checkpointedGrid) && !readsRaw,
           s"q272: BNLJ build side must be the keyed bucket aggregate " +
-            s"or its checkpointed grid, never a raw scan:\n$b")
+            s"or its checkpointed (s, n, np) grid, never a raw scan " +
+            s"or an unrelated checkpoint:\n$b")
       }
       val grid = queries.Tables(spark, dir, "lineitem")
         .select((org.apache.spark.sql.functions.round(

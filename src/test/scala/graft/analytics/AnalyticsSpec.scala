@@ -832,6 +832,71 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("mmrRerank pair gate: a SKEWED shortlist (one qid hoarding " +
+       "candidates) falls through to the distributed branch when " +
+       "Σ per-qid candidates² exceeds spark.graft.mmr.pairDriverGate, " +
+       "even though the ROW gate would admit it — and the result is " +
+       "identical to the driver replay") {
+    import spark.implicits._
+    // 1 qid × 30 candidates: 30 rows (far under the 200k row gate) but
+    // 900 pair rows — the collected volume the row gate cannot see
+    val rnd = new scala.util.Random(77L)
+    val emb = (0L until 31L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    // NOT pre-materialized: the branch observable below clears all
+    // persisted blocks between runs, which would orphan a
+    // localCheckpointed shortlist; the brute probe is deterministic
+    // (rounded scores), so recomputing it per run is equivalent
+    val sl = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("vec_id") === 0L, k = 30)
+      .select(col("qid"), col("neighbor_id").as("vid"),
+        col("cos_sim").as("simq"))
+    def withConf[A](kvs: (String, String)*)(body: => A): A = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    def run() =
+      Similarity.mmrRerankFrom(sl, emb, "vec_id", "embedding",
+          k = 4, lambda = 0.7)
+        .orderBy("qid", "step").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    def persistedAfter(body: => Unit): Int = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+      body
+      spark.sparkContext.getPersistentRDDs.size
+    }
+    // branch observable: the driver replay materializes ONLY the
+    // shortlist (1 persisted block); the distributed unfold also
+    // materializes the pair table and the per-step selection unions
+    var driverOut: Seq[(Long, Int, Long, Double)] = Seq.empty
+    val driverBlocks = persistedAfter {
+      driverOut = withConf("spark.graft.mmr.pairDriverGate" -> "100000") {
+        run()
+      }
+    }
+    assert(driverBlocks === 1, "driver replay should persist only cand")
+    var distOut: Seq[(Long, Int, Long, Double)] = Seq.empty
+    val distBlocks = persistedAfter {
+      distOut = withConf("spark.graft.mmr.pairDriverGate" -> "100") {
+        run()
+      }
+    }
+    assert(distBlocks > 1,
+      "pair volume 900 > gate 100 must fall through to the " +
+        "distributed unfold (pair table + step unions persist)")
+    assert(distOut === driverOut)
+    assert(distOut.nonEmpty && distOut.map(_._2) === Seq(1, 2, 3, 4))
+  }
+
   test("truncationRecall: a prefix that preserves the neighborhood " +
        "scores recall 1, a prefix that hides the signal dims misses; " +
        "the query itself is never its own neighbor") {

@@ -229,6 +229,45 @@ class MemoSpec extends SparkTestBase {
     } finally Memo.placementOverrideForTests = None
   }
 
+  test("shared shingle/sig snapshots (r15): lsh_cand, minhash_estimate, " +
+       "ngram_jaccard and the calibration sets all derive from ONE " +
+       "doc_shingles build and ONE minhash_sigs build per corpus — and " +
+       "every operator's output is identical to the bypass (no-memo) " +
+       "computation") {
+    val d = docs("share")
+    // reference outputs with ALL memos bypassed: the raw, priced
+    // pipeline each operator would run on a non-local master with no
+    // shared directory
+    def outputs(): Seq[Seq[String]] = Seq(
+      Dedup.minhashCandidatePairs(d, "doc_id", "text")
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq,
+      Dedup.minhashJaccardEstimate(d, "doc_id", "text",
+          minEstimate = 0.25)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq,
+      Dedup.ngramJaccardPairsFromDocs(d, "doc_id", "text",
+          minJaccard = 0.3)
+        .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq,
+      Dedup.minhashCalibration(d, "doc_id", "text")
+        .orderBy("bucket").collect().map(_.toString).toSeq)
+    Memo.placementOverrideForTests = Some(None)
+    val bypass = try outputs() finally {
+      Memo.placementOverrideForTests = None
+    }
+    // snapshot-backed run (default local placement): same bits, and the
+    // family shares one shingle build + one sig build
+    Memo.invalidateAll()
+    val sh0 = Dedup.shingleMemo.builds.get()
+    val sg0 = Dedup.sigsMemo.builds.get()
+    val snap = outputs()
+    assert(snap === bypass,
+      "memoized family outputs must be bit-identical to the bypass")
+    assert(Dedup.shingleMemo.builds.get() - sh0 === 1,
+      "the corpus must be shingled exactly once for the whole family")
+    assert(Dedup.sigsMemo.builds.get() - sg0 === 1,
+      "signatures must be computed exactly once for cand + estimate")
+    assert(Dedup.shingleMemo.hits.get() > 0 && Dedup.sigsMemo.hits.get() > 0)
+  }
+
   test("eviction past maxEntries CONDEMNS, never deletes under a " +
        "reader: an earlier handed-out lazy frame still reads correctly " +
        "inside the grace window") {
