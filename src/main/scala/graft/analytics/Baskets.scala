@@ -202,14 +202,18 @@ object Baskets {
     * per row is engine-deterministic; a summed raw double is not —
     * the q194 scaled-round rule applied at the row).
     *
-    * Shape: facts aggregate to an (item, date) grid FIRST (map-side
-    * partials absorb raw volume; the grid is materialized because both
-    * the max-date aggregate and the scoring fold read it — lazy, each
-    * re-scanned the feed). Every raw row with the same (item, date)
-    * carries the identical rounded weight, so the per-row sum equals
-    * the grid fold `sum(n * w)` exactly — integer-for-integer. The
-    * broadcast ONE-ROW max-date, the dim join and the per-group top-k
-    * window run over dictionaries, never facts.
+    * Shape (r15, settling the r14 bracket conflict): ONE exchange —
+    * per-row weights fold map-side into item partials (partial
+    * aggregation bounds shuffle volume at |items|·partitions however
+    * large the feed), and the max date is a separate PRUNED
+    * single-date-column scan with a partial max and no exchange,
+    * broadcast as ONE row. The r14 (item, date)-grid materialize was
+    * bracketed against this shape and reverted: same-JVM alternating
+    * reps read grid 1.99 s vs 1.73 s here at sf0.1, because the grid
+    * does not compress this key shape (600000 raw rows → 596373 grid
+    * rows, ratio 1.006) while its extra (item, date) exchange +
+    * checkpoint ship ~raw volume; the fold's only remaining saving —
+    * the one-column max scan — is a column-pruned read either way.
     * Output: (grp, rnk, item, n_rows, score_micro). */
   def decayedTopK(facts: DataFrame, itemCol: String, dateCol: String,
                   dim: DataFrame, dimKeyCol: String, groupCol: String,
@@ -218,21 +222,17 @@ object Baskets {
     val spark = facts.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    import graft.analytics.Par.Mat
-    val f = Par.ensure(facts)
+    val fr = Par.ensure(facts)
       .select(col(itemCol).as("item"), to_date(col(dateCol)).as("d"))
       .filter($"item".isNotNull && $"d".isNotNull)
-      .groupBy($"item", $"d")
-      .agg(count(lit(1)).cast("long").as("nd"))
-      .materialized()
-    val mx = f.agg(max($"d").as("dmax"))
-    val scored = f.join(broadcast(mx), lit(true))
+    val mx = fr.agg(max($"d").as("dmax"))
+    val scored = fr.join(broadcast(mx), lit(true))
       .withColumn("w",
         round(exp(lit(-lambda) * datediff($"dmax", $"d").cast("double"))
           * 1e6).cast("long"))
       .groupBy($"item")
-      .agg(sum($"nd").cast("long").as("n_rows"),
-        sum($"nd" * $"w").cast("long").as("score_micro"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum($"w").cast("long").as("score_micro"))
     val w = Window.partitionBy($"grp").orderBy($"score_micro".desc, $"item")
     scored
       .join(dim.select(col(dimKeyCol).as("item"), col(groupCol).as("grp")),

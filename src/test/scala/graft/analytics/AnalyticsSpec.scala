@@ -2518,9 +2518,9 @@ class StatsSpec extends SparkTestBase {
     assert(!js.isNullAt(3) && js.getDouble(3) > 0.0 && js.getDouble(3) <= 1.0)
   }
 
-  test("decayedTopK grid fold: repeated (item, date) rows score exactly " +
-       "n times the per-date weight (the per-row sum), and n_rows " +
-       "counts raw rows, not grid rows") {
+  test("decayedTopK: repeated (item, date) rows score exactly n times " +
+       "the per-date weight (the per-row integer sum), and n_rows " +
+       "counts raw rows") {
     import spark.implicits._
     val facts = Seq(
       ("i1", "2024-01-10"), ("i1", "2024-01-10"), ("i1", "2024-01-10"),
